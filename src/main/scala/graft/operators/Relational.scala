@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / join operators (SURVEY §2.3, §2.4).
+  *
+  * The reference implements every join as a Python nested loop over
+  * in-memory lists (e.g. link-metrics × WAN links,
+  * `powerbi_main_fun.py:1651-1665`) and every filter as an `if` inside a
+  * row loop. Here each is a declarative Catalyst plan: filters push into
+  * the parquet scan, small dimensions broadcast, and existence checks are
+  * semi/anti joins (no row-at-a-time probes like `fun_mysql_query.py`).
+  */
+object Relational {
+
+  /** Null-key filter + defaulted scalar projection (P2 + P12,
+    * `powerbi_main_fun.py:447-449,1088-1129`): drop rows with a null
+    * primary key, substitute "Not set" for missing descriptive fields.
+    */
+  def projectWithDefaults(df: DataFrame, keyCol: String,
+      defaulted: Seq[(String, String)]): DataFrame = {
+    val cols = col(keyCol) +: defaulted.map { case (c, dflt) =>
+      coalesce(col(c), lit(dflt)).as(c)
+    }
+    df.filter(col(keyCol).isNotNull).select(cols: _*)
+  }
+
+  /** Membership anti-filter (P4, `powerbi_main_fun.py:845-851`): keep rows
+    * whose `col` is NOT in a small skip-list. The list is inlined as a
+    * literal so Catalyst folds it into the scan predicate.
+    */
+  def antiFilter(df: DataFrame, c: String, skip: Seq[String]): DataFrame =
+    df.filter(!col(c).isin(skip: _*))
+
+  /** Broadcast dimension enrichment (J1/J4,
+    * `powerbi_main_fun.py:1651-1665,688-690`): left-join a fact frame to a
+    * small dimension. The dim is explicitly broadcast — at 100 TB the fact
+    * side never shuffles for this join.
+    */
+  def enrich(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys, "left")
+
+  /** Existence semi-join (J2/J3, `powerbi_main_fun.py:1421-1426,859-879`):
+    * rows of `left` having at least one match in `right`. Replaces the
+    * reference's per-entity SQL existence probes
+    * (`fun_mysql_query.py:129-161`) with one distributed join.
+    */
+  def existsIn(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+
+  /** Absence anti-join (J6, `fun_mysql_query.py:17-112`): the incremental
+    * "new entities" predicate — rows of `left` with no match in `right`
+    * (the gold snapshot). This is the batch form of the reference's
+    * freshness probes (P9).
+    */
+  def notIn(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_anti")
+
+  /** Freshness anti-join (P9/J6, `fun_mysql_query.py:17-60`): candidates
+    * whose key is absent from the snapshot OR whose snapshot row is stale
+    * (`lastUpdated` older than the cutoff). Returns candidate rows that
+    * need recompute.
+    */
+  def staleOrMissing(candidates: DataFrame, snapshot: DataFrame,
+      keys: Seq[String], snapshotTs: String, cutoff: Column): DataFrame = {
+    val fresh = snapshot.filter(col(snapshotTs) >= cutoff).select(keys.map(col): _*)
+    candidates.join(fresh, keys, "left_anti")
+  }
+
+  /** Deterministic sampling throttle (P10, `powerbi_main_fun.py:271,629`):
+    * the reference uses `random.random()`; for reproducible pipelines we
+    * sample on a stable key hash (`pmod(key, denom) == 0`) so the same
+    * entities are picked every run — testable, and at scale it avoids a
+    * nondeterministic recompute set between retried tasks.
+    */
+  def sampleByKey(df: DataFrame, key: String, denom: Int): DataFrame =
+    df.filter(pmod(col(key), lit(denom)) === 0)
+}

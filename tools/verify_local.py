@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate (NOT shipped library
+code): run graft.Verify, then replay each oracle SQL in DuckDB over the
+same parquet tables and diff values exactly.
+
+Usage: tools/verify_local.py [sfdir] [outdir]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify():
+    r = subprocess.run(["tools/run.sh", "graft.Verify", SF, str(OUT)],
+                       cwd=REPO, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    return v
+
+
+def rows_of(rel):
+    cols = sorted(rel.columns)
+    idx = [rel.columns.index(c) for c in cols]
+    rows = [tuple(norm(r[i]) for i in idx) for r in rel.fetchall()]
+    return cols, rows
+
+
+def main():
+    run_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracles = json.loads((OUT / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        pq = OUT / name
+        if not pq.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got_cols, got = rows_of(con.sql(
+                f"SELECT * FROM '{pq}/*.parquet'"))
+            exp_cols, exp = rows_of(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif got != exp:
+            print(f"FAIL {name}: {len(got)} vs {len(exp)} rows", )
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if g != e:
+                    print(f"  first diff row {i}:\n   got {g}\n   exp {e}")
+                    break
+            else:
+                print(f"  row count differs only")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
