@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Windows
+
+/** q11–q17: dedup, top-k, order statistics, chunked scoring, state
+  * transitions, run-length encoding, sessionization (SURVEY §2.6, A11,
+  * A15, A16, K2).
+  */
+object WindowQueries extends QueryPack {
+
+  def defs: Map[String, Q] = Map(
+    // K2/dedup: unique-key dedup (Events' INSERT IGNORE semantics).
+    "q11_dedup_distinct" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+        .distinct()
+        .orderBy(col("user_id"), col("event_type"), col("day")),
+      Some("""SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+        |FROM events
+        |ORDER BY user_id, event_type, day""".stripMargin)),
+
+    // A11: top-k rows per group via row_number window.
+    "q12_topk_window" -> Q(
+      (s, dir) => Windows.topKPerGroup(Tables.orders(s, dir),
+          "o_custkey", "o_totalprice", "o_orderkey", 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+                col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // A11: 1st/5th/10th highest value per group (order statistics).
+    "q13_order_stats" -> Q(
+      (s, dir) => Windows.orderStats(Tables.lineitem(s, dir),
+        "l_suppkey", "l_extendedprice", Seq(1, 5, 10)),
+      Some("""SELECT l_suppkey,
+        |  (list(l_extendedprice ORDER BY l_extendedprice DESC))[1] AS highest_1,
+        |  (list(l_extendedprice ORDER BY l_extendedprice DESC))[5] AS highest_5,
+        |  (list(l_extendedprice ORDER BY l_extendedprice DESC))[10] AS highest_10
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin)),
+
+    // A16: fixed-size chunk scoring, min per key (lowest_qoe shape).
+    "q14_chunked_min" -> Q(
+      (s, dir) => Windows.chunkedMinScore(Tables.events(s, dir),
+        "user_id", "ts", "event_id",
+        col("event_type") === "error", col("event_type") === "purchase", 8),
+      Some("""SELECT user_id, min(chunk_score) AS lowest_score, count(*) AS n_chunks
+        |FROM (
+        |  SELECT user_id,
+        |    (count(CASE WHEN event_type='error' THEN 1 END)*10
+        |     + count(CASE WHEN event_type='purchase' THEN 1 END)*5) / 8.0 AS chunk_score
+        |  FROM (SELECT user_id, event_type,
+        |          (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 8 AS chunk_id
+        |        FROM events) c
+        |  GROUP BY user_id, chunk_id) s
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)),
+
+    // A15 (transition side): brownout/blackout-style prev→curr counters.
+    "q15_transitions" -> Q(
+      (s, dir) => Windows.transitionCounts(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", Seq(
+          ("n_view_to_error", _ === "view", _ === "error"),
+          ("n_click_to_purchase", _ === "click", _ === "purchase"))),
+      Some("""SELECT user_id,
+        |  count(CASE WHEN prev_state='view' AND event_type='error' THEN 1 END) AS n_view_to_error,
+        |  count(CASE WHEN prev_state='click' AND event_type='purchase' THEN 1 END) AS n_click_to_purchase
+        |FROM (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        |      FROM events) t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)),
+
+    // A15 (duration side): run-length encoding via segment-id trick.
+    "q16_run_lengths" -> Q(
+      (s, dir) => Windows.runLengths(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"))
+        .orderBy(col("user_id")),
+      Some("""WITH a AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_type,
+        |         sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM a),
+        |r AS (SELECT user_id, run_id, count(*) AS run_len FROM b GROUP BY user_id, run_id)
+        |SELECT user_id, count(*) AS n_runs, max(run_len) AS max_run
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // §2.8: gap-based sessionization (30-minute inactivity break).
+    "q17_sessionize" -> Q(
+      (s, dir) => Windows.sessionize(Tables.events(s, dir),
+          "user_id", "ts", "event_id", 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("sess_len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("sess_len")).as("max_sess_len"))
+        .orderBy(col("user_id")),
+      Some("""WITH a AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN prev_ts IS NULL
+        |                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM a),
+        |s AS (SELECT user_id, session_id, count(*) AS sess_len FROM b GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_sess_len
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}
