@@ -1,24 +1,60 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  *
+  * Methodology (VERDICT r1 item 8):
+  *  - a warm-up pass (flagship query + one window query) pays the
+  *    JVM/codegen/parquet-footer cost once, so per-query numbers are
+  *    comparable across rounds and runs;
+  *  - materialization is a `noop`-format write, which executes the FULL
+  *    plan (sorts, projections) — `.count()` lets Catalyst prune the
+  *    final orderBy and unused columns, under-measuring the real work;
+  *  - a failed query reports `-1` AND lands in an `errors` map, so a
+  *    broken query is never mistaken for a fast one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Warm-up: one scan-agg and one window query cover codegen paths.
+    for (w <- Seq("q01_pricing_summary", "q12_topk_window"))
+      SparkEntry.queries.get(w).foreach(fn => try runOne(fn) catch { case _: Throwable => () })
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runOne(fn); true } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -1,215 +1,45 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.operators.{Aggregates, Relational}
+import graft.queries.{CoreQueries, QueryPack, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every operator in SURVEY §2 is exposed as a named query over the
-  * synthetic star schema in `sfDir`, paired with a DuckDB oracle in
-  * [[SparkEntry.oracleSql]]. Column names and row order are made
-  * deterministic in BOTH formulations (exact decimal aggregation, total
-  * ORDER BY) so the driver's hash compare is stable.
+  * synthetic star schema in `sfDir`, paired (when SQL-expressible) with a
+  * DuckDB oracle. Column names and row order are made deterministic in
+  * BOTH formulations (exact decimal aggregation, total ORDER BY) so the
+  * driver's hash compare is stable.
+  *
+  * SparkEntry is a thin aggregator over the query packs — the single
+  * source of truth for each query/oracle pair lives in exactly one pack
+  * (graft.queries.*).
   */
 object SparkEntry {
+
+  private val packs: Seq[QueryPack] =
+    Seq(CoreQueries, WindowQueries)
+
+  private lazy val all: Map[String, graft.queries.Q] =
+    packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>
+      val dup = acc.keySet.intersect(p.defs.keySet)
+      require(dup.isEmpty, s"duplicate query names across packs: $dup")
+      acc ++ p.defs
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  // ---------------------------------------------------------------- §2.5 aggs
-  private val aggQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A5/A8: grouped filtered exact sums over the fact table.
-    "q01_pricing_summary" -> ((s, dir) =>
-      Aggregates.pricingSummary(Tables.lineitem(s, dir), "1995-09-02")),
-
-    // A19/J7: customer boolean rollups incl. the reference's inverted
-    // NONE-semantics (no_* columns).
-    "q07_bool_rollups" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      Aggregates.booleanRollups(o, "o_custkey", Seq(
-        "urgent"  -> (col("o_orderpriority") === "1-URGENT"),
-        "open"    -> (col("o_orderstatus") === "O"),
-        "big"     -> (col("o_totalprice") > 200000.0)))
-    }),
-
-    // A6/A7: grouped max + filtered count with a time predicate.
-    "q08_group_stats" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      Aggregates.groupStats(o, "o_custkey", col("o_totalprice"),
-        col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
-    }),
-
-    // A3/A12: range bucketizer (when-chain) + count per bucket.
-    "q09_bucketize" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      o.withColumn("price_bucket", Aggregates.bucketize(o, col("o_totalprice"),
-          Seq(50000.0 -> "b0_50k", 100000.0 -> "b50_100k", 200000.0 -> "b100_200k"),
-          "b200k_plus"))
-        .groupBy(col("price_bucket"))
-        .agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("price_bucket"))
-    })
-  )
-
-  // ------------------------------------------------------- §2.3/§2.4 rel ops
-  private val relQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P2/P4/P12: null-key filter, skip-list anti-filter, defaulted project.
-    "q02_filter_project" -> ((s, dir) =>
-      Relational.antiFilter(Tables.events(s, dir), "event_type", Seq("error", "view"))
-        .filter(col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .orderBy(col("event_id"))),
-
-    // J1/J4: fact × broadcast dim enrichment, then grouped exact revenue.
-    "q03_join_enrich" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val p  = Tables.part(s, dir)
-      Relational.enrich(li, p.withColumnRenamed("p_partkey", "l_partkey"), Seq("l_partkey"))
-        .groupBy(col("p_brand"))
-        .agg(
-          sum(Aggregates.dec2(col("l_extendedprice"))).cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("p_brand"))
-    }),
-
-    // J8: star join region→nation→customer→orders (all dims broadcast).
-    "q04_star_join" -> ((s, dir) => {
-      val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
-      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
-      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
-      val o = Tables.orders(s, dir)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(
-          sum(Aggregates.dec2(col("o_totalprice"))).cast("double").as("total_sales"),
-          count(lit(1)).as("n_orders"))
-        .orderBy(col("r_name"))
-    }),
-
-    // J2/J3: existence semi-join (customers with an urgent order).
-    "q05_semi_join" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val urgent = Tables.orders(s, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey").as("c_custkey"))
-      Relational.existsIn(c, urgent, Seq("c_custkey"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // J6/P9: absence anti-join (customers with no in-progress order).
-    "q06_anti_join" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
-        .filter(col("o_orderstatus") === "P")
-        .select(col("o_custkey").as("c_custkey"))
-      Relational.notIn(c, o, Seq("c_custkey"))
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // P10: deterministic key-hash sampling throttle.
-    "q10_sample_by_key" -> ((s, dir) =>
-      Relational.sampleByKey(Tables.customer(s, dir), "c_custkey", 10)
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey")))
-  )
-
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    aggQueries ++ relQueries
+    all.map { case (k, q) => k -> q.fn }
 
-  /** DuckDB-dialect oracles; column names/aliases match the Spark side. */
-  def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q02_filter_project" ->
-      """SELECT event_id, user_id, event_type
-        |FROM events
-        |WHERE event_type NOT IN ('error','view') AND user_id IS NOT NULL
-        |ORDER BY event_id""".stripMargin,
-
-    "q03_join_enrich" ->
-      """SELECT p_brand,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin,
-
-    "q04_star_join" ->
-      """SELECT r_name,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
-        |  count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name
-        |ORDER BY r_name""".stripMargin,
-
-    "q05_semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment
-        |FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q06_anti_join" ->
-      """SELECT c_custkey, c_name
-        |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q07_bool_rollups" ->
-      """SELECT o_custkey,
-        |  max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS any_urgent,
-        |  max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS any_open,
-        |  max(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS any_big,
-        |  CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 0 AS INT) AS no_urgent,
-        |  CAST(max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 0 AS INT) AS no_open,
-        |  CAST(max(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) = 0 AS INT) AS no_big
-        |FROM orders
-        |GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin,
-
-    "q08_group_stats" ->
-      """SELECT o_custkey,
-        |  max(o_totalprice) AS max_measure,
-        |  count(*) AS n_rows,
-        |  count(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' THEN 1 END) AS n_recent
-        |FROM orders
-        |GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin,
-
-    "q09_bucketize" ->
-      """SELECT CASE WHEN o_totalprice <= 50000.0 THEN 'b0_50k'
-        |            WHEN o_totalprice <= 100000.0 THEN 'b50_100k'
-        |            WHEN o_totalprice <= 200000.0 THEN 'b100_200k'
-        |            ELSE 'b200k_plus' END AS price_bucket,
-        |  count(*) AS n_orders
-        |FROM orders
-        |GROUP BY 1
-        |ORDER BY price_bucket""".stripMargin,
-
-    "q10_sample_by_key" ->
-      """SELECT c_custkey, c_name
-        |FROM customer
-        |WHERE c_custkey % 10 = 0
-        |ORDER BY c_custkey""".stripMargin
-  )
+  /** DuckDB-dialect oracles; column names/aliases match the Spark side.
+    * Queries without an entry here get the driver's weaker rows-only
+    * check (non-SQL-expressible ops: LSH bucketing, order-dependent
+    * recurrences).
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
 }

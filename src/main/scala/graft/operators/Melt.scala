@@ -17,9 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Melt {
 
+  /** Python-style repr of an optional boolean: 'True' / 'False' / 'None'
+    * — the exact strings `f'{name}-{used}'` interpolates in
+    * `fun_mysql_inserts.py:354-355` (Spark's BOOLEAN cast yields
+    * lowercase 'true'/'false', which would fail a golden compare).
+    */
+  def pyBool(used: Column): Column =
+    when(used.isNull, lit("None")).when(used, lit("True")).otherwise(lit("False"))
+
+  /** The reference's default filter_val: `f'{name}-{used}'`
+    * (`fun_mysql_inserts.py:352-355`). */
+  def defaultFilterVal(name: Column, used: Column): Column =
+    concat(name, lit("-"), pyBool(used))
+
   /** Melt `numAttrs` (numeric) and `textAttrs` (string) columns of `df`
-    * into EAV rows keyed by `uuid`. `filter_val` defaults to
-    * `"{name}-{used}"` exactly as `fun_mysql_inserts.py:352-353`.
+    * into EAV rows keyed by `uuid`.
+    *
+    * `used` semantics follow the attribute contract
+    * (`Functions/sql_upserts.py:41-44`): it answers "is the
+    * functionality used", which callers pass explicitly; the melt
+    * derives it as value-presence, the dominant call pattern (e.g.
+    * `vnf_on`, `powerbi_main_fun.py:2426-2434`). Callers needing a
+    * different `used` per attribute can post-process before the sink.
     */
   def toEav(df: DataFrame, uuid: String,
       numAttrs: Seq[String], textAttrs: Seq[String]): DataFrame = {
@@ -34,10 +53,8 @@ object Melt {
       stack((lit(n) +: pairs): _*).as(Seq("name", "num", "text")))
     stacked
       .withColumn("used", col("num").isNotNull || col("text").isNotNull)
-      .withColumn("filter_val",
-        concat_ws("-", col("name"), col("used").cast("string")))
+      .withColumn("filter_val", defaultFilterVal(col("name"), col("used")))
       .select(col("uuid"), col("name"), col("used"), col("num"),
               col("text"), col("filter_val"))
-      .orderBy(col("uuid"), col("name"))
   }
 }

@@ -31,7 +31,6 @@ object Windows {
       .orderBy(col(measure).desc, col(tiebreak))
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .orderBy(col(key), col("rn"))
   }
 
   /** Order statistics per group (A11: 1st/5th/10th highest,
@@ -45,7 +44,7 @@ object Windows {
     val aggs = ranks.map(r => element_at(sorted, r).as(s"highest_$r"))
     // element_at is 1-based and yields null when the group is smaller
     // than r — matching the reference's silent skip of absent ranks.
-    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*).orderBy(col(key))
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Fixed-size chunk scoring with a final min (A16 `lowest_qoe`,
@@ -63,7 +62,6 @@ object Windows {
       .groupBy(col(key))
       .agg(min(col("chunk_score")).as("lowest_score"),
            count(lit(1)).as("n_chunks"))
-      .orderBy(col(key))
   }
 
   /** State-transition counter (A15's declarative core,
@@ -80,7 +78,7 @@ object Windows {
     val aggs = transitions.map { case (name, fromP, toP) =>
       count(when(fromP(col("prev_state")) && toP(col(state)), 1)).as(name)
     }
-    withPrev.groupBy(col(key)).agg(aggs.head, aggs.tail: _*).orderBy(col(key))
+    withPrev.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Run-length encoding via the segment-id trick (A15's duration side):
@@ -127,6 +125,5 @@ object Windows {
     val keys = to_date(col(ts)).as("day") +: dims.map(col)
     df.groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy((col("day") +: dims.map(col)): _*)
   }
 }

@@ -27,7 +27,8 @@ object WindowQueries extends QueryPack {
       (s, dir) => Windows.topKPerGroup(Tables.orders(s, dir),
           "o_custkey", "o_totalprice", "o_orderkey", 3)
         .select(col("o_custkey"), col("rn").cast("long").as("rn"),
-                col("o_orderkey"), col("o_totalprice")),
+                col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn")),
       Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey
@@ -39,7 +40,8 @@ object WindowQueries extends QueryPack {
     // A11: 1st/5th/10th highest value per group (order statistics).
     "q13_order_stats" -> Q(
       (s, dir) => Windows.orderStats(Tables.lineitem(s, dir),
-        "l_suppkey", "l_extendedprice", Seq(1, 5, 10)),
+        "l_suppkey", "l_extendedprice", Seq(1, 5, 10))
+        .orderBy(col("l_suppkey")),
       Some("""SELECT l_suppkey,
         |  (list(l_extendedprice ORDER BY l_extendedprice DESC))[1] AS highest_1,
         |  (list(l_extendedprice ORDER BY l_extendedprice DESC))[5] AS highest_5,
@@ -52,7 +54,8 @@ object WindowQueries extends QueryPack {
     "q14_chunked_min" -> Q(
       (s, dir) => Windows.chunkedMinScore(Tables.events(s, dir),
         "user_id", "ts", "event_id",
-        col("event_type") === "error", col("event_type") === "purchase", 8),
+        col("event_type") === "error", col("event_type") === "purchase", 8)
+        .orderBy(col("user_id")),
       Some("""SELECT user_id, min(chunk_score) AS lowest_score, count(*) AS n_chunks
         |FROM (
         |  SELECT user_id,
@@ -70,7 +73,8 @@ object WindowQueries extends QueryPack {
       (s, dir) => Windows.transitionCounts(Tables.events(s, dir),
         "user_id", "ts", "event_id", "event_type", Seq(
           ("n_view_to_error", _ === "view", _ === "error"),
-          ("n_click_to_purchase", _ === "click", _ === "purchase"))),
+          ("n_click_to_purchase", _ === "click", _ === "purchase")))
+        .orderBy(col("user_id")),
       Some("""SELECT user_id,
         |  count(CASE WHEN prev_state='view' AND event_type='error' THEN 1 END) AS n_view_to_error,
         |  count(CASE WHEN prev_state='click' AND event_type='purchase' THEN 1 END) AS n_click_to_purchase
