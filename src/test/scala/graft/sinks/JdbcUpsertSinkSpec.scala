@@ -1,0 +1,97 @@
+package graft.sinks
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+import graft.operators.Melt
+
+/** Upsert-sink contract (SURVEY §5.3): applying the same batch twice
+  * must equal applying it once (the reference's replay safety), and
+  * conflicting keys must update in place. Runs against embedded Derby
+  * (the MERGE dialect); the MySql dialect emits the reference's exact
+  * ON DUPLICATE KEY UPDATE text, asserted as a string.
+  */
+class JdbcUpsertSinkSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:upserttest;create=true"
+
+  private def withTable[A](ddl: String, table: String)(f: => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try { st.executeUpdate(s"DROP TABLE $table") } catch { case _: Exception => () }
+      st.executeUpdate(ddl)
+      st.close()
+    } finally conn.close()
+    f
+  }
+
+  private def queryAll(sql: String): Seq[Seq[Any]] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (rs.next()) buf += (1 to n).map(rs.getObject)
+      buf.toSeq
+    } finally conn.close()
+  }
+
+  test("upsert is idempotent and updates on key conflict") {
+    import spark.implicits._
+    withTable("CREATE TABLE tgt (k INT PRIMARY KEY, v VARCHAR(50), n DOUBLE)", "tgt") {
+      val batch1 = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("k", "v", "n")
+      JdbcUpsertSink.write(batch1, url, "tgt", Seq("k"), JdbcUpsertSink.DerbyMerge)
+      JdbcUpsertSink.write(batch1, url, "tgt", Seq("k"), JdbcUpsertSink.DerbyMerge)
+      assert(queryAll("SELECT k, v, n FROM tgt ORDER BY k") ===
+        Seq(Seq(1, "a", 1.5), Seq(2, "b", 2.5)))
+
+      val batch2 = Seq((2, "B", 9.0), (3, "c", 3.5)).toDF("k", "v", "n")
+      JdbcUpsertSink.write(batch2, url, "tgt", Seq("k"), JdbcUpsertSink.DerbyMerge)
+      assert(queryAll("SELECT k, v, n FROM tgt ORDER BY k") ===
+        Seq(Seq(1, "a", 1.5), Seq(2, "B", 9.0), Seq(3, "c", 3.5)))
+    }
+  }
+
+  test("insert-if-absent never updates (K2, Events INSERT IGNORE)") {
+    import spark.implicits._
+    withTable("CREATE TABLE ev (k INT PRIMARY KEY, v VARCHAR(50))", "ev") {
+      val b1 = Seq((1, "first")).toDF("k", "v")
+      val b2 = Seq((1, "second"), (2, "new")).toDF("k", "v")
+      JdbcUpsertSink.write(b1, url, "ev", Seq("k"), JdbcUpsertSink.DerbyInsertIfAbsent)
+      JdbcUpsertSink.write(b2, url, "ev", Seq("k"), JdbcUpsertSink.DerbyInsertIfAbsent)
+      assert(queryAll("SELECT k, v FROM ev ORDER BY k") ===
+        Seq(Seq(1, "first"), Seq(2, "new")))
+    }
+  }
+
+  test("K5: EAV melt flows through the sink on the (uuid, name) key") {
+    import spark.implicits._
+    withTable(
+      """CREATE TABLE attrs (uuid VARCHAR(36), name VARCHAR(50),
+        |  used BOOLEAN, num DOUBLE, text VARCHAR(100), filter_val VARCHAR(100),
+        |  PRIMARY KEY (uuid, name))""".stripMargin, "attrs") {
+      val wide = Seq(("e1", Some(7), Some("gold"))).toDF("uuid", "route_num", "license")
+      val eav = Melt.toEav(wide, "uuid", Seq("route_num"), Seq("license"))
+      JdbcUpsertSink.write(eav, url, "attrs", Seq("uuid", "name"),
+        JdbcUpsertSink.DerbyMerge)
+      // replay + value change: num 7 → 9
+      val wide2 = Seq(("e1", Some(9), Some("gold"))).toDF("uuid", "route_num", "license")
+      val eav2 = Melt.toEav(wide2, "uuid", Seq("route_num"), Seq("license"))
+      JdbcUpsertSink.write(eav2, url, "attrs", Seq("uuid", "name"),
+        JdbcUpsertSink.DerbyMerge)
+      assert(queryAll("SELECT uuid, name, num, filter_val FROM attrs ORDER BY name") ===
+        Seq(Seq("e1", "license", null, "license-True"),
+            Seq("e1", "route_num", 9.0, "route_num-True")))
+    }
+  }
+
+  test("MySql dialect renders the reference's ODKU statement") {
+    val sql = JdbcUpsertSink.MySql.upsertSql("EdgeAttributes",
+      Seq("edge_uuid", "name", "used"), Seq("edge_uuid", "name"), Seq("used"))
+    assert(sql ===
+      """INSERT INTO EdgeAttributes (edge_uuid, name, used)
+        |VALUES (?, ?, ?)
+        |ON DUPLICATE KEY UPDATE used=VALUES(used)""".stripMargin)
+  }
+}
