@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, NestedQueries, QoeQueries, QueryPack, WindowQueries}
+import graft.queries.{CoreQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ import graft.queries.{CoreQueries, NestedQueries, QoeQueries, QueryPack, WindowQ
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(CoreQueries, WindowQueries, NestedQueries, QoeQueries)
+    Seq(CoreQueries, WindowQueries, NestedQueries, QoeQueries, LlmQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =
     packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>

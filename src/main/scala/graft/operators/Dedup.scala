@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH banding (near-dup at corpus scale),
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale shape: everything is explode → partial-agg → shuffle-on-key.
+  * Nothing ever materializes an all-pairs product: LSH banding turns
+  * near-dup search into an equi-join on (band, signature) buckets, so
+  * 100 TB of documents cost O(corpus) shuffle plus O(Σ bucket²) local
+  * pair generation — the banding parameters bound bucket sizes.
+  *
+  * Determinism: hashes derive from md5 ([[TextAnalysis.hash60]]) and
+  * fixed LCG-generated permutation constants, so signatures are
+  * reproducible across engines, runs, and partitionings.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: permutation modulus. (a*h+b) with
+    * a,b,h < 2^31 stays under 2^62 — no Long overflow.
+    */
+  val P: Long = 2147483647L
+
+  /** Deterministic permutation constants (fixed seed — signatures are
+    * stable across builds; the oracle SQL interpolates the same
+    * values).
+    */
+  def perms(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(20240812L)
+    Seq.fill(k)((1L + rnd.nextInt((P - 1).toInt).toLong,
+                 rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** Exact dedup via hash-groupBy (never all-pairs): one row per
+    * distinct fingerprint with the keeper id (min) and multiplicity.
+    * At 100 TB this is one shuffle of (fp, id) pairs — the canonical
+    * "drop exact copies" pass.
+    */
+  def exactDedup(df: DataFrame, idCol: String, fp: Column): DataFrame =
+    df.select(fp.as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document (id, shingle-hash mod P) pairs, duplicates removed —
+    * the shared input of MinHash and Jaccard verification.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol), (TextAnalysis.hash60(col("shingle")) % P).as("h"))
+      .distinct()
+
+  /** MinHash signature: k permutation-minimums per document, one
+    * groupBy over the exploded shingles (k aggregates in one pass —
+    * the signature never needs k passes or a k-row shuffle).
+    */
+  def minhashSignatures(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-column signature into `bands` groups of
+    * `rowsPerBand` and hash each group — documents sharing any band
+    * signature become join candidates. (bands, rowsPerBand) tune the
+    * similarity threshold s ≈ (1/bands)^(1/rowsPerBand).
+    */
+  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandSigs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bandSigs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs from shared buckets: equi-self-join on
+    * (band, sig) with id< ordering, deduped. AQE handles skewed
+    * buckets; a hot bucket (constant text) can additionally be capped
+    * upstream by exact-dedup first — recommended pipeline order.
+    */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a pair set: two joins against the
+    * shingle-set table count the intersection; sizes give the union.
+    * Cost is O(candidate pairs × shingles-in-common), not all-pairs.
+    */
+  def jaccard(pairs: DataFrame, shingled: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingled.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(shingled.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    * candidate → verify. Returns pairs with Jaccard ≥ threshold.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val shingled = shingleHashes(df, idCol, textCol, shingleN)
+    val sigs = minhashSignatures(shingled, idCol, k)
+    val buckets = lshBuckets(sigs, idCol, bands, k / bands)
+    val cands = candidatePairs(buckets, idCol)
+    jaccard(cands, shingled, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash over `bits` of the 60-bit token hash: per bit, sign of
+    * Σ(+1/-1) across tokens; assembled into one Long. One explode +
+    * one groupBy with `bits` conditional sums — no UDF, fully
+    * codegen'd.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .select(col(idCol), TextAnalysis.hash60(col("t")).as("h"))
+    val sums: Seq[Column] = (0 until bits).map { b =>
+      sum(when((shiftright(col("h"), b) % 2) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val assembled = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** Hamming distance between simhashes (near-dup predicate:
+    * `hamming(a,b) <= t`).
+    */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

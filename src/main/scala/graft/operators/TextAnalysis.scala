@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE north star: dedup / quality / language over a documents
+  * corpus). All pure Column expressions — codegen'd, no UDFs, no
+  * shuffle — so they run inside the 100 TB scan at scan speed.
+  *
+  * Cross-engine determinism: the only hash both Spark and DuckDB
+  * implement identically is MD5, so every hash-derived value is an
+  * md5-prefix integer ([[hash60]]); regexes restrict to ASCII classes
+  * whose semantics agree between Java regex and RE2.
+  */
+object TextAnalysis {
+
+  /** 60-bit non-negative int from the md5 hex prefix — the
+    * cross-engine hash primitive (DuckDB: `CAST('0x'||substr(md5(x),
+    * 1,15) AS BIGINT)`).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens (empty input ⇒ empty array, not [""]). */
+  def tokens(c: Column): Column = {
+    val t = split(trim(c), "\\s+")
+    when(trim(c) === "", array().cast("array<string>")).otherwise(t)
+  }
+
+  def nTokens(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alnum marks — the standard pre-tokenizer shape.
+    */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[^\\w\\s]"))
+
+  /** Count of any of `words` as whole words in the lowercased text. */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    regexp_count(lower(c), lit(words.mkString("\\b(", "|", ")\\b")))
+
+  def cjkCount(c: Column): Column =
+    regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
+
+  /** Composite quality score in [0,1]: token-volume saturation ×
+    * punctuation cleanliness × stopword naturalness (the
+    * length/punct/stopword-ratio heuristic). Deterministic double
+    * arithmetic from integer counts — identical across engines.
+    */
+  def qualityScore(c: Column): Column = {
+    val nt = nTokens(c).cast("double")
+    val volume = least(lit(1.0), nt / 50.0)
+    val punct = punctCount(c).cast("double")
+    val chars = length(c).cast("double")
+    val cleanliness = lit(1.0) - least(lit(1.0), punct / greatest(chars, lit(1.0)) * 5.0)
+    val stop = stopwordCount(c, LangProfiles.en).cast("double")
+    val naturalness = least(lit(1.0), stop / greatest(nt, lit(1.0)) * 10.0)
+    round(volume * cleanliness * naturalness, 6)
+  }
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  object LangProfiles {
+    val en = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for")
+    val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu")
+    val fr = Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans")
+    val es = Seq("el", "los", "las", "es", "y", "por", "con", "para", "del", "como")
+  }
+
+  /** Language-ID heuristic: CJK density ⇒ zh, else the profile with
+    * the highest whole-word stopword count, ties broken in fixed
+    * preference order en > de > fr > es (mirrored verbatim in the
+    * oracle CASE chain).
+    */
+  def langId(c: Column): Column = {
+    val cEn = stopwordCount(c, LangProfiles.en)
+    val cDe = stopwordCount(c, LangProfiles.de)
+    val cFr = stopwordCount(c, LangProfiles.fr)
+    val cEs = stopwordCount(c, LangProfiles.es)
+    when(cjkCount(c) * 20 > length(c), lit("zh"))
+      .when(cEn >= cDe && cEn >= cFr && cEn >= cEs, lit("en"))
+      .when(cDe >= cFr && cDe >= cEs, lit("de"))
+      .when(cFr >= cEs, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase
+    * text — the exact-dup key that ignores formatting (rolling-hash
+    * analog with a canonical form).
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", tokens(lower(c))))
+
+  /** Word n-gram shingles as strings (input to MinHash). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(lower(c))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

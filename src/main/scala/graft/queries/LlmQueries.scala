@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** q25–q30: training-data pipeline operators over the documents corpus
+  * (BASELINE north star): exact dedup, text statistics, language ID,
+  * MinHash signatures, SimHash, and n-gram Jaccard similarity.
+  *
+  * Everything here is oracle-gated — including MinHash and SimHash,
+  * whose md5-derived hashes and interpolated permutation constants are
+  * reproducible in DuckDB SQL (the oracle is generated from the same
+  * constants the operators use).
+  */
+object LlmQueries extends QueryPack {
+
+  /** DuckDB rendition of [[TextAnalysis.hash60]]. */
+  private def h60sql(expr: String) =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  private val normTokens =
+    "string_split_regex(trim(lower(text)), '\\s+')"
+
+  private def swPattern(words: Seq[String]) =
+    words.mkString("\\b(", "|", ")\\b")
+
+  def defs: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on the canonical-form fingerprint.
+    "q25_exact_dedup" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.exactDedup(d, "doc_id", TextAnalysis.fingerprint(col("text")))
+          .orderBy(col("fp"))
+      },
+      Some(s"""SELECT md5(array_to_string($normTokens, ' ')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fp""".stripMargin)),
+
+    // Token counting (whitespace + BPE-ish), punctuation, stopwords,
+    // composite quality score.
+    "q26_text_stats" -> Q(
+      (s, dir) => Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
+          TextAnalysis.stopwordCount(col("text"),
+            TextAnalysis.LangProfiles.en).cast("long").as("sw_en"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        |  len($normTokens) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+        |  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text), '${swPattern(TextAnalysis.LangProfiles.en)}')) AS sw_en,
+        |  round(
+        |    least(1.0, len($normTokens) / 50.0)
+        |    * (1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) * 5.0))
+        |    * least(1.0, len(regexp_extract_all(lower(text), '${swPattern(TextAnalysis.LangProfiles.en)}'))
+        |             / greatest(len($normTokens), 1) * 10.0), 6) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: CJK density then stopword-profile argmax
+    // with fixed tiebreak order.
+    "q27_lang_id" -> Q(
+      (s, dir) => {
+        val t = col("text")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.en).cast("long").as("c_en"),
+          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.de).cast("long").as("c_de"),
+          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.fr).cast("long").as("c_fr"),
+          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.es).cast("long").as("c_es"),
+          TextAnalysis.langId(t).as("pred_lang"))
+        .orderBy(col("doc_id"))
+      },
+      {
+        def sw(words: Seq[String]) =
+          s"len(regexp_extract_all(lower(text), '${swPattern(words)}'))"
+        val (en, de, fr, es) = (sw(TextAnalysis.LangProfiles.en),
+          sw(TextAnalysis.LangProfiles.de), sw(TextAnalysis.LangProfiles.fr),
+          sw(TextAnalysis.LangProfiles.es))
+        Some(s"""SELECT doc_id, $en AS c_en, $de AS c_de, $fr AS c_fr, $es AS c_es,
+          |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 20 > length(text) THEN 'zh'
+          |       WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+          |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+          |       WHEN $fr >= $es THEN 'fr'
+          |       ELSE 'es' END AS pred_lang
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin)
+      }),
+
+    // MinHash signatures (k=8, 3-gram shingles) — the oracle
+    // interpolates the same permutation constants.
+    "q28_minhash" -> Q(
+      (s, dir) => {
+        val sh = Dedup.shingleHashes(Tables.documents(s, dir), "doc_id", "text", 3)
+        Dedup.minhashSignatures(sh, "doc_id", 8).orderBy(col("doc_id"))
+      },
+      {
+        val mins = Dedup.perms(8).zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % ${Dedup.P}) AS m$i"
+        }.mkString(",\n|  ")
+        Some(s"""WITH toks AS (
+          |  SELECT doc_id, $normTokens AS t FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+          |    END) AS s
+          |  FROM toks),
+          |h AS (
+          |  SELECT DISTINCT doc_id, ${h60sql("s")} % ${Dedup.P} AS h FROM sh)
+          |SELECT doc_id,
+          |  $mins
+          |FROM h
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin)
+      }),
+
+    // SimHash (32 bits over the md5-derived token hash).
+    "q29_simhash" -> Q(
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text",
+          bits = 32)
+        .orderBy(col("doc_id")),
+      {
+        val bitSums = (0 until 32).map { b =>
+          s"CAST(sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
+        }.mkString(",\n|    ")
+        val assemble = (0 until 32).map { b =>
+          s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+        }.mkString(" + ")
+        Some(s"""WITH tok AS (
+          |  SELECT doc_id, unnest($normTokens) AS t FROM documents),
+          |h AS (SELECT doc_id, ${h60sql("t")} AS h FROM tok),
+          |sums AS (
+          |  SELECT doc_id,
+          |    $bitSums
+          |  FROM h GROUP BY doc_id)
+          |SELECT doc_id, $assemble AS simhash
+          |FROM sums
+          |ORDER BY doc_id""".stripMargin)
+      }),
+
+    // Brute-force n-gram (unigram) Jaccard over a key-sampled subset —
+    // the exact-similarity baseline the LSH path approximates (LSH
+    // recall is asserted in DedupSpec fixtures, not here, because an
+    // approximate operator has no SQL-exact oracle).
+    "q30_jaccard_pairs" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        val shingled = Dedup.shingleHashes(docs, "doc_id", "text", 1)
+        val ids = docs.select(col("doc_id"))
+        val pairs = ids.select(col("doc_id").as("id_a"))
+          .crossJoin(ids.select(col("doc_id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+        Dedup.jaccard(pairs, shingled, "doc_id")
+          .filter(col("jaccard") >= 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, list_distinct($normTokens) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** LSH near-dup pipeline on planted fixtures: the approximate path has
+  * no SQL oracle (q28/q29 gate the signature math instead), so recall
+  * on known near-duplicates is asserted here.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps near the warm fire and the birds sing in the tall green trees " +
+      "above the quiet garden full of red and yellow flowers"
+    val nearDup = base.replace("quick", "swift").replace("lazy", "idle")
+    val unrelated1 = "spark executes distributed queries by splitting work " +
+      "into stages and tasks that shuffle intermediate data between nodes " +
+      "using hash partitioning and sort merge join algorithms at scale"
+    val unrelated2 = "machine learning pipelines ingest billions of tokens " +
+      "from web crawls filtering low quality pages and removing duplicated " +
+      "content before tokenization and embedding generation begins"
+    Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated1), (4L, unrelated2),
+      (5L, base) // exact copy of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("nearDupPairs finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), "exact copy must be found")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 5L)),
+      "near-dup with 2 word substitutions must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exact copies have identical minhash signatures; unrelated differ") {
+    val sh = Dedup.shingleHashes(corpus, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    assert(sigs(1L) === sigs(5L))
+    assert(sigs(1L) !== sigs(3L))
+    // near-dup shares most signature positions
+    val shared = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(shared >= 8, s"near-dup shares only $shared/16 positions")
+  }
+
+  test("simhash: exact copies equal; near-dups within small hamming distance") {
+    import spark.implicits._
+    val sh = Dedup.simhash(corpus, "doc_id", "text", bits = 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 12,
+      s"near-dup hamming ${ham(sh(1L), sh(2L))} too large")
+    assert(ham(sh(1L), sh(3L)) > 12,
+      s"unrelated hamming ${ham(sh(1L), sh(3L))} too small")
+    // hamming Column form agrees
+    val df = Seq((sh(1L), sh(2L))).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b")).as("h")).collect()
+    assert(df.head.getInt(0) === ham(sh(1L), sh(2L)))
+  }
+
+  test("exactDedup groups identical canonical forms") {
+    val d = Dedup.exactDedup(corpus, "doc_id",
+        TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(d.length === 4) // 5 docs, one exact pair
+    assert(d.contains((1L, 2L))) // keeper 1 with 2 copies
+  }
+}
