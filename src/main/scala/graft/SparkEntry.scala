@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, WindowQueries}
+import graft.queries.{CoreQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, SimilarityQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ import graft.queries.{CoreQueries, LlmQueries, NestedQueries, QoeQueries, QueryP
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(CoreQueries, WindowQueries, NestedQueries, QoeQueries, LlmQueries)
+    Seq(CoreQueries, WindowQueries, NestedQueries, QoeQueries, LlmQueries,
+      SimilarityQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =
     packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (BASELINE north star:
+  * ANN over `Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small)
+  *    query set against the corpus scan, one cosine per (query, row),
+  *    per-query top-k window. One corpus pass, no corpus shuffle; at
+  *    100 TB the cost is the scan itself, which is optimal for exact
+  *    search.
+  *  - [[hyperplaneBucket]]/[[annTopK]] — the scale path: random
+  *    hyperplane LSH. Each vector gets a `planes`-bit bucket id
+  *    (sign pattern of plane dot products); queries probe only their
+  *    own bucket, shrinking candidates ~2^planes-fold. Bucketing is a
+  *    projection (no shuffle); the probe is an equi-join on bucket —
+  *    co-partitioned, AQE-balanced. Recall tuning = fewer planes or
+  *    multi-probe (flip one bit), both deterministic.
+  *
+  * Determinism: all float math is cast to DOUBLE and reduced strictly
+  * left-to-right (`aggregate`), so scores are bit-identical across
+  * engines/partitionings; planes come from a fixed seed and are
+  * interpolated verbatim into the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Strict left-to-right double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be
+    * small (it is broadcast); `corpus` streams. Self-matches excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic random hyperplanes (fixed seed), `planes` × `dim`. */
+  def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(77L)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: bit j = sign of the dot product with plane j. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Independent plane sets for multi-table LSH: recall over random
+    * corpora needs L tables (candidate if buckets match in ANY table),
+    * because a single sign-pattern probe keeps only ~p^planes of true
+    * neighbors (p = 1 - angle/pi). L tables lift recall to
+    * 1-(1-p^b)^L at the cost of L bucketings — all still shuffle-free
+    * projections.
+    */
+  def hyperplaneTables(tables: Int, planesPerTable: Int, dim: Int)
+      : Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(770L)
+    Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Multi-table ANN top-k: a candidate matches if it shares a bucket
+    * in ANY table; candidates are deduped before scoring so each
+    * (query, neighbor) cosine is computed once.
+    */
+  def annTopKMultiTable(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, tables: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          explode(array(tables.zipWithIndex.map { case (planes, t) =>
+            struct(lit(t).as("t"), hyperplaneBucket(col(vecCol), planes).as("b"))
+          }: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
+    val q = bucketed(queries, "query_id", "qvec")
+    val c = bucketed(corpus, "neighbor_id", "nvec")
+    val cands = c.join(broadcast(q.select(col("query_id"), col("t"), col("b"))),
+        Seq("t", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cands
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nvec")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** ANN top-k: probe only the query's own bucket. Returns the same
+    * shape as [[bruteForceTopK]] (rows may be missing when a bucket
+    * has fewer than k candidates — the recall/latency trade).
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** q31–q32: similarity search over the embeddings table — exact
+  * brute-force cosine top-k and the LSH-bucketed ANN variant. Both are
+  * oracle-gated: scores are strict left-to-right double reductions and
+  * the hyperplanes are interpolated verbatim into the DuckDB SQL, so
+  * even the APPROXIMATE path is bit-reproducible.
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** DuckDB rendition of [[Similarity.dot]]: [0.0] seed + left fold,
+    * exactly Spark's `aggregate(zip_with(...), 0.0, +)`.
+    */
+  private def dd(a: String, b: String) =
+    s"list_reduce([0.0] || list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String) =
+    s"${dd(a, b)} / (sqrt(${dd(a, a)}) * sqrt(${dd(b, b)}))"
+
+  private val Planes = Similarity.hyperplanes(planes = 6, dim = 64)
+
+  def defs: Map[String, Q] = Map(
+    // Exact baseline: every ~100th vector queries the whole corpus.
+    "q31_cosine_topk" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         ${cosSql("qv", "v")} AS cos
+        |  FROM q JOIN e ON q.query_id <> e.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine
+        |FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin)),
+
+    // Scale path: 6-plane LSH buckets (64-way fan-out), single-probe.
+    "q32_ann_lsh" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.annTopK(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            Planes, 3)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val planeLits = Planes.map(p => p.mkString("([", ", ", "]::DOUBLE[])"))
+        val bucketExpr = planeLits.zipWithIndex.map { case (pl, j) =>
+          s"(CASE WHEN ${dd("v", pl)} > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        Some(s"""WITH e AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |b AS (
+          |  SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+          |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+          |s AS (
+          |  SELECT q.query_id, b.vec_id AS neighbor_id,
+          |         ${cosSql("qv", "v")} AS cos
+          |  FROM q JOIN b USING (bucket) WHERE q.query_id <> b.vec_id),
+          |r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM s)
+          |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      })
+  )
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    import spark.implicits._
+    val df = Seq(
+      ("orth", Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      ("same", Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
+      ("anti", Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f))
+    ).toDF("k", "a", "b")
+      .select(col("k"), round(Similarity.cosine(col("a"), col("b")), 9).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df("orth") === 0.0)
+    assert(df("same") === 1.0)
+    assert(df("anti") === -1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak, excludes self") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),   // closest to 1
+      (3L, Seq(0.0f, 1.0f)),   // orthogonal
+      (4L, Seq(-1.0f, 0.0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") === 1), corpus, "vec_id", "embedding", 3)
+      .orderBy("rn").collect().map(_.getLong(2))
+    assert(top.toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("multi-table ANN recall@3 beats single-probe on real embeddings") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = Similarity.annTopK(queries, e, "vec_id", "embedding",
+        Similarity.hyperplanes(6, 64), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = Similarity.annTopKMultiTable(queries, e, "vec_id", "embedding",
+        Similarity.hyperplaneTables(8, 4, 64), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(got: Set[(Long, Long)]) =
+      (exact intersect got).size.toDouble / exact.size
+    // Random Gaussian corpus = worst case for LSH (neighbors are not
+    // angularly separated from the crowd): multi-table must still
+    // recover a majority; single-probe documents the trade.
+    assert(recall(multi) >= 0.5, s"multi-table recall ${recall(multi)}")
+    assert(recall(multi) > recall(single))
+  }
+}
