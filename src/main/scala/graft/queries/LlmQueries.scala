@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
 /** q25–q30: training-data pipeline operators over the documents corpus
   * (BASELINE north star): exact dedup, text statistics, language ID,
@@ -171,6 +171,30 @@ object LlmQueries extends QueryPack {
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Multimodal plumbing: text payloads become opaque binary columns
+    // flowing through the partition-batched decode and frame-sampling
+    // stubs; the oracle checks the byte/frame accounting (feature
+    // vectors are asserted in MultimodalSpec — no SQL form).
+    "q36_multimodal" -> Q(
+      (s, dir) => {
+        val media = Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"), lit("text").as("kind"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        val decoded = Multimodal.decodeFeatures(media)
+          .select(col("media_id"), col("n_bytes"))
+        val frames = Multimodal.sampleFrames(media, stride = 2)
+          .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        decoded.join(frames, Seq("media_id"), "left")
+          .select(col("media_id"), col("n_bytes"),
+            coalesce(col("n_frames"), lit(0L)).as("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  (CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1) // 2 AS n_frames
+        |FROM documents
+        |ORDER BY media_id""".stripMargin))
   )
 }

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming restatements of the reference's hand-rolled
+  * incremental semantics (SURVEY §2.8).
+  *
+  * The reference re-runs a batch job on a cron cadence and fakes
+  * incrementality with freshness probes and idempotent upserts; these
+  * are the native streaming forms: watermarks bound state, windowed
+  * aggregation replaces the 30×24 h fetch loop, and
+  * `flatMapGroupsWithState` holds the per-entity session state the
+  * reference kept in Python locals.
+  */
+object Streams {
+
+  /** K2/late-dup (`customer.sql:352-355` unique key + INSERT IGNORE):
+    * streaming dedup on the business key, with a watermark so state
+    * for keys older than `watermarkDelay` is dropped — bounded memory
+    * at any scale.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermarkDelay: String,
+      keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Tumbling daily counts (the 30×24 h QoE loop and daily `Date`
+    * grain): incremental per-window partial aggregation; late rows
+    * beyond the watermark are dropped exactly like the reference's
+    * day-grain re-run skips them.
+    */
+  def dailyCounts(events: DataFrame, tsCol: String, dims: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), "1 day") +: dims.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((Seq(col("window.start").as("day_start")) ++ dims.map(col) :+
+        col("n")): _*)
+
+  final case class SessionEvent(key: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(key: Long, startMs: Long, endMs: Long, n: Int)
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState` + EVENT-time timeout): a session closes
+    * when a later event arrives past the gap, or when the watermark
+    * passes `last + gap` (state evicted — bounded memory). The state
+    * machine the reference runs over collected per-day lists
+    * (`powerbi_main_fun.py:1807-1887`) becomes per-key managed state
+    * surviving across micro-batches — the mapGroupsWithState pattern
+    * SURVEY §2.9 calls for. Event-time (not processing-time) timeout
+    * keeps the engine idle between arrivals instead of busy-running
+    * timeout-check batches.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (t <- sorted) {
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(key, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

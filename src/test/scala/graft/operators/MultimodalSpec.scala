@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = {
+    import spark.implicits._
+    Seq(
+      (1L, "image", ("A" * 300).getBytes("UTF-8")),
+      (2L, "audio", Array.tabulate(1024)(i => (i % 256).toByte)),
+      (3L, "video", Array.empty[Byte])
+    ).toDF("media_id", "kind", "bytes")
+  }
+
+  test("stub decode: deterministic, fixed shape, L1-normalized") {
+    val f1 = Multimodal.stubDecodeFeatures("hello world".getBytes)
+    val f2 = Multimodal.stubDecodeFeatures("hello world".getBytes)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.length === Multimodal.FeatureDim)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5)
+  }
+
+  test("decodeFeatures preserves rows and emits fixed-dim vectors") {
+    val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(2)).toSeq === Seq(300L, 1024L, 0L))
+    assert(out.forall(_.getSeq[Float](3).length === Multimodal.FeatureDim))
+    // 'A' = 0x41 → bucket 65*16/256 = 4 gets all mass for row 1
+    assert(out(0).getSeq[Float](3)(4) === 1.0f)
+    // empty payload → zero vector, not a crash
+    assert(out(2).getSeq[Float](3).forall(_ === 0.0f))
+  }
+
+  test("sampleFrames strides over 256-byte blocks") {
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+      .groupBy("media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 300B → 2 blocks → idx 0 kept; 1024B → 4 blocks → idx 0, 2
+    assert(frames === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("resizeMeta rewrites metadata only") {
+    import spark.implicits._
+    val withMeta = media.withColumn("meta",
+      struct(lit(640).as("width"), lit(480).as("height"),
+        lit(null).cast("int").as("sample_rate"), lit(1).as("n_frames")))
+    val out = Multimodal.resizeMeta(withMeta, 224, 224)
+      .select(col("meta.width"), col("meta.height"), col("meta.n_frames"))
+      .distinct().collect()
+    assert(out.length === 1)
+    assert((out.head.getInt(0), out.head.getInt(1), out.head.getInt(2)) === ((224, 224, 1)))
+  }
+}

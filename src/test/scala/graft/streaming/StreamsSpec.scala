@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = Streams.dedupStream(
+      input.toDF().toDF("ts", "edge_id", "name"),
+      "ts", "1 hour", Seq("edge_id", "name"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "LINK_UP"),
+        (ts("2024-01-01 10:00:00"), 1L, "LINK_UP"), // dup in same batch
+        (ts("2024-01-01 10:01:00"), 2L, "LINK_UP"))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "LINK_UP")) // dup across batches
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length === 2)
+    } finally q.stop()
+  }
+
+  test("dailyCounts aggregates tumbling windows incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = Streams.dailyCounts(
+      input.toDF().toDF("ts", "edge_id"), "ts", Seq("edge_id"), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("daily_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 01:00:00"), 1L),
+        (ts("2024-01-01 23:00:00"), 1L),
+        (ts("2024-01-02 01:00:00"), 1L),
+        (ts("2024-01-01 05:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("daily_out")
+        .select(date_format(col("day_start"), "yyyy-MM-dd").as("d"),
+          col("edge_id"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("2024-01-01", 1L, 2L), ("2024-01-02", 1L, 1L), ("2024-01-01", 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and keeps state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val sess = Streams.sessionize(input.toDS(), gapMs = 60000L)
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.SessionEvent(1L, ts("2024-01-01 10:00:00")),
+        Streams.SessionEvent(1L, ts("2024-01-01 10:00:30")),
+        // > 1 min gap closes the first session
+        Streams.SessionEvent(1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[Streams.SessionOut].collect()
+      assert(rows.length === 1)
+      assert(rows.head.n === 2)
+      assert(rows.head.startMs === ts("2024-01-01 10:00:00").getTime)
+      assert(rows.head.endMs === ts("2024-01-01 10:00:30").getTime)
+    } finally q.stop()
+  }
+}
