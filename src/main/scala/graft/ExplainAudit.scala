@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: per-query physical-plan audit — shuffle/broadcast/codegen
+  * counts and scan pushdown lines. Run after adding an operator; a
+  * query whose scan reads all columns for a narrow projection, or
+  * that shuffles more than its groupBy/join structure requires, is a
+  * plan bug even when CORRECTNESS is green.
+  *
+  * Usage: tools/run.sh graft.ExplainAudit [sfDir] [queryName...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static plan shape: AQE's un-finalized wrapper hides codegen
+      // stages and final exchanges; production paths keep AQE on
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- names; fn <- SparkEntry.queries.get(name)) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      val shuffles = lines.count(_.contains("Exchange hashpartitioning")) +
+        lines.count(_.contains("Exchange rangepartitioning"))
+      val broadcasts = lines.count(_.contains("BroadcastExchange"))
+      // codegen stages render as "*(n)" prefixes in the plan string
+      val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
+      val pushed = lines.filter(_.contains("PushedFilters: [")).map(_.trim.take(120))
+      println(s"== $name: shuffles=$shuffles broadcasts=$broadcasts codegenSpans=$codegen")
+      pushed.distinct.take(3).foreach(l => println(s"   $l"))
+    }
+    spark.stop()
+  }
+}

@@ -44,15 +44,19 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document (id, shingle-hash mod P) pairs, duplicates removed —
-    * the shared input of MinHash and Jaccard verification.
+  /** Per-document (id, shingle-hash mod P) pairs. `dedup = true`
+    * (one extra shuffle) is required for Jaccard set counts; MinHash
+    * should pass `dedup = false` — min() is insensitive to
+    * duplicates, so the signature pass needs only its own partial-agg
+    * shuffle.
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol),
+      n: Int, dedup: Boolean = true): DataFrame = {
+    val hashed = df.select(col(idCol),
         explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .select(col(idCol), (TextAnalysis.hash60(col("shingle")) % P).as("h"))
-      .distinct()
+    if (dedup) hashed.distinct() else hashed
+  }
 
   /** MinHash signature: k permutation-minimums per document, one
     * groupBy over the exploded shingles (k aggregates in one pass —
@@ -124,6 +128,8 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val shingled = shingleHashes(df, idCol, textCol, shingleN)
     val sigs = minhashSignatures(shingled, idCol, k)
+    // (nearDupPairs reuses the deduped set for BOTH signature and
+    // Jaccard passes — one materialization serves two stages)
     val buckets = lshBuckets(sigs, idCol, bands, k / bands)
     val cands = candidatePairs(buckets, idCol)
     jaccard(cands, shingled, idCol).filter(col("jaccard") >= threshold)

@@ -99,7 +99,8 @@ object LlmQueries extends QueryPack {
     // interpolates the same permutation constants.
     "q28_minhash" -> Q(
       (s, dir) => {
-        val sh = Dedup.shingleHashes(Tables.documents(s, dir), "doc_id", "text", 3)
+        val sh = Dedup.shingleHashes(Tables.documents(s, dir), "doc_id", "text", 3,
+          dedup = false) // min() ignores duplicates — skip the distinct shuffle
         Dedup.minhashSignatures(sh, "doc_id", 8).orderBy(col("doc_id"))
       },
       {
@@ -152,7 +153,7 @@ object LlmQueries extends QueryPack {
     // approximate operator has no SQL-exact oracle).
     "q30_jaccard_pairs" -> Q(
       (s, dir) => {
-        val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        val docs = Tables.documents(s, dir).filter(col("doc_id") % 20 === 0)
         val shingled = Dedup.shingleHashes(docs, "doc_id", "text", 1)
         val ids = docs.select(col("doc_id"))
         val pairs = ids.select(col("doc_id").as("id_a"))
@@ -164,7 +165,7 @@ object LlmQueries extends QueryPack {
       },
       Some(s"""WITH d AS (
         |  SELECT doc_id, list_distinct($normTokens) AS toks
-        |  FROM documents WHERE doc_id % 5 = 0)
+        |  FROM documents WHERE doc_id % 20 = 0)
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    round(len(list_intersect(a.toks, b.toks))::DOUBLE /
