@@ -76,4 +76,19 @@ object Relational {
     */
   def sampleByKey(df: DataFrame, key: String, denom: Int): DataFrame =
     df.filter(pmod(col(key), lit(denom)) === 0)
+
+  /** Large-set membership via broadcast semi-join (P5: the reference's
+    * 46-version `outdatedversion` / ~150-version `eoslversion` lists,
+    * `powerbi_main_fun.py:944-1014`). For a handful of values
+    * [[antiFilter]]'s inlined `isin` folds into the scan predicate;
+    * past a few hundred the literal chain bloats codegen — a
+    * broadcast dim + semi-join keeps the scan clean and the probe
+    * O(1) per row, at any list size.
+    */
+  def broadcastSetFilter(df: DataFrame, c: String, values: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = values.toDF(c)
+    df.join(broadcast(dim), Seq(c), "left_semi")
+  }
 }
