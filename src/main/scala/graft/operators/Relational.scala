@@ -77,6 +77,29 @@ object Relational {
   def sampleByKey(df: DataFrame, key: String, denom: Int): DataFrame =
     df.filter(pmod(col(key), lit(denom)) === 0)
 
+  /** P1 `clean_customers` (`Functions/data_sanitization.py:31-62`),
+    * reproduced exactly: optionally keep only `argCustomer` (numeric
+    * id equality), then drop customers whose logicalId appears in the
+    * moved list WITH this VCO named among their old VCOs. The moved
+    * list is a tiny map ⇒ broadcast anti-join on (logicalId, vco).
+    */
+  def cleanCustomers(customers: DataFrame, vcoName: String,
+      moved: Map[String, Seq[String]] = Map.empty,
+      argCustomer: Option[Long] = None): DataFrame = {
+    val spark = customers.sparkSession
+    import spark.implicits._
+    val afterArg = argCustomer match {
+      case Some(id) => customers.filter(col("id") === id)
+      case None => customers
+    }
+    val movedHere = moved.toSeq
+      .filter { case (_, vcos) => vcos.contains(vcoName) }
+      .map(_._1)
+    if (movedHere.isEmpty) afterArg
+    else afterArg.join(broadcast(movedHere.toDF("logicalId")),
+      Seq("logicalId"), "left_anti")
+  }
+
   /** Large-set membership via broadcast semi-join (P5: the reference's
     * 46-version `outdatedversion` / ~150-version `eoslversion` lists,
     * `powerbi_main_fun.py:944-1014`). For a handful of values

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  test("cleanCustomers: arg-customer narrowing and moved-list exclusion") {
+    import spark.implicits._
+    val customers = Seq(
+      (1L, "c-1", "Acme"), (2L, "c-2", "Globex"), (3L, "c-3", "Initech")
+    ).toDF("id", "logicalId", "name")
+    val moved = Map("c-2" -> Seq("vco-east", "vco-west"), "c-3" -> Seq("vco-north"))
+
+    // c-2 was moved FROM vco-east: excluded there, kept elsewhere.
+    val east = Relational.cleanCustomers(customers, "vco-east", moved)
+      .select("logicalId").collect().map(_.getString(0)).sorted
+    assert(east.toSeq === Seq("c-1", "c-3"))
+    val south = Relational.cleanCustomers(customers, "vco-south", moved)
+    assert(south.count() === 3)
+    // arg customer narrows to one row by numeric id (moved list not
+    // involved on this VCO)
+    val only = Relational.cleanCustomers(customers, "vco-south", moved, Some(2L))
+      .select("logicalId").collect().map(_.getString(0))
+    assert(only.toSeq === Seq("c-2"))
+  }
+
+  test("cleanCustomers: moved exclusion applies after arg narrowing (reference order)") {
+    import spark.implicits._
+    val customers = Seq((2L, "c-2", "Globex")).toDF("id", "logicalId", "name")
+    val moved = Map("c-2" -> Seq("vco-east"))
+    val got = Relational.cleanCustomers(customers, "vco-east", moved, Some(2L))
+    assert(got.count() === 0)
+  }
+
+  test("staleOrMissing returns absent and stale candidates") {
+    import spark.implicits._
+    val candidates = Seq(("e-1", 1), ("e-2", 2), ("e-3", 3)).toDF("id", "payload")
+    val snapshot = Seq(
+      ("e-1", "2024-01-10 00:00:00"), // fresh
+      ("e-2", "2023-12-01 00:00:00")  // stale
+    ).toDF("id", "lastUpdated")
+      .withColumn("lastUpdated", col("lastUpdated").cast("timestamp"))
+    val got = Relational.staleOrMissing(candidates, snapshot, Seq("id"),
+        "lastUpdated", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .select("id").collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("e-2", "e-3"))
+  }
+
+  test("projectWithDefaults drops null keys and fills Not set") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("e-1"), Some("Palo Alto"), None: Option[String]),
+      (None, Some("x"), Some("y"))
+    ).toDF("id", "city", "country")
+    val got = Relational.projectWithDefaults(df, "id",
+        Seq("city" -> "Not set", "country" -> "Not set"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq(("e-1", "Palo Alto", "Not set")))
+  }
+
+  test("broadcastSetFilter keeps only members") {
+    import spark.implicits._
+    val df = Seq("v1", "v99", "v45").toDF("version")
+    val got = Relational.broadcastSetFilter(df, "version",
+        (0 until 46).map(i => s"v$i"))
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("v1", "v45"))
+  }
+}
