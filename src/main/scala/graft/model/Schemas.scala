@@ -40,6 +40,62 @@ object Schemas {
     StructField("edition", StringType),
     StructField("bandwidthTier", StringType)))
 
+  /** QOS rule (`powerbi_main_fun.py:2205-2226`): the edge2Cloud
+    * route-action shape consulted by the feature-set scans.
+    */
+  val qosRule: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("action", StructType(Seq(
+      StructField("routeType", StringType),
+      StructField("edge2CloudRouteAction", StructType(Seq(
+        StructField("routePolicy", StringType),
+        StructField("routeCfg", StructType(Seq(
+          StructField("type", StringType))))))))))))
+
+  private val namedRule = StructType(Seq(StructField("name", StringType)))
+
+  /** One config-stack module (`getEdgeConfigurationStack`,
+    * FIXTURES.md §3): the union shape over deviceSettings / QOS /
+    * firewall / controlPlane across schema versions 2.0.0 and 3.x —
+    * version skew becomes nullable branches (SURVEY §7.4.1).
+    */
+  val stackModule: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("data", StructType(Seq(
+      // QOS 2.x: flat rules; 3.x: per-segment rules
+      StructField("rules", ArrayType(qosRule)),
+      StructField("segments", ArrayType(StructType(Seq(
+        StructField("rules", ArrayType(qosRule)),
+        StructField("outbound", ArrayType(namedRule)),
+        StructField("vpn", StructType(Seq(
+          StructField("enabled", BooleanType),
+          StructField("edgeToEdge", BooleanType),
+          StructField("edgeToEdgeDetail", StructType(Seq(
+            StructField("useCloudGateway", BooleanType))))))))))),
+      // firewall 3.x
+      StructField("firewall_enabled", BooleanType),
+      StructField("stateful_firewall_enabled", BooleanType),
+      StructField("inbound", ArrayType(namedRule)),
+      // controlPlane 2.x
+      StructField("vpn", StructType(Seq(
+        StructField("enabled", BooleanType),
+        StructField("edgeToEdge", BooleanType),
+        StructField("edgeToEdgeDetail", StructType(Seq(
+          StructField("useCloudGateway", BooleanType))))))))))))
+
+  /** One config-stack level (index 0 = "Edge Specific Profile",
+    * index 1 = profile level).
+    */
+  val stackLevel: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("schemaVersion", StringType),
+    StructField("modules", ArrayType(stackModule))))
+
+  /** Per-edge config-stack document: (edgeId, stack[]). */
+  val configStackDoc: StructType = StructType(Seq(
+    StructField("edgeId", StringType),
+    StructField("stack", ArrayType(stackLevel))))
+
   /** The central edge document (`getEnterpriseEdges`,
     * FIXTURES.md §2) — the subset the gold pipeline consumes.
     */
