@@ -76,6 +76,10 @@ object Schemas {
       StructField("firewall_enabled", BooleanType),
       StructField("stateful_firewall_enabled", BooleanType),
       StructField("inbound", ArrayType(namedRule)),
+      // deviceSettings snmp (`powerbi_main_fun.py:2274-2298`)
+      StructField("snmp", StructType(Seq(
+        StructField("snmpv3", StructType(Seq(
+          StructField("enabled", BooleanType))))))),
       // controlPlane 2.x
       StructField("vpn", StructType(Seq(
         StructField("enabled", BooleanType),
@@ -114,5 +118,25 @@ object Schemas {
     StructField("haState", StringType),
     StructField("site", site),
     StructField("recentLinks", ArrayType(recentLink)),
-    StructField("licenses", ArrayType(license))))
+    StructField("licenses", ArrayType(license)),
+    StructField("vnfs", StructType(Seq(
+      StructField("securityVnf", StructType(Seq(
+        StructField("vms", ArrayType(StructType(Seq(
+          StructField("data", StructType(Seq(
+            StructField("insertionEnabled", BooleanType),
+            StructField("type", StringType),
+            StructField("vendor", StringType),
+            StructField("vmPowerOff", BooleanType))))))))))))))))
+
+  /** Enterprise configurations (`getEnterpriseConfigurations`,
+    * FIXTURES.md §4): hub detection via the edgeHub ref.
+    */
+  val configurationsDoc: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("modules", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("refs", StructType(Seq(
+        StructField("deviceSettings:vpn:edgeHub", StructType(Seq(
+          StructField("data", StructType(Seq(
+            StructField("logicalId", StringType))))))))))))))))
 }

@@ -75,6 +75,14 @@ object Aggregates {
     chain.get.otherwise(fallback)
   }
 
+  /** A6 `last`-seen value (`powerbi_main_fun.py:354-380`: Customer
+    * Version = buildNumber of the LAST connected edge the loop saw).
+    * Iteration order is not reproducible distributed, so the order is
+    * made explicit: the value at the maximum of `order` — `max_by`,
+    * one-pass and merge-safe. Use a unique order column.
+    */
+  def lastBy(value: Column, order: Column): Column = max_by(value, order)
+
   /** Grouped max + count + conditional count (A6/A7,
     * `powerbi_main_fun.py:354-428`): per-group max of a size-like measure
     * and counts under a time predicate — e.g. ROUTE_CHANGE = count of

@@ -135,6 +135,31 @@ object ConfigStack {
         .as("stateful_firewall"))
   }
 
+  // ----------------------------------------------------------- snmpv3
+
+  /** `snmpv3_status` (`powerbi_main_fun.py:2264-2305`): the
+    * edge-specific deviceSettings answers when it HAS an `snmp` key
+    * (`.get('enabled') == True`, so null ⇒ false); otherwise the first
+    * non-edge-specific level's deviceSettings is consulted the same
+    * way — key-presence-based fallback, distinct from both the
+    * null-based and value-based fallbacks elsewhere.
+    */
+  def snmpv3Enabled(stack: Column): Column = {
+    def ds(entry: Column): Column =
+      Nested.moduleByName(entry.getField("modules"), "name", "deviceSettings")
+        .getField("data")
+    val edgeDs = ds(get(filter(stack,
+      l => l.getField("name") === "Edge Specific Profile"), lit(0)))
+    val profDs = ds(get(filter(stack,
+      l => l.getField("name") =!= "Edge Specific Profile"), lit(0)))
+    def enabled(d: Column): Column =
+      coalesce(d.getField("snmp").getField("snmpv3").getField("enabled") === true,
+        lit(false))
+    when(edgeDs.getField("snmp").isNotNull, enabled(edgeDs))
+      .when(profDs.getField("snmp").isNotNull, enabled(profDs))
+      .otherwise(lit(false))
+  }
+
   // ------------------------------------------------------ controlPlane b2b
 
   /** B2B VPN flags (`update_license_and_link_usage:1981-2024`): from
