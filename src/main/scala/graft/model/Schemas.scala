@@ -54,6 +54,18 @@ object Schemas {
 
   private val namedRule = StructType(Seq(StructField("name", StringType)))
 
+  /** WAN module link entry (`powerbi_main_fun.py:1655-1665`). */
+  val wanLink: StructType = StructType(Seq(
+    StructField("internalId", StringType),
+    StructField("MTU", IntegerType),
+    StructField("isp", StringType),
+    StructField("discovery", StringType),
+    StructField("type", StringType),
+    StructField("mode", StringType),
+    StructField("vlanId", IntegerType),
+    StructField("bwMeasurement", StringType),
+    StructField("dynamicBwAdjustmentEnabled", BooleanType)))
+
   /** One config-stack module (`getEdgeConfigurationStack`,
     * FIXTURES.md §3): the union shape over deviceSettings / QOS /
     * firewall / controlPlane across schema versions 2.0.0 and 3.x —
@@ -80,6 +92,8 @@ object Schemas {
       StructField("snmp", StructType(Seq(
         StructField("snmpv3", StructType(Seq(
           StructField("enabled", BooleanType))))))),
+      // WAN links (`powerbi_main_fun.py:1655-1665`)
+      StructField("links", ArrayType(wanLink)),
       // controlPlane 2.x
       StructField("vpn", StructType(Seq(
         StructField("enabled", BooleanType),
@@ -127,6 +141,41 @@ object Schemas {
             StructField("type", StringType),
             StructField("vendor", StringType),
             StructField("vmPowerOff", BooleanType))))))))))))))))
+
+  /** Per-link metrics document (`getEdgeLinkMetrics`,
+    * `powerbi_main_fun.py:517-534,1612-1665`).
+    */
+  val linkMetricDoc: StructType = StructType(Seq(
+    StructField("scoreTx", DoubleType),
+    StructField("scoreRx", DoubleType),
+    StructField("bpsOfBestPathTx", LongType),
+    StructField("bpsOfBestPathRx", LongType),
+    StructField("bytesTx", LongType),
+    StructField("bytesRx", LongType),
+    StructField("link", StructType(Seq(
+      StructField("edgeId", LongType),
+      StructField("internalId", StringType),
+      StructField("displayName", StringType),
+      StructField("interface", StringType),
+      StructField("lat", DoubleType),
+      StructField("lon", DoubleType),
+      StructField("networkSide", StringType),
+      StructField("networkType", StringType),
+      StructField("ipAddress", StringType),
+      StructField("backupState", StringType))))))
+
+  /** Route-table document (`getEnterpriseRouteTable`,
+    * `powerbi_main_fun.py:383-428`).
+    */
+  val routesDoc: StructType = StructType(Seq(
+    StructField("enterpriseId", LongType),
+    StructField("subnets", ArrayType(StructType(Seq(
+      StructField("eligableExits", ArrayType(StructType(Seq(
+        StructField("type", StringType))))),
+      StructField("preferredExits", ArrayType(StructType(Seq(
+        StructField("type", StringType))))),
+      StructField("learnedRoute", StructType(Seq(
+        StructField("modified", StringType))))))))))
 
   /** Enterprise configurations (`getEnterpriseConfigurations`,
     * FIXTURES.md §4): hub detection via the edgeHub ref.
