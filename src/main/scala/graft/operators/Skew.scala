@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators (the 100 TB levers AQE can't always pull:
+  * a single hot key — one giant tenant, one viral document — that
+  * overwhelms its reducer even after AQE splits).
+  *
+  * Both operators are deterministic: salts derive from row content
+  * (xxhash64), never from randomness, so retried tasks re-produce the
+  * same partitioning (a nondeterministic salt makes shuffle-retry
+  * output silently wrong).
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: partial aggregate on
+    * (key, salt ∈ [0, factor)) spreads a hot key over `factor`
+    * reducers, then the tiny partial set re-aggregates on the key
+    * alone. Correct for algebraic aggregates (sum/count/min/max) —
+    * the caller names partial and final in matching pairs.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
+      factor: Int): DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(xxhash64(valueCol), lit(factor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+    salted.groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_value"),
+        sum(col("__pcnt")).as("n_rows"))
+  }
+
+  /** Salted broadcast-unfriendly join: the fact side salts each row
+    * deterministically; the (small-ish but not broadcastable) build
+    * side is replicated once per salt value so every (key, salt)
+    * partition finds its match. Shuffle volume: fact unchanged, build
+    * × factor — the standard trade for eliminating the hot reducer.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(factor)))
+    val replicatedBuild = build
+      .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedFact.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
+  }
+}
