@@ -54,7 +54,11 @@ object Dedup {
       n: Int, dedup: Boolean = true): DataFrame = {
     val hashed = df.select(col(idCol),
         explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
-      .select(col(idCol), (TextAnalysis.hash60(col("shingle")) % P).as("h"))
+      // native digest expression — bit-identical to the portable
+      // conv(substr(md5)) form (Md5Hash60Spec) but without the
+      // per-shingle hex-string round-trip
+      .select(col(idCol),
+        (graft.expressions.Md5Hash60.hash60Native(col("shingle")) % P).as("h"))
     if (dedup) hashed.distinct() else hashed
   }
 
@@ -144,7 +148,7 @@ object Dedup {
       bits: Int = 48): DataFrame = {
     val tok = df.select(col(idCol),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
-      .select(col(idCol), TextAnalysis.hash60(col("t")).as("h"))
+      .select(col(idCol), graft.expressions.Md5Hash60.hash60Native(col("t")).as("h"))
     val sums: Seq[Column] = (0 until bits).map { b =>
       sum(when((shiftright(col("h"), b) % 2) === 1, 1).otherwise(-1)).as(s"s$b")
     }

@@ -79,6 +79,44 @@ object SimilarityQueries extends QueryPack {
           |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine
           |FROM r WHERE rn <= 3
           |ORDER BY query_id, rn""".stripMargin)
+      }),
+
+    // Embedding-cosine near-dup: pairs within the same LSH bucket
+    // whose cosine clears the dedup threshold — the vector analog of
+    // MinHash near-dup (candidate generation is the bucket equi-join,
+    // verification is exact cosine; at 100 TB the bucket join bounds
+    // the pair count).
+    "q39_embed_near_dup" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val b = e.select(col("vec_id"), col("embedding"),
+          Similarity.hyperplaneBucket(col("embedding"), Planes).as("bucket"))
+        val a = b.select(col("bucket"), col("vec_id").as("id_a"),
+          col("embedding").as("va"))
+        val c = b.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("vb"))
+        a.join(c, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", Similarity.cosineNative(col("va"), col("vb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      {
+        val planeLits = Planes.map(p => p.mkString("([", ", ", "]::DOUBLE[])"))
+        val bucketExpr = planeLits.zipWithIndex.map { case (pl, j) =>
+          s"(CASE WHEN ${dd("v", pl)} > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        Some(s"""WITH e AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+          |p AS (
+          |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+          |         ${cosSql("a.v", "b2.v")} AS cos
+          |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+          |SELECT id_a, id_b, round(cos, 6) AS cosine
+          |FROM p WHERE cos >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin)
       })
   )
 }
