@@ -30,6 +30,39 @@ object Melt {
   def defaultFilterVal(name: Column, used: Column): Column =
     concat(name, lit("-"), pyBool(used))
 
+  /** One attribute of the typed melt: the full `upsert_attribute`
+    * parameter surface (`fun_mysql_inserts.py:347-374`) — `used` is an
+    * independent semantic flag ("is the functionality used"), `num`
+    * and `text` the typed payloads, `filterVal` an optional override
+    * of the `{name}-{used}` default.
+    */
+  final case class Attr(name: String, used: Column,
+      num: Column = lit(null).cast("double"),
+      text: Column = lit(null).cast("string"),
+      filterVal: Option[Column] = None)
+
+  /** Typed melt: callers control `used` per attribute (the dominant
+    * reference pattern: `upsert_edge_attribute(name='vnf_on',
+    * used=vnf_on)` — `used` is NOT value-presence). One `stack` pass,
+    * no shuffle.
+    */
+  def toEavTyped(df: DataFrame, uuid: String, attrs: Seq[Attr]): DataFrame = {
+    val n = attrs.size
+    val pairs: Seq[Column] = attrs.flatMap { a =>
+      Seq(lit(a.name),
+        a.used.cast("boolean"),
+        a.num.cast("double"),
+        a.text.cast("string"),
+        a.filterVal.getOrElse(defaultFilterVal(lit(a.name), a.used)))
+    }
+    df.select(
+        col(uuid).as("uuid"),
+        stack((lit(n) +: pairs): _*)
+          .as(Seq("name", "used", "num", "text", "filter_val")))
+      .select(col("uuid"), col("name"), col("used"), col("num"),
+        col("text"), col("filter_val"))
+  }
+
   /** Melt `numAttrs` (numeric) and `textAttrs` (string) columns of `df`
     * into EAV rows keyed by `uuid`.
     *

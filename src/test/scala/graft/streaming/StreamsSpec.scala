@@ -57,6 +57,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("QoE outages run incrementally via foreachBatch at day grain") {
+    import spark.implicits._
+    import graft.operators.Qoe
+    implicit val sqlCtx = spark.sqlContext
+    // The reference refreshes QoE per complete (link, day) — the
+    // streaming form processes each arriving day-batch through the
+    // SAME declarative operator and merges idempotently downstream.
+    val input = MemoryStream[(Long, Timestamp, Long, Int)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    val q = input.toDF().toDF("user_id", "ts", "event_id", "state")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Qoe.dailyOutagesDF(batch, "user_id",
+            to_date(col("ts")), "ts", "event_id", "state")
+          .collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_brownouts"),
+            r.getAs[Int]("n_blackouts")))
+        results.synchronized { results ++= out }
+        ()
+      }
+      .start()
+    try {
+      // day 1 for user 7: 4→2 brownout run, then 3→0 blackout
+      input.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1L, 4),
+        (7L, ts("2024-01-01 10:00:07"), 2L, 2),
+        (7L, ts("2024-01-01 10:00:14"), 3L, 3),
+        (7L, ts("2024-01-01 10:00:21"), 4L, 0))
+      q.processAllAvailable()
+      assert(results.synchronized(results.toSet) === Set((7L, 1, 1)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
