@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+import graft.model.Schemas
+
+/** DataSource V2 connector for the JSON-RPC fleet (SURVEY §4's "API
+  * source with pushdown" — the reference's thread-per-VCO pool
+  * becomes PARTITION-per-VCO, so 1000 executors fan the fleet out
+  * natively and a failed VCO retries as a task, not a thread).
+  *
+  * - `spark.read.format("graft-vco").option("vcos", "a,b,c")
+  *   .option("transport", classOf[...].getName).load()`
+  * - one `InputPartition` per VCO; the executor-side reader
+  *   instantiates the Transport (reflection: transports own sockets,
+  *   which never serialize) and fetches that VCO's edges;
+  * - `SupportsPushDownRequiredColumns`: Catalyst's column pruning is
+  *   translated into the API's `with:[…]` expansion list — columns
+  *   nobody selects are never serialized by the server
+  *   (`powerbi_main_fun.py:181-185` done by the optimizer instead of
+  *   by hand).
+  */
+class VcoDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-vco"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.edgeDoc
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new VcoTable(schema, properties.asScala.toMap)
+}
+
+/** Executor-instantiable transport: a zero-arg-constructible
+  * [[VcoSource.Transport]]. Production wires an HTTP client; tests a
+  * scripted fake.
+  */
+trait TransportFactory {
+  def create(): VcoSource.Transport
+}
+
+private class VcoTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "graft_vco_edges"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VcoScanBuilder(schema, props ++ options.asScala)
+}
+
+private class VcoScanBuilder(fullSchema: StructType, props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands us the pruned shape; remember it for the with-list.
+    required = requiredSchema
+
+  override def build(): Scan = new VcoScan(required, props)
+}
+
+private object VcoScan {
+  /** Top-level document fields that map to server-side `with`
+    * expansions (`powerbi_main_fun.py:181-185`); scalar fields always
+    * come back.
+    */
+  val Expansions = Seq("site", "configuration", "recentLinks", "vnfs",
+    "licenses", "cloudServices")
+}
+
+private class VcoScan(schema: StructType, props: Map[String, String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  /** The with-list the server sees: only the expansions the query
+    * actually references.
+    */
+  def withList: Seq[String] =
+    VcoScan.Expansions.filter(schema.fieldNames.contains)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    props.getOrElse("vcos", "")
+      .split(",").filter(_.nonEmpty)
+      .map(v => VcoPartition(v, withList): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcoReaderFactory(schema,
+      props.getOrElse("transport",
+        throw new IllegalArgumentException("option 'transport' is required")))
+}
+
+private case class VcoPartition(vco: String, withList: Seq[String])
+    extends InputPartition
+
+private class VcoReaderFactory(schema: StructType, transportClass: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VcoPartition]
+    new VcoPartitionReader(schema, transportClass, p)
+  }
+}
+
+private class VcoPartitionReader(schema: StructType, transportClass: String,
+    partition: VcoPartition) extends PartitionReader[InternalRow] {
+
+  // Executor-side client construction: transports hold sockets/auth.
+  private lazy val rows: Iterator[InternalRow] = {
+    val transport = Class.forName(transportClass)
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[TransportFactory].create()
+    val withJson =
+      if (partition.withList.isEmpty) ""
+      else partition.withList.mkString("\"", "\",\"", "\"")
+    val params = s"""{"vco":"${partition.vco}","with":[$withJson]}"""
+    val lines = VcoSource.callWithRetry(transport,
+        "enterprise/getEnterpriseEdges", params) match {
+      case Right(ls) => ls
+      case Left(err) => throw new RuntimeException(
+        s"VCO ${partition.vco} scan failed: $err")
+    }
+    // JSON → InternalRow with the PRUNED schema (absent = null)
+    val parser = org.apache.spark.sql.catalyst.expressions.JsonToStructs(
+      schema, Map.empty[String, String],
+      org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+        org.apache.spark.sql.types.StringType),
+      Some(java.util.TimeZone.getDefault.getID))
+    lines.iterator.map { line =>
+      parser.nullSafeEval(org.apache.spark.unsafe.types.UTF8String.fromString(line))
+        .asInstanceOf[InternalRow]
+    }
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Records every (vco, params) request so the spec can assert the
+  * partition fan-out and the pruned with-list.
+  */
+object RecordedCalls {
+  val calls = new ConcurrentLinkedQueue[String]()
+}
+
+class FakeFleetTransportFactory extends TransportFactory {
+  def create(): VcoSource.Transport = new VcoSource.Transport {
+    def call(method: String, params: String): Either[String, Seq[String]] = {
+      RecordedCalls.calls.add(params)
+      val vco = "\"vco\":\"([^\"]+)\"".r.findFirstMatchIn(params)
+        .map(_.group(1)).getOrElse("?")
+      Right(Seq(
+        s"""{"id":1,"logicalId":"$vco-e1","name":"edge of $vco","edgeState":"CONNECTED","modelNumber":"edge540"}""",
+        s"""{"id":2,"logicalId":"$vco-e2","name":"second","edgeState":"OFFLINE"}"""))
+    }
+  }
+}
+
+class VcoDataSourceSpec extends SparkSpec {
+
+  private def read = spark.read.format("graft-vco")
+    .option("vcos", "vco-a,vco-b,vco-c")
+    .option("transport", classOf[FakeFleetTransportFactory].getName)
+    .load()
+
+  test("one partition per VCO, rows from every fleet member") {
+    RecordedCalls.calls.clear()
+    val df = read.select("logicalId", "edgeState")
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.count() === 6)
+    val ids = df.collect().map(_.getString(0)).sorted
+    assert(ids.head === "vco-a-e1" && ids.last === "vco-c-e2")
+  }
+
+  test("column pruning reaches the API with-list") {
+    RecordedCalls.calls.clear()
+    // narrow projection: no expansions referenced
+    read.select("logicalId").collect()
+    val narrow = RecordedCalls.calls.poll()
+    assert(narrow.contains("\"with\":[]"), narrow)
+
+    RecordedCalls.calls.clear()
+    // selecting site+recentLinks must request exactly those expansions
+    read.select(col("logicalId"), col("site.city"),
+      explode_outer(col("recentLinks")).as("l")).collect()
+    val wide = RecordedCalls.calls.poll()
+    assert(wide.contains("\"site\"") && wide.contains("\"recentLinks\""), wide)
+    assert(!wide.contains("\"licenses\""), wide)
+  }
+
+  test("filters still apply on top of the scan") {
+    val connected = read.filter(col("edgeState") === "CONNECTED").count()
+    assert(connected === 3)
+  }
+}
