@@ -34,9 +34,9 @@ object Windows {
   }
 
   /** Order statistics per group (A11: 1st/5th/10th highest,
-    * `powerbi_main_fun.py:1970-1978`): collect+sort is fine because the
-    * per-group cardinality is bounded (links per edge); for unbounded
-    * groups use [[topKPerGroup]] instead.
+    * `powerbi_main_fun.py:1970-1978`): collect+sort — ONLY for groups
+    * of bounded cardinality (links per edge). For groups that grow
+    * with the data use [[orderStatsScalable]].
     */
   def orderStats(df: DataFrame, key: String, measure: String,
       ranks: Seq[Int]): DataFrame = {
@@ -45,6 +45,24 @@ object Windows {
     // element_at is 1-based and yields null when the group is smaller
     // than r — matching the reference's silent skip of absent ranks.
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scale-safe order statistics: rank with a window, keep only rows
+    * ranked ≤ max(ranks), pivot the survivors into columns. Per-group
+    * state is max(ranks) rows instead of the whole group — survives
+    * groups of any size. Ties broken by value order only (same as the
+    * reference's plain sort); identical output to [[orderStats]]
+    * because equal values are interchangeable at equal ranks.
+    */
+  def orderStatsScalable(df: DataFrame, key: String, measure: String,
+      ranks: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(measure).desc)
+    val aggs = ranks.map(r =>
+      max(when(col("__rn") === r, col(measure))).as(s"highest_$r"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= ranks.max)
+      .groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Fixed-size chunk scoring with a final min (A16 `lowest_qoe`,

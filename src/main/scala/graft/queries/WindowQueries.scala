@@ -37,9 +37,12 @@ object WindowQueries extends QueryPack {
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin)),
 
-    // A11: 1st/5th/10th highest value per group (order statistics).
+    // A11: 1st/5th/10th highest value per group (order statistics) —
+    // the windowed form: l_suppkey groups grow with the data, so the
+    // collect_list variant (kept for bounded groups) is a scale trap
+    // here (VERDICT r1).
     "q13_order_stats" -> Q(
-      (s, dir) => Windows.orderStats(Tables.lineitem(s, dir),
+      (s, dir) => Windows.orderStatsScalable(Tables.lineitem(s, dir),
         "l_suppkey", "l_extendedprice", Seq(1, 5, 10))
         .orderBy(col("l_suppkey")),
       Some("""SELECT l_suppkey,
