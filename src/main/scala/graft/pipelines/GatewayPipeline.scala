@@ -73,6 +73,29 @@ object GatewayPipeline {
         col("endpointPkiMode").as("GWpki"),
         lit("ALLOW").as("GatewayType"))
 
+  /** A18: merge the 24 h max-metrics (`getGatewayStatusMetrics`
+    * returns server-side maxima, `gateway_script.py:250-262`) over the
+    * inventory row. The reference OVERWRITES GWCPU/GWMemory with the
+    * metric maxima when the call succeeds and zeroes the three counts
+    * when it fails — restated as a left join with coalesce (missing
+    * metrics row = failed call).
+    */
+  def mergeMetrics(gold: DataFrame, metrics: DataFrame): DataFrame =
+    gold
+      .join(metrics.select(
+          col("gatewayId").as("GatewayID"),
+          col("cpuPct_max"), col("memoryPct_max"),
+          col("flowCount_max"), col("handoffQueueDrops_max"),
+          col("tunnelCount_max")),
+        Seq("GatewayID"), "left")
+      .withColumn("GWCPU", coalesce(col("cpuPct_max"), col("GWCPU")))
+      .withColumn("GWMemory", coalesce(col("memoryPct_max"), col("GWMemory")))
+      .withColumn("gw_flow_count", coalesce(col("flowCount_max"), lit(0L)))
+      .withColumn("gw_handoff", coalesce(col("handoffQueueDrops_max"), lit(0L)))
+      .withColumn("gw_tunnel", coalesce(col("tunnelCount_max"), lit(0L)))
+      .drop("cpuPct_max", "memoryPct_max", "flowCount_max",
+        "handoffQueueDrops_max", "tunnelCount_max")
+
   /** gatewayrelation bridge (J5, `gateway_script.py:304-325`): one
     * (EdgeID, GatewayID, Date) row per connectedEdgeList element with
     * a truthy vceid.

@@ -31,6 +31,23 @@ class GatewayPipelineSpec extends SparkSpec {
     assert(r.getAs[String]("GatewayType") === "ALLOW")
   }
 
+  test("mergeMetrics: maxima override inventory, failed call zeroes counts") {
+    import spark.implicits._
+    val gold = GatewayPipeline.gatewaysGold(gws, lit("2024-08-12 00:00:00"))
+    val metrics = Seq(("gw-1", 88.0, 61.0, 120L, 3L, 42L))
+      .toDF("gatewayId", "cpuPct_max", "memoryPct_max", "flowCount_max",
+        "handoffQueueDrops_max", "tunnelCount_max")
+    val merged = GatewayPipeline.mergeMetrics(gold, metrics).collect().head
+    assert(merged.getAs[Double]("GWCPU") === 88.0)   // overridden
+    assert(merged.getAs[Double]("GWMemory") === 61.0)
+    assert(merged.getAs[Long]("gw_tunnel") === 42L)
+
+    val noMetrics = GatewayPipeline.mergeMetrics(gold,
+        metrics.filter(lit(false))).collect().head
+    assert(noMetrics.getAs[Double]("GWCPU") === 12.5) // inventory value kept
+    assert(noMetrics.getAs[Long]("gw_flow_count") === 0L)
+  }
+
   test("relationRows: explode, truthy vceid filter, unique bridge key") {
     val rows = GatewayPipeline.relationRows(gws, lit("2024-08-12 00:00:00"))
       .orderBy("EdgeID").collect()
