@@ -118,9 +118,11 @@ object Dedup {
       .na.fill(0L, Seq("inter"))
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      // raw ratio of exact integers — identical doubles in any engine;
+      // round() would reintroduce shortest-repr tie divergence
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -65,7 +65,7 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("rn").cast("long").as("rn"),
-        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+        col("neighbor_id"), col("cos").as("cosine"))
   }
 
   /** Deterministic random hyperplanes (fixed seed), `planes` × `dim`. */
@@ -125,7 +125,7 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("rn").cast("long").as("rn"),
-        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+        col("neighbor_id"), col("cos").as("cosine"))
   }
 
   /** ANN top-k: probe only the query's own bucket. Returns the same
@@ -147,6 +147,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("rn").cast("long").as("rn"),
-        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+        col("neighbor_id"), col("cos").as("cosine"))
   }
 }

@@ -59,7 +59,9 @@ object TextAnalysis {
     val cleanliness = lit(1.0) - least(lit(1.0), punct / greatest(chars, lit(1.0)) * 5.0)
     val stop = stopwordCount(c, LangProfiles.en).cast("double")
     val naturalness = least(lit(1.0), stop / greatest(nt, lit(1.0)) * 10.0)
-    round(volume * cleanliness * naturalness, 6)
+    // raw product of deterministic doubles (round() diverges between
+    // engines on shortest-repr false ties)
+    volume * cleanliness * naturalness
   }
 
   /** Stopword profiles for the n-gram/stopword language heuristic. */

@@ -38,8 +38,8 @@ object LicenseQueries extends QueryPack {
         agg.join(o, Seq("l_orderkey"))
           .withColumn("model", model)
           .withColumn("lic_mbps", licMbps)
-          .withColumn("up_pct", round(up, 6))
-          .withColumn("down_pct", round(down, 6))
+          .withColumn("up_pct", up)
+          .withColumn("down_pct", down)
           .select(
             col("l_orderkey"), col("model"), col("lic_mbps"),
             License.licenseTier(col("model"), col("lic_mbps")).as("license"),
@@ -68,12 +68,12 @@ object LicenseQueries extends QueryPack {
           |  SELECT a.*, o_orderstatus,
           |    ($modelsSql)[CAST(l_orderkey % 7 AS INT) + 1] AS model,
           |    CAST(trunc(round(max_ext * 8 / 1000, 3)) AS INT) AS lic_mbps,
-          |    round(CASE WHEN sum_qty * 1000 > 0
+          |    CASE WHEN sum_qty * 1000 > 0
           |      THEN least(100.0, (sum_ext * 1000 * 8) / (sum_qty * 1000 * 60 * 60 * 8 * 5) * 100)
-          |      ELSE 0.0 END, 6) AS up_pct,
-          |    round(CASE WHEN sum_ext > 0
+          |      ELSE 0.0 END AS up_pct,
+          |    CASE WHEN sum_ext > 0
           |      THEN least(100.0, (sum_qty * 1000000 * 8) / (sum_ext * 60 * 60 * 8 * 5) * 100)
-          |      ELSE 0.0 END, 6) AS down_pct
+          |      ELSE 0.0 END AS down_pct
           |  FROM a JOIN orders ON l_orderkey = o_orderkey)
           |SELECT l_orderkey, model, lic_mbps,
           |  CASE WHEN lic_mbps <= 30 AND model IS NOT NULL AND model <> '' THEN model || '_30M'

@@ -57,11 +57,10 @@ object LlmQueries extends QueryPack {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
         |  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
         |  len(regexp_extract_all(lower(text), '${swPattern(TextAnalysis.LangProfiles.en)}')) AS sw_en,
-        |  round(
-        |    least(1.0, len($normTokens) / 50.0)
+        |  least(1.0, len($normTokens) / 50.0)
         |    * (1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) * 5.0))
         |    * least(1.0, len(regexp_extract_all(lower(text), '${swPattern(TextAnalysis.LangProfiles.en)}'))
-        |             / greatest(len($normTokens), 1) * 10.0), 6) AS quality
+        |             / greatest(len($normTokens), 1) * 10.0) AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin)),
 
@@ -168,8 +167,8 @@ object LlmQueries extends QueryPack {
         |  FROM documents WHERE doc_id % 20 = 0)
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |    len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9
         |ORDER BY id_a, id_b""".stripMargin)),

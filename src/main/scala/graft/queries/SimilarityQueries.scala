@@ -44,7 +44,7 @@ object SimilarityQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM s)
-        |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine
+        |SELECT query_id, rn, neighbor_id, cos AS cosine
         |FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin)),
 
@@ -76,7 +76,7 @@ object SimilarityQueries extends QueryPack {
           |         row_number() OVER (PARTITION BY query_id
           |           ORDER BY cos DESC, neighbor_id) AS rn
           |  FROM s)
-          |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine
+          |SELECT query_id, rn, neighbor_id, cos AS cosine
           |FROM r WHERE rn <= 3
           |ORDER BY query_id, rn""".stripMargin)
       }),
@@ -99,7 +99,7 @@ object SimilarityQueries extends QueryPack {
           .filter(col("id_a") < col("id_b"))
           .withColumn("cos", Similarity.cosineNative(col("va"), col("vb")))
           .filter(col("cos") >= 0.4)
-          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+          .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
           .orderBy(col("id_a"), col("id_b"))
       },
       {
@@ -114,7 +114,7 @@ object SimilarityQueries extends QueryPack {
           |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
           |         ${cosSql("a.v", "b2.v")} AS cos
           |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
-          |SELECT id_a, id_b, round(cos, 6) AS cosine
+          |SELECT id_a, id_b, cos AS cosine
           |FROM p WHERE cos >= 0.4
           |ORDER BY id_a, id_b""".stripMargin)
       })
