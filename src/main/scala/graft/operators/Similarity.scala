@@ -128,6 +128,47 @@ object Similarity {
         col("neighbor_id"), col("cos").as("cosine"))
   }
 
+  /** IVF coarse quantizer: index of the nearest centroid by cosine
+    * (deterministic argmax over the centroid list — a when-chain over
+    * native dot products, no shuffle). Centroids come from the caller:
+    * a seeded sample of the corpus is the classic IVF-flat init.
+    */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      (cosineNative(vec, array(c.map(lit): _*)), i)
+    }
+    // argmax with first-wins tiebreak (deterministic)
+    scored.tail.foldLeft(
+      (scored.head._1, lit(scored.head._2))) { case ((bestS, bestI), (s, i)) =>
+        (when(s > bestS, s).otherwise(bestS),
+         when(s > bestS, lit(i)).otherwise(bestI))
+    }._2
+  }
+
+  /** IVF ANN top-k: probe only the query's own centroid cell. Same
+    * contract as [[annTopK]]; `nlist = centroids.size` controls the
+    * candidate shrink factor (~corpus/nlist per probe). The
+    * single-cell probe trades recall exactly like single-probe LSH;
+    * multi-probe = assign to the top-n cells upstream.
+    */
+  def annTopKIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Float]], k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      ivfAssign(col(vecCol), centroids).as("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      ivfAssign(col(vecCol), centroids).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("cos").as("cosine"))
+  }
+
   /** ANN top-k: probe only the query's own bucket. Returns the same
     * shape as [[bruteForceTopK]] (rows may be missing when a bucket
     * has fewer than k candidates — the recall/latency trade).

@@ -33,6 +33,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("IVF ANN: cells partition the corpus; probes find same-cell neighbors") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // IVF-flat init: first 8 corpus vectors as centroids (deterministic)
+    val centroids = e.orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val assigned = e.select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), centroids).as("cell"))
+    val cells = assigned.groupBy("cell").count().collect()
+    assert(cells.length > 1 && cells.length <= 8) // non-degenerate partition
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val got = Similarity.annTopKIvf(queries, e, "vec_id", "embedding",
+        centroids, 3)
+      .collect()
+    assert(got.nonEmpty)
+    // every reported neighbor shares the query's cell
+    val cellOf = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(cellOf(r.getLong(0)) === cellOf(r.getLong(2)))
+    }
+  }
+
   test("multi-table ANN recall@3 beats single-probe on real embeddings") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = e.filter(col("vec_id") % 50 === 0)

@@ -86,6 +86,21 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("K4: explicit updateCols merge only the named columns") {
+    import spark.implicits._
+    withTable("CREATE TABLE loc (k INT PRIMARY KEY, city VARCHAR(40), score DOUBLE)", "loc") {
+      JdbcUpsertSink.write(Seq((1, "Palo Alto", 4.5)).toDF("k", "city", "score"),
+        url, "loc", Seq("k"), JdbcUpsertSink.DerbyMerge)
+      // location-style update (fun_mysql_inserts.py:109-122): only city
+      // refreshes; score column is NOT in the update list
+      JdbcUpsertSink.write(Seq((1, "Mountain View", 9.9)).toDF("k", "city", "score"),
+        url, "loc", Seq("k"), JdbcUpsertSink.DerbyMerge,
+        updateColsOpt = Some(Seq("city")))
+      assert(queryAll("SELECT k, city, score FROM loc") ===
+        Seq(Seq(1, "Mountain View", 4.5)))
+    }
+  }
+
   test("MySql dialect renders the reference's ODKU statement") {
     val sql = JdbcUpsertSink.MySql.upsertSql("EdgeAttributes",
       Seq("edge_uuid", "name", "used"), Seq("edge_uuid", "name"), Seq("used"))
