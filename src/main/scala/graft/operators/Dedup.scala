@@ -52,11 +52,13 @@ object Dedup {
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int, dedup: Boolean = true): DataFrame = {
+    // native shingle + digest expressions — both proven bit-identical
+    // to the portable HOF/conv forms (WordShinglesSpec, Md5Hash60Spec),
+    // without three interpreted lambdas and a hex round-trip per
+    // shingle
     val hashed = df.select(col(idCol),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
-      // native digest expression — bit-identical to the portable
-      // conv(substr(md5)) form (Md5Hash60Spec) but without the
-      // per-shingle hex-string round-trip
+        explode(graft.expressions.WordShingles.shinglesNative(
+          col(textCol), n)).as("shingle"))
       .select(col(idCol),
         (graft.expressions.Md5Hash60.hash60Native(col("shingle")) % P).as("h"))
     if (dedup) hashed.distinct() else hashed

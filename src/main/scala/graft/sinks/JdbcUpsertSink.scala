@@ -127,21 +127,25 @@ object JdbcUpsertSink {
         val conn: Connection = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sql)
-          try {
-            var n = 0
-            rows.foreach { row =>
-              var i = 0
-              while (i < fieldIdx.length) {
-                setParam(ps, i + 1, fieldTypes(i), row, fieldIdx(i))
-                i += 1
+          // One statement per batch chunk: some engines (Derby MERGE)
+          // corrupt a reused PreparedStatement across executeBatch+
+          // commit cycles, and a dangling prepare holds a transaction
+          // open at close; preparing is cheap next to a 500-row batch.
+          rows.grouped(batchSize).foreach { chunk =>
+            val ps: PreparedStatement = conn.prepareStatement(sql)
+            try {
+              chunk.foreach { row =>
+                var i = 0
+                while (i < fieldIdx.length) {
+                  setParam(ps, i + 1, fieldTypes(i), row, fieldIdx(i))
+                  i += 1
+                }
+                ps.addBatch()
               }
-              ps.addBatch()
-              n += 1
-              if (n % batchSize == 0) { ps.executeBatch(); conn.commit() }
-            }
-            if (n % batchSize != 0) { ps.executeBatch(); conn.commit() }
-          } finally ps.close()
+              ps.executeBatch()
+              conn.commit()
+            } finally ps.close()
+          }
         } finally conn.close()
       }
     }

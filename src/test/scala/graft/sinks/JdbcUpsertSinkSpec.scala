@@ -86,6 +86,23 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("batching flushes exact multiples and remainders correctly") {
+    import spark.implicits._
+    withTable("CREATE TABLE big (k INT PRIMARY KEY, v INT)", "big") {
+      // 1000 rows with batchSize 500 over 4 partitions: partitions hit
+      // both the exact-multiple flush and the trailing-remainder flush
+      val df = (1 to 1000).map(i => (i, i * 2)).toDF("k", "v")
+      JdbcUpsertSink.write(df, url, "big", Seq("k"),
+        JdbcUpsertSink.DerbyMerge, batchSize = 500)
+      assert(queryAll("SELECT count(*), sum(v) FROM big") ===
+        Seq(Seq(1000, 1001000)))
+      // replay stays idempotent at volume
+      JdbcUpsertSink.write(df, url, "big", Seq("k"),
+        JdbcUpsertSink.DerbyMerge, batchSize = 500)
+      assert(queryAll("SELECT count(*) FROM big") === Seq(Seq(1000)))
+    }
+  }
+
   test("K4: explicit updateCols merge only the named columns") {
     import spark.implicits._
     withTable("CREATE TABLE loc (k INT PRIMARY KEY, city VARCHAR(40), score DOUBLE)", "loc") {
