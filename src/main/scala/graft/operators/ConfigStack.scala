@@ -160,6 +160,34 @@ object ConfigStack {
       .otherwise(lit(false))
   }
 
+  /** The full feature-set derivation of `update_license_and_link_usage`
+    * (`powerbi_main_fun.py:1981-2035`): branch on schemaVersion, take
+    * b2b from the Edge-Specific controlPlane, pb/css/nvs from the QOS
+    * scan with value-based level fallback, then the Premium/Enterprise
+    * elif chain. One struct column per edge document — the whole
+    * config analysis is a projection.
+    */
+  def featureSetFromStack(stack: Column): Column = {
+    def branch(segmented: Boolean) = {
+      val b2b = b2bFlags(stack, segmented)
+      val pb = pbFlagsWithFallback(stack, segmented)
+      struct(
+        b2b.getField("b2b_via_gw").as("b2b_via_gw"),
+        b2b.getField("b2b_via_hub").as("b2b_via_hub"),
+        pb.getField("pb_via_gw").as("pb_via_gw"),
+        pb.getField("pb_internet_via_direct").as("pb_internet_via_direct"),
+        pb.getField("pb_internet_via_hub").as("pb_internet_via_hub"),
+        pb.getField("css_via_gw").as("css_via_gw"),
+        pb.getField("nvs_via_gw").as("nvs_via_gw"),
+        License.featureSet(
+          b2b.getField("b2b_via_gw"), pb.getField("pb_via_gw"),
+          pb.getField("css_via_gw"), pb.getField("nvs_via_gw"))
+          .as("feature_set"))
+    }
+    when(isSegmented(stack), branch(segmented = true))
+      .otherwise(branch(segmented = false))
+  }
+
   // ------------------------------------------------------ controlPlane b2b
 
   /** B2B VPN flags (`update_license_and_link_usage:1981-2024`): from

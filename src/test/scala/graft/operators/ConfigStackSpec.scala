@@ -92,6 +92,20 @@ class ConfigStackSpec extends SparkSpec {
     assert(f.getBoolean(4) === true)   // stateful: PROFILE level fallback
   }
 
+  test("featureSetFromStack: version branch + elif chain end-to-end") {
+    val got = docs.select(col("edgeId"),
+        ConfigStack.featureSetFromStack(col("stack")).as("f"))
+      .select(col("edgeId"), col("f.b2b_via_hub"), col("f.pb_via_gw"),
+        col("f.css_via_gw"), col("f.feature_set"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getString(4)))).toMap
+    // e-1 (3.x): b2b via hub (not gw) + pb_via_gw true → Premium
+    assert(got("e-1") === ((true, true, false, "Premium Subscription")))
+    // e-2 (2.0.0): b2b via GW → Premium even though pb fell back to css
+    assert(got("e-2")._4 === "Premium Subscription")
+    assert(got("e-2")._3 === true) // css from the profile-level fallback
+  }
+
   test("b2b flags: 3.x segments[0].vpn vs 2.x flat vpn, gw/hub split") {
     val got = docs.select(col("edgeId"),
         ConfigStack.b2bFlags(col("stack"), segmented = true).as("s3"),

@@ -45,6 +45,43 @@ class QoeSpec extends SparkSpec {
     assert(Qoe.lowestQoe(Nil) === 0.0)
   }
 
+  test("DailyQOE gold slice: outages merge idempotently on (day, key)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sinks.JdbcUpsertSink
+    val url = "jdbc:derby:memory:dailyqoe;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE DailyQOE") catch { case _: Exception => () }
+      st.executeUpdate(
+        """CREATE TABLE DailyQOE (day DATE, group_key BIGINT,
+          |  n_brownouts INT, brownout_min DOUBLE,
+          |  n_blackouts INT, blackout_min DOUBLE, lowest_score DOUBLE,
+          |  PRIMARY KEY (day, group_key))""".stripMargin)
+      st.close()
+    } finally conn.close()
+
+    val rows = Seq(4, 2, 2, 3, 0).zipWithIndex.map { case (st, i) =>
+      (9L, java.sql.Timestamp.valueOf(f"2024-02-01 00:00:0$i"), i.toLong, st)
+    }
+    val out = Qoe.outagesByGroup(rows.toDF("user_id", "ts", "event_id", "state"),
+      "user_id", to_date(col("ts")), "ts", "event_id", "state")
+    JdbcUpsertSink.write(out, url, "DailyQOE", Seq("day", "group_key"),
+      JdbcUpsertSink.DerbyMerge)
+    JdbcUpsertSink.write(out, url, "DailyQOE", Seq("day", "group_key"),
+      JdbcUpsertSink.DerbyMerge) // replay
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT n_brownouts, brownout_min, n_blackouts FROM DailyQOE")
+      assert(rs.next())
+      // 4,2,2 → one brownout of 2 ticks; 3→0 → one blackout of 1 tick
+      assert((rs.getInt(1), rs.getDouble(2), rs.getInt(3)) === ((1, 0.237, 1)))
+      assert(!rs.next())
+    } finally c2.close()
+  }
+
   test("declarative dailyOutagesDF equals the literal loop on random series") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
