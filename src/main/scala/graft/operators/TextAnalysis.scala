@@ -91,9 +91,17 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the exact-dup key that ignores formatting (rolling-hash
-    * analog with a canonical form).
+    * analog with a canonical form). The canonical join runs through
+    * the native shingle builder (n larger than any token count ⇒ one
+    * whole-text shingle), skipping the per-doc HOF chain; proven equal
+    * to `md5(concat_ws(" ", tokens(lower(c))))` in TextSpec.
     */
   def fingerprint(c: Column): Column =
+    md5(get(graft.expressions.WordShingles.shinglesNative(c, Int.MaxValue),
+      lit(0)))
+
+  /** The portable canonical form (reference semantics for the oracle). */
+  def fingerprintPortable(c: Column): Column =
     md5(concat_ws(" ", tokens(lower(c))))
 
   /** Word n-gram shingles as strings (input to MinHash). */

@@ -53,6 +53,16 @@ class TextSpec extends SparkSpec {
     assert(got.toSeq === marketingGoldens.map(_._2))
   }
 
+  test("fingerprint native canonicalization equals the portable form") {
+    import graft.operators.TextAnalysis
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diffs = d.select(
+        TextAnalysis.fingerprint(col("text")).as("n"),
+        TextAnalysis.fingerprintPortable(col("text")).as("p"))
+      .filter(col("n") =!= col("p")).count()
+    assert(diffs === 0)
+  }
+
   test("sanitize: drops non-latin1, empty→Invalid, null→null") {
     import spark.implicits._
     val rows = Seq("café", "你好", "ok", null, "❤")
