@@ -25,19 +25,28 @@ import org.apache.spark.sql.types._
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemOk(t: DataType) = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isDoubleArr(e: Expression) = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_dot requires two array<float> arguments, got $l and $r")
-    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires array<float|double> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val (la, rb) = (isDoubleArr(left), isDoubleArr(right))
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0d
     var i = 0
@@ -45,7 +54,9 @@ case class DotProductF(left: Expression, right: Expression)
       // null elements contribute 0 (zip_with x*y with null would null
       // the product; fillNullZero upstream is the documented contract)
       if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        val x = if (la) a.getDouble(i) else a.getFloat(i).toDouble
+        val y = if (rb) b.getDouble(i) else b.getFloat(i).toDouble
+        acc += x * y
       }
       i += 1
     }
@@ -57,12 +68,14 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def getter(arr: String, idx: String, isD: Boolean) =
+        if (isD) s"$arr.getDouble($idx)" else s"(double) $arr.getFloat($idx)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += ${getter(a, i, isDoubleArr(left))} * ${getter(b, i, isDoubleArr(right))};
          |  }
          |}
          |${ev.value} = $acc;

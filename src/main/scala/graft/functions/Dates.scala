@@ -8,10 +8,13 @@ object Dates {
 
   /** F6: the reference's payload timestamp pattern
     * (`'%Y-%m-%dT%H:%M:%S.%fZ'`, `powerbi_main_fun.py:412,848`).
+    * Python's `%f` accepts 1–6 fractional digits; a fixed `SSS`
+    * pattern would null out micro-second payloads, so the Z is
+    * stripped and Spark's default parser (variable fraction) takes
+    * over.
     */
-  val IsoPattern = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
-
-  def parseIso(c: Column): Column = to_timestamp(c, IsoPattern)
+  def parseIso(c: Column): Column =
+    to_timestamp(regexp_replace(c, "Z$", ""))
 
   /** F7 `datetime_to_epoch_ms` (`powerbi_main_fun.py:1700-1701`):
     * `int(dtm.timestamp()) * 1000` — seconds are TRUNCATED before the

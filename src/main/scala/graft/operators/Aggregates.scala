@@ -66,7 +66,7 @@ object Aggregates {
     * then count per bucket. The reference's chain has no else branch
     * (SURVEY §7.4.7); we define the explicit fallback label.
     */
-  def bucketize(df: DataFrame, measure: Column,
+  def bucketize(measure: Column,
       buckets: Seq[(Double, String)], fallback: String): Column = {
     val chain = buckets.foldLeft(Option.empty[Column]) {
       case (None, (ub, label))      => Some(when(measure <= ub, label))

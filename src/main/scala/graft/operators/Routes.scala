@@ -28,9 +28,8 @@ object Routes {
   def routeChange(subnets: Column, now: Column): Column =
     coalesce(
       size(filter(subnets, s => {
-        val modified = to_timestamp(
-          s.getField("learnedRoute").getField("modified"),
-          "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        val modified = graft.functions.Dates.parseIso(
+          s.getField("learnedRoute").getField("modified"))
         s.getField("learnedRoute").isNotNull &&
           (unix_timestamp(now) - unix_timestamp(modified)) < 86400L
       })),

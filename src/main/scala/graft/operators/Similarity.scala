@@ -74,11 +74,15 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH bucket id: bit j = sign of the dot product with plane j. */
+  /** LSH bucket id: bit j = sign of the dot product with plane j —
+    * native dot (bit-identical to the portable fold, so the
+    * interpolated-plane oracles are unaffected).
+    */
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(graft.expressions.VectorExpressions.dotF(vec, planeLit) > 0,
+        lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Independent plane sets for multi-table LSH: recall over random
@@ -134,15 +138,15 @@ object Similarity {
     * a seeded sample of the corpus is the classic IVF-flat init.
     */
   def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      (cosineNative(vec, array(c.map(lit): _*)), i)
-    }
-    // argmax with first-wins tiebreak (deterministic)
-    scored.tail.foldLeft(
-      (scored.head._1, lit(scored.head._2))) { case ((bestS, bestI), (s, i)) =>
-        (when(s > bestS, s).otherwise(bestS),
-         when(s > bestS, lit(i)).otherwise(bestI))
-    }._2
+    // linear expression tree: one struct per centroid + array_max
+    // (a when-chain fold would duplicate the accumulator per step —
+    // an O(3^n) tree that stalls Catalyst at realistic nlist).
+    // Deterministic tiebreak: equal scores pick the higher index
+    // (struct ordering).
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineNative(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }: _*)
+    array_max(scored).getField("i")
   }
 
   /** IVF ANN top-k: probe only the query's own centroid cell. Same

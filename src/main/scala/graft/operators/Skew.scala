@@ -23,7 +23,13 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
       factor: Int): DataFrame = {
     val salted = df
-      .withColumn("__salt", pmod(xxhash64(valueCol), lit(factor)))
+      // row-position salt, NOT content-derived: a viral key whose rows
+      // share one value would otherwise collapse into a single salt
+      // bucket and reproduce the hot reducer. monotonically_increasing_id
+      // is stable under task retry for deterministic scans (same
+      // partition layout → same ids), and salt values don't affect the
+      // final re-aggregation anyway.
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(factor)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
     salted.groupBy(col(key))

@@ -97,8 +97,12 @@ object TextAnalysis {
     * to `md5(concat_ws(" ", tokens(lower(c))))` in TextSpec.
     */
   def fingerprint(c: Column): Column =
-    md5(get(graft.expressions.WordShingles.shinglesNative(c, Int.MaxValue),
-      lit(0)))
+    // coalesce: null text must fingerprint as md5("") exactly like the
+    // portable concat_ws form (concat_ws skips null arrays)
+    md5(coalesce(
+      get(graft.expressions.WordShingles.shinglesNative(c, Int.MaxValue),
+        lit(0)),
+      lit("")))
 
   /** The portable canonical form (reference semantics for the oracle). */
   def fingerprintPortable(c: Column): Column =

@@ -45,7 +45,6 @@ object EdgePipeline {
   def edgeGold(edges: DataFrame): DataFrame = {
     val links = coalesce(col("recentLinks"),
       array().cast(Schemas.edgeDoc("recentLinks").dataType))
-    val tsPattern = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
     edges
       .filter(col("logicalId").isNotNull)
       .select(
@@ -57,8 +56,9 @@ object EdgePipeline {
         coalesce(col("buildNumber"), lit("Not set")).as("Version"),
         (col("haState").isNotNull && col("haState") =!= "UNCONFIGURED")
           .cast("boolean").as("HA"),
-        datediff(to_timestamp(col("lastContact"), tsPattern),
-          to_timestamp(col("activationTime"), tsPattern)).as("Activated_Days"),
+        datediff(graft.functions.Dates.parseIso(col("lastContact")),
+          graft.functions.Dates.parseIso(col("activationTime")))
+          .as("Activated_Days"),
         size(filter(links, isPrivate(_))).as("Private_links_num"),
         (size(links) - size(filter(links, isPrivate(_)))).as("Public_links_num"),
         exists(links, isBackup(_)).cast("boolean").as("BACKUP"),

@@ -103,6 +103,9 @@ object GatewayPipeline {
   def relationRows(gws: DataFrame, date: Column): DataFrame =
     gws
       .filter(col("gatewayState") === "CONNECTED")
+      .filter(col("logicalId").isNotNull) // same guard as gatewaysGold —
+      // a null GatewayID never matches a MERGE ON clause and would
+      // re-insert on every replay
       .select(col("logicalId").as("GatewayID"),
         explode(col("connectedEdgeList")).as("e"))
       .select(col("e").getField("vceid").as("EdgeID"), col("GatewayID"),

@@ -149,7 +149,7 @@ object CoreQueries extends QueryPack {
     "q09_bucketize" -> Q(
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        o.withColumn("price_bucket", Aggregates.bucketize(o, col("o_totalprice"),
+        o.withColumn("price_bucket", Aggregates.bucketize(col("o_totalprice"),
             Seq(50000.0 -> "b0_50k", 100000.0 -> "b50_100k", 200000.0 -> "b100_200k"),
             "b200k_plus"))
           .groupBy(col("price_bucket"))

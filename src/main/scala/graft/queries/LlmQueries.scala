@@ -23,6 +23,14 @@ object LlmQueries extends QueryPack {
   private val normTokens =
     "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** DuckDB form of [[TextAnalysis.tokens]]: string_split_regex('')
+    * yields [''] where Spark's tokens yields [] — empty/whitespace-only
+    * text must produce an EMPTY token list or counting/unnest oracles
+    * diverge from the Spark side on legal data.
+    */
+  private val tokensSql =
+    s"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE $normTokens END"
+
   private def swPattern(words: Seq[String]) =
     words.mkString("\\b(", "|", ")\\b")
 
@@ -53,14 +61,14 @@ object LlmQueries extends QueryPack {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
-        |  len($normTokens) AS n_tokens,
+        |  len($tokensSql) AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
         |  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
         |  len(regexp_extract_all(lower(text), '${swPattern(TextAnalysis.LangProfiles.en)}')) AS sw_en,
-        |  least(1.0, len($normTokens) / 50.0)
+        |  least(1.0, len($tokensSql) / 50.0)
         |    * (1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) * 5.0))
         |    * least(1.0, len(regexp_extract_all(lower(text), '${swPattern(TextAnalysis.LangProfiles.en)}'))
-        |             / greatest(len($normTokens), 1) * 10.0) AS quality
+        |             / greatest(len($tokensSql), 1) * 10.0) AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin)),
 
@@ -135,7 +143,7 @@ object LlmQueries extends QueryPack {
           s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
         }.mkString(" + ")
         Some(s"""WITH tok AS (
-          |  SELECT doc_id, unnest($normTokens) AS t FROM documents),
+          |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
           |h AS (SELECT doc_id, ${h60sql("t")} AS h FROM tok),
           |sums AS (
           |  SELECT doc_id,

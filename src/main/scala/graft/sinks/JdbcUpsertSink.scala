@@ -46,12 +46,18 @@ object JdbcUpsertSink {
     */
   case object MySql extends Dialect {
     def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String],
-        updateCols: Seq[String]): String = {
-      val updates = updateCols.map(c => s"$c=VALUES($c)").mkString(", ")
-      s"""INSERT INTO $table (${cols.mkString(", ")})
-         |VALUES (${cols.map(_ => "?").mkString(", ")})
-         |ON DUPLICATE KEY UPDATE $updates""".stripMargin
-    }
+        updateCols: Seq[String]): String =
+      if (updateCols.isEmpty)
+        // all-key table (bridge/Events shape): nothing to update —
+        // INSERT IGNORE is the reference's own K2 statement
+        s"""INSERT IGNORE INTO $table (${cols.mkString(", ")})
+           |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
+      else {
+        val updates = updateCols.map(c => s"$c=VALUES($c)").mkString(", ")
+        s"""INSERT INTO $table (${cols.mkString(", ")})
+           |VALUES (${cols.map(_ => "?").mkString(", ")})
+           |ON DUPLICATE KEY UPDATE $updates""".stripMargin
+      }
     def bindOrder(cols: Seq[String], keyCols: Seq[String],
         updateCols: Seq[String]): Seq[String] = cols
   }
@@ -64,12 +70,20 @@ object JdbcUpsertSink {
     def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String],
         updateCols: Seq[String]): String = {
       val on = keyCols.map(k => s"t.$k = ?").mkString(" AND ")
-      val set = updateCols.map(c => s"$c = ?").mkString(", ")
       val ins = s"(${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
-      s"""MERGE INTO $table t
-         |USING SYSIBM.SYSDUMMY1 s ON $on
-         |WHEN MATCHED THEN UPDATE SET $set
-         |WHEN NOT MATCHED THEN INSERT $ins""".stripMargin
+      if (updateCols.isEmpty)
+        // all-key table: degenerate to insert-if-absent (a MATCHED
+        // clause with an empty SET list is invalid SQL)
+        s"""MERGE INTO $table t
+           |USING SYSIBM.SYSDUMMY1 s ON $on
+           |WHEN NOT MATCHED THEN INSERT $ins""".stripMargin
+      else {
+        val set = updateCols.map(c => s"$c = ?").mkString(", ")
+        s"""MERGE INTO $table t
+           |USING SYSIBM.SYSDUMMY1 s ON $on
+           |WHEN MATCHED THEN UPDATE SET $set
+           |WHEN NOT MATCHED THEN INSERT $ins""".stripMargin
+      }
     }
     def bindOrder(cols: Seq[String], keyCols: Seq[String],
         updateCols: Seq[String]): Seq[String] = keyCols ++ updateCols ++ cols

@@ -37,10 +37,14 @@ class DatesSpec extends SparkSpec {
     assert(out === 10.0) // 375e6*8 / (300*1e6) = 10 Mbps
   }
 
-  test("parseIso handles the API timestamp pattern") {
+  test("parseIso handles 1-6 fractional digits like Python %f") {
     import spark.implicits._
-    val out = Seq("2024-03-05T06:07:08.090Z").toDF("s")
-      .select(Dates.parseIso(col("s")).cast("string")).collect().head.getString(0)
-    assert(out === "2024-03-05 06:07:08.09")
+    val out = Seq("2024-03-05T06:07:08.090Z", "2024-03-05T06:07:08.1Z",
+        "2024-03-05T06:07:08.123456Z", "2024-03-05T06:07:08Z")
+      .toDF("s")
+      .select(Dates.parseIso(col("s")).cast("string")).collect()
+      .map(_.getString(0))
+    assert(out.toSeq === Seq("2024-03-05 06:07:08.09", "2024-03-05 06:07:08.1",
+      "2024-03-05 06:07:08.123456", "2024-03-05 06:07:08"))
   }
 }

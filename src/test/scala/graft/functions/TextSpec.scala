@@ -61,6 +61,16 @@ class TextSpec extends SparkSpec {
         TextAnalysis.fingerprintPortable(col("text")).as("p"))
       .filter(col("n") =!= col("p")).count()
     assert(diffs === 0)
+    // null and whitespace-only text both canonicalize to md5("")
+    import spark.implicits._
+    val edge = Seq(Option("  "), None).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("n"),
+        TextAnalysis.fingerprintPortable(col("text")).as("p"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getString(0) === "d41d8cd98f00b204e9800998ecf8427e")
+    }
   }
 
   test("sanitize: drops non-latin1, empty→Invalid, null→null") {

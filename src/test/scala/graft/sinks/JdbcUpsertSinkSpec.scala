@@ -121,6 +121,24 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("all-key tables (bridge shape) degrade to insert-if-absent") {
+    import spark.implicits._
+    withTable(
+      "CREATE TABLE rel (EdgeID VARCHAR(36), GatewayID VARCHAR(36), PRIMARY KEY (EdgeID, GatewayID))",
+      "rel") {
+      val df = Seq(("e-1", "gw-1"), ("e-2", "gw-1")).toDF("EdgeID", "GatewayID")
+      JdbcUpsertSink.write(df, url, "rel", Seq("EdgeID", "GatewayID"),
+        JdbcUpsertSink.DerbyMerge)
+      JdbcUpsertSink.write(df, url, "rel", Seq("EdgeID", "GatewayID"),
+        JdbcUpsertSink.DerbyMerge) // replay: nothing to update, no error
+      assert(queryAll("SELECT count(*) FROM rel") === Seq(Seq(2)))
+    }
+    // MySql renders INSERT IGNORE for the same shape
+    val sql = JdbcUpsertSink.MySql.upsertSql("gatewayrelation",
+      Seq("EdgeID", "GatewayID"), Seq("EdgeID", "GatewayID"), Seq.empty)
+    assert(sql.startsWith("INSERT IGNORE INTO gatewayrelation"))
+  }
+
   test("MySql dialect renders the reference's ODKU statement") {
     val sql = JdbcUpsertSink.MySql.upsertSql("EdgeAttributes",
       Seq("edge_uuid", "name", "used"), Seq("edge_uuid", "name"), Seq("used"))
