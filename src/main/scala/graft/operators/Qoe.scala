@@ -126,8 +126,13 @@ object Qoe {
       .groupByKey(r => (r.getLong(0), r.getDate(1).toString))(
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .flatMapGroups { (k: (Long, String), rows: Iterator[Row]) =>
+        // full-microsecond ordering: getTime() truncates to millis,
+        // which would disagree with the (ts, tiebreak) contract and
+        // the oracle whenever two events share a millisecond
+        def micros(t: java.sql.Timestamp): Long =
+          t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
         val sorted = rows.toIndexedSeq.sortBy(r =>
-          (r.getTimestamp(2).getTime, r.getLong(3)))
+          (micros(r.getTimestamp(2)), r.getLong(3)))
         val states = sorted.map(_.getInt(4))
         val (nb, bm, nk, km, lo) = dailyLinkOutages(states)
         Iterator(Row(k._1, java.sql.Date.valueOf(k._2), nb, bm, nk, km, lo))

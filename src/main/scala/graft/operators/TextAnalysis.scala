@@ -39,9 +39,16 @@ object TextAnalysis {
   def punctCount(c: Column): Column =
     regexp_count(c, lit("[^\\w\\s]"))
 
+  /** The single source of the whole-word stopword regex — consumed by
+    * BOTH the Column form below and the DuckDB oracle interpolation
+    * (LlmQueries), so the two sides cannot drift.
+    */
+  def stopwordPattern(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
   /** Count of any of `words` as whole words in the lowercased text. */
   def stopwordCount(c: Column, words: Seq[String]): Column =
-    regexp_count(lower(c), lit(words.mkString("\\b(", "|", ")\\b")))
+    regexp_count(lower(c), lit(stopwordPattern(words)))
 
   def cjkCount(c: Column): Column =
     regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))

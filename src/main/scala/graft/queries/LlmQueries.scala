@@ -32,7 +32,7 @@ object LlmQueries extends QueryPack {
     s"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE $normTokens END"
 
   private def swPattern(words: Seq[String]) =
-    words.mkString("\\b(", "|", ")\\b")
+    TextAnalysis.stopwordPattern(words)
 
   def defs: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the canonical-form fingerprint.
@@ -42,7 +42,11 @@ object LlmQueries extends QueryPack {
         Dedup.exactDedup(d, "doc_id", TextAnalysis.fingerprint(col("text")))
           .orderBy(col("fp"))
       },
-      Some(s"""SELECT md5(array_to_string($normTokens, ' ')) AS fp,
+      // coalesce: null text canonicalizes to md5('') exactly like
+      // TextAnalysis.fingerprint (md5(NULL) would be a separate NULL
+      // group)
+      Some(s"""SELECT md5(array_to_string(
+        |    string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), ' ')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
         |GROUP BY 1
@@ -199,9 +203,11 @@ object LlmQueries extends QueryPack {
             coalesce(col("n_frames"), lit(0L)).as("n_frames"))
           .orderBy(col("media_id"))
       },
+      // coalesce: null text decodes as 0 bytes / 0 frames on the Spark
+      // side (octet_length(encode(NULL)) would be NULL)
       Some("""SELECT doc_id AS media_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  (CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1) // 2 AS n_frames
+        |  coalesce(octet_length(encode(text)), 0) AS n_bytes,
+        |  (CAST(ceil(coalesce(octet_length(encode(text)), 0) / 256.0) AS BIGINT) + 1) // 2 AS n_frames
         |FROM documents
         |ORDER BY media_id""".stripMargin))
   )

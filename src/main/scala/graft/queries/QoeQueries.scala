@@ -54,8 +54,7 @@ object QoeQueries extends QueryPack {
        |    round(coalesce(sum(CASE WHEN run_state=2 AND pred_state=4 THEN run_len END), 0) * 7.12 / 60, 3) AS brownout_min,
        |    CAST(count(CASE WHEN run_state=0 AND pred_state IN (2,3,4) THEN 1 END) AS INT) AS n_blackouts,
        |    round(coalesce(sum(CASE WHEN run_state=0 AND pred_state IN (2,3,4) THEN run_len END), 0) * 7.12 / 60, 3) AS blackout_min
-       |  FROM o_src GROUP BY user_id, day)""".stripMargin
-      .replace("FROM o_src", "FROM r")
+       |  FROM r GROUP BY user_id, day)""".stripMargin
 
   def defs: Map[String, Q] = Map(
     // A15 declarative: one window + two groupBys, codegen end to end.

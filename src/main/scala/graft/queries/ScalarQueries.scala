@@ -33,7 +33,7 @@ object ScalarQueries extends QueryPack {
       Some("""SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y-%m') || '-01T00:00:00.0' AS alert_date,
         |  (epoch_ms(o_orderdate) // 1000) * 1000 AS epoch_ms,
-        |  strftime(to_timestamp((epoch_ms(o_orderdate) // 1000) * 1000 / 1000), '%Y-%m-%d  %H:%M:%S') AS human,
+        |  strftime(make_timestamp((epoch_ms(o_orderdate) // 1000) * 1000000), '%Y-%m-%d  %H:%M:%S') AS human,
         |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-08-01') AS days_old,
         |  round(o_totalprice * 8 / (300 * 1000 * 1000), 3) AS mbps
         |FROM orders

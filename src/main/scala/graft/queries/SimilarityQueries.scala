@@ -1,15 +1,23 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Nested, Similarity}
 
-/** q31–q32: similarity search over the embeddings table — exact
-  * brute-force cosine top-k and the LSH-bucketed ANN variant. Both are
-  * oracle-gated: scores are strict left-to-right double reductions and
-  * the hyperplanes are interpolated verbatim into the DuckDB SQL, so
-  * even the APPROXIMATE path is bit-reproducible.
+/** q31–q32, q39: similarity search over the embeddings table — exact
+  * brute-force cosine top-k, the LSH-bucketed ANN variant, and
+  * embedding-cosine near-dup. All oracle-gated: scores are strict
+  * left-to-right double reductions and the hyperplanes are
+  * interpolated verbatim into the DuckDB SQL, so even the APPROXIMATE
+  * paths are bit-reproducible.
+  *
+  * Null elements: every query feeds vectors through
+  * [[Nested.fillNullZero]] — DotProductF's contract — and the oracle
+  * mirrors it with `coalesce(x, 0)` in the same place, so a null
+  * embedding element scores identically (the raw fold would
+  * NULL-propagate in DuckDB but skip in the native expression).
   */
 object SimilarityQueries extends QueryPack {
 
@@ -24,16 +32,32 @@ object SimilarityQueries extends QueryPack {
 
   private val Planes = Similarity.hyperplanes(planes = 6, dim = 64)
 
+  /** ONE rendering of the LSH bucket expression for every oracle that
+    * mirrors [[Similarity.hyperplaneBucket]] — q32 and q39 must never
+    * drift apart.
+    */
+  private def bucketSql(v: String): String = {
+    val planeLits = Planes.map(p => p.mkString("([", ", ", "]::DOUBLE[])"))
+    planeLits.zipWithIndex.map { case (pl, j) =>
+      s"(CASE WHEN ${dd(v, pl)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** Null-safe double vectors, Spark and DuckDB sides. */
+  private def vec(c: Column): Column = Nested.fillNullZero(c)
+  private val vSql = "list_transform(embedding, x -> coalesce(x, 0))::DOUBLE[]"
+
   def defs: Map[String, Q] = Map(
     // Exact baseline: every ~100th vector queries the whole corpus.
     "q31_cosine_topk" -> Q(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
         Similarity.bruteForceTopK(
             e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
           .orderBy(col("query_id"), col("rn"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
         |s AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -52,34 +76,29 @@ object SimilarityQueries extends QueryPack {
     "q32_ann_lsh" -> Q(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
         Similarity.annTopK(
             e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
             Planes, 3)
           .orderBy(col("query_id"), col("rn"))
       },
-      {
-        val planeLits = Planes.map(p => p.mkString("([", ", ", "]::DOUBLE[])"))
-        val bucketExpr = planeLits.zipWithIndex.map { case (pl, j) =>
-          s"(CASE WHEN ${dd("v", pl)} > 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-        Some(s"""WITH e AS (
-          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |b AS (
-          |  SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-          |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0),
-          |s AS (
-          |  SELECT q.query_id, b.vec_id AS neighbor_id,
-          |         ${cosSql("qv", "v")} AS cos
-          |  FROM q JOIN b USING (bucket) WHERE q.query_id <> b.vec_id),
-          |r AS (
-          |  SELECT query_id, neighbor_id, cos,
-          |         row_number() OVER (PARTITION BY query_id
-          |           ORDER BY cos DESC, neighbor_id) AS rn
-          |  FROM s)
-          |SELECT query_id, rn, neighbor_id, cos AS cosine
-          |FROM r WHERE rn <= 3
-          |ORDER BY query_id, rn""".stripMargin)
-      }),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, $vSql AS v FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         ${cosSql("qv", "v")} AS cos
+        |  FROM q JOIN b USING (bucket) WHERE q.query_id <> b.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, rn, neighbor_id, cos AS cosine
+        |FROM r WHERE rn <= 3
+        |ORDER BY query_id, rn""".stripMargin)),
 
     // Embedding-cosine near-dup: pairs within the same LSH bucket
     // whose cosine clears the dedup threshold — the vector analog of
@@ -89,6 +108,7 @@ object SimilarityQueries extends QueryPack {
     "q39_embed_near_dup" -> Q(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
         val b = e.select(col("vec_id"), col("embedding"),
           Similarity.hyperplaneBucket(col("embedding"), Planes).as("bucket"))
         val a = b.select(col("bucket"), col("vec_id").as("id_a"),
@@ -102,21 +122,15 @@ object SimilarityQueries extends QueryPack {
           .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      {
-        val planeLits = Planes.map(p => p.mkString("([", ", ", "]::DOUBLE[])"))
-        val bucketExpr = planeLits.zipWithIndex.map { case (pl, j) =>
-          s"(CASE WHEN ${dd("v", pl)} > 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-        Some(s"""WITH e AS (
-          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-          |p AS (
-          |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-          |         ${cosSql("a.v", "b2.v")} AS cos
-          |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
-          |SELECT id_a, id_b, cos AS cosine
-          |FROM p WHERE cos >= 0.4
-          |ORDER BY id_a, id_b""".stripMargin)
-      })
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, $vSql AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |         ${cosSql("a.v", "b2.v")} AS cos
+        |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+        |SELECT id_a, id_b, cos AS cosine
+        |FROM p WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }
