@@ -95,8 +95,9 @@ object VectorExpressions {
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Cosine from the native dot (norms via the same expression —
-    * everything stays inside one codegen stage).
+  /** RAW cosine from the native dot (0/0 ⇒ NaN on zero vectors) —
+    * production paths use [[graft.operators.Similarity.cosineNative]],
+    * which adds the zero-norm guard.
     */
   def cosineF(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt

@@ -35,7 +35,7 @@ object Links {
     * the reference's mixed-type column, kept as string.
     */
   def enrichLinkMetrics(metrics: DataFrame, edgeIdCol: String,
-      wan: DataFrame): DataFrame = {
+      wan: DataFrame, wanEdgeIdCol: String): DataFrame = {
     val m = metrics.select(
       col(edgeIdCol).as("EdgeID"),
       col("link").getField("internalId").as("LinkUUID"),
@@ -48,24 +48,32 @@ object Links {
       // the reference initializes LinkIpAddress=False; typed null here
       col("link").getField("ipAddress").as("IP"))
     val w = wan.select(
+      // join carries the EDGE scope too: internalIds are only unique
+      // per edge, and the reference scans only the same edge's stack
+      col(wanEdgeIdCol).as("EdgeID"),
       col("wan").getField("internalId").as("LinkUUID"),
+      lit(true).as("__matched"),
       col("wan").getField("MTU").cast("string").as("__mtu"),
       col("wan").getField("isp").as("__isp"),
       col("wan").getField("discovery").as("__overlay"),
       col("wan").getField("type").as("__ltype"),
       col("wan").getField("mode").as("__lmode"),
       col("wan").getField("vlanId").cast("string").as("__vlan"))
-    m.join(broadcast(w), Seq("LinkUUID"), "left")
+    // "Not set" means UNMATCHED only; a matched link keeps its raw
+    // (possibly null) config values, exactly like the reference's
+    // unconditional overwrite on match (powerbi_main_fun.py:1657-1665)
+    def matched(c: Column): Column =
+      when(col("__matched"), c).otherwise(lit("Not set"))
+    m.join(broadcast(w), Seq("EdgeID", "LinkUUID"), "left")
       .withColumn("LinkID", concat(col("EdgeID"), lit("-"), col("LinkUUID")))
-      .withColumn("MTU", coalesce(col("__mtu"), lit("Not set")))
-      .withColumn("LinkMode", coalesce(col("__lmode"), lit("Not set")))
-      .withColumn("ISP",
-        when(col("__lmode") === "Private", "MPLS")
-          .otherwise(coalesce(col("__isp"), lit("Not set"))))
-      .withColumn("OverlayType", coalesce(col("__overlay"), lit("Not set")))
-      .withColumn("Linktype", coalesce(col("__ltype"), lit("Not set")))
-      .withColumn("VLANID", coalesce(col("__vlan"), lit("Not set")))
-      .drop("__mtu", "__isp", "__overlay", "__ltype", "__lmode", "__vlan")
+      .withColumn("MTU", matched(col("__mtu")))
+      .withColumn("LinkMode", matched(col("__lmode")))
+      .withColumn("ISP", matched(
+        when(col("__lmode") === "Private", "MPLS").otherwise(col("__isp"))))
+      .withColumn("OverlayType", matched(col("__overlay")))
+      .withColumn("Linktype", matched(col("__ltype")))
+      .withColumn("VLANID", matched(col("__vlan")))
+      .drop("__matched", "__mtu", "__isp", "__overlay", "__ltype", "__lmode", "__vlan")
   }
 
   /** `update_edge_overlay_link` (`powerbi_main_fun.py:1673-1697`): one
@@ -75,6 +83,7 @@ object Links {
     edges.select(
       col(edgeIdCol).as("EdgeID"),
       concat(col(edgeIdCol), lit("-OVERLAY")).as("LinkUUID"),
+      concat(col(edgeIdCol), lit("-"), col(edgeIdCol), lit("-OVERLAY")).as("LinkID"),
       lit("OVERLAY").as("LinkName"),
       lit("VeloCloud").as("ISP"),
       lit("null0").as("Interface"),

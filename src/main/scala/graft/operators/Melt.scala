@@ -47,6 +47,7 @@ object Melt {
     * no shuffle.
     */
   def toEavTyped(df: DataFrame, uuid: String, attrs: Seq[Attr]): DataFrame = {
+    if (attrs.isEmpty) return emptyEav(df, uuid)
     val n = attrs.size
     val pairs: Seq[Column] = attrs.flatMap { a =>
       Seq(lit(a.name),
@@ -73,8 +74,22 @@ object Melt {
     * `vnf_on`, `powerbi_main_fun.py:2426-2434`). Callers needing a
     * different `used` per attribute can post-process before the sink.
     */
+  /** Zero attributes melt to zero rows (stack(0) would be an
+    * AnalysisException) — the natural contract for dynamically
+    * assembled attribute lists.
+    */
+  private def emptyEav(df: DataFrame, uuid: String): DataFrame =
+    df.select(col(uuid).as("uuid"),
+        lit(null).cast("string").as("name"),
+        lit(null).cast("boolean").as("used"),
+        lit(null).cast("double").as("num"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("filter_val"))
+      .filter(lit(false))
+
   def toEav(df: DataFrame, uuid: String,
       numAttrs: Seq[String], textAttrs: Seq[String]): DataFrame = {
+    if (numAttrs.isEmpty && textAttrs.isEmpty) return emptyEav(df, uuid)
     val n = numAttrs.size + textAttrs.size
     val pairs: Seq[Column] =
       numAttrs.flatMap(a => Seq(lit(a), col(a).cast("double"),

@@ -82,6 +82,23 @@ object Nested {
       .groupBy(col(key), col("pos"))
       .agg(sum(cast(col("elem"))).as("elem_sum"))
 
+  /** The reference's EXACT elementwise addition truncates to the
+    * SHORTEST series in the group (Python `zip`,
+    * `powerbi_main_fun.py:1962-1968`) — ragged tails are dropped, not
+    * summed alone. [[elementwiseSum]] keeps every position (the
+    * usually-wanted semantics); this variant filters positions beyond
+    * the group minimum length for reference parity.
+    */
+  def elementwiseSumZip(df: DataFrame, key: String, arr: Column,
+      cast: Column => Column): DataFrame = {
+    val minLen = df.groupBy(col(key))
+      .agg(min(size(arr)).as("__minlen"))
+    elementwiseSum(df, key, arr, cast)
+      .join(minLen, Seq(key))
+      .filter(col("pos") < col("__minlen"))
+      .drop("__minlen")
+  }
+
   /** Sum a numeric array within one row (A11's per-series total,
     * `powerbi_main_fun.py:1954-1962`): higher-order `aggregate`, no
     * explode, stays inside whole-stage codegen.

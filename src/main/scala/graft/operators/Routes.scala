@@ -16,7 +16,9 @@ object Routes {
       Nested.arraySum(
         transform(subnets, s =>
           coalesce(size(filter(s.getField("preferredExits"),
-            e => e.getField("type") =!= "DIRECT")), lit(0))),
+            // null type counts: Python's `None != "DIRECT"` is True,
+            // while a bare =!= would null out and drop the element
+            e => coalesce(e.getField("type"), lit("")) =!= "DIRECT")), lit(0))),
         lit(0)),
       lit(0))
 

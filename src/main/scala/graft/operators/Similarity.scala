@@ -39,7 +39,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm guard: 0/0 would be NaN, and NaN sorts ABOVE every real
+    * double in Spark's descending window order — a degenerate all-zero
+    * vector would occupy rank 1 of every top-k. Defined similarity of
+    * a zero vector is 0.
+    */
+  private def guarded(dotAB: Column, normProd: Column): Column =
+    when(normProd === 0.0d, lit(0.0d)).otherwise(dotAB / normProd)
+
+  def cosine(a: Column, b: Column): Column =
+    guarded(dot(a, b), norm(a) * norm(b))
 
   /** The production cosine: [[graft.expressions.DotProductF]], a
     * native codegen expression proven bit-identical to [[dot]]
@@ -47,8 +56,10 @@ object Similarity {
     * loop (DotBench: 2.15s → 0.33s over 2.5M 64-dim pairs). The
     * oracle-gated queries run THIS path.
     */
-  def cosineNative(a: Column, b: Column): Column =
-    graft.expressions.VectorExpressions.cosineF(a, b)
+  def cosineNative(a: Column, b: Column): Column = {
+    import graft.expressions.VectorExpressions.dotF
+    guarded(dotF(a, b), sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+  }
 
   /** Exact top-k neighbors for each query vector. `queries` must be
     * small (it is broadcast); `corpus` streams. Self-matches excluded.

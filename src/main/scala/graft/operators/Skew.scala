@@ -46,7 +46,10 @@ object Skew {
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
       factor: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(factor)))
+      // row-position salt for the same reason as saltedSumCount:
+      // duplicate hot-key rows must spread, and a content hash sends
+      // identical rows to one bucket
+      pmod(monotonically_increasing_id(), lit(factor)))
     val replicatedBuild = build
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

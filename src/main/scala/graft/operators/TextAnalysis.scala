@@ -89,7 +89,10 @@ object TextAnalysis {
     val cDe = stopwordCount(c, LangProfiles.de)
     val cFr = stopwordCount(c, LangProfiles.fr)
     val cEs = stopwordCount(c, LangProfiles.es)
-    when(cjkCount(c) * 20 > length(c), lit("zh"))
+    // null text → null prediction (every count is null, so without the
+    // guard the when-chain would fall through to "es")
+    when(c.isNull, lit(null).cast("string"))
+      .when(cjkCount(c) * 20 > length(c), lit("zh"))
       .when(cEn >= cDe && cEn >= cFr && cEn >= cEs, lit("en"))
       .when(cDe >= cFr && cDe >= cEs, lit("de"))
       .when(cFr >= cEs, lit("fr"))

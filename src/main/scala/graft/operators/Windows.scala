@@ -71,12 +71,17 @@ object Windows {
     * minimum chunk score kept per key.
     */
   def chunkedMinScore(df: DataFrame, key: String, ts: String, tiebreak: String,
-      sev4: Column, sev3: Column, chunk: Int): DataFrame = {
+      sev4: Column, sev3: Column, chunk: Int,
+      // the reference divides by a LITERAL 8 regardless of chunk size
+      // (`powerbi_main_fun.py:1797`, same quirk as Qoe.lowestQoe) —
+      // callers chunking differently must still opt into a divisor
+      // explicitly
+      divisor: Double = 8.0d): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
     df.withColumn("chunk_id", ((row_number().over(w) - 1) / chunk).cast("long"))
       .groupBy(col(key), col("chunk_id"))
       .agg(((count(when(sev4, 1)) * 10 + count(when(sev3, 1)) * 5)
-             / lit(chunk.toDouble)).as("chunk_score"))
+             / lit(divisor)).as("chunk_score"))
       .groupBy(col(key))
       .agg(min(col("chunk_score")).as("lowest_score"),
            count(lit(1)).as("n_chunks"))

@@ -97,7 +97,8 @@ object LlmQueries extends QueryPack {
           sw(TextAnalysis.LangProfiles.de), sw(TextAnalysis.LangProfiles.fr),
           sw(TextAnalysis.LangProfiles.es))
         Some(s"""SELECT doc_id, $en AS c_en, $de AS c_de, $fr AS c_fr, $es AS c_es,
-          |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 20 > length(text) THEN 'zh'
+          |  CASE WHEN text IS NULL THEN NULL
+          |       WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 20 > length(text) THEN 'zh'
           |       WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
           |       WHEN $de >= $fr AND $de >= $es THEN 'de'
           |       WHEN $fr >= $es THEN 'fr'

@@ -28,7 +28,10 @@ object SimilarityQueries extends QueryPack {
     s"list_reduce([0.0] || list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
 
   private def cosSql(a: String, b: String) =
-    s"${dd(a, b)} / (sqrt(${dd(a, a)}) * sqrt(${dd(b, b)}))"
+    // zero-norm guard mirrors Similarity.cosine/cosineNative
+    s"""CASE WHEN sqrt(${dd(a, a)}) * sqrt(${dd(b, b)}) = 0 THEN 0.0
+       | ELSE ${dd(a, b)} / (sqrt(${dd(a, a)}) * sqrt(${dd(b, b)})) END""".stripMargin
+      .replaceAll("\n", "")
 
   private val Planes = Similarity.hyperplanes(planes = 6, dim = 64)
 

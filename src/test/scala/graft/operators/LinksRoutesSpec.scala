@@ -30,7 +30,7 @@ class LinksRoutesSpec extends SparkSpec {
 
   test("J1 enrichment: WAN decoration, MPLS override, Not set defaults") {
     val wan = Links.wanLinks(stacks, "edgeId")
-    val got = Links.enrichLinkMetrics(metrics, "edge_id", wan)
+    val got = Links.enrichLinkMetrics(metrics, "edge_id", wan, "edgeId")
       .select("LinkUUID", "LinkName", "ISP", "MTU", "LinkMode", "VLANID", "LinkID")
       .orderBy("LinkUUID").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
@@ -47,9 +47,44 @@ class LinksRoutesSpec extends SparkSpec {
     import spark.implicits._
     val got = Links.overlayLinkRows(Seq("e-9").toDF("id"), "id").collect().head
     assert(got.getAs[String]("LinkUUID") === "e-9-OVERLAY")
+    assert(got.getAs[String]("LinkID") === "e-9-e-9-OVERLAY")
     assert(got.getAs[String]("ISP") === "VeloCloud")
     assert(got.getAs[String]("Interface") === "null0")
     assert(got.getAs[String]("OverlayType") === "OVERLAY_DEFINED")
+  }
+
+  test("matched link with null config field keeps null (not 'Not set')") {
+    import spark.implicits._
+    val stacksNullIsp = spark.read.schema(Schemas.configStackDoc).json(Seq(
+      """{"edgeId":"e-1","stack":[
+        |{"name":"Edge Specific Profile","schemaVersion":"3.0.0","modules":[
+        |  {"name":"WAN","data":{"links":[
+        |    {"internalId":"l-1","MTU":1500,"mode":"Public","vlanId":0}]}}]}]}"""
+        .stripMargin.replaceAll("\n", "")).toDS())
+    val wan = Links.wanLinks(stacksNullIsp, "edgeId")
+    val row = Links.enrichLinkMetrics(
+        metrics.filter(col("link.internalId") === "l-1"), "edge_id", wan, "edgeId")
+      .collect().head
+    // matched: isp/discovery/type are null in config → stay null
+    assert(row.getAs[String]("ISP") === null)
+    assert(row.getAs[String]("OverlayType") === null)
+    assert(row.getAs[String]("MTU") === "1500")
+  }
+
+  test("WAN join is scoped per edge (same internalId under two edges)") {
+    import spark.implicits._
+    val twoEdges = spark.read.schema(Schemas.configStackDoc).json(Seq(
+      """{"edgeId":"e-1","stack":[{"name":"Edge Specific Profile","schemaVersion":"3.0.0","modules":[
+        |{"name":"WAN","data":{"links":[{"internalId":"l-1","isp":"ISP-A","mode":"Public"}]}}]}]}""",
+      """{"edgeId":"e-2","stack":[{"name":"Edge Specific Profile","schemaVersion":"3.0.0","modules":[
+        |{"name":"WAN","data":{"links":[{"internalId":"l-1","isp":"ISP-B","mode":"Public"}]}}]}]}"""
+    ).map(_.stripMargin.replaceAll("\n", "")).toDS())
+    val wan = Links.wanLinks(twoEdges, "edgeId")
+    val rows = Links.enrichLinkMetrics(
+        metrics.filter(col("link.internalId") === "l-1"), "edge_id", wan, "edgeId")
+      .collect()
+    assert(rows.length === 1) // no cross-edge fan-out
+    assert(rows.head.getAs[String]("ISP") === "ISP-A") // e-1's config only
   }
 
   test("A7 route aggregates: non-DIRECT preferred exits + 24h change window") {

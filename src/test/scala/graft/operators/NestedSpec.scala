@@ -62,4 +62,26 @@ class NestedSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     assert(got.toSeq === Seq((1, 0, 4.0), (1, 1, 6.0), (2, 0, 5.0), (2, 1, 6.0)))
   }
+
+  test("elementwiseSumZip truncates ragged series to the shortest (Python zip)") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0f, 2.0f, 9.0f)), (1, Seq(3.0f, 4.0f)))
+      .toDF("label", "vec")
+    val got = Nested.elementwiseSumZip(df, "label", col("vec"), _.cast("double"))
+      .orderBy("pos").collect()
+      .map(r => (r.getInt(1), r.getDouble(2)))
+    // position 2 (the longer series' tail) is DROPPED, like zip
+    assert(got.toSeq === Seq((0, 4.0), (1, 6.0)))
+  }
+
+  test("zero-norm vectors score cosine 0, never NaN rank-1") {
+    import spark.implicits._
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val c = df.select(
+        graft.operators.Similarity.cosine(col("a"), col("b")).as("p"),
+        graft.operators.Similarity.cosineNative(col("a"), col("b")).as("n"))
+      .collect().head
+    assert(c.getDouble(0) === 0.0)
+    assert(c.getDouble(1) === 0.0)
+  }
 }
