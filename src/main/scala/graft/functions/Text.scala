@@ -29,13 +29,14 @@ object Text {
   }
 
   /** F2 name validation (`powerbi_main_fun.py:1112-1116`,
-    * `fun_mysql_inserts.py:94-98`): keep only `[A-Za-z0-9_ -]{1,60}`
-    * matches, else 'Invalid'. The reference uses `re.findall` and joins
-    * the pieces; equivalently: strip disallowed chars, truncate to 60,
-    * empty ⇒ 'Invalid'.
+    * `fun_mysql_inserts.py:94-98`): the reference uses ANCHORED
+    * `re.match('[A-Za-z0-9_ -]{1,60}')` — it keeps the LEADING run of
+    * allowed characters (up to 60) and returns 'Invalid' when the very
+    * first character is disallowed. "Acme#1" ⇒ "Acme" (not "Acme1"),
+    * "(Acme)" ⇒ "Invalid".
     */
   def validName(c: Column): Column = {
-    val kept = substring(regexp_replace(c, "[^A-Za-z0-9_ -]", ""), 1, 60)
+    val kept = regexp_extract(c, "^[A-Za-z0-9_ -]{1,60}", 0)
     when(kept.isNull || kept === "", lit("Invalid")).otherwise(kept)
   }
 
@@ -80,12 +81,14 @@ object Text {
     "  " -> " ")
 
   /** The reference's extraction regex (`powerbi_main_fun.py:2454`):
-    * `[^0-9_'"|& -][A-Za-z^0-9_'"|& -][A-Za-z'"& - ]*` — first char
-    * anything but digit/punct/space, second from a literal class that
-    * (per Python semantics) includes `^`, tail letters/quotes/&/-/space.
+    * `[^0-9_'"|& -][A-Za-z^0-9_'"|& -][A-Za-z'"& - ]*`. Subtle: in the
+    * THIRD class the dash sits between two spaces, which Python parses
+    * as the empty range space-to-space — so the tail does NOT admit
+    * '-' ("Acme-Corp" extracts "Acme"). The first two classes end in
+    * `" -]"`, where the dash IS literal.
     */
   private val MarketingExtract =
-    """[^0-9_'"|& \-][A-Za-z^0-9_'"|& \-][A-Za-z'"& \- ]*""".r
+    """[^0-9_'"|& \-][A-Za-z^0-9_'"|& \-][A-Za-z'"& ]*""".r
 
   /** F3 marketing-name cleanup (`powerbi_main_fun.py:2437-2467`),
     * reproduced exactly:

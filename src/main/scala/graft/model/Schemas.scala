@@ -123,6 +123,7 @@ object Schemas {
     StructField("enterpriseId", StringType),
     StructField("name", StringType),
     StructField("edgeState", StringType),
+    StructField("activationState", StringType),
     StructField("activationTime", StringType),
     StructField("lastContact", StringType),
     StructField("created", StringType),

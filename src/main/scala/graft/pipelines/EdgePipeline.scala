@@ -28,14 +28,22 @@ object EdgePipeline {
   def readEdges(spark: SparkSession, jsonLines: Dataset[String]): DataFrame =
     spark.read.schema(Schemas.edgeDoc).json(jsonLines)
 
-  /** P6: the reference's sentinel coordinates mark private/MPLS links
-    * (`powerbi_main_fun.py:695-697,1548-1561`).
+  /** P6: the reference's sentinel LATITUDE alone marks private/MPLS
+    * links (`powerbi_main_fun.py:1548`: `link["lat"] == 37.402866 or
+    * link["lat"] == "37.402866"` — no lon check; the string form is
+    * moot under the typed schema).
     */
   private def isPrivate(link: Column): Column =
-    link.getField("lat") === 37.402866 && link.getField("lon") === -122.117332
+    link.getField("lat") === 37.402866
 
+  /** Python `None != "UNCONFIGURED"` is True — null backupState counts
+    * as backup (`powerbi_main_fun.py:1556`).
+    */
   private def isBackup(link: Column): Column =
-    link.getField("backupState") =!= "UNCONFIGURED"
+    coalesce(link.getField("backupState") =!= "UNCONFIGURED", lit(true))
+
+  private def isWireless(link: Column): Column =
+    coalesce(link.getField("networkType") === "WIRELESS", lit(false))
 
   /** Edge gold rows (`customer.sql:111-168` subset): null-key filter
     * (P2), sanitized/validated name (F1/F2), "Not set" defaults (P12),
@@ -56,13 +64,20 @@ object EdgePipeline {
         coalesce(col("buildNumber"), lit("Not set")).as("Version"),
         (col("haState").isNotNull && col("haState") =!= "UNCONFIGURED")
           .cast("boolean").as("HA"),
-        datediff(graft.functions.Dates.parseIso(col("lastContact")),
-          graft.functions.Dates.parseIso(col("activationTime")))
-          .as("Activated_Days"),
+        // gated on ACTIVATED exactly like `powerbi_main_fun.py:
+        // 1117-1122` (else 0); datediff truncates to dates, matching
+        // the reference's date-only strptime
+        when(col("activationState") === "ACTIVATED",
+          datediff(graft.functions.Dates.parseIso(col("lastContact")),
+            graft.functions.Dates.parseIso(col("activationTime"))))
+          .otherwise(0).as("Activated_Days"),
         size(filter(links, isPrivate(_))).as("Private_links_num"),
         (size(links) - size(filter(links, isPrivate(_)))).as("Public_links_num"),
-        exists(links, isBackup(_)).cast("boolean").as("BACKUP"),
-        exists(links, l => l.getField("networkType") === "WIRELESS")
+        // BACKUP/WIRELESS are evaluated for PUBLIC links only — the
+        // reference's else-branch (`powerbi_main_fun.py:1553-1561`)
+        exists(filter(links, l => !isPrivate(l)), isBackup(_))
+          .cast("boolean").as("BACKUP"),
+        exists(filter(links, l => !isPrivate(l)), isWireless(_))
           .cast("boolean").as("WIRELESS"),
         coalesce(col("site").getField("city"), lit("Not set")).as("City"),
         coalesce(Text.normalizeCountry(col("site").getField("country")),

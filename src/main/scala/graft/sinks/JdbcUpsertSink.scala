@@ -145,20 +145,28 @@ object JdbcUpsertSink {
           // corrupt a reused PreparedStatement across executeBatch+
           // commit cycles, and a dangling prepare holds a transaction
           // open at close; preparing is cheap next to a 500-row batch.
-          rows.grouped(batchSize).foreach { chunk =>
-            val ps: PreparedStatement = conn.prepareStatement(sql)
-            try {
-              chunk.foreach { row =>
-                var i = 0
-                while (i < fieldIdx.length) {
-                  setParam(ps, i + 1, fieldTypes(i), row, fieldIdx(i))
-                  i += 1
+          try {
+            rows.grouped(batchSize).foreach { chunk =>
+              val ps: PreparedStatement = conn.prepareStatement(sql)
+              try {
+                chunk.foreach { row =>
+                  var i = 0
+                  while (i < fieldIdx.length) {
+                    setParam(ps, i + 1, fieldTypes(i), row, fieldIdx(i))
+                    i += 1
+                  }
+                  ps.addBatch()
                 }
-                ps.addBatch()
-              }
-              ps.executeBatch()
-              conn.commit()
-            } finally ps.close()
+                ps.executeBatch()
+                conn.commit()
+              } finally ps.close()
+            }
+          } catch {
+            case e: Throwable =>
+              // roll back the open transaction so close() cannot throw
+              // (Derby: ERROR 25001) and mask the real batch error
+              try conn.rollback() catch { case _: Exception => () }
+              throw e
           }
         } finally conn.close()
       }

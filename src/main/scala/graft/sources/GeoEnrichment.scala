@@ -75,7 +75,11 @@ object GeoEnrichment {
           res.map(_.postalCode).orNull)
       }
     }
+    // persist: without it every downstream action re-executes the
+    // throttled external calls (each broadcast re-materializes the
+    // lineage)
     val resolved = df.sparkSession.createDataFrame(resolvedRdd, resolvedSchema)
+      .persist()
     keyed.join(broadcast(resolved), Seq("lat", "lon"), "left")
   }
 }

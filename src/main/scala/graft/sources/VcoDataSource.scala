@@ -119,15 +119,26 @@ private class VcoPartitionReader(schema: StructType, transportClass: String,
     val transport = Class.forName(transportClass)
       .getDeclaredConstructor().newInstance()
       .asInstanceOf[TransportFactory].create()
-    val withJson =
-      if (partition.withList.isEmpty) ""
-      else partition.withList.mkString("\"", "\",\"", "\"")
-    val params = s"""{"vco":"${partition.vco}","with":[$withJson]}"""
+    def params(withList: Seq[String]) = {
+      val withJson =
+        if (withList.isEmpty) "" else withList.mkString("\"", "\",\"", "\"")
+      s"""{"vco":"${partition.vco}","with":[$withJson]}"""
+    }
+    // license-less degraded-projection fallback, same as the
+    // driver-side path (`powerbi_main_fun.py:187-194`): a VCO that
+    // rejects the licenses expansion degrades instead of failing the
+    // whole scan
     val lines = VcoSource.callWithRetry(transport,
-        "enterprise/getEnterpriseEdges", params) match {
+        "enterprise/getEnterpriseEdges", params(partition.withList))
+      .left.flatMap { _ =>
+        if (partition.withList.contains("licenses"))
+          VcoSource.callWithRetry(transport, "enterprise/getEnterpriseEdges",
+            params(partition.withList.filterNot(_ == "licenses")))
+        else Left("no fallback available")
+      } match {
       case Right(ls) => ls
       case Left(err) => throw new RuntimeException(
-        s"VCO ${partition.vco} scan failed: $err")
+        s"VCO ${partition.vco} scan failed after fallback: $err")
     }
     // JSON → InternalRow with the PRUNED schema (absent = null)
     val parser = org.apache.spark.sql.catalyst.expressions.JsonToStructs(

@@ -19,15 +19,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** K2/late-dup (`customer.sql:352-355` unique key + INSERT IGNORE):
-    * streaming dedup on the business key, with a watermark so state
-    * for keys older than `watermarkDelay` is dropped — bounded memory
-    * at any scale.
+    * streaming dedup on the BUSINESS key — duplicates with different
+    * event timestamps still collapse (the INSERT IGNORE semantics),
+    * and `dropDuplicatesWithinWatermark` bounds the state without
+    * needing the event-time column in the key set.
     */
   def dedupStream(events: DataFrame, tsCol: String, watermarkDelay: String,
       keys: Seq[String]): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Tumbling daily counts (the 30×24 h QoE loop and daily `Date`
     * grain): incremental per-window partial aggregation; late rows
@@ -78,7 +79,10 @@ object Streams {
             for (t <- sorted) {
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1))
+                  // max: a late-but-in-gap event must not move the
+                  // session end backwards (it would split the session
+                  // against later on-time events)
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(key, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))

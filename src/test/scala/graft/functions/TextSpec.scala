@@ -33,7 +33,12 @@ class TextSpec extends SparkSpec {
     "O'Brien & Sons | Ltd" -> Some("O'Brien & Sons "),
     "x"                    -> None,
     "zz"                   -> Some("zz"),
-    "Acme2000 Inc"         -> Some("Acme"))
+    "Acme2000 Inc"         -> Some("Acme"),
+    // the tail class does NOT admit '-' (empty range quirk), but the
+    // 2nd char class does
+    "Acme-Corp"            -> Some("Acme"),
+    "AT&T - West"          -> Some("AT&T "),
+    "a-b-c"                -> Some("a-b"))
 
   test("marketingNameScala matches the reference chain on goldens") {
     for ((in, expected) <- marketingGoldens)
@@ -83,13 +88,14 @@ class TextSpec extends SparkSpec {
       None, Some("Invalid")))
   }
 
-  test("validName: strips disallowed chars, truncates to 60, empty→Invalid") {
+  test("validName: ANCHORED leading run (re.match), 60 cap, Invalid on bad start") {
     import spark.implicits._
     val long = "a" * 70
-    val rows = Seq("Valid_Name-1", "bad!@#", "!!!", long)
+    val rows = Seq("Valid_Name-1", "bad!@#", "!!!", long, "Acme#1", "(Acme)")
       .toDF("s").select(Text.validName(col("s")).as("c"))
       .collect().map(_.getString(0))
-    assert(rows.toSeq === Seq("Valid_Name-1", "bad", "Invalid", "a" * 60))
+    assert(rows.toSeq === Seq("Valid_Name-1", "bad", "Invalid", "a" * 60,
+      "Acme", "Invalid"))
   }
 
   test("validPostal: guard with fallback") {

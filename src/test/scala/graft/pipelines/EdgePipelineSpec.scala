@@ -18,6 +18,7 @@ class EdgePipelineSpec extends SparkSpec {
   // (dropped); sparse document (missing model/site/links → defaults).
   private val fixture = Seq(
     """{"id":1,"logicalId":"e-1","enterpriseId":"c-1","name":"Edge Ône!","edgeState":"CONNECTED",
+       "activationState":"ACTIVATED",
        "activationTime":"2024-01-01T00:00:00.000Z","lastContact":"2024-01-11T00:00:00.000Z",
        "buildNumber":"4.5.0","modelNumber":"edge540","haState":"PENDING_INIT",
        "site":{"city":"Palo Alto","country":"US","postalCode":"94040"},
@@ -79,12 +80,13 @@ class EdgePipelineSpec extends SparkSpec {
         |Public_links_num, BACKUP, WIRELESS, City, Country, PostalCode
         |FROM Edge ORDER BY EdgeID""".stripMargin)
     assert(edgeRows.length === 2) // null logicalId dropped
-    // e-1: sanitized+validated name (Ô is latin1 → kept by sanitize,
-    // stripped by validName), private sentinel counted, HA pending.
-    assert(edgeRows(0) === Seq("e-1", "Edge ne", "edge540", true, 10,
+    // e-1: sanitize keeps latin1 Ô; validName is ANCHORED (re.match) so
+    // the leading run "Edge " survives; private sentinel counted by lat
+    // alone; HA pending; ACTIVATED → 10 days.
+    assert(edgeRows(0) === Seq("e-1", "Edge ", "edge540", true, 10,
       1, 1, true, true, "Palo Alto", "United States of America", "94040"))
-    // e-3: sparse document → defaults everywhere.
-    assert(edgeRows(1) === Seq("e-3", "bare", "Not set", false, null,
+    // e-3: sparse document → defaults everywhere (not ACTIVATED → 0 days).
+    assert(edgeRows(1) === Seq("e-3", "bare", "Not set", false, 0,
       0, 0, false, false, "Not set", "Not set", "Invalid"))
 
     val linkRows = queryAll(
