@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.expressions.{HashUtil, ShingleUtil}
+import graft.functions.Text
+import graft.operators.Qoe
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ScalaCheck properties over the pure (driver-side) functions —
+  * invariants the golden tests can't enumerate (SURVEY §5.3).
+  * Runs under `sbt test` via scalacheck's native sbt framework.
+  */
+object PureProperties extends Properties("graft.pure") {
+
+  private val stateSeq: Gen[List[Int]] =
+    Gen.listOf(Gen.chooseNum(0, 4))
+
+  property("qoe.transitions: count positive iff timer positive, count <= timer") =
+    forAll(stateSeq) { states =>
+      val (count, timer) = Qoe.transitions(states.toIndexedSeq, 4, 2)
+      (count == 0) == (timer == 0) && count <= timer
+    }
+
+  property("qoe.transitions: timer equals total length of to-runs preceded by from") =
+    forAll(stateSeq) { states =>
+      val s = states.toIndexedSeq
+      val (_, timer) = Qoe.transitions(s, 4, 2)
+      // independent run-length derivation of the same quantity
+      var expect = 0
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == 2 && i > 0 && s(i - 1) != 2) {
+          if (s(i - 1) == 4) {
+            var j = i
+            while (j < s.length && s(j) == 2) { expect += 1; j += 1 }
+          }
+        }
+        i += 1
+      }
+      timer == expect
+    }
+
+  property("qoe.lowestQoe: bounded by min and max chunk potential") =
+    forAll(stateSeq) { states =>
+      val lo = Qoe.lowestQoe(states)
+      lo >= 0.0 && lo <= 10.0 // 8 fours in a chunk = 80/8 = 10 max
+    }
+
+  property("qoe.dailyLinkOutages: blackout count <= total 0-samples") =
+    forAll(stateSeq) { states =>
+      val (_, _, blackouts, _, _) = Qoe.dailyLinkOutages(states.toIndexedSeq)
+      blackouts <= states.count(_ == 0)
+    }
+
+  private val nameGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.oneOf(' ', '-', '_'),
+      2 -> Gen.oneOf('#', '!', 'é', '|', '&', '\''))).map(_.mkString)
+
+  property("text.validName contract: anchored run is a prefix, capped at 60") =
+    forAll(nameGen) { s =>
+      val kept = "^[A-Za-z0-9_ -]{1,60}".r.findFirstIn(s).getOrElse("")
+      kept.isEmpty || (s.startsWith(kept) && kept.length <= 60 &&
+        kept.matches("[A-Za-z0-9_ -]+"))
+    }
+
+  property("shingles: count is max(1, tokens - n + 1); each n-gram has n tokens") =
+    forAll(Gen.listOf(Gen.identifier).map(_.mkString(" ")),
+        Gen.chooseNum(1, 5)) { (text, n) =>
+      val arr = ShingleUtil.shingles(UTF8String.fromString(text), n)
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_ => text.trim.nonEmpty)
+      val expected = if (toks.length < n) 1 else toks.length - n + 1
+      val sizesOk = (0 until arr.numElements()).forall { i =>
+        val sh = arr.getUTF8String(i).toString
+        toks.length < n || sh.split(" ").length == n
+      }
+      arr.numElements() == expected && sizesOk
+    }
+
+  property("md5h60: non-negative and below 2^60; deterministic") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val u = UTF8String.fromString(s)
+      val h1 = HashUtil.md5h60(u)
+      val h2 = HashUtil.md5h60(UTF8String.fromString(s))
+      h1 >= 0L && h1 < (1L << 60) && h1 == h2
+    }
+
+  property("marketingNameScala: never empty string, never whitespace-only Invalid leak") =
+    forAll(nameGen) { s =>
+      val out = Text.marketingNameScala(s)
+      out == null || out.nonEmpty
+    }
+}
