@@ -210,6 +210,60 @@ object LlmQueries extends QueryPack {
         |  coalesce(octet_length(encode(text)), 0) AS n_bytes,
         |  (CAST(ceil(coalesce(octet_length(encode(text)), 0) / 256.0) AS BIGINT) + 1) // 2 AS n_frames
         |FROM documents
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // Vocabulary building: corpus-wide token frequencies (the
+    // tokenizer-training input). One explode + one count shuffle —
+    // at 100 TB this is the canonical wordcount whose partial
+    // aggregation keeps the shuffle proportional to |vocab|.
+    "q40_vocabulary" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(graft.expressions.WordShingles.shinglesNative(
+          col("text"), 1)).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy(col("token")),
+      Some(s"""SELECT token, count(*) AS n
+        |FROM (SELECT unnest($tokensSql) AS token FROM documents)
+        |GROUP BY token
+        |HAVING count(*) >= 10
+        |ORDER BY token""".stripMargin)),
+
+    // The canonical corpus quality gate: keep documents that clear the
+    // quality score and language filter — the compose-everything
+    // filter a training-data pipeline runs before tokenization.
+    "q41_corpus_filter" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .withColumn("kept",
+          (col("quality") >= 0.5 && col("pred_lang") === "en").cast("int"))
+        .orderBy(col("doc_id")),
+      {
+        def sw(words: Seq[String]) =
+          s"len(regexp_extract_all(lower(text), '${swPattern(words)}'))"
+        val (en, de, fr, es) = (sw(TextAnalysis.LangProfiles.en),
+          sw(TextAnalysis.LangProfiles.de), sw(TextAnalysis.LangProfiles.fr),
+          sw(TextAnalysis.LangProfiles.es))
+        val quality =
+          s"""least(1.0, len($tokensSql) / 50.0)
+             |    * (1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) * 5.0))
+             |    * least(1.0, $en / greatest(len($tokensSql), 1) * 10.0)""".stripMargin
+        val lang =
+          s"""CASE WHEN text IS NULL THEN NULL
+             |       WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 20 > length(text) THEN 'zh'
+             |       WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+             |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+             |       WHEN $fr >= $es THEN 'fr'
+             |       ELSE 'es' END""".stripMargin
+        Some(s"""SELECT doc_id,
+          |  $quality AS quality,
+          |  $lang AS pred_lang,
+          |  CAST(($quality) >= 0.5 AND ($lang) = 'en' AS INT) AS kept
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin)
+      })
   )
 }
