@@ -131,9 +131,13 @@ object Schemas {
     StructField("modelNumber", StringType),
     StructField("serialNumber", StringType),
     StructField("haState", StringType),
+    StructField("softwareVersion", StringType),
     StructField("site", site),
     StructField("recentLinks", ArrayType(recentLink)),
     StructField("licenses", ArrayType(license)),
+    StructField("cloudServices", ArrayType(StructType(Seq(
+      StructField("state", StringType),
+      StructField("nvs_ip", StringType))))),
     StructField("vnfs", StructType(Seq(
       StructField("securityVnf", StructType(Seq(
         StructField("vms", ArrayType(StructType(Seq(

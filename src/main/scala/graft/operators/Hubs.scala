@@ -33,6 +33,30 @@ object Hubs {
       .withColumn("is_hub", coalesce(col("__is_hub"), lit(false)))
       .drop("hub_id", "__is_hub")
 
+  /** `update_edge_css` traversal half (`powerbi_main_fun.py:
+    * 2486-2520`): has_css = any cloudServices entry regardless of
+    * state; css_ip = the FIRST state=UP entry's nvs_ip (the loop
+    * breaks on first match). The MaxMind lookup on that ip is external
+    * I/O and belongs to the [[graft.sources.GeoEnrichment]] pattern
+    * (distinct ips → throttled client → broadcast join), with the
+    * reference's `city = coalesce(city, country)` fallback applied on
+    * the joined columns.
+    */
+  def cssAttrs(cloudServices: Column): Column = {
+    val hasCss = coalesce(size(cloudServices) > 0, lit(false))
+    val firstUp = get(filter(cloudServices,
+      s => s.getField("state") === "UP"), lit(0))
+    struct(
+      hasCss.as("has_css"),
+      when(hasCss, coalesce(firstUp.getField("nvs_ip"), lit("")))
+        .otherwise(lit("")).as("css_ip"))
+  }
+
+  /** `edge_update_software_version` (`powerbi_main_fun.py:2470-2484`):
+    * empty string normalizes to null before the EAV upsert.
+    */
+  def softwareVersion(c: Column): Column = nullif(c, lit(""))
+
   /** `update_edge_vnf` (`powerbi_main_fun.py:2401-2434`): securityVnf
     * vms[0].data traversal. has_vnf = insertionEnabled; type/vendor
     * only read when has_vnf (reference leaves '' / False otherwise —

@@ -77,6 +77,35 @@ class HubsSpec extends SparkSpec {
     assert(got.toSeq === Seq(true, false, true, false))
   }
 
+  test("cssAttrs: any-entry has_css, first-UP ip, break semantics") {
+    import spark.implicits._
+    val edges = spark.read.schema(Schemas.edgeDoc).json(Seq(
+      // two UP entries: the FIRST one's ip wins (loop break)
+      """{"logicalId":"e-1","cloudServices":[
+        |{"state":"DOWN","nvs_ip":"1.1.1.1"},
+        |{"state":"UP","nvs_ip":"2.2.2.2"},
+        |{"state":"UP","nvs_ip":"3.3.3.3"}]}""".stripMargin.replaceAll("\n", ""),
+      // present but never UP: has_css true, ip empty
+      """{"logicalId":"e-2","cloudServices":[{"state":"BACKUP","nvs_ip":"4.4.4.4"}]}""",
+      // absent: all defaults
+      """{"logicalId":"e-3"}"""
+    ).toDS())
+    val got = edges.select(col("logicalId"),
+        Hubs.cssAttrs(col("cloudServices")).as("c")).select("logicalId", "c.*")
+      .orderBy("logicalId").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      ("e-1", true, "2.2.2.2"), ("e-2", true, ""), ("e-3", false, "")))
+  }
+
+  test("softwareVersion: empty string normalizes to null") {
+    import spark.implicits._
+    val got = Seq(Some("4.5.0"), Some(""), None).toDF("v")
+      .select(Hubs.softwareVersion(col("v"))).collect()
+      .map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(Some("4.5.0"), None, None))
+  }
+
   test("lastBy returns the value at the max order") {
     import spark.implicits._
     val df = Seq((1, 10L, "v1"), (1, 30L, "v3"), (1, 20L, "v2"))
