@@ -59,12 +59,9 @@ object PureProperties extends Properties("graft.pure") {
       8 -> Gen.alphaNumChar, 3 -> Gen.oneOf(' ', '-', '_'),
       2 -> Gen.oneOf('#', '!', 'é', '|', '&', '\''))).map(_.mkString)
 
-  property("text.validName contract: anchored run is a prefix, capped at 60") =
-    forAll(nameGen) { s =>
-      val kept = "^[A-Za-z0-9_ -]{1,60}".r.findFirstIn(s).getOrElse("")
-      kept.isEmpty || (s.startsWith(kept) && kept.length <= 60 &&
-        kept.matches("[A-Za-z0-9_ -]+"))
-    }
+  // (validName is property-checked against the PRODUCTION Column form
+  // in TextSpec's randomized comparison — a pure re-derivation here
+  // would only test itself.)
 
   property("shingles: count is max(1, tokens - n + 1); each n-gram has n tokens") =
     forAll(Gen.listOf(Gen.identifier).map(_.mkString(" ")),

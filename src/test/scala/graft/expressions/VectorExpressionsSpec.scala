@@ -37,12 +37,23 @@ class VectorExpressionsSpec extends SparkSpec {
 
   test("interpreted and codegen paths agree") {
     import spark.implicits._
-    val df = Seq((Seq(1.5f, -2.5f, 3.0f), Seq(2.0f, 4.0f, -1.0f))).toDF("a", "b")
-    // collect() exercises codegen; eval via filter on the driver-side
-    // literal path exercises nullSafeEval
+    val a = Seq(1.5f, -2.5f, 3.0f)
+    val b = Seq(2.0f, 4.0f, -1.0f)
+    val expected = 1.5 * 2.0 + -2.5 * 4.0 + 3.0 * -1.0
+    // codegen path via collect()
+    val df = Seq((a, b)).toDF("a", "b")
     val v = df.select(VectorExpressions.dotF(col("a"), col("b"))).collect()
       .head.getDouble(0)
-    assert(v === (1.5 * 2.0 + -2.5 * 4.0 + 3.0 * -1.0))
+    assert(v === expected)
+    // interpreted path: direct nullSafeEval on catalyst literals
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val la = Literal.create(a, ArrayType(FloatType))
+    val lb = Literal.create(b, ArrayType(FloatType))
+    assert(DotProductF(la, lb).eval(null) === expected)
+    // mixed float/double inputs through the interpreter too
+    val ld = Literal.create(b.map(_.toDouble), ArrayType(DoubleType))
+    assert(DotProductF(la, ld).eval(null) === expected)
   }
 
   test("GraftExtensions injects a 2-arg graft_dot builder") {

@@ -98,6 +98,21 @@ class TextSpec extends SparkSpec {
       "Acme", "Invalid"))
   }
 
+  test("validName: randomized agreement with the reference's re.match semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val chars = "abzAZ09_ -#!é|&'(".toCharArray
+    val inputs = Seq.fill(200)(
+      (0 until rnd.nextInt(80)).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    val got = inputs.toDF("s").select(Text.validName(col("s"))).collect()
+      .map(_.getString(0))
+    val expected = inputs.map { s =>
+      val kept = "^[A-Za-z0-9_ -]{1,60}".r.findFirstIn(s).getOrElse("")
+      if (kept.isEmpty) "Invalid" else kept
+    }
+    assert(got.toSeq === expected)
+  }
+
   test("validPostal: guard with fallback") {
     import spark.implicits._
     val rows = Seq(("94040", "f1"), ("12 34.AB-x_", "f2"), ("bad#code", "f3"))

@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
-import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Bucketing demonstration (SURVEY §4 / the co-located-join lever):

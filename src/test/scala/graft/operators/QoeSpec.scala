@@ -94,7 +94,9 @@ class QoeSpec extends SparkSpec {
     val rows = for {
       (u, states) <- cases
       (st, i) <- states.zipWithIndex
-    } yield (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d.${i / 60}%03d"), i.toLong, st)
+      // minutes/seconds split so timestamp order equals index order for
+      // ANY sample count (millis-encoding overflowed past 60 samples)
+    } yield (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), i.toLong, st)
     val df = rows.toDF("user_id", "ts", "event_id", "state")
     val decl = Qoe.dailyOutagesDF(df, "user_id", to_date(col("ts")), "ts",
         "event_id", "state").collect()

@@ -14,7 +14,8 @@ class CsvSinkSpec extends SparkSpec {
     val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
       .filter(_.endsWith(".csv"))
     assert(files.length === 1)
-    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    val lines = scala.util.Using(scala.io.Source.fromFile(files.head))(
+      _.getLines().toSeq).get
     assert(lines.head === "id,v")
     assert(lines.tail.sorted === Seq("1,a", "2,b"))
   }
