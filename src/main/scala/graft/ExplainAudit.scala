@@ -32,11 +32,17 @@ object ExplainAudit {
       val shuffles = lines.count(_.contains("Exchange hashpartitioning")) +
         lines.count(_.contains("Exchange rangepartitioning"))
       val broadcasts = lines.count(_.contains("BroadcastExchange"))
+      // any cartesian is a scale-killer unless one side is provably
+      // tiny; BroadcastNestedLoopJoin is counted too (it's the
+      // broadcast-side cartesian Spark picks for non-equi joins)
+      val cartesians = lines.count(_.contains("CartesianProduct")) +
+        lines.count(_.contains("BroadcastNestedLoopJoin"))
       // codegen stages render as "*(n)" prefixes in the plan string
       val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
         .map(_.group(1)).toSet.size
       val pushed = lines.filter(_.contains("PushedFilters: [")).map(_.trim.take(120))
-      println(s"== $name: shuffles=$shuffles broadcasts=$broadcasts codegenSpans=$codegen")
+      println(s"== $name: shuffles=$shuffles broadcasts=$broadcasts " +
+        s"cartesians=$cartesians codegenSpans=$codegen")
       pushed.distinct.take(3).foreach(l => println(s"   $l"))
     }
     spark.stop()

@@ -36,7 +36,16 @@ object Tables {
     * double division would lose precision at 1e18-nanosecond magnitudes.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Required at SESSION BUILD, not set here: a loader mutating
+    // session conf as a side effect can race concurrent plans and
+    // masks misconfigured sessions (every entry point — Verify, Bench,
+    // ExplainAudit, SparkSpec — sets it in its builder).
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet stores ts as TIMESTAMP(NANOS); set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
+        "SparkSession")
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

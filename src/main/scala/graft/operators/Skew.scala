@@ -26,9 +26,11 @@ object Skew {
       // row-position salt, NOT content-derived: a viral key whose rows
       // share one value would otherwise collapse into a single salt
       // bucket and reproduce the hot reducer. monotonically_increasing_id
-      // is stable under task retry for deterministic scans (same
-      // partition layout → same ids), and salt values don't affect the
-      // final re-aggregation anyway.
+      // is NOT guaranteed stable under task retry / AQE re-planning —
+      // that is fine HERE because the salt only spreads rows and never
+      // changes the algebraic re-aggregation, but do not reuse this
+      // salt where per-row stability matters (use a content hash +
+      // disambiguator there instead).
       .withColumn("__salt", pmod(monotonically_increasing_id(), lit(factor)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))

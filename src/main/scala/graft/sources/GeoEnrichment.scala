@@ -75,11 +75,17 @@ object GeoEnrichment {
           res.map(_.postalCode).orNull)
       }
     }
-    // persist: without it every downstream action re-executes the
-    // throttled external calls (each broadcast re-materializes the
-    // lineage)
-    val resolved = df.sparkSession.createDataFrame(resolvedRdd, resolvedSchema)
-      .persist()
+    // Materialize the resolved dim ONCE, driver-side: without this,
+    // every downstream action re-executes the throttled external
+    // calls (each broadcast re-materializes the lineage). A persist()
+    // would also work but leaks cache in long sessions (nothing owns
+    // the unpersist); the dim is the distinct coordinate set, which
+    // broadcast ships through the driver anyway — collecting it is
+    // the same data movement with an explicit lifetime.
+    import scala.jdk.CollectionConverters._
+    val resolvedRows = resolvedRdd.collect().toSeq
+    val resolved = df.sparkSession.createDataFrame(
+      resolvedRows.asJava, resolvedSchema)
     keyed.join(broadcast(resolved), Seq("lat", "lon"), "left")
   }
 }
