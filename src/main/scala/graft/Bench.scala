@@ -5,10 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   *
-  * Methodology (VERDICT r1 item 8):
+  * Methodology (VERDICT r1 item 8; VERDICT r3 item 5):
   *  - a warm-up pass (flagship query + one window query) pays the
   *    JVM/codegen/parquet-footer cost once, so per-query numbers are
   *    comparable across rounds and runs;
+  *  - each query is timed over SPARK_GRAFT_BENCH_ITERS (default 3)
+  *    iterations and the MEDIAN is reported — single-iteration
+  *    timings showed ±4× run-to-run variance on identical plans
+  *    across rounds, which swamped every per-query regression signal;
   *  - materialization is a `noop`-format write, which executes the FULL
   *    plan (sorts, projections) — `.count()` lets Catalyst prune the
   *    final orderBy and unused columns, under-measuring the real work;
@@ -19,13 +23,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -35,15 +33,21 @@ object Bench {
     for (w <- Seq("q01_pricing_summary", "q12_topk_window"))
       SparkEntry.queries.get(w).foreach(fn => try runOne(fn) catch { case _: Throwable => () })
 
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { runOne(fn); true } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          false
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (0 until iters).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try { runOne(fn); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            -1.0
+        }
+      }.takeWhile(_ >= 0).toSeq // a failure aborts the query's loop
+      val median =
+        if (times.size < iters) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
 
     def jstr(s: String): String =

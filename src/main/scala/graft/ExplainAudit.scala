@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: per-query physical-plan audit — shuffle/broadcast/codegen
   * counts and scan pushdown lines. Run after adding an operator; a
@@ -15,15 +14,10 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = Sessions.localBuilder("4")
       // static plan shape: AQE's un-finalized wrapper hides codegen
       // stages and final exchanges; production paths keep AQE on
       .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; fn <- SparkEntry.queries.get(name)) {
@@ -41,8 +35,21 @@ object ExplainAudit {
       val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
         .map(_.group(1)).toSet.size
       val pushed = lines.filter(_.contains("PushedFilters: [")).map(_.trim.take(120))
+      // expression-level audit: count evaluations of a named expression
+      // class across the whole physical plan (e.g. RegExpCount — used
+      // to prove the q26/q41 counts-once restructuring holds in the
+      // final plan, where a toString-based count would truncate)
+      val exprCounts = sys.env.get("SPARK_GRAFT_COUNT_EXPR").map { cls =>
+        var n = 0
+        fn(spark, sfDir).queryExecution.executedPlan.foreach { node =>
+          node.expressions.foreach(_.foreach { e =>
+            if (e.getClass.getSimpleName == cls) n += 1
+          })
+        }
+        s" $cls=$n"
+      }.getOrElse("")
       println(s"== $name: shuffles=$shuffles broadcasts=$broadcasts " +
-        s"cartesians=$cartesians codegenSpans=$codegen")
+        s"cartesians=$cartesians codegenSpans=$codegen$exprCounts")
       pushed.distinct.take(3).foreach(l => println(s"   $l"))
     }
     spark.stop()

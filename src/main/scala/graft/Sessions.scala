@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place that knows the session confs every graft entry point
+  * needs — new mains can't forget `nanosAsLong` (which
+  * [[Tables.events]] hard-requires) or ship a 200-partition default
+  * shuffle into a local run.
+  */
+object Sessions {
+
+  /** Builder for a local session with the graft-required confs:
+    * UTC (oracle parity), `nanosAsLong` (events.parquet stores
+    * TIMESTAMP(NANOS)), shuffle partitions sized to the core count
+    * (32 threads want 32 partitions, not the 200 default — at cluster
+    * scale this is a per-job setting, not a constant).
+    */
+  def localBuilder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

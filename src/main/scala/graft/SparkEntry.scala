@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, SimilarityQueries, WindowQueries}
+import graft.queries.{CoreQueries, GoldQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, SimilarityQueries, SinkQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(CoreQueries, WindowQueries, NestedQueries, QoeQueries, LlmQueries,
-      SimilarityQueries, LicenseQueries, ScalarQueries)
+      SimilarityQueries, LicenseQueries, ScalarQueries, GoldQueries,
+      SinkQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =
     packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>

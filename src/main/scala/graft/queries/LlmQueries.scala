@@ -55,14 +55,21 @@ object LlmQueries extends QueryPack {
     // Token counting (whitespace + BPE-ish), punctuation, stopwords,
     // composite quality score.
     "q26_text_stats" -> Q(
+      // two-step projection: the regex counts are computed ONCE, then
+      // quality is arithmetic over the count columns (CollapseProject
+      // keeps the split because the counts are referenced twice)
       (s, dir) => Tables.documents(s, dir).select(
           col("doc_id"),
+          length(col("text")).as("__chars"),
           TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
           TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
           TextAnalysis.stopwordCount(col("text"),
-            TextAnalysis.LangProfiles.en).cast("long").as("sw_en"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+            TextAnalysis.LangProfiles.en).cast("long").as("sw_en"))
+        .select(col("doc_id"), col("n_tokens"), col("bpe_tokens"),
+          col("n_punct"), col("sw_en"),
+          TextAnalysis.qualityScoreFrom(col("n_tokens"), col("n_punct"),
+            col("__chars"), col("sw_en")).as("quality"))
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
         |  len($tokensSql) AS n_tokens,
@@ -81,13 +88,16 @@ object LlmQueries extends QueryPack {
     "q27_lang_id" -> Q(
       (s, dir) => {
         val t = col("text")
+        // counts once, argmax over the columns (see qualityScoreFrom)
         Tables.documents(s, dir).select(
-          col("doc_id"),
+          col("doc_id"), t,
           TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.en).cast("long").as("c_en"),
           TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.de).cast("long").as("c_de"),
           TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.fr).cast("long").as("c_fr"),
-          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.es).cast("long").as("c_es"),
-          TextAnalysis.langId(t).as("pred_lang"))
+          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.es).cast("long").as("c_es"))
+        .select(col("doc_id"), col("c_en"), col("c_de"), col("c_fr"), col("c_es"),
+          TextAnalysis.langIdFrom(t, col("c_en"), col("c_de"), col("c_fr"),
+            col("c_es")).as("pred_lang"))
         .orderBy(col("doc_id"))
       },
       {
@@ -163,17 +173,18 @@ object LlmQueries extends QueryPack {
     // Candidate pairs come from the LSH banding path (equi-join on
     // (band, sig) buckets — no cartesian anywhere in the plan), and
     // exact Jaccard is the verifier. The oracle computes ALL-pairs
-    // Jaccard: at threshold 0.9 with 16 bands × 2 rows the LSH miss
-    // probability per qualifying pair is (1-s²)^16 ≤ 0.19^16 ≈ 2e-12,
-    // and the fixed permutation constants make recall deterministic —
-    // the hash gate itself proves no pair was lost.
+    // Jaccard, and the green hash against it IS the recall proof:
+    // with the fixed permutation seed, recall on a given corpus is one
+    // deterministic draw, so the gate re-proves it per run. The
+    // (1-s²)^16 ≈ 2e-12 banding bound is the expected-case heuristic
+    // under random permutations, not a per-corpus guarantee.
     "q30_jaccard_pairs" -> Q(
       (s, dir) => {
         val docs = Tables.documents(s, dir).filter(col("doc_id") % 20 === 0)
-        val shingled = Dedup.shingleHashes(docs, "doc_id", "text", 1)
-        val sigs = Dedup.minhashSignatures(
-          Dedup.shingleHashes(docs, "doc_id", "text", 1, dedup = false),
-          "doc_id", 32)
+        // one shingle+digest pipeline; the deduped view is a distinct()
+        val raw = Dedup.shingleHashes(docs, "doc_id", "text", 1, dedup = false)
+        val shingled = raw.distinct()
+        val sigs = Dedup.minhashSignatures(raw, "doc_id", 32)
         val pairs = Dedup.candidatePairs(
           Dedup.lshBuckets(sigs, "doc_id", bands = 16, rowsPerBand = 2),
           "doc_id")
@@ -240,10 +251,27 @@ object LlmQueries extends QueryPack {
     // quality score and language filter — the compose-everything
     // filter a training-data pipeline runs before tokenization.
     "q41_corpus_filter" -> Q(
+      // ~5 regex passes per row (4 stopword profiles + punct; CJK only
+      // via langIdFrom), not the ~9 of the single-arg forms — the
+      // counts project once, quality/langId are arithmetic over them
       (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).as("__chars"),
+          TextAnalysis.nTokens(col("text")).as("__nt"),
+          TextAnalysis.punctCount(col("text")).as("__np"),
+          TextAnalysis.stopwordCount(col("text"),
+            TextAnalysis.LangProfiles.en).as("__en"),
+          TextAnalysis.stopwordCount(col("text"),
+            TextAnalysis.LangProfiles.de).as("__de"),
+          TextAnalysis.stopwordCount(col("text"),
+            TextAnalysis.LangProfiles.fr).as("__fr"),
+          TextAnalysis.stopwordCount(col("text"),
+            TextAnalysis.LangProfiles.es).as("__es"))
         .select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.langId(col("text")).as("pred_lang"))
+          TextAnalysis.qualityScoreFrom(col("__nt"), col("__np"),
+            col("__chars"), col("__en")).as("quality"),
+          TextAnalysis.langIdFrom(col("text"), col("__en"), col("__de"),
+            col("__fr"), col("__es")).as("pred_lang"))
         .withColumn("kept",
           (col("quality") >= 0.5 && col("pred_lang") === "en").cast("int"))
         .orderBy(col("doc_id")),

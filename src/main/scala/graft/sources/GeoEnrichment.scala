@@ -47,15 +47,33 @@ object GeoEnrichment {
     * `precision` decimals first — the reference's 1 %-resample
     * throttle (P10) becomes a deterministic cache key instead.
     */
+  /** NOTE: eager at call time — the distinct-coordinate resolution
+    * (and therefore every throttled external call) executes INSIDE
+    * this method so the dim is materialized exactly once; the
+    * returned frame only carries the broadcast join. The implicit
+    * contract is that the distinct coordinate set fits on the driver:
+    * `maxDistinctCoords` makes that bound explicit — a mis-rounded
+    * `precision` (or a 100× fleet) fails with a clear message instead
+    * of a driver OOM.
+    */
   def enrich(df: DataFrame, latCol: String, lonCol: String,
       clientFactory: () => GeoClient, maxCallsPerSecond: Int = 10,
-      precision: Int = 4): DataFrame = {
+      precision: Int = 4, maxDistinctCoords: Long = 1000000L): DataFrame = {
     val keyed = df
       .withColumn("lat", round(col(latCol), precision))
       .withColumn("lon", round(col(lonCol), precision))
     val distinctCoords = keyed.select(col("lat"), col("lon"))
       .filter(col("lat").isNotNull && col("lon").isNotNull)
       .distinct()
+
+    // guard BEFORE the throttled calls and the driver materialization:
+    // counting is one cheap distributed pass over the distinct set
+    val nCoords = distinctCoords.count()
+    require(nCoords <= maxDistinctCoords,
+      s"GeoEnrichment: $nCoords distinct coordinates exceed the " +
+        s"driver-materialization bound $maxDistinctCoords — raise " +
+        "maxDistinctCoords deliberately or coarsen `precision` " +
+        s"(currently $precision decimals)")
 
     val minIntervalNanos = 1000000000L / math.max(1, maxCallsPerSecond)
     val resolvedRdd = distinctCoords.rdd.mapPartitions { it =>

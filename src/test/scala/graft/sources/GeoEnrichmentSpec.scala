@@ -44,4 +44,19 @@ class GeoEnrichmentSpec extends SparkSpec {
     // 2 distinct non-null coordinate pairs → exactly 2 external calls
     assert(CountingGeoClient.calls.get() === 2)
   }
+
+  test("enrich fails loudly when the distinct set exceeds the driver bound") {
+    import spark.implicits._
+    CountingGeoClient.calls.set(0)
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble, i.toDouble))
+      .toDF("id", "latitude", "longitude")
+    val e = intercept[IllegalArgumentException] {
+      GeoEnrichment.enrich(df, "latitude", "longitude",
+        () => new FakeGeoClient, maxCallsPerSecond = 1000,
+        maxDistinctCoords = 5L)
+    }
+    assert(e.getMessage.contains("exceed the driver-materialization bound"))
+    // the guard fires BEFORE any throttled external call
+    assert(CountingGeoClient.calls.get() === 0)
+  }
 }
