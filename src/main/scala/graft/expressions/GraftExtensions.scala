@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_weighted_score"),
+      new ExpressionInfo(classOf[WeightedScoreFold].getName,
+        "graft_weighted_score"),
+      GraftExtensions.weightedScoreBuilder))
   }
 }
 
@@ -23,5 +28,11 @@ object GraftExtensions {
   val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, "graft_dot takes exactly 2 arguments")
     DotProductF(children.head, children(1))
+  }
+
+  val weightedScoreBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      "graft_weighted_score takes exactly 1 argument")
+    WeightedScoreFold(children.head)
   }
 }

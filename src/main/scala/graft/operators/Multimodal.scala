@@ -35,9 +35,70 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  private val PngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 &&
+      java.util.Arrays.equals(bytes.take(4), PngMagic)
+
+  /** REAL image decode (`javax.imageio` — in every JRE, no extra
+    * dependency): PNG bytes → (width, height, L1-normalized
+    * `FeatureDim`-bucket histogram of the blue channel — exact
+    * luminance for grayscale, where r=g=b). Returns None for
+    * undecodable payloads so callers can fall back to the stub.
+    * PNG is lossless: the pixel values round-trip exactly, which is
+    * what lets a SQL oracle recompute the histogram from the pixel
+    * formula (q52).
+    */
+  def decodePngFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Double](FeatureDim)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            hist((img.getRGB(x, y) & 0xFF) * FeatureDim / 256) += 1d
+            y += 1
+          }
+          x += 1
+        }
+        val n = (w * h).toDouble
+        var j = 0
+        while (j < FeatureDim) { hist(j) /= n; j += 1 }
+        Some((w, h, hist))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic tiny grayscale PNG: pixel(x, y) = (seed*31 +
+    * x*h + y) mod 256 on all three channels. The encode side of the
+    * q52 round trip — ingest's stand-in for real image payloads.
+    */
+  def syntheticPng(seed: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val v = ((seed * 31 + x * h + y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        y += 1
+      }
+      x += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** STUB decode: byte-value histogram over `FeatureDim` buckets,
-    * L1-normalized. Deterministic, shape-stable, and cheap — replace
-    * with a real decoder (JNI/codec) without touching callers.
+    * L1-normalized. Deterministic, shape-stable, and cheap — the
+    * fallback for modalities whose codecs aren't wired (audio/video).
     */
   def stubDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)
@@ -79,12 +140,42 @@ object Multimodal {
         // per-partition "decoder init" happens here in a real codec
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
+          // dispatch on the payload, not the declared kind: PNG gets
+          // the REAL decoder, everything else the stub fallback
+          val features = decodePngFeatures(bytes) match {
+            case Some((_, _, hist)) => hist.map(_.toFloat).toSeq
+            case None => stubDecodeFeatures(bytes).toSeq
+          }
           Row(r.getLong(0), r.getString(1),
             if (bytes == null) 0L else bytes.length.toLong,
-            stubDecodeFeatures(bytes).toSeq)
+            features)
         }
       }
     media.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** q52's operator: encode a deterministic PNG per row (the ingest
+    * stand-in) and run it through the REAL decoder — one codec
+    * context per partition, no shuffle. Output (id, width, height,
+    * hist) is exactly recomputable from the pixel formula, so a SQL
+    * oracle can gate the decoder's actual output values.
+    */
+  def pngRoundTripFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("hist", ArrayType(DoubleType))))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h, hist) = decodePngFeatures(syntheticPng(id))
+          .getOrElse(throw new IllegalStateException(
+            s"PNG round-trip failed for id $id"))
+        Row(id, w, h, hist.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
   }
 
   /** Explode sampled frames relationally: (media_id, frame_idx,

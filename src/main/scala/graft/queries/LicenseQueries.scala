@@ -112,8 +112,10 @@ object LicenseQueries extends QueryPack {
             // No rounding: the fold is bit-identical in both engines,
             // while round(·,6) at 1e9 magnitudes is sub-ulp and
             // disagrees between shortest-repr and exact-expansion
-            // rounders.
-            License.runningWeightedScore(
+            // rounders. Native codegen fold — proven bit-equal to the
+            // interpreted HOF recurrence (WeightedScoreFoldSpec), so
+            // the DuckDB list_reduce mirror still hash-matches.
+            graft.expressions.WeightedScoreFold.scoreF(
               transform(col("links"), l => l.getField("sc"))).as("score"))
           .orderBy(col("l_orderkey"))
       },

@@ -229,6 +229,28 @@ object LlmQueries extends QueryPack {
         |FROM documents
         |ORDER BY media_id""".stripMargin)),
 
+    // REAL image decode under the oracle gate: a deterministic 8×8
+    // grayscale PNG is encoded per document (ingest stand-in), decoded
+    // with javax.imageio inside the partition pass, and the decoder's
+    // ACTUAL output histogram is compared to the pixel formula the
+    // oracle recomputes in SQL — PNG is lossless, so a wrong decode
+    // cannot hash-match. The stub path stays for codec-less kinds.
+    "q52_png_decode" -> Q(
+      (s, dir) => Multimodal.pngRoundTripFeatures(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          posexplode(col("hist")).as(Seq("bucket", "share")))
+        .orderBy(col("doc_id"), col("bucket")),
+      Some("""WITH px AS (
+        |  SELECT doc_id, CAST(((doc_id * 31 + i) % 256) // 16 AS INT) AS b
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i FROM documents)),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM px GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, CAST(unnest(generate_series(0, 15)) AS INT) AS bucket FROM documents)
+        |SELECT bk.doc_id, 8 AS width, 8 AS height, bk.bucket,
+        |  coalesce(c, 0) / 64.0 AS share
+        |FROM bk LEFT JOIN cnt ON cnt.doc_id = bk.doc_id AND cnt.b = bk.bucket
+        |ORDER BY bk.doc_id, bk.bucket""".stripMargin)),
+
     // Vocabulary building: corpus-wide token frequencies (the
     // tokenizer-training input). One explode + one count shuffle —
     // at 100 TB this is the canonical wordcount whose partial

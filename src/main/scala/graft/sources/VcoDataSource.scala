@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -58,15 +58,33 @@ private class VcoTable(schema: StructType, props: Map[String, String])
 }
 
 private class VcoScanBuilder(fullSchema: StructType, props: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands us the pruned shape; remember it for the with-list.
     required = requiredSchema
 
-  override def build(): Scan = new VcoScan(required, props)
+  /** Predicate pushdown → call params (`powerbi_main_fun.py:465-481`:
+    * the reference passes `enterpriseId` and an `interval` object in
+    * the request body, fetching only the matching slice). We translate
+    * the supported shapes into params but return EVERY filter as
+    * residual — the server-side param is a data-reduction hint, and
+    * Spark re-applying the predicate keeps exactness independent of
+    * server behavior (the parquet-source convention for best-effort
+    * pushdown).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(VcoScan.pushable)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new VcoScan(required, props, pushed)
 }
 
 private object VcoScan {
@@ -76,9 +94,43 @@ private object VcoScan {
     */
   val Expansions = Seq("site", "configuration", "recentLinks", "vnfs",
     "licenses", "cloudServices")
+
+  /** The filter shapes the API request can express: enterprise
+    * equality and a time interval on `lastContact`
+    * (`powerbi_main_fun.py:465-481` uses exactly these two request
+    * params for the events slice).
+    */
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo("enterpriseId", _) => true
+    case GreaterThan("lastContact", _) | GreaterThanOrEqual("lastContact", _) => true
+    case LessThan("lastContact", _) | LessThanOrEqual("lastContact", _) => true
+    case _ => false
+  }
+
+  /** Render the pushed filters as request-param JSON fragments. */
+  def filterParams(pushed: Seq[Filter]): Seq[String] = {
+    def j(v: Any): String = v match {
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case other => String.valueOf(other)
+    }
+    val ent = pushed.collectFirst { case EqualTo("enterpriseId", v) =>
+      s""""enterpriseId":${j(v)}""" }
+    val start = pushed.collectFirst {
+      case GreaterThan("lastContact", v) => s""""start":${j(v)}"""
+      case GreaterThanOrEqual("lastContact", v) => s""""start":${j(v)}""" }
+    val end = pushed.collectFirst {
+      case LessThan("lastContact", v) => s""""end":${j(v)}"""
+      case LessThanOrEqual("lastContact", v) => s""""end":${j(v)}""" }
+    val interval = (start.toSeq ++ end.toSeq) match {
+      case Nil => None
+      case parts => Some(s""""interval":{${parts.mkString(",")}}""")
+    }
+    ent.toSeq ++ interval.toSeq
+  }
 }
 
-private class VcoScan(schema: StructType, props: Map[String, String])
+private class VcoScan(schema: StructType, props: Map[String, String],
+    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -92,7 +144,8 @@ private class VcoScan(schema: StructType, props: Map[String, String])
   override def planInputPartitions(): Array[InputPartition] =
     props.getOrElse("vcos", "")
       .split(",").filter(_.nonEmpty)
-      .map(v => VcoPartition(v, withList): InputPartition)
+      .map(v => VcoPartition(v, withList,
+        VcoScan.filterParams(pushed.toSeq)): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VcoReaderFactory(schema,
@@ -100,8 +153,8 @@ private class VcoScan(schema: StructType, props: Map[String, String])
         throw new IllegalArgumentException("option 'transport' is required")))
 }
 
-private case class VcoPartition(vco: String, withList: Seq[String])
-    extends InputPartition
+private case class VcoPartition(vco: String, withList: Seq[String],
+    filterParams: Seq[String] = Seq.empty) extends InputPartition
 
 private class VcoReaderFactory(schema: StructType, transportClass: String)
     extends PartitionReaderFactory {
@@ -122,7 +175,8 @@ private class VcoPartitionReader(schema: StructType, transportClass: String,
     def params(withList: Seq[String]) = {
       val withJson =
         if (withList.isEmpty) "" else withList.mkString("\"", "\",\"", "\"")
-      s"""{"vco":"${partition.vco}","with":[$withJson]}"""
+      val filters = partition.filterParams.map("," + _).mkString
+      s"""{"vco":"${partition.vco}","with":[$withJson]$filters}"""
     }
     // license-less degraded-projection fallback, same as the
     // driver-side path (`powerbi_main_fun.py:187-194`): a VCO that

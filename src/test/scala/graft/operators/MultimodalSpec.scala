@@ -41,6 +41,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("PNG decode is real: round-trips exact pixel values") {
+    val bytes = Multimodal.syntheticPng(seed = 7L)
+    assert(Multimodal.isPng(bytes))
+    val Some((w, h, hist)) = Multimodal.decodePngFeatures(bytes)
+    assert((w, h) === ((8, 8)))
+    // recompute the histogram straight from the pixel formula — a
+    // lossy or shifted decode cannot match
+    val expected = new Array[Double](Multimodal.FeatureDim)
+    for (i <- 0 until 64) expected(((7L * 31 + i) % 256).toInt / 16) += 1d / 64
+    assert(hist.toSeq === expected.toSeq)
+    // a PNG payload routes through the real decoder inside
+    // decodeFeatures; non-PNG kinds keep the stub
+    import spark.implicits._
+    val df = Seq((9L, "image", Multimodal.syntheticPng(9L)))
+      .toDF("media_id", "kind", "bytes")
+    val feats = Multimodal.decodeFeatures(df)
+      .select(col("features")).head.getSeq[Float](0)
+    val exp9 = new Array[Float](Multimodal.FeatureDim)
+    for (i <- 0 until 64) exp9(((9L * 31 + i) % 256).toInt / 16) += 1f / 64
+    assert(feats === exp9.toSeq)
+  }
+
   test("resizeMeta rewrites metadata only") {
     import spark.implicits._
     val withMeta = media.withColumn("meta",

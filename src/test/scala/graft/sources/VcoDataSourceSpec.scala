@@ -61,4 +61,25 @@ class VcoDataSourceSpec extends SparkSpec {
     val connected = read.filter(col("edgeState") === "CONNECTED").count()
     assert(connected === 3)
   }
+
+  test("enterpriseId/interval predicates push down into call params") {
+    RecordedCalls.calls.clear()
+    read.select("logicalId")
+      .filter(col("enterpriseId") === "ent-1" &&
+        col("lastContact") > "2024-01-01T00:00:00.000Z" &&
+        col("lastContact") <= "2024-02-01T00:00:00.000Z")
+      .collect()
+    val params = RecordedCalls.calls.poll()
+    assert(params.contains("\"enterpriseId\":\"ent-1\""), params)
+    assert(params.contains(
+      "\"interval\":{\"start\":\"2024-01-01T00:00:00.000Z\"," +
+        "\"end\":\"2024-02-01T00:00:00.000Z\"}"), params)
+    // pushdown is best-effort: the predicate ALSO applies Spark-side,
+    // so rows the fake server returns anyway are still filtered out
+    // (fixture rows have null enterpriseId → none survive)
+    RecordedCalls.calls.clear()
+    val n = read.filter(col("enterpriseId") === "ent-1").count()
+    assert(n === 0)
+    assert(RecordedCalls.calls.poll().contains("\"enterpriseId\":\"ent-1\""))
+  }
 }
