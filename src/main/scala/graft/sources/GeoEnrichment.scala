@@ -34,6 +34,71 @@ object GeoEnrichment {
     def reverse(lat: Double, lon: Double): Option[GeoResult]
   }
 
+  /** One resolved IP (the MaxMind `insights` response subset the
+    * reference consumes, `powerbi_main_fun.py:2506-2517`).
+    */
+  final case class IpGeoResult(organization: String, country: String,
+      city: String)
+
+  /** IP-intelligence service interface (`geoip2.webservice.Client`
+    * analog); implementations own credentials per partition.
+    */
+  trait IpGeoClient extends Serializable {
+    def insights(ip: String): Option[IpGeoResult]
+  }
+
+  private val ipResolvedSchema = StructType(Seq(
+    StructField("__ip", StringType),
+    StructField("css_organization", StringType),
+    StructField("css_country", StringType),
+    StructField("css_city", StringType)))
+
+  /** The MaxMind/IP half of S20 (`update_edge_css`,
+    * `powerbi_main_fun.py:2496-2519`): resolve the DISTINCT IPs of
+    * `ipCol` through `client` (throttled, cached per partition) and
+    * broadcast-join organization/country/city back. The reference
+    * calls the web service once per edge INSIDE the row loop; the
+    * scale shape is identical to the coordinate half — dedupe first,
+    * resolve the tiny distinct set, join back. City falls back to
+    * country when the service has no city (reference line 2514-2515).
+    * Same eager-at-call-time semantics and driver bound as [[enrich]].
+    */
+  def enrichIp(df: DataFrame, ipCol: String,
+      clientFactory: () => IpGeoClient, maxCallsPerSecond: Int = 10,
+      maxDistinctIps: Long = 1000000L): DataFrame = {
+    val distinctIps = df.select(col(ipCol).as("__ip"))
+      .filter(col("__ip").isNotNull && col("__ip") =!= "")
+      .distinct()
+    val nIps = distinctIps.count()
+    require(nIps <= maxDistinctIps,
+      s"GeoEnrichment: $nIps distinct IPs exceed the " +
+        s"driver-materialization bound $maxDistinctIps")
+    val minIntervalNanos = 1000000000L / math.max(1, maxCallsPerSecond)
+    val resolvedRdd = distinctIps.rdd.mapPartitions { it =>
+      val client = clientFactory()
+      val cache = scala.collection.mutable.HashMap.empty[String, Option[IpGeoResult]]
+      var lastCall = 0L
+      it.map { r =>
+        val ip = r.getString(0)
+        val res = cache.getOrElseUpdate(ip, {
+          val wait = lastCall + minIntervalNanos - System.nanoTime()
+          if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
+          lastCall = System.nanoTime()
+          client.insights(ip)
+        })
+        Row(ip,
+          res.map(_.organization).orNull,
+          res.map(_.country).orNull,
+          res.flatMap(x => Option(x.city).orElse(Option(x.country))).orNull)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val resolved = df.sparkSession.createDataFrame(
+      resolvedRdd.collect().toSeq.asJava, ipResolvedSchema)
+    df.join(broadcast(resolved), df(ipCol) === resolved("__ip"), "left")
+      .drop("__ip")
+  }
+
   private val resolvedSchema = StructType(Seq(
     StructField("lat", DoubleType),
     StructField("lon", DoubleType),
