@@ -36,15 +36,35 @@ object SimilarityQueries extends QueryPack {
   private val Planes = Similarity.hyperplanes(planes = 6, dim = 64)
 
   /** ONE rendering of the LSH bucket expression for every oracle that
-    * mirrors [[Similarity.hyperplaneBucket]] — q32 and q39 must never
-    * drift apart.
+    * mirrors [[Similarity.hyperplaneBucket]] — q32, q39 and q56 must
+    * never drift apart.
     */
-  private def bucketSql(v: String): String = {
-    val planeLits = Planes.map(p => p.mkString("([", ", ", "]::DOUBLE[])"))
+  private def bucketSqlFor(v: String, planes: Seq[Seq[Double]]): String = {
+    val planeLits = planes.map(p => p.mkString("([", ", ", "]::DOUBLE[])"))
     planeLits.zipWithIndex.map { case (pl, j) =>
       s"(CASE WHEN ${dd(v, pl)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
   }
+
+  private def bucketSql(v: String): String = bucketSqlFor(v, Planes)
+
+  /** Fixed-seed structures for the approximate paths (same discipline
+    * as `Planes`: the seed is part of the spec, the oracle
+    * interpolates the identical constants).
+    */
+  private val MultiTables = Similarity.hyperplaneTables(
+    tables = 3, planesPerTable = 4, dim = 64)
+
+  private val Centroids: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(4242L)
+    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+  }
+
+  /** DuckDB literal of a float centroid: the WIDENED double value
+    * (Float.toString would re-parse to a different double).
+    */
+  private def centroidLit(c: Seq[Float]): String =
+    c.map(_.toDouble).mkString("([", ", ", "]::DOUBLE[])")
 
   /** Null-safe double vectors, Spark and DuckDB sides. */
   private def vec(c: Column): Column = Nested.fillNullZero(c)
@@ -134,6 +154,83 @@ object SimilarityQueries extends QueryPack {
         |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
         |SELECT id_a, id_b, cos AS cosine
         |FROM p WHERE cos >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Multi-table LSH ANN: candidate when buckets match in ANY of the
+    // 3 tables (union-of-probes recall lift), deduped before scoring —
+    // the oracle's UNION performs the same dedup.
+    "q56_ann_multitable" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        Similarity.annTopKMultiTable(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            MultiTables, 3)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val perTable = MultiTables.map { planes =>
+          s"""SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id
+             |  FROM e a JOIN e c
+             |    ON ${bucketSqlFor("a.v", planes)} = ${bucketSqlFor("c.v", planes)}
+             |  WHERE a.vec_id % 100 = 0 AND a.vec_id <> c.vec_id""".stripMargin
+        }.mkString("\n  UNION\n  ")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |cand AS (
+          |  $perTable),
+          |s AS (
+          |  SELECT cand.query_id, cand.neighbor_id,
+          |         ${cosSql("q.v", "c.v")} AS cos
+          |  FROM cand
+          |  JOIN e q ON q.vec_id = cand.query_id
+          |  JOIN e c ON c.vec_id = cand.neighbor_id),
+          |r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM s)
+          |SELECT query_id, rn, neighbor_id, cos AS cosine
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      }),
+
+    // IVF-flat ANN: nearest-centroid cell assignment (argmax with the
+    // higher-index tiebreak of array_max over (score, index) structs),
+    // probe only the query's own cell.
+    "q57_ann_ivf" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        Similarity.annTopKIvf(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            Centroids, 3)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val cosPerCentroid = Centroids.map(c => cosSql("v", centroidLit(c)))
+        // argmax with ties to the HIGHER index (struct ordering of
+        // array_max): scan from the top index down with >= against the
+        // greatest of the lower ones
+        val cells = cosPerCentroid.zipWithIndex.reverse
+        val cellSql = cells.init.map { case (c, i) =>
+          val lower = cosPerCentroid.take(i).mkString("greatest(", ", ", ")")
+          s"WHEN ($c) >= $lower THEN $i"
+        }.mkString("CASE ", " ", " ELSE 0 END")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |b AS (SELECT vec_id, v, $cellSql AS cell FROM e),
+          |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM b WHERE vec_id % 100 = 0),
+          |s AS (
+          |  SELECT q.query_id, b.vec_id AS neighbor_id,
+          |         ${cosSql("qv", "v")} AS cos
+          |  FROM q JOIN b USING (cell) WHERE q.query_id <> b.vec_id),
+          |r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM s)
+          |SELECT query_id, rn, neighbor_id, cos AS cosine
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      })
   )
 }

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.sinks.JdbcUpsertSink
+import graft.sinks.{CsvSink, JdbcUpsertSink}
 
-/** q50: the K1 sink round-trip oracle row (VERDICT r3 item 3).
+/** q50/q53–q55: sink round-trip oracle rows (VERDICT r3 item 3).
   *
   * A derived frame is merged into embedded Derby TWICE through
   * [[JdbcUpsertSink]] (the replay — the reference re-runs its
@@ -54,6 +54,105 @@ object SinkQueries extends QueryPack {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |GROUP BY 1
-        |ORDER BY nk""".stripMargin))
+        |ORDER BY nk""".stripMargin)),
+
+    // ------------------------------------------------------------ K6
+    // CSV sink round-trip: write → read back with a declared schema →
+    // hash-compare to the derivation's oracle. String/long columns
+    // only, so the text round trip is exact by construction.
+    "q53_csv_roundtrip" -> Q(
+      (s, dir) => {
+        val derived = Tables.nation(s, dir)
+          .join(Tables.region(s, dir),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_nations"),
+            min(col("n_name")).as("first_nation"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_csv").toString + "/out"
+        CsvSink.write(derived, path, header = true, singleFile = true)
+        s.read.option("header", "true")
+          .schema("r_name STRING, n_nations BIGINT, first_nation STRING")
+          .csv(path)
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1
+        |ORDER BY r_name""".stripMargin)),
+
+    // ------------------------------------------------------------ K2
+    // Insert-if-absent under the hash gate: batch1 seeds a third of
+    // the keys, batch2 offers ALL keys with different values — the
+    // merge must insert only the absent ones (the reference's Events
+    // INSERT IGNORE, `Functions/sql_upserts.py:63-70`).
+    "q54_insert_if_absent" -> Q(
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .groupBy((col("c_custkey") % 100).cast("int").as("nk"))
+          .agg(count(lit(1)).as("cnt"))
+        val url = s"jdbc:derby:memory:k2rt${System.nanoTime()};create=true"
+        val conn = DriverManager.getConnection(url)
+        try conn.createStatement().executeUpdate(
+          "CREATE TABLE seen (nk INT PRIMARY KEY, n BIGINT, src VARCHAR(10))")
+        finally conn.close()
+        val batch1 = base.filter(col("nk") % 3 === 0)
+          .select(col("nk"), col("cnt").as("n"), lit("first").as("src"))
+          .coalesce(1)
+        val batch2 = base
+          .select(col("nk"), (col("cnt") * 2).as("n"), lit("second").as("src"))
+          .coalesce(1)
+        JdbcUpsertSink.write(batch1, url, "seen", Seq("nk"),
+          JdbcUpsertSink.DerbyInsertIfAbsent)
+        JdbcUpsertSink.write(batch2, url, "seen", Seq("nk"),
+          JdbcUpsertSink.DerbyInsertIfAbsent)
+        s.read.format("jdbc").option("url", url)
+          .option("dbtable", "seen").load()
+          .select(col("NK").as("nk"), col("N").as("n"), col("SRC").as("src"))
+          .orderBy(col("nk"))
+      },
+      Some("""WITH base AS (
+        |  SELECT CAST(c_custkey % 100 AS INT) AS nk, count(*) AS cnt
+        |  FROM customer GROUP BY 1)
+        |SELECT nk,
+        |  CASE WHEN nk % 3 = 0 THEN cnt ELSE cnt * 2 END AS n,
+        |  CASE WHEN nk % 3 = 0 THEN 'first' ELSE 'second' END AS src
+        |FROM base ORDER BY nk""".stripMargin)),
+
+    // ------------------------------------------------------------ K4
+    // Partial-column UPDATE by key: batch2 merges only `v` via
+    // updateColsOpt — `w` must keep batch1's value (the reference's
+    // column-targeted customer UPDATE, `fun_mysql_inserts.py:125-153`).
+    "q55_partial_update" -> Q(
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .groupBy((col("c_custkey") % 100).cast("int").as("nk"))
+          .agg(count(lit(1)).as("cnt"))
+        val url = s"jdbc:derby:memory:k4rt${System.nanoTime()};create=true"
+        val conn = DriverManager.getConnection(url)
+        try conn.createStatement().executeUpdate(
+          "CREATE TABLE tgt (nk INT PRIMARY KEY, v BIGINT, w VARCHAR(20))")
+        finally conn.close()
+        val batch1 = base
+          .select(col("nk"), col("cnt").as("v"), lit("orig").as("w"))
+          .coalesce(1)
+        val batch2 = base
+          .select(col("nk"), (col("cnt") * 10).as("v"),
+            lit("MUST_NOT_LAND").as("w"))
+          .coalesce(1)
+        JdbcUpsertSink.write(batch1, url, "tgt", Seq("nk"),
+          JdbcUpsertSink.DerbyMerge)
+        JdbcUpsertSink.write(batch2, url, "tgt", Seq("nk"),
+          JdbcUpsertSink.DerbyMerge, updateColsOpt = Some(Seq("v")))
+        s.read.format("jdbc").option("url", url)
+          .option("dbtable", "tgt").load()
+          .select(col("NK").as("nk"), col("V").as("v"), col("W").as("w"))
+          .orderBy(col("nk"))
+      },
+      Some("""WITH base AS (
+        |  SELECT CAST(c_custkey % 100 AS INT) AS nk, count(*) AS cnt
+        |  FROM customer GROUP BY 1)
+        |SELECT nk, cnt * 10 AS v, 'orig' AS w
+        |FROM base ORDER BY nk""".stripMargin))
   )
 }
