@@ -21,7 +21,10 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; fn <- SparkEntry.queries.get(name)) {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      // ONE construction per query: eager queries (sink round-trips)
+      // run their side effects at build time, and planning isn't free
+      val qe = fn(spark, sfDir).queryExecution
+      val plan = qe.executedPlan.toString
       val lines = plan.linesIterator.toSeq
       val shuffles = lines.count(_.contains("Exchange hashpartitioning")) +
         lines.count(_.contains("Exchange rangepartitioning"))
@@ -41,7 +44,7 @@ object ExplainAudit {
       // final plan, where a toString-based count would truncate)
       val exprCounts = sys.env.get("SPARK_GRAFT_COUNT_EXPR").map { cls =>
         var n = 0
-        fn(spark, sfDir).queryExecution.executedPlan.foreach { node =>
+        qe.executedPlan.foreach { node =>
           node.expressions.foreach(_.foreach { e =>
             if (e.getClass.getSimpleName == cls) n += 1
           })

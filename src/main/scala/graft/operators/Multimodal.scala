@@ -137,15 +137,21 @@ object Multimodal {
       StructField("features", ArrayType(FloatType))))
     val rdd = media.select(col("media_id"), col("kind"), col("bytes"))
       .rdd.mapPartitions { it =>
-        // per-partition "decoder init" happens here in a real codec
+        // per-partition "decoder init": disable ImageIO's disk-backed
+        // stream cache — the default creates a temp FILE per decode,
+        // which a 100M-row pass would pay per row
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
-          // dispatch on the payload, not the declared kind: PNG gets
-          // the REAL decoder, everything else the stub fallback
-          val features = decodePngFeatures(bytes) match {
-            case Some((_, _, hist)) => hist.map(_.toFloat).toSeq
-            case None => stubDecodeFeatures(bytes).toSeq
-          }
+          // dispatch on the payload's magic bytes, not the declared
+          // kind: PNG gets the REAL decoder; everything else takes the
+          // stub WITHOUT paying ImageIO reader-sniffing per row
+          val features =
+            if (isPng(bytes)) decodePngFeatures(bytes) match {
+              case Some((_, _, hist)) => hist.map(_.toFloat).toSeq
+              case None => stubDecodeFeatures(bytes).toSeq // corrupt PNG
+            }
+            else stubDecodeFeatures(bytes).toSeq
           Row(r.getLong(0), r.getString(1),
             if (bytes == null) 0L else bytes.length.toLong,
             features)

@@ -122,7 +122,12 @@ object EdgePipeline {
       dialect: JdbcUpsertSink.Dialect): Unit = {
     val gold = edgeGold(edges)
     JdbcUpsertSink.write(gold, url, "Edge", Seq("EdgeID"), dialect)
-    JdbcUpsertSink.write(linksGold(edges), url, "Links", Seq("LinkUUID"), dialect)
+    // composite key: link internalIds are only unique PER EDGE (the
+    // same caveat Links.enrichLinkMetrics documents) — a bare
+    // LinkUUID key would let same-id links on different edges
+    // overwrite each other in the merge
+    JdbcUpsertSink.write(linksGold(edges), url, "Links",
+      Seq("EdgeID", "LinkUUID"), dialect)
     JdbcUpsertSink.write(edgeAttributes(gold), url, "EdgeAttributes",
       Seq("uuid", "name"), dialect)
   }

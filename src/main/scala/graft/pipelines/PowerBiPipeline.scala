@@ -184,18 +184,37 @@ object PowerBiPipeline {
       textAttrs = Seq.empty)
   }
 
-  /** Assemble all eight gold frames from one pass over the inputs. */
+  /** Assemble all eight gold frames from one pass over the inputs.
+    *
+    * Scoping follows the reference's loop nesting: edges are fetched
+    * INSIDE the per-customer loop AFTER the moved filter
+    * (`powerbi_main_fun.py:117-146`), so a moved customer's edges
+    * must not produce gold rows either — edges are semi-joined to the
+    * surviving customers, and the per-edge payloads (events, stacks,
+    * link metrics) to the surviving edges. The QoE input is keyed by
+    * the caller's opaque numeric edge key and is scoped upstream.
+    */
   def build(in: Inputs, vcoName: String,
       moved: Map[String, Seq[String]] = Map.empty,
       eventSkip: Seq[String] = Seq.empty): Gold = {
-    val edgeG = EdgePipeline.edgeGold(in.edges)
+    val customer = customerGold(in.customers, vcoName, moved)
+    val edges = Relational.existsIn(in.edges,
+      customer.select(col("CustomerID").as("enterpriseId")),
+      Seq("enterpriseId"))
+    val edgeIds = edges.filter(col("logicalId").isNotNull)
+      .select(col("logicalId").as("edgeId"))
+    val events = Relational.existsIn(in.events, edgeIds, Seq("edgeId"))
+    val stacks = Relational.existsIn(in.stacks, edgeIds, Seq("edgeId"))
+    val linkMetrics = Relational.existsIn(in.linkMetrics, edgeIds,
+      Seq("edgeId"))
+    val edgeG = EdgePipeline.edgeGold(edges)
     Gold(
-      customer = customerGold(in.customers, vcoName, moved),
+      customer = customer,
       edge = edgeG,
-      links = EdgePipeline.linksGold(in.edges),
-      events = eventsGold(in.events, eventSkip),
+      links = EdgePipeline.linksGold(edges),
+      events = eventsGold(events, eventSkip),
       dailyQoe = dailyQoeGold(in.qoe),
-      license = licenseGold(in.edges, in.stacks, in.linkMetrics, in.hubs),
+      license = licenseGold(edges, stacks, linkMetrics, in.hubs),
       edgeAttributes = EdgePipeline.edgeAttributes(edgeG),
       customerAttributes = customerAttributesGold(edgeG))
   }
@@ -210,7 +229,10 @@ object PowerBiPipeline {
     JdbcUpsertSink.write(gold.customer, url, "Customer",
       Seq("CustomerID"), dialect)
     JdbcUpsertSink.write(gold.edge, url, "Edge", Seq("EdgeID"), dialect)
-    JdbcUpsertSink.write(gold.links, url, "Links", Seq("LinkUUID"), dialect)
+    // composite key: internalIds are only unique per edge (see
+    // EdgePipeline.run)
+    JdbcUpsertSink.write(gold.links, url, "Links",
+      Seq("EdgeID", "LinkUUID"), dialect)
     JdbcUpsertSink.write(gold.events, url, "Events", Seq("EventID"),
       dialect, updateColsOpt = Some(Seq.empty))
     JdbcUpsertSink.write(gold.dailyQoe, url, "DailyQOE",

@@ -23,6 +23,39 @@ import graft.sinks.{CsvSink, JdbcUpsertSink}
   */
 object SinkQueries extends QueryPack {
 
+  /** Materialize a JDBC read-back (these are ≤100-row dims) and DROP
+    * the in-memory Derby database — without this every Bench
+    * iteration leaves a live `derby:memory:` instance resident for
+    * the JVM's lifetime. Derby signals a successful drop with
+    * SQLException 08006, hence the swallow. The returned frame is a
+    * LocalRelation, so downstream orderBy/write plans stay valid
+    * after the database is gone.
+    */
+  private def materializeAndDrop(df: org.apache.spark.sql.DataFrame,
+      url: String): org.apache.spark.sql.DataFrame = {
+    val schema = df.schema
+    val rows = df.collect().toIndexedSeq
+    val dropUrl = url.split(";")(0) + ";drop=true"
+    try { DriverManager.getConnection(dropUrl); () }
+    catch { case _: java.sql.SQLException => () }
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Same idea for the CSV round trip: materialize, then delete the
+    * temp directory.
+    */
+  private def materializeAndDelete(df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
+    val schema = df.schema
+    val rows = df.collect().toIndexedSeq
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    df.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+
   def defs: Map[String, Q] = Map(
     "q50_sink_roundtrip" -> Q(
       (s, dir) => {
@@ -44,10 +77,11 @@ object SinkQueries extends QueryPack {
           JdbcUpsertSink.DerbyMerge)
         JdbcUpsertSink.write(once, url, "nation_stats", Seq("nk"),
           JdbcUpsertSink.DerbyMerge) // replay: merge must be a no-op
-        s.read.format("jdbc").option("url", url)
-          .option("dbtable", "nation_stats").load()
-          .select(col("NK").as("nk"), col("N_CUST").as("n_cust"),
-            col("TOTAL_BAL").cast("double").as("total_bal"))
+        materializeAndDrop(
+          s.read.format("jdbc").option("url", url)
+            .option("dbtable", "nation_stats").load()
+            .select(col("NK").as("nk"), col("N_CUST").as("n_cust"),
+              col("TOTAL_BAL").cast("double").as("total_bal")), url)
           .orderBy(col("nk"))
       },
       Some("""SELECT CAST(c_nationkey AS INT) AS nk, count(*) AS n_cust,
@@ -68,12 +102,13 @@ object SinkQueries extends QueryPack {
           .groupBy(col("r_name"))
           .agg(count(lit(1)).as("n_nations"),
             min(col("n_name")).as("first_nation"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_csv").toString + "/out"
-        CsvSink.write(derived, path, header = true, singleFile = true)
-        s.read.option("header", "true")
-          .schema("r_name STRING, n_nations BIGINT, first_nation STRING")
-          .csv(path)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+        CsvSink.write(derived, s"$tmp/out", header = true,
+          singleFile = true)
+        materializeAndDelete(
+          s.read.option("header", "true")
+            .schema("r_name STRING, n_nations BIGINT, first_nation STRING")
+            .csv(s"$tmp/out"), tmp)
           .orderBy(col("r_name"))
       },
       Some("""SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
@@ -106,9 +141,11 @@ object SinkQueries extends QueryPack {
           JdbcUpsertSink.DerbyInsertIfAbsent)
         JdbcUpsertSink.write(batch2, url, "seen", Seq("nk"),
           JdbcUpsertSink.DerbyInsertIfAbsent)
-        s.read.format("jdbc").option("url", url)
-          .option("dbtable", "seen").load()
-          .select(col("NK").as("nk"), col("N").as("n"), col("SRC").as("src"))
+        materializeAndDrop(
+          s.read.format("jdbc").option("url", url)
+            .option("dbtable", "seen").load()
+            .select(col("NK").as("nk"), col("N").as("n"),
+              col("SRC").as("src")), url)
           .orderBy(col("nk"))
       },
       Some("""WITH base AS (
@@ -144,9 +181,11 @@ object SinkQueries extends QueryPack {
           JdbcUpsertSink.DerbyMerge)
         JdbcUpsertSink.write(batch2, url, "tgt", Seq("nk"),
           JdbcUpsertSink.DerbyMerge, updateColsOpt = Some(Seq("v")))
-        s.read.format("jdbc").option("url", url)
-          .option("dbtable", "tgt").load()
-          .select(col("NK").as("nk"), col("V").as("v"), col("W").as("w"))
+        materializeAndDrop(
+          s.read.format("jdbc").option("url", url)
+            .option("dbtable", "tgt").load()
+            .select(col("NK").as("nk"), col("V").as("v"),
+              col("W").as("w")), url)
           .orderBy(col("nk"))
       },
       Some("""WITH base AS (

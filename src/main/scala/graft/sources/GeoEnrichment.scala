@@ -66,13 +66,20 @@ object GeoEnrichment {
   def enrichIp(df: DataFrame, ipCol: String,
       clientFactory: () => IpGeoClient, maxCallsPerSecond: Int = 10,
       maxDistinctIps: Long = 1000000L): DataFrame = {
+    // persist: the guard's count() and the resolution's collect()
+    // must not each re-run the scan+distinct shuffle; the explicit
+    // unpersist below bounds the cache lifetime
     val distinctIps = df.select(col(ipCol).as("__ip"))
       .filter(col("__ip").isNotNull && col("__ip") =!= "")
       .distinct()
+      .persist()
     val nIps = distinctIps.count()
-    require(nIps <= maxDistinctIps,
-      s"GeoEnrichment: $nIps distinct IPs exceed the " +
-        s"driver-materialization bound $maxDistinctIps")
+    if (nIps > maxDistinctIps) {
+      distinctIps.unpersist()
+      throw new IllegalArgumentException(
+        s"GeoEnrichment: $nIps distinct IPs exceed the " +
+          s"driver-materialization bound $maxDistinctIps")
+    }
     val minIntervalNanos = 1000000000L / math.max(1, maxCallsPerSecond)
     val resolvedRdd = distinctIps.rdd.mapPartitions { it =>
       val client = clientFactory()
@@ -93,8 +100,11 @@ object GeoEnrichment {
       }
     }
     import scala.jdk.CollectionConverters._
+    val resolvedRows =
+      try resolvedRdd.collect().toSeq
+      finally distinctIps.unpersist()
     val resolved = df.sparkSession.createDataFrame(
-      resolvedRdd.collect().toSeq.asJava, ipResolvedSchema)
+      resolvedRows.asJava, ipResolvedSchema)
     df.join(broadcast(resolved), df(ipCol) === resolved("__ip"), "left")
       .drop("__ip")
   }
@@ -127,18 +137,25 @@ object GeoEnrichment {
     val keyed = df
       .withColumn("lat", round(col(latCol), precision))
       .withColumn("lon", round(col(lonCol), precision))
+    // persist: the guard's count() and the resolution's collect()
+    // must not each re-run the scan+distinct shuffle (the unpersist
+    // below gives the cache an explicit lifetime)
     val distinctCoords = keyed.select(col("lat"), col("lon"))
       .filter(col("lat").isNotNull && col("lon").isNotNull)
       .distinct()
+      .persist()
 
     // guard BEFORE the throttled calls and the driver materialization:
     // counting is one cheap distributed pass over the distinct set
     val nCoords = distinctCoords.count()
-    require(nCoords <= maxDistinctCoords,
-      s"GeoEnrichment: $nCoords distinct coordinates exceed the " +
-        s"driver-materialization bound $maxDistinctCoords — raise " +
-        "maxDistinctCoords deliberately or coarsen `precision` " +
-        s"(currently $precision decimals)")
+    if (nCoords > maxDistinctCoords) {
+      distinctCoords.unpersist()
+      throw new IllegalArgumentException(
+        s"GeoEnrichment: $nCoords distinct coordinates exceed the " +
+          s"driver-materialization bound $maxDistinctCoords — raise " +
+          "maxDistinctCoords deliberately or coarsen `precision` " +
+          s"(currently $precision decimals)")
+    }
 
     val minIntervalNanos = 1000000000L / math.max(1, maxCallsPerSecond)
     val resolvedRdd = distinctCoords.rdd.mapPartitions { it =>
@@ -160,13 +177,14 @@ object GeoEnrichment {
     }
     // Materialize the resolved dim ONCE, driver-side: without this,
     // every downstream action re-executes the throttled external
-    // calls (each broadcast re-materializes the lineage). A persist()
-    // would also work but leaks cache in long sessions (nothing owns
-    // the unpersist); the dim is the distinct coordinate set, which
-    // broadcast ships through the driver anyway — collecting it is
-    // the same data movement with an explicit lifetime.
+    // calls (each broadcast re-materializes the lineage). The dim is
+    // the distinct coordinate set, which broadcast ships through the
+    // driver anyway — collecting it is the same data movement with an
+    // explicit lifetime; the distinct-set cache is released here too.
     import scala.jdk.CollectionConverters._
-    val resolvedRows = resolvedRdd.collect().toSeq
+    val resolvedRows =
+      try resolvedRdd.collect().toSeq
+      finally distinctCoords.unpersist()
     val resolved = df.sparkSession.createDataFrame(
       resolvedRows.asJava, resolvedSchema)
     keyed.join(broadcast(resolved), Seq("lat", "lon"), "left")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, LessThan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -99,11 +99,19 @@ private object VcoScan {
     * equality and a time interval on `lastContact`
     * (`powerbi_main_fun.py:465-481` uses exactly these two request
     * params for the events slice).
+    *
+    * Only the STRICT comparisons are pushed: a server whose interval
+    * bound is inclusive returns `>= X` ⊇ `> X`, an exclusive one
+    * returns exactly `> X` — either way a superset of the strict
+    * predicate, which the Spark-side residual then trims. GTE/LTE
+    * would under-fetch on an exclusive-bound server (the boundary row
+    * never arrives and no client-side filter can resurrect it), so
+    * they stay residual-only.
     */
   def pushable(f: Filter): Boolean = f match {
     case EqualTo("enterpriseId", _) => true
-    case GreaterThan("lastContact", _) | GreaterThanOrEqual("lastContact", _) => true
-    case LessThan("lastContact", _) | LessThanOrEqual("lastContact", _) => true
+    case GreaterThan("lastContact", _) => true
+    case LessThan("lastContact", _) => true
     case _ => false
   }
 
@@ -116,11 +124,9 @@ private object VcoScan {
     val ent = pushed.collectFirst { case EqualTo("enterpriseId", v) =>
       s""""enterpriseId":${j(v)}""" }
     val start = pushed.collectFirst {
-      case GreaterThan("lastContact", v) => s""""start":${j(v)}"""
-      case GreaterThanOrEqual("lastContact", v) => s""""start":${j(v)}""" }
+      case GreaterThan("lastContact", v) => s""""start":${j(v)}""" }
     val end = pushed.collectFirst {
-      case LessThan("lastContact", v) => s""""end":${j(v)}"""
-      case LessThanOrEqual("lastContact", v) => s""""end":${j(v)}""" }
+      case LessThan("lastContact", v) => s""""end":${j(v)}""" }
     val interval = (start.toSeq ++ end.toSeq) match {
       case Nil => None
       case parts => Some(s""""interval":{${parts.mkString(",")}}""")

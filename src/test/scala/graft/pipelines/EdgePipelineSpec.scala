@@ -59,9 +59,10 @@ class EdgePipelineSpec extends SparkSpec {
           |  WIRELESS BOOLEAN, City VARCHAR(60), Country VARCHAR(60),
           |  PostalCode VARCHAR(20))""".stripMargin)
       st.executeUpdate(
-        """CREATE TABLE Links (LinkUUID VARCHAR(36) PRIMARY KEY,
-          |  EdgeID VARCHAR(36), LinkName VARCHAR(60), Linktype VARCHAR(10),
-          |  Networktype VARCHAR(20), IP VARCHAR(40), BackupState VARCHAR(20))""".stripMargin)
+        """CREATE TABLE Links (LinkUUID VARCHAR(36), EdgeID VARCHAR(36),
+          |  LinkName VARCHAR(60), Linktype VARCHAR(10),
+          |  Networktype VARCHAR(20), IP VARCHAR(40), BackupState VARCHAR(20),
+          |  PRIMARY KEY (EdgeID, LinkUUID))""".stripMargin)
       st.executeUpdate(
         """CREATE TABLE EdgeAttributes (uuid VARCHAR(36), name VARCHAR(50),
           |  used BOOLEAN, num DOUBLE, text VARCHAR(100), filter_val VARCHAR(100),

@@ -26,7 +26,9 @@ class PowerBiPipelineSpec extends SparkSpec {
          {"internalId":"l-1a","displayName":"mpls","lat":37.402866,"lon":-122.117332,"ipAddress":"10.0.0.1","backupState":"UNCONFIGURED","networkType":"ETHERNET"},
          {"internalId":"l-1b","displayName":"lte","lat":37.0,"lon":-122.0,"ipAddress":"10.0.0.2","backupState":"ACTIVE","networkType":"WIRELESS"}]}""",
     """{"id":2,"logicalId":null,"enterpriseId":"c-1","name":"ghost","edgeState":"OFFLINE"}""",
-    """{"id":3,"logicalId":"e-3","enterpriseId":"c-2","name":"bare","edgeState":"OFFLINE"}"""
+    """{"id":3,"logicalId":"e-3","enterpriseId":"c-2","name":"bare","edgeState":"OFFLINE",
+       "recentLinks":[{"internalId":"l-1a","displayName":"dup-id","lat":5.0,"lon":6.0,"ipAddress":"10.1.0.1","backupState":"ACTIVE","networkType":"ETHERNET"}]}""",
+    """{"id":9,"logicalId":"e-9","enterpriseId":"c-moved","name":"moved away","edgeState":"CONNECTED"}"""
   ).map(_.replaceAll("\n\\s*", ""))
 
   // e-1: 3.x segmented stack whose Edge-Specific controlPlane has
@@ -107,9 +109,10 @@ class PowerBiPipelineSpec extends SparkSpec {
           |  WIRELESS BOOLEAN, City VARCHAR(60), Country VARCHAR(60),
           |  PostalCode VARCHAR(20))""".stripMargin)
       st.executeUpdate(
-        """CREATE TABLE Links (LinkUUID VARCHAR(36) PRIMARY KEY,
-          |  EdgeID VARCHAR(36), LinkName VARCHAR(60), Linktype VARCHAR(10),
-          |  Networktype VARCHAR(20), IP VARCHAR(40), BackupState VARCHAR(20))""".stripMargin)
+        """CREATE TABLE Links (LinkUUID VARCHAR(36), EdgeID VARCHAR(36),
+          |  LinkName VARCHAR(60), Linktype VARCHAR(10),
+          |  Networktype VARCHAR(20), IP VARCHAR(40), BackupState VARCHAR(20),
+          |  PRIMARY KEY (EdgeID, LinkUUID))""".stripMargin)
       st.executeUpdate(
         """CREATE TABLE Events (EventID BIGINT PRIMARY KEY,
           |  EdgeID VARCHAR(36), Event VARCHAR(40), EventTime TIMESTAMP)""".stripMargin)
@@ -174,12 +177,26 @@ class PowerBiPipelineSpec extends SparkSpec {
         Seq("e-3", 0, null, 0.0, 0.0, 0.0,
           "Enterprise Subscription", null)))
 
+    // The moved customer's edge must NOT leak into any gold table
+    // (the reference fetches edges inside the per-customer loop,
+    // AFTER the moved filter)
+    assert(queryAll("SELECT EdgeID FROM Edge WHERE EdgeID = 'e-9'").isEmpty)
+    assert(queryAll(
+      "SELECT uuid FROM CustomerAttributes WHERE uuid = 'c-moved'").isEmpty)
+
+    // Same internalId on two edges: both Links rows survive under the
+    // composite (EdgeID, LinkUUID) key
+    assert(queryAll(
+      "SELECT EdgeID FROM Links WHERE LinkUUID = 'l-1a' ORDER BY EdgeID") ===
+      Seq(Seq("e-1"), Seq("e-3")))
+
     // CustomerAttributes: inverted rollups melted per customer — c-2's
-    // single bare edge has nothing, so every no_* flag is 1
+    // edge has one public ACTIVE ethernet link (backup fires; wireless,
+    // HA, private do not)
     assert(queryAll(
       """SELECT uuid, name, num FROM CustomerAttributes
         |WHERE uuid = 'c-2' ORDER BY name""".stripMargin) ===
-      Seq(Seq("c-2", "no_backup", 1.0), Seq("c-2", "no_ha", 1.0),
+      Seq(Seq("c-2", "no_backup", 0.0), Seq("c-2", "no_ha", 1.0),
         Seq("c-2", "no_private_link", 1.0), Seq("c-2", "no_wireless", 1.0)))
     assert(queryAll(
       """SELECT name, num FROM CustomerAttributes
@@ -190,12 +207,13 @@ class PowerBiPipelineSpec extends SparkSpec {
 
   test("reconciliation: minimal-path counts equal full-pipeline counts") {
     val in = inputs
+    // no moved map: every customer (incl. c-moved) is in scope
     val gold = PowerBiPipeline.build(in, "vco1")
     val minimal = EdgePipeline.minimalCounts(in.edges)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val full = PowerBiPipeline.fullCounts(gold.edge)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(minimal === full)
-    assert(full === Map("c-1" -> 1L, "c-2" -> 1L))
+    assert(full === Map("c-1" -> 1L, "c-2" -> 1L, "c-moved" -> 1L))
   }
 }

@@ -67,13 +67,19 @@ class VcoDataSourceSpec extends SparkSpec {
     read.select("logicalId")
       .filter(col("enterpriseId") === "ent-1" &&
         col("lastContact") > "2024-01-01T00:00:00.000Z" &&
-        col("lastContact") <= "2024-02-01T00:00:00.000Z")
+        col("lastContact") < "2024-02-01T00:00:00.000Z")
       .collect()
     val params = RecordedCalls.calls.poll()
     assert(params.contains("\"enterpriseId\":\"ent-1\""), params)
     assert(params.contains(
       "\"interval\":{\"start\":\"2024-01-01T00:00:00.000Z\"," +
         "\"end\":\"2024-02-01T00:00:00.000Z\"}"), params)
+    // non-strict bounds must NOT push (an exclusive-bound server would
+    // drop the boundary row and the residual can't resurrect it)
+    RecordedCalls.calls.clear()
+    read.select("logicalId")
+      .filter(col("lastContact") >= "2024-01-01T00:00:00.000Z").collect()
+    assert(!RecordedCalls.calls.poll().contains("interval"))
     // pushdown is best-effort: the predicate ALSO applies Spark-side,
     // so rows the fake server returns anyway are still filtered out
     // (fixture rows have null enterpriseId → none survive)
