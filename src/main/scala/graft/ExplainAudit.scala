@@ -51,8 +51,23 @@ object ExplainAudit {
         }
         s" $cls=$n"
       }.getOrElse("")
+      // interpreted-expression audit: CodegenFallback nodes break
+      // whole-stage codegen around them — list the classes so hot-path
+      // offenders are visible (the DotProductF/WeightedScoreFold
+      // candidates of the next round)
+      val fallbacks = if (sys.env.contains("SPARK_GRAFT_LIST_FALLBACK")) {
+        val found = scala.collection.mutable.SortedSet.empty[String]
+        qe.executedPlan.foreach { node =>
+          node.expressions.foreach(_.foreach {
+            case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
+              found += e.getClass.getSimpleName
+            case _ => ()
+          })
+        }
+        if (found.isEmpty) "" else s" fallback=[${found.mkString(",")}]"
+      } else ""
       println(s"== $name: shuffles=$shuffles broadcasts=$broadcasts " +
-        s"cartesians=$cartesians codegenSpans=$codegen$exprCounts")
+        s"cartesians=$cartesians codegenSpans=$codegen$exprCounts$fallbacks")
       pushed.distinct.take(3).foreach(l => println(s"   $l"))
     }
     spark.stop()

@@ -224,25 +224,30 @@ object PowerBiPipeline {
     * `INSERT … ON DUPLICATE KEY UPDATE` loops collapsed to eight
     * statements' worth of batches). Events is insert-only (K2): an
     * event is an immutable fact, replay must not touch it.
+    *
+    * `writePartitions` bounds the concurrent connections per table
+    * (the sink's own guidance: coalesce to the database's connection
+    * budget BEFORE the write). Embedded Derby in the specs takes 1 —
+    * parallel MERGE statements on one table can deadlock its lock
+    * manager; a production MySQL target takes its pool size.
     */
-  def run(gold: Gold, url: String, dialect: JdbcUpsertSink.Dialect): Unit = {
-    JdbcUpsertSink.write(gold.customer, url, "Customer",
-      Seq("CustomerID"), dialect)
-    JdbcUpsertSink.write(gold.edge, url, "Edge", Seq("EdgeID"), dialect)
+  def run(gold: Gold, url: String, dialect: JdbcUpsertSink.Dialect,
+      writePartitions: Option[Int] = None): Unit = {
+    def w(df: DataFrame, table: String, keys: Seq[String],
+        updateColsOpt: Option[Seq[String]] = None): Unit =
+      JdbcUpsertSink.write(
+        writePartitions.map(df.coalesce).getOrElse(df),
+        url, table, keys, dialect, updateColsOpt)
+    w(gold.customer, "Customer", Seq("CustomerID"))
+    w(gold.edge, "Edge", Seq("EdgeID"))
     // composite key: internalIds are only unique per edge (see
     // EdgePipeline.run)
-    JdbcUpsertSink.write(gold.links, url, "Links",
-      Seq("EdgeID", "LinkUUID"), dialect)
-    JdbcUpsertSink.write(gold.events, url, "Events", Seq("EventID"),
-      dialect, updateColsOpt = Some(Seq.empty))
-    JdbcUpsertSink.write(gold.dailyQoe, url, "DailyQOE",
-      Seq("EdgeKey", "QoeDate"), dialect)
-    JdbcUpsertSink.write(gold.license, url, "License", Seq("EdgeID"),
-      dialect)
-    JdbcUpsertSink.write(gold.edgeAttributes, url, "EdgeAttributes",
-      Seq("uuid", "name"), dialect)
-    JdbcUpsertSink.write(gold.customerAttributes, url,
-      "CustomerAttributes", Seq("uuid", "name"), dialect)
+    w(gold.links, "Links", Seq("EdgeID", "LinkUUID"))
+    w(gold.events, "Events", Seq("EventID"), Some(Seq.empty))
+    w(gold.dailyQoe, "DailyQOE", Seq("EdgeKey", "QoeDate"))
+    w(gold.license, "License", Seq("EdgeID"))
+    w(gold.edgeAttributes, "EdgeAttributes", Seq("uuid", "name"))
+    w(gold.customerAttributes, "CustomerAttributes", Seq("uuid", "name"))
   }
 
   /** §3.3 reconciliation (A20, `inventory_sla.py:106-140`): per-

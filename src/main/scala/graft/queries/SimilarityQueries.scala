@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Nested, Similarity}
+import graft.operators.Similarity
 
 /** q31–q32, q39: similarity search over the embeddings table — exact
   * brute-force cosine top-k, the LSH-bucketed ANN variant, and
@@ -13,11 +13,10 @@ import graft.operators.{Nested, Similarity}
   * interpolated verbatim into the DuckDB SQL, so even the APPROXIMATE
   * paths are bit-reproducible.
   *
-  * Null elements: every query feeds vectors through
-  * [[Nested.fillNullZero]] — DotProductF's contract — and the oracle
-  * mirrors it with `coalesce(x, 0)` in the same place, so a null
-  * embedding element scores identically (the raw fold would
-  * NULL-propagate in DuckDB but skip in the native expression).
+  * Null elements: DotProductF scores a null element as 0 by
+  * contract, and the oracle mirrors that with `coalesce(x, 0)` at the
+  * vector definition, so a null embedding element scores identically
+  * (DuckDB's raw list fold would NULL-propagate without it).
   */
 object SimilarityQueries extends QueryPack {
 
@@ -66,8 +65,15 @@ object SimilarityQueries extends QueryPack {
   private def centroidLit(c: Seq[Float]): String =
     c.map(_.toDouble).mkString("([", ", ", "]::DOUBLE[])")
 
-  /** Null-safe double vectors, Spark and DuckDB sides. */
-  private def vec(c: Column): Column = Nested.fillNullZero(c)
+  /** Null-safe vectors. Spark side: a NO-OP — every consumer
+    * (cosineNative, hyperplaneBucket, ivfAssign) runs through
+    * DotProductF, whose contract already scores a null ELEMENT as 0,
+    * so a fillNullZero transform would be a redundant interpreted
+    * array materialization per row per use (it was the last
+    * CodegenFallback in the similarity plans). The DuckDB side keeps
+    * the explicit coalesce — its list fold would NULL-propagate.
+    */
+  private def vec(c: Column): Column = c
   private val vSql = "list_transform(embedding, x -> coalesce(x, 0))::DOUBLE[]"
 
   def defs: Map[String, Q] = Map(

@@ -143,9 +143,9 @@ class PowerBiPipelineSpec extends SparkSpec {
     ddl()
     val gold = PowerBiPipeline.build(inputs, "vco1",
       moved = Map("c-moved" -> Seq("vco1")), eventSkip = Seq("SKIPME"))
-    PowerBiPipeline.run(gold, url, JdbcUpsertSink.DerbyMerge)
+    PowerBiPipeline.run(gold, url, JdbcUpsertSink.DerbyMerge, writePartitions = Some(1))
     val first = snapshot()
-    PowerBiPipeline.run(gold, url, JdbcUpsertSink.DerbyMerge) // replay
+    PowerBiPipeline.run(gold, url, JdbcUpsertSink.DerbyMerge, writePartitions = Some(1)) // replay
     val second = snapshot()
     for (t <- tables)
       assert(first(t) === second(t), s"table $t changed on replay")
