@@ -92,6 +92,41 @@ object VcoSource {
     }
   }
 
+  /** S14 `getSystemProperties` (`Functions/vco_calls.py:129-137`):
+    * the full property list as a (name, value, isReadOnly) frame —
+    * a tiny dim, broadcast-joined where consumed.
+    */
+  def systemProperties(spark: SparkSession, t: Transport): DataFrame = {
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("isReadOnly",
+        org.apache.spark.sql.types.BooleanType)))
+    callWithRetry(t, "systemProperty/getSystemProperties", "{}") match {
+      case Right(lines) => toDf(spark, schema, lines)
+      case Left(err) => throw new RuntimeException(s"getSystemProperties: $err")
+    }
+  }
+
+  /** S14 `get_vco_version` (`Functions/vco_calls.py:117-126`): the
+    * `product.version` system property's `value` — a driver-side
+    * scalar (the reference upserts it as the VCO's software_version
+    * attribute, `powerbi_main_fun.py:106-112`). Absent value ⇒ None,
+    * transport failure ⇒ Left, exactly the reference's (data, msg)
+    * pair.
+    */
+  def vcoVersion(t: Transport): Either[String, Option[String]] =
+    callWithRetry(t, "systemProperty/getSystemProperty",
+        """{"name":"product.version"}""")
+      .map { lines =>
+        lines.headOption.flatMap { line =>
+          "\"value\"\\s*:\\s*\"([^\"]*)\"".r
+            .findFirstMatchIn(line).map(_.group(1))
+        }
+      }
+
   /** S7 `getEnterpriseEvents` with interval predicate pushdown: the
     * interval lands in the request params — rows outside it are never
     * fetched (the API-source analog of `PushedFilters`).

@@ -54,4 +54,34 @@ class VcoSourceSpec extends SparkSpec {
     assert(res === Left("boom"))
     assert(t.calls.length === 3)
   }
+
+  test("systemProperties: full dim with typed nulls (S14)") {
+    val t = new ScriptedTransport((m, _) => {
+      assert(m === "systemProperty/getSystemProperties")
+      Right(Seq(
+        """{"name":"product.version","value":"5.2.0.1","isReadOnly":true}""",
+        """{"name":"vco.alerts.enable","value":"true"}"""))
+    })
+    val rows = VcoSource.systemProperties(spark, t)
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Boolean])))
+    assert(rows.toSeq === Seq(
+      ("product.version", "5.2.0.1", Some(true)),
+      ("vco.alerts.enable", "true", None)))
+  }
+
+  test("vcoVersion: product.version value, absent value, failure (S14)") {
+    val ok = new ScriptedTransport((m, p) => {
+      assert(m === "systemProperty/getSystemProperty")
+      assert(p.contains("product.version"))
+      Right(Seq("""{"name":"product.version","value":"5.2.0.1"}"""))
+    })
+    assert(VcoSource.vcoVersion(ok) === Right(Some("5.2.0.1")))
+    val noValue = new ScriptedTransport((_, _) =>
+      Right(Seq("""{"name":"product.version"}""")))
+    assert(VcoSource.vcoVersion(noValue) === Right(None))
+    val down = new ScriptedTransport((_, _) => Left("gateway timeout"))
+    assert(VcoSource.vcoVersion(down) === Left("gateway timeout"))
+  }
 }
