@@ -35,4 +35,8 @@ object GraftExtensions {
       "graft_weighted_score takes exactly 1 argument")
     WeightedScoreFold(children.head)
   }
+
+  // StopwordSetCounts is not SQL-registered: its word sets are a
+  // Scala-side constructor argument (profiles are code, not data), so
+  // the Column API is its only entry point.
 }

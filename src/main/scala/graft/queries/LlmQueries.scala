@@ -88,13 +88,21 @@ object LlmQueries extends QueryPack {
     "q27_lang_id" -> Q(
       (s, dir) => {
         val t = col("text")
-        // counts once, argmax over the columns (see qualityScoreFrom)
+        // ONE tokenization pass for all four profiles (the native
+        // single-pass counter, proven count-identical to the four
+        // regexp_count passes in StopwordSetCountsSpec), then argmax
+        // over the count columns
         Tables.documents(s, dir).select(
           col("doc_id"), t,
-          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.en).cast("long").as("c_en"),
-          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.de).cast("long").as("c_de"),
-          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.fr).cast("long").as("c_fr"),
-          TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.es).cast("long").as("c_es"))
+          graft.expressions.StopwordSetCounts.counts(t, Seq(
+            TextAnalysis.LangProfiles.en, TextAnalysis.LangProfiles.de,
+            TextAnalysis.LangProfiles.fr, TextAnalysis.LangProfiles.es))
+            .as("__sw"))
+        .select(col("doc_id"), t,
+          col("__sw")(0).cast("long").as("c_en"),
+          col("__sw")(1).cast("long").as("c_de"),
+          col("__sw")(2).cast("long").as("c_fr"),
+          col("__sw")(3).cast("long").as("c_es"))
         .select(col("doc_id"), col("c_en"), col("c_de"), col("c_fr"), col("c_es"),
           TextAnalysis.langIdFrom(t, col("c_en"), col("c_de"), col("c_fr"),
             col("c_es")).as("pred_lang"))
@@ -273,27 +281,23 @@ object LlmQueries extends QueryPack {
     // quality score and language filter — the compose-everything
     // filter a training-data pipeline runs before tokenization.
     "q41_corpus_filter" -> Q(
-      // ~5 regex passes per row (4 stopword profiles + punct; CJK only
-      // via langIdFrom), not the ~9 of the single-arg forms — the
-      // counts project once, quality/langId are arithmetic over them
+      // ~2 text passes per row beyond tokenization (punct regex + CJK
+      // in langIdFrom): all four stopword profiles count in ONE native
+      // pass, and quality/langId are arithmetic over the columns
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
           length(col("text")).as("__chars"),
           TextAnalysis.nTokens(col("text")).as("__nt"),
           TextAnalysis.punctCount(col("text")).as("__np"),
-          TextAnalysis.stopwordCount(col("text"),
-            TextAnalysis.LangProfiles.en).as("__en"),
-          TextAnalysis.stopwordCount(col("text"),
-            TextAnalysis.LangProfiles.de).as("__de"),
-          TextAnalysis.stopwordCount(col("text"),
-            TextAnalysis.LangProfiles.fr).as("__fr"),
-          TextAnalysis.stopwordCount(col("text"),
-            TextAnalysis.LangProfiles.es).as("__es"))
+          graft.expressions.StopwordSetCounts.counts(col("text"), Seq(
+            TextAnalysis.LangProfiles.en, TextAnalysis.LangProfiles.de,
+            TextAnalysis.LangProfiles.fr, TextAnalysis.LangProfiles.es))
+            .as("__sw"))
         .select(col("doc_id"),
           TextAnalysis.qualityScoreFrom(col("__nt"), col("__np"),
-            col("__chars"), col("__en")).as("quality"),
-          TextAnalysis.langIdFrom(col("text"), col("__en"), col("__de"),
-            col("__fr"), col("__es")).as("pred_lang"))
+            col("__chars"), col("__sw")(0)).as("quality"),
+          TextAnalysis.langIdFrom(col("text"), col("__sw")(0),
+            col("__sw")(1), col("__sw")(2), col("__sw")(3)).as("pred_lang"))
         .withColumn("kept",
           (col("quality") >= 0.5 && col("pred_lang") === "en").cast("int"))
         .orderBy(col("doc_id")),
