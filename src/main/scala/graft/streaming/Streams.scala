@@ -98,4 +98,28 @@ object Streams {
           }
       }
   }
+
+  /** Day-grain QoE as a stream: each micro-batch runs the SAME
+    * declarative run-length operator ([[graft.operators.Qoe.dailyOutagesDF]])
+    * and merges the per-(edge, day) rows through `merge` — the
+    * batch/stream unification the reference's cron re-run approximates.
+    *
+    * Contract: a batch must carry COMPLETE (edge, day) groups (the
+    * reference's own arrival unit — QoE is fetched in whole-day
+    * slices, `powerbi_main_fun.py:1890-1921`). Under that contract
+    * the idempotent merge makes redelivery and batch replay no-ops;
+    * a partially-delivered day would merge a partial aggregate, which
+    * the NEXT delivery of the completed day overwrites — convergent,
+    * never duplicated, exactly the reference's re-run semantics.
+    */
+  def dailyQoeStream(qoe: DataFrame, merge: DataFrame => Unit,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    qoe.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        merge(graft.operators.Qoe.dailyOutagesDF(
+          batch, "edge_key", to_date(col("ts")), "ts", "tb", "state"))
+      }
+      .start()
 }

@@ -59,34 +59,38 @@ class StreamsSpec extends SparkSpec {
 
   test("QoE outages run incrementally via foreachBatch at day grain") {
     import spark.implicits._
-    import graft.operators.Qoe
     implicit val sqlCtx = spark.sqlContext
     // The reference refreshes QoE per complete (link, day) — the
     // streaming form processes each arriving day-batch through the
     // SAME declarative operator and merges idempotently downstream.
     val input = MemoryStream[(Long, Timestamp, Long, Int)]
-    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
-    val q = input.toDF().toDF("user_id", "ts", "event_id", "state")
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val out = Qoe.dailyOutagesDF(batch, "user_id",
-            to_date(col("ts")), "ts", "event_id", "state")
-          .collect()
-          .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_brownouts"),
-            r.getAs[Int]("n_blackouts")))
-        results.synchronized { results ++= out }
-        ()
-      }
-      .start()
+    // the "merge" stand-in: keyed overwrite = the idempotent upsert
+    val merged = scala.collection.concurrent.TrieMap
+      .empty[(Long, java.sql.Date), (Int, Int)]
+    val q = Streams.dailyQoeStream(
+      input.toDF().toDF("edge_key", "ts", "tb", "state"),
+      merge = df => df.collect().foreach { r =>
+        merged((r.getAs[Long]("edge_key"), r.getAs[java.sql.Date]("day"))) =
+          (r.getAs[Int]("n_brownouts"), r.getAs[Int]("n_blackouts"))
+      },
+      checkpointDir = java.nio.file.Files
+        .createTempDirectory("qoe_ck").toString)
     try {
-      // day 1 for user 7: 4→2 brownout run, then 3→0 blackout
+      // day 1 for edge 7: 4→2 brownout run, then 3→0 blackout
       input.addData(
         (7L, ts("2024-01-01 10:00:00"), 1L, 4),
         (7L, ts("2024-01-01 10:00:07"), 2L, 2),
         (7L, ts("2024-01-01 10:00:14"), 3L, 3),
         (7L, ts("2024-01-01 10:00:21"), 4L, 0))
       q.processAllAvailable()
-      assert(results.synchronized(results.toSet) === Set((7L, 1, 1)))
+      // a second day-batch for another edge lands incrementally
+      input.addData(
+        (8L, ts("2024-01-02 00:00:00"), 1L, 4),
+        (8L, ts("2024-01-02 00:00:07"), 2L, 0))
+      q.processAllAvailable()
+      assert(merged.toMap === Map(
+        (7L, java.sql.Date.valueOf("2024-01-01")) -> ((1, 1)),
+        (8L, java.sql.Date.valueOf("2024-01-02")) -> ((0, 1))))
     } finally q.stop()
   }
 
