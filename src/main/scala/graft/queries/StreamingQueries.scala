@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.streaming.Streams
+
+/** q60–q62: the SURVEY §2.8 streaming operators under the ORACLE gate.
+  *
+  * Each query runs a real Structured Streaming plan — file source,
+  * watermark, state store, micro-batch planner — over the bounded
+  * events table via `Trigger.AvailableNow`, then hash-compares the
+  * materialized sink against a plain-SQL oracle. This is the
+  * batch/stream unification claim made concrete: the streaming
+  * formulation of an operator must produce byte-identical results to
+  * its batch SQL statement on the same data.
+  *
+  * Determinism contract: events.parquet is a single file, so the run
+  * is ONE micro-batch — every key's rows arrive together and in-batch
+  * ordering is total (the operators sort per key). At production scale
+  * the same plans run unbounded with real watermark eviction; the
+  * bounded gate checks the LOGIC, the streaming specs
+  * (StreamsSpec) check the incremental/multi-batch mechanics.
+  */
+object StreamingQueries extends QueryPack {
+
+  /** Streaming read of the events table. A streaming file source
+    * requires an explicit schema; `ts` arrives as nanos-long
+    * (`nanosAsLong`, exactly like the batch reader in
+    * [[graft.Tables.events]]) and converts to a µs timestamp with
+    * integer division.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source wants a DIRECTORY; the glob filter
+    // narrows the listing to the single events file
+    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def defs: Map[String, Q] = Map(
+    // §2.8 tumbling daily windows: incremental windowed aggregation.
+    // Complete mode emits every window regardless of watermark, which
+    // is what makes the bounded run equal to the batch GROUP BY.
+    "q60_stream_daily_counts" -> Q(
+      (s, dir) => Streams.runToTable(
+          Streams.dailyCounts(eventsStream(s, dir), "ts",
+            Seq("event_type"), "1 hour"),
+          OutputMode.Complete())
+        .select(to_date(col("day_start")).as("day"), col("event_type"),
+          col("n"))
+        .orderBy(col("day"), col("event_type")),
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin)),
+
+    // K2/late-dup as a stream: dropDuplicatesWithinWatermark emits each
+    // business key's FIRST arrival; projecting the key columns makes
+    // the output order-independent (the distinct key set).
+    "q61_stream_dedup" -> Q(
+      (s, dir) => Streams.runToTable(
+          Streams.dedupStream(
+              eventsStream(s, dir).withColumn("day", to_date(col("ts"))),
+              "ts", "1 hour", Seq("user_id", "event_type", "day"))
+            .select(col("user_id"), col("event_type"), col("day")),
+          OutputMode.Append())
+        .orderBy(col("user_id"), col("event_type"), col("day")),
+      Some("""SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+        |FROM events
+        |ORDER BY user_id, event_type, day""".stripMargin)),
+
+    // §2.8 sessionization via flatMapGroupsWithState. The watermark
+    // delay (10 years) exceeds the data span + gap, so no event-time
+    // timeout can fire: emitted sessions are EXACTLY the in-batch
+    // closed ones — every session per key except the final one, which
+    // stays open in state. The oracle mirrors that by excluding each
+    // key's last session. (Timeout-driven flushing is exercised by
+    // StreamsSpec with multi-batch MemoryStream input.)
+    "q62_stream_sessionize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+          .select(col("user_id").as("key"), col("ts"))
+          .as[Streams.SessionEvent]
+        Streams.runToTable(
+            Streams.sessionize(ev, 1800000L, "3650 days").toDF(),
+            OutputMode.Append())
+          .select(col("key"), col("startMs").as("start_ms"),
+            col("endMs").as("end_ms"), col("n").cast("long").as("n"))
+          .orderBy(col("key"), col("start_ms"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |a AS (SELECT user_id, ms,
+        |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+        |      FROM e),
+        |b AS (SELECT user_id, ms,
+        |        sum(CASE WHEN prev IS NULL OR ms - prev > 1800000
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ms
+        |                ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM a),
+        |sess AS (SELECT user_id, sid, min(ms) AS start_ms,
+        |           max(ms) AS end_ms, count(*) AS n
+        |         FROM b GROUP BY user_id, sid),
+        |f AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+        |      FROM sess)
+        |SELECT user_id AS key, start_ms, end_ms, n
+        |FROM f WHERE sid < last_sid
+        |ORDER BY key, start_ms""".stripMargin))
+  )
+}

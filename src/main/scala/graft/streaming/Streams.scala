@@ -99,6 +99,35 @@ object Streams {
       }
   }
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drive a streaming frame over its BOUNDED source to completion
+    * (`Trigger.AvailableNow`) and hand the materialized result back as
+    * a batch frame — the bridge that lets the driver's batch-only
+    * correctness gate hash-compare a genuinely streaming plan
+    * (watermark, state store, micro-batch planner and all) against a
+    * SQL oracle. Each call gets a fresh memory-sink table and a
+    * throwaway checkpoint, so Bench can re-run the same query.
+    */
+  def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(ckpt.toFile) // one-shot run; the checkpoint has no replay value
+    spark.table(name)
+  }
+
   /** Day-grain QoE as a stream: each micro-batch runs the SAME
     * declarative run-length operator ([[graft.operators.Qoe.dailyOutagesDF]])
     * and merges the per-(edge, day) rows through `merge` — the
