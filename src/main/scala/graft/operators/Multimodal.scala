@@ -96,6 +96,133 @@ object Multimodal {
     out.toByteArray
   }
 
+  private val RiffMagic = Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte)
+
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      java.util.Arrays.equals(bytes.take(4), RiffMagic) &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** REAL audio decode (`javax.sound.sampled` — in every JRE, no extra
+    * dependency): WAV bytes → (sample rate, per-sample stats over the
+    * decoded 16-bit PCM stream). The JDK's WAV reader parses the RIFF
+    * header and hands back raw frames; PCM is lossless, so a SQL
+    * oracle can recompute every stat from the sample formula (q63).
+    * Returns None for undecodable payloads so callers can fall back to
+    * the stub. Integer stats only — no float hazard in the gate.
+    */
+  def decodeWavStats(bytes: Array[Byte]): Option[WavStats] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val pcm = in.readAllBytes()
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val sb = java.nio.ByteBuffer.wrap(pcm).order(order).asShortBuffer()
+        var (n, mn, mx, sum, sumSq) = (0L, Long.MaxValue, Long.MinValue, 0L, 0L)
+        while (sb.hasRemaining) {
+          val s = sb.get().toLong
+          n += 1; sum += s; sumSq += s * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+        }
+        if (n == 0) None
+        else Some(WavStats(fmt.getSampleRate.toLong, n, mn, mx, sum, sumSq))
+      }
+    } catch { case _: Exception => None }
+
+  final case class WavStats(sampleRate: Long, nSamples: Long,
+      sMin: Long, sMax: Long, sSum: Long, sSumSq: Long)
+
+  /** WAV → L1-normalized `FeatureDim`-bucket histogram of the decoded
+    * 16-bit sample values — the audio analog of the PNG histogram, for
+    * the generic [[decodeFeatures]] dispatch.
+    */
+  def decodeWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val sb = java.nio.ByteBuffer.wrap(in.readAllBytes()).order(order)
+          .asShortBuffer()
+        val hist = new Array[Float](FeatureDim)
+        var n = 0
+        while (sb.hasRemaining) {
+          hist((sb.get().toInt + 32768) * FeatureDim / 65536) += 1f
+          n += 1
+        }
+        if (n == 0) None
+        else {
+          var j = 0
+          while (j < FeatureDim) { hist(j) /= n; j += 1 }
+          Some(hist)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic tiny mono 16-bit PCM WAV: sample(i) =
+    * ((seed*31 + i*7) mod 65536) - 32768. The encode side of the q63
+    * round trip — ingest's stand-in for real audio payloads. Built
+    * byte-by-byte (RIFF/fmt/data chunks) so the DECODER under test is
+    * the JDK's, not our own writer's inverse.
+    */
+  def syntheticWav(seed: Long, n: Int = 64, sampleRate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + n * 2); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1)                      // PCM
+    bb.putShort(1)                      // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2)           // byte rate
+    bb.putShort(2)                      // block align
+    bb.putShort(16)                     // bits per sample
+    bb.put("data".getBytes); bb.putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((seed * 31 + i * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** q63's operator: encode a deterministic WAV per row and run it
+    * through the REAL JDK decoder — one codec pass per partition, no
+    * shuffle. Integer outputs are exactly recomputable from the sample
+    * formula, so a SQL oracle gates the decoder's actual output.
+    */
+  def wavRoundTripStats(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("s_min", LongType),
+      StructField("s_max", LongType),
+      StructField("s_sum", LongType),
+      StructField("s_sum_sq", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val s = decodeWavStats(syntheticWav(id))
+          .getOrElse(throw new IllegalStateException(
+            s"WAV round-trip failed for id $id"))
+        Row(id, s.sampleRate, s.nSamples, s.sMin, s.sMax, s.sSum, s.sSumSq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   /** STUB decode: byte-value histogram over `FeatureDim` buckets,
     * L1-normalized. Deterministic, shape-stable, and cheap — the
     * fallback for modalities whose codecs aren't wired (audio/video).
@@ -144,13 +271,15 @@ object Multimodal {
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
           // dispatch on the payload's magic bytes, not the declared
-          // kind: PNG gets the REAL decoder; everything else takes the
-          // stub WITHOUT paying ImageIO reader-sniffing per row
+          // kind: PNG and WAV get the REAL decoders; everything else
+          // (video) takes the stub WITHOUT paying codec sniffing per row
           val features =
             if (isPng(bytes)) decodePngFeatures(bytes) match {
               case Some((_, _, hist)) => hist.map(_.toFloat).toSeq
               case None => stubDecodeFeatures(bytes).toSeq // corrupt PNG
             }
+            else if (isWav(bytes)) decodeWavFeatures(bytes)
+              .getOrElse(stubDecodeFeatures(bytes)).toSeq
             else stubDecodeFeatures(bytes).toSeq
           Row(r.getLong(0), r.getString(1),
             if (bytes == null) 0L else bytes.length.toLong,

@@ -259,6 +259,28 @@ object LlmQueries extends QueryPack {
         |FROM bk LEFT JOIN cnt ON cnt.doc_id = bk.doc_id AND cnt.b = bk.bucket
         |ORDER BY bk.doc_id, bk.bucket""".stripMargin)),
 
+    // REAL audio decode through the JDK's WAV codec
+    // (javax.sound.sampled): encode a deterministic 16-bit PCM payload
+    // per document, decode it back, and gate the decoder's integer
+    // sample stats against the generating formula. The audio analog of
+    // q52 — the video modality remains the labeled stub.
+    "q63_wav_decode" -> Q(
+      (s, dir) => Multimodal.wavRoundTripStats(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("s_min"), col("s_max"), col("s_sum"),
+          col("s_sum_sq"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 8000 AS sample_rate, 64 AS n_samples,
+        |  min(s) AS s_min, max(s) AS s_max,
+        |  CAST(sum(s) AS BIGINT) AS s_sum,
+        |  CAST(sum(s * s) AS BIGINT) AS s_sum_sq
+        |FROM (SELECT doc_id, ((doc_id * 31 + i * 7) % 65536) - 32768 AS s
+        |      FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+        |            FROM documents))
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
     // Vocabulary building: corpus-wide token frequencies (the
     // tokenizer-training input). One explode + one count shuffle —
     // at 100 TB this is the canonical wordcount whose partial

@@ -192,6 +192,33 @@ object SinkQueries extends QueryPack {
         |  SELECT CAST(c_custkey % 100 AS INT) AS nk, count(*) AS cnt
         |  FROM customer GROUP BY 1)
         |SELECT nk, cnt * 10 AS v, 'orig' AS w
-        |FROM base ORDER BY nk""".stripMargin))
+        |FROM base ORDER BY nk""".stripMargin)),
+
+    // K5: the wide→tall EAV melt that feeds the *Attributes upserts —
+    // one stack() generator projection, no shuffle. `seg` is nulled
+    // for one segment so the gate exercises the used=false /
+    // filter_val='name-False' branch, not just the happy path.
+    "q65_eav_melt" -> Q(
+      (s, dir) => graft.operators.Melt.toEav(
+          Tables.customer(s, dir).select(
+            concat(lit("cust-"), col("c_custkey")).as("uuid"),
+            col("c_acctbal"),
+            when(col("c_mktsegment") === "BUILDING", lit(null))
+              .otherwise(col("c_mktsegment")).as("seg")),
+          "uuid", numAttrs = Seq("c_acctbal"), textAttrs = Seq("seg"))
+        .orderBy(col("uuid"), col("name")),
+      Some("""WITH c AS (
+        |  SELECT 'cust-'||c_custkey AS uuid, c_acctbal,
+        |         nullif(c_mktsegment, 'BUILDING') AS seg
+        |  FROM customer)
+        |SELECT uuid, 'c_acctbal' AS name, TRUE AS used,
+        |       c_acctbal AS num, CAST(NULL AS VARCHAR) AS text,
+        |       'c_acctbal-True' AS filter_val
+        |FROM c
+        |UNION ALL
+        |SELECT uuid, 'seg', seg IS NOT NULL, CAST(NULL AS DOUBLE), seg,
+        |       'seg-' || CASE WHEN seg IS NOT NULL THEN 'True' ELSE 'False' END
+        |FROM c
+        |ORDER BY uuid, name""".stripMargin))
   )
 }

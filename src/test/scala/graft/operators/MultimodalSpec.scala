@@ -63,6 +63,30 @@ class MultimodalSpec extends SparkSpec {
     assert(feats === exp9.toSeq)
   }
 
+  test("WAV decode is real: JDK codec round-trips exact sample values") {
+    val bytes = Multimodal.syntheticWav(seed = 5L)
+    assert(Multimodal.isWav(bytes) && !Multimodal.isPng(bytes))
+    val Some(s) = Multimodal.decodeWavStats(bytes)
+    // recompute every stat straight from the sample formula — a
+    // shifted, truncated, or byte-swapped decode cannot match
+    val samples = (0 until 64).map(i => ((5L * 31 + i * 7) % 65536) - 32768)
+    assert(s === Multimodal.WavStats(8000L, 64L, samples.min, samples.max,
+      samples.sum, samples.map(v => v * v).sum))
+    // corrupt header → None (caller falls back to the stub)
+    assert(Multimodal.decodeWavStats(bytes.take(20)).isEmpty)
+    // a WAV payload routes through the real decoder inside
+    // decodeFeatures: histogram of decoded samples, not raw bytes
+    import spark.implicits._
+    val df = Seq((3L, "audio", Multimodal.syntheticWav(3L)))
+      .toDF("media_id", "kind", "bytes")
+    val feats = Multimodal.decodeFeatures(df)
+      .select(col("features")).head.getSeq[Float](0)
+    val exp = new Array[Float](Multimodal.FeatureDim)
+    for (i <- 0 until 64)
+      exp((((3L * 31 + i * 7) % 65536).toInt * Multimodal.FeatureDim) / 65536) += 1f / 64
+    assert(feats === exp.toSeq)
+  }
+
   test("resizeMeta rewrites metadata only") {
     import spark.implicits._
     val withMeta = media.withColumn("meta",
