@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sources.{GeoEnrichment, TransportFactory, VcoSource}
+import graft.sources.{GeoEnrichment, TransportFactory, VcoSource, YamlConfig}
 
 /** In-JVM scripted fleet: the "server" payloads the q64 scan reads.
   *
@@ -113,6 +113,131 @@ object SourceQueries extends QueryPack {
         |  'country-'||(c_nationkey % 5) AS geo_country,
         |  'p'||(c_custkey % 100) AS geo_postal
         |FROM customer
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // S7: the events endpoint's INTERVAL pushdown is real server-side
+    // filtering — the fixture transport serves ONLY rows inside the
+    // interval it parses from the request params, so a green hash
+    // proves the params carried the predicate (eventTime is the
+    // epoch-ms string; ISO rendering is presentation, not semantics).
+    // [start, end) half-open, matching the reference's slice fetch.
+    "q67_vco_events" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val startMs = 1704844800000L // 2024-01-10
+        val endMs = 1705449600000L   // 2024-01-17
+        val lines = Tables.events(s, dir)
+          .filter(col("user_id") % 5 === 3)
+          .select(expr("unix_millis(ts)").as("ms"),
+            to_json(struct(
+              expr("cast(unix_millis(ts) as string)").as("eventTime"),
+              col("event_type").as("event"),
+              concat(lit("edge-"), col("user_id")).as("edgeName"),
+              concat(lit("cat-"), col("user_id") % 7).as("category")))
+              .as("doc"))
+          .as[(Long, String)].collect() // fixture-server dataset
+        val t = new VcoSource.Transport {
+          def call(method: String, params: String): Either[String, Seq[String]] = {
+            def bound(k: String) = (s""""$k":"(\\d+)"""").r
+              .findFirstMatchIn(params).map(_.group(1).toLong)
+            (bound("start"), bound("end")) match {
+              case (Some(a), Some(b)) =>
+                Right(lines.collect { case (ms, doc) if ms >= a && ms < b => doc }.toSeq)
+              case _ => Left("missing interval")
+            }
+          }
+        }
+        VcoSource.enterpriseEvents(s, t, 3, startMs.toString, endMs.toString)
+          .orderBy(col("eventTime"), col("edgeName"), col("event"),
+            col("category"))
+      },
+      Some("""SELECT CAST(epoch_ms(ts) AS VARCHAR) AS eventTime,
+        |  event_type AS event, 'edge-'||user_id AS edgeName,
+        |  'cat-'||(user_id % 7) AS category
+        |FROM events
+        |WHERE user_id % 5 = 3
+        |  AND epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705449600000
+        |ORDER BY eventTime, edgeName, event, category""".stripMargin)),
+
+    // S2: tenant enumeration through the retrying driver-side call.
+    "q68_vco_enterprises" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val lines = Tables.nation(s, dir).select(
+            to_json(struct(
+              col("n_nationkey").cast("long").as("id"),
+              concat(lit("ent-"), col("n_nationkey")).as("logicalId"),
+              col("n_name").as("name"),
+              lit("2024-01-01T00:00:00Z").as("created"))).as("doc"))
+          .as[String].collect()
+        val t = new VcoSource.Transport {
+          def call(method: String, params: String): Either[String, Seq[String]] =
+            if (method == "network/getNetworkEnterprises") Right(lines.toSeq)
+            else Left(s"unexpected method $method")
+        }
+        VcoSource.networkEnterprises(s, t).orderBy(col("id"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  'ent-'||n_nationkey AS logicalId, n_name AS name,
+        |  '2024-01-01T00:00:00Z' AS created
+        |FROM nation
+        |ORDER BY id""".stripMargin)),
+
+    // S14: the system-properties dim through its dedicated reader.
+    "q69_system_properties" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val lines = Tables.region(s, dir).select(
+            to_json(struct(
+              concat(lit("prop."), col("r_name")).as("name"),
+              col("r_regionkey").cast("string").as("value"),
+              (col("r_regionkey") % 2 === 0).as("isReadOnly"))).as("doc"))
+          .as[String].collect()
+        val t = new VcoSource.Transport {
+          def call(method: String, params: String): Either[String, Seq[String]] =
+            if (method == "systemProperty/getSystemProperties") Right(lines.toSeq)
+            else Left(s"unexpected method $method")
+        }
+        VcoSource.systemProperties(s, t).orderBy(col("name"))
+      },
+      Some("""SELECT 'prop.'||r_name AS name,
+        |  CAST(r_regionkey AS VARCHAR) AS value,
+        |  r_regionkey % 2 = 0 AS isReadOnly
+        |FROM region
+        |ORDER BY name""".stripMargin)),
+
+    // S17: the YAML registry parser under the gate — nation rows are
+    // rendered as a vco_list.yml document (sections, quoting, comments,
+    // null/absent keys), parsed back through YamlConfig, and must equal
+    // the relational truth. Exercises quoting, the skip-bool coercion,
+    // and absent-key→null handling in one pass.
+    "q70_yaml_config" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables.nation(s, dir)
+          .select(col("n_nationkey").cast("long"), col("n_name"),
+            col("n_regionkey").cast("long"))
+          .as[(Long, String, Long)].collect()
+        val yaml = rows.map { case (nk, name, rk) =>
+          s"""vco-$nk:  # registry entry
+             |  name: "$name"
+             |  link: 'https://vco-$nk.example'
+             |${if (nk % 3 == 0) s"  skip: true" else "  skip: null"}
+             |${if (rk == 2) s"  token: tok-$nk" else ""}
+             |  username: user-$rk""".stripMargin
+        }.mkString("\n")
+        YamlConfig.vcoList(YamlConfig.parse(yaml))
+          .toDF()
+          .select(col("name"), col("link"), col("skip"), col("token"),
+            col("username"))
+          .orderBy(col("name"))
+      },
+      Some("""SELECT n_name AS name,
+        |  'https://vco-'||n_nationkey||'.example' AS link,
+        |  n_nationkey % 3 = 0 AS skip,
+        |  CASE WHEN n_regionkey = 2 THEN 'tok-'||n_nationkey END AS token,
+        |  'user-'||n_regionkey AS username
+        |FROM nation
+        |ORDER BY name""".stripMargin))
   )
 }
