@@ -281,6 +281,37 @@ object LlmQueries extends QueryPack {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    // Video path: demux a framed clip container (every 2nd of 3
+    // frames) and run each sampled frame through the REAL PNG decoder
+    // — container parsing + per-frame pixel decode gated against the
+    // per-frame pixel formula. Completes the multimodal triad
+    // (q52 image, q63 audio, q71 video frames).
+    "q71_clip_frames" -> Q(
+      (s, dir) => Multimodal.clipRoundTripFrames(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("frame_idx"), col("width"),
+          col("height"), posexplode(col("hist")).as(Seq("bucket", "share")))
+        .orderBy(col("doc_id"), col("frame_idx"), col("bucket")),
+      Some("""WITH f AS (
+        |  SELECT doc_id, CAST(unnest([0, 2]) AS INT) AS frame_idx
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, frame_idx,
+        |         CAST((((doc_id + frame_idx) * 31 + i) % 256) // 16 AS INT) AS b
+        |  FROM (SELECT doc_id, frame_idx,
+        |          unnest(generate_series(0, 63)) AS i FROM f)),
+        |cnt AS (SELECT doc_id, frame_idx, b, count(*) AS c
+        |        FROM px GROUP BY 1, 2, 3),
+        |bk AS (SELECT doc_id, frame_idx,
+        |         CAST(unnest(generate_series(0, 15)) AS INT) AS bucket
+        |       FROM f)
+        |SELECT bk.doc_id, bk.frame_idx, 8 AS width, 8 AS height,
+        |  bk.bucket, coalesce(c, 0) / 64.0 AS share
+        |FROM bk LEFT JOIN cnt
+        |  ON cnt.doc_id = bk.doc_id AND cnt.frame_idx = bk.frame_idx
+        |  AND cnt.b = bk.bucket
+        |ORDER BY bk.doc_id, bk.frame_idx, bk.bucket""".stripMargin)),
+
     // Vocabulary building: corpus-wide token frequencies (the
     // tokenizer-training input). One explode + one count shuffle —
     // at 100 TB this is the canonical wordcount whose partial

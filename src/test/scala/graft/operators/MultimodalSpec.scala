@@ -87,6 +87,34 @@ class MultimodalSpec extends SparkSpec {
     assert(feats === exp.toSeq)
   }
 
+  test("clip container: real demux + real per-frame PNG decode") {
+    val clip = Multimodal.syntheticClip(seed = 11L, nFrames = 3)
+    assert(Multimodal.isClip(clip))
+    val frames = Multimodal.clipFrames(clip)
+    assert(frames.length === 3)
+    // every frame is an independently decodable REAL PNG whose pixels
+    // follow the per-frame formula (seed + frame index)
+    for ((f, idx) <- frames.zipWithIndex) {
+      assert(Multimodal.isPng(f))
+      val Some((w, h, hist)) = Multimodal.decodePngFeatures(f)
+      assert((w, h) === ((8, 8)))
+      val exp = new Array[Double](Multimodal.FeatureDim)
+      for (i <- 0 until 64) exp((((11L + idx) * 31 + i) % 256).toInt / 16) += 1d / 64
+      assert(hist.toSeq === exp.toSeq)
+    }
+    // torn tail truncates instead of throwing (demuxer semantics)
+    assert(Multimodal.clipFrames(clip.dropRight(10)).length === 2)
+    // sampleFrames dispatches clips to the demuxer: stride 2 of 3
+    // frames keeps indexes 0 and 2 with the PNG payloads intact
+    import spark.implicits._
+    val media = Seq((4L, "video", Multimodal.syntheticClip(4L, 3)))
+      .toDF("media_id", "kind", "bytes")
+    val sampled = Multimodal.sampleFrames(media, 2)
+      .select(col("frame_idx"), col("frame_bytes")).collect()
+    assert(sampled.map(_.getInt(0)).sorted.toSeq === Seq(0, 2))
+    assert(sampled.forall(r => Multimodal.isPng(r.getAs[Array[Byte]](1))))
+  }
+
   test("resizeMeta rewrites metadata only") {
     import spark.implicits._
     val withMeta = media.withColumn("meta",
