@@ -500,7 +500,94 @@ object GoldQueries extends QueryPack {
         |       WHEN c_custkey % 8 = 6 THEN NULL
         |       ELSE 'Acme' END AS marketing_name
         |FROM customer
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // S4–S6: the config-stack PAYLOAD surface — a JSON document per
+    // order is rendered (ignoreNullFields makes null keys ABSENT,
+    // exercising the key-presence fallbacks), parsed back through the
+    // declared `Schemas.configStackDoc`, and traversed by the real
+    // operators (isSegmented, snmpv3Enabled key-presence fallback,
+    // segmentFirewallAttrs null/OR/SUM fallback triple). The oracle
+    // restates the expected semantics flat-relationally from the same
+    // key arithmetic.
+    "q72_config_payload" -> Q(
+      (s, dir) => {
+        val k = col("k")
+        // one module shape (union of firewall + deviceSettings keys);
+        // null fields vanish from the JSON, so "module has no snmp
+        // key" and "module absent" are both representable
+        def mod(name: String, fwEnabled: Column, stateful: Column,
+            inCnt: Column, outSegCnt: Column, snmpEnabled: Column) =
+          struct(
+            lit(name).as("name"),
+            struct(
+              fwEnabled.as("firewall_enabled"),
+              stateful.as("stateful_firewall_enabled"),
+              when(inCnt.isNotNull,
+                array_repeat(struct(lit("r").as("name")), inCnt.cast("int")))
+                .as("inbound"),
+              when(outSegCnt.isNotNull, array(struct(
+                  array_repeat(struct(lit("o").as("name")),
+                    outSegCnt.cast("int")).as("outbound"))))
+                .as("segments"),
+              when(snmpEnabled.isNotNull,
+                struct(struct(snmpEnabled.as("enabled")).as("snmpv3")))
+                .as("snmp")).as("data"))
+        val nul = lit(null).cast("boolean")
+        val nulI = lit(null).cast("int")
+        val edgeFw = mod("firewall",
+          when(k % 3 === 1, lit(true)),          // k%3==2 → key absent
+          nul, col("n") % 4, nulI, nul)
+        val edgeDs = mod("deviceSettings", nul, nul, nulI, nulI,
+          when(k % 5 < 2, k % 5 === 0))          // k%5>=2 → snmp absent
+        val profFw = mod("firewall",
+          when(k % 7 === 0, lit(true)), when(k % 11 === 0, lit(true)),
+          k % 2, k % 3, nul)
+        val profDs = mod("deviceSettings", nul, nul, nulI, nulI, k % 4 === 0)
+        def lvl(name: String, mods: Column) = struct(
+          lit(name).as("name"),
+          when(k % 2 === 0, "3.0.0").otherwise("2.0.0").as("schemaVersion"),
+          mods.as("modules"))
+        val doc = to_json(struct(
+          concat(lit("edge-"), k).as("edgeId"),
+          array(lvl("Edge Specific Profile",
+              when(k % 3 =!= 0, array(edgeFw, edgeDs))
+                .otherwise(array(edgeDs))),
+            lvl("P", array(profFw, profDs))).as("stack")),
+          Map("ignoreNullFields" -> "true"))
+        val parsed = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("n"))
+          .select(k, doc.as("doc"))
+          .select(k, from_json(col("doc"),
+            graft.model.Schemas.configStackDoc).as("d"))
+        parsed.select(
+            col("d.edgeId").as("edge_id"),
+            ConfigStack.isSegmented(col("d.stack")).as("segmented"),
+            ConfigStack.snmpv3Enabled(col("d.stack")).as("snmpv3"),
+            ConfigStack.segmentFirewallAttrs(col("d.stack")).as("fw"))
+          .select(col("edge_id"), col("segmented"), col("snmpv3"),
+            col("fw.firewall_edge_specific"),
+            col("fw.firewall_rules_in_bool"),
+            col("fw.firewall_rules_out_bool"),
+            col("fw.firewall_rules_num"),
+            col("fw.stateful_firewall"))
+          .orderBy(col("edge_id"))
+      },
+      Some("""WITH base AS (
+        |  SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT 'edge-'||k AS edge_id,
+        |  k % 2 = 0 AS segmented,
+        |  CASE WHEN k % 5 < 2 THEN k % 5 = 0 ELSE k % 4 = 0 END AS snmpv3,
+        |  (k % 3 = 1) OR (k % 3 <> 1 AND k % 7 = 0) AS firewall_edge_specific,
+        |  (CASE WHEN k % 3 <> 0 THEN n % 4 > 0 ELSE FALSE END)
+        |    OR (k % 2 = 1) AS firewall_rules_in_bool,
+        |  k % 3 > 0 AS firewall_rules_out_bool,
+        |  CAST((CASE WHEN k % 3 <> 0 THEN n % 4 ELSE 0 END)
+        |    + (k % 2) + (k % 3) AS INT) AS firewall_rules_num,
+        |  k % 11 = 0 AS stateful_firewall
+        |FROM base
+        |ORDER BY edge_id""".stripMargin))
   )
 
   /** The reference's moved-customer map shape

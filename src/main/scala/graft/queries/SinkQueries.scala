@@ -219,6 +219,34 @@ object SinkQueries extends QueryPack {
         |SELECT uuid, 'seg', seg IS NOT NULL, CAST(NULL AS DOUBLE), seg,
         |       'seg-' || CASE WHEN seg IS NOT NULL THEN 'True' ELSE 'False' END
         |FROM c
-        |ORDER BY uuid, name""".stripMargin))
+        |ORDER BY uuid, name""".stripMargin)),
+
+    // S19: the gold-snapshot JDBC read under the gate — a derived gold
+    // frame is seeded into Derby, then read back through
+    // GoldSnapshot.readPartitioned (4 parallel range scans over the
+    // key, the big-table path) and must equal the derivation. Proves
+    // the partitioned read covers the full key range with no overlap.
+    "q73_snapshot_read" -> Q(
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .groupBy((col("o_custkey") % 50).cast("int").as("ck"))
+          .agg(count(lit(1)).as("n_orders"),
+            max(to_date(col("o_orderdate"))).as("last_date"))
+        val url = s"jdbc:derby:memory:s19rt${System.nanoTime()};create=true"
+        base.coalesce(1).write.mode("overwrite")
+          .jdbc(url, "snap", new java.util.Properties())
+        materializeAndDrop(
+          graft.sources.GoldSnapshot
+            .readPartitioned(s, url, "snap", "CK", 0L, 49L, 4)
+            .select(col("CK").as("ck"), col("N_ORDERS").as("n_orders"),
+              col("LAST_DATE").as("last_date")), url)
+          .orderBy(col("ck"))
+      },
+      Some("""SELECT CAST(o_custkey % 50 AS INT) AS ck,
+        |  count(*) AS n_orders,
+        |  max(CAST(o_orderdate AS DATE)) AS last_date
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY ck""".stripMargin))
   )
 }
