@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns + typed metadata, with decode /
   * feature-extract / frame-sample as per-partition batch transforms.
   *
-  * The Spark-side mechanics here are REAL — schema, partition-batched
-  * execution, fixed feature shapes, deterministic outputs — while the
-  * decode itself is a clearly-marked STUB (`stubDecodeFeatures`): the
-  * image/audio codecs aren't in this container, so the stub derives a
-  * deterministic byte-histogram "feature vector" of the right shape.
-  * Swapping in a real codec changes ONLY the function body: the
-  * mapPartitions boundary is exactly where a JNI/FFI decoder with
-  * per-partition init (model load, codec context) belongs — the same
-  * shape `mapInPandas` gives PySpark, minus the Python round-trip.
+  * Decode is REAL for the modalities the JDK can express — PNG via
+  * `javax.imageio` (q52), WAV via `javax.sound.sampled` (q63), and
+  * clip demux + per-frame PNG decode for the intra-coded video shape
+  * (q71) — each dispatched by magic bytes and gated against a
+  * pixel/sample-formula oracle. Payloads no wired codec recognizes
+  * fall back to the labeled `stubDecodeFeatures` byte histogram, so
+  * the pipeline keeps its shape for codecs this container lacks
+  * (inter-coded video, lossy audio). The mapPartitions boundary is
+  * exactly where a JNI/FFI decoder with per-partition init (model
+  * load, codec context) belongs — the same shape `mapInPandas` gives
+  * PySpark, minus the Python round-trip.
   */
 object Multimodal {
 
@@ -103,6 +105,28 @@ object Multimodal {
       java.util.Arrays.equals(bytes.take(4), RiffMagic) &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
+  /** Shared WAV-open preamble: JDK header parse, 16-bit mono
+    * PCM_SIGNED check, endian-correct sample view. One definition so
+    * the stats and feature decoders can never drift apart.
+    */
+  private def readPcm16(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, java.nio.ShortBuffer)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        Some((fmt,
+          java.nio.ByteBuffer.wrap(in.readAllBytes()).order(order)
+            .asShortBuffer()))
+      }
+    } catch { case _: Exception => None }
+
   /** REAL audio decode (`javax.sound.sampled` — in every JRE, no extra
     * dependency): WAV bytes → (sample rate, per-sample stats over the
     * decoded 16-bit PCM stream). The JDK's WAV reader parses the RIFF
@@ -112,29 +136,17 @@ object Multimodal {
     * the stub. Integer stats only — no float hazard in the gate.
     */
   def decodeWavStats(bytes: Array[Byte]): Option[WavStats] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val fmt = in.getFormat
-      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
-      else {
-        val pcm = in.readAllBytes()
-        val order =
-          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-          else java.nio.ByteOrder.LITTLE_ENDIAN
-        val sb = java.nio.ByteBuffer.wrap(pcm).order(order).asShortBuffer()
-        var (n, mn, mx, sum, sumSq) = (0L, Long.MaxValue, Long.MinValue, 0L, 0L)
-        while (sb.hasRemaining) {
-          val s = sb.get().toLong
-          n += 1; sum += s; sumSq += s * s
-          if (s < mn) mn = s
-          if (s > mx) mx = s
-        }
-        if (n == 0) None
-        else Some(WavStats(fmt.getSampleRate.toLong, n, mn, mx, sum, sumSq))
+    readPcm16(bytes).flatMap { case (fmt, sb) =>
+      var (n, mn, mx, sum, sumSq) = (0L, Long.MaxValue, Long.MinValue, 0L, 0L)
+      while (sb.hasRemaining) {
+        val s = sb.get().toLong
+        n += 1; sum += s; sumSq += s * s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
       }
-    } catch { case _: Exception => None }
+      if (n == 0) None
+      else Some(WavStats(fmt.getSampleRate.toLong, n, mn, mx, sum, sumSq))
+    }
 
   final case class WavStats(sampleRate: Long, nSamples: Long,
       sMin: Long, sMax: Long, sSum: Long, sSumSq: Long)
@@ -144,32 +156,20 @@ object Multimodal {
     * the generic [[decodeFeatures]] dispatch.
     */
   def decodeWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val fmt = in.getFormat
-      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
-      else {
-        val order =
-          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-          else java.nio.ByteOrder.LITTLE_ENDIAN
-        val sb = java.nio.ByteBuffer.wrap(in.readAllBytes()).order(order)
-          .asShortBuffer()
-        val hist = new Array[Float](FeatureDim)
-        var n = 0
-        while (sb.hasRemaining) {
-          hist((sb.get().toInt + 32768) * FeatureDim / 65536) += 1f
-          n += 1
-        }
-        if (n == 0) None
-        else {
-          var j = 0
-          while (j < FeatureDim) { hist(j) /= n; j += 1 }
-          Some(hist)
-        }
+    readPcm16(bytes).flatMap { case (_, sb) =>
+      val hist = new Array[Float](FeatureDim)
+      var n = 0
+      while (sb.hasRemaining) {
+        hist((sb.get().toInt + 32768) * FeatureDim / 65536) += 1f
+        n += 1
       }
-    } catch { case _: Exception => None }
+      if (n == 0) None
+      else {
+        var j = 0
+        while (j < FeatureDim) { hist(j) /= n; j += 1 }
+        Some(hist)
+      }
+    }
 
   /** Deterministic tiny mono 16-bit PCM WAV: sample(i) =
     * ((seed*31 + i*7) mod 65536) - 32768. The encode side of the q63
@@ -191,7 +191,10 @@ object Multimodal {
     bb.put("data".getBytes); bb.putInt(n * 2)
     var i = 0
     while (i < n) {
-      bb.putShort((((seed * 31 + i * 7) % 65536) - 32768).toShort)
+      // floorMod keeps the sample in [-32768, 32767] for ANY seed
+      // (negative or wrapping); plain % would leave Short range and
+      // silently wrap away from the documented formula
+      bb.putShort((Math.floorMod(seed * 31 + i * 7, 65536L) - 32768L).toShort)
       i += 1
     }
     bb.array()

@@ -17,6 +17,13 @@ import graft.sources.{GeoEnrichment, TransportFactory, VcoSource, YamlConfig}
   * A static holder works because tests and the driver run local[*]
   * (executors share the JVM); a cluster integration test would serve
   * the same payloads over [[graft.sources.HttpTransport]] instead.
+  *
+  * Lifetime: each q64 invocation REPLACES the map (the previous run's
+  * payloads become garbage), so at most one rendered fleet (~2 MB at
+  * sf0.1) stays resident; scans read the field at task-execution
+  * time, so a retained q64 frame re-executed after a later assignment
+  * reads the LATER payloads — re-run the query function instead of
+  * caching its frame across fixture swaps.
   */
 object ScriptedFleet {
   @volatile var byVco: Map[String, Seq[String]] = Map.empty

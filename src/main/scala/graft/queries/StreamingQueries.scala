@@ -33,13 +33,16 @@ object StreamingQueries extends QueryPack {
     * integer division.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // same curated failure as the batch loader when the nanos conf is
+    // missing, and the schema comes from the parquet footer itself
+    // (ts arrives as nanos-long under nanosAsLong) so the streaming
+    // path can never drift from the file
+    val schema = graft.Tables.events(s, dir).schema
+      .fields.map(f => if (f.name == "ts") StructField("ts", LongType) else f)
     // the streaming file source wants a DIRECTORY; the glob filter
     // narrows the listing to the single events file
-    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    s.readStream.schema(StructType(schema))
+      .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

@@ -113,19 +113,30 @@ object Streams {
     val spark = df.sparkSession
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-")
-    df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(ckpt.toFile) // one-shot run; the checkpoint has no replay value
-    spark.table(name)
+    try {
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      // Materialize the sink's rows and DROP the temp view — without
+      // this every run (Bench iterates each query 3×) leaves a live
+      // MemorySink holding the full result on the driver for the JVM
+      // lifetime. The result is the query's FINAL frame (small by
+      // contract), so a LocalRelation is the right residue.
+      val out = spark.table(name)
+      val rows = out.collect().toIndexedSeq
+      val schema = out.schema
+      spark.catalog.dropTempView(name)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+    } finally rm(ckpt.toFile) // one-shot run; no replay value
   }
 
   /** Day-grain QoE as a stream: each micro-batch runs the SAME

@@ -74,6 +74,13 @@ class MultimodalSpec extends SparkSpec {
       samples.sum, samples.map(v => v * v).sum))
     // corrupt header → None (caller falls back to the stub)
     assert(Multimodal.decodeWavStats(bytes.take(20)).isEmpty)
+    // negative seeds stay in Short range (floorMod, not %): the decode
+    // still matches the documented formula instead of wrapping
+    val Some(neg) = Multimodal.decodeWavStats(Multimodal.syntheticWav(-5L))
+    val negSamples = (0 until 64).map(i =>
+      Math.floorMod(-5L * 31 + i * 7, 65536L) - 32768L)
+    assert((neg.sMin, neg.sMax, neg.sSum) ===
+      ((negSamples.min, negSamples.max, negSamples.sum)))
     // a WAV payload routes through the real decoder inside
     // decodeFeatures: histogram of decoded samples, not raw bytes
     import spark.implicits._
