@@ -116,6 +116,28 @@ object StreamingQueries extends QueryPack {
         |      FROM sess)
         |SELECT user_id AS key, start_ms, end_ms, n
         |FROM f WHERE sid < last_sid
-        |ORDER BY key, start_ms""".stripMargin))
+        |ORDER BY key, start_ms""".stripMargin)),
+
+    // §2.8 watermark FINALIZATION: the same daily windows in APPEND
+    // mode — a window emits only once the watermark (max event time −
+    // 1 h) passes its end, so the trailing window(s) stay in state and
+    // never emit. The oracle states the exact finalization predicate:
+    // window_end ≤ max(ts) − 1 h. This gates the eviction semantics
+    // q60's complete mode deliberately bypasses.
+    "q74_stream_late_windows" -> Q(
+      (s, dir) => Streams.runToTable(
+          Streams.dailyCounts(eventsStream(s, dir), "ts",
+            Seq("event_type"), "1 hour"),
+          OutputMode.Append())
+        .select(to_date(col("day_start")).as("day"), col("event_type"),
+          col("n"))
+        .orderBy(col("day"), col("event_type")),
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |FROM events, m
+        |WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+        |      <= mx - INTERVAL 1 HOUR
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin))
   )
 }
