@@ -138,6 +138,48 @@ object StreamingQueries extends QueryPack {
         |WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
         |      <= mx - INTERVAL 1 HOUR
         |GROUP BY day, event_type
-        |ORDER BY day, event_type""".stripMargin))
+        |ORDER BY day, event_type""".stripMargin)),
+
+    // §2.8 event-time TIMEOUT flush: q62 with a realistic watermark
+    // delay (1 h). The finalization batch fires timeouts for sessions
+    // whose (end + gap) the watermark has passed, so the emitted set is
+    // all in-batch-closed sessions PLUS timed-out final sessions —
+    // "the timeout occurs when the watermark advances beyond the set
+    // timestamp" (strict), which the oracle states as
+    // end_ms + gap < max_ms − delay. Gates the timeout path q62's
+    // infinite delay deliberately disables.
+    "q75_stream_session_timeout" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+          .select(col("user_id").as("key"), col("ts"))
+          .as[Streams.SessionEvent]
+        Streams.runToTable(
+            Streams.sessionize(ev, 1800000L, "1 hour").toDF(),
+            OutputMode.Append())
+          .select(col("key"), col("startMs").as("start_ms"),
+            col("endMs").as("end_ms"), col("n").cast("long").as("n"))
+          .orderBy(col("key"), col("start_ms"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |a AS (SELECT user_id, ms,
+        |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+        |      FROM e),
+        |b AS (SELECT user_id, ms,
+        |        sum(CASE WHEN prev IS NULL OR ms - prev > 1800000
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ms
+        |                ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM a),
+        |sess AS (SELECT user_id, sid, min(ms) AS start_ms,
+        |           max(ms) AS end_ms, count(*) AS n
+        |         FROM b GROUP BY user_id, sid),
+        |f AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+        |      FROM sess),
+        |w AS (SELECT max(epoch_ms(ts)) - 3600000 AS wm FROM events)
+        |SELECT user_id AS key, start_ms, end_ms, n
+        |FROM f, w
+        |WHERE sid < last_sid OR end_ms + 1800000 < wm
+        |ORDER BY key, start_ms""".stripMargin))
   )
 }
