@@ -89,4 +89,26 @@ object PureProperties extends Properties("graft.pure") {
       val out = Text.marketingNameScala(s)
       out == null || out.nonEmpty
     }
+
+  import graft.operators.Multimodal
+
+  property("wav codec: decode inverts encode for ANY seed (JDK round trip)") =
+    forAll(Gen.chooseNum(Long.MinValue / 64, Long.MaxValue / 64)) { seed =>
+      val expected = (0 until 64).map(i =>
+        Math.floorMod(seed * 31 + i * 7, 65536L) - 32768L)
+      Multimodal.decodeWavStats(Multimodal.syntheticWav(seed)).contains(
+        Multimodal.WavStats(8000L, 64L, expected.min, expected.max,
+          expected.sum, expected.map(v => v * v).sum))
+    }
+
+  property("clip container: demux recovers every frame byte-exactly") =
+    forAll(Gen.chooseNum(-1000000L, 1000000L), Gen.chooseNum(1, 6)) {
+      (seed, nFrames) =>
+        val frames = Multimodal.clipFrames(
+          Multimodal.syntheticClip(seed, nFrames))
+        frames.length == nFrames && frames.zipWithIndex.forall {
+          case (f, i) =>
+            java.util.Arrays.equals(f, Multimodal.syntheticPng(seed + i))
+        }
+    }
 }
