@@ -555,7 +555,11 @@ object GoldQueries extends QueryPack {
                 .otherwise(array(edgeDs))),
             lvl("P", array(profFw, profDs))).as("stack")),
           Map("ignoreNullFields" -> "true"))
+        // key-sampled 10× (q30's pattern): the fallback-branch space is
+        // covered thousands of times over; parsing EVERY order's
+        // payload only scales the JsonToStructs bill, not the gate
         val parsed = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 10 === 0)
           .groupBy(col("l_orderkey").as("k"))
           .agg(count(lit(1)).as("n"))
           .select(k, doc.as("doc"))
@@ -575,7 +579,8 @@ object GoldQueries extends QueryPack {
           .orderBy(col("edge_id"))
       },
       Some("""WITH base AS (
-        |  SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+        |  SELECT l_orderkey AS k, count(*) AS n FROM lineitem
+        |  WHERE l_orderkey % 10 = 0 GROUP BY 1)
         |SELECT 'edge-'||k AS edge_id,
         |  k % 2 = 0 AS segmented,
         |  CASE WHEN k % 5 < 2 THEN k % 5 = 0 ELSE k % 4 = 0 END AS snmpv3,
