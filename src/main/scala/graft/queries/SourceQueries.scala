@@ -213,6 +213,60 @@ object SourceQueries extends QueryPack {
         |FROM region
         |ORDER BY name""".stripMargin)),
 
+    // S1 LIVE WIRE: the production HTTP JSON-RPC transport against an
+    // in-process JDK HttpServer serving part-derived payloads. The
+    // handler REJECTS any request whose envelope or Authorization
+    // header is malformed (error body → Left → the query fails), so a
+    // green hash proves the wire format end-to-end: POST /portal/,
+    // JSON-RPC 2.0 envelope, Token auth, result-array → line decode.
+    "q76_http_transport" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.part(s, dir).select(
+            to_json(struct(
+              col("p_partkey").as("id"),
+              concat(lit("p-"), col("p_partkey")).as("logicalId"),
+              col("p_name").as("name"),
+              col("p_brand").as("created"))).as("doc"))
+          .as[String].collect() // fixture-server dataset
+        val body = docs.mkString(
+          """{"jsonrpc":"2.0","id":1,"result":[""", ",", "]}")
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/portal/",
+            new com.sun.net.httpserver.HttpHandler {
+              def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+                val req = new String(x.getRequestBody.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                val authOk = x.getRequestHeaders.getFirst("Authorization") ==
+                  "Token tok-123"
+                val envOk = req.contains("\"jsonrpc\":\"2.0\"") &&
+                  req.contains("\"method\":\"network/getNetworkEnterprises\"")
+                val resp =
+                  if (authOk && envOk) body
+                  else """{"error":{"message":"bad envelope or auth"}}"""
+                val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                x.sendResponseHeaders(200, bytes.length)
+                x.getResponseBody.write(bytes)
+                x.close()
+              }
+            })
+          server.start()
+          val port = server.getAddress.getPort
+          // transport call happens EAGERLY inside networkEnterprises
+          // (lines land in a local Seq), so the server can stop after
+          VcoSource.networkEnterprises(s,
+              new graft.sources.HttpTransport(s"http://127.0.0.1:$port",
+                "tok-123"))
+            .orderBy(col("id"))
+        } finally server.stop(0)
+      },
+      Some("""SELECT p_partkey AS id, 'p-'||p_partkey AS logicalId,
+        |  p_name AS name, p_brand AS created
+        |FROM part
+        |ORDER BY id""".stripMargin)),
+
     // S17: the YAML registry parser under the gate — nation rows are
     // rendered as a vco_list.yml document (sections, quoting, comments,
     // null/absent keys), parsed back through YamlConfig, and must equal
