@@ -555,11 +555,15 @@ object GoldQueries extends QueryPack {
                 .otherwise(array(edgeDs))),
             lvl("P", array(profFw, profDs))).as("stack")),
           Map("ignoreNullFields" -> "true"))
-        // key-sampled 10× (q30's pattern): the fallback-branch space is
-        // covered thousands of times over; parsing EVERY order's
-        // payload only scales the JsonToStructs bill, not the gate
+        // key-sampled ~13× (q30's pattern): the fallback-branch space
+        // is still covered thousands of times over; parsing EVERY
+        // order's payload only scales the JsonToStructs bill, not the
+        // gate. The sampling modulus MUST stay coprime to the branch
+        // moduli {2,3,4,5,7,11} below — a shared factor silently
+        // freezes those residues and turns gated branches into dead
+        // code on both engines (review catch: %10 pinned k%2 and k%5).
         val parsed = Tables.lineitem(s, dir)
-          .filter(col("l_orderkey") % 10 === 0)
+          .filter(col("l_orderkey") % 13 === 0)
           .groupBy(col("l_orderkey").as("k"))
           .agg(count(lit(1)).as("n"))
           .select(k, doc.as("doc"))
@@ -580,7 +584,7 @@ object GoldQueries extends QueryPack {
       },
       Some("""WITH base AS (
         |  SELECT l_orderkey AS k, count(*) AS n FROM lineitem
-        |  WHERE l_orderkey % 10 = 0 GROUP BY 1)
+        |  WHERE l_orderkey % 13 = 0 GROUP BY 1)
         |SELECT 'edge-'||k AS edge_id,
         |  k % 2 = 0 AS segmented,
         |  CASE WHEN k % 5 < 2 THEN k % 5 = 0 ELSE k % 4 = 0 END AS snmpv3,

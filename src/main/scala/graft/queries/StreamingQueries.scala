@@ -47,6 +47,29 @@ object StreamingQueries extends QueryPack {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Shared DuckDB session derivation for q62/q75 (one definition so
+    * the two gates can never drift — the repo's interpolated-literal
+    * convention, cf. GoldQueries.MovedMap): ms-grain events → lag →
+    * gap-marked session ids → per-session stats, with `last_sid`
+    * marking each key's final (still-open) session.
+    */
+  private val sessionCte: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |a AS (SELECT user_id, ms,
+      |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+      |      FROM e),
+      |b AS (SELECT user_id, ms,
+      |        sum(CASE WHEN prev IS NULL OR ms - prev > 1800000
+      |                 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ms
+      |                ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM a),
+      |sess AS (SELECT user_id, sid, min(ms) AS start_ms,
+      |           max(ms) AS end_ms, count(*) AS n
+      |         FROM b GROUP BY user_id, sid),
+      |f AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+      |      FROM sess)""".stripMargin
+
   def defs: Map[String, Q] = Map(
     // §2.8 tumbling daily windows: incremental windowed aggregation.
     // Complete mode emits every window regardless of watermark, which
@@ -99,21 +122,7 @@ object StreamingQueries extends QueryPack {
             col("endMs").as("end_ms"), col("n").cast("long").as("n"))
           .orderBy(col("key"), col("start_ms"))
       },
-      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
-        |a AS (SELECT user_id, ms,
-        |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
-        |      FROM e),
-        |b AS (SELECT user_id, ms,
-        |        sum(CASE WHEN prev IS NULL OR ms - prev > 1800000
-        |                 THEN 1 ELSE 0 END)
-        |          OVER (PARTITION BY user_id ORDER BY ms
-        |                ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM a),
-        |sess AS (SELECT user_id, sid, min(ms) AS start_ms,
-        |           max(ms) AS end_ms, count(*) AS n
-        |         FROM b GROUP BY user_id, sid),
-        |f AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
-        |      FROM sess)
+      Some(s"""$sessionCte
         |SELECT user_id AS key, start_ms, end_ms, n
         |FROM f WHERE sid < last_sid
         |ORDER BY key, start_ms""".stripMargin)),
@@ -161,21 +170,7 @@ object StreamingQueries extends QueryPack {
             col("endMs").as("end_ms"), col("n").cast("long").as("n"))
           .orderBy(col("key"), col("start_ms"))
       },
-      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
-        |a AS (SELECT user_id, ms,
-        |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
-        |      FROM e),
-        |b AS (SELECT user_id, ms,
-        |        sum(CASE WHEN prev IS NULL OR ms - prev > 1800000
-        |                 THEN 1 ELSE 0 END)
-        |          OVER (PARTITION BY user_id ORDER BY ms
-        |                ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM a),
-        |sess AS (SELECT user_id, sid, min(ms) AS start_ms,
-        |           max(ms) AS end_ms, count(*) AS n
-        |         FROM b GROUP BY user_id, sid),
-        |f AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
-        |      FROM sess),
+      Some(s"""$sessionCte,
         |w AS (SELECT max(epoch_ms(ts)) - 3600000 AS wm FROM events)
         |SELECT user_id AS key, start_ms, end_ms, n
         |FROM f, w
