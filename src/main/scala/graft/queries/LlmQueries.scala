@@ -31,6 +31,23 @@ object LlmQueries extends QueryPack {
   private val tokensSql =
     s"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE $normTokens END"
 
+  /** Exact all-pairs unigram Jaccard ≥ 0.9 over the doc_id%20 sample —
+    * the shared ground truth for BOTH LSH formulations (q30 hand-wired,
+    * q77 packaged): a green hash against it is the per-run recall
+    * proof for each.
+    */
+  private val allPairsJaccardOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, list_distinct($normTokens) AS toks
+      |  FROM documents WHERE doc_id % 20 = 0)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   private def swPattern(words: Seq[String]) =
     TextAnalysis.stopwordPattern(words)
 
@@ -200,16 +217,21 @@ object LlmQueries extends QueryPack {
           .filter(col("jaccard") >= 0.9)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH d AS (
-        |  SELECT doc_id, list_distinct($normTokens) AS toks
-        |  FROM documents WHERE doc_id % 20 = 0)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.toks, b.toks))::DOUBLE /
-        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin)),
+      Some(allPairsJaccardOracle)),
+
+    // The same gate through the PACKAGED pipeline (`Dedup.nearDupPairs`
+    // — shingle→sign→band→candidate→verify as one call): proves the
+    // composite wiring, not just the stages q30 assembles by hand.
+    // Identical all-pairs oracle; minhash is invariant to shingle
+    // dedup, so the packaged deduped-signature path must land on the
+    // same pairs.
+    "q77_near_dup_pipeline" -> Q(
+      (s, dir) => Dedup.nearDupPairs(
+          Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+          threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(allPairsJaccardOracle)),
 
     // Multimodal plumbing: text payloads become opaque binary columns
     // flowing through the partition-batched decode and frame-sampling
