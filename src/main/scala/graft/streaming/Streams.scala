@@ -109,13 +109,23 @@ object Streams {
     * SQL oracle. Each call gets a fresh memory-sink table and a
     * throwaway checkpoint, so Bench can re-run the same query.
     */
-  def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+  def runToTable(df: DataFrame, mode: OutputMode,
+      statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    // State-store partition count is fixed by shuffle.partitions at
+    // FIRST checkpoint creation; these one-shot gates carry tiny state,
+    // so 32 partitions is pure per-batch provider overhead (~4× the
+    // useful work). Scope the smaller value to the stream start and
+    // restore — at production scale a long-lived job would instead
+    // RAISE it to match state volume, set once at its own checkpoint
+    // birth. Sequential Verify/Bench execution makes the scoping safe.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       df.writeStream
         .format("memory")
@@ -136,7 +146,10 @@ object Streams {
       spark.catalog.dropTempView(name)
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(rows.asJava, schema)
-    } finally rm(ckpt.toFile) // one-shot run; no replay value
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      rm(ckpt.toFile) // one-shot run; no replay value
+    }
   }
 
   /** Day-grain QoE as a stream: each micro-batch runs the SAME
