@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * train/validation/test splits and token-budget shard packing — the
+  * two steps that turn a filtered, deduplicated document set into the
+  * layout a trainer actually reads.
+  *
+  * Scale shape: [[hashSplit]] is a pure projection (no shuffle, no
+  * RNG); [[packShards]] is a distributed prefix sum — per-bucket
+  * windows run in parallel and the only global ordering ever
+  * materialized is one row per bucket, broadcast back. Neither needs a
+  * single-partition pass over the corpus, so both survive 100 TB.
+  */
+object Corpus {
+
+  /** Deterministic hash split: assign each row to a named split by an
+    * md5-derived bucket of `idCol` + `salt`. Membership is a pure
+    * function of the id — stable across runs, engines, partitionings,
+    * and corpus growth (adding documents never reassigns existing
+    * ones), which is what makes held-out sets trustworthy. `weights`
+    * are integer proportions, e.g. ("train",8),("val",1),("test",1).
+    *
+    * Returns the input plus `bucket` (0 until Σweights) and `split`.
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive integer proportions")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(graft.expressions.Md5Hash60.hash60Native(
+      concat_ws(":", col(idCol), lit(salt))), lit(total.toLong))
+    // cumulative upper bounds: bucket < bounds(i) ⇒ weights(i)._1
+    val bounds = weights.map(_._2).scanLeft(0)(_ + _).tail
+    val withBucket = df.withColumn("bucket", bucket)
+    val split = weights.zip(bounds).dropRight(1)
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), b), els) =>
+        when(col("bucket") < b, lit(name)).otherwise(els)
+      }
+    withBucket.withColumn("split", split)
+  }
+
+  /** Token-budget shard packing: lay documents out in `idCol` order and
+    * assign each to the shard its first token lands in
+    * (`shard_id = start_offset / budget`) — contiguous shards of
+    * ≈`budget` tokens, the standard pre-tokenization layout step.
+    *
+    * The global running sum is computed WITHOUT a global window: ids
+    * are range-bucketed (`bucketSize` ids per bucket), the running sum
+    * within each bucket is a parallel window, and bucket offsets come
+    * from a second window over ONE ROW PER BUCKET (tiny by
+    * construction) that is broadcast back. At 100 TB the only ordered
+    * single-partition pass is over the bucket list, not the corpus.
+    *
+    * `tokenCol` must be a non-null integral column (coalesce upstream).
+    * Offsets use floor(double) division — exact below 2^53 total
+    * tokens, three orders of magnitude above a 100 TB corpus.
+    *
+    * Returns the input plus `start_off` and `shard_id`.
+    */
+  def packShards(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, bucketSize: Long = 1L << 16): DataFrame = {
+    require(budget > 0 && bucketSize > 0)
+    val bucketed = df.withColumn("__bucket",
+      floor(col(idCol) / lit(bucketSize.toDouble)).cast("long"))
+    val w1 = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+    val withRun = bucketed.withColumn("__run", sum(col(tokenCol)).over(w1))
+    val totals = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(tokenCol)).as("__tot"))
+    val w2 = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__bucket"),
+      coalesce(sum(col("__tot")).over(w2), lit(0L)).as("__off"))
+    withRun.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("start_off", col("__off") + col("__run") - col(tokenCol))
+      .withColumn("shard_id",
+        floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .drop("__bucket", "__run", "__off")
+  }
+}

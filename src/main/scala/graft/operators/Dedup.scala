@@ -143,6 +143,58 @@ object Dedup {
     jaccard(cands, shingled, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair set: collapse pairs
+    * into dedup GROUPS, electing the minimum id of each component as
+    * its canonical document — the step that turns pairwise similarity
+    * into "keep one copy per cluster".
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min of its own and its neighbors' labels) — rounds =
+    * component diameter, and near-dup components are shallow by
+    * construction (a hub dup connects its whole cluster in 2 hops).
+    * Each round is one equi-join + one partial-agg shuffle, lineage is
+    * truncated per round with an eager localCheckpoint, and the driver
+    * sees only the converged/changed counter — never the data. For
+    * adversarially deep chain components at extreme scale the
+    * log-round large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") drops in behind
+    * the same signature.
+    *
+    * Returns (id, canonical_id, is_keeper) for every id present in
+    * `pairs` (columns id_a/id_b).
+    */
+  def dedupGroups(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("src").as("id"), col("nmin")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
+      round += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"dedupGroups did not converge in $maxRounds rounds")
+    labels.select(col("id"), col("label").as("canonical_id"),
+      (col("id") === col("label")).cast("int").as("is_keeper"))
+  }
+
   /** SimHash over `bits` of the 60-bit token hash: per bit, sign of
     * Σ(+1/-1) across tokens; assembled into one Long. One explode +
     * one groupBy with `bits` conditional sums — no UDF, fully

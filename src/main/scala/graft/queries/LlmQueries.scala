@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, TextAnalysis}
 
 /** q25–q30: training-data pipeline operators over the documents corpus
   * (BASELINE north star): exact dedup, text statistics, language ID,
@@ -31,21 +31,29 @@ object LlmQueries extends QueryPack {
   private val tokensSql =
     s"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE $normTokens END"
 
-  /** Exact all-pairs unigram Jaccard ≥ 0.9 over the doc_id%20 sample —
-    * the shared ground truth for BOTH LSH formulations (q30 hand-wired,
-    * q77 packaged): a green hash against it is the per-run recall
-    * proof for each.
+  /** Exact all-pairs unigram Jaccard ≥ 0.9 over the doc_id%20 sample,
+    * as a CTE body — the shared ground truth for BOTH LSH pair
+    * formulations (q30 hand-wired, q77 packaged) and the edge set the
+    * q78 group oracle closes over.
+    */
+  private val samplePairsCte: String =
+    s"""d AS (
+      |  SELECT doc_id, list_distinct($normTokens) AS toks
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |jp AS (
+      |  SELECT id_a, id_b, jaccard FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.9)""".stripMargin
+
+  /** A green hash against the all-pairs truth is the per-run recall
+    * proof for each LSH formulation.
     */
   private val allPairsJaccardOracle: String =
-    s"""WITH d AS (
-      |  SELECT doc_id, list_distinct($normTokens) AS toks
-      |  FROM documents WHERE doc_id % 20 = 0)
-      |SELECT id_a, id_b, jaccard FROM (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.toks, b.toks))::DOUBLE /
-      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.9
+    s"""WITH $samplePairsCte
+      |SELECT id_a, id_b, jaccard FROM jp
       |ORDER BY id_a, id_b""".stripMargin
 
   private def swPattern(words: Seq[String]) =
@@ -232,6 +240,78 @@ object LlmQueries extends QueryPack {
           threshold = 0.9)
         .orderBy(col("id_a"), col("id_b")),
       Some(allPairsJaccardOracle)),
+
+    // Dedup GROUPS: connected components over the near-dup pair set,
+    // electing min-id per component as the canonical copy — pairwise
+    // similarity → "keep one per cluster". The Spark side is iterative
+    // min-label propagation (one join + one partial-agg shuffle per
+    // round, rounds = component diameter); the oracle closes the SAME
+    // edge set transitively with a recursive CTE, so a propagation bug
+    // that under- or over-merges any component cannot hash-match.
+    "q78_dedup_groups" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.nearDupPairs(
+          Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+          threshold = 0.9)
+        Dedup.dedupGroups(pairs).orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE $samplePairsCte,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT src AS id, least(src, min(dst)) AS canonical_id,
+        |  CAST(src = least(src, min(dst)) AS INT) AS is_keeper
+        |FROM reach GROUP BY src
+        |ORDER BY id""".stripMargin)),
+
+    // Deterministic train/val/test split: md5-bucket assignment is a
+    // pure projection — no shuffle, no RNG — so membership is a stable
+    // function of (doc_id, salt) that corpus growth never perturbs.
+    "q79_hash_split" -> Q(
+      (s, dir) => Corpus.hashSplit(
+          Tables.documents(s, dir).select(col("doc_id")),
+          "doc_id", "v1", Seq(("train", 8), ("val", 1), ("test", 1)))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(doc_id || ':v1'), 1, 15)) AS BIGINT) % 10 AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget shard packing: contiguous ≈2048-token shards in
+    // doc_id order. The oracle states the spec as ONE global window
+    // cumsum; the Spark side must land on identical offsets from its
+    // two-level distributed prefix sum (per-bucket windows + a
+    // one-row-per-bucket offset window, broadcast back) — the gate
+    // proves the decomposition exactly reassembles the global scan.
+    "q80_token_packing" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          coalesce(TextAnalysis.nTokens(col("text")).cast("long"), lit(0L))
+            .as("n_tokens"))
+        Corpus.packShards(docs, "doc_id", "n_tokens",
+            budget = 2048L, bucketSize = 512L)
+          .select(col("doc_id"), col("n_tokens"), col("start_off"),
+            col("shard_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, coalesce(len($tokensSql), 0) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  cum - n_tokens AS start_off,
+        |  (cum - n_tokens) // 2048 AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing: text payloads become opaque binary columns
     // flowing through the partition-batched decode and frame-sampling

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Corpus-assembly operators: split stability/coverage and the
+  * distributed-prefix-sum packing against a sequential reference scan.
+  * (q79/q80 gate the same math against DuckDB; these specs pin the
+  * properties the oracle can't phrase — growth-invariance, budget
+  * bounds — on controlled fixtures.)
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("hashSplit: deterministic, total, and growth-invariant") {
+    import spark.implicits._
+    val w = Seq(("train", 8), ("val", 1), ("test", 1))
+    val small = (0L until 200L).toDF("id")
+    val a = Corpus.hashSplit(small, "id", "s1", w).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Corpus.hashSplit(small, "id", "s1", w).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b) // rerun-stable
+    // adding documents never reassigns existing ones
+    val grown = Corpus.hashSplit((0L until 400L).toDF("id"), "id", "s1", w)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+    // every row lands in exactly one declared split; all splits non-empty
+    assert(a.values.toSet === Set("train", "val", "test"))
+    // a different salt reshuffles membership
+    val resalted = Corpus.hashSplit(small, "id", "s2", w).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.exists { case (k, v) => resalted(k) != v })
+  }
+
+  test("hashSplit: proportions track the declared weights") {
+    import spark.implicits._
+    val w = Seq(("train", 8), ("val", 1), ("test", 1))
+    val counts = Corpus.hashSplit((0L until 2000L).toDF("id"), "id", "s1", w)
+      .groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1400 && counts("train") < 1800)
+    assert(counts("val") > 100 && counts("val") < 320)
+    assert(counts("test") > 100 && counts("test") < 320)
+  }
+
+  test("packShards matches a sequential scan and respects the budget") {
+    import spark.implicits._
+    // sparse, unordered-by-partition ids; token counts incl. 0 and
+    // budget-straddling values
+    val docs = Seq(
+      (3L, 100L), (1L, 50L), (8L, 0L), (2L, 900L), (13L, 300L),
+      (5L, 1200L), (21L, 700L), (34L, 64L), (55L, 2048L), (89L, 10L))
+      .toDF("id", "n")
+    val got = Corpus.packShards(docs, "id", "n", budget = 1000L,
+        bucketSize = 4L)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    // sequential reference: running offset in id order
+    var off = 0L
+    val want = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map { case (id, n) =>
+        val row = (id, n, off, off / 1000L); off += n; row
+      }
+    assert(got.toSeq === want.toSeq)
+    // shard ids are non-decreasing in id order and start at 0
+    assert(got.head._4 === 0L)
+    assert(got.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+  }
+
+  test("packShards bucket decomposition is invariant to bucketSize") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i * 3L, (i * 7L) % 41L))
+      .toDF("id", "n")
+    def run(bs: Long) = Corpus.packShards(docs, "id", "n",
+        budget = 100L, bucketSize = bs)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(1L) === run(7L))
+    assert(run(7L) === run(1L << 16))
+  }
+}

@@ -65,6 +65,28 @@ class DedupSpec extends SparkSpec {
     assert(df.head.getInt(0) === ham(sh(1L), sh(2L)))
   }
 
+  test("dedupGroups: transitive closure over planted component shapes") {
+    import spark.implicits._
+    // a 4-chain (label must travel the diameter), a star, a lone pair
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L),           // chain 10-11-12-13
+      (20L, 21L), (20L, 22L), (20L, 23L),           // star centered on 20
+      (31L, 30L)                                    // pair (min on the right)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got === Map(
+      10L -> (10L, 1), 11L -> (10L, 0), 12L -> (10L, 0), 13L -> (10L, 0),
+      20L -> (20L, 1), 21L -> (20L, 0), 22L -> (20L, 0), 23L -> (20L, 0),
+      30L -> (30L, 1), 31L -> (30L, 0)))
+  }
+
+  test("dedupGroups: empty pair set yields empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dedupGroups(empty).collect().isEmpty)
+  }
+
   test("exactDedup groups identical canonical forms") {
     val d = Dedup.exactDedup(corpus, "doc_id",
         TextAnalysis.fingerprint(col("text")))
