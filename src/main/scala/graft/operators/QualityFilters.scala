@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus quality filters for training-data pipelines: within-document
+  * repetition statistics (the Gopher-style duplicate-n-gram signals),
+  * PII scrubbing, and benchmark-contamination detection — the filter
+  * stages that run between dedup and corpus assembly.
+  *
+  * Scale shape: repetition and contamination are per-document
+  * aggregations over exploded n-grams — partial-agg shuffles keyed by
+  * document, never all-pairs; the benchmark side of contamination is a
+  * broadcast (eval sets are small by definition). PII scrubbing is a
+  * pure Column projection that runs inside the scan.
+  *
+  * Cross-engine determinism: regexes restrict to ASCII classes whose
+  * semantics agree between Java regex and RE2, fractions are a single
+  * division of exact integer counts, and n-gram hashing reuses the
+  * md5-derived [[Dedup.shingleHashes]] primitive.
+  */
+object QualityFilters {
+
+  /** Per-document word n-gram repetition statistics: total and
+    * distinct n-gram occurrence counts, the hottest n-gram's count,
+    * and the two standard repetition signals derived from them —
+    * `dup_ngram_frac` (fraction of occurrences that are repeats of an
+    * already-seen n-gram) and `top_ngram_frac` (fraction claimed by
+    * the single most frequent n-gram). High values of either mark
+    * boilerplate / degenerate documents that repetition filters drop.
+    *
+    * Two partial-agg shuffles, both keyed by (doc, n-gram) then doc —
+    * no global state, so the pass scales with the corpus. Documents
+    * shorter than `n` tokens count their whole text as one n-gram
+    * (the [[TextAnalysis.shingles]] convention).
+    */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(graft.expressions.WordShingles.shinglesNative(
+          col(textCol), n)).as("s"))
+      .groupBy(col(idCol), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        max(col("c")).as("top_count"))
+      .select(col(idCol), col("total_ngrams"), col("distinct_ngrams"),
+        col("top_count"),
+        (lit(1.0) - col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double")).as("dup_ngram_frac"),
+        (col("top_count").cast("double") /
+          col("total_ngrams").cast("double")).as("top_ngram_frac"))
+
+  /** Email/phone patterns shared verbatim with the DuckDB oracle.
+    * ASCII-only classes; greedy quantifiers over disjoint classes, so
+    * Java's leftmost-first and RE2's leftmost-longest matching pick
+    * identical spans.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(emailPattern))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(phonePattern))
+
+  /** Redact emails then phones (emails first: an email's local part
+    * may itself contain a phone-shaped digit run, and the wider match
+    * must win). Pure projection — runs at scan speed.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Benchmark contamination: for every corpus document, the fraction
+    * of its DISTINCT word n-grams that also occur anywhere in the
+    * benchmark corpus — the standard train/eval overlap check run
+    * before training. Returns (id, n_ngrams, n_contaminated,
+    * contamination).
+    *
+    * The benchmark's distinct n-gram hash set is broadcast (eval
+    * benchmarks are tiny next to a 100 TB corpus); the corpus side is
+    * one [[Dedup.shingleHashes]] pass plus a per-document count — a
+    * broadcast hash join inside the scan, then one partial-agg
+    * shuffle keyed by document. No corpus-side join shuffle.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusSh = Dedup.shingleHashes(corpus, idCol, textCol, n)
+    val benchSh = Dedup.shingleHashes(benchmark, idCol, textCol, n)
+      .select(col("h")).distinct()
+    corpusSh
+      .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(col("hit")).as("n_contaminated"))
+      .select(col(idCol), col("n_ngrams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_ngrams").cast("double")).as("contamination"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Corpus, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, QualityFilters, TextAnalysis}
 
 /** q25–q30: training-data pipeline operators over the documents corpus
   * (BASELINE north star): exact dedup, text statistics, language ID,
@@ -312,6 +312,106 @@ object LlmQueries extends QueryPack {
         |  cum - n_tokens AS start_off,
         |  (cum - n_tokens) // 2048 AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Within-document repetition (Gopher-style filter signals):
+    // duplicate-bigram fraction and top-bigram fraction from exact
+    // per-doc n-gram occurrence counts — two partial-agg shuffles
+    // keyed by (doc, n-gram) then doc, no global state. Fractions are
+    // single divisions of exact integer counts, so both engines land
+    // on identical doubles.
+    "q81_ngram_repetition" -> Q(
+      (s, dir) => QualityFilters.ngramRepetition(
+          Tables.documents(s, dir), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, $normTokens AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |    END) AS s
+        |  FROM toks),
+        |g AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |  count(*) AS distinct_ngrams,
+        |  CAST(max(c) AS BIGINT) AS top_count,
+        |  CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ngram_frac,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_ngram_frac
+        |FROM g GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub: the corpus has no organic PII, so both engines
+    // append IDENTICAL deterministic contact strings keyed off doc_id
+    // (2/3 of rows get an email and/or phone, 1/3 stay clean) and the
+    // gate proves regex-dialect parity — match spans, counts, and
+    // global replacement — between Java regex and RE2 on the shared
+    // patterns. The scrub itself is a pure projection at scan speed.
+    "q82_pii_scrub" -> Q(
+      (s, dir) => {
+        val p3 = (lit(100) + col("doc_id") % 900).cast("string")
+        val p4 = (lit(1000) + col("doc_id") % 9000).cast("string")
+        val aug = when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@mail.example.com or call 555-"), p3, lit("-"), p4,
+              lit(" now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" call 555-"), p3, lit("-"), p4,
+              lit(" today")))
+          .otherwise(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            QualityFilters.emailCount(col("t")).cast("long").as("n_emails"),
+            QualityFilters.phoneCount(col("t")).cast("long").as("n_phones"),
+            QualityFilters.scrubPii(col("t")).as("scrubbed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@mail.example.com or call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+        |           || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' now'
+        |         WHEN doc_id % 3 = 1 THEN text || ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+        |           || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today'
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '${QualityFilters.emailPattern}')) AS n_emails,
+        |  len(regexp_extract_all(t, '${QualityFilters.phonePattern}')) AS n_phones,
+        |  regexp_replace(regexp_replace(t, '${QualityFilters.emailPattern}', '<EMAIL>', 'g'),
+        |    '${QualityFilters.phonePattern}', '<PHONE>', 'g') AS scrubbed
+        |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark contamination: per corpus doc, the fraction of its
+    // distinct bigrams that occur anywhere in the benchmark slice
+    // (doc_id%25), via a BROADCAST membership join on the md5 shingle
+    // hash — the train/eval overlap check. The oracle recomputes the
+    // same containment from the raw n-gram sets.
+    "q83_contamination" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        QualityFilters.contamination(
+            docs.filter(col("doc_id") % 25 =!= 0),
+            docs.filter(col("doc_id") % 25 === 0),
+            "doc_id", "text", n = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, $normTokens AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |    END) AS s
+        |  FROM toks),
+        |h AS (SELECT DISTINCT doc_id, ${h60sql("s")} % ${Dedup.P} AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 25 = 0),
+        |corp AS (SELECT doc_id, h FROM h WHERE doc_id % 25 <> 0)
+        |SELECT c.doc_id AS doc_id, count(*) AS n_ngrams,
+        |  count(b.h) AS n_contaminated,
+        |  CAST(count(b.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+        |FROM corp c LEFT JOIN bench b ON c.h = b.h
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing: text payloads become opaque binary columns
     // flowing through the partition-batched decode and frame-sampling
