@@ -43,6 +43,33 @@ object Corpus {
     withBucket.withColumn("split", split)
   }
 
+  /** Deterministic source-mixture sampling: keep each row with a
+    * per-source rate (the "20% of crawl, 100% of books" corpus-mixing
+    * step), decided by the same md5-bucket device as [[hashSplit]] —
+    * membership is a pure function of (id, salt), so the sampled
+    * mixture is stable across runs, engines, and corpus growth, and
+    * re-running with a higher rate strictly GROWS the sample
+    * (u < threshold is monotone in the threshold: no resampling churn
+    * when mixture weights are retuned).
+    *
+    * Pure filter projection — no shuffle, runs inside the scan.
+    * Rates are exact integer thresholds out of 1e6.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, salt: String,
+      sourceCol: String, rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val M = 1000000L
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1))
+    val u = pmod(graft.expressions.Md5Hash60.hash60Native(
+      concat_ws(":", col(idCol), lit(salt))), lit(M))
+    val thr = rates.toSeq.sortBy(_._1)
+      .foldRight(lit((defaultRate * M).toLong): Column) {
+        case ((src, r), els) =>
+          when(col(sourceCol) === src, lit((r * M).toLong)).otherwise(els)
+      }
+    df.filter(u < thr)
+  }
+
   /** Token-budget shard packing: lay documents out in `idCol` order and
     * assign each to the shard its first token lands in
     * (`shard_id = start_offset / budget`) — contiguous shards of

@@ -148,16 +148,93 @@ object Similarity {
     * native dot products, no shuffle). Centroids come from the caller:
     * a seeded sample of the corpus is the classic IVF-flat init.
     */
-  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    // linear expression tree: one struct per centroid + array_max
-    // (a when-chain fold would duplicate the accumulator per step —
-    // an O(3^n) tree that stalls Catalyst at realistic nlist).
-    // Deterministic tiebreak: equal scores pick the higher index
-    // (struct ordering).
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    // float constants widen exactly to double — same scores, one code
+    // path with the k-means trainer below (the q57 oracle already
+    // proves the widened-double arithmetic)
+    assignCell(vec, centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.map(_.toDouble))
+    })
+
+  /** Nearest-centroid id over (id, centroid) pairs.
+    * Linear expression tree: one struct per centroid + array_max
+    * (a when-chain fold would duplicate the accumulator per step —
+    * an O(3^n) tree that stalls Catalyst at realistic nlist).
+    * Deterministic tiebreak: equal scores pick the higher cell id
+    * (struct ordering).
+    */
+  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = array(cents.map { case (i, c) =>
       struct(cosineNative(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }: _*)
     array_max(scored).getField("i")
+  }
+
+  /** Fixed-point quantization scale for k-means accumulation: element
+    * sums are over `floor(x * KmQ)` longs — exact and ORDER-FREE, so
+    * the refined centroid is identical for every partitioning/engine
+    * (a raw double sum is order-dependent and can't be oracle-gated).
+    * 2^20 keeps unit-scale embeddings to ~1e-6 quantization error
+    * while bounding a 100 TB cell sum far below 2^63.
+    */
+  val KmQ: Double = 1048576.0
+
+  private def kmAggs(vecCol: String, dim: Int) =
+    count(lit(1)).as("n") +: (0 until dim).map(d =>
+      sum(floor((element_at(col(vecCol), d + 1)) * KmQ)).as(s"s$d"))
+
+  /** One-or-more Lloyd iterations of spherical k-means (cosine
+    * assignment — the IVF-flat trainer for [[annTopKIvf]]'s coarse
+    * quantizer). Per iteration: one corpus pass assigns cells inside
+    * the scan (no shuffle), one partial-agg shuffle of k rows refines
+    * them; only the k refined centroids ever reach the driver (k =
+    * nlist is a parameter, never data-sized — the standard Lloyd
+    * shape). Cells with no members are DROPPED (the quantizer shrinks
+    * rather than carrying dead cells), so `init` ids survive in the
+    * result keys. Deterministic end-to-end: quantized long sums (see
+    * [[KmQ]]), one double division per coordinate, and the
+    * higher-cell-id tiebreak in [[assignCell]].
+    */
+  def kmeansIterate(corpus: DataFrame, vecCol: String,
+      init: Seq[(Int, Seq[Double])], iters: Int): Seq[(Int, Seq[Double])] = {
+    require(init.nonEmpty && iters >= 0)
+    val dim = init.head._2.size
+    var cents = init
+    for (_ <- 1 to iters) {
+      val aggs = kmAggs(vecCol, dim)
+      val rows = corpus
+        .select(assignCell(col(vecCol), cents).as("cell"), col(vecCol))
+        .groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      cents = rows.map { r =>
+        val n = r.getLong(1).toDouble
+        r.getInt(0) -> (0 until dim).map(d =>
+          r.getLong(d + 2).toDouble / (n * KmQ))
+      }.sortBy(_._1).toSeq
+    }
+    cents
+  }
+
+  /** The (iters)-th Lloyd refinement as a DataFrame — runs
+    * [[kmeansIterate]] for `iters - 1` rounds, then expresses the
+    * final assign+refine declaratively: (cell, n_members, centroid).
+    * The last round's k-row aggregate stays distributed (it is the
+    * query result, not driver state).
+    */
+  def kmeansSummary(corpus: DataFrame, vecCol: String,
+      init: Seq[(Int, Seq[Double])], iters: Int): DataFrame = {
+    require(iters >= 1)
+    val dim = init.head._2.size
+    val cents = kmeansIterate(corpus, vecCol, init, iters - 1)
+    val aggs = kmAggs(vecCol, dim)
+    corpus
+      .select(assignCell(col(vecCol), cents).as("cell"), col(vecCol))
+      .groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .select(col("cell").cast("long").as("cell"),
+        col("n").as("n_members"),
+        array((0 until dim).map(d =>
+          col(s"s$d").cast("double") / (col("n").cast("double") * KmQ)): _*)
+          .as("centroid"))
   }
 
   /** IVF ANN top-k: probe only the query's own centroid cell. Same

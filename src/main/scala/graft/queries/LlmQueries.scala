@@ -413,6 +413,23 @@ object LlmQueries extends QueryPack {
         |FROM corp c LEFT JOIN bench b ON c.h = b.h
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic source-mixture sampling: per-source keep rates
+    // decided by the md5-bucket device (pure filter inside the scan,
+    // no RNG/shuffle); thresholds are exact integers out of 1e6 so
+    // both engines draw the identical sample.
+    "q85_mixture_sample" -> Q(
+      (s, dir) => Corpus.mixtureSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "mix1", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(doc_id || ':mix1'), 1, 15)) AS BIGINT) % 1000000 <
+        |  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+        |       WHEN 'src2' THEN 250000 ELSE 100000 END
+        |ORDER BY doc_id""".stripMargin)),
+
     // Multimodal plumbing: text payloads become opaque binary columns
     // flowing through the partition-batched decode and frame-sampling
     // stubs; the oracle checks the byte/frame accounting (feature

@@ -59,6 +59,12 @@ object SimilarityQueries extends QueryPack {
     Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian().toFloat))
   }
 
+  /** k-means init = the q57 seed centroids, widened (q84 trains the
+    * quantizer q57 probes).
+    */
+  private val KmInit: Seq[(Int, Seq[Double])] =
+    Centroids.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble)) }
+
   /** DuckDB literal of a float centroid: the WIDENED double value
     * (Float.toString would re-parse to a different double).
     */
@@ -237,6 +243,55 @@ object SimilarityQueries extends QueryPack {
           |SELECT query_id, rn, neighbor_id, cos AS cosine
           |FROM r WHERE rn <= 3
           |ORDER BY query_id, rn""".stripMargin)
+      }),
+
+    // Spherical k-means training for the IVF coarse quantizer (two
+    // Lloyd iterations from the q57 seed centroids). Assignment runs
+    // inside the scan; refinement is a k-row partial agg over
+    // floor-quantized long sums — exact and order-free, which is what
+    // lets an iterative TRAINER be oracle-gated at all. The oracle
+    // replays iteration 1 with interpolated literals and iteration 2
+    // with a cross-join argmax over the refined-centroid rows.
+    "q84_kmeans_train" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        Similarity.kmeansSummary(e, "embedding", KmInit, iters = 2)
+          .orderBy(col("cell"))
+      },
+      {
+        val dim = 64
+        val q20 = "1048576.0"
+        val sumExprs = (0 until dim).map(d =>
+          s"CAST(sum(CAST(floor(v[${d + 1}] * $q20) AS BIGINT)) AS BIGINT) AS s$d")
+          .mkString(",\n|    ")
+        val centroidList = (0 until dim).map(d => s"s$d / (n * $q20)")
+          .mkString("[", ", ", "]")
+        val cosPerCentroid = Centroids.map(c => cosSql("v", centroidLit(c)))
+        val cellSql = cosPerCentroid.zipWithIndex.reverse.init
+          .map { case (c, i) =>
+            val lower = cosPerCentroid.take(i).mkString("greatest(", ", ", ")")
+            s"WHEN ($c) >= $lower THEN $i"
+          }.mkString("CASE ", " ", " ELSE 0 END")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |a1 AS (SELECT vec_id, v, $cellSql AS cell FROM e),
+          |g1 AS (SELECT cell, count(*) AS n,
+          |    $sumExprs
+          |  FROM a1 GROUP BY cell),
+          |c1 AS (SELECT cell, $centroidList AS c FROM g1),
+          |s2 AS (SELECT e.vec_id, e.v, c1.cell, ${cosSql("v", "c")} AS cos
+          |  FROM e CROSS JOIN c1),
+          |a2 AS (SELECT vec_id, v, cell FROM (
+          |    SELECT vec_id, v, cell,
+          |      row_number() OVER (PARTITION BY vec_id
+          |        ORDER BY cos DESC, cell DESC) AS rn
+          |    FROM s2) WHERE rn = 1),
+          |g2 AS (SELECT cell, count(*) AS n,
+          |    $sumExprs
+          |  FROM a2 GROUP BY cell)
+          |SELECT CAST(cell AS BIGINT) AS cell, n AS n_members,
+          |  $centroidList AS centroid
+          |FROM g2 ORDER BY cell""".stripMargin)
       })
   )
 }

@@ -43,6 +43,25 @@ class CorpusSpec extends SparkSpec {
     assert(counts("test") > 100 && counts("test") < 320)
   }
 
+  test("mixtureSample: per-source rates, rerun-stable, monotone in rate") {
+    import spark.implicits._
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}"))
+      .toDF("id", "source")
+    def sample(rates: Map[String, Double]) =
+      Corpus.mixtureSample(docs, "id", "m1", "source", rates, 0.0)
+        .collect().map(_.getLong(0)).toSet
+    val a = sample(Map("src0" -> 1.0, "src1" -> 0.3))
+    assert(a === sample(Map("src0" -> 1.0, "src1" -> 0.3))) // deterministic
+    // src0 kept fully, src1 ~30%, src2 dropped by the default rate
+    val bySrc = a.groupBy(id => id % 3).view.mapValues(_.size).toMap
+    assert(bySrc(0L) === 1000)
+    assert(bySrc.getOrElse(2L, 0) === 0)
+    assert(bySrc(1L) > 200 && bySrc(1L) < 400)
+    // raising a rate strictly grows the sample (no resampling churn)
+    val b = sample(Map("src0" -> 1.0, "src1" -> 0.6))
+    assert(a.subsetOf(b))
+  }
+
   test("packShards matches a sequential scan and respects the budget") {
     import spark.implicits._
     // sparse, unordered-by-partition ids; token counts incl. 0 and

@@ -73,4 +73,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(multi) >= 0.5, s"multi-table recall ${recall(multi)}")
     assert(recall(multi) > recall(single))
   }
+
+  test("kmeans: Lloyd iterations recover planted directional clusters") {
+    import spark.implicits._
+    // two tight clusters around orthogonal directions, init centroids
+    // deliberately off-axis so refinement must actually move them
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(10f, 0f, 0f) else Seq(0f, 10f, 0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + ((i * 7 + d) % 5) * 0.1f
+      })
+    }.toDF("vec_id", "embedding")
+    val init = Seq(0 -> Seq(1.0, 0.1, 0.0), 1 -> Seq(0.1, 1.0, 0.0))
+    val cents = Similarity.kmeansIterate(vecs, "embedding", init, iters = 3)
+    assert(cents.map(_._1) === Seq(0, 1))
+    val c0 = cents(0)._2
+    val c1 = cents(1)._2
+    assert(c0(0) > 9 && c0(0) < 11 && c0(1) < 1) // x-cluster mean
+    assert(c1(1) > 9 && c1(1) < 11 && c1(0) < 1) // y-cluster mean
+    // a second run is bit-identical (quantized sums are order-free)
+    assert(Similarity.kmeansIterate(vecs, "embedding", init, 3) === cents)
+    // summary DataFrame agrees with the driver-side iterate
+    val sum2 = Similarity.kmeansSummary(vecs, "embedding", init, iters = 3)
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(sum2.map(_._2) === Array(10L, 10L))
+    assert(sum2.map(t => t._1.toInt -> t._3.toSeq).toSeq === cents)
+  }
+
+  test("kmeans: empty cells are dropped, iters=0 returns init") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(-1.0, 0.0))
+    assert(Similarity.kmeansIterate(vecs, "embedding", init, 0) === init)
+    val once = Similarity.kmeansIterate(vecs, "embedding", init, 1)
+    assert(once.map(_._1) === Seq(0)) // nothing chose the -x centroid
+  }
 }
