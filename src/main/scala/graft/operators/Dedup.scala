@@ -168,8 +168,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed at min(self, direct neighbors) — the same shuffle a
+    // distinct() would cost, but it IS round one: stars and pairs
+    // start converged and only need the confirm round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var round = 0

@@ -81,6 +81,33 @@ class DedupSpec extends SparkSpec {
       30L -> (30L, 1), 31L -> (30L, 0)))
   }
 
+  test("dedupGroups: random graphs match a reference union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 3) {
+      val nNodes = 40 + trial * 30
+      val pairs = Seq.fill(nNodes) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a < b) (a, b) else (b, a + 1) // allow self-ish skew, keep a!=b
+      }.filter(p => p._1 != p._2)
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.dedupGroups(pairs.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("dedupGroups: empty pair set yields empty labels") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
