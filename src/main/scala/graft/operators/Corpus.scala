@@ -70,6 +70,38 @@ object Corpus {
     df.filter(u < thr)
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * overlapping chunks of `chunkTokens` whitespace tokens with
+    * `overlap` tokens carried between consecutive chunks — the step
+    * that turns variable-length documents into trainer-sized pieces.
+    * Start offsets are 0, step, 2·step, … (step = chunkTokens −
+    * overlap); the tail chunk may be short; empty documents produce
+    * no chunks.
+    *
+    * Pure projection + one explode — no shuffle, no per-document
+    * state, so chunking runs inside the 100 TB scan.
+    *
+    * Returns (input columns…, chunk_ix, chunk_tokens, chunk_text).
+    */
+  def chunk(df: DataFrame, textCol: String, chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val nToks = size(col("__toks"))
+    val starts = when(nToks === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nToks - 1, lit(step)))
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(df.columns.map(col) :+ col("__toks") :+
+        posexplode(starts).as(Seq("chunk_ix", "__start")): _*)
+      .withColumn("chunk_ix", col("chunk_ix").cast("long"))
+      .withColumn("chunk_tokens",
+        least(lit(chunkTokens), nToks - col("__start")).cast("long"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkTokens))))
+      .drop("__toks", "__start")
+  }
+
   /** Token-budget shard packing: lay documents out in `idCol` order and
     * assign each to the shard its first token lands in
     * (`shard_id = start_offset / budget`) — contiguous shards of

@@ -413,6 +413,59 @@ object LlmQueries extends QueryPack {
         |FROM corp c LEFT JOIN bench b ON c.h = b.h
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // The COMPOSED dedup pipeline end-to-end: near-dup pairs → group
+    // collapse → kept corpus (keepers + documents untouched by any
+    // pair). The oracle closes the all-pairs edge set transitively and
+    // excludes exactly the non-canonical members, so an error anywhere
+    // in shingle→LSH→verify→components→keep-list shows up here.
+    "q86_dedup_corpus" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+        val groups = Dedup.dedupGroups(Dedup.nearDupPairs(
+          docs, "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+          threshold = 0.9))
+        docs.join(groups.filter(col("is_keeper") === 0)
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $samplePairsCte,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT doc_id, md5(text) AS fp
+        |FROM documents
+        |WHERE doc_id % 20 = 0 AND doc_id NOT IN (
+        |  SELECT src FROM reach GROUP BY src
+        |  HAVING src > least(src, min(dst)))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Context-window chunking: overlapping fixed-token windows as a
+    // pure projection + one explode (no shuffle, no per-doc state).
+    // The oracle rebuilds every window by list slicing; matching
+    // chunk text AND counts proves the start/step/tail arithmetic.
+    "q87_chunking" -> Q(
+      (s, dir) => Corpus.chunk(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text", chunkTokens = 16, overlap = 4)
+        .select(col("doc_id"), col("chunk_ix"), col("chunk_tokens"),
+          col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_ix")),
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, $tokensSql AS toks FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS s
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, s // 12 AS chunk_ix,
+        |  least(16, len(toks) - s) AS chunk_tokens,
+        |  array_to_string(toks[s + 1 : s + 16], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_ix""".stripMargin)),
+
     // Deterministic source-mixture sampling: per-source keep rates
     // decided by the md5-bucket device (pure filter inside the scan,
     // no RNG/shuffle); thresholds are exact integers out of 1e6 so

@@ -62,6 +62,26 @@ class CorpusSpec extends SparkSpec {
     assert(a.subsetOf(b))
   }
 
+  test("chunk: overlapping windows, short tail, empty doc drops out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 toks, chunk 4 overlap 1
+      (2L, "a b"),                            // single short chunk
+      (3L, "")                                // no chunks
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, "text", chunkTokens = 4, overlap = 1)
+      .orderBy(col("doc_id"), col("chunk_ix"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: starts 0,3,6,9 -> windows of 4 sharing 1 token
+    assert(got.toSeq === Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t6 t7 t8 t9"),
+      (1L, 3L, 1L, "t9"),
+      (2L, 0L, 2L, "a b")))
+  }
+
   test("packShards matches a sequential scan and respects the budget") {
     import spark.implicits._
     // sparse, unordered-by-partition ids; token counts incl. 0 and
