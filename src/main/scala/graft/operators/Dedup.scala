@@ -75,6 +75,30 @@ object Dedup {
     shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Projection-only MinHash: the k permutation-minimums computed as
+    * array-mins over the per-ROW shingle-hash array — NO shuffle at
+    * all, where [[minhashSignatures]]' groupBy formulation costs a
+    * full-corpus partial-agg shuffle. Signatures are identical (min is
+    * insensitive to shingle duplicates and order; asserted in
+    * DedupSpec), so at 100 TB this is strictly cheaper: the signature
+    * pass rides the scan and only the (much smaller) band table ever
+    * shuffles. Two-step select: the hash array materializes once per
+    * row (CollapseProject keeps non-cheap exprs referenced k times in
+    * their own projection), then each of the k mins is one cheap
+    * multiply-mod pass over it.
+    */
+  def minhashSignaturesRow(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val hashes = transform(
+      graft.expressions.WordShingles.shinglesNative(col(textCol), n),
+      s => graft.expressions.Md5Hash60.hash60Native(s) % P)
+    val sigCols = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__h"), h => (h * a + b) % P)).as(s"m$i")
+    }
+    df.select(col(idCol), hashes.as("__h"))
+      .select(col(idCol) +: sigCols: _*)
+  }
+
   /** LSH banding: split the k-column signature into `bands` groups of
     * `rowsPerBand` and hash each group — documents sharing any band
     * signature become join candidates. (bands, rowsPerBand) tune the
@@ -134,12 +158,13 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val shingled = shingleHashes(df, idCol, textCol, shingleN)
-    val sigs = minhashSignatures(shingled, idCol, k)
-    // (nearDupPairs reuses the deduped set for BOTH signature and
-    // Jaccard passes — one materialization serves two stages)
+    // signatures ride the scan (projection-only row form); the
+    // exploded shingle table is built ONLY for the Jaccard verify of
+    // the (tiny) candidate set
+    val sigs = minhashSignaturesRow(df, idCol, textCol, shingleN, k)
     val buckets = lshBuckets(sigs, idCol, bands, k / bands)
     val cands = candidatePairs(buckets, idCol)
+    val shingled = shingleHashes(df, idCol, textCol, shingleN)
     jaccard(cands, shingled, idCol).filter(col("jaccard") >= threshold)
   }
 

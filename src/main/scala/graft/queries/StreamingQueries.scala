@@ -47,6 +47,14 @@ object StreamingQueries extends QueryPack {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Streaming read of the documents table (same single-file/glob
+    * discipline as [[eventsStream]]; schema from the batch loader).
+    */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(graft.Tables.documents(s, dir).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   /** Shared DuckDB session derivation for q62/q75 (one definition so
     * the two gates can never drift — the repo's interpolated-literal
     * convention, cf. GoldQueries.MovedMap): ms-grain events → lag →
@@ -175,6 +183,51 @@ object StreamingQueries extends QueryPack {
         |SELECT user_id AS key, start_ms, end_ms, n
         |FROM f, w
         |WHERE sid < last_sid OR end_ms + 1800000 < wm
-        |ORDER BY key, start_ms""".stripMargin))
+        |ORDER BY key, start_ms""".stripMargin)),
+
+    // Streaming near-dup ingestion: MinHash signatures ride the
+    // stream as a projection, per-signature state keeps the canonical
+    // (min) doc id, every document emits a link to its canonical
+    // (null for the canonical itself). Single-file source ⇒ one
+    // micro-batch ⇒ the oracle is the batch statement "link to the
+    // signature's min id"; multi-batch state carryover is pinned in
+    // StreamsSpec.
+    "q88_stream_minhash_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sigs = graft.operators.Dedup.minhashSignaturesRow(
+            documentsStream(s, dir), "doc_id", "text", n = 1, k = 8)
+          .select(col("doc_id").as("docId"),
+            concat_ws(",", (0 until 8).map(i => col(s"m$i")): _*).as("sig"))
+          .as[Streams.SigDoc]
+        Streams.runToTable(
+            Streams.minhashDedupStream(sigs).toDF(), OutputMode.Append())
+          .orderBy(col("doc_id"))
+      },
+      {
+        val mins = graft.operators.Dedup.perms(8).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"min((h * $a + $b) % ${graft.operators.Dedup.P}) AS m$i"
+          }.mkString(",\n|    ")
+        val sigCols = (0 until 8).map(i => s"m$i").mkString(", ")
+        Some(s"""WITH toks AS (
+          |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(t) < 1 THEN [array_to_string(t, ' ')]
+          |    ELSE t END) AS s
+          |  FROM toks),
+          |h AS (SELECT DISTINCT doc_id,
+          |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % ${graft.operators.Dedup.P} AS h
+          |  FROM sh),
+          |g AS (SELECT doc_id,
+          |    $mins
+          |  FROM h GROUP BY doc_id),
+          |sg AS (SELECT doc_id, concat_ws(',', $sigCols) AS sig FROM g)
+          |SELECT doc_id,
+          |  nullif(min(doc_id) OVER (PARTITION BY sig), doc_id) AS dup_of
+          |FROM sg ORDER BY doc_id""".stripMargin)
+      })
   )
 }

@@ -99,6 +99,39 @@ object Streams {
       }
   }
 
+  final case class SigDoc(docId: Long, sig: String)
+  final case class DupLink(doc_id: Long, dup_of: Option[Long])
+
+  /** Streaming near-dup ingestion: documents arrive keyed by their
+    * full MinHash signature (computed as a projection on the stream —
+    * [[graft.operators.Dedup.minhashSignaturesRow]]); per-signature
+    * state holds the canonical (minimum) document id seen so far, and
+    * every arriving document emits a link to its canonical (null when
+    * it IS the canonical — the continuous-ingestion form of "first
+    * copy wins, later copies point home"). State is one long per
+    * distinct signature — bounded by content diversity, not stream
+    * length; an unbounded production run would add an event-time TTL
+    * exactly like [[sessionize]]'s timeout.
+    *
+    * If a batch introduces an id smaller than the stored canonical,
+    * the smaller id becomes canonical for FUTURE arrivals (its own
+    * link is null); earlier emissions are append-mode history, the
+    * same trade `dropDuplicatesWithinWatermark` makes.
+    */
+  def minhashDedupStream(docs: Dataset[SigDoc]): Dataset[DupLink] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.sig)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[SigDoc], state: GroupState[Long]) =>
+          val ids = rows.map(_.docId).toSeq.sorted
+          val canon = (state.getOption.toSeq ++ ids).min
+          state.update(canon)
+          ids.iterator.map(id =>
+            DupLink(id, if (id == canon) None else Some(canon)))
+      }
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Drive a streaming frame over its BOUNDED source to completion

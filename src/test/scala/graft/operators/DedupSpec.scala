@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpec {
     assert(df.head.getInt(0) === ham(sh(1L), sh(2L)))
   }
 
+  test("minhashSignaturesRow equals the groupBy formulation bit-for-bit") {
+    val classic = Dedup.minhashSignatures(
+        Dedup.shingleHashes(corpus, "doc_id", "text", 2, dedup = false),
+        "doc_id", 16)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    val row = Dedup.minhashSignaturesRow(corpus, "doc_id", "text", 2, 16)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(row.toSeq === classic.toSeq)
+  }
+
   test("dedupGroups: transitive closure over planted component shapes") {
     import spark.implicits._
     // a 4-chain (label must travel the diameter), a star, a lone pair

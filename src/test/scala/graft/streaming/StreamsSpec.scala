@@ -33,6 +33,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashDedupStream: canonical id survives across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val links = Streams.minhashDedupStream(
+      input.toDF().toDF("docId", "sig").as[Streams.SigDoc])
+    val q = links.toDF().writeStream.format("memory")
+      .queryName("mh_dedup_out").outputMode("append").start()
+    try {
+      input.addData((9L, "sigA"), (5L, "sigA"), (3L, "sigB"))
+      q.processAllAvailable()
+      input.addData((7L, "sigA"), (2L, "sigB")) // state must remember 5 and 3
+      q.processAllAvailable()
+      val got = spark.table("mh_dedup_out").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(got === Map(
+        5L -> None, 9L -> Some(5L), 3L -> None,   // batch 1
+        7L -> Some(5L),                           // batch 2: canonical held
+        2L -> None))                              // smaller id takes over
+    } finally q.stop()
+  }
+
   test("dailyCounts aggregates tumbling windows incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
