@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -82,6 +82,36 @@ object SimilarityQueries extends QueryPack {
   private def vec(c: Column): Column = c
   private val vSql = "list_transform(embedding, x -> coalesce(x, 0))::DOUBLE[]"
 
+  /** Shared q39/q89 pair generation (one definition — the gates must
+    * see the identical edge set): bucket equi-join candidates, exact
+    * cosine ≥ 0.4 verification. Returns (id_a, id_b, cos).
+    */
+  private def embedNearDupPairs(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+    val b = e.select(col("vec_id"), col("embedding"),
+      Similarity.hyperplaneBucket(col("embedding"), Planes).as("bucket"))
+    val a = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val c = b.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    a.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosineNative(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+  }
+
+  /** The matching DuckDB CTE body (e → buckets → verified pairs). */
+  private lazy val embedPairsCte: String =
+    s"""e AS (
+      |  SELECT vec_id, $vSql AS v FROM embeddings),
+      |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+      |         ${cosSql("a.v", "b2.v")} AS cos
+      |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)""".stripMargin
+
   def defs: Map[String, Q] = Map(
     // Exact baseline: every ~100th vector queries the whole corpus.
     "q31_cosine_topk" -> Q(
@@ -141,32 +171,34 @@ object SimilarityQueries extends QueryPack {
     // verification is exact cosine; at 100 TB the bucket join bounds
     // the pair count).
     "q39_embed_near_dup" -> Q(
-      (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
-        val b = e.select(col("vec_id"), col("embedding"),
-          Similarity.hyperplaneBucket(col("embedding"), Planes).as("bucket"))
-        val a = b.select(col("bucket"), col("vec_id").as("id_a"),
-          col("embedding").as("va"))
-        val c = b.select(col("bucket"), col("vec_id").as("id_b"),
-          col("embedding").as("vb"))
-        a.join(c, Seq("bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("cos", Similarity.cosineNative(col("va"), col("vb")))
-          .filter(col("cos") >= 0.4)
-          .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, $vSql AS v FROM embeddings),
-        |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-        |         ${cosSql("a.v", "b2.v")} AS cos
-        |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+      (s, dir) => embedNearDupPairs(s, dir)
+        .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $embedPairsCte
         |SELECT id_a, id_b, cos AS cosine
         |FROM p WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding dedup GROUPS: the vector analog of q78/q86 — collapse
+    // the q39 near-dup pair set into connected components with min-id
+    // canonicals. Same propagation operator, same recursive-closure
+    // oracle discipline, over the cosine edge set.
+    "q89_embed_dedup_groups" -> Q(
+      (s, dir) => graft.operators.Dedup.dedupGroups(
+          embedNearDupPairs(s, dir).select(col("id_a"), col("id_b")))
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE $embedPairsCte,
+        |jp AS (SELECT id_a, id_b FROM p WHERE cos >= 0.4),
+        |ee AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |       UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM ee
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN ee e2 ON r.dst = e2.src)
+        |SELECT src AS id, least(src, min(dst)) AS canonical_id,
+        |  CAST(src = least(src, min(dst)) AS INT) AS is_keeper
+        |FROM reach GROUP BY src
+        |ORDER BY id""".stripMargin)),
 
     // Multi-table LSH ANN: candidate when buckets match in ANY of the
     // 3 tables (union-of-probes recall lift), deduped before scoring —
