@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.{Aggregates, Relational}
@@ -173,6 +174,26 @@ object CoreQueries extends QueryPack {
       Some("""SELECT c_custkey, c_name
         |FROM customer
         |WHERE c_custkey % 10 = 0
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Skew lever under the oracle gate: two-phase salted aggregation
+    // over a 3-hot-key grouping (l_returnflag). Salting spreads each
+    // hot key over 16 reducers; the oracle is the PLAIN group-by — the
+    // gate proves the salt/re-aggregate decomposition changes the
+    // plan, never the algebra (DECIMAL-exact sums make that provable).
+    "q90_salted_agg" -> Q(
+      (s, dir) => graft.operators.Skew.saltedSumCount(
+          Tables.lineitem(s, dir).select(col("l_returnflag"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("qty")),
+          "l_returnflag", col("qty"), factor = 16)
+        .select(col("l_returnflag"),
+          col("sum_value").cast("double").as("sum_qty"), col("n_rows"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -116,6 +116,35 @@ object SinkQueries extends QueryPack {
         |GROUP BY 1
         |ORDER BY r_name""".stripMargin)),
 
+    // The trainer-facing output layout: hash-split corpus written as
+    // split-partitioned parquet (the directory layout a 100 TB corpus
+    // ships in — per-split subdirectories a reader partition-prunes),
+    // read back through partition discovery and gated against the
+    // split assignment computed directly. Proves the layout round trip
+    // loses/duplicates nothing and the partition column survives
+    // discovery with its value intact.
+    "q91_partitioned_sink" -> Q(
+      (s, dir) => {
+        val docs = graft.operators.Corpus.hashSplit(
+            Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            "doc_id", "v1", Seq(("train", 8), ("val", 1), ("test", 1)))
+          .select(col("doc_id"), col("source"), col("split"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+        docs.write.mode("overwrite").partitionBy("split")
+          .parquet(s"$tmp/corpus")
+        materializeAndDelete(
+          s.read.parquet(s"$tmp/corpus")
+            .select(col("doc_id"), col("source"), col("split")), tmp)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |        CAST(('0x' || substr(md5(doc_id || ':v1'), 1, 15)) AS BIGINT) % 10 AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------------ K2
     // Insert-if-absent under the hash gate: batch1 seeds a third of
     // the keys, batch2 offers ALL keys with different values — the
