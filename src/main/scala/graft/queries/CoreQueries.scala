@@ -194,6 +194,31 @@ object CoreQueries extends QueryPack {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin))
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // The other skew lever: salted join — fact rows spread over
+    // (key, salt), build side replicated once per salt. The oracle is
+    // the plain join + group-by; DECIMAL-exact sums prove replication
+    // neither drops nor double-counts a single fact row.
+    "q92_salted_join" -> Q(
+      (s, dir) => {
+        val fact = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("suppkey"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        val build = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("suppkey"),
+            col("s_nationkey").as("nationkey"))
+        graft.operators.Skew.saltedJoin(fact, build, "suppkey", factor = 8)
+          .groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("__sq"))
+          .select(col("nationkey"), col("n_items"),
+            col("__sq").cast("double").as("sum_qty"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT s_nationkey AS nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1
+        |ORDER BY nationkey""".stripMargin))
   )
 }

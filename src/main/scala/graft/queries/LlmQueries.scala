@@ -483,6 +483,47 @@ object LlmQueries extends QueryPack {
         |       WHEN 'src2' THEN 250000 ELSE 100000 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // Count-min sketch: the d×w counter table built as one bounded
+    // partial agg (never vocab-sized state), then CMS point estimates
+    // (min over rows) for the true top-20 tokens. Fixed-seed hash rows
+    // are interpolated into the oracle, so the entire sketch AND every
+    // estimate must match bit-for-bit — including collision inflation
+    // at w=8, which the small vocab guarantees.
+    "q93_count_min" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+        val sketch = graft.operators.Sketch.countMin(toks, col("t"), d = 4, w = 8)
+        val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("t")).limit(20)
+        graft.operators.Sketch.estimate(sketch, vocab, col("t"), d = 4, w = 8)
+          .select(col("t").as("token"), col("true_cnt"), col("cms_est"))
+          .orderBy(col("token"))
+      },
+      {
+        val P = Dedup.P
+        def rowsSql(src: String, extra: String) = Dedup.perms(4).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"SELECT $extra$i AS i, ((h * $a + $b) % $P) % 8 AS bucket FROM $src"
+          }.mkString("\n|    UNION ALL ")
+        Some(s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+          |h AS (SELECT t, ${h60sql("t")} % $P AS h FROM tok),
+          |ctr AS (
+          |  SELECT i, bucket, count(*) AS cnt FROM (
+          |    ${rowsSql("h", "")})
+          |  GROUP BY i, bucket),
+          |vocab AS (SELECT t, count(*) AS true_cnt FROM tok
+          |  GROUP BY t ORDER BY true_cnt DESC, t LIMIT 20),
+          |vh AS (SELECT t, true_cnt, ${h60sql("t")} % $P AS h FROM vocab),
+          |pb AS (
+          |    ${rowsSql("vh", "t, true_cnt, ")})
+          |SELECT pb.t AS token, pb.true_cnt,
+          |  min(coalesce(ctr.cnt, 0)) AS cms_est
+          |FROM pb LEFT JOIN ctr ON pb.i = ctr.i AND pb.bucket = ctr.bucket
+          |GROUP BY pb.t, pb.true_cnt
+          |ORDER BY token""".stripMargin)
+      }),
+
     // Multimodal plumbing: text payloads become opaque binary columns
     // flowing through the partition-batched decode and frame-sampling
     // stubs; the oracle checks the byte/frame accounting (feature
