@@ -12,3 +12,40 @@ final case class Q(
 trait QueryPack {
   def defs: Map[String, Q]
 }
+
+/** Shared teardown for queries that stage data in an external medium
+  * (embedded Derby, temp files): materialize the small read-back frame
+  * so the lazy plan can't outlive the medium, then destroy the medium.
+  * The returned frame is a LocalRelation — downstream orderBy/write
+  * plans stay valid after the database/directory is gone, and repeated
+  * Bench iterations don't accumulate live fixtures.
+  */
+object Fixtures {
+
+  /** Materialize a JDBC read-back (these are ≤100-row dims) and DROP
+    * the in-memory Derby database. Derby signals a successful drop
+    * with SQLException 08006, hence the swallow.
+    */
+  def materializeAndDrop(df: DataFrame, url: String): DataFrame = {
+    val schema = df.schema
+    val rows = df.collect().toIndexedSeq
+    val dropUrl = url.split(";")(0) + ";drop=true"
+    try { java.sql.DriverManager.getConnection(dropUrl); () }
+    catch { case _: java.sql.SQLException => () }
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Same idea for file round trips: materialize, then delete the
+    * temp directory recursively.
+    */
+  def materializeAndDelete(df: DataFrame, dir: java.nio.file.Path): DataFrame = {
+    val schema = df.schema
+    val rows = df.collect().toIndexedSeq
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    df.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.sinks.{CsvSink, JdbcUpsertSink}
+import graft.sinks.{Alerts, CsvSink, JdbcUpsertSink}
 
 /** q50/q53–q55: sink round-trip oracle rows (VERDICT r3 item 3).
   *
@@ -23,38 +23,7 @@ import graft.sinks.{CsvSink, JdbcUpsertSink}
   */
 object SinkQueries extends QueryPack {
 
-  /** Materialize a JDBC read-back (these are ≤100-row dims) and DROP
-    * the in-memory Derby database — without this every Bench
-    * iteration leaves a live `derby:memory:` instance resident for
-    * the JVM's lifetime. Derby signals a successful drop with
-    * SQLException 08006, hence the swallow. The returned frame is a
-    * LocalRelation, so downstream orderBy/write plans stay valid
-    * after the database is gone.
-    */
-  private def materializeAndDrop(df: org.apache.spark.sql.DataFrame,
-      url: String): org.apache.spark.sql.DataFrame = {
-    val schema = df.schema
-    val rows = df.collect().toIndexedSeq
-    val dropUrl = url.split(";")(0) + ";drop=true"
-    try { DriverManager.getConnection(dropUrl); () }
-    catch { case _: java.sql.SQLException => () }
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(rows.asJava, schema)
-  }
-
-  /** Same idea for the CSV round trip: materialize, then delete the
-    * temp directory.
-    */
-  private def materializeAndDelete(df: org.apache.spark.sql.DataFrame,
-      dir: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
-    val schema = df.schema
-    val rows = df.collect().toIndexedSeq
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(dir).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    df.sparkSession.createDataFrame(rows.asJava, schema)
-  }
+  import Fixtures.{materializeAndDrop, materializeAndDelete}
 
   def defs: Map[String, Q] = Map(
     "q50_sink_roundtrip" -> Q(
@@ -222,6 +191,80 @@ object SinkQueries extends QueryPack {
         |  FROM customer GROUP BY 1)
         |SELECT nk, cnt * 10 AS v, 'orig' AS w
         |FROM base ORDER BY nk""".stripMargin)),
+
+    // ------------------------------------------------------------ K3
+    // First-sight insert: run 1 sees a third of the fleet; run 2 sees
+    // ALL keys with refreshed metrics and a new run stamp. The merge
+    // updates only the metric column, so newly-appeared keys insert
+    // with the run-2 stamp while previously-seen keys KEEP their run-1
+    // stamp — the reference's activation-date preservation when an
+    // edge is first sighted (probe+insert ≡ merge, by design).
+    "q96_first_sight" -> Q(
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .groupBy((col("c_custkey") % 100).cast("int").as("nk"))
+          .agg(count(lit(1)).as("cnt"))
+        val url = s"jdbc:derby:memory:k3rt${System.nanoTime()};create=true"
+        val conn = DriverManager.getConnection(url)
+        try conn.createStatement().executeUpdate(
+          "CREATE TABLE fleet (nk INT PRIMARY KEY, v BIGINT, first_seen VARCHAR(10))")
+        finally conn.close()
+        val run1 = base.filter(col("nk") % 3 === 0)
+          .select(col("nk"), col("cnt").as("v"), lit("run-1").as("first_seen"))
+          .coalesce(1)
+        val run2 = base
+          .select(col("nk"), (col("cnt") * 5).as("v"),
+            lit("run-2").as("first_seen"))
+          .coalesce(1)
+        JdbcUpsertSink.write(run1, url, "fleet", Seq("nk"),
+          JdbcUpsertSink.DerbyMerge)
+        JdbcUpsertSink.write(run2, url, "fleet", Seq("nk"),
+          JdbcUpsertSink.DerbyMerge, updateColsOpt = Some(Seq("v")))
+        materializeAndDrop(
+          s.read.format("jdbc").option("url", url)
+            .option("dbtable", "fleet").load()
+            .select(col("NK").as("nk"), col("V").as("v"),
+              col("FIRST_SEEN").as("first_seen")), url)
+          .orderBy(col("nk"))
+      },
+      Some("""WITH base AS (
+        |  SELECT CAST(c_custkey % 100 AS INT) AS nk, count(*) AS cnt
+        |  FROM customer GROUP BY 1)
+        |SELECT nk, cnt * 5 AS v,
+        |  CASE WHEN nk % 3 = 0 THEN 'run-1' ELSE 'run-2' END AS first_seen
+        |FROM base ORDER BY nk""".stripMargin)),
+
+    // ------------------------------------------------------------ K7
+    // The alerting side channel as a DATA path: quarantine-grade rows
+    // are aggregated per priority, each breach is routed through an
+    // Alerts.Channel (the collector impl here — production wires a
+    // webhook behind the same interface), and the CHANNEL's captured
+    // traffic is what the gate compares: message formatting and
+    // severity routing are oracle-checked, not just spec'd. Alerts
+    // stay driver-side by design (scaladoc on [[Alerts]]) — the
+    // collect is the ≤5-row alert summary, never the fact scan.
+    "q97_alert_channel" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val breaches = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 400000.0)
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect() // alert summary, ≤5 rows
+        val ch = new Alerts.Collecting
+        breaches.sortBy(_._1).foreach { case (prio, n) =>
+          ch.send(if (n >= 600) "high" else "warn",
+            s"quarantine[$prio]: $n rows over cap")
+        }
+        ch.sent.toSeq.toDF("severity", "message")
+          .orderBy(col("message"))
+      },
+      Some("""SELECT CASE WHEN count(*) >= 600 THEN 'high' ELSE 'warn' END AS severity,
+        |  'quarantine[' || o_orderpriority || ']: ' || count(*) || ' rows over cap' AS message
+        |FROM orders
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY message""".stripMargin)),
 
     // K5: the wide→tall EAV melt that feeds the *Attributes upserts —
     // one stack() generator projection, no shuffle. `seg` is nulled

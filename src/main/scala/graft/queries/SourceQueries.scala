@@ -267,6 +267,203 @@ object SourceQueries extends QueryPack {
         |FROM part
         |ORDER BY id""".stripMargin)),
 
+    // S11 + A7 end-to-end: route-table payloads (nested subnets with
+    // preferredExits and learnedRoute) are rendered from customer
+    // rows, served by a scripted transport that returns ONLY the
+    // requested enterprise's slice (params routing, the q67 proof
+    // shape), parsed through VcoSource.enterpriseRoutes' declared
+    // schema, and aggregated by the real Routes math. The oracle
+    // recomputes route_num/route_change from the generator arithmetic
+    // via generate_series. Branch coverage: preferredExits type cycles
+    // DIRECT/absent/GATEWAY (absent counts as non-DIRECT — Python's
+    // `None != "DIRECT"`); learnedRoute cycles absent/recent/stale.
+    "q94_routes_payload" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ck = col("c_custkey")
+        val docs = Tables.customer(s, dir)
+          .filter(ck % 10 === 0)
+          .select(((ck / 10).cast("long") % 4).as("ent"),
+            to_json(struct(
+              ck.as("enterpriseId"),
+              transform(sequence(lit(1L), lit(1L) + ck % 3), i =>
+                struct(
+                  array().cast("array<struct<type:string>>").as("eligableExits"),
+                  transform(sequence(lit(1L), lit(1L) + (ck + i) % 2), j =>
+                    struct(
+                      when((ck + i + j) % 4 === 0, lit("DIRECT"))
+                        .when((ck + i + j) % 4 === 2, lit("GATEWAY"))
+                        .when((ck + i + j) % 4 === 3, lit("GATEWAY"))
+                        .as("type"))).as("preferredExits"),
+                  when((ck + i) % 3 === 1,
+                      struct(lit("2024-01-14T23:00:00Z").as("modified")))
+                    .when((ck + i) % 3 === 2,
+                      struct(lit("2024-01-13T12:00:00Z").as("modified")))
+                    .as("learnedRoute"))).as("subnets")))
+              .as("doc"))
+          .as[(Long, String)].collect() // fixture-server dataset
+        val byEnt = docs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        val t = new VcoSource.Transport {
+          def call(method: String, params: String): Either[String, Seq[String]] =
+            if (method != "enterprise/getEnterpriseRouteTable")
+              Left(s"unexpected method $method")
+            else """"enterpriseId":(\d+)""".r.findFirstMatchIn(params)
+              .map(_.group(1).toLong).toRight("missing enterpriseId")
+              .map(e => byEnt.getOrElse(e, Seq.empty))
+        }
+        val now = lit("2024-01-15T00:00:00").cast("timestamp")
+        (0L to 3L).map(e => VcoSource.enterpriseRoutes(s, t, e))
+          .reduce(_.unionAll(_))
+          .select(col("enterpriseId"),
+            graft.operators.Routes.routeNum(col("subnets"))
+              .cast("long").as("route_num"),
+            graft.operators.Routes.routeChange(col("subnets"), now)
+              .cast("long").as("route_change"))
+          .orderBy(col("enterpriseId"))
+      },
+      Some("""WITH e AS (
+        |  SELECT c_custkey AS ck FROM customer WHERE c_custkey % 10 = 0),
+        |s AS (
+        |  SELECT ck, unnest(generate_series(1, CAST(1 + ck % 3 AS INT))) AS i
+        |  FROM e),
+        |p AS (
+        |  SELECT ck, i, unnest(generate_series(1, CAST(1 + (ck + i) % 2 AS INT))) AS j
+        |  FROM s),
+        |rn AS (
+        |  SELECT ck, count(*) FILTER (WHERE (ck + i + j) % 4 <> 0) AS n
+        |  FROM p GROUP BY ck),
+        |rc AS (
+        |  SELECT ck, count(*) FILTER (WHERE (ck + i) % 3 = 1) AS c
+        |  FROM s GROUP BY ck)
+        |SELECT e.ck AS enterpriseId, rn.n AS route_num, rc.c AS route_change
+        |FROM e JOIN rn ON e.ck = rn.ck JOIN rc ON e.ck = rc.ck
+        |ORDER BY enterpriseId""".stripMargin)),
+
+    // S18: the country.json FILE path — the dim is written to disk in
+    // the reference's own format (top-level array of {ISO, Country,
+    // REG}), read back through CountryDim.read (multiLine JSON with
+    // the declared schema), and drives the J4 case-insensitive
+    // two-probe enrichment: even keys probe by ISO code, odd keys by
+    // full country name, both landing the same REG.
+    "q95_country_file" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dimRows = Tables.nation(s, dir)
+          .select(concat(lit("IS"), col("n_nationkey")).as("iso"),
+            col("n_name"), concat(lit("reg-"), col("n_regionkey")).as("reg"))
+          .as[(String, String, String)].collect() // 25-row dim fixture
+        val json = dimRows.map { case (iso, name, reg) =>
+          s"""  {"ISO": "$iso", "Country": "$name", "REG": "$reg"}"""
+        }.mkString("[\n", ",\n", "\n]")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_country")
+        java.nio.file.Files.write(tmp.resolve("country.json"),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val dim = graft.sources.CountryDim.read(s,
+          tmp.resolve("country.json").toString)
+        val fact = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 2 === 0,
+                concat(lit("is"), col("c_nationkey")))
+              .otherwise(lower(col("n_name"))).as("code"))
+        Fixtures.materializeAndDelete(
+          graft.sources.CountryDim.enrich(fact, dim, "code")
+            .select(col("c_custkey"), col("code"), col("Geospecific")), tmp)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'is' || c_nationkey
+        |       ELSE lower(n_name) END AS code,
+        |  'reg-' || n_regionkey AS "Geospecific"
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // J3: hub detection through the configurations payload — config
+    // documents are rendered as JSON (a third of them WITHOUT the
+    // deviceSettings module), parsed back through the declared
+    // Schemas.configurationsDoc, reduced to the hub-id set by
+    // Hubs.hubIds, and flagged onto the fleet by the broadcast
+    // flagHubs join. The oracle restates the hub set as an EXISTS
+    // over the same modulus arithmetic.
+    "q98_hub_flags" -> Q(
+      (s, dir) => {
+        val nk = col("n_nationkey")
+        val doc = concat(
+          lit("""{"id":"""), nk,
+          lit(""","modules":[{"name":"WAN"}"""),
+          when(nk % 3 =!= 0, concat(
+              lit(""",{"name":"deviceSettings","refs":{"deviceSettings:vpn:edgeHub":{"data":{"logicalId":"edge-"""),
+              (nk * 7) % 25,
+              lit("\"}}}}")))
+            .otherwise(lit("")),
+          lit("]}"))
+        val configs = Tables.nation(s, dir)
+          .select(from_json(doc, graft.model.Schemas.configurationsDoc).as("d"))
+          .select(col("d.*"))
+        val edges = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            concat(lit("edge-"), col("c_custkey") % 25).as("logicalId"))
+        graft.operators.Hubs.flagHubs(edges,
+            graft.operators.Hubs.hubIds(configs), "logicalId")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, 'edge-' || (c_custkey % 25) AS logicalId,
+        |  EXISTS (SELECT 1 FROM nation
+        |          WHERE n_nationkey % 3 <> 0
+        |            AND (n_nationkey * 7) % 25 = c_custkey % 25) AS is_hub
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // S8/S9: the link-metrics payload surface — one linkMetricDoc per
+    // customer rendered distributedly (ignoreNullFields exercises the
+    // absent displayName/backupState keys), parsed back through the
+    // declared schema, and projected with the series math the gold
+    // path applies (Not set default, exact quarter-integer score
+    // average, byte totals, bps→Mbps). No transport: link metric docs
+    // arrive embedded in the edge document's recentLinks expansion.
+    "q99_link_payload" -> Q(
+      (s, dir) => {
+        val ck = col("c_custkey")
+        val doc = to_json(struct(
+          ((ck % 17) / 4.0).as("scoreTx"),
+          ((ck % 13) / 4.0).as("scoreRx"),
+          (ck * 1000000L).as("bpsOfBestPathTx"),
+          (ck * 500000L).as("bpsOfBestPathRx"),
+          (ck * 111L).as("bytesTx"),
+          (ck * 222L).as("bytesRx"),
+          struct(
+            ck.as("edgeId"),
+            concat(lit("l-"), ck).as("internalId"),
+            when(ck % 7 =!= 0, concat(lit("link-"), ck)).as("displayName"),
+            concat(lit("GE"), ck % 4).as("interface"),
+            when(ck % 5 === 0, lit("ACTIVE")).as("backupState")).as("link")),
+          Map("ignoreNullFields" -> "true"))
+        Tables.customer(s, dir)
+          .select(from_json(doc, graft.model.Schemas.linkMetricDoc).as("d"))
+          .select(
+            col("d.link.edgeId").as("edgeId"),
+            col("d.link.internalId").as("internalId"),
+            coalesce(col("d.link.displayName"), lit("Not set"))
+              .as("display_name"),
+            col("d.link.interface").as("iface"),
+            col("d.link.backupState").isNotNull.as("has_backup_state"),
+            ((col("d.scoreTx") + col("d.scoreRx")) / 2).as("avg_score"),
+            (col("d.bytesTx") + col("d.bytesRx")).as("total_bytes"),
+            (col("d.bpsOfBestPathTx") / 1000000.0).as("best_mbps_tx"))
+          .orderBy(col("edgeId"))
+      },
+      Some("""SELECT c_custkey AS edgeId, 'l-' || c_custkey AS internalId,
+        |  CASE WHEN c_custkey % 7 <> 0 THEN 'link-' || c_custkey
+        |       ELSE 'Not set' END AS display_name,
+        |  'GE' || (c_custkey % 4) AS iface,
+        |  c_custkey % 5 = 0 AS has_backup_state,
+        |  ((c_custkey % 17) + (c_custkey % 13)) / 8.0 AS avg_score,
+        |  c_custkey * 333 AS total_bytes,
+        |  CAST(c_custkey AS DOUBLE) AS best_mbps_tx
+        |FROM customer
+        |ORDER BY edgeId""".stripMargin)),
+
     // S17: the YAML registry parser under the gate — nation rows are
     // rendered as a vco_list.yml document (sections, quoting, comments,
     // null/absent keys), parsed back through YamlConfig, and must equal

@@ -149,4 +149,19 @@ object VcoSource {
       case Left(err) => throw new RuntimeException(s"getEnterpriseEvents: $err")
     }
   }
+
+  /** S11 `getEnterpriseRouteTable` (`powerbi_main_fun.py:383-391`):
+    * per-enterprise route-table documents parsed with the declared
+    * [[Schemas.routesDoc]]. The enterprise scoping lands in the
+    * request params — the same server-side pushdown discipline as the
+    * S7 event interval.
+    */
+  def enterpriseRoutes(spark: SparkSession, t: Transport,
+      enterpriseId: Long): DataFrame =
+    callWithRetry(t, "enterprise/getEnterpriseRouteTable",
+        s"""{"enterpriseId":$enterpriseId}""") match {
+      case Right(lines) => toDf(spark, Schemas.routesDoc, lines)
+      case Left(err) => throw new RuntimeException(
+        s"getEnterpriseRouteTable($enterpriseId): $err")
+    }
 }
