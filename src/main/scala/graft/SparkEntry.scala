@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, GatewayQueries, GoldQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, WindowQueries}
+import graft.queries.{CoreQueries, GatewayQueries, GoldQueries, IndexQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(CoreQueries, WindowQueries, NestedQueries, QoeQueries, LlmQueries,
       SimilarityQueries, LicenseQueries, ScalarQueries, GoldQueries,
-      SinkQueries, GatewayQueries, StreamingQueries, SourceQueries)
+      SinkQueries, GatewayQueries, StreamingQueries, SourceQueries,
+      IndexQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =
     packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>

@@ -249,4 +249,49 @@ object Dedup {
     * `hamming(a,b) <= t`).
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Cross-document repeated-segment removal — the "duplicated
+    * paragraph/boilerplate line" cleanup of web-corpus pipelines
+    * (headers, navigation, license blurbs that repeat across many
+    * pages): text is cut into non-overlapping `segTokens`-token
+    * segments, a segment appearing in more than `maxDocs` DISTINCT
+    * documents is boilerplate, and each doc is reassembled from its
+    * surviving segments in order.
+    *
+    * 100 TB shape: two partial-agg shuffles (segment→distinct-doc
+    * counts, then doc reassembly) plus one shuffle join keyed by the
+    * segment — O(corpus tokens), never all-pairs. The reassembly
+    * sorts WITHIN each doc's collected segment list (array_sort over
+    * a pos-keyed struct), not across the corpus.
+    *
+    * Output per doc: n_segments, n_dropped, clean_text.
+    */
+  def dropRepeatedSegments(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int, maxDocs: Int): DataFrame = {
+    require(segTokens > 0 && maxDocs >= 0)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nSeg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    // sequence(0, -1) would yield a DESCENDING [0,-1] — guard empty
+    val segs = when(size(toks) === 0,
+        array().cast("array<struct<pos:int,seg:string>>"))
+      .otherwise(transform(sequence(lit(0), nSeg - 1), i =>
+        struct(i.cast("int").as("pos"),
+          array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")
+            .as("seg"))))
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), explode(segs).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.seg").as("seg"))
+    val segCounts = exploded
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    exploded.join(segCounts, "seg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs") > maxDocs, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+            array_sort(collect_list(when(col("n_docs") <= maxDocs,
+              struct(col("pos"), col("seg"))))),
+            s => s.getField("seg")), " ").as("clean_text"))
+  }
 }

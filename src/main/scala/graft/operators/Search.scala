@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inverted index and keyword search over the corpus — the retrieval
+  * side of a training-data pipeline (contamination auditing, targeted
+  * subset extraction, "which documents mention X").
+  *
+  * 100 TB shape: the term-frequency frame is one explode + one
+  * partial-agg shuffle keyed by (token, doc); the index rollup is a
+  * second partial agg keyed by token (vocabulary-bounded output).
+  * Search never scans text — it filters the tf frame on the query
+  * terms (a scan-pruned predicate) and aggregates per doc; the
+  * per-term slice is tiny, so the plan is a few partial aggs, never a
+  * corpus-wide sort.
+  */
+object Search {
+
+  /** (token, doc_id, tf) — the posting-source frame both the index
+    * and every search derive from.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Index rollup: per token, document frequency, total term
+    * frequency, and the top-`k` postings sorted tf-descending with
+    * doc-ascending tiebreak (deterministic shard shape). The sort key
+    * encodes tf negated so one ascending sort_array yields the order.
+    */
+  def invertedIndex(tf: DataFrame, k: Int): DataFrame =
+    tf.groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        slice(array_sort(collect_list(
+            struct((-col("tf")).as("ntf"), col("doc_id")))), 1, k)
+          .as("sorted"))
+      .withColumn("top_postings",
+        transform(col("sorted"), s =>
+          struct(col("token"), (-s.getField("ntf")).as("tf"),
+            s.getField("doc_id"))))
+      .drop("sorted")
+
+  /** Conjunctive keyword search: docs containing ALL `terms`, scored
+    * by summed tf (integer — deterministic), ranked score-desc with
+    * doc-asc tiebreak, top `k`.
+    */
+  def searchAll(tf: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    tf.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("tf")).as("score"))
+      .filter(col("n_matched") === terms.distinct.size)
+      .drop("n_matched")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** BM25 ranking (Robertson/Spärck Jones, the +1 idf variant that
+    * keeps scores positive): disjunctive match over `terms`,
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)).
+    * Float math — ranking semantics are spec-gated on planted
+    * fixtures; the integer paths above are the oracle-gated surface.
+    * Doc length and avgdl are computed from the tf frame itself; the
+    * two tiny per-corpus scalars ride in via a broadcast cross join.
+    */
+  def bm25(tf: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corpus = docLen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val df = tf.filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.filter(col("token").isin(terms: _*))
+      .join(broadcast(df), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tf_part",
+        col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("tf_part")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

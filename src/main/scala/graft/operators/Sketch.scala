@@ -58,4 +58,106 @@ object Sketch {
       // its count is 0, which min() must see
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** `numHashes` md5-salted bit positions in [0, numBits) for a key —
+    * shared by [[bloomBuild]] and [[bloomMightContain]] so build and
+    * probe can never disagree on the hash family.
+    */
+  private def bloomPositions(keyCol: Column, numBits: Int,
+      numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      TextAnalysis.hash60(concat(keyCol, lit(s":b$i"))) % numBits): _*)
+
+  /** Bits packed per bitmap word: 63, not 64 — a set bit 63 would
+    * flip the BIGINT sign, and engines disagree on sign-bit shifts
+    * (DuckDB raises on `1::BIGINT << 63`), so the portable bitmap
+    * keeps every word nonnegative.
+    */
+  val BloomWordBits = 63
+
+  /** Deterministic Bloom filter as a TALL bitmap frame (word_idx,
+    * bits): the fast membership pre-filter for anti-join pruning at
+    * corpus scale (e.g. "was this URL/doc hash ever ingested" before
+    * the exact check). Build is one explode + one bit_or partial-agg
+    * shuffle bounded by numBits/63 rows — never by key count. All
+    * hashes are md5-derived, so the filter — including its FALSE
+    * POSITIVES — is a deterministic function of the key set that an
+    * oracle reproduces bit-for-bit.
+    */
+  def bloomBuild(df: DataFrame, keyCol: Column, numBits: Int,
+      numHashes: Int): DataFrame = {
+    require(numBits % BloomWordBits == 0 && numBits > 0 && numHashes > 0)
+    df.select(explode(bloomPositions(keyCol, numBits, numHashes)).as("p"))
+      .select((col("p") / BloomWordBits).cast("long").as("word_idx"),
+        expr(s"shiftleft(1L, cast(p % $BloomWordBits as int))").as("mask"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Probe a [[bloomBuild]] bitmap: true ⇔ all `numHashes` bits are
+    * set (maybe-present; false is DEFINITELY absent — the Bloom
+    * contract). The bitmap (≤ numBits/64 rows) broadcasts; the probe
+    * side stays distributed, so this composes as a scan-side
+    * pre-filter for arbitrarily large probe frames.
+    */
+  def bloomMightContain(bloom: DataFrame, probes: DataFrame, keyCol: Column,
+      numBits: Int, numHashes: Int): DataFrame = {
+    val keep = probes.columns.map(col)
+    probes
+      .select(keep :+
+        explode(bloomPositions(keyCol, numBits, numHashes)).as("p"): _*)
+      .select(keep :+ (col("p") / BloomWordBits).cast("long").as("word_idx") :+
+        expr(s"shiftleft(1L, cast(p % $BloomWordBits as int))").as("mask"): _*)
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .groupBy(keep: _*)
+      .agg(min((coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) ===
+        col("mask")).cast("int")).as("__allset"))
+      .withColumn("might_contain", col("__allset") === 1)
+      .drop("__allset")
+  }
+
+  /** HyperLogLog-style register table: the key's 60-bit md5 hash is
+    * split into a register index (low bits, `m` must be a power of
+    * two) and a substream value whose leading-zero rank feeds a max.
+    * Integer-exact by construction — rank derives from the BIT LENGTH
+    * of the substream value (binary-string length, not float log2),
+    * so the full register table is oracle-reproducible. One partial
+    * MAX shuffle bounded by m rows; registers no key touched are
+    * absent (their rank is 0).
+    */
+  def hllRegisters(df: DataFrame, keyCol: Column, m: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val logM = java.lang.Integer.numberOfTrailingZeros(m)
+    val restBits = 60 - logM
+    val h = TextAnalysis.hash60(keyCol)
+    df.select((h % m).as("idx"), shiftright(h, logM).as("rest"))
+      .select(col("idx"),
+        when(col("rest") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits) + 1 - length(conv(col("rest"), 10, 2)))
+          .cast("int").as("rank"))
+      .groupBy(col("idx"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Cardinality estimate from a [[hllRegisters]] table: the classic
+    * HLL harmonic mean with the small-range linear-counting
+    * correction. Driver-side fold over ≤ m rows (m is a constant —
+    * this is a scalar readout, not a distributed op).
+    */
+  def hllEstimate(registers: DataFrame, m: Int): Double = {
+    val touched = registers.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val regs = (0L until m.toLong).map(i => touched.getOrElse(i, 0))
+    val z = regs.map(r => math.pow(2.0, -r)).sum
+    val raw = alpha * m * m / z
+    val zeros = regs.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
 }

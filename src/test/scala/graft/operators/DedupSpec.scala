@@ -131,4 +131,39 @@ class DedupSpec extends SparkSpec {
     assert(d.length === 4) // 5 docs, one exact pair
     assert(d.contains((1L, 2L))) // keeper 1 with 2 copies
   }
+
+  test("dropRepeatedSegments removes cross-doc boilerplate in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y u1 a foo bar"), // segs: "x y" | "u1 a" | "foo bar"
+      (2L, "x y u2 b foo bar"),
+      (3L, "x y u3 c"),
+      (4L, "solo text only here")).toDF("doc_id", "text")
+    // "x y" spans 3 docs (> maxDocs=2, boilerplate); "foo bar" spans 2
+    val out = Dedup.dropRepeatedSegments(docs, "doc_id", "text",
+        segTokens = 2, maxDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, "u1 a foo bar")))
+    assert(out(2L) == ((3L, 1L, "u2 b foo bar")))
+    assert(out(3L) == ((2L, 1L, "u3 c")))
+    assert(out(4L) == ((2L, 0L, "solo text only here")))
+  }
+
+  test("dropRepeatedSegments: ragged tail and fully-dropped docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r"), // segs: "p q" | "r" (ragged tail keeps 1 token)
+      (2L, "p q"),
+      (3L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSegments(docs, "doc_id", "text",
+        segTokens = 2, maxDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, "r")))
+    assert(out(2L) == ((1L, 1L, ""))) // every segment dropped ⇒ empty
+    assert(out(3L) == ((1L, 1L, "")))
+  }
 }

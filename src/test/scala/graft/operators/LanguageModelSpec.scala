@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-computed bigram model + surprise scores (q100 gates the same
+  * path against DuckDB at corpus scale).
+  */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc1 bigrams: (a,b),(b,a),(a,b),(b,c); doc2: (a,b),(b,x)
+  // c12: (a,b)=3 (b,a)=1 (b,c)=1 (b,x)=1; heads: c1(a)=3 c1(b)=3
+  private def docs =
+    Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+
+  test("bigramCounts matches hand counts (c12 and head c1)") {
+    val m = LanguageModel.bigramCounts(docs, "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m == Map(
+      ("a", "b") -> (3L, 3L),
+      ("b", "a") -> (1L, 3L),
+      ("b", "c") -> (1L, 3L),
+      ("b", "x") -> (1L, 3L)))
+  }
+
+  test("surprise: truncated integer ppm, novelty = doc-exclusive bigrams") {
+    val sc = LanguageModel
+      .surprise(docs, LanguageModel.bigramCounts(docs, "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc1: (a,b)×2 @ 1000000 + (b,a) @ 333333 + (b,c) @ 333333;
+    // novel = (b,a),(b,c) (their every corpus occurrence is in doc1 —
+    // (a,b) has cd=2 < c12=3 so it is NOT novel)
+    assert(sc(1L) == ((4L, 2666666L, 2L)))
+    // doc2: (a,b) @ 1000000 + (b,x) @ 333333; (b,x) novel
+    assert(sc(2L) == ((2L, 1333333L, 1L)))
+  }
+
+  test("docs with fewer than two tokens yield no bigram rows") {
+    val tiny = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val model = LanguageModel.bigramCounts(tiny, "text")
+    assert(model.count() === 0)
+    assert(LanguageModel.surprise(tiny, model, "doc_id", "text").count() === 0)
+  }
+}

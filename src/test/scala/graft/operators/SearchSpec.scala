@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Inverted-index shapes and search ranking on planted fixtures —
+  * the integer paths are also oracle-gated (q101/q102); BM25's float
+  * ranking is gated here only.
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark join spark"),
+    (2L, "join the join table join"),
+    (3L, "spark word"),
+    (4L, "other words entirely")).toDF("doc_id", "text")
+
+  private def tf = Search.termFrequencies(docs, "doc_id", "text")
+
+  test("termFrequencies counts per (token, doc)") {
+    val m = tf.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m(("spark", 1L)) === 2L)
+    assert(m(("join", 2L)) === 3L)
+    assert(!m.contains(("spark", 2L)))
+  }
+
+  test("invertedIndex: df/total_tf and tf-desc doc-asc postings") {
+    val idx = Search.invertedIndex(tf, 10)
+    val join = idx.filter(col("token") === "join").collect().head
+    assert(join.getAs[Long]("df") === 2L)
+    assert(join.getAs[Long]("total_tf") === 4L)
+    val postings = join.getAs[scala.collection.Seq[Row]]("top_postings")
+      .map(p => (p.getAs[Long]("tf"), p.getAs[Long]("doc_id"))).toSeq
+    assert(postings == Seq((3L, 2L), (1L, 1L)))
+  }
+
+  test("postings tie on tf breaks by ascending doc id; k truncates") {
+    val d = Seq((5L, "w"), (3L, "w"), (9L, "w")).toDF("doc_id", "text")
+    val postings = Search
+      .invertedIndex(Search.termFrequencies(d, "doc_id", "text"), 2)
+      .collect().head.getAs[scala.collection.Seq[Row]]("top_postings")
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(postings == Seq(3L, 5L))
+  }
+
+  test("searchAll is conjunctive with integer tf-sum ranking") {
+    val res = Search.searchAll(tf, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only doc1 contains BOTH terms; score = 2 + 1
+    assert(res.toSeq == Seq((1L, 3L)))
+  }
+
+  test("bm25 ranks dense short matches first and skips non-matches") {
+    val res = Search.bm25(tf, Seq("spark"), 10).collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // scores positive and strictly ordered (tf=2 beats tf=1 here:
+    // doc1's length penalty doesn't overcome the extra occurrence)
+    val scores = res.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("bm25 idf suppresses ubiquitous terms relative to rare ones") {
+    val d = Seq(
+      (1L, "common rare"),
+      (2L, "common x"), (3L, "common y"), (4L, "common z"))
+      .toDF("doc_id", "text")
+    val t = Search.termFrequencies(d, "doc_id", "text")
+    val both = Search.bm25(t, Seq("common", "rare"), 10).collect()
+    // doc1 matches both terms and must outrank single-term docs
+    assert(both.head.getLong(0) === 1L)
+  }
+}

@@ -42,4 +42,53 @@ class SketchSpec extends SparkSpec {
     assert(sk.length <= 12)
     assert(sk.map(_.getLong(2)).sum === 3L * 300L) // each row counts all
   }
+
+  // ------------------------------------------------------ Bloom filter
+
+  test("bloom: no false negatives; absent keys mostly read absent") {
+    val nBits = 63 * 256
+    val present = (0 until 500).map(i => s"key$i").toDF("k")
+    val bloom = Sketch.bloomBuild(present, col("k"), nBits, 3)
+    val probes = (0 until 1000).map(i => s"key$i").toDF("k")
+    val res = Sketch.bloomMightContain(bloom, probes, col("k"), nBits, 3)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // the Bloom contract: every inserted key MUST read maybe-present
+    assert((0 until 500).forall(i => res(s"key$i")))
+    // ~1500 of 16128 bits set → expected FP rate ≈ (1500/16128)^3,
+    // well under 1%; a 10% bound on the 500 absent probes is safe for
+    // the fixed md5 hash family (deterministic, not a flaky sample)
+    val fps = (500 until 1000).count(i => res(s"key$i"))
+    assert(fps < 50)
+  }
+
+  test("bloom bitmap is bounded by numBits/63 nonnegative words") {
+    val present = (0 until 5000).map(i => s"k$i").toDF("k")
+    val bloom = Sketch.bloomBuild(present, col("k"), 63 * 64, 4).collect()
+    assert(bloom.length <= 64)
+    assert(bloom.forall(_.getLong(1) >= 0L)) // sign bit never set
+  }
+
+  // --------------------------------------------------------------- HLL
+
+  test("hll estimate lands near truth at n >> m") {
+    val keys = (0 until 20000).map(i => s"u$i").toDF("k")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(keys, col("k"), 64), 64)
+    // m=64 ⇒ ~13% standard error; the fixture is deterministic so
+    // this is a fixed draw, not a flaky sample
+    assert(math.abs(est - 20000) / 20000.0 < 0.25, s"est=$est")
+  }
+
+  test("hll linear-counting correction handles small cardinalities") {
+    val keys = (0 until 30).map(i => s"v$i").toDF("k")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(keys, col("k"), 64), 64)
+    assert(math.abs(est - 30) <= 10, s"est=$est")
+  }
+
+  test("hll registers are order- and duplication-invariant") {
+    val a = (0 until 1000).map(i => s"x$i")
+    def regs(xs: Seq[String]) =
+      Sketch.hllRegisters(xs.toDF("k"), col("k"), 64)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(regs(a) == regs(a.reverse ++ a))
+  }
 }
