@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training over a weighted vocabulary — the
+  * tokenizer-induction step of a training-data pipeline (Sennrich et
+  * al. 2016: repeatedly merge the most frequent adjacent symbol
+  * pair). Deterministic end-to-end: the argmax tiebreak is total
+  * (count desc, then left/right lexicographic) and the merge apply is
+  * a plain left-to-right non-overlapping string replace, so every
+  * round — and the final symbolization — is oracle-reproducible.
+  *
+  * 100 TB shape: training runs over the WORD VOCABULARY (word, count),
+  * not the corpus — the corpus-sized work is the one word-count
+  * partial agg that produces the vocab (q40's path). Each round is a
+  * vocabulary-bounded pair-count partial agg plus a 1-row argmax
+  * readout (the Similarity.kmeansIterate iterative-trainer pattern);
+  * the merge apply is a pure projection.
+  *
+  * Symbol-string encoding: symbols joined with TWO spaces, one space
+  * at each end (` a  b  c `). Symbols never contain spaces, so the
+  * pair (l, r) occurs iff the string ` l  r ` occurs, and replacing
+  * it with ` lr ` merges leftmost-first without consuming the shared
+  * delimiter of an adjacent match — ` a  b  a  b ` merges BOTH pairs
+  * in one pass, while overlapping ` a  a  a ` merges only the first,
+  * exactly the reference BPE greedy order.
+  */
+object Bpe {
+
+  /** Initial symbolization: one symbol per character. */
+  def initSymbols(wordCol: Column): Column =
+    concat(lit(" "), regexp_replace(wordCol, "(.)", "$1  "))
+
+  /** Adjacent-pair counts weighted by word count — reuses
+    * [[LanguageModel.bigrams]] over the symbol array.
+    */
+  def pairCounts(words: DataFrame, symCol: String, cntCol: String): DataFrame =
+    words
+      .select(col(cntCol).as("cnt"),
+        explode(LanguageModel.bigrams(split(trim(col(symCol)), "\\s+")))
+          .as("bg"))
+      .groupBy(col("bg.w1").as("left"), col("bg.w2").as("right"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+
+  /** The round's winning pair: a deterministic 1-row readout. */
+  def bestPair(pairs: DataFrame): Option[(String, String, Long)] =
+    pairs.orderBy(col("pair_cnt").desc, col("left"), col("right"))
+      .limit(1).collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** Apply one merge: ` l  r ` → ` lr ` (non-regex replace). */
+  def applyMerge(words: DataFrame, symCol: String, left: String,
+      right: String): DataFrame =
+    words.withColumn(symCol,
+      call_function("replace", col(symCol),
+        lit(s" $left  $right "), lit(s" $left$right ")))
+
+  /** `rounds` merges over a (word, count) vocabulary. Returns the
+    * symbolized vocabulary (extra `sym` column) and the merge table
+    * in application order. Stops early if no pair remains.
+    */
+  def train(vocab: DataFrame, wordCol: String, cntCol: String,
+      rounds: Int): (DataFrame, Seq[(String, String, Long)]) = {
+    var words = vocab.select(col(wordCol), col(cntCol),
+      initSymbols(col(wordCol)).as("sym"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      bestPair(pairCounts(words, "sym", cntCol)) match {
+        case Some((l, rt, c)) =>
+          merges += ((l, rt, c))
+          words = applyMerge(words, "sym", l, rt)
+        case None => exhausted = true
+      }
+      r += 1
+    }
+    (words, merges.toSeq)
+  }
+}

@@ -282,4 +282,24 @@ object Similarity {
       .select(col("query_id"), col("rn").cast("long").as("rn"),
         col("neighbor_id"), col("cos").as("cosine"))
   }
+
+  /** Symmetric int8 quantization of an embedding vector — the 4×
+    * memory-layout compression before int8 ANN serving. Per-vector
+    * scale = max|v|/127; q_i = trunc(v_i/scale) ∈ [-127, 127]; zero
+    * vectors keep scale 0 and quantize to all zeros. Pure projection
+    * at scan speed. Deterministic across engines: floats widen to
+    * double exactly, each divide is one correctly-rounded IEEE op,
+    * and truncation-toward-zero is mirrored explicitly (Spark's
+    * double→int cast truncates; SQL oracles must use trunc(), not a
+    * rounding CAST). Returns struct(scale, q).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxabs = array_max(transform(vec, v => abs(v.cast("double"))))
+    val scale = maxabs / 127.0
+    struct(
+      scale.as("scale"),
+      when(maxabs === 0.0d, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec,
+          v => (v.cast("double") / scale).cast("int"))).as("q"))
+  }
 }

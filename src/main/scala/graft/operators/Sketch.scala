@@ -59,6 +59,27 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Two-pass heavy hitters: CMS candidate selection (no false
+    * negatives — est ≥ true always) followed by an exact count
+    * restricted to the candidate set. The distinct-term probe is one
+    * vocabulary-bounded partial agg; EXACT counts are materialized
+    * only for candidates (broadcast back into the second scan), so
+    * collision-inflated candidates get eliminated (`confirmed` =
+    * false) without ever counting the full vocabulary exactly.
+    */
+  def heavyHitters(df: DataFrame, termCol: Column, d: Int, w: Int,
+      threshold: Long): DataFrame = {
+    val sketch = countMin(df, termCol, d, w)
+    val candidates = estimate(sketch,
+        df.select(termCol.as("term")).distinct(), col("term"), d, w)
+      .filter(col("cms_est") >= threshold)
+    df.select(termCol.as("term"))
+      .join(broadcast(candidates), Seq("term"))
+      .groupBy(col("term"), col("cms_est"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("confirmed", col("exact_cnt") >= threshold)
+  }
+
   /** `numHashes` md5-salted bit positions in [0, numBits) for a key —
     * shared by [[bloomBuild]] and [[bloomMightContain]] so build and
     * probe can never disagree on the hash family.

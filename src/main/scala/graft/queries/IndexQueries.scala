@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, LanguageModel, Search, Sketch}
+import graft.functions.Urls
+import graft.operators.{Bpe, Dedup, LanguageModel, Search, Similarity, Sketch}
 
 /** q100–q105: corpus indexing, language-model scoring, and
   * membership/cardinality sketches — retrieval and statistics
@@ -181,6 +182,173 @@ object IndexQueries extends QueryPack {
         |FROM pp LEFT JOIN bm ON pp.p // 63 = bm.word_idx
         |GROUP BY 1, 2
         |ORDER BY c_custkey""".stripMargin)),
+
+    // Two-pass heavy hitters at a collision-rich width (d=2, w=8 over
+    // a ~31-token vocab): CMS candidates ≥900 include inflated
+    // sub-threshold tokens, and the exact verification pass marks
+    // them confirmed=false — the oracle reproduces the counter table
+    // from the same fixed hash constants (q93's discipline) plus the
+    // exact counts.
+    "q106_heavy_hitters" -> Q(
+      (s, dir) => Sketch.heavyHitters(
+          Tables.documents(s, dir)
+            .select(explode(graft.operators.TextAnalysis.tokens(
+              lower(col("text")))).as("t")),
+          col("t"), d = 2, w = 8, threshold = 900L)
+        .orderBy(col("term")),
+      {
+        val P = Dedup.P
+        def rowsSql(src: String, extra: String) = Dedup.perms(2).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"SELECT $extra$i AS i, ((h * $a + $b) % $P) % 8 AS bucket FROM $src"
+          }.mkString("\n|    UNION ALL ")
+        Some(s"""WITH tok AS (
+          |  SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |                ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS t
+          |  FROM documents),
+          |h AS (SELECT t, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $P AS h FROM tok),
+          |ctr AS (
+          |  SELECT i, bucket, count(*) AS cnt FROM (
+          |    ${rowsSql("h", "")})
+          |  GROUP BY i, bucket),
+          |dh AS (SELECT t, h FROM (SELECT DISTINCT t FROM tok),
+          |       LATERAL (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $P AS h)),
+          |pb AS (
+          |    ${rowsSql("dh", "t, ")}),
+          |est AS (
+          |  SELECT pb.t AS term, min(coalesce(ctr.cnt, 0)) AS cms_est
+          |  FROM pb LEFT JOIN ctr ON pb.i = ctr.i AND pb.bucket = ctr.bucket
+          |  GROUP BY pb.t),
+          |ex AS (SELECT t AS term, count(*) AS exact_cnt FROM tok GROUP BY 1)
+          |SELECT est.term, est.cms_est, ex.exact_cnt,
+          |  ex.exact_cnt >= 900 AS confirmed
+          |FROM est JOIN ex ON est.term = ex.term
+          |WHERE est.cms_est >= 900
+          |ORDER BY est.term""".stripMargin)
+      }),
+
+    // BPE merge training, 3 rounds over the corpus word vocabulary:
+    // the oracle REPLAYS the full iteration — per-round pair counts,
+    // the total-order argmax (count desc, left/right lexicographic),
+    // and the double-space-delimited merge replace — as three chained
+    // CTE stages, then compares the final symbolization of every
+    // word. The same iterative-trainer gating as q84's k-means.
+    "q107_bpe_train" -> Q(
+      (s, dir) => {
+        val vocab = Tables.documents(s, dir)
+          .select(explode(graft.operators.TextAnalysis.tokens(
+            lower(col("text")))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val (words, _) = Bpe.train(vocab, "word", "cnt", rounds = 3)
+        words.select(col("word"), col("cnt"), col("sym"))
+          .orderBy(col("word"))
+      },
+      {
+        def stage(n: Int) = {
+          val prev = s"w${n - 1}"
+          s"""p$n AS (
+            |  SELECT syms[i] AS l, syms[i + 1] AS r,
+            |         CAST(sum(cnt) AS BIGINT) AS pc
+            |  FROM (SELECT cnt, syms,
+            |          unnest(generate_series(1, len(syms) - 1)) AS i
+            |        FROM (SELECT cnt,
+            |                string_split_regex(trim(sym), '\\s+') AS syms
+            |              FROM $prev)
+            |        WHERE len(syms) >= 2)
+            |  GROUP BY 1, 2),
+            |b$n AS (SELECT l, r FROM p$n ORDER BY pc DESC, l, r LIMIT 1),
+            |w$n AS (
+            |  SELECT word, cnt,
+            |    replace(sym, ' ' || l || '  ' || r || ' ',
+            |            ' ' || l || r || ' ') AS sym
+            |  FROM $prev CROSS JOIN b$n)""".stripMargin
+        }
+        Some(s"""WITH tok AS (
+          |  SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |                ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS word
+          |  FROM documents),
+          |w0 AS (
+          |  SELECT word, count(*) AS cnt,
+          |    ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym
+          |  FROM tok GROUP BY word),
+          |${stage(1)},
+          |${stage(2)},
+          |${stage(3)}
+          |SELECT word, cnt, sym FROM w3
+          |ORDER BY word""".stripMargin)
+      }),
+
+    // URL canonicalization over generator-synthesized messy URLs
+    // (upper-case scheme/host, www., default port, trailing slash,
+    // utm_* tracking params, fragment). The oracle restates the
+    // EXPECTED canonical form in closed form from the generator
+    // arithmetic — it never runs the normalizer, so regex bugs can't
+    // self-confirm.
+    "q108_url_normalize" -> Q(
+      (s, dir) => {
+        val ck = col("c_custkey")
+        val raw = concat(
+          lit("HTTP://WWW.Site"), ck % 7, lit(".COM"),
+          when(ck % 3 === 0, ":80").otherwise(""),
+          lit("/Path/"), ck % 5,
+          when(ck % 2 === 0, "/").otherwise(""),
+          when(ck % 4 === 0, concat(lit("?utm_source=mail&id="), ck))
+            .when(ck % 4 === 1, concat(lit("?id="), ck))
+            .otherwise(lit("")),
+          when(ck % 6 === 0, "#frag").otherwise(""))
+        Tables.customer(s, dir)
+          .select(ck, raw.as("url"))
+          .select(ck, col("url"),
+            Urls.normalize(col("url")).as("url_norm"),
+            Urls.host(col("url")).as("host"))
+          .orderBy(ck)
+      },
+      Some("""SELECT c_custkey,
+        |  'HTTP://WWW.Site' || (c_custkey % 7) || '.COM' ||
+        |    CASE WHEN c_custkey % 3 = 0 THEN ':80' ELSE '' END ||
+        |    '/Path/' || (c_custkey % 5) ||
+        |    CASE WHEN c_custkey % 2 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN c_custkey % 4 = 0 THEN '?utm_source=mail&id=' || c_custkey
+        |         WHEN c_custkey % 4 = 1 THEN '?id=' || c_custkey
+        |         ELSE '' END ||
+        |    CASE WHEN c_custkey % 6 = 0 THEN '#frag' ELSE '' END AS url,
+        |  'http://site' || (c_custkey % 7) || '.com/Path/' || (c_custkey % 5) ||
+        |    CASE WHEN c_custkey % 4 IN (0, 1) THEN '?id=' || c_custkey
+        |         ELSE '' END AS url_norm,
+        |  'site' || (c_custkey % 7) || '.com' AS host
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Symmetric int8 quantization of every embedding, exploded to
+    // (vec_id, pos, q, scale) so each quantized component is gated.
+    // Both engines divide the SAME doubles (floats widen exactly) and
+    // truncate toward zero — the oracle uses trunc(), never a
+    // rounding CAST (DuckDB casts round half-even).
+    "q109_quantize_int8" -> Q(
+      (s, dir) => {
+        val q = Similarity.quantizeInt8(col("embedding"))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), q.getField("scale").as("scale"),
+            posexplode(q.getField("q")).as(Seq("pos", "q")))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            col("q"), col("scale"))
+          .orderBy(col("vec_id"), col("pos"))
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, embedding, maxabs,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM e)
+        |SELECT vec_id, i - 1 AS pos,
+        |  CASE WHEN maxabs = 0 THEN 0
+        |       ELSE CAST(trunc(CAST(embedding[i] AS DOUBLE) / (maxabs / 127.0)) AS INT)
+        |  END AS q,
+        |  maxabs / 127.0 AS scale
+        |FROM x
+        |ORDER BY vec_id, pos""".stripMargin)),
 
     // HLL register table over the order keys: idx = low 6 hash bits,
     // rank = leading-zero count of the remaining 54 bits + 1, computed

@@ -110,4 +110,29 @@ class SimilaritySpec extends SparkSpec {
     val once = Similarity.kmeansIterate(vecs, "embedding", init, 1)
     assert(once.map(_._1) === Seq(0)) // nothing chose the -x centroid
   }
+
+  test("quantizeInt8: range, exact boundaries, zero vector, error bound") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(3.0f))).toDF("id", "v")
+    val out = vecs
+      .select(col("id"), Similarity.quantizeInt8(col("v")).as("s"))
+      .select(col("id"), col("s.scale"), col("s.q"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getAs[scala.collection.Seq[Int]](2).toSeq)))
+      .toMap
+    val (s1, q1) = out(1L)
+    assert(s1 === 1.0 / 127)
+    // 0.5/(1/127) = 63.5 → 63; -1.0 → -127 exactly; 0.25 → 31.75 → 31
+    assert(q1 == Seq(63, -127, 31))
+    assert(out(2L) == ((0.0, Seq(0, 0, 0)))) // zero vector guarded
+    assert(out(3L)._2 == Seq(127)) // |q| never exceeds 127
+    // reconstruction error bounded by one quantization step
+    q1.zip(Seq(0.5, -1.0, 0.25)).foreach { case (q, v) =>
+      assert(math.abs(q * s1 - v) < s1)
+    }
+  }
 }

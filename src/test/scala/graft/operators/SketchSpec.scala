@@ -43,6 +43,25 @@ class SketchSpec extends SparkSpec {
     assert(sk.map(_.getLong(2)).sum === 3L * 300L) // each row counts all
   }
 
+  test("heavyHitters: exact verification demotes collision inflation") {
+    // 3 heavy tokens (100×) + 40 cold tokens (10×) into w=4 buckets:
+    // bucket sums guarantee inflated cold candidates, which the exact
+    // pass must mark unconfirmed — while true heavy hitters are always
+    // candidates (CMS never undercounts) and always confirmed
+    val data = (Seq.fill(100)("hot1") ++ Seq.fill(100)("hot2") ++
+      Seq.fill(100)("hot3") ++
+      (0 until 40).flatMap(i => Seq.fill(10)(s"cold$i"))).toDF("t")
+    val hh = Sketch.heavyHitters(data, col("t"), d = 2, w = 4,
+        threshold = 100L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(Seq("hot1", "hot2", "hot3").forall(t =>
+      hh(t) == ((100L, true))))
+    val colds = hh.filter(_._1.startsWith("cold"))
+    assert(colds.nonEmpty) // 43 tokens in 4 buckets: inflation certain
+    assert(colds.values.forall { case (cnt, conf) => cnt == 10L && !conf })
+  }
+
   // ------------------------------------------------------ Bloom filter
 
   test("bloom: no false negatives; absent keys mostly read absent") {
