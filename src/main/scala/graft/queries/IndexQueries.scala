@@ -43,7 +43,8 @@ object IndexQueries extends QueryPack {
     // every doc scored in one plan — n_bigrams, Σ ppm(p(w2|w1)), and
     // novel-bigram occurrences. Integer division keeps both engines
     // bit-identical (positive operands: Spark `div` truncation ==
-    // DuckDB `//` floor).
+    // DuckDB `//` floor). Bigram keys ride the native WordShingles
+    // expression, which case-folds — the oracle tokenizes lower(text).
     "q100_bigram_surprise" -> Q(
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -56,21 +57,26 @@ object IndexQueries extends QueryPack {
             coalesce(col("n_novel"), lit(0L)).as("n_novel"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH $toksCte,
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
         |bg AS (
-        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg,
+        |         toks[i] AS w1
         |  FROM (SELECT doc_id, toks,
         |          unnest(generate_series(1, len(toks) - 1)) AS i
         |        FROM t WHERE len(toks) >= 2)),
-        |c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
-        |d AS (SELECT doc_id, w1, w2, count(*) AS cd FROM bg GROUP BY 1, 2, 3),
+        |c AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+        |h AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |d AS (SELECT doc_id, bg, w1, count(*) AS cd FROM bg GROUP BY 1, 2, 3),
         |sc AS (
         |  SELECT d.doc_id,
         |    CAST(sum(d.cd) AS BIGINT) AS n_bigrams,
         |    CAST(sum(d.cd * ((1000000 * c.c12) // h.c1)) AS BIGINT) AS surprise_ppm,
         |    CAST(sum(CASE WHEN d.cd = c.c12 THEN d.cd ELSE 0 END) AS BIGINT) AS n_novel
-        |  FROM d JOIN c ON d.w1 = c.w1 AND d.w2 = c.w2
+        |  FROM d JOIN c ON d.bg = c.bg
         |         JOIN h ON d.w1 = h.w1
         |  GROUP BY 1)
         |SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,

@@ -16,13 +16,26 @@ class LanguageModelSpec extends SparkSpec {
   test("bigramCounts matches hand counts (c12 and head c1)") {
     val m = LanguageModel.bigramCounts(docs, "text")
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     assert(m == Map(
-      ("a", "b") -> (3L, 3L),
-      ("b", "a") -> (1L, 3L),
-      ("b", "c") -> (1L, 3L),
-      ("b", "x") -> (1L, 3L)))
+      "a b" -> ((3L, 3L)),
+      "b a" -> ((1L, 3L)),
+      "b c" -> ((1L, 3L)),
+      "b x" -> ((1L, 3L))))
+  }
+
+  test("bigramKeys case-folds and matches the array bigrams on clean text") {
+    import org.apache.spark.sql.functions._
+    val mixed = Seq((1L, "Foo BAR foo")).toDF("doc_id", "text")
+    val keys = mixed.select(LanguageModel.bigramKeys(col("text")))
+      .collect().head.getAs[scala.collection.Seq[String]](0).toSeq
+    assert(keys == Seq("foo bar", "bar foo"))
+    // sub-2-token docs yield empty (the WordShingles whole-text
+    // fallback must stay guarded off)
+    val short = Seq((1L, "one"), (2L, " ")).toDF("doc_id", "text")
+    assert(short.select(explode(LanguageModel.bigramKeys(col("text"))))
+      .count() === 0)
   }
 
   test("surprise: truncated integer ppm, novelty = doc-exclusive bigrams") {
