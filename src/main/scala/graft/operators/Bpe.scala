@@ -56,6 +56,27 @@ object Bpe {
       call_function("replace", col(symCol),
         lit(s" $left  $right "), lit(s" $left$right ")))
 
+  /** Tokenizer INFERENCE at corpus scale: encode documents against a
+    * trained symbolization by joining each token to the (word → sym)
+    * vocabulary — broadcast, since the vocab is bounded — never by
+    * re-running the merge replaces per occurrence. Emits per-doc
+    * n_tokens and n_subwords; tokens absent from the vocabulary cost
+    * their character count (the BPE char-level fallback).
+    */
+  def encodeByVocab(docs: DataFrame, idCol: String, textCol: String,
+      symbolized: DataFrame): DataFrame = {
+    val pieces = symbolized.select(col("word"),
+      size(split(trim(col("sym")), "\\s+")).as("__n_sym"))
+    docs
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+      .join(broadcast(pieces), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__n_sym").cast("long"),
+          length(col("word")).cast("long"))).as("n_subwords"))
+  }
+
   /** `rounds` merges over a (word, count) vocabulary. Returns the
     * symbolized vocabulary (extra `sym` column) and the merge table
     * in application order. Stops early if no pair remains.

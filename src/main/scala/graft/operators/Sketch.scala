@@ -146,18 +146,63 @@ object Sketch {
     * MAX shuffle bounded by m rows; registers no key touched are
     * absent (their rank is 0).
     */
-  def hllRegisters(df: DataFrame, keyCol: Column, m: Int): DataFrame = {
+  /** (register index, rank) columns for a key — the shared hash split
+    * of [[hllRegisters]] and [[hllRegistersBy]].
+    */
+  private def hllIdxRank(keyCol: Column, m: Int): (Column, Column) = {
     require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
     val logM = java.lang.Integer.numberOfTrailingZeros(m)
     val restBits = 60 - logM
     val h = TextAnalysis.hash60(keyCol)
-    df.select((h % m).as("idx"), shiftright(h, logM).as("rest"))
-      .select(col("idx"),
-        when(col("rest") === 0, lit(restBits + 1))
-          .otherwise(lit(restBits) + 1 - length(conv(col("rest"), 10, 2)))
-          .cast("int").as("rank"))
+    val rest = shiftright(h, logM)
+    val rank = when(rest === 0, lit(restBits + 1))
+      .otherwise(lit(restBits) + 1 - length(conv(rest, 10, 2)))
+      .cast("int")
+    (h % m, rank)
+  }
+
+  def hllRegisters(df: DataFrame, keyCol: Column, m: Int): DataFrame = {
+    val (idx, rank) = hllIdxRank(keyCol, m)
+    df.select(idx.as("idx"), rank.as("rank"))
       .groupBy(col("idx"))
       .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Per-group HLL registers: one MAX partial agg bounded by
+    * groups × m rows — the "approx_count_distinct per dimension"
+    * shape at corpus scale (distinct docs per source, distinct URLs
+    * per host, …), each group's registers independently readable by
+    * [[hllEstimate]].
+    */
+  def hllRegistersBy(df: DataFrame, groupCol: Column, keyCol: Column,
+      m: Int): DataFrame = {
+    val (idx, rank) = hllIdxRank(keyCol, m)
+    df.select(groupCol.as("grp"), idx.as("idx"), rank.as("rank"))
+      .groupBy(col("grp"), col("idx"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Bloom-accelerated incremental ingestion: which incoming keys are
+    * NEW relative to the ingested set? Keys whose Bloom probe says
+    * definitely-absent skip the exact check entirely (the Bloom
+    * contract has no false negatives); only maybe-present keys — a
+    * small slice at realistic fill rates — reach the exact lookup
+    * against the ingested snapshot. Returns the incoming frame plus
+    * `might_contain` (the probe) and `is_new` (the verified truth).
+    */
+  def bloomNewKeys(ingested: DataFrame, incoming: DataFrame, keyName: String,
+      numBits: Int, numHashes: Int): DataFrame = {
+    val bloom = bloomBuild(ingested, col(keyName), numBits, numHashes)
+    val probed = bloomMightContain(bloom, incoming, col(keyName),
+      numBits, numHashes)
+    val olds = probed.filter(col("might_contain"))
+      .join(ingested.select(col(keyName)).distinct()
+        .withColumn("__old", lit(true)), Seq(keyName), "left")
+    val news = probed.filter(!col("might_contain"))
+      .withColumn("__old", lit(false))
+    news.unionByName(olds)
+      .withColumn("is_new", !coalesce(col("__old"), lit(false)))
+      .drop("__old")
   }
 
   /** Cardinality estimate from a [[hllRegisters]] table: the classic

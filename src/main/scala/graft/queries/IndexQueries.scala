@@ -37,6 +37,43 @@ object IndexQueries extends QueryPack {
       |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
       |tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)""".stripMargin
 
+  /** One BPE training round as CTE stages (pair counts → total-order
+    * argmax → merge replace) — shared by the q107 (train) and q110
+    * (encode) oracles so both replay the identical iteration.
+    */
+  private def bpeStage(n: Int): String = {
+    val prev = s"w${n - 1}"
+    s"""p$n AS (
+      |  SELECT syms[i] AS l, syms[i + 1] AS r,
+      |         CAST(sum(cnt) AS BIGINT) AS pc
+      |  FROM (SELECT cnt, syms,
+      |          unnest(generate_series(1, len(syms) - 1)) AS i
+      |        FROM (SELECT cnt,
+      |                string_split_regex(trim(sym), '\\s+') AS syms
+      |              FROM $prev)
+      |        WHERE len(syms) >= 2)
+      |  GROUP BY 1, 2),
+      |b$n AS (SELECT l, r FROM p$n ORDER BY pc DESC, l, r LIMIT 1),
+      |w$n AS (
+      |  SELECT word, cnt,
+      |    replace(sym, ' ' || l || '  ' || r || ' ',
+      |            ' ' || l || r || ' ') AS sym
+      |  FROM $prev CROSS JOIN b$n)""".stripMargin
+  }
+
+  /** lower-cased token vocabulary + initial symbolization (w0) — the
+    * head of both BPE oracles.
+    */
+  private val bpeHeadCte =
+    """tok AS (
+      |  SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+      |                ELSE string_split_regex(trim(lower(text)), '\s+') END) AS word
+      |  FROM documents),
+      |w0 AS (
+      |  SELECT word, count(*) AS cnt,
+      |    ' ' || regexp_replace(word, '(.)', '\1  ', 'g') AS sym
+      |  FROM tok GROUP BY word)""".stripMargin
+
   def defs: Map[String, Q] = Map(
 
     // Bigram LM surprise: the corpus model (c12, c1) is trained and
@@ -249,40 +286,12 @@ object IndexQueries extends QueryPack {
         words.select(col("word"), col("cnt"), col("sym"))
           .orderBy(col("word"))
       },
-      {
-        def stage(n: Int) = {
-          val prev = s"w${n - 1}"
-          s"""p$n AS (
-            |  SELECT syms[i] AS l, syms[i + 1] AS r,
-            |         CAST(sum(cnt) AS BIGINT) AS pc
-            |  FROM (SELECT cnt, syms,
-            |          unnest(generate_series(1, len(syms) - 1)) AS i
-            |        FROM (SELECT cnt,
-            |                string_split_regex(trim(sym), '\\s+') AS syms
-            |              FROM $prev)
-            |        WHERE len(syms) >= 2)
-            |  GROUP BY 1, 2),
-            |b$n AS (SELECT l, r FROM p$n ORDER BY pc DESC, l, r LIMIT 1),
-            |w$n AS (
-            |  SELECT word, cnt,
-            |    replace(sym, ' ' || l || '  ' || r || ' ',
-            |            ' ' || l || r || ' ') AS sym
-            |  FROM $prev CROSS JOIN b$n)""".stripMargin
-        }
-        Some(s"""WITH tok AS (
-          |  SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-          |                ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS word
-          |  FROM documents),
-          |w0 AS (
-          |  SELECT word, count(*) AS cnt,
-          |    ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym
-          |  FROM tok GROUP BY word),
-          |${stage(1)},
-          |${stage(2)},
-          |${stage(3)}
-          |SELECT word, cnt, sym FROM w3
-          |ORDER BY word""".stripMargin)
-      }),
+      Some(s"""WITH $bpeHeadCte,
+        |${bpeStage(1)},
+        |${bpeStage(2)},
+        |${bpeStage(3)}
+        |SELECT word, cnt, sym FROM w3
+        |ORDER BY word""".stripMargin)),
 
     // URL canonicalization over generator-synthesized messy URLs
     // (upper-case scheme/host, www., default port, trailing slash,
@@ -355,6 +364,151 @@ object IndexQueries extends QueryPack {
         |  maxabs / 127.0 AS scale
         |FROM x
         |ORDER BY vec_id, pos""".stripMargin)),
+
+    // BPE ENCODE (tokenizer inference): documents are encoded against
+    // the 3-round trained vocabulary via a broadcast word→pieces
+    // lookup — never by re-running merges per occurrence. The oracle
+    // replays the identical training stages, then joins each doc's
+    // tokens to the final symbolization and sums subword counts.
+    "q110_bpe_encode" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val vocab = docs
+          .select(explode(graft.operators.TextAnalysis.tokens(
+            lower(col("text")))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val (words, _) = Bpe.train(vocab, "word", "cnt", rounds = 3)
+        val encoded = Bpe.encodeByVocab(docs, "doc_id", "text", words)
+        docs.select(col("doc_id")).join(encoded, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $bpeHeadCte,
+        |${bpeStage(1)},
+        |${bpeStage(2)},
+        |${bpeStage(3)},
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |dt AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |e AS (
+        |  SELECT dt.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(coalesce(
+        |      len(string_split_regex(trim(w3.sym), '\\s+')),
+        |      length(dt.word))) AS BIGINT) AS n_subwords
+        |  FROM dt LEFT JOIN w3 ON dt.word = w3.word
+        |  GROUP BY 1)
+        |SELECT t.doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+        |  coalesce(e.n_subwords, 0) AS n_subwords
+        |FROM t LEFT JOIN e ON t.doc_id = e.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // Per-group HLL registers: one register table per document source
+    // — the "approx distinct docs per dimension" sketch, still
+    // integer-exact and oracle-reproducible.
+    "q111_hll_by_source" -> Q(
+      (s, dir) => Sketch.hllRegistersBy(
+          Tables.documents(s, dir),
+          col("source"), concat(lit("d"), col("doc_id")), 64)
+        .orderBy(col("grp"), col("idx")),
+      Some("""WITH k AS (
+        |  SELECT source AS grp,
+        |    CAST(('0x' || substr(md5('d' || doc_id), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |rk AS (
+        |  SELECT grp, h % 64 AS idx,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |         ELSE 55 - length(bin(h >> 6)) END AS rank
+        |  FROM k)
+        |SELECT grp, idx, CAST(max(rank) AS INT) AS max_rank
+        |FROM rk GROUP BY grp, idx
+        |ORDER BY grp, idx""".stripMargin)),
+
+    // Eval-set extraction: top-5 docs per source by quality score
+    // (desc, doc_id tiebreak) — the curated-holdout step of a corpus
+    // pipeline. Quality doubles are deterministic products of ratio
+    // terms (the q41 discipline: raw doubles, never rounded), so the
+    // cross-engine ordering and values hash-match.
+    "q112_eval_extract" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            graft.operators.TextAnalysis.qualityScore(col("text"))
+              .as("quality"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("rn").cast("long").as("rn"),
+            col("doc_id"), col("quality"))
+          .orderBy(col("source"), col("rn"))
+      },
+      {
+        val tokensSql =
+          """CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        val sw = graft.operators.TextAnalysis.stopwordPattern(
+          graft.operators.TextAnalysis.LangProfiles.en)
+        val quality =
+          s"""least(1.0, len($tokensSql) / 50.0)
+             |    * (1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) * 5.0))
+             |    * least(1.0, len(regexp_extract_all(lower(text), '$sw')) / greatest(len($tokensSql), 1) * 10.0)""".stripMargin
+        Some(s"""WITH q AS (
+          |  SELECT doc_id, source, $quality AS quality
+          |  FROM documents),
+          |r AS (
+          |  SELECT source, doc_id, quality,
+          |    row_number() OVER (PARTITION BY source
+          |                       ORDER BY quality DESC, doc_id) AS rn
+          |  FROM q)
+          |SELECT source, rn, doc_id, quality FROM r
+          |WHERE rn <= 5
+          |ORDER BY source, rn""".stripMargin)
+      }),
+
+    // Bloom-accelerated incremental ingestion: the ingested set is
+    // the even customer keys, the incoming batch the %3 keys. Probes
+    // reading definitely-absent skip the exact lookup; maybes verify
+    // against the snapshot. might_contain (including deterministic
+    // FPs) and the verified is_new both gate.
+    "q113_bloom_ingest" -> Q(
+      (s, dir) => {
+        val nBits = 63 * 256
+        val ingested = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 2 === 0)
+          .select(concat(lit("c"), col("c_custkey")).as("k"))
+        val incoming = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), concat(lit("c"), col("c_custkey")).as("k"))
+        Sketch.bloomNewKeys(ingested, incoming, "k", nBits, 3)
+          .select(col("c_custkey"), col("k"), col("might_contain"),
+            col("is_new"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH hs AS (SELECT unnest([0, 1, 2]) AS i),
+        |pos AS (
+        |  SELECT CAST(('0x' || substr(md5('c' || c_custkey || ':b' || i), 1, 15)) AS BIGINT) % 16128 AS p
+        |  FROM customer CROSS JOIN hs WHERE c_custkey % 2 = 0),
+        |bm AS (
+        |  SELECT p // 63 AS word_idx,
+        |         bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |pp AS (
+        |  SELECT c_custkey, 'c' || c_custkey AS k,
+        |         CAST(('0x' || substr(md5('c' || c_custkey || ':b' || i), 1, 15)) AS BIGINT) % 16128 AS p
+        |  FROM customer CROSS JOIN hs WHERE c_custkey % 3 = 0)
+        |SELECT c_custkey, k,
+        |  bool_and((coalesce(bm.bits, 0) & (1::BIGINT << CAST(p % 63 AS INT)))
+        |           = (1::BIGINT << CAST(p % 63 AS INT))) AS might_contain,
+        |  c_custkey % 2 = 1 AS is_new
+        |FROM pp LEFT JOIN bm ON pp.p // 63 = bm.word_idx
+        |GROUP BY 1, 2
+        |ORDER BY c_custkey""".stripMargin)),
 
     // HLL register table over the order keys: idx = low 6 hash bits,
     // rank = leading-zero count of the remaining 54 bits + 1, computed

@@ -70,4 +70,18 @@ class BpeSpec extends SparkSpec {
     val (_, merges) = Bpe.train(vocab, "word", "cnt", rounds = 5)
     assert(merges.isEmpty)
   }
+
+  test("encodeByVocab counts subwords via lookup; OOV falls back to chars") {
+    // trained on {low, est}; doc contains the OOV word "xyz" (3 chars)
+    val vocab = Seq(("low", 5L), ("est", 3L)).toDF("word", "cnt")
+    val (words, _) = Bpe.train(vocab, "word", "cnt", rounds = 2)
+    // 2 rounds on {low×5, est×3}: (l,o)=5 → 'lo w'; (lo,w)=5 → 'low'
+    val docs = Seq((1L, "LOW est xyz"), (2L, "low low")).toDF("doc_id", "text")
+    val out = Bpe.encodeByVocab(docs, "doc_id", "text", words)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: low→1 piece (case-folded), est→'es t'? no — 2 rounds only
+    //   merged 'low'; est stays 'e s t' = 3 pieces; xyz OOV → 3 chars
+    assert(out(1L) == ((3L, 7L)))
+    assert(out(2L) == ((2L, 2L)))
+  }
 }

@@ -110,4 +110,35 @@ class SketchSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(regs(a) == regs(a.reverse ++ a))
   }
+
+  test("grouped hll registers equal per-group hllRegisters") {
+    val df = (0 until 2000).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
+    val grouped = Sketch.hllRegistersBy(df, col("g"), col("k"), 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketch.hllRegisters(df.filter(col("g") === g), col("k"), 64)
+        .collect().map(r => (g, r.getLong(0)) -> r.getInt(1)).toMap
+      assert(grouped.filter(_._1._1 == g) == solo)
+    }
+  }
+
+  test("bloomNewKeys: verified truth with no false negatives") {
+    val nBits = 63 * 256
+    val ingested = (0 until 400).map(i => s"k${i * 2}").toDF("k") // evens
+    val incoming = (0 until 500).map(i => s"k${i * 3}").toDF("k") // %3
+    val res = Sketch.bloomNewKeys(ingested, incoming, "k", nBits, 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    assert(res.size === 500)
+    for (i <- 0 until 500) {
+      val n = i * 3
+      val (might, isNew) = res(s"k$n")
+      val trulyIngested = n % 2 == 0 && n < 800
+      // exact truth always right, regardless of the probe
+      assert(isNew === !trulyIngested)
+      // Bloom contract: ingested keys always read maybe-present
+      if (trulyIngested) assert(might)
+    }
+  }
 }
