@@ -228,6 +228,62 @@ object StreamingQueries extends QueryPack {
           |SELECT doc_id,
           |  nullif(min(doc_id) OVER (PARTITION BY sig), doc_id) AS dup_of
           |FROM sg ORDER BY doc_id""".stripMargin)
+      }),
+
+    // The corpus quality gate as STREAMING INGESTION: the q41 filter
+    // (quality ≥ 0.5 AND lang = en, counts-once projection discipline)
+    // runs as a stateless streaming projection + filter over the
+    // document stream — the shape a 100 TB crawl-ingest pipeline runs
+    // continuously. Byte-identical to the batch statement on the same
+    // data (the §2.8 unification claim, third instance).
+    "q114_stream_corpus_filter" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        Streams.runToTable(
+            documentsStream(s, dir)
+              .select(col("doc_id"), col("text"),
+                length(col("text")).as("__chars"),
+                TextAnalysis.nTokens(col("text")).as("__nt"),
+                TextAnalysis.punctCount(col("text")).as("__np"),
+                graft.expressions.StopwordSetCounts.counts(col("text"), Seq(
+                  TextAnalysis.LangProfiles.en, TextAnalysis.LangProfiles.de,
+                  TextAnalysis.LangProfiles.fr, TextAnalysis.LangProfiles.es))
+                  .as("__sw"))
+              .select(col("doc_id"),
+                TextAnalysis.qualityScoreFrom(col("__nt"), col("__np"),
+                  col("__chars"), col("__sw")(0)).as("quality"),
+                TextAnalysis.langIdFrom(col("text"), col("__sw")(0),
+                  col("__sw")(1), col("__sw")(2), col("__sw")(3))
+                  .as("pred_lang"))
+              .filter(col("quality") >= 0.5 && col("pred_lang") === "en"),
+            OutputMode.Append())
+          .orderBy(col("doc_id"))
+      },
+      {
+        import graft.operators.TextAnalysis
+        val tokensSql =
+          """CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        def sw(words: Seq[String]) =
+          s"len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern(words)}'))"
+        val (en, de, fr, es) = (sw(TextAnalysis.LangProfiles.en),
+          sw(TextAnalysis.LangProfiles.de), sw(TextAnalysis.LangProfiles.fr),
+          sw(TextAnalysis.LangProfiles.es))
+        val quality =
+          s"""least(1.0, len($tokensSql) / 50.0)
+             |    * (1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) * 5.0))
+             |    * least(1.0, $en / greatest(len($tokensSql), 1) * 10.0)""".stripMargin
+        val lang =
+          s"""CASE WHEN text IS NULL THEN NULL
+             |       WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 20 > length(text) THEN 'zh'
+             |       WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+             |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+             |       WHEN $fr >= $es THEN 'fr'
+             |       ELSE 'es' END""".stripMargin
+        Some(s"""SELECT doc_id, $quality AS quality, $lang AS pred_lang
+          |FROM documents
+          |WHERE ($quality) >= 0.5 AND ($lang) = 'en'
+          |ORDER BY doc_id""".stripMargin)
       })
   )
 }
