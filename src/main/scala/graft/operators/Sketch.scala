@@ -205,6 +205,24 @@ object Sketch {
       .drop("__old")
   }
 
+  /** Sketch algebra — the property that makes sketches distributed:
+    * two sketches over DISJOINT streams merge into the sketch of the
+    * union without touching the data again (executor partials,
+    * datacenter rollups, day-over-day incremental sketches). CMS
+    * counters add; HLL registers max; Bloom words OR.
+    */
+  def mergeCountMin(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  def mergeHll(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("idx"))
+      .agg(max(col("max_rank")).as("max_rank"))
+
+  def mergeBloom(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("word_idx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+
   /** Cardinality estimate from a [[hllRegisters]] table: the classic
     * HLL harmonic mean with the small-range linear-counting
     * correction. Driver-side fold over ≤ m rows (m is a constant —

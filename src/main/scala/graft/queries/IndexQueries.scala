@@ -510,6 +510,86 @@ object IndexQueries extends QueryPack {
         |GROUP BY 1, 2
         |ORDER BY c_custkey""".stripMargin)),
 
+    // Sketch ALGEBRA: each sketch is built on two disjoint halves of
+    // its stream and MERGED (CMS counters add, HLL registers max,
+    // Bloom words OR); the oracle computes each sketch directly over
+    // the whole stream — a green hash proves merge ≡ direct, the
+    // property that lets sketches roll up across executors and days.
+    "q115_sketch_merge" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.operators.TextAnalysis.tokens(
+              lower(col("text")))).as("t"))
+        def cmsHalf(p: Int) = Sketch.countMin(
+          toks.filter(col("doc_id") % 2 === p).select(col("t")),
+          col("t"), d = 4, w = 8)
+        val cms = Sketch.mergeCountMin(cmsHalf(0), cmsHalf(1))
+          .select(lit("cms").as("kind"), col("row").as("k1"),
+            col("bucket").as("k2"), col("cnt").as("v"))
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            concat(lit("o"), col("o_orderkey")).as("k"))
+        def hllHalf(p: Int) = Sketch.hllRegisters(
+          orders.filter(col("o_orderkey") % 2 === p).select(col("k")),
+          col("k"), 64)
+        val hll = Sketch.mergeHll(hllHalf(0), hllHalf(1))
+          .select(lit("hll").as("kind"), col("idx").as("k1"),
+            lit(-1L).as("k2"), col("max_rank").cast("long").as("v"))
+        val nBits = 63 * 256
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"),
+            concat(lit("c"), col("c_custkey")).as("k"))
+        def bloomHalf(p: Int) = Sketch.bloomBuild(
+          cust.filter(col("c_custkey") % 4 === p).select(col("k")),
+          col("k"), nBits, 3)
+        val bloom = Sketch.mergeBloom(bloomHalf(0), bloomHalf(2))
+          .select(lit("bloom").as("kind"), col("word_idx").as("k1"),
+            lit(-1L).as("k2"), col("bits").as("v"))
+        cms.unionByName(hll).unionByName(bloom)
+          .orderBy(col("kind"), col("k1"), col("k2"))
+      },
+      {
+        val P = Dedup.P
+        val rows = Dedup.perms(4).zipWithIndex.map { case ((a, b), i) =>
+          s"SELECT $i AS i, ((h * $a + $b) % $P) % 8 AS bucket FROM h"
+        }.mkString("\n|    UNION ALL ")
+        Some(s"""WITH tok AS (
+          |  SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |                ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS t
+          |  FROM documents),
+          |h AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $P AS h FROM tok),
+          |ctr AS (
+          |  SELECT i, bucket, count(*) AS cnt FROM (
+          |    $rows)
+          |  GROUP BY i, bucket),
+          |ok AS (
+          |  SELECT CAST(('0x' || substr(md5('o' || o_orderkey), 1, 15)) AS BIGINT) AS h2
+          |  FROM orders),
+          |rk AS (
+          |  SELECT h2 % 64 AS idx,
+          |    CASE WHEN (h2 >> 6) = 0 THEN 55
+          |         ELSE 55 - length(bin(h2 >> 6)) END AS rank
+          |  FROM ok),
+          |hll AS (SELECT idx, max(rank) AS r FROM rk GROUP BY 1),
+          |hs AS (SELECT unnest([0, 1, 2]) AS i),
+          |pos AS (
+          |  SELECT CAST(('0x' || substr(md5('c' || c_custkey || ':b' || i), 1, 15)) AS BIGINT) % 16128 AS p
+          |  FROM customer CROSS JOIN hs WHERE c_custkey % 2 = 0),
+          |bm AS (
+          |  SELECT p // 63 AS w,
+          |         bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+          |  FROM pos GROUP BY 1)
+          |SELECT 'cms' AS kind, CAST(i AS BIGINT) AS k1, bucket AS k2,
+          |       CAST(cnt AS BIGINT) AS v FROM ctr
+          |UNION ALL
+          |SELECT 'hll', idx, CAST(-1 AS BIGINT), CAST(r AS BIGINT) FROM hll
+          |UNION ALL
+          |SELECT 'bloom', w, CAST(-1 AS BIGINT), bits FROM bm
+          |ORDER BY kind, k1, k2""".stripMargin)
+      }),
+
     // HLL register table over the order keys: idx = low 6 hash bits,
     // rank = leading-zero count of the remaining 54 bits + 1, computed
     // via binary-string LENGTH in both engines (integer-exact — no

@@ -122,6 +122,39 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch merges are split-invariant (merge ≡ direct build)") {
+    val keys = (0 until 3000).map(i => s"m${i % 700}").toDF("k")
+    def third(p: Int) = keys.filter(
+      abs(hash(col("k"))) % 3 === p)
+    // CMS: counters add across any partition of the stream
+    val direct = Sketch.countMin(keys, col("k"), 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Sketch.mergeCountMin(
+        Sketch.mergeCountMin(Sketch.countMin(third(0), col("k"), 3, 8),
+          Sketch.countMin(third(1), col("k"), 3, 8)),
+        Sketch.countMin(third(2), col("k"), 3, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct)
+    // HLL: registers max across the same partition
+    val dH = Sketch.hllRegisters(keys, col("k"), 64)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mH = Sketch.mergeHll(
+        Sketch.mergeHll(Sketch.hllRegisters(third(0), col("k"), 64),
+          Sketch.hllRegisters(third(1), col("k"), 64)),
+        Sketch.hllRegisters(third(2), col("k"), 64))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(mH == dH)
+    // Bloom: words OR
+    val dB = Sketch.bloomBuild(keys, col("k"), 63 * 64, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mB = Sketch.mergeBloom(
+        Sketch.mergeBloom(Sketch.bloomBuild(third(0), col("k"), 63 * 64, 3),
+          Sketch.bloomBuild(third(1), col("k"), 63 * 64, 3)),
+        Sketch.bloomBuild(third(2), col("k"), 63 * 64, 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mB == dB)
+  }
+
   test("bloomNewKeys: verified truth with no false negatives") {
     val nBits = 63 * 256
     val ingested = (0 until 400).map(i => s"k${i * 2}").toDF("k") // evens
