@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-travel joins Spark lacks as built-ins, in their
+  * shuffle-scalable formulations (SURVEY §2.4 records that the
+  * reference contains none; a training-data pipeline wants both:
+  * "join each event to the latest snapshot at-or-before it", and
+  * "attribute each point to its containing interval").
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, attach the single right
+    * row with the same key and the greatest rightTime ≤ leftTime
+    * (rows with no predecessor keep nulls).
+    *
+    * NOT the naive plan (join on key, filter, per-pair argmax — which
+    * amplifies by the right-rows-per-key factor before pruning): both
+    * sides UNION into one (key, time)-sorted stream and a single
+    * window pass carries the latest right payload forward — one
+    * shuffle on the key, a sort within partitions, zero row
+    * amplification. The streaming-merge formulation of as-of.
+    *
+    * Right rows sort BEFORE left rows at equal timestamps, so a left
+    * row at t sees a right row at exactly t (inclusive ≤). `payload`
+    * names the right columns to attach; they must not collide with
+    * left column names. The matched right time arrives as
+    * `asof_time` (null when unmatched). Times must cast to long.
+    */
+  def asOfBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val lPacked = left.select(col(key).as("__k"),
+      col(leftTime).cast("long").as("__t"), lit(1).as("__tag"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val rPacked = right.select(col(key).as("__k"),
+      col(rightTime).cast("long").as("__t"), lit(0).as("__tag"),
+      struct(col(rightTime).cast("long").as("asof_time"),
+        struct(payload.map(col): _*).as("p")).as("__payload"))
+    val lType = lPacked.schema("__l").dataType
+    val rType = rPacked.schema("__payload").dataType
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPacked.withColumn("__payload", lit(null).cast(rType))
+      .unionByName(rPacked.withColumn("__l", lit(null).cast(lType)))
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__l.*") +:
+        col("__match.asof_time").as("asof_time") +:
+        payload.map(p => col(s"__match.p.$p").as(p)): _*)
+  }
+
+  /** Point-in-interval range join as an EQUI-join on a coarse time
+    * bucket: each interval explodes to the buckets it overlaps; each
+    * point probes its own single bucket, so a (point, interval) match
+    * appears exactly once — no post-join dedup. This replaces the
+    * BroadcastNestedLoopJoin a raw theta join would plan (a scan per
+    * point at scale) with one hash shuffle on (key, bucket).
+    * `bucketMs` trades interval replication (long intervals span more
+    * buckets) against probe selectivity — choose ≈ the median
+    * interval length. Containment is [start, end); empty/negative
+    * intervals are dropped; times must be nonnegative longs.
+    */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+      key: String, pointTime: String, startCol: String, endCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0)
+    val ivB = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__b", explode(sequence(
+        expr(s"$startCol div $bucketMs"),
+        expr(s"($endCol - 1) div $bucketMs"))))
+    val ptB = points.withColumn("__b", expr(s"$pointTime div $bucketMs"))
+    ptB.join(ivB, Seq(key, "__b"))
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("__b")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TemporalJoins
+
+/** q116–q117: the time-travel joins (as-of, point-in-interval) in
+  * their shuffle-scalable formulations, gated against oracles that
+  * use DuckDB's native ASOF JOIN and a plain theta join respectively
+  * — the Spark plans must reproduce the declarative semantics
+  * exactly, including unmatched rows and boundary inclusivity.
+  */
+object TemporalQueries extends QueryPack {
+
+  def defs: Map[String, Q] = Map(
+
+    // Backward as-of: every event joins the latest config version
+    // at-or-before it. The version fixture covers all regimes: users
+    // with several versions (u%4), users with NONE (u%5=0 → null
+    // match), and users whose FIRST version postdates their early
+    // events (u%7=0, +10 days → leading nulls). The oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    "q116_asof_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_millis(ts)").as("t"),
+            col("event_type"))
+        val versions = ev.select(col("user_id")).distinct()
+          .filter(col("user_id") % 5 =!= 0)
+          .select(col("user_id"),
+            explode(sequence(lit(0L), col("user_id") % 4)).as("j"))
+          .select(col("user_id"),
+            (lit(1704067200000L) +
+              when(col("user_id") % 7 === 0, 864000000L).otherwise(0L) +
+              col("j") * 259200000L).as("vt"),
+            concat(lit("v"), col("user_id"), lit("-"), col("j")).as("cfg"))
+        TemporalJoins.asOfBackward(ev, versions, "user_id", "t", "vt",
+            Seq("cfg"))
+          .orderBy(col("user_id"), col("t"), col("event_type"))
+      },
+      Some("""WITH l AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (
+        |  SELECT user_id,
+        |    1704067200000 +
+        |      CASE WHEN user_id % 7 = 0 THEN 864000000 ELSE 0 END +
+        |      j * 259200000 AS vt,
+        |    'v' || user_id || '-' || j AS cfg
+        |  FROM (SELECT user_id,
+        |          unnest(generate_series(0, CAST(user_id % 4 AS INT))) AS j
+        |        FROM u WHERE user_id % 5 <> 0))
+        |SELECT l.user_id, l.t, l.event_type, v.vt AS asof_time, v.cfg
+        |FROM l ASOF LEFT JOIN v
+        |  ON l.user_id = v.user_id AND l.t >= v.vt
+        |ORDER BY l.user_id, l.t, l.event_type""".stripMargin)),
+
+    // Point-in-interval range join via bucketed equi-join (1-day
+    // buckets over 0.5–3.5-day intervals): the oracle is the plain
+    // theta join — a green hash proves the bucketing drops nothing,
+    // duplicates nothing, and honors [start, end) at the boundaries.
+    "q117_range_join" -> Q(
+      (s, dir) => {
+        val pts = Tables.events(s, dir)
+          .select((col("user_id") % 25).as("grp"),
+            expr("unix_millis(ts)").as("t"), col("event_id"))
+        val base = lit(1704067200000L)
+        val ivs = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 60 === 0)
+          .select((col("c_custkey") % 25).as("grp"),
+            (base + (col("c_custkey") % 30) * 86400000L).as("iv_start"),
+            (base + (col("c_custkey") % 30) * 86400000L +
+              ((col("c_custkey") % 7) + 1) * 43200000L).as("iv_end"),
+            col("c_custkey").as("iv_id"))
+        TemporalJoins.rangeJoinBucketed(pts, ivs, "grp", "t",
+            "iv_start", "iv_end", bucketMs = 86400000L)
+          .orderBy(col("iv_id"), col("event_id"))
+      },
+      Some("""WITH p AS (
+        |  SELECT user_id % 25 AS grp, epoch_ms(ts) AS t, event_id
+        |  FROM events),
+        |iv AS (
+        |  SELECT c_custkey % 25 AS grp,
+        |    1704067200000 + (c_custkey % 30) * 86400000 AS iv_start,
+        |    1704067200000 + (c_custkey % 30) * 86400000
+        |      + ((c_custkey % 7) + 1) * 43200000 AS iv_end,
+        |    c_custkey AS iv_id
+        |  FROM customer WHERE c_custkey % 60 = 0)
+        |SELECT p.grp, p.t, p.event_id, iv.iv_start, iv.iv_end, iv.iv_id
+        |FROM p JOIN iv
+        |  ON p.grp = iv.grp AND p.t >= iv.iv_start AND p.t < iv.iv_end
+        |ORDER BY iv_id, event_id""".stripMargin))
+  )
+}
