@@ -90,6 +90,31 @@ object TemporalQueries extends QueryPack {
         |SELECT p.grp, p.t, p.event_id, iv.iv_start, iv.iv_end, iv.iv_id
         |FROM p JOIN iv
         |  ON p.grp = iv.grp AND p.t >= iv.iv_start AND p.t < iv.iv_end
-        |ORDER BY iv_id, event_id""".stripMargin))
+        |ORDER BY iv_id, event_id""".stripMargin)),
+
+    // Z-order clustering key: 10-bit Morton interleave of two
+    // synthetic dimensions, the sort key of a data-skipping layout.
+    // The oracle recomputes the interleave per bit position from the
+    // same shift/mask arithmetic — bit-exact across engines.
+    "q118_zorder_key" -> Q(
+      (s, dir) => {
+        val x = col("c_custkey") % 1024
+        val y = (col("c_nationkey") * 41) % 1024
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), x.as("x"), y.as("y"),
+            graft.functions.ZOrder.zKey(x, y, 10).as("zkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH d AS (
+        |  SELECT c_custkey, c_custkey % 1024 AS x,
+        |         (c_nationkey * 41) % 1024 AS y
+        |  FROM customer),
+        |bits AS (SELECT unnest(generate_series(0, 9)) AS i)
+        |SELECT c_custkey, x, y,
+        |  CAST(sum((((x >> i) & 1) << (2 * i)) +
+        |           (((y >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+        |FROM d CROSS JOIN bits
+        |GROUP BY c_custkey, x, y
+        |ORDER BY c_custkey""".stripMargin))
   )
 }
