@@ -78,4 +78,28 @@ object TemporalJoins {
       .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("__b")
   }
+
+  /** Interval-overlap join: all (a, b) pairs with the same key whose
+    * half-open spans intersect (aStart < bEnd ∧ bStart < aEnd). Both
+    * sides explode to their overlapped buckets and equi-join — and
+    * because two overlapping intervals can share MANY buckets, each
+    * pair is kept only in its OWNER bucket, the one containing
+    * max(aStart, bStart): exactly-once semantics with no dedup
+    * shuffle (the standard trick from distributed spatial joins).
+    * Column names across the two sides must be disjoint except `key`.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0)
+    def burst(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__b", explode(sequence(
+        expr(s"$s div $bucketMs"), expr(s"($e - 1) div $bucketMs"))))
+    burst(a, aStart, aEnd).join(burst(b, bStart, bEnd), Seq(key, "__b"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__b") === expr(
+        s"greatest($aStart, $bStart) div $bucketMs"))
+      .drop("__b")
+  }
 }

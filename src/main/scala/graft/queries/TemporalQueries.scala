@@ -92,6 +92,51 @@ object TemporalQueries extends QueryPack {
         |  ON p.grp = iv.grp AND p.t >= iv.iv_start AND p.t < iv.iv_end
         |ORDER BY iv_id, event_id""".stripMargin)),
 
+    // Interval-overlap join (maintenance windows × incident spans per
+    // group): both sides bucket-burst, pairs kept only in the bucket
+    // of max(starts) — exactly once, no dedup. The oracle is the
+    // plain overlap theta join, so a green hash proves the owner-
+    // bucket trick drops and duplicates nothing.
+    "q119_interval_overlap" -> Q(
+      (s, dir) => {
+        val base = lit(1704067200000L)
+        val ck = col("c_custkey")
+        val a = Tables.customer(s, dir).filter(ck % 40 === 0)
+          .select((ck % 10).as("grp"),
+            (base + (ck % 23) * 86400000L).as("a_start"),
+            (base + (ck % 23) * 86400000L +
+              ((ck % 5) + 1) * 129600000L).as("a_end"),
+            ck.as("a_id"))
+        val ok = col("o_orderkey")
+        val b = Tables.orders(s, dir).filter(ok % 200 === 0)
+          .select((ok % 10).as("grp"),
+            (base + (ok % 20) * 100800000L).as("b_start"),
+            (base + (ok % 20) * 100800000L +
+              ((ok % 3) + 1) * 172800000L).as("b_end"),
+            ok.as("b_id"))
+        TemporalJoins.intervalOverlapJoin(a, b, "grp",
+            "a_start", "a_end", "b_start", "b_end", bucketMs = 86400000L)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH a AS (
+        |  SELECT c_custkey % 10 AS grp,
+        |    1704067200000 + (c_custkey % 23) * 86400000 AS a_start,
+        |    1704067200000 + (c_custkey % 23) * 86400000
+        |      + ((c_custkey % 5) + 1) * 129600000 AS a_end,
+        |    c_custkey AS a_id
+        |  FROM customer WHERE c_custkey % 40 = 0),
+        |b AS (
+        |  SELECT o_orderkey % 10 AS grp,
+        |    1704067200000 + (o_orderkey % 20) * 100800000 AS b_start,
+        |    1704067200000 + (o_orderkey % 20) * 100800000
+        |      + ((o_orderkey % 3) + 1) * 172800000 AS b_end,
+        |    o_orderkey AS b_id
+        |  FROM orders WHERE o_orderkey % 200 = 0)
+        |SELECT a.grp, a.a_start, a.a_end, a.a_id, b.b_start, b.b_end, b.b_id
+        |FROM a JOIN b
+        |  ON a.grp = b.grp AND a.a_start < b.b_end AND b.b_start < a.a_end
+        |ORDER BY a_id, b_id""".stripMargin)),
+
     // Z-order clustering key: 10-bit Morton interleave of two
     // synthetic dimensions, the sort key of a data-skipping layout.
     // The oracle recomputes the interleave per bit position from the

@@ -78,4 +78,48 @@ class TemporalJoinsSpec extends SparkSpec {
       bucketMs = 100L).collect()
     assert(rows.length === 1) // 100 bucket replicas, exactly one match
   }
+
+  test("randomized: asOfBackward equals the naive per-row maximum") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    // right times unique per construction (j*7 mod 997, 997 prime) so
+    // the naive argmax is unique and no tie policy is needed
+    val right = Seq.tabulate(120)(j =>
+      (rnd.nextInt(8).toLong, (j * 7 % 997).toLong, s"c$j"))
+    val got = TemporalJoins.asOfBackward(
+        left.toDF("k", "t", "lid"), right.toDF("k", "vt", "cfg"),
+        "k", "t", "vt", Seq("cfg"))
+      .collect()
+      .map(r => r.getLong(2) -> Option(r.get(4)).map(_.toString)).toMap
+    assert(got.size === 300)
+    left.foreach { case (k, t, lid) =>
+      val want = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(lid) == want, s"left row $lid (k=$k t=$t)")
+    }
+  }
+
+  test("randomized: intervalOverlapJoin equals the naive theta join") {
+    val rnd = new scala.util.Random(7)
+    val a = Seq.tabulate(150) { i =>
+      val s0 = rnd.nextInt(2000).toLong
+      (rnd.nextInt(5).toLong, s0, s0 + 1 + rnd.nextInt(400), i.toLong)
+    }
+    val b = Seq.tabulate(150) { j =>
+      val s0 = rnd.nextInt(2000).toLong
+      (rnd.nextInt(5).toLong, s0, s0 + 1 + rnd.nextInt(400), (1000 + j).toLong)
+    }
+    val got = TemporalJoins.intervalOverlapJoin(
+        a.toDF("g", "as", "ae", "aid"), b.toDF("g", "bs", "be", "bid"),
+        "g", "as", "ae", "bs", "be", bucketMs = 128L)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (g1, as1, ae1, aid) <- a
+      (g2, bs1, be1, bid) <- b
+      if g1 == g2 && as1 < be1 && bs1 < ae1
+    } yield (aid, bid)).toSet
+    assert(got == want)
+  }
 }
