@@ -64,17 +64,17 @@ object Bpe {
     * their character count (the BPE char-level fallback).
     */
   def encodeByVocab(docs: DataFrame, idCol: String, textCol: String,
-      symbolized: DataFrame): DataFrame = {
-    val pieces = symbolized.select(col("word"),
+      symbolized: DataFrame, wordCol: String = "word"): DataFrame = {
+    val pieces = symbolized.select(col(wordCol).as("__w"),
       size(split(trim(col("sym")), "\\s+")).as("__n_sym"))
     docs
       .select(col(idCol),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
-      .join(broadcast(pieces), Seq("word"), "left")
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__w"))
+      .join(broadcast(pieces), Seq("__w"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("__n_sym").cast("long"),
-          length(col("word")).cast("long"))).as("n_subwords"))
+          length(col("__w")).cast("long"))).as("n_subwords"))
   }
 
   /** `rounds` merges over a (word, count) vocabulary. Returns the

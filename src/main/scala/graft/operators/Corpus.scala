@@ -123,6 +123,12 @@ object Corpus {
   def packShards(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, bucketSize: Long = 1L << 16): DataFrame = {
     require(budget > 0 && bucketSize > 0)
+    // a string id would cast to null in the bucket division and the
+    // offsets join would silently return ZERO rows — fail loudly
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packShards needs a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — hash or row-number it first")
     val bucketed = df.withColumn("__bucket",
       floor(col(idCol) / lit(bucketSize.toDouble)).cast("long"))
     val w1 = Window.partitionBy(col("__bucket")).orderBy(col(idCol))

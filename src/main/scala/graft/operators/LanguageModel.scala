@@ -78,8 +78,11 @@ object LanguageModel {
     *    ⇒ surprising text; the integer analog of summed log-prob),
     *  - n_novel: occurrences of bigrams whose EVERY corpus occurrence
     *    is in this doc (c12 == in-doc multiplicity).
-    * Docs with fewer than two tokens have no bigrams and are absent —
-    * callers keep them with a left join.
+    * The model join is a LEFT join: when scoring held-out docs against
+    * a model trained elsewhere, unseen bigrams — the most surprising
+    * transitions — contribute ppm 0 and count as novel, and stay in
+    * n_bigrams. Docs with fewer than two tokens have no bigrams and
+    * are absent — callers keep them with a left join.
     */
   def surprise(docs: DataFrame, model: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -87,12 +90,13 @@ object LanguageModel {
       .select(col(idCol), explode(bigramKeys(col(textCol))).as("bg"))
       .groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("cd"))
-    docCnt.join(model, "bg")
+    docCnt.join(model, Seq("bg"), "left")
       .groupBy(col(idCol))
       .agg(
         sum(col("cd")).as("n_bigrams"),
-        sum(col("cd") * expr("(1000000 * c12) div c1")).as("surprise_ppm"),
-        sum(when(col("cd") === col("c12"), col("cd")).otherwise(lit(0L)))
-          .as("n_novel"))
+        sum(col("cd") * coalesce(expr("(1000000 * c12) div c1"), lit(0L)))
+          .as("surprise_ppm"),
+        sum(when(col("c12").isNull || col("cd") === col("c12"), col("cd"))
+          .otherwise(lit(0L))).as("n_novel"))
   }
 }

@@ -87,7 +87,10 @@ object Multimodal {
     while (x < w) {
       var y = 0
       while (y < h) {
-        val v = ((seed * 31 + x * h + y) % 256).toInt
+        // floorMod keeps the channel in [0, 255] for ANY seed (plain %
+        // goes negative on negative seeds / Long overflow, exactly the
+        // hazard the WAV generator below guards against)
+        val v = Math.floorMod(seed * 31 + x * h + y, 256L).toInt
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         y += 1
       }

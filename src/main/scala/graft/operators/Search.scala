@@ -73,9 +73,9 @@ object Search {
     val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corpus = docLen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val df = tf.filter(col("token").isin(terms: _*))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.filter(col("token").isin(terms: _*))
+    val matched = tf.filter(col("token").isin(terms: _*))
+    val df = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    matched
       .join(broadcast(df), "token")
       .join(docLen, "doc_id")
       .crossJoin(broadcast(corpus))

@@ -123,8 +123,11 @@ object Sketch {
     */
   def bloomMightContain(bloom: DataFrame, probes: DataFrame, keyCol: Column,
       numBits: Int, numHashes: Int): DataFrame = {
-    val keep = probes.columns.map(col)
-    probes
+    // a per-row id keeps DUPLICATE probe rows distinct through the
+    // regroup — the output must have exactly one row per input row
+    // (at-least-once ingestion feeds repeats), not one per distinct row
+    val keep = probes.columns.map(col) :+ col("__rid")
+    probes.withColumn("__rid", monotonically_increasing_id())
       .select(keep :+
         explode(bloomPositions(keyCol, numBits, numHashes)).as("p"): _*)
       .select(keep :+ (col("p") / BloomWordBits).cast("long").as("word_idx") :+
@@ -134,7 +137,7 @@ object Sketch {
       .agg(min((coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) ===
         col("mask")).cast("int")).as("__allset"))
       .withColumn("might_contain", col("__allset") === 1)
-      .drop("__allset")
+      .drop("__allset", "__rid")
   }
 
   /** HyperLogLog-style register table: the key's 60-bit md5 hash is

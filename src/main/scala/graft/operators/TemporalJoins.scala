@@ -24,10 +24,13 @@ object TemporalJoins {
     * amplification. The streaming-merge formulation of as-of.
     *
     * Right rows sort BEFORE left rows at equal timestamps, so a left
-    * row at t sees a right row at exactly t (inclusive ≤). `payload`
-    * names the right columns to attach; they must not collide with
-    * left column names. The matched right time arrives as
-    * `asof_time` (null when unmatched). Times must cast to long.
+    * row at t sees a right row at exactly t (inclusive ≤); two right
+    * rows tying on (key, time) are broken by the payload struct's
+    * ordering (largest wins) so the result never depends on shuffle
+    * placement. `payload` names the right columns to attach; they
+    * must not collide with left column names. The matched right time
+    * arrives as `asof_time` (null when unmatched). Times must cast
+    * to long.
     */
   def asOfBackward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
@@ -42,7 +45,7 @@ object TemporalJoins {
     val lType = lPacked.schema("__l").dataType
     val rType = rPacked.schema("__payload").dataType
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(col("__t"), col("__tag"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPacked.withColumn("__payload", lit(null).cast(rType))
       .unionByName(rPacked.withColumn("__l", lit(null).cast(lType)))

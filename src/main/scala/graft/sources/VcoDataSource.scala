@@ -108,10 +108,20 @@ private object VcoScan {
     * never arrives and no client-side filter can resurrect it), so
     * they stay residual-only.
     */
+  /** Only values that [[filterParams]] can render as VALID JSON are
+    * pushable — a Timestamp/Date comparison value would fall through
+    * String.valueOf into an unquoted token the server rejects, so such
+    * predicates stay residual-only (correct, just unpushed).
+    */
+  private def jsonRenderable(v: Any): Boolean = v match {
+    case _: String | _: java.lang.Number | _: java.lang.Boolean => true
+    case _ => false
+  }
+
   def pushable(f: Filter): Boolean = f match {
-    case EqualTo("enterpriseId", _) => true
-    case GreaterThan("lastContact", _) => true
-    case LessThan("lastContact", _) => true
+    case EqualTo("enterpriseId", v) => jsonRenderable(v)
+    case GreaterThan("lastContact", v) => jsonRenderable(v)
+    case LessThan("lastContact", v) => jsonRenderable(v)
     case _ => false
   }
 

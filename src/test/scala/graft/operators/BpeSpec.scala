@@ -71,6 +71,16 @@ class BpeSpec extends SparkSpec {
     assert(merges.isEmpty)
   }
 
+  test("encodeByVocab honors a non-default word column name") {
+    val vocab = Seq(("ab", 4L)).toDF("token", "freq")
+    val (words, _) = Bpe.train(vocab, "token", "freq", rounds = 1)
+    val out = Bpe.encodeByVocab(
+        Seq((1L, "ab ab")).toDF("doc_id", "text"),
+        "doc_id", "text", words, wordCol = "token")
+      .collect().head
+    assert((out.getLong(1), out.getLong(2)) === ((2L, 2L))) // 'ab' merged
+  }
+
   test("encodeByVocab counts subwords via lookup; OOV falls back to chars") {
     // trained on {low, est}; doc contains the OOV word "xyz" (3 chars)
     val vocab = Seq(("low", 5L), ("est", 3L)).toDF("word", "cnt")

@@ -82,6 +82,15 @@ class CorpusSpec extends SparkSpec {
       (2L, 0L, 2L, "a b")))
   }
 
+  test("packShards rejects a non-numeric id column loudly") {
+    import spark.implicits._
+    val docs = Seq(("doc-a", 10L), ("doc-b", 20L)).toDF("id", "n")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.packShards(docs, "id", "n", budget = 100L)
+    }
+    assert(e.getMessage.contains("numeric id column"))
+  }
+
   test("packShards matches a sequential scan and respects the budget") {
     import spark.implicits._
     // sparse, unordered-by-partition ids; token counts incl. 0 and

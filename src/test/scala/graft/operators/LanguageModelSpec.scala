@@ -53,6 +53,20 @@ class LanguageModelSpec extends SparkSpec {
     assert(sc(2L) == ((2L, 1333333L, 1L)))
   }
 
+  test("cross-corpus scoring: unseen bigrams are ppm-0 novel, never dropped") {
+    val model = LanguageModel.bigramCounts(docs, "text") // trained on a/b/c/x
+    val heldOut = Seq((9L, "a b zz qq"), (10L, "qq rr")).toDF("doc_id", "text")
+    val sc = LanguageModel.surprise(heldOut, model, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc9: (a,b) in-model @ 1000000; (b,zz) and (zz,qq) unseen → ppm 0,
+    // novel; n_bigrams counts ALL THREE occurrences
+    assert(sc(9L) == ((3L, 1000000L, 2L)))
+    // doc10 is entirely out-of-model — it must still appear
+    assert(sc(10L) == ((1L, 0L, 1L)))
+  }
+
   test("docs with fewer than two tokens yield no bigram rows") {
     val tiny = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
     val model = LanguageModel.bigramCounts(tiny, "text")

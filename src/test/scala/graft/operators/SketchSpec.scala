@@ -80,6 +80,17 @@ class SketchSpec extends SparkSpec {
     assert(fps < 50)
   }
 
+  test("bloom probe keeps duplicate probe rows distinct") {
+    val present = Seq("a", "b").toDF("k")
+    val bloom = Sketch.bloomBuild(present, col("k"), 63 * 16, 3)
+    // at-least-once delivery: the same probe row arrives three times
+    val probes = Seq("a", "a", "a", "zz").toDF("k")
+    val res = Sketch.bloomMightContain(bloom, probes, col("k"), 63 * 16, 3)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(res.length === 4) // one output row per INPUT row
+    assert(res.count(_ == ("a", true)) === 3)
+  }
+
   test("bloom bitmap is bounded by numBits/63 nonnegative words") {
     val present = (0 until 5000).map(i => s"k$i").toDF("k")
     val bloom = Sketch.bloomBuild(present, col("k"), 63 * 64, 4).collect()

@@ -26,6 +26,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out("e4") == ((None, None)))
   }
 
+  test("asOfBackward: right rows tying on (key, time) resolve deterministically") {
+    // two snapshots at the same instant: the payload-struct tiebreak
+    // must pick the same one regardless of partitioning — largest wins
+    val left = Seq((1L, 150L, "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, 100L, "alpha"), (1L, 100L, "zeta"))
+      .toDF("k", "vt", "cfg")
+    val picks = (1 to 5).map { _ =>
+      TemporalJoins.asOfBackward(
+          left.repartition(7), right.repartition(3), "k", "t", "vt",
+          Seq("cfg"))
+        .collect().head.getString(4)
+    }
+    assert(picks.distinct == Seq("zeta"))
+  }
+
   test("asOfBackward: left rows before the first right row stay null") {
     val left = Seq((1L, 10L, "early"), (1L, 99L, "still"), (1L, 150L, "ok"))
       .toDF("k", "t", "ev")
