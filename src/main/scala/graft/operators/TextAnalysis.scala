@@ -139,6 +139,16 @@ object TextAnalysis {
   def fingerprintPortable(c: Column): Column =
     md5(concat_ws(" ", tokens(lower(c))))
 
+  /** Compression-ratio quality signal (Gopher-style): deflated-size /
+    * raw-size of the UTF-8 text. Repetitive boilerplate compresses far
+    * below natural prose; random noise exceeds it. Native codegen
+    * expression ([[graft.expressions.DeflateRatio]]) — no SQL-portable
+    * zlib exists, so q120 gates rows-only and DeflateRatioSpec pins
+    * the behavioral contract.
+    */
+  def compressionRatio(c: Column): Column =
+    graft.expressions.DeflateRatio.deflateRatio(c)
+
   /** Word n-gram shingles as strings (input to MinHash). */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(lower(c))

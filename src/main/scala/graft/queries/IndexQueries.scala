@@ -590,6 +590,21 @@ object IndexQueries extends QueryPack {
           |ORDER BY kind, k1, k2""".stripMargin)
       }),
 
+    // Compression-ratio quality signal over every document — the ONE
+    // query without a DuckDB oracle (no SQL-portable zlib exists), so
+    // the driver records its weaker rows-only check; the behavioral
+    // contract (repetitive ≪ natural < noise, determinism, emptiness)
+    // is pinned in DeflateRatioSpec, and the classifier threshold
+    // keeps the output deterministic for the rows-only gate.
+    "q120_compression_quality" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.compressionRatio(col("text"))
+            .as("comp_ratio"))
+        .withColumn("is_repetitive", col("comp_ratio") < 0.35)
+        .orderBy(col("doc_id")),
+      None),
+
     // HLL register table over the order keys: idx = low 6 hash bits,
     // rank = leading-zero count of the remaining 54 bits + 1, computed
     // via binary-string LENGTH in both engines (integer-exact — no
