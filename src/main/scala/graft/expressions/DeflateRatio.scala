@@ -19,6 +19,13 @@ object DeflateUtil {
       new Deflater(Deflater.BEST_SPEED, true)
   }
 
+  // fixed scratch buffer per thread — the loop only COUNTS compressed
+  // bytes, so a small reused buffer gives identical results without a
+  // per-row input-sized allocation
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
+
   /** compressed_size / raw_size of the UTF-8 bytes (0 for empty
     * input). Natural text lands ~0.4–0.7; highly repetitive text
     * (boilerplate, generator loops) compresses far below it; random
@@ -31,11 +38,15 @@ object DeflateUtil {
     d.reset()
     d.setInput(raw)
     d.finish()
-    val buf = new Array[Byte](raw.length + 64)
+    val buf = scratch.get()
     var total = 0L
     while (!d.finished()) {
       val n = d.deflate(buf)
-      if (n == 0 && !d.finished()) return total.toDouble / raw.length
+      if (n == 0 && !d.finished())
+        // finish() was called and input is fully set: a zero-progress
+        // deflate here is an invariant violation, never a valid state
+        throw new IllegalStateException(
+          s"deflate stalled after $total bytes (raw ${raw.length})")
       total += n
     }
     total.toDouble / raw.length

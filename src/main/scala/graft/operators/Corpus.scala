@@ -123,14 +123,19 @@ object Corpus {
   def packShards(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, bucketSize: Long = 1L << 16): DataFrame = {
     require(budget > 0 && bucketSize > 0)
-    // a string id would cast to null in the bucket division and the
-    // offsets join would silently return ZERO rows — fail loudly
-    require(df.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"packShards needs a numeric id column; '$idCol' is " +
-        s"${df.schema(idCol).dataType.simpleString} — hash or row-number it first")
+    // a NON-numeric id must fail loudly at the first bad row (with
+    // ANSI off, a plain cast would null out and the offsets join would
+    // silently return ZERO rows), while numeric-valued STRING ids
+    // (CSV ingestion) keep working; try_cast never throws, so the
+    // curated error below fires under any ANSI setting
+    val idNum = expr(s"try_cast($idCol as double)")
     val bucketed = df.withColumn("__bucket",
-      floor(col(idCol) / lit(bucketSize.toDouble)).cast("long"))
+      when(col(idCol).isNotNull && idNum.isNull,
+          raise_error(concat(
+            lit(s"packShards: non-numeric id in '$idCol': "),
+            col(idCol).cast("string"))))
+        .otherwise(floor(idNum / lit(bucketSize.toDouble)))
+        .cast("long"))
     val w1 = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
     val withRun = bucketed.withColumn("__run", sum(col(tokenCol)).over(w1))
     val totals = bucketed.groupBy(col("__bucket"))

@@ -44,8 +44,17 @@ object TemporalJoins {
         struct(payload.map(col): _*).as("p")).as("__payload"))
     val lType = lPacked.schema("__l").dataType
     val rType = rPacked.schema("__payload").dataType
+    // the payload tiebreak needs an orderable struct (a map-typed
+    // payload column would fail ANALYSIS); non-orderable payloads fall
+    // back to (time, tag) ordering — deterministic whenever (key,
+    // time) has no right-side ties, exactly the pre-tiebreak contract
+    val orderable = org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(rType)
+    val ordering =
+      if (orderable) Seq(col("__t"), col("__tag"), col("__payload"))
+      else Seq(col("__t"), col("__tag"))
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__tag"), col("__payload"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPacked.withColumn("__payload", lit(null).cast(rType))
       .unionByName(rPacked.withColumn("__l", lit(null).cast(lType)))

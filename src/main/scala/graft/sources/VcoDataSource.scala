@@ -128,7 +128,12 @@ private object VcoScan {
   /** Render the pushed filters as request-param JSON fragments. */
   def filterParams(pushed: Seq[Filter]): Seq[String] = {
     def j(v: Any): String = v match {
-      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case s: String => "\"" + s.flatMap {
+        case '"'          => "\\\""
+        case '\\'         => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x" // control chars: valid JSON
+        case c            => c.toString
+      } + "\""
       case other => String.valueOf(other)
     }
     val ent = pushed.collectFirst { case EqualTo("enterpriseId", v) =>

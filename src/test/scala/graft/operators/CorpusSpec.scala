@@ -82,13 +82,21 @@ class CorpusSpec extends SparkSpec {
       (2L, 0L, 2L, "a b")))
   }
 
-  test("packShards rejects a non-numeric id column loudly") {
+  test("packShards: numeric-string ids work; non-numeric ids fail loudly") {
     import spark.implicits._
-    val docs = Seq(("doc-a", 10L), ("doc-b", 20L)).toDF("id", "n")
-    val e = intercept[IllegalArgumentException] {
-      Corpus.packShards(docs, "id", "n", budget = 100L)
+    // CSV-style string ids holding numbers must keep working
+    val numericStrings = Seq(("0", 10L), ("1", 20L), ("2", 5L))
+      .toDF("id", "n")
+    val ok = Corpus.packShards(numericStrings, "id", "n", budget = 100L)
+      .collect()
+    assert(ok.length === 3)
+    // a genuinely non-numeric id must raise, never return zero rows
+    val bad = Seq(("doc-a", 10L), ("doc-b", 20L)).toDF("id", "n")
+    val e = intercept[Exception] {
+      Corpus.packShards(bad, "id", "n", budget = 100L).collect()
     }
-    assert(e.getMessage.contains("numeric id column"))
+    assert(e.getMessage.contains("non-numeric id") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-numeric id")))
   }
 
   test("packShards matches a sequential scan and respects the budget") {
