@@ -59,6 +59,14 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    // Second, SHORT summary line: the driver stores only the last
+    // ~2 KB of stdout, and the full line above is ~4 KB at 120
+    // queries — whichever truncation window applies, this compact
+    // line survives, so the total/error count/slowest-5 are always
+    // recoverable from the artifact (VERDICT r4 item 2).
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -77,6 +77,15 @@ object Bpe {
           length(col("__w")).cast("long"))).as("n_subwords"))
   }
 
+  /** Lineage is truncated every this-many rounds: each merge chains a
+    * withColumn replace onto the plan AND each round's pair-count agg
+    * re-analyzes the whole chain, so an unbroken lineage makes
+    * planning cost O(rounds²). localCheckpoint materializes the
+    * symbolized vocab (vocabulary-sized, bounded) and resets the
+    * chain.
+    */
+  private val CheckpointEvery = 8
+
   /** `rounds` merges over a (word, count) vocabulary. Returns the
     * symbolized vocabulary (extra `sym` column) and the merge table
     * in application order. Stops early if no pair remains.
@@ -93,6 +102,7 @@ object Bpe {
         case Some((l, rt, c)) =>
           merges += ((l, rt, c))
           words = applyMerge(words, "sym", l, rt)
+          if ((r + 1) % CheckpointEvery == 0) words = words.localCheckpoint()
         case None => exhausted = true
       }
       r += 1

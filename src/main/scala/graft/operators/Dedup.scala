@@ -225,6 +225,102 @@ object Dedup {
       (col("id") === col("label")).cast("int").as("is_keeper"))
   }
 
+  /** Log-round connected components — the large-star/small-star
+    * alternation of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond" (SOCC'14). Same contract as [[dedupGroups]]:
+    * (id, canonical_id, is_keeper) for every id in `pairs`
+    * (columns id_a/id_b), canonical = component minimum.
+    *
+    * Where [[dedupGroups]] needs diameter-many rounds (min-label moves
+    * one hop per round — a contiguous-crawl shingle CHAIN is
+    * linear-diameter), each large-star halves the distance of every
+    * node to its component minimum, so rounds are O(log d). Per round:
+    * two groupBy-min partial aggs + two equi-joins + distinct — all
+    * key-partitioned shuffles, per-round localCheckpoint lineage
+    * truncation, only a 3-number checksum on the driver.
+    *
+    * Convergence is VERIFIED, not assumed: the loop stops when the
+    * edge checksum (count, Σsrc, Σdst) repeats, and the final state
+    * must pass the star-forest invariant (no label points at a
+    * non-root) — both operations preserve components (Lemmas 1–2 of
+    * the paper), and a star forest IS the component map, so the
+    * invariant makes a checksum collision impossible to mistake for
+    * convergence.
+    */
+  def dedupGroupsLogRounds(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+    val allIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star(u): every strictly-larger neighbor of u re-points to
+    // m(u) = min(Γ(u) ∪ {u}). Needs the SYMMETRIC neighbor view.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star(u): every ≤-neighbor of u (and u itself) re-points to
+    // the minimum of that down-neighborhood. Edges are canonicalized
+    // high→low first, so the grouped min IS m(u).
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prevChk: Option[(Long, Option[Long], Option[Long])] = None
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val r = next.agg(count(lit(1)), sum(col("u")), sum(col("v")))
+        .collect()(0)
+      val chk = (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      converged = prevChk.contains(chk)
+      prevChk = Some(chk)
+      edges = next
+      round += 1
+    }
+    require(converged,
+      s"dedupGroupsLogRounds did not converge in $maxRounds rounds")
+    // star state: every edge is (node, component-min). Labels grouped
+    // per node (a node appears once, but groupBy keeps this robust).
+    val labels = edges
+      .select(greatest(col("u"), col("v")).as("id"),
+        least(col("u"), col("v")).as("label"))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+      .localCheckpoint(true)
+    // star-forest invariant: no node's label is itself re-labeled
+    val chained = labels.select(col("label").as("id"))
+      .join(labels, Seq("id"))
+      .count()
+    require(chained == 0,
+      "dedupGroupsLogRounds: converged state is not a star forest")
+    allIds.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("canonical_id"),
+        (col("label").isNull).cast("int").as("is_keeper"))
+  }
+
   /** SimHash over `bits` of the 60-bit token hash: per bit, sign of
     * Σ(+1/-1) across tokens; assembled into one Long. One explode +
     * one groupBy with `bits` conditional sums — no UDF, fully
@@ -264,7 +360,10 @@ object Dedup {
     * sorts WITHIN each doc's collected segment list (array_sort over
     * a pos-keyed struct), not across the corpus.
     *
-    * Output per doc: n_segments, n_dropped, clean_text.
+    * Output per doc: (idCol, n_segments, n_dropped, clean_text) —
+    * the caller's id column name is preserved, and a doc whose text
+    * tokenizes to zero segments (empty/whitespace) still appears,
+    * with n_segments = n_dropped = 0 and clean_text = ''.
     */
   def dropRepeatedSegments(docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int, maxDocs: Int): DataFrame = {
@@ -279,13 +378,13 @@ object Dedup {
           array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")
             .as("seg"))))
     val exploded = docs
-      .select(col(idCol).as("doc_id"), explode(segs).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.seg").as("seg"))
+      .select(col(idCol).as("__seg_doc"), explode(segs).as("s"))
+      .select(col("__seg_doc"), col("s.pos").as("pos"), col("s.seg").as("seg"))
     val segCounts = exploded
       .groupBy(col("seg"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    exploded.join(segCounts, "seg")
-      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("__seg_doc")).as("n_docs"))
+    val reassembled = exploded.join(segCounts, "seg")
+      .groupBy(col("__seg_doc"))
       .agg(
         count(lit(1)).as("n_segments"),
         sum(when(col("n_docs") > maxDocs, 1L).otherwise(0L)).as("n_dropped"),
@@ -293,5 +392,13 @@ object Dedup {
             array_sort(collect_list(when(col("n_docs") <= maxDocs,
               struct(col("pos"), col("seg"))))),
             s => s.getField("seg")), " ").as("clean_text"))
+    // left-join the input back: zero-segment docs would otherwise be
+    // silently absent (they produce no exploded rows)
+    docs.select(col(idCol))
+      .join(reassembled, col(idCol) === col("__seg_doc"), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -237,11 +237,101 @@ object Similarity {
           .as("centroid"))
   }
 
+  /** Top-`probes` nearest cells for a query vector, best first —
+    * the multi-probe assignment. Same scored-struct array as
+    * [[assignCell]]; array_sort orders (score asc, cell asc), so the
+    * reversed head-p is (score desc, cell desc) — probe 1 is exactly
+    * the [[assignCell]] cell, and the ordering is deterministic on
+    * ties.
+    */
+  private def assignCells(vec: Column, cents: Seq[(Int, Seq[Double])],
+      probes: Int): Column = {
+    val scored = array(cents.map { case (i, c) =>
+      struct(cosineNative(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, probes),
+      s => s.getField("i"))
+  }
+
+  /** Multi-probe IVF ANN top-k: each query probes its `probes`
+    * nearest cells instead of only the best one — the standard recall
+    * lift for IVF (recall loss comes from true neighbors assigned to
+    * the runner-up cell; probing p cells recovers them at p× the
+    * candidate cost, still ~p·corpus/nlist per query, never
+    * all-pairs). Corpus rows keep their single [[ivfAssign]] cell, so
+    * each (query, neighbor) pair arises at most once — no dedup
+    * needed. `probes = 1` degenerates to [[annTopKIvf]].
+    */
+  def annTopKIvfMultiProbe(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Float]], k: Int,
+      probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= centroids.size)
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.map(_.toDouble))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(assignCells(col(vecCol), cents, probes)).as("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      ivfAssign(col(vecCol), centroids).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("cos").as("cosine"))
+  }
+
+  /** Multi-probe LSH ANN top-k: each query probes its own bucket plus
+    * the `probes - 1` buckets obtained by flipping the LEAST-CONFIDENT
+    * plane bits — the planes whose |dot| is smallest are the ones most
+    * likely to have split a true neighbor pair (Lv et al.,
+    * "Multi-Probe LSH"). Flip order is deterministic: |dot| asc, then
+    * plane index asc. Corpus rows keep their single bucket, probe
+    * buckets are distinct (each flip changes exactly one bit), so no
+    * (query, neighbor) dedup is needed. `probes = 1` degenerates to
+    * [[annTopK]].
+    */
+  def annTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, planes: Seq[Seq[Double]], k: Int,
+      probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= planes.size + 1)
+    import graft.expressions.VectorExpressions.dotF
+    val conf = array(planes.zipWithIndex.map { case (p, j) =>
+      struct(abs(dotF(col(vecCol), array(p.map(lit): _*))).as("a"),
+        lit(j).as("j"))
+    }: _*)
+    val qb = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"),
+      hyperplaneBucket(col(vecCol), planes).as("own"), conf.as("conf"))
+    val q = qb.select(col("query_id"), col("qvec"),
+      explode(concat(array(col("own")),
+        transform(slice(array_sort(col("conf")), 1, probes - 1),
+          s => col("own").bitwiseXOR(
+            call_function("shiftleft", lit(1L), s.getField("j"))))))
+        .as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("cos").as("cosine"))
+  }
+
   /** IVF ANN top-k: probe only the query's own centroid cell. Same
     * contract as [[annTopK]]; `nlist = centroids.size` controls the
     * candidate shrink factor (~corpus/nlist per probe). The
     * single-cell probe trades recall exactly like single-probe LSH;
-    * multi-probe = assign to the top-n cells upstream.
+    * multi-probe = [[annTopKIvfMultiProbe]].
     */
   def annTopKIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Float]], k: Int): DataFrame = {

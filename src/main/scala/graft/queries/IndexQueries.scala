@@ -40,6 +40,11 @@ object IndexQueries extends QueryPack {
   /** One BPE training round as CTE stages (pair counts → total-order
     * argmax → merge replace) — shared by the q107 (train) and q110
     * (encode) oracles so both replay the identical iteration.
+    * The merge is a LEFT JOIN with a null-guard no-op: when a round
+    * has no remaining adjacent pair (all-single-symbol vocabulary),
+    * b$n is empty and the round must keep the vocabulary unchanged —
+    * matching Bpe.train's early-stop semantics (a CROSS JOIN would
+    * drop every word).
     */
   private def bpeStage(n: Int): String = {
     val prev = s"w${n - 1}"
@@ -56,9 +61,10 @@ object IndexQueries extends QueryPack {
       |b$n AS (SELECT l, r FROM p$n ORDER BY pc DESC, l, r LIMIT 1),
       |w$n AS (
       |  SELECT word, cnt,
-      |    replace(sym, ' ' || l || '  ' || r || ' ',
-      |            ' ' || l || r || ' ') AS sym
-      |  FROM $prev CROSS JOIN b$n)""".stripMargin
+      |    CASE WHEN l IS NULL THEN sym
+      |         ELSE replace(sym, ' ' || l || '  ' || r || ' ',
+      |                      ' ' || l || r || ' ') END AS sym
+      |  FROM $prev LEFT JOIN b$n ON TRUE)""".stripMargin
   }
 
   /** lower-cased token vocabulary + initial symbolization (w0) — the

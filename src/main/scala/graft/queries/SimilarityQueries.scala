@@ -200,6 +200,28 @@ object SimilarityQueries extends QueryPack {
         |FROM reach GROUP BY src
         |ORDER BY id""".stripMargin)),
 
+    // Same component collapse through the LOG-ROUND large-star/
+    // small-star operator (the deep-chain-safe variant) — gated
+    // against the identical recursive-closure oracle as q89, proving
+    // the two connected-components implementations agree on a real
+    // edge set.
+    "q123_dedup_groups_logstar" -> Q(
+      (s, dir) => graft.operators.Dedup.dedupGroupsLogRounds(
+          embedNearDupPairs(s, dir).select(col("id_a"), col("id_b")))
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE $embedPairsCte,
+        |jp AS (SELECT id_a, id_b FROM p WHERE cos >= 0.4),
+        |ee AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |       UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM ee
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN ee e2 ON r.dst = e2.src)
+        |SELECT src AS id, least(src, min(dst)) AS canonical_id,
+        |  CAST(src = least(src, min(dst)) AS INT) AS is_keeper
+        |FROM reach GROUP BY src
+        |ORDER BY id""".stripMargin)),
+
     // Multi-table LSH ANN: candidate when buckets match in ANY of the
     // 3 tables (union-of-probes recall lift), deduped before scoring —
     // the oracle's UNION performs the same dedup.
@@ -277,6 +299,96 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY query_id, rn""".stripMargin)
       }),
 
+    // Multi-probe IVF ANN: each query probes its 3 nearest cells (not
+    // just the argmax cell) — the recall lift over q57's single probe.
+    // The oracle replays cell ranking with a window over a
+    // centroid-VALUES cross join: rn = 1 is the corpus assignment,
+    // rn <= 3 are the query probes — both ordered (cos DESC, cell
+    // DESC), exactly assignCell/assignCells' tiebreak.
+    "q121_ann_ivf_multiprobe" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        Similarity.annTopKIvfMultiProbe(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            Centroids, 3, probes = 3)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val centValues = Centroids.zipWithIndex
+          .map { case (c, i) => s"($i, ${centroidLit(c)})" }.mkString(", ")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |cent AS (SELECT * FROM (VALUES $centValues) AS t(cell, c)),
+          |sc AS (SELECT e.vec_id, e.v, cent.cell, ${cosSql("v", "c")} AS cos
+          |       FROM e CROSS JOIN cent),
+          |rk AS (SELECT vec_id, v, cell,
+          |         row_number() OVER (PARTITION BY vec_id
+          |           ORDER BY cos DESC, cell DESC) AS rn
+          |       FROM sc),
+          |asg AS (SELECT vec_id, v, cell FROM rk WHERE rn = 1),
+          |qp AS (SELECT vec_id AS query_id, v AS qv, cell
+          |       FROM rk WHERE vec_id % 100 = 0 AND rn <= 3),
+          |s AS (SELECT qp.query_id, asg.vec_id AS neighbor_id,
+          |        ${cosSql("qv", "v")} AS cos
+          |      FROM qp JOIN asg USING (cell)
+          |      WHERE qp.query_id <> asg.vec_id),
+          |r AS (SELECT query_id, neighbor_id, cos,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos DESC, neighbor_id) AS rn
+          |      FROM s)
+          |SELECT query_id, rn, neighbor_id, cos AS cosine
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      }),
+
+    // Multi-probe LSH ANN: own bucket + the 2 buckets from flipping
+    // the least-confident plane bits (|dot| asc, plane index asc —
+    // Lv et al. multi-probe). The oracle ranks planes with a window
+    // over a plane-VALUES cross join and XORs the flip bit.
+    "q122_ann_lsh_multiprobe" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        Similarity.annTopKMultiProbe(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            Planes, 3, probes = 3)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val planeValues = Planes.zipWithIndex
+          .map { case (p, j) =>
+            s"($j, ${p.mkString("([", ", ", "]::DOUBLE[])")})" }
+          .mkString(", ")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+          |pl AS (SELECT * FROM (VALUES $planeValues) AS t(j, p)),
+          |cf AS (SELECT e.vec_id, abs(${dd("v", "p")}) AS a, j
+          |       FROM e CROSS JOIN pl WHERE vec_id % 100 = 0),
+          |fl AS (SELECT vec_id, j FROM (
+          |         SELECT vec_id, j,
+          |           row_number() OVER (PARTITION BY vec_id
+          |             ORDER BY a, j) AS rn
+          |         FROM cf) WHERE rn <= 2),
+          |qb AS (SELECT vec_id AS query_id, v AS qv, bucket
+          |       FROM b WHERE vec_id % 100 = 0),
+          |pr AS (SELECT query_id, qv, bucket FROM qb
+          |       UNION ALL
+          |       SELECT qb.query_id, qb.qv,
+          |         xor(qb.bucket, CAST(1 AS BIGINT) << fl.j) AS bucket
+          |       FROM qb JOIN fl ON qb.query_id = fl.vec_id),
+          |s AS (SELECT pr.query_id, b.vec_id AS neighbor_id,
+          |        ${cosSql("qv", "v")} AS cos
+          |      FROM pr JOIN b USING (bucket)
+          |      WHERE pr.query_id <> b.vec_id),
+          |r AS (SELECT query_id, neighbor_id, cos,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos DESC, neighbor_id) AS rn
+          |      FROM s)
+          |SELECT query_id, rn, neighbor_id, cos AS cosine
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      }),
+
     // Spherical k-means training for the IVF coarse quantizer (two
     // Lloyd iterations from the q57 seed centroids). Assignment runs
     // inside the scan; refinement is a k-row partial agg over
@@ -284,12 +396,18 @@ object SimilarityQueries extends QueryPack {
     // lets an iterative TRAINER be oracle-gated at all. The oracle
     // replays iteration 1 with interpolated literals and iteration 2
     // with a cross-join argmax over the refined-centroid rows.
+    // Output is posexploded to scalar (cell, n_members, dim_idx,
+    // value) rows — the q109 component-gating shape — because the
+    // driver's comparator sorts on column values and cannot sort an
+    // array-typed column.
     "q84_kmeans_train" -> Q(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), vec(col("embedding")).as("embedding"))
         Similarity.kmeansSummary(e, "embedding", KmInit, iters = 2)
-          .orderBy(col("cell"))
+          .select(col("cell"), col("n_members"),
+            posexplode(col("centroid")).as(Seq("dim_idx", "value")))
+          .orderBy(col("cell"), col("dim_idx"))
       },
       {
         val dim = 64
@@ -320,10 +438,15 @@ object SimilarityQueries extends QueryPack {
           |    FROM s2) WHERE rn = 1),
           |g2 AS (SELECT cell, count(*) AS n,
           |    $sumExprs
-          |  FROM a2 GROUP BY cell)
-          |SELECT CAST(cell AS BIGINT) AS cell, n AS n_members,
-          |  $centroidList AS centroid
-          |FROM g2 ORDER BY cell""".stripMargin)
+          |  FROM a2 GROUP BY cell),
+          |sel AS (SELECT CAST(cell AS BIGINT) AS cell, n AS n_members,
+          |    $centroidList AS c
+          |  FROM g2)
+          |SELECT cell, n_members, CAST(i AS INT) AS dim_idx,
+          |  c[i + 1] AS value
+          |FROM sel CROSS JOIN
+          |  (SELECT unnest(generate_series(0, ${dim - 1})) AS i) d
+          |ORDER BY cell, dim_idx""".stripMargin)
       })
   )
 }

@@ -114,6 +114,11 @@ private object VcoScan {
     * predicates stay residual-only (correct, just unpushed).
     */
   private def jsonRenderable(v: Any): Boolean = v match {
+    // NaN/Infinity would render via String.valueOf into unquoted
+    // tokens that are invalid JSON — such predicates stay
+    // residual-only (Spark re-applies them after the scan).
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case f: java.lang.Float  => !f.isNaN && !f.isInfinite
     case _: String | _: java.lang.Number | _: java.lang.Boolean => true
     case _ => false
   }

@@ -124,6 +124,70 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupGroups(empty).collect().isEmpty)
   }
 
+  test("dedupGroupsLogRounds equals dedupGroups on planted shapes") {
+    import spark.implicits._
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L),           // chain
+      (20L, 21L), (20L, 22L), (20L, 23L),           // star
+      (31L, 30L)                                    // pair (min right)
+    ).toDF("id_a", "id_b")
+    val prop = Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val star = Dedup.dedupGroupsLogRounds(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(star === prop)
+  }
+
+  test("dedupGroupsLogRounds: random graphs match a reference union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 3) {
+      val nNodes = 40 + trial * 30
+      val pairs = Seq.fill(nNodes) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(p => p._1 != p._2)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.dedupGroupsLogRounds(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("dedupGroupsLogRounds: empty pair set yields empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dedupGroupsLogRounds(empty).collect().isEmpty)
+  }
+
+  test("deep chain (diameter > 64): propagation fails, log-rounds solves") {
+    import spark.implicits._
+    // a 70-node path with the minimum at one end: min-label propagation
+    // moves one hop per round, so the default 64-round budget is short
+    val chain = (0L until 69L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.dedupGroups(chain).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // the star alternation halves root distance per round: converges
+    // well inside its default 32 rounds and labels the whole chain 0
+    val got = Dedup.dedupGroupsLogRounds(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length === 70)
+    assert(got.forall(_._2 === 0L))
+    assert(got.count(_._3 === 1) === 1)
+  }
+
   test("exactDedup groups identical canonical forms") {
     val d = Dedup.exactDedup(corpus, "doc_id",
         TextAnalysis.fingerprint(col("text")))
@@ -165,5 +229,22 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2L, 1L, "r")))
     assert(out(2L) == ((1L, 1L, ""))) // every segment dropped ⇒ empty
     assert(out(3L) == ((1L, 1L, "")))
+  }
+
+  test("dropRepeatedSegments: empty docs survive; caller id name kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, ""), // zero segments — must still appear
+      (3L, "   ")).toDF("media_id", "text")
+    val out = Dedup.dropRepeatedSegments(docs, "media_id", "text",
+      segTokens = 2, maxDocs = 5)
+    assert(out.columns.head === "media_id") // idCol name preserved
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(m(1L) == ((2L, 0L, "a b c d")))
+    assert(m(2L) == ((0L, 0L, "")))
+    assert(m(3L) == ((0L, 0L, "")))
   }
 }

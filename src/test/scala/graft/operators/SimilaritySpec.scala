@@ -74,6 +74,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(multi) > recall(single))
   }
 
+  test("multi-probe IVF: p=1 equals annTopKIvf; recall grows with p") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val centroids = e.orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def got(p: Int) = Similarity.annTopKIvfMultiProbe(
+        queries, e, "vec_id", "embedding", centroids, 3, probes = p)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = Similarity.annTopKIvf(queries, e, "vec_id", "embedding",
+        centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got(1) === single) // p=1 degenerates to the single-probe op
+    def recall(s: Set[(Long, Long)]) =
+      (exact intersect s).size.toDouble / exact.size
+    assert(recall(got(3)) > recall(got(1)),
+      s"p=3 recall ${recall(got(3))} vs p=1 ${recall(got(1))}")
+    assert(recall(got(8)) === 1.0) // probing every cell IS exact search
+  }
+
+  test("multi-probe LSH: p=1 equals annTopK; recall grows with p") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val planes = Similarity.hyperplanes(6, 64)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def got(p: Int) = Similarity.annTopKMultiProbe(
+        queries, e, "vec_id", "embedding", planes, 3, probes = p)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = Similarity.annTopK(queries, e, "vec_id", "embedding",
+        planes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got(1) === single) // p=1 degenerates to the single-probe op
+    def recall(s: Set[(Long, Long)]) =
+      (exact intersect s).size.toDouble / exact.size
+    // Gaussian corpus is LSH's worst case; the flip probes must still
+    // strictly lift recall over the own-bucket probe
+    assert(recall(got(3)) > recall(got(1)),
+      s"p=3 recall ${recall(got(3))} vs p=1 ${recall(got(1))}")
+  }
+
   test("kmeans: Lloyd iterations recover planted directional clusters") {
     import spark.implicits._
     // two tight clusters around orthogonal directions, init centroids
