@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale-linearity probe for the heavyweight queries.
+  *
+  * There is no sf1 parquet in the container, so the probe synthesizes
+  * N× the sf0.1 tables IN-PLAN: each table unions N shifted copies of
+  * itself (ids offset per copy so keys stay distinct and near-dup
+  * structure repeats instead of collapsing). That keeps the measured
+  * plans identical in shape to the production ones — same scans (read
+  * N times), same shuffles, same AQE decisions — while multiplying
+  * the row volume, which is exactly what the linearity question asks.
+  *
+  * Usage: tools/run.sh graft.ScaleProbe [sfDir] [copies...]
+  * Prints one line per (query, copies): rows and wall seconds.
+  */
+object ScaleProbe {
+
+  private def shifted(df: DataFrame, idCols: Seq[String], copies: Int,
+      offset: Long): DataFrame =
+    (0 until copies).map { i =>
+      idCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, col(c) + lit(i * offset))
+      }
+    }.reduce(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args.tail.map(_.toInt).toSeq
+                 else Seq(1, 2, 5, 10)
+    val spark = Sessions.localBuilder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, n: Int)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] $name%-22s copies=$n%-3d ${sec}%8.2f s")
+    }
+
+    for (n <- copies) {
+      // q47 shape: edge-gold projection over orders × collect_list(lineitem)
+      time("q47_edge_gold", n) {
+        val orders = shifted(Tables.orders(spark, sfDir),
+          Seq("o_orderkey"), n, 100000000L)
+        val li = shifted(Tables.lineitem(spark, sfDir),
+          Seq("l_orderkey"), n, 100000000L)
+        graft.queries.GoldQueries.edgeGoldFrom(orders, li)
+      }
+      // q77 shape: full MinHash-LSH near-dup pipeline over documents
+      time("q77_near_dup", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text")
+      }
+      // q30 shape: banding + exact-Jaccard verify over a sampled slice
+      time("q30_jaccard", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .filter(col("doc_id") % 20 === 0)
+        graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+          shingleN = 1, k = 32, bands = 8, threshold = 0.9)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -101,6 +101,141 @@ object Multimodal {
     out.toByteArray
   }
 
+  private val JpegMagic = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 3 &&
+      java.util.Arrays.equals(bytes.take(3), JpegMagic)
+
+  /** Deterministic FLAT grayscale JPEG: every pixel =
+    * (seed*31) mod 256, encoded TYPE_BYTE_GRAY at compression quality
+    * 1.0. Flat + max quality is the one JPEG class with an EXACT
+    * oracle: a constant block has only a DC coefficient, the
+    * quality-1.0 quantization tables are all ones, and the
+    * single-component gray path has no chroma subsampling or color
+    * conversion — so the lossy codec round-trips this payload
+    * bit-exactly (pinned for all 256 values in MultimodalSpec;
+    * textured payloads are BOUNDED-error and stay spec-gated).
+    */
+  def syntheticJpeg(seed: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val v = Math.floorMod(seed * 31, 256L).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) { raster.setSample(x, y, 0, v); y += 1 }
+      x += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL JPEG decode (`javax.imageio`): bytes → (width, height,
+    * min/max/sum over the decoded LUMINANCE samples, read from the
+    * raster band 0 — `getRGB` would re-run a color conversion the
+    * gray path never took). Returns None for undecodable payloads.
+    */
+  def decodeJpegGrayStats(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var (mn, mx, sum) = (Long.MaxValue, Long.MinValue, 0L)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            val s = raster.getSample(x, y, 0).toLong
+            sum += s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            y += 1
+          }
+          x += 1
+        }
+        if (w == 0 || h == 0) None else Some((w, h, mn, mx, sum))
+      }
+    } catch { case _: Exception => None }
+
+  /** JPEG → L1-normalized `FeatureDim`-bucket histogram over the
+    * decoded RASTER samples (band 0). The PNG path's `getRGB & 0xFF`
+    * is identity for images written as RGB, but a grayscale JPEG
+    * loads as TYPE_BYTE_GRAY and `getRGB` would re-map gray→sRGB —
+    * the raster read sees the decoder's actual luminance values.
+    */
+  def decodeJpegFeatures(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val hist = new Array[Double](FeatureDim)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            hist(raster.getSample(x, y, 0) * FeatureDim / 256) += 1d
+            y += 1
+          }
+          x += 1
+        }
+        val n = (w * h).toDouble
+        if (n == 0) None
+        else {
+          var j = 0
+          while (j < FeatureDim) { hist(j) /= n; j += 1 }
+          Some(hist)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** q124's operator: encode a deterministic flat JPEG per row and run
+    * it through the REAL JDK JPEG decoder — the lossy-image analog of
+    * q52, one codec context per partition, no shuffle. The flat-field
+    * construction makes the decoded stats exactly recomputable.
+    */
+  def jpegRoundTripStats(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("px_min", LongType),
+      StructField("px_max", LongType),
+      StructField("px_sum", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h, mn, mx, sum) = decodeJpegGrayStats(syntheticJpeg(id))
+          .getOrElse(throw new IllegalStateException(
+            s"JPEG round-trip failed for id $id"))
+        Row(id, w, h, mn, mx, sum)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   private val RiffMagic = Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte)
 
   def isWav(bytes: Array[Byte]): Boolean =
@@ -329,6 +464,9 @@ object Multimodal {
               case Some((_, _, hist)) => hist.map(_.toFloat).toSeq
               case None => stubDecodeFeatures(bytes).toSeq // corrupt PNG
             }
+            else if (isJpeg(bytes)) decodeJpegFeatures(bytes)
+              .map(_.map(_.toFloat).toSeq)
+              .getOrElse(stubDecodeFeatures(bytes).toSeq)
             else if (isWav(bytes)) decodeWavFeatures(bytes)
               .getOrElse(stubDecodeFeatures(bytes)).toSeq
             else stubDecodeFeatures(bytes).toSeq

@@ -58,7 +58,10 @@ object EdgePipeline {
       .select(
         col("logicalId").as("EdgeID"),
         col("enterpriseId").as("Customer_ID_VCO"),
-        Text.validName(Text.sanitize(col("name"))).as("name"),
+        // one-pass native form of validName∘sanitize (bit-parity
+        // property-tested in TextNormalizeSpec)
+        graft.expressions.TextNormalize.sanitizeValidName(col("name"))
+          .as("name"),
         col("edgeState").as("Edge_status"),
         coalesce(col("modelNumber"), lit("Not set")).as("Model"),
         coalesce(col("buildNumber"), lit("Not set")).as("Version"),
@@ -82,7 +85,8 @@ object EdgePipeline {
         coalesce(col("site").getField("city"), lit("Not set")).as("City"),
         coalesce(Text.normalizeCountry(col("site").getField("country")),
           lit("Not set")).as("Country"),
-        Text.validPostal(col("site").getField("postalCode"),
+        graft.expressions.TextNormalize.validPostal(
+          col("site").getField("postalCode"),
           lit("Invalid")).as("PostalCode"))
   }
 

@@ -84,7 +84,8 @@ object PowerBiPipeline {
       .select(
         col("logicalId").as("CustomerID"),
         col("id").as("Customer_ID_VCO"),
-        Text.validName(Text.sanitize(col("name"))).as("name"),
+        graft.expressions.TextNormalize.sanitizeValidName(col("name"))
+          .as("name"),
         Text.marketingName(col("name")).as("marketing_name"))
 
   /** Events gold (`powerbi_main_fun.py:465-484`): interval comes

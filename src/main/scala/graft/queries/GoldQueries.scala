@@ -45,6 +45,71 @@ object GoldQueries extends QueryPack {
       |         min(l_shipdate) AS sd
       |  FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  /** q47's operator body — the edge-gold projection over edge docs
+    * synthesized from (orders, lineitem). Factored out so ScaleProbe
+    * can run the identical plan over N×-unioned inputs.
+    */
+  def edgeGoldFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    // the FULL recentLink shape (Schemas.recentLink) — edgeGold
+    // coalesces against it, so a narrower struct won't resolve
+    val la = lineitem.groupBy(col("l_orderkey")).agg(
+      collect_list(struct(
+        concat(lit("u"), col("l_linenumber")).as("internalId"),
+        lit(null).cast("string").as("displayName"),
+        when(col("l_partkey") % 3 === 0, lit(37.402866))
+          .otherwise((col("l_partkey") % 90).cast("double")).as("lat"),
+        lit(null).cast("double").as("lon"),
+        lit(null).cast("string").as("ipAddress"),
+        when(col("l_suppkey") % 3 === 1, lit("UNCONFIGURED"))
+          .when(col("l_suppkey") % 3 === 2, lit("ACTIVE")).as("backupState"),
+        when(col("l_linenumber") % 2 === 0, lit("WIRELESS"))
+          .otherwise(lit("ETHERNET")).as("networkType"))).as("links"))
+    val edges = orders
+      .join(la, col("l_orderkey") === k, "left")
+      .select(
+        when(k % 97 =!= 0, concat(lit("e"), k)).as("logicalId"),
+        concat(lit("ent"), col("o_custkey") % 100).as("enterpriseId"),
+        when(k % 5 === 0, concat(lit("Edge "), k))
+          .when(k % 5 === 1, concat(lit("(bad"), k))
+          .when(k % 5 === 2, concat(lit("Ed€ge"), k))
+          .when(k % 5 === 4, lit("")).as("name"),
+        when(k % 4 === 0, "CONNECTED").when(k % 4 === 1, "OFFLINE")
+          .when(k % 4 === 2, "NEVER_ACTIVATED").otherwise("DEGRADED")
+          .as("edgeState"),
+        when(k % 3 =!= 0, concat(lit("model"), k % 6)).as("modelNumber"),
+        when(k % 2 === 1, concat(lit("3."), k % 9)).as("buildNumber"),
+        when(k % 3 === 1, lit("UNCONFIGURED"))
+          .when(k % 3 === 2, lit("ACTIVE")).as("haState"),
+        when(k % 2 === 0, "ACTIVATED").otherwise("PENDING")
+          .as("activationState"),
+        concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          lit("T08:30:15.123Z")).as("activationTime"),
+        lit("1998-08-02T10:00:00.5Z").as("lastContact"),
+        when(k % 7 =!= 0, col("links")).as("recentLinks"),
+        struct(
+          when(k % 6 =!= 0, concat(lit("City"), k % 10)).as("city"),
+          when(k % 8 === 0, "US").when(k % 8 === 1, "de")
+            .when(k % 8 === 2, "TH").when(k % 8 === 3, "XX")
+            .when(k % 8 === 5, "uk").when(k % 8 === 6, "Fr")
+            .when(k % 8 === 7, "ZZ").as("country"),
+          when(k % 4 === 0, lit("94043"))
+            .when(k % 4 === 1, concat(lit("A-"), k % 10, lit(" .x")))
+            .when(k % 4 === 2, lit("94043!")).as("postalCode")).as("site"))
+    EdgePipeline.edgeGold(edges)
+      .select(col("EdgeID").as("edge_id"),
+        col("Customer_ID_VCO").as("customer_id_vco"), col("name"),
+        col("Edge_status").as("edge_status"), col("Model").as("model"),
+        col("Version").as("version"), col("HA").as("ha"),
+        col("Activated_Days").as("activated_days"),
+        col("Private_links_num").as("private_links_num"),
+        col("Public_links_num").as("public_links_num"),
+        col("BACKUP").as("backup"), col("WIRELESS").as("wireless"),
+        col("City").as("city"), col("Country").as("country"),
+        col("PostalCode").as("postal_code"))
+      .orderBy(col("edge_id"))
+  }
+
   def defs: Map[String, Q] = Map(
     // ----------------------------------------------------------- J1
     // Link-metrics × WAN-config enrichment incl. the reference's
@@ -317,66 +382,8 @@ object GoldQueries extends QueryPack {
     // country normalization, postal guard (powerbi_main_fun.py:
     // 1088-1129,1545-1561,677-686,796-819).
     "q47_edge_gold" -> Q(
-      (s, dir) => {
-        val k = col("o_orderkey")
-        // the FULL recentLink shape (Schemas.recentLink) — edgeGold
-        // coalesces against it, so a narrower struct won't resolve
-        val la = Tables.lineitem(s, dir).groupBy(col("l_orderkey")).agg(
-          collect_list(struct(
-            concat(lit("u"), col("l_linenumber")).as("internalId"),
-            lit(null).cast("string").as("displayName"),
-            when(col("l_partkey") % 3 === 0, lit(37.402866))
-              .otherwise((col("l_partkey") % 90).cast("double")).as("lat"),
-            lit(null).cast("double").as("lon"),
-            lit(null).cast("string").as("ipAddress"),
-            when(col("l_suppkey") % 3 === 1, lit("UNCONFIGURED"))
-              .when(col("l_suppkey") % 3 === 2, lit("ACTIVE")).as("backupState"),
-            when(col("l_linenumber") % 2 === 0, lit("WIRELESS"))
-              .otherwise(lit("ETHERNET")).as("networkType"))).as("links"))
-        val edges = Tables.orders(s, dir)
-          .join(la, col("l_orderkey") === k, "left")
-          .select(
-            when(k % 97 =!= 0, concat(lit("e"), k)).as("logicalId"),
-            concat(lit("ent"), col("o_custkey") % 100).as("enterpriseId"),
-            when(k % 5 === 0, concat(lit("Edge "), k))
-              .when(k % 5 === 1, concat(lit("(bad"), k))
-              .when(k % 5 === 2, concat(lit("Ed€ge"), k))
-              .when(k % 5 === 4, lit("")).as("name"),
-            when(k % 4 === 0, "CONNECTED").when(k % 4 === 1, "OFFLINE")
-              .when(k % 4 === 2, "NEVER_ACTIVATED").otherwise("DEGRADED")
-              .as("edgeState"),
-            when(k % 3 =!= 0, concat(lit("model"), k % 6)).as("modelNumber"),
-            when(k % 2 === 1, concat(lit("3."), k % 9)).as("buildNumber"),
-            when(k % 3 === 1, lit("UNCONFIGURED"))
-              .when(k % 3 === 2, lit("ACTIVE")).as("haState"),
-            when(k % 2 === 0, "ACTIVATED").otherwise("PENDING")
-              .as("activationState"),
-            concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
-              lit("T08:30:15.123Z")).as("activationTime"),
-            lit("1998-08-02T10:00:00.5Z").as("lastContact"),
-            when(k % 7 =!= 0, col("links")).as("recentLinks"),
-            struct(
-              when(k % 6 =!= 0, concat(lit("City"), k % 10)).as("city"),
-              when(k % 8 === 0, "US").when(k % 8 === 1, "de")
-                .when(k % 8 === 2, "TH").when(k % 8 === 3, "XX")
-                .when(k % 8 === 5, "uk").when(k % 8 === 6, "Fr")
-                .when(k % 8 === 7, "ZZ").as("country"),
-              when(k % 4 === 0, lit("94043"))
-                .when(k % 4 === 1, concat(lit("A-"), k % 10, lit(" .x")))
-                .when(k % 4 === 2, lit("94043!")).as("postalCode")).as("site"))
-        EdgePipeline.edgeGold(edges)
-          .select(col("EdgeID").as("edge_id"),
-            col("Customer_ID_VCO").as("customer_id_vco"), col("name"),
-            col("Edge_status").as("edge_status"), col("Model").as("model"),
-            col("Version").as("version"), col("HA").as("ha"),
-            col("Activated_Days").as("activated_days"),
-            col("Private_links_num").as("private_links_num"),
-            col("Public_links_num").as("public_links_num"),
-            col("BACKUP").as("backup"), col("WIRELESS").as("wireless"),
-            col("City").as("city"), col("Country").as("country"),
-            col("PostalCode").as("postal_code"))
-          .orderBy(col("edge_id"))
-      },
+      (s, dir) => GoldQueries.edgeGoldFrom(
+        Tables.orders(s, dir), Tables.lineitem(s, dir)),
       Some("""WITH la AS (
         |  SELECT l_orderkey AS ok,
         |    CAST(count(CASE WHEN l_partkey % 3 = 0 THEN 1 END) AS INT) AS priv,

@@ -572,6 +572,25 @@ object LlmQueries extends QueryPack {
         |FROM bk LEFT JOIN cnt ON cnt.doc_id = bk.doc_id AND cnt.b = bk.bucket
         |ORDER BY bk.doc_id, bk.bucket""".stripMargin)),
 
+    // REAL JPEG decode under the oracle gate: a flat grayscale JPEG
+    // (quality 1.0) is encoded per document and decoded with the JDK's
+    // actual JPEG codec — the one lossy-image class with an EXACT
+    // oracle (constant block ⇒ DC-only ⇒ unit quant tables round-trip
+    // it bit-exactly; see Multimodal.syntheticJpeg). Textured payloads
+    // are bounded-error and spec-gated in MultimodalSpec instead.
+    "q124_jpeg_decode" -> Q(
+      (s, dir) => Multimodal.jpegRoundTripStats(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("px_min"), col("px_max"), col("px_sum"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 8 AS width, 8 AS height,
+        |  (doc_id * 31) % 256 AS px_min,
+        |  (doc_id * 31) % 256 AS px_max,
+        |  64 * ((doc_id * 31) % 256) AS px_sum
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
     // REAL audio decode through the JDK's WAV codec
     // (javax.sound.sampled): encode a deterministic 16-bit PCM payload
     // per document, decode it back, and gate the decoder's integer

@@ -122,6 +122,57 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.forall(r => Multimodal.isPng(r.getAs[Array[Byte]](1))))
   }
 
+  test("JPEG: flat grayscale at quality 1.0 round-trips exactly, all values") {
+    // the exactness claim q124's oracle rests on — every possible
+    // flat-field value survives the lossy codec bit-exactly
+    for (v <- 0 until 256) {
+      val bytes = Multimodal.syntheticJpeg(seed = v.toLong * 33, w = 8, h = 8)
+      // seed*33*31 mod 256 varies; instead pin the value directly:
+      val expected = Math.floorMod(v.toLong * 33 * 31, 256L)
+      assert(Multimodal.isJpeg(bytes))
+      assert(!Multimodal.isPng(bytes) && !Multimodal.isWav(bytes))
+      val Some((w, h, mn, mx, sum)) = Multimodal.decodeJpegGrayStats(bytes)
+      assert((w, h) === ((8, 8)))
+      assert(mn === expected && mx === expected, s"value $expected drifted")
+      assert(sum === 64 * expected)
+    }
+  }
+
+  test("JPEG: textured image decodes with bounded error (real DCT path)") {
+    // a non-flat image exercises the full quantize/IDCT path; the
+    // codec is lossy there, so the contract is bounded deviation
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 8; y <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, (x * 8 + y * 29) % 256)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val maxErr = (for (x <- 0 until 8; y <- 0 until 8) yield
+      math.abs(decoded.getRaster.getSample(x, y, 0) - ((x * 8 + y * 29) % 256))).max
+    assert(maxErr > 0 || maxErr == 0) // decode ran; record the bound:
+    assert(maxErr <= 16, s"quality-1.0 JPEG error $maxErr out of bound")
+  }
+
+  test("decodeFeatures dispatches JPEG payloads to the real image decoder") {
+    import spark.implicits._
+    val flat = Multimodal.syntheticJpeg(seed = 3L) // value 93: bucket 5
+    val media = Seq((1L, "image", flat)).toDF("media_id", "kind", "bytes")
+    val feats = Multimodal.decodeFeatures(media)
+      .select(col("features")).collect().head.getSeq[Float](0)
+    val expBucket = (Math.floorMod(3L * 31, 256L) * Multimodal.FeatureDim / 256).toInt
+    assert(feats(expBucket) === 1.0f) // flat field: one full bucket
+    assert(feats.sum === 1.0f)
+  }
+
   test("resizeMeta rewrites metadata only") {
     import spark.implicits._
     val withMeta = media.withColumn("meta",
