@@ -321,6 +321,54 @@ object Dedup {
         (col("label").isNull).cast("int").as("is_keeper"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) — the
+    * local document-fingerprinting scheme behind copy/plagiarism
+    * detection: hash every `k`-token shingle, then from each window of
+    * `w` consecutive shingle hashes record the minimum (ties broken by
+    * the EARLIEST position — a total order, so the selection is
+    * deterministic). Guarantees every shared substring of ≥ w+k-1
+    * tokens contributes at least one common fingerprint, at ~2/(w+1)
+    * the density of full shingling.
+    *
+    * 100 TB shape: one posexplode projection (shingles + hashes ride
+    * the scan via the native WordShingles/Md5Hash60 expressions), one
+    * per-doc window pass, one distinct — all partitioned by doc, no
+    * corpus-wide state. Cross-engine total order: the window min runs
+    * over `lpad(hex(hash)) || lpad(pos)` strings, so Spark and a SQL
+    * oracle pick identical winners.
+    *
+    * Docs shorter than one full window yield their single overall
+    * minimum (the pos <= max(0, n-w) start filter keeps exactly the
+    * full windows, plus start 0 when n < w).
+    *
+    * Output: (doc_id, fp_hash, pos) — the selected fingerprints with
+    * the shingle position they came from.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.expressions.WordShingles.shinglesNative(
+          col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        graft.expressions.Md5Hash60.hash60Native(col("gram")).as("h"))
+    val keyed = grams.select(col("doc_id"), col("pos"),
+      concat(lpad(lower(hex(col("h"))), 15, "0"),
+        lpad(col("pos").cast("string"), 10, "0")).as("key"),
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    keyed
+      .withColumn("wmin", min(col("key")).over(frame))
+      .filter(col("pos") <= greatest(lit(0), col("n") - w))
+      .select(col("doc_id"), col("wmin")).distinct()
+      .select(col("doc_id"),
+        conv(substring(col("wmin"), 1, 15), 16, 10).cast("long")
+          .as("fp_hash"),
+        substring(col("wmin"), 16, 10).cast("int").as("pos"))
+  }
+
   /** SimHash over `bits` of the 60-bit token hash: per bit, sign of
     * Σ(+1/-1) across tokens; assembled into one Long. One explode +
     * one groupBy with `bits` conditional sums — no UDF, fully

@@ -60,6 +60,32 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    * the standard hybrid-retrieval combiner (keyword × vector): each
+    * list contributes 1/(kRrf + rank) for the docs it ranked, summed
+    * across lists. Integer-deterministic: contributions ride as
+    * `1000000 div (kRrf + rank)` parts-per-million (positive-operand
+    * truncation, identical in Spark `div` and DuckDB `//`), so the
+    * fused ranking is oracle-gateable.
+    *
+    * Inputs: frames of (doc_id, rank) with rank 1-based. 100 TB
+    * shape: each input is already a top-k (bounded); the fuse is a
+    * union + one partial agg on doc_id — never corpus-sized.
+    */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(ranked.nonEmpty)
+    ranked
+      .map(_.select(col("doc_id"),
+        (lit(1000000L) / (lit(kRrf) + col("rank"))).cast("long")
+          .as("contrib")))
+      .reduce(_ union _)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_ppm"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** BM25 ranking (Robertson/Spärck Jones, the +1 idf variant that
     * keeps scores positive): disjunctive match over `terms`,
     *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)).

@@ -373,6 +373,48 @@ object Similarity {
         col("neighbor_id"), col("cos").as("cosine"))
   }
 
+  /** IVF ANN over an INT8-QUANTIZED corpus — the 4×-compressed serving
+    * path that [[quantizeInt8]] exists for. Coarse cells are assigned
+    * on the full-precision vectors (standard IVF-PQ discipline: the
+    * quantizer only compresses the scoring payload, not the routing);
+    * scoring is `(scale_q · scale_c) · Σ q_i·c_i` — the integer dot is
+    * EXACT (|q|≤127 ⇒ a 64-dim sum < 2^21, nowhere near Long range)
+    * and the scale product is two IEEE multiplies in a fixed
+    * parenthesization, so the whole ranking is bit-stable and
+    * oracle-gateable. Output carries the integer dot (`idot`)
+    * alongside the score: the gate pins the exact integer path, not
+    * just the rounded ranking.
+    */
+  def annTopKIvfInt8(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Float]], k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) = {
+      val z = quantizeInt8(col(vecCol))
+      df.select(col(idCol).as(id),
+        ivfAssign(col(vecCol), centroids).as("cell"),
+        z.getField("scale").as(s"${id}_scale"),
+        z.getField("q").as(s"${id}_q"))
+    }
+    val q = prep(queries, "query_id")
+    val c = prep(corpus, "neighbor_id")
+    val idot = aggregate(
+      zip_with(col("query_id_q"), col("neighbor_id_q"),
+        (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("idot", idot)
+      .withColumn("score",
+        (col("query_id_scale") * col("neighbor_id_scale")) *
+          col("idot").cast("double"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("idot"), col("score"))
+  }
+
   /** Symmetric int8 quantization of an embedding vector — the 4×
     * memory-layout compression before int8 ANN serving. Per-vector
     * scale = max|v|/127; q_i = trunc(v_i/scale) ∈ [-127, 127]; zero

@@ -187,14 +187,19 @@ object IndexQueries extends QueryPack {
         |          unnest(generate_series(0,
         |            CAST(ceil(len(toks) / 2.0) AS INT) - 1)) AS i
         |        FROM t WHERE len(toks) > 0)),
-        |c AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM sg GROUP BY 1)
-        |SELECT sg.doc_id, count(*) AS n_segments,
-        |  CAST(sum(CASE WHEN c.n_docs > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-        |  coalesce(string_agg(CASE WHEN c.n_docs <= 10 THEN sg.seg END,
-        |                      ' ' ORDER BY sg.pos), '') AS clean_text
-        |FROM sg JOIN c ON sg.seg = c.seg
-        |GROUP BY sg.doc_id
-        |ORDER BY sg.doc_id""".stripMargin)),
+        |c AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM sg GROUP BY 1),
+        |agg AS (
+        |  SELECT sg.doc_id, count(*) AS n_segments,
+        |    CAST(sum(CASE WHEN c.n_docs > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |    coalesce(string_agg(CASE WHEN c.n_docs <= 10 THEN sg.seg END,
+        |                        ' ' ORDER BY sg.pos), '') AS clean_text
+        |  FROM sg JOIN c ON sg.seg = c.seg
+        |  GROUP BY sg.doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_segments, 0) AS n_segments,
+        |  coalesce(agg.n_dropped, 0) AS n_dropped,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // Bloom membership: the filter is built over the even customer
     // keys and probed with ALL keys — true members must read maybe
@@ -632,6 +637,109 @@ object IndexQueries extends QueryPack {
         |  FROM k)
         |SELECT idx, CAST(max(rank) AS INT) AS max_rank
         |FROM rk GROUP BY idx
-        |ORDER BY idx""".stripMargin))
+        |ORDER BY idx""".stripMargin)),
+
+    // Hybrid retrieval: keyword top-20 (conjunctive tf-sum) fused with
+    // vector top-20 (cosine vs vec 0) by reciprocal-rank fusion.
+    // Contributions ride as 1000000 div (60 + rank) ppm — positive
+    // integer truncation, identical in Spark `div` and DuckDB `//` —
+    // so the fused ranking hash-matches. vec_id and doc_id share the
+    // id space (one embedding per document).
+    "q125_hybrid_rrf" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = Search.termFrequencies(
+          Tables.documents(s, dir), "doc_id", "text")
+        val kw = Search.searchAll(tf, Seq("spark", "join"), 20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val e = Tables.embeddings(s, dir)
+        val q0 = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        // top-20 via orderBy+limit (distributed TakeOrdered), THEN the
+        // rank window over the 20 survivors — never a corpus-wide
+        // single-partition window
+        val vec = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .withColumn("cos",
+            Similarity.cosineNative(col("qv"), col("embedding")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        Search.rrfFuse(Seq(kw, vec), 15)
+          .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH $tfCte,
+        |m AS (
+        |  SELECT doc_id, count(*) AS nm, CAST(sum(tf) AS BIGINT) AS score
+        |  FROM tf WHERE token IN ('spark', 'join') GROUP BY 1),
+        |kw AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM (SELECT doc_id, score FROM m WHERE nm = 2
+        |        ORDER BY score DESC, doc_id LIMIT 20)),
+        |e AS (SELECT vec_id, ${SimilarityQueries.vSql} AS v FROM embeddings),
+        |q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id, ${SimilarityQueries.cosSql("qv", "v")} AS cos
+        |       FROM e CROSS JOIN q0 WHERE e.vec_id <> 0),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+        |  FROM (SELECT vec_id, cos FROM sc
+        |        ORDER BY cos DESC, vec_id LIMIT 20)),
+        |u AS (SELECT doc_id, 1000000 // (60 + rank) AS contrib FROM kw
+        |      UNION ALL
+        |      SELECT doc_id, 1000000 // (60 + rank) FROM vec)
+        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_ppm,
+        |  count(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_ppm DESC, doc_id LIMIT 15""".stripMargin)),
+
+    // Winnowing fingerprints (MOSS): per-doc k-gram hashes, min of
+    // each w-window selected on the (hash, pos) total order, distinct
+    // winners. The oracle replays shingling with positions, the same
+    // lpad-hex window key, and the same window frame.
+    "q127_winnow_fingerprints" -> Q(
+      (s, dir) => Dedup.winnowFingerprints(
+          Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3)
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS pos, array_to_string(t, ' ') AS gram
+        |  FROM toks WHERE len(t) < 3),
+        |h AS (SELECT doc_id, pos,
+        |        CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+        |      FROM sh),
+        |keyed AS (
+        |  SELECT doc_id, pos,
+        |    lpad(to_hex(h), 15, '0')
+        |      || lpad(CAST(pos AS VARCHAR), 10, '0') AS key,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM h),
+        |wm AS (
+        |  SELECT doc_id, pos, n,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM keyed),
+        |sel AS (SELECT DISTINCT doc_id, wmin
+        |        FROM wm WHERE pos <= greatest(0, n - 4))
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(wmin, 1, 15)) AS BIGINT) AS fp_hash,
+        |  CAST(substr(wmin, 16, 10) AS INT) AS pos
+        |FROM sel
+        |ORDER BY doc_id, pos""".stripMargin))
   )
 }

@@ -23,10 +23,10 @@ object SimilarityQueries extends QueryPack {
   /** DuckDB rendition of [[Similarity.dot]]: [0.0] seed + left fold,
     * exactly Spark's `aggregate(zip_with(...), 0.0, +)`.
     */
-  private def dd(a: String, b: String) =
+  private[queries] def dd(a: String, b: String) =
     s"list_reduce([0.0] || list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
 
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     // zero-norm guard mirrors Similarity.cosine/cosineNative
     s"""CASE WHEN sqrt(${dd(a, a)}) * sqrt(${dd(b, b)}) = 0 THEN 0.0
        | ELSE ${dd(a, b)} / (sqrt(${dd(a, a)}) * sqrt(${dd(b, b)})) END""".stripMargin
@@ -80,7 +80,20 @@ object SimilarityQueries extends QueryPack {
     * the explicit coalesce — its list fold would NULL-propagate.
     */
   private def vec(c: Column): Column = c
-  private val vSql = "list_transform(embedding, x -> coalesce(x, 0))::DOUBLE[]"
+  private[queries] val vSql =
+    "list_transform(embedding, x -> coalesce(x, 0))::DOUBLE[]"
+
+  /** ONE rendering of the IVF cell-assignment expression (argmax with
+    * ties to the HIGHER index, mirroring assignCell's array_max struct
+    * ordering) — shared by the q57/q84/q126 oracles.
+    */
+  private def cellSqlFor(v: String): String = {
+    val cosPerCentroid = Centroids.map(c => cosSql(v, centroidLit(c)))
+    cosPerCentroid.zipWithIndex.reverse.init.map { case (c, i) =>
+      val lower = cosPerCentroid.take(i).mkString("greatest(", ", ", ")")
+      s"WHEN ($c) >= $lower THEN $i"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+  }
 
   /** Shared q39/q89 pair generation (one definition — the gates must
     * see the identical edge set): bucket equi-join candidates, exact
@@ -273,15 +286,7 @@ object SimilarityQueries extends QueryPack {
           .orderBy(col("query_id"), col("rn"))
       },
       {
-        val cosPerCentroid = Centroids.map(c => cosSql("v", centroidLit(c)))
-        // argmax with ties to the HIGHER index (struct ordering of
-        // array_max): scan from the top index down with >= against the
-        // greatest of the lower ones
-        val cells = cosPerCentroid.zipWithIndex.reverse
-        val cellSql = cells.init.map { case (c, i) =>
-          val lower = cosPerCentroid.take(i).mkString("greatest(", ", ", ")")
-          s"WHEN ($c) >= $lower THEN $i"
-        }.mkString("CASE ", " ", " ELSE 0 END")
+        val cellSql = cellSqlFor("v")
         Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           |b AS (SELECT vec_id, v, $cellSql AS cell FROM e),
           |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM b WHERE vec_id % 100 = 0),
@@ -389,6 +394,64 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY query_id, rn""".stripMargin)
       }),
 
+    // INT8-quantized IVF serving: cells assigned on full-precision
+    // vectors, scoring on the quantized payload — score =
+    // (scale_q·scale_c)·Σ q_i·c_i with the integer dot carried in the
+    // output, so the gate pins the exact integer path. The oracle
+    // replays q109's quantization, the shared cell argmax, and the
+    // same fixed parenthesization of the scale product.
+    "q126_ann_ivf_int8" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        Similarity.annTopKIvfInt8(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            Centroids, 3)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val cellSql = cellSqlFor("v")
+        Some(s"""WITH e AS (
+          |  SELECT vec_id, embedding, $vSql AS v FROM embeddings),
+          |mz AS (
+          |  SELECT vec_id, embedding, v,
+          |    list_max(list_transform(embedding,
+          |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          |  FROM e),
+          |qz AS (
+          |  SELECT vec_id, v, maxabs / 127.0 AS scale,
+          |    CASE WHEN maxabs = 0
+          |         THEN list_transform(range(1, len(embedding) + 1),
+          |                i -> CAST(0 AS BIGINT))
+          |         ELSE list_transform(range(1, len(embedding) + 1),
+          |                i -> CAST(trunc(CAST(embedding[i] AS DOUBLE)
+          |                       / (maxabs / 127.0)) AS BIGINT))
+          |    END AS q
+          |  FROM mz),
+          |b AS (SELECT vec_id, v, scale, q, $cellSql AS cell FROM qz),
+          |qq AS (SELECT vec_id AS query_id, scale AS qscale, q AS qv,
+          |         cell
+          |       FROM b WHERE vec_id % 100 = 0),
+          |s AS (
+          |  SELECT qq.query_id, b.vec_id AS neighbor_id,
+          |    CAST(list_reduce([CAST(0 AS BIGINT)] ||
+          |      list_transform(range(1, len(qq.qv) + 1),
+          |        i -> qq.qv[i] * b.q[i]),
+          |      (acc, x) -> acc + x) AS BIGINT) AS idot,
+          |    (qq.qscale * b.scale) AS sprod
+          |  FROM qq JOIN b USING (cell) WHERE qq.query_id <> b.vec_id),
+          |r AS (
+          |  SELECT query_id, neighbor_id, idot,
+          |    sprod * CAST(idot AS DOUBLE) AS score,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY sprod * CAST(idot AS DOUBLE) DESC,
+          |               neighbor_id) AS rn
+          |  FROM s)
+          |SELECT query_id, rn, neighbor_id, idot, score
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      }),
+
     // Spherical k-means training for the IVF coarse quantizer (two
     // Lloyd iterations from the q57 seed centroids). Assignment runs
     // inside the scan; refinement is a k-row partial agg over
@@ -417,12 +480,7 @@ object SimilarityQueries extends QueryPack {
           .mkString(",\n|    ")
         val centroidList = (0 until dim).map(d => s"s$d / (n * $q20)")
           .mkString("[", ", ", "]")
-        val cosPerCentroid = Centroids.map(c => cosSql("v", centroidLit(c)))
-        val cellSql = cosPerCentroid.zipWithIndex.reverse.init
-          .map { case (c, i) =>
-            val lower = cosPerCentroid.take(i).mkString("greatest(", ", ", ")")
-            s"WHEN ($c) >= $lower THEN $i"
-          }.mkString("CASE ", " ", " ELSE 0 END")
+        val cellSql = cellSqlFor("v")
         Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           |a1 AS (SELECT vec_id, v, $cellSql AS cell FROM e),
           |g1 AS (SELECT cell, count(*) AS n,

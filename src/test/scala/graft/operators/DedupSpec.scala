@@ -188,6 +188,48 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_._3 === 1) === 1)
   }
 
+  test("winnowFingerprints matches a driver-side reference winnow") {
+    import spark.implicits._
+    def hash60(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    def refWinnow(text: String, k: Int, w: Int): Set[(Long, Int)] = {
+      val toks = text.toLowerCase.trim.split("\\s+", -1)
+        .toSeq.filter(_ => text.trim.nonEmpty)
+      val grams =
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val hs = grams.map(hash60).zipWithIndex
+      (0 to math.max(0, hs.length - w)).map { i =>
+        hs.slice(i, i + w).minBy { case (h, p) => (h, p) }
+      }.toSet
+    }
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "the the the the the the the"), // all-equal hashes: pos ties
+      (3L, "x y"),                          // shorter than one window
+      (4L, "p q r s p q r s p q r s")      // repeated content
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getLong(1), r.getInt(2))).toSet
+      }
+    for ((id, text) <- Seq(1L -> "a b c d e f g h i j k l",
+        2L -> "the the the the the the the", 3L -> "x y",
+        4L -> "p q r s p q r s p q r s"))
+      assert(got(id) === refWinnow(text, 3, 4), s"doc $id")
+    // density: selected ≈ 2/(w+1) of grams, far below full shingling
+    assert(got(1L).size < 10 && got(1L).size >= 2)
+    // coverage guarantee: every full window contains a selected pos
+    val sel1 = got(1L).map(_._2)
+    for (i <- 0 to (10 - 4)) // doc1 has 10 grams, windows of 4
+      assert(sel1.exists(p => p >= i && p < i + 4), s"window $i uncovered")
+  }
+
   test("exactDedup groups identical canonical forms") {
     val d = Dedup.exactDedup(corpus, "doc_id",
         TextAnalysis.fingerprint(col("text")))

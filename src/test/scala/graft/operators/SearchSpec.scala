@@ -74,4 +74,17 @@ class SearchSpec extends SparkSpec {
     // doc1 matches both terms and must outrank single-term docs
     assert(both.head.getLong(0) === 1L)
   }
+
+  test("rrfFuse sums integer ppm contributions across lists") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq(a, b), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1000000/61 = 16393, 1000000/62 = 16129 (truncating division)
+    assert(out.toSeq === Seq(
+      (2L, 16393L + 16129L, 2L), // ranked in both lists — fused to top
+      (1L, 16393L, 1L),
+      (3L, 16129L, 1L)))
+  }
 }

@@ -153,6 +153,48 @@ class SimilaritySpec extends SparkSpec {
     assert(once.map(_._1) === Seq(0)) // nothing chose the -x centroid
   }
 
+  test("int8 IVF: exact integer dot on lossless vectors; ranking holds") {
+    import spark.implicits._
+    // components in {-1, 0, 1}: maxabs = 1 ⇒ scale = 1/127 and
+    // q = ±127/0 EXACTLY, so idot = 127² · dot and score = dot —
+    // the quantization is lossless and the ranking fully predictable
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f, 0.0f)),   // dot 1 with query
+      (3L, Seq(0.0f, 1.0f, 1.0f)),   // dot 0
+      (4L, Seq(-1.0f, 0.0f, 1.0f))   // dot -1
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0f, 0.0f, 0.0f)) // one cell: all co-located
+    val got = Similarity.annTopKIvfInt8(
+        corpus.filter(col("vec_id") === 1), corpus, "vec_id", "embedding",
+        centroids, 3)
+      .orderBy(col("rn")).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 4L))
+    assert(got.map(_._2).toSeq === Seq(127L * 127, 0L, -127L * 127))
+    // score = (scale_q·scale_c)·idot in THAT parenthesization:
+    // (1/127)·(1/127) then ×127² lands one ulp below ±1.0
+    val unit = (1.0 / 127) * (1.0 / 127) * (127L * 127).toDouble
+    assert(got.map(_._3).toSeq === Seq(unit, 0.0, -unit))
+  }
+
+  test("int8 IVF tracks the full-precision IVF ranking on real embeddings") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val centroids = e.orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val full = Similarity.annTopKIvf(queries, e, "vec_id", "embedding",
+        centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.annTopKIvfInt8(queries, e, "vec_id", "embedding",
+        centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // int8 scoring ranks by un-normalized dot, full by cosine — on a
+    // same-cell candidate set the top-3 overlap should still dominate
+    val overlap = (full intersect quant).size.toDouble / full.size
+    assert(overlap >= 0.5, s"int8 overlap $overlap vs full-precision IVF")
+  }
+
   test("quantizeInt8: range, exact boundaries, zero vector, error bound") {
     import spark.implicits._
     val vecs = Seq(
