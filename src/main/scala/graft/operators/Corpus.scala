@@ -150,4 +150,36 @@ object Corpus {
         floor(col("start_off") / lit(budget.toDouble)).cast("long"))
       .drop("__bucket", "__run", "__off")
   }
+
+  /** EXACT per-group quantiles by the nearest-rank definition:
+    * quantile p = the value whose rank (value asc, tiebreak asc) is
+    * ceil(p·n) — integer-deterministic given a total sort key, so the
+    * corpus length profile (p50/p90/p99 tokens per source) is
+    * hash-gateable. One window pass per group.
+    *
+    * 100 TB note: the window partitions by `groupCol`, so one group's
+    * rows land on one task — exact quantiles fundamentally need a
+    * per-group total order. With bounded group cardinality (sources,
+    * languages, shards) this is the right tool; for quantiles OVER THE
+    * WHOLE CORPUS use a mergeable sketch (the [[Sketch]] pattern)
+    * instead of one giant partition.
+    *
+    * Output: (groupCol, n_docs, q_<pp> …) one row per group.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("__rnk", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val qAggs = ps.map { p =>
+      max(when(col("__rnk") === ceil(lit(p) * col("__n")),
+        col(valueCol))).as(s"q_${(p * 100).round}")
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_docs"), qAggs: _*)
+  }
 }

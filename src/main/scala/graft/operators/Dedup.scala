@@ -369,6 +369,34 @@ object Dedup {
         substring(col("wmin"), 16, 10).cast("int").as("pos"))
   }
 
+  /** Near-dup CANDIDATE pairs from winnowing fingerprints — the MOSS
+    * composition: docs sharing ≥ `minShared` selected fingerprints are
+    * copy suspects. Fingerprints appearing in more than `maxDf` docs
+    * are dropped first (boilerplate — the same stopword discipline
+    * every fingerprint index applies), which also BOUNDS the self-join
+    * fan-out: each surviving fingerprint contributes ≤ maxDf² pairs,
+    * so the plan is equi-join-shaped like LSH banding, never all-pairs.
+    *
+    * Output: (id_a, id_b, n_shared) with id_a < id_b.
+    */
+  def winnowNearDupCandidates(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4, maxDf: Int = 10,
+      minShared: Int = 2): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val kept = fp.join(
+      fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf),
+      Seq("fp_hash"))
+    val a = kept.select(col("fp_hash"), col("doc_id").as("id_a"))
+    val b = kept.select(col("fp_hash"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash over `bits` of the 60-bit token hash: per bit, sign of
     * Σ(+1/-1) across tokens; assembled into one Long. One explode +
     * one groupBy with `bits` conditional sums — no UDF, fully

@@ -706,40 +706,98 @@ object IndexQueries extends QueryPack {
       (s, dir) => Dedup.winnowFingerprints(
           Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
         .orderBy(col("doc_id"), col("pos")),
-      Some("""WITH toks AS (
-        |  SELECT doc_id,
-        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |         array_to_string(t[i:i+2], ' ') AS gram
-        |  FROM (SELECT doc_id, t,
-        |          unnest(generate_series(1, len(t) - 2)) AS i
-        |        FROM toks WHERE len(t) >= 3)
-        |  UNION ALL
-        |  SELECT doc_id, 0 AS pos, array_to_string(t, ' ') AS gram
-        |  FROM toks WHERE len(t) < 3),
-        |h AS (SELECT doc_id, pos,
-        |        CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
-        |      FROM sh),
-        |keyed AS (
-        |  SELECT doc_id, pos,
-        |    lpad(to_hex(h), 15, '0')
-        |      || lpad(CAST(pos AS VARCHAR), 10, '0') AS key,
-        |    count(*) OVER (PARTITION BY doc_id) AS n
-        |  FROM h),
-        |wm AS (
-        |  SELECT doc_id, pos, n,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-        |  FROM keyed),
-        |sel AS (SELECT DISTINCT doc_id, wmin
-        |        FROM wm WHERE pos <= greatest(0, n - 4))
+      Some(s"""WITH $winnowSelCte
         |SELECT doc_id,
         |  CAST(('0x' || substr(wmin, 1, 15)) AS BIGINT) AS fp_hash,
         |  CAST(substr(wmin, 16, 10) AS INT) AS pos
         |FROM sel
-        |ORDER BY doc_id, pos""".stripMargin))
+        |ORDER BY doc_id, pos""".stripMargin)),
+
+    // Exact per-source token-length quantiles (nearest-rank): the
+    // corpus length profile curation reads before choosing chunk
+    // sizes. Integer-deterministic given the (value, doc_id) total
+    // sort key and the shared ceil(p·n) rank formula.
+    "q128_length_quantiles" -> Q(
+      (s, dir) => {
+        import graft.operators.{Corpus, TextAnalysis}
+        Corpus.exactQuantiles(
+            Tables.documents(s, dir).select(col("doc_id"), col("source"),
+              size(TextAnalysis.tokens(col("text"))).cast("long")
+                .as("n_tokens")),
+            "source", "n_tokens", "doc_id", Seq(0.5, 0.9, 0.99))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $toksCte,
+        |l AS (SELECT t.doc_id, d.source, len(t.toks) AS n_tokens
+        |      FROM t JOIN documents d ON t.doc_id = d.doc_id),
+        |r AS (SELECT source, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM l)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  max(CASE WHEN rnk = ceil(0.5 * n) THEN n_tokens END) AS q_50,
+        |  max(CASE WHEN rnk = ceil(0.9 * n) THEN n_tokens END) AS q_90,
+        |  max(CASE WHEN rnk = ceil(0.99 * n) THEN n_tokens END) AS q_99
+        |FROM r GROUP BY source
+        |ORDER BY source""".stripMargin)),
+
+    // MOSS composition: near-dup CANDIDATE pairs = docs sharing >= 2
+    // surviving winnow fingerprints (fingerprints in > 10 docs are
+    // boilerplate and dropped — which also bounds the self-join).
+    "q129_winnow_near_dup" -> Q(
+      (s, dir) => Dedup.winnowNearDupCandidates(
+          Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4, maxDf = 10, minShared = 2)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $winnowSelCte,
+        |fpd AS (SELECT DISTINCT doc_id,
+        |          CAST(('0x' || substr(wmin, 1, 15)) AS BIGINT) AS fp_hash
+        |        FROM sel),
+        |dfc AS (SELECT fp_hash, count(*) AS df FROM fpd GROUP BY 1),
+        |kept AS (SELECT fpd.doc_id, fpd.fp_hash
+        |         FROM fpd JOIN dfc USING (fp_hash) WHERE df <= 10),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM kept a JOIN kept b USING (fp_hash)
+        |       WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, count(*) AS n_shared
+        |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin))
   )
+
+  /** The winnowing selection as CTE stages ending in
+    * `sel(doc_id, wmin)` — shared by q127 and q129 so both replay the
+    * identical shingle/hash/window construction (k=3, w=4).
+    */
+  private val winnowSelCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |         array_to_string(t[i:i+2], ' ') AS gram
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, len(t) - 2)) AS i
+      |        FROM toks WHERE len(t) >= 3)
+      |  UNION ALL
+      |  SELECT doc_id, 0 AS pos, array_to_string(t, ' ') AS gram
+      |  FROM toks WHERE len(t) < 3),
+      |h AS (SELECT doc_id, pos,
+      |        CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+      |      FROM sh),
+      |keyed AS (
+      |  SELECT doc_id, pos,
+      |    lpad(to_hex(h), 15, '0') ||
+      |      lpad(CAST(pos AS VARCHAR), 10, '0') AS key,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM h),
+      |wm AS (
+      |  SELECT doc_id, pos, n,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM keyed),
+      |sel AS (SELECT DISTINCT doc_id, wmin
+      |        FROM wm WHERE pos <= greatest(0, n - 4))""".stripMargin
 }

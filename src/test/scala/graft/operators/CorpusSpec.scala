@@ -135,4 +135,22 @@ class CorpusSpec extends SparkSpec {
     assert(run(1L) === run(7L))
     assert(run(7L) === run(1L << 16))
   }
+
+  test("exactQuantiles: nearest-rank values, ties, single-row group") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(v => ("g1", v * 10L, v)) ++
+      Seq(("g2", 7L, 100L)) ++                      // single row: every q = 7
+      (1L to 4L).map(i => ("g3", 5L, 200L + i))     // all-equal values
+    val df = rows.toDF("src", "v", "id")
+    val got = Corpus.exactQuantiles(df, "src", "v", "id",
+        Seq(0.5, 0.9, 0.99))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // g1: n=10 → ranks ceil(5)=5, ceil(9)=9, ceil(9.9)=10
+    assert(got("g1") === ((10L, 50L, 90L, 100L)))
+    assert(got("g2") === ((1L, 7L, 7L, 7L)))
+    assert(got("g3") === ((4L, 5L, 5L, 5L)))
+  }
 }

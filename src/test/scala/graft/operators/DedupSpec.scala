@@ -230,6 +230,28 @@ class DedupSpec extends SparkSpec {
       assert(sel1.exists(p => p >= i && p < i + 4), s"window $i uncovered")
   }
 
+  test("winnowNearDupCandidates pairs copies, drops boilerplate prints") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, shared + " unique one"),
+      (2L, shared + " unique two"),   // near-copy of 1 — must pair
+      (3L, "totally different words nothing in common here at all"),
+      // 12 docs sharing ONLY a boilerplate sentence: its fingerprints
+      // exceed maxDf and must not produce the 12-choose-2 pair blowup
+      ) ++ (10L until 22L).map(i => (i, s"standard footer text row $i"))
+    val out = Dedup.winnowNearDupCandidates(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, w = 4, maxDf = 5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)))
+    // no pair involves doc 3, and the boilerplate block stays unpaired
+    // except through its per-row distinct tails
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    val boiler = out.filter(p => p._1 >= 10L)
+    assert(boiler.isEmpty,
+      s"boilerplate fingerprints above maxDf must be dropped: $boiler")
+  }
+
   test("exactDedup groups identical canonical forms") {
     val d = Dedup.exactDedup(corpus, "doc_id",
         TextAnalysis.fingerprint(col("text")))
