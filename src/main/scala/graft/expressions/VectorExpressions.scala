@@ -87,6 +87,69 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native INTEGER dot product — the int8-ANN serving analog of
+  * [[DotProductF]]: `array<int> × array<int> → long`, accumulated
+  * left-to-right from 0L with each product widened to long. Exact by
+  * construction (integers — no float ordering concerns); the win over
+  * the portable `aggregate(zip_with(...))` form is the same one
+  * DotBench measured for doubles: a primitive loop inside whole-stage
+  * codegen instead of two interpreted lambdas per candidate pair.
+  * Null ELEMENTS contribute 0 (the [[DotProductF]] contract); null
+  * input ⇒ null.
+  */
+case class DotProductI(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(t: DataType) = t match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_int requires array<int> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_int"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.Bridge
@@ -94,6 +157,10 @@ object VectorExpressions {
   /** Column API over the native expression. */
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API over the native integer dot. */
+  def dotI(a: Column, b: Column): Column =
+    Bridge.column(DotProductI(Bridge.expression(a), Bridge.expression(b)))
 
   /** RAW cosine from the native dot (0/0 ⇒ NaN on zero vectors) —
     * production paths use [[graft.operators.Similarity.cosineNative]],

@@ -396,10 +396,11 @@ object Similarity {
     }
     val q = prep(queries, "query_id")
     val c = prep(corpus, "neighbor_id")
-    val idot = aggregate(
-      zip_with(col("query_id_q"), col("neighbor_id_q"),
-        (a, b) => (a * b).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // native integer dot (codegen loop) — exactly equal to the
+    // portable aggregate(zip_with) fold on null-free arrays
+    // (VectorExpressionsSpec), which is what quantizeInt8 emits
+    val idot = graft.expressions.VectorExpressions.dotI(
+      col("query_id_q"), col("neighbor_id_q"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("idot", idot)

@@ -56,6 +56,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(DotProductF(la, ld).eval(null) === expected)
   }
 
+  test("dotI equals the portable integer fold; codegen == interpreted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0 until 200).map { _ =>
+      (Seq.fill(64)(rnd.nextInt(255) - 127), Seq.fill(64)(rnd.nextInt(255) - 127))
+    } :+ ((Seq.empty[Int], Seq.empty[Int]))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorExpressions.dotI(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val la = Literal.create(Seq(1, -2, 127), ArrayType(IntegerType))
+    val lb = Literal.create(Seq(3, 4, 127), ArrayType(IntegerType))
+    assert(DotProductI(la, lb).eval(null) === (3L - 8L + 127L * 127L))
+    // null input propagates; max-magnitude products don't overflow
+    assert(DotProductI(Literal.create(null, ArrayType(IntegerType)), lb)
+      .eval(null) === null)
+  }
+
   test("GraftExtensions injects a 2-arg graft_dot builder") {
     // the extensions object applies cleanly to a fresh container
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
