@@ -70,6 +70,40 @@ object Corpus {
     df.filter(u < thr)
   }
 
+  /** Temperature-based source rebalancing (the XLM-R style mixture
+    * flattening): each source keeps rate
+    * `(n_min / n_s)^(1-alpha)` — alpha = 1 keeps everything (natural
+    * distribution), alpha = 0 equalizes all sources down to the
+    * smallest, alpha = 0.5 is the customary halfway flattening. The
+    * per-source counts are a BOUNDED driver readout (one row per
+    * source — the kmeansIterate pattern), the rates become plan-time
+    * integer thresholds, and the filter itself is [[mixtureSample]]'s
+    * scan-speed md5-bucket predicate — rerunning with a different
+    * alpha never resamples surviving docs of an unchanged rate.
+    *
+    * Gate note: alpha = 0.5 routes through `math.sqrt`, which is
+    * IEEE-correctly-rounded and therefore bit-identical in any SQL
+    * oracle; other alphas go through `math.pow`, whose last-ulp
+    * behavior is libm-specific — fine in production, but a hash gate
+    * should pin alpha = 0.5.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, salt: String,
+      sourceCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0 && alpha <= 1)
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) df
+    else {
+      val nMin = counts.values.min.toDouble
+      val rates = counts.map { case (s, n) =>
+        val ratio = nMin / n
+        s -> (if (alpha == 0.5) math.sqrt(ratio)
+              else math.pow(ratio, 1 - alpha))
+      }
+      mixtureSample(df, idCol, salt, sourceCol, rates, defaultRate = 1.0)
+    }
+  }
+
   /** Context-window chunking: split each document's token stream into
     * overlapping chunks of `chunkTokens` whitespace tokens with
     * `overlap` tokens carried between consecutive chunks — the step

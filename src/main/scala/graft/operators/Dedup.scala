@@ -422,6 +422,51 @@ object Dedup {
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs via band indexing (Manku/Jain/Sarma's
+    * web-crawl dedup design): the `bits`-bit simhash splits into
+    * `bands` equal slices, candidates share at least one slice
+    * verbatim, and candidates verify by exact Hamming distance.
+    *
+    * EXACTNESS, not approximation: when `maxHamming < bands`, the
+    * pigeonhole principle guarantees any pair within the Hamming
+    * bound agrees on at least one full band — so the band join finds
+    * EVERY qualifying pair and the result equals the all-pairs
+    * predicate `hamming(a,b) <= maxHamming` exactly (the oracle gates
+    * against precisely that, no band condition). The banding is
+    * purely the 100 TB access path: an equi-join on (band, slice) —
+    * LSH-banding shaped, AQE-balanced — instead of a quadratic scan.
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    require(maxHamming < bands,
+      "maxHamming must be < bands for the pigeonhole exactness guarantee")
+    val width = bits / bands
+    val sh = simhash(docs, idCol, textCol, bits)
+    val banded = sh.select(col(idCol), col("simhash"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("slice"))
+        }: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.band").as("band"), col("bk.slice").as("slice"))
+    val a = banded.select(col("band"), col("slice"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("slice"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "slice"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair can match in several bands — dedup BEFORE the verify
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Cross-document repeated-segment removal — the "duplicated
     * paragraph/boilerplate line" cleanup of web-corpus pipelines
     * (headers, navigation, license blurbs that repeat across many

@@ -31,6 +31,28 @@ object LlmQueries extends QueryPack {
   private val tokensSql =
     s"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE $normTokens END"
 
+  /** The 32-bit SimHash as CTE stages ending in `s(doc_id, simhash)`
+    * — shared by q29 and the q131 near-dup oracle so both replay the
+    * identical bit construction. (No line here may BEGIN with `|` or
+    * the outer oracle's stripMargin would eat it — the q127 lesson.)
+    */
+  private val simhashCte: String = {
+    val bitSums = (0 until 32).map { b =>
+      s"CAST(sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
+    }.mkString(",\n    ")
+    val assemble = (0 until 32).map { b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""tok AS (
+      |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+      |h AS (SELECT doc_id, ${h60sql("t")} AS h FROM tok),
+      |sums AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM h GROUP BY doc_id),
+      |s AS (SELECT doc_id, $assemble AS simhash FROM sums)""".stripMargin
+  }
+
   /** Exact all-pairs unigram Jaccard ≥ 0.9 over the doc_id%20 sample,
     * as a CTE body — the shared ground truth for BOTH LSH pair
     * formulations (q30 hand-wired, q77 packaged) and the edge set the
@@ -183,24 +205,57 @@ object LlmQueries extends QueryPack {
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text",
           bits = 32)
         .orderBy(col("doc_id")),
-      {
-        val bitSums = (0 until 32).map { b =>
-          s"CAST(sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
-        }.mkString(",\n|    ")
-        val assemble = (0 until 32).map { b =>
-          s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
-        }.mkString(" + ")
-        Some(s"""WITH tok AS (
-          |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
-          |h AS (SELECT doc_id, ${h60sql("t")} AS h FROM tok),
-          |sums AS (
-          |  SELECT doc_id,
-          |    $bitSums
-          |  FROM h GROUP BY doc_id)
-          |SELECT doc_id, $assemble AS simhash
-          |FROM sums
-          |ORDER BY doc_id""".stripMargin)
-      }),
+      Some(s"""WITH $simhashCte
+        |SELECT doc_id, simhash FROM s
+        |ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup pairs (Manku web-dedup): banded candidate join
+    // + exact Hamming verify. maxHamming(3) < bands(4) makes the band
+    // index EXACT by pigeonhole, so the oracle is the plain all-pairs
+    // Hamming predicate with no band condition — the gate proves the
+    // banding loses nothing.
+    "q131_simhash_near_dup" -> Q(
+      (s, dir) => Dedup.simhashNearDup(Tables.documents(s, dir),
+          "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $simhashCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Temperature mixture rebalancing (alpha = 0.5) over a skewed
+    // synthetic source split (600/300/100 per thousand): keep rate
+    // sqrt(n_min/n_s), quantized to integer millionths at plan time.
+    // sqrt is IEEE-correctly-rounded, so the driver-side rate and the
+    // oracle's sqrt agree bit-for-bit (the reason the gate pins
+    // alpha = 0.5 — see temperatureMixture's scaladoc).
+    "q130_temperature_mixture" -> Q(
+      (s, dir) => Corpus.temperatureMixture(
+          Tables.documents(s, dir).select(col("doc_id"),
+            when(col("doc_id") % 10 < 6, "big")
+              .when(col("doc_id") % 10 < 9, "mid")
+              .otherwise("small").as("source")),
+          "doc_id", "temp1", "source", alpha = 0.5)
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid'
+        |         ELSE 'small' END AS source
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+        |mn AS (SELECT min(n) AS n_min FROM c),
+        |r AS (SELECT source,
+        |        CAST(trunc(sqrt(CAST(n_min AS DOUBLE) / n) * 1000000)
+        |          AS BIGINT) AS thr
+        |      FROM c CROSS JOIN mn)
+        |SELECT d.doc_id, d.source
+        |FROM d JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id || ':temp1'), 1, 15))
+        |        AS BIGINT) % 1000000 < thr
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // n-gram (unigram) Jaccard ≥ 0.9 over a key-sampled subset.
     // Candidate pairs come from the LSH banding path (equi-join on

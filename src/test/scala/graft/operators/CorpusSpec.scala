@@ -136,6 +136,32 @@ class CorpusSpec extends SparkSpec {
     assert(run(7L) === run(1L << 16))
   }
 
+  test("temperatureMixture flattens skewed sources; alpha=1 keeps all") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map { i =>
+      (i, if (i % 20 < 14) "big" else if (i % 20 < 18) "mid" else "small")
+    }.toDF("doc_id", "source") // 700 / 200 / 100
+    val kept = Corpus.temperatureMixture(docs, "doc_id", "t1", "source",
+        alpha = 0.5)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest source (100 rows) keeps everything
+    assert(kept("small") === 100L)
+    // big (700): rate sqrt(100/700) ≈ 0.378; mid (200): ≈ 0.707 —
+    // md5 buckets land near the expectation
+    assert(kept("big") > 200L && kept("big") < 330L, s"big=${kept("big")}")
+    assert(kept("mid") > 110L && kept("mid") < 180L, s"mid=${kept("mid")}")
+    // alpha = 1: natural distribution untouched
+    assert(Corpus.temperatureMixture(docs, "doc_id", "t1", "source",
+      alpha = 1.0).count() === 1000L)
+    // deterministic: same salt, same survivors
+    val a = Corpus.temperatureMixture(docs, "doc_id", "t1", "source", 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Corpus.temperatureMixture(docs, "doc_id", "t1", "source", 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
+
   test("exactQuantiles: nearest-rank values, ties, single-row group") {
     import spark.implicits._
     val rows = (1L to 10L).map(v => ("g1", v * 10L, v)) ++

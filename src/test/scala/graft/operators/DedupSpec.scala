@@ -230,6 +230,33 @@ class DedupSpec extends SparkSpec {
       assert(sel1.exists(p => p >= i && p < i + 4), s"window $i uncovered")
   }
 
+  test("simhashNearDup equals the all-pairs Hamming predicate (pigeonhole)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iotaY kappaY"),
+      (4L, "completely unrelated words that share nothing with the rest"),
+      (5L, "numbers one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDup(docs, "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference: every pair by exact Hamming, NO banding
+    val sh = Dedup.simhash(docs, "doc_id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === want) // banding must lose NOTHING (maxHamming < bands)
+    // the guardrail itself
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 4)
+    }
+  }
+
   test("winnowNearDupCandidates pairs copies, drops boilerplate prints") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
