@@ -373,6 +373,65 @@ object Similarity {
         col("neighbor_id"), col("cos").as("cosine"))
   }
 
+  /** Top principal direction of the (uncentered) embedding
+    * second-moment matrix by POWER ITERATION — the first step of
+    * embedding whitening / spectral compression, as an oracle-gateable
+    * distributed trainer. Per round: one corpus pass computes
+    * `dt = x·v` inside the scan (native dot), one partial agg reduces
+    * the 64 quantized component sums `Σ floor(x_d · dt · KmQ)`
+    * (integer-valued doubles below 2^53 sum EXACTLY in any order —
+    * the q84 k-means discipline), and only the dim-sized vector
+    * reaches the driver. Normalization is a fixed left-to-right fold,
+    * so every round — and therefore the whole trainer — is
+    * bit-reproducible in a SQL oracle.
+    */
+  def powerIterationTop(corpus: DataFrame, vecCol: String,
+      v0: Seq[Double], iters: Int): Seq[Double] = {
+    require(v0.nonEmpty && iters >= 0)
+    val dim = v0.size
+    var v = v0
+    for (_ <- 1 to iters) {
+      val scored = corpus.select(col(vecCol),
+        graft.expressions.VectorExpressions.dotF(col(vecCol),
+          array(v.map(lit): _*)).as("dt"))
+      val aggs = (0 until dim).map(d =>
+        sum(floor(element_at(col(vecCol), d + 1).cast("double") *
+          col("dt") * KmQ)).as(s"s$d"))
+      val r = scored.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val w = (0 until dim).map(d => r.getLong(d).toDouble / KmQ)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = if (nrm == 0) v else w.map(_ / nrm)
+    }
+    v
+  }
+
+  /** The `iters`-th power-iteration refinement as a DataFrame — runs
+    * [[powerIterationTop]] for `iters - 1` rounds, then expresses the
+    * final pass declaratively: (dim_idx, s, value) where `s` is the
+    * exact quantized component sum and `value` the normalized
+    * component (the k-means [[kmeansSummary]] shape).
+    */
+  def powerIterationSummary(corpus: DataFrame, vecCol: String,
+      v0: Seq[Double], iters: Int): DataFrame = {
+    require(iters >= 1)
+    val dim = v0.size
+    val vPrev = powerIterationTop(corpus, vecCol, v0, iters - 1)
+    val scored = corpus.select(col(vecCol),
+      graft.expressions.VectorExpressions.dotF(col(vecCol),
+        array(vPrev.map(lit): _*)).as("dt"))
+    val aggs = (0 until dim).map(d =>
+      sum(floor(element_at(col(vecCol), d + 1).cast("double") *
+        col("dt") * KmQ)).as(s"s$d"))
+    val g = scored.agg(aggs.head, aggs.tail: _*)
+    val nrm = sqrt((0 until dim).map(d =>
+      (col(s"s$d") / KmQ) * (col(s"s$d") / KmQ)).reduce(_ + _))
+    g.select(nrm.as("nrm"),
+        posexplode(array((0 until dim).map(d => col(s"s$d")): _*))
+          .as(Seq("dim_idx", "s")))
+      .select(col("dim_idx"), col("s"),
+        ((col("s") / KmQ) / col("nrm")).as("value"))
+  }
+
   /** IVF ANN over an INT8-QUANTIZED corpus — the 4×-compressed serving
     * path that [[quantizeInt8]] exists for. Coarse cells are assigned
     * on the full-precision vectors (standard IVF-PQ discipline: the

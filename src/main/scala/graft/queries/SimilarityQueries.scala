@@ -65,6 +65,12 @@ object SimilarityQueries extends QueryPack {
   private val KmInit: Seq[(Int, Seq[Double])] =
     Centroids.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble)) }
 
+  /** Fixed-seed start vector for the q132 power-iteration trainer. */
+  private val PiInit: Seq[Double] = {
+    val rnd = new scala.util.Random(777L)
+    Seq.fill(64)(rnd.nextGaussian())
+  }
+
   /** DuckDB literal of a float centroid: the WIDENED double value
     * (Float.toString would re-parse to a different double).
     */
@@ -392,6 +398,53 @@ object SimilarityQueries extends QueryPack {
           |SELECT query_id, rn, neighbor_id, cos AS cosine
           |FROM r WHERE rn <= 3
           |ORDER BY query_id, rn""".stripMargin)
+      }),
+
+    // Power-iteration PCA trainer (two rounds from a fixed seed
+    // vector): x·v rides the scan via the native dot, component sums
+    // are floor-quantized (exact integer-valued-double sums — the q84
+    // discipline), and normalization is a fixed left-to-right fold.
+    // The oracle replays round 1 with interpolated v0 literals and
+    // round 2 against the SQL-derived normalized vector; output is
+    // the q84 scalar shape (dim_idx, exact quantized sum, normalized
+    // component).
+    "q132_power_iteration" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(vec(col("embedding")).as("embedding"))
+        Similarity.powerIterationSummary(e, "embedding", PiInit, iters = 2)
+          .orderBy(col("dim_idx"))
+      },
+      {
+        val dim = 64
+        val q20 = "1048576.0"
+        val v0lit = PiInit.mkString("([", ", ", "]::DOUBLE[])")
+        val sums = (0 until dim).map(d =>
+          s"CAST(sum(CAST(floor(v[${d + 1}] * dt * $q20) AS BIGINT)) AS BIGINT) AS s$d")
+          .mkString(",\n|    ")
+        val nrmSql = (0 until dim).map(d => s"(s$d/$q20)*(s$d/$q20)")
+          .mkString("sqrt(", " + ", ")")
+        val v1list = (0 until dim).map(d => s"(s$d/$q20)/nrm")
+          .mkString("list_value(", ", ", ")")
+        val slist = (0 until dim).map(d => s"s$d")
+          .mkString("list_value(", ", ", ")")
+        Some(s"""WITH e AS (SELECT $vSql AS v FROM embeddings),
+          |a1 AS (SELECT v, ${dd("v", v0lit)} AS dt FROM e),
+          |g1 AS (SELECT
+          |    $sums
+          |  FROM a1),
+          |n1 AS (SELECT *, $nrmSql AS nrm FROM g1),
+          |a2 AS (SELECT e.v, ${dd("v", "vl")} AS dt
+          |       FROM e CROSS JOIN (SELECT $v1list AS vl FROM n1)),
+          |g2 AS (SELECT
+          |    $sums
+          |  FROM a2),
+          |n2 AS (SELECT $slist AS sl, $nrmSql AS nrm FROM g2)
+          |SELECT CAST(i AS INT) AS dim_idx, sl[i + 1] AS s,
+          |  (sl[i + 1] / $q20) / nrm AS value
+          |FROM n2 CROSS JOIN
+          |  (SELECT unnest(generate_series(0, ${dim - 1})) AS i)
+          |ORDER BY dim_idx""".stripMargin)
       }),
 
     // INT8-quantized IVF serving: cells assigned on full-precision

@@ -195,6 +195,26 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.5, s"int8 overlap $overlap vs full-precision IVF")
   }
 
+  test("power iteration recovers the dominant direction, bit-stably") {
+    import spark.implicits._
+    // variance concentrated on x; minor noise on y; z empty
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq(5f + (i % 3) * 0.1f, ((i * 7) % 5 - 2) * 0.1f, 0f))
+    }.toDF("vec_id", "embedding")
+    val v0 = Seq(0.5, 0.5, 0.5)
+    val v = Similarity.powerIterationTop(vecs, "embedding", v0, iters = 3)
+    assert(math.abs(v(0)) > 0.99, s"x must dominate: $v")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    // bit-stable across runs (quantized sums are order-free)
+    assert(Similarity.powerIterationTop(vecs, "embedding", v0, 3) === v)
+    // the declarative summary's final round equals the driver fold
+    val sum3 = Similarity.powerIterationSummary(vecs, "embedding", v0, 3)
+      .orderBy(col("dim_idx")).collect().map(_.getDouble(2)).toSeq
+    assert(sum3 === v)
+    // iters = 0 returns the seed
+    assert(Similarity.powerIterationTop(vecs, "embedding", v0, 0) === v0)
+  }
+
   test("quantizeInt8: range, exact boundaries, zero vector, error bound") {
     import spark.implicits._
     val vecs = Seq(
