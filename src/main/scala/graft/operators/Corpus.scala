@@ -86,6 +86,10 @@ object Corpus {
     * oracle; other alphas go through `math.pow`, whose last-ulp
     * behavior is libm-specific — fine in production, but a hash gate
     * should pin alpha = 0.5.
+    *
+    * Rows with a NULL source never match a rate branch and fall to
+    * [[mixtureSample]]'s defaultRate (1.0 here) — null-source docs
+    * are kept in full rather than silently dropped.
     */
   def temperatureMixture(df: DataFrame, idCol: String, salt: String,
       sourceCol: String, alpha: Double = 0.5): DataFrame = {
@@ -203,6 +207,10 @@ object Corpus {
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       tieCol: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    // output columns are q_<round(p*100)> — reject ps that collide
+    // (e.g. 0.501 and 0.504 both name q_50)
+    require(ps.map(p => (p * 100).round).distinct.size == ps.size,
+      s"quantile column names collide for ps=$ps")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(tieCol))
     val ranked = df
