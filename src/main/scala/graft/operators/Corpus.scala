@@ -224,4 +224,73 @@ object Corpus {
     ranked.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n_docs"), qAggs: _*)
   }
+
+  /** EXACT whole-corpus quantiles over an integer column WITHOUT a
+    * global sort or a single giant partition: iterative value-range
+    * bisection. The nearest-rank quantile p is the smallest value v
+    * with count(x <= v) >= ceil(p·n) — the count function over the
+    * integer domain is monotone, so each quantile binary-searches its
+    * value interval, and ALL quantiles advance together in ONE
+    * partial-agg pass per round (a handful of `sum(when(x <= mid))`
+    * counters). Rounds = ⌈log2(max - min)⌉ — ~40 passes even for a
+    * full 64-bit-range column, each a map-side-combined scan with a
+    * 1-row collect, so driver state is O(quantiles), never O(rows).
+    *
+    * This is the scale path [[exactQuantiles]]'s scaladoc points at
+    * for corpus-wide profiles: same nearest-rank definition, no
+    * per-group total order. Callers iterating at 100 TB should cache
+    * the projected single-column frame; at any scale the passes are
+    * shuffle-free.
+    *
+    * Output: ONE row (n_rows, q_<pp> …); empty input ⇒ n_rows = 0
+    * with null quantiles.
+    */
+  def quantilesBisect(df: DataFrame, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    require(ps.map(p => (p * 100).round).distinct.size == ps.size,
+      s"quantile column names collide for ps=$ps")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("long")
+    val vals = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val head = vals.agg(count(lit(1)), min(col("__v")), max(col("__v")))
+      .collect()(0)
+    val n = head.getLong(0)
+    val names = ps.map(p => s"q_${(p * 100).round}")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      names.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    if (n == 0L) {
+      val row = org.apache.spark.sql.Row.fromSeq(
+        0L +: names.map(_ => null))
+      return spark.createDataFrame(
+        java.util.Arrays.asList(row), schema)
+    }
+    val vMin = head.getLong(1)
+    val vMax = head.getLong(2)
+    val ranks = ps.map(p => math.ceil(p * n).toLong)
+    // invariant per quantile: count(<= lo) < rank <= count(<= hi)
+    val lo = Array.fill(ps.size)(vMin - 1)
+    val hi = Array.fill(ps.size)(vMax)
+    while (ranks.indices.exists(i => hi(i) - lo(i) > 1)) {
+      val open = ranks.indices.filter(i => hi(i) - lo(i) > 1)
+      // distinct midpoints: quantiles often share intervals early on
+      val mids = open.map(i => Math.floorDiv(lo(i) + hi(i), 2)).distinct
+      val cnts = vals.agg(
+          count(lit(1)).as("__c"), // anchor agg; keeps agg() total
+          mids.map(m => sum(when(col("__v") <= m, 1L).otherwise(0L))
+            .as(s"__le_$m")): _*)
+        .collect()(0)
+      val leOf = mids.zipWithIndex
+        .map { case (m, j) => m -> cnts.getLong(j + 1) }.toMap
+      open.foreach { i =>
+        val m = Math.floorDiv(lo(i) + hi(i), 2)
+        if (leOf(m) >= ranks(i)) hi(i) = m else lo(i) = m
+      }
+    }
+    val row = org.apache.spark.sql.Row.fromSeq(n +: hi.toSeq)
+    spark.createDataFrame(java.util.Arrays.asList(row), schema)
+  }
 }

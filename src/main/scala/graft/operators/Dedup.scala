@@ -522,4 +522,73 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Cross-document duplicated-substring spans — the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022), re-expressed without a
+    * suffix array: anchor on every L-token shingle, keep anchors
+    * whose shingle occurs in >= minDocs distinct documents, and
+    * coalesce overlapping/adjacent anchor windows [pos, pos+L) into
+    * maximal per-doc spans. Any duplicated run of >= L consecutive
+    * tokens is covered by at least one shared anchor, so span
+    * coverage is exact for runs >= L (shorter repeats are invisible
+    * by construction — L IS the threshold).
+    *
+    * 100 TB shape: shingle hashes ride the scan (native
+    * [[graft.expressions.WordShingles]] + md5-60), the
+    * document-frequency count is one shingle-keyed partial agg, the
+    * anchor filter is a shingle-keyed join, and span coalescing is a
+    * per-doc window over SURVIVING anchors only (bounded by each
+    * doc's duplicated-anchor count, never the corpus). No all-pairs
+    * product and no suffix-array global sort.
+    *
+    * Output one row per input doc (clean docs carry zeros):
+    * (idCol, n_tokens, n_dup_spans, dup_tokens, max_span_tokens,
+    * dup_ppm) where dup_ppm = ⌊1e6·dup_tokens / n_tokens⌋.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 1 && minDocs >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val L = spanTokens
+    val withN = docs.select(col(idCol).as("__doc"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
+      col(textCol).as("__txt"))
+    // WordShingles falls back to whole-text for short docs — guard to
+    // docs with >= L tokens so every anchor is a true L-gram.
+    val anchors = withN.filter(col("n_tokens") >= L)
+      .select(col("__doc"), posexplode(
+        graft.expressions.WordShingles.shinglesNative(col("__txt"), L))
+        .as(Seq("pos", "gram")))
+      .select(col("__doc"), col("pos"),
+        graft.expressions.Md5Hash60.hash60Native(col("gram")).as("h"))
+    val shared = anchors.groupBy(col("h"))
+      .agg(countDistinct(col("__doc")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h"))
+    val dup = anchors.join(shared, "h").select(col("__doc"), col("pos"))
+    val w = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+    val spans = dup
+      // break when the previous anchor window can't touch this one
+      .withColumn("__brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + L, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__doc"), col("__sid"))
+      .agg((max(col("pos")) + lit(L) - min(col("pos"))).cast("long")
+        .as("span_tokens"))
+    val perDoc = spans.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_tokens")).as("dup_tokens"),
+        max(col("span_tokens")).as("max_span_tokens"))
+    withN.select(col("__doc"), col("n_tokens"))
+      .join(perDoc, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        when(col("n_tokens") > 0,
+          expr("(1000000 * coalesce(dup_tokens, 0L)) div n_tokens"))
+          .otherwise(lit(0L)).as("dup_ppm"))
+  }
 }

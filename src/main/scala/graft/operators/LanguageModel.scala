@@ -45,10 +45,16 @@ object LanguageModel {
     * than two tokens yield NO bigrams — WordShingles' whole-text
     * fallback is guarded off to keep bigram semantics.
     */
-  def bigramKeys(textCol: Column): Column = {
+  def bigramKeys(textCol: Column): Column = ngramKeys(textCol, 2)
+
+  /** Case-folded "w1 … wn" n-gram key strings via the native one-pass
+    * [[graft.expressions.WordShingles]], with the whole-text fallback
+    * guarded off: documents with fewer than n tokens yield NO n-grams.
+    */
+  def ngramKeys(textCol: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(textCol)
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(graft.expressions.WordShingles.shinglesNative(textCol, 2))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(graft.expressions.WordShingles.shinglesNative(textCol, n))
   }
 
   /** Corpus bigram model keyed by the "w1 w2" string: c12 = count of
@@ -98,5 +104,78 @@ object LanguageModel {
           .as("surprise_ppm"),
         sum(when(col("c12").isNull || col("cd") === col("c12"), col("cd"))
           .otherwise(lit(0L))).as("n_novel"))
+  }
+
+  /** Corpus unigram counts over the case-folded whitespace tokens:
+    * (w, cu). Vocabulary-bounded after one partial-agg shuffle.
+    */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+
+  /** Per-document interpolated trigram-LM score — the higher-order
+    * analog of [[surprise]] (Jelinek–Mercer interpolation with fixed
+    * integer weights): each trigram occurrence scores
+    *   interp_ppm = (5·p3 + 3·p2 + 2·p1) div 10, where
+    *   p3 = ppm(c123 / c12)  — trigram MLE given the "w1 w2" context,
+    *   p2 = ppm(c23  / c(w2)) — bigram  MLE given w2,
+    *   p1 = ppm(c(w3) / N)    — unigram prior,
+    * all as integer parts-per-million so partial-agg order can't
+    * perturb the gate. Unseen components coalesce to 0 — the unigram
+    * floor keeps scores nonzero for any in-vocabulary w3, exactly the
+    * role of interpolation in LM smoothing.
+    *
+    * 100 TB shape: three model tables — trigram, bigram, unigram
+    * counts — are all vocabulary-bounded partial aggs; scoring joins
+    * each doc's DISTINCT trigrams (pre-aggregated multiplicity `cd`)
+    * against them on string keys, and the total-token scalar rides a
+    * ONE-ROW broadcast (the q125 pattern — the only way to attach a
+    * corpus scalar without a shuffle).
+    *
+    * Output one row per input doc (docs with < 3 tokens carry zeros):
+    * (idCol, n_trigrams, interp_ppm_sum, min_interp_ppm).
+    */
+  def trigramInterpolated(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val uni = unigramCounts(docs, textCol)
+    val tot = uni.agg(sum(col("cu")).as("n_total"))
+    val bg = docs.select(explode(bigramKeys(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val triKeys = ngramKeys(col(textCol), 3)
+    val tri = docs.select(explode(triKeys).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c123"))
+    val docTri = docs.select(col(idCol).as("__doc"), explode(triKeys).as("tg"))
+      .groupBy(col("__doc"), col("tg")).agg(count(lit(1)).as("cd"))
+    // tokens contain no spaces, so the "w1 w2 w3" key splits losslessly
+    val scored = docTri
+      .join(tri, Seq("tg"), "left")
+      .withColumn("w12", substring_index(col("tg"), " ", 2))
+      .withColumn("w23", substring_index(col("tg"), " ", -2))
+      .withColumn("w2", substring_index(col("w23"), " ", 1))
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+      .join(bg.select(col("bg").as("w12"), col("cb").as("c12")),
+        Seq("w12"), "left")
+      .join(bg.select(col("bg").as("w23"), col("cb").as("c23")),
+        Seq("w23"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("interp_ppm", expr(
+        """(5 * coalesce((1000000 * c123) div c12, 0L)
+          | + 3 * coalesce((1000000 * c23) div cu2, 0L)
+          | + 2 * coalesce((1000000 * cu3) div n_total, 0L)) div 10"""
+          .stripMargin))
+    val perDoc = scored.groupBy(col("__doc"))
+      .agg(sum(col("cd")).as("n_trigrams"),
+        sum(col("cd") * col("interp_ppm")).as("interp_ppm_sum"),
+        min(col("interp_ppm")).as("min_interp_ppm"))
+    docs.select(col(idCol).as("__doc"))
+      .join(perDoc, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("interp_ppm_sum"), lit(0L)).as("interp_ppm_sum"),
+        coalesce(col("min_interp_ppm"), lit(0L)).as("min_interp_ppm"))
   }
 }

@@ -762,7 +762,130 @@ object IndexQueries extends QueryPack {
         |       WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, count(*) AS n_shared
         |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Exact-substring dedup signal (Lee et al. 2022) without a suffix
+    // array: L-token shingle anchors shared by >= 2 docs, coalesced
+    // into maximal per-doc duplicated spans. L=5 so the synthetic
+    // corpus' repeated sentences surface as spans, not noise.
+    "q133_dup_spans" -> Q(
+      (s, dir) => Dedup.dupSpans(
+          Tables.documents(s, dir), "doc_id", "text", spanTokens = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |dfh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |                       FROM sh GROUP BY h) WHERE nd >= 2),
+        |dup AS (SELECT doc_id, pos FROM sh JOIN dfh USING (h)),
+        |br AS (SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                 + 5 THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |sp AS (SELECT doc_id, sid,
+        |    CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
+        |  FROM (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        |        FROM br)
+        |  GROUP BY doc_id, sid),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+        |    CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_tokens,
+        |  COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+        |  COALESCE(pd.max_span_tokens, 0) AS max_span_tokens,
+        |  CASE WHEN d.n_tokens > 0
+        |       THEN (1000000 * COALESCE(pd.dup_tokens, 0)) // d.n_tokens
+        |       ELSE 0 END AS dup_ppm
+        |FROM d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Whole-corpus token-length quantiles WITHOUT a global sort: the
+    // value-range bisection path (one partial-agg pass per bisection
+    // round). Same nearest-rank definition as q128, one global row.
+    "q134_quantiles_bisect" -> Q(
+      (s, dir) => {
+        import graft.operators.{Corpus, TextAnalysis}
+        Corpus.quantilesBisect(
+          Tables.documents(s, dir).select(
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+          "n_tokens", Seq(0.5, 0.9, 0.99))
+      },
+      Some(s"""WITH $toksCte,
+        |l AS (SELECT len(toks) AS n_tokens FROM t),
+        |r AS (SELECT n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM l)
+        |SELECT CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(max(CASE WHEN rnk = ceil(0.5 * n) THEN n_tokens END)
+        |    AS BIGINT) AS q_50,
+        |  CAST(max(CASE WHEN rnk = ceil(0.9 * n) THEN n_tokens END)
+        |    AS BIGINT) AS q_90,
+        |  CAST(max(CASE WHEN rnk = ceil(0.99 * n) THEN n_tokens END)
+        |    AS BIGINT) AS q_99
+        |FROM r""".stripMargin)),
+
+    // Interpolated trigram-LM scoring (Jelinek–Mercer with fixed
+    // integer weights 5/3/2): the higher-order analog of q100's
+    // bigram surprise — three vocabulary-bounded model tables, then a
+    // distinct-trigram join per doc. Integer ppm end-to-end.
+    "q135_trigram_interp" -> Q(
+      (s, dir) => LanguageModel.trigramInterpolated(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH lt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |u AS (SELECT w, count(*) AS cu
+        |      FROM (SELECT unnest(t) AS w FROM lt) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM u),
+        |bg AS (SELECT t[i] AS b1, t[i+1] AS b2, count(*) AS cb
+        |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM lt WHERE len(t) >= 2) GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |       FROM (SELECT doc_id, t,
+        |               unnest(generate_series(1, len(t) - 2)) AS i
+        |             FROM lt WHERE len(t) >= 3)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+        |dt AS (SELECT doc_id, w1, w2, w3, count(*) AS cd
+        |       FROM tg GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT dt.doc_id, dt.cd,
+        |    (5 * COALESCE((1000000 * c3.c123) // m12.cb, 0)
+        |     + 3 * COALESCE((1000000 * m23.cb) // u2.cu, 0)
+        |     + 2 * COALESCE((1000000 * u3.cu) // tot.n_total, 0)) // 10
+        |      AS ppm
+        |  FROM dt
+        |  LEFT JOIN c3 USING (w1, w2, w3)
+        |  LEFT JOIN bg m12 ON m12.b1 = dt.w1 AND m12.b2 = dt.w2
+        |  LEFT JOIN bg m23 ON m23.b1 = dt.w2 AND m23.b2 = dt.w3
+        |  LEFT JOIN u u2 ON u2.w = dt.w2
+        |  LEFT JOIN u u3 ON u3.w = dt.w3
+        |  CROSS JOIN tot),
+        |pd AS (SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(cd * ppm) AS BIGINT) AS interp_ppm_sum,
+        |    CAST(min(ppm) AS BIGINT) AS min_interp_ppm
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(pd.n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(pd.interp_ppm_sum, 0) AS interp_ppm_sum,
+        |  COALESCE(pd.min_interp_ppm, 0) AS min_interp_ppm
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

@@ -179,4 +179,33 @@ class CorpusSpec extends SparkSpec {
     assert(got("g2") === ((1L, 7L, 7L, 7L)))
     assert(got("g3") === ((4L, 5L, 5L, 5L)))
   }
+
+  test("quantilesBisect matches the nearest-rank window definition") {
+    import spark.implicits._
+    // skewed + tied values, negatives included
+    val vals = Seq(-5L, -5L, 0L, 3L, 3L, 3L, 7L, 100L, 1000L, 1000L)
+    val df = vals.toDF("v")
+    val r = Corpus.quantilesBisect(df, "v", Seq(0.5, 0.9, 0.99, 1.0))
+      .collect()(0)
+    // n=10 → ranks 5, 9, 10, 10; sorted: -5 -5 0 3 3 3 7 100 1000 1000
+    assert(r.getLong(0) === 10L)
+    assert(r.getLong(1) === 3L)     // q_50: rank 5
+    assert(r.getLong(2) === 1000L)  // q_90: rank 9
+    assert(r.getLong(3) === 1000L)  // q_99: rank 10
+    assert(r.getLong(4) === 1000L)  // q_100
+  }
+
+  test("quantilesBisect: constant column, single row, empty input") {
+    import spark.implicits._
+    val const = Corpus.quantilesBisect(
+      Seq(42L, 42L, 42L).toDF("v"), "v", Seq(0.5, 0.99)).collect()(0)
+    assert(const.getLong(0) === 3L && const.getLong(1) === 42L &&
+      const.getLong(2) === 42L)
+    val one = Corpus.quantilesBisect(
+      Seq(-9L).toDF("v"), "v", Seq(0.5)).collect()(0)
+    assert(one.getLong(0) === 1L && one.getLong(1) === -9L)
+    val empty = Corpus.quantilesBisect(
+      Seq.empty[Long].toDF("v"), "v", Seq(0.5, 0.9)).collect()(0)
+    assert(empty.getLong(0) === 0L && empty.isNullAt(1) && empty.isNullAt(2))
+  }
 }

@@ -338,4 +338,42 @@ class DedupSpec extends SparkSpec {
     assert(m(2L) == ((0L, 0L, "")))
     assert(m(3L) == ((0L, 0L, "")))
   }
+
+  test("dupSpans flags shared >=L-token runs and coalesces overlaps") {
+    import spark.implicits._
+    // docs 1 and 2 share the 8-token run "one two three four five six
+    // seven eight" (anchors at pos 0..3 for L=5 → one merged span of 8);
+    // doc 3 is clean; doc 4 is too short for any L=5 anchor.
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, shared + " alpha beta gamma delta epsilon"),
+      (2L, "zeta eta " + shared),
+      (3L, "totally different words with no repeated runs at all here ok"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", spanTokens = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+      .toMap
+    assert(out(1L) == ((13L, 1L, 8L, 8L, 1000000L * 8 / 13)))
+    assert(out(2L) == ((10L, 1L, 8L, 8L, 800000L)))
+    assert(out(3L) == ((11L, 0L, 0L, 0L, 0L)))
+    assert(out(4L) == ((2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("dupSpans splits non-touching runs into separate spans") {
+    import spark.implicits._
+    val runA = "a1 a2 a3 a4 a5"
+    val runB = "b1 b2 b3 b4 b5"
+    val docs = Seq(
+      (1L, runA + " x y z w v u t s " + runB),
+      (2L, runA + " completely other middle text here now " + runB))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", spanTokens = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((2L, 10L))) // two disjoint 5-token spans
+    assert(out(2L) == ((2L, 10L)))
+  }
 }

@@ -73,4 +73,24 @@ class LanguageModelSpec extends SparkSpec {
     assert(model.count() === 0)
     assert(LanguageModel.surprise(tiny, model, "doc_id", "text").count() === 0)
   }
+
+  test("trigramInterpolated: hand-computed ppm on a 3-doc corpus") {
+    // unigrams a:3 b:3 c:3 x:1 y:1 → N=11; bigrams "a b":3 "b c":3
+    // "c a":1 "x y":1; trigrams "a b c":3 "b c a":1 "c a b":1
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "x y"), // too short for trigrams → zeros
+      (3L, "a b c a b c")).toDF("doc_id", "text")
+    val out = LanguageModel.trigramInterpolated(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // "a b c": p3=1e6·3/3, p2("b c"|b)=1e6·3/3, p1(c)=1e6·3/11=272727
+    //   → (5000000+3000000+545454) div 10 = 854545
+    // "b c a": p3=333333, p2=333333, p1=272727 → 321211
+    // "c a b": p3=1000000, p2=1000000, p1=272727 → 854545
+    assert(out(1L) == ((1L, 854545L, 854545L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+    assert(out(3L) == ((4L, 2L * 854545 + 321211 + 854545, 321211L)))
+  }
 }

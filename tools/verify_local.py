@@ -3,7 +3,7 @@
 code): run graft.Verify, then replay each oracle SQL in DuckDB over the
 same parquet tables and diff values exactly.
 
-Usage: tools/verify_local.py [sfdir] [outdir]
+Usage: tools/verify_local.py [sfdir] [outdir] [only: q1,q2,...]
 """
 import json, math, subprocess, sys
 from pathlib import Path
@@ -18,9 +18,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+ONLY = sys.argv[3] if len(sys.argv) > 3 else None
+
+
 def run_verify():
-    r = subprocess.run(["tools/run.sh", "graft.Verify", SF, str(OUT)],
-                       cwd=REPO, capture_output=True, text=True)
+    cmd = ["tools/run.sh", "graft.Verify", SF, str(OUT)]
+    if ONLY:
+        cmd.append(ONLY)
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-3000:])
         print(r.stderr[-3000:])
