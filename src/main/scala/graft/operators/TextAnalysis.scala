@@ -120,6 +120,52 @@ object TextAnalysis {
       .when(cFr >= cEs, lit("fr"))
       .otherwise(lit("es"))
 
+  /** Writing-system interval classes for [[scriptCounts]], in fixed
+    * dominance-priority order: (name, BMP codepoint intervals). Range
+    * classes, not Unicode letter properties — [À-ɏ] includes × and ÷
+    * by construction, exactly as the portable regex `[\x{C0}-\x{24F}]`
+    * would. The oracle regex per class derives from THIS table
+    * (single source, no drift).
+    */
+  val ScriptClasses: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin"  -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    "cyrl"   -> Seq((0x400, 0x4FF)),
+    "grek"   -> Seq((0x370, 0x3FF)),
+    "arab"   -> Seq((0x600, 0x6FF)),
+    "cjk"    -> Seq((0x4E00, 0x9FFF)),
+    "hang"   -> Seq((0xAC00, 0xD7AF)))
+
+  /** The `[\x{lo}-\x{hi}…]` regex for one ScriptClasses entry — the
+    * DuckDB-side rendition (RE2 and Java agree on \x{…} classes).
+    */
+  def scriptClassRegex(intervals: Seq[(Int, Int)]): String =
+    intervals.map { case (lo, hi) =>
+      f"\\x{$lo%x}-\\x{$hi%x}" }.mkString("[", "", "]")
+
+  /** One-pass per-script codepoint counts (array aligned with
+    * [[ScriptClasses]]) via the native [[graft.expressions.ScriptCounts]]
+    * — six regex scans collapsed into a single character walk.
+    */
+  def scriptCounts(c: Column): Column =
+    graft.expressions.ScriptCounts.counts(c, ScriptClasses.map(_._2))
+
+  /** Dominant script from PRE-COMPUTED class counts: the first class
+    * in [[ScriptClasses]] order with a maximal count, or 'none' when
+    * every count is zero (mirrored verbatim in the oracle CASE chain).
+    */
+  def dominantScript(counts: Seq[Column]): Column = {
+    require(counts.size == ScriptClasses.size)
+    val allZero = counts.map(_ === 0).reduce(_ && _)
+    val names = ScriptClasses.map(_._1)
+    // first maximal in priority order: c_i >= every later count
+    val chain = names.indices.init.foldRight(
+      lit(names.last): Column) { (i, elseCol) =>
+      when(counts.drop(i + 1).map(counts(i) >= _).reduce(_ && _),
+        lit(names(i))).otherwise(elseCol)
+    }
+    when(allZero, lit("none")).otherwise(chain)
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the exact-dup key that ignores formatting (rolling-hash
     * analog with a canonical form). The canonical join runs through

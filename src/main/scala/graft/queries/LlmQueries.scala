@@ -764,6 +764,67 @@ object LlmQueries extends QueryPack {
           |  CAST(($quality) >= 0.5 AND ($lang) = 'en' AS INT) AS kept
           |FROM documents
           |ORDER BY doc_id""".stripMargin)
+      }),
+
+    // Writing-system profile: six script classes counted in ONE native
+    // character walk (ScriptCounts) vs six regex passes in the oracle;
+    // dominant-script argmax with fixed priority. The corpus is mostly
+    // Latin/CJK, so non-Latin suffixes are planted deterministically
+    // per doc_id — Scala-built literals on the Spark side, repeat()
+    // on the DuckDB side, same codepoints.
+    "q136_script_profile" -> Q(
+      (s, dir) => {
+        val suffix = when(col("doc_id") % 6 === 1, lit("а" * 200))
+          .when(col("doc_id") % 6 === 2, lit("α" * 150))
+          .when(col("doc_id") % 6 === 3, lit("ا" * 180))
+          .when(col("doc_id") % 6 === 4, lit("가" * 160))
+          .when(col("doc_id") % 6 === 5, lit("а" * 60 + "ا" * 60))
+          .otherwise(lit(""))
+        val names = TextAnalysis.ScriptClasses.map(_._1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(col("text"), suffix).as("__t"))
+          .select(col("doc_id"),
+            TextAnalysis.scriptCounts(col("__t")).as("__sc"))
+          .select(col("doc_id") +: col("__sc").isNull.as("__null") +:
+            names.zipWithIndex.map { case (n, i) =>
+              col("__sc")(i).cast("long").as(s"c_$n") }: _*)
+          .withColumn("script", when(col("__null"), lit(null).cast("string"))
+            .otherwise(TextAnalysis.dominantScript(
+              names.map(n => col(s"c_$n")))))
+          .drop("__null")
+          .orderBy(col("doc_id"))
+      },
+      {
+        val classes = TextAnalysis.ScriptClasses
+        val counts = classes.map { case (n, ivs) =>
+          s"len(regexp_extract_all(t, '${TextAnalysis.scriptClassRegex(ivs)}')) AS c_$n" }
+        val names = classes.map(_._1)
+        val argmax = names.init.zipWithIndex.reverse.foldLeft(
+          s"'${names.last}'") { case (els, (n, i)) =>
+          val cond = names.drop(i + 1).map(m => s"c_$n >= c_$m")
+            .mkString(" AND ")
+          s"CASE WHEN $cond THEN '$n' ELSE $els END"
+        }
+        val allZero = names.map(n => s"c_$n = 0").mkString(" AND ")
+        Some(s"""WITH aug AS (
+          |  SELECT doc_id, text ||
+          |    CASE CAST(doc_id % 6 AS INT)
+          |      WHEN 1 THEN repeat('а', 200)
+          |      WHEN 2 THEN repeat('α', 150)
+          |      WHEN 3 THEN repeat('ا', 180)
+          |      WHEN 4 THEN repeat('가', 160)
+          |      WHEN 5 THEN repeat('а', 60) || repeat('ا', 60)
+          |      ELSE '' END AS t
+          |  FROM documents),
+          |c AS (SELECT doc_id, t, ${counts.mkString(",\n          |  ")}
+          |      FROM aug)
+          |SELECT doc_id, ${names.map(n => s"CAST(c_$n AS BIGINT) AS c_$n")
+            .mkString(", ")},
+          |  CASE WHEN t IS NULL THEN NULL
+          |       WHEN $allZero THEN 'none' ELSE $argmax END AS script
+          |FROM c
+          |ORDER BY doc_id""".stripMargin)
       })
   )
 }
