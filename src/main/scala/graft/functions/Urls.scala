@@ -28,6 +28,16 @@ object Urls {
       "^www\\.", "")
   }
 
+  /** Last two dot-labels of an already-[[host]]-normalized hostname —
+    * the eTLD+1 approximation that groups `crawl1.site3.com` and
+    * `cdn.site3.com` under `site3.com`. A production crawl pipeline
+    * substitutes a Public Suffix List lookup here (a broadcast map
+    * join); the Spark shape — a pure column expression riding the
+    * scan — is identical.
+    */
+  def registrableDomain(host: Column): Column =
+    when(host === "", lit("")).otherwise(substring_index(host, ".", -2))
+
   def normalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, schemePat, 1))

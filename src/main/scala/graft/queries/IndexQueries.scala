@@ -885,7 +885,48 @@ object IndexQueries extends QueryPack {
         |  COALESCE(pd.interp_ppm_sum, 0) AS interp_ppm_sum,
         |  COALESCE(pd.min_interp_ppm, 0) AS min_interp_ppm
         |FROM documents d LEFT JOIN pd USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Domain-level corpus governance: parse host/registrable domain
+    // from (synthesized) per-doc URLs, drop blocklisted domains, and
+    // roll up doc/host/token counts per domain. The oracle derives
+    // host and domain from the GENERATOR arithmetic, so Spark's URL
+    // parsing chain is checked against ground truth, not re-parsed.
+    "q137_domain_stats" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val d = col("doc_id")
+        val url = concat(lit("https://"),
+          when(d % 5 === 0, lit("www."))
+            .otherwise(concat(lit("crawl"), d % 3, lit("."))),
+          lit("site"), d % 7, lit(".com/page/"), d)
+        Tables.documents(s, dir)
+          .select(d, size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_toks"), url.as("url"))
+          .withColumn("host", Urls.host(col("url")))
+          .withColumn("domain", Urls.registrableDomain(col("host")))
+          .filter(!col("domain").isin("site1.com", "site4.com"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"),
+            sum(col("n_toks")).as("n_tokens"))
+          .orderBy(col("domain"))
+      },
+      Some(s"""WITH $toksCte,
+        |d AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+        |    CASE WHEN t.doc_id % 5 = 0
+        |         THEN 'site' || (t.doc_id % 7) || '.com'
+        |         ELSE 'crawl' || (t.doc_id % 3) || '.site' ||
+        |              (t.doc_id % 7) || '.com' END AS host,
+        |    'site' || (t.doc_id % 7) || '.com' AS domain
+        |  FROM t)
+        |SELECT domain, count(*) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM d
+        |WHERE domain NOT IN ('site1.com', 'site4.com')
+        |GROUP BY domain
+        |ORDER BY domain""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

@@ -284,6 +284,33 @@ object StreamingQueries extends QueryPack {
           |FROM documents
           |WHERE ($quality) >= 0.5 AND ($lang) = 'en'
           |ORDER BY doc_id""".stripMargin)
-      })
+      }),
+
+    // HLL cardinality as STREAMING STATE: the q105 register build —
+    // stateless (idx, rank) projection then a streaming MAX per
+    // register — run in Complete mode. State is bounded by m = 64
+    // registers regardless of stream length, the production shape for
+    // continuous distinct-count monitoring; registers hash-match the
+    // batch formulation (§2.8 unification, fourth instance).
+    "q138_stream_hll" -> Q(
+      (s, dir) => Streams.runToTable(
+          graft.operators.Sketch.hllRegisters(
+            eventsStream(s, dir)
+              .select(concat(lit("u"), col("user_id")).as("k")),
+            col("k"), 64),
+          OutputMode.Complete())
+        .orderBy(col("idx")),
+      Some("""WITH k AS (
+        |  SELECT CAST(('0x' || substr(md5('u' || user_id), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM events),
+        |rk AS (
+        |  SELECT h % 64 AS idx,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |         ELSE 55 - length(bin(h >> 6)) END AS rank
+        |  FROM k)
+        |SELECT idx, CAST(max(rank) AS INT) AS max_rank
+        |FROM rk GROUP BY idx
+        |ORDER BY idx""".stripMargin))
   )
 }

@@ -53,4 +53,13 @@ class UrlsSpec extends SparkSpec {
     val once = norm(messy: _*)
     assert(norm(once: _*) == once)
   }
+
+  test("registrableDomain keeps the last two labels") {
+    val doms = Seq("crawl1.site3.com", "a.b.c.example.org", "x.com",
+        "localhost", "")
+      .toDF("h").select(Urls.registrableDomain(col("h")))
+      .as[String].collect().toSeq
+    assert(doms == Seq("site3.com", "example.org", "x.com",
+      "localhost", ""))
+  }
 }
