@@ -34,8 +34,15 @@ object Bench {
       SparkEntry.queries.get(w).foreach(fn => try runOne(fn) catch { case _: Throwable => () })
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // dev-only subset filter; the driver sets no filter and times all
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").toSet
+        SparkEntry.queries.view.filterKeys(keep).toMap
+      case None => SparkEntry.queries
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until iters).iterator.map { _ =>
         val t0 = System.nanoTime()
         try { runOne(fn); (System.nanoTime() - t0) / 1e9 } catch {
