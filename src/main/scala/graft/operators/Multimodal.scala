@@ -236,6 +236,100 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, out)
   }
 
+  /** Deterministic 8×8 RAMP GIF: 256-level grayscale IDENTITY palette
+    * (entry i = rgb(i,i,i)), pixel (x,y) = (seed·31 + y·w + x) mod
+    * 256. GIF's LZW compression is lossless over palette indices, so
+    * unlike the JPEG flat field this TEXTURED payload round-trips
+    * exactly — the gate covers a non-constant raster through a real
+    * lossy-container-free codec.
+    */
+  def syntheticGif(seed: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          Math.floorMod(seed * 31 + y * w + x, 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  def isGif(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 6 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+      bytes(5) == 'a'
+
+  /** REAL GIF decode (`javax.imageio`): bytes → (width, height,
+    * min/max/sum over the decoded GRAY levels). The decoded image is
+    * palette-indexed, so values read through `getRGB & 0xFF` — the
+    * palette lookup — not the raw raster index (identical here only
+    * because the identity palette makes index == gray; the RGB read
+    * is the decode-correct path for ANY palette).
+    */
+  def decodeGifGrayStats(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (mn, mx, sum) = (Long.MaxValue, Long.MinValue, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val s = (img.getRGB(x, y) & 0xFF).toLong
+            sum += s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            x += 1
+          }
+          y += 1
+        }
+        if (w == 0 || h == 0) None else Some((w, h, mn, mx, sum))
+      }
+    } catch { case _: Exception => None }
+
+  /** q141's operator: encode a deterministic ramp GIF per row and run
+    * it through the REAL JDK GIF decoder — the palette-codec analog
+    * of [[jpegRoundTripStats]], one codec context per partition, no
+    * shuffle.
+    */
+  def gifRoundTripStats(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("px_min", LongType),
+      StructField("px_max", LongType),
+      StructField("px_sum", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = syntheticGif(id)
+        require(isGif(bytes), s"GIF encoder produced a non-GIF for id $id")
+        val (w, h, mn, mx, sum) = decodeGifGrayStats(bytes)
+          .getOrElse(throw new IllegalStateException(
+            s"GIF round-trip failed for id $id"))
+        Row(id, w, h, mn, mx, sum)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   private val RiffMagic = Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte)
 
   def isWav(bytes: Array[Byte]): Boolean =

@@ -926,7 +926,83 @@ object IndexQueries extends QueryPack {
         |FROM d
         |WHERE domain NOT IN ('site1.com', 'site4.com')
         |GROUP BY domain
-        |ORDER BY domain""".stripMargin))
+        |ORDER BY domain""".stripMargin)),
+
+    // Corpus diversity monitoring: per-source trigram type-token ratio
+    // (distinct / total n-grams in ppm) — the Self-BLEU-adjacent
+    // signal that flags template-heavy or mode-collapsed sources.
+    // Vocabulary-bounded partial aggs; n-gram keys ride the native
+    // shingle scan.
+    "q139_ngram_diversity" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tg = docs.select(col("source"),
+            explode(LanguageModel.ngramKeys(col("text"), 3)).as("tg"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("total_trigrams"),
+            countDistinct(col("tg")).as("distinct_trigrams"))
+        base.join(tg, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("total_trigrams"), lit(0L)).as("total_trigrams"),
+            coalesce(col("distinct_trigrams"), lit(0L))
+              .as("distinct_trigrams"),
+            when(coalesce(col("total_trigrams"), lit(0L)) > 0,
+              expr("(1000000 * distinct_trigrams) div total_trigrams"))
+              .otherwise(lit(0L)).as("ttr_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH lt AS (
+        |  SELECT source,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |tg AS (SELECT source, array_to_string(t[i:i+2], ' ') AS tg
+        |       FROM (SELECT source, t,
+        |               unnest(generate_series(1, len(t) - 2)) AS i
+        |             FROM lt WHERE len(t) >= 3)),
+        |g AS (SELECT source, count(*) AS total_trigrams,
+        |        count(DISTINCT tg) AS distinct_trigrams
+        |      FROM tg GROUP BY source),
+        |b AS (SELECT source, count(*) AS n_docs FROM documents
+        |      GROUP BY source)
+        |SELECT b.source, b.n_docs,
+        |  COALESCE(g.total_trigrams, 0) AS total_trigrams,
+        |  COALESCE(g.distinct_trigrams, 0) AS distinct_trigrams,
+        |  CASE WHEN COALESCE(g.total_trigrams, 0) > 0
+        |       THEN (1000000 * g.distinct_trigrams) // g.total_trigrams
+        |       ELSE 0 END AS ttr_ppm
+        |FROM b LEFT JOIN g USING (source)
+        |ORDER BY source""".stripMargin)),
+
+    // Cross-source exact-overlap matrix: how many canonical-text
+    // fingerprints two sources share (diagonal = a source's distinct
+    // fingerprint count). The leakage/contamination dashboard between
+    // corpus slices — one fingerprint-keyed self-join over the
+    // DISTINCT (source, fp) frame, never doc×doc.
+    "q140_source_overlap" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val fps = Tables.documents(s, dir)
+          .select(col("source"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .distinct()
+        fps.select(col("source").as("src_a"), col("fp"))
+          .join(fps.select(col("source").as("src_b"), col("fp")), "fp")
+          .filter(col("src_a") <= col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH f AS (
+        |  SELECT DISTINCT source, md5(array_to_string(
+        |      string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        |      ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source <= b.source
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

@@ -646,6 +646,27 @@ object LlmQueries extends QueryPack {
         |FROM documents
         |ORDER BY doc_id""".stripMargin)),
 
+    // REAL GIF decode through the JDK's palette codec: a TEXTURED
+    // ramp raster (LZW is lossless, so non-constant pixels round-trip
+    // exactly, unlike the JPEG flat-field constraint) against the
+    // generating formula replayed per pixel via generate_series.
+    "q141_gif_decode" -> Q(
+      (s, dir) => Multimodal.gifRoundTripStats(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("px_min"), col("px_max"), col("px_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH px AS (
+        |  SELECT doc_id, ((doc_id * 31) + k) % 256 AS p
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS k
+        |        FROM documents))
+        |SELECT doc_id, 8 AS width, 8 AS height,
+        |  CAST(min(p) AS BIGINT) AS px_min,
+        |  CAST(max(p) AS BIGINT) AS px_max,
+        |  CAST(sum(p) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
     // REAL audio decode through the JDK's WAV codec
     // (javax.sound.sampled): encode a deterministic 16-bit PCM payload
     // per document, decode it back, and gate the decoder's integer

@@ -138,6 +138,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF: textured ramp round-trips exactly for every wrap position") {
+    // LZW over palette indices is lossless — the q141 oracle's claim.
+    // Sweep seeds so the 64-pixel ramp starts at every residue,
+    // including the >192 starts that wrap past 255.
+    for (v <- 0 until 256) {
+      val seed = v.toLong * 33 // seed*31 mod 256 covers all residues
+      val bytes = Multimodal.syntheticGif(seed, w = 8, h = 8)
+      assert(Multimodal.isGif(bytes))
+      assert(!Multimodal.isJpeg(bytes) && !Multimodal.isPng(bytes))
+      val Some((w, h, mn, mx, sum)) = Multimodal.decodeGifGrayStats(bytes)
+      assert((w, h) === ((8, 8)))
+      val px = (0 until 64).map(k => Math.floorMod(seed * 31 + k, 256L))
+      assert(mn === px.min && mx === px.max && sum === px.sum,
+        s"ramp at seed $seed drifted")
+    }
+  }
+
   test("JPEG: textured image decodes with bounded error (real DCT path)") {
     // a non-flat image exercises the full quantize/IDCT path; the
     // codec is lossy there, so the contract is bounded deviation
