@@ -293,4 +293,33 @@ object Corpus {
     val row = org.apache.spark.sql.Row.fromSeq(n +: hi.toSeq)
     spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
+
+  /** Per-shard ZONEMAP — the data-skipping index (min/max/count per
+    * clustering key per shard) a 100 TB table maintains per file /
+    * row-group so range predicates prune I/O before any scan. One
+    * partial-agg shuffle keyed by shard; output is shard-cardinality-
+    * bounded, the frame a writer would persist next to the data (or
+    * feed to a metastore). Pair with [[graft.functions.ZOrder]] keys
+    * as shardCol to make multi-column ranges skippable.
+    *
+    * Output: (shard, n_rows, min_<k>, max_<k> …) one row per shard.
+    */
+  def zonemap(df: DataFrame, shardCol: Column,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+    df.groupBy(shardCol.as("shard"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Range-predicate pruning over a [[zonemap]]: marks each shard
+    * skippable when its [min,max] interval for `key` cannot intersect
+    * [lo, hi] — the planner-side half of data skipping (the list of
+    * surviving shards is what a scan would actually open).
+    */
+  def pruneRange(zm: DataFrame, key: String, lo: Column,
+      hi: Column): DataFrame =
+    zm.withColumn("can_skip",
+      col(s"max_$key") < lo || col(s"min_$key") > hi)
 }

@@ -82,6 +82,71 @@ object QualityFilters {
     * broadcast hash join inside the scan, then one partial-agg
     * shuffle keyed by document. No corpus-side join shuffle.
     */
+  /** The Gopher rule battery (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1): the published per-document quality heuristics a
+    * crawl pipeline applies after dedup — all re-expressed as
+    * integer-exact ppm so the whole battery hash-gates across
+    * engines. Pure projection + one line-explode aggregation, keyed
+    * by doc; everything rides the scan.
+    *
+    * Metrics (per doc, null text = empty):
+    *  - n_words, mean_word_len_e2 (⌊100·Σlen/n⌋),
+    *  - alpha_word_ppm   (words containing [A-Za-z]),
+    *  - symbol_word_ppm  (# and … occurrences per word),
+    *  - n_lines, bullet_line_ppm (lines starting - * •),
+    *    ellipsis_line_ppm (lines ending ...), dup_line_ppm
+    *    (1 - distinct/total lines),
+    *  - gopher_pass: the conjunction of the published thresholds
+    *    (3 ≤ mean word length ≤ 10, ≥ 80% alphabetic words, symbol
+    *    ratio < 10%, < 90% bullet lines, < 30% ellipsis lines,
+    *    < 30% duplicate lines, ≥ 50 words).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = TextAnalysis.tokens(txt)
+    val nWords = size(toks).cast("long")
+    val sumLen = coalesce(
+      aggregate(transform(toks, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L))
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val symbols = regexp_count(txt, lit("#|\\.\\.\\.")).cast("long")
+    val base = df.select(col(idCol).as("__doc"),
+      nWords.as("n_words"), sumLen.as("__sum_len"),
+      alphaWords.as("__alpha"), symbols.as("__sym"),
+      split(txt, "\n", -1).as("__lines"))
+    val lines = base.select(col("__doc"), explode(col("__lines")).as("ln"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("ln")).as("__dl"),
+        sum(when(col("ln").rlike("^\\s*[-*•]"), 1L).otherwise(0L))
+          .as("__bullet"),
+        sum(when(col("ln").rlike("\\.\\.\\.\\s*$"), 1L).otherwise(0L))
+          .as("__ellip"))
+    val j = base.drop("__lines").join(lines, Seq("__doc"))
+    val mwl = when(col("n_words") > 0,
+      expr("(100 * __sum_len) div n_words")).otherwise(lit(0L))
+    val alphaPpm = when(col("n_words") > 0,
+      expr("(1000000 * __alpha) div n_words")).otherwise(lit(0L))
+    val symPpm = when(col("n_words") > 0,
+      expr("(1000000 * __sym) div n_words")).otherwise(lit(0L))
+    val bulletPpm = expr("(1000000 * __bullet) div n_lines")
+    val ellipPpm = expr("(1000000 * __ellip) div n_lines")
+    val dupPpm = expr("(1000000 * (n_lines - __dl)) div n_lines")
+    j.select(col("__doc").as(idCol), col("n_words"),
+        mwl.as("mean_word_len_e2"), alphaPpm.as("alpha_word_ppm"),
+        symPpm.as("symbol_word_ppm"), col("n_lines"),
+        bulletPpm.as("bullet_line_ppm"), ellipPpm.as("ellipsis_line_ppm"),
+        dupPpm.as("dup_line_ppm"))
+      .withColumn("gopher_pass",
+        (col("n_words") >= 50 &&
+          col("mean_word_len_e2").between(300L, 1000L) &&
+          col("alpha_word_ppm") >= 800000L &&
+          col("symbol_word_ppm") < 100000L &&
+          col("bullet_line_ppm") < 900000L &&
+          col("ellipsis_line_ppm") < 300000L &&
+          col("dup_line_ppm") < 300000L).cast("boolean"))
+  }
+
   def contamination(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val corpusSh = Dedup.shingleHashes(corpus, idCol, textCol, n)

@@ -114,4 +114,37 @@ object Relational {
     val dim = values.toDF(c)
     df.join(broadcast(dim), Seq(c), "left_semi")
   }
+
+  /** CDC-style snapshot diff: classify every key as `added` /
+    * `removed` / `changed` / `unchanged` between two snapshots of the
+    * same table — the incremental-refresh primitive behind
+    * [[staleOrMissing]] generalized to a full change feed (what a
+    * MERGE sink or downstream-invalidation step consumes).
+    *
+    * One full-outer sort-merge join on the key columns; comparisons
+    * are null-safe (`<=>`), so a null→value flip is `changed`, not a
+    * spurious match. 100 TB shape: both sides shuffle once on the
+    * key — bucketed/pre-partitioned snapshots join co-located.
+    *
+    * Output: (keys…, change) with change ∈
+    * {added, removed, changed, unchanged}.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty)
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"__new_$c")): _*)
+      .withColumn("__in_new", lit(true))
+    val someChanged = compareCols
+      .map(c => !(col(c) <=> col(s"__new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(someChanged, lit("changed"))
+          .otherwise(lit("unchanged")).as("change"): _*)
+  }
 }

@@ -219,6 +219,39 @@ object CoreQueries extends QueryPack {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1
-        |ORDER BY nationkey""".stripMargin))
+        |ORDER BY nationkey""".stripMargin)),
+
+    // CDC snapshot diff: two simulated snapshots of the customer dim
+    // (membership drift via modulus filters, value drift via a
+    // perturbed balance) classified added/removed/changed/unchanged —
+    // one full-outer join, null-safe comparisons.
+    "q143_snapshot_diff" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val oldSnap = c.filter(col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val newSnap = c.filter(col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey"), col("c_name"),
+            when(col("c_custkey") % 11 === 0, col("c_acctbal") + 10.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"))
+        graft.operators.Relational.snapshotDiff(oldSnap, newSnap,
+            Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH o AS (SELECT c_custkey, c_name, c_acctbal
+        |       FROM customer WHERE c_custkey % 7 <> 0),
+        |n AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 10.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 5 <> 0)
+        |SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |       WHEN n.c_custkey IS NULL THEN 'removed'
+        |       WHEN o.c_name IS DISTINCT FROM n.c_name
+        |         OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+        |ORDER BY c_custkey""".stripMargin))
   )
 }

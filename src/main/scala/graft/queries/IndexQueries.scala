@@ -1002,7 +1002,31 @@ object IndexQueries extends QueryPack {
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.source <= b.source
         |GROUP BY 1, 2
-        |ORDER BY src_a, src_b""".stripMargin))
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Data-skipping zonemap: per-shard min/max/count for two
+    // clustering keys plus range pruning — the file-stats index a
+    // 100 TB writer persists so scans open only intersecting shards.
+    // min/max of doubles are exact picks (never accumulated), so the
+    // double columns hash-gate safely.
+    "q142_zonemap" -> Q(
+      (s, dir) => {
+        import graft.operators.Corpus
+        val zm = Corpus.zonemap(Tables.lineitem(s, dir),
+          expr("l_orderkey div 4000"), Seq("l_quantity", "l_extendedprice"))
+        Corpus.pruneRange(zm, "l_extendedprice", lit(1000.0), lit(50000.0))
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT l_orderkey // 4000 AS shard, count(*) AS n_rows,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity,
+        |  min(l_extendedprice) AS min_l_extendedprice,
+        |  max(l_extendedprice) AS max_l_extendedprice,
+        |  (max(l_extendedprice) < 1000.0 OR min(l_extendedprice) > 50000.0)
+        |    AS can_skip
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

@@ -846,6 +846,58 @@ object LlmQueries extends QueryPack {
           |       WHEN $allZero THEN 'none' ELSE $argmax END AS script
           |FROM c
           |ORDER BY doc_id""".stripMargin)
-      })
+      }),
+
+    // The Gopher rule battery (Rae et al. 2021 §A1.1): published
+    // quality heuristics as integer-exact ppm — mean word length,
+    // alphabetic-word ratio, symbol ratio, bullet/ellipsis/duplicate
+    // line fractions — plus the conjunction threshold flag.
+    "q144_gopher_rules" -> Q(
+      (s, dir) => QualityFilters.gopherRules(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, coalesce(text, '') AS txt
+        |       FROM documents),
+        |tk AS (SELECT doc_id, txt,
+        |    CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(txt), '\s+') END AS toks
+        |  FROM d),
+        |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      t -> length(t))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(regexp_extract_all(txt, '#|\.\.\.')) AS BIGINT) AS sym
+        |  FROM tk),
+        |lx AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS ln
+        |       FROM d),
+        |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    count(DISTINCT ln) AS dl,
+        |    count(CASE WHEN regexp_matches(ln, '^\s*[-*•]')
+        |          THEN 1 END) AS bullet,
+        |    count(CASE WHEN regexp_matches(ln, '\.\.\.\s*$')
+        |          THEN 1 END) AS ellip
+        |  FROM lx GROUP BY doc_id),
+        |base AS (SELECT w.doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN (100 * sum_len) // n_words
+        |         ELSE 0 END AS mean_word_len_e2,
+        |    CASE WHEN n_words > 0 THEN (1000000 * alpha) // n_words
+        |         ELSE 0 END AS alpha_word_ppm,
+        |    CASE WHEN n_words > 0 THEN (1000000 * sym) // n_words
+        |         ELSE 0 END AS symbol_word_ppm,
+        |    n_lines,
+        |    (1000000 * bullet) // n_lines AS bullet_line_ppm,
+        |    (1000000 * ellip) // n_lines AS ellipsis_line_ppm,
+        |    (1000000 * (n_lines - dl)) // n_lines AS dup_line_ppm
+        |  FROM w JOIN la ON w.doc_id = la.doc_id)
+        |SELECT *, (n_words >= 50
+        |    AND mean_word_len_e2 BETWEEN 300 AND 1000
+        |    AND alpha_word_ppm >= 800000
+        |    AND symbol_word_ppm < 100000
+        |    AND bullet_line_ppm < 900000
+        |    AND ellipsis_line_ppm < 300000
+        |    AND dup_line_ppm < 300000) AS gopher_pass
+        |FROM base
+        |ORDER BY doc_id""".stripMargin))
   )
 }

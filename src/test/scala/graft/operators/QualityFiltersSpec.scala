@@ -71,4 +71,33 @@ class QualityFiltersSpec extends SparkSpec {
     assert(got(1) === ((2L, 3L, 1L, 1.0 / 3.0)))
     assert(got(2) === ((3L, 2L, 0L, 0.0)))
   }
+
+  test("gopherRules: metrics and threshold flag on crafted docs") {
+    import spark.implicits._
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") // 60 clean words
+    val bullets = "- one\n- two\n- three\n- four"          // 100% bullet lines
+    val dups = "same line\nsame line\nsame line\nother"    // 3 dup of 4
+    val docs = Seq(
+      (1L, good), (2L, bullets), (3L, dups), (4L, ""), (5L, null))
+      .toDF("doc_id", "text")
+    val m = QualityFilters.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc1: words "wordN" → mean len 5.xx, all alphabetic, one line
+    assert(m(1L).getLong(1) === 60L)
+    assert(m(1L).getLong(3) === 1000000L)        // alpha_word_ppm
+    assert(m(1L).getLong(5) === 1L)              // n_lines
+    assert(m(1L).getBoolean(9))                  // gopher_pass
+    // doc2: 4 lines, every one a bullet → 1e6 ppm, fails (words < 50)
+    assert(m(2L).getLong(5) === 4L)
+    assert(m(2L).getLong(6) === 1000000L)        // bullet_line_ppm
+    assert(!m(2L).getBoolean(9))
+    // doc3: 4 lines, 2 distinct → dup ppm = (4-2)/4 = 500000
+    assert(m(3L).getLong(8) === 500000L)
+    assert(!m(3L).getBoolean(9))
+    // empty and null text: zero words, one (empty) line, no pass
+    for (id <- Seq(4L, 5L)) {
+      assert(m(id).getLong(1) === 0L && m(id).getLong(5) === 1L)
+      assert(!m(id).getBoolean(9))
+    }
+  }
 }

@@ -67,4 +67,25 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted
     assert(got.toSeq === Seq("v1", "v45"))
   }
+
+  test("snapshotDiff classifies changes null-safely") {
+    import spark.implicits._
+    val oldS = Seq(
+      (1L, "a", Some(10.0)), (2L, "b", None),
+      (3L, "c", Some(3.0)), (4L, "d", Some(4.0)))
+      .toDF("k", "name", "bal")
+    val newS = Seq(
+      (2L, "b", Some(5.0)), (3L, "c", Some(3.0)),
+      (4L, "D", Some(4.0)), (5L, "e", Some(1.0)))
+      .toDF("k", "name", "bal")
+    val got = Relational.snapshotDiff(oldS, newS, Seq("k"),
+        Seq("name", "bal"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "removed",   // key gone
+      2L -> "changed",   // null → 5.0 must NOT read as equal
+      3L -> "unchanged",
+      4L -> "changed",   // name case flip
+      5L -> "added"))
+  }
 }
