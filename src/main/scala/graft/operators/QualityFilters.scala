@@ -147,6 +147,42 @@ object QualityFilters {
           col("dup_line_ppm") < 300000L).cast("boolean"))
   }
 
+  /** The C4 rule battery (Raffel et al. 2020 §2.2): the published
+    * crawl-cleaning heuristics — terminal-punctuation line ratio,
+    * short-line ratio, sentence floor, curly-brace / "lorem ipsum"
+    * page drops — companion to [[gopherRules]], same integer-exact
+    * ppm discipline.
+    *
+    * Metrics per doc (null text = empty): n_lines,
+    * term_punct_line_ppm (lines ending [.!?"]), short_line_ppm
+    * (lines with < 5 words), n_sentences (terminal-punct count),
+    * has_brace, has_lorem, and c4_keep = n_sentences >= 3 AND no
+    * brace AND no lorem ipsum (the page-level drops; line-level
+    * filtering is what the ppm columns feed).
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol).as("__doc"),
+      regexp_count(txt, lit("[.!?]")).cast("long").as("n_sentences"),
+      txt.contains("{").as("has_brace"),
+      lower(txt).contains("lorem ipsum").as("has_lorem"),
+      split(txt, "\n", -1).as("__lines"))
+    val lines = base.select(col("__doc"), explode(col("__lines")).as("ln"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ln").rlike("[.!?\"]\\s*$"), 1L).otherwise(0L))
+          .as("__term"),
+        sum(when(size(TextAnalysis.tokens(col("ln"))) < 5, 1L)
+          .otherwise(0L)).as("__short"))
+    base.drop("__lines").join(lines, Seq("__doc"))
+      .select(col("__doc").as(idCol), col("n_lines"),
+        expr("(1000000 * __term) div n_lines").as("term_punct_line_ppm"),
+        expr("(1000000 * __short) div n_lines").as("short_line_ppm"),
+        col("n_sentences"), col("has_brace"), col("has_lorem"),
+        (col("n_sentences") >= 3 && !col("has_brace") && !col("has_lorem"))
+          .as("c4_keep"))
+  }
+
   def contamination(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val corpusSh = Dedup.shingleHashes(corpus, idCol, textCol, n)

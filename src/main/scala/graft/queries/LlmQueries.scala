@@ -898,6 +898,40 @@ object LlmQueries extends QueryPack {
         |    AND ellipsis_line_ppm < 300000
         |    AND dup_line_ppm < 300000) AS gopher_pass
         |FROM base
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // The C4 battery (Raffel et al. 2020 §2.2): terminal-punctuation
+    // and short-line ratios, sentence floor, brace / lorem-ipsum page
+    // drops — q144's companion, same ppm discipline.
+    "q145_c4_rules" -> Q(
+      (s, dir) => QualityFilters.c4Rules(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, coalesce(text, '') AS txt
+        |       FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(txt, '[.!?]')) AS BIGINT)
+        |      AS n_sentences,
+        |    contains(txt, '{') AS has_brace,
+        |    contains(lower(txt), 'lorem ipsum') AS has_lorem
+        |  FROM d),
+        |lx AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS ln
+        |       FROM d),
+        |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    count(CASE WHEN regexp_matches(ln, '[.!?"]\s*$')
+        |          THEN 1 END) AS term,
+        |    count(CASE WHEN len(CASE WHEN trim(ln) = ''
+        |            THEN CAST([] AS VARCHAR[])
+        |            ELSE string_split_regex(trim(ln), '\s+') END) < 5
+        |          THEN 1 END) AS short
+        |  FROM lx GROUP BY doc_id)
+        |SELECT b.doc_id, n_lines,
+        |  (1000000 * term) // n_lines AS term_punct_line_ppm,
+        |  (1000000 * short) // n_lines AS short_line_ppm,
+        |  n_sentences, has_brace, has_lorem,
+        |  (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem)
+        |    AS c4_keep
+        |FROM b JOIN la ON b.doc_id = la.doc_id
+        |ORDER BY b.doc_id""".stripMargin))
   )
 }

@@ -558,6 +558,26 @@ object SimilarityQueries extends QueryPack {
           |FROM sel CROSS JOIN
           |  (SELECT unnest(generate_series(0, ${dim - 1})) AS i) d
           |ORDER BY cell, dim_idx""".stripMargin)
-      })
+      }),
+
+    // Embedding QA: per-vector dimension, squared L2 norm (native dot,
+    // bit-identical to the sequential-fold reference semantics), and
+    // zero-vector detection — the sanity pass before any ANN build.
+    "q146_embedding_stats" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.dotF
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            size(col("embedding")).as("dim"),
+            dotF(col("embedding"), col("embedding")).as("norm2"))
+          .withColumn("is_zero", col("norm2") === 0.0)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, $vSql AS v,
+        |    CAST(len(embedding) AS INT) AS dim FROM embeddings)
+        |SELECT vec_id, label, dim, ${dd("v", "v")} AS norm2,
+        |  (${dd("v", "v")} = 0.0) AS is_zero
+        |FROM e
+        |ORDER BY vec_id""".stripMargin))
   )
 }

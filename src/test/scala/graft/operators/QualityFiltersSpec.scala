@@ -100,4 +100,25 @@ class QualityFiltersSpec extends SparkSpec {
       assert(!m(id).getBoolean(9))
     }
   }
+
+  test("c4Rules: line ratios, sentence floor, page drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "This is fine. It has sentences! Three of them?"),
+      (2L, "json blob { not prose. More. Even more."),      // brace drop
+      (3L, "Lorem Ipsum dolor sit. Yes. Ok."),              // lorem drop
+      (4L, "short\nalso short\nA full sentence right here."),
+      (5L, null)).toDF("doc_id", "text")
+    val m = QualityFilters.c4Rules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(4) === 3L && m(1L).getBoolean(7))   // keeps
+    assert(m(2L).getBoolean(5) && !m(2L).getBoolean(7))      // has_brace
+    assert(m(3L).getBoolean(6) && !m(3L).getBoolean(7))      // has_lorem
+    // doc4: 3 lines, 1 ends in '.', two are <5 words
+    assert(m(4L).getLong(1) === 3L)
+    assert(m(4L).getLong(2) === 1000000L / 3)                // term ppm
+    assert(m(4L).getLong(3) === 2000000L / 3)                // short ppm
+    assert(!m(4L).getBoolean(7))                             // 1 sentence
+    assert(m(5L).getLong(4) === 0L && !m(5L).getBoolean(7))  // null text
+  }
 }
