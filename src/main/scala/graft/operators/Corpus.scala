@@ -313,6 +313,28 @@ object Corpus {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Split-leakage audit: canonical-text fingerprints that appear in
+    * MORE THAN ONE [[hashSplit]] partition — the held-out-set
+    * integrity check every training pipeline should run after
+    * splitting (splits are keyed by id, so textual duplicates with
+    * different ids CAN straddle train/test; this surfaces exactly
+    * those). One fingerprint-keyed partial agg; output is bounded by
+    * the leaky-fingerprint count.
+    *
+    * Output: (fp, n_docs, n_splits, splits) for leaky fps only.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      salt: String, weights: Seq[(String, Int)]): DataFrame = {
+    val sp = hashSplit(df.select(col(idCol), col(textCol)), idCol, salt,
+        weights)
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col("split"))
+    sp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_splits") > 1)
+  }
+
   /** Range-predicate pruning over a [[zonemap]]: marks each shard
     * skippable when its [min,max] interval for `key` cannot intersect
     * [lo, hi] — the planner-side half of data skipping (the list of

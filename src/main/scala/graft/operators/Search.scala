@@ -115,4 +115,22 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Top-k terms per group by raw term frequency (ties to the
+    * lexicographically smaller term) — the per-source vocabulary
+    * signature behind corpus drift dashboards. One (group, term)
+    * partial agg, then a per-group window over the ALREADY-aggregated
+    * frame: the window input is vocabulary-bounded, never the corpus.
+    */
+  def topTermsPerGroup(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("tf").desc, col("term"))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1026,7 +1026,70 @@ object IndexQueries extends QueryPack {
         |    AS can_skip
         |FROM lineitem
         |GROUP BY 1
-        |ORDER BY shard""".stripMargin))
+        |ORDER BY shard""".stripMargin)),
+
+    // Held-out-set integrity: fingerprints straddling hash-split
+    // partitions (splits key on doc_id, so textual dups with distinct
+    // ids CAN leak train→test). Same split arithmetic as q79, same
+    // canonical fingerprint as q25. The corpus' own dups happen to
+    // co-split at this sf, so 50 cross-id duplicates are planted
+    // (identical text under shifted ids) to make the gate
+    // non-trivial.
+    "q147_split_leakage" -> Q(
+      (s, dir) => {
+        import graft.operators.Corpus
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        Corpus.splitLeakage(planted, "doc_id", "text",
+            "v1", Seq(("train", 8), ("val", 1), ("test", 1)))
+          .orderBy(col("fp"))
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |s AS (
+        |  SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |    md5(array_to_string(string_split_regex(
+        |      trim(lower(coalesce(text, ''))), '\s+'), ' ')) AS fp
+        |  FROM (SELECT text,
+        |          CAST(('0x' || substr(md5(doc_id || ':v1'), 1, 15))
+        |            AS BIGINT) % 10 AS b
+        |        FROM u))
+        |SELECT fp, count(*) AS n_docs,
+        |  count(DISTINCT split) AS n_splits,
+        |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+        |FROM s GROUP BY fp
+        |HAVING count(DISTINCT split) > 1
+        |ORDER BY fp""".stripMargin)),
+
+    // Per-source vocabulary signature: top-5 terms by frequency with
+    // deterministic ties — the corpus-drift dashboard row. The window
+    // runs over the aggregated (source, term) frame, never raw rows.
+    "q148_top_terms_by_source" -> Q(
+      (s, dir) => graft.operators.Search.topTermsPerGroup(
+          Tables.documents(s, dir), "source", "text", 5)
+        .select(col("grp").as("source"), col("term"), col("tf"),
+          col("rank"))
+        .orderBy(col("source"), col("rank")),
+      Some("""WITH tf AS (
+        |  SELECT source, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT source, unnest(
+        |          CASE WHEN trim(lower(text)) = ''
+        |               THEN CAST([] AS VARCHAR[])
+        |               ELSE string_split_regex(trim(lower(text)), '\s+')
+        |          END) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT source, term, tf,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY tf DESC, term) AS BIGINT) AS rank
+        |  FROM tf)
+        |SELECT source, term, tf, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in
