@@ -335,6 +335,35 @@ object Corpus {
       .filter(col("n_splits") > 1)
   }
 
+  /** Deterministic negative sampling for contrastive training: k
+    * pseudo-random negatives per anchor, drawn by the same md5-bucket
+    * device as [[hashSplit]] — negatives are a pure function of
+    * (anchor, j, salt), so pairs are reproducible across runs,
+    * engines, and partitionings, and never collected to the driver.
+    * Requires a DENSE id space [0, n) (the standard contrastive-set
+    * contract; non-dense ids get a precomputed dense index upstream).
+    * An anchor-colliding draw shifts to (draw + 1) mod n.
+    *
+    * The corpus count rides a ONE-ROW broadcast (the q125/q135
+    * pattern); the per-anchor explode is k-bounded. Output:
+    * (idCol, j, neg_id).
+    */
+  def negativeSample(ids: DataFrame, idCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1)
+    val tot = ids.agg(count(lit(1)).as("__n"))
+    ids.select(col(idCol))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__draw", pmod(graft.expressions.Md5Hash60.hash60Native(
+        concat_ws("#", col(idCol), col("j"), lit(salt))), col("__n")))
+      .withColumn("neg_id",
+        when(col("__draw") === col(idCol),
+          (col("__draw") + 1) % col("__n")).otherwise(col("__draw")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("neg_id"))
+  }
+
   /** Range-predicate pruning over a [[zonemap]]: marks each shard
     * skippable when its [min,max] interval for `key` cannot intersect
     * [lo, hi] — the planner-side half of data skipping (the list of

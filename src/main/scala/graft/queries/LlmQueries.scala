@@ -932,6 +932,48 @@ object LlmQueries extends QueryPack {
         |  (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem)
         |    AS c4_keep
         |FROM b JOIN la ON b.doc_id = la.doc_id
-        |ORDER BY b.doc_id""".stripMargin))
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    // Language-ID evaluation: the q27 predictor against the corpus'
+    // labeled lang column as a confusion matrix — the accuracy
+    // dashboard for any heuristic classifier in the pipeline. Null
+    // predictions (null text) coalesce to 'unknown' in both engines
+    // so the group set is total.
+    "q151_lang_confusion" -> Q(
+      (s, dir) => {
+        val t = col("text")
+        Tables.documents(s, dir)
+          .select(col("lang"), t,
+            graft.expressions.StopwordSetCounts.counts(t, Seq(
+              TextAnalysis.LangProfiles.en, TextAnalysis.LangProfiles.de,
+              TextAnalysis.LangProfiles.fr, TextAnalysis.LangProfiles.es))
+              .as("__sw"))
+          .select(col("lang"),
+            coalesce(TextAnalysis.langIdFrom(t, col("__sw")(0),
+              col("__sw")(1), col("__sw")(2), col("__sw")(3)),
+              lit("unknown")).as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      {
+        def sw(words: Seq[String]) =
+          s"len(regexp_extract_all(lower(text), '${swPattern(words)}'))"
+        val (en, de, fr, es) = (sw(TextAnalysis.LangProfiles.en),
+          sw(TextAnalysis.LangProfiles.de), sw(TextAnalysis.LangProfiles.fr),
+          sw(TextAnalysis.LangProfiles.es))
+        Some(s"""SELECT lang,
+          |  coalesce(CASE WHEN text IS NULL THEN NULL
+          |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 20
+          |      > length(text) THEN 'zh'
+          |    WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+          |    WHEN $de >= $fr AND $de >= $es THEN 'de'
+          |    WHEN $fr >= $es THEN 'fr'
+          |    ELSE 'es' END, 'unknown') AS pred_lang,
+          |  count(*) AS n
+          |FROM documents
+          |GROUP BY lang, pred_lang
+          |ORDER BY lang, pred_lang""".stripMargin)
+      })
   )
 }

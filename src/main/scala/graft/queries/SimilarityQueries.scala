@@ -578,6 +578,28 @@ object SimilarityQueries extends QueryPack {
         |SELECT vec_id, label, dim, ${dd("v", "v")} AS norm2,
         |  (${dd("v", "v")} = 0.0) AS is_zero
         |FROM e
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // Contrastive-set assembly: 4 deterministic pseudo-random
+    // negatives per anchor over the dense vec_id space — pure
+    // function of (anchor, j, salt), reproducible across engines;
+    // the corpus count rides a one-row broadcast.
+    "q149_negative_sampling" -> Q(
+      (s, dir) => graft.operators.Corpus.negativeSample(
+          Tables.embeddings(s, dir).select(col("vec_id")),
+          "vec_id", k = 4, salt = "neg1")
+        .orderBy(col("vec_id"), col("j")),
+      Some("""WITH n AS (SELECT count(*) AS nn FROM embeddings),
+        |a AS (SELECT vec_id, j, nn,
+        |    CAST(('0x' || substr(md5(vec_id || '#' || j || '#neg1'),
+        |      1, 15)) AS BIGINT) % nn AS draw
+        |  FROM embeddings
+        |  CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j))
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  CASE WHEN draw = vec_id THEN (draw + 1) % nn
+        |       ELSE draw END AS neg_id
+        |FROM a
+        |ORDER BY vec_id, j""".stripMargin))
   )
 }

@@ -311,6 +311,41 @@ object StreamingQueries extends QueryPack {
         |  FROM k)
         |SELECT idx, CAST(max(rank) AS INT) AS max_rank
         |FROM rk GROUP BY idx
-        |ORDER BY idx""".stripMargin))
+        |ORDER BY idx""".stripMargin)),
+
+    // Count-min sketch as STREAMING STATE (§2.8 unification, fifth
+    // instance): the q93 counter build — posexplode to d rows per
+    // token, streaming SUM per (row, bucket) — in Complete mode.
+    // State is bounded by d×w = 32 counters regardless of stream
+    // length; counters hash-match the batch formulation.
+    "q150_stream_count_min" -> Q(
+      (s, dir) => Streams.runToTable(
+          graft.operators.Sketch.countMin(
+            documentsStream(s, dir).select(explode(
+              graft.operators.TextAnalysis.tokens(lower(col("text"))))
+              .as("t")),
+            col("t"), d = 4, w = 8),
+          OutputMode.Complete())
+        .orderBy(col("row"), col("bucket")),
+      {
+        val P = graft.operators.Dedup.P
+        val rows = graft.operators.Dedup.perms(4).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"SELECT $i AS row, ((h * $a + $b) % $P) % 8 AS bucket FROM h"
+          }.mkString("\n        |    UNION ALL ")
+        Some(s"""WITH tok AS (SELECT unnest(
+          |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+          |    AS t FROM documents),
+          |h AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+          |        % $P AS h
+          |      FROM tok),
+          |e AS (
+          |    $rows)
+          |SELECT CAST(row AS BIGINT) AS row, bucket,
+          |  count(*) AS cnt
+          |FROM e GROUP BY row, bucket
+          |ORDER BY row, bucket""".stripMargin)
+      })
   )
 }

@@ -208,4 +208,19 @@ class CorpusSpec extends SparkSpec {
       Seq.empty[Long].toDF("v"), "v", Seq(0.5, 0.9)).collect()(0)
     assert(empty.getLong(0) === 0L && empty.isNullAt(1) && empty.isNullAt(2))
   }
+
+  test("negativeSample: deterministic, in-range, never the anchor") {
+    import spark.implicits._
+    val ids = (0L until 20L).toDF("id")
+    val s1 = Corpus.negativeSample(ids, "id", k = 3, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.length === 60)
+    assert(s1.forall { case (a, _, n) => n >= 0 && n < 20 && n != a })
+    val s2 = Corpus.negativeSample(ids, "id", k = 3, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.sorted.toSeq === s2.sorted.toSeq) // pure function of (id,j,salt)
+    val s3 = Corpus.negativeSample(ids, "id", k = 3, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.sorted.toSeq !== s3.sorted.toSeq) // salt actually matters
+  }
 }
