@@ -64,6 +64,20 @@ object ScaleProbe {
         graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
           shingleN = 1, k = 32, bands = 8, threshold = 0.9)
       }
+      // q133 shape: duplicated-span detection (shingle df + window)
+      time("q133_dup_spans", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        graft.operators.Dedup.dupSpans(docs, "doc_id", "text",
+          spanTokens = 5)
+      }
+      // q135 shape: trigram-LM scoring (3 model tables + 4-way join)
+      time("q135_trigram_interp", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        graft.operators.LanguageModel.trigramInterpolated(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      }
     }
     spark.stop()
   }

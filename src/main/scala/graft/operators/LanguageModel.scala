@@ -113,6 +113,39 @@ object LanguageModel {
     docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
 
+  /** Corpus bigram LIFT (the exp-PMI association measure): for each
+    * bigram with c12 >= minCount occurrences,
+    *   lift_ppm = ⌊1e6 · c12 · N / (c1 · c2)⌋
+    * where c1/c2 are the words' unigram occurrence counts and N the
+    * corpus token total — the ratio p(w1 w2)/(p(w1)p(w2)) whose log
+    * is PMI; monotone in PMI, so rankings agree while staying
+    * integer-exact. High-lift pairs are the corpus' collocations
+    * (named entities, technical terms) — the phrase-mining /
+    * tokenizer-merge-candidate signal.
+    *
+    * 100 TB shape: two vocabulary-bounded count tables joined on word
+    * keys, the token-total scalar on a one-row broadcast. The i64
+    * product 1e6·c12·N bounds the exact range to c12·N < 2^63/1e6
+    * (~9e12) — beyond that, swap the expression to DECIMAL(38,0);
+    * the plan shape is unchanged.
+    */
+  def bigramLift(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val uni = unigramCounts(docs, textCol)
+    val tot = uni.agg(sum(col("cu")).as("n_total"))
+    docs.select(explode(bigramKeys(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_ppm",
+        expr("(1000000 * c12 * n_total) div (c1 * c2)"))
+      .select(col("bg"), col("c12"), col("c1"), col("c2"), col("lift_ppm"))
+  }
+
   /** Per-document interpolated trigram-LM score — the higher-order
     * analog of [[surprise]] (Jelinek–Mercer interpolation with fixed
     * integer weights): each trigram occurrence scores

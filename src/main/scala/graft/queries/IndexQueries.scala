@@ -1089,7 +1089,38 @@ object IndexQueries extends QueryPack {
         |      ORDER BY tf DESC, term) AS BIGINT) AS rank
         |  FROM tf)
         |SELECT source, term, tf, rank FROM r WHERE rank <= 5
-        |ORDER BY source, rank""".stripMargin))
+        |ORDER BY source, rank""".stripMargin)),
+
+    // Collocation mining: top-50 bigrams by LIFT (exp-PMI, integer
+    // ppm — monotone in PMI so rankings agree engine-to-engine) with
+    // a min-count floor. The phrase / tokenizer-merge-candidate
+    // signal over the corpus.
+    "q152_bigram_lift" -> Q(
+      (s, dir) => LanguageModel.bigramLift(
+          Tables.documents(s, dir).select(col("text")), "text",
+          minCount = 5L)
+        .orderBy(col("lift_ppm").desc, col("bg"))
+        .limit(50),
+      Some("""WITH lt AS (
+        |  SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |u AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+        |      FROM (SELECT unnest(t) AS w FROM lt) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM u),
+        |bl AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |              FROM lt WHERE len(t) >= 2))
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1 || ' ' || w2 AS bg, c12, u1.cu AS c1, u2.cu AS c2,
+        |  (1000000 * c12 * n_total) // (u1.cu * u2.cu) AS lift_ppm
+        |FROM bl
+        |JOIN u u1 ON u1.w = bl.w1
+        |JOIN u u2 ON u2.w = bl.w2
+        |CROSS JOIN tot
+        |ORDER BY lift_ppm DESC, bg
+        |LIMIT 50""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

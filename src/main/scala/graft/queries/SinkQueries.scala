@@ -319,6 +319,25 @@ object SinkQueries extends QueryPack {
         |  max(CAST(o_orderdate AS DATE)) AS last_date
         |FROM orders
         |GROUP BY 1
-        |ORDER BY ck""".stripMargin))
+        |ORDER BY ck""".stripMargin)),
+
+    // JSONL round trip — the de-facto training-data interchange
+    // format: documents written as newline-delimited JSON (newlines
+    // and quotes in text escape per RFC 8259), read back through the
+    // schema'd JSON source, and gated against the original rows.
+    "q153_jsonl_roundtrip" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+        docs.coalesce(1).write.mode("overwrite").json(s"$tmp/out")
+        materializeAndDelete(
+          s.read.schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+            .json(s"$tmp/out"), tmp)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin))
   )
 }
