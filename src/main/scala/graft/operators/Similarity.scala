@@ -494,4 +494,27 @@ object Similarity {
         .otherwise(transform(vec,
           v => (v.cast("double") / scale).cast("int"))).as("q"))
   }
+
+  /** Recall@k of an ANN result against the exact top-k ground truth —
+    * the evaluation every approximate index must publish before it
+    * replaces a brute-force path. Both inputs are (queryCol,
+    * neighborCol, …) top-k frames; output is one row per query:
+    * n_hits = |ann ∩ exact| and recall_ppm = ⌊1e6·n_hits/k⌋, plus the
+    * queries the ANN missed entirely (n_hits = 0 rows stay present
+    * because the ground-truth side drives the join).
+    *
+    * One (query, neighbor)-keyed join between two k-bounded frames —
+    * at 100 TB the frames are |queries|·k rows, never corpus-sized.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    exact.select(col(queryCol), col(neighborCol))
+      .join(ann.select(col(queryCol), col(neighborCol))
+        .withColumn("__hit", lit(1L)),
+        Seq(queryCol, neighborCol), "left")
+      .groupBy(col(queryCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_ppm", expr(s"(1000000 * n_hits) div $k"))
+  }
 }

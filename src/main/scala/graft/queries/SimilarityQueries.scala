@@ -600,6 +600,63 @@ object SimilarityQueries extends QueryPack {
         |  CASE WHEN draw = vec_id THEN (draw + 1) % nn
         |       ELSE draw END AS neg_id
         |FROM a
-        |ORDER BY vec_id, j""".stripMargin))
+        |ORDER BY vec_id, j""".stripMargin)),
+
+    // ANN evaluation: recall@3 of the multi-probe IVF index (q121's
+    // exact configuration) against the brute-force ground truth —
+    // the publishable number behind every "approximate is safe here"
+    // decision. The oracle replays BOTH pipelines and intersects.
+    "q154_ann_recall" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        val queries = e.filter(col("vec_id") % 100 === 0)
+        val ann = Similarity.annTopKIvfMultiProbe(
+          queries, e, "vec_id", "embedding", Centroids, 3, probes = 3)
+        val exact = Similarity.bruteForceTopK(
+          queries, e, "vec_id", "embedding", 3)
+        Similarity.recallAtK(ann, exact, "query_id", "neighbor_id", 3)
+          .orderBy(col("query_id"))
+      },
+      {
+        val centValues = Centroids.zipWithIndex
+          .map { case (c, i) => s"($i, ${centroidLit(c)})" }.mkString(", ")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |cent AS (SELECT * FROM (VALUES $centValues) AS t(cell, c)),
+          |sc AS (SELECT e.vec_id, e.v, cent.cell, ${cosSql("v", "c")} AS cos
+          |       FROM e CROSS JOIN cent),
+          |rk AS (SELECT vec_id, v, cell,
+          |         row_number() OVER (PARTITION BY vec_id
+          |           ORDER BY cos DESC, cell DESC) AS rn
+          |       FROM sc),
+          |asg AS (SELECT vec_id, v, cell FROM rk WHERE rn = 1),
+          |qp AS (SELECT vec_id AS query_id, v AS qv, cell
+          |       FROM rk WHERE vec_id % 100 = 0 AND rn <= 3),
+          |s AS (SELECT qp.query_id, asg.vec_id AS neighbor_id,
+          |        ${cosSql("qv", "v")} AS cos
+          |      FROM qp JOIN asg USING (cell)
+          |      WHERE qp.query_id <> asg.vec_id),
+          |ann AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cos DESC, neighbor_id) AS rn
+          |    FROM s) WHERE rn <= 3),
+          |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e
+          |       WHERE vec_id % 100 = 0),
+          |ex AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT q2.query_id, e.vec_id AS neighbor_id,
+          |      row_number() OVER (PARTITION BY q2.query_id
+          |        ORDER BY ${cosSql("qv", "v")} DESC, e.vec_id) AS rn
+          |    FROM q2 JOIN e ON q2.query_id <> e.vec_id)
+          |  WHERE rn <= 3)
+          |SELECT ex.query_id,
+          |  CAST(count(ann.neighbor_id) AS BIGINT) AS n_hits,
+          |  (1000000 * count(ann.neighbor_id)) // 3 AS recall_ppm
+          |FROM ex LEFT JOIN ann
+          |  ON ex.query_id = ann.query_id
+          | AND ex.neighbor_id = ann.neighbor_id
+          |GROUP BY ex.query_id
+          |ORDER BY ex.query_id""".stripMargin)
+      })
   )
 }
