@@ -364,6 +364,27 @@ object Corpus {
       .select(col(idCol), col("j").cast("long").as("j"), col("neg_id"))
   }
 
+  /** Deterministic stratified sampling: exactly `nPerGroup` rows per
+    * group (fewer when the group is smaller), chosen by md5-hash
+    * order — the eval-set construction step ("3 docs per source",
+    * "100 per language") with [[hashSplit]]'s reproducibility
+    * contract: membership is a pure function of (id, salt), ties
+    * broken by id. One window per group partition; the window input
+    * is the raw frame, so groups must individually fit a partition —
+    * the per-group-bounded analog of [[exactQuantiles]].
+    *
+    * Returns the input plus `sample_rank` (1-based within group).
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+      salt: String, nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(graft.expressions.Md5Hash60.hash60Native(
+        concat_ws(":", col(idCol), lit(salt))), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= nPerGroup)
+  }
+
   /** Range-predicate pruning over a [[zonemap]]: marks each shard
     * skippable when its [min,max] interval for `key` cannot intersect
     * [lo, hi] — the planner-side half of data skipping (the list of

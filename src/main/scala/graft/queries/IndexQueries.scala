@@ -1120,7 +1120,54 @@ object IndexQueries extends QueryPack {
         |JOIN u u2 ON u2.w = bl.w2
         |CROSS JOIN tot
         |ORDER BY lift_ppm DESC, bg
-        |LIMIT 50""".stripMargin))
+        |LIMIT 50""".stripMargin)),
+
+    // Eval-set construction: exactly 3 docs per source chosen by
+    // md5-hash order — reproducible across runs/engines, ties to the
+    // smaller id (the hashSplit determinism contract, per-group).
+    "q155_stratified_sample" -> Q(
+      (s, dir) => {
+        import graft.operators.Corpus
+        Corpus.stratifiedSample(
+            Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            "source", "doc_id", "ev1", 3)
+          .orderBy(col("source"), col("sample_rank"))
+      },
+      Some("""WITH r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(doc_id || ':ev1'), 1, 15))
+        |                 AS BIGINT), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT source, doc_id, sample_rank
+        |FROM r WHERE sample_rank <= 3
+        |ORDER BY source, sample_rank""".stripMargin)),
+
+    // The bisection quantile as a FILTER THRESHOLD: drop (here:
+    // surface) docs beyond the corpus p99 token length — the
+    // two-phase outlier-trim pattern (one bisection pass computes the
+    // cut, one scan applies it) that replaces a global sort at 100 TB.
+    "q156_outlier_filter" -> Q(
+      (s, dir) => {
+        import graft.operators.{Corpus, TextAnalysis}
+        val lens = Tables.documents(s, dir).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val p99 = Corpus.quantilesBisect(lens, "n_tokens", Seq(0.99))
+          .collect()(0).getLong(1)
+        lens.filter(col("n_tokens") > p99).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksCte,
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |r AS (SELECT n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM l),
+        |p AS (SELECT max(CASE WHEN rnk = ceil(0.99 * n) THEN n_tokens END)
+        |        AS p99 FROM r)
+        |SELECT doc_id, n_tokens
+        |FROM l CROSS JOIN p
+        |WHERE n_tokens > p99
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

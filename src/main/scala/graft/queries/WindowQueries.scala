@@ -129,6 +129,43 @@ object WindowQueries extends QueryPack {
         |  FROM a),
         |s AS (SELECT user_id, session_id, count(*) AS sess_len FROM b GROUP BY user_id, session_id)
         |SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_sess_len
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Rate-drift monitor: per (event_type, day) volume against the
+    // trailing 7 OBSERVATIONS (row frame — gap days are absent, so
+    // the baseline is the last 7 active days). Spike = today more
+    // than double the trailing mean, kept integer-exact as
+    // n·t_days > 2·t_sum. The pipeline-health query over any
+    // event-shaped table.
+    "q157_event_drift" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-7, -1)
+        daily
+          .withColumn("t_days", count(col("n")).over(w))
+          .withColumn("t_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+          .withColumn("spike",
+            col("t_days") > 0 && col("n") * col("t_days") > col("t_sum") * 2)
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, n,
+        |    count(n) OVER w AS t_days,
+        |    coalesce(sum(n) OVER w, 0) AS t_sum
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, CAST(t_days AS BIGINT) AS t_days,
+        |  CAST(t_sum AS BIGINT) AS t_sum,
+        |  (t_days > 0 AND n * t_days > t_sum * 2) AS spike
+        |FROM t
+        |ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -223,4 +223,21 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(s1.sorted.toSeq !== s3.sorted.toSeq) // salt actually matters
   }
+
+  test("stratifiedSample: exact per-group counts, stable, salt-driven") {
+    import spark.implicits._
+    val df = (for (g <- Seq("a", "b"); i <- 1L to 10L)
+      yield (g, g + i)).toDF("grp", "id")
+    val one = Seq(("c", "solo")).toDF("grp", "id")
+    val s1 = Corpus.stratifiedSample(df.union(one), "grp", "id", "s", 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(s1.count(_._1 == "a") === 4)
+    assert(s1.count(_._1 == "b") === 4)
+    assert(s1.count(_._1 == "c") === 1) // smaller group keeps all
+    assert(s1.forall(_._3 <= 4))
+    val s2 = Corpus.stratifiedSample(df.union(one), "grp", "id", "s", 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(s1.sortBy(t => (t._1, t._3)).toSeq ===
+      s2.sortBy(t => (t._1, t._3)).toSeq)
+  }
 }

@@ -239,4 +239,23 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(q * s1 - v) < s1)
     }
   }
+
+  test("recallAtK: hits counted per query, misses stay visible") {
+    import spark.implicits._
+    val exact = Seq( // ground truth top-2 per query
+      (1L, 10L), (1L, 11L),
+      (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val ann = Seq( // q1 perfect, q2 half right, q3 entirely wrong
+      (1L, 10L), (1L, 11L),
+      (2L, 20L), (2L, 99L),
+      (3L, 98L), (3L, 97L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(ann, exact, "query_id", "neighbor_id", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1000000L)),
+      2L -> ((1L, 500000L)),
+      3L -> ((0L, 0L)))) // zero-hit query still present
+  }
 }
