@@ -271,13 +271,21 @@ object Corpus {
     val vMin = head.getLong(1)
     val vMax = head.getLong(2)
     val ranks = ps.map(p => math.ceil(p * n).toLong)
-    // invariant per quantile: count(<= lo) < rank <= count(<= hi)
-    val lo = Array.fill(ps.size)(vMin - 1)
+    // invariant per quantile: the answer lies in [lo, hi] INCLUSIVE —
+    // no vMin-1 sentinel (which would underflow at Long.MinValue).
+    // Midpoints go through BigInt so lo+hi can never wrap even on a
+    // full 64-bit-range column; floor division keeps mid < hi, so the
+    // `lo = mid + 1` branch cannot overflow either.
+    def midOf(lo: Long, hi: Long): Long = {
+      val s = BigInt(lo) + BigInt(hi)
+      ((s - s.mod(2)) / 2).toLong // floor(s / 2) for negative sums too
+    }
+    val lo = Array.fill(ps.size)(vMin)
     val hi = Array.fill(ps.size)(vMax)
-    while (ranks.indices.exists(i => hi(i) - lo(i) > 1)) {
-      val open = ranks.indices.filter(i => hi(i) - lo(i) > 1)
+    while (ranks.indices.exists(i => lo(i) < hi(i))) {
+      val open = ranks.indices.filter(i => lo(i) < hi(i))
       // distinct midpoints: quantiles often share intervals early on
-      val mids = open.map(i => Math.floorDiv(lo(i) + hi(i), 2)).distinct
+      val mids = open.map(i => midOf(lo(i), hi(i))).distinct
       val cnts = vals.agg(
           count(lit(1)).as("__c"), // anchor agg; keeps agg() total
           mids.map(m => sum(when(col("__v") <= m, 1L).otherwise(0L))
@@ -286,11 +294,11 @@ object Corpus {
       val leOf = mids.zipWithIndex
         .map { case (m, j) => m -> cnts.getLong(j + 1) }.toMap
       open.foreach { i =>
-        val m = Math.floorDiv(lo(i) + hi(i), 2)
-        if (leOf(m) >= ranks(i)) hi(i) = m else lo(i) = m
+        val m = midOf(lo(i), hi(i))
+        if (leOf(m) >= ranks(i)) hi(i) = m else lo(i) = m + 1
       }
     }
-    val row = org.apache.spark.sql.Row.fromSeq(n +: hi.toSeq)
+    val row = org.apache.spark.sql.Row.fromSeq(n +: lo.toSeq)
     spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 

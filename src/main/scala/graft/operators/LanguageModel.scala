@@ -175,10 +175,11 @@ object LanguageModel {
     val bg = docs.select(explode(bigramKeys(col(textCol))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val triKeys = ngramKeys(col(textCol), 3)
-    val tri = docs.select(explode(triKeys).as("tg"))
-      .groupBy(col("tg")).agg(count(lit(1)).as("c123"))
     val docTri = docs.select(col(idCol).as("__doc"), explode(triKeys).as("tg"))
       .groupBy(col("__doc"), col("tg")).agg(count(lit(1)).as("cd"))
+    // the global trigram model re-aggregates the (doc, tg, cd) frame —
+    // one corpus explode total, not two; identical counts
+    val tri = docTri.groupBy(col("tg")).agg(sum(col("cd")).as("c123"))
     // tokens contain no spaces, so the "w1 w2 w3" key splits losslessly
     val scored = docTri
       .join(tri, Seq("tg"), "left")

@@ -82,19 +82,35 @@ object QualityFilters {
     * broadcast hash join inside the scan, then one partial-agg
     * shuffle keyed by document. No corpus-side join shuffle.
     */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusSh = Dedup.shingleHashes(corpus, idCol, textCol, n)
+    val benchSh = Dedup.shingleHashes(benchmark, idCol, textCol, n)
+      .select(col("h")).distinct()
+    corpusSh
+      .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(col("hit")).as("n_contaminated"))
+      .select(col(idCol), col("n_ngrams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_ngrams").cast("double")).as("contamination"))
+  }
+
   /** The Gopher rule battery (Rae et al. 2021, "Scaling Language
     * Models" §A1.1): the published per-document quality heuristics a
     * crawl pipeline applies after dedup — all re-expressed as
     * integer-exact ppm so the whole battery hash-gates across
-    * engines. Pure projection + one line-explode aggregation, keyed
-    * by doc; everything rides the scan.
+    * engines. ONE projection of array expressions (word and line
+    * stats alike) — no explode, no shuffle; everything rides the
+    * scan.
     *
     * Metrics (per doc, null text = empty):
     *  - n_words, mean_word_len_e2 (⌊100·Σlen/n⌋),
     *  - alpha_word_ppm   (words containing [A-Za-z]),
-    *  - symbol_word_ppm  (# and … occurrences per word),
+    *  - symbol_word_ppm  (# / "..." / … occurrences per word),
     *  - n_lines, bullet_line_ppm (lines starting - * •),
-    *    ellipsis_line_ppm (lines ending ...), dup_line_ppm
+    *    ellipsis_line_ppm (lines ending "..." or …), dup_line_ppm
     *    (1 - distinct/total lines),
     *  - gopher_pass: the conjunction of the published thresholds
     *    (3 ≤ mean word length ≤ 10, ≥ 80% alphabetic words, symbol
@@ -109,34 +125,32 @@ object QualityFilters {
       aggregate(transform(toks, w => length(w).cast("long")),
         lit(0L), (acc, x) => acc + x), lit(0L))
     val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
-    val symbols = regexp_count(txt, lit("#|\\.\\.\\.")).cast("long")
-    val base = df.select(col(idCol).as("__doc"),
-      nWords.as("n_words"), sumLen.as("__sum_len"),
-      alphaWords.as("__alpha"), symbols.as("__sym"),
-      split(txt, "\n", -1).as("__lines"))
-    val lines = base.select(col("__doc"), explode(col("__lines")).as("ln"))
-      .groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_lines"),
-        countDistinct(col("ln")).as("__dl"),
-        sum(when(col("ln").rlike("^\\s*[-*•]"), 1L).otherwise(0L))
-          .as("__bullet"),
-        sum(when(col("ln").rlike("\\.\\.\\.\\s*$"), 1L).otherwise(0L))
-          .as("__ellip"))
-    val j = base.drop("__lines").join(lines, Seq("__doc"))
-    val mwl = when(col("n_words") > 0,
-      expr("(100 * __sum_len) div n_words")).otherwise(lit(0L))
-    val alphaPpm = when(col("n_words") > 0,
-      expr("(1000000 * __alpha) div n_words")).otherwise(lit(0L))
-    val symPpm = when(col("n_words") > 0,
-      expr("(1000000 * __sym) div n_words")).otherwise(lit(0L))
-    val bulletPpm = expr("(1000000 * __bullet) div n_lines")
-    val ellipPpm = expr("(1000000 * __ellip) div n_lines")
-    val dupPpm = expr("(1000000 * (n_lines - __dl)) div n_lines")
-    j.select(col("__doc").as(idCol), col("n_words"),
-        mwl.as("mean_word_len_e2"), alphaPpm.as("alpha_word_ppm"),
-        symPpm.as("symbol_word_ppm"), col("n_lines"),
-        bulletPpm.as("bullet_line_ppm"), ellipPpm.as("ellipsis_line_ppm"),
-        dupPpm.as("dup_line_ppm"))
+    val symbols = regexp_count(txt, lit("#|\\.\\.\\.|…")).cast("long")
+    val lines = split(txt, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val dl = size(array_distinct(lines)).cast("long")
+    val bullet = size(filter(lines,
+      ln => ln.rlike("^\\s*[-*•]"))).cast("long")
+    val ellip = size(filter(lines,
+      ln => ln.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    df.select(col(idCol), nWords.as("n_words"), sumLen.as("__sum_len"),
+        alphaWords.as("__alpha"), symbols.as("__sym"),
+        nLines.as("n_lines"), dl.as("__dl"), bullet.as("__bullet"),
+        ellip.as("__ellip"))
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") > 0,
+          expr("(100 * __sum_len) div n_words")).otherwise(lit(0L))
+          .as("mean_word_len_e2"),
+        when(col("n_words") > 0,
+          expr("(1000000 * __alpha) div n_words")).otherwise(lit(0L))
+          .as("alpha_word_ppm"),
+        when(col("n_words") > 0,
+          expr("(1000000 * __sym) div n_words")).otherwise(lit(0L))
+          .as("symbol_word_ppm"),
+        col("n_lines"),
+        expr("(1000000 * __bullet) div n_lines").as("bullet_line_ppm"),
+        expr("(1000000 * __ellip) div n_lines").as("ellipsis_line_ppm"),
+        expr("(1000000 * (n_lines - __dl)) div n_lines").as("dup_line_ppm"))
       .withColumn("gopher_pass",
         (col("n_words") >= 50 &&
           col("mean_word_len_e2").between(300L, 1000L) &&
@@ -151,7 +165,7 @@ object QualityFilters {
     * crawl-cleaning heuristics — terminal-punctuation line ratio,
     * short-line ratio, sentence floor, curly-brace / "lorem ipsum"
     * page drops — companion to [[gopherRules]], same integer-exact
-    * ppm discipline.
+    * ppm discipline and same shuffle-free single-projection shape.
     *
     * Metrics per doc (null text = empty): n_lines,
     * term_punct_line_ppm (lines ending [.!?"]), short_line_ppm
@@ -162,39 +176,22 @@ object QualityFilters {
     */
   def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
-    val base = df.select(col(idCol).as("__doc"),
-      regexp_count(txt, lit("[.!?]")).cast("long").as("n_sentences"),
-      txt.contains("{").as("has_brace"),
-      lower(txt).contains("lorem ipsum").as("has_lorem"),
-      split(txt, "\n", -1).as("__lines"))
-    val lines = base.select(col("__doc"), explode(col("__lines")).as("ln"))
-      .groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("ln").rlike("[.!?\"]\\s*$"), 1L).otherwise(0L))
-          .as("__term"),
-        sum(when(size(TextAnalysis.tokens(col("ln"))) < 5, 1L)
-          .otherwise(0L)).as("__short"))
-    base.drop("__lines").join(lines, Seq("__doc"))
-      .select(col("__doc").as(idCol), col("n_lines"),
+    val lines = split(txt, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val term = size(filter(lines,
+      ln => ln.rlike("[.!?\"]\\s*$"))).cast("long")
+    val short = size(filter(lines,
+      ln => size(TextAnalysis.tokens(ln)) < 5)).cast("long")
+    df.select(col(idCol),
+        regexp_count(txt, lit("[.!?]")).cast("long").as("n_sentences"),
+        txt.contains("{").as("has_brace"),
+        lower(txt).contains("lorem ipsum").as("has_lorem"),
+        nLines.as("n_lines"), term.as("__term"), short.as("__short"))
+      .select(col(idCol), col("n_lines"),
         expr("(1000000 * __term) div n_lines").as("term_punct_line_ppm"),
         expr("(1000000 * __short) div n_lines").as("short_line_ppm"),
         col("n_sentences"), col("has_brace"), col("has_lorem"),
         (col("n_sentences") >= 3 && !col("has_brace") && !col("has_lorem"))
           .as("c4_keep"))
-  }
-
-  def contamination(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    val corpusSh = Dedup.shingleHashes(corpus, idCol, textCol, n)
-    val benchSh = Dedup.shingleHashes(benchmark, idCol, textCol, n)
-      .select(col("h")).distinct()
-    corpusSh
-      .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("h"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_ngrams"),
-        count(col("hit")).as("n_contaminated"))
-      .select(col(idCol), col("n_ngrams"), col("n_contaminated"),
-        (col("n_contaminated").cast("double") /
-          col("n_ngrams").cast("double")).as("contamination"))
   }
 }

@@ -824,7 +824,8 @@ object IndexQueries extends QueryPack {
           "n_tokens", Seq(0.5, 0.9, 0.99))
       },
       Some(s"""WITH $toksCte,
-        |l AS (SELECT len(toks) AS n_tokens FROM t),
+        |l AS (SELECT len(toks) AS n_tokens FROM t
+        |      WHERE toks IS NOT NULL),
         |r AS (SELECT n_tokens,
         |    row_number() OVER (ORDER BY n_tokens) AS rnk,
         |    count(*) OVER () AS n
@@ -1157,7 +1158,8 @@ object IndexQueries extends QueryPack {
         lens.filter(col("n_tokens") > p99).orderBy(col("doc_id"))
       },
       Some(s"""WITH $toksCte,
-        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+        |      WHERE toks IS NOT NULL),
         |r AS (SELECT n_tokens,
         |    row_number() OVER (ORDER BY n_tokens) AS rnk,
         |    count(*) OVER () AS n

@@ -867,7 +867,7 @@ object LlmQueries extends QueryPack {
         |      t -> length(t))), 0) AS BIGINT) AS sum_len,
         |    CAST(len(list_filter(toks,
         |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
-        |    CAST(len(regexp_extract_all(txt, '#|\.\.\.')) AS BIGINT) AS sym
+        |    CAST(len(regexp_extract_all(txt, '#|\.\.\.|…')) AS BIGINT) AS sym
         |  FROM tk),
         |lx AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS ln
         |       FROM d),
@@ -875,7 +875,7 @@ object LlmQueries extends QueryPack {
         |    count(DISTINCT ln) AS dl,
         |    count(CASE WHEN regexp_matches(ln, '^\s*[-*•]')
         |          THEN 1 END) AS bullet,
-        |    count(CASE WHEN regexp_matches(ln, '\.\.\.\s*$')
+        |    count(CASE WHEN regexp_matches(ln, '(\.\.\.|…)\s*$')
         |          THEN 1 END) AS ellip
         |  FROM lx GROUP BY doc_id),
         |base AS (SELECT w.doc_id, n_words,

@@ -209,6 +209,22 @@ class CorpusSpec extends SparkSpec {
     assert(empty.getLong(0) === 0L && empty.isNullAt(1) && empty.isNullAt(2))
   }
 
+  test("quantilesBisect survives 64-bit extreme values") {
+    import spark.implicits._
+    // Long.MinValue/MaxValue would wrap a naive (lo+hi)/2 midpoint or
+    // a vMin-1 sentinel; the BigInt midpoint and inclusive [lo,hi]
+    // bounds must stay exact
+    val vals = Seq(Long.MinValue, -7L, 0L, 9L, Long.MaxValue)
+    val r = Corpus.quantilesBisect(vals.toDF("v"), "v",
+      Seq(0.2, 0.5, 0.8, 1.0)).collect()(0)
+    // ranks over n=5: 1, 3, 4, 5
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === Long.MinValue)
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(3) === 9L)
+    assert(r.getLong(4) === Long.MaxValue)
+  }
+
   test("negativeSample: deterministic, in-range, never the anchor") {
     import spark.implicits._
     val ids = (0L until 20L).toDF("id")

@@ -101,6 +101,18 @@ class QualityFiltersSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules counts the Unicode ellipsis as symbol and line end") {
+    import spark.implicits._
+    val docs = Seq((1L, "read more… now\nthe end…"),
+      (2L, "plain text line")).toDF("doc_id", "text")
+    val m = QualityFilters.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc1: 2 ellipsis symbols over 5 words; line 2 of 2 ends with …
+    assert(m(1L).getLong(4) === 2000000L / 5)  // symbol_word_ppm
+    assert(m(1L).getLong(7) === 500000L)       // ellipsis_line_ppm
+    assert(m(2L).getLong(4) === 0L && m(2L).getLong(7) === 0L)
+  }
+
   test("c4Rules: line ratios, sentence floor, page drops") {
     import spark.implicits._
     val docs = Seq(
