@@ -64,6 +64,30 @@ object FormulaGeoClient extends GeoEnrichment.GeoClient {
 object SourceQueries extends QueryPack {
 
   def defs: Map[String, Q] = Map(
+    // DSv2 AGGREGATE pushdown: COUNT(*) over the fleet never ships
+    // edge payloads — each VCO partition returns one pre-counted row
+    // (empty with-list; the reference's with:[edgeCount] hint done by
+    // the optimizer) and Spark sums the partials. The fixture is the
+    // q64 fleet; the oracle is the relational truth it was rendered
+    // from. VcoDataSourceSpec asserts the count scan (not the row
+    // scan) actually planned.
+    "q158_vco_count_pushdown" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.customer(s, dir).select(
+            concat(lit("vco-"), col("c_custkey") % 4).as("vco"),
+            to_json(struct(col("c_custkey").as("id"))).as("doc"))
+          .as[(String, String)].collect() // fixture-server dataset
+        ScriptedFleet.byVco =
+          payloads.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        s.read.format("graft-vco")
+          .option("vcos", ScriptedFleet.byVco.keys.toSeq.sorted.mkString(","))
+          .option("transport", classOf[ScriptedFleetTransportFactory].getName)
+          .load()
+          .agg(count(lit(1)).as("n_edges"))
+      },
+      Some("SELECT count(*) AS n_edges FROM customer")),
+
     // S1/S3 + DSv2 pruning/residual filters: customer rows → edge-doc
     // JSON payloads on a 4-VCO scripted fleet → full connector scan →
     // must equal the relational truth. The edgeState filter is

@@ -59,14 +59,42 @@ private class VcoTable(schema: StructType, props: Map[String, String])
 
 private class VcoScanBuilder(fullSchema: StructType, props: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands us the pruned shape; remember it for the with-list.
     required = requiredSchema
+
+  /** COUNT(*) pushdown — the DSv2 rendition of the reference's
+    * `with:[edgeCount]` hint (`Functions/vco_calls.py:140-159`): a
+    * fleet-size query never ships edge payloads. Partial pushdown
+    * only (`supportCompletePushDown` = false): each VCO partition
+    * returns ONE pre-counted row and Spark's final aggregate merges
+    * them, so a retried/failed partition can never double-count.
+    * Catalyst attempts aggregate pushdown only when every filter was
+    * fully consumed — ours are all residual — so a filtered count
+    * automatically stays on the row-scan path (correctness is the
+    * planner's invariant, not this source's).
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) countPushed = true
+    ok
+  }
 
   /** Predicate pushdown → call params (`powerbi_main_fun.py:465-481`:
     * the reference passes `enterpriseId` and an `interval` object in
@@ -84,7 +112,60 @@ private class VcoScanBuilder(fullSchema: StructType, props: Map[String, String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new VcoScan(required, props, pushed)
+  override def build(): Scan =
+    if (countPushed) new VcoCountScan(props) else new VcoScan(required, props, pushed)
+}
+
+/** The COUNT(*)-pushed scan: one row per VCO carrying that VCO's
+  * edge count, fetched with an EMPTY with-list (no expansions — the
+  * cheapest request the API serves; a server exposing a true count
+  * endpoint would swap in here without touching the contract). Spark
+  * sums the per-partition partials above this scan.
+  */
+private class VcoCountScan(props: Map[String, String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("count", org.apache.spark.sql.types.LongType,
+      nullable = false)
+  override def toBatch: Batch = this
+  override def description(): String = "graft_vco_count_pushdown"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    props.getOrElse("vcos", "")
+      .split(",").filter(_.nonEmpty)
+      .map(v => VcoPartition(v, Seq.empty): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcoCountReaderFactory(
+      props.getOrElse("transport",
+        throw new IllegalArgumentException("option 'transport' is required")))
+}
+
+private class VcoCountReaderFactory(transportClass: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VcoPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private lazy val count: Long = {
+        val transport = Class.forName(transportClass)
+          .getDeclaredConstructor().newInstance()
+          .asInstanceOf[TransportFactory].create()
+        VcoSource.callWithRetry(transport,
+            "enterprise/getEnterpriseEdges",
+            s"""{"vco":"${p.vco}","with":[]}""") match {
+          case Right(ls)  => ls.size.toLong
+          case Left(err)  => throw new RuntimeException(
+            s"VCO ${p.vco} count failed: $err")
+        }
+      }
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow(count)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private object VcoScan {

@@ -88,4 +88,24 @@ class VcoDataSourceSpec extends SparkSpec {
     assert(n === 0)
     assert(RecordedCalls.calls.poll().contains("\"enterpriseId\":\"ent-1\""))
   }
+
+  test("COUNT(*) pushes down to the count scan; filtered counts do not") {
+    RecordedCalls.calls.clear()
+    val agg = read.agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_vco_count_pushdown"),
+      s"count must plan the pushed scan:\n${plan.take(1200)}")
+    assert(agg.collect()(0).getLong(0) === 6L) // 3 VCOs × 2 edges
+    // the count request carries an EMPTY with-list — no payload shipped
+    val calls = Iterator.continually(RecordedCalls.calls.poll())
+      .takeWhile(_ != null).toSeq
+    assert(calls.nonEmpty && calls.forall(_.contains("\"with\":[]")), calls)
+    // a residual-filtered count must stay on the ROW scan (Catalyst
+    // only pushes aggregates when no post-scan filter remains)
+    val filtered = read.filter(col("edgeState") === "CONNECTED")
+      .agg(count(lit(1)).as("n"))
+    val fPlan = filtered.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("graft_vco_count_pushdown"))
+    assert(filtered.collect()(0).getLong(0) === 3L)
+  }
 }
