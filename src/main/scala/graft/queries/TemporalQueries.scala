@@ -160,6 +160,45 @@ object TemporalQueries extends QueryPack {
         |           (((y >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
         |FROM d CROSS JOIN bits
         |GROUP BY c_custkey, x, y
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Z-order + zonemap END-TO-END: shard rows by z-key range, build
+    // per-shard min/max stats for BOTH dimensions, and prune a 2-D
+    // box predicate — the demonstration that Morton clustering makes
+    // both axes skippable at once (sharding by x alone leaves y
+    // unprunable). can_skip is the planner-side verdict per shard.
+    "q159_zorder_pruning" -> Q(
+      (s, dir) => {
+        import graft.operators.Corpus
+        val x = col("c_custkey") % 1024
+        val y = (col("c_nationkey") * 41) % 1024
+        val keyed = Tables.customer(s, dir)
+          .select(x.as("x"), y.as("y"),
+            graft.functions.ZOrder.zKey(x, y, 10).as("zkey"))
+        val zm = Corpus.zonemap(keyed, expr("zkey div 65536"),
+          Seq("x", "y"))
+        zm.withColumn("can_skip",
+            col("max_x") < 100 || col("min_x") > 300 ||
+            col("max_y") < 200 || col("min_y") > 500)
+          .orderBy(col("shard"))
+      },
+      Some("""WITH d AS (
+        |  SELECT c_custkey, c_custkey % 1024 AS x,
+        |         (c_nationkey * 41) % 1024 AS y
+        |  FROM customer),
+        |bits AS (SELECT unnest(generate_series(0, 9)) AS i),
+        |z AS (SELECT c_custkey, x, y,
+        |    CAST(sum((((x >> i) & 1) << (2 * i)) +
+        |             (((y >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+        |  FROM d CROSS JOIN bits
+        |  GROUP BY c_custkey, x, y)
+        |SELECT zkey // 65536 AS shard, count(*) AS n_rows,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y,
+        |  (max(x) < 100 OR min(x) > 300 OR max(y) < 200 OR min(y) > 500)
+        |    AS can_skip
+        |FROM z
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin))
   )
 }
