@@ -531,6 +531,28 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Quality-aware representative selection over [[dedupGroups]]
+    * output: within each near-dup group keep the member with the
+    * BEST score (ties to the smaller id) instead of the default
+    * smallest-id keeper — the "keep the longest / highest-quality
+    * copy" rule real dedup pipelines apply. One score join + one
+    * per-group window over group-membership rows (bounded by group
+    * sizes, never the corpus).
+    *
+    * Output: (group, id, score, is_best) for every grouped member.
+    */
+  def keepBestPerGroup(groups: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col(scoreCol).desc, col("id"))
+    groups.select(col("id"), col("canonical_id").as("group"))
+      .join(scored.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+      .withColumn("is_best",
+        (row_number().over(w) === 1).cast("boolean"))
+      .select(col("group"), col("id"), col(scoreCol), col("is_best"))
+  }
+
   /** Cross-document duplicated-substring spans — the exact-substring
     * dedup signal of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (ACL 2022), re-expressed without a

@@ -500,6 +500,41 @@ object LlmQueries extends QueryPack {
         |  HAVING src > least(src, min(dst)))
         |ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware dedup representative: within each near-dup group
+    // keep the LONGEST member (ties to the smaller id) instead of the
+    // default min-id keeper. The oracle closes the all-pairs edge set,
+    // labels components by their minimum, and replays the argmax.
+    "q160_dedup_keep_longest" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+        val groups = Dedup.dedupGroups(Dedup.nearDupPairs(
+          docs, "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+          threshold = 0.9))
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+        Dedup.keepBestPerGroup(groups, scored, "doc_id", "n_tokens")
+          .orderBy(col("group"), col("id"))
+      },
+      Some(s"""WITH RECURSIVE $samplePairsCte,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |lab AS (SELECT src AS id, least(src, min(dst)) AS grp
+        |        FROM reach GROUP BY src),
+        |sc AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |m AS (SELECT lab.grp AS "group", lab.id, sc.n_tokens,
+        |        row_number() OVER (PARTITION BY lab.grp
+        |          ORDER BY sc.n_tokens DESC, lab.id) AS rk
+        |      FROM lab JOIN sc ON lab.id = sc.doc_id)
+        |SELECT "group", id, n_tokens, (rk = 1) AS is_best
+        |FROM m
+        |ORDER BY "group", id""".stripMargin)),
+
     // Context-window chunking: overlapping fixed-token windows as a
     // pure projection + one explode (no shuffle, no per-doc state).
     // The oracle rebuilds every window by list slicing; matching
