@@ -535,6 +535,38 @@ object LlmQueries extends QueryPack {
         |FROM m
         |ORDER BY "group", id""".stripMargin)),
 
+    // Tokenizer fertility per source: BPE-ish subword count over
+    // whitespace word count, in ppm over integer sums — the
+    // cost-planning number (tokens per word) a pipeline tracks per
+    // corpus slice before committing a tokenizer.
+    "q162_token_fertility" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.nTokens(col("text")).cast("long"))
+            .as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text")).cast("long"))
+            .as("bpe_tokens"))
+        .select(col("source"),
+          coalesce(col("ws_tokens"), lit(0L)).as("ws_tokens"),
+          coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"),
+          when(coalesce(col("ws_tokens"), lit(0L)) > 0,
+            expr("(1000000 * bpe_tokens) div ws_tokens"))
+            .otherwise(lit(0L)).as("fertility_ppm"))
+        .orderBy(col("source")),
+      Some(s"""WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len($tokensSql)) AS BIGINT) AS ws_tokens,
+        |    CAST(sum(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, COALESCE(ws_tokens, 0) AS ws_tokens,
+        |  COALESCE(bpe_tokens, 0) AS bpe_tokens,
+        |  CASE WHEN COALESCE(ws_tokens, 0) > 0
+        |       THEN (1000000 * bpe_tokens) // ws_tokens
+        |       ELSE 0 END AS fertility_ppm
+        |FROM s
+        |ORDER BY source""".stripMargin)),
+
     // Context-window chunking: overlapping fixed-token windows as a
     // pure projection + one explode (no shuffle, no per-doc state).
     // The oracle rebuilds every window by list slicing; matching

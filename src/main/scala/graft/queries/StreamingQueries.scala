@@ -346,6 +346,24 @@ object StreamingQueries extends QueryPack {
           |  count(*) AS cnt
           |FROM e GROUP BY row, bucket
           |ORDER BY row, bucket""".stripMargin)
-      })
+      }),
+
+    // Zonemap maintenance as STREAMING STATE (§2.8 unification, sixth
+    // instance): per-shard count/min/max event-time stats in Complete
+    // mode — the continuously-maintained data-skipping index of an
+    // ingest pipeline. State is shard-cardinality-bounded.
+    "q161_stream_zonemap" -> Q(
+      (s, dir) => Streams.runToTable(
+          graft.operators.Corpus.zonemap(
+            eventsStream(s, dir).select(col("user_id"),
+              expr("unix_millis(ts)").as("ms")),
+            expr("user_id div 100"), Seq("ms")),
+          OutputMode.Complete())
+        .orderBy(col("shard")),
+      Some("""SELECT user_id // 100 AS shard, count(*) AS n_rows,
+        |  epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin))
   )
 }

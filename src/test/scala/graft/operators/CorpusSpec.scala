@@ -209,6 +209,24 @@ class CorpusSpec extends SparkSpec {
     assert(empty.getLong(0) === 0L && empty.isNullAt(1) && empty.isNullAt(2))
   }
 
+  test("quantilesBisect matches sorted-order statistics on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 5) {
+      val n = 1 + rnd.nextInt(200)
+      val vals = Seq.fill(n)(rnd.nextLong() % 1000L) // heavy ties
+      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      val got = Corpus.quantilesBisect(vals.toDF("v"), "v", ps).collect()(0)
+      val sorted = vals.sorted
+      assert(got.getLong(0) === n.toLong)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val rank = math.ceil(p * n).toInt
+        assert(got.getLong(i + 1) === sorted(rank - 1),
+          s"trial $trial p=$p n=$n")
+      }
+    }
+  }
+
   test("quantilesBisect survives 64-bit extreme values") {
     import spark.implicits._
     // Long.MinValue/MaxValue would wrap a naive (lo+hi)/2 midpoint or

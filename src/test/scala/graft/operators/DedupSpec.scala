@@ -376,4 +376,41 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2L, 10L))) // two disjoint 5-token spans
     assert(out(2L) == ((2L, 10L)))
   }
+
+  test("dupSpans matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = ('a' to 'j').map(_.toString) // tiny vocab → many shared runs
+    val L = 3
+    val corpus = (0L until 40L).map { id =>
+      id -> (0 until 4 + rnd.nextInt(12))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // brute force: anchor shingles shared by >= 2 docs, merged spans
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val anchors = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(L).zipWithIndex.filter(_._1.size == L)
+        .map { case (g, p) => (g.mkString(" "), id, p) }
+    }
+    val shared = anchors.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = toks.map { case (id, ts) =>
+      val pos = anchors.filter(a => a._2 == id && shared(a._1)).map(_._3).sorted
+      // merge [p, p+L) windows that touch or overlap
+      val spans = pos.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, p) => acc match {
+          case (s, e) :: rest if p <= e => (s, math.max(e, p + L)) :: rest
+          case _ => (p, p + L) :: acc
+        }
+      }
+      id -> ((spans.size.toLong, spans.map(s => (s._2 - s._1).toLong).sum))
+    }
+    val got = Dedup.dupSpans(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", spanTokens = L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    expected.foreach { case (id, exp) =>
+      assert(got(id) === exp, s"doc $id: '${corpus.toMap.apply(id)}'")
+    }
+  }
 }
