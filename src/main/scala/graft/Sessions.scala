@@ -22,4 +22,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // managed tables (the bucketed-join path, q164) land in a temp
+      // warehouse, never the working directory; the in-memory catalog
+      // (no Hive) keeps the metastore off disk entirely
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse")
+          .toString)
 }

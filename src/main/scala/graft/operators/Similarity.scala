@@ -495,6 +495,38 @@ object Similarity {
           v => (v.cast("double") / scale).cast("int"))).as("q"))
   }
 
+  /** Per-label embedding-space QA: the label's quantized-sum centroid
+    * (the [[kmeansSummary]] accumulation — deterministic long sums,
+    * no float partial-agg order) and each member's cosine to it,
+    * summarized as integer ppm — n_vecs, Σ⌊cos·1e6⌋ and the minimum
+    * (the class's worst member / mislabel candidate). The class-
+    * compactness report run before training a classifier or probing
+    * an embedding space.
+    *
+    * One label-keyed partial agg for centroids (labels × dim bounded),
+    * one broadcast join back, one label-keyed summary agg.
+    */
+  def labelCentroidSpread(corpus: DataFrame, labelCol: String,
+      vecCol: String, dim: Int): DataFrame = {
+    val aggs = kmAggs(vecCol, dim)
+    val cents = corpus.select(col(labelCol).as("__lbl"), col(vecCol))
+      .groupBy(col("__lbl")).agg(aggs.head, aggs.tail: _*)
+      .select(col("__lbl"),
+        array((0 until dim).map(d =>
+          col(s"s$d").cast("double") / (col("n").cast("double") * KmQ)): _*)
+          .as("__cv"))
+    corpus.select(col(labelCol).as("__lbl"), col(vecCol))
+      .join(broadcast(cents), Seq("__lbl"))
+      .select(col("__lbl"),
+        floor(cosineNative(col(vecCol), col("__cv")) * 1000000)
+          .cast("long").as("__cp"))
+      .groupBy(col("__lbl"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__cp")).as("cos_ppm_sum"),
+        min(col("__cp")).as("min_cos_ppm"))
+      .select(col("__lbl").as("label"), col("n_vecs"),
+        col("cos_ppm_sum"), col("min_cos_ppm"))
+  }
+
   /** Recall@k of an ANN result against the exact top-k ground truth —
     * the evaluation every approximate index must publish before it
     * replaces a brute-force path. Both inputs are (queryCol,

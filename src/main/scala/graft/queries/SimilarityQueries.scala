@@ -602,6 +602,39 @@ object SimilarityQueries extends QueryPack {
         |FROM a
         |ORDER BY vec_id, j""".stripMargin)),
 
+    // Embedding-space class QA: per-label quantized-sum centroid +
+    // each member's cosine to it in integer ppm (sum + min — the
+    // worst member flags mislabel candidates). Same accumulation
+    // discipline as the q84 trainer, labels instead of cells.
+    "q163_label_spread" -> Q(
+      (s, dir) => Similarity.labelCentroidSpread(
+          Tables.embeddings(s, dir)
+            .select(col("label"), vec(col("embedding")).as("embedding")),
+          "label", "embedding", dim = 64)
+        .orderBy(col("label")),
+      {
+        val dim = 64
+        val q20 = "1048576.0"
+        val sumExprs = (0 until dim).map(d =>
+          s"CAST(sum(CAST(floor(v[${d + 1}] * $q20) AS BIGINT)) AS BIGINT) AS s$d")
+          .mkString(",\n|    ")
+        val centroidList = (0 until dim).map(d => s"s$d / (n * $q20)")
+          .mkString("[", ", ", "]")
+        Some(s"""WITH e AS (SELECT label, $vSql AS v FROM embeddings),
+          |g AS (SELECT label, count(*) AS n,
+          |    $sumExprs
+          |  FROM e GROUP BY label),
+          |c AS (SELECT label, $centroidList AS cv FROM g),
+          |sp AS (SELECT e.label,
+          |    CAST(floor((${cosSql("v", "cv")}) * 1000000) AS BIGINT) AS cp
+          |  FROM e JOIN c USING (label))
+          |SELECT label, count(*) AS n_vecs,
+          |  CAST(sum(cp) AS BIGINT) AS cos_ppm_sum,
+          |  CAST(min(cp) AS BIGINT) AS min_cos_ppm
+          |FROM sp GROUP BY label
+          |ORDER BY label""".stripMargin)
+      }),
+
     // ANN evaluation: recall@3 of the multi-probe IVF index (q121's
     // exact configuration) against the brute-force ground truth —
     // the publishable number behind every "approximate is safe here"

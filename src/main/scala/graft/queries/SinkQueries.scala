@@ -338,6 +338,40 @@ object SinkQueries extends QueryPack {
       },
       Some("""SELECT doc_id, lang, source, text
         |FROM documents
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Bucketed-table round trip: both sides written bucketed+sorted on
+    // the join key, read back, and joined — the co-located join that
+    // never shuffles either fact table (BucketedJoinSpec asserts the
+    // no-Exchange plan; this gate proves the bucket files carry the
+    // rows faithfully end to end). At 100 TB bucketing is the
+    // difference between re-shuffling a fact table per join and
+    // reading it pre-partitioned.
+    "q164_bucketed_join" -> Q(
+      (s, dir) => {
+        s.sql("DROP TABLE IF EXISTS q164_orders")
+        s.sql("DROP TABLE IF EXISTS q164_lines")
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("q164_orders")
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("q164_lines")
+        s.table("q164_orders")
+          .join(s.table("q164_lines"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("qty")).cast("double").as("sum_qty"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1
+        |ORDER BY o_custkey""".stripMargin))
   )
 }
