@@ -133,4 +133,35 @@ object Search {
     tf.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Per-document keyword extraction: top-k terms by the integer
+    * TF-IDF surrogate ⌊1e6·tf·N/df⌋ (N = corpus doc count, df =
+    * docs containing the term) — monotone in tf·idf for fixed tf
+    * ordering, and integer-exact so the ranking hash-gates. Ties to
+    * the lexicographically smaller term. The auto-tagging /
+    * snippet-labeling primitive.
+    *
+    * df is a vocabulary-bounded partial agg joined back on the term
+    * key; N rides a one-row broadcast; the rank window partitions by
+    * document (bounded by per-doc vocabulary).
+    */
+  def keywordsPerDoc(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("__doc"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("__doc"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    terms.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_ppm", expr("(1000000 * tf * n_docs) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__doc").as(idCol), col("rank"), col("term"),
+        col("tf"), col("df"), col("score_ppm"))
+  }
 }

@@ -1169,7 +1169,37 @@ object IndexQueries extends QueryPack {
         |SELECT doc_id, n_tokens
         |FROM l CROSS JOIN p
         |WHERE n_tokens > p99
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Per-doc keyword extraction on a doc sample: top-3 terms by the
+    // integer TF-IDF surrogate 1e6·tf·N/df (df over the FULL corpus,
+    // so common words rank out), ties to the smaller term.
+    "q165_tfidf_keywords" -> Q(
+      (s, dir) => graft.operators.Search.keywordsPerDoc(
+          Tables.documents(s, dir), "doc_id", "text", 3)
+        .filter(col("doc_id") % 50 === 0)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    (1000000 * tf.tf * n_docs) // dfq.df AS score_ppm
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+        |r AS (SELECT doc_id, term, tf, df, score_ppm,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_ppm DESC, term) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score_ppm
+        |FROM r WHERE rank <= 3 AND doc_id % 50 = 0
+        |ORDER BY doc_id, rank""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in
