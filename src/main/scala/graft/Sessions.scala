@@ -25,7 +25,20 @@ object Sessions {
       // managed tables (the bucketed-join path, q164) land in a temp
       // warehouse, never the working directory; the in-memory catalog
       // (no Hive) keeps the metastore off disk entirely
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse")
-          .toString)
+      .config("spark.sql.warehouse.dir", warehouseDir)
+
+  /** ONE temp warehouse per JVM (not per builder call), removed on
+    * exit — repeated Verify/Bench runs can't accumulate bucketed
+    * table copies on disk.
+    */
+  private lazy val warehouseDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
 }

@@ -122,46 +122,51 @@ object Search {
     * partial agg, then a per-group window over the ALREADY-aggregated
     * frame: the window input is vocabulary-bounded, never the corpus.
     */
+  /** ONE definition of the case-folded (key, term, tf) stage — shared
+    * by [[topTermsPerGroup]] and [[keywordsPerDoc]] so the tokenizer
+    * convention can never drift between them.
+    */
+  private def loweredTf(df: DataFrame, keyCol: String,
+      textCol: String): DataFrame =
+    df.select(col(keyCol).as("__key"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("__key"), col("term")).agg(count(lit(1)).as("tf"))
+
   def topTermsPerGroup(df: DataFrame, groupCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(groupCol).as("grp"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("tf").desc, col("term"))
-    tf.withColumn("rank", row_number().over(w).cast("long"))
+    loweredTf(df, groupCol, textCol).withColumnRenamed("__key", "grp")
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
   /** Per-document keyword extraction: top-k terms by the integer
-    * TF-IDF surrogate ⌊1e6·tf·N/df⌋ (N = corpus doc count, df =
-    * docs containing the term) — monotone in tf·idf for fixed tf
-    * ordering, and integer-exact so the ranking hash-gates. Ties to
-    * the lexicographically smaller term. The auto-tagging /
-    * snippet-labeling primitive.
+    * TF-IDF surrogate ⌊1e6·tf/df⌋ (df = docs containing the term).
+    * The corpus doc count N of the textbook tf·N/df is CONSTANT
+    * across every term, so dropping it preserves the exact ranking
+    * while keeping the i64 product bounded by 1e6·tf — overflow-free
+    * at any corpus size. Ties to the lexicographically smaller term.
+    * The auto-tagging / snippet-labeling primitive.
     *
     * df is a vocabulary-bounded partial agg joined back on the term
-    * key; N rides a one-row broadcast; the rank window partitions by
-    * document (bounded by per-doc vocabulary).
+    * key; the rank window partitions by document (bounded by per-doc
+    * vocabulary).
     */
   def keywordsPerDoc(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = docs.select(col(idCol).as("__doc"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val terms = loweredTf(docs, idCol, textCol)
     val dfreq = terms.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("__doc"))
+    val w = Window.partitionBy(col("__key"))
       .orderBy(col("score_ppm").desc, col("term"))
     terms.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("score_ppm", expr("(1000000 * tf * n_docs) div df"))
+      .withColumn("score_ppm", expr("(1000000 * tf) div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("__doc").as(idCol), col("rank"), col("term"),
+      .select(col("__key").as(idCol), col("rank"), col("term"),
         col("tf"), col("df"), col("score_ppm"))
   }
 }

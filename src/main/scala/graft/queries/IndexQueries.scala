@@ -1172,8 +1172,9 @@ object IndexQueries extends QueryPack {
         |ORDER BY doc_id""".stripMargin)),
 
     // Per-doc keyword extraction on a doc sample: top-3 terms by the
-    // integer TF-IDF surrogate 1e6·tf·N/df (df over the FULL corpus,
-    // so common words rank out), ties to the smaller term.
+    // integer TF-IDF surrogate 1e6·tf/df (df over the FULL corpus,
+    // so common words rank out; the constant N is dropped — same
+    // ranking, overflow-free), ties to the smaller term.
     "q165_tfidf_keywords" -> Q(
       (s, dir) => graft.operators.Search.keywordsPerDoc(
           Tables.documents(s, dir), "doc_id", "text", 3)
@@ -1189,10 +1190,9 @@ object IndexQueries extends QueryPack {
         |       FROM toks GROUP BY 1, 2),
         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
         |        FROM tf GROUP BY 1),
-        |nd AS (SELECT count(*) AS n_docs FROM documents),
         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-        |    (1000000 * tf.tf * n_docs) // dfq.df AS score_ppm
-        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+        |    (1000000 * tf.tf) // dfq.df AS score_ppm
+        |  FROM tf JOIN dfq USING (term)),
         |r AS (SELECT doc_id, term, tf, df, score_ppm,
         |    CAST(row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score_ppm DESC, term) AS BIGINT) AS rank

@@ -538,7 +538,9 @@ object LlmQueries extends QueryPack {
     // Tokenizer fertility per source: BPE-ish subword count over
     // whitespace word count, in ppm over integer sums — the
     // cost-planning number (tokens per word) a pipeline tracks per
-    // corpus slice before committing a tokenizer.
+    // corpus slice before committing a tokenizer. The ppm numerator
+    // goes through DECIMAL(38)/HUGEINT: per-source token sums at
+    // 100 TB (~1e13) would overflow the i64 product.
     "q162_token_fertility" -> Q(
       (s, dir) => Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -550,7 +552,8 @@ object LlmQueries extends QueryPack {
           coalesce(col("ws_tokens"), lit(0L)).as("ws_tokens"),
           coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"),
           when(coalesce(col("ws_tokens"), lit(0L)) > 0,
-            expr("(1000000 * bpe_tokens) div ws_tokens"))
+            expr("""(cast(1000000 as decimal(38, 0)) * bpe_tokens)
+                   | div ws_tokens""".stripMargin.replace("\n", "")))
             .otherwise(lit(0L)).as("fertility_ppm"))
         .orderBy(col("source")),
       Some(s"""WITH s AS (
@@ -562,7 +565,8 @@ object LlmQueries extends QueryPack {
         |SELECT source, COALESCE(ws_tokens, 0) AS ws_tokens,
         |  COALESCE(bpe_tokens, 0) AS bpe_tokens,
         |  CASE WHEN COALESCE(ws_tokens, 0) > 0
-        |       THEN (1000000 * bpe_tokens) // ws_tokens
+        |       THEN CAST((CAST(1000000 AS HUGEINT) * bpe_tokens)
+        |                 // ws_tokens AS BIGINT)
         |       ELSE 0 END AS fertility_ppm
         |FROM s
         |ORDER BY source""".stripMargin)),

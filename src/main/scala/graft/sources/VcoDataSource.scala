@@ -89,7 +89,12 @@ private class VcoScanBuilder(fullSchema: StructType, props: Map[String, String])
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    val ok = agg.groupByExpressions.isEmpty &&
+    // an empty fleet must stay on the row scan: zero count-partitions
+    // would make Spark's final Sum-of-partials NULL where COUNT(*)
+    // over zero rows is 0
+    val haveVcos = props.getOrElse("vcos", "")
+      .split(",").exists(_.nonEmpty)
+    val ok = haveVcos && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
     if (ok) countPushed = true

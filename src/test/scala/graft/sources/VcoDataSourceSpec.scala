@@ -108,4 +108,16 @@ class VcoDataSourceSpec extends SparkSpec {
     assert(!fPlan.contains("graft_vco_count_pushdown"))
     assert(filtered.collect()(0).getLong(0) === 3L)
   }
+
+  test("empty-fleet count stays on the row scan and returns 0") {
+    // zero count-partitions would make the final Sum-of-partials NULL
+    // where COUNT(*) over zero rows must be 0 — the builder refuses
+    // the pushdown instead
+    val df = spark.read.format("graft-vco").option("vcos", "")
+      .option("transport", classOf[FakeFleetTransportFactory].getName)
+      .load().agg(count(lit(1)).as("n"))
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("graft_vco_count_pushdown"))
+    assert(df.collect()(0).getLong(0) === 0L)
+  }
 }
