@@ -398,6 +398,77 @@ object Corpus {
     * [lo, hi] — the planner-side half of data skipping (the list of
     * surviving shards is what a scan would actually open).
     */
+  /** Importance weighting for data selection (the DSIR idea — Xie et
+    * al. 2023, arXiv:2302.03169 — in exact integer form): score each
+    * document by how target-like its tokens are, where
+    * weight_ppm(t) = ⌊1e6 · count_target(t) / count_all(t)⌋ over the
+    * corpus term counts and a document's score is the sum of its
+    * tokens' weights (with multiplicity). The paper's hashed-n-gram
+    * log-ratio becomes a count-ratio so every intermediate is a
+    * BIGINT — order-free and oracle-exact (ln() is engine-divergent
+    * in the last ulp; a ratio isn't).
+    *
+    * `isTarget` marks the rows whose distribution we want more of
+    * (e.g. a trusted language or source). Zero-token documents score
+    * 0 and stay present.
+    *
+    * Scale: one token-keyed partial agg (vocab-bounded), one
+    * token-keyed join back, one doc-keyed sum — the exact shape of
+    * the inverted-index build (q101); stopword-grade hot tokens are
+    * AQE's skew-join case.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"), isTarget.as("__tgt"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+    val weights = toks.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__c_all"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__c_tgt"))
+      .select(col("__t"),
+        expr("(1000000 * __c_tgt) div __c_all").as("__w_ppm"))
+    val perDoc = toks.join(weights, Seq("__t"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n"), sum(col("__w_ppm")).as("__s"))
+    val base = docs.select(col(idCol))
+    base.join(perDoc, base(idCol) === perDoc("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__s"), lit(0L)).as("score_ppm"))
+  }
+
+  /** Deterministic weighted sampling without replacement, k per group:
+    * the integer-arithmetic cousin of A-ES reservoir sampling —
+    * priority(row) = h60(id:salt) div weight, keep the k smallest
+    * priorities per group. Higher weight ⇒ proportionally smaller
+    * priority ⇒ more likely in the sample, and the whole draw is a
+    * pure function of (id, salt): reproducible, engine-portable, and
+    * stable under corpus growth the way [[hashSplit]] membership is.
+    * (A-ES's u^(1/w) keys need pow/log — engine-divergent doubles;
+    * the integer form keeps the gate exact.)
+    *
+    * Nonpositive weights are excluded (a weight-0 item must never be
+    * drawn; guarding here keeps the division total).
+    *
+    * Scale: a projection plus one per-group top-k window — k-bounded
+    * state per group, the q12 pattern.
+    */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+      weightCol: String, groupCol: String, k: Int, salt: String)
+      : DataFrame = {
+    require(k >= 1)
+    val pri = df
+      .filter(col(weightCol) > 0)
+      .withColumn("__h", graft.expressions.Md5Hash60.hash60Native(
+        concat_ws(":", col(idCol), lit(salt))))
+      .withColumn("priority", expr(s"__h div $weightCol"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority"), col(idCol))
+    pri.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("rn"), col(idCol), col("priority"))
+  }
+
   def pruneRange(zm: DataFrame, key: String, lo: Column,
       hi: Column): DataFrame =
     zm.withColumn("can_skip",

@@ -659,4 +659,51 @@ object Multimodal {
   def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta",
       col("meta").withField("width", lit(w)).withField("height", lit(h)))
+
+  /** REAL pixel resize: decode a PNG payload and nearest-neighbor
+    * resample the luminance plane to `outW`×`outH` — out(x, y) =
+    * src(⌊x·w/outW⌋, ⌊y·h/outH⌋), the standard NN mapping, chosen
+    * because it moves pixels without arithmetic: on a lossless codec
+    * the output values equal source pixels exactly, so a SQL oracle
+    * can replay the resample from the generating formula (q170).
+    * Returns None for undecodable payloads.
+    */
+  def resamplePng(bytes: Array[Byte], outW: Int, outH: Int)
+      : Option[Seq[(Int, Int, Int)]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some(for {
+        x <- 0 until outW
+        y <- 0 until outH
+      } yield (x, y,
+        img.getRGB(x * img.getWidth / outW, y * img.getHeight / outH) & 0xFF))
+    } catch { case _: Exception => None }
+
+  /** Encode→decode→resample round trip at row grain: one scalar pixel
+    * row (id, x, y, v) per output coordinate, the shape a per-pixel
+    * SQL oracle (and the driver's scalar-only hash harness) needs.
+    * Same per-partition batch discipline as the other round trips —
+    * the codec work rides the scan, the explode is outW·outH rows per
+    * image, bounded by the target resolution, not the source.
+    */
+  def pngResizeRoundTrip(df: DataFrame, idCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("x", IntegerType),
+      StructField("y", IntegerType),
+      StructField("v", IntegerType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        resamplePng(syntheticPng(id), outW, outH)
+          .getOrElse(throw new IllegalStateException(
+            s"PNG resize round-trip failed for id $id"))
+          .map { case (x, y, v) => Row(id, x, y, v) }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
 }

@@ -129,6 +129,48 @@ object Relational {
     * Output: (keys…, change) with change ∈
     * {added, removed, changed, unchanged}.
     */
+  /** ANALYZE-style column profile in ONE corpus pass: per column,
+    * null count and exact distinct count, in long format. The
+    * multi-distinct agg plans through Catalyst's Expand (one
+    * duplicated stream per distinct column) — the standard exact
+    * shape; at 100 TB swap `countDistinct` for `approx_count_distinct`
+    * (HLL partials, no Expand) without changing this operator's
+    * surface.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__dist_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+        s"'$c', __nulls_$c, __dist_$c").mkString(", ")
+    wide.select(col("__n").as("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+  }
+
+  /** Referential-integrity audit of one FK edge: row/null/orphan/match
+    * counts. The orphan probe is a broadcast LEFT join against the
+    * DISTINCT key set of the dimension (never the fact side), so the
+    * audit costs one fact scan + one dim-key aggregate — the shape
+    * that holds when the fact table is the 100 TB side.
+    */
+  def fkAudit(fact: DataFrame, fkCol: String, dim: DataFrame,
+      pkCol: String): DataFrame = {
+    val keys = dim.select(col(pkCol).as("__pk")).distinct()
+      .withColumn("__hit", lit(1L))
+    fact.select(col(fkCol).as("__fk"))
+      .join(broadcast(keys), col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        sum(when(col("__fk").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty && compareCols.nonEmpty)

@@ -549,4 +549,84 @@ object Similarity {
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
       .withColumn("recall_ppm", expr(s"(1000000 * n_hits) div $k"))
   }
+
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most similar corpus items with a DIFFERENT label — the
+    * near-misses that carry the gradient signal random negatives
+    * ([[graft.operators.Corpus.negativeSample]]) don't. Same broadcast
+    * nested-loop shape as [[bruteForceTopK]] (the documented exact
+    * baseline; the ANN variants are the scale route — swap the scored
+    * frame for an `annTopK*` probe with a label filter).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nvec"), col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("n_label"))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("q_label"),
+        col("rn").cast("long").as("rn"), col("neighbor_id"),
+        col("n_label"), col("cos").as("cosine"))
+  }
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, and within each
+    * cluster collapse the members sitting close to the cluster
+    * centroid — semantically redundant documents — down to one
+    * representative (the minimum id, a deterministic choice where the
+    * paper keeps an arbitrary one). Members below the proximity
+    * threshold are all kept.
+    *
+    * The clustering here is the fixed-seed hyperplane LSH partition
+    * ([[hyperplaneBucket]] — a scan-time projection, no training
+    * pass); swapping in trained IVF cells ([[kmeansIterate]] +
+    * [[ivfAssign]]) changes only the bucket expression. Centroids use
+    * the same order-free quantized accumulation as the k-means
+    * trainer ([[KmQ]]), so the whole pipeline is bit-reproducible and
+    * SQL-oracle-able.
+    *
+    * Output: one row per vector — (idCol, bucket, cos_ppm, is_kept),
+    * cos_ppm = ⌊cos(v, centroid(bucket))·1e6⌋.
+    *
+    * Scale: one bucket-keyed partial agg (≤2^planes × dim cells), one
+    * broadcast of the centroid frame, one bucket-keyed keeper agg
+    * (≤2^planes rows, broadcast back). The corpus is never shuffled —
+    * both joins broadcast — but it IS scanned three times (centroid
+    * pass, keeper pass, output pass, `scored` being recomputed);
+    * persist `scored` when the scan dominates. With data-sized
+    * cluster counts (trained IVF) the joins become shuffle joins on
+    * bucket and the design still holds.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], dim: Int, thresholdPpm: Long): DataFrame = {
+    val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bkt", hyperplaneBucket(col("__v"), planes))
+    val aggs = kmAggs("__v", dim)
+    val cents = b.groupBy(col("__bkt")).agg(aggs.head, aggs.tail: _*)
+      .select(col("__bkt"),
+        array((0 until dim).map(d =>
+          col(s"s$d").cast("double") / (col("n").cast("double") * KmQ)): _*)
+          .as("__cv"))
+    val scored = b.join(broadcast(cents), Seq("__bkt"))
+      .select(col("__id"), col("__bkt"),
+        floor(cosineNative(col("__v"), col("__cv")) * 1000000)
+          .cast("long").as("cos_ppm"))
+    val keepers = scored.groupBy(col("__bkt"))
+      .agg(min(when(col("cos_ppm") >= thresholdPpm, col("__id")))
+        .as("__keeper"))
+    scored.join(broadcast(keepers), Seq("__bkt"))
+      .select(col("__id").as(idCol), col("__bkt").as("bucket"),
+        col("cos_ppm"),
+        (col("cos_ppm") < thresholdPpm || col("__id") === col("__keeper"))
+          .as("is_kept"))
+  }
 }

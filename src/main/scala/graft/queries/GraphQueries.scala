@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{FuzzyMatch, Graph}
+
+/** Graph + entity-resolution operators over the star schema: blocked
+  * fuzzy matching (q168) and integer-quantized PageRank (q169) — the
+  * corpus-governance pair (near-identical name clustering, domain
+  * authority scoring) re-expressed over the TPC-H-ish tables so both
+  * are fully DuckDB-oracle-gated.
+  */
+object GraphQueries extends QueryPack {
+
+  /** The nation-grain trade graph: customer nation → supplier nation
+    * for every lineitem, deduped. Stands in for the crawl-domain link
+    * graph (node count ≪ row count, edges derived by join + distinct).
+    */
+  private val edgesCte: String =
+    """e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey)""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    // Blocked fuzzy entity resolution: distinct-first (64 names
+    // regardless of SF), blocked on the trailing token, Levenshtein ≤ 2
+    // inside the block. Both engines' levenshtein is the classic edit
+    // distance, so the match set is oracle-exact.
+    "q168_fuzzy_match" -> Q(
+      (s, dir) => FuzzyMatch.blockedNameMatch(
+          Tables.part(s, dir), "p_name",
+          nm => element_at(split(nm, " "), 2), maxDist = 2)
+        .orderBy(col("name_a"), col("name_b")),
+      Some("""WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+        |b AS (SELECT nm, split_part(nm, ' ', 2) AS blk FROM n)
+        |SELECT a.nm AS name_a, b2.nm AS name_b,
+        |  CAST(levenshtein(a.nm, b2.nm) AS INT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.nm < b2.nm
+        |WHERE levenshtein(a.nm, b2.nm) <= 2
+        |ORDER BY name_a, name_b""".stripMargin)),
+
+    // Damped PageRank, 3 rounds, integer ppm arithmetic (floor
+    // division at the contribution and damping steps) — order-free, so
+    // the unrolled-CTE oracle replays the iteration bit-exactly.
+    "q169_pagerank" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = l
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        Graph.pageRankPpm(edges, "src", "dst", iters = 3)
+          .select(col("node").cast("long").as("node"), col("rank_ppm"))
+          .orderBy(col("node"))
+      },
+      {
+        val iterCtes = (1 to 3).map { i =>
+          s"""f$i AS (SELECT e.dst AS node,
+             |    CAST(sum(r.rank_ppm // d.out_deg) AS BIGINT) AS in_sum
+             |  FROM e JOIN r${i - 1} r ON e.src = r.node
+             |  JOIN d ON e.src = d.src GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |    CAST(150000 + (850000 * coalesce(f.in_sum, 0)) // 1000000
+             |      AS BIGINT) AS rank_ppm
+             |  FROM n LEFT JOIN f$i f USING (node))""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH $edgesCte,
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+          |$iterCtes
+          |SELECT CAST(node AS BIGINT) AS node, rank_ppm
+          |FROM r3
+          |ORDER BY node""".stripMargin)
+      })
+  )
+}

@@ -698,6 +698,25 @@ object LlmQueries extends QueryPack {
         |FROM bk LEFT JOIN cnt ON cnt.doc_id = bk.doc_id AND cnt.b = bk.bucket
         |ORDER BY bk.doc_id, bk.bucket""".stripMargin)),
 
+    // REAL pixel resize under the oracle gate: decode the q52 PNG and
+    // nearest-neighbor resample 8×8 → 4×4 — on a lossless codec the
+    // output pixels are exactly the source pixels at the sampled
+    // coordinates, so the oracle replays the resample from the
+    // generating formula: v(x, y) = (doc_id·31 + 2x·8 + 2y) mod 256.
+    "q170_png_resize" -> Q(
+      (s, dir) => Multimodal.pngResizeRoundTrip(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          outW = 4, outH = 4)
+        .select(col("id").as("doc_id"), col("x"), col("y"), col("v"))
+        .orderBy(col("doc_id"), col("x"), col("y")),
+      Some("""WITH xs AS (SELECT doc_id, unnest(generate_series(0, 3)) AS x
+        |  FROM documents),
+        |px AS (SELECT doc_id, x, unnest(generate_series(0, 3)) AS y FROM xs)
+        |SELECT doc_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+        |  CAST((doc_id * 31 + (x * 2) * 8 + y * 2) % 256 AS INT) AS v
+        |FROM px
+        |ORDER BY doc_id, x, y""".stripMargin)),
+
     // REAL JPEG decode under the oracle gate: a flat grayscale JPEG
     // (quality 1.0) is encoded per document and decoded with the JDK's
     // actual JPEG codec — the one lossy-image class with an EXACT

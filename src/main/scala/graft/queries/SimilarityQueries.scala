@@ -65,6 +65,12 @@ object SimilarityQueries extends QueryPack {
   private val KmInit: Seq[(Int, Seq[Double])] =
     Centroids.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble)) }
 
+  /** SemDeDup proximity threshold (ppm): calibrated so the sf0.01
+    * corpus lands on both sides — near-centroid members collapse,
+    * far members survive (the gate would be vacuous at 0 or 1e6).
+    */
+  private val SemDedupT: Long = 600000L
+
   /** Fixed-seed start vector for the q132 power-iteration trainer. */
   private val PiInit: Seq[Double] = {
     val rnd = new scala.util.Random(777L)
@@ -633,6 +639,46 @@ object SimilarityQueries extends QueryPack {
           |  CAST(min(cp) AS BIGINT) AS min_cos_ppm
           |FROM sp GROUP BY label
           |ORDER BY label""".stripMargin)
+      }),
+
+    // SemDeDup (semantic dedup): LSH-partition the embedding space,
+    // quantized centroid per cell, and collapse near-centroid members
+    // to the min-id representative. The threshold splits the corpus
+    // non-trivially at this SF (kept and dropped rows both present),
+    // so the gate exercises both branches of the keeper logic.
+    "q166_semdedup" -> Q(
+      (s, dir) => Similarity.semDedup(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), vec(col("embedding")).as("embedding")),
+          "vec_id", "embedding", Planes, dim = 64,
+          thresholdPpm = SemDedupT)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+          col("cos_ppm"), col("is_kept"))
+        .orderBy(col("vec_id")),
+      {
+        val dim = 64
+        val q20 = "1048576.0"
+        val sumExprs = (0 until dim).map(d =>
+          s"CAST(sum(CAST(floor(v[${d + 1}] * $q20) AS BIGINT)) AS BIGINT) AS s$d")
+          .mkString(",\n|    ")
+        val centroidList = (0 until dim).map(d => s"s$d / (n * $q20)")
+          .mkString("[", ", ", "]")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+          |g AS (SELECT bucket, count(*) AS n,
+          |    $sumExprs
+          |  FROM b GROUP BY bucket),
+          |c AS (SELECT bucket, $centroidList AS cv FROM g),
+          |sp AS (SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
+          |    CAST(floor((${cosSql("v", "cv")}) * 1000000) AS BIGINT) AS cos_ppm
+          |  FROM b JOIN c USING (bucket)),
+          |k AS (SELECT bucket,
+          |    min(CASE WHEN cos_ppm >= $SemDedupT THEN vec_id END) AS keeper
+          |  FROM sp GROUP BY bucket)
+          |SELECT sp.vec_id, sp.bucket, sp.cos_ppm,
+          |  (sp.cos_ppm < $SemDedupT OR sp.vec_id = k.keeper) AS is_kept
+          |FROM sp JOIN k USING (bucket)
+          |ORDER BY vec_id""".stripMargin)
       }),
 
     // ANN evaluation: recall@3 of the multi-probe IVF index (q121's

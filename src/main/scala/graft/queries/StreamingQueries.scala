@@ -364,6 +364,38 @@ object StreamingQueries extends QueryPack {
         |  epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
         |FROM events
         |GROUP BY 1
-        |ORDER BY shard""".stripMargin))
+        |ORDER BY shard""".stripMargin)),
+
+    // Stream-stream INNER JOIN with an event-time interval condition
+    // (§2.8, seventh instance — the one join shape Structured
+    // Streaming adds over batch): click → purchase attribution within
+    // 1 h per user, both sides watermarked so join state is evictable.
+    // Event-id pairs make the output a set; the batch oracle is the
+    // identical interval self-join.
+    "q167_stream_interval_join" -> Q(
+      (s, dir) => {
+        val ev = eventsStream(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+            col("ts").as("a_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("ts").as("b_ts"))
+        Streams.runToTable(
+            Streams.intervalJoin(clicks, buys, "a_user", "b_user",
+              "a_ts", "b_ts", "1 hour", "1 hour"),
+            OutputMode.Append())
+          .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
+            expr("unix_millis(a_ts)").as("a_ms"),
+            expr("unix_millis(b_ts)").as("b_ms"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+        |  epoch_ms(a.ts) AS a_ms, epoch_ms(b.ts) AS b_ms
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -44,6 +44,38 @@ object Streams {
       .select((Seq(col("window.start").as("day_start")) ++ dims.map(col) :+
         col("n")): _*)
 
+  /** Stream-stream inner join with an event-time interval condition —
+    * the attribution join (click → purchase within a window) that the
+    * reference's batch re-runs approximate with day-grain refreshes.
+    *
+    * Both sides carry watermarks and the join predicate bounds
+    * `right.ts` to `[left.ts, left.ts + within]`; together these let
+    * the engine evict left state once the right watermark passes
+    * `left.ts + within` (and right state symmetrically), so state is
+    * bounded by watermark-delay × arrival-rate — the one configuration
+    * where unbounded stream-stream join state is provably finite.
+    * The two sides must arrive with DISJOINT column names (rename
+    * before calling) — the output carries every column of both.
+    */
+  /** `joinType` "inner" (default) or "left_outer": the outer form
+    * emits an unmatched left row with nulls only once the watermark
+    * proves no future right row can land in its window — so a bounded
+    * run's outer rows are exactly those with `leftTs + within` behind
+    * the final watermark (q173 states that predicate in SQL).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      within: String, watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      expr(s"""$leftKey = $rightKey AND
+              |$rightTs >= $leftTs AND
+              |$rightTs <= $leftTs + interval $within""".stripMargin),
+      joinType)
+  }
+
   final case class SessionEvent(key: Long, ts: Timestamp)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(key: Long, startMs: Long, endMs: Long, n: Int)

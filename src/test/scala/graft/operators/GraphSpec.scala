@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Planted-graph checks for the integer-ppm PageRank: hand-computed
+  * ranks on a tiny digraph, dangling-node leakage, and the
+  * iters=0 / duplicate-edge invariants.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRankPpm(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("iters=0 leaves every node at the initial 1e6") {
+    assert(ranks(Seq((1L, 2L), (2L, 3L)), 0) ===
+      Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("one round on a 2-cycle is a fixed point") {
+    // each node sends its whole rank to the other: in_sum = 1e6,
+    // rank' = 150000 + 850000*1e6 div 1e6 = 1e6
+    assert(ranks(Seq((1L, 2L), (2L, 1L)), 1) ===
+      Map(1L -> 1000000L, 2L -> 1000000L))
+    assert(ranks(Seq((1L, 2L), (2L, 1L)), 3) ===
+      Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("hand-computed round on a fan-in with a dangling sink") {
+    // 1→3, 2→3; 3 dangles. Round 1: node 3 in_sum = 1e6 + 1e6,
+    // rank = 150000 + 850000*2e6 div 1e6 = 1850000; nodes 1, 2 get
+    // no inflow: 150000. Round 2: 3 gets (150000 div 1) * 2 = 300000
+    // → 150000 + 255000 = 405000; 1, 2 stay 150000.
+    assert(ranks(Seq((1L, 3L), (2L, 3L)), 1) ===
+      Map(1L -> 150000L, 2L -> 150000L, 3L -> 1850000L))
+    assert(ranks(Seq((1L, 3L), (2L, 3L)), 2) ===
+      Map(1L -> 150000L, 2L -> 150000L, 3L -> 405000L))
+  }
+
+  test("out-degree split uses floor division") {
+    // 1→{2,3}: each successor receives 1e6 div 2 = 500000;
+    // contributions of 2→1 and 3→1 give 1 an in_sum of 2e6.
+    val r = ranks(Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)), 1)
+    assert(r(2L) === 150000L + 850000L * 500000L / 1000000L)
+    assert(r(1L) === 150000L + 850000L * 2000000L / 1000000L)
+  }
+
+  test("duplicate edges collapse before degree counting") {
+    val dup = ranks(Seq((1L, 2L), (1L, 2L), (2L, 1L)), 2)
+    val one = ranks(Seq((1L, 2L), (2L, 1L)), 2)
+    assert(dup === one)
+  }
+}

@@ -201,4 +201,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length === 1)
     assert((out.head.getInt(0), out.head.getInt(1), out.head.getInt(2)) === ((224, 224, 1)))
   }
+
+  test("resamplePng nearest-neighbor matches the pixel formula") {
+    val seed = 42L
+    def px(x: Int, y: Int): Int = Math.floorMod(seed * 31 + x * 8 + y, 256L).toInt
+    // downsample 8×8 → 4×4: out(x, y) = src(2x, 2y)
+    val down = Multimodal.resamplePng(Multimodal.syntheticPng(seed), 4, 4).get
+    assert(down.size === 16)
+    down.foreach { case (x, y, v) => assert(v === px(x * 2, y * 2)) }
+    // identity resample returns the source raster
+    val same = Multimodal.resamplePng(Multimodal.syntheticPng(seed), 8, 8).get
+    same.foreach { case (x, y, v) => assert(v === px(x, y)) }
+    // upsample 8×8 → 16×16 repeats each source pixel 2×2
+    val up = Multimodal.resamplePng(Multimodal.syntheticPng(seed), 16, 16).get
+    up.foreach { case (x, y, v) => assert(v === px(x / 2, y / 2)) }
+    // undecodable payload → None
+    assert(Multimodal.resamplePng(Array[Byte](1, 2, 3), 4, 4).isEmpty)
+  }
 }

@@ -258,4 +258,31 @@ class SimilaritySpec extends SparkSpec {
       2L -> ((1L, 500000L)),
       3L -> ((0L, 0L)))) // zero-hit query still present
   }
+
+  test("semDedup collapses near-centroid members to the min id") {
+    import spark.implicits._
+    // one hyperplane (x-axis): sign of v[0] splits the space in two
+    val planes = Seq(Seq(1.0, 0.0))
+    // ids 5, 6, 7 identical (exactly quantizable, centroid == vector,
+    // cos = 1); id 9 alone in the negative half-space
+    val df = Seq(
+      (5L, Seq(1.0f, 0.0f)), (6L, Seq(1.0f, 0.0f)), (7L, Seq(1.0f, 0.0f)),
+      (9L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    def run(t: Long): Map[Long, (Long, Boolean)] =
+      Similarity.semDedup(df, "vec_id", "embedding", planes, dim = 2,
+          thresholdPpm = t)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+
+    val got = run(900000L)
+    // the exact-dup trio scores cos_ppm = 1e6 ≥ T: min id survives
+    assert(got(5L) === ((1000000L, true)))
+    assert(got(6L) === ((1000000L, false)))
+    assert(got(7L) === ((1000000L, false)))
+    // a singleton bucket is its own centroid and keeper
+    assert(got(9L) === ((1000000L, true)))
+
+    // unreachable threshold: nothing collapses
+    assert(run(1000001L).values.forall(_._2))
+  }
 }

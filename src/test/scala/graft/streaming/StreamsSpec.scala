@@ -138,4 +138,33 @@ class StreamsSpec extends SparkSpec {
       assert(rows.head.endMs === ts("2024-01-01 10:00:30").getTime)
     } finally q.stop()
   }
+
+  test("intervalJoin matches within the window across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp)]
+    val right = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      left.toDF().toDF("a_id", "a_user", "a_ts"),
+      right.toDF().toDF("b_id", "b_user", "b_ts"),
+      "a_user", "b_user", "a_ts", "b_ts", "1 hour", "1 hour")
+    val q = joined.select("a_id", "b_id").writeStream.format("memory")
+      .queryName("ij_out").outputMode("append").start()
+    try {
+      left.addData((1L, 7L, ts("2024-01-01 10:00:00")))
+      right.addData((10L, 7L, ts("2024-01-01 10:30:00"))) // in window
+      q.processAllAvailable()
+      // second batch: same-key purchase past the window, plus a
+      // different-key one inside it — neither may match click 1
+      right.addData(
+        (11L, 7L, ts("2024-01-01 11:30:00")),
+        (12L, 8L, ts("2024-01-01 10:15:00")))
+      // a purchase BEFORE the click never matches (one-directional)
+      left.addData((2L, 8L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 10L)))
+    } finally q.stop()
+  }
 }
