@@ -83,6 +83,28 @@ object Aggregates {
     */
   def lastBy(value: Column, order: Column): Column = max_by(value, order)
 
+  /** Exact sufficient statistics for per-group correlation between two
+    * INTEGER features: n, Σx, Σy, Σx², Σy², Σxy and the covariance
+    * numerator n·Σxy − Σx·Σy — every term a BIGINT, so the feature-
+    * drift audit is order-free and oracle-exact. Pearson r itself
+    * needs a sqrt (engine-divergent doubles); callers derive it from
+    * these exact sums, or compare r² = num²/(varx·vary) in whatever
+    * precision they accept. One partial agg; null feature rows are
+    * excluded pairwise (both features must be present to contribute).
+    */
+  def corrStats(df: DataFrame, groupCol: String, x: Column, y: Column)
+      : DataFrame =
+    df.filter(x.isNotNull && y.isNotNull)
+      .select(col(groupCol), x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sum_x"), sum(col("__y")).as("sum_y"),
+        sum(col("__x") * col("__x")).as("sum_xx"),
+        sum(col("__y") * col("__y")).as("sum_yy"),
+        sum(col("__x") * col("__y")).as("sum_xy"))
+      .withColumn("cov_num", expr("n * sum_xy - sum_x * sum_y"))
+
   /** Grouped max + count + conditional count (A6/A7,
     * `powerbi_main_fun.py:354-428`): per-group max of a size-like measure
     * and counts under a time predicate — e.g. ROUTE_CHANGE = count of

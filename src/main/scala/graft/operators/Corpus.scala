@@ -469,6 +469,64 @@ object Corpus {
       .select(col(groupCol), col("rn"), col(idCol), col("priority"))
   }
 
+  /** Sequence-packing efficiency audit: with one document per padded
+    * sequence of `seqLen` tokens, each doc costs ceil(n/seqLen)·seqLen
+    * slots; the per-group report totals real tokens vs padded slots
+    * and the waste rate in ppm — the number that justifies switching
+    * to [[packShards]]-style bin packing. Zero-token docs occupy no
+    * sequence. Pure projection + one partial agg.
+    */
+  def paddingWaste(docs: DataFrame, textCol: String, groupCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1)
+    docs
+      .select(col(groupCol).as("__g"),
+        TextAnalysis.nTokens(col(textCol)).cast("long").as("__n"))
+      .withColumn("__padded",
+        expr(s"((__n + ${seqLen - 1}) div $seqLen) * $seqLen"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        sum(col("__padded")).as("n_padded"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_padded"),
+        when(col("n_padded") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * (n_padded - n_tokens)) div n_padded"))
+          .as("waste_ppm"))
+  }
+
+  /** Exact proportional allocation of `total` slots across groups by
+    * row count — Hamilton's largest-remainder method: every group
+    * gets ⌊n_g·total/N⌋ slots, and the ⌊·⌋ remainder slots go to the
+    * largest fractional remainders (ties to the smaller group key, so
+    * the allocation is total and deterministic). The quota step of a
+    * stratified eval draw: Σ quota = total exactly, no group
+    * over-represented by more than one slot.
+    *
+    * All arithmetic is BIGINT (remainders compared as n_g·total mod N
+    * — same order as the fraction, no division error). Group counts
+    * are one partial agg; N and the rank window run over
+    * group-cardinality rows, never corpus rows.
+    */
+  def quotaAllocation(df: DataFrame, groupCol: String, total: Long)
+      : DataFrame = {
+    require(total >= 0)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val withN = counts.crossJoin(
+      broadcast(counts.agg(sum(col("n_rows")).as("__N"))))
+    val based = withN
+      .withColumn("base", expr(s"(n_rows * $total) div __N"))
+      .withColumn("__rem", expr(s"(n_rows * $total) % __N"))
+    val spare = based
+      .withColumn("__spare", expr(s"$total - sum(base) OVER ()"))
+    val ranked = spare.withColumn("__rk",
+      row_number().over(Window.orderBy(col("__rem").desc, col(groupCol))))
+    ranked
+      .select(col(groupCol), col("n_rows"),
+        (col("base") + when(col("__rk") <= col("__spare"), 1L)
+          .otherwise(0L)).as("quota"))
+  }
+
   def pruneRange(zm: DataFrame, key: String, lo: Column,
       hi: Column): DataFrame =
     zm.withColumn("can_skip",

@@ -171,6 +171,33 @@ object Relational {
         sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
   }
 
+  /** Apply a CDC changeset to a snapshot: rows keyed in `changes`
+    * replace (op 'U'/'I') or remove (op 'D') their snapshot rows;
+    * unkeyed snapshot rows carry over — the MERGE INTO shape (Delta/
+    * Iceberg upsert semantics) as one full-outer key join. Exactly
+    * the inverse of [[snapshotDiff]]: applying a diff'd changeset to
+    * the old snapshot reproduces the new one.
+    *
+    * Both inputs must share the key columns; `changes` carries the
+    * payload columns of the snapshot plus `opCol`. One shuffle join
+    * keyed by the snapshot key — at 100 TB the changeset side is
+    * typically small enough to broadcast, which Catalyst/AQE decides
+    * from stats.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], payload: Seq[String], opCol: String): DataFrame = {
+    val snap = snapshot.select(
+      (keys.map(col) ++ payload.map(c => col(c).as(s"__s_$c"))): _*)
+    val chg = changes.select(
+      (keys.map(col) ++ payload.map(c => col(c).as(s"__c_$c")) :+
+        col(opCol).as("__op")): _*)
+    snap.join(chg, keys, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select((keys.map(col) ++ payload.map(c =>
+        when(col("__op").isNotNull, col(s"__c_$c"))
+          .otherwise(col(s"__s_$c")).as(c))): _*)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty && compareCols.nonEmpty)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -196,6 +196,64 @@ object TextAnalysis {
     graft.expressions.DeflateRatio.deflateRatio(c)
 
   /** Word n-gram shingles as strings (input to MinHash). */
+  /** Flesch reading-ease in exact integer milli-units:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * becomes 206835 − (1015·W) div S − (84600·Y) div W, every term a
+    * BIGINT floor division, so the score is order-free and
+    * oracle-exact (the float constants 1.015/84.6 scale to integers
+    * exactly; a double division + floor can mis-floor within one
+    * ulp of an integer quotient, which is why `div` and not `/`).
+    * Sentences = `[.!?]+` runs, floored at 1 (headline-style text
+    * still scores); syllables ≈ `[aeiouy]+` runs of the lowercased
+    * text — the standard cheap approximation. Zero-word text scores
+    * NULL. A scan-speed projection (three regexp counts).
+    *
+    * Output: input columns + n_words, n_sentences, n_syllables,
+    * flesch_milli.
+    */
+  def readability(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_words", nTokens(col(textCol)).cast("long"))
+      .withColumn("n_sentences",
+        greatest(regexp_count(col(textCol), lit("[.!?]+")).cast("long"),
+          lit(1L)))
+      .withColumn("n_syllables",
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long"))
+      .withColumn("flesch_milli",
+        when(col("n_words") === 0L, lit(null).cast("long"))
+          .otherwise(lit(206835L)
+            - expr("(1015 * n_words) div n_sentences")
+            - expr("(84600 * n_syllables) div n_words")))
+
+  /** Vocabulary-coverage audit: build the top-`vocabSize` token
+    * vocabulary by corpus frequency (ties broken by token, so the
+    * vocabulary is deterministic) and report each group's token count,
+    * out-of-vocabulary count, and OOV rate in ppm — the tokenizer-fit
+    * check run before committing a corpus to a fixed vocabulary.
+    *
+    * Scale: token-keyed partial agg (vocab candidates are
+    * vocab-bounded after the top-k), the vocabulary broadcasts, and
+    * the per-group rollup is one more partial agg. The corpus text is
+    * scanned once.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1)
+    val toks = docs.select(col(groupCol).as("__g"),
+      explode(tokens(lower(col(textCol)))).as("__t"))
+    val vocab = toks.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t"))
+      .limit(vocabSize)
+      .select(col("__t"), lit(1L).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
+  }
+
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(lower(c))
     when(size(toks) < n, array(concat_ws(" ", toks)))

@@ -252,6 +252,121 @@ object CoreQueries extends QueryPack {
         |         THEN 'changed'
         |       ELSE 'unchanged' END AS change
         |FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // MERGE INTO semantics: apply a derived changeset (inserts,
+    // updates, deletes on the customer snapshot) through one
+    // full-outer key join — and the gate's strongest property, that
+    // applying q143's diff to the old snapshot reproduces the new one,
+    // is what the oracle replays: it computes the expected post-merge
+    // state directly from the change rules.
+    "q186_cdc_apply" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val snapshot = c.filter(col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        // changeset: delete key%5=0, update key%11=0 (+10 balance),
+        // insert the %7 rows the snapshot lacks
+        val deletes = snapshot.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit("D").as("op"))
+        val updates = snapshot
+          .filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 10.0).as("c_acctbal"), lit("U").as("op"))
+        val inserts = c.filter(col("c_custkey") % 7 === 0)
+          .filter(col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey"), col("c_name"),
+            // late inserts arrive post-update: the %11 adjustment
+            // applies to them too (keeps the expected state closed-form)
+            when(col("c_custkey") % 11 === 0, col("c_acctbal") + 10.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            lit("I").as("op"))
+        Relational.applyChanges(snapshot,
+            deletes.union(updates).union(inserts),
+            Seq("c_custkey"), Seq("c_name", "c_acctbal"), "op")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 10.0
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 5 <> 0
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ANALYZE-style column profile of the documents table in one
+    // pass: per-column null and exact distinct counts in long format
+    // (the statistics collection pass a governance layer runs before
+    // publishing a corpus snapshot).
+    "q174_column_profile" -> Q(
+      (s, dir) => Relational.profileColumns(
+          Tables.documents(s, dir), Seq("lang", "n_chars", "source", "text"))
+        .orderBy(col("column_name")),
+      Some("""SELECT 'lang' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(lang) AS n_nulls,
+        |  count(DISTINCT lang) AS n_distinct FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source) FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT text) FROM documents
+        |ORDER BY column_name""".stripMargin)),
+
+    // Referential-integrity audit over three FK edges; the first edge
+    // is PLANTED with two orphan keys and a null so every counter is
+    // exercised (the real edges are clean — q147's planted-gate
+    // discipline).
+    "q175_fk_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val planted = Seq(Some(-1L), Some(-5L), Option.empty[Long])
+          .toDF("o_custkey")
+        def tag(name: String, d: org.apache.spark.sql.DataFrame) =
+          d.select(lit(name).as("relation"), col("n_rows"),
+            col("n_null_fk"), col("n_orphans"), col("n_matched"))
+        val a1 = tag("orders->customer", Relational.fkAudit(
+          Tables.orders(s, dir).select(col("o_custkey")).union(planted),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        val a2 = tag("lineitem->part", Relational.fkAudit(
+          Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        val a3 = tag("lineitem->supplier", Relational.fkAudit(
+          Tables.lineitem(s, dir), "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))
+        a1.union(a2).union(a3).orderBy(col("relation"))
+      },
+      Some("""WITH f1 AS (SELECT o_custkey AS fk FROM orders
+        |    UNION ALL SELECT * FROM (VALUES (CAST(-1 AS BIGINT)),
+        |      (CAST(-5 AS BIGINT)), (CAST(NULL AS BIGINT))) t(fk)),
+        |d1 AS (SELECT DISTINCT c_custkey AS pk FROM customer),
+        |d2 AS (SELECT DISTINCT p_partkey AS pk FROM part),
+        |d3 AS (SELECT DISTINCT s_suppkey AS pk FROM supplier),
+        |a1 AS (SELECT 'orders->customer' AS relation,
+        |    count(*) AS n_rows,
+        |    count(*) - count(f.fk) AS n_null_fk,
+        |    count(CASE WHEN f.fk IS NOT NULL AND d1.pk IS NULL
+        |      THEN 1 END) AS n_orphans,
+        |    count(d1.pk) AS n_matched
+        |  FROM f1 f LEFT JOIN d1 ON f.fk = d1.pk),
+        |a2 AS (SELECT 'lineitem->part', count(*),
+        |    count(*) - count(l.l_partkey),
+        |    count(CASE WHEN l.l_partkey IS NOT NULL AND d2.pk IS NULL
+        |      THEN 1 END),
+        |    count(d2.pk)
+        |  FROM lineitem l LEFT JOIN d2 ON l.l_partkey = d2.pk),
+        |a3 AS (SELECT 'lineitem->supplier', count(*),
+        |    count(*) - count(l.l_suppkey),
+        |    count(CASE WHEN l.l_suppkey IS NOT NULL AND d3.pk IS NULL
+        |      THEN 1 END),
+        |    count(d3.pk)
+        |  FROM lineitem l LEFT JOIN d3 ON l.l_suppkey = d3.pk)
+        |SELECT * FROM (
+        |  SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |  UNION ALL SELECT * FROM a3)
+        |ORDER BY relation""".stripMargin))
   )
 }

@@ -1199,7 +1199,133 @@ object IndexQueries extends QueryPack {
         |  FROM sc)
         |SELECT doc_id, rank, term, tf, df, score_ppm
         |FROM r WHERE rank <= 3 AND doc_id % 50 = 0
-        |ORDER BY doc_id, rank""".stripMargin))
+        |ORDER BY doc_id, rank""".stripMargin)),
+
+    // DSIR-style importance weighting in exact integer form: target =
+    // English documents; weight_ppm(t) = ⌊1e6·c_target(t)/c_all(t)⌋
+    // over corpus term counts; doc score = Σ token weights. The
+    // data-selection prior that upsamples target-like text.
+    "q171_importance_weights" -> Q(
+      (s, dir) => graft.operators.Corpus.importanceWeights(
+          Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, tgt, unnest(toks) AS tk FROM t),
+        |w AS (SELECT tk,
+        |    (1000000 * CAST(count(CASE WHEN tgt THEN 1 END) AS BIGINT))
+        |      // CAST(count(*) AS BIGINT) AS w_ppm
+        |  FROM tok GROUP BY tk),
+        |pd AS (SELECT tok.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+        |  FROM tok JOIN w USING (tk) GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  coalesce(pd.score_ppm, 0) AS score_ppm
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic weighted sampling without replacement (integer
+    // A-ES): priority = h60(id:salt) div weight, keep the 3 smallest
+    // per source. Longer documents (weight = n_chars) are
+    // proportionally likelier — the length-weighted corpus draw.
+    "q172_weighted_sample" -> Q(
+      (s, dir) => graft.operators.Corpus.weightedPrioritySample(
+          Tables.documents(s, dir).select(
+            col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", "source", k = 3, salt = "ws1")
+        .orderBy(col("source"), col("rn")),
+      Some("""WITH p AS (SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(doc_id || ':ws1'), 1, 15)) AS BIGINT)
+        |      // n_chars AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT source, doc_id, priority,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY priority, doc_id) AS BIGINT) AS rn
+        |  FROM p)
+        |SELECT source, rn, doc_id, priority
+        |FROM r WHERE rn <= 3
+        |ORDER BY source, rn""".stripMargin)),
+
+    // Tokenizer-fit audit: top-100 corpus vocabulary (frequency desc,
+    // token asc — fully deterministic), per-source OOV rate in ppm.
+    "q177_vocab_coverage" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.vocabCoverage(
+          Tables.documents(s, dir), "text", "source", vocabSize = 100)
+        .orderBy(col("source")),
+      Some("""WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(toks) AS tk FROM t),
+        |v AS (SELECT tk FROM (
+        |    SELECT tk, count(*) AS c FROM tok GROUP BY tk
+        |    ORDER BY c DESC, tk LIMIT 100)),
+        |j AS (SELECT tok.source, v.tk AS hit
+        |      FROM tok LEFT JOIN v ON tok.tk = v.tk)
+        |SELECT source, count(*) AS n_tokens,
+        |  count(CASE WHEN hit IS NULL THEN 1 END) AS n_oov,
+        |  (1000000 * count(CASE WHEN hit IS NULL THEN 1 END)) // count(*)
+        |    AS oov_ppm
+        |FROM j GROUP BY source
+        |ORDER BY source""".stripMargin)),
+
+    // Feature-correlation audit in exact sufficient statistics:
+    // char length vs token count per source — n, Σx, Σy, Σx², Σy²,
+    // Σxy and the covariance numerator, all BIGINT (Pearson r derives
+    // from these; its sqrt stays out of the gate by design).
+    "q184_corr_stats" -> Q(
+      (s, dir) => graft.operators.Aggregates.corrStats(
+          Tables.documents(s, dir)
+            .withColumn("n_tok",
+              graft.operators.TextAnalysis.nTokens(col("text"))),
+          "source", col("n_chars"), col("n_tok"))
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source,
+        |    CAST(n_chars AS BIGINT) AS x,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+'))
+        |    END AS BIGINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        |  CAST(sum(y * y) AS BIGINT) AS sum_yy,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  count(*) * CAST(sum(x * y) AS BIGINT)
+        |    - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS cov_num
+        |FROM d GROUP BY source
+        |ORDER BY source""".stripMargin)),
+
+    // Largest-remainder (Hamilton) quota allocation: 100 eval slots
+    // split across sources proportionally to doc count, remainders
+    // ranked exactly (mod-N integers, no division error). Σ quota
+    // must equal the total by construction.
+    "q185_quota_allocation" -> Q(
+      (s, dir) => graft.operators.Corpus.quotaAllocation(
+          Tables.documents(s, dir), "source", total = 100L)
+        .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source, count(*) AS n_rows
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS N FROM c),
+        |b AS (SELECT source, n_rows,
+        |    (n_rows * 100) // N AS base, (n_rows * 100) % N AS rem
+        |  FROM c, t),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+        |      AS rk,
+        |    100 - sum(base) OVER () AS spare
+        |  FROM b)
+        |SELECT source, n_rows,
+        |  base + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS quota
+        |FROM r
+        |ORDER BY source""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

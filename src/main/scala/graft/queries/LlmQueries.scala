@@ -698,6 +698,56 @@ object LlmQueries extends QueryPack {
         |FROM bk LEFT JOIN cnt ON cnt.doc_id = bk.doc_id AND cnt.b = bk.bucket
         |ORDER BY bk.doc_id, bk.bucket""".stripMargin)),
 
+    // Flesch reading-ease in exact integer milli-units (order-free
+    // floor divisions; see TextAnalysis.readability) — the classic
+    // readability prior quality-filter stacks add next to q27's
+    // length/punct heuristics.
+    "q181_readability" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.readability(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch_milli"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, w AS n_words, s AS n_sentences,
+        |  y AS n_syllables,
+        |  CASE WHEN w = 0 THEN CAST(NULL AS BIGINT)
+        |       ELSE 206835 - (1015 * w) // s - (84600 * y) // w
+        |  END AS flesch_milli
+        |FROM (SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+'))
+        |    END AS BIGINT) AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Sequence-packing efficiency: tokens vs padded slots at a 64-token
+    // sequence length, per source — the waste number that motivates
+    // q80's bin packing over one-doc-per-sequence batching.
+    "q182_padding_waste" -> Q(
+      (s, dir) => graft.operators.Corpus.paddingWaste(
+          Tables.documents(s, dir), "text", "source", seqLen = 64)
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+'))
+        |    END AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (SELECT source, n, ((n + 63) // 64) * 64 AS padded FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(padded) AS BIGINT) AS n_padded,
+        |  CASE WHEN sum(padded) = 0 THEN 0
+        |       ELSE (1000000 * CAST(sum(padded) - sum(n) AS BIGINT))
+        |         // CAST(sum(padded) AS BIGINT)
+        |  END AS waste_ppm
+        |FROM p GROUP BY source
+        |ORDER BY source""".stripMargin)),
+
     // REAL pixel resize under the oracle gate: decode the q52 PNG and
     // nearest-neighbor resample 8×8 → 4×4 — on a lossless codec the
     // output pixels are exactly the source pixels at the sampled

@@ -681,6 +681,34 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY vec_id""".stripMargin)
       }),
 
+    // Hard-negative mining: per query, the 3 most similar vectors
+    // with a DIFFERENT label — the contrastive-training complement of
+    // q149's random negatives (same exact-baseline shape as q31; the
+    // ANN route swaps in for the scored frame at scale).
+    "q176_hard_negatives" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          vec(col("embedding")).as("embedding"), col("label"))
+        Similarity.hardNegatives(
+            e.filter(col("vec_id") % 100 === 0), e,
+            "vec_id", "embedding", "label", 3)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, $vSql AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+        |      FROM e WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+        |        e.label AS n_label, ${cosSql("qv", "v")} AS cos
+        |      FROM q JOIN e ON q.query_id <> e.vec_id
+        |                   AND q.q_label <> e.label),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+        |      FROM s)
+        |SELECT query_id, q_label, rn, neighbor_id, n_label,
+        |  cos AS cosine
+        |FROM r WHERE rn <= 3
+        |ORDER BY query_id, rn""".stripMargin)),
+
     // ANN evaluation: recall@3 of the multi-probe IVF index (q121's
     // exact configuration) against the brute-force ground truth —
     // the publishable number behind every "approximate is safe here"

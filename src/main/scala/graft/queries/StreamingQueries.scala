@@ -396,6 +396,82 @@ object StreamingQueries extends QueryPack {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-        |ORDER BY a_id, b_id""".stripMargin))
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // The LEFT OUTER form of q167: unmatched clicks emit with nulls,
+    // but only once the global watermark (min of both sides' max event
+    // time, minus the 1 h delay) proves their 1 h window can no longer
+    // fill — clicks younger than that stay in state and never emit in
+    // a bounded run. The oracle states the finalization predicate
+    // explicitly, the q74 discipline applied to join state.
+    "q173_stream_outer_join" -> Q(
+      (s, dir) => {
+        val ev = eventsStream(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+            col("ts").as("a_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("ts").as("b_ts"))
+        Streams.runToTable(
+            Streams.intervalJoin(clicks, buys, "a_user", "b_user",
+              "a_ts", "b_ts", "1 hour", "1 hour", "left_outer"),
+            OutputMode.Append())
+          .select(col("a_id"), col("b_id"),
+            expr("unix_millis(a_ts)").as("a_ms"),
+            expr("unix_millis(b_ts)").as("b_ms"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 1 HOUR AS w),
+        |m AS (SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |    epoch_ms(a.ts) AS a_ms, epoch_ms(b.ts) AS b_ms
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id
+        |   AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR),
+        |u AS (SELECT a.event_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+        |    epoch_ms(a.ts) AS a_ms, CAST(NULL AS BIGINT) AS b_ms
+        |  FROM events a, wm
+        |  WHERE a.event_type = 'click'
+        |    AND a.ts + INTERVAL 1 HOUR < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM events b
+        |      WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR))
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Stream-static enrichment (§2.8, ninth instance): the event
+    // stream joins the STATIC customer→nation dimension inside the
+    // micro-batch (broadcast, no stream state for the dim side) and
+    // aggregates per nation in Complete mode — the standard shape for
+    // enriching a firehose with a slowly-changing dimension.
+    "q180_stream_static_join" -> Q(
+      (s, dir) => {
+        val dim = graft.Tables.customer(s, dir)
+          .join(graft.Tables.nation(s, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        Streams.runToTable(
+            eventsStream(s, dir)
+              .join(broadcast(dim), col("user_id") === col("c_custkey"))
+              .groupBy(col("n_name"))
+              // count(DISTINCT) is unsupported in streaming aggs; the
+              // user-range pair keeps the gate multi-column without it
+              .agg(count(lit(1)).as("n_events"),
+                min(col("user_id")).as("min_user"),
+                max(col("user_id")).as("max_user")),
+            OutputMode.Complete())
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n_events,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin))
   )
 }

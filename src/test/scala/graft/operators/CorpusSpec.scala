@@ -274,4 +274,78 @@ class CorpusSpec extends SparkSpec {
     assert(s1.sortBy(t => (t._1, t._3)).toSeq ===
       s2.sortBy(t => (t._1, t._3)).toSeq)
   }
+
+  test("importanceWeights: target-only tokens score 1e6, absent-from-target 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta", true),   // target
+      (2L, "beta gamma", false),
+      (3L, "", false)                    // zero tokens
+    ).toDF("id", "text", "tgt")
+    val got = Corpus.importanceWeights(docs, "id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // weights: alpha 2/2=1e6; beta 1/2=500000; gamma 0/1=0
+    assert(got(1L) === ((3L, 1000000L + 1000000L + 500000L)))
+    assert(got(2L) === ((2L, 500000L)))
+    assert(got(3L) === ((0L, 0L))) // empty doc present, score 0
+  }
+
+  test("weightedPrioritySample: deterministic, weight-monotone, excludes w<=0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g", 10L), (2L, "g", 10L), (3L, "g", 10L),
+      (4L, "g", 0L),  (5L, "g", -3L) // never drawn
+    ).toDF("id", "grp", "w")
+    val pick = Corpus.weightedPrioritySample(df, "id", "w", "grp", 5, "s1")
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    assert(pick.map(_._1).toSet === Set(1L, 2L, 3L)) // w<=0 excluded
+    assert(pick.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L)) // dense ranks
+    // rerun identical (pure function of id:salt)
+    val again = Corpus.weightedPrioritySample(df, "id", "w", "grp", 5, "s1")
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    assert(pick.toSeq === again.toSeq)
+    // scaling one weight up can only improve (shrink) its priority
+    val boosted = Seq((1L, "g", 1000000L)).toDF("id", "grp", "w")
+    val p1 = Corpus.weightedPrioritySample(df, "id", "w", "grp", 5, "s1")
+      .filter(col("id") === 1L).collect().head.getLong(3)
+    val p2 = Corpus.weightedPrioritySample(boosted, "id", "w", "grp", 5, "s1")
+      .collect().head.getLong(3)
+    assert(p2 <= p1)
+  }
+
+  test("quotaAllocation: exact total, proportionality, remainder ranking") {
+    import spark.implicits._
+    // counts 5 / 3 / 2 over total 7: bases 3/2/1 (floor of 3.5/2.1/1.4),
+    // Σbase = 6, one spare slot → largest remainder .5 (group a) gets it
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("g")
+    val got = Corpus.quotaAllocation(df, "g", 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(got.values.sum === 7L)
+
+    // remainder tie (2/2 over total 3): equal remainders → smaller key
+    val tie = (Seq.fill(2)("x") ++ Seq.fill(2)("y")).toDF("g")
+    val t = Corpus.quotaAllocation(tie, "g", 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(t === Map("x" -> 2L, "y" -> 1L))
+    // degenerate totals
+    assert(Corpus.quotaAllocation(tie, "g", 0L)
+      .collect().map(_.getLong(2)).sum === 0L)
+  }
+
+  test("paddingWaste: ceil-to-seqLen accounting, empty docs cost nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "t1 t2 t3"),            // 3 tokens → 4 padded (seqLen 4)
+      ("a", "t1 t2 t3 t4"),         // 4 → 4, zero waste
+      ("a", "t1 t2 t3 t4 t5"),      // 5 → 8
+      ("a", "")).toDF("src", "text") // 0 → 0 sequences
+    val r = Corpus.paddingWaste(docs, "text", "src", seqLen = 4)
+      .collect().head
+    // totals: docs 4, tokens 12, padded 16, waste (4/16) = 250000 ppm
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((4L, 12L, 16L, 250000L)))
+  }
 }

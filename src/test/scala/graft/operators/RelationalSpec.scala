@@ -88,4 +88,63 @@ class RelationalSpec extends SparkSpec {
       4L -> "changed",   // name case flip
       5L -> "added"))
   }
+
+  test("profileColumns: null and exact distinct counts per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("a"), Some(2L)),
+      (Some("b"), None), (None, Some(2L))
+    ).toDF("s", "v")
+    val got = Relational.profileColumns(df, Seq("s", "v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("s") === ((4L, 1L, 2L))) // distinct excludes null
+    assert(got("v") === ((4L, 1L, 2L)))
+  }
+
+  test("applyChanges: insert, update, delete, carry-over; diff∘apply round-trips") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "b2", 20.0, "U"),  // update
+      (3L, "c", 3.0, "D"),    // delete (payload ignored)
+      (4L, "d", 4.0, "I"))    // insert
+      .toDF("k", "name", "bal", "op")
+    val got = Relational.applyChanges(snap, changes, Seq("k"),
+        Seq("name", "bal"), "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "a", 1.0),    // untouched carries over
+      (2L, "b2", 20.0),  // updated payload wins
+      (4L, "d", 4.0)))   // inserted; 3 deleted
+
+    // the algebraic property: apply(old, diff(old → new)-as-changes) = new
+    val newSnap = Seq((1L, "a", 1.0), (2L, "b2", 20.0), (4L, "d", 4.0))
+      .toDF("k", "name", "bal")
+    val ops = Relational.snapshotDiff(snap, newSnap, Seq("k"),
+        Seq("name", "bal"))
+      .filter(col("change") =!= "unchanged")
+    val asChanges = ops.join(newSnap, Seq("k"), "left")
+      .select(col("k"), col("name"), col("bal"),
+        when(col("change") === "removed", "D")
+          .when(col("change") === "added", "I").otherwise("U").as("op"))
+    val round = Relational.applyChanges(snap, asChanges, Seq("k"),
+        Seq("name", "bal"), "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(round.toSeq === got.toSeq)
+  }
+
+  test("fkAudit counts rows, null FKs, orphans, and matches") {
+    import spark.implicits._
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 2L, 3L).toDF("pk") // dup pk must not multiply
+    val r = Relational.fkAudit(fact, "fk", dim, "pk").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((5L, 1L, 1L, 3L)))
+  }
 }

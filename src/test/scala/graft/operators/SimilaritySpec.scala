@@ -285,4 +285,20 @@ class SimilaritySpec extends SparkSpec {
     // unreachable threshold: nothing collapses
     assert(run(1000001L).values.forall(_._2))
   }
+
+  test("hardNegatives skips same-label neighbors however close") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),   // the query itself
+      (2L, Seq(1.0f, 0.0f), "A"),   // identical but same label → excluded
+      (3L, Seq(0.8f, 0.6f), "B"),   // cos 0.8 → rank 1
+      (4L, Seq(0.0f, 1.0f), "B"),   // cos 0   → rank 2
+      (5L, Seq(-1.0f, 0.0f), "C")   // cos -1  → rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        corpus.filter($"vec_id" === 1L), corpus,
+        "vec_id", "embedding", "label", 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3))) // (rn, neighbor)
+    assert(got.toSeq === Seq((1L, 3L), (2L, 4L), (3L, 5L)))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-corpus checks for the vocabulary-coverage audit. */
+class TextAnalysisOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("vocabCoverage: deterministic top-k vocab, per-group OOV ppm") {
+    // corpus counts: common×4, mid×3, rare×1, odd×1 — vocabSize=2
+    // keeps {common, mid}; the rank-2 tie between rare/odd never
+    // arises here, but the tie at the cut IS exercised below
+    val docs = Seq(
+      ("g1", "common common mid rare"),
+      ("g2", "common COMMON mid mid odd"),
+      ("g3", "")).toDF("src", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", "src", 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("g1") === ((4L, 1L, 250000L))) // rare is OOV
+    assert(got("g2") === ((5L, 1L, 200000L))) // case-folded; odd is OOV
+    assert(!got.contains("g3"))               // zero-token group absent
+
+    // tie at the vocabulary boundary: counts equal ⇒ token order
+    // decides (ascending), so 'aa' enters and 'zz' stays OOV
+    val tie = Seq(("g", "aa zz aa zz")).toDF("src", "text")
+    val t = TextAnalysis.vocabCoverage(tie, "text", "src", 1)
+      .collect().head
+    assert((t.getLong(1), t.getLong(2)) === ((4L, 2L)))
+  }
+
+  test("readability: hand-computed Flesch milli, sentence floor, empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat."),      // W=3 S=1 Y=2 (e-a, a-o? no: 'e','a','a' → runs: e,a,a = 3? compute below)
+      (2L, "no terminator here"), // S floors to 1
+      (3L, "")).toDF("id", "text")
+    val got = TextAnalysis.readability(docs, "text")
+      .select("id", "n_words", "n_sentences", "n_syllables", "flesch_milli")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    // "the cat sat." vowel runs: e, a, a → 3
+    val f1 = 206835L - (1015L * 3) / 1 - (84600L * 3) / 3
+    assert(got(1L) === ((3L, 1L, 3L, Some(f1))))
+    // "no terminator here": runs no→o; terminator→e,i,a,o; here→e,e → 7
+    val f2 = 206835L - (1015L * 3) / 1 - (84600L * 7) / 3
+    assert(got(2L) === ((3L, 1L, 7L, Some(f2))))
+    assert(got(3L) === ((0L, 1L, 0L, None))) // zero words ⇒ NULL score
+  }
+
+  test("corrStats: exact sums, covariance numerator sign, null-pair exclusion") {
+    import spark.implicits._
+    // y = 2x (perfect positive): cov_num = n·Σxy − ΣxΣy = 3·28 − 6·12 = 12
+    val df = Seq(
+      ("g", Some(1L), Some(2L)), ("g", Some(2L), Some(4L)),
+      ("g", Some(3L), Some(6L)), ("g", Some(9L), None) // excluded
+    ).toDF("grp", "x", "y")
+    val r = Aggregates.corrStats(df, "grp", col("x"), col("y"))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((3L, 6L, 12L, 14L, 56L, 28L, 12L)))
+    // anti-correlated: negative numerator
+    val df2 = Seq(("g", 1L, 3L), ("g", 2L, 2L), ("g", 3L, 1L))
+      .toDF("grp", "x", "y")
+    val r2 = Aggregates.corrStats(df2, "grp", col("x"), col("y"))
+      .collect().head
+    assert(r2.getLong(7) === -6L)
+  }
+}

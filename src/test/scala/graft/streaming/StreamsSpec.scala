@@ -167,4 +167,34 @@ class StreamsSpec extends SparkSpec {
       assert(rows === Set((1L, 10L)))
     } finally q.stop()
   }
+
+  test("left-outer intervalJoin emits unmatched lefts once the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp)]
+    val right = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      left.toDF().toDF("a_id", "a_user", "a_ts"),
+      right.toDF().toDF("b_id", "b_user", "b_ts"),
+      "a_user", "b_user", "a_ts", "b_ts", "1 hour", "1 hour",
+      joinType = "left_outer")
+    val q = joined.select("a_id", "b_id").writeStream.format("memory")
+      .queryName("loj_out").outputMode("append").start()
+    try {
+      left.addData((1L, 7L, ts("2024-01-01 10:00:00"))) // will never match
+      right.addData((10L, 8L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // nothing final yet: watermark hasn't passed 11:00 + delay
+      assert(spark.table("loj_out").count() === 0)
+      // advance BOTH sides' event time so the min watermark moves to
+      // 12:00 > click-window end 11:00 → the unmatched click emits
+      left.addData((2L, 9L, ts("2024-01-01 13:00:00")))
+      right.addData((11L, 9L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("loj_out").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(rows.contains((1L, None)))          // closed unmatched left
+      assert(rows.contains((2L, Some(11L))))     // in-window match
+    } finally q.stop()
+  }
 }
