@@ -45,7 +45,11 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val withDeg = e.join(deg, "src")
+    // the degree-annotated edge list is loop-INVARIANT: materialize it
+    // once (localCheckpoint) instead of re-running the upstream joins
+    // + distinct every round — at web-graph scale the edge derivation
+    // dwarfs the per-round work
+    val withDeg = e.join(deg, "src").localCheckpoint()
     var rank = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
       val inflow = withDeg
