@@ -34,11 +34,16 @@ object ScaleProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSet)
+
     def time(name: String, n: Int)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scaleprobe] $name%-22s copies=$n%-3d ${sec}%8.2f s")
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scaleprobe] $name%-22s copies=$n%-3d ${sec}%8.2f s")
+      }
     }
 
     for (n <- copies) {
@@ -77,6 +82,41 @@ object ScaleProbe {
           Seq("doc_id"), n, 100000000L)
         graft.operators.LanguageModel.trigramInterpolated(
           docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      }
+      // q166 shape: SemDeDup (LSH cells + quantized centroids)
+      time("q166_semdedup", n) {
+        val e = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+        graft.operators.Similarity.semDedup(
+          e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding",
+          graft.operators.Similarity.hyperplanes(6, 64), dim = 64,
+          thresholdPpm = 600000L)
+      }
+      // q169 shape: 3-round PageRank over the shifted trade graph
+      // (node set grows with copies too — nation keys shift)
+      time("q169_pagerank", n) {
+        val l = shifted(Tables.lineitem(spark, sfDir),
+          Seq("l_orderkey", "l_suppkey"), n, 100000000L)
+        val o = shifted(Tables.orders(spark, sfDir),
+          Seq("o_orderkey", "o_custkey"), n, 100000000L)
+        val c = shifted(Tables.customer(spark, sfDir),
+          Seq("c_custkey", "c_nationkey"), n, 100000000L)
+        val su = shifted(Tables.supplier(spark, sfDir),
+          Seq("s_suppkey", "s_nationkey"), n, 100000000L)
+        val edges = l
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        graft.operators.Graph.pageRankPpm(edges, "src", "dst", iters = 3)
+      }
+      // q171 shape: importance weights (token-keyed agg + join back)
+      time("q171_importance", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        graft.operators.Corpus.importanceWeights(
+          docs, "doc_id", "text", col("lang") === "en")
       }
     }
     spark.stop()

@@ -550,6 +550,39 @@ object Similarity {
       .withColumn("recall_ppm", expr(s"(1000000 * n_hits) div $k"))
   }
 
+  /** Overlap curve — [[recallAtK]] generalized across depths: for each
+    * query and every depth d ≤ k, |ann top-d ∩ exact top-d|. The
+    * curve shows WHERE an approximate index loses ground (rank-1
+    * misses vs tail churn), which a single recall@k number hides.
+    * Queries the ANN missed entirely still appear (0 at every depth).
+    *
+    * One (query, neighbor) join between two k-bounded frames, a k-fold
+    * depth explode of the matches, one partial agg — |queries|·k
+    * output rows, never corpus-sized.
+    */
+  def overlapCurve(ann: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val a = ann.select(col(queryCol), col(neighborCol),
+      col(rankCol).as("__ra"))
+    val x = exact.select(col(queryCol), col(neighborCol),
+      col(rankCol).as("__re"))
+    val matched = x.join(a, Seq(queryCol, neighborCol))
+    val grid = exact.select(col(queryCol)).distinct()
+      .select(col(queryCol),
+        explode(sequence(lit(1), lit(k))).as("depth"))
+    val counts = matched
+      .select(col(queryCol),
+        explode(sequence(lit(1), lit(k))).as("depth"),
+        col("__ra"), col("__re"))
+      .filter(col("__ra") <= col("depth") && col("__re") <= col("depth"))
+      .groupBy(col(queryCol), col("depth"))
+      .agg(count(lit(1)).as("__n"))
+    grid.join(counts, Seq(queryCol, "depth"), "left")
+      .select(col(queryCol), col("depth").cast("long").as("depth"),
+        coalesce(col("__n"), lit(0L)).as("n_overlap"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query,
     * the k most similar corpus items with a DIFFERENT label — the
     * near-misses that carry the gradient signal random negatives

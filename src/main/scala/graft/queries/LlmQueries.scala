@@ -323,6 +323,57 @@ object LlmQueries extends QueryPack {
         |FROM reach GROUP BY src
         |ORDER BY id""".stripMargin)),
 
+    // Cluster-size histogram over q78's connected components — the
+    // governance readout (how much mass sits in big near-dup
+    // clusters?) that decides whether dedup keeps or resamples.
+    // Docs in no near-dup pair are singletons (cluster_size = 1), so
+    // the histogram covers the whole sample, not just the clustered
+    // tail. Two group-cardinality-bounded partial aggs plus one
+    // anti-join count on top of the grouped ids.
+    "q188_cluster_histogram" -> Q(
+      (s, dir) => {
+        val sample = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+        val pairs = Dedup.nearDupPairs(
+          sample, "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+          threshold = 0.9)
+        val groups = Dedup.dedupGroups(pairs)
+        val clustered = groups
+          .groupBy(col("canonical_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+        val singletons = sample.select(col("doc_id"))
+          .join(groups.select(col("id").as("doc_id")), Seq("doc_id"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(lit(1L).as("cluster_size"), col("n_clusters"))
+        singletons.unionByName(clustered)
+          .groupBy(col("cluster_size"))
+          .agg(sum(col("n_clusters")).as("n_clusters"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $samplePairsCte,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |, grp AS (SELECT src AS id, least(src, min(dst)) AS canonical_id
+        |          FROM reach GROUP BY src)
+        |, sz AS (SELECT canonical_id, count(*) AS cluster_size
+        |         FROM grp GROUP BY canonical_id)
+        |, hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters
+        |  FROM sz GROUP BY cluster_size
+        |  UNION ALL
+        |  SELECT 1 AS cluster_size, count(*) AS n_clusters
+        |  FROM d WHERE doc_id NOT IN (SELECT id FROM grp))
+        |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM hist GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin)),
+
     // Deterministic train/val/test split: md5-bucket assignment is a
     // pure projection — no shuffle, no RNG — so membership is a stable
     // function of (doc_id, salt) that corpus growth never perturbs.

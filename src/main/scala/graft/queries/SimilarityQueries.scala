@@ -681,6 +681,70 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY vec_id""".stripMargin)
       }),
 
+    // ANN overlap curve: q154's recall@3 opened up across depths
+    // 1..3 — per (query, depth), |ann top-d ∩ exact top-d|. Same
+    // index configuration; the oracle replays both pipelines keeping
+    // BOTH rank columns and grids the matches over depths.
+    "q187_overlap_curve" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        val queries = e.filter(col("vec_id") % 100 === 0)
+        val ann = Similarity.annTopKIvfMultiProbe(
+          queries, e, "vec_id", "embedding", Centroids, 3, probes = 3)
+        val exact = Similarity.bruteForceTopK(
+          queries, e, "vec_id", "embedding", 3)
+        Similarity.overlapCurve(ann, exact, "query_id", "neighbor_id",
+            "rn", 3)
+          .orderBy(col("query_id"), col("depth"))
+      },
+      {
+        val centValues = Centroids.zipWithIndex
+          .map { case (c, i) => s"($i, ${centroidLit(c)})" }.mkString(", ")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |cent AS (SELECT * FROM (VALUES $centValues) AS t(cell, c)),
+          |sc AS (SELECT e.vec_id, e.v, cent.cell, ${cosSql("v", "c")} AS cos
+          |       FROM e CROSS JOIN cent),
+          |rk AS (SELECT vec_id, v, cell,
+          |         row_number() OVER (PARTITION BY vec_id
+          |           ORDER BY cos DESC, cell DESC) AS rn
+          |       FROM sc),
+          |asg AS (SELECT vec_id, v, cell FROM rk WHERE rn = 1),
+          |qp AS (SELECT vec_id AS query_id, v AS qv, cell
+          |       FROM rk WHERE vec_id % 100 = 0 AND rn <= 3),
+          |s AS (SELECT qp.query_id, asg.vec_id AS neighbor_id,
+          |        ${cosSql("qv", "v")} AS cos
+          |      FROM qp JOIN asg USING (cell)
+          |      WHERE qp.query_id <> asg.vec_id),
+          |ann AS (SELECT query_id, neighbor_id, ra FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cos DESC, neighbor_id) AS ra
+          |    FROM s) WHERE ra <= 3),
+          |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e
+          |       WHERE vec_id % 100 = 0),
+          |ex AS (SELECT query_id, neighbor_id, re FROM (
+          |    SELECT q2.query_id, e.vec_id AS neighbor_id,
+          |      row_number() OVER (PARTITION BY q2.query_id
+          |        ORDER BY ${cosSql("qv", "v")} DESC, e.vec_id) AS re
+          |    FROM q2 JOIN e ON q2.query_id <> e.vec_id)
+          |  WHERE re <= 3),
+          |m AS (SELECT ex.query_id, ex.re, ann.ra
+          |      FROM ex JOIN ann ON ex.query_id = ann.query_id
+          |                      AND ex.neighbor_id = ann.neighbor_id),
+          |g AS (SELECT query_id, unnest(generate_series(1, 3)) AS depth
+          |      FROM q2),
+          |c AS (SELECT m.query_id, d.depth, count(*) AS n
+          |      FROM m, (SELECT unnest(generate_series(1, 3)) AS depth) d
+          |      WHERE m.ra <= d.depth AND m.re <= d.depth
+          |      GROUP BY m.query_id, d.depth)
+          |SELECT g.query_id, CAST(g.depth AS BIGINT) AS depth,
+          |  coalesce(c.n, 0) AS n_overlap
+          |FROM g LEFT JOIN c
+          |  ON g.query_id = c.query_id AND g.depth = c.depth
+          |ORDER BY 1, 2""".stripMargin)
+      }),
+
     // Hard-negative mining: per query, the 3 most similar vectors
     // with a DIFFERENT label — the contrastive-training complement of
     // q149's random negatives (same exact-baseline shape as q31; the

@@ -184,6 +184,28 @@ object SinkQueries extends QueryPack {
       Some("""SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin)),
 
+    // Range-partitioned, sorted storage layout: repartitionByRange +
+    // sortWithinPartitions is the totally-ordered shard layout (the
+    // sort-based cousin of q159's z-order) — per-file key ranges are
+    // disjoint, so a reader range-prunes files the way q142's zonemap
+    // prunes shards. Disjointness is asserted in CsvSinkSpec; the
+    // behavior gate proves the layout loses/duplicates nothing.
+    "q189_range_sorted_layout" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_range")
+        docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
+          .sortWithinPartitions(col("n_chars"), col("doc_id"))
+          .write.parquet(s"$tmp/c")
+        materializeAndDelete(
+          s.read.parquet(s"$tmp/c")
+            .select(col("doc_id"), col("n_chars")), tmp)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------------ K2
     // Insert-if-absent under the hash gate: batch1 seeds a third of
     // the keys, batch2 offers ALL keys with different values — the

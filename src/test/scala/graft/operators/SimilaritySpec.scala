@@ -286,6 +286,29 @@ class SimilaritySpec extends SparkSpec {
     assert(run(1000001L).values.forall(_._2))
   }
 
+  test("overlapCurve counts prefix intersections per depth, zero-hit queries stay") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L)
+    ).toDF("query_id", "neighbor_id", "rn")
+    val ann = Seq(
+      // q1: rank-1 wrong, then exact's #1 at rank 2, #3 at rank 3
+      (1L, 99L, 1L), (1L, 10L, 2L), (1L, 12L, 3L),
+      // q2: nothing right
+      (2L, 98L, 1L), (2L, 97L, 2L), (2L, 96L, 3L)
+    ).toDF("query_id", "neighbor_id", "rn")
+    val got = Similarity.overlapCurve(ann, exact, "query_id",
+        "neighbor_id", "rn", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      (1L, 1L) -> 0L,  // prefix-1 disjoint
+      (1L, 2L) -> 1L,  // 10 in both prefixes at depth 2
+      (1L, 3L) -> 2L,  // + 12
+      (2L, 1L) -> 0L, (2L, 2L) -> 0L, (2L, 3L) -> 0L))
+  }
+
   test("hardNegatives skips same-label neighbors however close") {
     import spark.implicits._
     val corpus = Seq(

@@ -2,6 +2,8 @@ package graft.sinks
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class CsvSinkSpec extends SparkSpec {
@@ -36,6 +38,37 @@ class CsvSinkSpec extends SparkSpec {
         s"partition filter not pushed:\n$plan")
       assert(read.select("id").collect().map(_.getLong(0)).sorted
         === Array(1L, 3L))
+    } finally {
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+
+  test("repartitionByRange + sortWithinPartitions yields disjoint per-file key ranges (q189)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_range_spec")
+    try {
+      (1L to 400L).map(i => (i, i % 97)).toDF("id", "key")
+        .repartitionByRange(4, col("key"), col("id"))
+        .sortWithinPartitions(col("key"), col("id"))
+        .write.parquet(s"$tmp/c")
+      val files = new java.io.File(s"$tmp/c").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 4)
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(org.apache.spark.sql.functions.min("key"),
+            org.apache.spark.sql.functions.max("key"))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      // totally ordered layout: file N's max < file N+1's min ⇒ a
+      // range reader can prune whole files
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi <= lo2)
+        case _ =>
+      }
     } finally {
       java.nio.file.Files.walk(tmp)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
