@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic BI analytics shapes over the event/order fact tables:
+  * rollup subtotals, pivot, calendar gap-fill with forward fill,
+  * cohort retention, ordered funnel. The reference's BI-intake gold
+  * tables feed exactly these downstream readouts
+  * (reference: powerbi_main_fun.py gold-table consumers).
+  *
+  * All five are single-pass, key-partitioned aggregations: no
+  * driver-side state, no cartesians; grids are (groups × days) or
+  * (cohorts × offsets) — dimension-bounded, never fact-sized.
+  */
+object Analytics {
+
+  /** ROLLUP subtotals: per (a, b), per a, and grand total in one
+    * pass. Spark plans a rollup as ONE Expand + one partial agg —
+    * the subtotal rows ride the same shuffle as the leaves, which is
+    * the 100 TB win over unioning three groupBys (one fact scan, one
+    * exchange). `gid` is `grouping_id()` (bit i set = column i
+    * rolled up) so consumers can split levels without null-sniffing;
+    * rolled-up keys surface as `total` rather than null to keep the
+    * output total-orderable.
+    */
+  def rollupSummary(df: DataFrame, keyA: String, keyB: String,
+      amount: Column): DataFrame =
+    df.rollup(col(keyA), col(keyB))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(amount.cast("decimal(18,2)")).cast("double").as("amount"))
+      .select(
+        coalesce(col(keyA), lit("total")).as(keyA),
+        coalesce(col(keyB), lit("total")).as(keyB),
+        col("gid"), col("n"), col("amount"))
+
+  /** Pivot long→wide: one output row per group, one `n_<value>`
+    * column per pinned pivot value. The value list is EXPLICIT —
+    * Spark otherwise collects distinct values to the driver to plan
+    * the schema (a fact-table scan before the real job), and a
+    * stable schema is what sinks need anyway. One partial agg; width
+    * is |values|, data-independent.
+    */
+  def pivotCounts(df: DataFrame, groupCol: String, pivotCol: String,
+      values: Seq[String]): DataFrame = {
+    val wide = df.groupBy(col(groupCol))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+    wide.select(col(groupCol) +:
+      values.map(v => coalesce(col(s"`$v`"), lit(0L)).as(s"n_$v")): _*)
+  }
+
+  /** Calendar gap-fill + forward fill: daily per-group counts on a
+    * dense (group × day) grid spanning the GLOBAL [min, max] day, with
+    * each gap day carrying the last observed count (0 before a
+    * group's first observation) and flagged `was_gap`.
+    *
+    * The grid is built by exploding one `sequence(min, max)` per
+    * group — groups × days rows, dimension-bounded. The forward fill
+    * is the grouping trick (running count of non-null observations
+    * names the carry segment; max over the segment carries the
+    * value): two window passes over ONE (group, day) sort, no
+    * self-join, and WindowExec spills rather than OOMs on a long
+    * calendar.
+    */
+  def gapFillDaily(df: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val grid = daily.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(groupCol),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val seg = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+    val carry = Window.partitionBy(col(groupCol), col("__seg"))
+    grid.join(daily, Seq(groupCol, "day"), "left")
+      .withColumn("__seg", count(col("n")).over(seg))
+      .withColumn("n_filled",
+        coalesce(max(col("n")).over(carry), lit(0L)))
+      .withColumn("was_gap", col("n").isNull)
+      .select(col(groupCol), col("day"), col("n_filled"), col("was_gap"))
+  }
+
+  /** Cohort retention: users bucketed by first-activity week (the
+    * cohort), then for each (cohort, week-offset k) the count of
+    * cohort members active k weeks later. Two key-partitioned aggs
+    * (user→cohort, then (cohort, offset)→distinct users) joined on
+    * the user key; output is cohorts × offsets rows.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val weekly = df.select(col(userCol),
+      to_date(date_trunc("week", col(tsCol))).as("week")).distinct()
+    val cohorts = weekly.groupBy(col(userCol))
+      .agg(min(col("week")).as("cohort_week"))
+    weekly.join(cohorts, userCol)
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Ordered funnel — a user reaches stage k only via a stage-k event
+    * STRICTLY AFTER their stage-(k-1) reach time (earliest such
+    * event). Built as a left fold: reach₁ = min ts of stage-1 events
+    * per user; reach_k = min ts of stage-k events joined to
+    * reach_{k-1} on the user key with ts > reach time. Every step is
+    * a key-partitioned filter + join + partial-min agg on the
+    * stage-k slice of the fact table — no sort, no per-user event
+    * collection, no driver state. Returns one row per stage:
+    * (stage_idx, stage, n_users), monotonically non-increasing.
+    *
+    * Each stage-k count branch re-derives reaches 1..k (the frames
+    * are lazy); at fleet scale persist the reach frames — they are
+    * user-keyed, i.e. already the small side.
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val events = df.select(col(userCol).as("__u"),
+      col(typeCol).as("__e"), col(tsCol).as("__ts"))
+    val reaches = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val slice = events.filter(col("__e") === stage)
+        val eligible = prev match {
+          case None => slice
+          case Some(r) => slice
+            .join(r.withColumnRenamed("__rt", "__prev"), Seq("__u"))
+            .filter(col("__ts") > col("__prev"))
+        }
+        Some(eligible.groupBy(col("__u")).agg(min(col("__ts")).as("__rt")))
+    }.flatten
+    reaches.zip(stages).zipWithIndex.map { case ((r, stage), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
+  }
+}

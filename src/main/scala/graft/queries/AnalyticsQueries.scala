@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Analytics
+
+/** q190–q194: classic BI readout shapes over the fact tables —
+  * rollup subtotals, pivot, calendar gap-fill, cohort retention,
+  * ordered funnel (the consumers the reference's gold tables feed).
+  */
+object AnalyticsQueries extends QueryPack {
+
+  def defs: Map[String, Q] = Map(
+
+    // ROLLUP: leaves + per-priority subtotals + grand total in ONE
+    // Expand+agg pass (vs 3 unioned groupBys = 3 fact scans).
+    // grouping_id disambiguates levels; (keys, gid) is the total
+    // order key.
+    "q190_rollup" -> Q(
+      (s, dir) => Analytics.rollupSummary(
+          Tables.orders(s, dir), "o_orderpriority", "o_orderstatus",
+          col("o_totalprice"))
+        .withColumn("gid", col("gid").cast("long"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"), col("gid")),
+      Some("""SELECT coalesce(o_orderpriority, 'total') AS o_orderpriority,
+        |  coalesce(o_orderstatus, 'total') AS o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderstatus, gid""".stripMargin)),
+
+    // Pivot long→wide with a PINNED value list (no driver-side
+    // distinct scan to plan the schema); absent combos surface as 0.
+    "q191_pivot" -> Q(
+      (s, dir) => Analytics.pivotCounts(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)),
+
+    // Calendar gap-fill + forward fill: dense (event_type × day)
+    // grid over the global span; gap days carry the last observed
+    // daily count. The oracle replays the same segment-carry
+    // formulation (running count of observations → max per segment).
+    "q192_gap_fill" -> Q(
+      (s, dir) => Analytics.gapFillDaily(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        |g AS (
+        |  SELECT t.event_type,
+        |    CAST(unnest(generate_series(CAST(s.lo AS TIMESTAMP),
+        |      CAST(s.hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM d) t, s),
+        |j AS (
+        |  SELECT g.event_type, g.day, d.n
+        |  FROM g LEFT JOIN d ON g.event_type = d.event_type
+        |                    AND g.day = d.day),
+        |f AS (
+        |  SELECT event_type, day, n,
+        |    count(n) OVER (PARTITION BY event_type ORDER BY day) AS seg
+        |  FROM j)
+        |SELECT event_type, day,
+        |  coalesce(max(n) OVER (PARTITION BY event_type, seg), 0)
+        |    AS n_filled,
+        |  n IS NULL AS was_gap
+        |FROM f
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // Cohort retention: cohort = first-activity ISO week; per
+    // (cohort, week offset k) the count of members active k weeks
+    // later. Two user-keyed aggs + one user-key join; output is
+    // cohorts × offsets.
+    "q193_cohort_retention" -> Q(
+      (s, dir) => Analytics.cohortRetention(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset")),
+      Some("""WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT user_id, min(week) AS cohort_week
+        |      FROM w GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST(datediff('day', c.cohort_week, w.week) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(*) AS n_active
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Ordered funnel view → click → purchase: stage k counts only
+    // events strictly after the user's stage-(k-1) reach time. Each
+    // stage is a key-partitioned filter+join+min — no per-user event
+    // collection.
+    "q194_funnel" -> Q(
+      (s, dir) => Analytics.funnel(
+        Tables.events(s, dir).filter(col("user_id").isNotNull),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")),
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL),
+        |r1 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |r2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN r1 ON e.user_id = r1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > r1.t GROUP BY 1),
+        |r3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN r2 ON e.user_id = r2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > r2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |    (SELECT count(*) FROM r1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM r2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r3))
+        |ORDER BY stage_idx""".stripMargin))
+  )
+}

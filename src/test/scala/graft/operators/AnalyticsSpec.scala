@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("rollupSummary emits leaves, subtotals, grand total with gid levels") {
+    import spark.implicits._
+    val df = Seq(
+      ("hi", "open", 10.0), ("hi", "open", 5.0), ("hi", "done", 2.0),
+      ("lo", "open", 1.0)
+    ).toDF("prio", "status", "amt")
+    val got = Analytics.rollupSummary(df, "prio", "status", col("amt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) -> (r.getLong(3), r.getDouble(4))))
+      .toSet
+    assert(got === Set(
+      ("hi", "open", 0L -> (2L, 15.0)),
+      ("hi", "done", 0L -> (1L, 2.0)),
+      ("lo", "open", 0L -> (1L, 1.0)),
+      ("hi", "total", 1L -> (3L, 17.0)),
+      ("lo", "total", 1L -> (1L, 1.0)),
+      ("total", "total", 3L -> (4L, 18.0))))
+  }
+
+  test("pivotCounts pins the schema and zero-fills absent combos") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("g", "t")
+    val got = Analytics.pivotCounts(df, "g", "t", Seq("a", "b", "c"))
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 0L, 0L), (2L, 0L, 1L, 0L)))
+  }
+
+  test("gapFillDaily carries last observation over gaps, 0 before first sight") {
+    import spark.implicits._
+    // span 2024-01-01..01-04 set by group x; group y first appears 01-03
+    val df = Seq(
+      ("x", ts("2024-01-01 08:00:00")), ("x", ts("2024-01-01 09:00:00")),
+      ("x", ts("2024-01-04 08:00:00")),
+      ("y", ts("2024-01-03 12:00:00"))
+    ).toDF("g", "ts")
+    val got = Analytics.gapFillDaily(df, "g", "ts")
+      .orderBy("g", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("x", "2024-01-01", 2L, false),
+      ("x", "2024-01-02", 2L, true),  // gap carries the 2
+      ("x", "2024-01-03", 2L, true),
+      ("x", "2024-01-04", 1L, false),
+      ("y", "2024-01-01", 0L, true),  // before first sight: 0
+      ("y", "2024-01-02", 0L, true),
+      ("y", "2024-01-03", 1L, false),
+      ("y", "2024-01-04", 1L, true)))
+  }
+
+  test("cohortRetention buckets users by first week and counts later activity") {
+    import spark.implicits._
+    // weeks: 2024-01-01 (Mon) and 2024-01-08; u1 active both, u2 only w2
+    val df = Seq(
+      (1L, ts("2024-01-02 00:00:00")), (1L, ts("2024-01-10 00:00:00")),
+      (2L, ts("2024-01-09 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Analytics.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("funnel requires strict stage order per user") {
+    import spark.implicits._
+    val df = Seq(
+      // u1 completes view -> click -> buy in order
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "buy", ts("2024-01-01 02:00:00")),
+      // u2 clicked BEFORE viewing; the later buy has no ordered click
+      (2L, "click", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      (2L, "buy", ts("2024-01-01 02:00:00")),
+      // u3 only views
+      (3L, "view", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1, "view", 3L), (2, "click", 1L), (3, "buy", 1L)))
+  }
+
+  test("funnel counts a re-click after view even when an earlier click exists") {
+    import spark.implicits._
+    val df = Seq(
+      (9L, "click", ts("2024-01-01 00:00:00")),
+      (9L, "view", ts("2024-01-01 01:00:00")),
+      (9L, "click", ts("2024-01-01 02:00:00")),
+      (9L, "buy", ts("2024-01-01 03:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("view", 1L), ("click", 1L), ("buy", 1L)))
+  }
+}
