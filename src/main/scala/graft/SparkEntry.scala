@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, GatewayQueries, GoldQueries, GraphQueries, IndexQueries, TemporalQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, GatewayQueries, GoldQueries, GraphQueries, IndexQueries, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     Seq(CoreQueries, WindowQueries, NestedQueries, QoeQueries, LlmQueries,
       SimilarityQueries, LicenseQueries, ScalarQueries, GoldQueries,
       SinkQueries, GatewayQueries, StreamingQueries, SourceQueries,
-      IndexQueries, TemporalQueries, GraphQueries, AnalyticsQueries)
+      IndexQueries, TemporalQueries, GraphQueries, AnalyticsQueries,
+      TimeSeriesQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =
     packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>

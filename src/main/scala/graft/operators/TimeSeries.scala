@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series readouts over an event stream: time-range rolling
+  * windows, period-over-period deltas, EWMA smoothing, and algebraic
+  * re-aggregation of daily partials (the incremental-view-maintenance
+  * identity). The reference's gold tables are re-read by exactly these
+  * shapes downstream (reference: powerbi_main_fun.py gold consumers).
+  *
+  * Scale notes: every operator is one key-partitioned shuffle; window
+  * frames are value-bounded (RANGE over epoch seconds) so WindowExec
+  * holds only the frame, and the daily/weekly grids are
+  * dimension-bounded. No self-joins, no driver state.
+  */
+object TimeSeries {
+
+  /** Per-key rolling time window over the RAW event grain: for each
+    * event, the count and sum of `valCol` over [t - windowSec, t]
+    * (inclusive both ends — RANGE frame peers included identically on
+    * every engine). Epoch SECONDS (floored) are the frame currency:
+    * integer-valued, so the frame bound is exact — a fractional-second
+    * RANGE bound invites float drift between engines.
+    *
+    * One shuffle+sort on (key, sec); the frame is time-bounded so
+    * state is O(events-per-window), and WindowExec spills rather than
+    * OOMs on a hot key. The sum runs over DECIMAL (raw-double window
+    * sums are partition-order-dependent).
+    */
+  def rollingWindow(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, valCol: String, windowSec: Long): DataFrame = {
+    require(windowSec > 0)
+    val base = df.select(col(keyCol), col(idCol),
+      unix_timestamp(col(tsCol)).as("sec"),
+      col(valCol).cast("decimal(18,6)").as("__v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("sec"))
+      .rangeBetween(-windowSec, 0)
+    base.select(col(keyCol), col(idCol), col("sec"),
+      count(lit(1)).over(w).as("n_win"),
+      sum(col("__v")).over(w).cast("double").as("sum_win"))
+  }
+
+  /** Daily per-key counts. The shared head of the lag/EWMA/rollup
+    * readouts: one partial agg to a (key, day) grid — dimension-
+    * bounded, never event-grained.
+    */
+  private def dailyCounts(df: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame =
+    df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Period-over-period: each day's count vs the PREVIOUS OBSERVED
+    * day (lag over the daily grid — gap days are not materialized;
+    * compose with Analytics.gapFillDaily when calendar-adjacent
+    * deltas are wanted). First observation: null prev/delta/ratio.
+    * The ratio divides two exact longs in double space — one IEEE op,
+    * engine-stable.
+    */
+  def periodOverPeriod(df: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    dailyCounts(df, keyCol, tsCol)
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("ratio",
+        col("n").cast("double") / col("prev_n").cast("double"))
+  }
+
+  /** EWMA of the daily count per key, folded in day order:
+    * ewma₁ = n₁; ewmaᵢ = α·nᵢ + (1-α)·ewmaᵢ₋₁. The fold is SEQUENTIAL
+    * (higher-order `aggregate` over a sorted day array), so the
+    * float result is bit-stable regardless of partitioning — the one
+    * double formulation a hash gate can hold exactly (a window-based
+    * running form would be partition-order-safe too, but Spark has no
+    * recursive window; the array fold is the declarative spelling).
+    * The array is days-per-key long — calendar-bounded, not
+    * event-bounded. α must be exactly representable (0.25, 0.5) or
+    * the gate compares engine decimal-parsing, not math.
+    */
+  def ewmaDaily(df: DataFrame, keyCol: String, tsCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1)
+    val a = lit(alpha)
+    val vals = array_sort(collect_list(struct(col("day"), col("n"))))
+    dailyCounts(df, keyCol, tsCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), vals.as("__arr"))
+      .select(col(keyCol), col("n_days"),
+        aggregate(
+          slice(transform(col("__arr"), x => x("n").cast("double")),
+            lit(2), size(col("__arr")) - 1),
+          element_at(col("__arr"), 1)("n").cast("double"),
+          (acc, x) => a * x + (lit(1.0) - a) * acc).as("ewma"))
+  }
+
+  /** Algebraic re-aggregation: weekly rollups derived from DAILY
+    * PARTIALS, never re-touching the fact table — sum-of-sums,
+    * min-of-mins, max-of-maxes, count-of-counts. At 100 TB this is
+    * the incremental-maintenance identity: the daily grid is the
+    * persisted gold table and each new day merges in O(grid), while
+    * the oracle recomputes the week straight from the facts — a green
+    * gate IS the proof the merge loses nothing. Sums stay DECIMAL
+    * until the final cast (decimal addition is associative; double
+    * addition is not).
+    */
+  def weeklyFromDailyPartials(df: DataFrame, keyCol: String,
+      tsCol: String, valCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_timestamp(col(tsCol))).as("tmin"),
+        max(unix_timestamp(col(tsCol))).as("tmax"),
+        sum(col(valCol).cast("decimal(18,6)")).as("v"))
+    daily
+      .groupBy(col(keyCol),
+        to_date(date_trunc("week", col("day"))).as("week"))
+      .agg(sum(col("n")).as("n"),
+        min(col("tmin")).as("tmin"), max(col("tmax")).as("tmax"),
+        sum(col("v")).cast("double").as("sum_value"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Quantiles, TimeSeries}
+
+/** q195–q200: time-series readouts and per-group quantiles — rolling
+  * time-range windows, period-over-period, EWMA, exact + histogram
+  * quantiles, and weekly-from-daily-partials re-aggregation.
+  *
+  * Float discipline: every gated double is either a DECIMAL sum cast
+  * once at the end, a single long/long IEEE division, a sequential
+  * array fold, or a selected existing value — no reassociated double
+  * arithmetic (see .claude/skills/verify/SKILL.md).
+  */
+object TimeSeriesQueries extends QueryPack {
+
+  def defs: Map[String, Q] = Map(
+
+    // Rolling 7-day count+sum per user at the event grain. RANGE
+    // frame over floored epoch seconds (integer currency — exact
+    // frame bounds on both engines); sum rides DECIMAL.
+    "q195_rolling_window" -> Q(
+      (s, dir) => TimeSeries.rollingWindow(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "event_id", "ts", "value", 604800L)
+        .orderBy(col("user_id"), col("event_id")),
+      Some("""WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, event_id, sec,
+        |  count(*) OVER w AS n_win,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS sum_win
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Day-over-day deltas per event_type vs the previous OBSERVED
+    // day. ratio = one long/long IEEE division — engine-stable.
+    "q196_period_over_period" -> Q(
+      (s, dir) => TimeSeries.periodOverPeriod(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS prev_n
+        |  FROM d)
+        |SELECT event_type, day, n, prev_n,
+        |  n - prev_n AS delta,
+        |  CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS ratio
+        |FROM l
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // EWMA (α=0.25) of daily counts per event_type: a SEQUENTIAL
+    // day-ordered fold (Spark higher-order aggregate ≡ DuckDB
+    // list_reduce) — bit-stable under any partitioning, raw double
+    // out (never round a gated double).
+    "q197_ewma" -> Q(
+      (s, dir) => TimeSeries.ewmaDaily(
+          Tables.events(s, dir), "event_type", "ts", 0.25)
+        .orderBy(col("event_type")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_days,
+        |  list_reduce(list(CAST(n AS DOUBLE) ORDER BY day),
+        |    (acc, x) -> 0.25*x + 0.75*acc) AS ewma
+        |FROM d GROUP BY 1
+        |ORDER BY event_type""".stripMargin)),
+
+    // Exact per-group quantiles: full per-group sort + ceil(p·n)
+    // rank pick. The baseline half of the pair (q199 is the scale
+    // path) — output values are SELECTED, not interpolated, so the
+    // hash gate compares selection, not float formulas.
+    "q198_exact_quantiles" -> Q(
+      (s, dir) => Quantiles.exactQuantiles(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy(col("o_orderpriority")),
+      Some("""WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, max(n) AS n,
+        |  max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+        |      THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT)
+        |      THEN o_totalprice END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT)
+        |      THEN o_totalprice END) AS p99
+        |FROM r GROUP BY 1
+        |ORDER BY 1""".stripMargin)),
+
+    // Histogram-sketch quantiles: ONE partial agg to a (group × bin)
+    // grid replaces the fact-grain sort; estimate = upper edge of
+    // the first bin reaching ceil(p·n) cumulative count (error
+    // < binWidth by construction).
+    "q199_histogram_quantiles" -> Q(
+      (s, dir) => Quantiles.histogramQuantiles(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+          10000.0, Seq(0.5, 0.9, 0.99))
+        .orderBy(col("o_orderpriority")),
+      Some("""WITH g AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o_orderpriority, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS n
+        |  FROM g)
+        |SELECT o_orderpriority, max(n) AS n,
+        |  min(CASE WHEN cum >= CAST(ceil(0.5*n) AS BIGINT)
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS p50_est,
+        |  min(CASE WHEN cum >= CAST(ceil(0.9*n) AS BIGINT)
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS p90_est,
+        |  min(CASE WHEN cum >= CAST(ceil(0.99*n) AS BIGINT)
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS p99_est
+        |FROM m GROUP BY 1
+        |ORDER BY 1""".stripMargin)),
+
+    // Weekly rollups merged from DAILY PARTIALS (sum-of-sums,
+    // min-of-mins, count-of-counts) while the oracle recomputes the
+    // week straight from the facts — the green gate proves the
+    // incremental-maintenance identity.
+    "q200_rollup_maintenance" -> Q(
+      (s, dir) => TimeSeries.weeklyFromDailyPartials(
+          Tables.events(s, dir), "event_type", "ts", "value")
+        .orderBy(col("event_type"), col("week")),
+      Some("""SELECT event_type,
+        |  date_trunc('week', CAST(ts AS DATE)) AS week,
+        |  count(*) AS n,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS tmin,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS tmax,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin))
+  )
+}
