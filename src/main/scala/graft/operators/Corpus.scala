@@ -302,6 +302,48 @@ object Corpus {
     spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 
+  /** APPROXIMATE per-group quantiles without any per-group total
+    * order: floor(value/binWidth) buckets the scan into a
+    * (group × bin) grid — ONE partial agg — then a cumulative count
+    * over the tiny grid picks the first bin reaching the ceil(p·n)
+    * nearest-rank. Estimate = the bin's UPPER edge
+    * ((bin+1)·binWidth): strictly above the true quantile, off by at
+    * most binWidth (exactly binWidth when the quantile sits on a bin
+    * lower edge).
+    *
+    * Third member of the quantile family: [[exactQuantiles]] (exact,
+    * per-group total order — one group per task), [[quantilesBisect]]
+    * (exact, whole-corpus, multi-pass), and this (approximate,
+    * per-group, single-pass) — the 100 TB group profile when
+    * binWidth resolution suffices. The grid is
+    * |groups| × |range/binWidth| rows — data-volume independent — so
+    * the window pass over it is free at any scale.
+    *
+    * Output: (groupCol, n_docs, q_<pp>_est …) one row per group.
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, binWidth: Double, ps: Seq[Double]): DataFrame = {
+    require(binWidth > 0 && ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    require(ps.map(p => (p * 100).round).distinct.size == ps.size,
+      s"quantile column names collide for ps=$ps")
+    val grid = df
+      .groupBy(col(groupCol),
+        floor(col(valueCol) / lit(binWidth)).cast("long").as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = grid
+      .withColumn("__cum", sum(col("__c"))
+        .over(Window.partitionBy(col(groupCol)).orderBy(col("__bin"))))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+    val qAggs = ps.map { p =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")),
+        (col("__bin") + 1).cast("double") * lit(binWidth)))
+        .as(s"q_${(p * 100).round}_est")
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_docs"), qAggs: _*)
+  }
+
   /** Per-shard ZONEMAP — the data-skipping index (min/max/count per
     * clustering key per shard) a 100 TB table maintains per file /
     * row-group so range predicates prune I/O before any scan. One

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Quantiles, TimeSeries}
+import graft.operators.{Corpus, TimeSeries}
 
 /** q195–q200: time-series readouts and per-group quantiles — rolling
   * time-range windows, period-over-period, EWMA, exact + histogram
@@ -76,37 +76,40 @@ object TimeSeriesQueries extends QueryPack {
         |FROM d GROUP BY 1
         |ORDER BY event_type""".stripMargin)),
 
-    // Exact per-group quantiles: full per-group sort + ceil(p·n)
-    // rank pick. The baseline half of the pair (q199 is the scale
-    // path) — output values are SELECTED, not interpolated, so the
-    // hash gate compares selection, not float formulas.
+    // Exact per-group quantiles of a DOUBLE measure (order prices) —
+    // Corpus.exactQuantiles (already gated on integer token lengths
+    // in q128) exercised on the BI fact grain: full per-group sort +
+    // ceil(p·n) rank pick; output values are SELECTED, never
+    // interpolated, so the hash gate compares selection, not float
+    // formulas. The baseline half of the pair (q199 is the scale
+    // path).
     "q198_exact_quantiles" -> Q(
-      (s, dir) => Quantiles.exactQuantiles(
+      (s, dir) => Corpus.exactQuantiles(
           Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
-          Seq(0.5, 0.9, 0.99))
+          "o_orderkey", Seq(0.5, 0.9, 0.99))
         .orderBy(col("o_orderpriority")),
       Some("""WITH r AS (
         |  SELECT o_orderpriority, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY o_totalprice) AS rn,
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
         |    count(*) OVER (PARTITION BY o_orderpriority) AS n
         |  FROM orders)
-        |SELECT o_orderpriority, max(n) AS n,
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_docs,
         |  max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
-        |      THEN o_totalprice END) AS p50,
+        |      THEN o_totalprice END) AS q_50,
         |  max(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT)
-        |      THEN o_totalprice END) AS p90,
+        |      THEN o_totalprice END) AS q_90,
         |  max(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT)
-        |      THEN o_totalprice END) AS p99
+        |      THEN o_totalprice END) AS q_99
         |FROM r GROUP BY 1
         |ORDER BY 1""".stripMargin)),
 
     // Histogram-sketch quantiles: ONE partial agg to a (group × bin)
     // grid replaces the fact-grain sort; estimate = upper edge of
     // the first bin reaching ceil(p·n) cumulative count (error
-    // < binWidth by construction).
+    // ≤ binWidth by construction).
     "q199_histogram_quantiles" -> Q(
-      (s, dir) => Quantiles.histogramQuantiles(
+      (s, dir) => Corpus.histogramQuantiles(
           Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
           10000.0, Seq(0.5, 0.9, 0.99))
         .orderBy(col("o_orderpriority")),
@@ -122,13 +125,13 @@ object TimeSeriesQueries extends QueryPack {
         |    CAST(sum(c) OVER (PARTITION BY o_orderpriority)
         |      AS BIGINT) AS n
         |  FROM g)
-        |SELECT o_orderpriority, max(n) AS n,
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_docs,
         |  min(CASE WHEN cum >= CAST(ceil(0.5*n) AS BIGINT)
-        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS p50_est,
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS q_50_est,
         |  min(CASE WHEN cum >= CAST(ceil(0.9*n) AS BIGINT)
-        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS p90_est,
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS q_90_est,
         |  min(CASE WHEN cum >= CAST(ceil(0.99*n) AS BIGINT)
-        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS p99_est
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10000.0 END) AS q_99_est
         |FROM m GROUP BY 1
         |ORDER BY 1""".stripMargin)),
 

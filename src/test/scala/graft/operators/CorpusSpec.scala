@@ -180,6 +180,34 @@ class CorpusSpec extends SparkSpec {
     assert(got("g3") === ((4L, 5L, 5L, 5L)))
   }
 
+  test("histogramQuantiles reports the first bin's upper edge at each p") {
+    import spark.implicits._
+    // width 10: values 1..9 in bin 0 (edge 10), 10 in bin 1 (edge 20)
+    val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("k", "v")
+    val got = Corpus.histogramQuantiles(df, "k", "v", 10.0,
+      Seq(0.5, 0.99)).collect()
+    // bin 0 holds 9 of 10 -> cum 9 >= ceil(.5*10)=5 -> q_50_est = 10
+    // ceil(.99*10)=10 needs cum 10 -> bin 1 -> q_99_est = 20
+    assert((got.head.getLong(1), got.head.getDouble(2),
+      got.head.getDouble(3)) === (10L, 10.0, 20.0))
+  }
+
+  test("histogramQuantiles error vs exactQuantiles is within one binWidth") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("a", i.toDouble * 3.0, i.toLong))
+      .toDF("k", "v", "id")
+    val exact = Corpus.exactQuantiles(df, "k", "v", "id", Seq(0.5, 0.9))
+      .collect().head
+    val est = Corpus.histogramQuantiles(df, "k", "v", 50.0, Seq(0.5, 0.9))
+      .collect().head
+    for (i <- 2 to 3) {
+      // quantile on a bin LOWER edge makes the diff exactly binWidth
+      val e = est.getDouble(i) - exact.getDouble(i)
+      assert(e > 0 && e <= 50.0,
+        s"estimate must be within one bin above exact, got diff $e")
+    }
+  }
+
   test("quantilesBisect matches the nearest-rank window definition") {
     import spark.implicits._
     // skewed + tied values, negatives included
