@@ -103,6 +103,27 @@ object Analytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Relative-standing metrics per row: percent_rank, cume_dist and
+    * an ntile bucket over (group, value) — the "where does this row
+    * sit in its group" readout. The order key includes `tieCol`
+    * (unique) so every rank/bucket is deterministic: ntile's
+    * assignment among value-ties is ORDER-dependent, and an
+    * under-specified sort makes the output flap between runs.
+    * percent_rank/cume_dist are single int/int IEEE divisions —
+    * engine-stable doubles. One shuffle+sort; WindowExec streams the
+    * partition (rank functions need no frame buffer).
+    */
+  def rankMetrics(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    df.select(col(tieCol), col(groupCol), col(valueCol),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      ntile(buckets).over(w).cast("long").as("bucket"))
+  }
+
   /** Ordered funnel — a user reaches stage k only via a stage-k event
     * STRICTLY AFTER their stage-(k-1) reach time (earliest such
     * event). Built as a left fold: reach₁ = min ts of stage-1 events

@@ -131,6 +131,23 @@ object AnalyticsQueries extends QueryPack {
         |    (SELECT count(*) FROM r1) AS n_users
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM r2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r3))
-        |ORDER BY stage_idx""".stripMargin))
+        |ORDER BY stage_idx""".stripMargin)),
+
+    // Relative standing per order within its priority class:
+    // percent_rank / cume_dist / price quartile. The unique
+    // (value, key) order makes ntile's tie assignment deterministic.
+    "q201_rank_metrics" -> Q(
+      (s, dir) => Analytics.rankMetrics(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+          "o_orderkey", 4)
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS bucket
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

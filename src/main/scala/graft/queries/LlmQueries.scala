@@ -1165,6 +1165,86 @@ object LlmQueries extends QueryPack {
           |FROM documents
           |GROUP BY lang, pred_lang
           |ORDER BY lang, pred_lang""".stripMargin)
-      })
+      }),
+
+    // END-TO-END corpus prep: quality battery → head-fingerprint
+    // dedup → source-mixture sample → per-source gold summary, every
+    // stage the SAME operator its standalone gate proves (q144
+    // gopherRules, q25's exactDedup, q85's mixtureSample) — the gate
+    // that shows the stages COMPOSE. The dedup key is the first 10
+    // tokens (crawl "same head" dedup) because this corpus has no
+    // full-text duplicates; c4Rules sits out (its sentence floor
+    // zeroes a punctuation-free synthetic corpus — gated standalone
+    // in q145). Every stage is a scan-speed projection or a
+    // doc_id/fp-keyed shuffle; the output is source-cardinality rows.
+    "q203_corpus_pipeline" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pass = QualityFilters.gopherRules(docs, "doc_id", "text")
+          .filter(col("gopher_pass")).select(col("doc_id"))
+        val quality = docs.join(pass, "doc_id")
+        val headFp = md5(concat_ws(" ", slice(
+          TextAnalysis.tokens(lower(coalesce(col("text"), lit("")))),
+          1, 10)))
+        val keepers = Dedup.exactDedup(quality, "doc_id", headFp)
+          .select(col("keep_id").as("doc_id"))
+        val sampled = Corpus.mixtureSample(
+          quality.join(keepers, "doc_id"), "doc_id", "pipe1", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        sampled.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.nTokens(col("text")).cast("long"))
+              .as("n_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, coalesce(text, '') AS txt,
+        |         text FROM documents),
+        |tk AS (SELECT doc_id, txt,
+        |    CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(txt), '\s+') END AS toks
+        |  FROM d),
+        |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      t -> length(t))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(regexp_extract_all(txt, '#|\.\.\.|…')) AS BIGINT) AS sym
+        |  FROM tk),
+        |lx AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS ln
+        |       FROM d),
+        |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    count(DISTINCT ln) AS dl,
+        |    count(CASE WHEN regexp_matches(ln, '^\s*[-*•]')
+        |          THEN 1 END) AS bullet,
+        |    count(CASE WHEN regexp_matches(ln, '(\.\.\.|…)\s*$')
+        |          THEN 1 END) AS ellip
+        |  FROM lx GROUP BY doc_id),
+        |g AS (SELECT w.doc_id FROM w JOIN la ON w.doc_id = la.doc_id
+        |  WHERE n_words >= 50
+        |    AND (100 * sum_len) // n_words BETWEEN 300 AND 1000
+        |    AND (1000000 * alpha) // n_words >= 800000
+        |    AND (1000000 * sym) // n_words < 100000
+        |    AND (1000000 * bullet) // n_lines < 900000
+        |    AND (1000000 * ellip) // n_lines < 300000
+        |    AND (1000000 * (n_lines - dl)) // n_lines < 300000),
+        |q AS (SELECT d.doc_id, d.source, d.text
+        |      FROM d JOIN g ON d.doc_id = g.doc_id),
+        |k AS (SELECT min(doc_id) AS doc_id FROM q
+        |      GROUP BY md5(array_to_string(list_slice(
+        |        string_split_regex(trim(lower(coalesce(text, ''))),
+        |          '\s+'), 1, 10), ' '))),
+        |dd AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.doc_id),
+        |sm AS (SELECT * FROM dd
+        |  WHERE CAST(('0x' || substr(md5(doc_id || ':pipe1'), 1, 15))
+        |      AS BIGINT) % 1000000 <
+        |    CASE source WHEN 'src0' THEN 1000000
+        |         WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000
+        |         ELSE 100000 END)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS n_tokens
+        |FROM sm GROUP BY 1
+        |ORDER BY source""".stripMargin))
   )
 }

@@ -85,6 +85,30 @@ object SinkQueries extends QueryPack {
         |GROUP BY 1
         |ORDER BY r_name""".stripMargin)),
 
+    // ORC round trip — the second columnar interchange format after
+    // parquet: the full orders table written as zstd ORC, read back,
+    // and every row hash-compared to the parquet original (doubles,
+    // strings and keys must survive bit-exact; the date is compared
+    // at DATE grain, the shared precision of both engines' readers).
+    "q202_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val src = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("o_day"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        src.write.mode("overwrite").option("compression", "zstd")
+          .orc(s"$tmp/out")
+        materializeAndDelete(s.read.orc(s"$tmp/out"), tmp)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderpriority,
+        |  CAST(o_orderdate AS DATE) AS o_day
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // The trainer-facing output layout: hash-split corpus written as
     // split-partitioned parquet (the directory layout a 100 TB corpus
     // ships in — per-split subdirectories a reader partition-prunes),

@@ -96,6 +96,19 @@ class AnalyticsSpec extends SparkSpec {
       (1, "view", 3L), (2, "click", 1L), (3, "buy", 1L)))
   }
 
+  test("rankMetrics is deterministic under value ties via the tie column") {
+    import spark.implicits._
+    // four tied values: ntile(2) must split 2/2 by id order, every run
+    val df = Seq((1L, "g", 5.0), (2L, "g", 5.0), (3L, "g", 5.0),
+      (4L, "g", 5.0)).toDF("id", "k", "v")
+    val got = Analytics.rankMetrics(df, "k", "v", "id", 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 0.0, 0.25, 1L), (2L, 1.0 / 3, 0.5, 1L),
+      (3L, 2.0 / 3, 0.75, 2L), (4L, 1.0, 1.0, 2L)))
+  }
+
   test("funnel counts a re-click after view even when an earlier click exists") {
     import spark.implicits._
     val df = Seq(
