@@ -140,6 +140,39 @@ object Sketch {
       .drop("__allset", "__rid")
   }
 
+  /** SCAN-SPEED Bloom pre-filter: the [[bloomBuild]] bitmap read to
+    * a literal word array and returned as a pure Column predicate —
+    * the filter a 100 TB join probe applies INSIDE its scan before
+    * any shuffle, when the build side's keys are too many to
+    * broadcast as a hash relation but their Bloom bitmap is KBs. No
+    * false negatives, so `probe.filter(pred).join(build)` equals the
+    * plain join — false positives only cost the prefilter some
+    * selectivity, never correctness.
+    *
+    * EAGER at call time (the GeoEnrichment lesson, documented here):
+    * the bitmap readout (≤ numBits/63 rows — the bounded-driver-state
+    * pattern of the HLL register readout) runs when this method is
+    * CALLED, not when the returned predicate first executes. Bit
+    * tests use a literal mask lookup (element_at of a 63-entry
+    * table) — no column-argument shifts, fully codegen'd.
+    */
+  def bloomFilterScan(bloom: DataFrame, keyCol: Column, numBits: Int,
+      numHashes: Int): Column = {
+    require(numBits % BloomWordBits == 0 && numBits > 0 && numHashes > 0)
+    val words = Array.fill(numBits / BloomWordBits)(0L)
+    bloom.select(col("word_idx"), col("bits")).collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val wordsLit = lit(words)
+    val maskLut = lit(Array.tabulate(BloomWordBits)(1L << _))
+    (0 until numHashes).map { i =>
+      val p = TextAnalysis.hash60(concat(keyCol, lit(s":b$i"))) % numBits
+      val w = (p / BloomWordBits).cast("int")
+      val b = (p % BloomWordBits).cast("int")
+      element_at(wordsLit, w + 1).bitwiseAND(element_at(maskLut, b + 1)) =!=
+        lit(0L)
+    }.reduce(_ && _)
+  }
+
   /** HyperLogLog-style register table: the key's 60-bit md5 hash is
     * split into a register index (low bits, `m` must be a power of
     * two) and a substream value whose leading-zero rank feeds a max.

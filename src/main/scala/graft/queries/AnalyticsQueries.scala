@@ -148,6 +148,32 @@ object AnalyticsQueries extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Semi-structured extraction: the events.props JSON column
+    // parsed IN the scan projection (get_json_object is codegen'd —
+    // from_json with a pinned schema is the struct-typed alternative)
+    // and aggregated per event_type. At 100 TB the parse rides the
+    // scan: no UDF, no shuffle beyond the bounded group agg.
+    "q204_json_extract" -> Q(
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables.events(s, dir)
+          .select(col("event_type"), k.as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            countDistinct(col("k")).as("n_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(count(DISTINCT CAST(json_extract(props, '$.k')
+        |    AS BIGINT)) AS BIGINT) AS n_k
+        |FROM events GROUP BY 1
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -1325,7 +1325,43 @@ object IndexQueries extends QueryPack {
         |SELECT source, n_rows,
         |  base + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS quota
         |FROM r
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // Bloom-prefiltered join: the build side's key bitmap applied as
+    // a SCAN-SPEED predicate on the probe scan before any shuffle —
+    // the 100 TB shape when the build side is too big to broadcast
+    // as a hash relation but its Bloom bitmap is KBs. The oracle is
+    // the PLAIN join: no false negatives means the prefilter can
+    // only drop rows the join would drop anyway, so a green hash
+    // proves the optimization preserves the exact result (false
+    // positives cost selectivity, never correctness).
+    "q205_bloom_prefilter_join" -> Q(
+      (s, dir) => {
+        val nBits = 63 * 256
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val bloom = Sketch.bloomBuild(urgent,
+          col("o_orderkey").cast("string"), nBits, 3)
+        val pred = Sketch.bloomFilterScan(bloom,
+          col("l_orderkey").cast("string"), nBits, 3)
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .filter(pred)
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1
+        |ORDER BY l_orderkey""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

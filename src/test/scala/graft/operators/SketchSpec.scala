@@ -91,6 +91,34 @@ class SketchSpec extends SparkSpec {
     assert(res.count(_ == ("a", true)) === 3)
   }
 
+  test("bloomFilterScan agrees with bloomMightContain on every probe") {
+    val nBits = 63 * 64
+    val present = (0 until 300).map(i => s"key$i").toDF("k")
+    val bloom = Sketch.bloomBuild(present, col("k"), nBits, 3)
+    val probes = (0 until 600).map(i => s"key$i").toDF("k")
+    val viaJoin = Sketch.bloomMightContain(bloom, probes, col("k"), nBits, 3)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val viaScan = probes
+      .withColumn("m", Sketch.bloomFilterScan(bloom, col("k"), nBits, 3))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(viaScan === viaJoin) // same hash family, same verdicts
+  }
+
+  test("bloom prefilter preserves the exact join result") {
+    val build = Seq(1L, 3L, 5L, 7L).toDF("bk")
+    val probe = (1L to 100L).map(i => (i % 10, i)).toDF("pk", "v")
+    val nBits = 63 * 16
+    val bloom = Sketch.bloomBuild(build, col("bk").cast("string"), nBits, 3)
+    val plain = probe.join(build, col("pk") === col("bk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val pre = probe
+      .filter(Sketch.bloomFilterScan(bloom, col("pk").cast("string"),
+        nBits, 3))
+      .join(build, col("pk") === col("bk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pre === plain) // no false negatives ⇒ identical join output
+  }
+
   test("bloom bitmap is bounded by numBits/63 nonnegative words") {
     val present = (0 until 5000).map(i => s"k$i").toDF("k")
     val bloom = Sketch.bloomBuild(present, col("k"), 63 * 64, 4).collect()
