@@ -27,7 +27,21 @@ object Analytics {
     */
   def rollupSummary(df: DataFrame, keyA: String, keyB: String,
       amount: Column): DataFrame =
-    df.rollup(col(keyA), col(keyB))
+    groupingSummary(df.rollup(col(keyA), col(keyB)), keyA, keyB, amount)
+
+  /** CUBE: every subset of (a, b) — leaves, both one-key margins,
+    * grand total — still ONE Expand + one partial agg ([[rollupSummary]]
+    * minus the hierarchy assumption; 4 grouping sets instead of 3).
+    * Same gid/total conventions.
+    */
+  def cubeSummary(df: DataFrame, keyA: String, keyB: String,
+      amount: Column): DataFrame =
+    groupingSummary(df.cube(col(keyA), col(keyB)), keyA, keyB, amount)
+
+  private def groupingSummary(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      keyA: String, keyB: String, amount: Column): DataFrame =
+    grouped
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
         sum(amount.cast("decimal(18,2)")).cast("double").as("amount"))
       .select(

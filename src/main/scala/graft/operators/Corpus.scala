@@ -322,22 +322,42 @@ object Corpus {
     * Output: (groupCol, n_docs, q_<pp>_est …) one row per group.
     */
   def histogramQuantiles(df: DataFrame, groupCol: String,
-      valueCol: String, binWidth: Double, ps: Seq[Double]): DataFrame = {
+      valueCol: String, binWidth: Double, ps: Seq[Double]): DataFrame =
+    histogramQuantilesFromGrid(
+      histogramGrid(df, groupCol, valueCol, binWidth), groupCol,
+      binWidth, ps)
+
+  /** The (group × bin) counter grid [[histogramQuantiles]] reads —
+    * public because the SAME aggregation runs as STREAMING STATE
+    * (counts are mergeable, so a streaming Complete-mode agg
+    * maintains the grid continuously; see q206) with the quantile
+    * pick as a batch readout over the materialized counters.
+    */
+  def histogramGrid(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0)
+    df.groupBy(col(groupCol),
+        floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("bin_n"))
+  }
+
+  /** The quantile pick over a [[histogramGrid]] frame: cumulative
+    * count per group in bin order, first bin reaching ceil(p·n).
+    * Runs over the dimension-bounded grid — free at any data scale.
+    */
+  def histogramQuantilesFromGrid(grid: DataFrame, groupCol: String,
+      binWidth: Double, ps: Seq[Double]): DataFrame = {
     require(binWidth > 0 && ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
     require(ps.map(p => (p * 100).round).distinct.size == ps.size,
       s"quantile column names collide for ps=$ps")
-    val grid = df
-      .groupBy(col(groupCol),
-        floor(col(valueCol) / lit(binWidth)).cast("long").as("__bin"))
-      .agg(count(lit(1)).as("__c"))
     val cum = grid
-      .withColumn("__cum", sum(col("__c"))
-        .over(Window.partitionBy(col(groupCol)).orderBy(col("__bin"))))
+      .withColumn("__cum", sum(col("bin_n"))
+        .over(Window.partitionBy(col(groupCol)).orderBy(col("bin"))))
       .withColumn("__n",
-        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+        sum(col("bin_n")).over(Window.partitionBy(col(groupCol))))
     val qAggs = ps.map { p =>
       min(when(col("__cum") >= ceil(lit(p) * col("__n")),
-        (col("__bin") + 1).cast("double") * lit(binWidth)))
+        (col("bin") + 1).cast("double") * lit(binWidth)))
         .as(s"q_${(p * 100).round}_est")
     }
     cum.groupBy(col(groupCol))

@@ -174,6 +174,25 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(count(DISTINCT CAST(json_extract(props, '$.k')
         |    AS BIGINT)) AS BIGINT) AS n_k
         |FROM events GROUP BY 1
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // CUBE: q190's rollup without the hierarchy assumption — all
+    // four grouping sets (leaves, both margins, grand total) in the
+    // same single Expand+agg pass.
+    "q207_cube" -> Q(
+      (s, dir) => Analytics.cubeSummary(
+          Tables.orders(s, dir), "o_orderpriority", "o_orderstatus",
+          col("o_totalprice"))
+        .withColumn("gid", col("gid").cast("long"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"), col("gid")),
+      Some("""SELECT coalesce(o_orderpriority, 'total') AS o_orderpriority,
+        |  coalesce(o_orderstatus, 'total') AS o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderstatus, gid""".stripMargin))
   )
 }

@@ -472,6 +472,44 @@ object StreamingQueries extends QueryPack {
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin))
+        |ORDER BY n_name""".stripMargin)),
+
+    // Histogram-quantile sketch as STREAMING STATE (§2.8, sixth
+    // instance): the q199 (group × bin) counter grid is mergeable, so
+    // a Complete-mode streaming agg maintains it continuously —
+    // state bounded by groups × bins regardless of stream length —
+    // and the quantile pick runs as a BATCH readout over the
+    // materialized counters (exactly how a live profile dashboard
+    // consumes it). Hash-matches the all-batch q199 formulation.
+    "q206_stream_histogram" -> Q(
+      (s, dir) => {
+        val grid = Streams.runToTable(
+          graft.operators.Corpus.histogramGrid(
+            eventsStream(s, dir), "event_type", "value", 10.0),
+          OutputMode.Complete())
+        graft.operators.Corpus.histogramQuantilesFromGrid(
+            grid, "event_type", 10.0, Seq(0.5, 0.9, 0.99))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN cum >= CAST(ceil(0.5*n) AS BIGINT)
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10.0 END) AS q_50_est,
+        |  min(CASE WHEN cum >= CAST(ceil(0.9*n) AS BIGINT)
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10.0 END) AS q_90_est,
+        |  min(CASE WHEN cum >= CAST(ceil(0.99*n) AS BIGINT)
+        |      THEN CAST(bin + 1 AS DOUBLE) * 10.0 END) AS q_99_est
+        |FROM m GROUP BY 1
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -29,6 +29,21 @@ class AnalyticsSpec extends SparkSpec {
       ("total", "total", 3L -> (4L, 18.0))))
   }
 
+  test("cubeSummary adds the second margin rollup misses") {
+    import spark.implicits._
+    val df = Seq(("hi", "open", 10.0), ("lo", "open", 1.0))
+      .toDF("prio", "status", "amt")
+    val got = Analytics.cubeSummary(df, "prio", "status", col("amt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(4)))
+      .toSet
+    assert(got === Set(
+      ("hi", "open", 0L, 10.0), ("lo", "open", 0L, 1.0),
+      ("hi", "total", 1L, 10.0), ("lo", "total", 1L, 1.0),
+      ("total", "open", 2L, 11.0),   // the status margin: cube-only
+      ("total", "total", 3L, 11.0)))
+  }
+
   test("pivotCounts pins the schema and zero-fills absent combos") {
     import spark.implicits._
     val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("g", "t")
