@@ -79,6 +79,38 @@ object GraphQueries extends QueryPack {
           |SELECT CAST(node AS BIGINT) AS node, rank_ppm
           |FROM r3
           |ORDER BY node""".stripMargin)
-      })
+      }),
+
+    // Triangle census of the co-purchase graph (parts sharing an
+    // order): ordered-wedge enumeration (a<b<c — each triangle
+    // counted once) closed by an edge probe. The closure ratio is
+    // integer ppm, so the whole census hash-gates.
+    "q208_triangle_count" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = l.as("a")
+          .join(l.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+        Graph.triangleCount(pairs, "src", "dst")
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |w AS (SELECT e1.u AS a, e2.v AS c
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u),
+        |m AS (SELECT count(*) AS n_wedges,
+        |        CAST(count(e3.u) AS BIGINT) AS n_triangles
+        |      FROM w LEFT JOIN e e3 ON w.a = e3.u AND w.c = e3.v)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |       THEN (1000000 * n_triangles) // n_wedges
+        |       ELSE 0 END AS closed_ppm
+        |FROM m""".stripMargin))
   )
 }

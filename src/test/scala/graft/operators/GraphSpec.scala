@@ -52,4 +52,34 @@ class GraphSpec extends SparkSpec {
     val one = ranks(Seq((1L, 2L), (2L, 1L)), 2)
     assert(dup === one)
   }
+
+  private def census(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect().head
+  }
+
+  test("triangleCount: K4 has 4 triangles and every wedge closed") {
+    // complete graph on 4 nodes: 6 edges, C(4,3)=4 triangles,
+    // ordered wedges a<b<c: one per triangle times... enumerate: 4
+    val r = census(for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b))
+    assert((r.getLong(0), r.getLong(2), r.getLong(3)) ===
+      (6L, 4L, 1000000L))
+  }
+
+  test("triangleCount: reversed/duplicate/self edges canonicalize") {
+    // triangle 1-2-3 written messily + a dangling edge 3-4
+    val r = census(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L), (3L, 4L)))
+    // edges: {12,13,23,34}; wedges a<b<c: (1,2,3)->13? enumerate:
+    // e(1,2)⋈e(2,3)->(1,3) closed; e(1,3)⋈e(3,4)->(1,4) open;
+    // e(2,3)⋈e(3,4)->(2,4) open
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (4L, 3L, 1L))
+  }
+
+  test("triangleCount: triangle-free graph reports zero") {
+    val r = census(Seq((1L, 2L), (3L, 4L)))
+    assert((r.getLong(2), r.getLong(3)) === (0L, 0L))
+  }
 }
