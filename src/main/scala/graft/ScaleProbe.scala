@@ -118,6 +118,20 @@ object ScaleProbe {
         graft.operators.Corpus.importanceWeights(
           docs, "doc_id", "text", col("lang") === "en")
       }
+      // q208 shape: triangle census over the co-purchase graph —
+      // both keys shift, so copies are DISJOINT subgraphs and the
+      // true census grows exactly ×N (wedge join is the cost center)
+      time("q208_triangles", n) {
+        val l = shifted(Tables.lineitem(spark, sfDir),
+          Seq("l_orderkey", "l_partkey"), n, 100000000L)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = l.as("a")
+          .join(l.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+        graft.operators.Graph.triangleCount(pairs, "src", "dst")
+      }
     }
     spark.stop()
   }
