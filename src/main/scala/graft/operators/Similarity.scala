@@ -662,4 +662,179 @@ object Similarity {
         (col("cos_ppm") < thresholdPpm || col("__id") === col("__keeper"))
           .as("is_kept"))
   }
+
+  // ------------------------------------------------------------------
+  // Binary (sign-bit) quantization + Hamming search
+  // ------------------------------------------------------------------
+
+  /** Sign-bit binarization of an embedding: bit i of word w is set iff
+    * element (32w + i) is strictly positive (null and non-positive
+    * elements clear the bit, mirroring the oracle's `coalesce(x,0) >
+    * 0`). 32 bits per BIGINT word keeps every engine's packing sum in
+    * safe positive range — a 64-bit word would need the sign bit and
+    * overflow a signed add. 32× compression at pure scan speed: the
+    * memory layout that keeps exhaustive search affordable once float
+    * vectors no longer fit cluster RAM, and the XOR+popcount distance
+    * is integer-exact so even the APPROXIMATE ranking is
+    * oracle-gateable. Ref: powerbi queries keep embeddings as float
+    * payloads only (reference has no ANN); this is the extension
+    * surface's compressed-serving path.
+    */
+  def binarizeSign(vec: Column, dim: Int): Column = {
+    require(dim >= 1, "binarizeSign: dim must be positive")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      (0 until math.min(32, dim - 32 * w)).map { i =>
+        when(vec.getItem(32 * w + i).cast("double") > 0.0d, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between packed sign codes: Σ popcount(xor) over
+    * words. Integer-exact, codegen built-ins only — no UDF, no
+    * fallback.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Exhaustive Hamming top-k over sign-binarized embeddings — the
+    * compressed brute-force path: binarization rides both scans, the
+    * (tiny) query side broadcasts, and the per-pair cost is
+    * words × (XOR + POPCNT) instead of dim multiplies. One corpus
+    * pass, no corpus shuffle; ranking is (hdist asc, neighbor_id) so
+    * ties are deterministic and the whole result hash-gates.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+        binarizeSign(col(vecCol), dim).as(s"${id}_w"))
+    val q = prep(queries, "query_id")
+    val c = prep(corpus, "neighbor_id")
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("hdist",
+        hammingDistance(col("query_id_w"), col("neighbor_id_w")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hdist").asc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("hdist"))
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): per-subspace codebooks + ADC search
+  // ------------------------------------------------------------------
+
+  /** Strict left-to-right squared-L2 fold between a subvector column
+    * and a centroid column — the PQ distance kernel. Null elements
+    * read as 0 (the oracle's `coalesce` at the vector definition), and
+    * the (x-c)·(x-c) per-element shape plus [0.0]-seeded fold is
+    * mirrored verbatim in DuckDB, so distances are bit-identical.
+    */
+  private def l2sq(sub: Column, cent: Column): Column =
+    aggregate(
+      zip_with(sub, cent, (x, c) => {
+        val xd = coalesce(x.cast("double"), lit(0.0d))
+        (xd - c) * (xd - c)
+      }),
+      lit(0.0d), _ + _)
+
+  /** Nearest centroid (squared L2) within one subspace; ties to the
+    * LOWER cell id via struct ordering (array_min over (d, i)).
+    */
+  private def pqArgmin(sub: Column, cents: Seq[Seq[Double]]): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(sub, array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+    }: _*)
+    array_min(scored).getField("i")
+  }
+
+  /** One quantized-Lloyd refinement of M per-subspace PQ codebooks
+    * from a fixed seed. `init(m)(cell)` is the seed codebook: M
+    * subspaces of dim/M coordinates, k cells each. ONE corpus pass:
+    * every row assigns all M subvectors inside the scan, explodes M
+    * (m, cell, subvector) rows, and a single (m, cell)-keyed partial
+    * agg of quantized long sums (see [[KmQ]]) refines all codebooks at
+    * once — M·k rows reach the driver, never data-sized. Cells with no
+    * members keep their seed (the oracle mirrors with a seed-grid LEFT
+    * JOIN + coalesce). Deterministic end-to-end: order-free long sums,
+    * one double divide per coordinate, lower-cell tiebreaks.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String,
+      init: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    require(init.nonEmpty && init.head.nonEmpty)
+    val m = init.size
+    val sub = init.head.head.size
+    val aggs = count(lit(1)).as("n") +: (0 until sub).map(d =>
+      sum(floor(element_at(col("sv"), d + 1).cast("double") * KmQ))
+        .as(s"s$d"))
+    val rows = corpus
+      .select(explode(array((0 until m).map { mi =>
+        val sv = slice(col(vecCol), mi * sub + 1, sub)
+        struct(lit(mi).as("mi"), pqArgmin(sv, init(mi)).as("cell"),
+          sv.as("sv"))
+      }: _*)).as("a"))
+      .select(col("a.mi").as("mi"), col("a.cell").as("cell"),
+        col("a.sv").as("sv"))
+      .groupBy(col("mi"), col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val refined = Array.tabulate(m)(mi => init(mi).toArray)
+    rows.foreach { r =>
+      val mi = r.getInt(0)
+      val cell = r.getInt(1)
+      val n = r.getLong(2).toDouble
+      refined(mi)(cell) =
+        (0 until sub).map(d => r.getLong(d + 3).toDouble / (n * KmQ))
+    }
+    refined.map(_.toSeq).toSeq
+  }
+
+  /** PQ encoding: per subspace, the nearest-centroid code — an
+    * array<int> of M codes per vector, computed at scan speed from
+    * literal codebooks. dim/M·8-to-⌈log2 k⌉-bit compression; at 100 TB
+    * the code table is what ships to the serving tier.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    array((0 until m).map { mi =>
+      pqArgmin(slice(vec, mi * sub + 1, sub), codebooks(mi))
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: exact query subvectors against
+    * PQ-coded corpus rows. The per-pair distance is Σ_m ‖q_m −
+    * c_{m,code_m}‖² with the codebook as a broadcast literal lookup
+    * (element_at on a typedLit array) — no join against a centroid
+    * table, no corpus shuffle; queries broadcast. Term sum is a fixed
+    * left-association so the double is engine-identical.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]], k: Int)
+      : DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncode(col(vecCol), codebooks).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val adist = (0 until m).map { mi =>
+      val qsub = slice(col("qv"), mi * sub + 1, sub)
+      val cent = element_at(typedLit(codebooks(mi)),
+        col("codes").getItem(mi) + 1)
+      l2sq(qsub, cent)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("adist"))
+  }
 }

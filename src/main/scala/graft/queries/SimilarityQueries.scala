@@ -77,6 +77,81 @@ object SimilarityQueries extends QueryPack {
     Seq.fill(64)(rnd.nextGaussian())
   }
 
+  /** PQ geometry for q211/q212: 4 subspaces × 16 dims, 4 cells each,
+    * fixed-seed gaussian seed codebooks (the seed is part of the
+    * spec; the oracle interpolates the identical doubles).
+    */
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqInit: Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(9090L)
+    Seq.fill(PqM)(Seq.fill(4)(Seq.fill(PqSub)(rnd.nextGaussian())))
+  }
+
+  private def dlit(c: Seq[Double]): String =
+    c.mkString("([", ", ", "]::DOUBLE[])")
+
+  /** 32-bit packed sign-word SQL for word `w` of a 64-dim vector —
+    * literal shift weights, the [[bucketSqlFor]] rendering discipline
+    * (Similarity.binarizeSign mirrored bit for bit).
+    */
+  private def signWordSql(v: String, w: Int): String =
+    (0 until 32).map { i =>
+      s"(CASE WHEN $v[${32 * w + i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** DuckDB rendition of Similarity.l2sq over v[off+1 .. off+PqSub]
+    * vs a centroid list expression: [0.0]-seeded left fold of
+    * (x-c)·(x-c) — exactly Spark's aggregate(zip_with(...)).
+    */
+  private def l2Sql(vExpr: String, off: Int, cExpr: String): String =
+    s"list_reduce([0.0] || list_transform(range(1, ${PqSub + 1}), " +
+      s"i -> ($vExpr[i + $off] - $cExpr[i]) * ($vExpr[i + $off] - $cExpr[i])), " +
+      "(acc, x) -> acc + x)"
+
+  /** Subspace-`mi` nearest-cell CASE against literal centroids; ties
+    * to the LOWER cell id (Similarity.pqArgmin's array_min struct
+    * ordering).
+    */
+  private def pqArgminSql(vExpr: String, mi: Int,
+      cents: Seq[Seq[Double]]): String = {
+    val ds = cents.map(c => l2Sql(vExpr, mi * PqSub, dlit(c)))
+    ds.init.zipWithIndex.map { case (d, i) =>
+      val rest = ds.drop(i + 1)
+      val least =
+        if (rest.size == 1) rest.head
+        else rest.mkString("least(", ", ", ")")
+      s"WHEN ($d) <= $least THEN $i"
+    }.mkString("CASE ", " ", s" ELSE ${ds.size - 1} END")
+  }
+
+  /** The shared q211/q212 CTE chain, one block per subspace: assign
+    * against the seed (a), refine via quantized long sums (g → c),
+    * seed-fallback for empty cells (r), re-encode against the refined
+    * rows (enc). Mirrors Similarity.pqTrain + pqEncode exactly.
+    */
+  private lazy val pqCtes: String =
+    (0 until PqM).map { mi =>
+      val sums = (0 until PqSub).map(d =>
+        s"SUM(CAST(floor(v[${mi * PqSub + d + 1}] * 1048576.0) AS BIGINT)) AS s$d")
+        .mkString(", ")
+      val clist = (0 until PqSub).map(d =>
+        s"CAST(s$d AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)")
+        .mkString("[", ", ", "]")
+      val seeds = PqInit(mi).zipWithIndex
+        .map { case (c, i) => s"($i, ${dlit(c)})" }.mkString(", ")
+      s"""a$mi AS (SELECT vec_id, v, ${pqArgminSql("v", mi, PqInit(mi))} AS cell FROM e),
+      |g$mi AS (SELECT cell, count(*) AS n, $sums FROM a$mi GROUP BY cell),
+      |c$mi AS (SELECT cell, $clist AS c FROM g$mi),
+      |r$mi AS (SELECT sd.cell, coalesce(c$mi.c, sd.sc) AS c
+      |  FROM (VALUES $seeds) sd(cell, sc) LEFT JOIN c$mi USING (cell)),
+      |enc$mi AS (SELECT vec_id, cell AS code FROM (
+      |  SELECT a.vec_id, r.cell,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY ${l2Sql("a.v", mi * PqSub, "r.c")} ASC, r.cell ASC) AS rn
+      |  FROM e a CROSS JOIN r$mi r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
   /** DuckDB literal of a float centroid: the WIDENED double value
     * (Float.toString would re-parse to a different double).
     */
@@ -828,6 +903,123 @@ object SimilarityQueries extends QueryPack {
           | AND ex.neighbor_id = ann.neighbor_id
           |GROUP BY ex.query_id
           |ORDER BY ex.query_id""".stripMargin)
+      }),
+
+    // Sign-bit binarization: the 32×-compressed memory layout behind
+    // Hamming serving, posexploded to scalar (vec_id, word_idx, word)
+    // rows. Bit-exact gate: the oracle re-packs every word from the
+    // same literal shift weights.
+    "q209_binarize_sign" -> Q(
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            posexplode(Similarity.binarizeSign(col("embedding"), 64)))
+          .toDF("vec_id", "word_idx", "word")
+          .orderBy(col("vec_id"), col("word_idx"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |b AS (SELECT vec_id,
+        |  ${signWordSql("v", 0)} AS w0,
+        |  ${signWordSql("v", 1)} AS w1 FROM e)
+        |SELECT vec_id, word_idx, word FROM (
+        |  SELECT vec_id, CAST(0 AS INT) AS word_idx, w0 AS word FROM b
+        |  UNION ALL
+        |  SELECT vec_id, CAST(1 AS INT) AS word_idx, w1 AS word FROM b)
+        |ORDER BY vec_id, word_idx""".stripMargin)),
+
+    // Exhaustive Hamming top-k over the packed sign codes — the
+    // compressed brute-force ANN path (XOR+POPCNT per pair instead of
+    // 64 multiplies). Integer distances, deterministic tiebreak, so
+    // even the approximate ranking hash-gates exactly.
+    "q210_hamming_topk" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        Similarity.hammingTopK(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            dim = 64, k = 5)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |b AS (SELECT vec_id,
+        |  [${signWordSql("v", 0)}, ${signWordSql("v", 1)}] AS w FROM e),
+        |qq AS (SELECT vec_id AS query_id, w AS qw FROM b
+        |       WHERE vec_id % 100 = 0),
+        |s AS (SELECT qq.query_id, b.vec_id AS neighbor_id,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(range(1, 3),
+        |        i -> CAST(bit_count(xor(qw[i], w[i])) AS BIGINT)),
+        |      (acc, x) -> acc + x) AS hdist
+        |  FROM b CROSS JOIN qq WHERE qq.query_id <> b.vec_id),
+        |r AS (SELECT query_id, neighbor_id, hdist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hdist ASC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, rn, neighbor_id, hdist FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin)),
+
+    // Product-quantization trainer + encoder: one quantized-Lloyd
+    // refinement of 4 per-subspace codebooks from the fixed PqInit
+    // seed, then every vector's 4 nearest-centroid codes. The oracle
+    // replays the full train (assign → quantized sums → seed-fallback
+    // refine) and encode per subspace — the q84 discipline, ×M.
+    "q211_pq_encode" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val books = Similarity.pqTrain(e, "embedding", PqInit)
+        e.select(col("vec_id"),
+            posexplode(Similarity.pqEncode(col("embedding"), books)))
+          .toDF("vec_id", "m", "code")
+          .orderBy(col("vec_id"), col("m"))
+      },
+      Some {
+        val encSelects = (0 until PqM).map(mi =>
+          s"SELECT vec_id, CAST($mi AS INT) AS m, code FROM enc$mi")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$pqCtes
+        |SELECT vec_id, m, code FROM (
+        |  $encSelects)
+        |ORDER BY vec_id, m""".stripMargin
+      }),
+
+    // ADC search over the PQ codes: exact query subvectors vs coded
+    // corpus, distance = Σ_m ‖q_m − c_{m,code}‖² in a fixed left
+    // association — approximate in recall, bit-exact in arithmetic.
+    "q212_pq_adc" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val books = Similarity.pqTrain(e, "embedding", PqInit)
+        Similarity.pqAdcTopK(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            books, 5)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some {
+        val joins = (0 until PqM).map(mi =>
+          s"JOIN r$mi ON r$mi.cell = cw.c$mi").mkString(" ")
+        val adist = (0 until PqM).map(mi =>
+          l2Sql("qq.qv", mi * PqSub, s"r$mi.c")).mkString(" + ")
+        val cwJoins = (1 until PqM).map(mi =>
+          s"JOIN enc$mi e$mi USING (vec_id)").mkString(" ")
+        val cwCols = (0 until PqM).map(mi => s"e$mi.code AS c$mi")
+          .mkString(", ")
+        s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$pqCtes,
+        |cw AS (SELECT e0.vec_id, $cwCols
+        |  FROM enc0 e0 $cwJoins),
+        |qq AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |       WHERE vec_id % 100 = 0),
+        |s AS (SELECT qq.query_id, cw.vec_id AS neighbor_id,
+        |    $adist AS adist
+        |  FROM cw $joins CROSS JOIN qq
+        |  WHERE qq.query_id <> cw.vec_id),
+        |r AS (SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, rn, neighbor_id, adist FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin
       })
   )
 }

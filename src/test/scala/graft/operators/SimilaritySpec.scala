@@ -324,4 +324,105 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3))) // (rn, neighbor)
     assert(got.toSeq === Seq((1L, 3L), (2L, 4L), (3L, 5L)))
   }
+
+  test("binarizeSign packs strict-positive bits, 32 per word, nulls clear") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // dim 40 → 2 words (second holds 8 bits); element 0 pos, 1 neg,
+    // 2 zero, 3 null, bit 31 set, bit 39 (word 1 bit 7) set
+    val v: Seq[Any] = Seq.tabulate[Any](40) {
+      case 0  => 1.0f
+      case 1  => -1.0f
+      case 2  => 0.0f
+      case 3  => null
+      case 31 => 0.5f
+      case 39 => 2.0f
+      case _  => -0.1f
+    }
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(v)), schema)
+    val got = df.select(Similarity.binarizeSign(col("v"), 40).as("w"))
+      .collect()(0).getSeq[Long](0)
+    assert(got === Seq(1L | (1L << 31), 1L << 7))
+  }
+
+  test("hammingDistance equals naive sign-disagreement count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val vecs = Seq.fill(20)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+    val naive = (a: Seq[Float], b: Seq[Float]) =>
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }.toLong
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val b = df.select(col("vec_id"),
+      Similarity.binarizeSign(col("embedding"), 64).as("w"))
+    val got = b.as("a").join(b.as("c"),
+        col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id"), col("c.vec_id"),
+        Similarity.hammingDistance(col("a.w"), col("c.w")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2))
+      .toMap
+    for (((i, j), h) <- got)
+      assert(h === naive(vecs(i), vecs(j)), s"pair ($i,$j)")
+  }
+
+  test("hammingTopK ranks a planted same-sign vector first at distance 0") {
+    import spark.implicits._
+    val base = Seq.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val clone = base.map(_ * 0.5f)           // same signs → hdist 0
+    val flipped = base.map(-_)               // all signs differ → 64
+    val df = Seq((0L, base), (1L, clone), (2L, flipped))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(
+        df.filter(col("vec_id") === 0), df, "vec_id", "embedding", 64, 2)
+      .orderBy("rn").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+    assert(got.map(_.getLong(3)).toSeq === Seq(0L, 64L))
+  }
+
+  test("pqTrain refines member means per subspace; empty cells keep seed") {
+    import spark.implicits._
+    val init = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),  // subspace 0
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))  // subspace 1
+    val df = Seq(
+      (1L, Seq(0.9f, 1.1f, 9.5f, 10.5f)),
+      (2L, Seq(1.1f, 0.9f, 10.5f, 9.5f)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, "embedding", init)
+    // subspace 0: both rows assign cell 0 → refined ≈ (1.0, 1.0);
+    // cell 1 empty → keeps seed. Subspace 1: both assign cell 1.
+    assert(books(0)(0).zip(Seq(1.0, 1.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-5 })
+    assert(books(0)(1) === Seq(10.0, 10.0))
+    assert(books(1)(0) === Seq(0.0, 0.0))
+    assert(books(1)(1).zip(Seq(10.0, 10.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-5 })
+    // encode matches cluster membership
+    val codes = df.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) === Seq(0, 1) && codes(2L) === Seq(0, 1))
+  }
+
+  test("pqAdcTopK retrieves the same-cluster neighbor first") {
+    import spark.implicits._
+    val init = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Seq(1.2f, 0.8f, 1.1f, 0.9f)),    // 1's cluster-mate
+      (3L, Seq(9.0f, 9.0f, 9.0f, 9.0f)),
+      (4L, Seq(9.2f, 8.8f, 9.1f, 8.9f)))    // 3's cluster-mate
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, "embedding", init)
+    val got = Similarity.pqAdcTopK(
+        df.filter(col("vec_id") === 1), df, "vec_id", "embedding", books, 3)
+      .orderBy("rn").collect().map(_.getLong(2))
+    assert(got.head === 2L) // ADC: nearest coded vector is the cluster-mate
+  }
 }
