@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering: a distributed logistic-regression
+  * scorer trained by full-batch gradient descent — the "train a small
+  * classifier on quality features, score the corpus" stage of LLM
+  * data pipelines (the reference has no trained models; this is the
+  * extension surface's model-based filter, the CCNet/LLaMA-style
+  * quality-classifier pattern re-expressed Spark-first).
+  *
+  * 100 TB shape: each GD round is ONE corpus pass — features and the
+  * per-row gradient contribution ride the scan, and a single global
+  * aggregate of d+1 quantized long sums reaches the driver (d =
+  * feature count, never data-sized). No instance matrix is
+  * materialized, nothing shuffles (a 1-row partial agg), and scoring
+  * is a pure projection with the trained weights as literals. This is
+  * the classic distributed-LR formulation (full-batch gradient as a
+  * partial aggregate); rounds are O(10), so the driver traffic is
+  * trivial.
+  *
+  * Determinism (what makes a TRAINER oracle-gateable): the sigmoid is
+  * the rational fast-sigmoid σ̂(z) = 0.5 + z/(2(1+|z|)) — add, mul,
+  * div, abs are single correctly-rounded IEEE ops, unlike exp whose
+  * libm rounding differs across engines. Gradient sums quantize to
+  * longs (floor(g·2^20), the [[Similarity.KmQ]] discipline) so the
+  * partial-agg order can't perturb the result, and every weight
+  * update is the same fixed sequence of double ops on both engines.
+  */
+object Classifier {
+
+  /** Quantization scale for gradient accumulation (see scaladoc). */
+  val GradQ: Double = 1048576.0
+
+  /** Engine-exact rational sigmoid: 0.5 + z/(2(1+|z|)) ∈ (0,1),
+    * monotone, σ̂(0) = 0.5 — the fast-sigmoid surrogate. Exact IEEE
+    * ops only; mirror verbatim in SQL.
+    */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** w·x in fixed left-to-right association — (x0·w0) + (x1·w1) + …
+    * — so the double is engine-identical.
+    */
+  def margin(features: Seq[Column], w: Seq[Double]): Column = {
+    require(features.size == w.size, "margin: |features| must equal |w|")
+    features.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+  }
+
+  /** `rounds` full-batch GD rounds from `init`: per round, gradient_j
+    * = Σ_rows (σ̂(w·x) − y)·x_j accumulated as quantized longs, then
+    * w_j ← w_j − η·g_j/(n·2^20) on the driver. Null features/labels
+    * contribute nothing to the sums (both engines' SUM skips NULL)
+    * while still counting in n.
+    */
+  def lrTrain(df: DataFrame, features: Seq[Column], label: Column,
+      init: Seq[Double], eta: Double, rounds: Int): Seq[Double] = {
+    require(rounds >= 0 && features.nonEmpty)
+    var w = init
+    for (_ <- 1 to rounds) {
+      val err = fastSigmoid(margin(features, w)) - label
+      val aggs = count(lit(1)).as("n") +: features.zipWithIndex.map {
+        case (f, j) => sum(floor(err * f * GradQ)).as(s"g$j")
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = r.getLong(0).toDouble
+      w = w.zipWithIndex.map { case (wi, j) =>
+        wi - eta * (r.getLong(j + 1).toDouble / (n * GradQ))
+      }
+    }
+    w
+  }
+
+  /** Scored corpus: score_ppm = ⌊σ̂(w·x)·10⁶⌋ (long — the hashable
+    * fixed-point form) and pred = score ≥ 0.5 as 1/0. Pure projection;
+    * the trained weights are plan literals.
+    */
+  def lrScore(features: Seq[Column], w: Seq[Double]): (Column, Column) = {
+    val p = fastSigmoid(margin(features, w))
+    val scorePpm = floor(p * lit(1000000.0))
+    (scorePpm, when(scorePpm >= 500000L, lit(1L)).otherwise(lit(0L)))
+  }
+}

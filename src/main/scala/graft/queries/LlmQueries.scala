@@ -81,6 +81,62 @@ object LlmQueries extends QueryPack {
   private def swPattern(words: Seq[String]) =
     TextAnalysis.stopwordPattern(words)
 
+  /** DuckDB replay of the q213 trainer+scorer (operators.Classifier):
+    * the feature projection, BOTH quantized-GD rounds, and the final
+    * scoring pass, every double op in the identical order. (No line
+    * may BEGIN with `|` — the simhashCte discipline.)
+    */
+  private lazy val lrQualityOracle: String = {
+    val xs = Seq(
+      "1.0",
+      s"len($tokensSql) / 256.0",
+      "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) " +
+        "/ CAST(length(text) + 1 AS DOUBLE)",
+      s"CAST(len(regexp_extract_all(lower(text), '${swPattern(TextAnalysis.LangProfiles.en)}')) AS DOUBLE) " +
+        s"/ CAST(len($tokensSql) + 1 AS DOUBLE)")
+    val featCols = xs.zipWithIndex
+      .map { case (x, j) => s"$x AS x$j" }.mkString(",\n  ")
+    def zS(w: Int => String) =
+      (0 until 4).map(j => s"(x$j * ${w(j)})").mkString(" + ")
+    def sigS(z: String) = s"(0.5 + ($z) / (2.0 * (1.0 + abs($z))))"
+    def gradS(z: String) = (0 until 4).map(j =>
+      s"SUM(CAST(floor(((${sigS(z)}) - y) * x$j * 1048576.0) AS BIGINT)) AS g$j")
+      .mkString(",\n    ")
+    def stepS(wPrev: Int => String, g: String, n: String) =
+      (0 until 4).map(j =>
+        s"(${wPrev(j)} - (0.5 * (CAST($g$j AS DOUBLE) / (CAST($n AS DOUBLE) * 1048576.0)))) AS w$j")
+        .mkString(",\n    ")
+    val z1 = zS(_ => "0.0")
+    val z2 = zS(j => s"w1.w$j")
+    val z3 = zS(j => s"w2.w$j")
+    s"""WITH d AS (SELECT doc_id,
+    |  $featCols,
+    |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+    |  FROM documents),
+    |g1 AS (SELECT count(*) AS n,
+    |    ${gradS(z1)}
+    |  FROM d),
+    |w1 AS (SELECT
+    |    ${stepS(_ => "0.0", "g1.g", "g1.n")}
+    |  FROM g1),
+    |g2 AS (SELECT count(*) AS n,
+    |    ${gradS(z2)}
+    |  FROM d CROSS JOIN w1),
+    |w2 AS (SELECT
+    |    ${stepS(j => s"w1.w$j", "g2.g", "g2.n")}
+    |  FROM g2 CROSS JOIN w1),
+    |sc AS (SELECT doc_id,
+    |    CAST(floor((${sigS(z3)}) * 1000000.0) AS BIGINT) AS score_ppm,
+    |    CAST(y AS BIGINT) AS label
+    |  FROM d CROSS JOIN w2)
+    |SELECT doc_id, score_ppm,
+    |  CASE WHEN score_ppm >= 500000 THEN CAST(1 AS BIGINT)
+    |       ELSE CAST(0 AS BIGINT) END AS pred,
+    |  label
+    |FROM sc
+    |ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the canonical-form fingerprint.
     "q25_exact_dedup" -> Q(
@@ -1245,6 +1301,36 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+')))
         |    AS BIGINT) AS n_tokens
         |FROM sm GROUP BY 1
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // Model-based quality filtering: a logistic-regression scorer
+    // (rational fast-sigmoid, quantized full-batch GD — see
+    // operators.Classifier) trained IN THE GATE on
+    // length/punct/stopword features against the lang=='en' label,
+    // then scoring every document. The oracle replays both GD rounds
+    // as CTEs — the trainer itself is under the hash, not just the
+    // scores.
+    "q213_lr_quality" -> Q(
+      (s, dir) => {
+        import graft.operators.Classifier
+        val t = col("text")
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          lit(1.0).as("x0"),
+          (TextAnalysis.nTokens(t).cast("double") / lit(256.0)).as("x1"),
+          (TextAnalysis.punctCount(t).cast("double") /
+            (length(t) + lit(1)).cast("double")).as("x2"),
+          (TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.en)
+            .cast("double") /
+            (TextAnalysis.nTokens(t) + lit(1)).cast("double")).as("x3"),
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+        val feats = Seq(col("x0"), col("x1"), col("x2"), col("x3"))
+        val w = Classifier.lrTrain(d, feats, col("y"),
+          init = Seq(0.0, 0.0, 0.0, 0.0), eta = 0.5, rounds = 2)
+        val (score, pred) = Classifier.lrScore(feats, w)
+        d.select(col("doc_id"), score.as("score_ppm"), pred.as("pred"),
+            col("y").cast("long").as("label"))
+          .orderBy(col("doc_id"))
+      },
+      Some(lrQualityOracle))
   )
 }
