@@ -692,8 +692,10 @@ object Similarity {
   }
 
   /** Hamming distance between packed sign codes: Σ popcount(xor) over
-    * words. Integer-exact, codegen built-ins only — no UDF, no
-    * fallback.
+    * words — the PORTABLE reference formulation (higher-order
+    * functions; integer-exact). The serving path uses the native
+    * [[graft.expressions.HammingWords]] codegen loop, spec-asserted
+    * identical on null-free arrays.
     */
   def hammingDistance(a: Column, b: Column): Column =
     aggregate(
@@ -716,8 +718,8 @@ object Similarity {
     val c = prep(corpus, "neighbor_id")
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("hdist",
-        hammingDistance(col("query_id_w"), col("neighbor_id_w")))
+      .withColumn("hdist", graft.expressions.VectorExpressions.hammingW(
+        col("query_id_w"), col("neighbor_id_w")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("hdist").asc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -731,18 +733,29 @@ object Similarity {
   // ------------------------------------------------------------------
 
   /** Strict left-to-right squared-L2 fold between a subvector column
-    * and a centroid column — the PQ distance kernel. Null elements
-    * read as 0 (the oracle's `coalesce` at the vector definition), and
-    * the (x-c)·(x-c) per-element shape plus [0.0]-seeded fold is
-    * mirrored verbatim in DuckDB, so distances are bit-identical.
+    * and a centroid column — the PORTABLE reference for the PQ
+    * distance kernel. Null elements read as 0 (the oracle's
+    * `coalesce` at the vector definition), and the (x-c)·(x-c)
+    * per-element shape plus [0.0]-seeded fold is mirrored verbatim in
+    * DuckDB, so distances are bit-identical. Kept as the cross-engine
+    * semantics spec; [[l2sq]] is the codegen form used in plans.
     */
-  private def l2sq(sub: Column, cent: Column): Column =
+  private[operators] def l2sqPortable(sub: Column, cent: Column): Column =
     aggregate(
       zip_with(sub, cent, (x, c) => {
         val xd = coalesce(x.cast("double"), lit(0.0d))
         (xd - c) * (xd - c)
       }),
       lit(0.0d), _ + _)
+
+  /** The native codegen form of [[l2sqPortable]]
+    * ([[graft.expressions.L2DistSqF]] — bit-identical, spec-asserted):
+    * a primitive double loop instead of two interpreted lambdas per
+    * (row, centroid), which is the hot inner product of PQ assignment
+    * (k evaluations per subspace per row).
+    */
+  private def l2sq(sub: Column, cent: Column): Column =
+    graft.expressions.VectorExpressions.l2sqF(sub, cent)
 
   /** Nearest centroid (squared L2) within one subspace; ties to the
     * LOWER cell id via struct ordering (array_min over (d, i)).

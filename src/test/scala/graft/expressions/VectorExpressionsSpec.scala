@@ -80,6 +80,56 @@ class VectorExpressionsSpec extends SparkSpec {
       .eval(null) === null)
   }
 
+  test("l2sqF: bit-identical to the portable fold; nulls read as 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val rows = Seq.fill(50)((
+      Seq.fill(16)(rnd.nextGaussian().toFloat),
+      Seq.fill(16)(rnd.nextGaussian())))
+    val df = rows.toDF("a", "c")
+    val got = df.select(
+      VectorExpressions.l2sqF(col("a"), col("c")).as("fast"),
+      aggregate(zip_with(col("a"), col("c"), (x, c) => {
+        val xd = coalesce(x.cast("double"), lit(0.0d))
+        (xd - c) * (xd - c)
+      }), lit(0.0d), (acc, x) => acc + x).as("slow"))
+      .collect()
+    got.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    // null element reads as 0 → contributes (0 - c)^2
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val la = Literal.create(Seq[java.lang.Double](null, 1.0),
+      ArrayType(DoubleType))
+    val lc = Literal.create(Seq(3.0, 1.0), ArrayType(DoubleType))
+    assert(L2DistSqF(la, lc).eval(null) === 9.0)
+    assert(L2DistSqF(Literal.create(null, ArrayType(DoubleType)), lc)
+      .eval(null) === null)
+  }
+
+  test("hammingW: identical to the portable xor/bit_count fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8L)
+    val rows = Seq.fill(50)((
+      Seq.fill(2)(rnd.nextLong()), Seq.fill(2)(rnd.nextLong())))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorExpressions.hammingW(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val la = Literal.create(Seq(-1L), ArrayType(LongType))
+    val lb = Literal.create(Seq(0L), ArrayType(LongType))
+    assert(HammingWords(la, lb).eval(null) === 64L)
+    assert(HammingWords(Literal.create(null, ArrayType(LongType)), lb)
+      .eval(null) === null)
+  }
+
   test("GraftExtensions injects a 2-arg graft_dot builder") {
     // the extensions object applies cleanly to a fresh container
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
