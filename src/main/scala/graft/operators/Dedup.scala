@@ -621,4 +621,47 @@ object Dedup {
           expr("(1000000 * coalesce(dup_tokens, 0L)) div n_tokens"))
           .otherwise(lit(0L)).as("dup_ppm"))
   }
+
+  /** Incremental-ingest near-dup: probe a NEW batch against an
+    * EXISTING corpus — the daily-crawl shape. The corpus side is
+    * banded once (in production the persisted LSH index; signatures
+    * ride its scan), the (much smaller) new batch bands ride its own
+    * scan, and candidates come from an equi-join of new bands against
+    * index bands — never corpus × corpus and never new × corpus, so
+    * ingesting a day's crawl against a 100 TB corpus costs one index
+    * probe, not a re-dedup of the world. Jaccard verification touches
+    * only the candidate set. Ids of the two frames must be disjoint.
+    *
+    * Output: one row per new doc — best verified corpus match
+    * (ties: highest jaccard, then lowest corpus id), NULLs + is_novel
+    * for docs with no match ≥ threshold.
+    */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k % bands == 0, "k must divide evenly into bands")
+    def bandsOf(df: DataFrame, as: String) =
+      lshBuckets(minhashSignaturesRow(df, idCol, textCol, shingleN, k),
+        idCol, bands, k / bands)
+        .select(col("band"), col("sig"), col(idCol).as(as))
+    val cand = bandsOf(newDocs, "id_a")
+      .join(bandsOf(corpus, "id_b"), Seq("band", "sig"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sh = shingleHashes(newDocs, idCol, textCol, shingleN)
+      .unionByName(shingleHashes(corpus, idCol, textCol, shingleN))
+    val verified = jaccard(cand, sh, idCol)
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("jaccard").desc, col("id_b"))
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id_a"), col("id_b").as("match_id"),
+        col("jaccard").as("match_jaccard"))
+    newDocs.select(col(idCol))
+      .join(best, col(idCol) === col("id_a"), "left")
+      .select(col(idCol), col("match_id"), col("match_jaccard"),
+        col("match_id").isNull.as("is_novel"))
+  }
 }

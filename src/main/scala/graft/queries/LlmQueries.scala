@@ -1331,6 +1331,46 @@ object LlmQueries extends QueryPack {
             col("y").cast("long").as("label"))
           .orderBy(col("doc_id"))
       },
-      Some(lrQualityOracle))
+      Some(lrQualityOracle)),
+
+    // Incremental-ingest dedup: the doc_id%10 "new batch" probed
+    // against the rest of the corpus via the asymmetric LSH index
+    // join. The oracle is the asymmetric ALL-PAIRS truth (every
+    // new×old pair with unigram Jaccard ≥ 0.9 reduced to the best
+    // match per new doc) — a green hash is the per-run proof that the
+    // index probe reached full recall, the q77 discipline.
+    "q214_incremental_dedup" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.incrementalNearDup(
+            d.filter(col("doc_id") % 10 === 0),
+            d.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+            threshold = 0.9)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH nb AS (
+        |  SELECT doc_id, list_distinct($normTokens) AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |oc AS (
+        |  SELECT doc_id, list_distinct($normTokens) AS toks
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |jp AS (
+        |  SELECT id_a, id_b, jaccard FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |    FROM nb a CROSS JOIN oc b)
+        |  WHERE jaccard >= 0.9),
+        |best AS (SELECT id_a, id_b, jaccard FROM (
+        |    SELECT id_a, id_b, jaccard,
+        |      row_number() OVER (PARTITION BY id_a
+        |        ORDER BY jaccard DESC, id_b) AS rn FROM jp)
+        |  WHERE rn = 1)
+        |SELECT nb.doc_id, best.id_b AS match_id,
+        |  best.jaccard AS match_jaccard,
+        |  best.id_b IS NULL AS is_novel
+        |FROM nb LEFT JOIN best ON nb.doc_id = best.id_a
+        |ORDER BY nb.doc_id""".stripMargin))
   )
 }

@@ -413,4 +413,32 @@ class DedupSpec extends SparkSpec {
       assert(got(id) === exp, s"doc $id: '${corpus.toMap.apply(id)}'")
     }
   }
+
+  test("incrementalNearDup: batch docs match corpus near-dups, novel stay") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different corpus text about spark physical plans"),
+      (102L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // = 100
+      (2L, "nothing like anything already indexed in this corpus at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text",
+        shingleN = 1, k = 32, bands = 16, threshold = 0.8)
+      .orderBy("doc_id").collect()
+    // doc 1: exact text of corpus 100 → jaccard 1.0, matched, not novel
+    assert(got(0).getLong(0) === 1L)
+    assert(got(0).getLong(1) === 100L)
+    assert(got(0).getDouble(2) === 1.0)
+    assert(!got(0).getBoolean(3))
+    // doc 2: nothing close → novel with null match
+    assert(got(1).getLong(0) === 2L)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(1).getBoolean(3))
+    // corpus never pairs with itself: 100 vs 102 are near-dups but the
+    // output has exactly one row per BATCH doc
+    assert(got.length === 2)
+  }
 }
