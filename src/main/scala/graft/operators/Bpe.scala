@@ -109,4 +109,73 @@ object Bpe {
     }
     (words, merges.toSeq)
   }
+
+  /** Character-n-gram vocabulary induction for [[greedyEncode]]:
+    * every substring of length 1..maxPieceLen of every DISTINCT word,
+    * weighted by corpus word count, top-M by (weight desc, piece asc)
+    * — a total order, so the cut at M is deterministic. All work is
+    * vocabulary-bounded (distinct words × ≤ len·maxPieceLen pieces);
+    * only the M winning pieces reach the driver.
+    */
+  def charNgramVocab(vocab: DataFrame, wordCol: String, cntCol: String,
+      maxPieceLen: Int, topM: Int): Seq[String] = {
+    vocab
+      .select(col(wordCol).as("__w"), col(cntCol).as("__c"),
+        length(col(wordCol)).as("__len"))
+      .select(col("__w"), col("__c"), col("__len"),
+        explode(sequence(lit(1), col("__len"))).as("__pos"))
+      .select(col("__w"), col("__c"), col("__len"), col("__pos"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("__l"))
+      .filter(col("__pos") + col("__l") - 1 <= col("__len"))
+      .select(substring(col("__w"), col("__pos"), col("__l")).as("piece"),
+        col("__c"))
+      .groupBy(col("piece")).agg(sum(col("__c")).as("__t"))
+      .orderBy(col("__t").desc, col("piece")).limit(topM)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Greedy longest-match subword encode — the WordPiece INFERENCE
+    * path (longest vocabulary piece first, single-char advance + unk
+    * on a miss), run as a bounded state machine over the
+    * DISTINCT-words table, not the corpus: Zipf makes distinct words
+    * orders of magnitude smaller than corpus tokens, so the per-word
+    * fold (`steps` iterations × maxPieceLen probes against a literal
+    * vocab array) rides a vocabulary-sized scan and per-DOC stats are
+    * one broadcast join away ([[encodeByVocab]]'s shape). Words
+    * longer than `steps` characters encode their first-`steps`-state
+    * prefix — both engines run the identical step count, so the gate
+    * is exact. Adds (n_pieces, n_unk) to the input rows.
+    */
+  def greedyEncode(vocab: DataFrame, wordCol: String,
+      vocabPieces: Seq[String], maxPieceLen: Int = 4,
+      steps: Int = 16): DataFrame = {
+    require(maxPieceLen >= 1 && steps >= 1)
+    val vl = typedLit(vocabPieces)
+    val w = col(wordCol)
+    val len = length(w)
+    val fold = aggregate(
+      sequence(lit(1), lit(steps)),
+      struct(lit(1).as("pos"), lit(0).as("np"), lit(0).as("unk")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val np = acc.getField("np")
+        val unk = acc.getField("unk")
+        def matchSt(l: Int) = struct((pos + l).as("pos"),
+          (np + 1).as("np"), unk.as("unk"))
+        val missSt = struct((pos + 1).as("pos"), np.as("np"),
+          (unk + 1).as("unk"))
+        val l1 = when(array_contains(vl, substring(w, pos, lit(1))),
+          matchSt(1)).otherwise(missSt)
+        val matched = (maxPieceLen to 2 by -1).foldRight(l1) { (l, els) =>
+          when((len - pos >= l - 1) &&
+              array_contains(vl, substring(w, pos, lit(l))),
+            matchSt(l)).otherwise(els)
+        }
+        when(pos > len, acc).otherwise(matched)
+      })
+    vocab.withColumn("__st", fold)
+      .withColumn("n_pieces", col("__st.np").cast("long"))
+      .withColumn("n_unk", col("__st.unk").cast("long"))
+      .drop("__st")
+  }
 }

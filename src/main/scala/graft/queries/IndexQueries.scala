@@ -1361,7 +1361,67 @@ object IndexQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1
-        |ORDER BY l_orderkey""".stripMargin))
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    // Greedy longest-match subword encode (the WordPiece inference
+    // path) with a corpus-induced char-n-gram vocabulary — run over
+    // the DISTINCT-words table (the Zipf optimization), so both the
+    // induction and the 16-step encode state machine are
+    // vocabulary-bounded. The oracle replays the top-64 piece
+    // induction and the identical greedy fold as a struct-state
+    // list_reduce.
+    "q215_greedy_encode" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val words = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val pieces = Bpe.charNgramVocab(words, "word", "cnt",
+          maxPieceLen = 4, topM = 64)
+        Bpe.greedyEncode(words, "word", pieces)
+          .select(col("word"), col("cnt"), col("n_pieces"), col("n_unk"))
+          .orderBy(col("word"))
+      },
+      Some {
+        val matchCase = (4 to 2 by -1).map { l =>
+          s"""WHEN length(word) - acc.pos >= ${l - 1}
+          |          AND list_contains(vl, substr(word, acc.pos, $l))
+          |          THEN {'pos': acc.pos + $l, 'np': acc.np + 1, 'unk': acc.unk}""".stripMargin
+        }.mkString("\n        ")
+        s"""WITH words AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(CASE WHEN trim(lower(text)) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+        |      AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |pp AS (SELECT word, cnt,
+        |    unnest(generate_series(1, length(word))) AS pos FROM words),
+        |pl AS (SELECT word, cnt, pos, unnest([1, 2, 3, 4]) AS l FROM pp),
+        |pcs AS (SELECT substr(word, pos, l) AS piece, sum(cnt) AS t
+        |  FROM pl WHERE pos + l - 1 <= length(word) GROUP BY 1),
+        |vlt AS (SELECT list(piece) AS vl FROM (
+        |  SELECT piece FROM pcs ORDER BY t DESC, piece LIMIT 64)),
+        |enc AS (SELECT word, cnt,
+        |  list_reduce(
+        |    [{'pos': 1, 'np': 0, 'unk': 0}] ||
+        |      list_transform(range(1, 17), i -> {'pos': 0, 'np': 0, 'unk': 0}),
+        |    (acc, x) -> CASE WHEN acc.pos > length(word) THEN acc
+        |      ELSE (CASE
+        |        $matchCase
+        |        WHEN list_contains(vl, substr(word, acc.pos, 1))
+        |          THEN {'pos': acc.pos + 1, 'np': acc.np + 1, 'unk': acc.unk}
+        |        ELSE {'pos': acc.pos + 1, 'np': acc.np, 'unk': acc.unk + 1}
+        |        END)
+        |      END) AS st
+        |  FROM words CROSS JOIN vlt)
+        |SELECT word, cnt, CAST(st.np AS BIGINT) AS n_pieces,
+        |  CAST(st.unk AS BIGINT) AS n_unk
+        |FROM enc
+        |ORDER BY word""".stripMargin
+      })
   )
 
   /** The winnowing selection as CTE stages ending in

@@ -94,4 +94,38 @@ class BpeSpec extends SparkSpec {
     assert(out(1L) == ((3L, 7L)))
     assert(out(2L) == ((2L, 2L)))
   }
+
+  test("charNgramVocab ranks substrings by weighted count, piece tiebreak") {
+    import spark.implicits._
+    val words = Seq(("ab", 10L), ("ba", 10L)).toDF("word", "cnt")
+    // substrings: ab→{a,b,ab}, ba→{b,a,ba}; a and b weigh 20 each,
+    // ab/ba weigh 10 each; ties break lexicographically
+    val got = Bpe.charNgramVocab(words, "word", "cnt",
+      maxPieceLen = 2, topM = 3)
+    assert(got === Seq("a", "b", "ab"))
+  }
+
+  test("greedyEncode: longest-match-first, unk on miss, fixed step budget") {
+    import spark.implicits._
+    val words = Seq(("hello", 1L), ("hexq", 1L), ("", 1L))
+      .toDF("word", "cnt")
+    val vocab = Seq("he", "ll", "o", "h", "e")
+    val got = Bpe.greedyEncode(words, "word", vocab, maxPieceLen = 4,
+        steps = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("hello") === ((3L, 0L)))  // he | ll | o
+    // hexq: he | e?no: after 'he' pos=3 → 'x' miss → unk, 'q' miss → unk
+    assert(got("hexq") === ((1L, 2L)))
+    assert(got("") === ((0L, 0L)))       // empty word: state never advances
+  }
+
+  test("greedyEncode prefers the longer piece over a greedy short start") {
+    import spark.implicits._
+    val words = Seq(Tuple2("abc", 1L)).toDF("word", "cnt")
+    // both 'a' and 'abc' in vocab → longest-first takes 'abc' whole
+    val got = Bpe.greedyEncode(words, "word", Seq("a", "b", "c", "abc"))
+      .collect()(0)
+    assert(got.getLong(2) === 1L && got.getLong(3) === 0L)
+  }
 }
