@@ -30,24 +30,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * convert to a microsecond TimestampType with integer division —
-    * double division would lose precision at 1e18-nanosecond magnitudes.
+  /** The events parquet's `ts` physical layout has varied across data
+    * generations: TIMESTAMP(NANOS) (loads as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) or timestamp[us]
+    * (loads as TimestampType, or TIMESTAMP_NTZ when the file is not
+    * UTC-adjusted). Adapt from the LOADED schema so every layout
+    * normalizes to a microsecond TimestampType — under the repo-wide
+    * UTC session timezone the NTZ→TZ cast is identity on the stored
+    * micros, so DuckDB (which reads the same file naively) stays
+    * hash-compatible. Nanos→µs uses integer division: double division
+    * would lose precision at 1e18-nanosecond magnitudes.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // Required at SESSION BUILD, not set here: a loader mutating
-    // session conf as a side effect can race concurrent plans and
-    // masks misconfigured sessions (every entry point — Verify, Bench,
-    // ExplainAudit, SparkSpec — sets it in its builder).
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "events.parquet stores ts as TIMESTAMP(NANOS); set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
-        "SparkSession")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"))
+
+  /** Normalize a `ts` column to TimestampType regardless of the
+    * physical layout it loaded as (see [[events]]). Shared with the
+    * streaming reader so batch and stream can never disagree on the
+    * event-time column.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType          => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType     => df
+      case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other; expected nanos-long, timestamp, or timestamp_ntz")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

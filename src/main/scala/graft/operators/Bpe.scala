@@ -122,6 +122,10 @@ object Bpe {
     vocab
       .select(col(wordCol).as("__w"), col(cntCol).as("__c"),
         length(col(wordCol)).as("__len"))
+      // empty words contribute no pieces: sequence(1, 0) defaults its
+      // step to -1 and yields [1, 0], whose pos=0 row would survive
+      // the bounds filter at l=1 and emit a weighted empty piece
+      .filter(col("__len") >= 1)
       .select(col("__w"), col("__c"), col("__len"),
         explode(sequence(lit(1), col("__len"))).as("__pos"))
       .select(col("__w"), col("__c"), col("__len"), col("__pos"),
@@ -142,14 +146,22 @@ object Bpe {
     * fold (`steps` iterations × maxPieceLen probes against a literal
     * vocab array) rides a vocabulary-sized scan and per-DOC stats are
     * one broadcast join away ([[encodeByVocab]]'s shape). Words
-    * longer than `steps` characters encode their first-`steps`-state
-    * prefix — both engines run the identical step count, so the gate
-    * is exact. Adds (n_pieces, n_unk) to the input rows.
+    * needing more than `steps` pieces/misses encode only the prefix
+    * reachable in `steps` state transitions (each match consumes up
+    * to maxPieceLen characters, so the budget bounds piece COUNT, not
+    * character count) — both engines run the identical step count, so
+    * the gate is exact. Adds (n_pieces, n_unk) to the input rows.
     */
   def greedyEncode(vocab: DataFrame, wordCol: String,
       vocabPieces: Seq[String], maxPieceLen: Int = 4,
       steps: Int = 16): DataFrame = {
     require(maxPieceLen >= 1 && steps >= 1)
+    // a piece longer than maxPieceLen would silently never match (the
+    // probe ladder only tries lengths 1..maxPieceLen) — degraded
+    // encodes with no error, so fail fast instead
+    require(vocabPieces.forall(_.length <= maxPieceLen),
+      s"vocab contains pieces longer than maxPieceLen=$maxPieceLen: " +
+        vocabPieces.filter(_.length > maxPieceLen).take(3).mkString(", "))
     val vl = typedLit(vocabPieces)
     val w = col(wordCol)
     val len = length(w)

@@ -27,24 +27,20 @@ import graft.streaming.Streams
 object StreamingQueries extends QueryPack {
 
   /** Streaming read of the events table. A streaming file source
-    * requires an explicit schema; `ts` arrives as nanos-long
-    * (`nanosAsLong`, exactly like the batch reader in
-    * [[graft.Tables.events]]) and converts to a µs timestamp with
-    * integer division.
+    * requires an explicit schema, so take it from a batch footer read
+    * of the SAME file (nanos-long, timestamp[us] or NTZ — whatever the
+    * current data generation uses) and normalize `ts` with the exact
+    * helper the batch loader uses ([[graft.Tables.normalizeTs]]), so
+    * the streaming path can never drift from the file or from batch.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    // same curated failure as the batch loader when the nanos conf is
-    // missing, and the schema comes from the parquet footer itself
-    // (ts arrives as nanos-long under nanosAsLong) so the streaming
-    // path can never drift from the file
-    val schema = graft.Tables.events(s, dir).schema
-      .fields.map(f => if (f.name == "ts") StructField("ts", LongType) else f)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a DIRECTORY; the glob filter
     // narrows the listing to the single events file
-    s.readStream.schema(StructType(schema))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Streaming read of the documents table (same single-file/glob

@@ -128,4 +128,26 @@ class BpeSpec extends SparkSpec {
       .collect()(0)
     assert(got.getLong(2) === 1L && got.getLong(3) === 0L)
   }
+
+  test("charNgramVocab ignores empty words instead of emitting '' pieces") {
+    import spark.implicits._
+    // sequence(1, 0) defaults to step -1 and yields [1, 0]; without
+    // the length guard the pos=0 row survives the bounds filter at
+    // l=1 and a cnt-weighted empty piece outranks every real one
+    val words = Seq(("", 100L), ("ab", 1L)).toDF("word", "cnt")
+    val got = Bpe.charNgramVocab(words, "word", "cnt",
+      maxPieceLen = 2, topM = 10)
+    assert(!got.contains(""))
+    assert(got.toSet === Set("a", "b", "ab"))
+  }
+
+  test("greedyEncode rejects vocab pieces longer than maxPieceLen") {
+    import spark.implicits._
+    val words = Seq(Tuple2("abcde", 1L)).toDF("word", "cnt")
+    // 'abcde' (len 5) can never match under maxPieceLen=4 — silent
+    // degradation, so the operator must fail fast instead
+    val e = intercept[IllegalArgumentException](
+      Bpe.greedyEncode(words, "word", Seq("a", "abcde"), maxPieceLen = 4))
+    assert(e.getMessage.contains("abcde"))
+  }
 }
