@@ -74,6 +74,20 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}""")
+    // Third line: re-measure the slowest-5 ONCE each at the end of the
+    // run (VERDICT r5 item 6). Transient machine contention inflates a
+    // mid-run median (r5 saw 1.5–50× on identical plans); a late
+    // recheck decorrelates from that window, so `med >> re` reads as
+    // noise while `med ≈ re` reads as a genuinely expensive plan —
+    // without anyone having to re-run the bench on an idle machine.
+    val recheck = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (name, med) =>
+        val t0 = System.nanoTime()
+        val re = try { runOne(selected(name)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+        jstr(name) + ":" + f"""{"med":$med%.3f,"re":$re%.3f}"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"recheck","slowest":$recheck,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
