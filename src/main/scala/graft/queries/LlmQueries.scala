@@ -795,6 +795,38 @@ object LlmQueries extends QueryPack {
         |FROM documents
         |ORDER BY media_id""".stripMargin)),
 
+    // Pluggable-codec dispatch under the oracle gate (the FFI seam,
+    // VERDICT r5 item 7): a mixed-modality payload batch — real PNG /
+    // WAV containers plus real MP3 (ID3v2 synchsafe) and MP4
+    // (ISO-BMFF box walk) container parsing with the lossy decode
+    // stubbed behind the per-partition codec lifecycle — routed
+    // through the registry. Every metadata field is container math,
+    // so the oracle replays the full dispatch table.
+    "q216_codec_dispatch" -> Q(
+      (s, dir) => graft.operators.MediaCodecs.codecDispatchRoundTrip(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("media_id").as("doc_id"), col("codec"), col("kind"),
+          col("width"), col("height"), col("sample_rate"), col("n_frames"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |       WHEN 2 THEN 'mp3_ffi' WHEN 3 THEN 'mp4_ffi'
+        |       ELSE 'stub' END AS codec,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' WHEN 2 THEN 'audio'
+        |       WHEN 3 THEN 'video' ELSE 'unknown' END AS kind,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 8 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 8 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 8000
+        |            WHEN doc_id % 5 = 2 THEN 44100 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1
+        |            WHEN doc_id % 5 = 1 THEN 64
+        |            WHEN doc_id % 5 = 2 THEN 1 + doc_id % 7
+        |            WHEN doc_id % 5 = 3 THEN 1 + doc_id % 3
+        |            ELSE 0 END AS BIGINT) AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
     // REAL image decode under the oracle gate: a deterministic 8×8
     // grayscale PNG is encoded per document (ingest stand-in), decoded
     // with javax.imageio inside the partition pass, and the decoder's
