@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension history — the warehouse pattern
+  * the reference's gold layer implies but never materializes (its
+  * upserts are type-1: `last_updated` overwrite, SURVEY §2.2 K1/K4;
+  * attribute history is lost). SCD2 keeps every attribute version as
+  * a validity interval [valid_from, valid_to), `valid_to IS NULL`
+  * marking the current row — the shape a point-in-time join
+  * (TemporalJoins) probes against.
+  *
+  * Two shapes, both O(one keyed shuffle):
+  *  - [[fromChangeLog]] — bulk timeline reconstruction from an event
+  *    stream (backfill / first build): window pass per key.
+  *  - [[merge]] — incremental maintenance of an existing history from
+  *    a batch of latest-state updates (the nightly job): one key join.
+  */
+object Scd2 {
+
+  /** Rebuild the full SCD2 timeline from a change log: rows where any
+    * tracked attribute differs from the key's previous row (ordered
+    * by `tsCol`, tie-broken by `seqCol` so the timeline is total)
+    * open a new interval; `valid_to` is the next interval's start,
+    * NULL while current.
+    *
+    * Cost: ONE hash shuffle on the key; both window passes (change
+    * detection, then interval close over the surviving change rows)
+    * sort within the same partitioning, so no second exchange. At
+    * 100 TB the change log is the big side and this is its only
+    * shuffle; WindowExec spills rather than OOMs on a hot key.
+    */
+  def fromChangeLog(events: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], tsCol: String, seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty)
+    val keyCs = keyCols.map(col)
+    val w = Window.partitionBy(keyCs: _*).orderBy(col(tsCol), col(seqCol))
+    // null-safe change predicate: first row per key must open an
+    // interval even when its attrs are NULL (lag's null would <=>
+    // a null attr and read as "unchanged")
+    val changed: Column = attrCols
+      .map(c => !(lag(col(c), 1).over(w) <=> col(c)))
+      .reduce(_ || _)
+    // window exprs must be projected before they can be filtered on
+    val marked = events
+      .select((keyCols ++ attrCols).map(col) :+ col(tsCol) :+ col(seqCol): _*)
+      .withColumn("__open", row_number().over(w) === 1 || changed)
+      .filter(col("__open"))
+    val wc = Window.partitionBy(keyCs: _*).orderBy(col(tsCol), col(seqCol))
+    marked
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wc))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ attrCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
+  /** Incrementally maintain an SCD2 history from a batch of
+    * latest-state updates (ONE row per key — dedupe upstream; the
+    * deterministic latest-wins pick needs a total tiebreak only the
+    * caller can name). Semantics per update key:
+    *  - attrs differ from the current row → close the current row at
+    *    the update timestamp and append a new current version;
+    *  - attrs null-safe-equal → no-op (idempotent replays are safe);
+    *  - key absent from history → new current row.
+    * Closed history rows pass through untouched.
+    *
+    * Cost: one key join of the CURRENT slice against the update
+    * batch — the update side is the nightly delta, broadcast-sized in
+    * practice (left to AQE rather than hinted: a backfill-sized batch
+    * must be allowed to shuffle).
+    */
+  def merge(history: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty)
+    val closedHist = history.filter(col("valid_to").isNotNull)
+    val cur = history.filter(col("valid_to").isNull)
+      .select(keyCols.map(col) ++
+        attrCols.map(c => col(c).as(s"__h_$c")) :+ col("valid_from"): _*)
+    val upd = updates.select(keyCols.map(col) ++
+      attrCols.map(c => col(c).as(s"__u_$c")) :+ col(tsCol).as("__u_ts"): _*)
+    val j = cur.join(upd, keyCols, "full_outer")
+    val hasCur = col("valid_from").isNotNull
+    val hasUpd = col("__u_ts").isNotNull
+    val changed = attrCols
+      .map(c => !(col(s"__h_$c") <=> col(s"__u_$c")))
+      .reduce(_ || _)
+    def out(attrOf: String => Column, from: Column, to: Column) =
+      keyCols.map(col) ++ attrCols.map(c => attrOf(c).as(c)) ++
+        Seq(from.as("valid_from"), to.as("valid_to"))
+    // a row whose current version survives (no update, or no-op update)
+    val keptCur = j.filter(hasCur && (!hasUpd || (hasUpd && !changed)))
+      .select(out(c => col(s"__h_$c"), col("valid_from"),
+        lit(null).cast(history.schema("valid_to").dataType)): _*)
+    // superseded current versions, closed at the update timestamp
+    val closedNow = j.filter(hasCur && hasUpd && changed)
+      .select(out(c => col(s"__h_$c"), col("valid_from"), col("__u_ts")): _*)
+    // new current versions: changed keys and first-seen keys
+    val opened = j.filter(hasUpd && (!hasCur || changed))
+      .select(out(c => col(s"__u_$c"), col("__u_ts"),
+        lit(null).cast(history.schema("valid_to").dataType)): _*)
+    closedHist.select(keyCols.map(col) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to")): _*)
+      .unionByName(keptCur).unionByName(closedNow).unionByName(opened)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -294,6 +294,86 @@ object CoreQueries extends QueryPack {
         |WHERE c_custkey % 5 <> 0
         |ORDER BY c_custkey""".stripMargin)),
 
+    // SCD2 bulk timeline reconstruction: the events change log becomes
+    // per-user validity intervals over event_type — rows that repeat
+    // the previous state collapse, every change opens an interval,
+    // valid_to chains to the next change (NULL = current). One keyed
+    // shuffle; both window passes share its sort. The oracle replays
+    // the identical lag/lead formulation.
+    "q217_scd2_timeline" -> Q(
+      (s, dir) => graft.operators.Scd2.fromChangeLog(
+          Tables.events(s, dir), Seq("user_id"), Seq("event_type"),
+          "ts", "event_id")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+          col("valid_to").asc_nulls_first),
+      Some("""WITH m AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT * FROM m
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |f AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM f
+        |ORDER BY user_id, valid_from, event_type, valid_to NULLS FIRST"""
+        .stripMargin)),
+
+    // SCD2 incremental maintenance: one nightly latest-state batch
+    // merged into an existing history — changed keys close their
+    // current version and open a new one, no-op updates leave the row
+    // untouched (idempotent replay), first-seen keys insert. All four
+    // branches are exercised by modulus classes, so the oracle states
+    // the expected post-merge history closed-form.
+    "q218_scd2_merge" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        def d(x: String) = to_date(lit(x))
+        val history = c.select(col("c_custkey"),
+            col("c_mktsegment").as("seg"),
+            d("2020-01-01").as("valid_from"),
+            lit(null).cast("date").as("valid_to"))
+          .unionByName(c.filter(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), lit("LEGACY").as("seg"),
+              d("2019-01-01").as("valid_from"),
+              d("2020-01-01").as("valid_to")))
+        val updates = c.filter(col("c_custkey") % 4 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 8 === 0, col("c_mktsegment"))
+              .otherwise(concat(lit("SEG_"), col("c_custkey") % 5)).as("seg"),
+            d("2021-06-15").as("eff_ts"))
+          .unionByName(c.filter(col("c_custkey") % 9 === 0)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"),
+              lit("NEW").as("seg"), d("2021-06-15").as("eff_ts")))
+        graft.operators.Scd2.merge(history, updates,
+            Seq("c_custkey"), Seq("seg"), "eff_ts")
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""WITH rows AS (
+        |  SELECT c_custkey, 'LEGACY' AS seg, DATE '2019-01-01' AS valid_from,
+        |    DATE '2020-01-01' AS valid_to
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, DATE '2020-01-01', DATE '2021-06-15'
+        |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 8 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, DATE '2020-01-01', NULL
+        |  FROM customer WHERE NOT (c_custkey % 4 = 0 AND c_custkey % 8 <> 0)
+        |  UNION ALL
+        |  SELECT c_custkey, 'SEG_' || CAST(c_custkey % 5 AS VARCHAR),
+        |    DATE '2021-06-15', NULL
+        |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 8 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEW', DATE '2021-06-15', NULL
+        |  FROM customer WHERE c_custkey % 9 = 0)
+        |SELECT c_custkey, seg, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM rows
+        |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // ANALYZE-style column profile of the documents table in one
     // pass: per-column null and exact distinct counts in long format
     // (the statistics collection pass a governance layer runs before
