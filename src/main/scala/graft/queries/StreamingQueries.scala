@@ -470,6 +470,55 @@ object StreamingQueries extends QueryPack {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin)),
 
+    // SCD2 dimension maintenance as a stream (§2.8 meets q217/q218):
+    // each micro-batch reduces to latest-state-per-key and merges into
+    // the gold history through the SAME Scd2.merge the nightly batch
+    // job uses — foreachBatch as the streaming MERGE INTO, state held
+    // entirely in the gold store, nothing key-sized in the stream.
+    // The bounded gate is ONE micro-batch (single events file), so the
+    // expected history is exactly one current version per user — the
+    // key's latest event by (ts, event_id) — which the oracle states
+    // directly; the multi-batch version-closing mechanics are
+    // spec-gated with MemoryStream (StreamsSpec).
+    "q219_stream_scd2" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        val histSchema = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("valid_from", TimestampType),
+          StructField("valid_to", TimestampType)))
+        var gold = s.createDataFrame(
+          new java.util.ArrayList[Row](), histSchema)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.scd2Stream(eventsStream(s, dir),
+            Seq("user_id"), Seq("event_type"), "ts", "event_id",
+            latest => gold = graft.operators.Scd2.merge(gold, latest,
+                Seq("user_id"), Seq("event_type"), "ts")
+              .drop("is_current")
+              // truncate per-batch lineage: gold is the accumulator a
+              // real job would keep in a table, not a growing plan
+              .localCheckpoint(true),
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        gold.withColumn("is_current", col("valid_to").isNull)
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH m AS (SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |FROM m WHERE rn = 1
+        |ORDER BY user_id, valid_from""".stripMargin)),
+
     // Histogram-quantile sketch as STREAMING STATE (§2.8, sixth
     // instance): the q199 (group × bin) counter grid is mergeable, so
     // a Complete-mode streaming agg maintains it continuously —

@@ -217,6 +217,38 @@ object Streams {
     }
   }
 
+  /** SCD2 dimension maintenance as a stream: each micro-batch reduces
+    * to latest-state-per-key (row_number over ts desc, seq desc — a
+    * total pick) and hands that delta to `merge`, which the caller
+    * wires to [[graft.operators.Scd2.merge]] against the gold history
+    * store. Version grain is the batch boundary: intra-batch
+    * intermediate states collapse (the nightly-job semantics at
+    * micro-batch cadence), and because Scd2.merge is idempotent on
+    * no-op deltas, batch replay after a failure converges rather than
+    * duplicating versions. State lives entirely in the gold store —
+    * the stream itself is stateless, so nothing here grows with keys.
+    */
+  def scd2Stream(updates: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], tsCol: String, seqCol: String,
+      merge: DataFrame => Unit, checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(tsCol).desc, col(seqCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select((keyCols ++ attrCols).map(col) :+ col(tsCol): _*)
+        merge(latest)
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
   /** Day-grain QoE as a stream: each micro-batch runs the SAME
     * declarative run-length operator ([[graft.operators.Qoe.dailyOutagesDF]])
     * and merges the per-(edge, day) rows through `merge` — the

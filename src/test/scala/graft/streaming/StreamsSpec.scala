@@ -197,4 +197,44 @@ class StreamsSpec extends SparkSpec {
       assert(rows.contains((2L, Some(11L))))     // in-window match
     } finally q.stop()
   }
+
+  test("scd2Stream closes versions across micro-batches via Scd2.merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val input = MemoryStream[(Long, Timestamp, String, Long)]
+    val histSchema = StructType(Seq(
+      StructField("id", LongType), StructField("state", StringType),
+      StructField("valid_from", TimestampType),
+      StructField("valid_to", TimestampType)))
+    var gold = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), histSchema)
+    val q = Streams.scd2Stream(
+      input.toDF().toDF("id", "ts", "state", "seq"),
+      Seq("id"), Seq("state"), "ts", "seq",
+      latest => gold = graft.operators.Scd2.merge(gold, latest,
+          Seq("id"), Seq("state"), "ts")
+        .drop("is_current").localCheckpoint(true),
+      java.nio.file.Files.createTempDirectory("scd2_ck").toString)
+    try {
+      // batch 1: key 1 flaps A→B within the batch (collapses to B),
+      // key 2 arrives as X
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), "A", 1L),
+        (1L, ts("2024-01-01 06:00:00"), "B", 2L),
+        (2L, ts("2024-01-01 00:00:00"), "X", 3L))
+      q.processAllAvailable()
+      // batch 2: key 1 changes (closes B), key 2 repeats X (no-op)
+      input.addData(
+        (1L, ts("2024-01-02 00:00:00"), "C", 4L),
+        (2L, ts("2024-01-02 00:00:00"), "X", 5L))
+      q.processAllAvailable()
+      val got = gold.orderBy(col("id"), col("valid_from")).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getTimestamp(3))))
+      assert(got.toSeq === Seq(
+        (1L, "B", Some(ts("2024-01-02 00:00:00"))), // closed by batch 2
+        (1L, "C", None),                             // current
+        (2L, "X", None)))                            // no-op kept ONE version
+    } finally q.stop()
+  }
 }
