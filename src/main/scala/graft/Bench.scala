@@ -43,6 +43,11 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle heap debt left by earlier queries before timing this
+      // one — 650+ plan materializations in one JVM otherwise bleed
+      // GC pauses into whichever query happens to run when the
+      // collector catches up (standard microbench hygiene)
+      System.gc()
       val times = (0 until iters).iterator.map { _ =>
         val t0 = System.nanoTime()
         try { runOne(fn); (System.nanoTime() - t0) / 1e9 } catch {

@@ -81,7 +81,12 @@ object Graph {
     * wedge pivots at its LOWEST-degree endpoint (the standard
     * refinement; cuts the join from Σd² of hubs to near-linear).
     * Raw-id orientation is kept here because the oracle replays it
-    * verbatim; the refinement changes no output, only the join size.
+    * verbatim; under the refinement n_triangles is invariant (every
+    * triangle still appears exactly once), but the wedge tally — and
+    * with it closed_ppm — follows the chosen orientation (only wedges
+    * whose pivot is order-middle are enumerated), so switching means
+    * re-deriving the oracle with the same (degree, id) ranks, not a
+    * drop-in swap.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
