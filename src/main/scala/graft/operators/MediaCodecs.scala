@@ -134,16 +134,20 @@ object MediaCodecs {
       bytes != null && bytes.length >= 12 &&
         bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'
     def decode(bytes: Array[Byte]): Option[Decoded] = {
-      var off = 0
+      // Long arithmetic throughout: a crafted box size near Int.Max
+      // would make `off + size` wrap negative in Int, slip past the
+      // bounds check, and index the array at a negative offset
+      var off = 0L
       var mdat = 0L
       var ok = true
       while (ok && off + 8 <= bytes.length) {
-        val size = ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
-          ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+        val i = off.toInt
+        val size = (((bytes(i) & 0xFF) << 24) | ((bytes(i + 1) & 0xFF) << 16) |
+          ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)).toLong
         if (size < 8 || off + size > bytes.length) ok = false
         else {
-          if (bytes(off + 4) == 'm' && bytes(off + 5) == 'd' &&
-            bytes(off + 6) == 'a' && bytes(off + 7) == 't') mdat += 1
+          if (bytes(i + 4) == 'm' && bytes(i + 5) == 'd' &&
+            bytes(i + 6) == 'a' && bytes(i + 7) == 't') mdat += 1
           off += size
         }
       }
@@ -251,21 +255,27 @@ object MediaCodecs {
       StructField("n_frames", LongType)))
     val rdd = media.select(col("media_id"), col("bytes"))
       .rdd.mapPartitions { it =>
-        codecs.foreach(_.open())
         // guaranteed context release: the listener fires when the task
         // ends — exhaustion, limit-style early termination, or failure
-        // — the contract a native codec context leak-check needs
+        // — the contract a native codec context leak-check needs. It
+        // registers BEFORE any open() so a failure in codec N's open
+        // still releases codecs 0..N-1 (close() on a never-opened
+        // codec must be a no-op, the usual native-handle contract).
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ =>
             codecs.foreach(_.close())))
+        codecs.foreach(_.open())
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]]("bytes")
-          val codec = codecs.find(_.accepts(bytes)).getOrElse(StubCodec)
-          val (cname, d) = codec.decode(bytes) match {
-            case Some(v) => (codec.name, v)
-            case None => (StubCodec.name, StubCodec.decode(bytes).get)
-          }
+          // a codec that THROWS on a malformed payload (a real FFI
+          // binding's habit) degrades to the stub row like a None —
+          // one corrupt row must never poison the partition
+          val (cname, d) = (try {
+            codecs.find(_.accepts(bytes)).flatMap(c =>
+              c.decode(bytes).map((c.name, _)))
+          } catch { case _: Exception => None })
+            .getOrElse((StubCodec.name, StubCodec.decode(bytes).get))
           Row(id, cname, d.kind, d.width.orNull, d.height.orNull,
             d.sampleRate.orNull, d.nFrames)
         }

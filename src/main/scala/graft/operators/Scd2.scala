@@ -61,49 +61,71 @@ object Scd2 {
     * latest-state updates (ONE row per key — dedupe upstream; the
     * deterministic latest-wins pick needs a total tiebreak only the
     * caller can name). Semantics per update key:
-    *  - attrs differ from the current row → close the current row at
-    *    the update timestamp and append a new current version;
+    *  - attrs differ from the current row AND the update timestamp is
+    *    strictly after the current version's start → close the
+    *    current row at the update timestamp and append a new current
+    *    version;
     *  - attrs null-safe-equal → no-op (idempotent replays are safe);
+    *  - a LATE changed update (timestamp ≤ current valid_from) is
+    *    IGNORED — closing would mint an inverted interval and promote
+    *    stale state to current, so out-of-order redelivery converges
+    *    to the newest state instead (a current row with NULL
+    *    valid_from reads as unknown-start: any timestamped update may
+    *    close it);
     *  - key absent from history → new current row.
     * Closed history rows pass through untouched.
     *
-    * Cost: one key join of the CURRENT slice against the update
-    * batch — the update side is the nightly delta, broadcast-sized in
-    * practice (left to AQE rather than hinted: a backfill-sized batch
-    * must be allowed to shuffle).
+    * Cost: ONE key join of the CURRENT slice against the update
+    * batch, executed once — each joined row emits its ≤2 output
+    * versions through an array+explode rather than per-branch filters
+    * that would re-run the join. The update side is the nightly
+    * delta, broadcast-sized in practice (left to AQE rather than
+    * hinted: a backfill-sized batch must be allowed to shuffle).
     */
   def merge(history: DataFrame, updates: DataFrame, keyCols: Seq[String],
       attrCols: Seq[String], tsCol: String): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty)
+    val toType = history.schema("valid_to").dataType
     val closedHist = history.filter(col("valid_to").isNotNull)
+    // explicit presence markers, NOT null-sentinel columns: a current
+    // row with NULL valid_from (unknown start) must still count as
+    // present, never silently vanish from the merge
     val cur = history.filter(col("valid_to").isNull)
       .select(keyCols.map(col) ++
-        attrCols.map(c => col(c).as(s"__h_$c")) :+ col("valid_from"): _*)
+        attrCols.map(c => col(c).as(s"__h_$c")) :+
+        col("valid_from").as("__h_from") :+ lit(true).as("__has_h"): _*)
     val upd = updates.select(keyCols.map(col) ++
-      attrCols.map(c => col(c).as(s"__u_$c")) :+ col(tsCol).as("__u_ts"): _*)
+      attrCols.map(c => col(c).as(s"__u_$c")) :+
+      col(tsCol).as("__u_ts") :+ lit(true).as("__has_u"): _*)
     val j = cur.join(upd, keyCols, "full_outer")
-    val hasCur = col("valid_from").isNotNull
-    val hasUpd = col("__u_ts").isNotNull
+    val hasCur = col("__has_h").isNotNull
+    val hasUpd = col("__has_u").isNotNull
     val changed = attrCols
       .map(c => !(col(s"__h_$c") <=> col(s"__u_$c")))
       .reduce(_ || _)
-    def out(attrOf: String => Column, from: Column, to: Column) =
-      keyCols.map(col) ++ attrCols.map(c => attrOf(c).as(c)) ++
-        Seq(from.as("valid_from"), to.as("valid_to"))
-    // a row whose current version survives (no update, or no-op update)
-    val keptCur = j.filter(hasCur && (!hasUpd || (hasUpd && !changed)))
-      .select(out(c => col(s"__h_$c"), col("valid_from"),
-        lit(null).cast(history.schema("valid_to").dataType)): _*)
-    // superseded current versions, closed at the update timestamp
-    val closedNow = j.filter(hasCur && hasUpd && changed)
-      .select(out(c => col(s"__h_$c"), col("valid_from"), col("__u_ts")): _*)
-    // new current versions: changed keys and first-seen keys
-    val opened = j.filter(hasUpd && (!hasCur || changed))
-      .select(out(c => col(s"__u_$c"), col("__u_ts"),
-        lit(null).cast(history.schema("valid_to").dataType)): _*)
+    val closes = hasCur && hasUpd && changed &&
+      (col("__h_from").isNull || col("__u_ts") > col("__h_from"))
+    val opens = hasUpd && (!hasCur || closes)
+    def ver(attrOf: String => Column, from: Column, to: Column) =
+      struct(attrCols.map(c => attrOf(c).as(c)) :+
+        from.as("valid_from") :+ to.cast(toType).as("valid_to"): _*)
+    val versions = array(
+      // the current version: closed at the update ts when superseded,
+      // open (NULL valid_to) when kept
+      when(hasCur, ver(c => col(s"__h_$c"), col("__h_from"),
+        when(closes, col("__u_ts")))),
+      // the new current version: changed keys and first-seen keys
+      when(opens, ver(c => col(s"__u_$c"), col("__u_ts"), lit(null))))
+    val merged = j
+      .select(keyCols.map(col) :+
+        explode(filter(versions, v => v.isNotNull)).as("__v"): _*)
+      .select(keyCols.map(col) ++
+        attrCols.map(c => col(s"__v.$c").as(c)) :+
+        col("__v.valid_from").as("valid_from") :+
+        col("__v.valid_to").as("valid_to"): _*)
     closedHist.select(keyCols.map(col) ++ attrCols.map(col) ++
         Seq(col("valid_from"), col("valid_to")): _*)
-      .unionByName(keptCur).unionByName(closedNow).unionByName(opened)
+      .unionByName(merged)
       .withColumn("is_current", col("valid_to").isNull)
   }
 }

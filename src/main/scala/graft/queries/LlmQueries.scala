@@ -90,6 +90,11 @@ object LlmQueries extends QueryPack {
     * each consumer re-paid the full CC loop. Memoization makes the
     * three gates read one labels frame, exactly like production.
     */
+  // Lifetime note: entries live for the JVM (no eviction) — bounded
+  // in every real invocation path (Verify/Bench: one session × one
+  // dir; specs: a handful), and the checkpointed frame is ~sample-
+  // sized. A service embedding this pack across many sessions/dirs
+  // would want an eviction hook here; the gates deliberately don't.
   private val groupsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sampleDedupGroups(s: SparkSession, dir: String): DataFrame =

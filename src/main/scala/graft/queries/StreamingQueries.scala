@@ -490,7 +490,7 @@ object StreamingQueries extends QueryPack {
           StructField("valid_to", TimestampType)))
         var gold = s.createDataFrame(
           new java.util.ArrayList[Row](), histSchema)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ck")
+        val ckpt = Streams.scratchCheckpointDir("graft-scd2-ck")
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }

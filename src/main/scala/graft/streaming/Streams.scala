@@ -174,11 +174,27 @@ object Streams {
     * SQL oracle. Each call gets a fresh memory-sink table and a
     * throwaway checkpoint, so Bench can re-run the same query.
     */
+  /** Throwaway checkpoint dir for one-shot gate runs, preferring
+    * tmpfs (/dev/shm): these checkpoints are deleted right after the
+    * run, and their per-batch WAL fsyncs against a disk-backed /tmp
+    * inject I/O latency noise that has nothing to do with the plan
+    * under measurement. A production job would of course point its
+    * checkpoint at durable storage — that is a deployment choice, not
+    * an operator property.
+    */
+  def scratchCheckpointDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   def runToTable(df: DataFrame, mode: OutputMode,
       statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+    val ckpt = scratchCheckpointDir("graft-ckpt-")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }

@@ -91,6 +91,35 @@ class MediaCodecsSpec extends SparkSpec {
     assert(got.getString(1) === "stub")
   }
 
+  test("crafted MP4 box size near Int.Max degrades to stub, no crash") {
+    // valid 16-byte ftyp, then a box declaring size 0x7FFFFFF0: Int
+    // arithmetic would wrap off+size negative, slip the bounds check
+    // and index at a negative offset — the walk must read it as torn
+    val payload = new Array[Byte](28)
+    System.arraycopy(syntheticMp4(0, 0), 0, payload, 0, 16)
+    payload(16) = 0x7F; payload(17) = 0xFF.toByte
+    payload(18) = 0xFF.toByte; payload(19) = 0xF0.toByte
+    payload(20) = 'm'; payload(21) = 'd'; payload(22) = 'a'; payload(23) = 't'
+    val got = decodeVia(mediaDf(Seq(10L -> payload))).collect()(0)
+    assert(got.getString(1) === "stub")
+  }
+
+  test("a codec that throws degrades the row to stub, not the partition") {
+    object ThrowingCodec extends MediaCodec {
+      val name = "boom"
+      def accepts(bytes: Array[Byte]): Boolean =
+        bytes != null && bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'
+      def decode(bytes: Array[Byte]): Option[MediaCodecs.Decoded] =
+        throw new RuntimeException("native decoder fault")
+    }
+    val rows = Seq(
+      1L -> "BM broken".getBytes("UTF-8"),
+      2L -> "fine".getBytes("UTF-8"))
+    val got = decodeVia(mediaDf(rows), Seq(ThrowingCodec, StubCodec))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "stub", 2L -> "stub"))
+  }
+
   test("lifecycle: open/close once per partition, corrupt rows degrade") {
     CountingCodec.opens.set(0); CountingCodec.closes.set(0)
     CountingCodec.decodes.set(0)

@@ -82,6 +82,33 @@ class Scd2Spec extends SparkSpec {
       (9L, "new", None, true)))                            // inserted
   }
 
+  test("merge ignores a late changed update instead of inverting the interval") {
+    // key 1's current version starts 2024-01-01; a straggler carrying
+    // an OLDER timestamp with different attrs must not close it at a
+    // time before it began (inverted interval) nor promote stale state
+    val late = Seq((1L, "stale", ts("2023-06-01 00:00:00")))
+      .toDF("id", "state", "eff")
+    val got = Scd2.merge(histDf, late, Seq("id"), Seq("state"), "eff")
+      .filter(col("id") === 1L)
+      .orderBy(col("valid_from")).collect()
+      .map(r => (r.getString(1), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      ("old", Some(ts("2024-01-01 00:00:00")), false),
+      ("a", None, true))) // current untouched, straggler dropped
+  }
+
+  test("merge treats NULL valid_from as unknown-start, closable") {
+    val hist = Seq((1L, "a", Option.empty[Timestamp], Option.empty[Timestamp]))
+      .toDF("id", "state", "valid_from", "valid_to")
+    val upd = Seq((1L, "b", ts("2024-01-01 00:00:00"))).toDF("id", "state", "eff")
+    val got = Scd2.merge(hist, upd, Seq("id"), Seq("state"), "eff")
+      .orderBy(col("is_current")).collect()
+      .map(r => (r.getString(1), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      ("a", Some(ts("2024-01-01 00:00:00")), false), // unknown start, closed
+      ("b", None, true)))
+  }
+
   test("merge is idempotent: replaying the same batch changes nothing") {
     val once = Scd2.merge(histDf, updDf, Seq("id"), Seq("state"), "eff")
     val twice = Scd2.merge(once.drop("is_current"), updDf,
