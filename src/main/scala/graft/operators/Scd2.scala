@@ -128,4 +128,37 @@ object Scd2 {
       .unionByName(merged)
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time enrichment — the read side of SCD2: attach to every
+    * fact row the dimension version whose validity interval contains
+    * the fact's timestamp (NULL attrs when no version was live). Rides
+    * [[TemporalJoins.asOfBackward]]'s union-merge: ONE shuffle on the
+    * key, a sort within partitions, zero row amplification — never
+    * the join-filter-argmax plan that explodes by versions-per-key.
+    * On a well-formed history the greatest valid_from ≤ ts IS the
+    * containing interval (intervals are contiguous by construction);
+    * the explicit containment check guards gapped histories — a fact
+    * falling in a gap gets NULLs, not the stale predecessor. A NULL
+    * valid_from version reads as unknown-start (matches any earlier
+    * fact). Timestamps must cast to long (epoch grain is free but
+    * must agree across facts and history).
+    */
+  def pitLookup(facts: DataFrame, history: DataFrame, keyCol: String,
+      factTsCol: String, attrCols: Seq[String]): DataFrame = {
+    // explicit hit marker: `asof_time` is NULL both for "no version"
+    // and for a matched unknown-start version (NULL valid_from), so
+    // it cannot distinguish them
+    val versioned = history.select(
+      col(keyCol) +: (attrCols.map(col) :+ col("valid_from") :+
+        col("valid_to") :+ lit(true).as("__pit_hit")): _*)
+    val joined = TemporalJoins.asOfBackward(facts, versioned, keyCol,
+      factTsCol, "valid_from", attrCols ++ Seq("valid_to", "__pit_hit"))
+    val contains = col("__pit_hit").isNotNull &&
+      (col("valid_to").isNull ||
+        col(factTsCol).cast("long") < col("valid_to").cast("long"))
+    joined
+      .select(facts.columns.map(col) ++
+        attrCols.map(a => when(contains, col(a)).otherwise(lit(null))
+          .as(a)): _*)
+  }
 }

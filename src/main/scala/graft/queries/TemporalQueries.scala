@@ -199,6 +199,42 @@ object TemporalQueries extends QueryPack {
         |    AS can_skip
         |FROM z
         |GROUP BY 1
-        |ORDER BY shard""".stripMargin))
+        |ORDER BY shard""".stripMargin)),
+
+    // Point-in-time enrichment against an SCD2 dimension (the read
+    // side of q217/q218): every order attaches the customer-segment
+    // version live at its order date. History: %3 keys carry a LEGACY
+    // era [1992-01-01, 1995-06-15) before the current segment; other
+    // keys' history only BEGINS 1995-06-15, so their earlier orders
+    // legitimately enrich to NULL — the containment check, not just
+    // nearest-predecessor. Rides the as-of union-merge: one keyed
+    // shuffle, no versions-per-key amplification.
+    "q220_pit_enrich" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        def t(x: String) = to_timestamp(lit(x))
+        val history = c.select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("seg"),
+            t("1995-06-15 00:00:00").as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to"))
+          .unionByName(c.filter(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey").as("o_custkey"),
+              lit("LEGACY").as("seg"),
+              t("1992-01-01 00:00:00").as("valid_from"),
+              t("1995-06-15 00:00:00").as("valid_to")))
+        val facts = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("timestamp").as("o_ts"))
+        graft.operators.Scd2.pitLookup(facts, history,
+            "o_custkey", "o_ts", Seq("seg"))
+          .select(col("o_orderkey"), col("o_custkey"), col("seg"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderdate >= DATE '1995-06-15' THEN c_mktsegment
+        |       WHEN o_custkey % 3 = 0 THEN 'LEGACY'
+        |       ELSE NULL END AS seg
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -116,6 +116,27 @@ class Scd2Spec extends SparkSpec {
     assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
   }
 
+  test("pitLookup attaches the containing version, NULLs in gaps") {
+    val hist = Seq(
+      (1L, "a", Some(ts("2024-01-01 00:00:00")), Some(ts("2024-02-01 00:00:00"))),
+      // GAP: nothing live for key 1 in [02-01, 03-01)
+      (1L, "b", Some(ts("2024-03-01 00:00:00")), Option.empty[Timestamp]),
+      (2L, "x", Option.empty[Timestamp], Option.empty[Timestamp]) // unknown start
+    ).toDF("id", "state", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, ts("2024-01-15 00:00:00")), // inside a
+      (11L, 1L, ts("2024-02-15 00:00:00")), // in the gap → NULL, not stale a
+      (12L, 1L, ts("2024-03-01 00:00:00")), // boundary: b starts exactly here
+      (13L, 2L, ts("2020-01-01 00:00:00")), // unknown-start matches anything
+      (14L, 3L, ts("2024-01-01 00:00:00"))  // key with no history
+    ).toDF("fact_id", "id", "ts")
+    val got = Scd2.pitLookup(facts, hist, "id", "ts", Seq("state"))
+      .orderBy(col("fact_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got === Map(10L -> Some("a"), 11L -> None, 12L -> Some("b"),
+      13L -> Some("x"), 14L -> None))
+  }
+
   test("merge then fromChangeLog agree on a rebuilt timeline") {
     // the incremental path must land on the same history the bulk
     // rebuild computes from the concatenated change log
