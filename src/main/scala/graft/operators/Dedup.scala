@@ -439,30 +439,51 @@ object Dedup {
     * Returns (id_a, id_b, hamming), id_a < id_b.
     */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    hashNearDupPairs(simhash(docs, idCol, textCol, bits), idCol, "simhash",
+      bits, bands, maxHamming)
+
+  /** Banded Hamming near-dup over ANY precomputed `bits`-bit Long
+    * fingerprint column — the band-index machinery of
+    * [[simhashNearDup]] factored out so every Hamming-space
+    * fingerprint (text SimHash, image dHash q222, audio envelope
+    * hashes) shares one join path with one exactness proof. Same
+    * pigeonhole guarantee: `maxHamming < bands` ⇒ the (band, slice)
+    * equi-join finds every pair within the bound, so the result
+    * equals the quadratic all-pairs predicate exactly while shuffling
+    * only `bands` rows per input. `shiftrightunsigned` (not
+    * `shiftright`): a full 64-bit fingerprint with bit 63 set is a
+    * negative Long, and an arithmetic shift would smear the sign bit
+    * across every high band's slice.
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hashNearDupPairs(fps: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits > 0 && bits <= 64, "bits must be in 1..64")
     require(bits % bands == 0, "bits must divide evenly into bands")
     require(maxHamming < bands,
       "maxHamming must be < bands for the pigeonhole exactness guarantee")
     val width = bits / bands
-    val sh = simhash(docs, idCol, textCol, bits)
-    val banded = sh.select(col(idCol), col("simhash"),
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = fps.select(col(idCol), col(hashCol),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("slice"))
+            shiftrightunsigned(col(hashCol), b * width)
+              .bitwiseAND(lit(mask)).as("slice"))
         }: _*)).as("bk"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col(hashCol),
         col("bk.band").as("band"), col("bk.slice").as("slice"))
     val a = banded.select(col("band"), col("slice"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      col(idCol).as("id_a"), col(hashCol).as("fp_a"))
     val b = banded.select(col("band"), col("slice"),
-      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      col(idCol).as("id_b"), col(hashCol).as("fp_b"))
     a.join(b, Seq("band", "slice"))
       .filter(col("id_a") < col("id_b"))
       // a pair can match in several bands — dedup BEFORE the verify
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
       .distinct()
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")).cast("int"))
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -706,4 +706,104 @@ object Multimodal {
     }
     df.sparkSession.createDataFrame(rdd, out)
   }
+
+  /** Deterministic 9×8 grayscale "scene" PNG with NEAR-DUPLICATE
+    * structure — the ingest stand-in for a crawled image corpus where
+    * the same photo recurs with small edits (rescaled logo, cropped
+    * banner, re-encoded thumbnail): `scenes` distinct base rasters
+    * (pixel = (scene·17 + x·19 + y·23) mod 256, textured so dHash
+    * bits carry signal), and per scene `variants` light edits that
+    * invert the first `variant` pixels of row 0 (+128 mod 256). Docs
+    * sharing (scene, variant) are byte-identical images; docs sharing
+    * a scene across variants differ in ≤3 pixels — a small Hamming
+    * perturbation of the fingerprint; different scenes are unrelated.
+    * 9 wide because dHash compares horizontally adjacent pixels: a
+    * 9×8 raster yields exactly 8×8 = 64 comparison bits.
+    */
+  def syntheticScenePng(seed: Long, scenes: Int = 16, variants: Int = 4,
+      w: Int = 9, h: Int = 8): Array[Byte] = {
+    val scene = Math.floorMod(seed, scenes.toLong)
+    val variant = Math.floorMod(seed / scenes, variants.toLong).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val base = Math.floorMod(scene * 17 + x * 19 + y * 23, 256L)
+        val v = (if (y == 0 && x < variant)
+          Math.floorMod(base + 128, 256L) else base).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        y += 1
+      }
+      x += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Difference hash (dHash), the classic perceptual image
+    * fingerprint: bit (y·(w−1)+x) = 1 iff pixel(x+1, y) > pixel(x, y)
+    * on the luminance plane — gradient directions survive uniform
+    * brightness shifts and mild re-encoding, which is what makes the
+    * Hamming distance between dHashes a near-duplicate signal.
+    * Production pipelines resample to 9×8 first; here the decode
+    * itself yields the grid, and [[resamplePng]] is the documented
+    * pre-step for larger sources. Returns None for undecodable
+    * payloads or rasters too small to compare (w < 2).
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 2) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        require((w - 1) * h <= 64,
+          s"dHash64 needs at most 64 comparison bits, got ${(w - 1) * h}")
+        var hash = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            if ((img.getRGB(x + 1, y) & 0xFF) > (img.getRGB(x, y) & 0xFF))
+              hash |= 1L << (y * (w - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
+  /** q221's operator: encode the scene PNG per row, run it through
+    * the REAL decoder, and fingerprint the decoded raster with
+    * [[dHash64]] — one codec context per partition, no shuffle; the
+    * fingerprint rides the scan exactly where a 100 TB pipeline
+    * computes it (at ingest, persisted next to the payload so dedup
+    * never touches image bytes again). Output carries the 64-bit
+    * hash both whole (`dhash`, for banding) and split into unsigned
+    * 32-bit halves (`dhash_hi`/`dhash_lo`, for arithmetic replay —
+    * bit 63 would overflow a signed SQL BIGINT built by summing
+    * bit·2^k).
+    */
+  def dhashRoundTrip(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("dhash", LongType),
+      StructField("dhash_hi", LongType),
+      StructField("dhash_lo", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val hash = dHash64(syntheticScenePng(id))
+          .getOrElse(throw new IllegalStateException(
+            s"dHash round-trip failed for id $id"))
+        Row(id, hash, hash >>> 32, hash & 0xFFFFFFFFL)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
 }

@@ -832,6 +832,92 @@ object LlmQueries extends QueryPack {
         |FROM documents
         |ORDER BY doc_id""".stripMargin)),
 
+    // Perceptual image fingerprint under the oracle gate: a 9×8
+    // near-dup-structured scene PNG is encoded per document, run
+    // through the REAL decoder, and dHashed (bit = horizontal
+    // gradient direction). PNG is lossless, so the oracle replays
+    // hash assembly from the generating formula — a wrong decode or
+    // a wrong bit order cannot hash-match. The 64-bit fingerprint is
+    // gated as unsigned 32-bit halves: bit 63 would overflow a
+    // signed BIGINT built by summing bit·2^k.
+    "q221_image_dhash" -> Q(
+      (s, dir) => Multimodal.dhashRoundTrip(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("dhash_hi"), col("dhash_lo"))
+        .orderBy(col("doc_id")),
+      Some("""WITH px AS (
+        |  SELECT doc_id, k, k % 8 AS x, k // 8 AS y,
+        |    doc_id % 16 AS scene, (doc_id // 16) % 4 AS variant
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS k
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN
+        |      (CASE WHEN y = 0 AND x + 1 < variant
+        |            THEN (scene*17 + (x+1)*19 + y*23 + 128) % 256
+        |            ELSE (scene*17 + (x+1)*19 + y*23) % 256 END)
+        |      >
+        |      (CASE WHEN y = 0 AND x < variant
+        |            THEN (scene*17 + x*19 + y*23 + 128) % 256
+        |            ELSE (scene*17 + x*19 + y*23) % 256 END)
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM px)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+        |    AS BIGINT) AS dhash_hi,
+        |  CAST(sum(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+        |    AS BIGINT) AS dhash_lo
+        |FROM b GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Image near-dup via banded Hamming over the q221 fingerprints —
+    // the multimodal twin of q131's SimHash banding, through the SAME
+    // generalized band join (Dedup.hashNearDupPairs): candidates
+    // share a verbatim 16-bit band, pairs verify by exact Hamming
+    // ≤ 3, and pigeonhole (3 < 4 bands) makes the result EQUAL to
+    // the all-pairs predicate the oracle computes quadratically.
+    // Same-scene variant pairs land within the bound (≤3 perturbed
+    // pixels); cross-scene pairs verify out.
+    "q222_image_neardup" -> Q(
+      (s, dir) => {
+        val fp = Multimodal.dhashRoundTrip(
+            Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+          .select(col("id").as("doc_id"), col("dhash"))
+        graft.operators.Dedup.hashNearDupPairs(
+            fp, "doc_id", "dhash", bits = 64, bands = 4, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH px AS (
+        |  SELECT doc_id, k, k % 8 AS x, k // 8 AS y,
+        |    doc_id % 16 AS scene, (doc_id // 16) % 4 AS variant
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS k
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN
+        |      (CASE WHEN y = 0 AND x + 1 < variant
+        |            THEN (scene*17 + (x+1)*19 + y*23 + 128) % 256
+        |            ELSE (scene*17 + (x+1)*19 + y*23) % 256 END)
+        |      >
+        |      (CASE WHEN y = 0 AND x < variant
+        |            THEN (scene*17 + x*19 + y*23 + 128) % 256
+        |            ELSE (scene*17 + x*19 + y*23) % 256 END)
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM px),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))
+        |    AS INT) AS hamming
+        |FROM h a JOIN h c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // REAL image decode under the oracle gate: a deterministic 8×8
     // grayscale PNG is encoded per document (ingest stand-in), decoded
     // with javax.imageio inside the partition pass, and the decoder's

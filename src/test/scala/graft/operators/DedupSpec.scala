@@ -257,6 +257,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hashNearDupPairs handles full 64-bit (negative Long) fingerprints") {
+    import spark.implicits._
+    // bit 63 set → negative Longs: an arithmetic shiftright would
+    // sign-smear every high band's slice and over/under-match
+    val base = 0x8000F000A0003000L // negative
+    val fps = Seq(
+      (1L, base),
+      (2L, base ^ 0x3L),               // hamming 2 from 1 — pair
+      (3L, base ^ (1L << 63)),         // hamming 1, sign flips — pair
+      (4L, 0x7FFFFFFFFFFFFFFFL),       // far from everything
+      (5L, -1L)                        // all bits set
+    ).toDF("doc_id", "fp")
+    val got = Dedup.hashNearDupPairs(fps, "doc_id", "fp",
+        bits = 64, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val m = Map(1L -> base, 2L -> (base ^ 0x3L), 3L -> (base ^ (1L << 63)),
+      4L -> 0x7FFFFFFFFFFFFFFFL, 5L -> -1L)
+    val want = (for {
+      a <- m.keys; b <- m.keys if a < b
+      h = java.lang.Long.bitCount(m(a) ^ m(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("winnowNearDupCandidates pairs copies, drops boilerplate prints") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"

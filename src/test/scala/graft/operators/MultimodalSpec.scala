@@ -218,4 +218,52 @@ class MultimodalSpec extends SparkSpec {
     // undecodable payload → None
     assert(Multimodal.resamplePng(Array[Byte](1, 2, 3), 4, 4).isEmpty)
   }
+
+  test("dHash64 matches the gradient formula bit-for-bit") {
+    // replay the scene formula independently of the codec: a wrong
+    // decode, a flipped axis, or a wrong bit order all diverge
+    def px(seed: Long)(x: Int, y: Int): Int = {
+      val scene = Math.floorMod(seed, 16L)
+      val variant = Math.floorMod(seed / 16, 4L).toInt
+      val base = Math.floorMod(scene * 17 + x * 19 + y * 23, 256L)
+      (if (y == 0 && x < variant) Math.floorMod(base + 128, 256L)
+       else base).toInt
+    }
+    for (seed <- Seq(0L, 7L, 16L, 33L, 255L, 499L)) {
+      val got = Multimodal.dHash64(Multimodal.syntheticScenePng(seed)).get
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (px(seed)(x + 1, y) > px(seed)(x, y)) want |= 1L << (y * 8 + x)
+      assert(got === want, s"seed $seed")
+    }
+    // same (scene, variant) → identical fingerprint
+    assert(Multimodal.dHash64(Multimodal.syntheticScenePng(3L)) ===
+      Multimodal.dHash64(Multimodal.syntheticScenePng(3L + 64L)))
+    // same scene, adjacent variant → small Hamming distance;
+    // different scene → far
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val v0 = Multimodal.dHash64(Multimodal.syntheticScenePng(1L)).get
+    val v1 = Multimodal.dHash64(Multimodal.syntheticScenePng(17L)).get
+    val other = Multimodal.dHash64(Multimodal.syntheticScenePng(2L)).get
+    assert(ham(v0, v1) <= 3)
+    assert(ham(v0, other) > 3)
+    // undecodable payload and too-narrow raster → None
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.dHash64(Multimodal.syntheticPng(1L, w = 1, h = 4)).isEmpty)
+  }
+
+  test("dhashRoundTrip splits the hash into consistent unsigned halves") {
+    import spark.implicits._
+    val out = Multimodal.dhashRoundTrip(
+        Seq(0L, 5L, 21L, 300L).toDF("doc_id"), "doc_id")
+      .orderBy("id").collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val (hash, hi, lo) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hi >= 0L && hi <= 0xFFFFFFFFL)
+      assert(lo >= 0L && lo <= 0xFFFFFFFFL)
+      assert(((hi << 32) | lo) === hash)
+    }
+  }
 }
