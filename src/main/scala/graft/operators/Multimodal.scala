@@ -806,4 +806,141 @@ object Multimodal {
     }
     df.sparkSession.createDataFrame(rdd, out)
   }
+
+  /** Deterministic mono WAV with NEAR-DUPLICATE structure — the audio
+    * twin of [[syntheticScenePng]]: `scenes` base waveforms
+    * (sample(i) = ((scene·31 + i·7) mod 65536) − 32768) and per scene
+    * `variants` light edits that offset the first `variant` samples
+    * by a large constant (the stand-in for a re-encoded jingle with a
+    * clipped intro). 130 samples = 65 two-sample energy windows =
+    * exactly 64 envelope-comparison bits.
+    */
+  def syntheticSceneWav(seed: Long, scenes: Int = 16, variants: Int = 4,
+      n: Int = 130, sampleRate: Int = 8000): Array[Byte] = {
+    val scene = Math.floorMod(seed, scenes.toLong)
+    val variant = Math.floorMod(seed / scenes, variants.toLong).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + n * 2); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      val bump = if (i < variant) 31337L else 0L
+      bb.putShort(
+        (Math.floorMod(scene * 31 + i * 7 + bump, 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Energy-envelope fingerprint, the Shazam-family acoustic hash in
+    * miniature: the decoded PCM stream splits into `windows`+1
+    * two-sample windows, E_w = Σ s², and bit w = 1 iff E_{w+1} > E_w
+    * — the direction of loudness change, which survives level scaling
+    * and mild re-encoding the way dHash survives brightness shifts.
+    * Integer energies (samples ≤ 2^15 ⇒ E ≤ 2^31) keep the gate
+    * float-free. Returns None for undecodable payloads or streams
+    * shorter than 2·(windows+1) samples.
+    */
+  def audioFingerprint64(bytes: Array[Byte], windows: Int = 64): Option[Long] =
+    readPcm16(bytes).flatMap { case (_, sb) =>
+      if (sb.remaining() < 2 * (windows + 1)) None
+      else {
+        val e = new Array[Long](windows + 1)
+        var w = 0
+        while (w < windows + 1) {
+          val a = sb.get().toLong; val b = sb.get().toLong
+          e(w) = a * a + b * b
+          w += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < windows) {
+          if (e(k + 1) > e(k)) hash |= 1L << k
+          k += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** q223's operator: encode the scene WAV per row, decode it with
+    * the REAL JDK codec, and fingerprint the decoded samples — same
+    * scan-riding, shuffle-free discipline as [[dhashRoundTrip]], same
+    * unsigned-half split for SQL replay. At 100 TB the 8-byte
+    * fingerprint persists beside the payload at ingest; audio dedup
+    * then runs entirely in Hamming space via
+    * [[graft.operators.Dedup.hashNearDupPairs]].
+    */
+  def audioFingerprintRoundTrip(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("afp", LongType),
+      StructField("afp_hi", LongType),
+      StructField("afp_lo", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val hash = audioFingerprint64(syntheticSceneWav(id))
+          .getOrElse(throw new IllegalStateException(
+            s"audio fingerprint round-trip failed for id $id"))
+        Row(id, hash, hash >>> 32, hash & 0xFFFFFFFFL)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Clip container over TEXTURED frames: frame f is the scene PNG
+    * of seed+f ([[syntheticScenePng]]), so consecutive seeds share
+    * nFrames−1 frames — the re-posted-video overlap structure —
+    * while every frame stays perceptually distinctive. The plain
+    * [[syntheticClip]]'s linear-ramp frames are the wrong payload
+    * for FINGERPRINT work: a ramp has a constant gradient, so most
+    * ramps dHash to the same all-ones value and a join on the
+    * fingerprint would pile the corpus onto one key (exactly the
+    * skew a content-addressable design must not have).
+    */
+  def syntheticSceneClip(seed: Long, nFrames: Int = 3): Array[Byte] = {
+    val frames = (0 until nFrames).map(f => syntheticScenePng(seed + f))
+    val bb = java.nio.ByteBuffer.allocate(4 + frames.map(4 + _.length).sum)
+    bb.put(ClipMagic)
+    frames.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  /** q224's operator: demux the REAL clip container, decode every
+    * frame with the real PNG codec, and dHash each frame — (id,
+    * frame_idx, fp) rows, the content-addressable form of a video
+    * corpus. Clip-level near-dup is then a plain equi-join on the
+    * fingerprint VALUE (clips sharing ≥k frame hashes), never an
+    * all-pairs scan: the same join-on-content shape as segment-level
+    * text dedup, which is what survives 100 TB of video. Key-skew
+    * bound: fingerprint cardinality tracks distinct frame CONTENT
+    * (see [[syntheticSceneClip]]), so a key's fan-in is the true
+    * repost count of that frame, not an artifact of the hash.
+    */
+  def clipFrameFingerprints(df: DataFrame, idCol: String,
+      nFrames: Int = 3): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("fp", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        clipFrames(syntheticSceneClip(id, nFrames)).zipWithIndex.map {
+          case (frame, idx) =>
+            val fp = dHash64(frame).getOrElse(
+              throw new IllegalStateException(
+                s"clip frame fingerprint failed for id $id frame $idx"))
+            Row(id, idx, fp)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
 }

@@ -918,6 +918,97 @@ object LlmQueries extends QueryPack {
         |WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Acoustic fingerprint under the oracle gate: a near-dup-
+    // structured scene WAV is decoded with the REAL JDK codec and
+    // envelope-hashed (bit = direction of two-sample energy change —
+    // the Shazam-family signal in miniature). PCM is lossless and
+    // the energies are integer, so the oracle replays every bit from
+    // the sample formula; the same unsigned-half split as q221 keeps
+    // bit 63 BIGINT-safe.
+    "q223_audio_fingerprint" -> Q(
+      (s, dir) => Multimodal.audioFingerprintRoundTrip(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("afp_hi"), col("afp_lo"))
+        .orderBy(col("doc_id")),
+      Some("""WITH sm AS (
+        |  SELECT doc_id, i, i // 2 AS w,
+        |    ((doc_id % 16) * 31 + i * 7
+        |      + CASE WHEN i < (doc_id // 16) % 4 THEN 31337 ELSE 0 END)
+        |      % 65536 - 32768 AS s
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 129)) AS i
+        |        FROM documents)),
+        |e AS (SELECT doc_id, w, CAST(sum(s * s) AS BIGINT) AS en
+        |  FROM sm GROUP BY doc_id, w),
+        |b AS (
+        |  SELECT a.doc_id, a.w AS k,
+        |    CASE WHEN c.en > a.en THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.w = a.w + 1
+        |  WHERE a.w < 64)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+        |    AS BIGINT) AS afp_hi,
+        |  CAST(sum(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+        |    AS BIGINT) AS afp_lo
+        |FROM b GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Video near-dup by shared frame fingerprints: clips demux
+    // through the REAL container parser, every frame decodes through
+    // the real PNG codec and dHashes (56 bits on the 8-wide raster),
+    // and clips pair by joining on the fingerprint VALUE — the
+    // content-addressable join of segment-level text dedup lifted to
+    // video, never an all-pairs scan. Consecutive doc_ids share 2 of
+    // 3 frames by construction, so the oracle's quadratic replay has
+    // real pairs to find.
+    "q224_clip_neardup" -> Q(
+      (s, dir) => {
+        val fp = Multimodal.clipFrameFingerprints(
+            Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+          .select(col("id"), col("fp")).distinct()
+        val a = fp.select(col("id").as("id_a"), col("fp"))
+        val b = fp.select(col("id").as("id_b"), col("fp"))
+        a.join(b, Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH fr AS (
+        |  SELECT doc_id, doc_id + unnest(generate_series(0, 2)) AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, seed, k, k % 8 AS x, k // 8 AS y,
+        |    seed % 16 AS scene, (seed // 16) % 4 AS variant
+        |  FROM (SELECT doc_id, seed, unnest(generate_series(0, 63)) AS k
+        |        FROM fr)),
+        |b AS (
+        |  SELECT doc_id, seed, k,
+        |    CASE WHEN
+        |      (CASE WHEN y = 0 AND x + 1 < variant
+        |            THEN (scene*17 + (x+1)*19 + y*23 + 128) % 256
+        |            ELSE (scene*17 + (x+1)*19 + y*23) % 256 END)
+        |      >
+        |      (CASE WHEN y = 0 AND x < variant
+        |            THEN (scene*17 + x*19 + y*23 + 128) % 256
+        |            ELSE (scene*17 + x*19 + y*23) % 256 END)
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM px),
+        |h AS (
+        |  SELECT doc_id, seed,
+        |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id, seed),
+        |d AS (SELECT DISTINCT doc_id, hi, lo FROM h)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM d a JOIN d c
+        |  ON a.hi = c.hi AND a.lo = c.lo AND a.doc_id < c.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // REAL image decode under the oracle gate: a deterministic 8×8
     // grayscale PNG is encoded per document (ingest stand-in), decoded
     // with javax.imageio inside the partition pass, and the decoder's

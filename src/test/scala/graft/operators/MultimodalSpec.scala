@@ -252,6 +252,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(Multimodal.syntheticPng(1L, w = 1, h = 4)).isEmpty)
   }
 
+  test("audioFingerprint64 matches the energy-envelope formula") {
+    def sample(seed: Long)(i: Int): Long = {
+      val scene = Math.floorMod(seed, 16L)
+      val variant = Math.floorMod(seed / 16, 4L)
+      val bump = if (i < variant) 31337L else 0L
+      Math.floorMod(scene * 31 + i * 7 + bump, 65536L) - 32768L
+    }
+    for (seed <- Seq(0L, 9L, 17L, 100L, 499L)) {
+      val got = Multimodal.audioFingerprint64(
+        Multimodal.syntheticSceneWav(seed)).get
+      val e = Array.tabulate(65) { w =>
+        val a = sample(seed)(2 * w); val b = sample(seed)(2 * w + 1)
+        a * a + b * b
+      }
+      var want = 0L
+      for (k <- 0 until 64) if (e(k + 1) > e(k)) want |= 1L << k
+      assert(got === want, s"seed $seed")
+    }
+    // same (scene, variant) → identical; adjacent variants → near
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val v0 = Multimodal.audioFingerprint64(Multimodal.syntheticSceneWav(2L)).get
+    val v1 = Multimodal.audioFingerprint64(Multimodal.syntheticSceneWav(18L)).get
+    assert(Multimodal.audioFingerprint64(
+      Multimodal.syntheticSceneWav(2L + 64L)).contains(v0))
+    assert(ham(v0, v1) <= 3)
+    // too-short stream and garbage payload → None
+    assert(Multimodal.audioFingerprint64(
+      Multimodal.syntheticWav(1L, n = 64)).isEmpty)
+    assert(Multimodal.audioFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("clipFrameFingerprints: consecutive ids share exactly their overlapping frames") {
+    import spark.implicits._
+    val fps = Multimodal.clipFrameFingerprints(
+        Seq(10L, 11L, 12L, 50L).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fps.length === 12) // 4 clips × 3 frames
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // clip(seed) frames are scene pngs of seed, seed+1, seed+2: docs
+    // 10 and 11 overlap on frame seeds {11, 12}; 10 and 12 on {12};
+    // 10 and 50 on nothing (distinct scene images throughout)
+    assert((byDoc(10L) & byDoc(11L)).size === 2)
+    assert((byDoc(10L) & byDoc(12L)).size === 1)
+    assert((byDoc(10L) & byDoc(50L)).isEmpty)
+    // frame fingerprint = dHash of the standalone scene frame
+    assert(byDoc(10L).contains(
+      Multimodal.dHash64(Multimodal.syntheticScenePng(11L)).get))
+    // textured frames keep the fingerprint space spread out — the
+    // degenerate all-ones ramp hash must not appear (skew guard)
+    assert(!fps.map(_._3).contains(-1L))
+  }
+
   test("dhashRoundTrip splits the hash into consistent unsigned halves") {
     import spark.implicits._
     val out = Multimodal.dhashRoundTrip(
