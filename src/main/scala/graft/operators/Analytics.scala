@@ -174,4 +174,50 @@ object Analytics {
           col("n_users"))
     }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
   }
+
+  /** Linear multi-touch attribution — every touch (ad view, click)
+    * inside the lookback window before a conversion shares the
+    * conversion's credit equally, the workhorse model between
+    * last-touch (all credit to one event) and data-driven Shapley.
+    * Credit is EXACT integer ppm: each of a conversion's n touches
+    * gets 1000000 div n, and the division remainder goes to the most
+    * recent touch (deterministic (ts, id) total order) so every
+    * converted conversion contributes exactly 1 000 000 — the
+    * invariant a finance-grade report reconciles against.
+    *
+    * Shape at 100 TB: touches⋈conversions is a USER-keyed equi-join
+    * (never all-pairs) with the time bound as a join-residual
+    * predicate; per-conversion fan-in is capped by touch rate ×
+    * lookback, and the credit windows partition by conversion id —
+    * group-bounded, spill-not-OOM. Returns one row per touch type:
+    * (touch_type, n_touches, n_conversions, credit_ppm).
+    */
+  def linearAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackHours: Int): DataFrame = {
+    require(touchTypes.nonEmpty && lookbackHours > 0)
+    val t = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), col(tsCol).as("__tts"))
+    val c = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("conv_id"),
+        col(tsCol).as("__cts"))
+    val joined = t.join(c, Seq("__u"))
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - expr(s"INTERVAL $lookbackHours HOURS"))
+    val perConv = Window.partitionBy(col("conv_id"))
+    val byRecency = Window.partitionBy(col("conv_id"))
+      .orderBy(col("__tts").desc, col("touch_id").desc)
+    joined
+      .withColumn("__n", count(lit(1)).over(perConv))
+      .withColumn("__credit",
+        (lit(1000000L) / col("__n")).cast("long") +
+          when(row_number().over(byRecency) === 1,
+            lit(1000000L) % col("__n")).otherwise(lit(0L)))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(col("__credit")).as("credit_ppm"))
+  }
 }

@@ -67,40 +67,65 @@ object Graph {
     rank
   }
 
-  /** Triangle census of an undirected graph: edges canonicalized to
-    * u < v (self-loops dropped, both directions collapsed), wedges
-    * enumerated ONCE via the ordered 2-path join e(a,b) ⋈ e(b,c)
-    * (a < b < c by construction — each triangle appears exactly once,
-    * no 3!/dedup factor), then closed by probing e(a,c). Returns one
-    * row: (n_edges, n_wedges, n_triangles, closed_ppm) — the global
-    * closure ratio in integer ppm (floor division, oracle-exact).
+  /** Triangle census of an undirected graph, degree-oriented (the
+    * Suri–Vassilvitskii "forward" refinement): edges canonicalize to
+    * u < v (self-loops dropped, both directions collapsed), then each
+    * edge directs from its lower-(degree, id) endpoint to the higher
+    * — so wedges enumerate as PAIRS OF OUT-EDGES of a shared pivot,
+    * and every wedge pivots at its LOWEST-rank vertex. Out-degree
+    * under this orientation is O(√m) even on power-law graphs, which
+    * cuts the wedge join from Σd² of the hubs (the raw-id
+    * formulation's quadratic term) to near-linear — the difference
+    * between a census that survives a social graph and one that
+    * dies on its first celebrity node. A triangle closes exactly one
+    * wedge (the one pivoted at its lowest-rank corner, with the
+    * out-neighbors ordered by the same rank), so the closing probe is
+    * a single directed-edge join and n_triangles needs no dedup.
     *
-    * Scale: three edge-keyed shuffle joins, no driver state. The
-    * wedge join is quadratic in per-node degree — on power-law
-    * graphs, orient edges by (degree, id) instead of raw id so every
-    * wedge pivots at its LOWEST-degree endpoint (the standard
-    * refinement; cuts the join from Σd² of hubs to near-linear).
-    * Raw-id orientation is kept here because the oracle replays it
-    * verbatim; under the refinement n_triangles is invariant (every
-    * triangle still appears exactly once), but the wedge tally — and
-    * with it closed_ppm — follows the chosen orientation (only wedges
-    * whose pivot is order-middle are enumerated), so switching means
-    * re-deriving the oracle with the same (degree, id) ranks, not a
-    * drop-in swap.
+    * Returns one row: (n_edges, n_wedges, n_triangles, closed_ppm) —
+    * closure in integer ppm (floor division, oracle-exact). n_wedges
+    * follows the orientation (only lowest-rank-pivot wedges are
+    * enumerated); n_triangles is orientation-invariant.
+    *
+    * Scale: one degree agg + two node-keyed degree joins (node table
+    * ≪ edges — AQE broadcasts it), one pivot-keyed wedge join, one
+    * directed-edge probe. No driver state.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
+    // e feeds the degree agg, both orientation joins, and the edge
+    // count; o feeds both wedge sides and the closing probe — persist
+    // each so the (possibly expensive) edge derivation runs once per
+    // action instead of once per consumer. Blocks free via the
+    // ContextCleaner when the frames go unreachable (q214 pattern).
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val wedges = e.as("e1")
-      .join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("a"), col("e2.v").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    // orient low-(deg, id) → high; canonical u < v breaks degree ties
+    val lowerIsU = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(lowerIsU, col("u")).otherwise(col("v")).as("s"),
+        when(lowerIsU, col("v")).otherwise(col("u")).as("t"),
+        when(lowerIsU, col("dv")).otherwise(col("du")).as("td"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.as("o1")
+      .join(o.as("o2"), col("o1.s") === col("o2.s") &&
+        (col("o1.td") < col("o2.td") ||
+          (col("o1.td") === col("o2.td") && col("o1.t") < col("o2.t"))))
+      .select(col("o1.t").as("a"), col("o2.t").as("c"))
     val closed = wedges.join(
-      e.select(col("u").as("a"), col("v").as("c"), lit(1).as("__closed")),
+      o.select(col("s").as("a"), col("t").as("c"), lit(1).as("__closed")),
       Seq("a", "c"), "left")
     closed
       // sum over ZERO wedges is null; the census must read 0 (the

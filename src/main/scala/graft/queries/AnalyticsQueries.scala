@@ -133,6 +133,46 @@ object AnalyticsQueries extends QueryPack {
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r3))
         |ORDER BY stage_idx""".stripMargin)),
 
+    // Linear multi-touch attribution: every view/click in the 24 h
+    // before a purchase shares that conversion's credit equally, in
+    // EXACT integer ppm (remainder to the most recent touch) so each
+    // converted purchase contributes exactly 1 000 000 and the
+    // per-type rollup reconciles. User-keyed join + conv-bounded
+    // windows — never all-pairs.
+    "q225_attribution" -> Q(
+      (s, dir) => Analytics.linearAttribution(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "event_type", "ts", "event_id",
+          touchTypes = Seq("view", "click"), convType = "purchase",
+          lookbackHours = 24)
+        .orderBy(col("touch_type")),
+      Some("""WITH t AS (
+        |  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |    ts AS tts
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS cts
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |j AS (
+        |  SELECT t.touch_id, t.touch_type, t.tts, c.conv_id
+        |  FROM t JOIN c ON t.user_id = c.user_id
+        |   AND t.tts <= c.cts AND t.tts > c.cts - INTERVAL 24 HOURS),
+        |w AS (
+        |  SELECT touch_type, conv_id,
+        |    count(*) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY tts DESC, touch_id DESC) AS rn
+        |  FROM j)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  count(DISTINCT conv_id) AS n_conversions,
+        |  CAST(sum(1000000 // n
+        |    + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT)
+        |    AS credit_ppm
+        |FROM w GROUP BY touch_type
+        |ORDER BY touch_type""".stripMargin)),
+
     // Relative standing per order within its priority class:
     // percent_rank / cume_dist / price quartile. The unique
     // (value, key) order makes ntile's tie assignment deterministic.

@@ -82,9 +82,12 @@ object GraphQueries extends QueryPack {
       }),
 
     // Triangle census of the co-purchase graph (parts sharing an
-    // order): ordered-wedge enumeration (a<b<c — each triangle
-    // counted once) closed by an edge probe. The closure ratio is
-    // integer ppm, so the whole census hash-gates.
+    // order), degree-oriented: edges direct low-(degree, id) → high,
+    // wedges are out-edge pairs of their lowest-rank pivot (each
+    // triangle counted once, hub-quadratic term gone), closed by one
+    // directed-edge probe. The oracle replays the SAME orientation —
+    // n_wedges is orientation-defined, n_triangles invariant. The
+    // closure ratio is integer ppm, so the whole census hash-gates.
     "q208_triangle_count" -> Q(
       (s, dir) => {
         val l = Tables.lineitem(s, dir)
@@ -101,11 +104,24 @@ object GraphQueries extends QueryPack {
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey
         |   AND a.l_partkey < b.l_partkey),
-        |w AS (SELECT e1.u AS a, e2.v AS c
-        |      FROM e e1 JOIN e e2 ON e1.v = e2.u),
+        |d AS (SELECT n, count(*) AS dg FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS t,
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |         THEN dv.dg ELSE du.dg END AS td
+        |  FROM e JOIN d du ON du.n = e.u JOIN d dv ON dv.n = e.v),
+        |w AS (SELECT o1.t AS a, o2.t AS c
+        |      FROM o o1 JOIN o o2 ON o1.s = o2.s
+        |       AND (o1.td < o2.td OR (o1.td = o2.td AND o1.t < o2.t))),
         |m AS (SELECT count(*) AS n_wedges,
-        |        CAST(count(e3.u) AS BIGINT) AS n_triangles
-        |      FROM w LEFT JOIN e e3 ON w.a = e3.u AND w.c = e3.v)
+        |        CAST(count(e3.s) AS BIGINT) AS n_triangles
+        |      FROM w LEFT JOIN o e3 ON w.a = e3.s AND w.c = e3.t)
         |SELECT (SELECT count(*) FROM e) AS n_edges,
         |  n_wedges, n_triangles,
         |  CASE WHEN n_wedges > 0

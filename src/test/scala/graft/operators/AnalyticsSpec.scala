@@ -137,4 +137,35 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(2)))
     assert(got.toSeq === Seq(("view", 1L), ("click", 1L), ("buy", 1L)))
   }
+
+  test("linearAttribution splits ppm credit with remainder to last touch") {
+    import spark.implicits._
+    val df = Seq(
+      // conv 100: 3 touches in window → 333333 each, +1 to the last
+      (1L, 10L, "view", ts("2024-01-01 08:00:00")),
+      (1L, 11L, "click", ts("2024-01-01 09:00:00")),
+      (1L, 12L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 100L, "purchase", ts("2024-01-01 12:00:00")),
+      // outside the 24h lookback of conv 100 — no credit
+      (1L, 13L, "click", ts("2023-12-30 12:00:00")),
+      // user 2: conv with no touches → contributes nothing
+      (2L, 200L, "purchase", ts("2024-01-05 00:00:00")),
+      // user 3: one touch exactly at the conversion instant (<=) —
+      // single touch takes the full million
+      (3L, 30L, "click", ts("2024-01-02 00:00:00")),
+      (3L, 300L, "purchase", ts("2024-01-02 00:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.linearAttribution(df, "user_id", "event_type",
+        "ts", "event_id", Seq("view", "click"), "purchase", 24)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // conv 100's last touch is view#12 (gets 333333+1+333333); click
+    // #11 gets 333333; conv 300's click#30 gets 1000000
+    assert(got === Map(
+      "view" -> (2L, 1L, 666667L),
+      "click" -> (2L, 2L, 1333333L)))
+    // reconciliation: total credit = 1e6 × conversions with ≥1 touch
+    assert(got.values.map(_._3).sum === 2000000L)
+  }
 }

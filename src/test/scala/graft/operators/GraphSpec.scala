@@ -59,23 +59,27 @@ class GraphSpec extends SparkSpec {
   }
 
   test("triangleCount: K4 has 4 triangles and every wedge closed") {
-    // complete graph on 4 nodes: 6 edges, C(4,3)=4 triangles,
-    // ordered wedges a<b<c: one per triangle times... enumerate: 4
+    // complete graph on 4 nodes: 6 edges, C(4,3)=4 triangles. All
+    // degrees tie at 3, so rank = id and out-neighbors are the
+    // higher ids: 1→{2,3,4}, 2→{3,4}, 3→{4}; oriented wedges =
+    // C(3,2)+C(2,2) = 4, every one closed
     val r = census(for {
       a <- 1L to 4L; b <- 1L to 4L if a < b
     } yield (a, b))
-    assert((r.getLong(0), r.getLong(2), r.getLong(3)) ===
-      (6L, 4L, 1000000L))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (6L, 4L, 4L, 1000000L))
   }
 
   test("triangleCount: reversed/duplicate/self edges canonicalize") {
     // triangle 1-2-3 written messily + a dangling edge 3-4
     val r = census(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
       (1L, 1L), (3L, 4L)))
-    // edges: {12,13,23,34}; wedges a<b<c: (1,2,3)->13? enumerate:
-    // e(1,2)⋈e(2,3)->(1,3) closed; e(1,3)⋈e(3,4)->(1,4) open;
-    // e(2,3)⋈e(3,4)->(2,4) open
-    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (4L, 3L, 1L))
+    // edges {12,13,23,34}; degrees 1:2 2:2 3:3 4:1. Degree
+    // orientation: 1→2 (tie, id), 1→3, 2→3, 4→3 — the hub 3 has
+    // out-degree 0, so the ONLY wedge is 1's out-pair (2,3), closed
+    // by 2→3. Raw-id wedges would have been 3; the refinement
+    // enumerates 1 without losing the triangle.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (4L, 1L, 1L))
   }
 
   test("triangleCount: triangle-free graph reports zero") {
