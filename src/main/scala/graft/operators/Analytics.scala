@@ -192,6 +192,33 @@ object Analytics {
     * group-bounded, spill-not-OOM. Returns one row per touch type:
     * (touch_type, n_touches, n_conversions, credit_ppm).
     */
+  /** A/B experiment readout with DETERMINISTIC assignment: variant =
+    * md5-hash(unit id) mod `variants` — the standard stateless bucket
+    * function (no assignment table, any engine recomputes it), via
+    * the cross-engine 60-bit md5 recipe. Conversion = the unit has
+    * ≥ 1 `convType` event. Output per variant: exposed units,
+    * converted units, conversion rate in exact integer ppm — the
+    * readout reconciles because every unit lands in exactly one
+    * bucket. One user-grain agg + one variant-grain agg; nothing
+    * leaves the key shuffle.
+    */
+  def abLift(events: DataFrame, userCol: String, typeCol: String,
+      convType: String, variants: Int): DataFrame = {
+    require(variants > 0)
+    val assigned = events
+      .withColumn("variant",
+        graft.expressions.Md5Hash60.hash60Native(
+          col(userCol).cast("string")) % variants)
+    val perUser = assigned.groupBy(col(userCol), col("variant"))
+      .agg(max(when(col(typeCol) === convType, 1).otherwise(0))
+        .as("__conv"))
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__conv")).cast("long").as("n_converted"))
+      .withColumn("conv_ppm",
+        expr("(1000000 * n_converted) div n_users"))
+  }
+
   def linearAttribution(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String,
       touchTypes: Seq[String], convType: String,

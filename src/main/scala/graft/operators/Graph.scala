@@ -139,4 +139,54 @@ object Graph {
           expr("(1000000 * n_triangles) div n_wedges"))
           .otherwise(lit(0L)).as("closed_ppm"))
   }
+
+  /** Item-item collaborative filtering, co-occurrence flavor
+    * ("customers who bought X also bought Y"): items sharing a basket
+    * pair up, similarity = Jaccard of their basket SETS in exact
+    * integer ppm, and each item keeps its top-k neighbors by
+    * (similarity desc, neighbor asc). The candidate generation is the
+    * basket self-join — item pairs arise ONLY from co-occurrence,
+    * never item × item — and the pair count per basket is C(basket
+    * size, 2): bounded by basket width, not catalog size, the same
+    * blocking argument as LSH banding. Per-item top-k is one
+    * group-bounded window.
+    *
+    * Input: (basketCol, itemCol) event rows (duplicates collapse).
+    * Output: (item, neighbor, n_common, n_item, n_neighbor,
+    * jaccard_ppm, rank), rank ≤ k.
+    *
+    * Scale: distinct → one basket-keyed self-join → pair agg →
+    * size join (item-grain frame, AQE-broadcastable) → window.
+    * A pathological mega-basket (one order holding the catalog)
+    * needs an upstream basket-size cap — same hot-key discipline as
+    * capping LSH buckets.
+    */
+  def itemSimilarityTopK(events: DataFrame, basketCol: String,
+      itemCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val bi = events.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = bi.groupBy(col("i")).agg(count(lit(1)).as("sz"))
+    val pairs = bi.as("x")
+      .join(bi.as("y"), col("x.b") === col("y.b") &&
+        col("x.i") =!= col("y.i"))
+      .groupBy(col("x.i").as("item"), col("y.i").as("neighbor"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = pairs
+      .join(sizes.select(col("i").as("item"), col("sz").as("n_item")),
+        Seq("item"))
+      .join(sizes.select(col("i").as("neighbor"),
+        col("sz").as("n_neighbor")), Seq("neighbor"))
+      .withColumn("jaccard_ppm",
+        expr("(1000000 * n_common) div (n_item + n_neighbor - n_common)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("jaccard_ppm").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("n_common"),
+        col("n_item"), col("n_neighbor"), col("jaccard_ppm"), col("rank"))
+  }
 }

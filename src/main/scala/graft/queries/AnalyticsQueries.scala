@@ -173,6 +173,29 @@ object AnalyticsQueries extends QueryPack {
         |FROM w GROUP BY touch_type
         |ORDER BY touch_type""".stripMargin)),
 
+    // A/B readout with stateless deterministic assignment: variant =
+    // 60-bit md5(user) mod 2 (no assignment table — any engine
+    // recomputes the bucket), conversion = any purchase event,
+    // rate in exact integer ppm.
+    "q226_ab_lift" -> Q(
+      (s, dir) => Analytics.abLift(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "event_type", convType = "purchase", variants = 2)
+        .orderBy(col("variant")),
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2 AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT variant, count(*) AS n_users,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  (1000000 * CAST(sum(conv) AS BIGINT)) // count(*) AS conv_ppm
+        |FROM u GROUP BY variant
+        |ORDER BY variant""".stripMargin)),
+
     // Relative standing per order within its priority class:
     // percent_rank / cume_dist / price quartile. The unique
     // (value, key) order makes ntile's tie assignment deterministic.

@@ -127,6 +127,37 @@ object GraphQueries extends QueryPack {
         |  CASE WHEN n_wedges > 0
         |       THEN (1000000 * n_triangles) // n_wedges
         |       ELSE 0 END AS closed_ppm
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // Item-item collaborative filtering ("bought X also bought Y"):
+    // order = basket, part = item; pairs arise ONLY from shared
+    // baskets (C(basket,2) candidates — basket-width-bounded, the
+    // co-occurrence blocking), similarity = basket-set Jaccard in
+    // exact ppm, top-5 neighbors per item by (sim desc, id).
+    "q227_item_cf" -> Q(
+      (s, dir) => Graph.itemSimilarityTopK(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", k = 5)
+        .orderBy(col("item"), col("rank")),
+      Some("""WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT i, count(*) AS sz FROM bi GROUP BY i),
+        |p AS (SELECT x.i AS item, y.i AS neighbor, count(*) AS n_common
+        |      FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i
+        |      GROUP BY 1, 2),
+        |s AS (SELECT p.item, p.neighbor, p.n_common,
+        |        a.sz AS n_item, c.sz AS n_neighbor,
+        |        (1000000 * p.n_common) //
+        |          (a.sz + c.sz - p.n_common) AS jaccard_ppm
+        |      FROM p JOIN sz a ON a.i = p.item
+        |             JOIN sz c ON c.i = p.neighbor),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |        ORDER BY jaccard_ppm DESC, neighbor) AS rank
+        |      FROM s)
+        |SELECT item, neighbor, n_common, n_item, n_neighbor,
+        |  jaccard_ppm, rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY item, rank""".stripMargin))
   )
 }

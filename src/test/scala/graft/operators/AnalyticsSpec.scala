@@ -168,4 +168,24 @@ class AnalyticsSpec extends SparkSpec {
     // reconciliation: total credit = 1e6 × conversions with ≥1 touch
     assert(got.values.map(_._3).sum === 2000000L)
   }
+
+  test("abLift partitions units deterministically and counts conversion") {
+    import spark.implicits._
+    val df = (1L to 40L).flatMap { u =>
+      Seq((u, "view")) ++ (if (u % 4 == 0) Seq((u, "purchase")) else Nil)
+    }.toDF("user_id", "event_type")
+    val got = Analytics.abLift(df, "user_id", "event_type", "purchase", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // every unit in exactly one bucket; converted = multiples of 4
+    assert(got.keySet.subsetOf(Set(0L, 1L)))
+    assert(got.values.map(_._1).sum === 40L)
+    assert(got.values.map(_._2).sum === 10L)
+    got.values.foreach { case (n, c, ppm) => assert(ppm === 1000000L * c / n) }
+    // stateless: a second computation assigns identically
+    val again = Analytics.abLift(df, "user_id", "event_type", "purchase", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(again === got)
+  }
 }

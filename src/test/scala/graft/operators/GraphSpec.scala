@@ -86,4 +86,24 @@ class GraphSpec extends SparkSpec {
     val r = census(Seq((1L, 2L), (3L, 4L)))
     assert((r.getLong(2), r.getLong(3)) === (0L, 0L))
   }
+
+  test("itemSimilarityTopK: basket-set Jaccard, pairs only from co-occurrence") {
+    import spark.implicits._
+    // baskets: {A,B}, {A,B}, {A,C} → A:{1,2,3} B:{1,2} C:{3}
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (3L, "A") /* dup collapses */)
+      .toDF("basket", "item")
+    val got = Graph.itemSimilarityTopK(df, "basket", "item", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // J(A,B) = 2/(3+2-2) = 2/3; J(A,C) = 1/(3+1-1) = 1/3; B-C never
+    // share a basket → NO pair (co-occurrence blocking)
+    assert(got === Map(
+      ("A", "B") -> (2L, 3L, 2L, 666666L, 1L),
+      ("A", "C") -> (1L, 3L, 1L, 333333L, 2L),
+      ("B", "A") -> (2L, 2L, 3L, 666666L, 1L),
+      ("C", "A") -> (1L, 1L, 3L, 333333L, 1L)))
+  }
 }
