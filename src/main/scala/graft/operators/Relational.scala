@@ -198,6 +198,45 @@ object Relational {
           .otherwise(col(s"__s_$c")).as(c))): _*)
   }
 
+  /** Right-to-erasure cascade audit (GDPR Art. 17 shape): given a
+    * subject-key deletion set, follow the foreign-key chain
+    * root → child → grandchild and report, per table, how many rows
+    * the erasure touches and how many survive — the reviewable
+    * manifest a deletion job emits BEFORE any destructive write.
+    *
+    * `tables` is ordered: each entry is (name, df, keyCol, parentRef)
+    * where parentRef names the column that joins this table to the
+    * PREVIOUS entry's key (None for the root, which joins the subject
+    * set directly). Affected keys propagate level by level as
+    * semi-joins on the key columns: each level's affected-key frame
+    * is key-grain (small side — AQE broadcasts it), so the cascade
+    * never rescans upstream tables and each fact table is read once.
+    *
+    * Returns one row per table: (tbl, n_rows, n_affected,
+    * n_surviving), n_affected + n_surviving = n_rows.
+    */
+  def erasureCascade(subjects: DataFrame, subjectKey: String,
+      tables: Seq[(String, DataFrame, String, Option[String])]): DataFrame = {
+    require(tables.nonEmpty && tables.head._4.isEmpty,
+      "first table is the root and joins the subject set directly")
+    val subjectKeys = subjects.select(col(subjectKey)).distinct()
+    val (rows, _) = tables.foldLeft(
+        (Seq.empty[DataFrame], subjectKeys)) {
+      case ((acc, parentKeys), (name, df, keyCol, parentRef)) =>
+        val joinCol = parentRef.getOrElse(subjectKey)
+        val affected = df.join(
+          parentKeys.withColumnRenamed(parentKeys.columns.head, joinCol),
+          Seq(joinCol), "left_semi")
+        val affectedKeys = affected.select(col(keyCol)).distinct()
+        val stats = df.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(affected.agg(count(lit(1)).as("n_affected")))
+          .select(lit(name).as("tbl"), col("n_rows"), col("n_affected"),
+            (col("n_rows") - col("n_affected")).as("n_surviving"))
+        (acc :+ stats, affectedKeys)
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty && compareCols.nonEmpty)

@@ -260,6 +260,44 @@ object CoreQueries extends QueryPack {
     // applying q143's diff to the old snapshot reproduces the new one,
     // is what the oracle replays: it computes the expected post-merge
     // state directly from the change rules.
+    // Right-to-erasure cascade audit: a subject set (customers with
+    // key % 13 = 0) followed down the FK chain customer → orders →
+    // lineitem; per-table affected/surviving counts — the manifest a
+    // deletion job emits before any destructive write. Each level is
+    // one semi-join against the previous level's key-grain frame.
+    "q228_erasure_cascade" -> Q(
+      (s, dir) => {
+        val subjects = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 13 === 0)
+          .select(col("c_custkey"))
+        Relational.erasureCascade(subjects, "c_custkey", Seq(
+            ("customer", Tables.customer(s, dir), "c_custkey", None),
+            ("orders", Tables.orders(s, dir), "o_orderkey",
+              Some("o_custkey")),
+            ("lineitem", Tables.lineitem(s, dir), "l_orderkey",
+              Some("l_orderkey"))))
+          .orderBy(col("tbl"))
+      },
+      Some("""WITH s AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
+        |ao AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM s)),
+        |r AS (
+        |  SELECT 'customer' AS tbl,
+        |    (SELECT count(*) FROM customer) AS n_rows,
+        |    (SELECT count(*) FROM customer
+        |      WHERE c_custkey IN (SELECT c_custkey FROM s)) AS n_affected
+        |  UNION ALL
+        |  SELECT 'orders', (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM ao)
+        |  UNION ALL
+        |  SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM ao)))
+        |SELECT tbl, n_rows, n_affected,
+        |  n_rows - n_affected AS n_surviving
+        |FROM r ORDER BY tbl""".stripMargin)),
+
     "q186_cdc_apply" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)

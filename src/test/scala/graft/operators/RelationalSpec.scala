@@ -147,4 +147,32 @@ class RelationalSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
       ((5L, 1L, 1L, 3L)))
   }
+
+  test("erasureCascade follows the FK chain and reconciles per level") {
+    import spark.implicits._
+    val customers = Seq(1L, 2L, 3L).toDF("cust")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L))
+      .toDF("ord", "o_cust")
+    val lines = Seq((10L, 1), (10L, 2), (12L, 1), (13L, 1), (99L, 1))
+      .toDF("l_ord", "ln") // 99 orphan line: untouched by the cascade
+    val subjects = Seq(1L, 2L).toDF("cust")
+    val got = Relational.erasureCascade(subjects, "cust", Seq(
+        ("customer", customers, "cust", None),
+        ("orders", orders, "ord", Some("o_cust")),
+        ("lineitem", lines, "l_ord", Some("l_ord"))))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // subjects {1,2} → orders {10,11,12} → lines of those orders (3)
+    assert(got === Map(
+      "customer" -> (3L, 2L, 1L),
+      "orders" -> (4L, 3L, 1L),
+      "lineitem" -> (5L, 3L, 2L)))
+    got.values.foreach { case (n, a, s) => assert(a + s === n) }
+    // root entry must be first
+    intercept[IllegalArgumentException] {
+      Relational.erasureCascade(subjects, "cust",
+        Seq(("orders", orders, "ord", Some("o_cust"))))
+    }
+  }
 }
