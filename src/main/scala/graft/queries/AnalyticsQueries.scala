@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Analytics
 
-/** q190–q194: classic BI readout shapes over the fact tables —
-  * rollup subtotals, pivot, calendar gap-fill, cohort retention,
-  * ordered funnel (the consumers the reference's gold tables feed).
+/** Classic BI readout shapes over the fact tables — rollup/cube
+  * subtotals, pivot, calendar gap-fill, cohort retention, ordered
+  * funnel, rank metrics (q190–q194, q201, q207), plus the
+  * experimentation pair: linear multi-touch attribution (q225) and
+  * deterministic A/B lift (q226) — the consumers the reference's
+  * gold tables feed.
   */
 object AnalyticsQueries extends QueryPack {
 

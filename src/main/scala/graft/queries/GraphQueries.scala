@@ -6,10 +6,11 @@ import graft.Tables
 import graft.operators.{FuzzyMatch, Graph}
 
 /** Graph + entity-resolution operators over the star schema: blocked
-  * fuzzy matching (q168) and integer-quantized PageRank (q169) — the
-  * corpus-governance pair (near-identical name clustering, domain
-  * authority scoring) re-expressed over the TPC-H-ish tables so both
-  * are fully DuckDB-oracle-gated.
+  * fuzzy matching (q168), integer-quantized PageRank (q169), the
+  * degree-oriented triangle census (q208), and item-item
+  * collaborative filtering (q227) — corpus governance and
+  * recommendation shapes re-expressed over the TPC-H-ish tables so
+  * all are fully DuckDB-oracle-gated.
   */
 object GraphQueries extends QueryPack {
 

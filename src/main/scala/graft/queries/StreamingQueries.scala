@@ -519,6 +519,80 @@ object StreamingQueries extends QueryPack {
         |FROM m WHERE rn = 1
         |ORDER BY user_id, valid_from""".stripMargin)),
 
+    // Streaming multimodal ingest dedup: each micro-batch of incoming
+    // "images" is fingerprinted by the REAL decode+dHash batch
+    // operator (running verbatim inside foreachBatch — the planner
+    // can't express a codec pass, the seam can) and probed against a
+    // STATIC fingerprint index of the existing corpus, the q214
+    // asymmetric-ingest discipline at the image modality: the index
+    // materializes once (eager localCheckpoint), batches only ever
+    // join against it, and novelty = no identical fingerprint on
+    // file. The oracle replays decode+hash+probe from the generating
+    // formula over the same new/corpus split.
+    "q229_stream_image_dedup" -> Q(
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val corpus = graft.Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+        val index = Multimodal.dhashRoundTrip(corpus, "doc_id")
+          .groupBy(col("dhash")).agg(min(col("id")).as("match_id"))
+          .localCheckpoint(true)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("match_id", LongType),
+          StructField("is_novel", BooleanType, nullable = false)))
+        var out = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        val ckpt = Streams.scratchCheckpointDir("graft-imgdedup-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            documentsStream(s, dir).filter(col("doc_id") % 10 === 0)
+              .select(col("doc_id")),
+            batch => Multimodal.dhashRoundTrip(batch, "doc_id")
+              .join(index, Seq("dhash"), "left")
+              .select(col("id").as("doc_id"), col("match_id"),
+                col("match_id").isNull.as("is_novel")),
+            res => out = out.unionByName(res).localCheckpoint(true),
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        out.orderBy(col("doc_id"))
+      },
+      Some("""WITH px AS (
+        |  SELECT doc_id, k, k % 8 AS x, k // 8 AS y,
+        |    doc_id % 16 AS scene, (doc_id // 16) % 4 AS variant
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS k
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN
+        |      (CASE WHEN y = 0 AND x + 1 < variant
+        |            THEN (scene*17 + (x+1)*19 + y*23 + 128) % 256
+        |            ELSE (scene*17 + (x+1)*19 + y*23) % 256 END)
+        |      >
+        |      (CASE WHEN y = 0 AND x < variant
+        |            THEN (scene*17 + x*19 + y*23 + 128) % 256
+        |            ELSE (scene*17 + x*19 + y*23) % 256 END)
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM px),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id),
+        |cp AS (SELECT hi, lo, min(doc_id) AS match_id
+        |       FROM h WHERE doc_id % 10 <> 0 GROUP BY hi, lo)
+        |SELECT n.doc_id, cp.match_id, cp.match_id IS NULL AS is_novel
+        |FROM (SELECT * FROM h WHERE doc_id % 10 = 0) n
+        |LEFT JOIN cp ON n.hi = cp.hi AND n.lo = cp.lo
+        |ORDER BY n.doc_id""".stripMargin)),
+
     // Histogram-quantile sketch as STREAMING STATE (§2.8, sixth
     // instance): the q199 (group × bin) counter grid is mergeable, so
     // a Complete-mode streaming agg maintains it continuously —

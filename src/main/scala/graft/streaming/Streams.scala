@@ -265,6 +265,30 @@ object Streams {
     trigger.fold(writer)(writer.trigger).start()
   }
 
+  /** Generic per-batch transform ingest: apply `transform` to each
+    * micro-batch DataFrame and hand the result to `sink`. This is the
+    * stream/batch unification seam for operators whose core is a
+    * per-partition JVM pass the streaming planner cannot express
+    * directly (multimodal decode/fingerprint, codec dispatch): the
+    * BATCH operator runs verbatim inside foreachBatch, so the two
+    * paths cannot drift. The stream itself is stateless — durable
+    * state (indexes, accumulators) lives on the caller's side of
+    * `sink`, exactly like [[scd2Stream]]'s gold store.
+    */
+  def transformEachBatch(stream: DataFrame,
+      transform: DataFrame => DataFrame, sink: DataFrame => Unit,
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(transform(batch.toDF()))
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
   /** Day-grain QoE as a stream: each micro-batch runs the SAME
     * declarative run-length operator ([[graft.operators.Qoe.dailyOutagesDF]])
     * and merges the per-(edge, day) rows through `merge` — the

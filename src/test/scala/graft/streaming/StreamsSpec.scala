@@ -237,4 +237,35 @@ class StreamsSpec extends SparkSpec {
         (2L, "X", None)))                            // no-op kept ONE version
     } finally q.stop()
   }
+
+  test("transformEachBatch runs the batch operator per micro-batch, sink accumulates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    var seen = Seq.empty[(Long, Long)]
+    val q = Streams.transformEachBatch(
+      input.toDF().toDF("doc_id"),
+      // a stand-in for the multimodal pass: real decode+fingerprint
+      // of the batch via the SAME batch operator q221 gates
+      batch => graft.operators.Multimodal.dhashRoundTrip(batch, "doc_id")
+        .select(col("id"), col("dhash")),
+      res => seen = seen ++ res.collect()
+        .map(r => (r.getLong(0), r.getLong(1))),
+      java.nio.file.Files.createTempDirectory("teb_ck").toString)
+    try {
+      input.addData(3L, 67L) // 67 = 3 + 64 → identical scene image
+      q.processAllAvailable()
+      val afterBatch1 = seen.size
+      input.addData(4L)
+      q.processAllAvailable()
+      assert(afterBatch1 === 2 && seen.size === 3)
+      val m = seen.toMap
+      // per-batch results equal the batch operator's output
+      assert(m(3L) ===
+        graft.operators.Multimodal.dHash64(
+          graft.operators.Multimodal.syntheticScenePng(3L)).get)
+      assert(m(3L) === m(67L)) // same (scene, variant) across ids
+      assert(m(3L) !== m(4L))
+    } finally q.stop()
+  }
 }
