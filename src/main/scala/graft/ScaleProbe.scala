@@ -132,6 +132,57 @@ object ScaleProbe {
             col("b.l_partkey").as("dst"))
         graft.operators.Graph.triangleCount(pairs, "src", "dst")
       }
+      // q222 shape: banded Hamming near-dup — probed over SYNTHETIC
+      // fingerprints with a planted linear dup structure (every
+      // ⌊id/2⌋ pair shares a hash). The gate's scene payload cannot
+      // scale-probe the join: it draws from 64 fixed image classes,
+      // so ×N copies merge clusters and pair OUTPUT grows ×N² by
+      // construction (measured: 10 s → 37 s at ×4 — duplicate
+      // volume, not the plan). Decode itself is a scan-linear
+      // per-partition pass; the banding join is the scale question,
+      // and it gets content-proportional duplicates here.
+      time("q222_image_neardup", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L).select(col("doc_id"))
+        val fp = docs.select(col("doc_id"),
+          graft.expressions.Md5Hash60.hash60Native(
+            concat(lit("img"), (col("doc_id") / 2).cast("long")
+              .cast("string"))).as("dhash"))
+        graft.operators.Dedup.hashNearDupPairs(
+          fp, "doc_id", "dhash", bits = 64, bands = 4, maxHamming = 3)
+      }
+      // q224 shape: clip near-dup by shared frame hashes — same
+      // synthetic-fingerprint reasoning as q222: frame fp = hash of
+      // its frame seed (doc_id + f), so consecutive clips share
+      // exactly 2 frames (the real op's structure) and every fp
+      // value lands in ≤ 3 clips — content-linear fan-in.
+      time("q224_clip_neardup", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L).select(col("doc_id"))
+        val fp = docs
+          .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("f"))
+          .select(col("doc_id").as("id"),
+            graft.expressions.Md5Hash60.hash60Native(
+              concat(lit("fr"), (col("doc_id") + col("f"))
+                .cast("string"))).as("fp"))
+          .distinct()
+        val a = fp.select(col("id").as("id_a"), col("fp"))
+        val b = fp.select(col("id").as("id_b"), col("fp"))
+        a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      }
+      // q227 shape: item-item CF — both keys shift, so copies are
+      // disjoint basket universes and the census grows exactly ×N
+      // (pair work stays C(basket, 2)-bounded per basket)
+      time("q227_item_cf", n) {
+        val l = shifted(Tables.lineitem(spark, sfDir),
+          Seq("l_orderkey", "l_partkey"), n, 100000000L)
+          .select(col("l_orderkey"), col("l_partkey"))
+        graft.operators.Graph.itemSimilarityTopK(
+          l, "l_orderkey", "l_partkey", k = 5)
+      }
     }
     spark.stop()
   }
