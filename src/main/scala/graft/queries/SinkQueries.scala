@@ -26,6 +26,63 @@ object SinkQueries extends QueryPack {
   import Fixtures.{materializeAndDrop, materializeAndDelete}
 
   def defs: Map[String, Q] = Map(
+
+    // Transaction-log table format, time travel: three commits
+    // (overwrite, append, overwrite) against a scratch table; reading
+    // AS OF v1 must reconstruct exactly the pre-overwrite live set
+    // from the log alone, and the current read only the last
+    // overwrite's files. The oracle replays both snapshots from the
+    // commit predicates.
+    "q230_txlog_timetravel" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_txlog")
+        val t = s"$tmp/tbl"
+        TxLog.commit(docs.filter(col("doc_id") % 3 === 0), t,
+          "overwrite", "doc_id")
+        TxLog.commit(docs.filter(col("doc_id") % 3 === 1), t,
+          "append", "doc_id")
+        TxLog.commit(docs.filter(col("doc_id") % 3 === 2), t,
+          "overwrite", "doc_id")
+        val asOf1 = TxLog.read(s, t, Some(1L))
+          .withColumn("snap", lit("v1"))
+        val cur = TxLog.read(s, t).withColumn("snap", lit("current"))
+        materializeAndDelete(
+          asOf1.unionByName(cur).orderBy(col("snap"), col("doc_id")), tmp)
+      },
+      Some("""SELECT doc_id, source, lang, snap FROM (
+        |  SELECT doc_id, source, lang, 'v1' AS snap
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, source, lang, 'current'
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY snap, doc_id""".stripMargin)),
+
+    // Transaction-log stats pruning: a range-partitioned commit gives
+    // files with disjoint doc_id ranges; prunedRead opens only files
+    // whose log [mn, mx] overlaps the predicate (log-level skipping
+    // BEFORE any parquet footer is touched) and must equal the plain
+    // filter — zero false drops. File-skip mechanics are spec-pinned
+    // (TxLogSpec); the gate proves losslessness.
+    "q231_txlog_pruned_read" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_txprune")
+        val t = s"$tmp/tbl"
+        TxLog.commit(docs.repartitionByRange(4, col("doc_id")), t,
+          "overwrite", "doc_id")
+        materializeAndDelete(
+          TxLog.prunedRead(s, t, "doc_id", 100L, 300L)
+            .orderBy(col("doc_id")), tmp)
+      },
+      Some("""SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id BETWEEN 100 AND 300
+        |ORDER BY doc_id""".stripMargin)),
+
     "q50_sink_roundtrip" -> Q(
       (s, dir) => {
         val derived = Tables.customer(s, dir)

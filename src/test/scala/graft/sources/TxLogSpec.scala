@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TxLogSpec extends SparkSpec {
+
+  private def withTable(f: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("txlog_spec")
+    try f(s"$tmp/tbl")
+    finally {
+      java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+
+  test("commit numbers versions; append adds, overwrite resets") {
+    import spark.implicits._
+    withTable { t =>
+      assert(TxLog.versions(t).isEmpty)
+      assert(TxLog.commit(Seq(1L, 2L).toDF("k"), t, "overwrite", "k") === 0L)
+      assert(TxLog.commit(Seq(3L).toDF("k"), t, "append", "k") === 1L)
+      assert(TxLog.commit(Seq(9L).toDF("k"), t, "overwrite", "k") === 2L)
+      assert(TxLog.versions(t) === Seq(0L, 1L, 2L))
+      // current = last overwrite only
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(9L))
+      // time travel reconstructs each historical live set
+      assert(TxLog.read(spark, t, Some(0L)).select("k").as[Long]
+        .collect().toSet === Set(1L, 2L))
+      assert(TxLog.read(spark, t, Some(1L)).select("k").as[Long]
+        .collect().toSet === Set(1L, 2L, 3L))
+      // bad mode rejected before any write
+      intercept[IllegalArgumentException] {
+        TxLog.commit(Seq(1L).toDF("k"), t, "merge", "k")
+      }
+    }
+  }
+
+  test("log carries exact per-file rows and min/max of the stat column") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit((1L to 100L).toDF("k").repartitionByRange(4, col("k")),
+        t, "overwrite", "k")
+      val lg = TxLog.log(spark, t).collect()
+      assert(lg.map(_.getAs[Long]("rows")).sum === 100L)
+      assert(lg.map(_.getAs[Long]("mn")).min === 1L)
+      assert(lg.map(_.getAs[Long]("mx")).max === 100L)
+      // range partitioning ⇒ file ranges are disjoint
+      val ranges = lg.map(r =>
+        (r.getAs[Long]("mn"), r.getAs[Long]("mx"))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi < lo2)
+        case _ =>
+      }
+    }
+  }
+
+  test("prunedRead skips non-overlapping files and loses nothing") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit((1L to 100L).toDF("k").repartitionByRange(4, col("k")),
+        t, "overwrite", "k")
+      val total = TxLog.log(spark, t).count()
+      assert(total >= 3) // range partitioning actually split files
+      val pruned = TxLog.prunedRead(spark, t, "k", 10L, 20L)
+      // losslessness vs the plain filter
+      assert(pruned.select("k").as[Long].collect().toSet ===
+        (10L to 20L).toSet)
+      // and the scan really skipped files: fewer distinct input files
+      // than the table holds
+      val opened = pruned.select(input_file_name()).distinct().count()
+      assert(opened < total)
+      // empty range → empty frame with the table schema, no crash
+      val none = TxLog.prunedRead(spark, t, "k", 1000L, 2000L)
+      assert(none.count() === 0L && none.columns.toSeq === Seq("k"))
+    }
+  }
+}
