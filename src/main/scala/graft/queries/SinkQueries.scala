@@ -83,6 +83,39 @@ object SinkQueries extends QueryPack {
         |WHERE doc_id BETWEEN 100 AND 300
         |ORDER BY doc_id""".stripMargin)),
 
+    // Transaction-log compaction: ten 50-row micro-batch appends
+    // (the streaming-ingest small-file pathology) compacted into 2
+    // range-sorted files as a NEW version — content must
+    // round-trip bit-identically, and the pre-compaction version
+    // must still time-travel (immutable data files, append-only
+    // log). The gate reads both snapshots; TxLogSpec pins the file
+    // counts.
+    "q232_txlog_compaction" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_txcomp")
+        val t = s"$tmp/tbl"
+        (0 until 10).foreach { i =>
+          TxLog.commit(docs.filter(col("doc_id") % 10 === i), t,
+            if (i == 0) "overwrite" else "append", "doc_id")
+        }
+        val v = TxLog.compact(s, t, "doc_id", targetFiles = 2)
+        val compacted = TxLog.read(s, t, Some(v))
+          .withColumn("snap", lit("compacted"))
+        val before = TxLog.read(s, t, Some(v - 1))
+          .withColumn("snap", lit("before"))
+        materializeAndDelete(
+          compacted.unionByName(before)
+            .orderBy(col("snap"), col("doc_id")), tmp)
+      },
+      Some("""SELECT doc_id, source, lang, snap FROM (
+        |  SELECT doc_id, source, lang, 'compacted' AS snap FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, source, lang, 'before' FROM documents)
+        |ORDER BY snap, doc_id""".stripMargin)),
+
     "q50_sink_roundtrip" -> Q(
       (s, dir) => {
         val derived = Tables.customer(s, dir)

@@ -127,6 +127,23 @@ object TxLog {
     spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
+  /** Compact the live file set into `targetFiles` range-sorted files
+    * and commit the result as a new `overwrite` version — the
+    * small-file maintenance every streaming-ingested table needs
+    * (thousands of micro-batch files → scan-efficient large ones).
+    * Content is byte-identical by construction (one read of the live
+    * set, one range-repartitioned rewrite); history is untouched —
+    * pre-compaction versions still time-travel, because old data
+    * files are immutable and the log only ever appends. Returns the
+    * new version.
+    */
+  def compact(spark: SparkSession, dir: String, statCol: String,
+      targetFiles: Int): Long = {
+    require(targetFiles > 0)
+    commit(read(spark, dir).repartitionByRange(targetFiles, col(statCol)),
+      dir, "overwrite", statCol)
+  }
+
   /** Range read with LOG-LEVEL file pruning: only files whose
     * [mn, mx] overlaps [lo, hi] are opened at all; the residual
     * filter still applies row-level inside survivors. Exactly the

@@ -78,4 +78,25 @@ class TxLogSpec extends SparkSpec {
       assert(none.count() === 0L && none.columns.toSeq === Seq("k"))
     }
   }
+
+  test("compact shrinks the live file count; history still time-travels") {
+    import spark.implicits._
+    withTable { t =>
+      (0 until 6).foreach { i =>
+        TxLog.commit(Seq(i.toLong * 2, i.toLong * 2 + 1).toDF("k"),
+          t, if (i == 0) "overwrite" else "append", "k")
+      }
+      val filesBefore = TxLog.liveFiles(spark, t).count()
+      val v = TxLog.compact(spark, t, "k", targetFiles = 2)
+      assert(v === 6L)
+      val filesAfter = TxLog.liveFiles(spark, t).count()
+      assert(filesAfter <= 2 && filesAfter < filesBefore)
+      // identical content through the rewrite
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === (0L to 11L).toSet)
+      // pre-compaction snapshots still resolve from immutable files
+      assert(TxLog.read(spark, t, Some(2L)).select("k").as[Long]
+        .collect().toSet === (0L to 5L).toSet)
+    }
+  }
 }
