@@ -116,6 +116,65 @@ object SinkQueries extends QueryPack {
         |  SELECT doc_id, source, lang, 'before' FROM documents)
         |ORDER BY snap, doc_id""".stripMargin)),
 
+    // Streaming ingest INTO the transaction-log table: each
+    // micro-batch commits as an append through the same single-writer
+    // protocol (foreachBatch is Spark's exactly-once-per-batch seam;
+    // TxLog.commit is the sink), then the table reads back complete.
+    // The multi-batch mechanics are spec-gated (TxLogSpec/StreamsSpec
+    // patterns); this gate proves the stream→commit→read loop loses
+    // and duplicates nothing.
+    "q233_txlog_stream_ingest" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val tmp = java.nio.file.Files.createTempDirectory("graft_txstream")
+        val t = s"$tmp/tbl"
+        val ckpt = graft.streaming.Streams
+          .scratchCheckpointDir("graft-txingest-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          graft.streaming.Streams.transformEachBatch(
+            s.readStream.schema(Tables.documents(s, dir).schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(dir)
+              .select(col("doc_id"), col("source"), col("lang")),
+            identity,
+            batch => { TxLog.commit(batch, t,
+              if (TxLog.versions(t).isEmpty) "overwrite" else "append",
+              "doc_id"); () },
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        materializeAndDelete(
+          TxLog.read(s, t).orderBy(col("doc_id")), tmp)
+      },
+      Some("""SELECT doc_id, source, lang FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Incremental (CDC) read FROM the transaction-log table: a
+    // consumer that checkpointed at v0 pulls exactly the rows of the
+    // commits it hasn't seen — resolved from the log, no table
+    // rescan. Three appends; the delta (v0, v2] must be commits 1–2.
+    "q234_txlog_incremental" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_txinc")
+        val t = s"$tmp/tbl"
+        (0 until 3).foreach { i =>
+          TxLog.commit(docs.filter(col("doc_id") % 3 === i), t,
+            if (i == 0) "overwrite" else "append", "doc_id")
+        }
+        materializeAndDelete(
+          TxLog.incrementalRead(s, t, sinceVersion = 0L,
+            untilVersion = 2L).orderBy(col("doc_id")), tmp)
+      },
+      Some("""SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id % 3 IN (1, 2)
+        |ORDER BY doc_id""".stripMargin)),
+
     "q50_sink_roundtrip" -> Q(
       (s, dir) => {
         val derived = Tables.customer(s, dir)

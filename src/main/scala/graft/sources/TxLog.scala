@@ -144,6 +144,34 @@ object TxLog {
       dir, "overwrite", statCol)
   }
 
+  /** Incremental (CDC-style) read: the rows ADDED by versions in
+    * (sinceVersion, untilVersion] — resolved purely from the log, so
+    * a downstream consumer pulls exactly the new files of the
+    * commits it hasn't seen, never rescanning the table. This is the
+    * table format AS an incremental source: checkpoint = last
+    * version consumed. Append-only semantics — an overwrite in range
+    * is rejected, because its delta is not expressible as
+    * added-rows-only (a full CDC feed would need remove entries;
+    * [[liveFiles]]' watermark handles overwrites for snapshot
+    * readers).
+    */
+  def incrementalRead(spark: SparkSession, dir: String,
+      sinceVersion: Long, untilVersion: Long): DataFrame = {
+    val lg = log(spark, dir)
+      .filter(col("version") > sinceVersion &&
+        col("version") <= untilVersion)
+    require(lg.filter(col("mode") === "overwrite").isEmpty,
+      s"incrementalRead range ($sinceVersion, $untilVersion] contains " +
+        "an overwrite — its delta is not added-rows-only")
+    val paths = lg.select(col("path")).collect()
+      .map(r => s"$dir/${r.getString(0)}")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      read(spark, dir).schema)
+    if (paths.isEmpty) empty
+    else spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
   /** Range read with LOG-LEVEL file pruning: only files whose
     * [mn, mx] overlaps [lo, hi] are opened at all; the residual
     * filter still applies row-level inside survivors. Exactly the

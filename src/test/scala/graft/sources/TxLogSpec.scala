@@ -99,4 +99,24 @@ class TxLogSpec extends SparkSpec {
         .collect().toSet === (0L to 5L).toSet)
     }
   }
+
+  test("incrementalRead pulls exactly the unseen commits, rejects overwrites") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit(Seq(1L).toDF("k"), t, "overwrite", "k")
+      TxLog.commit(Seq(2L, 3L).toDF("k"), t, "append", "k")
+      TxLog.commit(Seq(4L).toDF("k"), t, "append", "k")
+      assert(TxLog.incrementalRead(spark, t, 0L, 2L)
+        .select("k").as[Long].collect().toSet === Set(2L, 3L, 4L))
+      assert(TxLog.incrementalRead(spark, t, 1L, 2L)
+        .select("k").as[Long].collect().toSet === Set(4L))
+      // empty range → empty with schema
+      assert(TxLog.incrementalRead(spark, t, 2L, 2L).count() === 0L)
+      // overwrite in range is not an added-rows-only delta
+      TxLog.commit(Seq(9L).toDF("k"), t, "overwrite", "k")
+      intercept[IllegalArgumentException] {
+        TxLog.incrementalRead(spark, t, 2L, 3L)
+      }
+    }
+  }
 }
