@@ -175,6 +175,49 @@ object SinkQueries extends QueryPack {
         |WHERE doc_id % 3 IN (1, 2)
         |ORDER BY doc_id""".stripMargin)),
 
+    // MERGE INTO the transaction-log table (copy-on-write DML): seed
+    // with the %7≠0 customer slice, then merge a changeset that
+    // deletes %5, updates %11 (+10 balance) and inserts the missing
+    // %7 rows — the q186 changeset against a VERSIONED table, so the
+    // pre-merge snapshot stays readable. The oracle replays the
+    // closed-form post-merge state.
+    "q235_txlog_merge" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val c = Tables.customer(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_txmerge")
+        val t = s"$tmp/tbl"
+        TxLog.commit(
+          c.filter(col("c_custkey") % 7 =!= 0)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          t, "overwrite", "c_custkey")
+        val deletes = c.filter(col("c_custkey") % 7 =!= 0)
+          .filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit("D").as("op"))
+        val updates = c.filter(col("c_custkey") % 7 =!= 0)
+          .filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 10.0).as("c_acctbal"), lit("U").as("op"))
+        val inserts = c.filter(col("c_custkey") % 7 === 0)
+          .filter(col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey"), col("c_name"),
+            when(col("c_custkey") % 11 === 0, col("c_acctbal") + 10.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            lit("I").as("op"))
+        TxLog.merge(s, t, deletes.union(updates).union(inserts),
+          Seq("c_custkey"), Seq("c_name", "c_acctbal"), "op",
+          "c_custkey")
+        materializeAndDelete(
+          TxLog.read(s, t).orderBy(col("c_custkey")), tmp)
+      },
+      Some("""SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 10.0
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 5 <> 0
+        |ORDER BY c_custkey""".stripMargin)),
+
     "q50_sink_roundtrip" -> Q(
       (s, dir) => {
         val derived = Tables.customer(s, dir)

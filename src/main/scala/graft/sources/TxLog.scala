@@ -144,6 +144,24 @@ object TxLog {
       dir, "overwrite", statCol)
   }
 
+  /** MERGE INTO the table: apply a keyed changeset (insert / update /
+    * delete ops, [[graft.operators.Relational.applyChanges]]
+    * semantics) against the live snapshot and commit the result as a
+    * new overwrite version — copy-on-write DML, the lakehouse
+    * update path. One read of the live set + one key join + one
+    * rewrite; at 100 TB the rewrite narrows to the files whose key
+    * ranges the changeset touches (the log's min/max make that file
+    * set computable — documented refinement, same skip machinery as
+    * [[prunedRead]]). Returns the new version.
+    */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame,
+      keys: Seq[String], payload: Seq[String], opCol: String,
+      statCol: String): Long = {
+    val next = graft.operators.Relational.applyChanges(
+      read(spark, dir), changes, keys, payload, opCol)
+    commit(next, dir, "overwrite", statCol)
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED by versions in
     * (sinceVersion, untilVersion] — resolved purely from the log, so
     * a downstream consumer pulls exactly the new files of the

@@ -119,4 +119,22 @@ class TxLogSpec extends SparkSpec {
       }
     }
   }
+
+  test("merge applies keyed DML copy-on-write; pre-merge snapshot intact") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+        t, "overwrite", "k")
+      val changes = Seq((2L, "b2", "U"), (3L, "c", "D"), (4L, "d", "I"))
+        .toDF("k", "v", "op")
+      val v = TxLog.merge(spark, t, changes,
+        Seq("k"), Seq("v"), "op", "k")
+      assert(v === 1L)
+      assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet
+        === Set((1L, "a"), (2L, "b2"), (4L, "d")))
+      // time travel to the pre-merge state
+      assert(TxLog.read(spark, t, Some(0L)).as[(Long, String)]
+        .collect().toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    }
+  }
 }
