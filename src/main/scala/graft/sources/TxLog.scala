@@ -144,6 +144,38 @@ object TxLog {
       dir, "overwrite", statCol)
   }
 
+  /** Vacuum: delete data files not needed to reconstruct ANY version
+    * ≥ `keepFrom` — the retention cleanup that bounds storage after
+    * compactions and overwrites. The safe boundary is NOT `keepFrom`
+    * itself: a file appended long before `keepFrom` is still live if
+    * no overwrite superseded it, so the deletable set is everything
+    * strictly below the last overwrite at-or-before `keepFrom`
+    * (every retained version's live set starts at or after that
+    * watermark). Time travel below the watermark stops working by
+    * design; the log is never deleted, so version HISTORY stays
+    * auditable. Returns the number of files removed. Driver-side
+    * file ops over commit-count-bounded metadata — nothing scans
+    * data.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Long = {
+    val lg = log(spark, dir).select(col("version"), col("mode"),
+      col("path")).collect()
+    val keepBase = lg.filter(r => r.getString(1) == "overwrite" &&
+        r.getLong(0) <= keepFrom)
+      .map(_.getLong(0)).sorted.lastOption.getOrElse(0L)
+    val keep = lg.filter(_.getLong(0) >= keepBase)
+      .map(_.getString(2)).toSet
+    val candidates = lg.filter(_.getLong(0) < keepBase)
+      .map(_.getString(2)).distinct
+      .filterNot(keep.contains)
+    var removed = 0L
+    candidates.foreach { rel =>
+      if (java.nio.file.Files.deleteIfExists(
+          new java.io.File(dir, rel).toPath)) removed += 1
+    }
+    removed
+  }
+
   /** MERGE INTO the table: apply a keyed changeset (insert / update /
     * delete ops, [[graft.operators.Relational.applyChanges]]
     * semantics) against the live snapshot and commit the result as a

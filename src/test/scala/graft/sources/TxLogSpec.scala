@@ -120,6 +120,35 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("vacuum removes only files below the overwrite watermark") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit(Seq(1L).toDF("k"), t, "overwrite", "k")   // v0
+      TxLog.commit(Seq(2L).toDF("k"), t, "append", "k")      // v1
+      TxLog.commit(Seq(9L).toDF("k"), t, "overwrite", "k")   // v2
+      TxLog.commit(Seq(10L).toDF("k"), t, "append", "k")     // v3
+      // keepFrom=3: v3's live set starts at the v2 overwrite, so the
+      // v1 append file must SURVIVE a naive version<3 deletion — only
+      // v0/v1 files (below the v2 watermark) are deletable
+      val removed = TxLog.vacuum(spark, t, keepFrom = 3L)
+      assert(removed === 2L)
+      // every retained version still reads
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(9L, 10L))
+      assert(TxLog.read(spark, t, Some(2L)).select("k").as[Long]
+        .collect().toSet === Set(9L))
+      // history below the watermark is gone (files deleted), but the
+      // log still lists the versions for audit
+      assert(TxLog.versions(t) === Seq(0L, 1L, 2L, 3L))
+      intercept[Exception] {
+        TxLog.read(spark, t, Some(1L)).collect()
+      }
+      // keepFrom at a version whose watermark is its own overwrite:
+      // nothing newer to delete, idempotent
+      assert(TxLog.vacuum(spark, t, keepFrom = 3L) === 0L)
+    }
+  }
+
   test("merge applies keyed DML copy-on-write; pre-merge snapshot intact") {
     import spark.implicits._
     withTable { t =>
