@@ -68,6 +68,33 @@ object TimeSeries {
         col("n").cast("double") / col("prev_n").cast("double"))
   }
 
+  /** Volume-spike anomaly flags over the daily grid: a day is a
+    * spike when its count exceeds `numerPct`% of its trailing
+    * `lookback`-observation baseline mean — evaluated in EXACT
+    * integer cross-multiplied form (100·lookback·n > pct·trailing
+    * sum), so the gate never touches a float and the same rule runs
+    * identically in any engine. The baseline is the previous
+    * `lookback` OBSERVED days (ROWS frame excluding the current
+    * day); warm-up days with fewer than `lookback` observations are
+    * reported unflagged with their partial window size — the
+    * downstream pager decides what to do with cold keys. One keyed
+    * window over the dimension-bounded (key, day) grid; at 100 TB
+    * the grid, not the event stream, pays the sort.
+    */
+  def dailySpikes(df: DataFrame, keyCol: String, tsCol: String,
+      lookback: Int, numerPct: Int): DataFrame = {
+    require(lookback > 0 && numerPct > 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    dailyCounts(df, keyCol, tsCol)
+      .withColumn("n_baseline", count(lit(1)).over(w))
+      .withColumn("baseline_sum",
+        coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("is_spike",
+        col("n_baseline") === lookback &&
+          col("n") * 100L * lookback > col("baseline_sum") * numerPct)
+  }
+
   /** EWMA of the daily count per key, folded in day order:
     * ewma₁ = n₁; ewmaᵢ = α·nᵢ + (1-α)·ewmaᵢ₋₁. The fold is SEQUENTIAL
     * (higher-order `aggregate` over a sorted day array), so the

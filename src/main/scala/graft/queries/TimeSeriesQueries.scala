@@ -18,6 +18,33 @@ object TimeSeriesQueries extends QueryPack {
 
   def defs: Map[String, Q] = Map(
 
+    // Volume-spike anomaly flags: a day is a spike when its event
+    // count exceeds 150% of its trailing 7-observed-day mean — in
+    // exact cross-multiplied integers (100·7·n > 150·sum), no floats
+    // anywhere, so the full flag table hash-gates. Warm-up days
+    // (fewer than 7 prior observations) surface unflagged.
+    "q236_daily_spikes" -> Q(
+      (s, dir) => TimeSeries.dailySpikes(
+          Tables.events(s, dir), "event_type", "ts",
+          lookback = 7, numerPct = 150)
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_baseline,
+        |    coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS baseline_sum
+        |  FROM d)
+        |SELECT event_type, day, n,
+        |  CAST(n_baseline AS BIGINT) AS n_baseline,
+        |  CAST(baseline_sum AS BIGINT) AS baseline_sum,
+        |  n_baseline = 7 AND n * 100 * 7 > baseline_sum * 150 AS is_spike
+        |FROM w
+        |ORDER BY event_type, day""".stripMargin)),
+
     // Rolling 7-day count+sum per user at the event grain. RANGE
     // frame over floored epoch seconds (integer currency — exact
     // frame bounds on both engines); sum rides DECIMAL.

@@ -101,4 +101,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(w1.getLong(3) === ts("2024-01-01 05:00:00").getTime / 1000)
     assert(w1.getLong(4) === ts("2024-01-04 06:00:00").getTime / 1000)
   }
+
+  test("dailySpikes flags only full-baseline days beyond the threshold") {
+    import spark.implicits._
+    // key A: 3 quiet days (2 events each), then a 5-event day — with
+    // lookback 3 the spike rule is 100·3·n > 150·sum: day 4 gives
+    // 1500 > 900 → spike; a repeat 2-event day 5 gives 600 >
+    // 150·(2+2+5)=1350 → false
+    val rows = Seq(
+      ("2024-01-01", 2), ("2024-01-02", 2), ("2024-01-03", 2),
+      ("2024-01-04", 5), ("2024-01-05", 2)
+    ).flatMap { case (d, k) =>
+      (0 until k).map(i => ("A", ts(s"$d 0$i:00:00")))
+    }
+    val got = TimeSeries.dailySpikes(rows.toDF("k", "ts"), "k", "ts",
+        lookback = 3, numerPct = 150)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (2L, 0L, false),  // warm-up: no baseline at all
+      (2L, 1L, false),  // warm-up: partial baseline
+      (2L, 2L, false),
+      (5L, 3L, true),   // 1500 > 900
+      (2L, 3L, false))) // 600 < 1350
+  }
 }
