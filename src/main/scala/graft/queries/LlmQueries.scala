@@ -167,6 +167,104 @@ object LlmQueries extends QueryPack {
 
   def defs: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the canonical-form fingerprint.
+    // Dataset card (datasheet) readout — the per-source audit table a
+    // training-data release ships: volume (docs/tokens/chars), empty
+    // and exact-duplicate rates, language mix, and the exact token
+    // median. Every figure is integer or string (counts, nearest-rank
+    // quantile, md5 groups), so the WHOLE card hash-gates; it
+    // composes the q26/q27/q25/q128 operators into one statement —
+    // three source-keyed aggregates over one text pass, joined on the
+    // dimension-bounded source key.
+    "q237_dataset_card" -> Q(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"), col("text"),
+          TextAnalysis.nTokens(col("text")).as("toks"),
+          coalesce(length(col("text")), lit(0)).as("chars"),
+          (trim(coalesce(col("text"), lit(""))) === "")
+            .cast("long").as("empty"),
+          graft.expressions.StopwordSetCounts.counts(col("text"), Seq(
+            TextAnalysis.LangProfiles.en, TextAnalysis.LangProfiles.de,
+            TextAnalysis.LangProfiles.fr, TextAnalysis.LangProfiles.es))
+            .as("__sw"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), col("source"), col("toks"), col("chars"),
+            col("empty"), col("fp"),
+            TextAnalysis.langIdFrom(col("text"), col("__sw")(0),
+              col("__sw")(1), col("__sw")(2), col("__sw")(3))
+              .as("pred_lang"))
+        val m = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("n_tokens"),
+          sum(col("chars")).cast("long").as("n_chars"),
+          sum(col("empty")).cast("long").as("n_empty"),
+          count(when(col("pred_lang") === "en", 1)).as("n_en"))
+        val dup = base.groupBy(col("source"), col("fp"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_dup_docs"))
+        val med = graft.operators.Corpus.exactQuantiles(
+            base, "source", "toks", "doc_id", Seq(0.5))
+          .select(col("source"), col("q_50").cast("long").as("p50_tokens"))
+        m.join(dup, Seq("source"), "left")
+          .na.fill(0L, Seq("n_dup_docs"))
+          .join(med, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_chars"), col("n_empty"), col("n_en"),
+            col("n_dup_docs"), col("p50_tokens"))
+          .orderBy(col("source"))
+      },
+      {
+        def sw(words: Seq[String]) =
+          s"len(regexp_extract_all(lower(text), '${swPattern(words)}'))"
+        val (en, de, fr, es) = (sw(TextAnalysis.LangProfiles.en),
+          sw(TextAnalysis.LangProfiles.de), sw(TextAnalysis.LangProfiles.fr),
+          sw(TextAnalysis.LangProfiles.es))
+        val lang =
+          s"""CASE WHEN text IS NULL THEN NULL
+             |       WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 20 > length(text) THEN 'zh'
+             |       WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+             |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+             |       WHEN $fr >= $es THEN 'fr'
+             |       ELSE 'es' END""".stripMargin
+        Some(s"""WITH b AS (
+          |  SELECT doc_id, source,
+          |    len($tokensSql) AS toks,
+          |    coalesce(length(text), 0) AS chars,
+          |    CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END
+          |      AS empty,
+          |    $lang AS pred_lang,
+          |    md5(array_to_string(
+          |      string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+          |      ' ')) AS fp
+          |  FROM documents),
+          |m AS (SELECT source, count(*) AS n_docs,
+          |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+          |    CAST(sum(chars) AS BIGINT) AS n_chars,
+          |    CAST(sum(empty) AS BIGINT) AS n_empty,
+          |    count(CASE WHEN pred_lang = 'en' THEN 1 END) AS n_en
+          |  FROM b GROUP BY source),
+          |dup AS (SELECT source,
+          |    CAST(sum(c) AS BIGINT) AS n_dup_docs
+          |  FROM (SELECT source, fp, count(*) AS c FROM b GROUP BY 1, 2)
+          |  WHERE c > 1 GROUP BY source),
+          |med AS (SELECT source,
+          |    CAST(max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+          |             THEN toks END) AS BIGINT) AS p50_tokens
+          |  FROM (SELECT source, toks,
+          |      row_number() OVER (PARTITION BY source
+          |        ORDER BY toks, doc_id) AS rnk,
+          |      count(*) OVER (PARTITION BY source) AS n
+          |    FROM b) GROUP BY source)
+          |SELECT m.source, m.n_docs, m.n_tokens, m.n_chars, m.n_empty,
+          |  m.n_en, coalesce(dup.n_dup_docs, 0) AS n_dup_docs,
+          |  med.p50_tokens
+          |FROM m LEFT JOIN dup ON dup.source = m.source
+          |JOIN med ON med.source = m.source
+          |ORDER BY m.source""".stripMargin)
+      }),
+
     "q25_exact_dedup" -> Q(
       (s, dir) => {
         val d = Tables.documents(s, dir)
