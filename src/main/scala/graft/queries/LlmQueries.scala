@@ -464,6 +464,116 @@ object LlmQueries extends QueryPack {
       },
       Some(allPairsJaccardOracle)),
 
+    // Contrastive training triplets from the dedup pipeline: for
+    // every sampled doc with a verified near-duplicate, emit
+    // (anchor, positive, negative) — positive = its best near-dup
+    // (max jaccard, tie lowest id), negative = the md5-rank-1
+    // non-duplicate (a deterministic "random" pick both engines
+    // replay, q149's salt discipline). The candidate frame is
+    // anchors × the bounded %20 sample — by-design bounded like the
+    // other sampled exact baselines; at corpus scale negatives come
+    // from q149's pure (id, salt) function instead.
+    "q238_training_triplets" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sample = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+        val pairs = Dedup.nearDupPairs(sample, "doc_id", "text",
+          shingleN = 1, k = 32, bands = 16, threshold = 0.9)
+        val sym = pairs.select(col("id_a").as("anchor"),
+            col("id_b").as("partner"), col("jaccard"))
+          .unionByName(pairs.select(col("id_b").as("anchor"),
+            col("id_a").as("partner"), col("jaccard")))
+        val wPos = Window.partitionBy(col("anchor"))
+          .orderBy(col("jaccard").desc, col("partner"))
+        val pos = sym.withColumn("rn", row_number().over(wPos))
+          .filter(col("rn") === 1)
+          .select(col("anchor"), col("partner").as("pos_id"))
+        val wNeg = Window.partitionBy(col("anchor"))
+          .orderBy(col("h"), col("cand"))
+        val neg = pos.select(col("anchor"))
+          .crossJoin(sample.select(col("doc_id").as("cand")))
+          .filter(col("cand") =!= col("anchor"))
+          .join(sym.select(col("anchor"),
+              col("partner").as("cand")),
+            Seq("anchor", "cand"), "left_anti")
+          .withColumn("h", md5(concat(col("anchor").cast("string"),
+            lit(":"), col("cand").cast("string"))))
+          .withColumn("rn", row_number().over(wNeg))
+          .filter(col("rn") === 1)
+          .select(col("anchor"), col("cand").as("neg_id"))
+        pos.join(neg, Seq("anchor")).orderBy(col("anchor"))
+      },
+      Some(s"""WITH $samplePairsCte,
+        |sym AS (SELECT id_a AS anchor, id_b AS partner, jaccard FROM jp
+        |        UNION ALL SELECT id_b, id_a, jaccard FROM jp),
+        |pos AS (SELECT anchor, partner AS pos_id FROM (
+        |    SELECT anchor, partner, row_number() OVER (PARTITION BY anchor
+        |      ORDER BY jaccard DESC, partner) AS rn FROM sym)
+        |  WHERE rn = 1),
+        |neg AS (SELECT anchor, cand AS neg_id FROM (
+        |    SELECT p.anchor, s.doc_id AS cand,
+        |      row_number() OVER (PARTITION BY p.anchor
+        |        ORDER BY md5(p.anchor || ':' || s.doc_id), s.doc_id) AS rn
+        |    FROM (SELECT DISTINCT anchor FROM sym) p
+        |    JOIN d s ON s.doc_id <> p.anchor
+        |    LEFT JOIN sym sy
+        |      ON sy.anchor = p.anchor AND sy.partner = s.doc_id
+        |    WHERE sy.partner IS NULL) WHERE rn = 1)
+        |SELECT pos.anchor, pos.pos_id, neg.neg_id
+        |FROM pos JOIN neg ON neg.anchor = pos.anchor
+        |ORDER BY pos.anchor""".stripMargin)),
+
+    // Token-budget corpus selection: rank docs by quality (q41's
+    // exact-gated score; ties by id) and keep the greedy prefix whose
+    // running token total fits a 20k budget — "best data under a
+    // token budget", the selection step between scoring and training.
+    // Output is all-integer (ids, tokens, running total). The prefix
+    // scan is a global-order window — fine at readout grain; at
+    // 100 TB the same selection runs as histogram-cutoff (q134's
+    // bisection finds the quality threshold whose mass fits the
+    // budget, one filter applies it) — documented, not gated.
+    "q239_budget_select" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).as("__chars"),
+            TextAnalysis.nTokens(col("text")).as("n_tokens"),
+            TextAnalysis.punctCount(col("text")).as("__np"),
+            graft.expressions.StopwordSetCounts.counts(col("text"),
+              Seq(TextAnalysis.LangProfiles.en)).as("__sw"))
+          .select(col("doc_id"), col("n_tokens"),
+            TextAnalysis.qualityScoreFrom(col("n_tokens"), col("__np"),
+              col("__chars"), col("__sw")(0)).as("quality"))
+        val w = Window.orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored
+          .withColumn("cum_tokens",
+            sum(col("n_tokens")).over(w).cast("long"))
+          .filter(col("cum_tokens") <= 20000L)
+          .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("cum_tokens"))
+      },
+      {
+        val en = s"len(regexp_extract_all(lower(text), '${swPattern(TextAnalysis.LangProfiles.en)}'))"
+        val quality =
+          s"""least(1.0, len($tokensSql) / 50.0)
+             |    * (1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) * 5.0))
+             |    * least(1.0, $en / greatest(len($tokensSql), 1) * 10.0)""".stripMargin
+        Some(s"""WITH sc AS (
+          |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+          |    $quality AS quality
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          |  FROM sc)
+          |SELECT doc_id, n_tokens, cum_tokens FROM c
+          |WHERE cum_tokens <= 20000
+          |ORDER BY cum_tokens""".stripMargin)
+      }),
+
     // The same gate through the PACKAGED pipeline (`Dedup.nearDupPairs`
     // — shingle→sign→band→candidate→verify as one call): proves the
     // composite wiring, not just the stages q30 assembles by hand.
