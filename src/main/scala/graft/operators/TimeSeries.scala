@@ -82,11 +82,22 @@ object TimeSeries {
     * the grid, not the event stream, pays the sort.
     */
   def dailySpikes(df: DataFrame, keyCol: String, tsCol: String,
+      lookback: Int, numerPct: Int): DataFrame =
+    spikesFromDailyGrid(dailyCounts(df, keyCol, tsCol), keyCol,
+      lookback, numerPct)
+
+  /** The spike rule over an ALREADY-AGGREGATED (key, day, n) grid —
+    * the readout half of [[dailySpikes]], factored out so a
+    * streaming-maintained grid (Complete-mode daily counts, q60's
+    * state) feeds the identical alert logic (q240): batch and stream
+    * alerting cannot drift because they are one definition.
+    */
+  def spikesFromDailyGrid(grid: DataFrame, keyCol: String,
       lookback: Int, numerPct: Int): DataFrame = {
     require(lookback > 0 && numerPct > 0)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
       .rowsBetween(-lookback, -1)
-    dailyCounts(df, keyCol, tsCol)
+    grid
       .withColumn("n_baseline", count(lit(1)).over(w))
       .withColumn("baseline_sum",
         coalesce(sum(col("n")).over(w), lit(0L)))

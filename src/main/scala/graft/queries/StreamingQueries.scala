@@ -600,6 +600,41 @@ object StreamingQueries extends QueryPack {
     // and the quantile pick runs as a BATCH readout over the
     // materialized counters (exactly how a live profile dashboard
     // consumes it). Hash-matches the all-batch q199 formulation.
+    // Streaming volume-spike alerting: the q60 Complete-mode daily
+    // grid IS the alert state, and the q236 spike rule runs as a
+    // batch readout over the materialized counters — one rule
+    // definition for batch and stream (TimeSeries.spikesFromDailyGrid),
+    // so the pager can never disagree with the backfill. Hash-matches
+    // the all-batch q236 formulation.
+    "q240_stream_spikes" -> Q(
+      (s, dir) => {
+        val grid = Streams.runToTable(
+          Streams.dailyCounts(eventsStream(s, dir), "ts",
+            Seq("event_type"), "1 hour"),
+          OutputMode.Complete())
+          .select(col("event_type"), to_date(col("day_start")).as("day"),
+            col("n"))
+        graft.operators.TimeSeries.spikesFromDailyGrid(
+            grid, "event_type", lookback = 7, numerPct = 150)
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_baseline,
+        |    coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS baseline_sum
+        |  FROM d)
+        |SELECT event_type, day, n,
+        |  CAST(n_baseline AS BIGINT) AS n_baseline,
+        |  CAST(baseline_sum AS BIGINT) AS baseline_sum,
+        |  n_baseline = 7 AND n * 100 * 7 > baseline_sum * 150 AS is_spike
+        |FROM w
+        |ORDER BY event_type, day""".stripMargin)),
+
     "q206_stream_histogram" -> Q(
       (s, dir) => {
         val grid = Streams.runToTable(
