@@ -199,6 +199,48 @@ object AnalyticsQueries extends QueryPack {
         |FROM u GROUP BY variant
         |ORDER BY variant""".stripMargin)),
 
+    // User-journey path mining: the most common 3-step event
+    // sequences across all users — per-user (ts, id)-ordered lag
+    // windows form the trigram paths (one user-keyed sort, the q15
+    // transition discipline extended to length 3), then one global
+    // count + top-10 by (count desc, path). The journey readout that
+    // motivates funnel definitions, as data instead of opinion.
+    "q241_journey_paths" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("e1", lag(col("event_type"), 2).over(w))
+          .withColumn("e2", lag(col("event_type"), 1).over(w))
+          .filter(col("e1").isNotNull)
+          .select(concat_ws(">", col("e1"), col("e2"),
+            col("event_type")).as("path"))
+        val ranked = paths.groupBy(col("path"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("path"))).cast("long"))
+          .filter(col("rank") <= 10)
+        ranked.orderBy(col("rank"))
+      },
+      Some("""WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT e1 || '>' || e2 || '>' || event_type AS path
+        |      FROM t WHERE e1 IS NOT NULL),
+        |r AS (SELECT path, count(*) AS n,
+        |    row_number() OVER (ORDER BY count(*) DESC, path) AS rank
+        |  FROM p GROUP BY path)
+        |SELECT path, n, rank FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin)),
+
     // Relative standing per order within its priority class:
     // percent_rank / cume_dist / price quartile. The unique
     // (value, key) order makes ntile's tie assignment deterministic.
