@@ -724,4 +724,82 @@ object Dedup {
       .select(col(idCol), col("match_id"), col("match_jaccard"),
         col("match_id").isNull.as("is_novel"))
   }
+
+  /** EXACT set-similarity join by prefix filtering (AllPairs/PPJoin,
+    * Bayardo et al. / Xiao et al.) — the deterministic complement to
+    * MinHash banding: finds EVERY pair of documents whose distinct-
+    * token Jaccard meets `thresholdPct`/100, with zero false
+    * negatives and no randomized signatures.
+    *
+    * Why it prunes: order each document's tokens rare-first (global
+    * document frequency asc, token asc — a total order). For Jaccard
+    * J(a,b) ≥ t the overlap obeys O ≥ t·max(|a|,|b|) (J ≤ |b|/|a|
+    * forces |b| ≥ t·|a|, and O(1+t) ≥ t(|a|+|b|)), so by pigeonhole
+    * the first |d| − ⌈t·|d|⌉ + 1 tokens of EACH side — its "prefix" —
+    * must share at least one token with any qualifying partner.
+    * Candidates therefore come from an equi-join on PREFIX tokens
+    * only; rare-first ordering makes those prefixes the least
+    * frequent tokens, so join fan-out is minimal and a stopword can
+    * never become a hot key. A size filter (100·|b| ≥ tPct·|a|, both
+    * directions) prunes length-incompatible pairs before the verify.
+    *
+    * Scale shape: token frequencies are one vocabulary-bounded agg;
+    * per-doc prefix ranks are a DOC-keyed window (no global rank);
+    * the candidate join runs on prefix tokens (df-capped via
+    * `maxPrefixDf`: a prefix token shared by more docs than that is
+    * dropped from CANDIDATE GENERATION only — exactness holds
+    * whenever maxPrefixDf ≥ the largest qualifying component's
+    * breadth; pass Int.MaxValue for the unconditional guarantee);
+    * verification touches candidates only. All gate arithmetic is
+    * integer (cross-multiplied threshold, ppm readout).
+    *
+    * Output: (id_a, id_b, inter, sz_a, sz_b, jacc_ppm) for every pair
+    * with id_a < id_b and 100·inter ≥ tPct·(sz_a + sz_b − inter).
+    */
+  def prefixFilterJaccardJoin(docs: DataFrame, idCol: String,
+      textCol: String, thresholdPct: Int,
+      maxPrefixDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdPct >= 1 && thresholdPct <= 100)
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(graft.expressions.WordShingles.shinglesNative(
+          col(textCol), 1)).as("tok"))
+      // an empty/whitespace-only doc shingles to [""] — drop it (it
+      // has no token SET; the SQL rendition of tokens() yields [])
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sz = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // rare-first rank WITHIN each doc (doc-keyed window — scalable);
+    // prefix keeps rank ≤ sz − ⌈t·sz⌉ + 1
+    val ranked = toks.join(df, Seq("tok")).join(sz, Seq("id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rnk") <=
+        col("sz") - expr(s"(${thresholdPct} * sz + 99) div 100") + 1)
+      .filter(col("df") <= maxPrefixDf)
+      .select(col("tok"), col("id"), col("sz"))
+    val cand = ranked.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(ranked.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(100) * col("sz_b") >= lit(thresholdPct) * col("sz_a") &&
+        lit(100) * col("sz_a") >= lit(thresholdPct) * col("sz_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(lit(100) * col("inter") >=
+        lit(thresholdPct) * (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"),
+        expr("(1000000 * inter) div (sz_a + sz_b - inter)").as("jacc_ppm"))
+  }
 }

@@ -1805,6 +1805,34 @@ object LlmQueries extends QueryPack {
         |  best.jaccard AS match_jaccard,
         |  best.id_b IS NULL AS is_novel
         |FROM nb LEFT JOIN best ON nb.doc_id = best.id_a
-        |ORDER BY nb.doc_id""".stripMargin))
+        |ORDER BY nb.doc_id""".stripMargin)),
+
+    // EXACT set-similarity self-join by prefix filtering (AllPairs/
+    // PPJoin): every pair with distinct-unigram Jaccard ≥ 60%, zero
+    // false negatives, no signatures. The oracle is the ALL-PAIRS
+    // truth with NO prefix condition — a green hash proves the
+    // rare-first prefix + size filters are pure access path (the q131
+    // pigeonhole discipline, here from the prefix-filter lemma). All
+    // gate arithmetic is integer: cross-multiplied threshold, ppm
+    // readout by integer division.
+    "q242_prefix_filter_join" -> Q(
+      (s, dir) => Dedup.prefixFilterJaccardJoin(
+          Tables.documents(s, dir), "doc_id", "text", thresholdPct = 60)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH t AS (
+        |  SELECT DISTINCT doc_id, unnest($tokensSql) AS tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  (1000000 * inter) // (sa.sz + sb.sz - inter) AS jacc_ppm
+        |FROM i
+        |JOIN s sa ON sa.doc_id = id_a
+        |JOIN s sb ON sb.doc_id = id_b
+        |WHERE 100 * inter >= 60 * (sa.sz + sb.sz - inter)
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -465,4 +465,45 @@ class DedupSpec extends SparkSpec {
     // output has exactly one row per BATCH doc
     assert(got.length === 2)
   }
+
+  test("prefixFilterJaccardJoin equals brute-force Jaccard on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = ('a' to 'h').map(_.toString) // tiny vocab → dense overlaps
+    val corpus = (0L until 50L).map { id =>
+      id -> (0 until 3 + rnd.nextInt(8))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val sets = corpus.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    for (tPct <- Seq(40, 60, 80)) {
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) intersect sets(b)).size
+        union = (sets(a) union sets(b)).size
+        if 100 * inter >= tPct * union
+      } yield (a, b, inter.toLong)).toSet
+      val got = Dedup.prefixFilterJaccardJoin(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", tPct)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"thresholdPct=$tPct")
+    }
+  }
+
+  test("prefixFilterJaccardJoin: exact copies, empty docs, ppm readout") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact copy of 1
+      (3L, "alpha beta gamma epsilon"), // jaccard 3/5 = 60%
+      (4L, ""),                         // no token set — never pairs
+      (5L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardJoin(docs, "doc_id", "text", 60)
+      .orderBy("id_a", "id_b").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exact = got.head
+    assert(exact.getLong(2) === 4L && exact.getLong(5) === 1000000L)
+    val near = got(1) // inter 3, union 5 → 600000 ppm
+    assert(near.getLong(2) === 3L && near.getLong(5) === 600000L)
+  }
 }
