@@ -280,4 +280,62 @@ object Sketch {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else raw
   }
+
+  /** KMV (k-minimum-values, Bar-Yossef et al.) distinct sketch: the k
+    * smallest DISTINCT md5-derived 60-bit hashes of the key. Unlike
+    * HLL it keeps actual hash values, so two sketches support
+    * INTERSECTION estimates (and therefore Jaccard between streams),
+    * not just unions. The k-th smallest hash h_k pins the estimate
+    * (k−1)·2^60/h_k — uniform order statistics: k points below h_k
+    * over a 2^60 range imply density k/h_k.
+    *
+    * Plan shape: distinct hashes (one partial-agg shuffle), then the
+    * k smallest per group via a group-keyed window — output bounded
+    * by groups × k. Registers are EXACT integers, so the whole sketch
+    * hash-gates against a SQL replay (no approximation in the gate;
+    * the approximation is only in what h_k is used FOR).
+    */
+  def kmvBy(df: DataFrame, groupCol: Column, keyCol: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "KMV needs k >= 2 (the estimate reads h_k with k-1 below)")
+    df.select(groupCol.as("grp"), TextAnalysis.hash60(keyCol).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("rn"), col("h"))
+  }
+
+  /** Merge two [[kmvBy]] register tables over DISJOINT-or-not streams
+    * (KMV tolerates overlap: distinct-union then re-take k smallest
+    * is exactly the sketch of the union — same algebra class as
+    * [[mergeHll]]).
+    */
+  def mergeKmv(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    a.select(col("grp"), col("h"))
+      .unionByName(b.select(col("grp"), col("h")))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("rn"), col("h"))
+  }
+
+  /** Distinct-count estimates from a [[kmvBy]] table: one row per
+    * group. Groups with fewer than k distinct hashes are EXACT (the
+    * sketch holds the whole hash set — report its size); saturated
+    * groups estimate (k−1)·2^60/h_k as ONE long/long IEEE division
+    * (engine-stable, so the readout double hash-gates too).
+    */
+  def kmvEstimate(registers: DataFrame, k: Int): DataFrame = {
+    val maxH = lit(1152921504606846976L) // 2^60, exact in DOUBLE
+    registers.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_regs"), max(col("h")).as("h_k"))
+      .select(col("grp"), col("n_regs"),
+        when(col("n_regs") < k, col("n_regs").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * maxH.cast("double") / col("h_k"))
+          .as("est"))
+  }
 }

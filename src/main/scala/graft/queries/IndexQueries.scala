@@ -1421,7 +1421,43 @@ object IndexQueries extends QueryPack {
         |  CAST(st.unk AS BIGINT) AS n_unk
         |FROM enc
         |ORDER BY word""".stripMargin
-      })
+      }),
+
+    // KMV (k-minimum-values) distinct sketch with split-and-merge:
+    // the corpus is sketched as two halves (doc_id parity) that MERGE
+    // into one register table — the oracle replays the WHOLE stream
+    // directly, so a green hash proves the merge algebra exactly
+    // (mergeKmv(A, B) ≡ kmv(A ∪ B); the q115 discipline). Registers
+    // are exact integers; the estimate is exact below saturation and
+    // (k−1)·2^60/h_k above it — one exact double product (15·2^60 is
+    // a 4-bit mantissa) and one IEEE division, engine-stable.
+    "q243_kmv_sketch" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def sketchHalf(even: Boolean) = Sketch.kmvBy(
+          docs.filter((col("doc_id") % 2 === 0) === even),
+          col("source"), col("text"), k = 16)
+        val merged = Sketch.mergeKmv(sketchHalf(true), sketchHalf(false), 16)
+        merged.join(Sketch.kmvEstimate(merged, 16), Seq("grp"))
+          .select(col("grp"), col("rn"), col("h"), col("n_regs"), col("est"))
+          .orderBy(col("grp"), col("rn"))
+      },
+      Some("""WITH d AS (
+        |  SELECT DISTINCT source AS grp,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |  FROM d),
+        |reg AS (SELECT grp, CAST(rn AS INT) AS rn, h FROM r WHERE rn <= 16),
+        |e AS (SELECT grp, count(*) AS n_regs, max(h) AS h_k
+        |      FROM reg GROUP BY 1)
+        |SELECT reg.grp, rn, h, n_regs,
+        |  CASE WHEN n_regs < 16 THEN CAST(n_regs AS DOUBLE)
+        |       ELSE 15.0 * 1152921504606846976.0 / h_k END AS est
+        |FROM reg JOIN e ON reg.grp = e.grp
+        |ORDER BY reg.grp, rn""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

@@ -213,4 +213,46 @@ class SketchSpec extends SparkSpec {
       if (trulyIngested) assert(might)
     }
   }
+
+  test("kmv: merge of overlapping halves equals the direct sketch") {
+    import spark.implicits._
+    val whole = (0 until 900).map(i => ("g", s"key$i")).toDF("grp", "k")
+    val a = whole.filter(expr("substr(k, 4) % 3 != 0"))   // 2/3 of keys
+    val b = whole.filter(expr("substr(k, 4) % 3 != 1"))   // overlapping 2/3
+    val direct = Sketch.kmvBy(whole, col("grp"), col("k"), 32)
+      .orderBy("rn").collect().map(r => (r.getInt(1), r.getLong(2)))
+    val merged = Sketch.mergeKmv(
+        Sketch.kmvBy(a, col("grp"), col("k"), 32),
+        Sketch.kmvBy(b, col("grp"), col("k"), 32), 32)
+      .orderBy("rn").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(merged.toSeq === direct.toSeq)
+    assert(direct.length === 32)
+  }
+
+  test("kmv estimate: exact below saturation, ~1/sqrt(k) above") {
+    import spark.implicits._
+    val few = (0 until 9).map(i => ("small", s"s$i"))
+    val many = (0 until 20000).map(i => ("big", s"b$i"))
+    val regs = Sketch.kmvBy((few ++ many).toDF("grp", "k"),
+      col("grp"), col("k"), 256)
+    val est = Sketch.kmvEstimate(regs, 256)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(est("small") === ((9L, 9.0))) // unsaturated → exact
+    val (nRegs, bigEst) = est("big")
+    assert(nRegs === 256L)
+    assert(math.abs(bigEst - 20000.0) / 20000.0 < 0.2,
+      s"relative error too high: $bigEst")
+  }
+
+  test("kmv registers are duplication- and order-invariant") {
+    import spark.implicits._
+    val once = (0 until 300).map(i => ("g", s"k$i"))
+    val thrice = scala.util.Random.shuffle(once ++ once ++ once)
+    val r1 = Sketch.kmvBy(once.toDF("grp", "k"), col("grp"), col("k"), 24)
+      .orderBy("rn").collect().map(_.getLong(2)).toSeq
+    val r2 = Sketch.kmvBy(thrice.toDF("grp", "k"), col("grp"), col("k"), 24)
+      .orderBy("rn").collect().map(_.getLong(2)).toSeq
+    assert(r1 === r2)
+  }
 }
