@@ -189,4 +189,46 @@ object Graph {
       .select(col("item"), col("neighbor"), col("n_common"),
         col("n_item"), col("n_neighbor"), col("jaccard_ppm"), col("rank"))
   }
+
+  /** Basket co-occurrence LIFT mining (association rules without the
+    * Apriori lattice — the pair grain is enough for affinity
+    * readouts): for every unordered item pair, support n_ab and
+    * lift = P(a,b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b) as exact integer
+    * ppm by cross-multiplied division. Lift > 1e6 ppm means the pair
+    * co-occurs MORE than independence predicts.
+    *
+    * Plan shape: distinct (basket, item) rides one shuffle; pairs
+    * come from a basket-keyed self-join bounded by Σ|basket|² (cap
+    * basket width upstream for pathological baskets — the q227
+    * discipline); sizes and the one-row basket total broadcast onto
+    * the pair frame. `minSupport` prunes the long noise tail before
+    * the readout. Integer range: 1e6·n_ab·N stays in BIGINT while
+    * n_ab·N < 9.2e12 — beyond that (trillions of baskets) move the
+    * product to DECIMAL(38,0); the gate pins today's exact algebra.
+    */
+  def cooccurrenceLift(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = bi.select(col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val sizes = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pairs = bi.as("x")
+      .join(bi.as("y"), col("x.b") === col("y.b") &&
+        col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(sizes.select(col("i").as("item_a"), col("n").as("n_a")),
+        Seq("item_a"))
+      .join(sizes.select(col("i").as("item_b"), col("n").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(total)) // one-row scalar attach
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_ppm"))
+  }
 }

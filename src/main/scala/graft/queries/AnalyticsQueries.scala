@@ -301,6 +301,62 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
         |FROM orders
         |GROUP BY CUBE(o_orderpriority, o_orderstatus)
-        |ORDER BY o_orderpriority, o_orderstatus, gid""".stripMargin))
+        |ORDER BY o_orderpriority, o_orderstatus, gid""".stripMargin)),
+
+    // Session-basket co-occurrence lift: 30-min gap sessions are the
+    // baskets (q62's rule via Windows.sessionize), distinct
+    // event_types the items, and every unordered pair reads support
+    // plus lift = P(a,b)/(P(a)P(b)) in exact cross-multiplied ppm —
+    // association mining at the pair grain, the "users who did A in a
+    // session also did B" readout. All-integer gate.
+    "q244_session_lift" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val baskets = graft.operators.Windows
+          .sessionize(ev, "user_id", "ts", "event_id", 1800L)
+          .select(concat_ws("#", col("user_id"), col("session_id"))
+            .as("basket"), col("event_type").as("item"))
+        graft.operators.Graph
+          .cooccurrenceLift(baskets, "basket", "item", minSupport = 2L)
+          .orderBy(col("item_a"), col("item_b"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events WHERE user_id IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, event_id, event_type, ms,
+        |    lag(ms) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS prev
+        |  FROM e),
+        |b AS (
+        |  SELECT user_id, event_type,
+        |    sum(CASE WHEN prev IS NULL OR ms - prev > 1800000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM a),
+        |bi AS (
+        |  SELECT DISTINCT user_id || '#' || sid AS basket,
+        |    event_type AS item
+        |  FROM b),
+        |n AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+        |sz AS (SELECT item, count(*) AS nn FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |  FROM bi x JOIN bi y
+        |    ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, sa.nn AS n_a, sb.nn AS n_b,
+        |  n_baskets,
+        |  (1000000 * n_ab * n_baskets) // (sa.nn * sb.nn) AS lift_ppm
+        |FROM p
+        |JOIN sz sa ON sa.item = item_a
+        |JOIN sz sb ON sb.item = item_b
+        |CROSS JOIN n
+        |WHERE n_ab >= 2
+        |ORDER BY item_a, item_b""".stripMargin))
   )
 }

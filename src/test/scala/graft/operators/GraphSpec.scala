@@ -106,4 +106,39 @@ class GraphSpec extends SparkSpec {
       ("B", "A") -> (2L, 2L, 3L, 666666L, 1L),
       ("C", "A") -> (1L, 1L, 3L, 333333L, 1L)))
   }
+
+  test("cooccurrenceLift: exact ppm lift, minSupport prune, unordered pairs") {
+    import spark.implicits._
+    // 4 baskets: A+B together twice (lift > 1), A+C once (pruned at
+    // minSupport=2), D alone (never pairs)
+    val bi = Seq(
+      ("b1", "A"), ("b1", "B"),
+      ("b2", "A"), ("b2", "B"), ("b2", "B"), // dup item collapses
+      ("b3", "A"), ("b3", "C"),
+      ("b4", "D")).toDF("basket", "item")
+    val got = Graph.cooccurrenceLift(bi, "basket", "item", minSupport = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))))
+      .toMap
+    // only (A,B): n_ab=2, n_a=3, n_b=2, N=4 → lift = 2·4/(3·2) = 4/3
+    assert(got === Map(
+      ("A", "B") -> ((2L, 3L, 2L, 4L, 1333333L))))
+  }
+
+  test("cooccurrenceLift: independence reads exactly 1e6 ppm") {
+    import spark.implicits._
+    // items X and Y occur in 2 of 4 baskets each, co-occur in 1:
+    // lift = 1·4/(2·2) = 1.0 exactly
+    val bi = Seq(
+      ("b1", "X"), ("b1", "Y"),
+      ("b2", "X"),
+      ("b3", "Y"),
+      ("b4", "Z")).toDF("basket", "item")
+    val got = Graph.cooccurrenceLift(bi, "basket", "item", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(6))
+      .toMap
+    assert(got(("X", "Y")) === 1000000L)
+  }
 }
