@@ -158,4 +158,61 @@ object TimeSeries {
         min(col("tmin")).as("tmin"), max(col("tmax")).as("tmax"),
         sum(col("v")).cast("double").as("sum_value"))
   }
+
+  /** Day-of-week seasonal profile: each day's count vs the mean of
+    * ALL observed same-weekday days for its key (current day
+    * included — this is the full-period seasonal baseline, not a
+    * trailing one; compose with [[spikesFromDailyGrid]] for trailing
+    * alerts). The ratio is exact integer ppm by cross-multiplication:
+    * ratio = n / (dow_sum/n_dow_days) → 1e6·n·n_dow_days div dow_sum
+    * — no float mean anywhere, so the whole profile hash-gates.
+    * Weekday currency: Spark `weekday` (0=Mon..6=Sun) ≡ DuckDB
+    * `isodow − 1`. Two windows over the same (key, dow) partition —
+    * one keyed shuffle over the dimension-bounded daily grid.
+    */
+  def dowBaselineDeviation(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val grid = dailyCounts(df, keyCol, tsCol)
+      .withColumn("dow", weekday(col("day")).cast("int"))
+    val w = Window.partitionBy(col(keyCol), col("dow"))
+    grid
+      .withColumn("n_dow_days", count(lit(1)).over(w))
+      .withColumn("dow_sum", sum(col("n")).over(w))
+      .withColumn("ratio_ppm",
+        expr("(1000000 * n * n_dow_days) div dow_sum"))
+      .select(col(keyCol), col("day"), col("dow"), col("n"),
+        col("n_dow_days"), col("dow_sum"), col("ratio_ppm"))
+  }
+
+  /** CUSUM changepoint scan over the daily grid: the cumulative
+    * deviation of each prefix from the key's overall mean rate, in
+    * EXACT integers — dev_i = D·S_i − i·T (D days, T total events,
+    * S_i prefix sum at day i) is 86400·D× the classic CUSUM statistic
+    * with the float mean cleared by cross-multiplication. The day
+    * maximizing |dev| is the single most likely level-shift point
+    * (the classic binary-segmentation pivot); `is_peak` marks it
+    * (ties → earliest day). One keyed shuffle; the prefix and
+    * whole-partition windows share the sort.
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val grid = dailyCounts(df, keyCol, tsCol)
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val scored = grid
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("d_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("dev",
+        col("d_days") * col("cum") - col("i") * col("total"))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(abs(col("dev")).desc, col("day"))))
+      .withColumn("is_peak", col("__rk") === 1)
+      .select(col(keyCol), col("day"), col("i"), col("n"), col("cum"),
+        col("dev"), col("is_peak"))
+  }
 }

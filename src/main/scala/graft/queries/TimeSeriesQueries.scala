@@ -178,6 +178,64 @@ object TimeSeriesQueries extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |    AS sum_value
         |FROM events GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Day-of-week seasonal profile: each day vs the mean of all
+    // same-weekday days for its event_type — ratio in exact
+    // cross-multiplied ppm (1e6·n·n_dow_days div dow_sum), no float
+    // mean. weekday(): Spark 0=Mon..6=Sun ≡ DuckDB isodow−1.
+    "q245_dow_baseline" -> Q(
+      (s, dir) => TimeSeries.dowBaselineDeviation(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day,
+        |    CAST(isodow(day) - 1 AS INT) AS dow, n,
+        |    count(*) OVER (PARTITION BY event_type, isodow(day))
+        |      AS n_dow_days,
+        |    CAST(sum(n) OVER (PARTITION BY event_type, isodow(day))
+        |      AS BIGINT) AS dow_sum
+        |  FROM d)
+        |SELECT event_type, day, dow, n,
+        |  CAST(n_dow_days AS BIGINT) AS n_dow_days, dow_sum,
+        |  (1000000 * n * n_dow_days) // dow_sum AS ratio_ppm
+        |FROM w
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // CUSUM changepoint scan: cumulative deviation from the per-key
+    // mean rate in exact integers (dev_i = D·S_i − i·T), peak |dev|
+    // marks the most likely level shift. All-integer gate.
+    "q246_cusum_changepoint" -> Q(
+      (s, dir) => TimeSeries.cusumChangepoint(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS i,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS d_days,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total
+        |  FROM d),
+        |s AS (
+        |  SELECT event_type, day, i, n, cum,
+        |    d_days * cum - i * total AS dev
+        |  FROM w),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(dev) DESC, day) AS rk
+        |  FROM s)
+        |SELECT event_type, day, i, n, cum, dev, rk = 1 AS is_peak
+        |FROM r
+        |ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -125,4 +125,54 @@ class TimeSeriesSpec extends SparkSpec {
       (5L, 3L, true),   // 1500 > 900
       (2L, 3L, false))) // 600 < 1350
   }
+
+  test("dowBaselineDeviation: same-weekday mean in exact ppm") {
+    import spark.implicits._
+    // Mondays 2024-01-01/08/15 with 2, 4, 6 events (mean 4); Tuesday
+    // 2024-01-02 with 3 events (its own sole baseline)
+    val rows = Seq(
+      ("2024-01-01", 2), ("2024-01-08", 4), ("2024-01-15", 6),
+      ("2024-01-02", 3)
+    ).flatMap { case (d, k) =>
+      (0 until k).map(i => ("A", ts(s"$d 0$i:00:00")))
+    }
+    val got = TimeSeries.dowBaselineDeviation(
+        rows.toDF("k", "ts"), "k", "ts")
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(1).toString, r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0, 2L, 3L, 12L, 500000L),  // 2 vs mean 4
+      ("2024-01-02", 1, 3L, 1L, 3L, 1000000L),  // own baseline
+      ("2024-01-08", 0, 4L, 3L, 12L, 1000000L), // at the mean
+      ("2024-01-15", 0, 6L, 3L, 12L, 1500000L)))
+  }
+
+  test("cusumChangepoint peaks at a planted level shift") {
+    import spark.implicits._
+    // 4 days at 1 event, then 4 days at 5: the mean-rate crossover
+    // is after day 4 — |dev| = D·S_i − i·T peaks at i=4
+    val rows = (1 to 8).flatMap { d =>
+      val k = if (d <= 4) 1 else 5
+      (0 until k).map(i => ("A", ts(f"2024-02-0$d 0$i:00:00")))
+    }
+    val got = TimeSeries.cusumChangepoint(rows.toDF("k", "ts"), "k", "ts")
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(2), r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+    // T = 24, D = 8: dev_i = 8·S_i − 24·i
+    assert(got.map(_._3).toSeq ===
+      Seq(-16L, -32L, -48L, -64L, -48L, -32L, -16L, 0L))
+    assert(got.map(_._4).toSeq ===
+      Seq(false, false, false, true, false, false, false, false))
+  }
+
+  test("cusumChangepoint: flat series peaks at day 1 with dev 0") {
+    import spark.implicits._
+    val rows = (1 to 3).map(d => ("A", ts(s"2024-03-0$d 00:00:00")))
+    val got = TimeSeries.cusumChangepoint(rows.toDF("k", "ts"), "k", "ts")
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq === Seq((0L, true), (0L, false), (0L, false)))
+  }
 }
