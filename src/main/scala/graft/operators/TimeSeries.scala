@@ -143,14 +143,22 @@ object TimeSeries {
     * until the final cast (decimal addition is associative; double
     * addition is not).
     */
-  def weeklyFromDailyPartials(df: DataFrame, keyCol: String,
-      tsCol: String, valCol: String): DataFrame = {
-    val daily = df
-      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+  /** The persisted daily-partial grain shared by [[weeklyFromDailyPartials]]
+    * and [[upsertDailyPartials]]: algebraic sufficient statistics
+    * (count / min / max / DECIMAL sum) at (key, day) — every readout
+    * above this grain merges without re-touching facts.
+    */
+  def dailyPartials(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"),
         min(unix_timestamp(col(tsCol))).as("tmin"),
         max(unix_timestamp(col(tsCol))).as("tmax"),
         sum(col(valCol).cast("decimal(18,6)")).as("v"))
+
+  def weeklyFromDailyPartials(df: DataFrame, keyCol: String,
+      tsCol: String, valCol: String): DataFrame = {
+    val daily = dailyPartials(df, keyCol, tsCol, valCol)
     daily
       .groupBy(col(keyCol),
         to_date(date_trunc("week", col("day"))).as("week"))
@@ -214,5 +222,33 @@ object TimeSeries {
       .withColumn("is_peak", col("__rk") === 1)
       .select(col(keyCol), col("day"), col("i"), col("n"), col("cum"),
         col("dev"), col("is_peak"))
+  }
+
+  /** Incremental view maintenance with LATE DATA: merge a
+    * late-arriving fact batch into an existing [[dailyPartials]] gold
+    * table, recomputing ONLY the touched (key, day) cells — the
+    * untouched grid passes through by anti-join, never re-aggregated.
+    * At 100 TB this is the difference between "a day of stragglers
+    * reprocesses the world" and "a day of stragglers costs one
+    * batch-sized agg + a grid-keyed join": the fact table is never
+    * re-read. Merge algebra = sum/min/max/DECIMAL-sum of partials
+    * (associative — the q200 identity), so
+    * upsert(partials(A), B) ≡ partials(A ∪ B) EXACTLY, which is the
+    * oracle gate.
+    */
+  def upsertDailyPartials(partials: DataFrame, lateFacts: DataFrame,
+      keyCol: String, tsCol: String, valCol: String): DataFrame = {
+    val lateDaily = dailyPartials(lateFacts, keyCol, tsCol, valCol)
+    val touchedKeys = lateDaily.select(col(keyCol), col("day"))
+    val untouched = partials.join(touchedKeys, Seq(keyCol, "day"),
+      "left_anti")
+    val merged = partials.join(touchedKeys, Seq(keyCol, "day"),
+        "left_semi")
+      .unionByName(lateDaily)
+      .groupBy(col(keyCol), col("day"))
+      .agg(sum(col("n")).as("n"),
+        min(col("tmin")).as("tmin"), max(col("tmax")).as("tmax"),
+        sum(col("v")).cast("decimal(18,6)").as("v"))
+    untouched.unionByName(merged)
   }
 }

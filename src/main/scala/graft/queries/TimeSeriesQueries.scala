@@ -236,6 +236,33 @@ object TimeSeriesQueries extends QueryPack {
         |  FROM s)
         |SELECT event_type, day, i, n, cum, dev, rk = 1 AS is_peak
         |FROM r
-        |ORDER BY event_type, day""".stripMargin))
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // Incremental view maintenance with late data: a straggler batch
+    // (event_id % 7 = 0) merges into the daily-partials gold table
+    // touching ONLY its (key, day) cells, while the oracle aggregates
+    // ALL events directly — the green hash proves
+    // upsert(partials(base), late) ≡ partials(base ∪ late) exactly
+    // (DECIMAL sums re-associate losslessly; the q200 identity under
+    // mutation).
+    "q247_late_data_upsert" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val isLate = col("event_id") % 7 === 0
+        val partials = TimeSeries.dailyPartials(
+          ev.filter(!isLate), "event_type", "ts", "value")
+        TimeSeries.upsertDailyPartials(partials, ev.filter(isLate),
+            "event_type", "ts", "value")
+          .select(col("event_type"), col("day"), col("n"), col("tmin"),
+            col("tmax"), col("v").cast("double").as("sum_value"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS tmin,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS tmax,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin))
   )
 }

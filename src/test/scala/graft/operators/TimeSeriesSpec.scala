@@ -167,6 +167,33 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(false, false, false, true, false, false, false, false))
   }
 
+  test("upsertDailyPartials: merge ≡ direct build, new cells appear") {
+    import spark.implicits._
+    val base = Seq(
+      ("A", ts("2024-01-01 01:00:00"), 1.5),
+      ("A", ts("2024-01-01 02:00:00"), 2.5),
+      ("A", ts("2024-01-02 01:00:00"), 4.0),
+      ("B", ts("2024-01-01 03:00:00"), 8.0)).toDF("k", "ts", "v")
+    val late = Seq(
+      ("A", ts("2024-01-01 00:30:00"), 0.5),  // touches A/01-01
+      ("C", ts("2024-01-03 05:00:00"), 9.0))  // brand-new cell
+      .toDF("k", "ts", "v")
+    val partials = TimeSeries.dailyPartials(base, "k", "ts", "v")
+    val got = TimeSeries.upsertDailyPartials(partials, late, "k", "ts", "v")
+    val direct = TimeSeries.dailyPartials(base.unionByName(late),
+      "k", "ts", "v")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getDate(1).toString)
+    val toMap = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => key(r) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDecimal(5).doubleValue))).toMap
+    assert(toMap(got) === toMap(direct))
+    // untouched cells (A/01-02, B/01-01) pass through the anti-join
+    assert(toMap(got)(("A", "2024-01-02")) ===
+      toMap(partials)(("A", "2024-01-02")))
+  }
+
   test("cusumChangepoint: flat series peaks at day 1 with dev 0") {
     import spark.implicits._
     val rows = (1 to 3).map(d => ("A", ts(s"2024-03-0$d 00:00:00")))
