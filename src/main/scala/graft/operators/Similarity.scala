@@ -850,4 +850,36 @@ object Similarity {
       .select(col("query_id"), col("rn").cast("long").as("rn"),
         col("neighbor_id"), col("adist"))
   }
+
+  /** Embedding OUTLIER detection against the per-group centroid — the
+    * mislabeled-sample / noise-document screen of a training-data
+    * pipeline: each vector's cosine to its OWN group's mean vector,
+    * bottom-`bottomK` per group flagged for review. Centroids use the
+    * [[KmQ]] floor-quantized long sums (exact and order-free — the
+    * q84 discipline), so the whole readout hash-gates; scoring is the
+    * native codegen cosine. One partial-agg shuffle for the
+    * group-count-bounded centroid frame, which then BROADCASTS onto
+    * the corpus scan — the corpus itself shuffles only the bottom-k
+    * window at group grain.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      grpCol: String, dim: Int, bottomK: Int): DataFrame = {
+    require(dim >= 1 && bottomK >= 1)
+    val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
+      sum(floor(element_at(col(vecCol), d + 1) * KmQ)).as(s"s$d"))
+    val cents = df.groupBy(col(grpCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(grpCol), col("n").as("n_members"),
+        array((0 until dim).map(d =>
+          col(s"s$d").cast("double") /
+            (col("n").cast("double") * KmQ)): _*).as("__c"))
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col("cos").asc, col(idCol))
+    df.join(broadcast(cents), Seq(grpCol))
+      .withColumn("cos", cosineNative(col(vecCol), col("__c")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= bottomK)
+      .select(col(grpCol), col("rn"), col(idCol), col("n_members"),
+        col("cos"))
+  }
 }

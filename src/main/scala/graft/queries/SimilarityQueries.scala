@@ -1020,6 +1020,47 @@ object SimilarityQueries extends QueryPack {
         |      ORDER BY adist ASC, neighbor_id) AS rn FROM s)
         |SELECT query_id, rn, neighbor_id, adist FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin
+      }),
+
+    // Embedding outliers vs the per-label centroid: bottom-5 cosine
+    // per label — the mislabeled/noise screen. Centroids ride the
+    // KmQ floor-quantized long sums (exact, order-free — q84's
+    // discipline), one division per coordinate, native cosine.
+    "q248_centroid_outliers" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            vec(col("embedding")).as("embedding"))
+        Similarity.centroidOutliers(e, "vec_id", "embedding", "label",
+            dim = 64, bottomK = 5)
+          .orderBy(col("label"), col("rn"))
+      },
+      {
+        val dim = 64
+        val q20 = "1048576.0"
+        val sumExprs = (0 until dim).map(d =>
+          s"CAST(sum(CAST(floor(v[${d + 1}] * $q20) AS BIGINT)) AS BIGINT) AS s$d")
+          .mkString(",\n|    ")
+        val centroidList = (0 until dim).map(d => s"s$d / (n * $q20)")
+          .mkString("[", ", ", "]")
+        Some(s"""WITH e AS (
+          |  SELECT vec_id, label, $vSql AS v FROM embeddings),
+          |g AS (SELECT label, count(*) AS n,
+          |    $sumExprs
+          |  FROM e GROUP BY label),
+          |c AS (SELECT label, n AS n_members, $centroidList AS cv
+          |  FROM g),
+          |s AS (SELECT e.label, e.vec_id, c.n_members,
+          |    ${cosSql("v", "cv")} AS cos
+          |  FROM e JOIN c USING (label)),
+          |r AS (SELECT label, vec_id, n_members, cos,
+          |    row_number() OVER (PARTITION BY label
+          |      ORDER BY cos ASC, vec_id) AS rn
+          |  FROM s)
+          |SELECT label, CAST(rn AS BIGINT) AS rn, vec_id, n_members,
+          |  cos
+          |FROM r WHERE rn <= 5
+          |ORDER BY label, rn""".stripMargin)
       })
   )
 }

@@ -425,4 +425,27 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rn").collect().map(_.getLong(2))
     assert(got.head === 2L) // ADC: nearest coded vector is the cluster-mate
   }
+
+  test("centroidOutliers flags the planted off-cluster vector first") {
+    import spark.implicits._
+    // label 0: three tight vectors near (1,0,0,0) plus one planted
+    // near-orthogonal outlier; label 1: its own tight cluster
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, 0, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      (4L, 0, Seq(0.0f, 0.0f, 1.0f, 0.0f)), // outlier
+      (5L, 1, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (6L, 1, Seq(0.0f, 0.95f, 0.05f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val got = Similarity.centroidOutliers(df, "vec_id", "embedding",
+        "label", dim = 4, bottomK = 2)
+      .orderBy("label", "rn").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // label 0's rank-1 outlier must be the planted vec 4
+    assert(got.take(2).map(_._3).head === 4L)
+    assert(got.count(_._1 == 0) === 2 && got.count(_._1 == 1) === 2)
+  }
 }
