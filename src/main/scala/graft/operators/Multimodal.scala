@@ -943,4 +943,148 @@ object Multimodal {
     }
     df.sparkSession.createDataFrame(rdd, out)
   }
+
+  /** Silence segmentation over the REAL decoded PCM stream (the
+    * speech-pipeline pre-chunker: split long audio at silences, drop
+    * dead air before feature extraction): consecutive runs of samples
+    * with |s| < `threshold`, kept when at least `minRun` long. Runs
+    * are computed in one forward pass inside the decoder loop — per
+    * partition, no shuffle — and every output is an exact integer on
+    * the synthetic sample formula, so the whole segmentation
+    * hash-gates against a gaps-and-islands SQL replay (q249).
+    * `first_start` is −1 when a row has no qualifying run.
+    */
+  def silenceSegments(df: DataFrame, idCol: String, threshold: Int,
+      minRun: Int): DataFrame = {
+    require(threshold > 0 && minRun >= 1)
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_samples", LongType),
+      StructField("n_silent", LongType),
+      StructField("n_runs", LongType),
+      StructField("max_run", LongType),
+      StructField("first_start", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val sb = readPcm16(syntheticWav(id)).getOrElse(
+          throw new IllegalStateException(
+            s"WAV decode failed for id $id"))._2
+        var n = 0L; var silent = 0L; var runs = 0L; var maxRun = 0L
+        var firstStart = -1L; var cur = 0L; var curStart = -1L
+        def closeRun(): Unit = if (cur >= minRun) {
+          runs += 1; silent += cur
+          if (cur > maxRun) maxRun = cur
+          if (firstStart < 0) firstStart = curStart
+        }
+        while (sb.hasRemaining) {
+          val s = sb.get().toLong
+          if (math.abs(s) < threshold) {
+            if (cur == 0) curStart = n
+            cur += 1
+          } else { closeRun(); cur = 0 }
+          n += 1
+        }
+        closeRun()
+        Row(id, n, silent, runs, maxRun, firstStart)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Append a `tEXt` chunk (keyword NUL text, per the PNG spec) just
+    * before IEND, with a correct CRC32 over type+data — the write
+    * half of the metadata round trip. The payload stays a VALID png:
+    * strict decoders verify chunk CRCs, so the checksum is computed,
+    * not faked.
+    */
+  def addPngTextChunk(png: Array[Byte], key: String,
+      value: String): Array[Byte] = {
+    require(isPng(png) && png.length >= 12)
+    val data = (key + "\u0000" + value)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val crc = new java.util.zip.CRC32()
+    crc.update("tEXt".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    crc.update(data)
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+    chunk.putInt(data.length)
+    chunk.put("tEXt".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    chunk.put(data)
+    chunk.putInt(crc.getValue.toInt)
+    val iendAt = png.length - 12 // len(0) + "IEND" + crc
+    val out = new Array[Byte](png.length + 12 + data.length)
+    System.arraycopy(png, 0, out, 0, iendAt)
+    System.arraycopy(chunk.array(), 0, out, iendAt, 12 + data.length)
+    System.arraycopy(png, iendAt, out, iendAt + 12 + data.length, 12)
+    out
+  }
+
+  /** REAL PNG container walk (the ISO-8859-1 metadata sidecar of an
+    * image corpus — EXIF-class provenance without an external
+    * library): iterate length/type/data/crc chunks from offset 8,
+    * read width/height straight from IHDR bytes, and collect every
+    * tEXt keyword/value pair. Returns (width, height, pairs).
+    */
+  def pngTextChunks(bytes: Array[Byte]): Option[(Int, Int, Seq[(String, String)])] = {
+    if (!isPng(bytes)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.position(8)
+      var w = -1; var h = -1
+      val pairs = Seq.newBuilder[(String, String)]
+      while (bb.remaining() >= 12) {
+        val len = bb.getInt
+        val tpe = new String(Array(bb.get(), bb.get(), bb.get(), bb.get()),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val data = new Array[Byte](len)
+        bb.get(data)
+        bb.getInt // crc (validated by strict decoders; the walk trusts it)
+        tpe match {
+          case "IHDR" =>
+            val ib = java.nio.ByteBuffer.wrap(data)
+            w = ib.getInt; h = ib.getInt
+          case "tEXt" =>
+            val nul = data.indexOf(0.toByte)
+            if (nul > 0) pairs += ((
+              new String(data, 0, nul,
+                java.nio.charset.StandardCharsets.ISO_8859_1),
+              new String(data, nul + 1, len - nul - 1,
+                java.nio.charset.StandardCharsets.ISO_8859_1)))
+          case _ => ()
+        }
+      }
+      if (w < 0) None else Some((w, h, pairs.result()))
+    } catch { case _: Exception => None }
+  }
+
+  /** q250's operator: stamp two provenance tEXt chunks into each
+    * row's synthetic PNG, then re-parse them with the REAL container
+    * walk — one row per recovered chunk. Injection and extraction are
+    * independent code paths over the actual byte layout (writer
+    * splices before IEND with a computed CRC; reader walks
+    * length/type/data frames), so the gate proves the container
+    * format, not a shared in-memory map.
+    */
+  def pngMetadataRoundTrip(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("chunk_key", StringType),
+      StructField("chunk_value", StringType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val png = addPngTextChunk(
+          addPngTextChunk(syntheticPng(id), "Comment", s"doc-$id"),
+          "Source", s"synthetic-${id % 10}")
+        val (w, h, pairs) = pngTextChunks(png).getOrElse(
+          throw new IllegalStateException(
+            s"PNG metadata round-trip failed for id $id"))
+        pairs.map { case (k, v) => Row(id, w, h, k, v) }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
 }

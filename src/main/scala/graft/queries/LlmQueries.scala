@@ -1833,6 +1833,65 @@ object LlmQueries extends QueryPack {
         |JOIN s sa ON sa.doc_id = id_a
         |JOIN s sb ON sb.doc_id = id_b
         |WHERE 100 * inter >= 60 * (sa.sz + sb.sz - inter)
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Silence segmentation over the REAL JDK WAV decode: runs of
+    // |sample| < 8192 at least 2 long, per doc — counts, longest run,
+    // first start. The oracle replays the synthetic sample formula as
+    // a gaps-and-islands SQL, so the gate pins the decoder AND the
+    // run-length logic in exact integers (the q63 discipline).
+    "q249_wav_silence" -> Q(
+      (s, dir) => Multimodal.silenceSegments(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          threshold = 8192, minRun = 2)
+        .select(col("id").as("doc_id"), col("n_samples"),
+          col("n_silent"), col("n_runs"), col("max_run"),
+          col("first_start"))
+        .orderBy(col("doc_id")),
+      Some("""WITH s AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+        |        FROM documents)),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY i) AS grp
+        |  FROM s WHERE abs(v) < 8192),
+        |runs AS (
+        |  SELECT doc_id, min(i) AS start_i, count(*) AS len
+        |  FROM g GROUP BY doc_id, grp),
+        |q AS (
+        |  SELECT doc_id, count(*) AS n_runs,
+        |    CAST(sum(len) AS BIGINT) AS n_silent,
+        |    max(len) AS max_run, min(start_i) AS first_start
+        |  FROM runs WHERE len >= 2 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(64 AS BIGINT) AS n_samples,
+        |  coalesce(n_silent, 0) AS n_silent,
+        |  coalesce(n_runs, 0) AS n_runs,
+        |  coalesce(max_run, 0) AS max_run,
+        |  coalesce(first_start, -1) AS first_start
+        |FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // PNG metadata round trip: two provenance tEXt chunks spliced
+    // into each synthetic PNG (computed CRC, before IEND) and
+    // recovered by walking the real chunk layout — plus IHDR
+    // width/height read from the container bytes. The oracle states
+    // the closed-form truth; a green hash means the writer and the
+    // independent reader agree on the actual PNG byte format.
+    "q250_png_metadata" -> Q(
+      (s, dir) => Multimodal.pngMetadataRoundTrip(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("chunk_key"), col("chunk_value"))
+        .orderBy(col("doc_id"), col("chunk_key")),
+      Some("""SELECT doc_id, CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height, k AS chunk_key,
+        |  CASE k WHEN 'Comment' THEN 'doc-' || doc_id
+        |         ELSE 'synthetic-' || (doc_id % 10) END AS chunk_value
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['Comment', 'Source']) AS k)
+        |ORDER BY doc_id, chunk_key""".stripMargin))
   )
 }

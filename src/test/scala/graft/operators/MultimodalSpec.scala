@@ -318,4 +318,49 @@ class MultimodalSpec extends SparkSpec {
       assert(((hi << 32) | lo) === hash)
     }
   }
+
+  test("silenceSegments matches a driver-side run-length reference") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 123L, 4096L)
+    val got = Multimodal.silenceSegments(ids.toDF("doc_id"), "doc_id",
+        threshold = 8192, minRun = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    ids.foreach { id =>
+      val samples = (0 until 64).map(i =>
+        Math.floorMod(id * 31 + i * 7, 65536L) - 32768L)
+      var runs = List.empty[(Int, Int)] // (start, len)
+      var cur = -1
+      samples.zipWithIndex.foreach { case (s, i) =>
+        if (math.abs(s) < 8192) { if (cur < 0) cur = i }
+        else if (cur >= 0) { runs ::= ((cur, i - cur)); cur = -1 }
+      }
+      if (cur >= 0) runs ::= ((cur, 64 - cur))
+      val kept = runs.reverse.filter(_._2 >= 2)
+      val exp = (64L, kept.map(_._2.toLong).sum, kept.size.toLong,
+        if (kept.isEmpty) 0L else kept.map(_._2).max.toLong,
+        kept.headOption.map(_._1.toLong).getOrElse(-1L))
+      assert(got(id) === exp, s"id $id")
+    }
+  }
+
+  test("png tEXt chunks round-trip and keep the image decodable") {
+    val png = Multimodal.addPngTextChunk(
+      Multimodal.addPngTextChunk(Multimodal.syntheticPng(42L),
+        "Comment", "hello world"),
+      "Source", "unit-test")
+    val Some((w, h, pairs)) = Multimodal.pngTextChunks(png)
+    assert((w, h) === ((8, 8)))
+    assert(pairs === Seq("Comment" -> "hello world",
+      "Source" -> "unit-test"))
+    // the spliced chunks carry a REAL CRC: the strict JDK decoder
+    // still reads the image, pixels intact
+    val Some((dw, dh, hist)) = Multimodal.decodePngFeatures(png)
+    assert((dw, dh) === ((8, 8)) && math.abs(hist.sum - 1.0) < 1e-9)
+    // a chunkless PNG yields no pairs; a non-PNG yields None
+    assert(Multimodal.pngTextChunks(Multimodal.syntheticPng(1L))
+      .exists(_._3.isEmpty))
+    assert(Multimodal.pngTextChunks("nope".getBytes).isEmpty)
+  }
 }
