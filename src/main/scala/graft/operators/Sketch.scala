@@ -329,6 +329,40 @@ object Sketch {
     * groups estimate (k−1)·2^60/h_k as ONE long/long IEEE division
     * (engine-stable, so the readout double hash-gates too).
     */
+  /** Pairwise Jaccard between group sketches — the KMV capability HLL
+    * cannot offer (registers are VALUES, so intersections estimate):
+    * for groups (a, b), take the k smallest distinct hashes of
+    * K_a ∪ K_b and count how many live in BOTH sketches; J ≈
+    * matched/kk (Beyer et al.), exact when a pair's union sketch is
+    * unsaturated. Everything is integer (matched, kk, ppm by integer
+    * division), so the estimate table hash-gates. Work is bounded by
+    * groups² × k — group-pair readout over sketches, the corpus was
+    * reduced upstream by [[kmvBy]].
+    */
+  def kmvPairwiseJaccard(registers: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grps = registers.select(col("grp")).distinct()
+    val pairs = grps.select(col("grp").as("grp_a"))
+      .crossJoin(grps.select(col("grp").as("grp_b")))
+      .filter(col("grp_a") < col("grp_b"))
+    val regs = registers.select(col("grp").as("g"), col("h"))
+    val tagged = pairs.join(broadcast(regs),
+        col("g") === col("grp_a") || col("g") === col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"), col("h"))
+      .agg(max(when(col("g") === col("grp_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("g") === col("grp_b"), 1).otherwise(0)).as("in_b"))
+    val w = Window.partitionBy(col("grp_a"), col("grp_b"))
+      .orderBy(col("h"))
+    tagged
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("kk"),
+        sum(col("in_a") * col("in_b")).as("matched"))
+      .select(col("grp_a"), col("grp_b"), col("kk"), col("matched"),
+        expr("(1000000 * matched) div kk").as("jacc_ppm"))
+  }
+
   def kmvEstimate(registers: DataFrame, k: Int): DataFrame = {
     val maxH = lit(1152921504606846976L) // 2^60, exact in DOUBLE
     registers.groupBy(col("grp"))

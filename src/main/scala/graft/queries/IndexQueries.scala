@@ -1457,7 +1457,47 @@ object IndexQueries extends QueryPack {
         |  CASE WHEN n_regs < 16 THEN CAST(n_regs AS DOUBLE)
         |       ELSE 15.0 * 1152921504606846976.0 / h_k END AS est
         |FROM reg JOIN e ON reg.grp = e.grp
-        |ORDER BY reg.grp, rn""".stripMargin))
+        |ORDER BY reg.grp, rn""".stripMargin)),
+
+    // Cross-source similarity FROM SKETCHES: pairwise Jaccard of the
+    // per-source KMV register tables (k smallest union hashes, count
+    // in-both) — the register-value capability that justifies KMV
+    // next to HLL. The oracle replays the same construction from the
+    // raw table; all-integer readout (matched, kk, ppm).
+    "q251_kmv_jaccard" -> Q(
+      (s, dir) => Sketch.kmvPairwiseJaccard(
+          Sketch.kmvBy(Tables.documents(s, dir), col("source"),
+            col("text"), k = 16), k = 16)
+        .orderBy(col("grp_a"), col("grp_b")),
+      Some("""WITH d AS (
+        |  SELECT DISTINCT source AS grp,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |  FROM d),
+        |reg AS (SELECT grp, h FROM r WHERE rn <= 16),
+        |g AS (SELECT DISTINCT grp FROM reg),
+        |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+        |      FROM g a JOIN g b ON a.grp < b.grp),
+        |t AS (
+        |  SELECT grp_a, grp_b, h,
+        |    max(CASE WHEN g2.grp = grp_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN g2.grp = grp_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM p JOIN reg g2 ON g2.grp = grp_a OR g2.grp = grp_b
+        |  GROUP BY 1, 2, 3),
+        |u AS (
+        |  SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b
+        |    ORDER BY h) AS rn
+        |  FROM t)
+        |SELECT grp_a, grp_b, count(*) AS kk,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS matched,
+        |  (1000000 * CAST(sum(in_a * in_b) AS BIGINT)) // count(*)
+        |    AS jacc_ppm
+        |FROM u WHERE rn <= 16
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

@@ -245,6 +245,26 @@ class SketchSpec extends SparkSpec {
       s"relative error too high: $bigEst")
   }
 
+  test("kmvPairwiseJaccard: exact when unsaturated, close when not") {
+    import spark.implicits._
+    // exact case: A = {0..19}, B = {10..29} (J = 10/30); with k = 64
+    // the union sketch holds EVERY hash, so the estimate is exact
+    val small = ((0 until 20).map(i => ("A", s"x$i")) ++
+      (10 until 30).map(i => ("B", s"x$i"))).toDF("grp", "k")
+    val exact = Sketch.kmvPairwiseJaccard(
+        Sketch.kmvBy(small, col("grp"), col("k"), 64), 64)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(exact.toSeq === Seq((30L, 10L, 333333L)))
+    // saturated case: 2000-element sets with 50% overlap, k = 256 —
+    // the estimate should land near J = 1/3
+    val big = ((0 until 2000).map(i => ("A", s"y$i")) ++
+      (1000 until 3000).map(i => ("B", s"y$i"))).toDF("grp", "k")
+    val est = Sketch.kmvPairwiseJaccard(
+        Sketch.kmvBy(big, col("grp"), col("k"), 256), 256)
+      .collect().head.getLong(4)
+    assert(math.abs(est - 333333L) < 80000L, s"estimate $est")
+  }
+
   test("kmv registers are duplication- and order-invariant") {
     import spark.implicits._
     val once = (0 until 300).map(i => ("g", s"k$i"))
