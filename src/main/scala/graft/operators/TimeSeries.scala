@@ -133,20 +133,12 @@ object TimeSeries {
           (acc, x) => a * x + (lit(1.0) - a) * acc).as("ewma"))
   }
 
-  /** Algebraic re-aggregation: weekly rollups derived from DAILY
-    * PARTIALS, never re-touching the fact table — sum-of-sums,
-    * min-of-mins, max-of-maxes, count-of-counts. At 100 TB this is
-    * the incremental-maintenance identity: the daily grid is the
-    * persisted gold table and each new day merges in O(grid), while
-    * the oracle recomputes the week straight from the facts — a green
-    * gate IS the proof the merge loses nothing. Sums stay DECIMAL
-    * until the final cast (decimal addition is associative; double
-    * addition is not).
-    */
   /** The persisted daily-partial grain shared by [[weeklyFromDailyPartials]]
     * and [[upsertDailyPartials]]: algebraic sufficient statistics
     * (count / min / max / DECIMAL sum) at (key, day) — every readout
-    * above this grain merges without re-touching facts.
+    * above this grain merges without re-touching facts. Sums stay
+    * DECIMAL until the caller's final cast (decimal addition is
+    * associative; double addition is not).
     */
   def dailyPartials(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String): DataFrame =
@@ -156,6 +148,14 @@ object TimeSeries {
         max(unix_timestamp(col(tsCol))).as("tmax"),
         sum(col(valCol).cast("decimal(18,6)")).as("v"))
 
+  /** Algebraic re-aggregation: weekly rollups derived from DAILY
+    * PARTIALS, never re-touching the fact table — sum-of-sums,
+    * min-of-mins, max-of-maxes, count-of-counts. At 100 TB this is
+    * the incremental-maintenance identity: the daily grid is the
+    * persisted gold table and each new day merges in O(grid), while
+    * the oracle recomputes the week straight from the facts — a green
+    * gate IS the proof the merge loses nothing.
+    */
   def weeklyFromDailyPartials(df: DataFrame, keyCol: String,
       tsCol: String, valCol: String): DataFrame = {
     val daily = dailyPartials(df, keyCol, tsCol, valCol)
@@ -222,6 +222,40 @@ object TimeSeries {
       .withColumn("is_peak", col("__rk") === 1)
       .select(col(keyCol), col("day"), col("i"), col("n"), col("cum"),
         col("dev"), col("is_peak"))
+  }
+
+  /** Robust outlier days by median/MAD — the heavy-tail-safe
+    * alternative to [[dailySpikes]]' trailing mean (one wild day
+    * cannot drag the baseline, because medians are selected, not
+    * summed): a day is an outlier when |n − median| > mult·MAD, all
+    * in EXACT integers — medians are nearest-rank SELECTED values on
+    * a (value, day) total order (rank ⌈D/2⌉, the q128 discipline),
+    * absolute deviations are integer, and the flag is an integer
+    * comparison. Degenerate MAD = 0 (over half the days identical)
+    * flags any deviation — the standard behavior, stated here so it
+    * is a contract, not a surprise. One keyed shuffle; all four
+    * window passes share the (key) partitioning.
+    */
+  def robustOutliers(df: DataFrame, keyCol: String, tsCol: String,
+      madMult: Int): DataFrame = {
+    require(madMult >= 1)
+    val grid = dailyCounts(df, keyCol, tsCol)
+    val wKey = Window.partitionBy(col(keyCol))
+    val byN = wKey.orderBy(col("n"), col("day"))
+    val withMed = grid
+      .withColumn("__rn", row_number().over(byN))
+      .withColumn("__d", count(lit(1)).over(wKey))
+      .withColumn("med", max(when(
+        col("__rn") === expr("(__d + 1) div 2"), col("n"))).over(wKey))
+      .withColumn("absdev", abs(col("n") - col("med")))
+    val byDev = wKey.orderBy(col("absdev"), col("day"))
+    withMed
+      .withColumn("__rn2", row_number().over(byDev))
+      .withColumn("mad", max(when(
+        col("__rn2") === expr("(__d + 1) div 2"), col("absdev"))).over(wKey))
+      .withColumn("is_outlier", col("absdev") > col("mad") * madMult)
+      .select(col(keyCol), col("day"), col("n"), col("med"),
+        col("absdev"), col("mad"), col("is_outlier"))
   }
 
   /** Incremental view maintenance with LATE DATA: merge a

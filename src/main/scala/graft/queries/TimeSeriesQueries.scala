@@ -263,6 +263,43 @@ object TimeSeriesQueries extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |    AS sum_value
         |FROM events GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Robust outlier days by median/MAD in EXACT integers: medians
+    // are nearest-rank SELECTED values (rank ⌈D/2⌉ on a (value, day)
+    // total order — the q128 discipline), deviations integer, flag a
+    // plain comparison |n − med| > 3·MAD. Heavy-tail-safe where the
+    // q236 trailing mean is not.
+    "q252_robust_outliers" -> Q(
+      (s, dir) => TimeSeries.robustOutliers(
+          Tables.events(s, dir), "event_type", "ts", madMult = 3)
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS dd
+        |  FROM d),
+        |m1 AS (
+        |  SELECT *, max(CASE WHEN rn = (dd + 1) // 2 THEN n END)
+        |      OVER (PARTITION BY event_type) AS med
+        |  FROM r1),
+        |a AS (SELECT event_type, day, n, dd, med,
+        |        abs(n - med) AS absdev FROM m1),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY absdev, day) AS rn2
+        |  FROM a),
+        |m2 AS (
+        |  SELECT *, max(CASE WHEN rn2 = (dd + 1) // 2 THEN absdev END)
+        |      OVER (PARTITION BY event_type) AS mad
+        |  FROM r2)
+        |SELECT event_type, day, n, med, absdev, mad,
+        |  absdev > mad * 3 AS is_outlier
+        |FROM m2
+        |ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -167,6 +167,44 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(false, false, false, true, false, false, false, false))
   }
 
+  test("robustOutliers: nearest-rank median/MAD, planted wild day") {
+    import spark.implicits._
+    // counts 2,2,3,3,50 → med = 3 (rank ⌈5/2⌉ = 3 on sorted 2,2,3,3,50),
+    // absdev = 1,1,0,0,47 → MAD = 1 (rank 3 on 0,0,1,1,47);
+    // only the 50-day has absdev 47 > 3·1
+    val rows = Seq(
+      ("2024-01-01", 2), ("2024-01-02", 2), ("2024-01-03", 3),
+      ("2024-01-04", 3), ("2024-01-05", 50)
+    ).flatMap { case (d, k) =>
+      (0 until k).map(i => ("A", ts(f"$d ${i / 60}%02d:${i % 60}%02d:00")))
+    }
+    val got = TimeSeries.robustOutliers(rows.toDF("k", "ts"), "k", "ts",
+        madMult = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+    assert(got.toSeq === Seq(
+      (2L, 3L, 1L, 1L, false), (2L, 3L, 1L, 1L, false),
+      (3L, 3L, 0L, 1L, false), (3L, 3L, 0L, 1L, false),
+      (50L, 3L, 47L, 1L, true)))
+  }
+
+  test("robustOutliers: MAD=0 flags any deviation") {
+    import spark.implicits._
+    // counts 5,5,5,9 → med 5, absdevs 0,0,0,4 → MAD 0 → only the
+    // 9-day deviates and is flagged
+    val rows = Seq(
+      ("2024-02-01", 5), ("2024-02-02", 5), ("2024-02-03", 5),
+      ("2024-02-04", 9)
+    ).flatMap { case (d, k) =>
+      (0 until k).map(i => ("A", ts(s"$d 0$i:00:00")))
+    }
+    val got = TimeSeries.robustOutliers(rows.toDF("k", "ts"), "k", "ts", 3)
+      .orderBy("day").collect().map(r => (r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq === Seq((0L, false), (0L, false), (0L, false),
+      (0L, true)))
+  }
+
   test("upsertDailyPartials: merge ≡ direct build, new cells appear") {
     import spark.implicits._
     val base = Seq(
