@@ -520,6 +520,49 @@ object SourceQueries extends QueryPack {
         |  CASE WHEN n_regionkey = 2 THEN 'tok-'||n_nationkey END AS token,
         |  'user-'||n_regionkey AS username
         |FROM nation
-        |ORDER BY name""".stripMargin))
+        |ORDER BY name""".stripMargin)),
+
+    // Corrupt-tolerant JSONL ingest: every 10th line is TRUNCATED
+    // mid-object; PERMISSIVE from_json quarantines it into the
+    // corrupt-record column (raw text preserved for a replay queue)
+    // instead of failing the job — the crawl-ingest hardening
+    // posture. The oracle states the closed-form truth and never
+    // parses JSON, so a green hash pins Spark's malformed-record
+    // contract: all-null fields + populated corrupt column, parsed
+    // values intact elsewhere.
+    "q253_corrupt_json" -> Q(
+      (s, dir) => {
+        val corruptAt = col("doc_id") % 10 === 3
+        val line = when(corruptAt,
+            concat(lit("{\"doc_id\": "), col("doc_id"),
+              lit(", \"lang\": ")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars"))))
+        val schema = "doc_id BIGINT, lang STRING, n_chars BIGINT, " +
+          "_corrupt STRING"
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("mode", "PERMISSIVE")
+        opts.put("columnNameOfCorruptRecord", "_corrupt")
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("line_id"), line.as("line"))
+          .select(col("line_id"),
+            from_json(col("line"), schema, opts).as("p"))
+          .select(col("line_id"),
+            col("p.doc_id").as("parsed_id"),
+            col("p.lang").as("parsed_lang"),
+            col("p.n_chars").as("parsed_chars"),
+            col("p._corrupt").isNotNull.as("is_corrupt"))
+          .orderBy(col("line_id"))
+      },
+      Some("""SELECT doc_id AS line_id,
+        |  CASE WHEN doc_id % 10 = 3 THEN NULL ELSE doc_id END
+        |    AS parsed_id,
+        |  CASE WHEN doc_id % 10 = 3 THEN NULL ELSE lang END
+        |    AS parsed_lang,
+        |  CASE WHEN doc_id % 10 = 3 THEN NULL ELSE n_chars END
+        |    AS parsed_chars,
+        |  doc_id % 10 = 3 AS is_corrupt
+        |FROM documents
+        |ORDER BY line_id""".stripMargin))
   )
 }
