@@ -149,4 +149,37 @@ object Windows {
     df.groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** TRUE debounce readout per key: an event is KEPT when it arrives
+    * more than `quietMs` after the previously KEPT event — the
+    * alert-suppression / duplicate-webhook rule. This is a genuine
+    * sequential recurrence (kept-ness depends on which earlier events
+    * were kept, so no window frame expresses it); it runs as a
+    * per-key ordered fold over the collected millisecond array — the
+    * [[TimeSeries.ewmaDaily]] discipline: bit-stable under any
+    * partitioning because the fold order is the sorted array, with
+    * integer state only. The array is events-per-key long — bound the
+    * hot key upstream (sampleByKey) when a key's day exceeds memory.
+    * Output: (key, n_events, n_kept, last_kept_ms).
+    */
+  def debounceCounts(df: DataFrame, key: String, ts: String,
+      quietMs: Long): DataFrame = {
+    require(quietMs > 0)
+    // far enough below any epoch that the first event always keeps,
+    // yet subtraction cannot overflow
+    val neverKept = -4611686018427387904L
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(unix_millis(col(ts)))).as("__ms"))
+      .select(col(key), col("n_events"),
+        aggregate(col("__ms"),
+          struct(lit(neverKept).as("last"), lit(0L).as("kept")),
+          (acc, x) =>
+            when(x - acc.getField("last") > quietMs,
+              struct(x.as("last"),
+                (acc.getField("kept") + 1L).as("kept")))
+              .otherwise(acc)).as("st"))
+      .select(col(key), col("n_events"), col("st.kept").as("n_kept"),
+        col("st.last").as("last_kept_ms"))
+  }
 }

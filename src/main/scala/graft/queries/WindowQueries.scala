@@ -166,6 +166,44 @@ object WindowQueries extends QueryPack {
         |  CAST(t_sum AS BIGINT) AS t_sum,
         |  (t_days > 0 AND n * t_days > t_sum * 2) AS spike
         |FROM t
-        |ORDER BY event_type, day""".stripMargin))
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // TRUE debounce (kept = arrives > 6 h after the previous KEPT
+    // event): a sequential recurrence no window frame expresses, run
+    // as a per-key ordered integer fold and replayed in the oracle
+    // with the identical list_reduce — the q215 fold discipline.
+    // Oracle caveat (empirically pinned): DuckDB 1.0.0's list_reduce
+    // mis-executes batches when the lambda returns the ACCUMULATOR
+    // from the ELSE branch (off-by-one on ~1/4 of rows, correct
+    // row-at-a-time) — the acc-returning branch must be the THEN arm,
+    // exactly how the (green) q215 encode oracle is shaped.
+    "q254_debounce" -> Q(
+      (s, dir) => Windows.debounceCounts(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "ts", quietMs = 21600000L)
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE user_id IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    list_sort(list(ms)) AS msl
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(
+        |      [{'last': CAST(-4611686018427387904 AS BIGINT),
+        |        'kept': CAST(0 AS BIGINT)}] ||
+        |        list_transform(msl, x ->
+        |          {'last': x, 'kept': CAST(0 AS BIGINT)}),
+        |      (acc, x) -> CASE
+        |        WHEN x.last - acc.last <= 21600000 THEN acc
+        |        ELSE {'last': x.last, 'kept': acc.kept + 1}
+        |        END) AS st
+        |  FROM a)
+        |SELECT user_id, n_events, st.kept AS n_kept,
+        |  st.last AS last_kept_ms
+        |FROM f
+        |ORDER BY user_id""".stripMargin))
   )
 }
