@@ -594,3 +594,49 @@ object Corpus {
     zm.withColumn("can_skip",
       col(s"max_$key") < lo || col(s"min_$key") > hi)
 }
+
+/** Quantile normalization across heterogeneous sources — score
+  * calibration for mixed-provenance corpora: a quality/length score
+  * from source A is not comparable to one from source B (different
+  * scrapers, different units), so each row's score maps to the GLOBAL
+  * distribution's value at the row's within-source quantile. After
+  * normalization, "top 10% of source A" and "top 10% of source B"
+  * mean the same number.
+  *
+  * Everything is SELECTION, never interpolation (the q128 nearest-rank
+  * discipline): within-source rank r_s on a (value, id) total order,
+  * target global rank ⌈r_s·N/n_s⌉ by integer cross-multiplication,
+  * and the normalized value is the actual global value AT that rank,
+  * joined by rank equality — exact integers end to end, so the whole
+  * table hash-gates.
+  *
+  * Scale shape: the within-source ranks are source-keyed windows; the
+  * rank→value map costs ONE global-order window at corpus grain (the
+  * q239 caveat) and the final lookup is a plain equi-join on rank. At
+  * 100 TB swap the exact global map for the q199 histogram CDF
+  * (error ≤ bin width) — the per-source side is unchanged.
+  */
+object QuantileNorm {
+
+  def normalize(df: DataFrame, idCol: String, grpCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(grpCol), col(valCol))
+    val wSrc = Window.partitionBy(col(grpCol))
+      .orderBy(col(valCol), col(idCol))
+    val ranked = base
+      .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col(grpCol))))
+    val globalMap = base
+      .withColumn("__rg", row_number().over(
+        Window.orderBy(col(valCol), col(idCol))).cast("long"))
+      .select(col("__rg"), col(valCol).as("normalized"))
+    val total = base.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("target_rank",
+        expr("(src_rank * __n + n_src - 1) div n_src"))
+      .join(globalMap, col("target_rank") === col("__rg"))
+      .select(col(idCol), col(grpCol), col(valCol), col("src_rank"),
+        col("n_src"), col("target_rank"), col("normalized"))
+  }
+}

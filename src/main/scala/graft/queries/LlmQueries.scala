@@ -1892,6 +1892,38 @@ object LlmQueries extends QueryPack {
         |         ELSE 'synthetic-' || (doc_id % 10) END AS chunk_value
         |FROM documents
         |CROSS JOIN (SELECT unnest(['Comment', 'Source']) AS k)
-        |ORDER BY doc_id, chunk_key""".stripMargin))
+        |ORDER BY doc_id, chunk_key""".stripMargin)),
+
+    // Quantile normalization of per-source length scores onto the
+    // global distribution: normalized = the global value SELECTED at
+    // rank ⌈r_s·N/n_s⌉ (integer cross-multiplication, nearest-rank —
+    // never interpolated), making scores comparable across sources.
+    "q255_quantile_normalize" -> Q(
+      (s, dir) => graft.operators.QuantileNorm.normalize(
+          Tables.documents(s, dir), "doc_id", "source", "n_chars")
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, source, n_chars FROM documents),
+        |st AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS src_rank,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+        |      AS n_src
+        |  FROM d),
+        |g AS (
+        |  SELECT n_chars AS normalized,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |      AS BIGINT) AS rg
+        |  FROM d),
+        |n AS (SELECT count(*) AS nn FROM d),
+        |m AS (
+        |  SELECT doc_id, source, n_chars, src_rank, n_src,
+        |    (src_rank * nn + n_src - 1) // n_src AS target_rank
+        |  FROM st CROSS JOIN n)
+        |SELECT m.doc_id, m.source, m.n_chars, m.src_rank, m.n_src,
+        |  m.target_rank, g.normalized
+        |FROM m JOIN g ON g.rg = m.target_rank
+        |ORDER BY m.doc_id""".stripMargin))
   )
 }

@@ -376,4 +376,31 @@ class CorpusSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
       ((4L, 12L, 16L, 250000L)))
   }
+
+  test("quantile normalization maps source ranks onto global values") {
+    import spark.implicits._
+    // source A scores 10,20 (n=2); source B scores 1,2,3,4 (n=4);
+    // global sorted: 1,2,3,4,10,20 (N=6).
+    // A rank1 → ceil(1·6/2)=3 → 3;  A rank2 → 6 → 20
+    // B rank1 → ceil(1·6/4)=2 → 2;  rank2 → 3 → 3; rank3 → ceil(18/4)=5
+    // → 10; rank4 → 6 → 20
+    val df = Seq(
+      (1L, "A", 10L), (2L, "A", 20L),
+      (3L, "B", 1L), (4L, "B", 2L), (5L, "B", 3L), (6L, "B", 4L))
+      .toDF("id", "src", "score")
+    val got = QuantileNorm.normalize(df, "id", "src", "score")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(6)))
+    assert(got.toSeq === Seq((1L, 3L), (2L, 20L), (3L, 2L), (4L, 3L),
+      (5L, 10L), (6L, 20L)))
+  }
+
+  test("quantile normalization: identical sources are a fixed point") {
+    import spark.implicits._
+    // one source ⇒ target_rank = src_rank ⇒ normalized = own value
+    val df = (1L to 9L).map(i => (i, "only", i * 7)).toDF("id", "src", "v")
+    val got = QuantileNorm.normalize(df, "id", "src", "v")
+      .collect().map(r => (r.getLong(2), r.getLong(6)))
+    assert(got.forall { case (v, norm) => v == norm })
+  }
 }
