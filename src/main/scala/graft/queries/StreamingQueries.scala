@@ -664,6 +664,48 @@ object StreamingQueries extends QueryPack {
         |  min(CASE WHEN cum >= CAST(ceil(0.99*n) AS BIGINT)
         |      THEN CAST(bin + 1 AS DOUBLE) * 10.0 END) AS q_99_est
         |FROM m GROUP BY 1
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // Streaming gold-table maintenance with late data: the straggler
+    // slice (event_id % 7 = 0) arrives AS A STREAM and each
+    // micro-batch merges into the daily-partials gold table through
+    // the SAME TimeSeries.upsertDailyPartials the batch path (q247)
+    // uses — one merge definition, so stream and batch maintenance
+    // cannot drift. The oracle aggregates ALL events directly: a
+    // green hash proves the streamed merge converged to the
+    // from-scratch build.
+    "q256_stream_gold_upsert" -> Q(
+      (s, dir) => {
+        import graft.operators.TimeSeries
+        val base = graft.Tables.events(s, dir)
+          .filter(col("event_id") % 7 =!= 0)
+        var gold = TimeSeries.dailyPartials(base, "event_type", "ts",
+          "value").localCheckpoint(true)
+        val ckpt = Streams.scratchCheckpointDir("graft-goldup-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            eventsStream(s, dir).filter(col("event_id") % 7 === 0),
+            batch => batch,
+            late => gold = TimeSeries.upsertDailyPartials(gold, late,
+              "event_type", "ts", "value").localCheckpoint(true),
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        gold
+          .select(col("event_type"), col("day"), col("n"), col("tmin"),
+            col("tmax"), col("v").cast("double").as("sum_value"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS tmin,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS tmax,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin))
   )
 }
