@@ -761,6 +761,10 @@ object Dedup {
       maxPrefixDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(thresholdPct >= 1 && thresholdPct <= 100)
+    // the distinct token frame feeds FOUR consumers (df counts, doc
+    // sizes, prefix ranks, intersection verify) — persist it so the
+    // text is shingled once per action, not four times (the q214
+    // index-caching lesson); blocks are freed by the ContextCleaner
     val toks = docs
       .select(col(idCol).as("id"),
         explode(graft.expressions.WordShingles.shinglesNative(
@@ -769,6 +773,7 @@ object Dedup {
       // has no token SET; the SQL rendition of tokens() yields [])
       .filter(length(col("tok")) > 0)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sz = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // rare-first rank WITHIN each doc (doc-keyed window — scalable);
