@@ -593,6 +593,40 @@ object Corpus {
       hi: Column): DataFrame =
     zm.withColumn("can_skip",
       col(s"max_$key") < lo || col(s"min_$key") > hi)
+
+  /** GPT-style document packing layout: documents concatenate in
+    * doc-id order with ONE separator (EOS) token after each, and the
+    * token stream chunks into fixed `blockSize` training blocks that
+    * CROSS document boundaries — the standard pretraining batch
+    * layout (vs [[packShards]], which never splits a document). This
+    * computes the layout's bookkeeping without materializing tokens:
+    * each doc's global token offset is an exclusive prefix sum of
+    * (len + 1), and its first/last block are integer divisions —
+    * all exact integers, so the whole placement table hash-gates.
+    * `spans_boundary` marks docs split across training blocks (the
+    * attention-mask/doc-boundary accounting a loader needs).
+    *
+    * Scale: ONE global-order window (the q239 caveat — the placement
+    * is inherently a global prefix sum); at 100 TB run it
+    * per-partition with [[packShards]]' two-level offset pattern.
+    * Empty docs occupy only their separator token.
+    */
+  def packBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int): DataFrame = {
+    require(blockSize >= 2)
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        TextAnalysis.nTokens(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("global_start",
+        coalesce(sum(col("n_tokens") + 1L).over(w), lit(0L)))
+      .withColumn("start_block",
+        expr(s"global_start div $blockSize"))
+      .withColumn("end_block",
+        expr(s"(global_start + greatest(n_tokens, 1L) - 1L) div $blockSize"))
+      .withColumn("spans_boundary", col("end_block") > col("start_block"))
+  }
 }
 
 /** Quantile normalization across heterogeneous sources — score

@@ -190,6 +190,45 @@ object Graph {
         col("n_item"), col("n_neighbor"), col("jaccard_ppm"), col("rank"))
   }
 
+  /** Transitive closure of a DAG edge set by ITERATIVE DOUBLING —
+    * Spark's substitute for the recursive CTE it lacks (the
+    * hierarchy-flattening query: org charts, category trees, folder
+    * ancestry). Squaring the path set (R ∪ R∘R per round) reaches
+    * paths of length 2^k after k rounds, so a depth-d hierarchy needs
+    * ⌈log₂ d⌉ joins — not d self-joins like naive expansion; the same
+    * O(log) trick as [[graft.operators.Dedup.dedupGroupsLogRounds]].
+    * Convergence is checked by exact path count (safe: the set only
+    * grows), lineage is truncated per round, and on a DAG the
+    * (src, dst, min dist) triple is deterministic.
+    */
+  def transitiveClosure(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 16): DataFrame = {
+    var paths = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .withColumn("dist", lit(1L))
+      .localCheckpoint(true)
+    var n = paths.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val hop = paths.as("a")
+        .join(paths.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"),
+          (col("a.dist") + col("b.dist")).as("dist"))
+      paths = paths.unionByName(hop)
+        .groupBy(col("src"), col("dst"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      val n2 = paths.count()
+      converged = n2 == n
+      n = n2
+      round += 1
+    }
+    require(converged, s"closure did not converge in $maxRounds rounds")
+    paths
+  }
+
   /** Basket co-occurrence LIFT mining (association rules without the
     * Apriori lattice — the pair grain is enough for affinity
     * readouts): for every unordered item pair, support n_ab and

@@ -159,6 +159,35 @@ object GraphQueries extends QueryPack {
         |SELECT item, neighbor, n_common, n_item, n_neighbor,
         |  jaccard_ppm, rank
         |FROM r WHERE rank <= 5
-        |ORDER BY item, rank""".stripMargin))
+        |ORDER BY item, rank""".stripMargin)),
+
+    // Hierarchy flattening — the recursive-CTE query Spark cannot
+    // write, answered by iterative doubling in ⌈log₂ depth⌉ joins:
+    // node i's parent is i div 2 (a binary tree over doc ids), and
+    // the output is every (node, ancestor, distance) triple. The
+    // oracle IS DuckDB's native WITH RECURSIVE — a green hash proves
+    // the doubling loop reproduces true recursion exactly.
+    "q258_tree_closure" -> Q(
+      (s, dir) => {
+        val edges = Tables.documents(s, dir)
+          .select((col("doc_id") + 1L).as("node"))
+          .filter(col("node") >= 2L)
+          .select(col("node"), expr("node div 2").as("parent"))
+        graft.operators.Graph
+          .transitiveClosure(edges, "node", "parent")
+          .select(col("src").as("node"), col("dst").as("ancestor"),
+            col("dist"))
+          .orderBy(col("node"), col("dist"))
+      },
+      Some("""WITH RECURSIVE anc AS (
+        |  SELECT doc_id + 1 AS node, (doc_id + 1) // 2 AS ancestor,
+        |    1 AS dist
+        |  FROM documents WHERE doc_id + 1 >= 2
+        |  UNION ALL
+        |  SELECT node, ancestor // 2, dist + 1
+        |  FROM anc WHERE ancestor >= 2)
+        |SELECT node, ancestor, CAST(dist AS BIGINT) AS dist
+        |FROM anc
+        |ORDER BY node, dist""".stripMargin))
   )
 }

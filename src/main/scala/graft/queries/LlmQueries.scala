@@ -1932,6 +1932,34 @@ object LlmQueries extends QueryPack {
         |SELECT m.doc_id, m.source, m.n_chars, m.src_rank, m.n_src,
         |  m.target_rank, g.normalized
         |FROM m JOIN g ON g.rg = m.target_rank
-        |ORDER BY m.doc_id""".stripMargin))
+        |ORDER BY m.doc_id""".stripMargin)),
+
+    // Pretraining block-packing layout: docs concatenate in id order
+    // with an EOS separator and chunk into 128-token blocks crossing
+    // doc boundaries; each doc's placement (global offset, first /
+    // last block, boundary-split flag) is exact integer bookkeeping —
+    // the attention-mask accounting a loader needs, computed without
+    // materializing a single token.
+    "q257_pack_blocks" -> Q(
+      (s, dir) => Corpus.packBlocks(
+          Tables.documents(s, dir), "doc_id", "text", blockSize = 128)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS global_start
+        |  FROM d)
+        |SELECT doc_id, n_tokens, global_start,
+        |  global_start // 128 AS start_block,
+        |  (global_start + greatest(n_tokens, 1) - 1) // 128
+        |    AS end_block,
+        |  (global_start + greatest(n_tokens, 1) - 1) // 128
+        |    > global_start // 128 AS spans_boundary
+        |FROM o
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -377,6 +377,25 @@ class CorpusSpec extends SparkSpec {
       ((4L, 12L, 16L, 250000L)))
   }
 
+  test("packBlocks: offsets, block spans, boundary flags, empty docs") {
+    import spark.implicits._
+    // blockSize 4; docs (id, tokens): 1→3, 2→0 (empty), 3→6, 4→1
+    // stream: [d1 d1 d1 EOS | d3 d3 d3 d3 | d3 d3 EOS EOS-d2? ...]
+    // offsets (len+1 cumsum): d1@0, d2@4, d3@5, d4@12
+    val docs = Seq(
+      (1L, "a b c"), (2L, ""), (3L, "a b c d e f"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = Corpus.packBlocks(docs, "doc_id", "text", blockSize = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 0L, 0L, 0L, false),   // tokens [0,2] → block 0
+      (2L, 0L, 4L, 1L, 1L, false),   // empty: separator slot only
+      (3L, 6L, 5L, 1L, 2L, true),    // tokens [5,10] → blocks 1-2
+      (4L, 1L, 12L, 3L, 3L, false))) // token [12] → block 3
+  }
+
   test("quantile normalization maps source ranks onto global values") {
     import spark.implicits._
     // source A scores 10,20 (n=2); source B scores 1,2,3,4 (n=4);

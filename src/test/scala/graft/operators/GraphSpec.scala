@@ -127,6 +127,23 @@ class GraphSpec extends SparkSpec {
       ("A", "B") -> ((2L, 3L, 2L, 4L, 1333333L))))
   }
 
+  test("transitiveClosure equals brute-force chain walk on a deep path") {
+    import spark.implicits._
+    // a 20-deep path 1→2→…→20 plus a side branch: doubling must reach
+    // distance 19 in ⌈log₂ 19⌉ = 5 rounds, far under maxRounds
+    val edges = ((1 to 19).map(i => (i.toLong, i + 1L)) :+ (5L, 100L))
+      .toDF("src", "dst")
+    val got = Graph.transitiveClosure(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // expected: every (i, j) with i < j ≤ 20 at dist j - i, plus
+    // (i, 100) for i ≤ 5 at dist 5 - i + 1
+    val exp = (for { i <- 1 to 19; j <- (i + 1) to 20 }
+      yield (i.toLong, j.toLong) -> (j - i).toLong).toMap ++
+      (1 to 5).map(i => (i.toLong, 100L) -> (5 - i + 1).toLong).toMap
+    assert(got === exp)
+  }
+
   test("cooccurrenceLift: independence reads exactly 1e6 ppm") {
     import spark.implicits._
     // items X and Y occur in 2 of 4 baskets each, co-occur in 1:
