@@ -680,6 +680,43 @@ object SinkQueries extends QueryPack {
         |    AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1
-        |ORDER BY o_custkey""".stripMargin))
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // Dynamic partition pruning: the fact table is partitioned by
+    // event_type on disk and joined to a DATA-DEPENDENT dim (the
+    // types whose total exceeds a threshold — unknowable at plan
+    // time, so no static filter can be pushed). DPP broadcasts the
+    // dim's key set into the fact scan as a runtime PartitionFilter:
+    // non-qualifying directories are never opened (plan shape pinned
+    // in CsvSinkSpec; this gate proves the pruned join loses
+    // nothing). At 100 TB this is THE mechanism that makes
+    // star-schema joins read 1% of a date/tenant-partitioned fact.
+    "q259_dynamic_partition_pruning" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+        ev.write.partitionBy("event_type").parquet(s"$tmp/facts")
+        val facts = s.read.parquet(s"$tmp/facts")
+        val dim = Tables.events(s, dir)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+          .filter(col("n_type") > 2000)
+        materializeAndDelete(
+          facts.join(dim, Seq("event_type"))
+            .groupBy(col("event_type"), col("n_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value")), tmp)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dim AS (
+        |  SELECT event_type, count(*) AS n_type
+        |  FROM events GROUP BY 1 HAVING count(*) > 2000)
+        |SELECT e.event_type, dim.n_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |GROUP BY 1, 2
+        |ORDER BY e.event_type""".stripMargin))
   )
 }

@@ -45,6 +45,31 @@ class CsvSinkSpec extends SparkSpec {
     }
   }
 
+  test("data-dependent dim join plants a dynamic partition filter (q259)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_spec")
+    try {
+      // facts partitioned by k; dim keys are DATA-DEPENDENT (an agg
+      // over another frame), so only runtime pruning can skip dirs
+      (1 to 100).map(i => (i.toLong, s"t${i % 4}"))
+        .toDF("id", "k")
+        .write.partitionBy("k").parquet(s"$tmp/facts")
+      val facts = spark.read.parquet(s"$tmp/facts")
+      val dim = (1 to 50).map(i => s"t${i % 2}").toDF("k")
+        .groupBy("k").count().filter(col("count") > 10)
+      val joined = facts.join(dim, Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning in plan:\n$plan")
+      // and the pruned join still returns exactly t0/t1 facts
+      assert(joined.count() === 50L)
+    } finally {
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+
   test("repartitionByRange + sortWithinPartitions yields disjoint per-file key ranges (q189)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_range_spec")
