@@ -88,6 +88,33 @@ object SourceQueries extends QueryPack {
       },
       Some("SELECT count(*) AS n_edges FROM customer")),
 
+    // DSv2 MIN/MAX + COUNT pushdown in ONE aggregation: the scan
+    // returns one (count, min_id, max_id) partial row per VCO from a
+    // no-expansion request and Spark merges the partials — the
+    // "id-range probe" an incremental ingester runs before deciding
+    // what to fetch, without ever shipping edge payloads.
+    // VcoDataSourceSpec pins that the AGG scan (not the row scan)
+    // planned and that a retried partition cannot double-count.
+    "q260_vco_minmax_pushdown" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.customer(s, dir).select(
+            concat(lit("vco-"), col("c_custkey") % 4).as("vco"),
+            to_json(struct(col("c_custkey").as("id"))).as("doc"))
+          .as[(String, String)].collect() // fixture-server dataset
+        ScriptedFleet.byVco =
+          payloads.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        s.read.format("graft-vco")
+          .option("vcos", ScriptedFleet.byVco.keys.toSeq.sorted.mkString(","))
+          .option("transport", classOf[ScriptedFleetTransportFactory].getName)
+          .load()
+          .agg(count(lit(1)).as("n_edges"), min(col("id")).as("min_id"),
+            max(col("id")).as("max_id"))
+      },
+      Some("""SELECT count(*) AS n_edges, min(c_custkey) AS min_id,
+        |  max(c_custkey) AS max_id
+        |FROM customer""".stripMargin)),
+
     // S1/S3 + DSv2 pruning/residual filters: customer rows → edge-doc
     // JSON payloads on a 4-VCO scripted fleet → full connector scan →
     // must equal the relational truth. The edgeState filter is

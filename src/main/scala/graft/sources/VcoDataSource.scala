@@ -64,17 +64,18 @@ private class VcoScanBuilder(fullSchema: StructType, props: Map[String, String])
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed = false
+  private var aggPushed: Seq[VcoAgg] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands us the pruned shape; remember it for the with-list.
     required = requiredSchema
 
-  /** COUNT(*) pushdown — the DSv2 rendition of the reference's
-    * `with:[edgeCount]` hint (`Functions/vco_calls.py:140-159`): a
-    * fleet-size query never ships edge payloads. Partial pushdown
-    * only (`supportCompletePushDown` = false): each VCO partition
-    * returns ONE pre-counted row and Spark's final aggregate merges
+  /** COUNT(*) / MIN(id) / MAX(id) pushdown — the DSv2 rendition of
+    * the reference's `with:[edgeCount]` hint
+    * (`Functions/vco_calls.py:140-159`): a fleet-size or id-range
+    * query never ships edge payloads. Partial pushdown only
+    * (`supportCompletePushDown` = false): each VCO partition
+    * returns ONE pre-aggregated row and Spark's final aggregate merges
     * them, so a retried/failed partition can never double-count.
     * Catalyst attempts aggregate pushdown only when every filter was
     * fully consumed — ours are all residual — so a filtered count
@@ -88,16 +89,31 @@ private class VcoScanBuilder(fullSchema: StructType, props: Map[String, String])
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
     // an empty fleet must stay on the row scan: zero count-partitions
     // would make Spark's final Sum-of-partials NULL where COUNT(*)
     // over zero rows is 0
     val haveVcos = props.getOrElse("vcos", "")
       .split(",").exists(_.nonEmpty)
+    // MIN/MAX push only for the top-level long `id` — the one field
+    // every edge doc carries and the server could serve from an
+    // index; anything else stays on the row scan
+    def idRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("id")
+      case _ => false
+    }
+    val translated: Seq[Option[VcoAgg]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar            => Some(VcoCountAgg)
+        case m: Min if idRef(m.column) => Some(VcoMinIdAgg)
+        case m: Max if idRef(m.column) => Some(VcoMaxIdAgg)
+        case _                       => None
+      }
     val ok = haveVcos && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-    if (ok) countPushed = true
+      translated.nonEmpty && translated.forall(_.isDefined)
+    if (ok) aggPushed = translated.flatten
     ok
   }
 
@@ -118,22 +134,42 @@ private class VcoScanBuilder(fullSchema: StructType, props: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (countPushed) new VcoCountScan(props) else new VcoScan(required, props, pushed)
+    if (aggPushed.nonEmpty) new VcoAggScan(props, aggPushed)
+    else new VcoScan(required, props, pushed)
 }
 
-/** The COUNT(*)-pushed scan: one row per VCO carrying that VCO's
-  * edge count, fetched with an EMPTY with-list (no expansions — the
-  * cheapest request the API serves; a server exposing a true count
-  * endpoint would swap in here without touching the contract). Spark
-  * sums the per-partition partials above this scan.
+/** The aggregate shapes this source can answer from one cheap
+  * no-expansion request per VCO: fleet count, and min/max of the
+  * top-level edge `id`.
   */
-private class VcoCountScan(props: Map[String, String])
+private sealed trait VcoAgg
+private case object VcoCountAgg extends VcoAgg
+private case object VcoMinIdAgg extends VcoAgg
+private case object VcoMaxIdAgg extends VcoAgg
+
+/** The aggregate-pushed scan: one row per VCO carrying that VCO's
+  * partials — count and/or min/max of the edge `id` — fetched with
+  * an EMPTY with-list (no expansions — the cheapest request the API
+  * serves; a server exposing true count/summary endpoints would swap
+  * in here without touching the contract). Spark merges the
+  * per-partition partials above this scan (sum of counts, min of
+  * mins, max of maxes), so a retried partition can never
+  * double-count. Columns are POSITIONAL against the pushed
+  * aggregation's expression order.
+  */
+private class VcoAggScan(props: Map[String, String], aggs: Seq[VcoAgg])
     extends Scan with Batch {
   override def readSchema(): StructType =
-    new StructType().add("count", org.apache.spark.sql.types.LongType,
-      nullable = false)
+    aggs.zipWithIndex.foldLeft(new StructType()) { case (st, (a, i)) =>
+      st.add(a match {
+        case VcoCountAgg  => s"count_$i"
+        case VcoMinIdAgg  => s"min_id_$i"
+        case VcoMaxIdAgg  => s"max_id_$i"
+      }, org.apache.spark.sql.types.LongType, nullable = a != VcoCountAgg)
+    }
   override def toBatch: Batch = this
-  override def description(): String = "graft_vco_count_pushdown"
+  override def description(): String =
+    "graft_vco_agg_pushdown[" + aggs.mkString(",") + "]"
 
   override def planInputPartitions(): Array[InputPartition] =
     props.getOrElse("vcos", "")
@@ -141,33 +177,49 @@ private class VcoCountScan(props: Map[String, String])
       .map(v => VcoPartition(v, Seq.empty): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VcoCountReaderFactory(
+    new VcoAggReaderFactory(
       props.getOrElse("transport",
-        throw new IllegalArgumentException("option 'transport' is required")))
+        throw new IllegalArgumentException("option 'transport' is required")),
+      aggs)
 }
 
-private class VcoCountReaderFactory(transportClass: String)
-    extends PartitionReaderFactory {
+private class VcoAggReaderFactory(transportClass: String,
+    aggs: Seq[VcoAgg]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VcoPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
-      private lazy val count: Long = {
+      private lazy val row: InternalRow = {
         val transport = Class.forName(transportClass)
           .getDeclaredConstructor().newInstance()
           .asInstanceOf[TransportFactory].create()
-        VcoSource.callWithRetry(transport,
+        val docs = VcoSource.callWithRetry(transport,
             "enterprise/getEnterpriseEdges",
             s"""{"vco":"${p.vco}","with":[]}""") match {
-          case Right(ls)  => ls.size.toLong
+          case Right(ls)  => ls
           case Left(err)  => throw new RuntimeException(
-            s"VCO ${p.vco} count failed: $err")
+            s"VCO ${p.vco} aggregate fetch failed: $err")
         }
+        val needIds = aggs.exists(a => a == VcoMinIdAgg || a == VcoMaxIdAgg)
+        val ids: Seq[Long] = if (!needIds) Seq.empty else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          docs.flatMap { d =>
+            val n = om.readTree(d).get("id")
+            if (n == null || !n.canConvertToLong) None else Some(n.asLong())
+          }
+        }
+        val values: Array[Any] = aggs.map {
+          case VcoCountAgg => docs.size.toLong
+          // empty per-VCO id set → NULL partial; Spark's merging
+          // min/max ignores nulls
+          case VcoMinIdAgg => if (ids.isEmpty) null else ids.min
+          case VcoMaxIdAgg => if (ids.isEmpty) null else ids.max
+        }.toArray
+        org.apache.spark.sql.catalyst.InternalRow(values: _*)
       }
       override def next(): Boolean =
         if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow =
-        org.apache.spark.sql.catalyst.InternalRow(count)
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

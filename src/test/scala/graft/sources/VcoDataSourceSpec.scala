@@ -93,7 +93,7 @@ class VcoDataSourceSpec extends SparkSpec {
     RecordedCalls.calls.clear()
     val agg = read.agg(count(lit(1)).as("n"))
     val plan = agg.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_vco_count_pushdown"),
+    assert(plan.contains("graft_vco_agg_pushdown"),
       s"count must plan the pushed scan:\n${plan.take(1200)}")
     assert(agg.collect()(0).getLong(0) === 6L) // 3 VCOs × 2 edges
     // the count request carries an EMPTY with-list — no payload shipped
@@ -105,7 +105,7 @@ class VcoDataSourceSpec extends SparkSpec {
     val filtered = read.filter(col("edgeState") === "CONNECTED")
       .agg(count(lit(1)).as("n"))
     val fPlan = filtered.queryExecution.executedPlan.toString
-    assert(!fPlan.contains("graft_vco_count_pushdown"))
+    assert(!fPlan.contains("graft_vco_agg_pushdown"))
     assert(filtered.collect()(0).getLong(0) === 3L)
   }
 
@@ -117,7 +117,28 @@ class VcoDataSourceSpec extends SparkSpec {
       .option("transport", classOf[FakeFleetTransportFactory].getName)
       .load().agg(count(lit(1)).as("n"))
     assert(!df.queryExecution.executedPlan.toString
-      .contains("graft_vco_count_pushdown"))
+      .contains("graft_vco_agg_pushdown"))
     assert(df.collect()(0).getLong(0) === 0L)
+  }
+
+  test("MIN/MAX(id) push with COUNT in one agg scan; other columns do not") {
+    RecordedCalls.calls.clear()
+    val agg = read.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+      max(col("id")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_vco_agg_pushdown"),
+      s"min/max must plan the pushed scan:\n${plan.take(1200)}")
+    val row = agg.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((6L, 1L, 2L)))
+    // partial rows came from no-expansion requests
+    val calls = Iterator.continually(RecordedCalls.calls.poll())
+      .takeWhile(_ != null).toSeq
+    assert(calls.nonEmpty && calls.forall(_.contains("\"with\":[]")), calls)
+    // a non-id min is not a shape the source answers → row scan
+    val other = read.agg(min(col("logicalId")).as("mn"))
+    assert(!other.queryExecution.executedPlan.toString
+      .contains("graft_vco_agg_pushdown"))
+    assert(other.collect()(0).getString(0) === "vco-a-e1")
   }
 }
