@@ -594,6 +594,34 @@ object Corpus {
     zm.withColumn("can_skip",
       col(s"max_$key") < lo || col(s"min_$key") > hi)
 
+  /** Winsorization at exact per-group percentile fences — the
+    * outlier-robust feature-prep step (clip, don't drop): values
+    * outside the group's [p_lo, p_hi] SELECTED quantile values clamp
+    * to the fence. Fences come from [[exactQuantiles]] (nearest-rank
+    * selection, never interpolation), so every output value is an
+    * input value — the clip is pure comparison and the whole table
+    * hash-gates even on double columns. The group-bounded fence frame
+    * broadcasts onto the scan.
+    */
+  def winsorize(df: DataFrame, grpCol: String, valCol: String,
+      tieCol: String, loP: Double, hiP: Double): DataFrame = {
+    require(loP < hiP)
+    val loName = s"q_${(loP * 100).round}"
+    val hiName = s"q_${(hiP * 100).round}"
+    val fences = exactQuantiles(df, grpCol, valCol, tieCol, Seq(loP, hiP))
+      .select(col(grpCol), col(loName).as("fence_lo"),
+        col(hiName).as("fence_hi"))
+    df.join(broadcast(fences), Seq(grpCol))
+      .withColumn("winsorized",
+        when(col(valCol) < col("fence_lo"), col("fence_lo"))
+          .when(col(valCol) > col("fence_hi"), col("fence_hi"))
+          .otherwise(col(valCol)))
+      .withColumn("is_clipped",
+        col(valCol) < col("fence_lo") || col(valCol) > col("fence_hi"))
+      .select(col(grpCol), col(tieCol), col(valCol), col("fence_lo"),
+        col("fence_hi"), col("winsorized"), col("is_clipped"))
+  }
+
   /** GPT-style document packing layout: documents concatenate in
     * doc-id order with ONE separator (EOS) token after each, and the
     * token stream chunks into fixed `blockSize` training blocks that

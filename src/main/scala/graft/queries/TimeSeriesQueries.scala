@@ -300,6 +300,76 @@ object TimeSeriesQueries extends QueryPack {
         |SELECT event_type, day, n, med, absdev, mad,
         |  absdev > mad * 3 AS is_outlier
         |FROM m2
-        |ORDER BY event_type, day""".stripMargin))
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // Winsorization at exact per-type p05/p95 fences: every output
+    // value is a SELECTED input value (nearest-rank fences + pure
+    // comparison clip), so the double column hash-gates.
+    "q261_winsorize" -> Q(
+      (s, dir) => Corpus.winsorize(
+          Tables.events(s, dir).select(col("event_type"),
+            col("event_id"), col("value")),
+          "event_type", "value", "event_id", loP = 0.05, hiP = 0.95)
+        .orderBy(col("event_id")),
+      Some("""WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rnk = CAST(ceil(0.05 * n) AS BIGINT)
+        |        THEN value END) AS fence_lo,
+        |    max(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT)
+        |        THEN value END) AS fence_hi
+        |  FROM r GROUP BY 1)
+        |SELECT e.event_type, e.event_id, e.value, f.fence_lo,
+        |  f.fence_hi,
+        |  CASE WHEN e.value < f.fence_lo THEN f.fence_lo
+        |       WHEN e.value > f.fence_hi THEN f.fence_hi
+        |       ELSE e.value END AS winsorized,
+        |  e.value < f.fence_lo OR e.value > f.fence_hi AS is_clipped
+        |FROM events e JOIN f USING (event_type)
+        |ORDER BY e.event_id""".stripMargin)),
+
+    // Inter-arrival time distribution per event_type: millisecond
+    // gaps between consecutive events (lag over one keyed sort),
+    // summarized by exact nearest-rank p50/p90 — the burstiness
+    // readout behind capacity planning and anomaly thresholds. Gaps
+    // and quantiles are all exact integers.
+    "q262_interarrival" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ms"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+          .filter(col("gap_ms").isNotNull)
+        Corpus.exactQuantiles(gaps, "event_type", "gap_ms",
+            "event_id", Seq(0.5, 0.9))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type, event_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY epoch_ms(ts), event_id)
+        |      AS gap_ms
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, gap_ms,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap_ms, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap_ms IS NOT NULL)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_docs,
+        |  max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+        |      THEN gap_ms END) AS q_50,
+        |  max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
+        |      THEN gap_ms END) AS q_90
+        |FROM r GROUP BY 1
+        |ORDER BY event_type""".stripMargin))
   )
 }
