@@ -175,6 +175,42 @@ object Analytics {
     }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
   }
 
+  /** Time-window-constrained funnel at the USER grain — [[funnel]]'s
+    * conversion-window extension: each stage must happen STRICTLY
+    * after the previous stage's first reach AND within `windowMs` of
+    * it (the "purchase within 7 days of click" product question —
+    * without the window, a conversion two years later still counts).
+    * Output is one row per stage-1 user with nullable millisecond
+    * reach times t1..tn — the per-user detail a gate can hash (the
+    * aggregate counts are one groupBy away). Each stage is a
+    * user-keyed equi-join of the stage slice against the previous
+    * reach frame (key-grain small side — AQE broadcasts it) with the
+    * window as a residual predicate; never all-pairs.
+    */
+  def funnelWindowed(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], windowMs: Long): DataFrame = {
+    require(stages.nonEmpty && windowMs > 0)
+    val events = df.select(col(userCol).as("__u"),
+      col(typeCol).as("__e"), unix_millis(col(tsCol)).as("__ms"))
+    val reaches: Seq[DataFrame] =
+      stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+        case (acc, (stage, i)) =>
+          val slice = events.filter(col("__e") === stage)
+          val eligible = acc.lastOption match {
+            case None => slice
+            case Some(prev) => slice
+              .join(prev.select(col("__u"), col(s"t$i").as("__prev")),
+                Seq("__u"))
+              .filter(col("__ms") > col("__prev") &&
+                col("__ms") <= col("__prev") + windowMs)
+          }
+          acc :+ eligible.groupBy(col("__u"))
+            .agg(min(col("__ms")).as(s"t${i + 1}"))
+      }
+    reaches.reduceLeft((a, b) => a.join(b, Seq("__u"), "left"))
+      .withColumnRenamed("__u", userCol)
+  }
+
   /** Linear multi-touch attribution — every touch (ad view, click)
     * inside the lookback window before a conversion shares the
     * conversion's credit equally, the workhorse model between

@@ -357,6 +357,37 @@ object AnalyticsQueries extends QueryPack {
         |JOIN sz sb ON sb.item = item_b
         |CROSS JOIN n
         |WHERE n_ab >= 2
-        |ORDER BY item_a, item_b""".stripMargin))
+        |ORDER BY item_a, item_b""".stripMargin)),
+
+    // Conversion-window funnel view → click → purchase, each stage
+    // within 7 days of the previous reach: per-user nullable
+    // millisecond reach times — q194's funnel with the window
+    // semantics a product team actually asks for. All-integer gate.
+    "q263_funnel_windowed" -> Q(
+      (s, dir) => Analytics.funnelWindowed(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), windowMs = 604800000L)
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(ms) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ms) AS t2
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND ms > t1
+        |         AND ms <= t1 + 604800000
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ms) AS t3
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND ms > t2
+        |         AND ms <= t2 + 604800000
+        |       GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin))
   )
 }

@@ -188,4 +188,31 @@ class AnalyticsSpec extends SparkSpec {
       .toMap
     assert(again === got)
   }
+
+  test("funnelWindowed: conversion window gates each stage") {
+    import spark.implicits._
+    // u1 converts fully inside 1-day windows; u2's click comes 2 days
+    // after view (outside the window) so click/purchase never count;
+    // u3 has click BEFORE view (strictly-after violated)
+    val rows = Seq(
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"),
+      (1L, "purchase", "2024-01-02 05:00:00"),
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-03 00:00:00"),
+      (2L, "purchase", "2024-01-03 01:00:00"),
+      (3L, "click", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-01 01:00:00"))
+      .map { case (u, e, t) => (u, e, ts(t)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnelWindowed(rows, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), windowMs = 86400000L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), !r.isNullAt(1), !r.isNullAt(2),
+        !r.isNullAt(3)))
+    assert(got.toSeq === Seq(
+      (1L, true, true, true),
+      (2L, true, false, false),
+      (3L, true, false, false)))
+  }
 }
