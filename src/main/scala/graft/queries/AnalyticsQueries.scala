@@ -388,6 +388,56 @@ object AnalyticsQueries extends QueryPack {
         |FROM s1
         |LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin))
+        |ORDER BY s1.user_id""".stripMargin)),
+
+    // Temporal-split leakage audit: events split train (< Mar 1) /
+    // eval (≥ Mar 1); a user STRADDLES when their last train event
+    // and first eval event both fall inside the 7-day embargo around
+    // the boundary — the rows an ML practitioner must drop before
+    // claiming the eval set is out-of-time. One user-keyed
+    // conditional agg; all integers.
+    "q264_split_leakage" -> Q(
+      (s, dir) => {
+        val boundaryMs = 1709251200000L // 2024-03-01T00:00Z
+        val embargoMs = 604800000L
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ms") < boundaryMs, 1L).otherwise(0L))
+              .as("n_train"),
+            sum(when(col("ms") >= boundaryMs, 1L).otherwise(0L))
+              .as("n_eval"),
+            max(when(col("ms") < boundaryMs, col("ms")))
+              .as("last_train_ms"),
+            min(when(col("ms") >= boundaryMs, col("ms")))
+              .as("first_eval_ms"))
+          .withColumn("straddles",
+            coalesce(col("last_train_ms") >= boundaryMs - embargoMs &&
+              col("first_eval_ms") < boundaryMs + embargoMs,
+              lit(false)))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+        |  CAST(sum(CASE WHEN epoch_ms(ts) < 1709251200000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN epoch_ms(ts) >= 1709251200000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        |  max(CASE WHEN epoch_ms(ts) < 1709251200000
+        |    THEN epoch_ms(ts) END) AS last_train_ms,
+        |  min(CASE WHEN epoch_ms(ts) >= 1709251200000
+        |    THEN epoch_ms(ts) END) AS first_eval_ms,
+        |  coalesce(
+        |    max(CASE WHEN epoch_ms(ts) < 1709251200000
+        |      THEN epoch_ms(ts) END) >= 1709251200000 - 604800000
+        |    AND
+        |    min(CASE WHEN epoch_ms(ts) >= 1709251200000
+        |      THEN epoch_ms(ts) END) < 1709251200000 + 604800000,
+        |    false) AS straddles
+        |FROM events
+        |WHERE user_id IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin))
   )
 }
