@@ -218,6 +218,37 @@ object Sketch {
       .agg(max(col("rank")).as("max_rank"))
   }
 
+  /** ROLLING-window HLL registers per (group, window-end day) — the
+    * sketch path for rolling distinct actives (WAU/MAU) where
+    * [[graft.operators.TimeSeries.rollingDistinct]]'s exact explode
+    * grows with the span: registers are max-mergeable, so each DAY's
+    * register table (groups × m, tiny) expands to the `spanDays`
+    * windows it covers and one MAX partial agg merges them — the
+    * explode rides the SKETCH grain, never the event or user grain.
+    * Only windows ending on observed (group, day)s are emitted.
+    * Registers are exact integers: the whole rolling table
+    * hash-gates even though the ESTIMATE it feeds is approximate.
+    */
+  def hllRollingRegistersBy(df: DataFrame, grpCol: Column,
+      dayCol: Column, keyCol: Column, m: Int, spanDays: Int): DataFrame = {
+    require(spanDays >= 1)
+    val (idx, rank) = hllIdxRank(keyCol, m)
+    val daily = df
+      .select(grpCol.as("grp"), dayCol.as("day"), idx.as("idx"),
+        rank.as("rank"))
+      .groupBy(col("grp"), col("day"), col("idx"))
+      .agg(max(col("rank")).as("rank"))
+    val observed = daily.select(col("grp"), col("day")).distinct()
+    val covered = daily
+      .select(col("grp"), col("idx"), col("rank"), col("day"),
+        explode(sequence(lit(0), lit(spanDays - 1))).as("__off"))
+      .select(col("grp"), col("idx"), col("rank"),
+        expr("date_add(day, __off)").as("day"))
+    covered.join(observed, Seq("grp", "day"), "left_semi")
+      .groupBy(col("grp"), col("day").as("window_end"), col("idx"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
   /** Bloom-accelerated incremental ingestion: which incoming keys are
     * NEW relative to the ingested set? Keys whose Bloom probe says
     * definitely-absent skip the exact check entirely (the Bloom

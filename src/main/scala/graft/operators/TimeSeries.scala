@@ -258,6 +258,38 @@ object TimeSeries {
         col("absdev"), col("mad"), col("is_outlier"))
   }
 
+  /** EXACT rolling distinct actives (the 7-day-rolling DAU/WAU
+    * readout): a user counts in window-ending-day w when they have
+    * ANY event in [w − span + 1, w]. Distinct-over-a-sliding-window
+    * does NOT decompose into per-day partials (yesterday's distinct
+    * set overlaps today's), so the exact form expands each observed
+    * (key, user, day) to the `span` window-days it covers — a
+    * bounded ×span explode at the USER-DAY grain (already deduped,
+    * far below event grain) — then counts distinct per (key, window
+    * day). Only windows ending on OBSERVED days are emitted. At
+    * larger spans (MAU = 30) the explode factor grows linearly —
+    * [[Sketch.hllRegistersBy]] + register window-max is the sketch
+    * path (q266's shape).
+    */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsCol: String,
+      userCol: String, spanDays: Int): DataFrame = {
+    require(spanDays >= 1)
+    val userDays = df
+      .filter(col(userCol).isNotNull)
+      .select(col(keyCol), col(userCol).as("__user"),
+        to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val observedDays = userDays.select(col(keyCol), col("__day")).distinct()
+    val covered = userDays
+      .select(col(keyCol), col("__user"), col("__day"),
+        explode(sequence(lit(0), lit(spanDays - 1))).as("__off"))
+      .select(col(keyCol), col("__user"),
+        expr(s"date_add(__day, __off)").as("__day"))
+    covered.join(observedDays, Seq(keyCol, "__day"), "left_semi")
+      .groupBy(col(keyCol), col("__day").as("window_end"))
+      .agg(countDistinct(col("__user")).as("n_active"))
+  }
+
   /** Incremental view maintenance with LATE DATA: merge a
     * late-arriving fact batch into an existing [[dailyPartials]] gold
     * table, recomputing ONLY the touched (key, day) cells — the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Corpus, TimeSeries}
+import graft.operators.{Corpus, Sketch, TimeSeries}
 
 /** q195–q200: time-series readouts and per-group quantiles — rolling
   * time-range windows, period-over-period, EWMA, exact + histogram
@@ -370,6 +370,69 @@ object TimeSeriesQueries extends QueryPack {
         |  max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
         |      THEN gap_ms END) AS q_90
         |FROM r GROUP BY 1
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // EXACT 7-day rolling distinct actives (rolling WAU): each
+    // (key, user, day) covers the 7 windows it belongs to; windows
+    // ending on observed days count their distinct users. The
+    // distinct-over-sliding-window has no per-day decomposition —
+    // this is the exact path, q266 the mergeable-sketch path.
+    "q265_rolling_distinct" -> Q(
+      (s, dir) => TimeSeries.rollingDistinct(
+          Tables.events(s, dir), "event_type", "ts", "user_id",
+          spanDays = 7)
+        .orderBy(col("event_type"), col("window_end")),
+      Some("""WITH ud AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |obs AS (SELECT DISTINCT event_type, day FROM ud),
+        |cov AS (
+        |  SELECT event_type, user_id,
+        |    CAST(day + INTERVAL (off) DAY AS DATE) AS day
+        |  FROM ud CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 6)) AS off))
+        |SELECT c.event_type, c.day AS window_end,
+        |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+        |FROM cov c JOIN obs o
+        |  ON o.event_type = c.event_type AND o.day = c.day
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // The SAME rolling-distinct readout as mergeable HLL registers:
+    // per-day register tables expand to their 7 windows and MAX-merge
+    // — the explode rides the groups × m sketch grain, never users.
+    // Registers are exact integers, so the rolling sketch table
+    // hash-gates even though its estimate is approximate.
+    "q266_rolling_hll" -> Q(
+      (s, dir) => Sketch.hllRollingRegistersBy(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          col("event_type"), to_date(col("ts")),
+          concat(lit("u"), col("user_id")), m = 32, spanDays = 7)
+        .orderBy(col("grp"), col("window_end"), col("idx")),
+      Some("""WITH k AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    CAST(('0x' || substr(md5('u' || user_id), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rk AS (
+        |  SELECT grp, day, h % 32 AS idx,
+        |    CASE WHEN (h >> 5) = 0 THEN 56
+        |         ELSE 56 - length(bin(h >> 5)) END AS rank
+        |  FROM k),
+        |daily AS (
+        |  SELECT grp, day, idx, max(rank) AS rank
+        |  FROM rk GROUP BY 1, 2, 3),
+        |obs AS (SELECT DISTINCT grp, day FROM daily),
+        |cov AS (
+        |  SELECT grp, idx, rank,
+        |    CAST(day + INTERVAL (off) DAY AS DATE) AS day
+        |  FROM daily CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 6)) AS off))
+        |SELECT c.grp, c.day AS window_end, c.idx,
+        |  CAST(max(c.rank) AS INT) AS max_rank
+        |FROM cov c JOIN obs o ON o.grp = c.grp AND o.day = c.day
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin))
   )
 }
