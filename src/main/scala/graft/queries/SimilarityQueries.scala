@@ -1061,6 +1061,22 @@ object SimilarityQueries extends QueryPack {
           |  cos
           |FROM r WHERE rn <= 5
           |ORDER BY label, rn""".stripMargin)
-      })
+      }),
+
+    // Matryoshka truncation audit: energy fraction of the first
+    // 16/32 dims per vector — the truncated-serving decision input.
+    // Each ratio is two sequential-fold dots + one IEEE division.
+    "q267_truncation_energy" -> Q(
+      (s, dir) => Similarity.truncationEnergy(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), vec(col("embedding")).as("embedding")),
+          "vec_id", "embedding", Seq(16, 32))
+        .orderBy(col("vec_id")),
+      Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings)
+        |SELECT vec_id, ${dd("v", "v")} AS energy,
+        |  ${dd("v[1:16]", "v[1:16]")} / ${dd("v", "v")} AS r_16,
+        |  ${dd("v[1:32]", "v[1:32]")} / ${dd("v", "v")} AS r_32
+        |FROM e
+        |ORDER BY vec_id""".stripMargin))
   )
 }
