@@ -594,6 +594,25 @@ object Corpus {
     zm.withColumn("can_skip",
       col(s"max_$key") < lo || col(s"min_$key") > hi)
 
+  /** Stratified K-fold assignment with EXACT fold balance: within
+    * each stratum, rows order by a salted md5 (uniform, deterministic,
+    * data-independent) and deal round-robin into k folds — every
+    * stratum's folds differ in size by at most 1, which plain
+    * hash-mod assignment ([[hashSplit]]) only achieves in
+    * expectation. The cost of exactness is one stratum-keyed window
+    * (hashSplit is a pure projection); use this for EVALUATION folds
+    * where balance bias matters, hashSplit for growth-stable corpus
+    * membership.
+    */
+  def stratifiedKFold(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 2)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(concat_ws("#", col(idCol), lit(salt))), col(idCol))
+    df.withColumn("fold",
+      ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
   /** Winsorization at exact per-group percentile fences — the
     * outlier-robust feature-prep step (clip, don't drop): values
     * outside the group's [p_lo, p_hi] SELECTED quantile values clamp

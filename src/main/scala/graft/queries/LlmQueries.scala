@@ -1960,6 +1960,26 @@ object LlmQueries extends QueryPack {
         |  (global_start + greatest(n_tokens, 1) - 1) // 128
         |    > global_start // 128 AS spans_boundary
         |FROM o
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Stratified 5-fold assignment with EXACT per-source balance:
+    // salted-md5 order dealt round-robin — fold sizes within a
+    // stratum differ by ≤1 (hash-mod only achieves that in
+    // expectation). Deterministic, so the assignment table
+    // hash-gates.
+    "q268_stratified_kfold" -> Q(
+      (s, dir) => Corpus.stratifiedKFold(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source")),
+          "doc_id", "source", k = 5, salt = "cv1")
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id || '#cv1'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST((rn - 1) % 5 AS INT) AS fold
+        |FROM r
         |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -377,6 +377,31 @@ class CorpusSpec extends SparkSpec {
       ((4L, 12L, 16L, 250000L)))
   }
 
+  test("stratifiedKFold: exact ±1 balance per stratum, deterministic") {
+    import spark.implicits._
+    // 23 rows in stratum a (5 folds → sizes 5,5,5,4,4), 7 in b (2,2,1,1,1)
+    val df = ((1L to 23L).map(i => (i, "a")) ++
+      (100L to 106L).map(i => (i, "b"))).toDF("id", "src")
+    val got = Corpus.stratifiedKFold(df, "id", "src", k = 5, salt = "s")
+    val sizes = got.groupBy("src", "fold").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    (0 until 5).foreach { f =>
+      assert(Seq(4L, 5L).contains(sizes(("a", f))))
+      assert(Seq(1L, 2L).contains(sizes(("b", f))))
+    }
+    assert((0 until 5).map(f => sizes(("a", f))).sum === 23L)
+    // rerun assigns identically
+    val again = Corpus.stratifiedKFold(df, "id", "src", k = 5, salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val first = got.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again === first)
+    // a different salt deals differently (not a constant function)
+    val other = Corpus.stratifiedKFold(df, "id", "src", k = 5, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(other !== first)
+  }
+
   test("packBlocks: offsets, block spans, boundary flags, empty docs") {
     import spark.implicits._
     // blockSize 4; docs (id, tokens): 1→3, 2→0 (empty), 3→6, 4→1
