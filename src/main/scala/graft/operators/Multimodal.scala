@@ -1057,6 +1057,138 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Histogram equalization over the REAL decoded PNG (the classic
+    * contrast-normalization preprocessing step before visual feature
+    * extraction), with the transform in EXACT integers: equalized
+    * level e(v) = ((cdf(v) − cdf_min) · 255) div (n − cdf_min) — the
+    * standard discrete formula, floor division, no floats — so the
+    * per-image readout (min/max/sum of equalized pixels, distinct
+    * levels before/after) hash-gates against a pixel-formula replay.
+    * Decode + histogram + remap all run in the codec loop per
+    * partition; nothing shuffles.
+    */
+  def equalizeStats(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_levels_in", LongType),
+      StructField("n_levels_out", LongType),
+      StructField("eq_min", LongType),
+      StructField("eq_max", LongType),
+      StructField("eq_sum", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(syntheticPng(id)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val n = w * h
+        val hist = new Array[Int](256)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) { hist(img.getRGB(x, y) & 0xFF) += 1; y += 1 }
+          x += 1
+        }
+        val cdf = hist.scanLeft(0)(_ + _).drop(1)
+        val cdfMin = cdf.find(_ > 0).getOrElse(0)
+        def eq(v: Int): Long =
+          if (n == cdfMin) 0L
+          else ((cdf(v) - cdfMin).toLong * 255L) / (n - cdfMin).toLong
+        var (mn, mx, sum) = (Long.MaxValue, Long.MinValue, 0L)
+        val outLevels = scala.collection.mutable.Set.empty[Long]
+        var v = 0
+        while (v < 256) {
+          if (hist(v) > 0) {
+            val e = eq(v)
+            outLevels += e
+            sum += e * hist(v)
+            if (e < mn) mn = e
+            if (e > mx) mx = e
+          }
+          v += 1
+        }
+        Row(id, hist.count(_ > 0).toLong, outLevels.size.toLong,
+          mn, mx, sum)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Decimate-by-2 over the REAL decoded PCM stream (the cheap
+    * anti-overkill resampler before acoustic featurization):
+    * out(i) = (s(2i) + s(2i+1)) / 2 in Java integer division
+    * (truncation toward zero — DuckDB's `//` agrees), odd tail
+    * dropped. Integer stats gate against the sample-formula replay.
+    */
+  def decimateStats(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_out", LongType),
+      StructField("d_min", LongType),
+      StructField("d_max", LongType),
+      StructField("d_sum", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val sb = readPcm16(syntheticWav(id)).getOrElse(
+          throw new IllegalStateException(
+            s"WAV decode failed for id $id"))._2
+        var (n, mn, mx, sum) = (0L, Long.MaxValue, Long.MinValue, 0L)
+        while (sb.remaining() >= 2) {
+          val d = (sb.get().toLong + sb.get().toLong) / 2L
+          n += 1; sum += d
+          if (d < mn) mn = d
+          if (d > mx) mx = d
+        }
+        Row(id, n, mn, mx, sum)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Keyframe detection over the demuxed clip: per consecutive frame
+    * pair, the L1 pixel-difference energy from the REAL per-frame PNG
+    * decodes; a frame is a keyframe when its diff energy exceeds
+    * `threshold` (scene cut vs continuation). Exact integers on the
+    * synthetic pixel formula, so the flag table hash-gates — the
+    * temporal-analysis step between q71's frame decode and q224's
+    * frame fingerprints.
+    */
+  def keyframeStats(df: DataFrame, idCol: String, nFrames: Int,
+      threshold: Long): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("diff_sum", LongType),
+      StructField("is_keyframe", BooleanType, nullable = false)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val frames = clipFrames(syntheticClip(id, nFrames)).map { b =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](w * h)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) { px(x * h + y) = img.getRGB(x, y) & 0xFF; y += 1 }
+            x += 1
+          }
+          px
+        }
+        frames.sliding(2).zipWithIndex.map { case (pair, i) =>
+          val diff = pair(0).zip(pair(1))
+            .map { case (a, b) => math.abs(a - b).toLong }.sum
+          Row(id, i + 1, diff, diff > threshold)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   /** q250's operator: stamp two provenance tEXt chunks into each
     * row's synthetic PNG, then re-parse them with the REAL container
     * walk — one row per recovered chunk. Injection and extraction are

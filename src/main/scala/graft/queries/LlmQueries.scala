@@ -1980,6 +1980,85 @@ object LlmQueries extends QueryPack {
         |  FROM documents)
         |SELECT doc_id, source, CAST((rn - 1) % 5 AS INT) AS fold
         |FROM r
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Histogram equalization over the REAL PNG decode: the discrete
+    // integer transform e(v) = ((cdf(v)−cdf_min)·255) div (n−cdf_min)
+    // replayed from the pixel formula — contrast normalization as an
+    // exactly-gated codec-loop op.
+    "q269_hist_equalize" -> Q(
+      (s, dir) => Multimodal.equalizeStats(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("n_levels_in"),
+          col("n_levels_out"), col("eq_min"), col("eq_max"),
+          col("eq_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH px AS (
+        |  SELECT doc_id, ((doc_id * 31 + k) % 256) AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS k
+        |        FROM documents)),
+        |h AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT doc_id, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY v)
+        |      AS BIGINT) AS cdf
+        |  FROM h),
+        |cm AS (SELECT doc_id, min(cdf) AS cdf_min FROM cd GROUP BY 1),
+        |e AS (
+        |  SELECT cd.doc_id, v, c,
+        |    ((cdf - cdf_min) * 255) // (64 - cdf_min) AS eq
+        |  FROM cd JOIN cm ON cd.doc_id = cm.doc_id)
+        |SELECT doc_id, count(*) AS n_levels_in,
+        |  CAST(count(DISTINCT eq) AS BIGINT) AS n_levels_out,
+        |  min(eq) AS eq_min, max(eq) AS eq_max,
+        |  CAST(sum(eq * c) AS BIGINT) AS eq_sum
+        |FROM e GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Decimate-by-2 resampling over the REAL WAV decode: paired-
+    // sample means in truncating integer division (Java / ≡ DuckDB
+    // //), stats replayed from the sample formula.
+    "q270_audio_decimate" -> Q(
+      (s, dir) => Multimodal.decimateStats(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("n_out"), col("d_min"),
+          col("d_max"), col("d_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH s AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+        |        FROM documents)),
+        |p AS (
+        |  SELECT doc_id, i // 2 AS j,
+        |    CAST(sum(v) AS BIGINT) // 2 AS d
+        |  FROM s GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_out, min(d) AS d_min,
+        |  max(d) AS d_max, CAST(sum(d) AS BIGINT) AS d_sum
+        |FROM p GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Keyframe detection: consecutive-frame L1 pixel-diff energy over
+    // the demuxed clip's REAL per-frame decodes; cut flagged above
+    // 3000 (base ramp diff is 64·31 = 1984; mod-256 wraps add 194
+    // per wrapped pixel). Exact integers end to end.
+    "q271_keyframes" -> Q(
+      (s, dir) => Multimodal.keyframeStats(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          nFrames = 3, threshold = 3000L)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          col("diff_sum"), col("is_keyframe"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH px AS (
+        |  SELECT doc_id, f, k,
+        |    (((doc_id + f) * 31 + k) % 256) AS a,
+        |    (((doc_id + f + 1) * 31 + k) % 256) AS b
+        |  FROM (SELECT doc_id, unnest([0, 1]) AS f FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k))
+        |SELECT doc_id, CAST(f + 1 AS INT) AS frame_idx,
+        |  CAST(sum(abs(a - b)) AS BIGINT) AS diff_sum,
+        |  CAST(sum(abs(a - b)) AS BIGINT) > 3000 AS is_keyframe
+        |FROM px GROUP BY 1, 2
+        |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }
