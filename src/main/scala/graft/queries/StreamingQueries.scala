@@ -706,6 +706,49 @@ object StreamingQueries extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |    AS sum_value
         |FROM events GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming TRUE debounce: flatMapGroupsWithState holds (last
+    // kept, kept, events) per user and folds each micro-batch in
+    // event-time order through the SAME keep rule as the batch fold
+    // (q254) — one rule, two engines, one oracle. The bounded
+    // one-batch run makes stream ≡ batch exactly; multi-batch state
+    // carryover is pinned in StreamsSpec.
+    "q272_stream_debounce" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val in = eventsStream(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id").as("key"),
+            unix_millis(col("ts")).as("ms"))
+          .as[Streams.KeyedMs]
+        Streams.runToTable(
+            Streams.debounceStream(in, quietMs = 21600000L).toDF(),
+            OutputMode.Append())
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE user_id IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    list_sort(list(ms)) AS msl
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(
+        |      [{'last': CAST(-4611686018427387904 AS BIGINT),
+        |        'kept': CAST(0 AS BIGINT)}] ||
+        |        list_transform(msl, x ->
+        |          {'last': x, 'kept': CAST(0 AS BIGINT)}),
+        |      (acc, x) -> CASE
+        |        WHEN x.last - acc.last <= 21600000 THEN acc
+        |        ELSE {'last': x.last, 'kept': acc.kept + 1}
+        |        END) AS st
+        |  FROM a)
+        |SELECT user_id, n_events, st.kept AS n_kept,
+        |  st.last AS last_kept_ms
+        |FROM f
+        |ORDER BY user_id""".stripMargin))
   )
 }

@@ -134,6 +134,43 @@ object Streams {
   final case class SigDoc(docId: Long, sig: String)
   final case class DupLink(doc_id: Long, dup_of: Option[Long])
 
+  final case class KeyedMs(key: Long, ms: Long)
+  final case class DebounceTotals(user_id: Long, n_events: Long,
+    n_kept: Long, last_kept_ms: Long)
+
+  /** Streaming TRUE debounce — the stateful twin of
+    * [[graft.operators.Windows.debounceCounts]] (q254): per-key state
+    * holds (last kept ms, kept, events) and each micro-batch folds
+    * its key's arrivals IN EVENT-TIME ORDER through the identical
+    * keep rule, emitting the key's running totals. On the bounded
+    * one-batch gate run this is exactly the batch fold; across
+    * batches the state carries, so ingestion order between batches
+    * only matters as far as real out-of-order data would (a late
+    * event sorts within ITS batch — the StreamsSpec multi-batch test
+    * pins the carryover). State is three longs per key — watermark
+    * eviction composes when keys expire.
+    */
+  def debounceStream(events: Dataset[KeyedMs],
+      quietMs: Long): Dataset[DebounceTotals] = {
+    import events.sparkSession.implicits._
+    val neverKept = -4611686018427387904L
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KeyedMs],
+            state: GroupState[(Long, Long, Long)]) =>
+          val (last0, kept0, n0) =
+            state.getOption.getOrElse((neverKept, 0L, 0L))
+          var last = last0; var kept = kept0; var n = n0
+          rows.map(_.ms).toSeq.sorted.foreach { ms =>
+            n += 1
+            if (ms - last > quietMs) { last = ms; kept += 1 }
+          }
+          state.update((last, kept, n))
+          Iterator.single(DebounceTotals(key, n, kept, last))
+      }
+  }
+
   /** Streaming near-dup ingestion: documents arrive keyed by their
     * full MinHash signature (computed as a projection on the stream —
     * [[graft.operators.Dedup.minhashSignaturesRow]]); per-signature

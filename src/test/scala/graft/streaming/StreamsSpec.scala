@@ -268,4 +268,28 @@ class StreamsSpec extends SparkSpec {
       assert(m(3L) !== m(4L))
     } finally q.stop()
   }
+
+  test("debounceStream: kept-relative-to-kept state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.KeyedMs]
+    val out = Streams.debounceStream(input.toDS(), quietMs = 10000L)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("debounce_out").outputMode("append").start()
+    try {
+      // batch 1: t = 0 kept, t = 5000 dropped → kept 1, last 0
+      input.addData(Streams.KeyedMs(1L, 0L), Streams.KeyedMs(1L, 5000L))
+      q.processAllAvailable()
+      // batch 2: t = 9000 must compare against KEPT 0 (dropped), and
+      // t = 12000 against 0 (kept) — a stateless per-batch fold or a
+      // last-EVENT rule would decide differently
+      input.addData(Streams.KeyedMs(1L, 9000L), Streams.KeyedMs(1L, 12000L))
+      q.processAllAvailable()
+      val rows = spark.table("debounce_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSet === Set(
+        (2L, 1L, 0L),      // after batch 1
+        (4L, 2L, 12000L))) // after batch 2: state carried
+    } finally q.stop()
+  }
 }
