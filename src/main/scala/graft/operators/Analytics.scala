@@ -175,6 +175,40 @@ object Analytics {
     }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
   }
 
+  /** EXACT AUC-ROC by the Mann-Whitney rank-sum identity — the
+    * classifier-evaluation readout without threshold sweeps or
+    * trapezoids: AUC = U/(n⁺·n⁻) where U counts positive-negative
+    * pairs the score orders correctly (ties ½). Doubled to stay
+    * integer under ties: 2U = 2·Σranks⁺ − n⁺(n⁺+1), with tied scores
+    * taking the tie group's average rank — computed as min+max rank
+    * per tie group (2·avg = min+max, exact in integers). One global
+    * sort (scores at readout grain); the final AUC is ONE long/long
+    * IEEE division, so even the double hash-gates.
+    */
+  def aucExact(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(scoreCol).as("__s"),
+      col(labelCol).cast("boolean").as("__y"))
+    val ranked = base
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__s"))).cast("long"))
+      .withColumn("__rsum2",
+        (min(col("__r")).over(Window.partitionBy(col("__s"))) +
+          max(col("__r")).over(Window.partitionBy(col("__s")))))
+    ranked.agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__y"), col("__rsum2")).otherwise(0L)).as("ranksum2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("ranksum2") - col("n_pos") * (col("n_pos") + 1L))
+          .as("u2"),
+        ((col("ranksum2") - col("n_pos") * (col("n_pos") + 1L))
+          .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** Time-window-constrained funnel at the USER grain — [[funnel]]'s
     * conversion-window extension: each stage must happen STRICTLY
     * after the previous stage's first reach AND within `windowMs` of

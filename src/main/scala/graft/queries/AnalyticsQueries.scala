@@ -438,6 +438,41 @@ object AnalyticsQueries extends QueryPack {
         |FROM events
         |WHERE user_id IS NOT NULL
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin))
+        |ORDER BY user_id""".stripMargin)),
+
+    // EXACT AUC-ROC by the Mann-Whitney rank-sum identity, doubled to
+    // stay integer under ties (tie group's 2·avg rank = min+max):
+    // how well does document length separate English from the rest?
+    // One global sort; the AUC double is one IEEE division chain on
+    // exact integers.
+    "q273_auc_exact" -> Q(
+      (s, dir) => Analytics.aucExact(
+          Tables.documents(s, dir)
+            .select(col("n_chars"), (col("lang") === "en").as("y")),
+          "n_chars", "y"),
+      Some("""WITH b AS (
+        |  SELECT n_chars AS sc, lang = 'en' AS y FROM documents),
+        |r AS (
+        |  SELECT sc, y,
+        |    CAST(row_number() OVER (ORDER BY sc) AS BIGINT) AS rn
+        |  FROM b),
+        |t AS (
+        |  SELECT y,
+        |    min(rn) OVER (PARTITION BY sc) +
+        |      max(rn) OVER (PARTITION BY sc) AS r2
+        |  FROM r),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS rs2
+        |  FROM t)
+        |SELECT n_pos, n_neg, rs2 - n_pos * (n_pos + 1) AS u2,
+        |  CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |    (2.0 * n_pos * n_neg) AS auc
+        |FROM a""".stripMargin))
   )
 }

@@ -189,6 +189,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("aucExact: hand-computed AUC with ties; perfect and inverted") {
+    import spark.implicits._
+    // pos scores {3, 2}, neg {1, 2}: pairwise 1 + 1 + 1 + ½ = 3.5 of
+    // 4 → AUC 0.875, 2U = 7
+    val df = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("s", "y")
+    val r = Analytics.aucExact(df, "s", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 7L)))
+    assert(r.getDouble(3) === 0.875)
+    // perfectly separating score → 1.0; inverted labels → 0.0
+    val sep = Seq((10L, true), (9L, true), (1L, false)).toDF("s", "y")
+    assert(Analytics.aucExact(sep, "s", "y").collect().head.getDouble(3)
+      === 1.0)
+    val inv = Seq((10L, false), (1L, true)).toDF("s", "y")
+    assert(Analytics.aucExact(inv, "s", "y").collect().head.getDouble(3)
+      === 0.0)
+  }
+
   test("funnelWindowed: conversion window gates each stage") {
     import spark.implicits._
     // u1 converts fully inside 1-day windows; u2's click comes 2 days
