@@ -237,6 +237,29 @@ object Relational {
     rows.reduce(_.unionByName(_))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: a key
+    * routes to the shard maximizing md5(key # shard) — the
+    * consistent-hashing scheme with the MINIMAL-MOVEMENT property:
+    * growing n → n+1 shards moves only keys whose new shard WINS
+    * their rendezvous (≈ 1/(n+1) of them), where mod-n hashing
+    * reshuffles ≈ n/(n+1). Pure projection (the argmax is a
+    * plan-time-unrolled greatest-struct over n candidates — no
+    * shuffle, no dim table), deterministic, so assignment tables
+    * hash-gate and routing is reproducible across jobs — the shard
+    * router for stateful services, cache tiers, and sticky
+    * partitioned sinks.
+    */
+  def rendezvousShard(keyCol: Column, nShards: Int): Column = {
+    require(nShards >= 1)
+    val scored = (0 until nShards).map { sh =>
+      struct(
+        graft.operators.TextAnalysis.hash60(
+          concat_ws("#", keyCol, lit(sh))).as("w"),
+        lit(sh).as("sh"))
+    }
+    greatest(scored: _*).getField("sh")
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty && compareCols.nonEmpty)

@@ -485,6 +485,43 @@ object CoreQueries extends QueryPack {
         |SELECT * FROM (
         |  SELECT * FROM a1 UNION ALL SELECT * FROM a2
         |  UNION ALL SELECT * FROM a3)
-        |ORDER BY relation""".stripMargin))
+        |ORDER BY relation""".stripMargin)),
+
+    // Rendezvous (HRW) shard routing with the minimal-movement
+    // property made visible: each doc's shard under 4 and under 5
+    // shards plus the moved flag — growing the ring moves only keys
+    // the NEW shard wins (≈1/5), where mod-hashing reshuffles ≈4/5.
+    // Pure projection; the oracle replays the argmax as a ranked
+    // (weight DESC, shard DESC) window.
+    "q274_rendezvous_sharding" -> Q(
+      (s, dir) => {
+        import graft.operators.Relational
+        Tables.documents(s, dir).select(col("doc_id"),
+            Relational.rendezvousShard(col("doc_id"), 4).as("shard4"),
+            Relational.rendezvousShard(col("doc_id"), 5).as("shard5"))
+          .withColumn("moved", col("shard4") =!= col("shard5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+        |  SELECT doc_id, sh,
+        |    CAST(('0x' || substr(md5(doc_id || '#' || sh), 1, 15))
+        |      AS BIGINT) AS w
+        |  FROM documents CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 4)) AS sh)),
+        |r4 AS (
+        |  SELECT doc_id, sh AS shard4 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY w DESC, sh DESC) AS rn
+        |    FROM c WHERE sh < 4) WHERE rn = 1),
+        |r5 AS (
+        |  SELECT doc_id, sh AS shard5 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY w DESC, sh DESC) AS rn
+        |    FROM c) WHERE rn = 1)
+        |SELECT r4.doc_id, CAST(shard4 AS INT) AS shard4,
+        |  CAST(shard5 AS INT) AS shard5,
+        |  shard4 <> shard5 AS moved
+        |FROM r4 JOIN r5 ON r4.doc_id = r5.doc_id
+        |ORDER BY r4.doc_id""".stripMargin))
   )
 }

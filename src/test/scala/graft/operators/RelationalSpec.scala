@@ -175,4 +175,22 @@ class RelationalSpec extends SparkSpec {
         Seq(("orders", orders, "ord", Some("o_cust"))))
     }
   }
+
+  test("rendezvousShard: minimal movement 4 → 5 shards, mod-hash doesn't") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val assigned = keys.select(col("k"),
+        Relational.rendezvousShard(col("k"), 4).as("s4"),
+        Relational.rendezvousShard(col("k"), 5).as("s5"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every shard in range; shards reasonably balanced
+    assert(assigned.forall { case (_, a, b) => a >= 0 && a < 4 && b >= 0 && b < 5 })
+    val sizes4 = assigned.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes4.values.forall(n => n > 350 && n < 650), sizes4.toMap)
+    // minimal movement: moved keys all moved TO the new shard 4, and
+    // the moved fraction is ≈ 1/5 (binomial tolerance)
+    val moved = assigned.filter { case (_, a, b) => a != b }
+    assert(moved.forall(_._3 == 4))
+    assert(moved.size > 300 && moved.size < 500, moved.size)
+  }
 }
