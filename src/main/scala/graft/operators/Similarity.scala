@@ -851,6 +851,46 @@ object Similarity {
         col("neighbor_id"), col("adist"))
   }
 
+  /** kNN label-agreement screen (confident-learning-lite): each
+    * vector's k nearest SAME-BUCKET neighbors (single-probe LSH — the
+    * scale path; candidates arise from the bucket equi-self-join,
+    * never all-pairs) vote on its label, and low agreement flags the
+    * row for review — the standard embedding-space screen for
+    * mislabeled or noisy training rows. Vectors alone in their bucket
+    * report 0 neighbors (unjudged, not suspect). Counts are integer;
+    * `agree_ppm` is integer division; `is_suspect` = strict-minority
+    * agreement among ≥2 neighbors.
+    */
+  def labelAgreement(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    require(k >= 1)
+    val b = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val top = b.as("a")
+      .join(b.select(col("vid").as("nid"), col("v").as("nv"),
+        col("lbl").as("nlbl"), col("bucket")).as("c"), Seq("bucket"))
+      .filter(col("vid") =!= col("nid"))
+      .withColumn("cos", cosineNative(col("v"), col("nv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val agg = top.groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("lbl") === col("nlbl"), 1L).otherwise(0L))
+          .as("n_agree"))
+    df.select(col(idCol).as("vid"), col(labelCol).as("label"))
+      .join(agg, Seq("vid"), "left")
+      .na.fill(0L, Seq("n_neighbors", "n_agree"))
+      .select(col("vid").as(idCol), col("label"), col("n_neighbors"),
+        col("n_agree"),
+        when(col("n_neighbors") > 0,
+          expr("(1000000 * n_agree) div n_neighbors")).as("agree_ppm"),
+        (col("n_neighbors") >= 2 &&
+          col("n_agree") * 2 < col("n_neighbors")).as("is_suspect"))
+  }
+
   /** Matryoshka / dimension-truncation audit: what fraction of each
     * vector's energy (squared L2 norm) lives in its first k
     * dimensions, for each k in `dims`? This is the decision input for

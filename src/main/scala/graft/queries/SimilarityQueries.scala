@@ -1063,6 +1063,45 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY label, rn""".stripMargin)
       }),
 
+    // kNN label-agreement noise screen: 3 nearest same-LSH-bucket
+    // neighbors vote on each vector's label; strict-minority
+    // agreement flags the row. Candidates come from the bucket
+    // self-join, never all-pairs; counts integer, agree share ppm.
+    "q275_label_agreement" -> Q(
+      (s, dir) => Similarity.labelAgreement(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("label"),
+              vec(col("embedding")).as("embedding")),
+          "vec_id", "embedding", "label", Planes, k = 3)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, label, $vSql AS v FROM embeddings),
+        |b AS (SELECT vec_id, label, v, ${bucketSql("v")} AS bucket
+        |      FROM e),
+        |p AS (
+        |  SELECT a.vec_id, a.label, c.vec_id AS nid,
+        |    c.label AS nlbl, ${cosSql("a.v", "c.v")} AS cos
+        |  FROM b a JOIN b c
+        |    ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, nid) AS rn
+        |  FROM p),
+        |g AS (
+        |  SELECT vec_id, count(*) AS n_neighbors,
+        |    CAST(sum(CASE WHEN label = nlbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_agree
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT e.vec_id, e.label,
+        |  CAST(coalesce(n_neighbors, 0) AS BIGINT) AS n_neighbors,
+        |  coalesce(n_agree, 0) AS n_agree,
+        |  CASE WHEN coalesce(n_neighbors, 0) > 0
+        |    THEN (1000000 * n_agree) // n_neighbors END AS agree_ppm,
+        |  coalesce(n_neighbors, 0) >= 2
+        |    AND coalesce(n_agree, 0) * 2 < n_neighbors AS is_suspect
+        |FROM e LEFT JOIN g ON e.vec_id = g.vec_id
+        |ORDER BY e.vec_id""".stripMargin)),
+
     // Matryoshka truncation audit: energy fraction of the first
     // 16/32 dims per vector — the truncated-serving decision input.
     // Each ratio is two sequential-fold dots + one IEEE division.
