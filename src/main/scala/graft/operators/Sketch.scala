@@ -249,6 +249,35 @@ object Sketch {
       .agg(max(col("rank")).as("max_rank"))
   }
 
+  /** EXACT bitmap index over a long row id (the OLAP bitmap-index
+    * shape, 63 sign-safe bits per word like [[bloomBuild]]'s bitmap):
+    * one word row per 63-id block with a bit per row satisfying the
+    * predicate. Predicate algebra is word-wise bit ops on the
+    * block-aligned join — AND/OR/COUNT never re-touch the data, which
+    * is the point: secondary predicates evaluate against the index at
+    * bits-per-row cost. Build is one partial-agg `bit_or` bounded by
+    * id-range/63 rows.
+    */
+  def bitmapBuild(df: DataFrame, idCol: String, pred: Column): DataFrame =
+    df.filter(pred)
+      .select(expr(s"$idCol div 63").as("word_idx"),
+        expr(s"shiftleft(1L, int($idCol % 63))").as("__b"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(__b)").as("bits"))
+
+  /** Word-wise boolean algebra over two [[bitmapBuild]] frames: the
+    * full-outer block join with zero-fill makes AND/OR/XOR exact on
+    * ragged block coverage.
+    */
+  def bitmapCombine(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("word_idx"), col("bits").as("bits_a"))
+      .join(b.select(col("word_idx"), col("bits").as("bits_b")),
+        Seq("word_idx"), "full_outer")
+      .na.fill(0L, Seq("bits_a", "bits_b"))
+      .select(col("word_idx"), col("bits_a"), col("bits_b"),
+        col("bits_a").bitwiseAND(col("bits_b")).as("bits_and"),
+        col("bits_a").bitwiseOR(col("bits_b")).as("bits_or"))
+
   /** Bloom-accelerated incremental ingestion: which incoming keys are
     * NEW relative to the ingested set? Keys whose Bloom probe says
     * definitely-absent skip the exact check entirely (the Bloom

@@ -1497,7 +1497,37 @@ object IndexQueries extends QueryPack {
         |    AS jacc_ppm
         |FROM u WHERE rn <= 16
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // EXACT bitmap index (63 sign-safe bits/word on the doc_id row
+    // space): predicate bitmaps for lang='en' and n_chars>500 with
+    // word-wise AND/OR — boolean predicate algebra that never
+    // re-touches the table. The full word table gates bit-for-bit.
+    "q276_bitmap_index" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sketch.bitmapCombine(
+            Sketch.bitmapBuild(docs, "doc_id", col("lang") === "en"),
+            Sketch.bitmapBuild(docs, "doc_id", col("n_chars") > 500))
+          .orderBy(col("word_idx"))
+      },
+      Some("""WITH a AS (
+        |  SELECT doc_id // 63 AS word_idx,
+        |    CAST(sum(1::BIGINT << CAST(doc_id % 63 AS INT))
+        |      AS BIGINT) AS bits_a
+        |  FROM documents WHERE lang = 'en' GROUP BY 1),
+        |b AS (
+        |  SELECT doc_id // 63 AS word_idx,
+        |    CAST(sum(1::BIGINT << CAST(doc_id % 63 AS INT))
+        |      AS BIGINT) AS bits_b
+        |  FROM documents WHERE n_chars > 500 GROUP BY 1)
+        |SELECT coalesce(a.word_idx, b.word_idx) AS word_idx,
+        |  coalesce(bits_a, 0) AS bits_a,
+        |  coalesce(bits_b, 0) AS bits_b,
+        |  coalesce(bits_a, 0) & coalesce(bits_b, 0) AS bits_and,
+        |  coalesce(bits_a, 0) | coalesce(bits_b, 0) AS bits_or
+        |FROM a FULL OUTER JOIN b ON a.word_idx = b.word_idx
+        |ORDER BY word_idx""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in
