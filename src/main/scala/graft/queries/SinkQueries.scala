@@ -218,6 +218,79 @@ object SinkQueries extends QueryPack {
         |WHERE c_custkey % 5 <> 0
         |ORDER BY c_custkey""".stripMargin)),
 
+    // Merge-on-read DELETE via deletion vectors: two successive
+    // deleteWhere commits write only position bitmaps (the data
+    // files from v0 are never rewritten — asserted in TxLogSpec);
+    // readers AND the live vectors out at scan time. The gate reads
+    // the snapshot after the FIRST delete and the current one, so it
+    // pins both the mask semantics and DV time travel: version 1
+    // must apply only the first vector even though a later one
+    // exists. Second predicate overlaps the first on purpose —
+    // re-deleted rows set already-set bits (idempotent OR), and the
+    // read-side merge must not double-drop or resurrect anything.
+    "q277_deletion_vectors" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dv")
+        val t = s"$tmp/tbl"
+        TxLog.commit(docs.repartitionByRange(4, col("doc_id")), t,
+          "overwrite", "doc_id")
+        TxLog.deleteWhere(s, t,
+          col("lang") === "en" && col("doc_id") % 7 === 0)
+        TxLog.deleteWhere(s, t, col("doc_id") % 5 === 1)
+        val v1 = TxLog.read(s, t, Some(1L))
+          .withColumn("snap", lit("after_first"))
+        val cur = TxLog.read(s, t).withColumn("snap", lit("current"))
+        materializeAndDelete(
+          v1.unionByName(cur).orderBy(col("snap"), col("doc_id")), tmp)
+      },
+      Some("""SELECT doc_id, source, lang, 'after_first' AS snap
+        |FROM documents
+        |WHERE NOT (lang = 'en' AND doc_id % 7 = 0)
+        |UNION ALL
+        |SELECT doc_id, source, lang, 'current' AS snap
+        |FROM documents
+        |WHERE NOT (lang = 'en' AND doc_id % 7 = 0)
+        |  AND NOT (doc_id % 5 = 1)
+        |ORDER BY snap, doc_id""".stripMargin)),
+
+    // Optimistic-concurrency commit: writers A and B both snapshot
+    // version 0; B publishes first, A's stale commitIf is REJECTED
+    // with the winner's version (the exclusive hard-link is the
+    // arbiter — rename would silently clobber), A rebases (its
+    // append is key-disjoint, so the rebase is a plain retry) and
+    // lands as version 2. The require pins the exact OCC outcomes;
+    // the content gate proves the three-writer interleaving lost and
+    // duplicated nothing.
+    "q278_txlog_occ" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_occ")
+        val t = s"$tmp/tbl"
+        TxLog.commit(docs.filter(col("doc_id") % 3 === 0), t,
+          "overwrite", "doc_id")
+        val a = docs.filter(col("doc_id") % 3 === 1)
+        val b = docs.filter(col("doc_id") % 3 === 2)
+        val bRes = TxLog.commitIf(b, t, "append", "doc_id", 0L, "writerB")
+        val aStale = TxLog.commitIf(a, t, "append", "doc_id", 0L, "writerA")
+        val aRetry = aStale match {
+          case Left(latest) =>
+            TxLog.commitIf(a, t, "append", "doc_id", latest, "writerA")
+          case r => r
+        }
+        require(bRes == Right(1L) && aStale == Left(1L) &&
+          aRetry == Right(2L),
+          s"OCC protocol violated: b=$bRes aStale=$aStale aRetry=$aRetry")
+        materializeAndDelete(
+          TxLog.read(s, t).orderBy(col("doc_id")), tmp)
+      },
+      Some("""SELECT doc_id, source, lang FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
     "q50_sink_roundtrip" -> Q(
       (s, dir) => {
         val derived = Tables.customer(s, dir)

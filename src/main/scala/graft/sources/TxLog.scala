@@ -15,21 +15,37 @@ import org.apache.spark.sql.types._
   * long column, so range reads can skip whole files BEFORE the scan
   * — log-level pruning on top of parquet's own row-group pruning.
   *
-  * Commits are single-writer (the caller's scheduler serializes
-  * them — the multi-writer optimistic-concurrency layer of a full
-  * lakehouse format is out of scope and documented as such):
   * `commit` writes data under `data-v{N}/`, derives per-file stats
   * with one Spark job (groupBy input_file_name — the stats
-  * computation is itself distributed), and finally renames the log
-  * entry into place — the rename is the atomic commit point, so a
-  * reader either sees version N entirely or not at all.
+  * computation is itself distributed), and finally hard-links the log
+  * entry into place. The link creation is the atomic commit point AND
+  * the concurrency arbiter: link(2) is atomic and fails with EEXIST
+  * if the version file already exists, so of two racing writers
+  * exactly one wins (rename(2) would silently replace — wrong tool).
+  * [[commit]] treats a lost race as a bug (single-writer pipelines);
+  * [[commitIf]] is the optimistic-concurrency entry point — check the
+  * expected version, attempt the commit, report the winner's version
+  * on conflict so the caller can rebase and retry. On an object store
+  * the link step maps to the store's compare-and-swap/commit-service
+  * primitive; the protocol is otherwise unchanged.
   *
-  * Log schema (one JSON line per data file, flat on purpose so
-  * `spark.read.json` consumes the whole `_log/` directory as one
-  * DataFrame): {version, mode, path, rows, mn, mx}. An `overwrite`
-  * commit resets the live set to its own files; `append` adds to it.
-  * Time travel = filter `version <= asOf` before resolving the live
-  * set.
+  * DELETE is merge-on-read via deletion vectors ([[deleteWhere]]):
+  * a delete commit writes NO data files — it writes per-(file, word)
+  * bitmaps of deleted row POSITIONS (63 sign-safe bits per word, the
+  * q276 bitmap word layout, positions from the scan's
+  * `_metadata.row_index`) and readers AND them out at scan time.
+  * Deleting a few rows from a 100 TB table therefore costs one
+  * filtered scan plus KBs of bitmap, not a rewrite of every touched
+  * file; [[compact]] (an overwrite) physically drops the rows and
+  * retires the vectors in one move.
+  *
+  * Log schema (one JSON line per data or deletion-vector file, flat
+  * on purpose so `spark.read.json` consumes the whole `_log/`
+  * directory as one DataFrame): {version, mode, path, rows, mn, mx}.
+  * An `overwrite` commit resets the live set to its own files;
+  * `append` adds to it; `delete` adds deletion-vector files that mask
+  * rows of the live set. Time travel = filter `version <= asOf`
+  * before resolving the live set.
   */
 object TxLog {
 
@@ -55,17 +71,31 @@ object TxLog {
       .sorted
   }
 
-  /** Commit a DataFrame as the next table version. Returns the new
-    * version number. `statCol` must be a long column; its per-file
-    * min/max land in the log for [[prunedRead]].
+  /** Atomic-exclusive log publish: write the entry to a uniquely-named
+    * temp file, then hard-link it to `v{N}.json`. The link appears
+    * whole or not at all (atomicity) and creation fails if the target
+    * exists (exclusivity) — the one filesystem op that is both the
+    * commit point and the multi-writer arbiter.
     */
-  def commit(df: DataFrame, dir: String, mode: String,
-      statCol: String): Long = {
-    require(mode == "append" || mode == "overwrite",
-      s"mode must be append|overwrite, got $mode")
+  private def publishLog(dir: String, v: Long, lines: Seq[String]): Unit = {
+    val ld = logDir(dir)
+    ld.mkdirs()
+    val tmp = new java.io.File(ld, s".v$v-${java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try java.nio.file.Files.createLink(
+      new java.io.File(ld, s"v$v.json").toPath, tmp.toPath)
+    finally { java.nio.file.Files.deleteIfExists(tmp.toPath); () }
+  }
+
+  /** Write `df` under `dataRel/`, derive per-file stats with one
+    * distributed pass, publish the log entry. Throws
+    * FileAlreadyExistsException if version `v` was committed by
+    * someone else between the caller's version check and here.
+    */
+  private def writeDataAndPublish(df: DataFrame, dir: String, v: Long,
+      dataRel: String, mode: String, statCol: String): Unit = {
     val spark = df.sparkSession
-    val v = versions(dir).lastOption.map(_ + 1).getOrElse(0L)
-    val dataRel = s"data-v$v"
     val dataAbs = new java.io.File(dir, dataRel).toString
     df.write.parquet(dataAbs)
     // distributed per-file stats: one pass over what was just written
@@ -82,16 +112,52 @@ object TxLog {
     val lines = stats.map { case (p, n, mn, mx) =>
       s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,"mn":$mn,"mx":$mx}"""
     }
-    val ld = logDir(dir)
-    ld.mkdirs()
-    val tmp = new java.io.File(ld, s".v$v.json.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    // atomic commit point: the entry appears whole or not at all
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(ld, s"v$v.json").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    publishLog(dir, v, lines.toIndexedSeq)
+  }
+
+  /** Commit a DataFrame as the next table version (single-writer
+    * path: a lost publish race throws). Returns the new version
+    * number. `statCol` must be a long column; its per-file min/max
+    * land in the log for [[prunedRead]].
+    */
+  def commit(df: DataFrame, dir: String, mode: String,
+      statCol: String): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    val v = versions(dir).lastOption.map(_ + 1).getOrElse(0L)
+    writeDataAndPublish(df, dir, v, s"data-v$v", mode, statCol)
     v
+  }
+
+  /** Optimistic-concurrency commit: succeed only if the table is
+    * still at `expectedVersion` (-1 = expect an empty table) — the
+    * multi-writer protocol. Right(newVersion) on success;
+    * Left(actualLatest) when someone else committed first, in which
+    * case the caller re-derives its change against the winner's
+    * snapshot and retries with the new expected version (for
+    * key-disjoint appends the rebase is a plain retry, giving
+    * serializability without locks). The conflict check is
+    * double-layered: a cheap version probe up front, and the
+    * exclusive log link as the true arbiter for races that slip
+    * between probe and publish. Data files of a lost attempt are
+    * orphans under a writer-unique directory — never referenced by
+    * the log, so readers can't see them; a listing-based janitor may
+    * reclaim them (out of scope, as in production lakehouses).
+    */
+  def commitIf(df: DataFrame, dir: String, mode: String, statCol: String,
+      expectedVersion: Long, writerId: String): Either[Long, Long] = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    val latest = versions(dir).lastOption.getOrElse(-1L)
+    if (latest != expectedVersion) return Left(latest)
+    val v = latest + 1
+    try {
+      writeDataAndPublish(df, dir, v, s"data-v$v-$writerId", mode, statCol)
+      Right(v)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Left(versions(dir).lastOption.getOrElse(-1L))
+    }
   }
 
   /** The log as a DataFrame, optionally as of a version. */
@@ -101,30 +167,146 @@ object TxLog {
     asOf.fold(all)(v => all.filter(col("version") <= v))
   }
 
-  /** Log rows of the files LIVE at `asOf` (or latest): everything at
-    * or after the last overwrite in range. The overwrite watermark is
-    * a one-row driver readout over commit-count-bounded metadata.
+  /** Last-overwrite watermark: live-set resolution starts there.
+    * One-row driver readout over commit-count-bounded metadata.
     */
-  def liveFiles(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): DataFrame = {
-    val lg = log(spark, dir, asOf)
-    val base = lg.filter(col("mode") === "overwrite")
+  private def overwriteBase(lg: DataFrame): Long =
+    lg.filter(col("mode") === "overwrite")
       .agg(max(col("version"))).head().get(0) match {
       case null => 0L
       case v: Long => v
     }
-    lg.filter(col("version") >= base)
+
+  /** Log rows of the DATA files LIVE at `asOf` (or latest):
+    * everything at or after the last overwrite in range, minus
+    * deletion-vector entries (those mask rows, they hold none).
+    */
+  def liveFiles(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val lg = log(spark, dir, asOf)
+    lg.filter(col("version") >= overwriteBase(lg) &&
+      col("mode") =!= "delete")
+  }
+
+  /** Absolute paths of the deletion-vector files live at `asOf`.
+    * DVs die at the overwrite watermark with the files they mask
+    * (an overwrite/compaction rewrites survivors and retires both).
+    */
+  private def liveDvPaths(spark: SparkSession, dir: String,
+      asOf: Option[Long]): Seq[String] = {
+    val lg = log(spark, dir, asOf)
+    lg.filter(col("version") >= overwriteBase(lg) &&
+        col("mode") === "delete")
+      .select(col("path")).collect()
+      .map(r => s"$dir/${r.getString(0)}").toIndexedSeq
+  }
+
+  /** The live deletion vectors merged to one word per (path,
+    * word_idx) — successive deletes on the same block OR together,
+    * so readers apply ONE bitmap regardless of delete-commit count.
+    */
+  def liveDeleteVectors(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val paths = liveDvPaths(spark, dir, asOf)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("path", StringType),
+          StructField("word_idx", LongType), StructField("bits", LongType))))
+    else spark.read.parquet(paths: _*)
+      .groupBy(col("path"), col("word_idx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+  }
+
+  /** Scan `paths` carrying each row's provenance: log-relative file
+    * path (last two URI segments — data files always live one
+    * directory below the table root) and within-file row position
+    * from the scan's `_metadata.row_index`. Positions are a property
+    * of the immutable file, so they are stable across reads — the
+    * invariant deletion vectors rely on.
+    */
+  private def scanWithPos(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+      .withColumn("__path", expr("concat_ws('/', " +
+        "element_at(split(_metadata.file_path, '/'), -2), " +
+        "element_at(split(_metadata.file_path, '/'), -1))"))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Mask a [[scanWithPos]] frame with merged deletion vectors: block
+    * equi-join on (file, word), keep rows whose bit is unset. The DV
+    * side is bounded by deleted-rows/63 — for realistic delete rates
+    * it broadcasts; Spark picks that from its size, no hint needed.
+    */
+  private def applyDv(scan: DataFrame, dv: DataFrame): DataFrame = {
+    val d = dv.select(col("path").as("__path"),
+      col("word_idx").as("__word"), col("bits").as("__bits"))
+    scan.withColumn("__word", expr("__pos div 63"))
+      .join(d, Seq("__path", "__word"), "left")
+      .filter(col("__bits").isNull ||
+        expr("(shiftright(__bits, int(__pos % 63)) & 1L) = 0"))
   }
 
   /** Read the table (optionally time-traveled). The file list comes
-    * from the LOG, never from directory listing.
+    * from the LOG, never from directory listing; live deletion
+    * vectors are ANDed out at scan time (merge-on-read).
     */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
     val paths = liveFiles(spark, dir, asOf)
       .select(col("path")).collect().map(r => s"$dir/${r.getString(0)}")
     require(paths.nonEmpty, s"no live files in tx table $dir at $asOf")
-    spark.read.parquet(paths.toIndexedSeq: _*)
+    val dvPaths = liveDvPaths(spark, dir, asOf)
+    if (dvPaths.isEmpty) spark.read.parquet(paths.toIndexedSeq: _*)
+    else {
+      val dataCols = spark.read.parquet(paths.toIndexedSeq: _*)
+        .columns.toIndexedSeq
+      applyDv(scanWithPos(spark, paths.toIndexedSeq),
+          liveDeleteVectors(spark, dir, asOf))
+        .select(dataCols.map(col): _*)
+    }
+  }
+
+  /** Merge-on-read DELETE: commit a deletion-vector version masking
+    * every CURRENT row (existing vectors already applied, so the
+    * predicate sees the logical table) that satisfies `pred`. No data
+    * file is rewritten — the commit is one filtered scan plus
+    * per-(file, 63-row-block) bitmap words, which is what makes a
+    * small delete on a 100 TB table cheap. Idempotent by
+    * construction (re-deleting sets already-set bits) and
+    * time-travel-correct (a reader at an earlier version applies
+    * only the vectors committed by then). Returns the new version.
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val live = liveFiles(spark, dir, None)
+      .select(col("path")).collect()
+      .map(r => s"$dir/${r.getString(0)}").toIndexedSeq
+    require(live.nonEmpty, s"delete on empty tx table $dir")
+    val v = versions(dir).last + 1
+    val dvOld = liveDvPaths(spark, dir, None)
+    val scan0 = scanWithPos(spark, live)
+    val scan = if (dvOld.isEmpty) scan0
+      else applyDv(scan0, liveDeleteVectors(spark, dir, None))
+    val bits = scan.filter(pred)
+      .select(col("__path").as("path"),
+        expr("__pos div 63").as("word_idx"),
+        expr("shiftleft(1L, int(__pos % 63))").as("__b"))
+      .groupBy(col("path"), col("word_idx"))
+      .agg(expr("bit_or(__b)").as("bits"))
+    val dvRel = s"dv-v$v"
+    val dvAbs = new java.io.File(dir, dvRel).toString
+    bits.write.parquet(dvAbs)
+    val stats = spark.read.parquet(dvAbs)
+      .groupBy(input_file_name().as("uri"))
+      .agg(expr("sum(bit_count(bits))").as("n"))
+      .collect()
+      .map(r => (s"$dvRel/${r.getString(0).split('/').last}", r.getLong(1)))
+      .sortBy(_._1)
+    val lines = stats.map { case (p, n) =>
+      s"""{"version":$v,"mode":"delete","path":"$p","rows":$n,"mn":0,"mx":0}"""
+    }
+    publishLog(dir, v, lines.toIndexedSeq)
+    v
   }
 
   /** Compact the live file set into `targetFiles` range-sorted files
@@ -210,9 +392,9 @@ object TxLog {
     val lg = log(spark, dir)
       .filter(col("version") > sinceVersion &&
         col("version") <= untilVersion)
-    require(lg.filter(col("mode") === "overwrite").isEmpty,
+    require(lg.filter(col("mode").isin("overwrite", "delete")).isEmpty,
       s"incrementalRead range ($sinceVersion, $untilVersion] contains " +
-        "an overwrite — its delta is not added-rows-only")
+        "an overwrite or delete — its delta is not added-rows-only")
     val paths = lg.select(col("path")).collect()
       .map(r => s"$dir/${r.getString(0)}")
     val empty = spark.createDataFrame(
@@ -237,7 +419,18 @@ object TxLog {
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       read(spark, dir, asOf).schema)
     if (kept.isEmpty) empty
-    else spark.read.parquet(kept.toIndexedSeq: _*)
-      .filter(col(statCol) >= lo && col(statCol) <= hi)
+    else {
+      val dvPaths = liveDvPaths(spark, dir, asOf)
+      val base =
+        if (dvPaths.isEmpty) spark.read.parquet(kept.toIndexedSeq: _*)
+        else {
+          val dataCols = spark.read.parquet(kept.toIndexedSeq: _*)
+            .columns.toIndexedSeq
+          applyDv(scanWithPos(spark, kept.toIndexedSeq),
+              liveDeleteVectors(spark, dir, asOf))
+            .select(dataCols.map(col): _*)
+        }
+      base.filter(col(statCol) >= lo && col(statCol) <= hi)
+    }
   }
 }

@@ -166,4 +166,101 @@ class TxLogSpec extends SparkSpec {
         .collect().toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
     }
   }
+
+  test("deleteWhere masks rows without rewriting any data file") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit((1L to 40L).toDF("k").repartitionByRange(3, col("k")),
+        t, "overwrite", "k")
+      def dataFiles(): Set[String] = TxLog.liveFiles(spark, t)
+        .select("path").as[String].collect().toSet
+      val before = dataFiles()
+      val v = TxLog.deleteWhere(spark, t, col("k") % 4 === 0)  // v1
+      assert(v === 1L)
+      // merge-on-read: the live DATA file set is byte-for-byte the
+      // same files — only vectors were added
+      assert(dataFiles() === before)
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === (1L to 40L).filter(_ % 4 != 0).toSet)
+      // a second, overlapping delete composes by OR
+      TxLog.deleteWhere(spark, t, col("k") % 6 === 0)          // v2
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === (1L to 40L).filter(k => k % 4 != 0 && k % 6 != 0).toSet)
+      // time travel applies only the vectors committed by then
+      assert(TxLog.read(spark, t, Some(0L)).count() === 40L)
+      assert(TxLog.read(spark, t, Some(1L)).select("k").as[Long]
+        .collect().toSet === (1L to 40L).filter(_ % 4 != 0).toSet)
+      // the log's delete rows carry exact deleted-position counts
+      val delRows = TxLog.log(spark, t)
+        .filter(col("mode") === "delete" && col("version") === 1L)
+        .agg(sum(col("rows"))).as[Long].head()
+      assert(delRows === (1L to 40L).count(_ % 4 == 0).toLong)
+      // prunedRead sees through the mask too
+      assert(TxLog.prunedRead(spark, t, "k", 10L, 20L)
+        .select("k").as[Long].collect().toSet
+        === (10L to 20L).filter(k => k % 4 != 0 && k % 6 != 0).toSet)
+      // delete versions are not an added-rows-only delta
+      intercept[IllegalArgumentException] {
+        TxLog.incrementalRead(spark, t, 0L, 2L)
+      }
+    }
+  }
+
+  test("compact purges deletion vectors; pre-compact snapshots keep them") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit((1L to 30L).toDF("k"), t, "overwrite", "k")  // v0
+      TxLog.deleteWhere(spark, t, col("k") > 25L)               // v1
+      val v = TxLog.compact(spark, t, "k", targetFiles = 1)     // v2
+      assert(v === 2L)
+      // post-compact: no live delete entries remain, content identical
+      assert(TxLog.liveDeleteVectors(spark, t).count() === 0L)
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === (1L to 25L).toSet)
+      // the masked snapshot still time-travels with its vector
+      assert(TxLog.read(spark, t, Some(1L)).select("k").as[Long]
+        .collect().toSet === (1L to 25L).toSet)
+      assert(TxLog.read(spark, t, Some(0L)).count() === 30L)
+      // deleting every remaining row then reading is an empty frame,
+      // not an error (files stay live, fully masked)
+      TxLog.deleteWhere(spark, t, lit(true))                    // v3
+      assert(TxLog.read(spark, t).count() === 0L)
+    }
+  }
+
+  test("commitIf: stale writer rejected, rebase lands, link is exclusive") {
+    import spark.implicits._
+    withTable { t =>
+      // expect-empty semantics
+      assert(TxLog.commitIf(Seq(1L).toDF("k"), t, "overwrite", "k",
+        expectedVersion = -1L, writerId = "w0") === Right(0L))
+      // two writers race from version 0: B lands, A is stale
+      assert(TxLog.commitIf(Seq(2L).toDF("k"), t, "append", "k",
+        0L, "wB") === Right(1L))
+      val stale = TxLog.commitIf(Seq(3L).toDF("k"), t, "append", "k",
+        0L, "wA")
+      assert(stale === Left(1L))
+      // rebase: retry against the observed winner
+      assert(TxLog.commitIf(Seq(3L).toDF("k"), t, "append", "k",
+        1L, "wA") === Right(2L))
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(1L, 2L, 3L))
+      // the lost attempt's data files are orphans: invisible to the
+      // log-driven reader (no directory listing ever happens)
+      val logged = TxLog.log(spark, t).select("path").as[String]
+        .collect().toSet
+      assert(logged.forall(p => !p.contains("data-v1-wA")))
+      // a foreign v3.json makes the table's latest move: the stale
+      // writer is rejected and the existing entry is NOT clobbered
+      // (exclusive link, not rename — byte-identical after the loss)
+      val ld = new java.io.File(t, "_log")
+      val foreign = new java.io.File(ld, "v3.json").toPath
+      java.nio.file.Files.write(foreign,
+        "\n".getBytes("UTF-8"))
+      assert(TxLog.commitIf(Seq(4L).toDF("k"), t, "append", "k",
+        2L, "wC") === Left(3L))
+      assert(java.nio.file.Files.readAllBytes(foreign).toSeq
+        === "\n".getBytes("UTF-8").toSeq)
+    }
+  }
 }
