@@ -278,4 +278,54 @@ object Relational {
           .when(someChanged, lit("changed"))
           .otherwise(lit("unchanged")).as("change"): _*)
   }
+
+  /** Incremental maintenance of an INNER equi-join view under
+    * appends: the rows to ADD to the materialized view when `deltaLeft`
+    * and `deltaRight` arrive is
+    * ΔM = ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR
+    * — the classic delta-join identity with the ΔL ⋈ ΔR term folded
+    * into the first join so no pair is produced twice. Each term
+    * joins a DELTA against a base: at 100 TB the base side streams
+    * once and the delta (a micro-batch) broadcasts, so view refresh
+    * cost scales with the CHANGE, not the view — the base ⋈ base
+    * join that makes full refresh quadratic in practice is never
+    * re-executed. Append-only (no retractions); updates/deletes
+    * compose with [[applyChanges]] upstream.
+    */
+  def deltaJoinUpdates(left: DataFrame, deltaLeft: DataFrame,
+      right: DataFrame, deltaRight: DataFrame,
+      keys: Seq[String]): DataFrame =
+    deltaLeft.join(right.unionByName(deltaRight), keys, "inner")
+      .unionByName(left.join(deltaRight, keys, "inner"))
+
+  /** 2-D Pareto front (skyline) per group, both criteria MAXIMIZED:
+    * keep a row iff no same-group row is ≥ on both criteria and
+    * strictly greater on one — multi-criteria selection (e.g. the
+    * longest-AND-richest documents per source) without scoring the
+    * criteria into one number.
+    *
+    * Not the O(n²) NOT EXISTS: one partial agg collapses rows to
+    * per-(group, x) maxima (bounded by distinct x values, not rows),
+    * one per-group window over that frame takes the running max of y
+    * over strictly-greater x, and survivors semi-join back — row r
+    * lives iff its y equals its x-level max AND beats every y at
+    * higher x. The window runs on the collapsed frame, so the sort
+    * is over distinct (group, x), and the join back is
+    * broadcast-scale (fronts are small by nature).
+    */
+  def skyline2d(df: DataFrame, grpCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xLevel = df.groupBy(col(grpCol), col(xCol))
+      .agg(max(col(yCol)).as("__ymax"))
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = xLevel
+      .withColumn("__prev", max(col("__ymax")).over(w))
+      .filter(col("__prev").isNull || col("__prev") < col("__ymax"))
+      .select(col(grpCol), col(xCol), col("__ymax"))
+    df.join(front, Seq(grpCol, xCol))
+      .filter(col(yCol) === col("__ymax"))
+      .drop("__ymax")
+  }
 }

@@ -522,6 +522,66 @@ object CoreQueries extends QueryPack {
         |  CAST(shard5 AS INT) AS shard5,
         |  shard4 <> shard5 AS moved
         |FROM r4 JOIN r5 ON r4.doc_id = r5.doc_id
-        |ORDER BY r4.doc_id""".stripMargin))
+        |ORDER BY r4.doc_id""".stripMargin)),
+
+    // Join-view incremental maintenance: the materialized inner join
+    // of 80% of orders × 95% of customers, then the remaining 20% /
+    // 5% arrive as append deltas. deltaJoinUpdates produces exactly
+    // the view delta (ΔL⋈(R∪ΔR) ∪ L⋈ΔR — the ΔL⋈ΔR term folded so
+    // no pair lands twice); view0 ∪ Δ must equal the from-scratch
+    // join, which is precisely what the oracle recomputes. At scale
+    // each term is a broadcast-delta against one base stream — the
+    // base⋈base join of a full refresh never re-runs.
+    "q279_ivm_delta_join" -> Q(
+      (s, dir) => {
+        import graft.operators.Relational
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+            col("o_totalprice"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val oldO = o.filter(col("o_orderkey") % 10 < 8)
+        val newO = o.filter(col("o_orderkey") % 10 >= 8)
+        val oldC = c.filter(col("c_custkey") % 20 =!= 0)
+        val newC = c.filter(col("c_custkey") % 20 === 0)
+        val view0 = oldO.join(oldC, Seq("c_custkey"), "inner")
+        val delta = Relational.deltaJoinUpdates(
+          oldO, newO, oldC, newC, Seq("c_custkey"))
+        view0.unionByName(delta)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        |  c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // 2-D Pareto front per source: documents not dominated on
+    // (n_chars, token count) — multi-criteria corpus selection with
+    // no weighting. Spark runs the collapsed-frame window (distinct
+    // x grain, never all-pairs); the oracle is the definitional
+    // O(n²) NOT EXISTS — agreement proves the window formulation IS
+    // the skyline.
+    "q280_skyline" -> Q(
+      (s, dir) => {
+        import graft.operators.Relational
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Relational.skyline2d(docs, "source", "n_chars", "n_tokens")
+          .select(col("source"), col("n_chars"), col("n_tokens"),
+            col("doc_id"))
+          .orderBy(col("source"), col("n_chars"), col("doc_id"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, n_chars, n_tokens, doc_id FROM t r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM t s
+        |  WHERE s.source = r.source
+        |    AND s.n_chars >= r.n_chars AND s.n_tokens >= r.n_tokens
+        |    AND (s.n_chars > r.n_chars OR s.n_tokens > r.n_tokens))
+        |ORDER BY source, n_chars, doc_id""".stripMargin))
   )
 }
