@@ -193,4 +193,44 @@ class RelationalSpec extends SparkSpec {
     assert(moved.forall(_._3 == 4))
     assert(moved.size > 300 && moved.size < 500, moved.size)
   }
+
+  test("deltaJoinUpdates: view0 ∪ Δ ≡ full recompute, no pair twice") {
+    import spark.implicits._
+    val oldL = Seq((1L, "l1"), (2L, "l2")).toDF("k", "lv")
+    val newL = Seq((2L, "l2b"), (3L, "l3")).toDF("k", "lv")
+    val oldR = Seq((1L, "r1"), (3L, "r3")).toDF("k", "rv")
+    val newR = Seq((2L, "r2"), (3L, "r3b")).toDF("k", "rv")
+    val view0 = oldL.join(oldR, Seq("k"))
+    val delta = Relational.deltaJoinUpdates(oldL, newL, oldR, newR, Seq("k"))
+    val maintained = view0.unionByName(delta)
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val full = oldL.unionByName(newL)
+      .join(oldR.unionByName(newR), Seq("k"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    // multiset equality: duplicates from double-counting ΔL⋈ΔR or
+    // missing cross terms would both show here
+    assert(maintained === full)
+    // empty deltas → empty view delta
+    val none = Relational.deltaJoinUpdates(
+      oldL, newL.limit(0), oldR, newR.limit(0), Seq("k"))
+    assert(none.count() === 0L)
+  }
+
+  test("skyline2d: dominance, x-ties, exact-duplicate survivors") {
+    import spark.implicits._
+    val rows = Seq(
+      // group a: (5,1) and (3,4) are the front; (3,2) dominated by
+      // (3,4) via same-x higher-y; (2,4) dominated by (3,4) via
+      // higher-x equal-y; (1,1) dominated by everything
+      ("a", 5L, 1L, "keep1"), ("a", 3L, 4L, "keep2"),
+      ("a", 3L, 2L, "drop_samex"), ("a", 2L, 4L, "drop_eqy"),
+      ("a", 1L, 1L, "drop_both"),
+      // group b: exact duplicates on (x, y) neither dominates — both
+      // survive; groups are independent
+      ("b", 7L, 7L, "dup1"), ("b", 7L, 7L, "dup2"), ("b", 8L, 6L, "k3")
+    ).toDF("g", "x", "y", "tag")
+    val front = Relational.skyline2d(rows, "g", "x", "y")
+      .select("tag").as[String].collect().sorted.toSeq
+    assert(front === Seq("dup1", "dup2", "k3", "keep1", "keep2"))
+  }
 }
