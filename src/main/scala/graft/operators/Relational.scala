@@ -328,4 +328,46 @@ object Relational {
       .filter(col(yCol) === col("__ymax"))
       .drop("__ymax")
   }
+
+  /** Replica divergence detection, rsync-style: row-by-row comparison
+    * of two copies of a 100 TB table is a full shuffle of BOTH; this
+    * protocol first exchanges per-bucket CHECKSUMS (row count + XOR
+    * of a 60-bit row signature — one partial agg per replica, bytes
+    * per bucket on the wire) and then runs the exact keyed diff ONLY
+    * inside buckets whose checksums disagree. Identical replicas
+    * cost two scans and a bucket-grain join; localized divergence
+    * narrows the expensive full-outer diff to the touched buckets.
+    *
+    * The checksum screen is probabilistically complete: missing a
+    * diverged bucket needs coordinated changes whose signatures
+    * XOR-cancel at equal row count (~2^-60 — the standard checksum-
+    * protocol caveat; [[snapshotDiff]] is the exact-but-full-shuffle
+    * alternative). Signature nulls: concat_ws skips null payload
+    * columns, so null→empty-string edits are invisible to the SCREEN;
+    * the in-bucket diff still catches them when any co-bucketed row
+    * diverged. Returns the [[snapshotDiff]] frame (key + change)
+    * restricted to diverged buckets, plus the bucket id.
+    */
+  def replicaDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      payload: Seq[String], nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && payload.nonEmpty)
+    def sigs(df: DataFrame): DataFrame = df.select(col(keyCol),
+      pmod(col(keyCol), lit(nBuckets.toLong)).as("__bucket"),
+      TextAnalysis.hash60(concat_ws("\u0001",
+        (keyCol +: payload).map(col): _*)).as("__sig"))
+    def sums(df: DataFrame): DataFrame = sigs(df)
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"), expr("bit_xor(__sig)").as("__x"))
+    val diverged = sums(a)
+      .select(col("__bucket"), col("__n").as("__na"), col("__x").as("__xa"))
+      .join(sums(b).select(col("__bucket"), col("__n").as("__nb"),
+        col("__x").as("__xb")), Seq("__bucket"), "full_outer")
+      .filter(!(col("__na") <=> col("__nb")) || !(col("__xa") <=> col("__xb")))
+      .select(col("__bucket"))
+    def slice(df: DataFrame): DataFrame = df
+      .withColumn("__bucket", pmod(col(keyCol), lit(nBuckets.toLong)))
+      .join(broadcast(diverged), Seq("__bucket"), "left_semi")
+    snapshotDiff(slice(a), slice(b), Seq(keyCol), payload)
+      .withColumn("bucket", pmod(col(keyCol), lit(nBuckets.toLong)))
+  }
 }

@@ -582,6 +582,56 @@ object CoreQueries extends QueryPack {
         |  WHERE s.source = r.source
         |    AND s.n_chars >= r.n_chars AND s.n_tokens >= r.n_tokens
         |    AND (s.n_chars > r.n_chars OR s.n_tokens > r.n_tokens))
-        |ORDER BY source, n_chars, doc_id""".stripMargin))
+        |ORDER BY source, n_chars, doc_id""".stripMargin)),
+
+    // Replica comparison via bucket checksums: replica B is the
+    // orders table (unique o_orderkey) with injected deletes (k%97),
+    // in-place edits (k%89) and inserts (k+10M for k%101).
+    // replicaDiff exchanges 64 per-bucket (count, XOR-of-signature)
+    // rows and runs the exact keyed diff only inside diverged
+    // buckets; the oracle computes the definitional full-outer diff
+    // — agreement proves the narrowed protocol finds every
+    // divergence on this fixture. At 100 TB the difference is
+    // bytes-per-bucket on the wire vs shuffling both replicas.
+    "q282_replica_diff" -> Q(
+      (s, dir) => {
+        import graft.operators.Relational
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val edited = base.filter(col("k") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("k") % 89 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+        val inserted = base.filter(col("k") % 101 === 0)
+          .select((col("k") + 10000000L).as("k"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val replicaB = edited.unionByName(inserted)
+        Relational.replicaDiff(base, replicaB, "k",
+            Seq("o_orderstatus", "o_totalprice"), nBuckets = 64)
+          .filter(col("change") =!= "unchanged")
+          .orderBy(col("k"))
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |b AS (
+        |  SELECT k, o_orderstatus,
+        |    CASE WHEN k % 89 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000, o_orderstatus, o_totalprice
+        |  FROM base WHERE k % 101 = 0)
+        |SELECT COALESCE(a.k, b.k) AS k,
+        |  CASE WHEN a.k IS NULL THEN 'added'
+        |       WHEN b.k IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  COALESCE(a.k, b.k) % 64 AS bucket
+        |FROM base a FULL JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL
+        |  OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |  OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |ORDER BY k""".stripMargin))
   )
 }

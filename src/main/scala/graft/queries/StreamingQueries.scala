@@ -749,6 +749,87 @@ object StreamingQueries extends QueryPack {
         |SELECT user_id, n_events, st.kept AS n_kept,
         |  st.last AS last_kept_ms
         |FROM f
-        |ORDER BY user_id""".stripMargin))
+        |ORDER BY user_id""".stripMargin)),
+
+    // Streaming join-view maintenance: the SAME delta-join identity
+    // as batch q279 run per micro-batch over a CDC-style tagged
+    // stream carrying BOTH sides of the join (order deltas and
+    // customer deltas interleaved across three staged files,
+    // maxFilesPerTrigger=1 → a genuinely multi-batch run). Each
+    // batch splits by side, computes ΔM = ΔL⋈(R∪ΔR) ∪ L⋈ΔR against
+    // the CURRENT bases, appends it to the view, then advances the
+    // bases. The identity telescopes, so the final view equals the
+    // from-scratch join regardless of how the engine slices batches
+    // — which is exactly what the oracle recomputes.
+    "q281_stream_ivm_join" -> Q(
+      (s, dir) => {
+        import graft.operators.Relational
+        val o = graft.Tables.orders(s, dir)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+            col("o_totalprice"))
+        val c = graft.Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val priceT = o.schema("o_totalprice").dataType
+        val oTag = o.select(lit("L").as("side"), col("c_custkey"),
+          col("o_orderkey"), col("o_totalprice"),
+          lit(null).cast("string").as("c_mktsegment"))
+        val cTag = c.select(lit("R").as("side"), col("c_custkey"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast(priceT).as("o_totalprice"),
+          col("c_mktsegment"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sivm")
+        val streamDir = tmp.resolve("in")
+        java.nio.file.Files.createDirectories(streamDir)
+        val deltas = Seq(
+          oTag.filter(col("o_orderkey") % 10 === 8),
+          cTag.filter(col("c_custkey") % 20 === 0),
+          oTag.filter(col("o_orderkey") % 10 === 9))
+        deltas.zipWithIndex.foreach { case (d, i) =>
+          val stage = tmp.resolve(s"stage$i")
+          d.coalesce(1).write.parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            streamDir.resolve(s"b$i.parquet"))
+          ()
+        }
+        var baseL = o.filter(col("o_orderkey") % 10 < 8)
+          .localCheckpoint(true)
+        var baseR = c.filter(col("c_custkey") % 20 =!= 0)
+          .localCheckpoint(true)
+        var view = baseL.join(baseR, Seq("c_custkey"), "inner")
+          .localCheckpoint(true)
+        val ckpt = Streams.scratchCheckpointDir("graft-sivm-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            s.readStream.schema(oTag.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(streamDir.toString),
+            batch => batch,
+            batch => {
+              val dL = batch.filter(col("side") === "L")
+                .select(col("c_custkey"), col("o_orderkey"),
+                  col("o_totalprice"))
+              val dR = batch.filter(col("side") === "R")
+                .select(col("c_custkey"), col("c_mktsegment"))
+              val delta = Relational.deltaJoinUpdates(
+                baseL, dL, baseR, dR, Seq("c_custkey"))
+              view = view.unionByName(delta).localCheckpoint(true)
+              baseL = baseL.unionByName(dL).localCheckpoint(true)
+              baseR = baseR.unionByName(dR).localCheckpoint(true)
+            },
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally { rm(ckpt.toFile); rm(tmp.toFile) }
+        view.orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        |  c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -233,4 +233,26 @@ class RelationalSpec extends SparkSpec {
       .select("tag").as[String].collect().sorted.toSeq
     assert(front === Seq("dup1", "dup2", "k3", "keep1", "keep2"))
   }
+
+  test("replicaDiff: identical replicas silent; localized divergence found") {
+    import spark.implicits._
+    val a = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    // identical replicas → empty diff (and no bucket survives the
+    // checksum screen, which is the cheap-path point)
+    assert(Relational.replicaDiff(a, a, "k", Seq("v"), 16).count() === 0L)
+    // one edit, one delete, one insert
+    val b = a.filter($"k" =!= 50L)
+      .withColumn("v", when($"k" === 7L, lit("edited")).otherwise($"v"))
+      .unionByName(Seq((999L, "new")).toDF("k", "v"))
+    val d = Relational.replicaDiff(a, b, "k", Seq("v"), 16)
+      .filter($"change" =!= "unchanged")
+      .select($"k", $"change").as[(Long, String)].collect().toSet
+    assert(d === Set((7L, "changed"), (50L, "removed"), (999L, "added")))
+    // null payload vs value counts as changed (null-safe compare)
+    val withNull = a.withColumn("v", when($"k" === 3L, lit(null)).otherwise($"v"))
+    val dn = Relational.replicaDiff(a, withNull, "k", Seq("v"), 16)
+      .filter($"change" =!= "unchanged")
+      .select($"k", $"change").as[(Long, String)].collect().toSet
+    assert(dn === Set((3L, "changed")))
+  }
 }
