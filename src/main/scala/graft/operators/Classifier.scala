@@ -81,4 +81,25 @@ object Classifier {
     val scorePpm = floor(p * lit(1000000.0))
     (scorePpm, when(scorePpm >= 500000L, lit(1L)).otherwise(lit(0L)))
   }
+
+  /** Weak-supervision label aggregation (the Snorkel majority-vote
+    * baseline): each labeling function emits a nullable STRING label
+    * (null = abstain); the aggregate label is the strict-majority
+    * winner among non-abstaining LFs, null on ties or all-abstain —
+    * ties are genuinely ambiguous and a deterministic "first wins"
+    * would bake LF order into the labels. Pure array expressions
+    * over the LF outputs (votes is ≤ #LFs long), so labeling rides
+    * the scan at 100 TB: no shuffle, no UDF, fully codegen'd.
+    * Emits `n_votes` (non-abstain count) and `label`.
+    */
+  def majorityVote(lfs: Seq[Column]): (Column, Column) = {
+    require(lfs.nonEmpty)
+    val votes = filter(array(lfs: _*), v => v.isNotNull)
+    val counts = transform(array_distinct(votes),
+      c => struct(size(filter(votes, v => v === c)).as("n"), c.as("lab")))
+    val best = array_max(counts)
+    val nBest = size(filter(counts, s => s("n") === best("n")))
+    val label = when(size(votes) > 0 && nBest === 1, best("lab"))
+    (size(votes).cast("long"), label)
+  }
 }

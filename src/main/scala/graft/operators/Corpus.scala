@@ -674,6 +674,59 @@ object Corpus {
         expr(s"(global_start + greatest(n_tokens, 1L) - 1L) div $blockSize"))
       .withColumn("spans_boundary", col("end_block") > col("start_block"))
   }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * of an integer measure. Replicate weights are a pure function of
+    * (id, replicate, salt): the first md5 nibble maps through a
+    * 16-slot table approximating Poisson(1) — P(0)=P(1)=6/16,
+    * P(2)=3/16, P(3)=1/16 — so both engines draw the identical
+    * resample and the CI hash-gates (classic RNG bootstrap can never
+    * cross-engine-gate). The R replicates are R PAIRED AGGREGATES in
+    * ONE scan — no ×R row explode, no shuffle beyond the 1-row global
+    * agg (partial aggregation does the work map-side); at 100 TB the
+    * bootstrap costs one table read regardless of R. Replicate means
+    * are exact integer milli-units (Σw·x·1000 div Σw); the CI picks
+    * nearest-rank order statistics of the R means — selected values,
+    * never interpolated.
+    *
+    * Returns one row: (n, point_milli, ci_lo_milli, ci_hi_milli,
+    * n_replicates, mean_of_means_milli).
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valCol: String,
+      replicates: Int, salt: String, loPct: Int = 5, hiPct: Int = 95)
+      : DataFrame = {
+    require(replicates >= 2 && loPct >= 0 && hiPct <= 100 && loPct < hiPct)
+    def weight(r: Int): Column = {
+      val nib = conv(substring(md5(
+        concat_ws("#", col(idCol).cast("string"), lit(r.toString),
+          lit(salt))), 1, 1), 16, 10).cast("long")
+      when(nib < 6, 0L).when(nib < 12, 1L).when(nib < 15, 2L)
+        .otherwise(3L)
+    }
+    val aggs = Seq(count(lit(1)).cast("long").as("n"),
+      sum(col(valCol).cast("long")).as("sx")) ++
+      (0 until replicates).flatMap { r =>
+        Seq(sum(weight(r)).as(s"__w_$r"),
+          sum(weight(r) * col(valCol).cast("long")).as(s"__wx_$r"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until replicates).map { r =>
+      expr(s"__wx_$r * 1000L div greatest(__w_$r, 1L)")
+    }: _*)
+    val sorted = array_sort(means)
+    val loRank = math.max(1, math.ceil(loPct * replicates / 100.0).toInt)
+    val hiRank = math.max(1, math.ceil(hiPct * replicates / 100.0).toInt)
+    one.select(col("n"),
+      expr("sx * 1000L div greatest(n, 1L)").as("point_milli"),
+      element_at(sorted, loRank).as("ci_lo_milli"),
+      element_at(sorted, hiRank).as("ci_hi_milli"),
+      lit(replicates.toLong).as("n_replicates"),
+      // checksum over ALL replicate means (not just the two picked
+      // ranks) so the gate pins every resample, kept as an exact sum
+      // — a mean would need a second integral division step
+      aggregate(sorted, lit(0L), (acc, x) => acc + x)
+        .as("sum_means_milli"))
+  }
 }
 
 /** Quantile normalization across heterogeneous sources — score

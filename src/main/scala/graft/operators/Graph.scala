@@ -270,4 +270,48 @@ object Graph {
         col("n_b"), col("n_baskets"),
         expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_ppm"))
   }
+
+  /** HITS hubs & authorities in integer ppm ([[pageRankPpm]]'s
+    * discipline applied to Kleinberg's mutual-reinforcement pair):
+    * per round, auth ← Σ hub over in-edges then hub ← Σ (new) auth
+    * over out-edges, each rescaled to max = 10⁶ by integral div — the
+    * max-norm replaces the classic L2 norm so the whole iteration
+    * stays in BIGINT and the unrolled-CTE oracle replays it
+    * bit-exactly (a float norm could never hash-gate). Per round: two
+    * edge-keyed join+agg pairs plus two 1-row max attaches; the
+    * edge list is loop-invariant (localCheckpoint once); rank frames
+    * are node-bounded. Nodes without in-(out-)edges settle at auth
+    * (hub) 0, isolated-side-safe via the left join + coalesce.
+    */
+  def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def rescale(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(greatest(max(col("raw")), lit(1L)).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr("(1000000 * coalesce(raw, 0L)) div __mx").as(out))
+    }
+    var hub = nodes.withColumn("hub_ppm", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val authRaw = e
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub_ppm")).as("raw"))
+      auth = rescale(authRaw, "auth_ppm").localCheckpoint()
+      val hubRaw = e
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth_ppm")).as("raw"))
+      hub = rescale(hubRaw, "hub_ppm").localCheckpoint()
+    }
+    auth.join(hub, Seq("node"))
+  }
 }

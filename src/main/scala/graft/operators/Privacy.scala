@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk auditing for corpus/gold-table release — the
+  * governance pass a training-data pipeline runs before a dataset
+  * leaves the boundary (the reference ships PII scrubbing and a
+  * delegated-privileges gate; this is the table-shape complement:
+  * re-identification risk of the rows themselves).
+  *
+  * k-anonymity: every released row must share its quasi-identifier
+  * (QI) combination with ≥ k−1 other rows. l-diversity: within each
+  * QI group the SENSITIVE attribute must take ≥ l distinct values
+  * (a k-anonymous group whose members all share one sensitive value
+  * still leaks it).
+  *
+  * Both are one QI-keyed partial aggregation over the table — the
+  * same shuffle shape as any groupBy rollup, so the audit rides a
+  * single scan at 100 TB. Suppression joins the (small) risky-group
+  * frame back broadcast-style; the fact table is never shuffled for
+  * it.
+  */
+object Privacy {
+
+  /** Per-QI-group audit: group size, distinct sensitive values, and
+    * the k-anonymous / l-diverse verdicts. Output grain is the QI
+    * grid (bounded by the QI domain, not the row count).
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column, k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1 && l >= 1)
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(sensitive).as("n_sensitive"))
+      .select(qiCols.map(col) ++ Seq(
+        col("n"), col("n_sensitive"),
+        (col("n") >= k).as("k_anon"),
+        (col("n_sensitive") >= l).as("l_diverse")): _*)
+  }
+
+  /** Suppression pass: rows whose QI group fails k-anonymity get
+    * their QI columns nulled (cell suppression), everything else
+    * passes through unchanged. The risky-group frame is the audit
+    * output filtered to failures — QI-domain-bounded, so the join
+    * back onto the table broadcasts; the table itself never
+    * shuffles.
+    */
+  def suppressSmallGroups(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column, k: Int): DataFrame = {
+    val risky = broadcast(
+      kAnonymityAudit(df, qiCols, sensitive, k, l = 1)
+        .filter(!col("k_anon"))
+        .select(qiCols.map(c => col(c).as(s"__r_$c")): _*)
+        .withColumn("__risky", lit(true)))
+    val cond = qiCols.map(c => df(c) <=> risky(s"__r_$c")).reduce(_ && _)
+    val kept = df.columns.map { c =>
+      if (qiCols.contains(c))
+        when(col("__risky"), lit(null)).otherwise(df(c)).as(c)
+      else df(c).as(c)
+    }
+    df.join(risky, cond, "left")
+      .select(kept.toIndexedSeq: _*)
+  }
+}

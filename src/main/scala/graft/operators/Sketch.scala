@@ -432,4 +432,85 @@ object Sketch {
           .otherwise(lit((k - 1).toDouble) * maxH.cast("double") / col("h_k"))
           .as("est"))
   }
+
+  /** Misra-Gries candidate pass: per PARTITION, a bounded table of
+    * `k` counters scanned once (decrement-all on overflow — the
+    * classic streaming summary). Guarantee (pigeonhole): any key with
+    * partition-local frequency > n_p/k survives its partition's
+    * summary, so any key with GLOBAL frequency > n/k survives the
+    * union — the candidate set is a SUPERSET of the true >n/k heavy
+    * hitters, with ≤ k·partitions candidates total (driver never
+    * sees more). The candidate VALUES depend on partition layout;
+    * only the superset property is contractual — which is why
+    * [[mgHeavyHitters]] closes with an exact re-count.
+    */
+  def mgCandidates(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 2)
+    import df.sparkSession.implicits._
+    val keys = df.select(keyCol.cast("string").as("key")).as[String]
+    keys.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { key =>
+        if (counters.contains(key)) counters(key) += 1L
+        else if (counters.size < k - 1) counters(key) = 1L
+        else {
+          // decrement-all; drop zeros — O(k) amortized per overflow
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.mapValuesInPlace((_, v) => v - 1L)
+          counters.foreach { case (kk, v) => if (v <= 0L) dead += kk }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("key").distinct()
+  }
+
+  /** EXACT heavy hitters (frequency·k > n, strict) in two passes with
+    * bounded memory: MG candidate generation (pass 1) then an exact
+    * re-count restricted to the broadcast candidate set (pass 2).
+    * The output is the TRUE heavy-hitter set regardless of how MG's
+    * partition-dependent candidates fell out — the superset guarantee
+    * means no true hitter is missed, and the exact filter removes
+    * every false candidate. At 100 TB: pass 1 is a scan with k-sized
+    * state per task; pass 2 is a scan with a broadcast semi-join and
+    * a candidate-keyed partial agg — no full-cardinality groupBy
+    * ever happens, which is the point versus the naive
+    * `GROUP BY key HAVING count·k > n` the oracle runs.
+    */
+  def mgHeavyHitters(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 2)
+    import df.sparkSession.implicits._
+    val keys = df.select(keyCol.cast("string").as("key")).as[String]
+    // pass 1: per-partition MG summary AND partition row count in the
+    // same scan; the summary is ≤ k·partitions rows — checkpoint it so
+    // candidates and the total derive without re-reading the source
+    val summary = keys.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      it.foreach { key =>
+        np += 1L
+        if (counters.contains(key)) counters(key) += 1L
+        else if (counters.size < k - 1) counters(key) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.mapValuesInPlace((_, v) => v - 1L)
+          counters.foreach { case (kk, v) => if (v <= 0L) dead += kk }
+          dead.foreach(counters.remove)
+        }
+      }
+      Iterator.single(("", np, true)) ++
+        counters.keysIterator.map(kk => (kk, 0L, false))
+    }.toDF("key", "np", "is_total").localCheckpoint()
+    val candidates = broadcast(
+      summary.filter(!col("is_total")).select(col("key")).distinct())
+    val total = summary.filter(col("is_total"))
+      .agg(sum(col("np")).as("__n"))
+    // pass 2: exact re-count restricted to the broadcast candidates
+    keys.toDF("key").join(candidates, "key")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("__n"))
+      .select(col("key"), col("cnt"))
+  }
 }

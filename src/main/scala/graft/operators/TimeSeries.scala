@@ -317,4 +317,73 @@ object TimeSeries {
         sum(col("v")).cast("decimal(18,6)").as("v"))
     untouched.unionByName(merged)
   }
+
+  /** Holt double-exponential smoothing (level + linear trend) of the
+    * daily count per key, folded in day order with the q197
+    * sequential-fold discipline: l₁ = n₁, b₁ = 0;
+    * lᵢ = α·nᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁), bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁.
+    * The fold is SEQUENTIAL over the sorted day array, so the double
+    * chain is bit-stable under any partitioning and the h-step
+    * forecast level + h·trend hash-gates exactly. α/β must be
+    * exactly representable (0.5, 0.25). Array length = days-per-key
+    * (calendar-bounded); single-day keys fall out naturally as
+    * (level = n₁, trend = 0).
+    */
+  def holtDaily(df: DataFrame, keyCol: String, tsCol: String,
+      alpha: Double, beta: Double, horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1 && horizon >= 0)
+    val a = lit(alpha)
+    val b = lit(beta)
+    val vals = array_sort(collect_list(struct(col("day"), col("n"))))
+    dailyCounts(df, keyCol, tsCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), vals.as("__arr"))
+      .select(col(keyCol), col("n_days"),
+        aggregate(
+          slice(transform(col("__arr"), x => x("n").cast("double")),
+            lit(2), size(col("__arr")) - 1),
+          struct(element_at(col("__arr"), 1)("n").cast("double").as("l"),
+            lit(0.0).as("b")),
+          (acc, x) => {
+            // the new level expression appears in both fields — IEEE
+            // evaluation of the identical expression is deterministic,
+            // so the duplication is bit-safe (and DuckDB replays it
+            // the same way)
+            val nl = a * x + (lit(1.0) - a) * (acc("l") + acc("b"))
+            struct(nl.as("l"),
+              (b * (nl - acc("l")) + (lit(1.0) - b) * acc("b")).as("b"))
+          }).as("__st"))
+      .select(col(keyCol), col("n_days"),
+        col("__st")("l").as("level"), col("__st")("b").as("trend"),
+        (col("__st")("l") + lit(horizon.toDouble) * col("__st")("b"))
+          .as("forecast"))
+  }
+
+  /** Forecast-model backtest over the daily grid: one-step-ahead
+    * NAIVE (yesterday's observed count) vs SEASONAL-NAIVE (the count
+    * 7 observations back) forecasts, scored by mean absolute error
+    * on the days where BOTH are defined (observation index ≥ 8 per
+    * key). All-integer: the errors are |n − lag(n)| sums and the MAE
+    * comparison picks the winner by cross-multiplied sums (never a
+    * float mean), so model selection hash-gates. Lags are over
+    * OBSERVED days (the grid), not calendar days — compose with
+    * gapFillDaily first when the series has holes and calendar lags
+    * are wanted. One keyed window sort over the dimension-bounded
+    * grid.
+    */
+  def backtestNaive(df: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    dailyCounts(df, keyCol, tsCol)
+      .withColumn("f_naive", lag(col("n"), 1).over(w))
+      .withColumn("f_snaive", lag(col("n"), 7).over(w))
+      .filter(col("f_snaive").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("n") - col("f_naive"))).as("ae_naive"),
+        sum(abs(col("n") - col("f_snaive"))).as("ae_snaive"))
+      .withColumn("winner",
+        when(col("ae_naive") <= col("ae_snaive"), lit("naive"))
+          .otherwise(lit("seasonal_naive")))
+  }
 }

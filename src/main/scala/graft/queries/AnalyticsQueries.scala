@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Analytics
+import graft.operators.{Analytics, DataQuality, Privacy}
 
 /** Classic BI readout shapes over the fact tables — rollup/cube
   * subtotals, pivot, calendar gap-fill, cohort retention, ordered
@@ -473,6 +473,78 @@ object AnalyticsQueries extends QueryPack {
         |SELECT n_pos, n_neg, rs2 - n_pos * (n_pos + 1) AS u2,
         |  CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE) /
         |    (2.0 * n_pos * n_neg) AS auc
-        |FROM a""".stripMargin))
+        |FROM a""".stripMargin)),
+
+    // k-anonymity / l-diversity release audit: QI = (nation,
+    // segment), sensitive = account-balance band. One QI-keyed
+    // partial agg — the audit rides a single scan; output is the QI
+    // grid, not the row count. floor(x/1000) is IEEE-identical in
+    // both engines (double divide then floor), so the bands hash-gate.
+    "q283_k_anonymity" -> Q(
+      (s, dir) => Privacy.kAnonymityAudit(
+          Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+          floor(col("c_acctbal") / 1000), k = 8, l = 3)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS n_sensitive,
+        |  count(*) >= 8 AS k_anon,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
+        |    AS l_diverse
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Deequ-style constraint suite: six expectations over orders in
+    // ONE aggregation pass (one scan however many checks ride it).
+    // Ratios are integral ppm (count·10^6 div total) — no IEEE
+    // division anywhere in the gate. The price-floor check is
+    // deliberately strict enough to FAIL so both verdict polarities
+    // are exercised.
+    "q284_dq_checks" -> Q(
+      (s, dir) => DataQuality.checkAll(
+        Tables.orders(s, dir),
+        Seq(
+          DataQuality.Check("custkey_complete",
+            DataQuality.completeness(col("o_custkey")), 1000000L),
+          DataQuality.Check("orderkey_unique",
+            DataQuality.uniqueRatio(col("o_orderkey")), 1000000L),
+          DataQuality.Check("price_nonneg",
+            DataQuality.satisfiesRatio(col("o_totalprice") >= 0), 1000000L),
+          DataQuality.Check("status_domain",
+            DataQuality.satisfiesRatio(
+              col("o_orderstatus").isin("O", "F", "P")), 1000000L),
+          DataQuality.Check("priority_domain",
+            DataQuality.satisfiesRatio(substring(col("o_orderpriority"), 1, 1)
+              .isin("1", "2", "3", "4", "5")), 1000000L),
+          DataQuality.Check("price_floor_1k",
+            DataQuality.satisfiesRatio(col("o_totalprice") >= 1000), 900000L))),
+      Some("""WITH a AS (
+        |  SELECT count(o_custkey) AS m0,
+        |    count(DISTINCT o_orderkey) AS m1,
+        |    count(CASE WHEN o_totalprice >= 0 THEN 1 END) AS m2,
+        |    count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END)
+        |      AS m3,
+        |    count(CASE WHEN substring(o_orderpriority, 1, 1)
+        |      IN ('1','2','3','4','5') THEN 1 END) AS m4,
+        |    count(CASE WHEN o_totalprice >= 1000 THEN 1 END) AS m5,
+        |    greatest(count(*), 1) AS t
+        |  FROM orders)
+        |SELECT check_idx, constraint_name, metric_ppm,
+        |  metric_ppm >= min_ppm AS pass
+        |FROM (
+        |  SELECT 0 AS check_idx, 'custkey_complete' AS constraint_name,
+        |    m0 * 1000000 // t AS metric_ppm, 1000000 AS min_ppm FROM a
+        |  UNION ALL SELECT 1, 'orderkey_unique', m1 * 1000000 // t,
+        |    1000000 FROM a
+        |  UNION ALL SELECT 2, 'price_nonneg', m2 * 1000000 // t,
+        |    1000000 FROM a
+        |  UNION ALL SELECT 3, 'status_domain', m3 * 1000000 // t,
+        |    1000000 FROM a
+        |  UNION ALL SELECT 4, 'priority_domain', m4 * 1000000 // t,
+        |    1000000 FROM a
+        |  UNION ALL SELECT 5, 'price_floor_1k', m5 * 1000000 // t,
+        |    900000 FROM a)
+        |ORDER BY check_idx""".stripMargin))
   )
 }

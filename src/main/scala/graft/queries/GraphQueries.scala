@@ -188,6 +188,62 @@ object GraphQueries extends QueryPack {
         |  FROM anc WHERE ancestor >= 2)
         |SELECT node, ancestor, CAST(dist AS BIGINT) AS dist
         |FROM anc
-        |ORDER BY node, dist""".stripMargin))
+        |ORDER BY node, dist""".stripMargin)),
+
+    // HITS hubs & authorities on the nation trade graph, 2 rounds of
+    // integer-ppm mutual reinforcement with max-normalization (the
+    // q169 discipline — integral div keeps every round in BIGINT so
+    // the unrolled-CTE oracle replays it bit-exactly; a float L2
+    // norm could never hash-gate). auth uses the CURRENT round's hub,
+    // hub the CURRENT round's auth — Kleinberg's update order.
+    "q290_hits" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = l
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        Graph.hitsPpm(edges, "src", "dst", iters = 2)
+          .select(col("node").cast("long").as("node"),
+            col("auth_ppm"), col("hub_ppm"))
+          .orderBy(col("node"))
+      },
+      {
+        val iterCtes = (1 to 2).map { i =>
+          s"""ar$i AS (SELECT e.dst AS node,
+             |    CAST(sum(h${i - 1}.hub_ppm) AS BIGINT) AS raw
+             |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node
+             |  GROUP BY 1),
+             |am$i AS (SELECT greatest(max(raw), 1) AS mx FROM ar$i),
+             |a$i AS (SELECT n.node,
+             |    CAST((1000000 * coalesce(ar.raw, 0)) // am.mx
+             |      AS BIGINT) AS auth_ppm
+             |  FROM n LEFT JOIN ar$i ar USING (node) CROSS JOIN am$i am),
+             |hr$i AS (SELECT e.src AS node,
+             |    CAST(sum(a$i.auth_ppm) AS BIGINT) AS raw
+             |  FROM e JOIN a$i ON e.dst = a$i.node
+             |  GROUP BY 1),
+             |hm$i AS (SELECT greatest(max(raw), 1) AS mx FROM hr$i),
+             |h$i AS (SELECT n.node,
+             |    CAST((1000000 * coalesce(hr.raw, 0)) // hm.mx
+             |      AS BIGINT) AS hub_ppm
+             |  FROM n LEFT JOIN hr$i hr USING (node) CROSS JOIN hm$i hm)"""
+            .stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH $edgesCte,
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub_ppm
+          |       FROM n),
+          |$iterCtes
+          |SELECT CAST(n.node AS BIGINT) AS node, a2.auth_ppm,
+          |  h2.hub_ppm
+          |FROM n JOIN a2 ON n.node = a2.node
+          |JOIN h2 ON n.node = h2.node
+          |ORDER BY node""".stripMargin)
+      })
   )
 }

@@ -1527,7 +1527,71 @@ object IndexQueries extends QueryPack {
         |  coalesce(bits_a, 0) & coalesce(bits_b, 0) AS bits_and,
         |  coalesce(bits_a, 0) | coalesce(bits_b, 0) AS bits_or
         |FROM a FULL OUTER JOIN b ON a.word_idx = b.word_idx
-        |ORDER BY word_idx""".stripMargin))
+        |ORDER BY word_idx""".stripMargin)),
+
+    // EXACT heavy hitters with bounded memory: Misra-Gries candidate
+    // pass (k counters per task, partition-dependent superset) + an
+    // exact re-count of the broadcast candidates. The oracle runs the
+    // definitional full GROUP BY ... HAVING — agreement proves the
+    // two-pass bounded-state plan computes the TRUE >n/k set, which
+    // is the point: no full-cardinality groupBy at 100 TB. Same token
+    // stream as q106 (CMS flavor); different guarantee (no false
+    // positives at all).
+    "q287_mg_heavy_hitters" -> Q(
+      (s, dir) => Sketch.mgHeavyHitters(
+          Tables.documents(s, dir)
+            .select(explode(graft.operators.TextAnalysis.tokens(
+              lower(col("text")))).as("t")),
+          col("t"), k = 200)
+        .orderBy(col("key")),
+      Some("""WITH tok AS (
+        |  SELECT unnest(CASE WHEN trim(lower(text)) = ''
+        |                THEN CAST([] AS VARCHAR[])
+        |                ELSE string_split_regex(trim(lower(text)),
+        |                  '\s+') END) AS t
+        |  FROM documents)
+        |SELECT t AS key, count(*) AS cnt
+        |FROM tok
+        |GROUP BY t
+        |HAVING count(*) * 200 > (SELECT count(*) FROM tok)
+        |ORDER BY key""".stripMargin)),
+
+    // Deterministic Poisson-bootstrap CI for mean document length:
+    // 32 resamples = 64 paired aggregates in ONE scan (no ×32
+    // explode); weights are md5-nibble draws both engines replay
+    // identically. CI bounds are nearest-rank order statistics of
+    // the replicate means (selected integers); sum_means_milli pins
+    // all 32 resamples, not just the two picked ranks.
+    "q288_bootstrap_ci" -> Q(
+      (s, dir) => graft.operators.Corpus.bootstrapMeanCI(
+        Tables.documents(s, dir), "doc_id", "n_chars",
+        replicates = 32, salt = "bs1", loPct = 5, hiPct = 95),
+      Some("""WITH g AS (SELECT unnest(generate_series(0, 31)) AS r),
+        |w AS (
+        |  SELECT g.r, d.n_chars,
+        |    CASE WHEN nib < 6 THEN 0 WHEN nib < 12 THEN 1
+        |         WHEN nib < 15 THEN 2 ELSE 3 END AS w
+        |  FROM documents d CROSS JOIN g,
+        |    LATERAL (SELECT CAST('0x' ||
+        |      substr(md5(d.doc_id || '#' || g.r || '#bs1'), 1, 1)
+        |      AS BIGINT) AS nib)),
+        |m AS (
+        |  SELECT r, CAST(sum(w * n_chars) * 1000 //
+        |    greatest(sum(w), 1) AS BIGINT) AS mean_milli
+        |  FROM w GROUP BY r),
+        |s AS (SELECT mean_milli,
+        |        row_number() OVER (ORDER BY mean_milli) AS rk
+        |      FROM m),
+        |base AS (SELECT count(*) AS n, sum(n_chars) AS sx
+        |         FROM documents)
+        |SELECT n,
+        |  CAST(sx * 1000 // greatest(n, 1) AS BIGINT) AS point_milli,
+        |  (SELECT mean_milli FROM s WHERE rk = 2) AS ci_lo_milli,
+        |  (SELECT mean_milli FROM s WHERE rk = 31) AS ci_hi_milli,
+        |  CAST(32 AS BIGINT) AS n_replicates,
+        |  (SELECT CAST(sum(mean_milli) AS BIGINT) FROM s)
+        |    AS sum_means_milli
+        |FROM base""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

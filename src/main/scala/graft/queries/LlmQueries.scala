@@ -2059,6 +2059,54 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(abs(a - b)) AS BIGINT) AS diff_sum,
         |  CAST(sum(abs(a - b)) AS BIGINT) > 3000 AS is_keyframe
         |FROM px GROUP BY 1, 2
-        |ORDER BY doc_id, frame_idx""".stripMargin))
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Weak-supervision label aggregation (Snorkel majority-vote
+    // baseline): three labeling functions — length rule, language
+    // rule, source blocklist — each voting keep/drop or abstaining
+    // (null); the aggregate label is the strict majority among
+    // non-abstains, null on tie/all-abstain. Pure array expressions
+    // riding the scan: no shuffle (the gate's ORDER BY is the only
+    // exchange), no UDF.
+    "q289_label_vote" -> Q(
+      (s, dir) => {
+        val lfLen = when(col("n_chars") >= 400, "keep")
+          .when(col("n_chars") < 120, "drop")
+        val lfLang = when(col("lang") === "en", "keep")
+          .when(col("lang") === "zh", "drop")
+        val lfSrc = when(col("source").isin("src0", "src1", "src2"),
+          "drop")
+        val (nVotes, label) = graft.operators.Classifier.majorityVote(
+          Seq(lfLen, lfLang, lfSrc))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), lfLen.as("lf_len"),
+            lfLang.as("lf_lang"), lfSrc.as("lf_src"),
+            nVotes.as("n_votes"), label.as("label"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars >= 400 THEN 'keep'
+        |         WHEN n_chars < 120 THEN 'drop' END AS lf_len,
+        |    CASE WHEN lang = 'en' THEN 'keep'
+        |         WHEN lang = 'zh' THEN 'drop' END AS lf_lang,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2')
+        |         THEN 'drop' END AS lf_src
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lf_len, lf_lang, lf_src,
+        |    (CASE WHEN lf_len = 'keep' THEN 1 ELSE 0 END +
+        |     CASE WHEN lf_lang = 'keep' THEN 1 ELSE 0 END +
+        |     CASE WHEN lf_src = 'keep' THEN 1 ELSE 0 END) AS nk,
+        |    (CASE WHEN lf_len = 'drop' THEN 1 ELSE 0 END +
+        |     CASE WHEN lf_lang = 'drop' THEN 1 ELSE 0 END +
+        |     CASE WHEN lf_src = 'drop' THEN 1 ELSE 0 END) AS nd
+        |  FROM l)
+        |SELECT doc_id, lf_len, lf_lang, lf_src,
+        |  CAST(nk + nd AS BIGINT) AS n_votes,
+        |  CASE WHEN nk > nd THEN 'keep'
+        |       WHEN nd > nk THEN 'drop' END AS label
+        |FROM c
+        |ORDER BY doc_id""".stripMargin))
   )
 }

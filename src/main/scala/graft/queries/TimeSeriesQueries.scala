@@ -433,6 +433,70 @@ object TimeSeriesQueries extends QueryPack {
         |  CAST(max(c.rank) AS INT) AS max_rank
         |FROM cov c JOIN obs o ON o.grp = c.grp AND o.day = c.day
         |GROUP BY 1, 2, 3
-        |ORDER BY 1, 2, 3""".stripMargin))
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Holt level+trend smoothing: the q197 sequential-fold discipline
+    // with a struct accumulator — both engines replay the identical
+    // IEEE chain over the day-sorted counts, so level/trend/forecast
+    // hash-gate as raw doubles. The oracle replays the recurrence as
+    // a RECURSIVE CTE over the per-key day index — NOT list_reduce:
+    // DuckDB 1.0.0's lambda batcher mis-evaluates a struct
+    // accumulator whose fields reference acc more than once (sibling
+    // of the ELSE-acc bug pinned in q254).
+    "q285_holt" -> Q(
+      (s, dir) => TimeSeries.holtDaily(
+          Tables.events(s, dir), "event_type", "ts",
+          alpha = 0.5, beta = 0.25, horizon = 7)
+        .orderBy(col("event_type")),
+      Some("""WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(n AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM d),
+        |rec AS (
+        |  SELECT event_type, i, n_days, x AS l, CAST(0.0 AS DOUBLE)
+        |    AS b
+        |  FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.i, s.n_days,
+        |    0.5*s.x + 0.5*(rec.l + rec.b),
+        |    0.25*((0.5*s.x + 0.5*(rec.l + rec.b)) - rec.l)
+        |      + 0.75*rec.b
+        |  FROM rec JOIN s ON s.event_type = rec.event_type
+        |                 AND s.i = rec.i + 1)
+        |SELECT event_type, n_days, l AS level, b AS trend,
+        |  l + 7.0*b AS forecast
+        |FROM rec WHERE i = n_days
+        |ORDER BY event_type""".stripMargin)),
+
+    // Naive vs seasonal-naive backtest: all-integer MAE sums over
+    // observed-day lags; the winner verdict needs no division at
+    // equal n_scored (compare the sums directly).
+    "q286_backtest" -> Q(
+      (s, dir) => TimeSeries.backtestNaive(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS f_naive,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS f_snaive
+        |  FROM d)
+        |SELECT event_type, count(*) AS n_scored,
+        |  CAST(sum(abs(n - f_naive)) AS BIGINT) AS ae_naive,
+        |  CAST(sum(abs(n - f_snaive)) AS BIGINT) AS ae_snaive,
+        |  CASE WHEN sum(abs(n - f_naive)) <= sum(abs(n - f_snaive))
+        |    THEN 'naive' ELSE 'seasonal_naive' END AS winner
+        |FROM l WHERE f_snaive IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

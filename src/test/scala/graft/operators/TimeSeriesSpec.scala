@@ -240,4 +240,55 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => (r.getLong(5), r.getBoolean(6)))
     assert(got.toSeq === Seq((0L, true), (0L, false), (0L, false)))
   }
+
+  test("holtDaily: level/trend match the hand-rolled recurrence") {
+    import spark.implicits._
+    // one event per (day, i<n) → daily counts 10, 20, 30 on day 1..3
+    val rows = for {
+      (day, n) <- Seq(("01", 10), ("02", 20), ("03", 30))
+      i <- 1 to n
+    } yield ("k", ts(s"2024-01-$day 00:00:0${i % 10}"))
+    val df = rows.toDF("k", "ts")
+    val got = TimeSeries.holtDaily(df, "k", "ts",
+        alpha = 0.5, beta = 0.25, horizon = 2)
+      .select("n_days", "level", "trend", "forecast").collect().head
+    // l1=10,b1=0; l2=.5*20+.5*10=15, b2=.25*5=1.25;
+    // l3=.5*30+.5*16.25=23.125, b3=.25*8.125+.75*1.25=2.96875
+    assert(got.getLong(0) === 3L)
+    assert(got.getDouble(1) === 23.125)
+    assert(got.getDouble(2) === 2.96875)
+    assert(got.getDouble(3) === 23.125 + 2 * 2.96875)
+  }
+
+  test("holtDaily: single-day key degrades to (level=n, trend=0)") {
+    import spark.implicits._
+    val df = Seq(("k", ts("2024-01-01 00:00:00")),
+      ("k", ts("2024-01-01 00:00:01"))).toDF("k", "ts")
+    val got = TimeSeries.holtDaily(df, "k", "ts", 0.5, 0.25, 7)
+      .select("level", "trend").collect().head
+    assert(got.getDouble(0) === 2.0 && got.getDouble(1) === 0.0)
+  }
+
+  test("backtestNaive: seasonal-naive wins on a planted period-7 series") {
+    import spark.implicits._
+    // 21 days of a strict period-7 pattern: counts 1..7 repeating.
+    // Seasonal-naive is perfect from day 8 on; naive is not.
+    val rows = for {
+      d <- 0 until 21
+      i <- 1 to (d % 7) + 1
+    } yield ("k", ts(f"2024-01-${d + 1}%02d 00:00:0${i % 10}"))
+    val got = TimeSeries.backtestNaive(rows.toDF("k", "ts"), "k", "ts")
+      .select("n_scored", "ae_naive", "ae_snaive", "winner")
+      .collect().head
+    assert(got.getLong(0) === 14L)
+    assert(got.getLong(2) === 0L)          // seasonal error zero
+    assert(got.getLong(1) > 0L)            // naive pays at each wrap
+    assert(got.getString(3) === "seasonal_naive")
+  }
+
+  test("backtestNaive: keys with < 8 observed days produce no row") {
+    import spark.implicits._
+    val rows = (1 to 7).map(d => ("k", ts(f"2024-01-$d%02d 00:00:00")))
+    assert(TimeSeries.backtestNaive(rows.toDF("k", "ts"), "k", "ts").count() === 0L)
+  }
 }
