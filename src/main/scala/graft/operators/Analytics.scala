@@ -317,4 +317,128 @@ object Analytics {
         countDistinct(col("conv_id")).as("n_conversions"),
         sum(col("__credit")).as("credit_ppm"))
   }
+
+  /** Benford's-law expected first-digit shares, ppm (⌊log₁₀(1+1/d)
+    * ·10⁶⌋ — constants, so no log ever executes in the plan).
+    */
+  val BenfordPpm: Seq[Long] = Seq(301029L, 176091L, 124938L, 96910L,
+    79181L, 66946L, 57991L, 51152L, 45757L)
+
+  /** Benford first-digit audit — the accounting/fraud screen over a
+    * positive amount column: observed first-significant-digit
+    * distribution vs the Benford expectation, deviation per digit and
+    * the mean-absolute-deviation rollup, all in EXACT integer ppm
+    * (the expectations are pinned literals, the first digit comes
+    * from the DECIMAL STRING of ⌊amount⌋ — integer-to-string is
+    * unambiguous in every engine, unlike float formatting or a
+    * log₁₀ power chain). One amount-scan partial agg to a ≤9-row
+    * digit grid; rows with ⌊amount⌋ < 1 are excluded (no first
+    * significant digit at integer precision).
+    */
+  /** "Top N + Other" — the BI presentation rollup: per group, the N
+    * most frequent categories keep their identity, the tail
+    * collapses into one `other` row, with exact ppm shares of the
+    * group. Two key-partitioned aggs (category counts, then the
+    * relabeled re-agg) + one group-bounded rank window — the fact
+    * table is scanned once. Ordering ties break by category name so
+    * the cut is deterministic.
+    */
+  def topNOther(df: DataFrame, grpCol: String, catCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val counts = df.groupBy(col(grpCol), col(catCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col("cnt").desc, col(catCol))
+    val wg = Window.partitionBy(col(grpCol))
+    counts
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("label",
+        when(col("__rk") <= n, col(catCol)).otherwise(lit("other")))
+      .groupBy(col(grpCol), col("label"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_cats"))
+      .withColumn("share_ppm",
+        expr(s"n_rows * 1000000L div sum(n_rows) OVER (PARTITION BY $grpCol)"))
+      .withColumn("is_other", col("label") === "other")
+  }
+
+  /** Deterministic-bootstrap A/B lift CI: the [[abLift]] md5 arm
+    * assignment plus [[graft.operators.Corpus.bootstrapMeanCI]]'s
+    * md5-nibble Poisson weights, applied PER ARM in the same
+    * aggregates — R resamples of mean(B) − mean(A) from ONE scan
+    * (4R+4 paired aggregates, no explode, no shuffle). The CI bounds
+    * are nearest-rank order statistics of the R integer-milli diffs;
+    * a parametric z-interval would need sqrt and could never
+    * hash-gate.
+    */
+  def abBootstrapDiff(df: DataFrame, idCol: String, valCol: String,
+      replicates: Int, salt: String, loPct: Int = 5, hiPct: Int = 95)
+      : DataFrame = {
+    require(replicates >= 2 && loPct >= 0 && hiPct <= 100 && loPct < hiPct)
+    val arm = graft.expressions.Md5Hash60.hash60Native(
+      col(idCol).cast("string")) % 2
+    def weight(r: Int): Column = {
+      val nib = conv(substring(md5(
+        concat_ws("#", col(idCol).cast("string"), lit(r.toString),
+          lit(salt))), 1, 1), 16, 10).cast("long")
+      when(nib < 6, 0L).when(nib < 12, 1L).when(nib < 15, 2L)
+        .otherwise(3L)
+    }
+    val v = col(valCol).cast("long")
+    val inA = (arm === 0).cast("long")
+    val inB = (arm === 1).cast("long")
+    val aggs = Seq(
+      sum(inA).as("n_a"), sum(inB).as("n_b"),
+      sum(v * inA).as("sx_a"), sum(v * inB).as("sx_b")) ++
+      (0 until replicates).flatMap { r =>
+        val wgt = weight(r)
+        Seq(sum(wgt * inA).as(s"__wa_$r"),
+          sum(wgt * v * inA).as(s"__wxa_$r"),
+          sum(wgt * inB).as(s"__wb_$r"),
+          sum(wgt * v * inB).as(s"__wxb_$r"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val diffs = array((0 until replicates).map { r =>
+      expr(s"__wxb_$r * 1000L div greatest(__wb_$r, 1L) - " +
+        s"__wxa_$r * 1000L div greatest(__wa_$r, 1L)")
+    }: _*)
+    val sorted = array_sort(diffs)
+    val loRank = math.max(1, math.ceil(loPct * replicates / 100.0).toInt)
+    val hiRank = math.max(1, math.ceil(hiPct * replicates / 100.0).toInt)
+    one.select(col("n_a"), col("n_b"),
+      expr("sx_a * 1000L div greatest(n_a, 1L)").as("mean_a_milli"),
+      expr("sx_b * 1000L div greatest(n_b, 1L)").as("mean_b_milli"),
+      expr("sx_b * 1000L div greatest(n_b, 1L) - " +
+        "sx_a * 1000L div greatest(n_a, 1L)").as("point_diff_milli"),
+      element_at(sorted, loRank).as("ci_lo_milli"),
+      element_at(sorted, hiRank).as("ci_hi_milli"),
+      aggregate(sorted, lit(0L), (acc, x) => acc + x)
+        .as("sum_diffs_milli"))
+  }
+
+  def benfordAudit(df: DataFrame, amount: Column): DataFrame = {
+    val v = floor(amount).cast("long")
+    val digits = df.select(v.as("__v")).filter(col("__v") >= 1L)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = array(BenfordPpm.map(lit): _*)
+    val w = Window.partitionBy(lit(1))
+    // dense 1..9 grid: an absent digit still owes its |0 − exp|
+    // deviation, or MAD under-reports exactly when the data is most
+    // anomalous
+    val grid = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    grid.join(digits, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__total", greatest(sum(col("n")).over(w), lit(1L)))
+      .withColumn("obs_ppm", expr("n * 1000000L div __total"))
+      .withColumn("exp_ppm", element_at(expected, col("digit")))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .withColumn("mad_ppm",
+        expr("CAST(sum(dev_ppm) OVER (PARTITION BY 1) div 9 AS LONG)"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"), col("mad_ppm"))
+  }
 }

@@ -271,6 +271,47 @@ object Graph {
         expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_ppm"))
   }
 
+  /** Stationary distribution of a Markov chain (user-journey
+    * transition graph) by integer-ppm power iteration: per round
+    * v'_j = Σ_i ⌊v_i·p_ij / 10⁶⌋ with row-stochastic p in ppm
+    * (⌊cnt·10⁶ / row_sum⌋). Floor twice per edge keeps every round
+    * in BIGINT so the unrolled-CTE oracle replays bit-exactly (the
+    * [[pageRankPpm]] discipline; the ~state-count ppm lost to floors
+    * per round is the price of a gateable chain). Transition and
+    * state frames are state-bounded; per round one edge join + one
+    * state-keyed agg.
+    */
+  def markovStationaryPpm(transitions: DataFrame, srcCol: String,
+      dstCol: String, cntCol: String, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val t = transitions.select(col(srcCol).as("src"),
+      col(dstCol).as("dst"), col(cntCol).as("cnt"))
+    val states = t.select(col("src").as("state"))
+      .union(t.select(col("dst").as("state"))).distinct()
+      .localCheckpoint(true)
+    val nStates = states.count()
+    val p = t
+      .withColumn("__row",
+        sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .withColumn("p_ppm", expr("cnt * 1000000L div __row"))
+      .select(col("src"), col("dst"), col("p_ppm"))
+      .localCheckpoint(true)
+    var v = states.withColumn("v_ppm", lit(1000000L / nStates))
+    for (_ <- 1 to iters) {
+      val inflow = p
+        .join(v.withColumnRenamed("state", "src"), "src")
+        .select(col("dst").as("state"),
+          expr("(v_ppm * p_ppm) div 1000000L").as("c"))
+        .groupBy(col("state")).agg(sum(col("c")).as("in_sum"))
+      v = states.join(inflow, Seq("state"), "left")
+        .select(col("state"),
+          coalesce(col("in_sum"), lit(0L)).as("v_ppm"))
+        .localCheckpoint(true)
+    }
+    v
+  }
+
   /** HITS hubs & authorities in integer ppm ([[pageRankPpm]]'s
     * discipline applied to Kleinberg's mutual-reinforcement pair):
     * per round, auth ← Σ hub over in-edges then hub ← Σ (new) auth

@@ -62,4 +62,25 @@ object Privacy {
     df.join(risky, cond, "left")
       .select(kept.toIndexedSeq: _*)
   }
+
+  /** The audit verdicts derived from a PRE-AGGREGATED
+    * (qi..., sensitive, c) grid — algebraically identical to
+    * [[kAnonymityAudit]] (n = Σc, n_sensitive = grid rows per QI),
+    * factored out so a streaming-maintained Complete-mode grid (the
+    * q206 histogram-state shape) feeds the same verdict logic as
+    * batch: one rule definition, two execution modes. The grid is
+    * (QI × sensitive)-bounded — dimension-sized state, never
+    * row-sized.
+    */
+  def auditFromSensitiveGrid(grid: DataFrame, qiCols: Seq[String],
+      countCol: String, k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1 && l >= 1)
+    grid.groupBy(qiCols.map(col): _*)
+      .agg(sum(col(countCol)).as("n"),
+        count(lit(1)).as("n_sensitive"))
+      .select(qiCols.map(col) ++ Seq(
+        col("n"), col("n_sensitive"),
+        (col("n") >= k).as("k_anon"),
+        (col("n_sensitive") >= l).as("l_diverse")): _*)
+  }
 }

@@ -370,4 +370,32 @@ object Relational {
     snapshotDiff(slice(a), slice(b), Seq(keyCol), payload)
       .withColumn("bucket", pmod(col(keyCol), lit(nBuckets.toLong)))
   }
+
+  /** Hot-key diagnostic — the skew report that decides whether a join
+    * or aggregation on `keyCol` needs salting ([[graft.operators.Skew]])
+    * before it ships: top-N keys by frequency with their exact ppm
+    * share and cumulative share of ALL rows. One key-grouped partial
+    * agg (the same shuffle the skewed operation itself would pay)
+    * then a window over the N-row head; share denominators come from
+    * a 1-row total attach, integral ppm throughout.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition
+    // top-N, merged on the driver) — a rank window here would drag
+    // the WHOLE key frame through one partition; the window below
+    // only ever sees the N-row head
+    val head = counts.orderBy(col("cnt").desc, col(keyCol)).limit(topN)
+    val wRank = Window.orderBy(col("cnt").desc, col(keyCol))
+    val top = head.withColumn("rank", row_number().over(wRank).cast("long"))
+    top.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("cnt * 1000000L div __n"))
+      .withColumn("cum_ppm",
+        expr("sum(cnt) OVER (ORDER BY rank) * 1000000L div __n"))
+      .select(col("rank"), col(keyCol), col("cnt"), col("share_ppm"),
+        col("cum_ppm"))
+  }
 }

@@ -351,6 +351,44 @@ object Similarity {
         col("neighbor_id"), col("cos").as("cosine"))
   }
 
+  /** IVF serving against a PERSISTED index: the [[annTopKIvf]] probe
+    * join over a pre-assigned (neighbor_id, nvec, cell) frame — the
+    * corpus half of the index build is NOT re-run. This is the
+    * production split the q214 scaladoc promises: build once (assign
+    * + write, cell-partitionable parquet), serve many (broadcast the
+    * query batch into the stored cells; with the index written
+    * `partitionBy("cell")` the probe prunes to the touched cell
+    * directories before any row is read). Queries still assign
+    * themselves against the centroid literals — centroids are
+    * k·dim-sized plan constants, not data.
+    */
+  def annTopKIvfServe(queries: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      ivfAssign(col(vecCol), centroids).as("cell"))
+    val scored = index.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("cos").as("cosine"))
+  }
+
+  /** The index frame [[annTopKIvfServe]] consumes: corpus vectors
+    * with their IVF cell assignment, ready to persist
+    * (`write.partitionBy("cell")` for directory pruning at serve
+    * time).
+    */
+  def ivfIndexFrame(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      ivfAssign(col(vecCol), centroids).as("cell"))
+
   /** ANN top-k: probe only the query's own bucket. Returns the same
     * shape as [[bruteForceTopK]] (rows may be missing when a bucket
     * has fewer than k candidates — the recall/latency trade).

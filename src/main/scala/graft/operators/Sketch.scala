@@ -433,6 +433,51 @@ object Sketch {
           .as("est"))
   }
 
+  /** Equi-join OUTPUT-SIZE estimation from KMV sketches — optimizer
+    * statistics without running the join: |A⋈B| ≈ Ĵ·Û(A∪B) ·
+    * (|A|/Û_A) · (|B|/Û_B) (estimated common distinct keys × the two
+    * uniform-multiplicity factors). Inputs are two 2·k-register
+    * sketches plus the two row counts — bytes per relation, so the
+    * estimate costs one scan per side and a register-table merge,
+    * never a shuffle of either table. Returns one row with every
+    * component under the gate: kk/matched/jacc_ppm (exact integers),
+    * the three Û doubles ([[kmvEstimate]]'s single IEEE chain each),
+    * and `est_rows` — whose float chain is pinned left-to-right so an
+    * oracle can replay it bit-exactly. Exact below saturation (both
+    * sides' distinct keys ≤ k ⇒ matched/kk are exact and Û ≡ the true
+    * distinct counts — the spec case); the uniform-multiplicity
+    * assumption is the usual cardinality-estimator bias, reported,
+    * not hidden (compare with the true size in the q298 gate).
+    */
+  def joinSizeEstimate(a: DataFrame, keyA: Column, b: DataFrame,
+      keyB: Column, k: Int): DataFrame = {
+    // the k-row register tables feed the Jaccard, the per-side
+    // estimates AND the union estimate — checkpoint so each base
+    // relation is scanned exactly once
+    val regA = kmvBy(a.select(keyA.as("__k")), lit("a"), col("__k"), k)
+      .localCheckpoint(true)
+    val regB = kmvBy(b.select(keyB.as("__k")), lit("b"), col("__k"), k)
+      .localCheckpoint(true)
+    val both = regA.unionByName(regB)
+    val jac = kmvPairwiseJaccard(both, k)
+      .select(col("kk"), col("matched"), col("jacc_ppm"))
+    val uA = kmvEstimate(regA, k).select(col("est").as("u_a"))
+    val uB = kmvEstimate(regB, k).select(col("est").as("u_b"))
+    val uU = kmvEstimate(
+        mergeKmv(regA.withColumn("grp", lit("u")),
+          regB.withColumn("grp", lit("u")), k), k)
+      .select(col("est").as("u_union"))
+    val nA = a.agg(count(lit(1)).as("rows_a"))
+    val nB = b.agg(count(lit(1)).as("rows_b"))
+    jac.crossJoin(uA).crossJoin(uB).crossJoin(uU)
+      .crossJoin(nA).crossJoin(nB)
+      .withColumn("est_rows",
+        ((col("matched").cast("double") / col("kk").cast("double")) *
+          col("u_union")) *
+          ((col("rows_a").cast("double") / col("u_a")) *
+            (col("rows_b").cast("double") / col("u_b"))))
+  }
+
   /** Misra-Gries candidate pass: per PARTITION, a bounded table of
     * `k` counters scanned once (decrement-all on overflow — the
     * classic streaming summary). Guarantee (pigeonhole): any key with

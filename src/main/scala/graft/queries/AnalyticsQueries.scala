@@ -545,6 +545,155 @@ object AnalyticsQueries extends QueryPack {
         |    1000000 FROM a
         |  UNION ALL SELECT 5, 'price_floor_1k', m5 * 1000000 // t,
         |    900000 FROM a)
-        |ORDER BY check_idx""".stripMargin))
+        |ORDER BY check_idx""".stripMargin)),
+
+    // Benford first-digit audit of order totals: observed vs the
+    // pinned log₁₀(1+1/d) ppm expectations (literals — no log in
+    // either plan), per-digit deviation and the MAD rollup, all
+    // exact integers. First digit via the decimal string of
+    // ⌊amount⌋ — integer-to-string is engine-unambiguous, unlike
+    // float formatting or a pow/log chain.
+    "q296_benford" -> Q(
+      (s, dir) => Analytics.benfordAudit(
+          Tables.orders(s, dir), col("o_totalprice"))
+        .orderBy(col("digit")),
+      Some("""WITH v AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE floor(o_totalprice) >= 1),
+        |d AS (SELECT digit, count(*) AS n FROM v GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(1, 9)) AS digit),
+        |e AS (SELECT unnest([301029, 176091, 124938, 96910, 79181,
+        |    66946, 57991, 51152, 45757]) AS exp_ppm,
+        |  unnest(generate_series(1, 9)) AS digit),
+        |j AS (
+        |  SELECT g.digit, coalesce(d.n, 0) AS n, e.exp_ppm
+        |  FROM g LEFT JOIN d ON g.digit = d.digit
+        |  JOIN e ON g.digit = e.digit),
+        |p AS (
+        |  SELECT digit, CAST(n AS BIGINT) AS n,
+        |    CAST(n * 1000000 //
+        |      greatest(sum(n) OVER (), 1) AS BIGINT) AS obs_ppm,
+        |    CAST(exp_ppm AS BIGINT) AS exp_ppm
+        |  FROM j)
+        |SELECT digit, n, obs_ppm, exp_ppm,
+        |  abs(obs_ppm - exp_ppm) AS dev_ppm,
+        |  CAST(sum(abs(obs_ppm - exp_ppm)) OVER () // 9 AS BIGINT)
+        |    AS mad_ppm
+        |FROM p
+        |ORDER BY digit""".stripMargin)),
+
+    // Hot-key skew report: the diagnostic that decides whether a
+    // join/agg needs salting — top-20 part keys by lineitem
+    // frequency with exact ppm share and cumulative share. The
+    // key-grouped agg is the very shuffle the skewed op would pay;
+    // the report adds only an N-row window.
+    "q297_hot_keys" -> Q(
+      (s, dir) => graft.operators.Relational.hotKeys(
+          Tables.lineitem(s, dir), "l_partkey", topN = 20)
+        .orderBy(col("rank")),
+      Some("""WITH c AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey)
+        |      AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT rank, l_partkey, cnt,
+        |  CAST(cnt * 1000000 // t.n AS BIGINT) AS share_ppm,
+        |  CAST(sum(cnt) OVER (ORDER BY rank) * 1000000 // t.n
+        |    AS BIGINT) AS cum_ppm
+        |FROM r CROSS JOIN t
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin)),
+
+    // "Top 3 + other" presentation rollup: per source, the three
+    // most frequent languages keep their identity, the tail folds
+    // into one `other` row; exact ppm shares. Ties break by category
+    // name so the cut is deterministic in both engines.
+    "q300_top_n_other" -> Q(
+      (s, dir) => Analytics.topNOther(
+          Tables.documents(s, dir), "source", "lang", n = 3)
+        .orderBy(col("source"), col("is_other"), col("label")),
+      Some("""WITH c AS (
+        |  SELECT source, lang, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, lang, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, lang) AS rk
+        |  FROM c),
+        |l AS (
+        |  SELECT source,
+        |    CASE WHEN rk <= 3 THEN lang ELSE 'other' END AS label,
+        |    cnt FROM r),
+        |a AS (
+        |  SELECT source, label, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    count(*) AS n_cats
+        |  FROM l GROUP BY 1, 2)
+        |SELECT source, label, n_rows, n_cats,
+        |  CAST(n_rows * 1000000 //
+        |    sum(n_rows) OVER (PARTITION BY source) AS BIGINT)
+        |    AS share_ppm,
+        |  label = 'other' AS is_other
+        |FROM a
+        |ORDER BY source, is_other, label""".stripMargin)),
+
+    // Bootstrap A/B lift CI: md5 arm assignment (q226's rule) ×
+    // md5-nibble Poisson resampling (q288's draws) — R resampled
+    // mean differences from ONE scan, CI by nearest-rank selection.
+    // Both engines replay the identical draws, so the whole interval
+    // hash-gates — a parametric z-interval (sqrt) never could.
+    "q302_ab_bootstrap" -> Q(
+      (s, dir) => Analytics.abBootstrapDiff(
+        Tables.orders(s, dir), "o_custkey", "o_totalprice",
+        replicates = 32, salt = "ab1"),
+      Some("""WITH base AS (
+        |  SELECT o_custkey AS id,
+        |    CAST(trunc(o_totalprice) AS BIGINT) AS v,
+        |    CASE WHEN CAST(('0x' || substr(md5(
+        |      CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE 0 END AS in_a
+        |  FROM orders),
+        |g AS (SELECT unnest(generate_series(0, 31)) AS r),
+        |w AS (
+        |  SELECT g.r, b.v, b.in_a,
+        |    CASE WHEN nib < 6 THEN 0 WHEN nib < 12 THEN 1
+        |         WHEN nib < 15 THEN 2 ELSE 3 END AS w
+        |  FROM base b CROSS JOIN g,
+        |    LATERAL (SELECT CAST('0x' ||
+        |      substr(md5(b.id || '#' || g.r || '#ab1'), 1, 1)
+        |      AS BIGINT) AS nib)),
+        |m AS (
+        |  SELECT r,
+        |    CAST(sum(CASE WHEN in_a = 0 THEN w * v ELSE 0 END) * 1000
+        |      // greatest(sum(CASE WHEN in_a = 0 THEN w ELSE 0 END), 1)
+        |      -
+        |      sum(CASE WHEN in_a = 1 THEN w * v ELSE 0 END) * 1000
+        |      // greatest(sum(CASE WHEN in_a = 1 THEN w ELSE 0 END), 1)
+        |      AS BIGINT) AS diff_milli
+        |  FROM w GROUP BY r),
+        |s AS (SELECT diff_milli,
+        |        row_number() OVER (ORDER BY diff_milli) AS rk
+        |      FROM m),
+        |t AS (
+        |  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - in_a) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN in_a = 1 THEN v ELSE 0 END) AS BIGINT)
+        |      AS sx_a,
+        |    CAST(sum(CASE WHEN in_a = 0 THEN v ELSE 0 END) AS BIGINT)
+        |      AS sx_b
+        |  FROM base)
+        |SELECT n_a, n_b,
+        |  sx_a * 1000 // greatest(n_a, 1) AS mean_a_milli,
+        |  sx_b * 1000 // greatest(n_b, 1) AS mean_b_milli,
+        |  sx_b * 1000 // greatest(n_b, 1) -
+        |    sx_a * 1000 // greatest(n_a, 1) AS point_diff_milli,
+        |  (SELECT diff_milli FROM s WHERE rk = 2) AS ci_lo_milli,
+        |  (SELECT diff_milli FROM s WHERE rk = 31) AS ci_hi_milli,
+        |  (SELECT CAST(sum(diff_milli) AS BIGINT) FROM s)
+        |    AS sum_diffs_milli
+        |FROM t""".stripMargin))
   )
 }

@@ -244,6 +244,113 @@ object GraphQueries extends QueryPack {
           |FROM n JOIN a2 ON n.node = a2.node
           |JOIN h2 ON n.node = h2.node
           |ORDER BY node""".stripMargin)
+      }),
+
+    // Golden-record entity resolution (the MDM composition): q168's
+    // blocked fuzzy matches → connected components → one canonical
+    // record per entity cluster with deterministic survivorship
+    // (canonical name = cluster minimum, golden key = min part key,
+    // coverage counts). Matchless names pass through as their own
+    // cluster via the left join. The oracle replays the closure with
+    // a recursive CTE over the symmetric match edges — agreement
+    // proves the distributed min-label CC computes the same
+    // partition of the name space.
+    "q292_golden_record" -> Q(
+      (s, dir) => {
+        val part = Tables.part(s, dir)
+        val matches = FuzzyMatch.blockedNameMatch(
+          part, "p_name", nm => element_at(split(nm, " "), 2),
+          maxDist = 2)
+        val labels = graft.operators.Dedup.dedupGroups(
+          matches.select(col("name_a").as("id_a"),
+            col("name_b").as("id_b")))
+        val canon = part.select(col("p_name"), col("p_partkey"))
+          .join(labels.select(col("id").as("p_name"),
+            col("canonical_id")), Seq("p_name"), "left")
+          .withColumn("canonical_name",
+            coalesce(col("canonical_id"), col("p_name")))
+        canon.groupBy(col("canonical_name"))
+          .agg(count_distinct(col("p_name")).as("n_names"),
+            count(lit(1)).as("n_rows"),
+            min(col("p_partkey")).as("golden_partkey"))
+          .orderBy(col("canonical_name"))
+      },
+      Some("""WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name AS nm FROM part),
+        |b AS (SELECT nm, split_part(nm, ' ', 2) AS blk FROM n),
+        |e AS (
+        |  SELECT a.nm AS x, b2.nm AS y
+        |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.nm < b2.nm
+        |  WHERE levenshtein(a.nm, b2.nm) <= 2),
+        |sym AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+        |reach(nm, r) AS (
+        |  SELECT nm, nm FROM n
+        |  UNION
+        |  SELECT reach.nm, sym.y FROM reach
+        |  JOIN sym ON reach.r = sym.x),
+        |canon AS (SELECT nm, min(r) AS canonical_name
+        |          FROM reach GROUP BY nm)
+        |SELECT c.canonical_name,
+        |  count(DISTINCT p.p_name) AS n_names,
+        |  count(*) AS n_rows,
+        |  min(p.p_partkey) AS golden_partkey
+        |FROM part p JOIN canon c ON p.p_name = c.nm
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)),
+
+    // Stationary distribution of the user-journey Markov chain:
+    // transition counts from per-user event successions (one keyed
+    // window), row-stochastic ppm matrix, 3 integer power-iteration
+    // rounds (floor at the edge product AND the row normalization —
+    // the q169 discipline, so the unrolled oracle replays the chain
+    // bit-exactly). Where the raw transition counts (q241's grain)
+    // say what FOLLOWS what, the stationary vector says where the
+    // journey SPENDS its time.
+    "q301_markov_stationary" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tr = Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .withColumn("src", lag(col("event_type"), 1).over(w))
+          .filter(col("src").isNotNull)
+          .groupBy(col("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+        Graph.markovStationaryPpm(tr, "src", "dst", "cnt", iters = 3)
+          .orderBy(col("state"))
+      },
+      {
+        val iterCtes = (1 to 3).map { i =>
+          s"""f$i AS (SELECT p.dst AS state,
+             |    CAST(sum((v.v_ppm * p.p_ppm) // 1000000) AS BIGINT)
+             |      AS in_sum
+             |  FROM p JOIN v${i - 1} v ON p.src = v.state GROUP BY 1),
+             |v$i AS (SELECT n.state,
+             |    coalesce(f.in_sum, 0) AS v_ppm
+             |  FROM n LEFT JOIN f$i f USING (state))""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH e AS (
+          |  SELECT user_id, event_type, ts, event_id FROM events
+          |  WHERE user_id IS NOT NULL),
+          |tr AS (
+          |  SELECT lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS src,
+          |    event_type AS dst
+          |  FROM e),
+          |t AS (SELECT src, dst, count(*) AS cnt FROM tr
+          |      WHERE src IS NOT NULL GROUP BY 1, 2),
+          |n AS (SELECT src AS state FROM t UNION SELECT dst FROM t),
+          |p AS (SELECT src, dst,
+          |    CAST(cnt * 1000000 // sum(cnt) OVER (PARTITION BY src)
+          |      AS BIGINT) AS p_ppm
+          |  FROM t),
+          |v0 AS (SELECT state,
+          |    CAST(1000000 // (SELECT count(*) FROM n) AS BIGINT)
+          |      AS v_ppm
+          |  FROM n),
+          |$iterCtes
+          |SELECT state, v_ppm FROM v3
+          |ORDER BY state""".stripMargin)
       })
   )
 }

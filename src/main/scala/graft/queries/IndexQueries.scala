@@ -1591,7 +1591,92 @@ object IndexQueries extends QueryPack {
         |  CAST(32 AS BIGINT) AS n_replicates,
         |  (SELECT CAST(sum(mean_milli) AS BIGINT) FROM s)
         |    AS sum_means_milli
-        |FROM base""".stripMargin))
+        |FROM base""".stripMargin)),
+
+    // Join-size estimation from KMV sketches — optimizer statistics
+    // without running the join: Ĵ·Û(A∪B) estimated common keys × the
+    // uniform-multiplicity factors, from bytes-sized sketches. The
+    // oracle replays the register tables AND the pinned
+    // left-to-right float chain; the TRUE size (Σ cntA·cntB, exact
+    // integer) sits beside the estimate so the estimator's bias is
+    // measured, not hidden.
+    "q298_join_size_est" -> Q(
+      (s, dir) => {
+        val a = Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("k"))
+        val b = Tables.orders(s, dir)
+          .select(col("o_custkey").cast("string").as("k"))
+        val est = Sketch.joinSizeEstimate(a, col("k"), b, col("k"), 64)
+        val truth = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+          .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+            .as("true_rows"))
+        est.crossJoin(broadcast(truth))
+      },
+      Some("""WITH ka AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(
+        |    CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |kb AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(
+        |    CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders),
+        |ra AS (SELECT h FROM (SELECT h,
+        |    row_number() OVER (ORDER BY h) AS rn FROM ka)
+        |  WHERE rn <= 64),
+        |rb AS (SELECT h FROM (SELECT h,
+        |    row_number() OVER (ORDER BY h) AS rn FROM kb)
+        |  WHERE rn <= 64),
+        |ea AS (SELECT count(*) AS n_regs, max(h) AS h_k FROM ra),
+        |eb AS (SELECT count(*) AS n_regs, max(h) AS h_k FROM rb),
+        |mu AS (SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT h FROM
+        |      (SELECT h FROM ra UNION ALL SELECT h FROM rb)))
+        |  WHERE rn <= 64),
+        |eu AS (SELECT count(*) AS n_regs, max(h) AS h_k FROM mu),
+        |tag AS (
+        |  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |    SELECT h, 1 AS in_a, 0 AS in_b FROM ra
+        |    UNION ALL SELECT h, 0, 1 FROM rb)
+        |  GROUP BY h),
+        |jw AS (SELECT in_a, in_b FROM (
+        |    SELECT in_a, in_b, row_number() OVER (ORDER BY h) AS rn
+        |    FROM tag)
+        |  WHERE rn <= 64),
+        |jac AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS matched
+        |  FROM jw),
+        |na AS (SELECT count(*) AS rows_a FROM events
+        |       WHERE user_id IS NOT NULL),
+        |nb AS (SELECT count(*) AS rows_b FROM orders),
+        |tru AS (
+        |  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+        |    AS true_rows
+        |  FROM (SELECT user_id AS k, count(*) AS ca FROM events
+        |        WHERE user_id IS NOT NULL GROUP BY 1) a
+        |  JOIN (SELECT o_custkey AS k, count(*) AS cb FROM orders
+        |        GROUP BY 1) b ON a.k = b.k),
+        |est AS (
+        |  SELECT
+        |    CASE WHEN ea.n_regs < 64 THEN CAST(ea.n_regs AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / ea.h_k END AS u_a,
+        |    CASE WHEN eb.n_regs < 64 THEN CAST(eb.n_regs AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / eb.h_k END AS u_b,
+        |    CASE WHEN eu.n_regs < 64 THEN CAST(eu.n_regs AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / eu.h_k END
+        |      AS u_union
+        |  FROM ea, eb, eu)
+        |SELECT jac.kk, jac.matched,
+        |  (1000000 * jac.matched) // jac.kk AS jacc_ppm,
+        |  est.u_a, est.u_b, est.u_union,
+        |  na.rows_a, nb.rows_b,
+        |  ((CAST(jac.matched AS DOUBLE) / CAST(jac.kk AS DOUBLE)) *
+        |    est.u_union) *
+        |    ((CAST(na.rows_a AS DOUBLE) / est.u_a) *
+        |     (CAST(nb.rows_b AS DOUBLE) / est.u_b)) AS est_rows,
+        |  tru.true_rows
+        |FROM jac, est, na, nb, tru""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

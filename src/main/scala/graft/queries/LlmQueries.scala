@@ -114,7 +114,7 @@ object LlmQueries extends QueryPack {
     * scoring pass, every double op in the identical order. (No line
     * may BEGIN with `|` — the simhashCte discipline.)
     */
-  private lazy val lrQualityOracle: String = {
+  private lazy val lrScoredCte: String = {
     val xs = Seq(
       "1.0",
       s"len($tokensSql) / 256.0",
@@ -156,14 +156,45 @@ object LlmQueries extends QueryPack {
     |sc AS (SELECT doc_id,
     |    CAST(floor((${sigS(z3)}) * 1000000.0) AS BIGINT) AS score_ppm,
     |    CAST(y AS BIGINT) AS label
-    |  FROM d CROSS JOIN w2)
+    |  FROM d CROSS JOIN w2)""".stripMargin
+  }
+
+  /** Shared q213/q291 head: the LR-scored corpus (doc_id, score_ppm,
+    * pred, label) — trained IN the call (two quantized-GD rounds, one
+    * 1-row agg each) then scored as a projection. The trainer is a
+    * pure function of the table, so both gates hold the same weights
+    * without any side-channel.
+    */
+  private def lrScoredFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val t = col("text")
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      lit(1.0).as("x0"),
+      (TextAnalysis.nTokens(t).cast("double") / lit(256.0)).as("x1"),
+      (TextAnalysis.punctCount(t).cast("double") /
+        (length(t) + lit(1)).cast("double")).as("x2"),
+      (TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.en)
+        .cast("double") /
+        (TextAnalysis.nTokens(t) + lit(1)).cast("double")).as("x3"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val feats = Seq(col("x0"), col("x1"), col("x2"), col("x3"))
+    val w = Classifier.lrTrain(d, feats, col("y"),
+      init = Seq(0.0, 0.0, 0.0, 0.0), eta = 0.5, rounds = 2)
+    val (score, pred) = Classifier.lrScore(feats, w)
+    d.select(col("doc_id"), score.as("score_ppm"), pred.as("pred"),
+      col("y").cast("long").as("label"))
+  }
+
+  /** The q213 gate: scored corpus straight off [[lrScoredCte]]. */
+  private lazy val lrQualityOracle: String =
+    s"""$lrScoredCte
     |SELECT doc_id, score_ppm,
     |  CASE WHEN score_ppm >= 500000 THEN CAST(1 AS BIGINT)
     |       ELSE CAST(0 AS BIGINT) END AS pred,
     |  label
     |FROM sc
     |ORDER BY doc_id""".stripMargin
-  }
 
   def defs: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the canonical-form fingerprint.
@@ -1745,26 +1776,7 @@ object LlmQueries extends QueryPack {
     // as CTEs — the trainer itself is under the hash, not just the
     // scores.
     "q213_lr_quality" -> Q(
-      (s, dir) => {
-        import graft.operators.Classifier
-        val t = col("text")
-        val d = Tables.documents(s, dir).select(col("doc_id"),
-          lit(1.0).as("x0"),
-          (TextAnalysis.nTokens(t).cast("double") / lit(256.0)).as("x1"),
-          (TextAnalysis.punctCount(t).cast("double") /
-            (length(t) + lit(1)).cast("double")).as("x2"),
-          (TextAnalysis.stopwordCount(t, TextAnalysis.LangProfiles.en)
-            .cast("double") /
-            (TextAnalysis.nTokens(t) + lit(1)).cast("double")).as("x3"),
-          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
-        val feats = Seq(col("x0"), col("x1"), col("x2"), col("x3"))
-        val w = Classifier.lrTrain(d, feats, col("y"),
-          init = Seq(0.0, 0.0, 0.0, 0.0), eta = 0.5, rounds = 2)
-        val (score, pred) = Classifier.lrScore(feats, w)
-        d.select(col("doc_id"), score.as("score_ppm"), pred.as("pred"),
-            col("y").cast("long").as("label"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => lrScoredFrame(s, dir).orderBy(col("doc_id")),
       Some(lrQualityOracle)),
 
     // Incremental-ingest dedup: the doc_id%10 "new batch" probed
@@ -2107,6 +2119,132 @@ object LlmQueries extends QueryPack {
         |  CASE WHEN nk > nd THEN 'keep'
         |       WHEN nd > nk THEN 'drop' END AS label
         |FROM c
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Expected calibration error of the q213 LR scorer: equal-width
+    // confidence bins of 500 ppm (sized to the 2-round scorer's
+    // narrow dynamic range so the readout is multi-bin),
+    // per-bin observed accuracy vs mean confidence in EXACT integer
+    // ppm, and the n-weighted |acc − conf| rollup as a window total
+    // repeated on every row — one readout, two grains, all under the
+    // hash. Shares lrScoredFrame/lrScoredCte with q213, so the
+    // calibration audit and the scorer can never disagree on the
+    // model.
+    "q291_calibration_ece" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        lrScoredFrame(s, dir)
+          .withColumn("bin", expr("score_ppm div 500"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("label")).as("n_pos"),
+            sum(col("score_ppm")).as("conf_sum"))
+          .select(col("bin"), col("n"),
+            expr("n_pos * 1000000L div n").as("acc_ppm"),
+            expr("conf_sum div n").as("conf_ppm"))
+          .withColumn("gap_ppm",
+            abs(col("acc_ppm") - col("conf_ppm")))
+          .withColumn("__gsum", sum(col("gap_ppm") * col("n")).over(w))
+          .withColumn("__nsum", sum(col("n")).over(w))
+          // integral div — a double window-mean could round across an
+          // integer boundary and break the hash
+          .withColumn("ece_ppm", expr("__gsum div __nsum"))
+          .drop("__gsum", "__nsum")
+          .orderBy(col("bin"))
+      },
+      Some(s"""$lrScoredCte,
+        |b AS (
+        |  SELECT score_ppm // 500 AS bin,
+        |    count(*) AS n,
+        |    CAST(sum(label) AS BIGINT) AS n_pos,
+        |    CAST(sum(score_ppm) AS BIGINT) AS conf_sum
+        |  FROM sc GROUP BY 1),
+        |p AS (
+        |  SELECT bin, n, n_pos * 1000000 // n AS acc_ppm,
+        |    conf_sum // n AS conf_ppm
+        |  FROM b)
+        |SELECT bin, n, acc_ppm, conf_ppm,
+        |  abs(acc_ppm - conf_ppm) AS gap_ppm,
+        |  CAST(sum(abs(acc_ppm - conf_ppm) * n) OVER () //
+        |    sum(n) OVER () AS BIGINT) AS ece_ppm
+        |FROM p
+        |ORDER BY bin""".stripMargin)),
+
+    // ROUGE-1/2 clipped-overlap scoring (the BLEU/ROUGE counting
+    // core) over successor pairs within each source: candidate = doc,
+    // reference = the source's next doc. n-gram count frames ride one
+    // text scan; pair scoring is two gram-keyed joins bounded by the
+    // pair list — never a per-pair re-tokenization. All-integer
+    // (clipped counts, ppm by integral div), so precision/recall
+    // hash-gate.
+    "q295_rouge_overlap" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        val docs = Tables.documents(s, dir)
+        val pairs = docs
+          .select(col("doc_id").as("id_a"),
+            lead(col("doc_id"), 1).over(w).as("id_b"))
+          .filter(col("id_b").isNotNull)
+        graft.operators.Eval.rougeOverlap(pairs, docs, "doc_id", "text")
+          .orderBy(col("id_a"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source, $tokensSql AS toks FROM documents),
+        |pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT doc_id AS id_a,
+        |      lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+        |        AS id_b
+        |    FROM documents)
+        |  WHERE id_b IS NOT NULL),
+        |uni AS (
+        |  SELECT doc_id AS id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(toks) AS g FROM t)
+        |  GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT doc_id AS id, g, count(*) AS c FROM (
+        |    SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |    FROM t, LATERAL (SELECT unnest(
+        |      generate_series(1, len(toks)-1)) AS i) u)
+        |  GROUP BY 1, 2),
+        |s1 AS (SELECT id, CAST(sum(c) AS BIGINT) AS n FROM uni
+        |       GROUP BY 1),
+        |s2 AS (SELECT id, CAST(sum(c) AS BIGINT) AS n FROM bi
+        |       GROUP BY 1),
+        |c1 AS (
+        |  SELECT pr.id_a, pr.id_b,
+        |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+        |  FROM pr JOIN uni a ON a.id = pr.id_a
+        |  JOIN uni b ON b.id = pr.id_b AND b.g = a.g
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT pr.id_a, pr.id_b,
+        |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+        |  FROM pr JOIN bi a ON a.id = pr.id_a
+        |  JOIN bi b ON b.id = pr.id_b AND b.g = a.g
+        |  GROUP BY 1, 2)
+        |SELECT pr.id_a, pr.id_b,
+        |  coalesce(sa1.n, 0) AS n_a1, coalesce(sb1.n, 0) AS n_b1,
+        |  coalesce(c1.clip, 0) AS clip1,
+        |  coalesce(sa2.n, 0) AS n_a2, coalesce(sb2.n, 0) AS n_b2,
+        |  coalesce(c2.clip, 0) AS clip2,
+        |  coalesce(c1.clip, 0) * 1000000 //
+        |    greatest(coalesce(sa1.n, 0), 1) AS p1_ppm,
+        |  coalesce(c1.clip, 0) * 1000000 //
+        |    greatest(coalesce(sb1.n, 0), 1) AS r1_ppm,
+        |  coalesce(c2.clip, 0) * 1000000 //
+        |    greatest(coalesce(sa2.n, 0), 1) AS p2_ppm,
+        |  coalesce(c2.clip, 0) * 1000000 //
+        |    greatest(coalesce(sb2.n, 0), 1) AS r2_ppm
+        |FROM pr
+        |LEFT JOIN s1 sa1 ON sa1.id = pr.id_a
+        |LEFT JOIN s1 sb1 ON sb1.id = pr.id_b
+        |LEFT JOIN s2 sa2 ON sa2.id = pr.id_a
+        |LEFT JOIN s2 sb2 ON sb2.id = pr.id_b
+        |LEFT JOIN c1 ON c1.id_a = pr.id_a AND c1.id_b = pr.id_b
+        |LEFT JOIN c2 ON c2.id_a = pr.id_a AND c2.id_b = pr.id_b
+        |ORDER BY pr.id_a""".stripMargin))
   )
 }

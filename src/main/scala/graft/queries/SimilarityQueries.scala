@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Similarity
+import graft.queries.Fixtures.materializeAndDelete
 
 /** q31–q32, q39: similarity search over the embeddings table — exact
   * brute-force cosine top-k, the LSH-bucketed ANN variant, and
@@ -1116,6 +1117,112 @@ object SimilarityQueries extends QueryPack {
         |  ${dd("v[1:16]", "v[1:16]")} / ${dd("v", "v")} AS r_16,
         |  ${dd("v[1:32]", "v[1:32]")} / ${dd("v", "v")} AS r_32
         |FROM e
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // IVF index PERSISTENCE round trip: the corpus is assigned once,
+    // written `partitionBy("cell")` (so a production probe prunes to
+    // the touched cell DIRECTORIES before reading a row), read back,
+    // and served against — the q57 oracle gating the result proves
+    // the build-once/serve-many split loses nothing vs assigning
+    // in-line. Vectors survive the parquet round trip bit-exactly
+    // (float32 is stored verbatim), so the cosines hash-gate.
+    "q294_ivf_persist" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivf")
+        Similarity.ivfIndexFrame(e, "vec_id", "embedding", Centroids)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$tmp/index")
+        val index = s.read.parquet(s"$tmp/index")
+        val served = Similarity.annTopKIvfServe(
+          e.filter(col("vec_id") % 100 === 0), index,
+          "vec_id", "embedding", Centroids, 3)
+        materializeAndDelete(served, tmp)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val cellSql = cellSqlFor("v")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |b AS (SELECT vec_id, v, $cellSql AS cell FROM e),
+          |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM b
+          |      WHERE vec_id % 100 = 0),
+          |s AS (
+          |  SELECT q.query_id, b.vec_id AS neighbor_id,
+          |         ${cosSql("qv", "v")} AS cos
+          |  FROM q JOIN b USING (cell) WHERE q.query_id <> b.vec_id),
+          |r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM s)
+          |SELECT query_id, rn, neighbor_id, cos AS cosine
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      }),
+
+    // ONLINE vector serving: query vectors arrive as a STREAM and
+    // probe the static IVF index per micro-batch — the q294 serve
+    // operator verbatim inside foreachBatch (stream/batch serving
+    // cannot drift: one definition). The index is the build-once
+    // frame (localCheckpoint standing in for the persisted parquet);
+    // the gate is the same oracle as q57/q294, so streamed serving
+    // provably returns what batch serving returns.
+    "q299_stream_ann" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import graft.streaming.Streams
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        val index = Similarity.ivfIndexFrame(
+          e, "vec_id", "embedding", Centroids).localCheckpoint(true)
+        val qStream = s.readStream
+          .schema(Tables.embeddings(s, dir).schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        val outSchema = StructType(Seq(
+          StructField("query_id", LongType),
+          StructField("rn", LongType, nullable = false),
+          StructField("neighbor_id", LongType),
+          StructField("cosine", DoubleType)))
+        var out = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        val ckpt = Streams.scratchCheckpointDir("graft-annserve-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            qStream,
+            batch => Similarity.annTopKIvfServe(
+              batch, index, "vec_id", "embedding", Centroids, 3),
+            res => out = out.unionByName(res).localCheckpoint(true),
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        out.orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val cellSql = cellSqlFor("v")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |b AS (SELECT vec_id, v, $cellSql AS cell FROM e),
+          |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM b
+          |      WHERE vec_id % 100 = 0),
+          |s AS (
+          |  SELECT q.query_id, b.vec_id AS neighbor_id,
+          |         ${cosSql("qv", "v")} AS cos
+          |  FROM q JOIN b USING (cell) WHERE q.query_id <> b.vec_id),
+          |r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM s)
+          |SELECT query_id, rn, neighbor_id, cos AS cosine
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      })
   )
 }

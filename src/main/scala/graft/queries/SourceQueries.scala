@@ -590,6 +590,59 @@ object SourceQueries extends QueryPack {
         |    AS parsed_chars,
         |  doc_id % 10 = 3 AS is_corrupt
         |FROM documents
-        |ORDER BY line_id""".stripMargin))
+        |ORDER BY line_id""".stripMargin)),
+
+    // binaryFile source ingest — the blob-lake entry path for
+    // multimodal data: one PNG FILE per sliced doc (payload a pure
+    // function of doc_id), read back through Spark's built-in
+    // binaryFile source (path/length/content rows), id parsed from
+    // the path, REAL decode via the shared codec dispatch. The
+    // oracle recomputes the gray histogram from the q52 pixel
+    // formula — file I/O, source, and decoder are all under the
+    // hash. At 100 TB this is the pattern for image-corpus ingest:
+    // binaryFile scans parallelize per file and the decode rides
+    // the scan (one ImageIO context per partition).
+    "q303_binaryfile_ingest" -> Q(
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val ids = Tables.documents(s, dir)
+          .filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"))
+          .collect().map(_.getLong(0)).sorted // slice-bounded fixture
+        val tmp = java.nio.file.Files.createTempDirectory("graft_blob")
+        ids.foreach { id =>
+          java.nio.file.Files.write(tmp.resolve(f"img_$id%06d.png"),
+            Multimodal.syntheticPng(id))
+        }
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png").load(tmp.toString)
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+              .cast("long").as("media_id"),
+            lit("png").as("kind"), col("content").as("bytes"))
+        val decoded = Multimodal.decodeFeatures(media)
+          .select(col("media_id"),
+            posexplode(col("features")).as(Seq("bucket", "share")))
+          .select(col("media_id"), col("bucket"),
+            col("share").cast("double").as("share"))
+        Fixtures.materializeAndDelete(decoded, tmp)
+          .orderBy(col("media_id"), col("bucket"))
+      },
+      Some("""WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(((doc_id * 31 + i) % 256) // 16 AS INT) AS b
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+        |        FROM ids)),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM px GROUP BY 1, 2),
+        |bk AS (SELECT doc_id,
+        |    CAST(unnest(generate_series(0, 15)) AS INT) AS bucket
+        |  FROM ids)
+        |SELECT bk.doc_id AS media_id, bk.bucket,
+        |  CAST(coalesce(c, 0) / 64.0 AS DOUBLE) AS share
+        |FROM bk LEFT JOIN cnt
+        |  ON cnt.doc_id = bk.doc_id AND cnt.b = bk.bucket
+        |ORDER BY media_id, bucket""".stripMargin))
   )
 }

@@ -80,6 +80,17 @@ class PrivacyDqSpec extends SparkSpec {
     assert(empty === Seq((0L, "c", 0L, false)))
   }
 
+  test("auditFromSensitiveGrid ≡ kAnonymityAudit over the same rows") {
+    val direct = Privacy.kAnonymityAudit(
+      people, Seq("city", "band"), col("dx"), k = 2, l = 2)
+    val grid = people.groupBy(col("city"), col("band"), col("dx"))
+      .count()
+    val fromGrid = Privacy.auditFromSensitiveGrid(
+      grid, Seq("city", "band"), "count", k = 2, l = 2)
+    assert(direct.orderBy("city", "band").collect().toSeq ===
+      fromGrid.orderBy("city", "band").collect().toSeq)
+  }
+
   test("checkAll: null predicate counts as violation") {
     val df = Seq(Some(5.0), None, Some(-1.0)).toDF("v")
     val out = DataQuality.checkAll(df, Seq(
