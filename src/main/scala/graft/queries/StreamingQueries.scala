@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
 
+import graft.Tables
 import graft.streaming.Streams
 
 /** q60–q62: the SURVEY §2.8 streaming operators under the ORACLE gate.
@@ -829,6 +830,148 @@ object StreamingQueries extends QueryPack {
       },
       Some("""SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
         |  c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Streaming k-anonymity monitoring: the release-audit grid
+    // maintained as Complete-mode state at the (QI × sensitive-band)
+    // grain — dimension-bounded, the q206 histogram-state shape —
+    // then the SAME verdict rule as batch q283 applied as a readout
+    // (Privacy.auditFromSensitiveGrid is algebraically
+    // kAnonymityAudit over partials: n = Σc, n_sensitive = grid
+    // rows). One rule definition, two execution modes; thresholds
+    // chosen so both verdict polarities occur on the data.
+    "q293_stream_kanon" -> Q(
+      (s, dir) => {
+        val grid = Streams.runToTable(
+          eventsStream(s, dir)
+            .filter(col("user_id").isNotNull)
+            .groupBy(col("event_type"),
+              (col("user_id") % 25).as("band"),
+              floor(col("value") / 25).cast("long").as("sens"))
+            .count(),
+          OutputMode.Complete())
+        graft.operators.Privacy.auditFromSensitiveGrid(
+            grid, Seq("event_type", "band"), "count", k = 80, l = 18)
+          .orderBy(col("event_type"), col("band"))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type, user_id % 25 AS band,
+        |    CAST(floor(value / 25) AS BIGINT) AS sens, count(*) AS c
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, band, CAST(sum(c) AS BIGINT) AS n,
+        |  count(*) AS n_sensitive,
+        |  sum(c) >= 80 AS k_anon,
+        |  count(*) >= 18 AS l_diverse
+        |FROM g
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming ORDERED FUNNEL: per-user flatMapGroupsWithState holds
+    // the reach-time list; walking events in time order and taking
+    // the first strictly-later stage-k event reproduces batch q194's
+    // "min ts strictly after reach_{k-1}" recursion exactly — the
+    // gate shares q194's oracle, so stream and batch funnels cannot
+    // drift. Readout: users per reached stage (each user emits one
+    // row per stage reached).
+    "q304_stream_funnel" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val stages = Seq("view", "click", "purchase")
+        val stageIdx = map(stages.zipWithIndex.flatMap { case (n, i) =>
+          Seq(lit(n), lit(i)) }: _*)
+        val ev = eventsStream(s, dir)
+          .filter(col("user_id").isNotNull &&
+            col("event_type").isin(stages: _*))
+          .select(col("user_id"),
+            element_at(stageIdx, col("event_type")).cast("int")
+              .as("stage_idx"),
+            unix_millis(col("ts")).as("ms"))
+          .as[Streams.FunnelEvent]
+        val reached = Streams.runToTable(
+          Streams.funnelStream(ev).toDF(), OutputMode.Append())
+        val names = map(stages.zipWithIndex.flatMap { case (n, i) =>
+          Seq(lit(i + 1), lit(n)) }: _*)
+        reached.groupBy(col("stage_idx"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(col("stage_idx").cast("long").as("stage_idx"),
+            element_at(names, col("stage_idx").cast("int")).as("stage"),
+            col("n_users"))
+          .orderBy(col("stage_idx"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL),
+        |r1 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |r2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN r1 ON e.user_id = r1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > r1.t GROUP BY 1),
+        |r3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN r2 ON e.user_id = r2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > r2.t
+        |       GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |    (SELECT count(*) FROM r1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM r2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r3))
+        |ORDER BY stage_idx""".stripMargin)),
+
+    // Streaming point-in-time enrichment: order facts arrive as a
+    // stream and join the SCD2 customer-segment history per
+    // micro-batch via the BATCH pitLookup operator verbatim in
+    // foreachBatch — q220's gate for the streaming path. The history
+    // dim is static (broadcastable); state-free, so any batching
+    // yields the same enriched rows.
+    "q305_stream_pit_enrich" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        def t(x: String) = to_timestamp(lit(x))
+        val history = c.select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("seg"),
+            t("1995-06-15 00:00:00").as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to"))
+          .unionByName(c.filter(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey").as("o_custkey"),
+              lit("LEGACY").as("seg"),
+              t("1992-01-01 00:00:00").as("valid_from"),
+              t("1995-06-15 00:00:00").as("valid_to")))
+          .localCheckpoint(true)
+        val factsStream = s.readStream
+          .schema(Tables.orders(s, dir).schema)
+          .option("pathGlobFilter", "orders.parquet")
+          .parquet(dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("timestamp").as("o_ts"))
+        val outSchema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("seg", StringType)))
+        var out = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        val ckpt = Streams.scratchCheckpointDir("graft-pit-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            factsStream,
+            batch => graft.operators.Scd2.pitLookup(batch, history,
+                "o_custkey", "o_ts", Seq("seg"))
+              .select(col("o_orderkey"), col("o_custkey"), col("seg")),
+            res => out = out.unionByName(res).localCheckpoint(true),
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        out.orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderdate >= DATE '1995-06-15' THEN c_mktsegment
+        |       WHEN o_custkey % 3 = 0 THEN 'LEGACY'
+        |       ELSE NULL END AS seg
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin))
   )

@@ -131,6 +131,46 @@ object Streams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, stage_idx: Int, ms: Long)
+  final case class FunnelState(reach: List[Long])
+  final case class FunnelReach(user_id: Long, stage_idx: Int, reach_ms: Long)
+
+  /** Streaming ORDERED FUNNEL — the stateful twin of
+    * [[graft.operators.Analytics.funnel]] (q194): per-user state is
+    * the list of reach times for the stages completed so far; each
+    * micro-batch folds its user's events in event-time order and a
+    * stage-k event advances the funnel iff k is exactly the next
+    * stage and its time is STRICTLY after the stage-(k−1) reach —
+    * which reproduces batch's "min ts strictly after" recursively
+    * (walking in time order, the first qualifying event IS the min).
+    * Emits one row per newly reached stage. State is ≤ n_stages
+    * longs per user; at production scale compose a watermark timeout
+    * to retire abandoned funnels. Same-ms ties sort by stage_idx, so
+    * a stage-k and stage-(k+1) event at the same ms advance only k —
+    * strictly-after is preserved across batches too (the reach list
+    * carries).
+    */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelReach] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          var reach = state.getOption.map(_.reach).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelReach]
+          for (e <- rows.toSeq.sortBy(r => (r.ms, r.stage_idx))) {
+            val k = reach.length
+            if (e.stage_idx == k && (k == 0 || e.ms > reach.last)) {
+              reach = reach :+ e.ms
+              out += FunnelReach(uid, k + 1, e.ms)
+            }
+          }
+          if (out.nonEmpty) state.update(FunnelState(reach))
+          out.iterator
+      }
+  }
+
   final case class SigDoc(docId: Long, sig: String)
   final case class DupLink(doc_id: Long, dup_of: Option[Long])
 

@@ -292,4 +292,54 @@ class StreamsSpec extends SparkSpec {
         (4L, 2L, 12000L))) // after batch 2: state carried
     } finally q.stop()
   }
+
+  test("funnelStream: reach list carries across batches; strictly-after holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.funnelStream(input.toDS())
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("funnel_out").outputMode("append").start()
+    try {
+      // batch 1: view@10; a click@10 (same ms) must NOT count
+      // (strictly after); click@20 reaches stage 2
+      input.addData(
+        Streams.FunnelEvent(1L, 0, 10L), Streams.FunnelEvent(1L, 1, 10L),
+        Streams.FunnelEvent(1L, 1, 20L))
+      q.processAllAvailable()
+      // batch 2: purchase@15 is BEFORE the carried stage-2 reach (20)
+      // → ignored; purchase@30 completes. A stateless per-batch fold
+      // would have no stage-2 reach to compare against at all.
+      input.addData(
+        Streams.FunnelEvent(1L, 2, 15L), Streams.FunnelEvent(1L, 2, 30L))
+      q.processAllAvailable()
+      // user 2 never views; their click must not open a funnel
+      input.addData(Streams.FunnelEvent(2L, 1, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.toSet === Set(
+        (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L)))
+    } finally q.stop()
+  }
+
+  test("funnelStream: out-of-order within a batch sorts by event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.funnelStream(input.toDS())
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("funnel_ooo_out").outputMode("append").start()
+    try {
+      // arrival order purchase, click, view — time order view(1) <
+      // click(2) < purchase(3) must still complete the funnel
+      input.addData(
+        Streams.FunnelEvent(7L, 2, 3L), Streams.FunnelEvent(7L, 1, 2L),
+        Streams.FunnelEvent(7L, 0, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ooo_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.toSet === Set((7L, 1, 1L), (7L, 2, 2L), (7L, 3, 3L)))
+    } finally q.stop()
+  }
 }
