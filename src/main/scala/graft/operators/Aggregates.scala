@@ -120,4 +120,28 @@ object Aggregates {
         // HUGEINT — a schema mismatch in the oracle compare.
         count(when(recent, 1)).as("n_recent"))
       .orderBy(col(key))
+
+  /** Leave-one-out target encoding — the categorical featurizer that
+    * replaces a category with the mean label of the OTHER rows in
+    * the category (plain category-mean leaks the row's own label
+    * into its feature; LOO is the standard de-leak). Exact integer
+    * milli: (Σ_cat − v_i)·1000 div (n_cat − 1); singleton categories
+    * yield null (no other rows to learn from — the caller decides
+    * the fallback prior). One category-partitioned window over the
+    * fact grain; the label column must be integral (trunc/scale
+    * upstream).
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, valCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(catCol))
+    df.select(col(idCol), col(catCol), col(valCol))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col(valCol)).over(w))
+      .withColumn("loo_milli",
+        when(col("__n") > 1,
+          expr(s"(__s - $valCol) * 1000L div (__n - 1L)")))
+      .drop("__s")
+      .withColumnRenamed("__n", "n_cat")
+  }
 }

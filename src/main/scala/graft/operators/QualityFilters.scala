@@ -194,4 +194,34 @@ object QualityFilters {
         (col("n_sentences") >= 3 && !col("has_brace") && !col("has_lorem"))
           .as("c4_keep"))
   }
+
+  /** Train/serve distribution-drift audit (the log-free PSI stand-in):
+    * bin a numeric feature with a fixed width on BOTH populations,
+    * compare per-bin ppm shares, report |Δ| per bin and the total L1
+    * distance (= 2× total-variation distance, in ppm) as a window
+    * rollup. All-integer: shares by integral div, so the whole audit
+    * hash-gates — classic PSI's log-ratio term can't. Bins absent on
+    * one side read as 0 ppm (full-outer grid). Two partial-agg scans
+    * + one bin-keyed join; the grid is range/width-bounded.
+    */
+  def binShareDrift(a: DataFrame, b: DataFrame, valCol: String,
+      width: Long): DataFrame = {
+    require(width >= 1)
+    import org.apache.spark.sql.expressions.Window
+    def shares(df: DataFrame, out: String) =
+      df.select(floor(col(valCol) / width).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("__c"))
+        .withColumn(out, expr(
+          "__c * 1000000L div sum(__c) OVER (PARTITION BY 1)"))
+        .drop("__c")
+    val w = Window.partitionBy(lit(1))
+    shares(a, "share_a_ppm")
+      .join(shares(b, "share_b_ppm"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("share_a_ppm"), lit(0L)).as("share_a_ppm"),
+        coalesce(col("share_b_ppm"), lit(0L)).as("share_b_ppm"))
+      .withColumn("abs_diff_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+      .withColumn("l1_total_ppm", sum(col("abs_diff_ppm")).over(w))
+  }
 }

@@ -183,6 +183,28 @@ object Similarity {
     count(lit(1)).as("n") +: (0 until dim).map(d =>
       sum(floor((element_at(col(vecCol), d + 1)) * KmQ)).as(s"s$d"))
 
+  /** The k-means accumulation surface, public for STREAMING use: the
+    * quantized per-dimension sums are plain associative aggregates,
+    * so a Complete-mode streaming groupBy(cell) maintains the exact
+    * same cell statistics a batch pass computes — one trainer
+    * definition, two execution modes (q306). `kmAssign` is the
+    * cosine-argmax cell id; `kmCellAggs` the (n, s0..s{d-1}) sums;
+    * `kmCentroidsFromGrid` the closing readout (cell, n_members,
+    * centroid).
+    */
+  def kmAssign(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    assignCell(vec, cents)
+
+  def kmCellAggs(vecCol: String, dim: Int): Seq[Column] =
+    kmAggs(vecCol, dim)
+
+  def kmCentroidsFromGrid(grid: DataFrame, dim: Int): DataFrame =
+    grid.select(col("cell").cast("long").as("cell"),
+      col("n").as("n_members"),
+      array((0 until dim).map(d =>
+        col(s"s$d").cast("double") / (col("n").cast("double") * KmQ)): _*)
+        .as("centroid"))
+
   /** One-or-more Lloyd iterations of spherical k-means (cosine
     * assignment — the IVF-flat trainer for [[annTopKIvf]]'s coarse
     * quantizer). Per iteration: one corpus pass assigns cells inside

@@ -261,4 +261,24 @@ object TextAnalysis {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** Feature hashing (the hashing trick): tokens land in a fixed
+    * `dim`-bucket index space via the shared md5 hash — the
+    * vocabulary-free featurizer for the LR scorer family (no vocab
+    * table to build, broadcast, or version). Output is the sparse
+    * long-format vector (id, idx, cnt): one token explode + one
+    * (id, idx)-keyed partial agg, scan-speed at 100 TB. Collisions
+    * are the accepted trade (dim controls the rate); determinism
+    * comes free with the hash.
+    */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2)
+    df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("__t"))
+      .select(col("id"), pmod(hash60(col("__t")), lit(dim.toLong))
+        .as("idx"))
+      .groupBy(col("id"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

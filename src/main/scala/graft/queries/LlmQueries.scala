@@ -2245,6 +2245,94 @@ object LlmQueries extends QueryPack {
         |LEFT JOIN s2 sb2 ON sb2.id = pr.id_b
         |LEFT JOIN c1 ON c1.id_a = pr.id_a AND c1.id_b = pr.id_b
         |LEFT JOIN c2 ON c2.id_a = pr.id_a AND c2.id_b = pr.id_b
-        |ORDER BY pr.id_a""".stripMargin))
+        |ORDER BY pr.id_a""".stripMargin)),
+
+    // Feature hashing: vocabulary-free sparse featurization — tokens
+    // → fixed 256-bucket index space via the shared md5 hash. One
+    // explode + one keyed partial agg; no vocab table to build or
+    // broadcast. Long-format (id, idx, cnt) hash-gates exactly.
+    "q307_feature_hashing" -> Q(
+      (s, dir) => TextAnalysis.hashFeatures(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", dim = 256)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("idx")),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, unnest($tokensSql) AS t
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, ${h60sql("t")} % 256 AS idx,
+        |  count(*) AS cnt
+        |FROM tok
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, idx""".stripMargin)),
+
+    // Leave-one-out target encoding of order priority against the
+    // (truncated) order total: the de-leaked categorical featurizer
+    // — each row's feature is the mean label of the OTHER rows in
+    // its category, exact integer milli. One category-partitioned
+    // window over the fact grain.
+    "q308_target_encoding" -> Q(
+      (s, dir) => graft.operators.Aggregates.targetEncodeLoo(
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              expr("CAST(o_totalprice AS LONG)").as("v")),
+          "o_orderpriority", "v", "o_orderkey")
+        .orderBy(col("o_orderkey")),
+      Some("""WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(trunc(o_totalprice) AS BIGINT) AS v
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_orderkey, o_orderpriority, v,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n_cat,
+        |    CAST(sum(v) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS s
+        |  FROM b)
+        |SELECT o_orderkey, o_orderpriority, v,
+        |  CAST(n_cat AS BIGINT) AS n_cat,
+        |  CASE WHEN n_cat > 1
+        |       THEN (s - v) * 1000 // (n_cat - 1) END AS loo_milli
+        |FROM w
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Train/serve drift audit (log-free PSI): doc-length share
+    // distributions of the even- vs odd-id halves, per-bin |Δ| ppm
+    // and the total L1 (= 2·TV distance) — the monitoring readout a
+    // scoring pipeline runs before trusting a model trained on
+    // yesterday's distribution. All-integer, full-outer bin grid.
+    "q309_drift_l1" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        QualityFilters.binShareDrift(
+            d.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
+            d.filter(col("doc_id") % 2 === 1).select(col("n_chars")),
+            "n_chars", width = 100L)
+          .orderBy(col("bin"))
+      },
+      Some("""WITH a AS (
+        |  SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ap AS (SELECT bin,
+        |    CAST(c * 1000000 // sum(c) OVER () AS BIGINT) AS share_a_ppm
+        |  FROM a),
+        |b AS (
+        |  SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |bp AS (SELECT bin,
+        |    CAST(c * 1000000 // sum(c) OVER () AS BIGINT) AS share_b_ppm
+        |  FROM b),
+        |j AS (
+        |  SELECT coalesce(ap.bin, bp.bin) AS bin,
+        |    coalesce(share_a_ppm, 0) AS share_a_ppm,
+        |    coalesce(share_b_ppm, 0) AS share_b_ppm
+        |  FROM ap FULL OUTER JOIN bp ON ap.bin = bp.bin)
+        |SELECT bin, share_a_ppm, share_b_ppm,
+        |  abs(share_a_ppm - share_b_ppm) AS abs_diff_ppm,
+        |  CAST(sum(abs(share_a_ppm - share_b_ppm)) OVER ()
+        |    AS BIGINT) AS l1_total_ppm
+        |FROM j
+        |ORDER BY bin""".stripMargin))
   )
 }

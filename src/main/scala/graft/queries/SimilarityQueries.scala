@@ -1223,6 +1223,58 @@ object SimilarityQueries extends QueryPack {
           |SELECT query_id, rn, neighbor_id, cos AS cosine
           |FROM r WHERE rn <= 3
           |ORDER BY query_id, rn""".stripMargin)
+      }),
+
+    // STREAMING Lloyd half-step: embeddings arrive as a stream; the
+    // per-cell quantized sufficient statistics (n, Σ⌊v_d·2²⁰⌋) are
+    // maintained as Complete-mode state — the accumulation is
+    // associative, so the streamed grid EQUALS the batch pass's
+    // (q84's g1 stage, which is this gate's oracle). The centroid
+    // readout is the same closing select as kmeansSummary: one
+    // trainer definition, two execution modes. State is k×(dim+1)
+    // longs — centroid-bounded, never corpus-bounded.
+    "q306_stream_kmeans" -> Q(
+      (s, dir) => {
+        import graft.streaming.Streams
+        val dim = 64
+        val embStream = s.readStream
+          .schema(Tables.embeddings(s, dir).schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+          .select(
+            Similarity.kmAssign(vec(col("embedding")), KmInit).as("cell"),
+            vec(col("embedding")).as("embedding"))
+        val aggs = Similarity.kmCellAggs("embedding", dim)
+        val grid = Streams.runToTable(
+          embStream.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*),
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        Similarity.kmCentroidsFromGrid(grid, dim)
+          .select(col("cell"), col("n_members"),
+            posexplode(col("centroid")).as(Seq("dim_idx", "value")))
+          .orderBy(col("cell"), col("dim_idx"))
+      },
+      {
+        val dim = 64
+        val q20 = "1048576.0"
+        val sumExprs = (0 until dim).map(d =>
+          s"CAST(sum(CAST(floor(v[${d + 1}] * $q20) AS BIGINT)) AS BIGINT) AS s$d")
+          .mkString(",\n|    ")
+        val centroidList = (0 until dim).map(d => s"s$d / (n * $q20)")
+          .mkString("[", ", ", "]")
+        val cellSql = cellSqlFor("v")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |a1 AS (SELECT vec_id, v, $cellSql AS cell FROM e),
+          |g1 AS (SELECT cell, count(*) AS n,
+          |    $sumExprs
+          |  FROM a1 GROUP BY cell),
+          |sel AS (SELECT CAST(cell AS BIGINT) AS cell, n AS n_members,
+          |    $centroidList AS c
+          |  FROM g1)
+          |SELECT cell, n_members, CAST(i AS INT) AS dim_idx,
+          |  c[i + 1] AS value
+          |FROM sel CROSS JOIN
+          |  (SELECT unnest(generate_series(0, ${dim - 1})) AS i) d
+          |ORDER BY cell, dim_idx""".stripMargin)
       })
   )
 }

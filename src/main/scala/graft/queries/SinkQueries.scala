@@ -355,6 +355,42 @@ object SinkQueries extends QueryPack {
     // and every row hash-compared to the parquet original (doubles,
     // strings and keys must survive bit-exact; the date is compared
     // at DATE grain, the shared precision of both engines' readers).
+    // Partition EVOLUTION: v0 lands day-partitioned, v1 appends
+    // (day, event_type)-partitioned — the spec travels on the FILE,
+    // so changing the keying strategy rewrites nothing (ALTER TABLE,
+    // not table rewrite, at 100 TB). The filtered read prunes v1
+    // files from log metadata alone on BOTH columns, prunes v0 on
+    // day only and row-filters the rest; the gate proves the merged
+    // read across layout generations loses nothing vs the plain
+    // filter (TxLogSpec pins the file-prune counts).
+    "q310_partition_evolution" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val tmp = java.nio.file.Files.createTempDirectory("graft_pevo")
+        val base = Tables.events(s, dir).select(col("event_id"),
+          to_date(col("ts")).cast("string").as("day"),
+          col("event_type"), col("value"))
+        TxLog.commitPartitioned(
+          base.filter(col("day") < "2024-01-16").repartition(2),
+          tmp.toString, "append", "event_id", Seq("day"))
+        TxLog.commitPartitioned(
+          base.filter(col("day") >= "2024-01-16").repartition(2),
+          tmp.toString, "append", "event_id", Seq("day", "event_type"))
+        val (got, _, _) = TxLog.readEvolved(s, tmp.toString,
+          Map("day" -> "2024-01-20", "event_type" -> "click"))
+        materializeAndDelete(
+          got.select(col("event_id"), col("day"), col("event_type"),
+            col("value")),
+          tmp).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  event_type, value
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+        |  AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin)),
+
     "q202_orc_roundtrip" -> Q(
       (s, dir) => {
         val src = Tables.orders(s, dir)

@@ -55,7 +55,13 @@ object TxLog {
     StructField("path", StringType),
     StructField("rows", LongType),
     StructField("mn", LongType),
-    StructField("mx", LongType)))
+    StructField("mx", LongType),
+    // partition-spec annotations (partition evolution): the columns
+    // this file's directory layout encodes and their values for this
+    // file — absent/null on unpartitioned entries, so every pre-
+    // evolution log line stays readable under the same schema
+    StructField("pcols", StringType),
+    StructField("pvals", StringType)))
 
   private def logDir(dir: String) = new java.io.File(dir, "_log")
 
@@ -432,5 +438,110 @@ object TxLog {
         }
       base.filter(col(statCol) >= lo && col(statCol) <= hi)
     }
+  }
+
+  /** Commit with a DIRECTORY-PARTITIONED layout (the Hive/Iceberg
+    * shape): data files land under `c1=v1/c2=v2/…` subdirectories
+    * and every log entry records its file's partition spec
+    * (`pcols`) and values (`pvals`). Because the SPEC travels on
+    * the FILE, later commits may partition by different columns —
+    * partition EVOLUTION: no existing file is rewritten when the
+    * keying strategy changes, which at 100 TB is the difference
+    * between an ALTER TABLE and a table rewrite. Partition columns
+    * must be STRING-typed in `df` (directory names are strings;
+    * keeping the contract explicit beats silently round-tripping
+    * types through paths) and value strings must be path/JSON-safe
+    * (no quotes/newlines — dates, enums, ids).
+    */
+  def commitPartitioned(df: DataFrame, dir: String, mode: String,
+      statCol: String, partCols: Seq[String]): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    require(partCols.nonEmpty, "use commit() for unpartitioned writes")
+    partCols.foreach { c =>
+      require(df.schema(c).dataType == StringType,
+        s"partition column $c must be STRING (got ${df.schema(c).dataType})")
+    }
+    val spark = df.sparkSession
+    val v = versions(dir).lastOption.map(_ + 1).getOrElse(0L)
+    val dataRel = s"data-v$v"
+    val dataAbs = new java.io.File(dir, dataRel).toString
+    df.write.partitionBy(partCols: _*).parquet(dataAbs)
+    // read back through the ROOT so partition values re-attach, then
+    // one distributed stats pass keyed by (file, partition values)
+    val back = spark.read.parquet(dataAbs)
+    val keys = input_file_name().as("uri") +: partCols.map(col)
+    val stats = back
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("rows"),
+        min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
+      .collect()
+      .map { r =>
+        val uri = r.getString(0)
+        val rel = dataRel + uri.substring(
+          uri.indexOf(dataRel) + dataRel.length)
+        val pvals = partCols.indices
+          .map(i => r.get(i + 1).toString).mkString("|")
+        (rel, r.getAs[Long]("rows"), r.getAs[Long]("mn"),
+          r.getAs[Long]("mx"), pvals)
+      }
+      .sortBy(_._1)
+    val pc = partCols.mkString(",")
+    val lines = stats.map { case (p, n, mn, mx, pv) =>
+      s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,""" +
+        s""""mn":$mn,"mx":$mx,"pcols":"$pc","pvals":"$pv"}"""
+    }
+    publishLog(dir, v, lines.toIndexedSeq)
+    v
+  }
+
+  /** Read across EVOLVED partition layouts, pruning by partition
+    * values. Per live file: if its spec covers a filtered column and
+    * the recorded value mismatches, the file is skipped WITHOUT
+    * being opened (directory-level pruning from log metadata alone);
+    * files whose spec does not cover the column are read and
+    * filtered row-wise (the filter is pushed into the scan). Files
+    * sharing a (pcols, pvals) tuple are scanned together with their
+    * partition values re-attached as literal string columns, so
+    * every group yields the SAME logical schema regardless of which
+    * layout generation wrote it. Returns (frame, filesRead,
+    * filesPruned) — the counts are the auditable pruning claim.
+    */
+  def readEvolved(spark: SparkSession, dir: String,
+      filters: Map[String, String], asOf: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val live = liveFiles(spark, dir, asOf)
+      .select(col("path"), col("pcols"), col("pvals"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2))))
+    val (kept, pruned) = live.partition { case (_, pcolsOpt, pvalsOpt) =>
+      val spec = pcolsOpt.map(_.split(',').toSeq).getOrElse(Seq.empty)
+        .zip(pvalsOpt.map(_.split('|').toSeq).getOrElse(Seq.empty))
+        .toMap
+      filters.forall { case (c, v) =>
+        spec.get(c).forall(_ == v) // uncovered column: cannot prune
+      }
+    }
+    require(live.nonEmpty, s"no live files in tx table $dir at $asOf")
+    // all-pruned: scan one file group anyway (row filter makes it
+    // empty) so the caller still gets the right schema, not an error
+    val toScan = if (kept.isEmpty) live.take(1) else kept
+    val groups = toScan.groupBy { case (_, pc, pv) => (pc, pv) }
+    val frames = groups.toSeq.sortBy(_._1.toString).map {
+      case ((pcolsOpt, pvalsOpt), files) =>
+        val paths = files.map { case (p, _, _) => s"$dir/$p" }
+        val base = spark.read.parquet(paths.toIndexedSeq: _*)
+        val cols = pcolsOpt.map(_.split(',').toSeq).getOrElse(Seq.empty)
+        val vals = pvalsOpt.map(_.split('|').toSeq).getOrElse(Seq.empty)
+        cols.zip(vals).foldLeft(base) { case (f, (c, v)) =>
+          f.withColumn(c, lit(v))
+        }
+    }
+    val unioned = frames.reduce(_.unionByName(_))
+    val filtered = filters.foldLeft(unioned) { case (f, (c, v)) =>
+      f.filter(col(c) === v)
+    }
+    (filtered, kept.length, pruned.length)
   }
 }

@@ -263,4 +263,66 @@ class TxLogSpec extends SparkSpec {
         === "\n".getBytes("UTF-8").toSeq)
     }
   }
+
+  test("partition evolution: specs coexist, pruning counts are exact") {
+    import spark.implicits._
+    withTable { t =>
+      // v0: day-partitioned, one file per day (repartition(1) per
+      // day is forced by partitionBy writing one file per task ×
+      // partition value — with 1 task, exactly one file per day)
+      val v0 = Seq((1L, "d1", "a"), (2L, "d1", "b"), (3L, "d2", "a"))
+        .toDF("k", "day", "typ").repartition(1)
+      TxLog.commitPartitioned(v0, t, "append", "k", Seq("day"))
+      // v1 EVOLVES to (day, typ)
+      val v1 = Seq((4L, "d3", "a"), (5L, "d3", "b"), (6L, "d4", "a"))
+        .toDF("k", "day", "typ").repartition(1)
+      TxLog.commitPartitioned(v1, t, "append", "k", Seq("day", "typ"))
+      // unfiltered read sees every row across both layouts
+      val (all, readAll, prunedAll) =
+        TxLog.readEvolved(spark, t, Map.empty)
+      assert(all.select("k").as[Long].collect().toSet
+        === Set(1L, 2L, 3L, 4L, 5L, 6L))
+      assert(readAll === 5 && prunedAll === 0) // d1,d2 + 3 (day,typ) files
+      // day filter prunes by metadata in BOTH specs
+      val (d3, readD3, prunedD3) =
+        TxLog.readEvolved(spark, t, Map("day" -> "d3"))
+      assert(d3.select("k").as[Long].collect().toSet === Set(4L, 5L))
+      assert(readD3 === 2 && prunedD3 === 3)
+      // typ filter prunes only v1 files; v0 files are read and
+      // row-filtered (typ is a DATA column there)
+      val (typA, readA, prunedA) =
+        TxLog.readEvolved(spark, t, Map("typ" -> "a"))
+      assert(typA.select("k").as[Long].collect().toSet
+        === Set(1L, 3L, 4L, 6L))
+      assert(readA === 4 && prunedA === 1) // only d3/typ=b pruned
+      // all-pruned filter: empty result, correct schema, no error
+      val (none, _, _) = TxLog.readEvolved(spark, t, Map("day" -> "dX"))
+      assert(none.count() === 0L)
+      assert(none.columns.toSet === Set("k", "day", "typ"))
+      // non-string partition column rejected up front
+      intercept[IllegalArgumentException] {
+        TxLog.commitPartitioned(Seq((1L, 2L)).toDF("k", "p"), t,
+          "append", "k", Seq("p"))
+      }
+    }
+  }
+
+  test("partition evolution: stats and time travel still hold") {
+    import spark.implicits._
+    withTable { t =>
+      val v0 = Seq((10L, "d1"), (20L, "d2")).toDF("k", "day")
+        .repartition(1)
+      TxLog.commitPartitioned(v0, t, "append", "k", Seq("day"))
+      val lg = TxLog.log(spark, t).orderBy("path").collect()
+      assert(lg.length === 2)
+      assert(lg.map(_.getAs[String]("pcols")).toSet === Set("day"))
+      assert(lg.map(_.getAs[String]("pvals")).toSet === Set("d1", "d2"))
+      assert(lg.map(r => (r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toSet
+        === Set((10L, 10L), (20L, 20L)))
+      val v1 = Seq((30L, "d1")).toDF("k", "day").repartition(1)
+      TxLog.commitPartitioned(v1, t, "append", "k", Seq("day"))
+      val (asOf0, _, _) = TxLog.readEvolved(spark, t, Map.empty, Some(0L))
+      assert(asOf0.select("k").as[Long].collect().toSet === Set(10L, 20L))
+    }
+  }
 }
