@@ -102,4 +102,57 @@ object Classifier {
     val label = when(size(votes) > 0 && nBest === 1, best("lab"))
     (size(votes).cast("long"), label)
   }
+
+  /** Split-conformal prediction intervals, Mondrian (per-category)
+    * form — the distribution-free uncertainty wrapper for ANY point
+    * predictor: fit on train, take the ceil(level·n)-th largest
+    * absolute residual on a held-out CALIBRATION fold as the radius,
+    * and the interval ŷ ± radius covers ≥ level of future points
+    * under exchangeability. Here the predictor is the per-category
+    * train mean (milli grain, matching [[Aggregates.targetEncodeLoo]]
+    * scale) and the EVAL fold audits the coverage claim — the
+    * end-to-end loop a scoring pipeline runs before trusting its
+    * error bars. All integer: means by milli div, radius by
+    * nearest-rank selection, coverage in ppm.
+    *
+    * `df` must carry an integral label and a fold column (from
+    * [[Corpus.groupKFold]] so group leakage cannot inflate coverage).
+    * One category-keyed agg over train, one bounded-group window
+    * (rank selection within category × calib — category count ×
+    * calib rows, never corpus-wide), one broadcast-sized join back.
+    */
+  def conformalCoverage(df: DataFrame, catCol: String, labelCol: String,
+      foldCol: String, calibFold: Long, evalFold: Long,
+      levelPct: Int): DataFrame = {
+    require(levelPct >= 1 && levelPct <= 99)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(catCol).as("cat"),
+      col(labelCol).cast("long").as("y"), col(foldCol).as("fold"))
+    val train = base.filter(col("fold") =!= calibFold &&
+        col("fold") =!= evalFold)
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_train"),
+        expr("sum(y) * 1000L div count(1)").as("yhat_milli"))
+    val wRank = Window.partitionBy(col("cat"))
+      .orderBy(col("err_milli"), col("y"))
+    val calib = base.filter(col("fold") === calibFold)
+      .join(train, Seq("cat"))
+      .withColumn("err_milli", abs(col("y") * 1000L - col("yhat_milli")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("n_calib",
+        count(lit(1)).over(Window.partitionBy(col("cat"))))
+      .filter(col("rnk") ===
+        expr(s"($levelPct * n_calib + 99) div 100"))
+      .select(col("cat"), col("n_calib"),
+        col("err_milli").as("radius_milli"))
+    base.filter(col("fold") === evalFold)
+      .join(train, Seq("cat")).join(calib, Seq("cat"))
+      .groupBy(col("cat"), col("n_train"), col("yhat_milli"),
+        col("n_calib"), col("radius_milli"))
+      .agg(count(lit(1)).as("n_eval"),
+        count(when(abs(col("y") * 1000L - col("yhat_milli"))
+          <= col("radius_milli"), 1)).as("n_covered"))
+      .withColumn("coverage_ppm",
+        expr("n_covered * 1000000L div n_eval"))
+  }
 }

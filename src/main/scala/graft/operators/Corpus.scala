@@ -727,6 +727,28 @@ object Corpus {
       aggregate(sorted, lit(0L), (acc, x) => acc + x)
         .as("sum_means_milli"))
   }
+
+  /** Group-aware K-fold assignment (sklearn's GroupKFold shape, made
+    * deterministic): every row's fold is a pure md5 function of its
+    * GROUP key, so all members of a group — all exact/near duplicates
+    * of a document, all rows of a user — land in the SAME fold by
+    * construction. That is the leakage guarantee a plain row-hash
+    * split cannot give: with near-duplicates split across train and
+    * eval, the eval score measures memorization, not generalization
+    * (the q147 split-leakage audit detects the disease; this operator
+    * prevents it). Any group label works — a fingerprint for exact
+    * dups, a [[graft.operators.Dedup.dedupGroups]] component id for
+    * near-dups, a user/session id for temporal data.
+    *
+    * A projection: no shuffle, no state, fold boundaries stable under
+    * any re-partitioning or incremental append (a new member of an
+    * old group joins its group's fold forever).
+    */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    df.withColumn("fold",
+      TextAnalysis.hash60(col(groupCol).cast("string")) % k)
+  }
 }
 
 /** Quantile normalization across heterogeneous sources — score

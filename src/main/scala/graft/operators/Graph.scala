@@ -229,6 +229,45 @@ object Graph {
     paths
   }
 
+  /** Multi-source BFS hop distances — the frontier-expansion primitive
+    * [[transitiveClosure]] deliberately is not: closure materializes
+    * ALL-PAIRS reachability (quadratic in the worst case), while BFS
+    * from a source set touches each reachable node once, so
+    * "distance from the seed domains / the flagged account" runs on
+    * graphs where closure cannot. Per round: frontier ⋈ edges (one
+    * keyed shuffle), distinct, anti-join against the settled set,
+    * `localCheckpoint` truncation — work is frontier-bounded, driver
+    * sees only a counter. Unreached nodes are absent (no sentinel
+    * rows — callers outer-join if they need ∞).
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(sources.nonEmpty && maxHops >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    var dist = sources.distinct.toDF("node")
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    var h = 0L
+    var exhausted = false
+    while (h < maxHops && !exhausted) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h + 1L))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint(true)
+        frontier = next.select(col("node"))
+      }
+      h += 1
+    }
+    dist
+  }
+
   /** Basket co-occurrence LIFT mining (association rules without the
     * Apriori lattice — the pair grain is enough for affinity
     * readouts): for every unordered item pair, support n_ab and

@@ -207,10 +207,24 @@ object QualityFilters {
   def binShareDrift(a: DataFrame, b: DataFrame, valCol: String,
       width: Long): DataFrame = {
     require(width >= 1)
+    def counts(df: DataFrame) =
+      df.select(floor(col(valCol) / width).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    shareDriftFromCounts(counts(a), counts(b))
+  }
+
+  /** [[binShareDrift]]'s comparison stage, public for STREAMING use:
+    * takes the two (bin, c) count grids directly, so the serving-side
+    * grid can come from a Complete-mode streaming aggregation (the
+    * state is bin-bounded, never event-bounded) while the training
+    * baseline is a static frame — the q306 pattern applied to drift
+    * monitoring. Shares the exact integer share/L1 arithmetic with
+    * the batch entry point so the two modes can never diverge.
+    */
+  def shareDriftFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def shares(df: DataFrame, out: String) =
-      df.select(floor(col(valCol) / width).cast("long").as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("__c"))
+      df.select(col("bin"), col("c").as("__c"))
         .withColumn(out, expr(
           "__c * 1000000L div sum(__c) OVER (PARTITION BY 1)"))
         .drop("__c")

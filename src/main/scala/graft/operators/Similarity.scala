@@ -610,6 +610,26 @@ object Similarity {
       .withColumn("recall_ppm", expr(s"(1000000 * n_hits) div $k"))
   }
 
+  /** MRR@k — the retrieval-eval readout [[recallAtK]] doesn't give:
+    * WHERE in the system's list the true answer sits. Per query, the
+    * rank of the TRUE nearest neighbor (the exact top-1) inside the
+    * approximate top-k list; reciprocal rank in exact ppm
+    * (1000000 div rank, 0 on a miss). `hit` is the hit@k bit. Both
+    * inputs are the (query_id, rn, neighbor_id) frames the ANN
+    * operators emit — the join is between two k-bounded frames, so
+    * the evaluation costs |queries| rows regardless of corpus size.
+    */
+  def mrrAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val truth = exact.filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val sys = ann.select(col("query_id"),
+      col("neighbor_id").as("true_nn"), col("rn").as("sys_rank"))
+    truth.join(sys, Seq("query_id", "true_nn"), "left")
+      .select(col("query_id"), col("true_nn"), col("sys_rank"),
+        coalesce(expr("1000000L div sys_rank"), lit(0L)).as("rr_ppm"),
+        col("sys_rank").isNotNull.as("hit"))
+  }
+
   /** Overlap curve — [[recallAtK]] generalized across depths: for each
     * query and every depth d ≤ k, |ann top-d ∩ exact top-d|. The
     * curve shows WHERE an approximate index loses ground (rank-1

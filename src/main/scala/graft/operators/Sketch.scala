@@ -84,7 +84,7 @@ object Sketch {
     * shared by [[bloomBuild]] and [[bloomMightContain]] so build and
     * probe can never disagree on the hash family.
     */
-  private def bloomPositions(keyCol: Column, numBits: Int,
+  private[graft] def bloomPositions(keyCol: Column, numBits: Int,
       numHashes: Int): Column =
     array((0 until numHashes).map(i =>
       TextAnalysis.hash60(concat(keyCol, lit(s":b$i"))) % numBits): _*)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Analytics, DataQuality, Privacy}
+import graft.operators.{Analytics, Classifier, Corpus, DataQuality, Privacy}
 
 /** Classic BI readout shapes over the fact tables — rollup/cube
   * subtotals, pivot, calendar gap-fill, cohort retention, ordered
@@ -694,6 +694,57 @@ object AnalyticsQueries extends QueryPack {
         |  (SELECT diff_milli FROM s WHERE rk = 31) AS ci_hi_milli,
         |  (SELECT CAST(sum(diff_milli) AS BIGINT) FROM s)
         |    AS sum_diffs_milli
-        |FROM t""".stripMargin))
+        |FROM t""".stripMargin)),
+
+    // Split-conformal prediction intervals (Mondrian, per-priority):
+    // train folds fit the per-category mean, the calibration fold's
+    // ceil(0.90·n)-th absolute residual becomes the radius, and the
+    // eval fold audits the ≥90% coverage claim. Folds come from
+    // groupKFold on o_custkey, so one customer's orders can never
+    // straddle calibrate/evaluate — the leakage that silently
+    // inflates coverage. All-integer (milli residuals, nearest-rank
+    // radius, ppm coverage), so the whole audit hash-gates.
+    "q316_conformal_interval" -> Q(
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"),
+            expr("CAST(o_totalprice AS LONG)").as("y"))
+        val folded = Corpus.groupKFold(base, "o_custkey", k = 5)
+        Classifier.conformalCoverage(folded, "o_orderpriority", "y",
+            "fold", calibFold = 0L, evalFold = 1L, levelPct = 90)
+          .orderBy(col("cat"))
+      },
+      Some("""WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority AS cat,
+        |    CAST(trunc(o_totalprice) AS BIGINT) AS y,
+        |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 5 AS fold
+        |  FROM orders),
+        |t AS (SELECT cat, count(*) AS n_train,
+        |    CAST(sum(y) * 1000 // count(*) AS BIGINT) AS yhat_milli
+        |  FROM b WHERE fold NOT IN (0, 1) GROUP BY cat),
+        |c AS (SELECT b.cat, abs(y * 1000 - yhat_milli) AS err_milli, y
+        |  FROM b JOIN t ON b.cat = t.cat WHERE fold = 0),
+        |cr AS (SELECT cat, err_milli,
+        |    row_number() OVER (PARTITION BY cat
+        |      ORDER BY err_milli, y) AS rnk,
+        |    count(*) OVER (PARTITION BY cat) AS n_calib
+        |  FROM c),
+        |r AS (SELECT cat, CAST(n_calib AS BIGINT) AS n_calib,
+        |    err_milli AS radius_milli
+        |  FROM cr WHERE rnk = (90 * n_calib + 99) // 100),
+        |e AS (SELECT cat, y FROM b WHERE fold = 1)
+        |SELECT t.cat, t.n_train, t.yhat_milli, r.n_calib,
+        |  r.radius_milli, count(*) AS n_eval,
+        |  count(CASE WHEN abs(e.y * 1000 - t.yhat_milli)
+        |    <= r.radius_milli THEN 1 END) AS n_covered,
+        |  CAST(count(CASE WHEN abs(e.y * 1000 - t.yhat_milli)
+        |      <= r.radius_milli THEN 1 END) * 1000000 // count(*)
+        |    AS BIGINT) AS coverage_ppm
+        |FROM e JOIN t ON e.cat = t.cat JOIN r ON e.cat = r.cat
+        |GROUP BY t.cat, t.n_train, t.yhat_milli, r.n_calib,
+        |  r.radius_milli
+        |ORDER BY t.cat""".stripMargin))
   )
 }

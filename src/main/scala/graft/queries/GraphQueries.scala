@@ -351,6 +351,47 @@ object GraphQueries extends QueryPack {
           |$iterCtes
           |SELECT state, v_ppm FROM v3
           |ORDER BY state""".stripMargin)
-      })
+      }),
+
+    // Multi-source BFS hop distances over the (sparsified) nation
+    // trade graph: frontier expansion, each round one keyed join +
+    // one anti-join against the settled set — the reachability
+    // primitive transitive closure cannot afford (closure is
+    // all-pairs). Unreached nations are absent by contract. The
+    // oracle unrolls the identical 2 rounds.
+    "q315_bfs_hops" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir).filter(col("l_quantity") <= 2)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = l
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        Graph.bfsHops(edges, "src", "dst", sources = Seq(0L), maxHops = 2)
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE l.l_quantity <= 2),
+        |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops),
+        |n1 AS (SELECT DISTINCT e.dst AS node
+        |  FROM e JOIN d0 ON e.src = d0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)),
+        |d1 AS (SELECT node, hops FROM d0
+        |  UNION ALL SELECT node, CAST(1 AS BIGINT) FROM n1),
+        |n2 AS (SELECT DISTINCT e.dst AS node
+        |  FROM e JOIN n1 ON e.src = n1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d1))
+        |SELECT node, hops FROM (
+        |  SELECT node, hops FROM d1
+        |  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM n2)
+        |ORDER BY node""".stripMargin))
   )
 }

@@ -2333,6 +2333,40 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(abs(share_a_ppm - share_b_ppm)) OVER ()
         |    AS BIGINT) AS l1_total_ppm
         |FROM j
-        |ORDER BY bin""".stripMargin))
+        |ORDER BY bin""".stripMargin)),
+
+    // Group-aware K-fold: every doc's fold is a pure md5 function of
+    // its dedup GROUP key (here the exact-dup fingerprint), so all
+    // copies of a document land in one fold — the split that keeps
+    // near-dup leakage out of cross-validation. Per-fold doc and
+    // group counts ride along via one fold-keyed agg join.
+    "q311_group_kfold" -> Q(
+      (s, dir) => {
+        val assigned = Corpus.groupKFold(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              TextAnalysis.fingerprintPortable(col("text")).as("fp")),
+          "fp", k = 5)
+        val foldStats = assigned.groupBy(col("fold"))
+          .agg(count(lit(1)).as("fold_docs"),
+            countDistinct(col("fp")).as("fold_groups"))
+        assigned.join(foldStats, Seq("fold"))
+          .select(col("doc_id"), col("fp"), col("fold"),
+            col("fold_docs"), col("fold_groups"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH a AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+        |      ' ')) AS fp
+        |  FROM documents),
+        |f AS (SELECT doc_id, fp, ${h60sql("fp")} % 5 AS fold FROM a),
+        |g AS (SELECT fold, count(*) AS fold_docs,
+        |    count(DISTINCT fp) AS fold_groups
+        |  FROM f GROUP BY fold)
+        |SELECT f.doc_id, f.fp, f.fold, g.fold_docs, g.fold_groups
+        |FROM f JOIN g USING (fold)
+        |ORDER BY f.doc_id""".stripMargin))
   )
 }

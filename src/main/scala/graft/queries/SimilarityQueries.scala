@@ -1275,6 +1275,69 @@ object SimilarityQueries extends QueryPack {
           |FROM sel CROSS JOIN
           |  (SELECT unnest(generate_series(0, ${dim - 1})) AS i) d
           |ORDER BY cell, dim_idx""".stripMargin)
+      }),
+
+    // MRR@k retrieval eval: where in the IVF multi-probe top-3 list
+    // does the TRUE nearest neighbor (exact top-1) sit. Reciprocal
+    // rank in exact ppm per query plus the global mean — the
+    // single-number index-quality readout recall@k (q154) cannot
+    // give (recall treats rank 1 and rank 3 alike). Two k-bounded
+    // frames join; eval cost is |queries| rows at any corpus size.
+    "q313_mrr_eval" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        val queries = e.filter(col("vec_id") % 100 === 0)
+        val ann = Similarity.annTopKIvfMultiProbe(
+          queries, e, "vec_id", "embedding", Centroids, 3, probes = 3)
+        val exact = Similarity.bruteForceTopK(
+          queries, e, "vec_id", "embedding", 3)
+        Similarity.mrrAtK(ann, exact)
+          .withColumn("mean_rr_ppm",
+            expr("sum(rr_ppm) OVER () div count(1) OVER ()"))
+          .orderBy(col("query_id"))
+      },
+      {
+        val centValues = Centroids.zipWithIndex
+          .map { case (c, i) => s"($i, ${centroidLit(c)})" }.mkString(", ")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |cent AS (SELECT * FROM (VALUES $centValues) AS t(cell, c)),
+          |sc AS (SELECT e.vec_id, e.v, cent.cell, ${cosSql("v", "c")} AS cos
+          |       FROM e CROSS JOIN cent),
+          |rk AS (SELECT vec_id, v, cell,
+          |         row_number() OVER (PARTITION BY vec_id
+          |           ORDER BY cos DESC, cell DESC) AS rn
+          |       FROM sc),
+          |asg AS (SELECT vec_id, v, cell FROM rk WHERE rn = 1),
+          |qp AS (SELECT vec_id AS query_id, v AS qv, cell
+          |       FROM rk WHERE vec_id % 100 = 0 AND rn <= 3),
+          |s AS (SELECT qp.query_id, asg.vec_id AS neighbor_id,
+          |        ${cosSql("qv", "v")} AS cos
+          |      FROM qp JOIN asg USING (cell)
+          |      WHERE qp.query_id <> asg.vec_id),
+          |ann AS (SELECT query_id, neighbor_id, rn FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cos DESC, neighbor_id) AS rn
+          |    FROM s) WHERE rn <= 3),
+          |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e
+          |       WHERE vec_id % 100 = 0),
+          |ex1 AS (SELECT query_id, neighbor_id AS true_nn FROM (
+          |    SELECT q2.query_id, e.vec_id AS neighbor_id,
+          |      row_number() OVER (PARTITION BY q2.query_id
+          |        ORDER BY ${cosSql("qv", "v")} DESC, e.vec_id) AS rn
+          |    FROM q2 JOIN e ON q2.query_id <> e.vec_id)
+          |  WHERE rn = 1)
+          |SELECT ex1.query_id, ex1.true_nn,
+          |  CAST(ann.rn AS BIGINT) AS sys_rank,
+          |  coalesce(1000000 // ann.rn, 0) AS rr_ppm,
+          |  ann.rn IS NOT NULL AS hit,
+          |  CAST(sum(coalesce(1000000 // ann.rn, 0)) OVER ()
+          |    AS BIGINT) // count(*) OVER () AS mean_rr_ppm
+          |FROM ex1 LEFT JOIN ann
+          |  ON ex1.query_id = ann.query_id
+          | AND ex1.true_nn = ann.neighbor_id
+          |ORDER BY ex1.query_id""".stripMargin)
       })
   )
 }

@@ -391,6 +391,83 @@ object SinkQueries extends QueryPack {
         |  AND event_type = 'click'
         |ORDER BY event_id""".stripMargin)),
 
+    // Bloom-in-manifest point lookups: keys are HASH-SCATTERED across
+    // files (repartition by key hash), so every file's [mn, mx] range
+    // covers every probe — min/max stats prune nothing and only the
+    // per-file Bloom bits in the log can. Five probes (one absent
+    // from the table) against an 8-file table; result equality vs the
+    // plain filter is the gate, the ~1-file-read prune counts are
+    // spec-pinned in TxLogSpec.
+    "q312_bloom_point_lookup" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bloom")
+        val ev = Tables.events(s, dir)
+          .filter(col("event_id") % 5 === 0)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val (bits, hashes) = (16128, 3) // 63·256 bits ≈ 64 bits/key here
+        TxLog.commitWithBloom(
+          ev.filter(col("event_id") % 2 === 0)
+            .repartition(4, col("event_id")),
+          tmp.toString, "append", "event_id", bits, hashes)
+        TxLog.commitWithBloom(
+          ev.filter(col("event_id") % 2 === 1)
+            .repartition(4, col("event_id")),
+          tmp.toString, "append", "event_id", bits, hashes)
+        val probes = Seq(100L, 205L, 1010L, 2005L, 7L)
+        val frames = probes.map { k =>
+          val (got, _, _) = TxLog.pointLookupBloom(
+            s, tmp.toString, "event_id", k, bits, hashes)
+          got.withColumn("probe_key", lit(k))
+        }
+        materializeAndDelete(
+          frames.reduce(_.unionByName(_))
+            .select(col("probe_key"), col("event_id"),
+              col("event_type"), col("value")),
+          tmp).orderBy(col("probe_key"))
+      },
+      Some("""SELECT CAST(p.k AS BIGINT) AS probe_key,
+        |  event_id, event_type, value
+        |FROM (VALUES (100), (205), (1010), (2005), (7)) p(k)
+        |JOIN events ON event_id = p.k AND event_id % 5 = 0
+        |ORDER BY probe_key""".stripMargin)),
+
+    // SHALLOW clone: fork the table at v0 without copying a byte —
+    // the clone's log references the source's files by absolute
+    // path. Post-clone the tables diverge independently: the fork
+    // appends %3==2 while the source keeps its v1 append (%3==1)
+    // that the v0-targeted clone must NOT see. The gate reads both
+    // tables after divergence; borrowed-file mechanics and DV travel
+    // are spec-pinned in TxLogSpec.
+    "q317_shallow_clone" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_clone")
+        val src = s"$tmp/src"
+        val dst = s"$tmp/fork"
+        TxLog.commit(docs.filter(col("doc_id") % 3 === 0), src,
+          "overwrite", "doc_id")
+        TxLog.commit(docs.filter(col("doc_id") % 3 === 1), src,
+          "append", "doc_id")
+        TxLog.shallowClone(s, src, dst, asOf = Some(0L))
+        TxLog.commit(docs.filter(col("doc_id") % 3 === 2), dst,
+          "append", "doc_id")
+        val fork = TxLog.read(s, dst).withColumn("snap", lit("fork"))
+        val source = TxLog.read(s, src).withColumn("snap", lit("src"))
+        materializeAndDelete(
+          fork.unionByName(source)
+            .orderBy(col("snap"), col("doc_id")), tmp)
+      },
+      Some("""SELECT doc_id, source, lang, snap FROM (
+        |  SELECT doc_id, source, lang, 'fork' AS snap
+        |  FROM documents WHERE doc_id % 3 IN (0, 2)
+        |  UNION ALL
+        |  SELECT doc_id, source, lang, 'src'
+        |  FROM documents WHERE doc_id % 3 IN (0, 1))
+        |ORDER BY snap, doc_id""".stripMargin)),
+
     "q202_orc_roundtrip" -> Q(
       (s, dir) => {
         val src = Tables.orders(s, dir)

@@ -973,6 +973,56 @@ object StreamingQueries extends QueryPack {
         |       WHEN o_custkey % 3 = 0 THEN 'LEGACY'
         |       ELSE NULL END AS seg
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // STREAMING drift monitor: serving-side traffic (events on/after
+    // the cut date) arrives as a stream whose per-bin counts are
+    // Complete-mode state — bin-bounded, never event-bounded — and
+    // the readout compares that grid against the static training
+    // baseline (pre-cut events) with the exact q309 integer share/L1
+    // arithmetic (one definition, QualityFilters.shareDriftFromCounts,
+    // so batch audit and streaming monitor can never disagree).
+    "q314_stream_drift" -> Q(
+      (s, dir) => {
+        import graft.operators.QualityFilters
+        val cut = lit("2024-01-16").cast("date")
+        def bins(df: DataFrame) = df
+          .select(floor(col("value") / 50.0).cast("long").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        val baseline = bins(
+          Tables.events(s, dir).filter(to_date(col("ts")) < cut))
+        val streamCounts = Streams.runToTable(
+          bins(eventsStream(s, dir).filter(to_date(col("ts")) >= cut)),
+          OutputMode.Complete())
+        QualityFilters.shareDriftFromCounts(baseline, streamCounts)
+          .orderBy(col("bin"))
+      },
+      Some("""WITH a AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        |  GROUP BY 1),
+        |ap AS (SELECT bin,
+        |    CAST(c * 1000000 // sum(c) OVER () AS BIGINT) AS share_a_ppm
+        |  FROM a),
+        |b AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        |  GROUP BY 1),
+        |bp AS (SELECT bin,
+        |    CAST(c * 1000000 // sum(c) OVER () AS BIGINT) AS share_b_ppm
+        |  FROM b),
+        |j AS (
+        |  SELECT coalesce(ap.bin, bp.bin) AS bin,
+        |    coalesce(share_a_ppm, 0) AS share_a_ppm,
+        |    coalesce(share_b_ppm, 0) AS share_b_ppm
+        |  FROM ap FULL OUTER JOIN bp ON ap.bin = bp.bin)
+        |SELECT bin, share_a_ppm, share_b_ppm,
+        |  abs(share_a_ppm - share_b_ppm) AS abs_diff_ppm,
+        |  CAST(sum(abs(share_a_ppm - share_b_ppm)) OVER ()
+        |    AS BIGINT) AS l1_total_ppm
+        |FROM j
+        |ORDER BY bin""".stripMargin))
   )
 }

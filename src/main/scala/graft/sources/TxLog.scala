@@ -61,9 +61,20 @@ object TxLog {
     // file — absent/null on unpartitioned entries, so every pre-
     // evolution log line stays readable under the same schema
     StructField("pcols", StringType),
-    StructField("pvals", StringType)))
+    StructField("pvals", StringType),
+    // per-file Bloom filter over the stat column (point-lookup
+    // pruning beyond min/max): sparse "wordIdx:bitsHex" pairs joined
+    // by ';', 63 bits per word. Null on files committed without one.
+    StructField("bloom", StringType)))
 
   private def logDir(dir: String) = new java.io.File(dir, "_log")
+
+  /** Log `path` fields are table-relative for files the table owns
+    * and ABSOLUTE for files a shallow [[clone]] borrows from its
+    * source — one resolver so every reader treats both alike.
+    */
+  private def resolve(dir: String, p: String): String =
+    if (p.startsWith("/")) p else s"$dir/$p"
 
   /** Committed versions, ascending (driver-side: the log is metadata,
     * bounded by commit count, never by data volume).
@@ -204,7 +215,7 @@ object TxLog {
     lg.filter(col("version") >= overwriteBase(lg) &&
         col("mode") === "delete")
       .select(col("path")).collect()
-      .map(r => s"$dir/${r.getString(0)}").toIndexedSeq
+      .map(r => resolve(dir, r.getString(0))).toIndexedSeq
   }
 
   /** The live deletion vectors merged to one word per (path,
@@ -259,7 +270,7 @@ object TxLog {
   def read(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
     val paths = liveFiles(spark, dir, asOf)
-      .select(col("path")).collect().map(r => s"$dir/${r.getString(0)}")
+      .select(col("path")).collect().map(r => resolve(dir, r.getString(0)))
     require(paths.nonEmpty, s"no live files in tx table $dir at $asOf")
     val dvPaths = liveDvPaths(spark, dir, asOf)
     if (dvPaths.isEmpty) spark.read.parquet(paths.toIndexedSeq: _*)
@@ -286,7 +297,7 @@ object TxLog {
       pred: org.apache.spark.sql.Column): Long = {
     val live = liveFiles(spark, dir, None)
       .select(col("path")).collect()
-      .map(r => s"$dir/${r.getString(0)}").toIndexedSeq
+      .map(r => resolve(dir, r.getString(0))).toIndexedSeq
     require(live.nonEmpty, s"delete on empty tx table $dir")
     val v = versions(dir).last + 1
     val dvOld = liveDvPaths(spark, dir, None)
@@ -402,7 +413,7 @@ object TxLog {
       s"incrementalRead range ($sinceVersion, $untilVersion] contains " +
         "an overwrite or delete — its delta is not added-rows-only")
     val paths = lg.select(col("path")).collect()
-      .map(r => s"$dir/${r.getString(0)}")
+      .map(r => resolve(dir, r.getString(0)))
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       read(spark, dir).schema)
@@ -420,7 +431,7 @@ object TxLog {
       lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
     val kept = liveFiles(spark, dir, asOf)
       .filter(col("mx") >= lo && col("mn") <= hi)
-      .select(col("path")).collect().map(r => s"$dir/${r.getString(0)}")
+      .select(col("path")).collect().map(r => resolve(dir, r.getString(0)))
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       read(spark, dir, asOf).schema)
@@ -530,7 +541,7 @@ object TxLog {
     val groups = toScan.groupBy { case (_, pc, pv) => (pc, pv) }
     val frames = groups.toSeq.sortBy(_._1.toString).map {
       case ((pcolsOpt, pvalsOpt), files) =>
-        val paths = files.map { case (p, _, _) => s"$dir/$p" }
+        val paths = files.map { case (p, _, _) => resolve(dir, p) }
         val base = spark.read.parquet(paths.toIndexedSeq: _*)
         val cols = pcolsOpt.map(_.split(',').toSeq).getOrElse(Seq.empty)
         val vals = pvalsOpt.map(_.split('|').toSeq).getOrElse(Seq.empty)
@@ -543,5 +554,174 @@ object TxLog {
       f.filter(col(c) === v)
     }
     (filtered, kept.length, pruned.length)
+  }
+
+  /** Driver-side mirror of [[graft.operators.TextAnalysis.hash60]]
+    * (md5-hex prefix as a 60-bit long): the Bloom probe evaluates a
+    * single literal key on the driver against KB-sized log metadata,
+    * so it must reproduce the distributed build's hash family
+    * bit-for-bit without launching a job.
+    */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def bloomProbe(key: String, numBits: Int,
+      numHashes: Int): Seq[Int] =
+    (0 until numHashes).map(i => (h60(s"$key:b$i") % numBits).toInt)
+
+  /** Commit with a per-file BLOOM FILTER over `statCol` in the log
+    * entry — point-lookup pruning beyond min/max range stats. Min/max
+    * prunes range queries but is useless for needle-in-haystack point
+    * lookups when files hold hash-scattered keys (every file's range
+    * covers every key); the Bloom filter answers "is key k POSSIBLY
+    * in this file" from log metadata alone, so a point lookup opens
+    * ~1 file instead of all of them — Iceberg/Delta's file-skipping
+    * stats generalized from 2 numbers to m bits. The filter (m bits,
+    * `numHashes` md5-salted probes, the [[graft.operators.Sketch]]
+    * family — build and probe share one hash definition) serializes
+    * as sparse 63-bit words; size it ~10 bits/key for ~1% false
+    * positives — a false positive costs one wasted file read, never
+    * a wrong result.
+    */
+  def commitWithBloom(df: DataFrame, dir: String, mode: String,
+      statCol: String, numBits: Int, numHashes: Int): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    val spark = df.sparkSession
+    val v = versions(dir).lastOption.map(_ + 1).getOrElse(0L)
+    val dataRel = s"data-v$v"
+    val dataAbs = new java.io.File(dir, dataRel).toString
+    df.write.parquet(dataAbs)
+    val back = spark.read.parquet(dataAbs)
+    def relOf(uri: String) = s"$dataRel/${uri.split('/').last}"
+    // pass 1: per-file row/min/max stats (same shape as commit())
+    val stats = back
+      .groupBy(input_file_name().as("uri"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
+      .collect()
+      .map(r => relOf(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // pass 2: per-(file, word) bloom bits — one explode + bit_or
+    // partial agg, ≤ files × numBits/63 rows to the driver
+    val wordRows = back
+      .select(input_file_name().as("uri"),
+        explode(graft.operators.Sketch.bloomPositions(
+          col(statCol).cast("string"), numBits, numHashes)).as("p"))
+      .select(col("uri"),
+        (col("p") / graft.operators.Sketch.BloomWordBits)
+          .cast("long").as("word_idx"),
+        expr(s"shiftleft(1L, cast(p % ${graft.operators.Sketch.BloomWordBits} as int))")
+          .as("mask"))
+      .groupBy(col("uri"), col("word_idx"))
+      .agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+      .map(r => (relOf(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val bloomOf = wordRows.groupBy(_._1).map { case (rel, ws) =>
+      rel -> ws.sortBy(_._2)
+        .map { case (_, w, b) => s"$w:${java.lang.Long.toHexString(b)}" }
+        .mkString(";")
+    }
+    val lines = stats.toSeq.sortBy(_._1).map { case (p, (n, mn, mx)) =>
+      s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,""" +
+        s""""mn":$mn,"mx":$mx,"bloom":"${bloomOf.getOrElse(p, "")}"}"""
+    }
+    publishLog(dir, v, lines.toIndexedSeq)
+    v
+  }
+
+  /** Point lookup `statCol = key` pruned by BOTH log-level stats:
+    * a live file is read only if its [mn, mx] range covers the key
+    * AND its Bloom filter (when present) admits it; files committed
+    * without a bloom fall back to range-only pruning. Returns
+    * (matching rows, filesRead, filesPruned) — the counts are the
+    * auditable pruning claim (TxLogSpec pins a range-covered,
+    * bloom-pruned case: the bits prune what min/max cannot).
+    */
+  def pointLookupBloom(spark: SparkSession, dir: String,
+      statCol: String, key: Long, numBits: Int, numHashes: Int,
+      asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val positions = bloomProbe(key.toString, numBits, numHashes)
+    val live = liveFiles(spark, dir, asOf)
+      .select(col("path"), col("mn"), col("mx"), col("bloom"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)).filter(_.nonEmpty)))
+    require(live.nonEmpty, s"no live files in tx table $dir")
+    val (kept, pruned) = live.partition { case (_, mn, mx, bloomOpt) =>
+      val inRange = mn <= key && key <= mx
+      val mayContain = bloomOpt.forall { s =>
+        val words = s.split(';').map { kv =>
+          val Array(w, h) = kv.split(':')
+          w.toLong -> java.lang.Long.parseLong(h, 16)
+        }.toMap
+        positions.forall { p =>
+          val bit = p % graft.operators.Sketch.BloomWordBits
+          (words.getOrElse(
+            (p / graft.operators.Sketch.BloomWordBits).toLong, 0L)
+            >> bit & 1L) == 1L
+        }
+      }
+      inRange && mayContain
+    }
+    // all-pruned: scan one file anyway so the caller still gets the
+    // right schema (the row filter makes it empty), mirroring
+    // readEvolved's contract
+    val toScan = if (kept.isEmpty) live.take(1) else kept
+    val paths = toScan.map { case (p, _, _, _) => resolve(dir, p) }
+    val got = spark.read.parquet(paths.toIndexedSeq: _*)
+      .filter(col(statCol) === key)
+    (got, kept.length, pruned.length)
+  }
+
+  /** SHALLOW clone: materialize `srcDir`'s live set at `asOf` as a
+    * brand-new table at `dstDir` WITHOUT copying a byte of data —
+    * the clone's v0 log lines reference the source's immutable files
+    * by absolute path (Delta's shallow CLONE). At 100 TB this is the
+    * difference between an instant metadata commit and hours of
+    * copy: dev/test forks, experiment baselines, and point-in-time
+    * snapshots become free. After the clone the tables are fully
+    * independent — each appends its own (relative-path) files and
+    * neither's commits appear in the other's log. Live deletion
+    * vectors travel with the clone (their row masks key on the
+    * files' last-two path segments, which absolute borrowing
+    * preserves). Stats (rows/mn/mx), partition specs, and bloom
+    * filters ride along unchanged — every pruning path works on the
+    * borrowed files.
+    *
+    * The borrow is the standard shallow-clone hazard: [[vacuum]] on
+    * the SOURCE can delete files the clone still references (real
+    * lakehouses document the same); deep-copy via
+    * `commit(read(src), dst, ...)` when the source's retention is
+    * not trusted.
+    */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
+      asOf: Option[Long] = None): Long = {
+    require(versions(dstDir).isEmpty,
+      s"shallow clone target $dstDir must be an empty table")
+    val lg = log(spark, srcDir, asOf)
+    val live = lg.filter(col("version") >= overwriteBase(lg)).collect()
+    require(live.nonEmpty, s"no live files to clone in $srcDir at $asOf")
+    val lines = live.toIndexedSeq
+      .map { r =>
+        val mode =
+          if (r.getAs[String]("mode") == "delete") "delete"
+          else "overwrite"
+        val abs = resolve(srcDir, r.getAs[String]("path"))
+        val opt = Seq("pcols", "pvals", "bloom").flatMap { f =>
+          Option(r.getAs[String](f)).map(v => s""","$f":"$v"""")
+        }.mkString
+        s"""{"version":0,"mode":"$mode","path":"$abs",""" +
+          s""""rows":${r.getAs[Long]("rows")},"mn":${r.getAs[Long]("mn")},""" +
+          s""""mx":${r.getAs[Long]("mx")}$opt}"""
+      }
+      .sortBy(identity)
+    publishLog(dstDir, 0L, lines)
+    0L
   }
 }

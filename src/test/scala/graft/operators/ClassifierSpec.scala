@@ -49,4 +49,27 @@ class ClassifierSpec extends SparkSpec {
       Seq(0.0, 0.0), 0.5, 3)
     assert(w1 === w4)
   }
+
+  test("conformalCoverage: radius is the ceil-rank calib residual; coverage exact") {
+    import spark.implicits._
+    // cat 'a': train rows y = 10, 20 -> yhat = 15000 milli.
+    // calib rows y = 14, 16, 25 -> errs 1000, 1000, 10000;
+    // ceil(0.9*3) = 3 -> radius 10000.
+    // eval rows y = 5 (err 10000, covered), 30 (err 15000, not).
+    val df = Seq(
+      ("a", 10L, 2L), ("a", 20L, 3L),
+      ("a", 14L, 0L), ("a", 16L, 0L), ("a", 25L, 0L),
+      ("a", 5L, 1L), ("a", 30L, 1L))
+      .toDF("cat", "y", "fold")
+    val got = Classifier.conformalCoverage(df, "cat", "y", "fold",
+      calibFold = 0L, evalFold = 1L, levelPct = 90).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("yhat_milli") === 15000L)
+    assert(r.getAs[Long]("n_calib") === 3L)
+    assert(r.getAs[Long]("radius_milli") === 10000L)
+    assert(r.getAs[Long]("n_eval") === 2L)
+    assert(r.getAs[Long]("n_covered") === 1L)
+    assert(r.getAs[Long]("coverage_ppm") === 500000L)
+  }
 }

@@ -447,4 +447,26 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(6)))
     assert(got.forall { case (v, norm) => v == norm })
   }
+
+  test("groupKFold: group members share a fold; fold is stable under append") {
+    import spark.implicits._
+    val df = Seq((1L, "ga"), (2L, "ga"), (3L, "gb"), (4L, "gc"),
+      (5L, "gb")).toDF("id", "grp")
+    val got = Corpus.groupKFold(df, "grp", 4)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // every member of a group saw the same fold (Map would have lost
+    // a key on disagreement only if values differed -- check directly)
+    val byGroup = Corpus.groupKFold(df, "grp", 4)
+      .groupBy("grp").agg(countDistinct(col("fold")).as("nf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup.values.forall(_ == 1L))
+    assert(got.values.forall(f => f >= 0 && f < 4))
+    // appending a new member of an old group lands in that group's fold
+    val appended = Corpus.groupKFold(Seq((99L, "ga")).toDF("id", "grp"), "grp", 4)
+      .head().getLong(2)
+    assert(appended === got("ga"))
+    intercept[IllegalArgumentException] {
+      Corpus.groupKFold(df, "grp", 1)
+    }
+  }
 }

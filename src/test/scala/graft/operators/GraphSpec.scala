@@ -158,4 +158,26 @@ class GraphSpec extends SparkSpec {
       .toMap
     assert(got(("X", "Y")) === 1000000L)
   }
+
+  test("bfsHops: shortest hop wins, maxHops cuts, unreached absent") {
+    import spark.implicits._
+    // 0 -> 1 -> 2 -> 3 -> 4 plus shortcut 0 -> 2; 9 -> 0 is upstream
+    // (unreachable from 0); 5 is isolated
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L),
+      (9L, 0L)).toDF("s", "d")
+    val got = Graph.bfsHops(e, "s", "d", Seq(0L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 via the shortcut is hop 1, NOT hop 2; 3 is hop 2; 4 is beyond
+    // maxHops; 9 and 5 unreached -> absent
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // multi-source: nearest source wins per node
+    val multi = Graph.bfsHops(e, "s", "d", Seq(0L, 3L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(4L) === 1L && multi(2L) === 1L)
+    // early exhaustion terminates before maxHops
+    val tiny = Graph.bfsHops(Seq((7L, 8L)).toDF("s", "d"), "s", "d",
+      Seq(7L), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny === Map(7L -> 0L, 8L -> 1L))
+  }
 }

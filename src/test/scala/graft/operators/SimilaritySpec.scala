@@ -448,4 +448,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.take(2).map(_._3).head === 4L)
     assert(got.count(_._1 == 0) === 2 && got.count(_._1 == 1) === 2)
   }
+
+  test("mrrAtK: rank of the true NN, ppm reciprocal, 0 on a miss") {
+    import spark.implicits._
+    // exact: true NN per query; ann: q1 has it at rank 2, q2 at rank 1,
+    // q3 missed it entirely
+    val exact = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L),
+      (1L, 2L, 11L), (2L, 2L, 21L))
+      .toDF("query_id", "rn", "neighbor_id")
+    val ann = Seq((1L, 1L, 99L), (1L, 2L, 10L), (2L, 1L, 20L),
+      (3L, 1L, 77L), (3L, 2L, 78L))
+      .toDF("query_id", "rn", "neighbor_id")
+    val got = Similarity.mrrAtK(ann, exact)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, 500000L, true),   // rank 2 -> 1e6 div 2
+      (2L, 1000000L, true),  // rank 1
+      (3L, 0L, false)))      // miss
+  }
 }

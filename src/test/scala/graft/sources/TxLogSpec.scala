@@ -325,4 +325,69 @@ class TxLogSpec extends SparkSpec {
       assert(asOf0.select("k").as[Long].collect().toSet === Set(10L, 20L))
     }
   }
+
+  test("bloom manifest: prunes range-covered files; absent key reads nothing") {
+    import spark.implicits._
+    withTable { t =>
+      // two single-file commits with INTERLEAVED key ranges: [1,5] and
+      // [2,6] -- every probe below is range-covered by both files, so
+      // any pruning observed is the bloom's work alone
+      TxLog.commitWithBloom(Seq((1L, "a"), (5L, "b")).toDF("k", "v")
+        .repartition(1), t, "append", "k", 630, 3)
+      TxLog.commitWithBloom(Seq((2L, "c"), (6L, "d")).toDF("k", "v")
+        .repartition(1), t, "append", "k", 630, 3)
+      // key 5 lives only in file 0; file 1's range [2,6] covers it but
+      // its bloom excludes it -> exactly one file read
+      val (hit, read5, pruned5) =
+        TxLog.pointLookupBloom(spark, t, "k", 5L, 630, 3)
+      assert(hit.select("v").as[String].collect().toSeq === Seq("b"))
+      assert(read5 === 1 && pruned5 === 1)
+      // key 3 is range-covered by BOTH files but present in neither:
+      // bloom prunes both, schema-preserving empty result
+      val (none, read3, pruned3) =
+        TxLog.pointLookupBloom(spark, t, "k", 3L, 630, 3)
+      assert(none.count() === 0L)
+      assert(read3 === 0 && pruned3 === 2)
+      // a bloom-less commit falls back to range-only pruning: its
+      // range covers 5, so it must be read (bloom absent = may contain)
+      TxLog.commit(Seq((4L, "e"), (9L, "f")).toDF("k", "v")
+        .repartition(1), t, "append", "k")
+      val (hit2, read5b, _) =
+        TxLog.pointLookupBloom(spark, t, "k", 5L, 630, 3)
+      assert(hit2.select("v").as[String].collect().toSeq === Seq("b"))
+      assert(read5b === 2) // file 0 (bloom hit) + bloom-less file
+      // out-of-range key: range stats prune everything incl. bloom-less
+      val (_, read99, pruned99) =
+        TxLog.pointLookupBloom(spark, t, "k", 99L, 630, 3)
+      assert(read99 === 0 && pruned99 === 3)
+    }
+  }
+
+  test("shallowClone: zero-copy fork, fully independent, DVs travel") {
+    import spark.implicits._
+    withTable { src =>
+      withTable { dst =>
+        TxLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+          src, "overwrite", "k")
+        // merge-on-read delete BEFORE the clone: the mask must travel
+        TxLog.deleteWhere(spark, src, col("k") === 2L)
+        TxLog.shallowClone(spark, src, dst)
+        // no data bytes copied: the clone dir holds only its log
+        assert(!new java.io.File(dst).list().exists(_.startsWith("data-")))
+        assert(TxLog.read(spark, dst).select("k").as[Long].collect().toSet
+          === Set(1L, 3L))
+        // divergence is two-way invisible
+        TxLog.commit(Seq((9L, "z")).toDF("k", "v"), src, "append", "k")
+        TxLog.commit(Seq((7L, "y")).toDF("k", "v"), dst, "append", "k")
+        assert(TxLog.read(spark, src).select("k").as[Long].collect().toSet
+          === Set(1L, 3L, 9L))
+        assert(TxLog.read(spark, dst).select("k").as[Long].collect().toSet
+          === Set(1L, 3L, 7L))
+        // clone target must be empty
+        intercept[IllegalArgumentException] {
+          TxLog.shallowClone(spark, src, dst)
+        }
+      }
+    }
+  }
 }
