@@ -73,8 +73,11 @@ object Eval {
       counts.groupBy(col("id").as(idOut)).agg(sum(col("c")).as(nOut))
     val p = pairs.select(col("id_a"), col("id_b"))
     p
-      .join(sizes(uni, "id_a", "n_a1"), Seq("id_a"))
-      .join(sizes(uni, "id_b", "n_b1"), Seq("id_b"))
+      // LEFT like the bigram joins: a pair whose candidate or
+      // reference tokenizes to ZERO unigrams (empty/whitespace text)
+      // must survive with all-zero scores, not vanish from the output
+      .join(sizes(uni, "id_a", "n_a1"), Seq("id_a"), "left")
+      .join(sizes(uni, "id_b", "n_b1"), Seq("id_b"), "left")
       .join(sizes(bi, "id_a", "n_a2"), Seq("id_a"), "left")
       .join(sizes(bi, "id_b", "n_b2"), Seq("id_b"), "left")
       .join(clipped(p, uni, "clip1"), Seq("id_a", "id_b"), "left")

@@ -329,6 +329,16 @@ object Graph {
       .union(t.select(col("dst").as("state"))).distinct()
       .localCheckpoint(true)
     val nStates = states.count()
+    // empty transition frame would divide by zero building the
+    // uniform start vector — fail with intent, not ArithmeticException
+    require(nStates > 0,
+      "markovStationaryPpm: transitions frame is empty (no states)")
+    // NOTE: states with no outgoing edges are SINKS — the ppm matrix
+    // is sub-stochastic at those rows, so their mass drains each
+    // round rather than self-looping. This matches the unrolled-CTE
+    // oracle exactly (both engines drain identically); callers who
+    // want a proper stationary distribution should add explicit
+    // self-loop transitions for absorbing states before calling.
     val p = t
       .withColumn("__row",
         sum(col("cnt")).over(

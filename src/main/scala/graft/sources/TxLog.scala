@@ -474,13 +474,37 @@ object TxLog {
         s"partition column $c must be STRING (got ${df.schema(c).dataType})")
     }
     val spark = df.sparkSession
+    // the log serializes pvals joined by '|' and pcols by ','; a
+    // value containing either (or '=' '/', which break the dir=val
+    // path shape), or a null/empty value (Spark would rewrite it to
+    // __HIVE_DEFAULT_PARTITION__), would mis-split in readEvolved's
+    // spec parsing and silently corrupt pruning. Validate BEFORE the
+    // write — one column-pruned limit-1 scan — so a bad batch leaves
+    // nothing on disk and the failure is deterministic.
+    val badCond = partCols
+      .map(c => col(c).isNull || col(c) === "" ||
+        col(c).rlike("[|,=/]"))
+      .reduce(_ || _)
+    val badSample = df.filter(badCond)
+      .select(partCols.map(col): _*).limit(1).collect()
+    require(badSample.isEmpty,
+      "partition value(s) " + badSample.mkString(",") +
+        " are null/empty or contain a reserved delimiter (| , = /) " +
+        "— not representable in the log")
     val v = versions(dir).lastOption.map(_ + 1).getOrElse(0L)
     val dataRel = s"data-v$v"
     val dataAbs = new java.io.File(dir, dataRel).toString
     df.write.partitionBy(partCols: _*).parquet(dataAbs)
     // read back through the ROOT so partition values re-attach, then
-    // one distributed stats pass keyed by (file, partition values)
-    val back = spark.read.parquet(dataAbs)
+    // one distributed stats pass keyed by (file, partition values).
+    // The read-back carries an EXPLICIT schema: without it, Spark's
+    // partition-column type inference would reinterpret path values
+    // ("00042" -> int 42, date-like ids -> dates), so the pvals
+    // recorded in the log would differ from the directory strings
+    // and readEvolved would prune wrongly / re-attach altered
+    // literals. A user-specified schema pins the partition columns
+    // to STRING, preserving the raw path value verbatim.
+    val back = spark.read.schema(df.schema).parquet(dataAbs)
     val keys = input_file_name().as("uri") +: partCols.map(col)
     val stats = back
       .groupBy(keys: _*)
@@ -491,6 +515,7 @@ object TxLog {
         val uri = r.getString(0)
         val rel = dataRel + uri.substring(
           uri.indexOf(dataRel) + dataRel.length)
+        // delimiter-safety was enforced on df before the write
         val pvals = partCols.indices
           .map(i => r.get(i + 1).toString).mkString("|")
         (rel, r.getAs[Long]("rows"), r.getAs[Long]("mn"),
@@ -704,15 +729,20 @@ object TxLog {
       asOf: Option[Long] = None): Long = {
     require(versions(dstDir).isEmpty,
       s"shallow clone target $dstDir must be an empty table")
-    val lg = log(spark, srcDir, asOf)
+    // resolve() only PREFIXES srcDir — if the caller passed a
+    // relative srcDir the borrowed path would stay relative and the
+    // clone's readers would resolve it against dstDir. Canonicalize
+    // so the promised absolute-path borrowing actually holds.
+    val srcAbs = new java.io.File(srcDir).getCanonicalFile.getPath
+    val lg = log(spark, srcAbs, asOf)
     val live = lg.filter(col("version") >= overwriteBase(lg)).collect()
-    require(live.nonEmpty, s"no live files to clone in $srcDir at $asOf")
+    require(live.nonEmpty, s"no live files to clone in $srcAbs at $asOf")
     val lines = live.toIndexedSeq
       .map { r =>
         val mode =
           if (r.getAs[String]("mode") == "delete") "delete"
           else "overwrite"
-        val abs = resolve(srcDir, r.getAs[String]("path"))
+        val abs = resolve(srcAbs, r.getAs[String]("path"))
         val opt = Seq("pcols", "pvals", "bloom").flatMap { f =>
           Option(r.getAs[String](f)).map(v => s""","$f":"$v"""")
         }.mkString

@@ -31,6 +31,28 @@ class EvalStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("clip2") === 1L)
   }
 
+  test("rougeOverlap: empty-text docs keep their pair with all-zero scores") {
+    // id 2 tokenizes to ZERO unigrams — pre-fix the inner unigram
+    // size joins dropped the pair entirely; it must survive with 0s
+    val docs = Seq((1L, "a b"), (2L, "   ")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    val got = Eval.rougeOverlap(pairs, docs, "id", "text")
+      .orderBy("id_a").collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      Seq("clip1", "clip2", "p1_ppm", "r1_ppm", "p2_ppm", "r2_ppm")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, c))
+    }
+  }
+
+  test("markovStationaryPpm: empty transition frame fails fast") {
+    val tr = Seq.empty[(String, String, Long)].toDF("s", "d", "c")
+    val e = intercept[IllegalArgumentException] {
+      Graph.markovStationaryPpm(tr, "s", "d", "c", iters = 1).collect()
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("rougeOverlap: single-token and disjoint docs are zero, not null") {
     val docs = Seq((1L, "x"), (2L, "y")).toDF("id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")

@@ -326,6 +326,59 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("partitioned commit: numeric-looking values survive verbatim") {
+    import spark.implicits._
+    withTable { t =>
+      // "00042" would be inferred as int 42 by the read-back without
+      // the explicit schema — the log must record the RAW directory
+      // string, and readEvolved must re-attach + prune on it
+      val v0 = Seq((1L, "00042"), (2L, "2021-01-01")).toDF("k", "id")
+        .repartition(1)
+      TxLog.commitPartitioned(v0, t, "append", "k", Seq("id"))
+      val pv = TxLog.log(spark, t).orderBy("path")
+        .collect().map(_.getAs[String]("pvals")).toSet
+      assert(pv === Set("00042", "2021-01-01"))
+      val (df, read, pruned) =
+        TxLog.readEvolved(spark, t, Map("id" -> "00042"))
+      assert(df.select("k").as[Long].collect().toSeq === Seq(1L))
+      assert(read === 1 && pruned === 1)
+    }
+  }
+
+  test("partitioned commit: reserved-delimiter values rejected pre-publish") {
+    import spark.implicits._
+    withTable { t =>
+      Seq("a|b", "a,b", "", "a/b").foreach { bad =>
+        intercept[IllegalArgumentException] {
+          TxLog.commitPartitioned(Seq((1L, bad)).toDF("k", "p"), t,
+            "append", "k", Seq("p"))
+        }
+      }
+      // none of the failed commits became visible
+      assert(TxLog.versions(t).isEmpty)
+    }
+  }
+
+  test("shallowClone: relative srcDir is canonicalized before borrowing") {
+    import spark.implicits._
+    withTable { src =>
+      withTable { dst =>
+        TxLog.commit(Seq((1L, "a")).toDF("k", "v"), src, "append", "k")
+        // hand the clone a RELATIVE path to the source table
+        val rel = new java.io.File(".").getCanonicalFile.toPath
+          .relativize(new java.io.File(src).getCanonicalFile.toPath)
+          .toString
+        TxLog.shallowClone(spark, rel, dst)
+        val borrowed = TxLog.log(spark, dst)
+          .collect().map(_.getAs[String]("path"))
+        assert(borrowed.forall(_.startsWith("/")),
+          s"clone borrowed non-absolute paths: ${borrowed.mkString(",")}")
+        assert(TxLog.read(spark, dst).select("k").as[Long]
+          .collect().toSeq === Seq(1L))
+      }
+    }
+  }
+
   test("bloom manifest: prunes range-covered files; absent key reads nothing") {
     import spark.implicits._
     withTable { t =>
