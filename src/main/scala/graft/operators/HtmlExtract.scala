@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-side text extraction: HTML → clean text → content blocks →
+  * boilerplate-stripped document text. The front door of a pretraining
+  * data pipeline — everything downstream (C4/Gopher quality rules,
+  * dedup, tokenization) is defined over the text this stage produces.
+  *
+  * The reference has no analog (its inputs are pre-extracted JSON-RPC
+  * payloads); the design follows the published boilerplate-removal
+  * heuristics (Kohlschütter et al. 2010, "Boilerplate Detection using
+  * Shallow Text Features"): segment the page into BLOCKS at block-level
+  * tag boundaries, score each block by text mass and LINK DENSITY
+  * (anchor-text chars / text chars), and keep only blocks that look
+  * like body copy. Navigation chrome, footers, and tag clouds are
+  * exactly the blocks that are short or link-dominated.
+  *
+  * Everything here is deterministic regex/string algebra over shared
+  * Java-regex/RE2-compatible patterns (no backreferences, no lookahead)
+  * so the whole stage hash-gates against a DuckDB oracle, and every
+  * function is a pure projection built from `functions._` — codegen'd,
+  * scan-speed, shuffle-free. The only shuffle in the whole extraction
+  * pipeline is [[extractContent]]'s per-document reassembly groupBy,
+  * keyed by doc id — at 100 TB that is one partial-agg shuffle whose
+  * payload is already-cleaned text, strictly smaller than the input
+  * HTML.
+  */
+object HtmlExtract {
+
+  /** Non-content spans removed wholesale before any text extraction.
+    * `(?s)` so payloads spanning lines die too; lazy bodies so
+    * adjacent spans don't fuse. RE2 and Java agree on all of these.
+    */
+  val cdataPat: String = "(?s)<!\\[CDATA\\[.*?\\]\\]>"
+  val commentPat: String = "(?s)<!--.*?-->"
+  val scriptPat: String = "(?is)<script\\b[^>]*>.*?</script>"
+  val stylePat: String = "(?is)<style\\b[^>]*>.*?</style>"
+
+  /** Block-LEVEL tags (open or close) — the segmentation boundaries.
+    * Replaced by newline, so consecutive/nested boundaries collapse
+    * into empty blocks that are dropped downstream.
+    */
+  val blockTagPat: String =
+    "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "section|article|aside|main|header|footer|nav|blockquote|pre|form|" +
+      "fieldset|hr|title)\\b[^>]*>"
+
+  /** Any remaining markup (inline tags, DOCTYPE, closers) → space.
+    * Requires a letter / `!` / `/` after `<` so stray comparisons in
+    * prose ("1 < 2") survive as text.
+    */
+  val anyTagPat: String = "(?s)<[!/]?[a-zA-Z][^>]*>"
+
+  /** Anchor inner HTML (group 1) — the link-density numerator. */
+  val anchorPat: String = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** ASCII entity subset, decode order fixed with `&amp;` LAST (the
+    * standard order: decoding it first would double-decode `&amp;lt;`).
+    */
+  val entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Strip CDATA, comments, script and style payloads (in that fixed
+    * order — a script inside a comment is gone before the script rule
+    * looks at it, and both engines apply the same order).
+    */
+  def dropNonContent(c: Column): Column =
+    Seq(cdataPat, commentPat, scriptPat, stylePat)
+      .foldLeft(c)((x, p) => regexp_replace(x, p, " "))
+
+  /** Literal (non-regex) entity decode chain. */
+  def decodeEntities(c: Column): Column =
+    entities.foldLeft(c) { case (x, (k, v)) => replace(x, lit(k), lit(v)) }
+
+  /** Clean a fragment expected to yield ONE line: strip tags, decode
+    * entities, collapse all whitespace to single spaces, trim.
+    */
+  def inlineText(c: Column): Column =
+    trim(regexp_replace(decodeEntities(regexp_replace(c, anyTagPat, " ")),
+      "\\s+", " "))
+
+  /** Whole-document extraction: non-content spans out, block tags →
+    * newline, inline tags → space, entities decoded, horizontal
+    * whitespace collapsed, blank lines squeezed — one line per
+    * source block, newline-separated, trimmed.
+    */
+  def htmlToText(c: Column): Column = {
+    val seg = regexp_replace(dropNonContent(c), blockTagPat, "\n")
+    val txt = decodeEntities(regexp_replace(seg, anyTagPat, " "))
+    val collapsed = regexp_replace(
+      regexp_replace(txt, "[ \\t]+", " "), " ?\\n ?", "\n")
+    trim(regexp_replace(collapsed, "\\n+", "\n"), " \n\t")
+  }
+
+  /** Segment documents into scored blocks: one output row per
+    * non-empty block with its position (`block_id`, stable 0-based
+    * pre-filter position so downstream reassembly preserves document
+    * order), clean `text`, `n_chars`, `n_words`, `n_link_chars`
+    * (anchor-text mass) and `link_ppm` (integer link density — ppm so
+    * the score hash-gates). Pure projection + one explode; the
+    * per-block work is bounded by block length.
+    */
+  def htmlBlocks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val pre = regexp_replace(dropNonContent(col(htmlCol)), blockTagPat, "\n")
+    df
+      .select(col(idCol),
+        posexplode(split(pre, "\\n")).as(Seq("block_id", "raw")))
+      .select(col(idCol), col("block_id").cast("long").as("block_id"),
+        col("raw"), inlineText(col("raw")).as("text"),
+        inlineText(array_join(
+          regexp_extract_all(col("raw"), lit(anchorPat), lit(1)), " "))
+          .as("__link_text"))
+      .filter(length(col("text")) > 0)
+      .select(col(idCol), col("block_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(col("__link_text")).cast("long").as("n_link_chars"))
+      .withColumn("link_ppm",
+        expr("n_link_chars * 1000000L div n_chars"))
+  }
+
+  /** The boilerplate rule: a block is CONTENT iff its link density is
+    * at or below `maxLinkPpm` AND it carries at least `minWords`
+    * words. Navigation bars fail the first test, headers/footers/
+    * copyright lines the second.
+    */
+  def contentRule(maxLinkPpm: Long, minWords: Long): Column =
+    col("link_ppm") <= maxLinkPpm && col("n_words") >= minWords
+
+  /** End-to-end: HTML in, boilerplate-stripped document text out,
+    * with the audit counts (`n_blocks` seen, `n_kept` surviving).
+    * Blocks are reassembled in source order (array_sort over
+    * (block_id, text) structs — block_id leads, so the sort IS the
+    * document order) and joined by newline. One groupBy(doc) shuffle;
+    * everything else rides the scan.
+    */
+  def extractContent(df: DataFrame, idCol: String, htmlCol: String,
+      maxLinkPpm: Long = 330000L, minWords: Long = 5L): DataFrame = {
+    val keep = contentRule(maxLinkPpm, minWords)
+    htmlBlocks(df, idCol, htmlCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(keep, struct(col("block_id"), col("text"))))),
+            x => x.getField("text")),
+          "\n").as("content"))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, HtmlExtract, TextAnalysis}
+
+/** Crawl front-end gates: HTML → clean text → scored blocks →
+  * boilerplate-stripped content → (composed) quality filter + exact
+  * dedup. The corpus has no organic HTML, so BOTH engines synthesize
+  * an identical page per document from (doc_id, text) — scripts,
+  * styles, comments, CDATA, entities, a link-dense nav, tag-cloud
+  * list items, and a link-heavy footer — and the gates prove the
+  * extraction algebra (Java regex vs RE2, replace chains, block
+  * segmentation, link-density scoring) end to end, the same pattern
+  * q82 uses for PII scrubbing.
+  */
+object CrawlQueries extends QueryPack {
+  import HtmlExtract._
+
+  // ---- shared synthetic page (Spark formulation) --------------------
+  private def htmlDf(s: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val did = col("doc_id").cast("string")
+    val p1 = substring(t, 1, 150)
+    val p2 = substring(t, 151, 1000000)
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), did, lit("</title>"),
+      lit("<script type=\"text/javascript\">var n = 1 < 2 && 3 > 2; // tracker</script>"),
+      lit("<style>.nav { color: #333; } .f > a { x: 1; }</style>"),
+      lit("<!-- build "), (col("doc_id") % 97).cast("string"),
+      lit(" <secret> --></head><body>"),
+      lit("<div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/idx\">Index</a> | <a href=\"/doc/"),
+      did, lit("\">Doc "), did, lit("</a></div>"),
+      lit("<h1>Doc "), did, lit(" &amp; notes</h1>"),
+      lit("<p>"), p1, lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<ul><li><a href=\"/t/1\">tag one</a></li><li><a href=\"/t/2\">tag two</a></li></ul>"))
+        .otherwise(lit("")),
+      when(length(p2) > 0,
+        concat(lit("<p>"), p2, lit(" has <b>bold</b> &nbsp;ending</p>")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("<![CDATA[ raw <junk> & noise ]]><p>5 &lt; 6 is true for A&amp;B &quot;quoted&quot;</p>"))
+        .otherwise(lit("")),
+      lit("<div class=\"footer\">(c) 2026 Example <a href=\"/tos\">Terms</a> <a href=\"/priv\">Privacy</a></div>"),
+      lit("</body></html>")).as("html"))
+  }
+
+  // ---- shared synthetic page (DuckDB formulation) -------------------
+  // NOTE: continuation lines end with || (never start with it) — the
+  // query templates this CTE is interpolated into run stripMargin,
+  // which would eat the first bar of a leading '||'.
+  private val htmlCte: String =
+    """html AS (SELECT doc_id,
+      |  '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+      |  '<script type="text/javascript">var n = 1 < 2 && 3 > 2; // tracker</script>' ||
+      |  '<style>.nav { color: #333; } .f > a { x: 1; }</style>' ||
+      |  '<!-- build ' || CAST(doc_id % 97 AS VARCHAR) || ' <secret> --></head><body>' ||
+      |  '<div class="nav"><a href="/">Home</a> | <a href="/idx">Index</a> | <a href="/doc/' ||
+      |  CAST(doc_id AS VARCHAR) || '">Doc ' || CAST(doc_id AS VARCHAR) || '</a></div>' ||
+      |  '<h1>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes</h1>' ||
+      |  '<p>' || substr(coalesce(text, ''), 1, 150) || '</p>' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '<ul><li><a href="/t/1">tag one</a></li><li><a href="/t/2">tag two</a></li></ul>' ELSE '' END ||
+      |  CASE WHEN length(substr(coalesce(text, ''), 151)) > 0
+      |       THEN '<p>' || substr(coalesce(text, ''), 151) || ' has <b>bold</b> &nbsp;ending</p>' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '<![CDATA[ raw <junk> & noise ]]><p>5 &lt; 6 is true for A&amp;B &quot;quoted&quot;</p>' ELSE '' END ||
+      |  '<div class="footer">(c) 2026 Example <a href="/tos">Terms</a> <a href="/priv">Privacy</a></div>' ||
+      |  '</body></html>' AS html
+      |FROM documents)""".stripMargin
+
+  // ---- DuckDB mirrors of the HtmlExtract algebra --------------------
+  private def dropSql(x: String): String =
+    Seq(cdataPat, commentPat, scriptPat, stylePat)
+      .foldLeft(x)((acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
+
+  private def entSql(x: String): String =
+    entities.foldLeft(x) { case (acc, (k, v)) =>
+      s"replace($acc, '$k', '${v.replace("'", "''")}')"
+    }
+
+  private def inlineSql(x: String): String = {
+    val stripped = s"regexp_replace($x, '$anyTagPat', ' ', 'g')"
+    s"trim(regexp_replace(${entSql(stripped)}, '\\s+', ' ', 'g'))"
+  }
+
+  /** seg CTE: non-content dropped, block tags → newline. */
+  private val segCte: String =
+    s"seg AS (SELECT doc_id, regexp_replace(${dropSql("html")}, '$blockTagPat', chr(10), 'g') AS c FROM html)"
+
+  /** blk CTE: positional explode + per-block clean text and scores. */
+  private val blkCte: String =
+    s"""b AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS block_id, unnest(l) AS raw
+       |  FROM (SELECT doc_id, string_split_regex(c, '\\n') AS l FROM seg)),
+       |cl AS (SELECT doc_id, CAST(block_id AS BIGINT) AS block_id,
+       |    ${inlineSql("raw")} AS text,
+       |    ${inlineSql(s"coalesce(array_to_string(regexp_extract_all(raw, '$anchorPat', 1), ' '), '')")} AS lt
+       |  FROM b),
+       |blk AS (SELECT doc_id, block_id, text,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(lt) AS BIGINT) AS n_link_chars,
+       |    CAST(length(lt) AS BIGINT) * 1000000 // CAST(length(text) AS BIGINT) AS link_ppm
+       |  FROM cl WHERE length(text) > 0)""".stripMargin
+
+  /** cnt CTE: per-document boilerplate-stripped content (q320's body,
+    * reused by the q321 composition).
+    */
+  private val cntCte: String =
+    s"""cnt AS (SELECT doc_id, count(*) AS n_blocks,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN keep THEN text END, chr(10) ORDER BY block_id), '') AS content
+       |  FROM (SELECT *, link_ppm <= 330000 AND n_words >= 5 AS keep FROM blk)
+       |  GROUP BY doc_id)""".stripMargin
+
+  override def defs: Map[String, Q] = Map(
+
+    // Whole-page extraction: every strip/decode/collapse rule in one
+    // gate — scripts/styles/comments/CDATA vanish, block tags become
+    // line breaks, inline tags become spaces, entities decode, prose
+    // "<" survives. n_lines pins the block segmentation count.
+    "q318_html_extract" -> Q(
+      (s, dir) => htmlDf(s, dir)
+        .select(col("doc_id"), htmlToText(col("html")).as("text"))
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), "\\n")).cast("long").as("n_lines"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $htmlCte,
+        |$segCte,
+        |txt AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    ${entSql(s"regexp_replace(c, '$anyTagPat', ' ', 'g')")},
+        |    '[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'), '\\n+', chr(10), 'g'),
+        |    ' ' || chr(10) || chr(9)) AS text
+        |  FROM seg)
+        |SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+        |FROM txt ORDER BY doc_id""".stripMargin)),
+
+    // Block segmentation + link-density scoring: one row per
+    // non-empty block with position, clean text, char/word mass,
+    // anchor-text mass, and integer ppm link density — the shallow
+    // text features the boilerplate rule consumes.
+    "q319_html_blocks" -> Q(
+      (s, dir) => HtmlExtract.htmlBlocks(htmlDf(s, dir), "doc_id", "html")
+        .orderBy(col("doc_id"), col("block_id")),
+      Some(s"""WITH $htmlCte,
+        |$segCte,
+        |$blkCte
+        |SELECT doc_id, block_id, text, n_chars, n_words, n_link_chars, link_ppm
+        |FROM blk ORDER BY doc_id, block_id""".stripMargin)),
+
+    // The boilerplate rule applied and the page reassembled: nav,
+    // tag-cloud, and footer blocks must drop (link-dense or short),
+    // body paragraphs must survive in source order.
+    "q320_boilerplate_strip" -> Q(
+      (s, dir) => HtmlExtract.extractContent(htmlDf(s, dir), "doc_id", "html")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $htmlCte,
+        |$segCte,
+        |$blkCte,
+        |$cntCte
+        |SELECT doc_id, n_blocks, n_kept, content FROM cnt ORDER BY doc_id""".stripMargin)),
+
+    // End-to-end crawl pipeline: extract → content-quality filter
+    // (≥2 content blocks, ≥20 words) → exact-hash dedup over the
+    // EXTRACTED text (q25's discipline, fed by the front-end instead
+    // of pre-extracted text) — proves the new stage composes with the
+    // existing downstream unchanged.
+    "q321_crawl_pipeline" -> Q(
+      (s, dir) => {
+        val content =
+          HtmlExtract.extractContent(htmlDf(s, dir), "doc_id", "html")
+        val quality = content.filter(col("n_kept") >= 2 &&
+          size(split(col("content"), "\\s+")) >= 20)
+        Dedup.exactDedup(quality, "doc_id",
+            TextAnalysis.fingerprint(col("content")))
+          .orderBy(col("fp"))
+      },
+      Some(s"""WITH $htmlCte,
+        |$segCte,
+        |$blkCte,
+        |$cntCte
+        |SELECT md5(array_to_string(string_split_regex(trim(lower(content)), '\\s+'), ' ')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM cnt
+        |WHERE n_kept >= 2 AND len(string_split_regex(content, '\\s+')) >= 20
+        |GROUP BY 1 ORDER BY fp""".stripMargin))
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h")
+      .select(HtmlExtract.htmlToText(col("h")).as("t"))
+      .collect().head.getString(0)
+
+  test("htmlToText: scripts, styles, comments and CDATA vanish wholesale") {
+    val t = extract("<p>keep</p><script>var a = '<p>no</p>';</script>" +
+      "<style>p { color: red; }</style><!-- <p>gone</p> -->" +
+      "<![CDATA[ <p>raw</p> ]]><p>also keep</p>")
+    assert(t === "keep\nalso keep")
+  }
+
+  test("htmlToText: block tags break lines, inline tags become spaces") {
+    val t = extract("<div>one <b>bold</b> word</div><p>two</p><br>three")
+    assert(t === "one bold word\ntwo\nthree")
+  }
+
+  test("htmlToText: entities decode in the fixed order, amp last") {
+    val t = extract("<p>&lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;" +
+      "A&amp;B &amp;lt; stays-encoded-once</p>")
+    // &amp;lt; must become &lt; (single decode), never '<'
+    assert(t === "<tag> \"q\" 'a' A&B &lt; stays-encoded-once")
+  }
+
+  test("htmlToText: prose comparisons survive, markup-shaped spans do not") {
+    val t = extract("<p>1 < 2 and x > y</p><p>a <b>real</b> tag</p>")
+    assert(t === "1 < 2 and x > y\na real tag")
+  }
+
+  test("htmlToText: unclosed and nested tags degrade without data loss") {
+    // unclosed <p>, mis-nested <b><i></b></i>: tag STRIPPING is not a
+    // parser — every tag token dies, all text survives
+    val t = extract("<p>open<p>again <b><i>deep</b></i> end")
+    assert(t === "open\nagain deep end")
+  }
+
+  test("htmlToText: nested block structure yields one line per leaf block") {
+    val t = extract("<div><ul><li>a b</li><li>c d</li></ul></div><p>e</p>")
+    assert(t === "a b\nc d\ne")
+  }
+
+  test("htmlToText: unterminated comment degrades to visible text, not loss") {
+    // the comment rule needs '-->'; without it the '<!--' token is not
+    // a tag (no letter after '<') so it SURVIVES as prose and the
+    // payload text is kept — degraded output over silent data loss
+    val t = extract("<p>before</p><!-- never closed <p>x</p>")
+    assert(t === "before\n<!-- never closed\nx")
+  }
+
+  test("htmlBlocks: link density and word mass are exact") {
+    val df = Seq((1L,
+      "<div><a href=\"/\">Home</a> | <a href=\"/x\">About us</a></div>" +
+        "<p>six words of plain body text</p>")).toDF("id", "h")
+    val rows = HtmlExtract.htmlBlocks(df, "id", "h")
+      .orderBy("block_id").collect()
+    assert(rows.length === 2)
+    val nav = rows.head
+    // text "Home | About us" (15 chars), links "Home About us" (13)
+    assert(nav.getAs[String]("text") === "Home | About us")
+    assert(nav.getAs[Long]("n_chars") === 15L)
+    assert(nav.getAs[Long]("n_link_chars") === 13L)
+    assert(nav.getAs[Long]("link_ppm") === 13L * 1000000L / 15L)
+    val body = rows.last
+    assert(body.getAs[Long]("n_words") === 6L)
+    assert(body.getAs[Long]("n_link_chars") === 0L)
+  }
+
+  test("htmlBlocks: anchors spanning inline markup count their full text") {
+    val df = Seq((1L,
+      "<p><a href=\"/x\">two <b>styled</b> words</a> trailing prose here</p>"))
+      .toDF("id", "h")
+    val r = HtmlExtract.htmlBlocks(df, "id", "h").collect().head
+    assert(r.getAs[String]("text") === "two styled words trailing prose here")
+    assert(r.getAs[Long]("n_link_chars") === "two styled words".length.toLong)
+  }
+
+  test("extractContent: boilerplate drops, body survives in source order") {
+    val df = Seq((1L,
+      "<div><a href=\"/\">Home</a> <a href=\"/b\">About</a></div>" +
+        "<p>first paragraph with at least five words</p>" +
+        "<h1>Short head</h1>" +
+        "<p>second paragraph also has enough words</p>" +
+        "<div>(c) <a href=\"/t\">Terms</a></div>")).toDF("id", "h")
+    val r = HtmlExtract
+      .extractContent(df, "id", "h", maxLinkPpm = 330000L, minWords = 5L)
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") === 5L)
+    assert(r.getAs[Long]("n_kept") === 2L)
+    assert(r.getAs[String]("content") ===
+      "first paragraph with at least five words\n" +
+        "second paragraph also has enough words")
+  }
+
+  test("extractContent: all-boilerplate page yields empty content, not no row") {
+    val df = Seq((1L, "<div><a href=\"/\">Only nav</a></div>")).toDF("id", "h")
+    val r = HtmlExtract.extractContent(df, "id", "h").collect().head
+    assert(r.getAs[Long]("n_kept") === 0L)
+    assert(r.getAs[String]("content") === "")
+  }
+
+  test("htmlToText: null html extracts to null, empty to empty") {
+    val df = Seq(Some("<p></p>"), None)
+      .toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))
+    val got = df.collect().map(r => Option(r.getString(0))).toSeq
+    assert(got === Seq(Some(""), None))
+  }
+}
