@@ -106,17 +106,30 @@ object MediaCodecs {
       if (((b3 | b2 | b1 | b0) & 0x80) != 0) None
       else Some((b3 & 0x7F) << 21 | (b2 & 0x7F) << 14 |
         (b1 & 0x7F) << 7 | (b0 & 0x7F))
+    /** The container walk as FACTS — (synchsafe_ok, tag_len, body_len,
+      * n_frames), None-valued past the first failure. This is the
+      * single parse both [[decode]] and the q324 walk gate run, so the
+      * hash gate proves the byte-level parse the codec actually uses.
+      */
+    def id3Facts(bytes: Array[Byte])
+        : (Boolean, Option[Int], Option[Long], Option[Long]) =
+      synchsafe(bytes(6), bytes(7), bytes(8), bytes(9)) match {
+        case None => (false, None, None, None)
+        case Some(tagLen) =>
+          val body = bytes.length.toLong - 10 - tagLen
+          // torn tag: header promises more than exists — body length
+          // is still a reportable fact (negative), frames are not
+          val frames = if (body < 0) None else Some(body / FrameBytes)
+          (true, Some(tagLen), Some(body), frames)
+      }
     def decode(bytes: Array[Byte]): Option[Decoded] =
-      synchsafe(bytes(6), bytes(7), bytes(8), bytes(9)).flatMap { tagLen =>
-        val body = bytes.length - 10 - tagLen
-        if (body < 0) None // torn tag: header promises more than exists
-        else {
-          // --- FFI STAND-IN: a real binding decodes `body` bytes of
-          // MPEG frames to PCM here; we only replay the CBR frame
-          // arithmetic the container implies ---
-          Some(Decoded("audio", None, None, Some(44100),
-            (body / FrameBytes).toLong))
-        }
+      id3Facts(bytes) match {
+        // --- FFI STAND-IN: a real binding decodes `body` bytes of
+        // MPEG frames to PCM here; we only replay the CBR frame
+        // arithmetic the container implies ---
+        case (true, _, _, Some(frames)) =>
+          Some(Decoded("audio", None, None, Some(44100), frames))
+        case _ => None
       }
   }
 
@@ -133,24 +146,34 @@ object MediaCodecs {
     def accepts(bytes: Array[Byte]): Boolean =
       bytes != null && bytes.length >= 12 &&
         bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'
-    def decode(bytes: Array[Byte]): Option[Decoded] = {
-      // Long arithmetic throughout: a crafted box size near Int.Max
-      // would make `off + size` wrap negative in Int, slip past the
-      // bounds check, and index the array at a negative offset
+    /** The box walk as FACTS — one (offset, size, type) per
+      * well-formed box, truncated at the first torn box (size < 8 or
+      * size past EOF). The single walk both [[decode]] and the q325
+      * gate run. Long arithmetic throughout: a crafted box size near
+      * Int.Max would make `off + size` wrap negative in Int, slip
+      * past the bounds check, and index the array at a negative
+      * offset.
+      */
+    def bmffBoxes(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
       var off = 0L
-      var mdat = 0L
       var ok = true
       while (ok && off + 8 <= bytes.length) {
         val i = off.toInt
-        val size = (((bytes(i) & 0xFF) << 24) | ((bytes(i + 1) & 0xFF) << 16) |
-          ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)).toLong
+        val size = (((bytes(i) & 0xFF).toLong << 24) |
+          ((bytes(i + 1) & 0xFF) << 16) |
+          ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF))
         if (size < 8 || off + size > bytes.length) ok = false
         else {
-          if (bytes(i + 4) == 'm' && bytes(i + 5) == 'd' &&
-            bytes(i + 6) == 'a' && bytes(i + 7) == 't') mdat += 1
+          val tpe = new String(bytes, i + 4, 4, "US-ASCII")
+          out += ((off, size, tpe))
           off += size
         }
       }
+      out.toSeq
+    }
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      val mdat = bmffBoxes(bytes).count(_._3 == "mdat").toLong
       // --- FFI STAND-IN: a real binding opens a decoder per track and
       // decodes each mdat's samples; we count the located payloads ---
       if (mdat == 0) None else Some(Decoded("video", None, None, None, mdat))
@@ -280,6 +303,52 @@ object MediaCodecs {
             d.sampleRate.orNull, d.nFrames)
         }
       }
+    media.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** ID3v2 synchsafe header walk over a (media_id, bytes) frame — the
+    * q324 gate surface. Runs [[Mp3FfiCodec.id3Facts]], the exact parse
+    * [[Mp3FfiCodec.decode]] consumes, one row per payload:
+    * (media_id, synch_ok, tag_len, body_len, n_frames) with nulls
+    * past the first container fault (body_len stays reportable — and
+    * negative — on a torn tag). Pure map over the scan.
+    */
+  def id3Walk(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("synch_ok", BooleanType),
+      StructField("tag_len", LongType),
+      StructField("body_len", LongType),
+      StructField("n_frames", LongType)))
+    val rdd = media.select(col("media_id"), col("bytes")).rdd.map { r =>
+      val (ok, tl, bl, fr) =
+        Mp3FfiCodec.id3Facts(r.getAs[Array[Byte]]("bytes"))
+      Row(r.getLong(0), ok, tl.map(_.toLong).orNull, bl.orNull, fr.orNull)
+    }
+    media.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** ISO-BMFF box walk over a (media_id, bytes) frame — the q325 gate
+    * surface. Runs [[Mp4FfiCodec.bmffBoxes]], the exact walk
+    * [[Mp4FfiCodec.decode]] counts mdat boxes from, one row per
+    * WELL-FORMED box: (media_id, box_idx, box_off, box_size,
+    * box_type); the walk truncates at the first torn box, so torn
+    * tails simply emit no row. flatMap over the scan.
+    */
+  def bmffWalk(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("box_idx", LongType),
+      StructField("box_off", LongType),
+      StructField("box_size", LongType),
+      StructField("box_type", StringType)))
+    val rdd = media.select(col("media_id"), col("bytes")).rdd.flatMap { r =>
+      val id = r.getLong(0)
+      Mp4FfiCodec.bmffBoxes(r.getAs[Array[Byte]]("bytes")).zipWithIndex
+        .map { case ((off, size, tpe), i) =>
+          Row(id, i.toLong, off, size, tpe)
+        }
+    }
     media.sparkSession.createDataFrame(rdd, out)
   }
 }

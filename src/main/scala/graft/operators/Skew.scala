@@ -57,4 +57,29 @@ object Skew {
       .withColumn("__salt", col("__salt").cast("long"))
     saltedFact.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The two levers COMPOSED into the production shape: detect the hot
+    * keys ([[Relational.hotKeys]] — per-partition top-N, driver merges
+    * N rows), split the fact on hot-key membership (broadcast
+    * semi/anti — the hot set is N rows, no shuffle to split), salt
+    * ONLY the hot slice, join the cold slice plainly, union. The cold
+    * path pays nothing; the hot path pays build-replication only for
+    * the keys that actually overwhelm a reducer — at 100 TB this is
+    * the difference between salting the whole build side ×factor and
+    * salting a handful of rows.
+    *
+    * The hot-key frame is localCheckpointed: it gates three joins and
+    * recomputing the detection scan per consumer would triple the
+    * fact-scan cost.
+    */
+  def adaptiveSkewJoin(fact: DataFrame, build: DataFrame, key: String,
+      topN: Int, factor: Int): DataFrame = {
+    val hot = Relational.hotKeys(fact, key, topN)
+      .select(col(key)).localCheckpoint(true)
+    val hotFact = fact.join(broadcast(hot), Seq(key))
+    val coldFact = fact.join(broadcast(hot), Seq(key), "left_anti")
+    val hotBuild = build.join(broadcast(hot), Seq(key))
+    saltedJoin(hotFact, hotBuild, key, factor)
+      .unionByName(coldFact.join(build, Seq(key)))
+  }
 }

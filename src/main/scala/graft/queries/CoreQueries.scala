@@ -221,6 +221,33 @@ object CoreQueries extends QueryPack {
         |GROUP BY 1
         |ORDER BY nationkey""".stripMargin)),
 
+    // The skew levers COMPOSED the way production uses them: detect
+    // hot keys -> salt only the hot slice -> plain-join the cold
+    // slice -> union. The oracle is the PLAIN join + group-by, so the
+    // gate proves the adaptive split/salt/replicate path neither
+    // drops nor double-counts a row on actually-skewed routing
+    // decisions (hot membership is data-driven, not hand-picked).
+    "q323_adaptive_skew_join" -> Q(
+      (s, dir) => {
+        val fact = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("partkey"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        val build = Tables.part(s, dir)
+          .select(col("p_partkey").as("partkey"), col("p_brand"))
+        graft.operators.Skew
+          .adaptiveSkewJoin(fact, build, "partkey", topN = 10, factor = 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("__sq"))
+          .select(col("p_brand"), col("n_items"),
+            col("__sq").cast("double").as("sum_qty"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1
+        |ORDER BY p_brand""".stripMargin)),
+
     // CDC snapshot diff: two simulated snapshots of the customer dim
     // (membership drift via modulus filters, value drift via a
     // perturbed balance) classified added/removed/changed/unchanged —

@@ -616,6 +616,46 @@ object IndexQueries extends QueryPack {
         .orderBy(col("doc_id")),
       None),
 
+    // q120's companion: hash-gates everything about the compression-
+    // quality signal that IS SQL-portable — the exact row universe
+    // and ordering, DeflateRatio's denominator (UTF-8 byte length),
+    // and a portable repetitiveness proxy (duplicate char-trigram
+    // fraction in ppm, computed WITHOUT explode: one array projection
+    // per row). Shrinks q120's unproven surface to the single
+    // DeflateRatio column, which DeflateRatioSpec pins (incl.
+    // codegen≡interpreted bit-identity).
+    "q322_compression_quality_base" -> Q(
+      (s, dir) => {
+        val t = coalesce(col("text"), lit(""))
+        val n = length(t)
+        val grams = when(n >= 3,
+            transform(sequence(lit(1), n - 2), i => substr(t, i, lit(3))))
+          .otherwise(array().cast("array<string>"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            octet_length(t).cast("long").as("raw_bytes"),
+            grams.as("__g"))
+          .select(col("doc_id"), col("raw_bytes"),
+            size(col("__g")).cast("long").as("n_grams"),
+            size(array_distinct(col("__g"))).cast("long").as("__d"))
+          .withColumn("dup3_ppm",
+            expr("(n_grams - __d) * 1000000L div greatest(n_grams, 1L)"))
+          .drop("__d")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(strlen(coalesce(text, '')) AS BIGINT) AS raw_bytes,
+        |    CASE WHEN length(coalesce(text, '')) >= 3
+        |         THEN list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))
+        |         ELSE CAST([] AS VARCHAR[]) END AS l
+        |  FROM documents)
+        |SELECT doc_id, raw_bytes,
+        |  CAST(len(l) AS BIGINT) AS n_grams,
+        |  (CAST(len(l) AS BIGINT) - CAST(len(list_distinct(l)) AS BIGINT)) * 1000000
+        |    // greatest(CAST(len(l) AS BIGINT), 1) AS dup3_ppm
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     // HLL register table over the order keys: idx = low 6 hash bits,
     // rank = leading-zero count of the remaining 54 bits + 1, computed
     // via binary-string LENGTH in both engines (integer-exact — no
