@@ -26,6 +26,23 @@ object ScaleProbe {
       }
     }.reduce(_ union _)
 
+  /** shifted() + per-copy token disambiguation: every token gets a
+    * copy suffix, so copies are DISJOINT token universes. Required
+    * for similarity-join probes: with shared text, every doc has
+    * N−1 planted exact copies and the true pair OUTPUT grows ×N² by
+    * construction (the q222 lesson) — tagging isolates the PLAN's
+    * scaling from the synthetic corpus's duplicate volume while
+    * keeping each copy's token-frequency shape intact.
+    */
+  private def copyTagged(df: DataFrame, idCols: Seq[String],
+      textCol: String, copies: Int, offset: Long): DataFrame =
+    (0 until copies).map { i =>
+      idCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, col(c) + lit(i * offset))
+      }.withColumn(textCol,
+        regexp_replace(col(textCol), "(\\S+)", "$1c" + i))
+    }.reduce(_ union _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 1) args.tail.map(_.toInt).toSeq
@@ -172,6 +189,52 @@ object ScaleProbe {
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
+      }
+      // q242 shape: PPJoin prefix-filter exact set-similarity join —
+      // copies are disjoint doc universes (tokens shared, ids not),
+      // so candidate generation through the rare-token prefix index
+      // is the scale question: shared tokens fan in across copies
+      time("q242_prefix_filter", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+          .filter(col("doc_id") % 5 === 0)
+        graft.operators.Dedup.prefixFilterJaccardJoin(
+          docs, "doc_id", "text", thresholdPct = 60)
+      }
+      // q295 shape: ROUGE-1/2 clipped-overlap scoring over chained
+      // (doc, next-doc-in-source) pairs — pair count grows ×N with
+      // the corpus; the gram-keyed clip joins are the cost center
+      time("q295_rouge", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        val pairs = docs
+          .select(col("doc_id").as("id_a"),
+            lead(col("doc_id"), 1).over(w).as("id_b"))
+          .filter(col("id_b").isNotNull)
+        graft.operators.Eval.rougeOverlap(pairs, docs, "doc_id", "text")
+      }
+      // q302 shape: paired A/B bootstrap (32 replicates in ONE scan,
+      // per-row md5 weights — the probe checks the linear map-side
+      // cost story)
+      time("q302_ab_bootstrap", n) {
+        val o = shifted(Tables.orders(spark, sfDir),
+          Seq("o_orderkey", "o_custkey"), n, 100000000L)
+        graft.operators.Analytics.abBootstrapDiff(
+          o, "o_custkey", "o_totalprice", replicates = 32, salt = "ab1")
+      }
+      // q214 shape: incremental near-dup of a batch against the
+      // persisted corpus band index (post round-6 cache fix) — both
+      // sides grow ×N, candidate pairs stay band-bucket-bounded
+      time("q214_incremental", n) {
+        val d = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        graft.operators.Dedup.incrementalNearDup(
+          d.filter(col("doc_id") % 10 === 0),
+          d.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+          threshold = 0.9)
       }
       // q227 shape: item-item CF — both keys shift, so copies are
       // disjoint basket universes and the census grows exactly ×N
