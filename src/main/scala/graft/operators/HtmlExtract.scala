@@ -56,6 +56,14 @@ object HtmlExtract {
   /** Anchor inner HTML (group 1) — the link-density numerator. */
   val anchorPat: String = "(?is)<a\\b[^>]*>(.*?)</a>"
 
+  /** Double-quoted href value (group 1). The contract is
+    * double-quoted attributes only — the regex algebra has no
+    * backtracking-safe way to pair mixed quote styles, and crawl
+    * extractors standardly normalize quoting upstream; single-quoted
+    * and unquoted hrefs are skipped, never mis-parsed.
+    */
+  val hrefPat: String = "(?is)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]+)\"[^>]*>"
+
   /** ASCII entity subset, decode order fixed with `&amp;` LAST (the
     * standard order: decoding it first would double-decode `&amp;lt;`).
     */
@@ -121,6 +129,19 @@ object HtmlExtract {
       .withColumn("link_ppm",
         expr("n_link_chars * 1000000L div n_chars"))
   }
+
+  /** Outlink extraction — the crawl-frontier feed: one row per
+    * double-quoted href in document order, (id, link_idx, href),
+    * non-content spans (commented-out markup, scripts) dropped
+    * FIRST so dead links never enter the frontier. Pure projection +
+    * one explode; compose with [[graft.functions.Urls]] for
+    * canonicalization and host-graph construction.
+    */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(dropNonContent(col(htmlCol)),
+          lit(hrefPat), lit(1))).as(Seq("link_idx", "href")))
+      .withColumn("link_idx", col("link_idx").cast("long"))
 
   /** The boilerplate rule: a block is CONTENT iff its link density is
     * at or below `maxLinkPpm` AND it carries at least `minWords`

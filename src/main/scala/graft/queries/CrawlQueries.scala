@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, HtmlExtract, TextAnalysis}
+import graft.functions.Urls
+import graft.operators.{Dedup, Graph, HtmlExtract, TextAnalysis}
 
 /** Crawl front-end gates: HTML → clean text → scored blocks →
   * boilerplate-stripped content → (composed) quality filter + exact
@@ -20,12 +21,18 @@ object CrawlQueries extends QueryPack {
   import HtmlExtract._
 
   // ---- shared synthetic page (Spark formulation) --------------------
-  private def htmlDf(s: SparkSession, dir: String): DataFrame = {
+  private def htmlDf(s: SparkSession, dir: String): DataFrame =
+    htmlFrom(Tables.documents(s, dir))
+
+  /** Batch-shaped synthesis so the streaming gate (q328) can apply the
+    * identical generator per micro-batch.
+    */
+  private def htmlFrom(docs: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
     val did = col("doc_id").cast("string")
     val p1 = substring(t, 1, 150)
     val p2 = substring(t, 151, 1000000)
-    Tables.documents(s, dir).select(col("doc_id"), concat(
+    docs.select(col("doc_id"), concat(
       lit("<!DOCTYPE html><html><head><title>Doc "), did, lit("</title>"),
       lit("<script type=\"text/javascript\">var n = 1 < 2 && 3 > 2; // tracker</script>"),
       lit("<style>.nav { color: #333; } .f > a { x: 1; }</style>"),
@@ -114,6 +121,28 @@ object CrawlQueries extends QueryPack {
        |  FROM (SELECT *, link_ppm <= 330000 AND n_words >= 5 AS keep FROM blk)
        |  GROUP BY doc_id)""".stripMargin
 
+  // ---- link-page synthesis (Spark + DuckDB) -------------------------
+  // Per doc: a self link (messy URL — caps, www, :80, utm_, fragment),
+  // one cross-host outlink, a hub outlink on even docs, a relative
+  // link on %4 docs, plus a commented-out link and a single-quoted
+  // href that must NOT extract (the quoting contract).
+  private def linkDf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      lit("<html><body><!-- <a href=\"http://skip.junk/x\"> -->"),
+      lit("<p>see <a href=\"HTTP://WWW.Host"), col("doc_id") % 7,
+      lit(".COM:80/d/"), col("doc_id"), lit("?utm_source=m&x="),
+      col("doc_id"), lit("#f\">one</a>, "),
+      lit("<a href='http://sq.example/s'>sq</a> and "),
+      lit("<a href=\"http://host"), (col("doc_id") + 3) % 7,
+      lit(".com/idx\">two</a></p>"),
+      when(col("doc_id") % 2 === 0,
+        lit("<p><a href=\"http://hub.example.com/h\">hub</a></p>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<p><a href=\"/relative/"), col("doc_id") % 9,
+          lit("\">rel</a></p>"))).otherwise(lit("")),
+      lit("</body></html>")).as("html"))
+
   override def defs: Map[String, Q] = Map(
 
     // Whole-page extraction: every strip/decode/collapse rule in one
@@ -187,6 +216,133 @@ object CrawlQueries extends QueryPack {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM cnt
         |WHERE n_kept >= 2 AND len(string_split_regex(content, '\\s+')) >= 20
-        |GROUP BY 1 ORDER BY fp""".stripMargin))
+        |GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // Streaming crawl extraction: the SAME generator and the SAME
+    // extractContent run per micro-batch over a documents stream —
+    // correct because extraction is per-document (no cross-row state,
+    // so batch boundaries can't split a unit of work). Gate = q320's
+    // batch oracle verbatim: stream ≡ batch proven, not asserted.
+    "q328_stream_extract" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val docsStream = s.readStream
+          .schema(Tables.documents(s, dir).schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_blocks", LongType),
+          StructField("n_kept", LongType),
+          StructField("content", StringType)))
+        var out = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        val ckpt = graft.streaming.Streams.scratchCheckpointDir("graft-ext-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          graft.streaming.Streams.transformEachBatch(
+            docsStream,
+            batch => HtmlExtract.extractContent(
+              htmlFrom(batch), "doc_id", "html"),
+            res => out = out.unionByName(res).localCheckpoint(true),
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        out.orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $htmlCte,
+        |$segCte,
+        |$blkCte,
+        |$cntCte
+        |SELECT doc_id, n_blocks, n_kept, content FROM cnt ORDER BY doc_id""".stripMargin)),
+
+    // Outlink extraction + canonicalization: hrefs in document order
+    // (commented-out and single-quoted links must NOT extract), each
+    // normalized through the q108-gated URL algebra. The oracle
+    // restates every expected row in closed form from the generator —
+    // it never runs the extractor, so regex bugs can't self-confirm.
+    "q326_link_extract" -> Q(
+      (s, dir) => {
+        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
+          .withColumn("host", Urls.host(col("href")))
+        links
+          .withColumn("url_norm",
+            when(col("host") === "", col("href"))
+              .otherwise(Urls.normalize(col("href"))))
+          .orderBy(col("doc_id"), col("link_idx"))
+      },
+      Some("""SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+        |  'HTTP://WWW.Host' || (doc_id % 7) || '.COM:80/d/' || doc_id ||
+        |    '?utm_source=m&x=' || doc_id || '#f' AS href,
+        |  'host' || (doc_id % 7) || '.com' AS host,
+        |  'http://host' || (doc_id % 7) || '.com/d/' || doc_id ||
+        |    '?x=' || doc_id AS url_norm
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1,
+        |  'http://host' || ((doc_id + 3) % 7) || '.com/idx',
+        |  'host' || ((doc_id + 3) % 7) || '.com',
+        |  'http://host' || ((doc_id + 3) % 7) || '.com/idx'
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 2, 'http://hub.example.com/h', 'hub.example.com',
+        |  'http://hub.example.com/h'
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 3, '/relative/' || (doc_id % 9), '',
+        |  '/relative/' || (doc_id % 9)
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id, link_idx""".stripMargin)),
+
+    // Host-graph composition — the crawl-frontier prioritization
+    // pipeline: extract links → canonical hosts → distinct host-level
+    // edges (self host → each absolute outlink host) → 3-round integer
+    // PageRank (q169's operator and unrolled-CTE oracle discipline).
+    // The hub host is a sink (no outlinks) and accumulates rank; the
+    // 7-host ring passes rank around its cycle.
+    "q327_host_graph" -> Q(
+      (s, dir) => {
+        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
+          .withColumn("host", Urls.host(col("href")))
+        val self = links.filter(col("link_idx") === 0)
+          .select(col("doc_id"), col("host").as("src"))
+        val out = links.filter(col("link_idx") > 0 && col("host") =!= "")
+          .select(col("doc_id"), col("host").as("dst"))
+        val edges = self.join(out, Seq("doc_id"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        Graph.pageRankPpm(edges, "src", "dst", iters = 3)
+          .orderBy(col("node"))
+      },
+      {
+        val iterCtes = (1 to 3).map { i =>
+          s"""f$i AS (SELECT e.dst AS node,
+             |    CAST(sum(r.rank_ppm // d.out_deg) AS BIGINT) AS in_sum
+             |  FROM e JOIN r${i - 1} r ON e.src = r.node
+             |  JOIN d ON e.src = d.src GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |    CAST(150000 + (850000 * coalesce(f.in_sum, 0)) // 1000000
+             |      AS BIGINT) AS rank_ppm
+             |  FROM n LEFT JOIN f$i f USING (node))""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH e AS (
+          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com' AS src,
+          |    'host' || ((doc_id + 3) % 7) || '.com' AS dst
+          |  FROM documents
+          |  UNION
+          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com',
+          |    'hub.example.com'
+          |  FROM documents WHERE doc_id % 2 = 0),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+          |$iterCtes
+          |SELECT node, rank_ppm
+          |FROM r3
+          |ORDER BY node""".stripMargin)
+      })
   )
 }

@@ -107,6 +107,27 @@ class HtmlExtractSpec extends SparkSpec {
     assert(r.getAs[String]("content") === "")
   }
 
+  test("extractLinks: document order, commented-out and quoted contract") {
+    val df = Seq((1L,
+      "<!-- <a href=\"http://dead.example/x\"> -->" +
+        "<p><a href=\"http://a.example/1\">a</a>" +
+        "<a href='http://sq.example/skip'>sq</a>" +
+        "<a class=\"x\" href=\"/rel/2\" target=\"_b\">b</a></p>" +
+        "<script>var s = '<a href=\"http://js.example/no\">';</script>"))
+      .toDF("id", "h")
+    val got = HtmlExtract.extractLinks(df, "id", "h")
+      .orderBy("link_idx").collect()
+      .map(r => (r.getAs[Long]("link_idx"), r.getAs[String]("href"))).toSeq
+    // commented, single-quoted, and script-embedded hrefs never extract
+    assert(got === Seq((0L, "http://a.example/1"), (1L, "/rel/2")))
+  }
+
+  test("extractLinks: linkless and null pages emit no rows") {
+    val df = Seq((1L, Some("<p>no links</p>")), (2L, None))
+      .toDF("id", "h")
+    assert(HtmlExtract.extractLinks(df, "id", "h").count() === 0L)
+  }
+
   test("htmlToText: null html extracts to null, empty to empty") {
     val df = Seq(Some("<p></p>"), None)
       .toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))
