@@ -28,6 +28,14 @@ object Urls {
       "^www\\.", "")
   }
 
+  /** Path component (leading-slash form, query/fragment excluded) —
+    * the robots.txt match subject. Empty for a bare-host URL.
+    */
+  def path(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    regexp_extract(noFrag, schemePat + "[^/?#]*([^?#]*)", 2)
+  }
+
   /** Last two dot-labels of an already-[[host]]-normalized hostname —
     * the eTLD+1 approximation that groups `crawl1.site3.com` and
     * `cdn.site3.com` under `site3.com`. A production crawl pipeline

@@ -749,6 +749,42 @@ object Corpus {
     df.withColumn("fold",
       TextAnalysis.hash60(col(groupCol).cast("string")) % k)
   }
+
+  /** Corpus-global sentence dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" sentence rule, C4's
+    * span discipline at sentence grain): a sentence INSTANCE survives
+    * iff its text is globally unique OR this document is the
+    * minimum-id owner of the sentence — keep-first, so exactly one
+    * copy of every duplicated sentence remains corpus-wide (all
+    * instances inside the keeper document itself are retained; the
+    * rule decides by document, not by instance).
+    *
+    * Returns one row per document: n_sents, n_dropped, and
+    * `content_dedup` — the surviving sentences rejoined in document
+    * order. Cost at 100 TB: the segmentation generator rides the
+    * scan; ONE sentence-fingerprint partial-agg shuffle builds the
+    * (fp → min owner, count) table; one fp-keyed join back; one
+    * per-document reassembly agg. No driver state — the fingerprint
+    * table is corpus-sized but never collected.
+    */
+  def dedupSentences(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val s = TextAnalysis.sentences(df, idCol, textCol)
+      .withColumn("__fp", md5(col("sentence")))
+    val owners = s.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("__n"))
+    val kept = col("__n") === 1 || col(idCol) === col("__keep")
+    s.join(owners, Seq("__fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(kept, struct(col("sent_idx"), col("sentence"))))),
+            x => x.getField("sentence")),
+          " ").as("content_dedup"))
+  }
 }
 
 /** Quantile normalization across heterogeneous sources — score

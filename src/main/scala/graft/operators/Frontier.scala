@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier admission control — the step between outlink
+  * extraction ([[HtmlExtract.extractLinks]] → [[graft.functions.Urls]]
+  * canonicalization) and fetch scheduling. The reference has no analog
+  * (its inputs arrive over JSON-RPC); the semantics follow the
+  * Robots Exclusion Protocol (RFC 9309 §2.2.2): among all rules whose
+  * path prefix matches the URL's path, the LONGEST prefix wins, and an
+  * Allow beats a Disallow of equal length; a URL with no matching rule
+  * is allowed.
+  *
+  * 100 TB shape: the rules table is robots.txt-derived — a few rules
+  * per HOST, millions of hosts at web scale but still orders of
+  * magnitude smaller than the frontier — so the join is host-keyed and
+  * broadcast when the rule set fits, a plain equi-join otherwise. The
+  * longest-match resolution is a single integer MAX per URL (rank =
+  * 2·prefix_len + isAllow, decided by parity), so it partial-aggregates
+  * map-side: no per-URL rule list ever materializes.
+  */
+object Frontier {
+
+  /** Evaluate robots rules over a frontier.
+    *
+    * @param urls  (url, host, path) — `url` unique, `host` already
+    *              [[graft.functions.Urls.host]]-normalized, `path` the
+    *              [[graft.functions.Urls.path]] component.
+    * @param rules (host, rtype, prefix) — `rtype` is `allow` or
+    *              `disallow`; `prefix` a path prefix (empty matches
+    *              every path, the `Disallow: /`-equivalent is "/").
+    * @return urls + `rule_rank` (2·len+isAllow of the winning rule,
+    *         null when no rule matched) + `allowed`.
+    */
+  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val r = rules.select(col("host"), col("rtype").as("__rtype"),
+      col("prefix").as("__prefix"))
+    val hit = col("__prefix").isNotNull &&
+      col("path").startsWith(col("__prefix"))
+    urls.join(broadcast(r), Seq("host"), "left")
+      .groupBy(col("url"), col("host"), col("path"))
+      .agg(max(when(hit, length(col("__prefix")).cast("long") * 2 +
+          when(col("__rtype") === "allow", 1L).otherwise(0L)))
+        .as("rule_rank"))
+      // default-allow: no matching rule coalesces to rank 1 (odd);
+      // parity of the winning rank IS the verdict
+      .withColumn("allowed",
+        coalesce(col("rule_rank"), lit(1L)) % 2 === 1)
+  }
+}

@@ -143,6 +143,31 @@ object HtmlExtract {
           lit(hrefPat), lit(1))).as(Seq("link_idx", "href")))
       .withColumn("link_idx", col("link_idx").cast("long"))
 
+  /** Full anchor element with a double-quoted href — href value in
+    * group 1, inner HTML in group 2. Same quoting contract as
+    * [[hrefPat]]; lazy body so adjacent anchors don't fuse.
+    */
+  val anchorElemPat: String =
+    "(?is)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]+)\"[^>]*>(.*?)</a>"
+
+  /** Anchor extraction — (id, link_idx, href, anchor): one row per
+    * double-quoted-href anchor in document order, with the anchor's
+    * inner HTML cleaned to one line ([[inlineText]]). The inbound
+    * half of the web's oldest relevance signal: aggregated per TARGET
+    * url, anchor text is a peer-written description of the page
+    * (the "anchor text document" of classic IR). Pure projection +
+    * one explode, exactly [[extractLinks]]'s shape.
+    */
+  def extractAnchors(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(dropNonContent(col(htmlCol)),
+          lit(anchorElemPat), lit(0))).as(Seq("link_idx", "elem")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        regexp_extract(col("elem"), anchorElemPat, 1).as("href"),
+        inlineText(regexp_extract(col("elem"), anchorElemPat, 2))
+          .as("anchor"))
+
   /** The boilerplate rule: a block is CONTENT iff its link density is
     * at or below `maxLinkPpm` AND it carries at least `minWords`
     * words. Navigation bars fail the first test, headers/footers/

@@ -30,6 +30,28 @@ object TextAnalysis {
 
   def nTokens(c: Column): Column = size(tokens(c))
 
+  /** Terminal-punctuation sentence runs — every maximal span of
+    * non-terminal characters plus its closing `.`/`!`/`?` if present
+    * (the trailing unpunctuated remainder is a sentence too). A
+    * match-based split, NOT a lookbehind split: RE2 has no
+    * lookbehind, and this keeps the segmentation oracle-portable.
+    */
+  val sentencePat: String = "[^.!?]+[.!?]?"
+
+  /** Sentence segmentation: one row per non-empty sentence in
+    * document order — (id, sent_idx, sentence) with whitespace
+    * collapsed and trimmed. `sent_idx` is the pre-filter match
+    * position, so reassembly preserves document order. One generator
+    * over the scan; no shuffle.
+    */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit(sentencePat), lit(0))).as(Seq("sent_idx", "raw")))
+      .select(col(idCol), col("sent_idx").cast("long").as("sent_idx"),
+        trim(regexp_replace(col("raw"), "\\s+", " ")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alnum marks — the standard pre-tokenizer shape.
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Urls
-import graft.operators.{Dedup, Graph, HtmlExtract, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Graph, HtmlExtract, Sketch, TextAnalysis}
 
 /** Crawl front-end gates: HTML → clean text → scored blocks →
   * boilerplate-stripped content → (composed) quality filter + exact
@@ -343,6 +343,134 @@ object CrawlQueries extends QueryPack {
           |SELECT node, rank_ppm
           |FROM r3
           |ORDER BY node""".stripMargin)
-      })
+      }),
+
+    // Sentence segmentation over deterministically punctuated text
+    // (every 5th word gains a terminal '.', same regexp in both
+    // engines): match-based runs, never lookbehind (RE2 has none), so
+    // the segmentation itself is the gated algebra.
+    "q329_sentence_segment" -> Q(
+      (s, dir) => {
+        val punct = Tables.documents(s, dir).select(col("doc_id"),
+          regexp_replace(coalesce(col("text"), lit("")),
+            "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+        TextAnalysis.sentences(punct, "doc_id", "t")
+          .withColumn("n_words",
+            size(split(col("sentence"), " ")).cast("long"))
+          .orderBy(col("doc_id"), col("sent_idx"))
+      },
+      Some(s"""WITH pt AS (
+        |  SELECT doc_id, regexp_replace(coalesce(text, ''),
+        |    '((?:\\S+ ){4}\\S+) ', '\\1. ', 'g') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS sent_idx,
+        |    unnest(l) AS raw
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(t, '${TextAnalysis.sentencePat}') AS l
+        |        FROM pt)),
+        |c AS (
+        |  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+        |    trim(regexp_replace(raw, '\\s+', ' ', 'g')) AS sentence
+        |  FROM m)
+        |SELECT doc_id, sent_idx, sentence,
+        |  CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_words
+        |FROM c WHERE length(sentence) > 0
+        |ORDER BY doc_id, sent_idx""".stripMargin)),
+
+    // Corpus-global sentence dedup (Lee et al. keep-first): a
+    // duplicated sentence survives only in its minimum-id document;
+    // per doc the gate proves sentence counts, drop counts, and the
+    // reassembled deduped content. The corpus's planted exact-dup
+    // documents make the duplicate population real, not contrived.
+    "q330_sentence_dedup" -> Q(
+      (s, dir) => {
+        val punct = Tables.documents(s, dir).select(col("doc_id"),
+          regexp_replace(coalesce(col("text"), lit("")),
+            "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+        Corpus.dedupSentences(punct, "doc_id", "t")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH pt AS (
+        |  SELECT doc_id, regexp_replace(coalesce(text, ''),
+        |    '((?:\\S+ ){4}\\S+) ', '\\1. ', 'g') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS sent_idx,
+        |    unnest(l) AS raw
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(t, '${TextAnalysis.sentencePat}') AS l
+        |        FROM pt)),
+        |f AS (
+        |  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+        |    trim(regexp_replace(raw, '\\s+', ' ', 'g')) AS sentence
+        |  FROM m),
+        |g AS (SELECT doc_id, sent_idx, sentence, md5(sentence) AS fp
+        |      FROM f WHERE length(sentence) > 0),
+        |o AS (SELECT fp, min(doc_id) AS keep, count(*) AS n
+        |      FROM g GROUP BY 1)
+        |SELECT g.doc_id AS doc_id, count(*) AS n_sents,
+        |  CAST(sum(CASE WHEN o.n = 1 OR g.doc_id = o.keep
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(
+        |    CASE WHEN o.n = 1 OR g.doc_id = o.keep THEN g.sentence END,
+        |    ' ' ORDER BY g.sent_idx), '') AS content_dedup
+        |FROM g JOIN o USING (fp)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Crawl-frontier new-URL detection: the already-crawled set (odd
+    // docs' canonical self URLs) feeds a Bloom; every extracted +
+    // canonicalized URL probes it, definitely-absent probes skip the
+    // exact check (q113's operator, fed by the crawl front-end).
+    // might_contain — including deterministic false positives — and
+    // the verified is_new both gate.
+    "q331_frontier_new_urls" -> Q(
+      (s, dir) => {
+        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
+          .withColumn("host", Urls.host(col("href")))
+        val absolute = links.filter(col("host") =!= "")
+          .withColumn("url", Urls.normalize(col("href")))
+        val seen = absolute
+          .filter(col("link_idx") === 0 && col("doc_id") % 2 === 1)
+          .select(col("url")).distinct()
+        val incoming = absolute.select(col("url")).distinct()
+        Sketch.bloomNewKeys(seen, incoming, "url", numBits = 63 * 256,
+            numHashes = 3)
+          .select(col("url"), col("might_contain"), col("is_new"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH hs AS (SELECT unnest([0, 1, 2]) AS i),
+        |seen AS (
+        |  SELECT DISTINCT 'http://host' || (doc_id % 7) || '.com/d/' || doc_id ||
+        |    '?x=' || doc_id AS url
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |inc AS (
+        |  SELECT DISTINCT 'http://host' || (doc_id % 7) || '.com/d/' || doc_id ||
+        |    '?x=' || doc_id AS url FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'http://host' || ((doc_id + 3) % 7) || '.com/idx'
+        |  FROM documents
+        |  UNION
+        |  SELECT 'http://hub.example.com/h'),
+        |pos AS (
+        |  SELECT CAST(('0x' || substr(md5(url || ':b' || i), 1, 15)) AS BIGINT)
+        |    % 16128 AS p
+        |  FROM seen CROSS JOIN hs),
+        |bm AS (
+        |  SELECT p // 63 AS word_idx,
+        |         bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |pp AS (
+        |  SELECT url,
+        |    CAST(('0x' || substr(md5(url || ':b' || i), 1, 15)) AS BIGINT)
+        |      % 16128 AS p
+        |  FROM inc CROSS JOIN hs)
+        |SELECT url,
+        |  bool_and((coalesce(bm.bits, 0) & (1::BIGINT << CAST(p % 63 AS INT)))
+        |           = (1::BIGINT << CAST(p % 63 AS INT))) AS might_contain,
+        |  url NOT IN (SELECT url FROM seen) AS is_new
+        |FROM pp LEFT JOIN bm ON pp.p // 63 = bm.word_idx
+        |GROUP BY 1
+        |ORDER BY url""".stripMargin))
   )
 }

@@ -469,4 +469,33 @@ class CorpusSpec extends SparkSpec {
       Corpus.groupKFold(df, "grp", 1)
     }
   }
+
+  test("dedupSentences: keep-first across docs, keeper keeps repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Alpha beta. Shared line. Gamma!"),
+      (2L, "Shared line. Own text here"),       // loses the dup to doc 1
+      (3L, "Twice over. Twice over. Solo bit?") // in-doc repeat: doc 3
+    ).toDF("doc_id", "text")                    // owns it, keeps BOTH
+    val got = Corpus.dedupSentences(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 0L, "Alpha beta. Shared line. Gamma!")))
+    assert(got(2L) === ((2L, 1L, "Own text here")))
+    assert(got(3L) === ((3L, 0L, "Twice over. Twice over. Solo bit?")))
+
+    // all sentences dropped → empty content, not null; empty / null /
+    // whitespace-only docs vanish (no sentences to count)
+    val edge = Seq(
+      (10L, "Only line."),
+      (11L, "Only line."),
+      (12L, ""), (13L, null.asInstanceOf[String]), (14L, "   ")
+    ).toDF("doc_id", "text")
+    val e = Corpus.dedupSentences(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(e(10L) === ((1L, 0L, "Only line.")))
+    assert(e(11L) === ((1L, 1L, "")))
+    assert(!e.contains(12L) && !e.contains(13L) && !e.contains(14L))
+  }
 }

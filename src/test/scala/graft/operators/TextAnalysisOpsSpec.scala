@@ -74,4 +74,33 @@ class TextAnalysisOpsSpec extends SparkSpec {
       .collect().head
     assert(r2.getLong(7) === -6L)
   }
+
+  test("sentences: terminator runs, remainders, whitespace collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One two. Three!  Four?unspaced tail"), // remainder sentence
+      (2L, "No terminator at all"),                // whole doc = 1 sent
+      (3L, "Ellipsis... bang!!"),  // extra marks are skipped: the run
+      (4L, ""), (5L, null.asInstanceOf[String]),   // needs a non-mark
+      (6L, "  Lead \t and\nnewline.  ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got((1L, 0L)) === "One two.")
+    assert(got((1L, 1L)) === "Three!")
+    assert(got((1L, 2L)) === "Four?")
+    assert(got((1L, 3L)) === "unspaced tail")
+    assert(got((2L, 0L)) === "No terminator at all")
+    // "..." yields one sentence ("Ellipsis.") — the [^.!?]+ core means
+    // a bare terminator can never start a match, so "..", "!" vanish
+    assert(got((3L, 0L)) === "Ellipsis.")
+    assert(got((3L, 1L)) === "bang!")
+    assert(got.keys.count(_._1 == 3L) === 2)
+    assert(!got.keys.exists(_._1 == 4L) && !got.keys.exists(_._1 == 5L))
+    assert(got((6L, 0L)) === "Lead and newline.")
+    // sent_idx is the pre-filter match position: contiguous here
+    assert(got.keys.filter(_._1 == 1L).map(_._2).toSeq.sorted ===
+      Seq(0L, 1L, 2L, 3L))
+  }
 }
