@@ -785,6 +785,41 @@ object Corpus {
             x => x.getField("sentence")),
           " ").as("content_dedup"))
   }
+
+  /** Scalable global row numbering — `row_id` = 0-based rank of
+    * `keyCol` in corpus-total order — WITHOUT the classic trap of
+    * `row_number() OVER (ORDER BY key)`, whose empty partitionBy
+    * funnels 100 TB through ONE task. Three-step shape (the
+    * distributed zipWithIndex): (1) bucket every row by
+    * ⌊key/bucketWidth⌋ — order-aligned because div is monotone on
+    * non-negative keys; (2) count rows per bucket (one partial agg to
+    * a #buckets-sized frame) and prefix-sum the counts — the only
+    * single-partition window runs over that SMALL frame, thousands of
+    * rows, never the data; (3) broadcast the offsets back and
+    * row_number WITHIN each bucket (bucket-partitioned window — every
+    * executor sorts only its buckets). Offset + in-bucket rank − 1 is
+    * the exact global rank.
+    *
+    * Caller contract: `keyCol` non-negative and UNIQUE (ties would
+    * make the in-bucket order, hence the numbering, nondeterministic).
+    */
+  def globalRowNumber(df: DataFrame, keyCol: String,
+      bucketWidth: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val b = df.withColumn("__bucket", expr(s"$keyCol div $bucketWidth"))
+    val offsets = b.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    b.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("row_id", col("__offset") - 1 +
+        row_number().over(
+          Window.partitionBy(col("__bucket")).orderBy(col(keyCol))))
+      .drop("__bucket", "__offset")
+  }
 }
 
 /** Quantile normalization across heterogeneous sources — score

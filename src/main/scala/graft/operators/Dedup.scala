@@ -807,4 +807,54 @@ object Dedup {
         col("sz_b"),
         expr("(1000000 * inter) div (sz_a + sz_b - inter)").as("jacc_ppm"))
   }
+
+  /** Bounded edit-distance self-join — all pairs within Levenshtein
+    * distance ≤ `maxDist`, via LENGTH-BAND blocking: every string
+    * lands in bucket ⌊len/bandWidth⌋; the probe side additionally
+    * visits both neighbor buckets. Because dist ≤ k forces
+    * |len_a − len_b| ≤ k < bandWidth, a qualifying pair's buckets
+    * differ by at most 1, so the 3-bucket probe is COMPLETE — the
+    * blocking is a pure access path, provably lossless (same
+    * discipline as [[prefixFilterJaccardJoin]]'s prefix filter) — and
+    * each pair meets on exactly one bucket key (the left side's own
+    * bucket), so no dedup pass is needed.
+    *
+    * The distance itself uses Spark's thresholded `levenshtein(l, r,
+    * k)` — the banded DP that walks only the 2k+1 diagonal and bails
+    * out at −1 once the bound is exceeded — so per-candidate cost is
+    * O(k·len), not O(len²). 100 TB: one equi-join shuffle on the
+    * bucket key; candidate volume is bounded by bucket occupancy
+    * (strings of similar length), never all-pairs. Production
+    * tightens further with PassJoin-style segment filters; the
+    * length-band path is the exact, zero-loss baseline.
+    *
+    * Caller contract: ids unique, one row per id. Null text is
+    * treated as empty.
+    */
+  def editDistanceJoin(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, bandWidth: Int = 16): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(bandWidth > maxDist,
+      s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) or the " +
+        "neighbor-bucket probe loses pairs")
+    val base = docs.select(col(idCol).as("__id"),
+        coalesce(col(textCol).cast("string"), lit("")).as("__s"))
+      .withColumn("__len", length(col("__s")).cast("long"))
+      .withColumn("__b", expr(s"__len div $bandWidth"))
+    val a = base.select(col("__b"), col("__id").as("id_a"),
+      col("__s").as("s_a"), col("__len").as("len_a"))
+    val b = base.select(
+      explode(array(col("__b") - 1, col("__b"), col("__b") + 1))
+        .as("__b"),
+      col("__id").as("id_b"), col("__s").as("s_b"),
+      col("__len").as("len_b"))
+    a.join(b, Seq("__b"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"),
+        col("dist"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Urls
-import graft.operators.{Corpus, Dedup, Graph, HtmlExtract, Sketch, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Frontier, Graph, HtmlExtract, Sketch, TextAnalysis}
 
 /** Crawl front-end gates: HTML → clean text → scored blocks →
   * boilerplate-stripped content → (composed) quality filter + exact
@@ -471,6 +471,108 @@ object CrawlQueries extends QueryPack {
         |  url NOT IN (SELECT url FROM seen) AS is_new
         |FROM pp LEFT JOIN bm ON pp.p // 63 = bm.word_idx
         |GROUP BY 1
-        |ORDER BY url""".stripMargin))
+        |ORDER BY url""".stripMargin)),
+
+    // Inbound anchor-text aggregation — classic IR's "anchor text
+    // document": per TARGET url, count inlinks/distinct sources and
+    // collect the sorted distinct anchor texts. The fixture's third
+    // anchor uses a messy URL (caps, www, :80, fragment) that must
+    // FOLD into the same target via normalize, and an inner <b> that
+    // inlineText must strip — both contracts ride the gate.
+    "q332_anchor_text" -> Q(
+      (s, dir) => {
+        val html = Tables.documents(s, dir).select(col("doc_id"), concat(
+          lit("<div><a href=\"http://host"), col("doc_id") % 5,
+          lit(".com/p\">Site "), col("doc_id") % 5, lit("</a> "),
+          lit("<a href=\"http://host"), col("doc_id") % 5,
+          lit(".com/p\"><b>desc "), col("doc_id") % 3,
+          lit("</b></a> "),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("<a href=\"HTTP://WWW.Host"), col("doc_id") % 5,
+              lit(".COM:80/p#frag\">alias "), col("doc_id") % 4,
+              lit("</a>"))).otherwise(lit("")),
+          lit("</div>")).as("html"))
+        HtmlExtract.extractAnchors(html, "doc_id", "html")
+          .filter(Urls.host(col("href")) =!= "")
+          .withColumn("url", Urls.normalize(col("href")))
+          .groupBy(col("url"))
+          .agg(count(lit(1)).as("n_inlinks"),
+            countDistinct(col("doc_id")).as("n_sources"),
+            array_join(array_sort(collect_set(col("anchor"))), " | ")
+              .as("anchor_text"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH a AS (
+        |  SELECT doc_id, 'http://host' || (doc_id % 5) || '.com/p' AS url,
+        |    'Site ' || (doc_id % 5) AS anchor FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'http://host' || (doc_id % 5) || '.com/p',
+        |    'desc ' || (doc_id % 3) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'http://host' || (doc_id % 5) || '.com/p',
+        |    'alias ' || (doc_id % 4) FROM documents WHERE doc_id % 2 = 0)
+        |SELECT url, count(*) AS n_inlinks,
+        |  count(DISTINCT doc_id) AS n_sources,
+        |  string_agg(DISTINCT anchor, ' | ' ORDER BY anchor) AS anchor_text
+        |FROM a GROUP BY 1 ORDER BY url""".stripMargin)),
+
+    // Robots-gate the q331 frontier: RFC 9309 longest-match (rank =
+    // 2·prefix_len + isAllow, verdict by parity). The rule set covers
+    // every interesting shape — longer-allow-overrides-disallow
+    // (host0 /d/1*), site-wide disallow with a carve-out (host2),
+    // equal-length tie → allow wins (host3), targeted disallow
+    // (host4 /idx), empty-prefix disallow-everything (host5),
+    // explicit allow ≡ default allow (hub), and no-rules hosts
+    // (host1/host6) falling through to default-allow.
+    "q333_robots_gate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
+        val urls = links.filter(Urls.host(col("href")) =!= "")
+          .select(Urls.normalize(col("href")).as("url")).distinct()
+          .withColumn("host", Urls.host(col("url")))
+          .withColumn("path", Urls.path(col("url")))
+        val rules = Seq(
+          ("host0.com", "disallow", "/d/"),
+          ("host0.com", "allow", "/d/1"),
+          ("host2.com", "disallow", "/"),
+          ("host2.com", "allow", "/d/2"),
+          ("host3.com", "disallow", "/d/"),
+          ("host3.com", "allow", "/d/"),
+          ("host4.com", "disallow", "/idx"),
+          ("host5.com", "disallow", ""),
+          ("hub.example.com", "allow", "")
+        ).toDF("host", "rtype", "prefix")
+        Frontier.robotsGate(urls, rules).orderBy(col("url"))
+      },
+      Some("""WITH u AS (
+        |  SELECT DISTINCT
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id ||
+        |      '?x=' || doc_id AS url,
+        |    'host' || (doc_id % 7) || '.com' AS host,
+        |    '/d/' || doc_id AS path
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT
+        |    'http://host' || ((doc_id + 3) % 7) || '.com/idx',
+        |    'host' || ((doc_id + 3) % 7) || '.com', '/idx'
+        |  FROM documents
+        |  UNION
+        |  SELECT 'http://hub.example.com/h', 'hub.example.com', '/h'),
+        |rules(host, rtype, prefix) AS (VALUES
+        |  ('host0.com','disallow','/d/'), ('host0.com','allow','/d/1'),
+        |  ('host2.com','disallow','/'), ('host2.com','allow','/d/2'),
+        |  ('host3.com','disallow','/d/'), ('host3.com','allow','/d/'),
+        |  ('host4.com','disallow','/idx'), ('host5.com','disallow',''),
+        |  ('hub.example.com','allow','')),
+        |j AS (SELECT u.url, u.host, u.path,
+        |  CASE WHEN r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)
+        |    THEN CAST(2 * length(r.prefix) +
+        |      CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END AS BIGINT)
+        |  END AS rnk
+        |  FROM u LEFT JOIN rules r USING (host))
+        |SELECT url, host, path, max(rnk) AS rule_rank,
+        |  coalesce(max(rnk), 1) % 2 = 1 AS allowed
+        |FROM j GROUP BY 1, 2, 3 ORDER BY url""".stripMargin))
   )
 }

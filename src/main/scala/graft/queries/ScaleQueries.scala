@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Corpus, Dedup}
+
+/** Scale-pattern gates: operators whose whole point is the DISTRIBUTED
+  * shape — provably-lossless blocking instead of all-pairs, bucketed
+  * numbering instead of a single-partition window. Each oracle states
+  * the naive global semantics; the Spark side must reproduce it bit-
+  * for-bit through the scalable access path.
+  */
+object ScaleQueries extends QueryPack {
+
+  override def defs: Map[String, Q] = Map(
+
+    // Bounded edit-distance self-join over variable-length titles
+    // (16..32 chars, so the length bands at width 8 genuinely
+    // partition and adjacent-band pairs exist). The oracle is the
+    // ALL-PAIRS definition — proving the band blocking loses nothing
+    // — while the Spark side only ever compares within a 3-bucket
+    // neighborhood using the thresholded O(k·n) banded DP.
+    "q334_edit_distance_join" -> Q(
+      (s, dir) => {
+        val titles = Tables.documents(s, dir).select(col("doc_id"),
+          expr("substring(text, 1, 16 + doc_id % 17)").as("title"))
+        Dedup.editDistanceJoin(titles, "doc_id", "title",
+            maxDist = 2, bandWidth = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    substr(coalesce(text, ''), 1, CAST(16 + doc_id % 17 AS INT))
+        |      AS title
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(length(a.title) AS BIGINT) AS len_a,
+        |  CAST(length(b.title) AS BIGINT) AS len_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.title) - length(b.title)) <= 2
+        |  AND levenshtein(a.title, b.title) <= 2
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Scalable global row numbering: the oracle is the naive
+    // row_number() OVER (ORDER BY doc_id) — which Spark would execute
+    // through ONE partition — while the Spark side takes the bucketed
+    // count/offset/in-bucket-rank path and must land on identical ids.
+    "q335_global_row_number" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Corpus.globalRowNumber(d, "doc_id", bucketWidth = 32L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

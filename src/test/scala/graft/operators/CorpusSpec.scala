@@ -498,4 +498,17 @@ class CorpusSpec extends SparkSpec {
     assert(e(11L) === ((1L, 1L, "")))
     assert(!e.contains(12L) && !e.contains(13L) && !e.contains(14L))
   }
+
+  test("globalRowNumber: bucketed ranks equal the naive global order") {
+    import spark.implicits._
+    // sparse, shuffled keys incl. empty buckets and a bucket boundary
+    val keys = Seq(7L, 0L, 15L, 16L, 3L, 100L, 31L, 32L, 99L)
+    val df = keys.toDF("k")
+    val got = Corpus.globalRowNumber(df, "k", bucketWidth = 16L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = keys.sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    assert(got === want)
+    assert(Corpus.globalRowNumber(df.filter(col("k") < 0), "k").count() === 0L)
+  }
 }

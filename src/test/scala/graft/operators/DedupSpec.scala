@@ -506,4 +506,30 @@ class DedupSpec extends SparkSpec {
     val near = got(1) // inter 3, union 5 → 600000 ppm
     assert(near.getLong(2) === 3L && near.getLong(5) === 600000L)
   }
+
+  test("editDistanceJoin: band blocking is lossless at bucket edges") {
+    import spark.implicits._
+    // lengths 7 and 9 straddle the width-8 bucket boundary (buckets
+    // 0 and 1) — the pair MUST still meet via the neighbor probe
+    val docs = Seq(
+      (1L, "abcdefg"),     // len 7, bucket 0
+      (2L, "abcdefghi"),   // len 9, bucket 1, dist 2 from doc 1
+      (3L, "abcdefghijk"), // len 11: dist 2 from doc 2; the length
+                           // filter kills it vs doc 1 (diff 4)
+      (4L, "zzzzzzzzz"),   // len 9, same bucket as 2, dist > 2
+      (5L, null.asInstanceOf[String]), (6L, "")) // null ≡ empty: dist 0
+      .toDF("id", "s")
+    val got = Dedup.editDistanceJoin(docs, "id", "s", maxDist = 2,
+        bandWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    assert(got === Map((1L, 2L) -> 2L, (2L, 3L) -> 2L, (5L, 6L) -> 0L))
+
+    // each qualifying pair appears exactly once (no neighbor-probe
+    // double count), and maxDist must stay under the band width
+    assert(got.size === 3)
+    assertThrows[IllegalArgumentException] {
+      Dedup.editDistanceJoin(docs, "id", "s", maxDist = 8, bandWidth = 8)
+    }
+  }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** RFC 9309 longest-match semantics on hand-built rule/url fixtures —
+  * every branch of the rank-parity resolution.
+  */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gate(urls: Seq[(String, String, String)],
+      rules: Seq[(String, String, String)]): Map[String, (Option[Long], Boolean)] =
+    Frontier.robotsGate(
+        urls.toDF("url", "host", "path"),
+        rules.toDF("host", "rtype", "prefix"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))))
+      .toMap
+
+  test("longest prefix wins; allow beats disallow on a tie") {
+    val rules = Seq(
+      ("h.com", "disallow", "/d/"),
+      ("h.com", "allow", "/d/keep"),
+      ("t.com", "disallow", "/p"),
+      ("t.com", "allow", "/p"))
+    val got = gate(Seq(
+      ("u1", "h.com", "/d/x"),        // only /d/ matches → blocked
+      ("u2", "h.com", "/d/keeper"),   // longer allow overrides
+      ("u3", "h.com", "/other"),      // no rule → default allow
+      ("u4", "t.com", "/page"),       // equal length tie → allow
+      ("u5", "x.com", "/d/x")         // host with no rules at all
+    ), rules)
+    assert(got("u1") === ((Some(6L), false)))
+    assert(got("u2") === ((Some(15L), true)))
+    assert(got("u3") === ((None, true)))
+    assert(got("u4") === ((Some(5L), true)))
+    assert(got("u5") === ((None, true)))
+  }
+
+  test("empty prefix matches every path; rules are host-isolated") {
+    val rules = Seq(("a.com", "disallow", ""), ("b.com", "allow", ""))
+    val got = gate(Seq(
+      ("a1", "a.com", "/any"), ("a2", "a.com", ""),
+      ("b1", "b.com", "/any"), ("c1", "c.com", "/any")), rules)
+    assert(got("a1") === ((Some(0L), false)))
+    assert(got("a2") === ((Some(0L), false)))
+    assert(got("b1") === ((Some(1L), true)))
+    assert(got("c1") === ((None, true)))
+  }
+}

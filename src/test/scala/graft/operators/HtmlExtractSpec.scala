@@ -128,6 +128,21 @@ class HtmlExtractSpec extends SparkSpec {
     assert(HtmlExtract.extractLinks(df, "id", "h").count() === 0L)
   }
 
+  test("extractAnchors: href + cleaned inner text, quoting contract") {
+    val df = Seq((1L,
+      "<p><a href=\"http://a/1\">First  <b>bold</b></a>" +
+        "<a href='http://skip/sq'>sq</a>" +
+        "<a class=\"x\" href=\"http://a/2\" rel=\"nofollow\">&lt;2&gt;</a>" +
+        "<!-- <a href=\"http://dead/\">gone</a> -->" +
+        "<a href=\"http://a/3\"></a></p>")).toDF("id", "h")
+    val got = HtmlExtract.extractAnchors(df, "id", "h")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (0L, "http://a/1", "First bold"),   // inline tag stripped, ws collapsed
+      (1L, "http://a/2", "<2>"),          // entities decode in anchor text
+      (2L, "http://a/3", "")))            // empty anchor body survives as ""
+  }
+
   test("htmlToText: null html extracts to null, empty to empty") {
     val df = Seq(Some("<p></p>"), None)
       .toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))
