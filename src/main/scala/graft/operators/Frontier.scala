@@ -48,4 +48,23 @@ object Frontier {
       .withColumn("allowed",
         coalesce(col("rule_rank"), lit(1L)) % 2 === 1)
   }
+
+  /** Politeness scheduling: deterministic per-host fetch ordering and
+    * slot assignment — `fetch_seq` = 0-based rank of the URL within
+    * its host (by URL order), `fetch_slot` = ⌊seq/perHostPerSlot⌋, so
+    * a fetcher draining one slot per politeness interval hits each
+    * host at most `perHostPerSlot` times per interval. The window is
+    * HOST-partitioned — the scalable axis: hosts spread across
+    * executors, and no host's queue is longer than its own URL count.
+    */
+  def politenessSlots(urls: DataFrame, perHostPerSlot: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perHostPerSlot >= 1,
+      s"perHostPerSlot must be >= 1, got $perHostPerSlot")
+    urls.withColumn("fetch_seq",
+        row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("url")))
+          .cast("long") - 1)
+      .withColumn("fetch_slot", expr(s"fetch_seq div $perHostPerSlot"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Urls
-import graft.operators.{Corpus, Dedup, Frontier, Graph, HtmlExtract, Sketch, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Frontier, Graph, HtmlExtract, Sketch, TextAnalysis, Warc}
 
 /** Crawl front-end gates: HTML → clean text → scored blocks →
   * boilerplate-stripped content → (composed) quality filter + exact
@@ -573,6 +573,76 @@ object CrawlQueries extends QueryPack {
         |  FROM u LEFT JOIN rules r USING (host))
         |SELECT url, host, path, max(rnk) AS rule_rank,
         |  coalesce(max(rnk), 1) % 2 = 1 AS allowed
-        |FROM j GROUP BY 1, 2, 3 ORDER BY url""".stripMargin))
+        |FROM j GROUP BY 1, 2, 3 ORDER BY url""".stripMargin)),
+
+    // WARC-ish container round trip: build length-prefixed record
+    // containers (≤32 records each), then parse them back by walking
+    // Content-Length — NEVER by marker scanning. Every payload embeds
+    // a fake "WARC/1.0 + Content-Length + CRLFCRLF" banner that a
+    // split-on-marker parser would trip over; the oracle reconstructs
+    // the records from first principles, so a single mis-walked
+    // offset anywhere in any container fails the hash.
+    "q336_warc_parse" -> Q(
+      (s, dir) => {
+        val recs = Tables.documents(s, dir).select(
+          col("doc_id"), expr("doc_id div 32").as("file_id"),
+          concat(lit("http://host"), col("doc_id") % 7, lit(".com/d/"),
+            col("doc_id")).as("uri"),
+          concat(lit("<html><body><p>"),
+            substring(coalesce(col("text"), lit("")), 1, 40),
+            lit("</p> WARC/1.0\r\nContent-Length: 999\r\n\r\n" +
+              "trap</body></html>")).as("payload"))
+        val containers =
+          Warc.buildContainers(recs, "file_id", "doc_id", "uri", "payload")
+        Warc.parseRecords(containers, "file_id", "warc", maxRecords = 40)
+          .orderBy(col("file_id"), col("rec_idx"))
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, doc_id // 32 AS file_id,
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS uri,
+        |    '<html><body><p>' || substr(coalesce(text, ''), 1, 40) ||
+        |      '</p> WARC/1.0' || chr(13) || chr(10) ||
+        |      'Content-Length: 999' || chr(13) || chr(10) ||
+        |      chr(13) || chr(10) || 'trap</body></html>' AS payload
+        |  FROM documents)
+        |SELECT file_id,
+        |  row_number() OVER (PARTITION BY file_id ORDER BY doc_id) - 1
+        |    AS rec_idx,
+        |  uri AS target_uri,
+        |  CAST(length(payload) AS BIGINT) AS content_length, payload
+        |FROM p ORDER BY file_id, rec_idx""".stripMargin)),
+
+    // Politeness scheduling over the robots-era frontier: per-host
+    // fetch sequence + slot at 16 fetches/host/interval. The window
+    // is host-partitioned — the gate proves slot algebra AND the
+    // deterministic per-host URL order.
+    "q337_politeness_slots" -> Q(
+      (s, dir) => {
+        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
+        val urls = links.filter(Urls.host(col("href")) =!= "")
+          .select(Urls.normalize(col("href")).as("url")).distinct()
+          .withColumn("host", Urls.host(col("url")))
+        Frontier.politenessSlots(urls, perHostPerSlot = 16)
+          .orderBy(col("url"))
+      },
+      Some("""WITH u AS (
+        |  SELECT DISTINCT
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id ||
+        |      '?x=' || doc_id AS url,
+        |    'host' || (doc_id % 7) || '.com' AS host
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT
+        |    'http://host' || ((doc_id + 3) % 7) || '.com/idx',
+        |    'host' || ((doc_id + 3) % 7) || '.com'
+        |  FROM documents
+        |  UNION
+        |  SELECT 'http://hub.example.com/h', 'hub.example.com'),
+        |r AS (SELECT url, host,
+        |  row_number() OVER (PARTITION BY host ORDER BY url) - 1
+        |    AS fetch_seq
+        |  FROM u)
+        |SELECT url, host, fetch_seq, fetch_seq // 16 AS fetch_slot
+        |FROM r ORDER BY url""".stripMargin))
   )
 }

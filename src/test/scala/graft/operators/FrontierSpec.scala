@@ -48,4 +48,18 @@ class FrontierSpec extends SparkSpec {
     assert(got("b1") === ((Some(1L), true)))
     assert(got("c1") === ((None, true)))
   }
+
+  test("politenessSlots: host-local sequence and slot boundaries") {
+    val urls = (0 until 5).map(i => (s"http://a/$i", "a.com")) ++
+      Seq(("http://b/x", "b.com"))
+    val got = Frontier.politenessSlots(
+        urls.toDF("url", "host"), perHostPerSlot = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("http://a/0") === ((0L, 0L)))
+    assert(got("http://a/1") === ((1L, 0L)))
+    assert(got("http://a/2") === ((2L, 1L)))
+    assert(got("http://a/4") === ((4L, 2L)))
+    assert(got("http://b/x") === ((0L, 0L))) // hosts are independent
+  }
 }
