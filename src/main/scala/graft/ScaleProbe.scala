@@ -236,6 +236,58 @@ object ScaleProbe {
           "doc_id", "text", shingleN = 1, k = 32, bands = 16,
           threshold = 0.9)
       }
+      // q330 shape: corpus-global sentence dedup — deliberately
+      // UNtagged copies: ×N instances per sentence fingerprint is
+      // exactly the hot path global dedup exists for (owner agg +
+      // fp-keyed join back)
+      time("q330_sentence_dedup", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"),
+            regexp_replace(coalesce(col("text"), lit("")),
+              "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+        graft.operators.Corpus.dedupSentences(docs, "doc_id", "t")
+      }
+      // q334 shape: length-band edit-distance join. Copies tagged or
+      // not, candidates are length-blocked only, so per-band
+      // occupancy grows ×N and candidate volume ×N² — that is the
+      // honest limit of the band baseline (the PassJoin variant is
+      // the scale path; probe both)
+      time("q334_edit_band", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        val titles = docs.select(col("doc_id"),
+          expr("substring(text, 1, 16 + doc_id % 17)").as("title"))
+        graft.operators.Dedup.editDistanceJoin(titles, "doc_id",
+          "title", maxDist = 2, bandWidth = 8)
+      }
+      // q338 shape: PassJoin on the SAME titles as q334_edit_band —
+      // the contrast probe: segment equi-join keys are content-
+      // selective, so candidate volume should stay near-linear where
+      // the band join's cohort pairs grow ×N²
+      time("q338_passjoin", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        val titles = docs.select(col("doc_id"),
+          expr("substring(text, 1, 16 + doc_id % 17)").as("title"))
+        graft.operators.Dedup.passJoinEditDistance(titles, "doc_id",
+          "title", maxDist = 2)
+      }
+      // q336 shape: WARC container build + Content-Length walk —
+      // container count grows ×N at fixed records/container; the
+      // fold is per-row algebra, expectation is clean linear
+      time("q336_warc_parse", n) {
+        val recs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"), expr("doc_id div 32").as("file_id"),
+            concat(lit("http://h/"), col("doc_id")).as("uri"),
+            concat(lit("<p>"),
+              substring(coalesce(col("text"), lit("")), 1, 40),
+              lit(" WARC/1.0\r\n\r\ntrap</p>")).as("payload"))
+        val c = graft.operators.Warc.buildContainers(
+          recs, "file_id", "doc_id", "uri", "payload")
+        graft.operators.Warc.parseRecords(c, "file_id", "warc", 40)
+      }
       // q227 shape: item-item CF — both keys shift, so copies are
       // disjoint basket universes and the census grows exactly ×N
       // (pair work stays C(basket, 2)-bounded per basket)

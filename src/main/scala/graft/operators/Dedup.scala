@@ -857,4 +857,111 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"),
         col("dist"))
   }
+
+  /** PassJoin segment-filtered edit-distance self-join (Li, Deng &
+    * Feng, VLDB 2011) — the CONTENT-selective scale path where
+    * [[editDistanceJoin]]'s length bands are the exact baseline.
+    *
+    * Pigeonhole core: partition s (length m) into k+1 segments; any t
+    * with ed(s,t) ≤ k has ≥ 1 segment untouched by every edit, so
+    * that segment appears VERBATIM in t, shifted by at most the net
+    * indels before it (≤ k). Candidate generation is therefore an
+    * EQUI-join: the index side emits each string's k+1 (segment text,
+    * segment idx, m) keys; the probe side emits, for every candidate
+    * partner length m ∈ [len−k, len+k] and segment j, the substrings
+    * of itself at the segment's position ±k — a CONSTANT (2k+1)·(k+1)
+    * ·(≤2k+1) keys per string. Both directions of a true pair carry
+    * the guarantee, so keeping only (index id < probe id) loses
+    * nothing. Survivors get the thresholded O(k·n) banded-DP verify.
+    *
+    * 100 TB: join fan-in is per-(segment-text) — content-proportional
+    * like the PPJoin prefix filter, NOT length-cohort-quadratic; the
+    * position+index+length key splits even popular substrings. One
+    * equi-join shuffle + one verify join; no window, no driver state.
+    * Degenerate strings shorter than k+1 chars can't be segmented;
+    * they pair against everything ≤ 2k chars through a single "tiny"
+    * bucket (bounded: both sides are ≤ 2k-char strings).
+    *
+    * Same output contract as [[editDistanceJoin]] and provably the
+    * same rows.
+    */
+  def passJoinEditDistance(docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val k = maxDist
+    val k1 = k + 1
+    val base = docs.select(col(idCol).as("__id"),
+        coalesce(col(textCol).cast("string"), lit("")).as("__s"))
+      .withColumn("__m", length(col("__s")).cast("long"))
+
+    // seg-j start/len for a length-m string: first k1−rem segments
+    // get ⌊m/k1⌋ chars, the last rem get one extra
+    def segBase(m: Column) = ((m - m % k1) / k1).cast("long")
+    def segLen(m: Column, j: Column) =
+      segBase(m) + when(j > lit(k1.toLong) - m % k1, 1L).otherwise(0L)
+    def segStart(m: Column, j: Column) =
+      lit(1L) + (j - 1L) * segBase(m) +
+        greatest(j - 1L - (lit(k1.toLong) - m % k1), lit(0L))
+
+    val emptyLongs = array().cast("array<bigint>")
+    def seqSafe(lo: Column, hi: Column) =
+      when(lo <= hi, sequence(lo, hi)).otherwise(emptyLongs)
+
+    // ---- index side: the k+1 segments of every (segmentable) string
+    val indexKeys = base.filter(col("__m") >= k1)
+      .select(col("__id").as("id_s"), col("__s").as("s_s"),
+        col("__m").as("m"),
+        explode(transform(sequence(lit(1L), lit(k1.toLong)), j =>
+          struct(j.as("j"), segStart(col("__m"), j).as("p"),
+            segLen(col("__m"), j).as("l")))).as("g"))
+      .select(col("id_s"), col("m"), col("g.j").as("j"),
+        col("s_s").substr(col("g.p"), col("g.l")).as("seg"))
+
+    // ---- probe side: for each partner length m and segment j, my
+    // substrings at the segment position ±k (clamped in-bounds)
+    val probeKeys = base.filter(col("__m") >= 1)
+      .select(col("__id").as("id_t"), col("__s").as("s_t"),
+        col("__m").as("mt"),
+        explode(flatten(transform(
+          seqSafe(greatest(col("__m") - k, lit(k1.toLong)), col("__m") + k),
+          mC => flatten(transform(sequence(lit(1L), lit(k1.toLong)), j =>
+            transform(
+              seqSafe(greatest(segStart(mC, j) - k, lit(1L)),
+                least(segStart(mC, j) + k,
+                  col("__m") - segLen(mC, j) + 1L)),
+              q => struct(mC.as("m"), j.as("j"), q.as("q"),
+                segLen(mC, j).as("l")))))))).as("g"))
+      .select(col("id_t"), col("g.m").as("m"), col("g.j").as("j"),
+        col("s_t").substr(col("g.q"), col("g.l")).as("seg"))
+
+    val mainCand = indexKeys.join(probeKeys, Seq("m", "j", "seg"))
+      .filter(col("id_s") < col("id_t"))
+      .select(col("id_s").as("id_a"), col("id_t").as("id_b"))
+
+    // ---- tiny bucket: strings of ≤ k chars can't be segmented; any
+    // partner within distance k has ≤ 2k chars
+    val tiny = base.filter(col("__m") <= k)
+      .select(lit(1).as("__k"), col("__id").as("id_s"))
+    val small = base.filter(col("__m") <= 2L * k)
+      .select(lit(1).as("__k"), col("__id").as("id_t"))
+    val tinyCand = tiny.join(small, Seq("__k"))
+      .filter(col("id_s") =!= col("id_t"))
+      .select(least(col("id_s"), col("id_t")).as("id_a"),
+        greatest(col("id_s"), col("id_t")).as("id_b"))
+
+    val cand = mainCand.union(tinyCand).distinct()
+
+    // ---- verify
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__s").as("s_a"),
+        col("__m").as("len_a")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__s").as("s_b"),
+        col("__m").as("len_b")), Seq("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= k)
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), k).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"),
+        col("dist"))
+  }
 }

@@ -56,6 +56,32 @@ object ScaleQueries extends QueryPack {
       },
       Some("""SELECT doc_id, lang, n_chars,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS row_id
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PassJoin (Li/Deng/Feng 2011) segment-filtered edit-distance
+    // join, against the SAME all-pairs oracle semantics as q334 —
+    // but over titles of 24..40 chars, where q334's length bands
+    // collapse into one cohort and only the segment equi-join keeps
+    // candidates content-proportional. Zero-loss is the gate.
+    "q338_passjoin_edit_distance" -> Q(
+      (s, dir) => {
+        val titles = Tables.documents(s, dir).select(col("doc_id"),
+          expr("substring(text, 1, 24 + doc_id % 17)").as("title"))
+        Dedup.passJoinEditDistance(titles, "doc_id", "title", maxDist = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    substr(coalesce(text, ''), 1, CAST(24 + doc_id % 17 AS INT))
+        |      AS title
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(length(a.title) AS BIGINT) AS len_a,
+        |  CAST(length(b.title) AS BIGINT) AS len_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.title) - length(b.title)) <= 2
+        |  AND levenshtein(a.title, b.title) <= 2
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }

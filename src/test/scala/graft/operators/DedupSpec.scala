@@ -532,4 +532,44 @@ class DedupSpec extends SparkSpec {
       Dedup.editDistanceJoin(docs, "id", "s", maxDist = 8, bandWidth = 8)
     }
   }
+
+  test("passJoinEditDistance ≡ band join on an adversarial corpus") {
+    import spark.implicits._
+    // deterministic corpus: hash-derived strings over a 4-letter
+    // alphabet (collision-rich), planted 1/2-edit neighbors, repeated
+    // strings, tiny strings (≤ k), empties, and a null
+    def mk(seed: Int, len: Int): String =
+      (0 until len).map { i =>
+        "abcd".charAt(((seed * 31 + i * 7) % 97) % 4)
+      }.mkString
+    val baseRows = (0 until 60).map { i => (i.toLong, mk(i, 8 + i % 9)) }
+    val planted = Seq(
+      (100L, mk(3, 12)),                       // exact dup of id 3
+      (101L, mk(3, 12).drop(1)),               // 1 deletion
+      (102L, "x" + mk(3, 12).tail),            // 1 substitution
+      (103L, mk(3, 12) + "yz"),                // 2 insertions
+      (104L, mk(7, 14).updated(2, 'z').updated(9, 'z').toString),
+      (200L, ""), (201L, "a"), (202L, "ab"),   // tiny bucket
+      (203L, "ba"), (204L, null.asInstanceOf[String]))
+    val docs = (baseRows ++ planted).toDF("id", "s")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val band = rows(Dedup.editDistanceJoin(docs, "id", "s", maxDist = 2,
+      bandWidth = 8))
+    val pass = rows(Dedup.passJoinEditDistance(docs, "id", "s",
+      maxDist = 2))
+    assert(pass === band)
+    // sanity: the planted neighbors are actually in the result
+    // (id 3's own string is mk(3, 11) — one char shorter than the
+    // mk(3, 12) plant, so its distances run 1/2/2; the dist-2 "yz"
+    // plant pairs with its dist-0 base 100, not with id 3)
+    val pairs = pass.map(t => (t._1, t._2))
+    assert(pairs.contains((3L, 100L)) && pairs.contains((3L, 101L)) &&
+      pairs.contains((3L, 102L)))
+    assert(pairs.contains((100L, 101L)) && pairs.contains((100L, 103L)))
+    assert(pairs.contains((200L, 201L)) && pairs.contains((202L, 203L)))
+    assert(pairs.contains((200L, 204L))) // null ≡ empty, dist 0
+  }
 }
