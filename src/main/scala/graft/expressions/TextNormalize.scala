@@ -129,6 +129,47 @@ case class PostalCharsValid(child: Expression)
       newChild: Expression): PostalCharsValid = copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical decomposition + canonical
+  * composition) as a native codegen'd expression — the encoding-QA
+  * step a multilingual crawl needs before any fingerprint/dedup pass:
+  * "é" arrives both precomposed (U+00E9) and decomposed (e + U+0301)
+  * in the wild, and un-normalized text makes exact dedup silently
+  * miss byte-different/canonically-equal duplicates.
+  *
+  * Spark has no built-in; a Scala UDF would break codegen and pay
+  * serialization. Implementation defers to `java.text.Normalizer`
+  * (ICU-grade tables shipped in the JDK) behind the same
+  * reference-object codegen playbook as [[SanitizeValidName]], with a
+  * fast pre-check (`Normalizer.isNormalized`) so the common
+  * already-NFC case allocates nothing. Cross-engine parity with
+  * DuckDB's `nfc_normalize` is hash-gated (q339).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_normalize"
+
+  /** Public for the generated code's reference-object call. */
+  def nfc(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfc", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nfc($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
 object TextNormalize {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{coalesce, lit, when}
@@ -149,4 +190,8 @@ object TextNormalize {
   def validPostal(c: Column, fallback: Column): Column =
     when(Bridge.column(PostalCharsValid(Bridge.expression(c))), c)
       .otherwise(fallback)
+
+  /** Native Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfcNative(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 }

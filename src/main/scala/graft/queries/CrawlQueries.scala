@@ -643,6 +643,42 @@ object CrawlQueries extends QueryPack {
         |    AS fetch_seq
         |  FROM u)
         |SELECT url, host, fetch_seq, fetch_seq // 16 AS fetch_slot
-        |FROM r ORDER BY url""".stripMargin))
+        |FROM r ORDER BY url""".stripMargin)),
+
+    // Unicode NFC normalization (native codegen'd expression backed
+    // by the JDK's normalizer) vs DuckDB's nfc_normalize — the
+    // charset-hygiene step between fetch and fingerprint: the fixture
+    // plants decomposed e/u/A/o + combining marks next to their
+    // precomposed forms, so len_raw > len_nfc exactly where
+    // composition fires, and any table or ordering divergence
+    // between the two engines' NFC implementations fails the hash.
+    "q339_nfc_normalize" -> Q(
+      (s, dir) => {
+        val raw = Tables.documents(s, dir).select(col("doc_id"),
+          concat(substring(coalesce(col("text"), lit("")), 1, 12),
+            lit(" éclair état über" +
+              " Ångström"),
+            when(col("doc_id") % 2 === 0, lit(" gáteau"))
+              .otherwise(lit(""))).as("raw"))
+        raw.select(col("doc_id"), col("raw"),
+            graft.expressions.TextNormalize.nfcNative(col("raw"))
+              .as("nfc"))
+          .withColumn("len_raw", length(col("raw")).cast("long"))
+          .withColumn("len_nfc", length(col("nfc")).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (
+        |  SELECT doc_id,
+        |    substr(coalesce(text, ''), 1, 12) ||
+        |    ' e' || chr(769) || 'clair ' || chr(233) || 'tat u' ||
+        |    chr(776) || 'ber A' || chr(778) || 'ngstro' || chr(776) ||
+        |    'm' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' ga' || chr(769) || 'teau'
+        |         ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+        |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

@@ -87,4 +87,31 @@ class TextNormalizeSpec extends SparkSpec {
     assert(got(5) === "Invalid")   // é kept by sanitize, not a name char
     assert(got(6) === "x" * 40)    // cap counts kept chars only
   }
+
+  test("nfcNative: composition goldens + codegen ≡ interpreted") {
+    import spark.implicits._
+    import java.text.Normalizer
+    val cases = Seq("é", "é", "über", "Å",
+      "already plain", "", "中文", "🙂x", "가",
+      "ö́", "q̣̇", null) // reorderable marks
+    val got = cases.toDF("s")
+      .select(col("s"), TextNormalize.nfcNative(col("s")).as("n"))
+      .collect()
+      .map(r => Option(r.getString(0)) -> Option(r.getString(1))).toMap
+    cases.foreach {
+      case null => assert(got(None).isEmpty)
+      case s => assert(got(Some(s)) ===
+        Some(Normalizer.normalize(s, Normalizer.Form.NFC)), s"'$s'")
+    }
+    assert(got(Some("é")) === Some("é"))
+    assert(got(Some("가")) === Some("가")) // jamo → 가
+    // interpreted path: direct eval on catalyst literals
+    cases.filter(_ != null).foreach { s =>
+      val e = NfcNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          s, org.apache.spark.sql.types.StringType))
+      assert(e.eval(null).toString ===
+        Normalizer.normalize(s, Normalizer.Form.NFC), s"interp '$s'")
+    }
+  }
 }
