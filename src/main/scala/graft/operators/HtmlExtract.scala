@@ -168,6 +168,38 @@ object HtmlExtract {
         inlineText(regexp_extract(col("elem"), anchorElemPat, 2))
           .as("anchor"))
 
+  /** Head-metadata patterns — double-quoted attributes, fixed
+    * attribute order (name/property/rel before content/href), the
+    * same quoting contract as [[hrefPat]].
+    */
+  val titlePat: String = "(?is)<title\\b[^>]*>(.*?)</title>"
+  val metaDescPat: String =
+    "(?is)<meta\\s+name=\"description\"\\s+content=\"([^\"]*)\""
+  val ogTitlePat: String =
+    "(?is)<meta\\s+property=\"og:title\"\\s+content=\"([^\"]*)\""
+  val canonicalPat: String =
+    "(?is)<link\\s+rel=\"canonical\"\\s+href=\"([^\"]+)\""
+
+  /** Document head metadata — (id, title, meta_desc, og_title,
+    * canonical, display_title): first match of each pattern over the
+    * non-content-stripped page, inner text cleaned to one line;
+    * `display_title` is the indexing fallback chain og:title →
+    * `<title>` → "". Pure projection, rides the scan.
+    */
+  def extractHeadMeta(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val h = dropNonContent(col(htmlCol))
+    def first(pat: String) = inlineText(regexp_extract(h, pat, 1))
+    val title = first(titlePat)
+    val og = first(ogTitlePat)
+    df.select(col(idCol), title.as("title"),
+        first(metaDescPat).as("meta_desc"), og.as("og_title"),
+        regexp_extract(h, canonicalPat, 1).as("canonical"))
+      .withColumn("display_title",
+        when(col("og_title") =!= "", col("og_title"))
+          .otherwise(col("title")))
+  }
+
   /** The boilerplate rule: a block is CONTENT iff its link density is
     * at or below `maxLinkPpm` AND it carries at least `minWords`
     * words. Navigation bars fail the first test, headers/footers/

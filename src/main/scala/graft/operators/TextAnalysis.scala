@@ -52,6 +52,32 @@ object TextAnalysis {
         trim(regexp_replace(col("raw"), "\\s+", " ")).as("sentence"))
       .filter(length(col("sentence")) > 0)
 
+  /** Mojibake digraph pattern: a UTF-8 2-byte sequence (lead C2/C3,
+    * continuation 80–BF) mis-decoded as Latin-1 renders as Â/Ã + one
+    * char from U+0080–U+00BF — the signature of the single most
+    * common encoding bug in crawled text ("é" → "Ã©"). Covers the
+    * whole Latin-1 supplement (every non-ASCII latin-1 char UTF-8-
+    * encodes with lead C2 or C3).
+    */
+  val mojibakePat: String = "[\\u00C2\\u00C3][\\u0080-\\u00BF]"
+
+  def mojibakeHits(c: Column): Column =
+    size(regexp_extract_all(c, lit(mojibakePat), lit(0))).cast("long")
+
+  /** ftfy-style repair of UTF-8-read-as-Latin-1 text: re-encode the
+    * chars as the Latin-1 bytes they were mistaken for, then decode
+    * those bytes as the UTF-8 they really are. Applied only when the
+    * digraph signature fires AND every char is ≤ U+00FF (so the
+    * Latin-1 re-encode is total); anything else passes through
+    * untouched. Pure codegen'd projection — encode/decode are
+    * built-ins, no UDF. Note: a stray lead byte without continuation
+    * would decode to U+FFFD under Java's REPLACE policy; the digraph
+    * guard makes that reachable only for genuinely corrupt input.
+    */
+  def repairMojibake(c: Column): Column =
+    when(mojibakeHits(c) > 0 && c.rlike("^[\\u0000-\\u00FF]*$"),
+      decode(encode(c, "ISO-8859-1"), "UTF-8")).otherwise(c)
+
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alnum marks — the standard pre-tokenizer shape.
     */

@@ -679,6 +679,80 @@ object CrawlQueries extends QueryPack {
         |SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
         |  CAST(length(raw) AS BIGINT) AS len_raw,
         |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
-        |FROM r ORDER BY doc_id""".stripMargin))
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ftfy-style mojibake repair: odd docs carry UTF-8-read-as-
+    // Latin-1 garble ("é"→"Ã©"), even docs are clean. The oracle
+    // synthesizes BOTH the garbled bytes and the repaired text
+    // analytically (chr arithmetic + replace), so the Spark side's
+    // digraph detector and encode/decode round trip are proven
+    // against an independent derivation — including that clean text
+    // passes through untouched.
+    "q340_mojibake_repair" -> Q(
+      (s, dir) => {
+        val clean = concat(
+          substring(coalesce(col("text"), lit("")), 1, 12),
+          lit(" éclair über gâteau"))
+        Tables.documents(s, dir).select(col("doc_id"),
+            when(col("doc_id") % 2 === 1,
+              decode(encode(clean, "UTF-8"), "ISO-8859-1"))
+              .otherwise(clean).as("raw"))
+          .select(col("doc_id"), col("raw"),
+            TextAnalysis.mojibakeHits(col("raw")).as("hits"),
+            TextAnalysis.repairMojibake(col("raw")).as("repaired"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+        |  SELECT doc_id, substr(coalesce(text, ''), 1, 12) ||
+        |    ' ' || chr(233) || 'clair ' || chr(252) || 'ber g' ||
+        |    chr(226) || 'teau' AS clean
+        |  FROM documents),
+        |r AS (SELECT doc_id, clean,
+        |  CASE WHEN doc_id % 2 = 1 THEN
+        |    replace(replace(replace(clean,
+        |      chr(233), chr(195) || chr(169)),
+        |      chr(252), chr(195) || chr(188)),
+        |      chr(226), chr(195) || chr(162))
+        |  ELSE clean END AS raw
+        |  FROM c)
+        |SELECT doc_id, raw,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]')) AS BIGINT) AS hits,
+        |  clean AS repaired
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Head-metadata extraction for indexing: title / description /
+    // og:title / canonical + the display-title fallback chain. The
+    // commented-out <title> planted BEFORE the real one proves
+    // non-content stripping precedes matching; the entity + padding
+    // in the real title prove the inline cleanup runs on inner text.
+    "q341_head_metadata" -> Q(
+      (s, dir) => {
+        val html = Tables.documents(s, dir).select(col("doc_id"), concat(
+          lit("<html><head><!-- <title>commented out</title> -->"),
+          lit("<title> Doc "), col("doc_id"),
+          lit(" &amp;  more </title>"),
+          lit("<meta name=\"description\" content=\"summary "),
+          col("doc_id") % 5, lit("\">"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<meta property=\"og:title\" content=\"OG "),
+              col("doc_id"), lit("\">"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"http://c.example/"),
+              col("doc_id"), lit("\">"))).otherwise(lit("")),
+          lit("</head><body>b</body></html>")).as("html"))
+        HtmlExtract.extractHeadMeta(html, "doc_id", "html")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  'Doc ' || doc_id || ' & more' AS title,
+        |  'summary ' || (doc_id % 5) AS meta_desc,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'OG ' || doc_id ELSE '' END
+        |    AS og_title,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'http://c.example/' || doc_id
+        |       ELSE '' END AS canonical,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'OG ' || doc_id
+        |       ELSE 'Doc ' || doc_id || ' & more' END AS display_title
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -143,6 +143,22 @@ class HtmlExtractSpec extends SparkSpec {
       (2L, "http://a/3", "")))            // empty anchor body survives as ""
   }
 
+  test("extractHeadMeta: missing fields empty, fallback chain, quoting") {
+    val df = Seq(
+      (1L, "<head><title>T1</title></head>"),
+      (2L, "<head><meta property=\"og:title\" content=\"OG2\">" +
+        "<title>T2</title></head>"),
+      (3L, "<head><meta name='description' content='sq'></head>"),
+      (4L, "<body>no head at all</body>")).toDF("id", "h")
+    val got = HtmlExtract.extractHeadMeta(df, "id", "h")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(5)))).toMap
+    assert(got(1L) === (("T1", "", "T1")))
+    assert(got(2L) === (("T2", "", "OG2")))   // og:title wins display
+    assert(got(3L) === (("", "", "")))        // single quotes skipped
+    assert(got(4L) === (("", "", "")))
+  }
+
   test("htmlToText: null html extracts to null, empty to empty") {
     val df = Seq(Some("<p></p>"), None)
       .toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))

@@ -103,4 +103,29 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got.keys.filter(_._1 == 1L).map(_._2).toSeq.sorted ===
       Seq(0L, 1L, 2L, 3L))
   }
+
+  test("repairMojibake: guards — non-latin1 and false-positive-free") {
+    import spark.implicits._
+    val garbled = "cafÃ©"              // "café" mis-decoded
+    val cases = Seq(
+      (1L, garbled),                             // repairable
+      (2L, "café plain"),                   // clean: untouched
+      (3L, garbled + " 中"),                 // >U+00FF: NOT latin-1
+                                                 // round-trippable → skip
+      (4L, "Ãx no continuation"),           // digraph needs 80-BF
+      (5L, ""), (6L, null.asInstanceOf[String]))
+    val got = cases.toDF("id", "s").select(col("id"),
+        TextAnalysis.mojibakeHits(col("s")).as("h"),
+        TextAnalysis.repairMojibake(col("s")).as("r"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          Option(r.getString(2)))).toMap
+    assert(got(1L) === ((1L, Some("café"))))
+    assert(got(2L) === ((0L, Some("café plain"))))
+    assert(got(3L) === ((1L, Some(garbled + " 中")))) // untouched
+    assert(got(4L) === ((0L, Some("Ãx no continuation"))))
+    assert(got(5L) === ((0L, Some(""))))
+    assert(got(6L) === ((-1L, None)))
+  }
 }
