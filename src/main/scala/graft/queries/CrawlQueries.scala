@@ -753,6 +753,82 @@ object CrawlQueries extends QueryPack {
         |       ELSE '' END AS canonical,
         |  CASE WHEN doc_id % 3 = 0 THEN 'OG ' || doc_id
         |       ELSE 'Doc ' || doc_id || ' & more' END AS display_title
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // FLAGSHIP crawl-to-corpus composition: WARC containers → parse
+    // (identity recovered from the record URI) → mojibake repair (odd
+    // docs ship the whole payload UTF-8-as-Latin-1 garbled) → NFC
+    // (every doc carries a decomposed ü) → HTML extraction → min-word
+    // quality gate (docs ≡ 0 mod 97 are planted too short) → exact
+    // dedup keep-first (the corpus's planted dup texts collapse) →
+    // scalable global row numbering → 64-doc shard assignment. The
+    // oracle never touches a single operator: it derives the expected
+    // corpus ANALYTICALLY from the fixture construction, so one
+    // mis-step in any of the eight stages fails the hash.
+    "q342_pretraining_e2e" -> Q(
+      (s, dir) => {
+        val t40 = when(col("doc_id") % 97 === 0,
+          substring(coalesce(col("text"), lit("")), 1, 4))
+          .otherwise(substring(coalesce(col("text"), lit("")), 1, 40))
+        val payload = concat(lit("<html><body><p>"), t40,
+          lit("</p><p>fin u\u0308ber \u00E9clair</p></body></html>"))
+        val recs = Tables.documents(s, dir).select(col("doc_id"),
+          expr("doc_id div 32").as("file_id"),
+          concat(lit("http://h/"), col("doc_id")).as("uri"),
+          when(col("doc_id") % 2 === 1,
+            decode(encode(payload, "UTF-8"), "ISO-8859-1"))
+            .otherwise(payload).as("payload"))
+        val parsed = Warc.parseRecords(
+          Warc.buildContainers(recs, "file_id", "doc_id", "uri",
+            "payload"), "file_id", "warc", maxRecords = 40)
+        val cleaned = parsed
+          .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"), col("payload"))
+          .withColumn("fixed",
+            TextAnalysis.repairMojibake(col("payload")))
+          .withColumn("norm",
+            graft.expressions.TextNormalize.nfcNative(col("fixed")))
+          .withColumn("content", htmlToText(col("norm")))
+          .withColumn("n_words",
+            size(split(col("content"), "\\s+")).cast("long"))
+          .filter(col("n_words") >= 5)
+          .withColumn("fp", md5(col("content")))
+        val kept = cleaned.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min(col("n_words")).as("n_words"))
+        Corpus.globalRowNumber(kept, "doc_id", bucketWidth = 32L)
+          .withColumn("shard_id", expr("row_id div 64"))
+          .select(col("doc_id"), col("fp"), col("n_words"),
+            col("row_id"), col("shard_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0
+        |         THEN substr(coalesce(text, ''), 1, 4)
+        |         ELSE substr(coalesce(text, ''), 1, 40) END AS t40
+        |  FROM documents),
+        |txt AS (
+        |  -- htmlToText's ' ?\n ?' collapse eats one space abutting
+        |  -- each block boundary, so the analytic form right-trims t40
+        |  SELECT doc_id,
+        |    rtrim(t40, ' ') || chr(10) || 'fin ' || chr(252) ||
+        |      'ber ' || chr(233) || 'clair' AS content
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id, content, md5(content) AS fp,
+        |    CAST(len(string_split_regex(content, '\s+')) AS BIGINT)
+        |      AS n_words
+        |  FROM txt
+        |  WHERE len(string_split_regex(content, '\s+')) >= 5),
+        |k AS (
+        |  SELECT fp, min(doc_id) AS doc_id, min(n_words) AS n_words
+        |  FROM q GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, fp, n_words,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |  FROM k)
+        |SELECT doc_id, fp, n_words, row_id, row_id // 64 AS shard_id
+        |FROM r ORDER BY doc_id""".stripMargin))
   )
 }
