@@ -803,6 +803,77 @@ object Corpus {
     * Caller contract: `keyCol` non-negative and UNIQUE (ties would
     * make the in-bucket order, hence the numbering, nondeterministic).
     */
+  /** Heaps'-law vocabulary-growth curve: unique-token count after
+    * each 1/steps fraction of the corpus (in id order) — the
+    * diminishing-returns audit run before committing to more crawl
+    * volume. The classic formulation (distinct count per prefix) is
+    * steps× full scans; this is ONE: a token's contribution to every
+    * prefix is determined solely by its FIRST-occurrence rank, so one
+    * groupBy(token).min(rank) + a steps-row bucket agg + a prefix sum
+    * over the steps-row frame reproduce all prefixes exactly. All
+    * integer. The only single-partition window runs over `steps`
+    * rows; the corpus count() readout is one bounded driver scalar.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      steps: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val ranked = globalRowNumber(
+      docs.select(col(idCol), col(textCol)), idCol)
+    val n = ranked.count()
+    def stepOf(name: String) =
+      expr(s"least(${steps - 1}L, ($name * ${steps}L) div ${n}L)")
+    val tok = ranked.select(col("row_id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+    val firstSeen = tok.groupBy(col("t"))
+      .agg(min(col("row_id")).as("fr"))
+    val newPerStep = firstSeen
+      .groupBy(stepOf("fr").as("step"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val docsPerStep = ranked
+      .groupBy(stepOf("row_id").as("step"))
+      .agg(count(lit(1)).as("n_docs"))
+    docsPerStep.join(newPerStep, Seq("step"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("vocab",
+        sum(col("new_tokens")).over(
+          Window.orderBy(col("step"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Adjacent-bigram collocation lift: for every bigram with count ≥
+    * `minCount`, lift_ppm = 10⁶·c(a,b)·N / (c(a)·c(b)) — the PMI
+    * ratio without the log, kept in exact integer algebra so it
+    * hash-gates. Bigrams come from a scan-local positional zip (no
+    * window, no shuffle before the count aggs); the three count
+    * frames join back bigram- and token-keyed. minCount prunes the
+    * bigram tail BEFORE the joins — at 100 TB that filter is the
+    * difference between joining the Zipf tail and joining a bounded
+    * head. Overflow note: c(a,b)·N·10⁶ needs N² ≲ 9·10¹²·c⁻¹; beyond
+    * ~10⁹ tokens compute in DECIMAL(38) or split the division.
+    */
+  def collocationLift(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = docs.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(expr(
+        "transform(slice(__ts, 1, greatest(size(__ts) - 1, 0)), " +
+          "(x, i) -> struct(x AS a, __ts[i + 1] AS b))")).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val nTotal = uni.agg(sum(col("c"))).head().getLong(0)
+    bi.join(uni.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        expr(s"(cab * ${nTotal}L * 1000000L) div (ca * cb)")
+          .as("lift_ppm"))
+  }
+
   def globalRowNumber(df: DataFrame, keyCol: String,
       bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -82,6 +82,73 @@ object ScaleQueries extends QueryPack {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE abs(length(a.title) - length(b.title)) <= 2
         |  AND levenshtein(a.title, b.title) <= 2
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Heaps'-law vocabulary growth in ONE scan: the oracle states the
+    // per-prefix semantics via first-occurrence ranks too, but the
+    // Spark side additionally routes ranking through globalRowNumber
+    // (no single-partition data window) — step buckets, new-token
+    // counts, and the cumulative vocab must all land exactly.
+    "q344_vocab_growth" -> Q(
+      (s, dir) => {
+        Corpus.vocabGrowth(Tables.documents(s, dir), "doc_id", "text",
+            steps = 10)
+          .orderBy(col("step"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS r
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM d),
+        |tok AS (
+        |  SELECT r, unnest(CASE WHEN trim(lower(text)) = ''
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+        |  FROM d),
+        |f AS (SELECT t, min(r) AS fr FROM tok GROUP BY 1),
+        |ts AS (SELECT least(9, (fr * 10) // n.n) AS step,
+        |         count(*) AS new_tokens
+        |       FROM f, n GROUP BY 1),
+        |ds AS (SELECT least(9, (r * 10) // n.n) AS step,
+        |         count(*) AS n_docs
+        |       FROM d, n GROUP BY 1)
+        |SELECT ds.step AS step, n_docs,
+        |  coalesce(new_tokens, 0) AS new_tokens,
+        |  CAST(sum(coalesce(new_tokens, 0)) OVER (ORDER BY ds.step)
+        |    AS BIGINT) AS vocab
+        |FROM ds LEFT JOIN ts USING (step) ORDER BY step""".stripMargin)),
+
+    // Adjacent-bigram collocation lift (PMI ratio in exact integer
+    // ppm): scan-local positional zip for bigrams, minCount pruning
+    // BEFORE the unigram joins. The oracle derives bigrams through a
+    // positional self-join instead — same multiset, independently.
+    "q345_collocation_lift" -> Q(
+      (s, dir) => {
+        Corpus.collocationLift(Tables.documents(s, dir), "doc_id",
+            "text", minCount = 20L)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(coalesce(text, ''))) = ''
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+') END AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(ts, 1) AS p,
+        |          unnest(ts) AS t FROM d),
+        |uni AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bg AS (SELECT a.t AS a, b.t AS b
+        |       FROM tok a JOIN tok b
+        |         ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        |bi AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2
+        |       HAVING count(*) >= 20)
+        |SELECT bi.a AS a, bi.b AS b, cab, ua.c AS ca, ub.c AS cb,
+        |  (cab * n.n * 1000000) // (ua.c * ub.c) AS lift_ppm
+        |FROM bi CROSS JOIN n
+        |  JOIN uni ua ON bi.a = ua.t
+        |  JOIN uni ub ON bi.b = ub.t
+        |ORDER BY a, b""".stripMargin))
   )
 }

@@ -511,4 +511,35 @@ class CorpusSpec extends SparkSpec {
     assert(got === want)
     assert(Corpus.globalRowNumber(df.filter(col("k") < 0), "k").count() === 0L)
   }
+
+  test("vocabGrowth: first-occurrence accounting, empty docs, ties") {
+    import spark.implicits._
+    // 4 docs, 2 steps: step 0 = docs {0,1}, step 1 = docs {2,3}
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, ""), (3L, "c d D")
+    ).toDF("doc_id", "text")
+    val got = Corpus.vocabGrowth(docs, "doc_id", "text", steps = 2)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // step 0 introduces a,b,c; step 1 only d (lowercased D merges)
+    assert(got.toSeq === Seq((0L, 2L, 3L, 3L), (1L, 2L, 1L, 4L)))
+  }
+
+  test("collocationLift: adjacency, minCount prune, lift algebra") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y"),   // bigrams: (x,y) (y,x) (x,y)
+      (2L, "x y z"),     // (x,y) (y,z)
+      (3L, "solo"), (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Corpus.collocationLift(docs, "doc_id", "text",
+        minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // N=8 tokens; c(x)=3 c(y)=3; (x,y): cab=3 → 3·8·1e6 div 9
+    assert(got.keySet === Set(("x", "y")))
+    assert(got(("x", "y")) === ((3L, 3L, 3L, 2666666L)))
+  }
 }
