@@ -33,13 +33,24 @@ object Frontier {
     * @return urls + `rule_rank` (2·len+isAllow of the winning rule,
     *         null when no rule matched) + `allowed`.
     */
-  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
+  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame =
+    robotsGateKeyed(urls, rules, Nil)
+
+  /** [[robotsGate]] preserving caller-provided key columns — the
+    * per-(document, link) form: the same URL appearing under many
+    * documents gets an independent row per key, so the evaluation is
+    * a pure per-row decision (no cross-row state) and therefore runs
+    * identically per micro-batch in a stream (q343) and over the
+    * whole corpus in batch. `keyCols ++ (url)` must be unique.
+    */
+  def robotsGateKeyed(urls: DataFrame, rules: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     val r = rules.select(col("host"), col("rtype").as("__rtype"),
       col("prefix").as("__prefix"))
     val hit = col("__prefix").isNotNull &&
       col("path").startsWith(col("__prefix"))
     urls.join(broadcast(r), Seq("host"), "left")
-      .groupBy(col("url"), col("host"), col("path"))
+      .groupBy((keyCols ++ Seq("url", "host", "path")).map(col): _*)
       .agg(max(when(hit, length(col("__prefix")).cast("long") * 2 +
           when(col("__rtype") === "allow", 1L).otherwise(0L)))
         .as("rule_rank"))

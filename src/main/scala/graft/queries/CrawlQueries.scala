@@ -127,7 +127,13 @@ object CrawlQueries extends QueryPack {
   // link on %4 docs, plus a commented-out link and a single-quoted
   // href that must NOT extract (the quoting contract).
   private def linkDf(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), concat(
+    linkFrom(Tables.documents(s, dir))
+
+  /** Batch-shaped synthesis so the streaming admission gate (q343)
+    * can apply the identical generator per micro-batch.
+    */
+  private def linkFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
       lit("<html><body><!-- <a href=\"http://skip.junk/x\"> -->"),
       lit("<p>see <a href=\"HTTP://WWW.Host"), col("doc_id") % 7,
       lit(".COM:80/d/"), col("doc_id"), lit("?utm_source=m&x="),
@@ -142,6 +148,38 @@ object CrawlQueries extends QueryPack {
         concat(lit("<p><a href=\"/relative/"), col("doc_id") % 9,
           lit("\">rel</a></p>"))).otherwise(lit("")),
       lit("</body></html>")).as("html"))
+
+  /** The q333/q343 robots rule set — every interesting REP shape
+    * (longer-allow override, site-wide disallow with carve-out,
+    * equal-length tie, targeted disallow, empty-prefix disallow,
+    * explicit allow, no-rules hosts).
+    */
+  private def robotsRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("host0.com", "disallow", "/d/"),
+      ("host0.com", "allow", "/d/1"),
+      ("host2.com", "disallow", "/"),
+      ("host2.com", "allow", "/d/2"),
+      ("host3.com", "disallow", "/d/"),
+      ("host3.com", "allow", "/d/"),
+      ("host4.com", "disallow", "/idx"),
+      ("host5.com", "disallow", ""),
+      ("hub.example.com", "allow", "")
+    ).toDF("host", "rtype", "prefix")
+  }
+
+  /** DuckDB VALUES form of [[robotsRules]] + the rank CTE shared by
+    * the q333 and q343 oracles (input relation must expose
+    * (host, path) and the caller's carried columns).
+    */
+  private val rulesCte: String =
+    """rules(host, rtype, prefix) AS (VALUES
+      |  ('host0.com','disallow','/d/'), ('host0.com','allow','/d/1'),
+      |  ('host2.com','disallow','/'), ('host2.com','allow','/d/2'),
+      |  ('host3.com','disallow','/d/'), ('host3.com','allow','/d/'),
+      |  ('host4.com','disallow','/idx'), ('host5.com','disallow',''),
+      |  ('hub.example.com','allow',''))""".stripMargin
 
   override def defs: Map[String, Q] = Map(
 
@@ -526,24 +564,12 @@ object CrawlQueries extends QueryPack {
     // (host1/host6) falling through to default-allow.
     "q333_robots_gate" -> Q(
       (s, dir) => {
-        import s.implicits._
         val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
         val urls = links.filter(Urls.host(col("href")) =!= "")
           .select(Urls.normalize(col("href")).as("url")).distinct()
           .withColumn("host", Urls.host(col("url")))
           .withColumn("path", Urls.path(col("url")))
-        val rules = Seq(
-          ("host0.com", "disallow", "/d/"),
-          ("host0.com", "allow", "/d/1"),
-          ("host2.com", "disallow", "/"),
-          ("host2.com", "allow", "/d/2"),
-          ("host3.com", "disallow", "/d/"),
-          ("host3.com", "allow", "/d/"),
-          ("host4.com", "disallow", "/idx"),
-          ("host5.com", "disallow", ""),
-          ("hub.example.com", "allow", "")
-        ).toDF("host", "rtype", "prefix")
-        Frontier.robotsGate(urls, rules).orderBy(col("url"))
+        Frontier.robotsGate(urls, robotsRules(s)).orderBy(col("url"))
       },
       Some("""WITH u AS (
         |  SELECT DISTINCT
@@ -829,6 +855,83 @@ object CrawlQueries extends QueryPack {
         |    row_number() OVER (ORDER BY doc_id) - 1 AS row_id
         |  FROM k)
         |SELECT doc_id, fp, n_words, row_id, row_id // 64 AS shard_id
-        |FROM r ORDER BY doc_id""".stripMargin))
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Streaming crawl admission: per micro-batch, extract links →
+    // canonicalize → per-(doc, link) robots verdict. Correct in a
+    // stream because the KEYED gate is a pure per-row decision (the
+    // rule join is broadcast, the rank MAX runs within one row's rule
+    // matches) — no cross-row state for batch boundaries to split.
+    // Oracle = the closed-form link synthesis × the q333 rule logic,
+    // per (doc_id, link_idx) — stream ≡ batch proven on admission.
+    "q343_stream_admission" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+        val docsStream = s.readStream
+          .schema(Tables.documents(s, dir).schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("link_idx", LongType),
+          StructField("url", StringType),
+          StructField("host", StringType),
+          StructField("path", StringType),
+          StructField("rule_rank", LongType),
+          StructField("allowed", BooleanType)))
+        var out = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        val ckpt = graft.streaming.Streams.scratchCheckpointDir("graft-adm-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          graft.streaming.Streams.transformEachBatch(
+            docsStream,
+            batch => {
+              val links = HtmlExtract
+                .extractLinks(linkFrom(batch), "doc_id", "html")
+                .filter(Urls.host(col("href")) =!= "")
+                .withColumn("url", Urls.normalize(col("href")))
+                .withColumn("host", Urls.host(col("url")))
+                .withColumn("path", Urls.path(col("url")))
+                .select(col("doc_id"), col("link_idx"), col("url"),
+                  col("host"), col("path"))
+              Frontier.robotsGateKeyed(links, robotsRules(s),
+                Seq("doc_id", "link_idx"))
+            },
+            res => out = out.unionByName(res).localCheckpoint(true),
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        out.orderBy(col("doc_id"), col("link_idx"))
+      },
+      Some(s"""WITH l AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id ||
+        |      '?x=' || doc_id AS url,
+        |    'host' || (doc_id % 7) || '.com' AS host,
+        |    '/d/' || doc_id AS path
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'http://host' || ((doc_id + 3) % 7) ||
+        |    '.com/idx', 'host' || ((doc_id + 3) % 7) || '.com', '/idx'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'http://hub.example.com/h',
+        |    'hub.example.com', '/h'
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |$rulesCte,
+        |j AS (SELECT l.doc_id, l.link_idx, l.url, l.host, l.path,
+        |  CASE WHEN r.prefix IS NOT NULL AND starts_with(l.path, r.prefix)
+        |    THEN CAST(2 * length(r.prefix) +
+        |      CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END AS BIGINT)
+        |  END AS rnk
+        |  FROM l LEFT JOIN rules r USING (host))
+        |SELECT doc_id, link_idx, url, host, path, max(rnk) AS rule_rank,
+        |  coalesce(max(rnk), 1) % 2 = 1 AS allowed
+        |FROM j GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY doc_id, link_idx""".stripMargin))
   )
 }
