@@ -212,4 +212,65 @@ object LanguageModel {
         coalesce(col("interp_ppm_sum"), lit(0L)).as("interp_ppm_sum"),
         coalesce(col("min_interp_ppm"), lit(0L)).as("min_interp_ppm"))
   }
+
+  /** Char-trigram language profiles (the fastText/langid.py feature
+    * family, trained not hand-written like [[TextAnalysis.langId]]'s
+    * stopword heuristic): per label, the topM character trigrams of
+    * the lowercased training text by occurrence count, ties broken by
+    * gram string. The profile table is labels×topM rows — broadcast
+    * material at any corpus size; the label-keyed rank window is
+    * vocabulary-bounded, never data-bounded.
+    */
+  def charTrigramProfiles(docs: DataFrame, labelCol: String,
+      textCol: String, topM: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    val grams = docs
+      .select(col(labelCol).as("label"),
+        lower(coalesce(col(textCol), lit(""))).as("__s"))
+      .select(col("label"), explode(expr(
+        """CASE WHEN length(__s) >= 3
+          |  THEN transform(sequence(1, length(__s) - 2),
+          |         i -> substring(__s, i, 3))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("gram"))
+    grams.groupBy(col("label"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rank") <= topM)
+  }
+
+  /** Classify by profile overlap: score(doc, label) = |distinct doc
+    * trigrams ∩ profile(label)|, prediction = argmax score with ties
+    * to the lexicographically smallest label (the min-struct trick:
+    * min(struct(−score, label)) — one partial agg, no window over
+    * data). Docs whose trigrams hit NO profile are absent — the
+    * caller left-joins and defaults. 100 TB: profiles broadcast; the
+    * only shuffles are the (doc,label) and doc partial aggs.
+    */
+  def classifyByProfiles(docs: DataFrame, idCol: String,
+      textCol: String, profiles: DataFrame): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("__id"),
+        lower(coalesce(col(textCol), lit(""))).as("__s"))
+      .select(col("__id"), explode(expr(
+        """CASE WHEN length(__s) >= 3
+          |  THEN transform(sequence(1, length(__s) - 2),
+          |         i -> substring(__s, i, 3))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("gram"))
+      .distinct()
+    docGrams
+      .join(broadcast(profiles.select(col("label"), col("gram"))),
+        Seq("gram"))
+      .groupBy(col("__id"), col("label"))
+      .agg(count(lit(1)).as("score"))
+      .groupBy(col("__id"))
+      .agg(min(struct((-col("score")).as("ns"), col("label").as("l")))
+        .as("best"))
+      .select(col("__id").as(idCol), col("best.l").as("pred"),
+        (-col("best.ns")).as("score"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Corpus, Dedup}
+import graft.operators.{Corpus, Dedup, LanguageModel}
 
 /** Scale-pattern gates: operators whose whole point is the DISTRIBUTED
   * shape — provably-lossless blocking instead of all-pairs, bucketed
@@ -149,6 +149,126 @@ object ScaleQueries extends QueryPack {
         |FROM bi CROSS JOIN n
         |  JOIN uni ua ON bi.a = ua.t
         |  JOIN uni ub ON bi.b = ub.t
-        |ORDER BY a, b""".stripMargin))
+        |ORDER BY a, b""".stripMargin)),
+
+    // CCNet-style LM quality bucketing: score every doc with the
+    // q135 interpolated trigram LM, cut the corpus into head/middle/
+    // tail at the exact nearest-rank tertiles (quantilesBisect — the
+    // O(log range) agg-pass path, no sort), label each doc. The SQL
+    // mirrors the bisect's ceil(p·n)-th-smallest semantics with the
+    // SAME double literals so the IEEE rank arithmetic matches.
+    "q346_ccnet_buckets" -> Q(
+      (s, dir) => {
+        val lm = LanguageModel.trigramInterpolated(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        val scored = lm.filter(col("n_trigrams") > 0)
+          .withColumn("avg_ppm", expr("interp_ppm_sum div n_trigrams"))
+        val th = Corpus.quantilesBisect(scored, "avg_ppm",
+          Seq(1.0 / 3, 2.0 / 3))
+        scored
+          .crossJoin(broadcast(th.select(col("q_33"), col("q_67"))))
+          .withColumn("bucket",
+            when(col("avg_ppm") > col("q_67"), "head")
+              .when(col("avg_ppm") > col("q_33"), "middle")
+              .otherwise("tail"))
+          .select(col("doc_id"), col("avg_ppm"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH lt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |u AS (SELECT w, count(*) AS cu
+        |      FROM (SELECT unnest(t) AS w FROM lt) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM u),
+        |bg AS (SELECT t[i] AS b1, t[i+1] AS b2, count(*) AS cb
+        |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM lt WHERE len(t) >= 2) GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |       FROM (SELECT doc_id, t,
+        |               unnest(generate_series(1, len(t) - 2)) AS i
+        |             FROM lt WHERE len(t) >= 3)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+        |dt AS (SELECT doc_id, w1, w2, w3, count(*) AS cd
+        |       FROM tg GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT dt.doc_id, dt.cd,
+        |    (5 * COALESCE((1000000 * c3.c123) // m12.cb, 0)
+        |     + 3 * COALESCE((1000000 * m23.cb) // u2.cu, 0)
+        |     + 2 * COALESCE((1000000 * u3.cu) // tot.n_total, 0)) // 10
+        |      AS ppm
+        |  FROM dt
+        |  LEFT JOIN c3 USING (w1, w2, w3)
+        |  LEFT JOIN bg m12 ON m12.b1 = dt.w1 AND m12.b2 = dt.w2
+        |  LEFT JOIN bg m23 ON m23.b1 = dt.w2 AND m23.b2 = dt.w3
+        |  LEFT JOIN u u2 ON u2.w = dt.w2
+        |  LEFT JOIN u u3 ON u3.w = dt.w3
+        |  CROSS JOIN tot),
+        |pd AS (SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(cd * ppm) AS BIGINT) AS s_ppm
+        |  FROM sc GROUP BY 1),
+        |s2 AS (SELECT doc_id, s_ppm // n_trigrams AS avg_ppm
+        |       FROM pd WHERE n_trigrams > 0),
+        |nn AS (SELECT count(*) AS n FROM s2),
+        |rk AS (SELECT avg_ppm, row_number() OVER (ORDER BY avg_ppm) AS r
+        |       FROM s2),
+        |th AS (SELECT
+        |    max(CASE WHEN r <= CAST(ceil(nn.n * (1.0/3)) AS BIGINT)
+        |        THEN avg_ppm END) AS q33,
+        |    max(CASE WHEN r <= CAST(ceil(nn.n * (2.0/3)) AS BIGINT)
+        |        THEN avg_ppm END) AS q67
+        |  FROM rk, nn)
+        |SELECT doc_id, avg_ppm,
+        |  CASE WHEN avg_ppm > q67 THEN 'head'
+        |       WHEN avg_ppm > q33 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM s2, th ORDER BY doc_id""".stripMargin)),
+
+    // Trained char-trigram language ID: profiles from the labeled
+    // EVEN half, classification of the ODD half, confusion matrix
+    // out. Both engines replay the identical top-100 rank (count
+    // desc, gram asc) and argmax (score desc, label asc) tie-breaks.
+    "q347_langid_confusion" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val prof = LanguageModel.charTrigramProfiles(
+          docs.filter(col("doc_id") % 2 === 0), "lang", "text",
+          topM = 100)
+        val preds = LanguageModel.classifyByProfiles(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", prof)
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"))
+          .join(preds, Seq("doc_id"), "left")
+          .withColumn("pred", coalesce(col("pred"), lit("none")))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang, lower(coalesce(text, '')) AS s
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
+        |      FROM (SELECT doc_id, lang, s,
+        |              unnest(generate_series(1, length(s) - 2)) AS i
+        |            FROM d WHERE length(s) >= 3)),
+        |tr AS (SELECT lang, gram, count(*) AS cnt FROM g
+        |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |prof AS (SELECT lang AS cand, gram FROM (
+        |    SELECT lang, gram, row_number() OVER (
+        |      PARTITION BY lang ORDER BY cnt DESC, gram) AS rk
+        |    FROM tr) WHERE rk <= 100),
+        |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 2 = 1),
+        |sc AS (SELECT tg.doc_id, prof.cand, count(*) AS score
+        |       FROM tg JOIN prof USING (gram) GROUP BY 1, 2),
+        |pr AS (SELECT doc_id, cand AS pred FROM (
+        |    SELECT doc_id, cand, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+        |    FROM sc) WHERE rk = 1)
+        |SELECT d.lang AS lang, coalesce(pr.pred, 'none') AS pred,
+        |  count(*) AS n
+        |FROM d LEFT JOIN pr USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

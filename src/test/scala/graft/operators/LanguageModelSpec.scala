@@ -93,4 +93,39 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0L)))
     assert(out(3L) == ((4L, 2L * 854545 + 321211 + 854545, 321211L)))
   }
+
+  test("charTrigramProfiles/classifyByProfiles: ranks and tie-breaks") {
+    import spark.implicits._
+    val train = Seq(
+      ("aa", "xxxxy"),  // grams: xxx×2, xxy ×1
+      ("bb", "zzzzy"),  // grams: zzz×2, zzy ×1
+      ("bb", "tiny")    // tin, iny
+    ).toDF("lang", "t")
+    val prof = LanguageModel.charTrigramProfiles(train, "lang", "t",
+        topM = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    // bb: zzz (2) ranks 1; tie at cnt 1 among {zzy, tin, iny} → gram
+    // order picks "iny" for rank 2
+    assert(prof.filter(_._1 == "bb").sortBy(_._4).map(_._2).toSeq ===
+      Seq("zzz", "iny"))
+    assert(prof.filter(_._1 == "aa").sortBy(_._4).map(_._2).toSeq ===
+      Seq("xxx", "xxy"))
+
+    val profiles = LanguageModel.charTrigramProfiles(train, "lang", "t",
+      topM = 2)
+    val test = Seq(
+      (1L, "xxx"),      // hits aa only
+      (2L, "zzziny"),   // hits bb twice (zzz + iny)
+      (3L, "xxyzzz"),   // 1 hit each side → tie → label order: aa
+      (4L, "qqqq"), (5L, "")) // no hits → absent
+      .toDF("id", "t")
+    val got = LanguageModel.classifyByProfiles(test, "id", "t", profiles)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("aa", 1L)))
+    assert(got(2L) === (("bb", 2L)))
+    assert(got(3L) === (("aa", 1L)))
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
 }
