@@ -818,8 +818,12 @@ object Corpus {
       steps: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(steps >= 1, s"steps must be >= 1, got $steps")
+    // three consumers (count readout, token explode, doc buckets) —
+    // persist so the ranking runs once per action, not three times;
+    // blocks are freed by the ContextCleaner (the q214 discipline)
     val ranked = globalRowNumber(
       docs.select(col(idCol), col(textCol)), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = ranked.count()
     def stepOf(name: String) =
       expr(s"least(${steps - 1}L, ($name * ${steps}L) div ${n}L)")
@@ -857,8 +861,11 @@ object Corpus {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val toks = docs.select(col(idCol).as("__id"),
       TextAnalysis.tokens(lower(col(textCol))).as("__ts"))
+    // vocabulary-bounded; serves the N readout plus TWO join probes —
+    // persist so the corpus tokenizes once per action, not three times
     val uni = toks.select(explode(col("__ts")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = toks
       .select(explode(expr(
         "transform(slice(__ts, 1, greatest(size(__ts) - 1, 0)), " +
