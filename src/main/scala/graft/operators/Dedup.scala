@@ -858,6 +858,62 @@ object Dedup {
         col("dist"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the apply half of the
+    * Lee et al. 2022 exact-substring rule whose detection half is
+    * [[dupSpans]]: an L-token anchor shared by ≥ minDocs documents is
+    * owned by the minimum-id document; every NON-owner drops the
+    * anchor's L covered token positions (all overlapping anchors'
+    * coverage unions), and the survivors reassemble in position
+    * order. The owner keeps every instance — exactly q330's
+    * keep-first discipline one grain finer.
+    *
+    * 100 TB: anchor hashing rides the scan (native shingles); the
+    * (hash → owner, df) table is ONE partial agg; coverage expansion
+    * is a bounded ×L explode of only the FOREIGN anchors; the
+    * anti-join and reassembly are doc-keyed. No driver state.
+    * Output text is in lowered-token form (the hash-grain alphabet).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 1 && minDocs >= 2)
+    val L = spanTokens
+    val toks = docs.select(col(idCol).as("__doc"),
+      posexplode(TextAnalysis.tokens(lower(col(textCol))))
+        .as(Seq("tpos", "tok")))
+    val base = docs.select(col(idCol).as("__doc"),
+      size(TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+        .as("n_tokens"),
+      col(textCol).as("__txt"))
+    val anchors = base.filter(col("n_tokens") >= L)
+      .select(col("__doc"), posexplode(
+        graft.expressions.WordShingles.shinglesNative(col("__txt"), L))
+        .as(Seq("pos", "gram")))
+      .select(col("__doc"), col("pos"),
+        graft.expressions.Md5Hash60.hash60Native(col("gram")).as("h"))
+    val owners = anchors.groupBy(col("h"))
+      .agg(min(col("__doc")).as("__keep"),
+        countDistinct(col("__doc")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+    val foreign = anchors.join(owners, Seq("h"))
+      .filter(col("__doc") =!= col("__keep"))
+    val covered = foreign.select(col("__doc"),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("tpos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("__doc", "tpos"), "left_anti")
+    val re = kept.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("tpos"), col("tok")))), x => x.getField("tok")),
+          " ").as("text_dedup"))
+    base.select(col("__doc"), col("n_tokens"))
+      .join(re, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** PassJoin segment-filtered edit-distance self-join (Li, Deng &
     * Feng, VLDB 2011) — the CONTENT-selective scale path where
     * [[editDistanceJoin]]'s length bands are the exact baseline.

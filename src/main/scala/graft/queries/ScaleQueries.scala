@@ -269,6 +269,54 @@ object ScaleQueries extends QueryPack {
         |  count(*) AS n
         |FROM d LEFT JOIN pr USING (doc_id)
         |WHERE d.doc_id % 2 = 1
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Cross-document duplicated-span removal (the Lee et al. apply
+    // half; q133 is the detection half): 5-gram anchors shared by ≥2
+    // docs are kept only by their min-id owner; every non-owner
+    // drops the union of covered positions and reassembles. The
+    // corpus's planted exact dups make the removal population real —
+    // full copies dedup down to n_kept 0.
+    "q348_remove_dup_spans" -> Q(
+      (s, dir) => Dedup.removeDupSpans(
+          Tables.documents(s, dir), "doc_id", "text", spanTokens = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+        |tk AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+        |       FROM (SELECT doc_id, t,
+        |               unnest(generate_series(1, len(t))) AS i
+        |             FROM toks WHERE len(t) >= 1)),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |ow AS (SELECT h, min(doc_id) AS keep, count(DISTINCT doc_id) AS nd
+        |       FROM sh GROUP BY 1),
+        |fr AS (SELECT sh.doc_id, sh.pos FROM sh JOIN ow USING (h)
+        |       WHERE ow.nd >= 2 AND sh.doc_id <> ow.keep),
+        |cov AS (SELECT DISTINCT doc_id, tpos FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS tpos
+        |    FROM fr)),
+        |kept AS (SELECT tk.doc_id, tk.tpos, tk.tok
+        |  FROM tk LEFT JOIN cov
+        |    ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+        |  WHERE cov.tpos IS NULL),
+        |re AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens,
+        |  coalesce(re.n_kept, 0) AS n_kept,
+        |  d.n_tokens - coalesce(re.n_kept, 0) AS n_dropped,
+        |  coalesce(re.text_dedup, '') AS text_dedup
+        |FROM d LEFT JOIN re USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -533,6 +533,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeDupSpans: owner keeps, foreign coverage unions, shorts pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),      // owner of the shared run
+      (2L, "x a b c d e f y z"),    // shares "a b c d e" + "b c d e f"
+                                    // → coverage 1..7 dropped
+      (3L, "tiny doc"),             // < L tokens: untouched
+      (4L, "a b c d e f g h"))      // exact dup → everything covered
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", spanTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) === ((8L, 8L, 0L, "a b c d e f g h")))
+    assert(got(2L) === ((9L, 3L, 6L, "x y z")))
+    assert(got(3L) === ((2L, 2L, 0L, "tiny doc")))
+    assert(got(4L) === ((8L, 0L, 8L, "")))
+  }
+
   test("passJoinEditDistance ≡ band join on an adversarial corpus") {
     import spark.implicits._
     // deterministic corpus: hash-derived strings over a 4-letter
