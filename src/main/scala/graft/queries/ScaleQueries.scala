@@ -317,6 +317,55 @@ object ScaleQueries extends QueryPack {
         |  d.n_tokens - coalesce(re.n_kept, 0) AS n_dropped,
         |  coalesce(re.text_dedup, '') AS text_dedup
         |FROM d LEFT JOIN re USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Rabin–Karp rolling fingerprints: the native expression computes
+    // every 16-char window hash in ONE O(n) roll; the oracle
+    // recomputes each window from the DEFINITION (O(n·k) list_reduce
+    // per window). min-hash, 1/64 mod-sampled count, and the sampled
+    // xor must match on every document — one wrong window anywhere
+    // breaks the xor.
+    "q349_rolling_fingerprints" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("s"))
+        val agg = d.select(col("doc_id"),
+            explode(graft.expressions.RollingHash.rollingNative(
+              col("s"), 16)).as("h"))
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_windows"),
+            min(col("h")).as("min_hash"),
+            sum(when(col("h") % 64 === 0, 1L).otherwise(0L)).as("n_fp"),
+            coalesce(expr("bit_xor(CASE WHEN h % 64 = 0 THEN h END)"),
+              lit(0L)).as("fp_xor"))
+        d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("min_hash"), lit(0L)).as("min_hash"),
+            coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+            coalesce(col("fp_xor"), lit(0L)).as("fp_xor"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS s FROM documents),
+        |w AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 16),
+        |        j -> CAST(ord(substr(s, CAST(i + j - 1 AS INT), 1))
+        |               AS BIGINT))),
+        |      (a, b) -> (a * 131 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, s,
+        |          unnest(generate_series(1, length(s) - 15)) AS i
+        |        FROM d WHERE length(s) >= 16)),
+        |a AS (SELECT doc_id, count(*) AS n_windows, min(h) AS min_hash,
+        |    CAST(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_fp,
+        |    coalesce(bit_xor(CASE WHEN h % 64 = 0 THEN h END), 0)
+        |      AS fp_xor
+        |  FROM w GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_windows, 0) AS n_windows,
+        |  coalesce(a.min_hash, 0) AS min_hash,
+        |  coalesce(a.n_fp, 0) AS n_fp, coalesce(a.fp_xor, 0) AS fp_xor
+        |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin))
   )
 }
