@@ -914,6 +914,57 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS/FastCDC family): cut a
+    * document wherever its k-char Rabin–Karp window hash ≡ 0 mod
+    * 2^modBits, so chunk boundaries follow CONTENT — an insertion
+    * early in a doc shifts every byte offset but only the one chunk
+    * containing the edit changes hash, which is the whole point
+    * versus fixed-size blocks. Returns one row per chunk: (id,
+    * chunk_idx, off, len, chunk_md5, is_first) where is_first marks
+    * the corpus-wide first occurrence (owner = min (id, idx)) — the
+    * storage-dedup savings readout is 1 − distinct/total.
+    *
+    * 100 TB: the roll is the native O(n) [[graft.expressions
+    * .RollingHash]]; boundary assembly is a doc-keyed window; global
+    * chunk ownership is ONE partial agg on chunk_md5. Basic cut rule
+    * only (no min/max chunk clamps — those make the scan sequential;
+    * FastCDC's normalized chunking is the production extension).
+    */
+  def contentDefinedChunks(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, modBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && modBits >= 1 && modBits < 62)
+    val mod = 1L << modBits
+    val d = docs.select(col(idCol).as("__id"),
+      coalesce(col(textCol).cast("string"), lit("")).as("__s"))
+    val cuts = d.select(col("__id"), col("__s"),
+        posexplode(graft.expressions.RollingHash.rollingNative(
+          col("__s"), k)).as(Seq("__p", "__h")))
+      .filter(col("__h") % mod === 0 && col("__p") > 0)
+      .select(col("__id"), col("__s"), col("__p").cast("long").as("off"))
+    val bounds = d.select(col("__id"), col("__s"), lit(0L).as("off"))
+      .union(cuts).distinct()
+    val w = Window.partitionBy(col("__id")).orderBy(col("off"))
+    val chunks = bounds
+      .withColumn("chunk_idx", row_number().over(w).cast("long") - 1)
+      .withColumn("len",
+        coalesce(lead(col("off"), 1).over(w),
+          length(col("__s")).cast("long")) - col("off"))
+      .filter(col("len") > 0) // empty doc → zero chunks, not one
+      .withColumn("chunk_md5",
+        md5(col("__s").substr(col("off") + 1, col("len"))))
+      .select(col("__id"), col("chunk_idx"), col("off"), col("len"),
+        col("chunk_md5"))
+    val owners = chunks.groupBy(col("chunk_md5"))
+      .agg(min(struct(col("__id"), col("chunk_idx"))).as("__o"))
+    chunks.join(owners, Seq("chunk_md5"))
+      .withColumn("is_first",
+        col("__id") === col("__o.__id") &&
+          col("chunk_idx") === col("__o.chunk_idx"))
+      .select(col("__id").as(idCol), col("chunk_idx"), col("off"),
+        col("len"), col("chunk_md5"), col("is_first"))
+  }
+
   /** PassJoin segment-filtered edit-distance self-join (Li, Deng &
     * Feng, VLDB 2011) — the CONTENT-selective scale path where
     * [[editDistanceJoin]]'s length bands are the exact baseline.

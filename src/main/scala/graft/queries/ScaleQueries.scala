@@ -366,6 +366,47 @@ object ScaleQueries extends QueryPack {
         |SELECT d.doc_id, coalesce(a.n_windows, 0) AS n_windows,
         |  coalesce(a.min_hash, 0) AS min_hash,
         |  coalesce(a.n_fp, 0) AS n_fp, coalesce(a.fp_xor, 0) AS fp_xor
-        |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+        |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // Content-defined chunking over the rolling hash: cuts where
+    // h ≡ 0 mod 64, chunk bytes fingerprinted, corpus-wide first
+    // occurrence flagged — the planted dup docs produce identical
+    // chunk sequences whose copies all flag is_first = false.
+    "q350_cdc_chunks" -> Q(
+      (s, dir) => Dedup.contentDefinedChunks(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS s FROM documents),
+        |w AS (SELECT doc_id, i,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 16),
+        |        j -> CAST(ord(substr(s, CAST(i + j - 1 AS INT), 1))
+        |               AS BIGINT))),
+        |      (a, b) -> (a * 131 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, s,
+        |          unnest(generate_series(1, length(s) - 15)) AS i
+        |        FROM d WHERE length(s) >= 16)),
+        |c AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS off FROM w
+        |      WHERE h % 64 = 0 AND i - 1 > 0),
+        |b AS (SELECT DISTINCT doc_id, off FROM (
+        |    SELECT doc_id, CAST(0 AS BIGINT) AS off FROM d
+        |    UNION ALL SELECT doc_id, off FROM c)),
+        |ch AS (SELECT b.doc_id,
+        |    row_number() OVER (PARTITION BY b.doc_id ORDER BY b.off) - 1
+        |      AS chunk_idx,
+        |    b.off,
+        |    coalesce(lead(b.off) OVER (PARTITION BY b.doc_id
+        |        ORDER BY b.off), length(d.s)) - b.off AS len,
+        |    d.s
+        |  FROM b JOIN d USING (doc_id)),
+        |ch2 AS (SELECT doc_id, chunk_idx, off, len,
+        |    md5(substr(s, CAST(off + 1 AS INT), CAST(len AS INT)))
+        |      AS chunk_md5
+        |  FROM ch WHERE len > 0)
+        |SELECT doc_id, chunk_idx, off, len, chunk_md5,
+        |  row_number() OVER (PARTITION BY chunk_md5
+        |    ORDER BY doc_id, chunk_idx) = 1 AS is_first
+        |FROM ch2 ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

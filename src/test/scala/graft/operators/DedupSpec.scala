@@ -552,6 +552,38 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((8L, 0L, 8L, "")))
   }
 
+  test("contentDefinedChunks: edit locality, coverage, global owner") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val base = (0 until 400).map(_ =>
+      "abcdefgh".charAt(rnd.nextInt(8))).mkString
+    val docs = Seq((1L, base), (2L, "XY" + base), (3L, base),
+      (4L, "")).toDF("doc_id", "text")
+    val rows = Dedup.contentDefinedChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getBoolean(5)))
+    val byDoc = rows.groupBy(_._1)
+    // chunks tile each doc exactly: offsets contiguous, lens sum to n
+    for ((id, cs) <- byDoc) {
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0L)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(x, y) => assert(x._3 + x._4 === y._3); case _ => ()
+      }
+    }
+    assert(!byDoc.contains(4L)) // empty doc → no chunks
+    // edit locality: the 2-char prefix insert disturbs only the first
+    // chunk — every later boundary re-syncs on content
+    val h1 = byDoc(1L).map(_._5).toSeq
+    val h2 = byDoc(2L).map(_._5).toSet
+    assert(h1.count(h2.contains) >= h1.size - 1)
+    // exact dup doc 3: identical chunk sequence, none first (doc 1 owns)
+    assert(byDoc(3L).map(c => (c._2, c._5)).toSet ===
+      byDoc(1L).map(c => (c._2, c._5)).toSet)
+    assert(byDoc(3L).forall(!_._6))
+    assert(byDoc(1L).forall(_._6))
+  }
+
   test("passJoinEditDistance ≡ band join on an adversarial corpus") {
     import spark.implicits._
     // deterministic corpus: hash-derived strings over a 4-letter
