@@ -903,6 +903,49 @@ object SinkQueries extends QueryPack {
         |    AS sum_value
         |FROM events e JOIN dim ON e.event_type = dim.event_type
         |GROUP BY 1, 2
-        |ORDER BY e.event_type""".stripMargin))
+        |ORDER BY e.event_type""".stripMargin)),
+
+    // Incremental corpus maintenance E2E: commit the standing corpus
+    // (docs ∉ batch) to a TxLog table, exact-dedup the incoming
+    // batch against the TABLE (not the source frame — the read path
+    // is part of the gate), append only the accepted survivors, and
+    // read the delta back via the CDC range read. The oracle derives
+    // the accepted set and final corpus size analytically — commit,
+    // read, anti-join, append, and incremental read must all
+    // round-trip exactly.
+    "q351_corpus_maintenance" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cm")
+        val t = s"$tmp/tbl"
+        val f = Tables.documents(s, dir).select(col("doc_id"),
+          md5(trim(lower(coalesce(col("text"), lit(""))))).as("fp"))
+        TxLog.commit(f.filter(col("doc_id") % 3 =!= 0), t,
+          "overwrite", "doc_id")
+        val batch = f.filter(col("doc_id") % 3 === 0)
+        val accepted = batch
+          .join(TxLog.read(s, t).select(col("fp")), Seq("fp"),
+            "left_anti")
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("fp"))
+        TxLog.commit(accepted, t, "append", "doc_id")
+        val nAfter = TxLog.read(s, t).count()
+        materializeAndDelete(
+          TxLog.incrementalRead(s, t, 0L, 1L)
+            .select(col("doc_id"), col("fp"))
+            .withColumn("corpus_n_after", lit(nAfter))
+            .orderBy(col("doc_id")), tmp)
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id, md5(trim(lower(coalesce(text, '')))) AS fp
+        |  FROM documents),
+        |corpus AS (SELECT * FROM f WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+        |acc AS (SELECT min(doc_id) AS doc_id, fp FROM batch
+        |        WHERE fp NOT IN (SELECT fp FROM corpus) GROUP BY fp)
+        |SELECT doc_id, fp,
+        |  (SELECT count(*) FROM corpus) + (SELECT count(*) FROM acc)
+        |    AS corpus_n_after
+        |FROM acc ORDER BY doc_id""".stripMargin))
   )
 }
