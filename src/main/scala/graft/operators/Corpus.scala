@@ -252,7 +252,11 @@ object Corpus {
       s"quantile column names collide for ps=$ps")
     val spark = df.sparkSession
     val v = col(valueCol).cast("long")
+    // O(log range) aggregate probes re-scan this single-column frame;
+    // persist so an expensive upstream pipeline (e.g. the q346 LM
+    // scoring) computes once, not once per probe
     val vals = df.select(v.as("__v")).filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = vals.agg(count(lit(1)), min(col("__v")), max(col("__v")))
       .collect()(0)
     val n = head.getLong(0)

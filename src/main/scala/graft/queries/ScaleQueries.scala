@@ -162,8 +162,12 @@ object ScaleQueries extends QueryPack {
         val lm = LanguageModel.trigramInterpolated(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           "doc_id", "text")
+        // materialize BEFORE the bisect: quantilesBisect runs
+        // O(log range) aggregate probes, and each would otherwise
+        // recompute the whole trigram-LM pipeline (16.6 s → ~3 s)
         val scored = lm.filter(col("n_trigrams") > 0)
           .withColumn("avg_ppm", expr("interp_ppm_sum div n_trigrams"))
+          .localCheckpoint(true)
         val th = Corpus.quantilesBisect(scored, "avg_ppm",
           Seq(1.0 / 3, 2.0 / 3))
         scored
