@@ -288,6 +288,52 @@ object ScaleProbe {
           recs, "file_id", "doc_id", "uri", "payload")
         graft.operators.Warc.parseRecords(c, "file_id", "warc", 40)
       }
+      // q342 shape: the 8-stage crawl-to-corpus E2E over shifted
+      // copies (untagged: the dedup stage's planted-dup collapse is
+      // the point; the fp agg and row numbering dominate)
+      time("q342_e2e", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        val t40 = substring(coalesce(col("text"), lit("")), 1, 40)
+        val payload = concat(lit("<html><body><p>"), t40,
+          lit("</p><p>fin über éclair</p></body></html>"))
+        val recs = docs.select(col("doc_id"),
+          expr("doc_id div 32").as("file_id"),
+          concat(lit("http://h/"), col("doc_id")).as("uri"),
+          payload.as("payload"))
+        val parsed = graft.operators.Warc.parseRecords(
+          graft.operators.Warc.buildContainers(recs, "file_id",
+            "doc_id", "uri", "payload"), "file_id", "warc", 40)
+        val cleaned = parsed
+          .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+            graft.operators.HtmlExtract.htmlToText(
+              graft.expressions.TextNormalize.nfcNative(
+                col("payload"))).as("content"))
+          .withColumn("fp", md5(col("content")))
+        val kept = cleaned.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        graft.operators.Corpus.globalRowNumber(kept, "doc_id", 32L)
+      }
+      // q346 shape: trigram-LM scoring + bisect tertiles, post the
+      // localCheckpoint fix — copy-tagged so the LM model tables grow
+      // with the corpus instead of collapsing onto one vocabulary
+      time("q346_ccnet", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        val lm = graft.operators.LanguageModel.trigramInterpolated(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        val scored = lm.filter(col("n_trigrams") > 0)
+          .withColumn("avg_ppm", expr("interp_ppm_sum div n_trigrams"))
+          .localCheckpoint(true)
+        val th = graft.operators.Corpus.quantilesBisect(scored,
+          "avg_ppm", Seq(1.0 / 3, 2.0 / 3))
+        scored.crossJoin(broadcast(th.select(col("q_33"), col("q_67"))))
+          .withColumn("bucket",
+            when(col("avg_ppm") > col("q_67"), "head")
+              .when(col("avg_ppm") > col("q_33"), "middle")
+              .otherwise("tail"))
+      }
       // q227 shape: item-item CF — both keys shift, so copies are
       // disjoint basket universes and the census grows exactly ×N
       // (pair work stays C(basket, 2)-bounded per basket)
