@@ -829,6 +829,21 @@ object Corpus {
       docs.select(col(idCol), col(textCol)), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = ranked.count()
+    // empty corpus: the step bucketing divides by n — return the
+    // (empty) step frame instead of a divide-by-zero plan
+    if (n == 0L) {
+      return ranked.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("new_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vocab",
+            org.apache.spark.sql.types.LongType))))
+    }
     def stepOf(name: String) =
       expr(s"least(${steps - 1}L, ($name * ${steps}L) div ${n}L)")
     val tok = ranked.select(col("row_id"),
@@ -877,7 +892,10 @@ object Corpus {
       .select(col("g.a").as("a"), col("g.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minCount)
-    val nTotal = uni.agg(sum(col("c"))).head().getLong(0)
+    // sum over an empty token frame is SQL NULL — default 0 (bi is
+    // empty too, so the lift expression never evaluates on a row)
+    val nTotal = Option(uni.agg(sum(col("c"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     bi.join(uni.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
       .join(uni.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
       .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),

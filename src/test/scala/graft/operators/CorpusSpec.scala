@@ -524,6 +524,9 @@ class CorpusSpec extends SparkSpec {
         r.getLong(3)))
     // step 0 introduces a,b,c; step 1 only d (lowercased D merges)
     assert(got.toSeq === Seq((0L, 2L, 3L, 3L), (1L, 2L, 1L, 4L)))
+    // empty corpus: empty step frame, not a divide-by-zero plan
+    assert(Corpus.vocabGrowth(docs.filter(col("doc_id") < 0),
+      "doc_id", "text", steps = 2).count() === 0L)
   }
 
   test("collocationLift: adjacency, minCount prune, lift algebra") {
@@ -541,5 +544,8 @@ class CorpusSpec extends SparkSpec {
     // N=8 tokens; c(x)=3 c(y)=3; (x,y): cab=3 → 3·8·1e6 div 9
     assert(got.keySet === Set(("x", "y")))
     assert(got(("x", "y")) === ((3L, 3L, 3L, 2666666L)))
+    // empty corpus: empty result, no NPE on the null token total
+    assert(Corpus.collocationLift(docs.filter(col("doc_id") < 0),
+      "doc_id", "text", minCount = 1L).count() === 0L)
   }
 }
