@@ -373,6 +373,48 @@ object Graph {
     * are node-bounded. Nodes without in-(out-)edges settle at auth
     * (hub) 0, isolated-side-safe via the left join + coalesce.
     */
+  /** Synchronous label propagation (Raghavan et al. 2007's LPA in
+    * its deterministic batch form) — the community-detection member
+    * of the graph family: every node starts as its own label; each
+    * round, every node adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label, isolated nodes keep
+    * their own. Fixed round count + total tie order make the run
+    * hash-reproducible (async/random LPA is not).
+    *
+    * Per round: one edge⋈label join and two partial aggs — the
+    * argmax is min(struct(−count, label)), never a data window. The
+    * undirected edge frame is loop-invariant and localCheckpointed
+    * once, the [[pageRankPpm]] discipline.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val nbr = und
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+          .as("best"))
+        .select(col("a").as("node"), col("best.l").as("label"))
+      labels = labels.select(col("node"))
+        .join(nbr, Seq("node"), "left")
+        // isolated nodes never occur here (every node has an edge by
+        // construction of `nodes`), but keep the coalesce so callers
+        // passing a custom node frame degrade safely
+        .withColumn("label", coalesce(col("label"), col("node")))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1)

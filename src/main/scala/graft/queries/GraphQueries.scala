@@ -392,6 +392,55 @@ object GraphQueries extends QueryPack {
         |SELECT node, hops FROM (
         |  SELECT node, hops FROM d1
         |  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM n2)
-        |ORDER BY node""".stripMargin))
+        |ORDER BY node""".stripMargin)),
+
+    // Deterministic synchronous label propagation over a planted
+    // community graph (50-node rings + sparse bridges): 3 rounds,
+    // most-frequent-neighbor label with ties to the smallest — the
+    // oracle unrolls the identical rounds with rank windows, so both
+    // the frequency argmax AND the tie order are proven each round.
+    "q352_label_propagation" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        val ring = d.filter((col("doc_id") + 1) % 50 =!= 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+          .join(d.select(col("doc_id").as("b")), Seq("b"))
+        val bridge = d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 50).as("b"))
+          .join(d.select(col("doc_id").as("b")), Seq("b"))
+        Graph.labelPropagation(ring.select(col("a"), col("b"))
+            .union(bridge.select(col("a"), col("b"))), "a", "b",
+            rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM ids
+        |  WHERE (doc_id + 1) % 50 <> 0
+        |    AND doc_id + 1 IN (SELECT doc_id FROM ids)
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 50 FROM ids
+        |  WHERE doc_id % 97 = 0
+        |    AND doc_id + 50 IN (SELECT doc_id FROM ids)),
+        |e AS (SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)
+        |  WHERE a <> b),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+        |r1 AS (SELECT a AS node, label FROM (
+        |    SELECT e.a, l.label, count(*) AS c, row_number() OVER (
+        |      PARTITION BY e.a ORDER BY count(*) DESC, l.label) AS rk
+        |    FROM e JOIN l0 l ON e.b = l.node GROUP BY e.a, l.label)
+        |  WHERE rk = 1),
+        |r2 AS (SELECT a AS node, label FROM (
+        |    SELECT e.a, l.label, count(*) AS c, row_number() OVER (
+        |      PARTITION BY e.a ORDER BY count(*) DESC, l.label) AS rk
+        |    FROM e JOIN r1 l ON e.b = l.node GROUP BY e.a, l.label)
+        |  WHERE rk = 1),
+        |r3 AS (SELECT a AS node, label FROM (
+        |    SELECT e.a, l.label, count(*) AS c, row_number() OVER (
+        |      PARTITION BY e.a ORDER BY count(*) DESC, l.label) AS rk
+        |    FROM e JOIN r2 l ON e.b = l.node GROUP BY e.a, l.label)
+        |  WHERE rk = 1)
+        |SELECT node, label FROM r3 ORDER BY node""".stripMargin))
   )
 }

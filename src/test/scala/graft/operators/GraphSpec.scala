@@ -180,4 +180,25 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tiny === Map(7L -> 0L, 8L -> 1L))
   }
+
+  test("labelPropagation: majority wins, ties to smallest, sync rounds") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4—3; round 1: every triangle node
+    // sees two labels → tie → min; pendant adopts 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val r1 = Graph.labelPropagation(edges, "a", "b", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    // round 2 from that state: node 1 nbrs {2→1,3→1} → 1; node 2 nbrs
+    // {1→2,3→1} tie → 1; node 3 nbrs {1→2,2→1,4→3} tie → 1; node 4
+    // nbr {3→1} → 1 — consensus on label 1
+    val r2 = Graph.labelPropagation(edges, "a", "b", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // rounds = 0 is the identity labeling
+    val r0 = Graph.labelPropagation(edges, "a", "b", rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0 === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
 }
