@@ -932,6 +932,122 @@ object CrawlQueries extends QueryPack {
         |SELECT doc_id, link_idx, url, host, path, max(rnk) AS rule_rank,
         |  coalesce(max(rnk), 1) % 2 = 1 AS allowed
         |FROM j GROUP BY 1, 2, 3, 4, 5
-        |ORDER BY doc_id, link_idx""".stripMargin))
+        |ORDER BY doc_id, link_idx""".stripMargin)),
+
+    // SEARCH flagship: the crawl half feeds the retrieval half. Pages
+    // → boilerplate-stripped content (q320 pipeline) → term index →
+    // AND-semantics keyword ranking, fused (RRF, integer ppm) with a
+    // host-PageRank prior (q327 pipeline) computed over the SAME
+    // crawl — top-10 per query. Every stage (extraction, tf, both
+    // rank orders, the fusion arithmetic) is replayed in the oracle.
+    "q353_search_e2e" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tf = HtmlExtract.extractContent(htmlDf(s, dir), "doc_id", "html")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("content")))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        val qs = Seq((1L, "key"), (1L, "value"), (2L, "window"),
+          (2L, "order"), (3L, "hash"), (3L, "join")).toDF("qid", "t")
+        val kw = qs.join(tf, Seq("t"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(sum(col("tf")).as("score"), count(lit(1)).as("hits"))
+          .filter(col("hits") === 2)
+        val rkw = kw.withColumn("rank_kw",
+            row_number().over(Window.partitionBy(col("qid"))
+              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .filter(col("rank_kw") <= 20)
+        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
+          .withColumn("host", Urls.host(col("href")))
+        val self = links.filter(col("link_idx") === 0)
+          .select(col("doc_id"), col("host").as("src"))
+        val out = links.filter(col("link_idx") > 0 && col("host") =!= "")
+          .select(col("doc_id"), col("host").as("dst"))
+        val edges = self.join(out, Seq("doc_id"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        val pr = Graph.pageRankPpm(edges, "src", "dst", iters = 3)
+        val prior = self.withColumnRenamed("src", "node")
+          .join(pr, Seq("node")).select(col("doc_id"), col("rank_ppm"))
+        // prior rank over the CANDIDATE pool per query — no global
+        // window; RRF fuses two bounded rankings of the same pool
+        val fused = rkw.join(prior, Seq("doc_id"))
+          .withColumn("rank_pr",
+            row_number().over(Window.partitionBy(col("qid"))
+              .orderBy(col("rank_ppm").desc, col("doc_id"))).cast("long"))
+          .withColumn("rrf_ppm", expr(
+            "1000000 div (60 + rank_kw) + 1000000 div (60 + rank_pr)"))
+        fused.withColumn("rank",
+            row_number().over(Window.partitionBy(col("qid"))
+              .orderBy(col("rrf_ppm").desc, col("doc_id"))).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank"), col("doc_id"), col("score"),
+            col("rank_kw"), col("rank_pr"), col("rrf_ppm"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      {
+        val iterCtes = (1 to 3).map { i =>
+          s"""f$i AS (SELECT e.dst AS node,
+             |    CAST(sum(r.rank_ppm // d.out_deg) AS BIGINT) AS in_sum
+             |  FROM e JOIN r${i - 1} r ON e.src = r.node
+             |  JOIN d ON e.src = d.src GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |    CAST(150000 + (850000 * coalesce(f.in_sum, 0)) // 1000000
+             |      AS BIGINT) AS rank_ppm
+             |  FROM n LEFT JOIN f$i f USING (node))""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH $htmlCte,
+          |$segCte,
+          |$blkCte,
+          |$cntCte,
+          |tf AS (SELECT doc_id, t, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(CASE WHEN trim(lower(content)) = ''
+          |      THEN CAST([] AS VARCHAR[])
+          |      ELSE string_split_regex(trim(lower(content)), '\\s+')
+          |      END) AS t
+          |    FROM cnt) GROUP BY 1, 2),
+          |qs(qid, t) AS (VALUES (1, 'key'), (1, 'value'), (2, 'window'),
+          |  (2, 'order'), (3, 'hash'), (3, 'join')),
+          |kw AS (SELECT qid, doc_id, CAST(sum(tf) AS BIGINT) AS score,
+          |    count(*) AS hits
+          |  FROM qs JOIN tf USING (t) GROUP BY 1, 2),
+          |k3 AS (SELECT qid, doc_id, score, rank_kw FROM (
+          |    SELECT qid, doc_id, score, row_number() OVER (
+          |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rank_kw
+          |    FROM kw WHERE hits = 2) WHERE rank_kw <= 20),
+          |e AS (
+          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com' AS src,
+          |    'host' || ((doc_id + 3) % 7) || '.com' AS dst
+          |  FROM documents
+          |  UNION
+          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com',
+          |    'hub.example.com'
+          |  FROM documents WHERE doc_id % 2 = 0),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+          |$iterCtes,
+          |dp AS (SELECT h.doc_id, r3.rank_ppm FROM (
+          |    SELECT doc_id, 'host' || (doc_id % 7) || '.com' AS node
+          |    FROM documents) h JOIN r3 USING (node)),
+          |g AS (SELECT k3.qid, k3.doc_id, k3.score, k3.rank_kw,
+          |    row_number() OVER (PARTITION BY k3.qid
+          |      ORDER BY dp.rank_ppm DESC, k3.doc_id) AS rank_pr
+          |  FROM k3 JOIN dp USING (doc_id)),
+          |h AS (SELECT qid, doc_id, score, rank_kw, rank_pr,
+          |    1000000 // (60 + rank_kw) + 1000000 // (60 + rank_pr)
+          |      AS rrf_ppm
+          |  FROM g)
+          |SELECT CAST(qid AS BIGINT) AS qid,
+          |  CAST(row_number() OVER (PARTITION BY qid
+          |    ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank,
+          |  doc_id, score, CAST(rank_kw AS BIGINT) AS rank_kw,
+          |  CAST(rank_pr AS BIGINT) AS rank_pr,
+          |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+          |FROM h
+          |QUALIFY rank <= 10
+          |ORDER BY qid, rank""".stripMargin)
+      })
   )
 }
