@@ -1048,6 +1048,41 @@ object CrawlQueries extends QueryPack {
           |FROM h
           |QUALIFY rank <= 10
           |ORDER BY qid, rank""".stripMargin)
-      })
+      }),
+
+    // Host-level template discovery — the second boilerplate axis:
+    // q319/q320 score blocks WITHIN a page (link density/text mass);
+    // this one finds lines shared ACROSS a host's pages (footers,
+    // tag clouds, legal lines — the fixture plants all three at
+    // different sharing fractions). Per (host, line): distinct-page
+    // count and the share in ppm. A production pipeline drops lines
+    // above a share threshold before dedup/quality.
+    "q354_host_templates" -> Q(
+      (s, dir) => {
+        val blocks = HtmlExtract.htmlBlocks(htmlDf(s, dir), "doc_id", "html")
+          .withColumn("host",
+            concat(lit("host"), col("doc_id") % 7, lit(".com")))
+        val nd = blocks.groupBy(col("host"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        blocks.groupBy(col("host"), col("text"))
+          .agg(countDistinct(col("doc_id")).as("n_pages"))
+          .join(nd, Seq("host"))
+          .filter(col("n_pages") >= 2)
+          .withColumn("tmpl_ppm", expr("(1000000 * n_pages) div n_docs"))
+          .orderBy(col("host"), col("text"))
+      },
+      Some(s"""WITH $htmlCte,
+        |$segCte,
+        |$blkCte,
+        |wh AS (SELECT 'host' || (doc_id % 7) || '.com' AS host,
+        |         doc_id, text FROM blk),
+        |nd AS (SELECT host, count(DISTINCT doc_id) AS n_docs
+        |       FROM wh GROUP BY 1),
+        |tp AS (SELECT host, text, count(DISTINCT doc_id) AS n_pages
+        |       FROM wh GROUP BY 1, 2)
+        |SELECT tp.host, tp.text, n_pages, n_docs,
+        |  (1000000 * n_pages) // n_docs AS tmpl_ppm
+        |FROM tp JOIN nd USING (host) WHERE n_pages >= 2
+        |ORDER BY host, text""".stripMargin))
   )
 }
