@@ -59,8 +59,10 @@ object Warc {
     * terminate the walk rather than yielding junk rows.
     */
   def parseRecords(df: DataFrame, fileCol: String, warcCol: String,
-      maxRecords: Int): DataFrame = {
+      maxRecords: Int, maxHeaderLen: Long = 1024L): DataFrame = {
     require(maxRecords >= 1, s"maxRecords must be >= 1, got $maxRecords")
+    require(maxHeaderLen >= 16L,
+      s"maxHeaderLen must be >= 16, got $maxHeaderLen")
     val s = col(warcCol)
     val n = length(s).cast("long")
     val init = array().cast(
@@ -73,7 +75,12 @@ object Warc {
         // CRLFCRLF (4) sits between hend and the payload
         val off = when(size(a) === 0, lit(1L))
           .otherwise(last.getField("hend") + last.getField("len") + 8L)
-        val rel = locate(crlf2, s.substr(off, n)).cast("long")
+        // search only a bounded header window, not the whole
+        // remaining container — keeps each step O(maxHeaderLen)
+        // instead of O(n − off); a record whose header exceeds the
+        // bound terminates the walk like any other malformed record
+        val rel = locate(crlf2, s.substr(off, lit(maxHeaderLen)))
+          .cast("long")
         val hend = off + rel - 1
         val hdr = s.substr(off, hend - off)
         val len = coalesce(
