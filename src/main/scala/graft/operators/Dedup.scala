@@ -989,8 +989,9 @@ object Dedup {
     * they pair against everything ≤ 2k chars through a single "tiny"
     * bucket (bounded: both sides are ≤ 2k-char strings).
     *
-    * Same output contract as [[editDistanceJoin]] and provably the
-    * same rows.
+    * Same output contract as [[editDistanceJoin]] — including the
+    * "ids unique, one row per id; null text ≡ empty" caller
+    * contract — and provably the same rows.
     */
   def passJoinEditDistance(docs: DataFrame, idCol: String,
       textCol: String, maxDist: Int): DataFrame = {

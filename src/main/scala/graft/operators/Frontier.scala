@@ -41,7 +41,9 @@ object Frontier {
     * documents gets an independent row per key, so the evaluation is
     * a pure per-row decision (no cross-row state) and therefore runs
     * identically per micro-batch in a stream (q343) and over the
-    * whole corpus in batch. `keyCols ++ (url)` must be unique.
+    * whole corpus in batch. `keyCols ++ (url)` must be unique —
+    * duplicate rows would silently merge in the verdict groupBy.
+    * `rtype` values other than `allow` count as disallow.
     */
   def robotsGateKeyed(urls: DataFrame, rules: DataFrame,
       keyCols: Seq[String]): DataFrame = {
@@ -67,6 +69,10 @@ object Frontier {
     * host at most `perHostPerSlot` times per interval. The window is
     * HOST-partitioned — the scalable axis: hosts spread across
     * executors, and no host's queue is longer than its own URL count.
+    *
+    * Caller contract: `urls` is pre-deduplicated per host (q331's
+    * distinct) — duplicate URL rows would draw arbitrary distinct
+    * sequence numbers and make the output run-dependent.
     */
   def politenessSlots(urls: DataFrame, perHostPerSlot: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

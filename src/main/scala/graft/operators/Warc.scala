@@ -31,7 +31,10 @@ object Warc {
   private val crlf2 = "\r\n\r\n"
 
   /** One record's wire form for `uri`/`payload` (payload octet length
-    * computed in-plan).
+    * computed in-plan). The URI must not contain CR/LF — a newline in
+    * it would forge header lines; [[parseRecords]] reads the URI up
+    * to the first CR, so a forged record mis-parses loudly (length
+    * walk breaks), never silently.
     */
   def record(uri: Column, payload: Column): Column =
     concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
@@ -54,9 +57,12 @@ object Warc {
 
   /** Parse a container column back into records: (fileCol, rec_idx,
     * target_uri, content_length, payload). `maxRecords` bounds the
-    * fold (steps past the final record no-op); records not starting
-    * with the `WARC/1.0` banner — torn tails, trailing garbage —
-    * terminate the walk rather than yielding junk rows.
+    * fold (steps past the final record no-op); `maxHeaderLen` bounds
+    * the per-step header-terminator search, so one step costs
+    * O(maxHeaderLen), not O(remaining container). Records not
+    * starting with the `WARC/1.0` banner — torn tails, trailing
+    * garbage — and records whose header exceeds the bound terminate
+    * the walk rather than yielding junk rows.
     */
   def parseRecords(df: DataFrame, fileCol: String, warcCol: String,
       maxRecords: Int, maxHeaderLen: Long = 1024L): DataFrame = {
