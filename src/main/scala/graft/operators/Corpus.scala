@@ -903,6 +903,39 @@ object Corpus {
           .as("lift_ppm"))
   }
 
+  /** Deterministic distributed EPOCH SHUFFLE — the training-order
+    * primitive: every epoch's order is the rank of md5(seed‖id), so
+    * it is (a) reproducible bit-for-bit from (seed, id) alone, (b)
+    * uncorrelated between seeds, and (c) computed WITHOUT a global
+    * sort: the md5 hex prefix (top 8 bits) is an order-aligned bucket
+    * key, so the [[globalRowNumber]] shape applies — 256 bucket
+    * counts, a prefix sum over that tiny frame, in-bucket ranks.
+    * `shard_id` = ⌊pos/shardSize⌋ gives the epoch's shard layout in
+    * the same pass. Ties on the full hash break by id, so duplicate
+    * ids are the only way to lose determinism (don't).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+      shardSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    val keyed = df.withColumn("__k",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__b",
+        conv(substring(col("__k"), 1, 2), 16, 10).cast("long"))
+    val offsets = keyed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    keyed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("epoch_pos", col("__off") - 1 +
+        row_number().over(Window.partitionBy(col("__b"))
+          .orderBy(col("__k"), col(idCol))))
+      .withColumn("shard_id", expr(s"epoch_pos div ${shardSize}L"))
+      .drop("__b", "__off", "__k")
+  }
+
   def globalRowNumber(df: DataFrame, keyCol: String,
       bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

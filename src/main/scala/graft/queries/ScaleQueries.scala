@@ -411,6 +411,30 @@ object ScaleQueries extends QueryPack {
         |SELECT doc_id, chunk_idx, off, len, chunk_md5,
         |  row_number() OVER (PARTITION BY chunk_md5
         |    ORDER BY doc_id, chunk_idx) = 1 AS is_first
-        |FROM ch2 ORDER BY doc_id, chunk_idx""".stripMargin))
+        |FROM ch2 ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Deterministic epoch shuffle: two seeds, two independent orders,
+    // both ranked through the bucketed no-global-sort path; the
+    // oracle IS the global sort (row_number over the hash), so the
+    // order-aligned bucket decomposition is proven exact for both
+    // epochs, plus the epoch-0 shard layout.
+    "q355_epoch_shuffle" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        val e0 = Corpus.epochShuffle(d, "doc_id", "e0", shardSize = 64L)
+          .select(col("doc_id"), col("epoch_pos").as("pos0"),
+            col("shard_id").as("shard0"))
+        val e1 = Corpus.epochShuffle(d, "doc_id", "e1", shardSize = 64L)
+          .select(col("doc_id"), col("epoch_pos").as("pos1"))
+        e0.join(e1, Seq("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('e0:' || doc_id), doc_id) - 1
+        |    AS pos0,
+        |  (row_number() OVER (ORDER BY md5('e0:' || doc_id), doc_id)
+        |    - 1) // 64 AS shard0,
+        |  row_number() OVER (ORDER BY md5('e1:' || doc_id), doc_id) - 1
+        |    AS pos1
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
