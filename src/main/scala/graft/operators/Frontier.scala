@@ -62,6 +62,68 @@ object Frontier {
         coalesce(col("rule_rank"), lit(1L)) % 2 === 1)
   }
 
+  /** Parse raw robots.txt text into the (host, rtype, prefix) rules
+    * [[robotsGate]] consumes — the fetch-side half of REP support.
+    * Scope: the `User-agent: *` group(s), per RFC 9309 §2.2.1 group
+    * semantics: consecutive User-agent lines STACK to open one group
+    * (so `User-agent: googlebot` + `User-agent: *` applies); a
+    * specific-agent-only group's rules are ignored; keys are
+    * case-insensitive; `#` comments and blank lines are stripped;
+    * an EMPTY Allow/Disallow value is a no-op by spec (it does NOT
+    * mean "disallow everything" — that is `Disallow: /`), which
+    * matters because the evaluator treats an empty prefix as
+    * match-all.
+    *
+    * One bounded catalyst fold over each file's line array (the
+    * [[Warc.parseRecords]] discipline — group state is inherently
+    * sequential per FILE, files parallelize freely); `maxLines`
+    * bounds the fold. Emits one row per accepted rule in file order.
+    */
+  def parseRobots(df: DataFrame, hostCol: String, txtCol: String,
+      maxLines: Int = 64): DataFrame = {
+    require(maxLines >= 1, s"maxLines must be >= 1, got $maxLines")
+    val lines = split(coalesce(col(txtCol), lit("")), "\n")
+    val init = struct(lit(1).as("ua"), lit(0).as("act"),
+      array().cast("array<struct<rtype:string,prefix:string>>")
+        .as("rules"))
+    val folded = aggregate(
+      sequence(lit(1), lit(maxLines)), init,
+      (st, i) => {
+        val raw = when(i <= size(lines), element_at(lines, i))
+          .otherwise(lit(""))
+        val line = trim(regexp_replace(raw, "#.*$", ""))
+        val key = lower(regexp_extract(line, "^([A-Za-z-]+)\\s*:", 1))
+        val value = trim(regexp_extract(line, "^[A-Za-z-]+\\s*:(.*)$", 1))
+        val isUa = key === "user-agent"
+        val isRule = key === "allow" || key === "disallow"
+        // consecutive UA lines stack; the first UA after rules (or at
+        // start) RESETS the group
+        val actAfterUa = when(st.getField("ua") === 1,
+          greatest(st.getField("act"),
+            when(value === "*", 1).otherwise(0)))
+          .otherwise(when(value === "*", 1).otherwise(0))
+        val appended = when(
+          isRule && st.getField("act") === 1 && value =!= "",
+          concat(st.getField("rules"),
+            array(struct(key.as("rtype"), value.as("prefix")))))
+          .otherwise(st.getField("rules"))
+        when(isUa,
+          struct(lit(1).as("ua"), actAfterUa.as("act"),
+            st.getField("rules").as("rules")))
+          .when(isRule,
+            struct(lit(0).as("ua"), st.getField("act").as("act"),
+              appended.as("rules")))
+          .otherwise( // blank/comment/unknown key: group state holds
+            struct(st.getField("ua").as("ua"),
+              st.getField("act").as("act"),
+              st.getField("rules").as("rules")))
+      })
+    df.select(col(hostCol).as("host"),
+        explode(folded.getField("rules")).as("r"))
+      .select(col("host"), col("r.rtype").as("rtype"),
+        col("r.prefix").as("prefix"))
+  }
+
   /** Politeness scheduling: deterministic per-host fetch ordering and
     * slot assignment — `fetch_seq` = 0-based rank of the URL within
     * its host (by URL order), `fetch_slot` = ⌊seq/perHostPerSlot⌋, so

@@ -1083,6 +1083,45 @@ object CrawlQueries extends QueryPack {
         |SELECT tp.host, tp.text, n_pages, n_docs,
         |  (1000000 * n_pages) // n_docs AS tmpl_ppm
         |FROM tp JOIN nd USING (host) WHERE n_pages >= 2
-        |ORDER BY host, text""".stripMargin))
+        |ORDER BY host, text""".stripMargin)),
+
+    // robots.txt PARSING (the fetch-side half; q333 gates the
+    // evaluator): per-host files carry a specific-agent group that
+    // must be ignored, stacked/cased keys, trailing comments, an
+    // empty Disallow (spec: no-op, NOT disallow-all), and unknown
+    // keys — the oracle is the closed-form expected rules table, so
+    // any mis-grouped or mis-trimmed line shows up as a row diff.
+    "q356_robots_parse" -> Q(
+      (s, dir) => {
+        val hosts = Tables.documents(s, dir)
+          .select((col("doc_id") % 7).as("k")).distinct()
+          .select(col("k"),
+            concat(lit("host"), col("k"), lit(".com")).as("host"))
+        val txt = concat(
+          lit("# robots for "), col("host"),
+          lit("\nUser-agent: googlebot\nDisallow: /secret\n\n" +
+            "User-agent: *\n"),
+          when(col("k") === 0, lit("Disallow: /d/\nAllow: /d/1\n"))
+            .when(col("k") === 2, lit("disallow: /\nALLOW: /d/2\n"))
+            .when(col("k") === 3, lit("Disallow: /d/\nAllow: /d/\n"))
+            .when(col("k") === 4, lit("Disallow: /idx # old index\n"))
+            .when(col("k") === 5, lit("Disallow: /\n"))
+            .otherwise(lit("Disallow:\n")),
+          lit("Crawl-delay: 10\n"))
+        val files = hosts.select(col("host"), txt.as("robots"))
+          .union(Tables.documents(s, dir).limit(1)
+            .select(lit("hub.example.com").as("host"),
+              lit("User-agent: *\nAllow: /\n").as("robots")))
+        Frontier.parseRobots(files, "host", "robots")
+          .orderBy(col("host"), col("rtype"), col("prefix"))
+      },
+      Some("""WITH r(host, rtype, prefix) AS (VALUES
+        |  ('host0.com', 'disallow', '/d/'), ('host0.com', 'allow', '/d/1'),
+        |  ('host2.com', 'disallow', '/'), ('host2.com', 'allow', '/d/2'),
+        |  ('host3.com', 'disallow', '/d/'), ('host3.com', 'allow', '/d/'),
+        |  ('host4.com', 'disallow', '/idx'), ('host5.com', 'disallow', '/'),
+        |  ('hub.example.com', 'allow', '/'))
+        |SELECT host, rtype, prefix FROM r
+        |ORDER BY host, rtype, prefix""".stripMargin))
   )
 }

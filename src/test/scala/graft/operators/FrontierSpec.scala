@@ -49,6 +49,24 @@ class FrontierSpec extends SparkSpec {
     assert(got("c1") === ((None, true)))
   }
 
+  test("parseRobots: group semantics, stacking, orphan rules, no-ops") {
+    val files = Seq(
+      // stacked UA incl. * → group applies; next UA after rules resets
+      ("a.com", "User-agent: googlebot\nUser-agent: *\n" +
+        "Disallow: /x\n\nUser-agent: bingbot\nDisallow: /y\n"),
+      // orphan rules before any UA line are ignored; star later works
+      ("b.com", "Disallow: /orphan\nUser-agent: *\nAllow: /ok\n"),
+      // no star group at all → nothing
+      ("c.com", "User-agent: googlebot\nDisallow: /z\n"),
+      ("d.com", ""), ("e.com", null.asInstanceOf[String]))
+      .toDF("host", "robots")
+    val got = Frontier.parseRobots(files, "host", "robots")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set(("a.com", "disallow", "/x"),
+      ("b.com", "allow", "/ok")))
+  }
+
   test("politenessSlots: host-local sequence and slot boundaries") {
     val urls = (0 until 5).map(i => (s"http://a/$i", "a.com")) ++
       Seq(("http://b/x", "b.com"))
