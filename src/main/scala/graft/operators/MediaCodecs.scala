@@ -180,6 +180,92 @@ object MediaCodecs {
     }
   }
 
+  /** TIFF/EXIF metadata walk — the third container format of the
+    * family: little-endian TIFF ("II", magic 42), chained IFDs of
+    * 12-byte entries (tag, type, count, value/offset). The walk is
+    * what a real EXIF reader runs before any pixel decode: locate
+    * IFD0 from the header offset, read the entry table, follow the
+    * next-IFD pointer. Guards (all data-driven in the q357 gate):
+    * entry table overrunning EOF drops that IFD and stops; a
+    * next-IFD offset that is 0, past EOF, or NOT strictly forward
+    * stops the chain (the no-backwards rule also makes pointer loops
+    * impossible, so no visited-set state). Long arithmetic, same
+    * wrap-around reasoning as [[Mp4FfiCodec.bmffBoxes]].
+    */
+  object TiffCodec extends MediaCodec {
+    val name = "tiff_exif"
+    def accepts(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 8 &&
+        bytes(0) == 'I' && bytes(1) == 'I' &&
+        (bytes(2) & 0xFF) == 42 && bytes(3) == 0
+
+    private def u16(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xFF).toLong | ((b(i + 1) & 0xFF).toLong << 8)
+    private def u32(b: Array[Byte], i: Int): Long =
+      u16(b, i) | (u16(b, i + 2) << 16)
+
+    /** The walk as FACTS — one row per entry:
+      * (ifd_idx, entry_idx, tag, ftype, cnt, value).
+      */
+    def ifdEntries(bytes: Array[Byte])
+        : Seq[(Long, Long, Long, Long, Long, Long)] = {
+      if (!accepts(bytes)) return Seq.empty
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+      var off = u32(bytes, 4)
+      var ifd = 0L
+      var ok = true
+      while (ok && off > 0 && off + 2 <= bytes.length) {
+        val n = u16(bytes, off.toInt)
+        val end = off + 2 + n * 12
+        if (end + 4 > bytes.length) ok = false
+        else {
+          var j = 0L
+          while (j < n) {
+            val e = (off + 2 + j * 12).toInt
+            out += ((ifd, j, u16(bytes, e), u16(bytes, e + 2),
+              u32(bytes, e + 4), u32(bytes, e + 8)))
+            j += 1
+          }
+          val next = u32(bytes, end.toInt)
+          // strictly-forward chain: 0 / backwards / past-EOF all stop
+          if (next <= off) ok = false else off = next
+          ifd += 1
+        }
+      }
+      out.toSeq
+    }
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      val es = ifdEntries(bytes)
+      // --- FFI STAND-IN: a real binding reads strip/tile offsets and
+      // decodes the raster; we surface the located metadata count ---
+      if (es.isEmpty) None
+      else Some(Decoded("image", None, None, None, es.size.toLong))
+    }
+  }
+
+  /** TIFF IFD walk over a (media_id, bytes) frame — the q357 gate
+    * surface. One row per well-formed entry: (media_id, ifd_idx,
+    * entry_idx, tag, ftype, cnt, value). flatMap over the scan.
+    */
+  def tiffWalk(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ifd_idx", LongType),
+      StructField("entry_idx", LongType),
+      StructField("tag", LongType),
+      StructField("ftype", LongType),
+      StructField("cnt", LongType),
+      StructField("value", LongType)))
+    val rdd = media.select(col("media_id"), col("bytes")).rdd.flatMap { r =>
+      val id = r.getLong(0)
+      TiffCodec.ifdEntries(r.getAs[Array[Byte]]("bytes")).map {
+        case (ifd, j, tag, t, c, v) => Row(id, ifd, j, tag, t, c, v)
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, out)
+  }
+
   /** Last-resort codec: accepts anything, reports the stub shape (the
     * q36 byte-histogram fallback family) — an unrecognized payload
     * yields a typed row, never an exception or a dropped row.
@@ -195,7 +281,8 @@ object MediaCodecs {
     * dispatch is total.
     */
   val defaultRegistry: Seq[MediaCodec] =
-    Seq(PngCodec, WavCodec, ClipCodec, Mp3FfiCodec, Mp4FfiCodec, StubCodec)
+    Seq(PngCodec, WavCodec, ClipCodec, Mp3FfiCodec, Mp4FfiCodec,
+      TiffCodec, StubCodec)
 
   /** Synthetic MP3: a REAL ID3v2.3 header (synchsafe tag length
     * `tagLen`) + `frames` CBR frame payloads. Deterministic and

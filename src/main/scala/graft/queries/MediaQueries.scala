@@ -633,6 +633,67 @@ object MediaQueries extends QueryPack {
         |SELECT doc_id AS media_id, CAST(box_idx AS BIGINT) AS box_idx,
         |  CAST(box_off AS BIGINT) AS box_off,
         |  CAST(box_size AS BIGINT) AS box_size, box_type
-        |FROM f ORDER BY media_id, box_idx""".stripMargin))
+        |FROM f ORDER BY media_id, box_idx""".stripMargin)),
+
+    // TIFF/EXIF IFD walk as data — third container format of the
+    // family: little-endian header, chained IFDs of 12-byte entries.
+    // Shapes: torn entry table (%11: claims n entries, ships n−1 →
+    // whole IFD dropped), chained second IFD (%3), next-pointer past
+    // EOF (%13: IFD0 parses, chain stops). The Spark side BUILDS real
+    // bytes (hex→unhex) and runs the byte walk the codec uses; the
+    // oracle recomputes expected entries from the generator.
+    "q357_tiff_walk" -> Q(
+      (s, dir) => {
+        def b2(c: org.apache.spark.sql.Column) = format_string("%02x%02x",
+          (c % 256).cast("int"), ((c / 256).cast("long") % 256).cast("int"))
+        def b4(c: org.apache.spark.sql.Column) =
+          concat(b2(c % 65536), b2((c / 65536).cast("long")))
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("n", (lit(2) + col("doc_id") % 3).cast("long"))
+          .withColumn("torn", col("doc_id") % 11 === 0)
+          .withColumn("two", col("doc_id") % 11 =!= 0 &&
+            col("doc_id") % 3 === 0)
+          .withColumn("past", col("doc_id") % 11 =!= 0 &&
+            col("doc_id") % 3 =!= 0 && col("doc_id") % 13 === 0)
+        val entry = (j: org.apache.spark.sql.Column) => concat(
+          b2(lit(256L) + j), b2(lit(3L) + j % 2), b4(lit(1L)),
+          b4((col("doc_id") * 7 + j) % 65536))
+        val entriesHex = (upto: org.apache.spark.sql.Column) =>
+          array_join(transform(sequence(lit(0L), upto), entry), "")
+        val nextOff = lit(8L) + 2L + col("n") * 12 + 4L
+        val hex = concat(lit("49492a0008000000"), b2(col("n")),
+          when(col("torn"), entriesHex(col("n") - 2)) // n−1 entries
+            .otherwise(concat(
+              entriesHex(col("n") - 1),
+              when(col("two"), concat(b4(nextOff),
+                // IFD1: one entry (tag 513, type 4, cnt 1, value id%1000)
+                lit("0100"), b2(lit(513L)), b2(lit(4L)), b4(lit(1L)),
+                b4(col("doc_id") % 1000), b4(lit(0L))))
+                .when(col("past"), b4(lit(99999L)))
+                .otherwise(b4(lit(0L))))))
+        val media = d.select(col("doc_id").as("media_id"),
+          unhex(hex).as("bytes"))
+        MediaCodecs.tiffWalk(media)
+          .orderBy(col("media_id"), col("ifd_idx"), col("entry_idx"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+        |  WHERE doc_id % 11 <> 0),
+        |e0 AS (
+        |  SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS ifd_idx,
+        |    CAST(j AS BIGINT) AS entry_idx,
+        |    CAST(256 + j AS BIGINT) AS tag,
+        |    CAST(3 + j % 2 AS BIGINT) AS ftype,
+        |    CAST(1 AS BIGINT) AS cnt,
+        |    CAST((doc_id * 7 + j) % 65536 AS BIGINT) AS value
+        |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j
+        |        FROM d)),
+        |e1 AS (
+        |  SELECT doc_id AS media_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(513 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(doc_id % 1000 AS BIGINT)
+        |  FROM d WHERE doc_id % 3 = 0)
+        |SELECT * FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+        |ORDER BY media_id, ifd_idx, entry_idx""".stripMargin))
   )
 }

@@ -138,4 +138,27 @@ class MediaCodecsSpec extends SparkSpec {
     assert(byId(3L) === "stub")   // corrupt → stub row, partition survived
     assert(byId(4L) === "counting")
   }
+
+  test("TiffCodec: LE parse, torn table, pointer-loop guard") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val header = "49492a00" + "08000000"
+    val entry = "0001" + "0300" + "01000000" + "2a000000" // tag 256 SHORT 1 v42
+    // one IFD, one entry, next = 0
+    val ok = hx(header + "0100" + entry + "00000000")
+    assert(MediaCodecs.TiffCodec.ifdEntries(ok) ===
+      Seq((0L, 0L, 256L, 3L, 1L, 42L)))
+    // torn: claims 2 entries, ships 1 → whole IFD dropped
+    assert(MediaCodecs.TiffCodec.ifdEntries(
+      hx(header + "0200" + entry)) === Seq.empty)
+    // pointer loop: next-IFD points BACK at IFD0 (offset 8) → the
+    // strictly-forward rule stops after one pass, no infinite walk
+    val loop = hx(header + "0100" + entry + "08000000")
+    assert(MediaCodecs.TiffCodec.ifdEntries(loop) ===
+      Seq((0L, 0L, 256L, 3L, 1L, 42L)))
+    // big-endian ("MM") and short headers are rejected outright
+    assert(!MediaCodecs.TiffCodec.accepts(hx("4d4d002a08000000")))
+    assert(!MediaCodecs.TiffCodec.accepts(hx("4949")))
+    assert(MediaCodecs.TiffCodec.decode(ok).get.nFrames === 1L)
+  }
 }
