@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CrawlQueries, GatewayQueries, MediaQueries, GoldQueries, GraphQueries, IndexQueries, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, ScaleQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, ChatQueries, CoreQueries, CrawlQueries, GatewayQueries, MediaQueries, GoldQueries, GraphQueries, IndexQueries, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, ScaleQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
       SimilarityQueries, LicenseQueries, ScalarQueries, GoldQueries,
       SinkQueries, GatewayQueries, StreamingQueries, SourceQueries,
       IndexQueries, TemporalQueries, GraphQueries, AnalyticsQueries,
-      TimeSeriesQueries, CrawlQueries, MediaQueries, ScaleQueries)
+      TimeSeriesQueries, CrawlQueries, MediaQueries, ScaleQueries,
+      ChatQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =
     packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning data preparation — the SFT half of a training
+  * pipeline: turn tables become rendered conversations plus the
+  * integrity facts and LOSS-MASK offsets a trainer needs. The
+  * reference has no analog; the shapes follow the standard chat
+  * template discipline (role markers concatenated in turn order,
+  * assistant spans trainable, everything else masked).
+  *
+  * All pure integer/string algebra: rendering is a per-conversation
+  * sort + join (ONE conv-keyed partial agg), spans are a conv-keyed
+  * running sum — no driver state, no data-sized window.
+  */
+object Chat {
+
+  val UserMark = "<|user|>"
+  val AsstMark = "<|assistant|>"
+
+  private def mark(roleCol: String) =
+    when(col(roleCol) === "user", lit(UserMark)).otherwise(lit(AsstMark))
+
+  /** Render one row per conversation: (conv, n_turns, alternation_ok,
+    * rendered, user_chars, asst_chars). `alternation_ok` = turns are
+    * 0-based consecutive AND strictly alternate starting with user —
+    * the invariant SFT trainers assume; invalid conversations still
+    * render (the caller filters on the flag).
+    */
+  def renderConversations(turns: DataFrame, convCol: String,
+      idxCol: String, roleCol: String, textCol: String): DataFrame = {
+    val piece = concat(mark(roleCol), col(textCol))
+    val okTurn = (col(idxCol) % 2 === 0) === (col(roleCol) === "user")
+    turns.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        (min(when(okTurn, 1L).otherwise(0L)) === 1 &&
+          max(col(idxCol)) === count(lit(1)) - 1 &&
+          countDistinct(col(idxCol)) === count(lit(1)))
+          .as("alternation_ok"),
+        array_join(transform(array_sort(collect_list(
+            struct(col(idxCol), piece.as("__p")))),
+          x => x.getField("__p")), "").as("rendered"),
+        sum(when(col(roleCol) === "user", length(col(textCol))
+          .cast("long")).otherwise(0L)).as("user_chars"),
+        sum(when(col(roleCol) =!= "user", length(col(textCol))
+          .cast("long")).otherwise(0L)).as("asst_chars"))
+  }
+
+  /** Loss-mask spans: for every ASSISTANT turn, the 0-based char
+    * interval [span_start, span_end) its text occupies in the
+    * [[renderConversations]] rendering (markers excluded — markers
+    * are never trainable). One conv-keyed running sum over turn
+    * lengths; the q359 gate proves the offsets by substring-extracting
+    * the rendered text at them.
+    */
+  def assistantSpans(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val markLen = when(col(roleCol) === "user",
+      lit(UserMark.length.toLong)).otherwise(lit(AsstMark.length.toLong))
+    val pieceLen = markLen + length(col(textCol)).cast("long")
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("__before", coalesce(sum(pieceLen).over(w), lit(0L)))
+      .withColumn("span_start", col("__before") + markLen)
+      .withColumn("span_end",
+        col("span_start") + length(col(textCol)).cast("long"))
+      .filter(col(roleCol) =!= "user")
+      .select(col(convCol), col(idxCol), col("span_start"),
+        col("span_end"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Chat, TextAnalysis}
+
+/** Instruction-tuning (SFT) data-prep gates: sentence-segmented
+  * documents become alternating user/assistant conversations (with
+  * planted alternation violations), rendered through the chat
+  * template; loss-mask offsets are proven by substring extraction.
+  */
+object ChatQueries extends QueryPack {
+
+  /** Shared turn synthesis: q329's punctuated sentences with roles
+    * alternating by turn index; docs ≡ 0 mod 17 plant a double-user
+    * violation at turn 1.
+    */
+  private def turnsDf(s: SparkSession, dir: String): DataFrame = {
+    val punct = Tables.documents(s, dir).select(col("doc_id"),
+      regexp_replace(coalesce(col("text"), lit("")),
+        "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+    TextAnalysis.sentences(punct, "doc_id", "t")
+      .withColumn("role",
+        when(col("doc_id") % 17 === 0 && col("sent_idx") === 1, "user")
+          .otherwise(when(col("sent_idx") % 2 === 0, "user")
+            .otherwise("assistant")))
+  }
+
+  /** DuckDB turn CTE chain mirroring [[turnsDf]] (reuses the q329
+    * segmentation CTEs verbatim).
+    */
+  private val turnsCte: String =
+    s"""pt AS (
+       |  SELECT doc_id, regexp_replace(coalesce(text, ''),
+       |    '((?:\\S+ ){4}\\S+) ', '\\1. ', 'g') AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS sent_idx,
+       |    unnest(l) AS raw
+       |  FROM (SELECT doc_id,
+       |          regexp_extract_all(t, '${TextAnalysis.sentencePat}') AS l
+       |        FROM pt)),
+       |c AS (
+       |  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+       |    trim(regexp_replace(raw, '\\s+', ' ', 'g')) AS sentence
+       |  FROM m),
+       |t AS (
+       |  SELECT doc_id, sent_idx, sentence,
+       |    CASE WHEN doc_id % 17 = 0 AND sent_idx = 1 THEN 'user'
+       |         WHEN sent_idx % 2 = 0 THEN 'user'
+       |         ELSE 'assistant' END AS role
+       |  FROM c WHERE length(sentence) > 0)""".stripMargin
+
+  private val renderCte: String =
+    """r AS (SELECT doc_id, count(*) AS n_turns,
+      |    (min(CASE WHEN (sent_idx % 2 = 0) = (role = 'user')
+      |              THEN 1 ELSE 0 END) = 1
+      |     AND max(sent_idx) = count(*) - 1
+      |     AND count(DISTINCT sent_idx) = count(*)) AS alternation_ok,
+      |    string_agg(CASE WHEN role = 'user' THEN '<|user|>'
+      |                    ELSE '<|assistant|>' END || sentence,
+      |      '' ORDER BY sent_idx) AS rendered,
+      |    CAST(sum(CASE WHEN role = 'user' THEN length(sentence)
+      |             ELSE 0 END) AS BIGINT) AS user_chars,
+      |    CAST(sum(CASE WHEN role <> 'user' THEN length(sentence)
+      |             ELSE 0 END) AS BIGINT) AS asst_chars
+      |  FROM t GROUP BY 1)""".stripMargin
+
+  override def defs: Map[String, Q] = Map(
+
+    // Conversation rendering + integrity: template concatenation in
+    // turn order, per-role char accounting, and the alternation
+    // invariant (the %17 docs must flag false).
+    "q358_chat_render" -> Q(
+      (s, dir) => Chat.renderConversations(turnsDf(s, dir), "doc_id",
+          "sent_idx", "role", "sentence")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $turnsCte,
+        |$renderCte
+        |SELECT doc_id, n_turns, alternation_ok, rendered, user_chars,
+        |  asst_chars
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Loss-mask spans: assistant-turn [start, end) offsets in the
+    // rendered text, PROVEN by substring-extracting the rendering at
+    // the claimed offsets and comparing to the turn text.
+    "q359_loss_mask_spans" -> Q(
+      (s, dir) => {
+        val turns = turnsDf(s, dir)
+        val spans = Chat.assistantSpans(turns, "doc_id", "sent_idx",
+          "role", "sentence")
+        val rendered = Chat.renderConversations(turns, "doc_id",
+            "sent_idx", "role", "sentence")
+          .select(col("doc_id"), col("rendered"))
+        spans
+          .join(turns.select(col("doc_id"), col("sent_idx"),
+            col("sentence")), Seq("doc_id", "sent_idx"))
+          .join(rendered, Seq("doc_id"))
+          .withColumn("extract_ok",
+            expr("substring(rendered, span_start + 1, " +
+              "span_end - span_start)") === col("sentence"))
+          .select(col("doc_id"), col("sent_idx"), col("span_start"),
+            col("span_end"), col("extract_ok"))
+          .orderBy(col("doc_id"), col("sent_idx"))
+      },
+      Some(s"""WITH $turnsCte,
+        |$renderCte,
+        |sp AS (SELECT doc_id, sent_idx, role, sentence,
+        |    coalesce(sum(CASE WHEN role = 'user' THEN 8 ELSE 13 END
+        |        + length(sentence)) OVER (PARTITION BY doc_id
+        |      ORDER BY sent_idx ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS before
+        |  FROM t),
+        |sp2 AS (SELECT doc_id, sent_idx,
+        |    CAST(before + CASE WHEN role = 'user' THEN 8 ELSE 13 END
+        |      AS BIGINT) AS span_start,
+        |    CAST(before + CASE WHEN role = 'user' THEN 8 ELSE 13 END
+        |      + length(sentence) AS BIGINT) AS span_end,
+        |    sentence
+        |  FROM sp WHERE role <> 'user')
+        |SELECT s.doc_id, s.sent_idx, s.span_start, s.span_end,
+        |  substr(r.rendered, CAST(s.span_start + 1 AS INT),
+        |    CAST(s.span_end - s.span_start AS INT)) = s.sentence
+        |    AS extract_ok
+        |FROM sp2 s JOIN r USING (doc_id)
+        |ORDER BY s.doc_id, s.sent_idx""".stripMargin))
+  )
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Chat-template edges the corpus gate can't plant: non-consecutive
+  * and duplicated turn indices, single-turn convs, span arithmetic on
+  * a hand-checked rendering.
+  */
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val turns = Seq(
+    (1L, 0L, "user", "hi"), (1L, 1L, "assistant", "hello"),
+    (2L, 0L, "user", "a"), (2L, 2L, "assistant", "b"),  // gap
+    (3L, 0L, "user", "x"), (3L, 0L, "user", "x"),       // dup idx
+    (4L, 0L, "assistant", "starts wrong"),
+    (5L, 0L, "user", "only")
+  ).toDF("conv", "idx", "role", "text")
+
+  test("renderConversations: template, accounting, invariant flags") {
+    val got = Chat.renderConversations(turns, "conv", "idx", "role",
+        "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getString(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got(1L) === ((2L, true, "<|user|>hi<|assistant|>hello",
+      2L, 5L)))
+    assert(!got(2L)._2) // index gap
+    assert(!got(3L)._2) // duplicated index
+    assert(!got(4L)._2) // assistant first
+    assert(got(5L) === ((1L, true, "<|user|>only", 4L, 0L)))
+  }
+
+  test("assistantSpans: offsets index the rendering exactly") {
+    val spans = Chat.assistantSpans(turns.filter(col("conv") === 1),
+        "conv", "idx", "role", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rendered: <|user|>hi<|assistant|>hello — hello at [23, 28)
+    assert(spans.toSeq === Seq((1L, 23L, 28L)))
+    assert("<|user|>hi<|assistant|>hello".substring(23, 28) === "hello")
+  }
+}
