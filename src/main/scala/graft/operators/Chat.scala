@@ -71,4 +71,30 @@ object Chat {
       .select(col(convCol), col(idxCol), col("span_start"),
         col("span_end"))
   }
+
+  /** Preference-pair (DPO) construction: per prompt, chosen = the
+    * highest-scored candidate, rejected = the lowest, both with ties
+    * to the smallest candidate id; pairs below `minGap` are dropped
+    * (no learning signal in a near-tie, and gap ≥ 1 also guarantees
+    * chosen ≠ rejected). Two min-struct partial aggs — no window over
+    * candidates, so prompt groups of any size stream through.
+    */
+  def preferencePairs(cands: DataFrame, promptCol: String,
+      candCol: String, scoreCol: String, minGap: Long): DataFrame = {
+    require(minGap >= 1, s"minGap must be >= 1, got $minGap")
+    cands.groupBy(col(promptCol))
+      .agg(
+        min(struct((-col(scoreCol)).as("ns"), col(candCol).as("id")))
+          .as("best"),
+        min(struct(col(scoreCol).as("s"), col(candCol).as("id")))
+          .as("worst"),
+        count(lit(1)).as("n_cands"))
+      .select(col(promptCol), col("n_cands"),
+        col("best.id").as("chosen_id"),
+        (-col("best.ns")).as("chosen_score"),
+        col("worst.id").as("rejected_id"),
+        col("worst.s").as("rejected_score"))
+      .withColumn("gap", col("chosen_score") - col("rejected_score"))
+      .filter(col("gap") >= minGap)
+  }
 }

@@ -125,6 +125,39 @@ object ChatQueries extends QueryPack {
         |    CAST(s.span_end - s.span_start AS INT)) = s.sentence
         |    AS extract_ok
         |FROM sp2 s JOIN r USING (doc_id)
-        |ORDER BY s.doc_id, s.sent_idx""".stripMargin))
+        |ORDER BY s.doc_id, s.sent_idx""".stripMargin)),
+
+    // DPO preference pairs: 5-candidate prompt groups with an
+    // integer quality proxy; chosen/rejected by score with id
+    // tie-breaks, near-ties dropped by the gap floor. The oracle
+    // resolves both argmaxes through rank windows — the min-struct
+    // trick must agree with them on every tie.
+    "q360_preference_pairs" -> Q(
+      (s, dir) => {
+        val cands = Tables.documents(s, dir).select(
+          expr("doc_id div 5").as("prompt"), col("doc_id"),
+          (col("n_chars") % 97).as("score"))
+        Chat.preferencePairs(cands, "prompt", "doc_id", "score",
+            minGap = 5L)
+          .orderBy(col("prompt"))
+      },
+      Some("""WITH c AS (
+        |  SELECT doc_id // 5 AS prompt, doc_id, n_chars % 97 AS score
+        |  FROM documents),
+        |best AS (SELECT prompt, doc_id AS chosen_id,
+        |    score AS chosen_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt
+        |      ORDER BY score DESC, doc_id) AS rk FROM c) WHERE rk = 1),
+        |worst AS (SELECT prompt, doc_id AS rejected_id,
+        |    score AS rejected_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt
+        |      ORDER BY score ASC, doc_id) AS rk FROM c) WHERE rk = 1),
+        |n AS (SELECT prompt, count(*) AS n_cands FROM c GROUP BY 1)
+        |SELECT b.prompt, n.n_cands, b.chosen_id, b.chosen_score,
+        |  w.rejected_id, w.rejected_score,
+        |  b.chosen_score - w.rejected_score AS gap
+        |FROM best b JOIN worst w USING (prompt) JOIN n USING (prompt)
+        |WHERE b.chosen_score - w.rejected_score >= 5
+        |ORDER BY prompt""".stripMargin))
   )
 }

@@ -40,4 +40,18 @@ class ChatSpec extends SparkSpec {
     assert(spans.toSeq === Seq((1L, 23L, 28L)))
     assert("<|user|>hi<|assistant|>hello".substring(23, 28) === "hello")
   }
+
+  test("preferencePairs: tie-breaks, gap floor, degenerate groups") {
+    val cands = Seq(
+      (1L, 10L, 9L), (1L, 11L, 2L), (1L, 12L, 9L), // tie at top → id 10
+      (2L, 20L, 5L), (2L, 21L, 5L),                // all tied → gap 0
+      (3L, 30L, 7L)                                // single cand → gap 0
+    ).toDF("prompt", "cand", "score")
+    val got = Chat.preferencePairs(cands, "prompt", "cand", "score",
+        minGap = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got === Map(1L -> ((10L, 9L, 11L, 2L, 7L))))
+  }
 }
