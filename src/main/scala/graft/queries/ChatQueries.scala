@@ -158,6 +158,46 @@ object ChatQueries extends QueryPack {
         |  b.chosen_score - w.rejected_score AS gap
         |FROM best b JOIN worst w USING (prompt) JOIN n USING (prompt)
         |WHERE b.chosen_score - w.rejected_score >= 5
-        |ORDER BY prompt""".stripMargin))
+        |ORDER BY prompt""".stripMargin)),
+
+    // Best-of-n yield curve — the rejection-sampling ROI readout:
+    // for n ∈ {1,2,4}, the corpus-mean best score among each
+    // prompt's first n candidates (deterministic id order). The
+    // diminishing-returns shape tells you when more samples stop
+    // paying; exact integer ppm so it hash-gates.
+    "q361_best_of_n" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = Tables.documents(s, dir).select(
+            expr("doc_id div 5").as("prompt"), col("doc_id"),
+            (col("n_chars") % 97).as("score"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("prompt")).orderBy(col("doc_id")))
+            .cast("long"))
+        ranked.select(col("prompt"), col("score"), col("rk"),
+            explode(array(lit(1L), lit(2L), lit(4L))).as("n"))
+          .filter(col("rk") <= col("n"))
+          .groupBy(col("n"), col("prompt"))
+          .agg(max(col("score")).as("best"))
+          .groupBy(col("n"))
+          .agg(count(lit(1)).as("n_prompts"),
+            sum(col("best")).as("sum_best"))
+          .withColumn("mean_best_ppm",
+            expr("(1000000 * sum_best) div n_prompts"))
+          .orderBy(col("n"))
+      },
+      Some("""WITH c AS (
+        |  SELECT doc_id // 5 AS prompt, doc_id, n_chars % 97 AS score
+        |  FROM documents),
+        |r AS (SELECT prompt, score, row_number() OVER (
+        |    PARTITION BY prompt ORDER BY doc_id) AS rk FROM c),
+        |x AS (SELECT n, prompt, max(score) AS best
+        |      FROM r CROSS JOIN (SELECT unnest([1, 2, 4]) AS n)
+        |      WHERE rk <= n GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS n, count(*) AS n_prompts,
+        |  CAST(sum(best) AS BIGINT) AS sum_best,
+        |  (1000000 * CAST(sum(best) AS BIGINT)) // count(*)
+        |    AS mean_best_ppm
+        |FROM x GROUP BY 1 ORDER BY n""".stripMargin))
   )
 }

@@ -238,6 +238,39 @@ object SimilarityQueries extends QueryPack {
         |FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin)),
 
+    // Semantic decontamination: every eval item's nearest TRAIN
+    // neighbor by exact cosine, flagged at ≥ 0.99 — the embedding-
+    // space complement of the q83 token-overlap contamination check
+    // (planted near-identical vectors crossing the split are exactly
+    // what token n-grams can miss after paraphrase). Brute force is
+    // the exact baseline; the ANN paths (q32/q57) are the scale
+    // route with recall gated by q154.
+    "q362_semantic_decontam" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        Similarity.bruteForceTopK(
+            e.filter(col("vec_id") % 50 === 0),
+            e.filter(col("vec_id") % 50 =!= 0),
+            "vec_id", "embedding", 1)
+          .withColumn("contaminated", col("cosine") >= 0.99)
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |      WHERE vec_id % 50 = 0),
+        |t AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+        |s AS (SELECT q.query_id, t.vec_id AS neighbor_id,
+        |       ${cosSql("qv", "v")} AS cos
+        |  FROM q JOIN t ON q.query_id <> t.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |       row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rn, neighbor_id,
+        |  cos AS cosine, cos >= 0.99 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
     // Scale path: 6-plane LSH buckets (64-way fan-out), single-probe.
     "q32_ann_lsh" -> Q(
       (s, dir) => {
