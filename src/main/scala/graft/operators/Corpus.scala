@@ -903,6 +903,37 @@ object Corpus {
           .as("lift_ppm"))
   }
 
+  /** Distributed PREFIX SUM over a keyed order — the byte-offset
+    * primitive behind concatenated shard layouts (each row's start
+    * offset in the file that would result from concatenating
+    * payloads in key order) and cumulative token accounting. The
+    * naive form is `sum() OVER (ORDER BY key)` — a single-partition
+    * window; this is the [[globalRowNumber]] decomposition applied
+    * to SUMS: order-aligned buckets, per-bucket totals, a prefix sum
+    * over the tiny bucket frame, then in-bucket running sums.
+    * Adds `cum` (INCLUSIVE running total; exclusive start offset =
+    * cum − value). Caller contract: `keyCol` unique and
+    * non-negative; `valCol` long.
+    */
+  def prefixSum(df: DataFrame, keyCol: String, valCol: String,
+      bucketWidth: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val b = df.withColumn("__bucket", expr(s"$keyCol div $bucketWidth"))
+    val offsets = b.groupBy(col("__bucket"))
+      .agg(sum(col(valCol)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    b.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("cum", col("__off") +
+        sum(col(valCol)).over(
+          Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__bucket", "__off")
+  }
+
   /** Deterministic distributed EPOCH SHUFFLE — the training-order
     * primitive: every epoch's order is the rank of md5(seed‖id), so
     * it is (a) reproducible bit-for-bit from (seed, id) alone, (b)

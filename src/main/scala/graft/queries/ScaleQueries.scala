@@ -435,6 +435,28 @@ object ScaleQueries extends QueryPack {
         |    - 1) // 64 AS shard0,
         |  row_number() OVER (ORDER BY md5('e1:' || doc_id), doc_id) - 1
         |    AS pos1
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Distributed prefix sum → concatenated-shard byte offsets: each
+    // doc's inclusive cumulative size, exclusive start offset, and
+    // the 64 KiB-file assignment of its start — against the naive
+    // single-partition running-sum oracle.
+    "q363_shard_offsets" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        Corpus.prefixSum(d, "doc_id", "n_chars", bucketWidth = 32L)
+          .withColumn("start_off", col("cum") - col("n_chars"))
+          .withColumn("file_id", expr("start_off div 65536"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+        |  CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum, cum - n_chars AS start_off,
+        |  (cum - n_chars) // 65536 AS file_id
+        |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

@@ -512,6 +512,22 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.globalRowNumber(df.filter(col("k") < 0), "k").count() === 0L)
   }
 
+  test("prefixSum: bucketed decomposition equals the running sum") {
+    import spark.implicits._
+    val rows = Seq((7L, 3L), (0L, 10L), (15L, 1L), (16L, 5L), (32L, 2L),
+      (100L, 4L), (31L, 7L))
+    val got = Corpus.prefixSum(rows.toDF("k", "v"), "k", "v",
+        bucketWidth = 16L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var cum = 0L
+    val want = rows.sortBy(_._1).map { case (k, v) =>
+      cum += v; k -> cum
+    }.toMap
+    assert(got === want)
+    assert(Corpus.prefixSum(rows.toDF("k", "v").filter(col("k") < 0),
+      "k", "v").count() === 0L)
+  }
+
   test("vocabGrowth: first-occurrence accounting, empty docs, ties") {
     import spark.implicits._
     // 4 docs, 2 steps: step 0 = docs {0,1}, step 1 = docs {2,3}
