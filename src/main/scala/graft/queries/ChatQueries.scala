@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Chat, TextAnalysis}
+import graft.operators.{Chat, Corpus, TextAnalysis}
 
 /** Instruction-tuning (SFT) data-prep gates: sentence-segmented
   * documents become alternating user/assistant conversations (with
@@ -198,6 +198,40 @@ object ChatQueries extends QueryPack {
         |  CAST(sum(best) AS BIGINT) AS sum_best,
         |  (1000000 * CAST(sum(best) AS BIGINT)) // count(*)
         |    AS mean_best_ppm
-        |FROM x GROUP BY 1 ORDER BY n""".stripMargin))
+        |FROM x GROUP BY 1 ORDER BY n""".stripMargin)),
+
+    // Context-window batching for SFT: conversations packed in id
+    // order into 4096-char training windows by CUMULATIVE rendered
+    // length (greedy sequential layout — the offset-continuity
+    // discipline of real packed pretraining shards), computed through
+    // the distributed prefix sum, never a global window. batch_id and
+    // in-batch offset both gate against the naive running sum.
+    "q364_conversation_packing" -> Q(
+      (s, dir) => {
+        val convs = graft.operators.Chat.renderConversations(
+            turnsDf(s, dir), "doc_id", "sent_idx", "role", "sentence")
+          .select(col("doc_id"),
+            length(col("rendered")).cast("long").as("render_len"))
+        Corpus.prefixSum(convs, "doc_id", "render_len",
+            bucketWidth = 32L)
+          .withColumn("start_off", col("cum") - col("render_len"))
+          .withColumn("batch_id", expr("start_off div 4096"))
+          .withColumn("batch_off", expr("start_off % 4096"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $turnsCte,
+        |$renderCte,
+        |l AS (SELECT doc_id,
+        |    CAST(length(rendered) AS BIGINT) AS render_len FROM r),
+        |cs AS (SELECT doc_id, render_len,
+        |    CAST(sum(render_len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM l)
+        |SELECT doc_id, render_len, cum,
+        |  cum - render_len AS start_off,
+        |  (cum - render_len) // 4096 AS batch_id,
+        |  (cum - render_len) % 4096 AS batch_off
+        |FROM cs ORDER BY doc_id""".stripMargin))
   )
 }
