@@ -457,6 +457,33 @@ object ScaleQueries extends QueryPack {
         |  FROM documents)
         |SELECT doc_id, n_chars, cum, cum - n_chars AS start_off,
         |  (cum - n_chars) // 65536 AS file_id
-        |FROM c ORDER BY doc_id""".stripMargin))
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Cross-epoch shard-migration matrix: how many docs land in
+    // (shard@e0, shard@e1) for two epoch shuffles — the diagnostic
+    // that catches a broken shuffle (a diagonal-heavy matrix means
+    // epochs are correlated and batch composition barely changes).
+    // Both orders run through the bucketed rank path; the matrix is
+    // one partial agg over their join.
+    "q365_shard_migration" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        val e0 = Corpus.epochShuffle(d, "doc_id", "e0", shardSize = 64L)
+          .select(col("doc_id"), col("shard_id").as("shard0"))
+        val e1 = Corpus.epochShuffle(d, "doc_id", "e1", shardSize = 64L)
+          .select(col("doc_id"), col("shard_id").as("shard1"))
+        e0.join(e1, Seq("doc_id"))
+          .groupBy(col("shard0"), col("shard1"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("shard0"), col("shard1"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |  (row_number() OVER (ORDER BY md5('e0:' || doc_id), doc_id)
+        |    - 1) // 64 AS shard0,
+        |  (row_number() OVER (ORDER BY md5('e1:' || doc_id), doc_id)
+        |    - 1) // 64 AS shard1
+        |  FROM documents)
+        |SELECT shard0, shard1, count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY shard0, shard1""".stripMargin))
   )
 }
