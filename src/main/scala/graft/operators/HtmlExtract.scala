@@ -200,6 +200,25 @@ object HtmlExtract {
           .otherwise(col("title")))
   }
 
+  /** Robots META directives — the in-PAGE half of REP (robots.txt is
+    * the fetch-side half, [[Frontier]]): `<meta name="robots"
+    * content="...">` token flags. Token-boundary matching, not
+    * substring ("nofollow" must not light up "noindex" etc. — the
+    * value is a comma-separated token list per the spec).
+    */
+  val robotsMetaPat: String =
+    "(?is)<meta\\s+name=\"robots\"\\s+content=\"([^\"]*)\""
+
+  def robotsMeta(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val value = lower(trim(regexp_extract(
+      dropNonContent(col(htmlCol)), robotsMetaPat, 1)))
+    def flag(tok: String) =
+      value.rlike(s"(^|,)\\s*$tok\\s*(,|$$)")
+    df.select(col(idCol), value.as("robots"),
+      flag("noindex").as("noindex"), flag("nofollow").as("nofollow"))
+  }
+
   /** The boilerplate rule: a block is CONTENT iff its link density is
     * at or below `maxLinkPpm` AND it carries at least `minWords`
     * words. Navigation bars fail the first test, headers/footers/

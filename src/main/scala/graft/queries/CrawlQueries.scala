@@ -1122,6 +1122,71 @@ object CrawlQueries extends QueryPack {
         |  ('host4.com', 'disallow', '/idx'), ('host5.com', 'disallow', '/'),
         |  ('hub.example.com', 'allow', '/'))
         |SELECT host, rtype, prefix FROM r
-        |ORDER BY host, rtype, prefix""".stripMargin))
+        |ORDER BY host, rtype, prefix""".stripMargin)),
+
+    // In-page robots META directives — the page-side half of REP:
+    // token-boundary flag extraction ("re-noindex" and "nofollowed"
+    // are the planted traps that substring matching would light up).
+    "q366_robots_meta" -> Q(
+      (s, dir) => {
+        val content = when(col("doc_id") % 7 === 1, "noindex")
+          .when(col("doc_id") % 7 === 2, "nofollow")
+          .when(col("doc_id") % 7 === 3, "noindex, nofollow")
+          .when(col("doc_id") % 7 === 4, "index, follow")
+          .when(col("doc_id") % 7 === 5, "re-noindex,nofollowed")
+        val html = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("<html><head>"),
+            when(content.isNotNull,
+              concat(lit("<meta name=\"robots\" content=\""), content,
+                lit("\">"))).otherwise(lit("")),
+            lit("</head><body>b</body></html>")).as("html"))
+        HtmlExtract.robotsMeta(html, "doc_id", "html")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE doc_id % 7 WHEN 1 THEN 'noindex' WHEN 2 THEN 'nofollow'
+        |    WHEN 3 THEN 'noindex, nofollow' WHEN 4 THEN 'index, follow'
+        |    WHEN 5 THEN 're-noindex,nofollowed' ELSE '' END AS robots,
+        |  doc_id % 7 IN (1, 3) AS noindex,
+        |  doc_id % 7 IN (2, 3) AS nofollow
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Canonical-URL dedup: pages declaring the same
+    // <link rel="canonical"> collapse to one representative (min id);
+    // pages without one are their own group. The crawl-side dedup
+    // axis that fingerprinting can't see (same article, different
+    // chrome): the extraction chain runs for real, the oracle derives
+    // groups from the generator.
+    "q367_canonical_dedup" -> Q(
+      (s, dir) => {
+        val html = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("<html><head><title>t</title>"),
+            when(col("doc_id") % 9 =!= 0,
+              concat(lit("<link rel=\"canonical\" href=\"http://c.example/art"),
+                expr("doc_id div 4"), lit("\">"))).otherwise(lit("")),
+            lit("</head><body>b</body></html>")).as("html"))
+        val keyed = HtmlExtract.extractHeadMeta(html, "doc_id", "html")
+          .withColumn("canon_key",
+            when(col("canonical") =!= "", col("canonical"))
+              .otherwise(concat(lit("self:"), col("doc_id"))))
+          .select(col("doc_id"), col("canon_key"))
+        val grp = keyed.groupBy(col("canon_key"))
+          .agg(min(col("doc_id")).as("rep"),
+            count(lit(1)).as("n_aliases"))
+        keyed.join(grp, Seq("canon_key"))
+          .select(col("doc_id"), col("canon_key"), col("n_aliases"),
+            (col("doc_id") === col("rep")).as("is_rep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH k AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'self:' || doc_id
+        |         ELSE 'http://c.example/art' || (doc_id // 4) END
+        |      AS canon_key
+        |  FROM documents),
+        |g AS (SELECT canon_key, min(doc_id) AS rep,
+        |    count(*) AS n_aliases FROM k GROUP BY 1)
+        |SELECT k.doc_id, k.canon_key, g.n_aliases,
+        |  k.doc_id = g.rep AS is_rep
+        |FROM k JOIN g USING (canon_key) ORDER BY doc_id""".stripMargin))
   )
 }
