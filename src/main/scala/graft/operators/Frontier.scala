@@ -124,6 +124,29 @@ object Frontier {
         col("r.prefix").as("prefix"))
   }
 
+  /** Sitemap parsing — the DISCOVERY side of the frontier (robots is
+    * the admission side): one row per `<url>` block in document
+    * order, with its `<loc>` and optional `<lastmod>`. Block-first
+    * extraction (extract `<url>…</url>` spans, then fields within
+    * each) so a missing lastmod can never mis-pair with the next
+    * block's. Pure projection + one explode, the [[HtmlExtract
+    * .extractLinks]] shape.
+    */
+  def parseSitemap(df: DataFrame, hostCol: String, xmlCol: String)
+      : DataFrame = {
+    val blockPat = "(?is)<url>(.*?)</url>"
+    df.select(col(hostCol),
+        posexplode(regexp_extract_all(
+          coalesce(col(xmlCol), lit("")), lit(blockPat), lit(1)))
+          .as(Seq("url_idx", "__b")))
+      .select(col(hostCol), col("url_idx").cast("long").as("url_idx"),
+        trim(regexp_extract(col("__b"), "(?is)<loc>(.*?)</loc>", 1))
+          .as("loc"),
+        trim(regexp_extract(col("__b"),
+          "(?is)<lastmod>(.*?)</lastmod>", 1)).as("lastmod"))
+      .filter(col("loc") =!= "")
+  }
+
   /** Politeness scheduling: deterministic per-host fetch ordering and
     * slot assignment — `fetch_seq` = 0-based rank of the URL within
     * its host (by URL order), `fetch_slot` = ⌊seq/perHostPerSlot⌋, so

@@ -1187,6 +1187,57 @@ object CrawlQueries extends QueryPack {
         |    count(*) AS n_aliases FROM k GROUP BY 1)
         |SELECT k.doc_id, k.canon_key, g.n_aliases,
         |  k.doc_id = g.rep AS is_rep
-        |FROM k JOIN g USING (canon_key) ORDER BY doc_id""".stripMargin))
+        |FROM k JOIN g USING (canon_key) ORDER BY doc_id""".stripMargin)),
+
+    // Sitemap ingestion + recrawl priority: per-host sitemap XML
+    // (one <url> block per doc, every third block without <lastmod>)
+    // parsed block-first, then staleness in days against a fixed
+    // as-of date — missing lastmod defaults to maximally stale (999). The
+    // oracle derives every field from the generator arithmetic.
+    "q368_sitemap_recrawl" -> Q(
+      (s, dir) => {
+        val entry = concat(lit("<url><loc>http://host"),
+          col("doc_id") % 7, lit(".com/d/"), col("doc_id"),
+          lit("</loc>"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit("<lastmod>2026-"),
+              lpad((col("doc_id") % 7 + 1).cast("string"), 2, "0"),
+              lit("-"),
+              lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"),
+              lit("</lastmod>"))).otherwise(lit("")),
+          lit("</url>"))
+        val sitemaps = Tables.documents(s, dir)
+          .select((col("doc_id") % 7).as("k"), entry.as("e"),
+            col("doc_id"))
+          .groupBy(col("k"))
+          .agg(concat(lit("<urlset>"),
+            array_join(transform(array_sort(collect_list(
+              struct(col("doc_id"), col("e").as("e")))),
+              x => x.getField("e")), ""),
+            lit("</urlset>")).as("xml"))
+          .select(concat(lit("host"), col("k"), lit(".com")).as("host"),
+            col("xml"))
+        Frontier.parseSitemap(sitemaps, "host", "xml")
+          .withColumn("stale_days",
+            when(col("lastmod") =!= "",
+              datediff(lit("2026-08-14"), to_date(col("lastmod"))))
+              .otherwise(lit(999)).cast("long"))
+          .orderBy(col("host"), col("url_idx"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |    'host' || (doc_id % 7) || '.com' AS host,
+        |    row_number() OVER (PARTITION BY doc_id % 7
+        |      ORDER BY doc_id) - 1 AS url_idx,
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS loc,
+        |    CASE WHEN doc_id % 3 <> 0 THEN
+        |      '2026-' || lpad(CAST(doc_id % 7 + 1 AS VARCHAR), 2, '0')
+        |        || '-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+        |    ELSE '' END AS lastmod
+        |  FROM documents)
+        |SELECT host, CAST(url_idx AS BIGINT) AS url_idx, loc, lastmod,
+        |  CAST(CASE WHEN lastmod <> '' THEN
+        |    date_diff('day', CAST(lastmod AS DATE), DATE '2026-08-14')
+        |  ELSE 999 END AS BIGINT) AS stale_days
+        |FROM d ORDER BY host, url_idx""".stripMargin))
   )
 }
