@@ -67,6 +67,26 @@ class FrontierSpec extends SparkSpec {
       ("b.com", "allow", "/ok")))
   }
 
+  test("parseSitemap: block-first pairing, missing fields, order") {
+    val xml = "<urlset>" +
+      "<url><loc> http://a/1 </loc><lastmod>2026-01-02</lastmod></url>" +
+      "<url><loc>http://a/2</loc></url>" + // no lastmod — must NOT
+      "<url><lastmod>2026-03-04</lastmod></url>" + // steal the next one
+      "<url><loc>http://a/3</loc><lastmod>2026-05-06</lastmod></url>" +
+      "</urlset>"
+    val got = Frontier.parseSitemap(
+        Seq(("a.com", xml), ("b.com", ""),
+          ("c.com", null.asInstanceOf[String])).toDF("host", "xml"),
+        "host", "xml")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    // the loc-less block is dropped but still consumed its position
+    assert(got.toSeq === Seq(
+      ("a.com", 0L, "http://a/1", "2026-01-02"),
+      ("a.com", 1L, "http://a/2", ""),
+      ("a.com", 3L, "http://a/3", "2026-05-06")))
+  }
+
   test("politenessSlots: host-local sequence and slot boundaries") {
     val urls = (0 until 5).map(i => (s"http://a/$i", "a.com")) ++
       Seq(("http://b/x", "b.com"))

@@ -159,6 +159,21 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got(4L) === (("", "", "")))
   }
 
+  test("robotsMeta: token boundaries, casing, commented-out meta") {
+    val df = Seq(
+      (1L, "<head><meta name=\"robots\" content=\"NOINDEX , nofollow\"></head>"),
+      (2L, "<head><meta name=\"robots\" content=\"re-noindex,nofollowed\"></head>"),
+      (3L, "<head><!-- <meta name=\"robots\" content=\"noindex\"> --></head>"),
+      (4L, "<head></head>")).toDF("id", "h")
+    val got = HtmlExtract.robotsMeta(df, "id", "h")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((true, true)))   // case-folded, spaced tokens
+    assert(got(2L) === ((false, false))) // boundary traps
+    assert(got(3L) === ((false, false))) // comments stripped first
+    assert(got(4L) === ((false, false)))
+  }
+
   test("htmlToText: null html extracts to null, empty to empty") {
     val df = Seq(Some("<p></p>"), None)
       .toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))
