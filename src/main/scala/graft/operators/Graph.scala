@@ -415,6 +415,47 @@ object Graph {
     labels
   }
 
+  /** Redirect-chain resolution by POINTER DOUBLING — the functional-
+    * graph cousin of the large/small-star components: every node
+    * follows its single out-edge (its 301 target; absent = terminal,
+    * self-mapped), and each round substitutes f ← f∘f, so a chain of
+    * length L resolves in ⌈log₂ L⌉ rounds instead of L sequential
+    * lookups — the difference between 3 and 40 shuffles on real
+    * redirect data. Cycles are detected, not chased: doubling drives
+    * a cycle node to a FIXED representative, and the final
+    * `cyclic` flag is simply "my resolved target still has an
+    * out-edge pointing elsewhere" (a true terminal never does).
+    * Chains ENTERING a cycle flag too (they resolve to some cycle
+    * member). Provision `rounds` so 2^rounds ≥ the longest expected
+    * chain: an under-provisioned walk reports unresolved chains as
+    * cyclic — conservative ("did not terminate"), never silently
+    * wrong. Per-round localCheckpoint, counters-only driver — the
+    * [[graft.operators.Dedup.dedupGroups]] discipline.
+    */
+  def resolveRedirects(nodes: DataFrame, edges: DataFrame,
+      nodeCol: String, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("__t"))
+    val all = nodes.select(col(nodeCol).as("node"))
+      .union(e.select(col("node")))
+      .union(edges.select(col(dstCol).as("node"))).distinct()
+    var f = all.join(e, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), col("node")).as("tgt"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      f = f.join(f.select(col("node").as("tgt"),
+          col("tgt").as("__t2")), Seq("tgt"))
+        .select(col("node"), col("__t2").as("tgt"))
+        .localCheckpoint()
+    }
+    f.join(e.select(col("node").as("tgt"), col("__t").as("__out")),
+        Seq("tgt"), "left")
+      .select(col("node"), col("tgt").as("final_tgt"),
+        (col("__out").isNotNull && col("__out") =!= col("tgt"))
+          .as("cyclic"))
+  }
+
   def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1)

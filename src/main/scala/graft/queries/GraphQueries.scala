@@ -441,6 +441,32 @@ object GraphQueries extends QueryPack {
         |      PARTITION BY e.a ORDER BY count(*) DESC, l.label) AS rk
         |    FROM e JOIN r2 l ON e.b = l.node GROUP BY e.a, l.label)
         |  WHERE rk = 1)
-        |SELECT node, label FROM r3 ORDER BY node""".stripMargin))
+        |SELECT node, label FROM r3 ORDER BY node""".stripMargin)),
+
+    // Redirect resolution: ≤3-hop 301 chains (docs ≡ 0..2 mod 10
+    // chain forward) plus planted 2-cycles (…97 ↔ …98 mod 100),
+    // resolved in 3 pointer-doubling rounds. The oracle is the
+    // CLOSED FORM of the chain arithmetic — the log-rounds algebra
+    // must land on exactly the sequential-chase answer, cycles
+    // flagged not chased.
+    "q369_redirect_resolution" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        val nxt = when(col("doc_id") % 100 === 97, col("doc_id") + 1)
+          .when(col("doc_id") % 100 === 98, col("doc_id") - 1)
+          .when(col("doc_id") % 10 < 3, col("doc_id") + 1)
+        val edges = d.select(col("doc_id").as("src"), nxt.as("dst"))
+          .filter(col("dst").isNotNull)
+          .join(d.select(col("doc_id").as("dst")), Seq("dst"))
+        Graph.resolveRedirects(d, edges, "doc_id", "src", "dst",
+            rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some("""SELECT doc_id AS node,
+        |  CASE WHEN doc_id % 100 IN (97, 98) THEN doc_id
+        |       WHEN doc_id % 10 < 3 THEN doc_id - doc_id % 10 + 3
+        |       ELSE doc_id END AS final_tgt,
+        |  doc_id % 100 IN (97, 98) AS cyclic
+        |FROM documents ORDER BY node""".stripMargin))
   )
 }

@@ -181,6 +181,28 @@ class GraphSpec extends SparkSpec {
     assert(tiny === Map(7L -> 0L, 8L -> 1L))
   }
 
+  test("resolveRedirects: doubling depth, cycle entry, round budget") {
+    import spark.implicits._
+    // chain 1→…→9 (8 hops), cycle {20,21}, entry 19→20, isolate 30
+    val edges = ((1L to 8L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 20L), (19L, 20L))).toDF("s", "d")
+    val nodes = (Seq(30L) ++ (1L to 9L) ++ Seq(19L, 20L, 21L)).toDF("n")
+    def run(r: Int) = Graph.resolveRedirects(nodes, edges, "n", "s",
+        "d", rounds = r)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getBoolean(2)))).toMap
+    val got = run(3) // 2^3 = 8 covers the chain exactly
+    assert(got(1L) === ((9L, false)))
+    assert(got(5L) === ((9L, false)))
+    assert(got(30L) === ((30L, false)))   // never referenced: terminal
+    assert(got(19L)._2 && got(20L)._2 && got(21L)._2) // cycle + entry
+    // under-provisioned rounds: the 8-hop chain can't terminate in
+    // 2^2 = 4 hops → conservatively flagged, never a wrong terminal
+    val short = run(2)
+    assert(short(1L)._2 === true)
+    assert(short(5L) === ((9L, false))) // 4 remaining hops still fit
+  }
+
   test("labelPropagation: majority wins, ties to smallest, sync rounds") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 4—3; round 1: every triangle node
