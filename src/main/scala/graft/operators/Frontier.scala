@@ -147,6 +147,38 @@ object Frontier {
       .filter(col("loc") =!= "")
   }
 
+  /** Exact crawl-budget apportionment — Hamilton's largest-remainder
+    * method over host weights: every host gets ⌊total·w/Σw⌋ fetches,
+    * and the leftover (total − Σ floors < #hosts) goes one-each to
+    * the largest remainders, ties to the smaller host. The result
+    * sums to `total` EXACTLY — no float shares, no rounding drift —
+    * which is the point: a crawl cycle that over- or under-allocates
+    * by "rounding" either wastes fetch capacity or breaks politeness
+    * budgets. The remainder rank is a window over the HOST frame
+    * (dimension-sized, never data-sized); both scalar attaches ride
+    * 1-row broadcasts.
+    */
+  def apportionBudget(weights: DataFrame, keyCol: String,
+      weightCol: String, total: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(total >= 0, s"total must be >= 0, got $total")
+    val w = weights.select(col(keyCol), col(weightCol).cast("long")
+      .as("__w"))
+    val s = w.agg(sum(col("__w")).as("__s"))
+    val based = w.crossJoin(broadcast(s))
+      .withColumn("base", expr(s"(${total}L * __w) div __s"))
+      .withColumn("__rem", expr(s"(${total}L * __w) % __s"))
+    val left = based.agg((lit(total) - sum(col("base"))).as("__left"))
+    based.crossJoin(broadcast(left))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(keyCol))).cast("long"))
+      .withColumn("budget",
+        col("base") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L))
+      .select(col(keyCol), col("__w").as("weight"), col("base"),
+        col("budget"))
+  }
+
   /** Politeness scheduling: deterministic per-host fetch ordering and
     * slot assignment — `fetch_seq` = 0-based rank of the URL within
     * its host (by URL order), `fetch_slot` = ⌊seq/perHostPerSlot⌋, so

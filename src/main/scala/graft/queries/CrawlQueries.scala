@@ -1238,6 +1238,63 @@ object CrawlQueries extends QueryPack {
         |  CAST(CASE WHEN lastmod <> '' THEN
         |    date_diff('day', CAST(lastmod AS DATE), DATE '2026-08-14')
         |  ELSE 999 END AS BIGINT) AS stale_days
-        |FROM d ORDER BY host, url_idx""".stripMargin))
+        |FROM d ORDER BY host, url_idx""".stripMargin)),
+
+    // Crawl-budget apportionment: 10 000 next-cycle fetches split
+    // across hosts proportional to their q327 PageRank by Hamilton's
+    // largest-remainder method — the budgets must sum to exactly
+    // 10 000 with every floor/remainder/tie decision identical in
+    // both engines.
+    "q370_crawl_budget" -> Q(
+      (s, dir) => {
+        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
+          .withColumn("host", Urls.host(col("href")))
+        val self = links.filter(col("link_idx") === 0)
+          .select(col("doc_id"), col("host").as("src"))
+        val out = links.filter(col("link_idx") > 0 && col("host") =!= "")
+          .select(col("doc_id"), col("host").as("dst"))
+        val edges = self.join(out, Seq("doc_id"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        val pr = Graph.pageRankPpm(edges, "src", "dst", iters = 3)
+        Frontier.apportionBudget(pr, "node", "rank_ppm", total = 10000L)
+          .orderBy(col("node"))
+      },
+      {
+        val iterCtes = (1 to 3).map { i =>
+          s"""f$i AS (SELECT e.dst AS node,
+             |    CAST(sum(r.rank_ppm // d.out_deg) AS BIGINT) AS in_sum
+             |  FROM e JOIN r${i - 1} r ON e.src = r.node
+             |  JOIN d ON e.src = d.src GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |    CAST(150000 + (850000 * coalesce(f.in_sum, 0)) // 1000000
+             |      AS BIGINT) AS rank_ppm
+             |  FROM n LEFT JOIN f$i f USING (node))""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH e AS (
+          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com' AS src,
+          |    'host' || ((doc_id + 3) % 7) || '.com' AS dst
+          |  FROM documents
+          |  UNION
+          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com',
+          |    'hub.example.com'
+          |  FROM documents WHERE doc_id % 2 = 0),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+          |$iterCtes,
+          |w AS (SELECT node, rank_ppm AS wgt FROM r3),
+          |s AS (SELECT CAST(sum(wgt) AS BIGINT) AS s FROM w),
+          |b AS (SELECT node, wgt, (10000 * wgt) // s.s AS base,
+          |        (10000 * wgt) % s.s AS rem FROM w, s),
+          |l AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS lft FROM b),
+          |r AS (SELECT node, wgt, base, rem, row_number() OVER (
+          |        ORDER BY rem DESC, node) AS rk FROM b)
+          |SELECT node, CAST(wgt AS BIGINT) AS weight,
+          |  CAST(base AS BIGINT) AS base,
+          |  CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
+          |    AS BIGINT) AS budget
+          |FROM r, l ORDER BY node""".stripMargin)
+      })
   )
 }

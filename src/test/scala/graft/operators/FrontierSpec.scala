@@ -87,6 +87,29 @@ class FrontierSpec extends SparkSpec {
       ("a.com", 3L, "http://a/3", "2026-05-06")))
   }
 
+  test("apportionBudget: exact total, remainder ranks, tie order") {
+    // weights 5/3/2 over total 7: exact shares 3.5/2.1/1.4 →
+    // floors 3/2/1 (sum 6), one leftover to the largest remainder
+    // (.5 of host a)
+    val got = Frontier.apportionBudget(
+        Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("h", "w"),
+        "h", "w", total = 7L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map("a" -> ((3L, 4L)), "b" -> ((2L, 2L)),
+      "c" -> ((1L, 1L))))
+    assert(got.values.map(_._2).sum === 7L)
+    // equal weights, ties by key ascending; zero total allocates zero
+    val tie = Frontier.apportionBudget(
+        Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("h", "w"),
+        "h", "w", total = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tie === Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
+    assert(Frontier.apportionBudget(
+      Seq(("x", 1L)).toDF("h", "w"), "h", "w", total = 0L)
+      .collect().head.getLong(3) === 0L)
+  }
+
   test("politenessSlots: host-local sequence and slot boundaries") {
     val urls = (0 until 5).map(i => (s"http://a/$i", "a.com")) ++
       Seq(("http://b/x", "b.com"))
