@@ -219,6 +219,26 @@ object HtmlExtract {
       flag("noindex").as("noindex"), flag("nofollow").as("nofollow"))
   }
 
+  /** hreflang alternates — (id, alt_idx, hreflang, href) per
+    * `<link rel="alternate" hreflang="…" href="…">`, the multilingual
+    * cluster declaration (a page SHOULD list itself and every
+    * language variant, and variants must reciprocate or search
+    * engines ignore the cluster — which is exactly what the q371
+    * reciprocity audit measures). Same element-first extraction as
+    * [[extractAnchors]].
+    */
+  val hreflangPat: String =
+    "(?is)<link\\s+rel=\"alternate\"\\s+hreflang=\"([a-zA-Z-]+)\"\\s+href=\"([^\"]+)\""
+
+  def extractHreflang(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(dropNonContent(col(htmlCol)),
+          lit(hreflangPat), lit(0))).as(Seq("alt_idx", "__e")))
+      .select(col(idCol), col("alt_idx").cast("long").as("alt_idx"),
+        lower(regexp_extract(col("__e"), hreflangPat, 1)).as("hreflang"),
+        regexp_extract(col("__e"), hreflangPat, 2).as("href"))
+
   /** The boilerplate rule: a block is CONTENT iff its link density is
     * at or below `maxLinkPpm` AND it carries at least `minWords`
     * words. Navigation bars fail the first test, headers/footers/

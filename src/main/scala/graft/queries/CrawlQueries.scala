@@ -1295,6 +1295,54 @@ object CrawlQueries extends QueryPack {
           |  CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
           |    AS BIGINT) AS budget
           |FROM r, l ORDER BY node""".stripMargin)
-      })
+      }),
+
+    // hreflang reciprocity audit: 5-doc language clusters where each
+    // page lists all members (incl. itself); docs ≡ 0 mod 31 omit
+    // the idx-4 member, so that member's back-edge loses its
+    // reciprocal. The Spark side EXTRACTS the declarations from
+    // markup and audits; the oracle synthesizes the edge set from
+    // the generator and runs the same reciprocity join.
+    "q371_hreflang_reciprocity" -> Q(
+      (s, dir) => {
+        val langs = Seq("en", "de", "fr", "es", "zh")
+        val member = (i: Int) => concat(lit("<link rel=\"alternate\" " +
+          s"hreflang=\"${langs(i)}\" href=\"http://x.example/g"),
+          expr("doc_id div 5"), lit(s"/m$i\">"))
+        val html = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("<html><head>"),
+            member(0), member(1), member(2), member(3),
+            when(col("doc_id") % 31 =!= 0, member(4)).otherwise(lit("")),
+            lit("</head><body>b</body></html>")).as("html"))
+        val alts = HtmlExtract.extractHreflang(html, "doc_id", "html")
+          .withColumn("dst",
+            regexp_extract(col("href"), "/g(\\d+)/m(\\d+)$", 1)
+              .cast("long") * 5 +
+            regexp_extract(col("href"), "/g(\\d+)/m(\\d+)$", 2)
+              .cast("long"))
+        val edges = alts.select(col("doc_id").as("src"), col("dst"))
+          .join(Tables.documents(s, dir).select(col("doc_id").as("dst")),
+            Seq("dst"))
+        val back = edges.select(col("dst").as("src"),
+          col("src").as("dst"), lit(1).as("__has"))
+        edges.join(back, Seq("src", "dst"), "left")
+          .groupBy(col("src").as("doc_id"))
+          .agg(count(lit(1)).as("n_alts"),
+            sum(when(col("__has").isNull && col("src") =!= col("dst"),
+              1L).otherwise(0L)).as("n_nonreciprocal"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT s.doc_id AS src, (s.doc_id // 5) * 5 + m.i AS dst
+        |  FROM ids s CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS i) m
+        |  WHERE NOT (s.doc_id % 31 = 0 AND m.i = 4)
+        |    AND (s.doc_id // 5) * 5 + m.i IN (SELECT doc_id FROM ids)),
+        |b AS (SELECT dst AS src, src AS dst, 1 AS has FROM e)
+        |SELECT e.src AS doc_id, count(*) AS n_alts,
+        |  CAST(sum(CASE WHEN b.has IS NULL AND e.src <> e.dst
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nonreciprocal
+        |FROM e LEFT JOIN b ON e.src = b.src AND e.dst = b.dst
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -174,6 +174,22 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got(4L) === ((false, false)))
   }
 
+  test("extractHreflang: case-folds lang, skips commented/scripted links") {
+    val df = Seq(
+      (1L, "<head><link rel=\"alternate\" hreflang=\"EN-us\" href=\"http://x/en\">" +
+        "<link rel=\"alternate\" hreflang=\"de\" href=\"http://x/de\">" +
+        "<!-- <link rel=\"alternate\" hreflang=\"fr\" href=\"http://x/fr\"> -->" +
+        "<link rel=\"stylesheet\" href=\"http://x/css\"></head>"),
+      (2L, "<script>'<link rel=\"alternate\" hreflang=\"zh\" " +
+        "href=\"http://x/zh\">'</script>")).toDF("id", "h")
+    val got = HtmlExtract.extractHreflang(df, "id", "h")
+      .orderBy("id", "alt_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, "en-us", "http://x/en"),   // lang case-folds, href verbatim
+      (1L, 1L, "de", "http://x/de")))     // comment + script + stylesheet skip
+  }
+
   test("htmlToText: null html extracts to null, empty to empty") {
     val df = Seq(Some("<p></p>"), None)
       .toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))
