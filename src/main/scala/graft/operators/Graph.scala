@@ -67,6 +67,64 @@ object Graph {
     rank
   }
 
+  /** TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04): PageRank
+    * with the teleport vector RESTRICTED to a hand-vetted seed set of
+    * trusted nodes, so authority flows outward from the seeds and
+    * spam farms — which can manufacture in-links but not seed
+    * membership — score near zero. The crawl-curation use is a
+    * quality prior complementary to raw PageRank (q327): sample or
+    * boost by trust, demote unreachable-from-seed link clusters.
+    *
+    * Same integer-ppm discipline as [[pageRankPpm]] so the unrolled
+    * CTE oracle replays bit-exactly:
+    *  - rank⁰ = 10⁶ for seed nodes, 0 otherwise;
+    *  - rankⁱ = (seed ? 10⁶−damp : 0) + (damp · Σ inflow) div 10⁶,
+    *    inflow per edge = rankⁱ⁻¹(src) div out_deg(src).
+    * Seeds not present in the edge set are ignored (they have no
+    * edges to flow through); dangling mass leaks as in the simple
+    * PageRank variant.
+    *
+    * Scale: `seeds` is a curated list — tiny by construction — so its
+    * membership join broadcasts; per round the same edge join +
+    * dst-keyed partial agg as PageRank, no driver state.
+    */
+  def trustRankPpm(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int,
+      dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 0 && dampPpm >= 0 && dampPpm <= 1000000L)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seed = broadcast(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("__seed", lit(1)))
+    val base = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(1000000L - dampPpm))
+          .otherwise(lit(0L)).as("base_ppm"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    var rank = base.select(col("node"),
+      when(col("base_ppm") > 0, lit(1000000L)).otherwise(lit(0L))
+        .as("rank_ppm"))
+    for (_ <- 1 to iters) {
+      val inflow = withDeg
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_ppm div out_deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      rank = base.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (col("base_ppm") +
+            expr(s"($dampPpm * coalesce(in_sum, 0L)) div 1000000"))
+            .as("rank_ppm"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** Triangle census of an undirected graph, degree-oriented (the
     * Suri–Vassilvitskii "forward" refinement): edges canonicalize to
     * u < v (self-loops dropped, both directions collapsed), then each

@@ -467,6 +467,73 @@ object GraphQueries extends QueryPack {
         |       WHEN doc_id % 10 < 3 THEN doc_id - doc_id % 10 + 3
         |       ELSE doc_id END AS final_tgt,
         |  doc_id % 100 IN (97, 98) AS cyclic
-        |FROM documents ORDER BY node""".stripMargin))
+        |FROM documents ORDER BY node""".stripMargin)),
+
+    // TrustRank (seed-personalized PageRank): a 7-host ring + hub all
+    // reachable from the two seed hosts, plus a 3-node spam clique
+    // that links OUT to legit hosts but receives no in-links from the
+    // trusted region — its trust stays exactly 0 through every round
+    // (the spam-demotion property), while raw PageRank would pay it
+    // the uniform teleport. Integer-ppm iteration, unrolled-CTE
+    // oracle replay, bit-exact.
+    "q372_trustrank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        val host = (o: Long) => concat(lit("host"),
+          ((col("doc_id") + o) % 7).cast("string"), lit(".com"))
+        val spam = (o: Long) => concat(lit("spam"),
+          ((col("doc_id") + o) % 3).cast("string"), lit(".biz"))
+        val edges = d.select(host(0).as("src"), host(3).as("dst"))
+          .union(d.filter(col("doc_id") % 2 === 0)
+            .select(host(0).as("src"), lit("hub.example.com").as("dst")))
+          .union(d.filter(col("doc_id") % 11 === 0)
+            .select(spam(0).as("src"), spam(1).as("dst")))
+          .union(d.filter(col("doc_id") % 11 === 0)
+            .select(spam(0).as("src"), host(0).as("dst")))
+        val seeds = Seq("host0.com", "host1.com").toDF("node")
+        Graph.trustRankPpm(edges, "src", "dst", seeds, "node", iters = 3)
+          .orderBy(col("node"))
+      },
+      {
+        val iterCtes = (1 to 3).map { i =>
+          s"""f$i AS (SELECT e.dst AS node,
+             |    CAST(sum(r.rank_ppm // d.out_deg) AS BIGINT) AS in_sum
+             |  FROM e JOIN r${i - 1} r ON e.src = r.node
+             |  JOIN d ON e.src = d.src GROUP BY e.dst),
+             |r$i AS (SELECT b.node,
+             |    CAST(b.base_ppm + (850000 * coalesce(f.in_sum, 0))
+             |      // 1000000 AS BIGINT) AS rank_ppm
+             |  FROM b LEFT JOIN f$i f USING (node))""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH e AS (
+          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com' AS src,
+          |    'host' || ((doc_id + 3) % 7) || '.com' AS dst
+          |  FROM documents
+          |  UNION
+          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com',
+          |    'hub.example.com'
+          |  FROM documents WHERE doc_id % 2 = 0
+          |  UNION
+          |  SELECT DISTINCT 'spam' || (doc_id % 3) || '.biz',
+          |    'spam' || ((doc_id + 1) % 3) || '.biz'
+          |  FROM documents WHERE doc_id % 11 = 0
+          |  UNION
+          |  SELECT DISTINCT 'spam' || (doc_id % 3) || '.biz',
+          |    'host' || (doc_id % 7) || '.com'
+          |  FROM documents WHERE doc_id % 11 = 0),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |sd AS (SELECT unnest(['host0.com', 'host1.com']) AS node),
+          |b AS (SELECT n.node,
+          |    CAST(CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END
+          |      AS BIGINT) AS base_ppm
+          |  FROM n LEFT JOIN sd USING (node)),
+          |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+          |r0 AS (SELECT node,
+          |    CAST(CASE WHEN base_ppm > 0 THEN 1000000 ELSE 0 END
+          |      AS BIGINT) AS rank_ppm FROM b),
+          |$iterCtes
+          |SELECT node, rank_ppm FROM r3 ORDER BY node""".stripMargin)
+      })
   )
 }

@@ -203,6 +203,32 @@ class GraphSpec extends SparkSpec {
     assert(short(5L) === ((9L, false))) // 4 remaining hops still fit
   }
 
+  test("trustRankPpm: spam cluster unreachable from seeds scores 0") {
+    import spark.implicits._
+    // trusted pair 1→2→1, plus spam pair 10↔11 that links OUT to 1
+    // but receives nothing from the trusted side
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L),
+      (10L, 1L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.trustRankPpm(edges, "s", "d", seeds, "node", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // spam nodes: base 0 and zero trusted inflow every round
+    assert(got(10L) === 0L && got(11L) === 0L)
+    // node 2's only inflow is node 1 (out_deg 1): r1(2) = 0 + .85*1e6
+    assert(got(2L) > 0L)
+    // seed keeps its teleport share every round
+    assert(got(1L) >= 150000L)
+    // iters=0: seeds at 1e6, everyone else 0
+    val r0 = Graph.trustRankPpm(edges, "s", "d", seeds, "node", 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0 === Map(1L -> 1000000L, 2L -> 0L, 10L -> 0L, 11L -> 0L))
+    // seeds absent from the edge set contribute nothing and emit no row
+    val g2 = Graph.trustRankPpm(edges, "s", "d",
+        Seq(99L).toDF("node"), "node", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!g2.contains(99L) && g2.values.forall(_ === 0L))
+  }
+
   test("labelPropagation: majority wins, ties to smallest, sync rounds") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 4—3; round 1: every triangle node
