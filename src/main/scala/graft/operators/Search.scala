@@ -60,6 +60,81 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** (doc_id, pos, token) — positional postings, the index layout
+    * phrase and proximity queries need. One posexplode; downstream
+    * consumers filter on token FIRST, so the per-term slices that
+    * actually move through joins are vocabulary-selective, never the
+    * whole corpus.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token"))
+
+  /** Exact phrase search over positional postings: an n-token phrase
+    * matches where token i sits at `start + i` for every i — the
+    * classic positional-index adjacency chain, expressed as n−1
+    * equi-joins on (doc_id, normalized start). Returns per-doc phrase
+    * frequency, ranked tf-desc / doc-asc, top `k`.
+    *
+    * Scale: each join leg is the postings frame FILTERED to one term
+    * before shuffling (token predicate reaches the scan), and every
+    * join is keyed (doc_id, pos) — co-partitioned after the first
+    * shuffle, so the chain adds no re-shuffles. Overlapping matches
+    * count separately ("a a a" contains "a a" twice), matching the
+    * standard positional-index semantics.
+    */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val first = postings.filter(col("token") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(postings.filter(col("token") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Best-snippet selection: for each candidate doc, the `window`-token
+    * span covering the MOST DISTINCT query terms, ties to the earliest
+    * start. Returns (doc_id, snip_pos, n_terms) — the highlighting
+    * anchor a result page needs.
+    *
+    * Every span considered starts at a query-term hit (a span that
+    * starts mid-gap is dominated by the same span snapped right), so
+    * the search space is hits × hits-within-window, both frames
+    * ALREADY filtered to query terms — per-doc work is O(hits²/doc)
+    * worst case but hit lists are term-selective slices, never the
+    * corpus. collect_set over a pos-range window keeps the distinct
+    * count engine-exact (integers, no approximation).
+    */
+  def bestSnippet(postings: DataFrame, terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.nonEmpty && window >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val hits = postings.filter(col("token").isin(terms: _*))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rangeBetween(0, window - 1)
+    hits
+      .withColumn("n_terms",
+        size(collect_set(col("token")).over(w)).cast("long"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_terms").desc, col("pos"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pos").as("snip_pos"), col("n_terms"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
     * the standard hybrid-retrieval combiner (keyword × vector): each
     * list contributes 1/(kRrf + rank) for the docs it ranked, summed

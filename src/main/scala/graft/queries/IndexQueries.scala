@@ -1716,7 +1716,55 @@ object IndexQueries extends QueryPack {
         |    ((CAST(na.rows_a AS DOUBLE) / est.u_a) *
         |     (CAST(nb.rows_b AS DOUBLE) / est.u_b)) AS est_rows,
         |  tru.true_rows
-        |FROM jac, est, na, nb, tru""".stripMargin))
+        |FROM jac, est, na, nb, tru""".stripMargin)),
+
+    // Exact phrase search over a positional index: "fast hash"
+    // matched by the adjacency chain (token i at start+i), per-doc
+    // phrase tf, tf-desc/doc-asc top-20. Overlapping matches count —
+    // standard positional-index semantics, oracle-exact integers.
+    "q373_phrase_search" -> Q(
+      (s, dir) => Search.phraseSearch(
+        Search.positionalPostings(
+          Tables.documents(s, dir), "doc_id", "text"),
+        Seq("fast", "hash"), 20),
+      Some(s"""WITH $toksCte,
+        |p AS (SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(toks) AS token FROM t),
+        |m AS (SELECT a.doc_id, a.pos
+        |  FROM p a JOIN p b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.token = 'fast' AND b.token = 'hash')
+        |SELECT doc_id, count(*) AS phrase_tf FROM m GROUP BY 1
+        |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Best-snippet selection: the 8-token span covering the most
+    // distinct query terms (ties to the earliest start), anchored at
+    // term hits — the highlighting anchor of a result page. Distinct
+    // coverage via collect_set over a pos-range window (integers, no
+    // approximation), mirrored by count(DISTINCT) in the oracle.
+    "q374_best_snippet" -> Q(
+      (s, dir) => Search.bestSnippet(
+          Search.positionalPostings(
+            Tables.documents(s, dir), "doc_id", "text"),
+          Seq("spark", "join", "merge"), window = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksCte,
+        |p AS (SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(toks) AS token FROM t),
+        |h AS (SELECT doc_id, pos, token FROM p
+        |  WHERE token IN ('spark', 'join', 'merge')),
+        |cov AS (SELECT a.doc_id, a.pos,
+        |    CAST(count(DISTINCT b.token) AS BIGINT) AS n_terms
+        |  FROM h a JOIN h b ON a.doc_id = b.doc_id
+        |    AND b.pos BETWEEN a.pos AND a.pos + 7
+        |  GROUP BY a.doc_id, a.pos)
+        |SELECT doc_id, pos AS snip_pos, n_terms FROM (
+        |  SELECT doc_id, pos, n_terms, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY n_terms DESC, pos) AS rn
+        |  FROM cov)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

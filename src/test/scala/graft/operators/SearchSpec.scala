@@ -75,6 +75,46 @@ class SearchSpec extends SparkSpec {
     assert(both.head.getLong(0) === 1L)
   }
 
+  test("phraseSearch: adjacency chain, overlaps count, 3-term phrase") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),        // "a a" overlaps: positions 0 and 1
+      (2L, "a b c a b c"),    // "a b c" twice, non-adjacent "a c" never
+      (3L, "c b a"),          // reversed order is no match
+      (4L, "")).toDF("doc_id", "text")
+    val p = Search.positionalPostings(d, "doc_id", "text")
+    val aa = Search.phraseSearch(p, Seq("a", "a"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(aa.toSeq === Seq((1L, 2L)))
+    val abc = Search.phraseSearch(p, Seq("a", "b", "c"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(abc.toSeq === Seq((2L, 2L)))
+    // single-token phrase degenerates to term tf
+    val b1 = Search.phraseSearch(p, Seq("b"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(b1.toSeq.sorted === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("bestSnippet: max distinct coverage, ties to earliest start") {
+    import spark.implicits._
+    // doc 1: window 3 starting at pos 4 covers x+y+z; the earlier
+    // x..y pair (pos 0,2) covers only 2 — coverage wins over position
+    val d = Seq(
+      (1L, "x q y q x y z"),
+      (2L, "q q x q q"),      // single hit → n_terms 1 at that hit
+      (3L, "q q q")).toDF("doc_id", "text")
+    val p = Search.positionalPostings(d, "doc_id", "text")
+    val got = Search.bestSnippet(p, Seq("x", "y", "z"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted === Seq((1L, 4L, 3L), (2L, 2L, 1L)))
+    // tie case: two windows each covering 2 → earliest start wins
+    val t = Seq((9L, "x y q q x y")).toDF("doc_id", "text")
+    val tp = Search.positionalPostings(t, "doc_id", "text")
+    val tg = Search.bestSnippet(tp, Seq("x", "y"), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tg === Seq((9L, 0L, 2L)))
+  }
+
   test("rrfFuse sums integer ppm contributions across lists") {
     import spark.implicits._
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
