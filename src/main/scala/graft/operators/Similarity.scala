@@ -691,6 +691,59 @@ object Similarity {
         col("n_label"), col("cos").as("cosine"))
   }
 
+  /** Bitext mining by the margin criterion (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"): a candidate translation pair (x, y) scores
+    *   margin(x, y) = cos(x, y) / ((avgNNₖ(x) + avgNNₖ(y)) / 2),
+    * the RATIO of the pair's cosine to the mean of each side's k-NN
+    * cosines — which cancels the hubness that makes raw cosine
+    * thresholds unusable across languages. Candidates are each source
+    * item's k nearest targets; per source the max-margin candidate is
+    * emitted, flagged `mutual` when it is also that target's
+    * max-margin source (the intersection criterion, the paper's
+    * highest-precision variant).
+    *
+    * Determinism: k-NN lists come from [[bruteForceTopK]] (exact
+    * baseline — the ANN paths are the scale route), each side's k-NN
+    * mean is a SEQUENTIAL fold over the rank-ordered cosine list
+    * (array_sort by rn, then `aggregate` — bit-stable regardless of
+    * partitioning, mirrored by `list_reduce` over `list(... ORDER BY
+    * rn)` in the oracle), and margin ties break to the smaller id.
+    *
+    * Scale: both directions reuse the top-k machinery (queries
+    * broadcast, corpus streams); the margin join is then k-bounded
+    * per item — (item, k) frames joined on id, never all-pairs.
+    */
+  def bitextMineMargin(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val fwd = bruteForceTopK(src, tgt, idCol, vecCol, k)
+    val bwd = bruteForceTopK(tgt, src, idCol, vecCol, k)
+    def knnAvg(nn: DataFrame, out: String): DataFrame =
+      nn.groupBy(col("query_id"))
+        .agg((aggregate(
+            array_sort(collect_list(struct(col("rn"), col("cosine")))),
+            lit(0.0d), (acc, s) => acc + s.getField("cosine")) /
+          count(lit(1))).as(out))
+    val ax = knnAvg(fwd, "ax").withColumnRenamed("query_id", "src_id")
+    val ay = knnAvg(bwd, "ay").withColumnRenamed("query_id", "tgt_id")
+    val cand = fwd.select(col("query_id").as("src_id"),
+      col("neighbor_id").as("tgt_id"), col("cosine"))
+    val m = cand.join(ax, "src_id").join(ay, "tgt_id")
+      .withColumn("margin",
+        when(col("ax") + col("ay") === 0.0d, lit(0.0d))
+          .otherwise(col("cosine") / ((col("ax") + col("ay")) / lit(2.0d))))
+    val wf = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    val wb = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin").desc, col("src_id"))
+    m.withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("rf") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cosine"),
+        col("margin"), (col("rb") === 1).as("mutual"))
+  }
+
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, and within each
     * cluster collapse the members sitting close to the cluster

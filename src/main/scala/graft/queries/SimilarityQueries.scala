@@ -1371,6 +1371,57 @@ object SimilarityQueries extends QueryPack {
           |  ON ex1.query_id = ann.query_id
           | AND ex1.true_nn = ann.neighbor_id
           |ORDER BY ex1.query_id""".stripMargin)
-      })
+      }),
+
+    // Bitext mining by the margin criterion (Artetxe & Schwenk 2019):
+    // the corpus split by vec_id parity stands in for two languages;
+    // margin = cos / (mean of both sides' k-NN cosines), which
+    // cancels embedding-space hubness. Per source the max-margin
+    // target, mutual-best flagged. k-NN means are rank-ordered
+    // sequential folds (list_reduce over list(ORDER BY rn)) so every
+    // double is bit-identical across engines.
+    "q375_bitext_mining" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        Similarity.bitextMineMargin(
+            e.filter(col("vec_id") % 2 === 0),
+            e.filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", k = 4)
+          .orderBy(col("src_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |sl AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        |tl AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        |fp AS (SELECT sl.vec_id AS src_id, tl.vec_id AS tgt_id,
+        |    ${cosSql("sl.v", "tl.v")} AS cos
+        |  FROM sl CROSS JOIN tl),
+        |fwd AS (SELECT src_id, tgt_id, cos, row_number() OVER (
+        |    PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rn
+        |  FROM fp),
+        |bwd AS (SELECT src_id, tgt_id, cos, row_number() OVER (
+        |    PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rn
+        |  FROM fp),
+        |ax AS (SELECT src_id, list_reduce(
+        |      [0.0] || list(cos ORDER BY rn), (a, x) -> a + x)
+        |    / count(*) AS ax
+        |  FROM fwd WHERE rn <= 4 GROUP BY 1),
+        |ay AS (SELECT tgt_id, list_reduce(
+        |      [0.0] || list(cos ORDER BY rn), (a, x) -> a + x)
+        |    / count(*) AS ay
+        |  FROM bwd WHERE rn <= 4 GROUP BY 1),
+        |m AS (SELECT c.src_id, c.tgt_id, c.cos,
+        |    CASE WHEN ax.ax + ay.ay = 0 THEN 0.0
+        |         ELSE c.cos / ((ax.ax + ay.ay) / 2.0) END AS margin
+        |  FROM (SELECT src_id, tgt_id, cos FROM fwd WHERE rn <= 4) c
+        |  JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
+        |r AS (SELECT src_id, tgt_id, cos, margin,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY margin DESC, tgt_id) AS rf,
+        |    row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY margin DESC, src_id) AS rb
+        |  FROM m)
+        |SELECT src_id, tgt_id, cos AS cosine, margin, rb = 1 AS mutual
+        |FROM r WHERE rf = 1 ORDER BY src_id""".stripMargin))
   )
 }

@@ -467,4 +467,30 @@ class SimilaritySpec extends SparkSpec {
       (2L, 1000000L, true),  // rank 1
       (3L, 0L, false)))      // miss
   }
+
+  test("bitextMineMargin: margin demotes the hub, mutual flags reciprocal best") {
+    import spark.implicits._
+    // tgt 10 is a HUB: moderately close to every source. tgt 11 is
+    // src 0's genuine translation (near-parallel), tgt 13 is src 2's.
+    // Raw cosine would still pick the right pair here, but the margin
+    // RATIO is what separates genuine pairs (cos ≫ its k-NN mean)
+    // from hub pairs (cos ≈ its k-NN mean, ratio ≈ 1).
+    val src = Seq(
+      (0L, Seq(1.0f, 0.1f, 0.5f)),
+      (2L, Seq(0.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Seq(0.5f, 0.5f, 0.5f)),    // hub
+      (11L, Seq(1.0f, 0.12f, 0.5f)),   // ≈ src 0
+      (13L, Seq(0.05f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMineMargin(src, tgt, "vec_id",
+        "embedding", k = 2)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(got.toSeq === Seq((0L, 11L, true), (2L, 13L, true)))
+    // margins of the winning pairs exceed 1 (cos above own k-NN mean)
+    val m = Similarity.bitextMineMargin(src, tgt, "vec_id",
+        "embedding", k = 2)
+      .collect().map(r => r.getDouble(3))
+    assert(m.forall(_ > 1.0))
+  }
 }
