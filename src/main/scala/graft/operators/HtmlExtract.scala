@@ -239,6 +239,58 @@ object HtmlExtract {
         lower(regexp_extract(col("__e"), hreflangPat, 1)).as("hreflang"),
         regexp_extract(col("__e"), hreflangPat, 2).as("href"))
 
+  /** Hidden-element contract: an opening tag whose inline style
+    * carries `display:none`, inner content up to the FIRST closing
+    * tag (non-greedy — nested markup inside a hidden element is out
+    * of contract, the price of staying RE2-compatible: backreferences
+    * to pair the exact tag don't exist there).
+    */
+  val hiddenPat: String =
+    "(?is)<[a-z]+[^>]*style=\"[^\"]*display:\\s*none[^\"]*\"[^>]*>.*?</[a-z]+>"
+
+  /** Search-spam signals per page, the two classic on-page cloaking
+    * tells (Gyöngyi & Garcia-Molina's web-spam taxonomy):
+    *  - HIDDEN TEXT: content inside `display:none` elements
+    *    ([[hiddenPat]]) — chars + token count, `hidden` when any;
+    *  - KEYWORD STUFFING: max single-token share of the VISIBLE text
+    *    (hidden spans removed first, so stuffing can't hide) in
+    *    integer ppm; `stuffed` when ≥ `stuffPpm` over at least
+    *    `minToks` tokens (short pages exempt — a 5-token nav page
+    *    isn't "stuffing" its menu word).
+    *
+    * Shape: one projection + one token explode + two partial aggs
+    * keyed (doc, token) then (doc) — linear, shuffle keyed by doc.
+    */
+  def spamSignals(df: DataFrame, idCol: String, htmlCol: String,
+      stuffPpm: Long = 220000L, minToks: Long = 20L): DataFrame = {
+    val hc = dropNonContent(col(htmlCol))
+    val base = df.select(col(idCol).as("doc_id"),
+      inlineText(array_join(
+        regexp_extract_all(hc, lit(hiddenPat), lit(0)), " ")).as("__ht"),
+      inlineText(regexp_replace(hc, hiddenPat, " ")).as("__vis"))
+    val hid = base.select(col("doc_id"),
+      length(col("__ht")).cast("long").as("n_hidden_chars"),
+      TextAnalysis.nTokens(col("__ht")).cast("long")
+        .as("n_hidden_tokens"),
+      col("__vis"))
+    val tf = hid
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("__vis")))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val top = tf.groupBy(col("doc_id"))
+      .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_toks"))
+    hid.drop("__vis")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_hidden_chars"),
+        col("n_hidden_tokens"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(expr("max_tf * 1000000L div n_toks"), lit(0L))
+          .as("top_tf_ppm"))
+      .withColumn("hidden", col("n_hidden_tokens") > 0)
+      .withColumn("stuffed",
+        col("top_tf_ppm") >= stuffPpm && col("n_toks") >= minToks)
+  }
+
   /** The boilerplate rule: a block is CONTENT iff its link density is
     * at or below `maxLinkPpm` AND it carries at least `minWords`
     * words. Navigation bars fail the first test, headers/footers/

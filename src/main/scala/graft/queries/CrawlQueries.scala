@@ -1343,6 +1343,65 @@ object CrawlQueries extends QueryPack {
         |  CAST(sum(CASE WHEN b.has IS NULL AND e.src <> e.dst
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nonreciprocal
         |FROM e LEFT JOIN b ON e.src = b.src AND e.dst = b.dst
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // On-page spam signals: docs ≡ 0 mod 13 carry a display:none
+    // block (hidden text), docs ≡ 0 mod 17 a 30× repeated keyword
+    // (stuffing). Hidden spans are removed BEFORE the visible-text
+    // stuffing ratio so cloaked repetition can't dodge the detector;
+    // the ratio is integer ppm and the whole battery hash-gates.
+    "q376_spam_signals" -> Q(
+      (s, dir) => {
+        val page = concat(
+          lit("<html><body><p>"), coalesce(col("text"), lit("")),
+          lit("</p>"),
+          when(col("doc_id") % 13 === 0,
+            lit("<div style=\"display:none\">buy cheap pills " +
+              "buy cheap pills buy</div>")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            concat(lit("<p>"), repeat(lit("spark "), 30), lit("</p>")))
+            .otherwise(lit("")),
+          lit("</body></html>"))
+        HtmlExtract.spamSignals(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), page.as("html")),
+            "doc_id", "html")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sp AS (SELECT doc_id,
+        |    '<html><body><p>' || coalesce(text, '') || '</p>' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      '<div style="display:none">buy cheap pills buy cheap pills buy</div>'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN
+        |      '<p>' || repeat('spark ', 30) || '</p>' ELSE '' END ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, ${dropSql("html")} AS hc FROM sp),
+        |hid AS (SELECT doc_id,
+        |    ${inlineSql(s"coalesce(array_to_string(regexp_extract_all(hc, '$hiddenPat'), ' '), '')")} AS ht,
+        |    ${inlineSql(s"regexp_replace(hc, '$hiddenPat', ' ', 'g')")} AS vis
+        |  FROM c),
+        |tok AS (SELECT doc_id, unnest(CASE WHEN trim(vis) = ''
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(lower(trim(vis)), '\\s+') END) AS t
+        |  FROM hid),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf,
+        |    CAST(sum(tf) AS BIGINT) AS n_toks FROM tf GROUP BY 1)
+        |SELECT h.doc_id,
+        |  CAST(length(ht) AS BIGINT) AS n_hidden_chars,
+        |  CAST(CASE WHEN trim(ht) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(ht), '\\s+')) END
+        |    AS BIGINT) AS n_hidden_tokens,
+        |  coalesce(top.n_toks, 0) AS n_toks,
+        |  coalesce(top.max_tf * 1000000 // top.n_toks, 0) AS top_tf_ppm,
+        |  CASE WHEN trim(ht) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(ht), '\\s+')) END > 0
+        |    AS hidden,
+        |  coalesce(top.max_tf * 1000000 // top.n_toks, 0) >= 220000
+        |    AND coalesce(top.n_toks, 0) >= 20 AS stuffed
+        |FROM hid h LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 }

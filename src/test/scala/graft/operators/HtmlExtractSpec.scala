@@ -190,6 +190,32 @@ class HtmlExtractSpec extends SparkSpec {
       (1L, 1L, "de", "http://x/de")))     // comment + script + stylesheet skip
   }
 
+  test("spamSignals: hidden text detected, commented-out exempt, stuffing gated") {
+    val stuffed = (1 to 30).map(_ => "buy").mkString(" ")
+    val df = Seq(
+      (1L, "<p>normal words here one two three four five six seven " +
+        "eight nine ten eleven twelve thirteen fourteen</p>" +
+        "<div style=\"DISPLAY: None\">sneaky hidden spam</div>"),
+      (2L, "<!-- <div style=\"display:none\">ghost</div> --><p>clean " +
+        "a b c d e f g h i j k l m n o p q r s t</p>"),
+      (3L, s"<p>$stuffed and some other words to cross the floor " +
+        "one two three</p>"),
+      (4L, "<p>menu menu menu</p>")) // 100% one token but < minToks
+      .toDF("id", "h")
+    val got = HtmlExtract.spamSignals(df, "id", "h")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_hidden_tokens"), r.getAs[Boolean]("hidden"),
+          r.getAs[Boolean]("stuffed")))).toMap
+    assert(got(1L) === ((3L, true, false)))  // case-folded display:none
+    assert(got(2L) === ((0L, false, false))) // commented-out is dead
+    assert(got(3L)._3 === true)              // 30/38 > 22%
+    assert(got(4L) === ((0L, false, false))) // short-page exemption
+    // hidden tokens are EXCLUDED from the visible stuffing base
+    val h = HtmlExtract.spamSignals(df, "id", "h")
+      .filter(col("doc_id") === 1L).collect().head
+    assert(h.getAs[Long]("n_toks") === 17L)
+  }
+
   test("htmlToText: null html extracts to null, empty to empty") {
     val df = Seq(Some("<p></p>"), None)
       .toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))
