@@ -191,6 +191,46 @@ object Frontier {
     * distinct) — duplicate URL rows would draw arbitrary distinct
     * sequence numbers and make the output run-dependent.
     */
+  /** Crawler-trap report per host — the two classic infinite-space
+    * signals (Heydon & Najork's Mercator taxonomy):
+    *  - PARAMETER EXPLOSION: distinct URLs per distinct query-stripped
+    *    base (`fanout_ppm`, integer ppm) — calendars and session ids
+    *    mint unbounded URLs over a handful of real pages;
+    *  - PATH LOOPS: URLs whose path repeats segments (≥ `loopRepeats`
+    *    surplus occurrences, i.e. |segs| − |distinct segs|) — the
+    *    /a/b/a/b/… self-similar descent of a relative-link cycle.
+    * `is_trap` = fanout at/above `fanoutPpm` OR any looping URL; a
+    * frontier scheduler demotes or caps flagged hosts.
+    *
+    * Scale: one URL-level distinct (the frontier is already keyed by
+    * url), then ONE host-keyed agg — count, distinct-base, max-depth,
+    * loop-count all partial-aggregate; a pathological host is exactly
+    * what AQE skew splitting handles, and the [[apportionBudget]] /
+    * [[politenessSlots]] levers consume this report's flags.
+    */
+  def trapReport(urls: DataFrame, urlCol: String,
+      fanoutPpm: Long = 5000000L, loopRepeats: Int = 2): DataFrame = {
+    import graft.functions.Urls
+    require(fanoutPpm >= 1000000L && loopRepeats >= 1)
+    val u = urls.select(col(urlCol).as("url")).distinct()
+      .select(col("url"), Urls.host(col("url")).as("host"),
+        regexp_replace(col("url"), "\\?.*$", "").as("base"),
+        filter(split(Urls.path(col("url")), "/"), s => s =!= "")
+          .as("segs"))
+      .withColumn("depth", size(col("segs")).cast("long"))
+      .withColumn("loopy",
+        size(col("segs")) - size(array_distinct(col("segs")))
+          >= loopRepeats)
+    u.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("base")).as("n_base"),
+        max(col("depth")).as("max_depth"),
+        sum(when(col("loopy"), 1L).otherwise(0L)).as("n_loopy"))
+      .withColumn("fanout_ppm", expr("n_urls * 1000000L div n_base"))
+      .withColumn("is_trap",
+        col("fanout_ppm") >= fanoutPpm || col("n_loopy") > 0)
+  }
+
   def politenessSlots(urls: DataFrame, perHostPerSlot: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(perHostPerSlot >= 1,

@@ -1402,6 +1402,59 @@ object CrawlQueries extends QueryPack {
         |  coalesce(top.max_tf * 1000000 // top.n_toks, 0) >= 220000
         |    AND coalesce(top.n_toks, 0) >= 20 AS stuffed
         |FROM hid h LEFT JOIN top USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Crawler-trap report: a calendar host minting one URL per doc
+    // over a single base page (parameter explosion, fanout ≫ 5×)
+    // and a relative-link loop host (/a/b/a/b/…) against 7 healthy
+    // hosts. The Spark side parses hosts/paths with the real Urls
+    // operators; the oracle carries the generator's closed-form
+    // host/base/segs (the parsing itself is q108's gate) and replays
+    // the trap algebra exactly — all integer.
+    "q377_trap_report" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        val did = col("doc_id").cast("string")
+        val urls = d.select(concat(lit("http://host"),
+            (col("doc_id") % 7).cast("string"), lit(".com/d/"), did)
+            .as("url"))
+          .union(d.select(concat(lit("http://cal.example.com/cal?y="),
+            (col("doc_id") % 31).cast("string"), lit("&sid="), did)
+            .as("url")))
+          .union(d.filter(col("doc_id") % 19 === 0)
+            .select(concat(lit("http://loop.example.com/a/b/a/b/"),
+              (col("doc_id") % 3).cast("string")).as("url")))
+        Frontier.trapReport(urls, "url").orderBy(col("host"))
+      },
+      Some("""WITH u0 AS (
+        |  SELECT DISTINCT
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS url,
+        |    'host' || (doc_id % 7) || '.com' AS host,
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS base,
+        |    ['d', CAST(doc_id AS VARCHAR)] AS segs
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT
+        |    'http://cal.example.com/cal?y=' || (doc_id % 31) ||
+        |      '&sid=' || doc_id,
+        |    'cal.example.com', 'http://cal.example.com/cal', ['cal']
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT
+        |    'http://loop.example.com/a/b/a/b/' || (doc_id % 3),
+        |    'loop.example.com',
+        |    'http://loop.example.com/a/b/a/b/' || (doc_id % 3),
+        |    ['a', 'b', 'a', 'b', CAST(doc_id % 3 AS VARCHAR)]
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |g AS (SELECT host, count(*) AS n_urls,
+        |    count(DISTINCT base) AS n_base,
+        |    CAST(max(len(segs)) AS BIGINT) AS max_depth,
+        |    CAST(sum(CASE WHEN len(segs) - len(list_distinct(segs)) >= 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_loopy
+        |  FROM u0 GROUP BY 1)
+        |SELECT host, n_urls, n_base, max_depth, n_loopy,
+        |  n_urls * 1000000 // n_base AS fanout_ppm,
+        |  n_urls * 1000000 // n_base >= 5000000 OR n_loopy > 0 AS is_trap
+        |FROM g ORDER BY host""".stripMargin))
   )
 }

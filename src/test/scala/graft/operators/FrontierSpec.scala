@@ -123,4 +123,23 @@ class FrontierSpec extends SparkSpec {
     assert(got("http://a/4") === ((4L, 2L)))
     assert(got("http://b/x") === ((0L, 0L))) // hosts are independent
   }
+
+  test("trapReport: fanout explosion, path loops, healthy host clean") {
+    val urls =
+      (0 until 12).map(i => s"http://cal.x/c?sid=$i") ++     // 12 urls, 1 base
+      Seq("http://ok.x/a/1", "http://ok.x/b/2",              // healthy
+        "http://loop.x/a/b/a/b/c",                           // 2 surplus segs
+        "http://loop.x/a/b/c",                               // 0 surplus
+        "http://dup.x/p?q=1", "http://dup.x/p?q=1")          // dup collapses
+    val got = Frontier.trapReport(urls.toDF("url"), "url")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got("cal.x") === ((12L, 1L, 1L, 0L, 12000000L, true)))
+    assert(got("ok.x") === ((2L, 2L, 2L, 0L, 1000000L, false)))
+    // one looping URL is enough to flag the host, fanout irrelevant
+    assert(got("loop.x")._4 === 1L && got("loop.x")._6 === true)
+    // exact duplicates collapse before counting — no self-fanout
+    assert(got("dup.x") === ((1L, 1L, 1L, 0L, 1000000L, false)))
+  }
 }
