@@ -97,4 +97,61 @@ object Chat {
       .withColumn("gap", col("chosen_score") - col("rejected_score"))
       .filter(col("gap") >= minGap)
   }
+
+  /** Bradley–Terry strength fitting from pairwise preferences by
+    * Zermelo's MM iteration (Hunter 2004) — the model behind
+    * reward-model data QA and chat-arena leaderboards: item i's
+    * strength w_i satisfies P(i beats j) = w_i/(w_i+w_j), and each MM
+    * round sets
+    *   w_i ← W_i / Σ_{j≠i} n_ij / (w_i + w_j)
+    * (W_i = total wins, n_ij = comparisons of the unordered pair).
+    *
+    * Integer discipline ([[graft.operators.Graph.pageRankPpm]]):
+    * strengths in ppm, per-pair terms floored at 10¹² scale, so
+    * every round is order-free and the unrolled-CTE oracle replays
+    * bit-exactly. The iteration is scale-invariant up to the floor;
+    * no renormalization (callers compare ratios). Items that never
+    * win fix at 0 — the MLE's boundary, reached in one step.
+    *
+    * Scale: comparisons collapse ONCE to (pair, count) and (item,
+    * wins) — both item²-bounded, tiny for any leaderboard — then each
+    * round is two item-keyed joins + one partial agg. Driver never
+    * sees per-comparison data.
+    */
+  def bradleyTerryPpm(comparisons: DataFrame, winCol: String,
+      loseCol: String, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val cmp = comparisons.select(col(winCol).as("win"),
+      col(loseCol).as("lose"))
+    val items = cmp.select(col("win").as("item"))
+      .union(cmp.select(col("lose").as("item"))).distinct()
+    val winsAll = items
+      .join(cmp.groupBy(col("win").as("item"))
+        .agg(count(lit(1)).as("c")), Seq("item"), "left")
+      .select(col("item"), coalesce(col("c"), lit(0L)).as("w_cnt"))
+      .localCheckpoint()
+    val pairs = cmp
+      .select(least(col("win"), col("lose")).as("a"),
+        greatest(col("win"), col("lose")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
+    var w = winsAll.select(col("item"), lit(1000000L).as("w_ppm"))
+    for (_ <- 1 to iters) {
+      val ab = pairs
+        .join(w.select(col("item").as("a"), col("w_ppm").as("wa")), "a")
+        .join(w.select(col("item").as("b"), col("w_ppm").as("wb")), "b")
+        .withColumn("c",
+          expr("(n_ab * 1000000000000L) div greatest(wa + wb, 1L)"))
+      val denom = ab.select(col("a").as("item"), col("c"))
+        .union(ab.select(col("b").as("item"), col("c")))
+        .groupBy(col("item")).agg(sum(col("c")).as("d"))
+      w = winsAll.join(denom, Seq("item"), "left")
+        .select(col("item"),
+          when(col("d").isNull || col("d") === 0, lit(0L))
+            .otherwise(expr("(w_cnt * 1000000000000L) div d"))
+            .as("w_ppm"))
+        .localCheckpoint()
+    }
+    w
+  }
 }

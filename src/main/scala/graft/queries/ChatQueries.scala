@@ -232,6 +232,67 @@ object ChatQueries extends QueryPack {
         |  cum - render_len AS start_off,
         |  (cum - render_len) // 4096 AS batch_id,
         |  (cum - render_len) % 4096 AS batch_off
-        |FROM cs ORDER BY doc_id""".stripMargin))
+        |FROM cs ORDER BY doc_id""".stripMargin)),
+
+    // Bradley–Terry strengths from pairwise preferences (Zermelo MM,
+    // 3 rounds, integer ppm): 8 synthetic models compared via the
+    // doc-derived schedule, lower index winning except a mod-3 upset
+    // minority — so the fitted strengths recover the index order with
+    // noise-squeezed gaps. Unrolled-CTE oracle replays the MM
+    // iteration bit-exactly.
+    "q378_bradley_terry" -> Q(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(
+          (col("doc_id") % 8).as("i"),
+          (expr("doc_id div 8") % 8).as("j"), col("doc_id"))
+          .filter(col("i") =!= col("j"))
+        val cmp = base.select(
+          when(col("doc_id") % 3 === 0, greatest(col("i"), col("j")))
+            .otherwise(least(col("i"), col("j"))).as("win"),
+          when(col("doc_id") % 3 === 0, least(col("i"), col("j")))
+            .otherwise(greatest(col("i"), col("j"))).as("lose"))
+        graft.operators.Chat.bradleyTerryPpm(cmp, "win", "lose",
+            iters = 3)
+          .orderBy(col("item"))
+      },
+      {
+        val iterCtes = (1 to 3).map { i =>
+          s"""d$i AS (SELECT item, CAST(sum(c) AS BIGINT) AS d FROM (
+             |    SELECT pr.a AS item, (pr.n_ab * 1000000000000)
+             |      // greatest(wa.w_ppm + wb.w_ppm, 1) AS c
+             |    FROM pr JOIN w${i - 1} wa ON pr.a = wa.item
+             |    JOIN w${i - 1} wb ON pr.b = wb.item
+             |    UNION ALL
+             |    SELECT pr.b, (pr.n_ab * 1000000000000)
+             |      // greatest(wa.w_ppm + wb.w_ppm, 1)
+             |    FROM pr JOIN w${i - 1} wa ON pr.a = wa.item
+             |    JOIN w${i - 1} wb ON pr.b = wb.item)
+             |  GROUP BY 1),
+             |w$i AS (SELECT wn.item,
+             |    CAST(CASE WHEN d.d IS NULL OR d.d = 0 THEN 0
+             |      ELSE (wn.w_cnt * 1000000000000) // d.d END
+             |      AS BIGINT) AS w_ppm
+             |  FROM wn LEFT JOIN d$i d USING (item))""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH cmp AS (
+          |  SELECT CASE WHEN doc_id % 3 = 0 THEN greatest(i, j)
+          |           ELSE least(i, j) END AS win,
+          |         CASE WHEN doc_id % 3 = 0 THEN least(i, j)
+          |           ELSE greatest(i, j) END AS lose
+          |  FROM (SELECT doc_id % 8 AS i, (doc_id // 8) % 8 AS j,
+          |          doc_id FROM documents)
+          |  WHERE i <> j),
+          |it AS (SELECT win AS item FROM cmp
+          |       UNION SELECT lose FROM cmp),
+          |wn AS (SELECT it.item,
+          |    CAST(coalesce(w.c, 0) AS BIGINT) AS w_cnt
+          |  FROM it LEFT JOIN (SELECT win AS item, count(*) AS c
+          |    FROM cmp GROUP BY 1) w USING (item)),
+          |pr AS (SELECT least(win, lose) AS a, greatest(win, lose) AS b,
+          |    count(*) AS n_ab FROM cmp GROUP BY 1, 2),
+          |w0 AS (SELECT item, CAST(1000000 AS BIGINT) AS w_ppm FROM it),
+          |$iterCtes
+          |SELECT item, w_ppm FROM w3 ORDER BY item""".stripMargin)
+      })
   )
 }

@@ -54,4 +54,21 @@ class ChatSpec extends SparkSpec {
           r.getLong(6)))).toMap
     assert(got === Map(1L -> ((10L, 9L, 11L, 2L, 7L))))
   }
+
+  test("bradleyTerryPpm: strengths order by win rate, shutout hits 0") {
+    import spark.implicits._
+    // A beats B 3:1, both sweep C — expected strength A > B > C = 0
+    val cmp = (Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L)) ++
+      Seq.fill(2)((1L, 3L)) ++ Seq.fill(2)((2L, 3L)))
+      .toDF("win", "lose")
+    val got = Chat.bradleyTerryPpm(cmp, "win", "lose", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+    assert(got(3L) === 0L) // never wins → MLE boundary in one step
+    // round 1 hand-check for item 1: W=5, pairs n_12=4, n_13=2, all
+    // w=1e6 → d = 4e12/2e6 + 2e12/2e6 = 3e6 → w' = 5e12/3e6
+    val one = Chat.bradleyTerryPpm(cmp, "win", "lose", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(1L) === 5000000000000L / 3000000L)
+  }
 }
