@@ -63,6 +63,55 @@ object Privacy {
       .select(kept.toIndexedSeq: _*)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * rung above l-diversity: a QI group leaks when its SENSITIVE
+    * DISTRIBUTION diverges from the table-wide one, measured by the
+    * Earth Mover's Distance over the ordered sensitive domain,
+    *   EMD = (1/(m−1)) · Σ_bins |cumulative(p_group − p_global)|.
+    * All shares are integer ppm (floor division) and the cumulative
+    * walk is a window sum over the ordered bin axis, so the audit
+    * hash-gates exactly.
+    *
+    * Output grain: the QI grid, with `n`, `emd_ppm`, and `t_close`
+    * (EMD ≤ `tPpm`). Groups with a single-bin domain (m = 1) have
+    * EMD 0 by definition.
+    *
+    * Scale: one (QI × sensitive) partial agg (grid-bounded), the
+    * global distribution is a bin-count frame (broadcast), and the
+    * per-group walk windows over the GRID, never the rows. Missing
+    * bins are filled by a groups × domain join — both frames
+    * dimension-sized.
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column, tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty && tPpm >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.groupBy(qiCols.map(col) :+ sensitive.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val domain = grid.groupBy(col("__s")).agg(sum(col("__c")).as("__cs"))
+    val totals = domain.agg(sum(col("__cs")).as("__nt"),
+      count(lit(1)).as("__m"))
+    // groups × full bin domain (both dimension-sized; the domain side
+    // broadcasts), then the observed grid fills in — absent bins 0
+    val full = groups
+      .crossJoin(broadcast(domain.crossJoin(totals)))
+      .join(grid, qiCols :+ "__s", "left")
+    val w = Window.partitionBy(qiCols.map(col): _*).orderBy(col("__s"))
+    full
+      .withColumn("__diff",
+        coalesce(expr("__c * 1000000L div n"), lit(0L)) -
+          expr("__cs * 1000000L div __nt"))
+      .withColumn("__cum", sum(col("__diff")).over(w))
+      .groupBy(qiCols.map(col) :+ col("n") :+ col("__m"): _*)
+      .agg(sum(abs(col("__cum"))).as("__semd"))
+      .select(qiCols.map(col) ++ Seq(col("n"),
+        when(col("__m") <= 1, lit(0L))
+          .otherwise(expr("__semd div (__m - 1)")).as("emd_ppm")): _*)
+      .withColumn("t_close", col("emd_ppm") <= tPpm)
+  }
+
   /** The audit verdicts derived from a PRE-AGGREGATED
     * (qi..., sensitive, c) grid — algebraically identical to
     * [[kAnonymityAudit]] (n = Σc, n_sensitive = grid rows per QI),

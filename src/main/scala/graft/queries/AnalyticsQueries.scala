@@ -745,6 +745,47 @@ object AnalyticsQueries extends QueryPack {
         |FROM e JOIN t ON e.cat = t.cat JOIN r ON e.cat = r.cat
         |GROUP BY t.cat, t.n_train, t.yhat_milli, r.n_calib,
         |  r.radius_milli
-        |ORDER BY t.cat""".stripMargin))
+        |ORDER BY t.cat""".stripMargin)),
+
+    // t-closeness audit (the rung above q283's k-anon/l-diversity):
+    // per QI group, the Earth Mover's Distance between the group's
+    // sensitive distribution and the global one over the ordered bin
+    // axis — Σ|cumulative ppm difference| div (m−1). Shares are
+    // integer ppm, the cumulative walk a window sum over the grid,
+    // so the whole audit hash-gates.
+    "q379_t_closeness" -> Q(
+      (s, dir) => Privacy.tClosenessAudit(
+          Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+          floor(col("c_acctbal") / 1000), tPpm = 120000L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""WITH grid AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS s,
+        |    count(*) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |dom AS (SELECT s, CAST(sum(c) AS BIGINT) AS cs
+        |  FROM grid GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS nt,
+        |    count(*) AS m FROM dom),
+        |f AS (SELECT g.c_nationkey, g.c_mktsegment, g.n, d.s, d.cs,
+        |    t.nt, t.m, gr.c
+        |  FROM grp g CROSS JOIN dom d CROSS JOIN tot t
+        |  LEFT JOIN grid gr ON gr.c_nationkey = g.c_nationkey
+        |    AND gr.c_mktsegment = g.c_mktsegment AND gr.s = d.s),
+        |cum AS (SELECT c_nationkey, c_mktsegment, n, m,
+        |    sum(coalesce(c * 1000000 // n, 0) - cs * 1000000 // nt)
+        |      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cumd
+        |  FROM f),
+        |e AS (SELECT c_nationkey, c_mktsegment, n, m,
+        |    CAST(sum(abs(cumd)) AS BIGINT) AS semd
+        |  FROM cum GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  CASE WHEN m <= 1 THEN 0 ELSE semd // (m - 1) END AS emd_ppm,
+        |  CASE WHEN m <= 1 THEN 0 ELSE semd // (m - 1) END <= 120000
+        |    AS t_close
+        |FROM e ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -99,4 +99,27 @@ class PrivacyDqSpec extends SparkSpec {
       .as[(Long, String, Long, Boolean)].collect().head
     assert(out._3 === 333333L) // only the 5.0 row satisfies
   }
+
+  test("tClosenessAudit: identical distribution 0, concentrated group flagged") {
+    import spark.implicits._
+    // group A mirrors the global 50/50 split exactly; group B is all
+    // bin 1 — maximal skew. Global: bins {1: 3, 2: 1} over 4 rows.
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 1L))
+      .toDF("g", "s")
+    val got = Privacy.tClosenessAudit(df, Seq("g"), col("s"),
+        tPpm = 300000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // A: p=(500000,500000) vs global (750000,250000):
+    //   cum diffs -250000, 0 → EMD = 250000/(2-1)
+    assert(got("A") === ((2L, 250000L, true)))
+    // B: p=(1000000,0) vs global: cum diffs 250000, 0 → 250000
+    assert(got("B") === ((2L, 250000L, true)))
+    // one-bin domain: EMD is 0 by definition
+    val one = Privacy.tClosenessAudit(
+        Seq(("A", 7L), ("B", 7L)).toDF("g", "s"), Seq("g"), col("s"),
+        tPpm = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(one === Map("A" -> 0L, "B" -> 0L))
+  }
 }
