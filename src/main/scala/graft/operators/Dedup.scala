@@ -99,6 +99,32 @@ object Dedup {
       .select(col(idCol) +: sigCols: _*)
   }
 
+  /** One-permutation MinHash signature (Li/Owen/Zhang NIPS'12 with
+    * Shrivastava–Li rotation densification): ONE traversal of the
+    * shingle-hash array bins by `h mod k` and takes per-bin minimums
+    * — where [[minhashSignaturesRow]] pays k multiply-mod traversals.
+    * Same column layout (`m0..m{k-1}`), so [[lshBuckets]] composes
+    * unchanged; signatures are a DIFFERENT family than the
+    * k-permutation ones (bin-min, not permutation-min) with the same
+    * collision law E[matches]/k ≈ Jaccard. The one-pass kernel is the
+    * native [[graft.expressions.OnePermMinHash]] expression; at
+    * 100 TB the signature stage is scan-bound, and O(shingles + k)
+    * vs O(k·shingles) per document is the whole stage budget.
+    */
+  def minhashSignaturesOnePerm(df: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int): DataFrame = {
+    val hashes = transform(
+      graft.expressions.WordShingles.shinglesNative(col(textCol), n),
+      s => graft.expressions.Md5Hash60.hash60Native(s) % P)
+    df.select(col(idCol), hashes.as("__h"))
+      .select(col(idCol),
+        graft.expressions.OnePermMinHash.onePermNative(col("__h"), k)
+          .as("__sig"))
+      .select(col(idCol) +:
+        (0 until k).map(i =>
+          element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+  }
+
   /** LSH banding: split the k-column signature into `bands` groups of
     * `rowsPerBand` and hash each group — documents sharing any band
     * signature become join candidates. (bands, rowsPerBand) tune the

@@ -413,6 +413,42 @@ object LlmQueries extends QueryPack {
           |ORDER BY doc_id""".stripMargin)
       }),
 
+    // One-permutation MinHash with rotation densification: ONE pass
+    // bins shingle hashes by h mod 8 and takes per-bin minimums,
+    // empty bins borrowing right-circularly — vs q28's 8 multiply-mod
+    // passes. The oracle replays bin-min + coalesce rotation exactly;
+    // OnePermMinHashSpec pins native ≡ portable ≡ interpreted.
+    "q380_minhash_oneperm" -> Q(
+      (s, dir) => Dedup.minhashSignaturesOnePerm(
+          Tables.documents(s, dir), "doc_id", "text", 3, 8)
+        .orderBy(col("doc_id")),
+      {
+        val binMins = (0 until 8).map(i =>
+          s"list_min(list_filter(l, x -> x % 8 = $i)) AS b$i")
+          .mkString(",\n|    ")
+        val dens = (0 until 8).map { i =>
+          val chain = (0 until 8).map(d => s"b${(i + d) % 8}")
+            .mkString(", ")
+          s"coalesce($chain) AS m$i"
+        }.mkString(",\n|  ")
+        Some(s"""WITH toks AS (
+          |  SELECT doc_id, $normTokens AS t FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+          |    END) AS s
+          |  FROM toks),
+          |h AS (
+          |  SELECT doc_id, list(${h60sql("s")} % ${Dedup.P}) AS l
+          |  FROM sh GROUP BY 1),
+          |b AS (SELECT doc_id,
+          |    $binMins
+          |  FROM h)
+          |SELECT doc_id,
+          |  $dens
+          |FROM b ORDER BY doc_id""".stripMargin)
+      }),
+
     // SimHash (32 bits over the md5-derived token hash).
     "q29_simhash" -> Q(
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text",
