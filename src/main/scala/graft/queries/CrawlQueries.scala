@@ -1455,6 +1455,106 @@ object CrawlQueries extends QueryPack {
         |SELECT host, n_urls, n_base, max_depth, n_loopy,
         |  n_urls * 1000000 // n_base AS fanout_ppm,
         |  n_urls * 1000000 // n_base >= 5000000 OR n_loopy > 0 AS is_trap
-        |FROM g ORDER BY host""".stripMargin))
+        |FROM g ORDER BY host""".stripMargin)),
+
+    // Crawl-scheduler end-to-end: extract → normalize → robots gate →
+    // trap detection → largest-remainder budget over non-trap hosts →
+    // politeness slot count. The calendar host sails through robots
+    // (no rules) but the trap report zeroes its budget — each stage's
+    // unit gate exists (q333/q377/q370/q337); this proves the
+    // COMPOSITION. Fixture has no looping paths, so the oracle's trap
+    // term is the fanout condition alone (loop algebra gated by q377).
+    "q381_crawl_scheduler" -> Q(
+      (s, dir) => {
+        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
+        val d = Tables.documents(s, dir)
+        val raw = links.filter(Urls.host(col("href")) =!= "")
+          .select(Urls.normalize(col("href")).as("url"))
+          .union(d.select(concat(lit("http://cal.example.com/cal?y="),
+            (col("doc_id") % 31).cast("string"), lit("&sid="),
+            col("doc_id").cast("string")).as("url")))
+          .distinct()
+        val urls = raw.withColumn("host", Urls.host(col("url")))
+          .withColumn("path", Urls.path(col("url")))
+        val gated = Frontier.robotsGate(urls, robotsRules(s))
+          .filter(col("allowed"))
+        val traps = Frontier.trapReport(gated, "url")
+          .select(col("host"), col("is_trap"))
+        val perHost = gated.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_allowed"))
+          .join(traps, "host")
+        val budget = Frontier.apportionBudget(
+            perHost.filter(!col("is_trap")), "host", "n_allowed",
+            total = 100L)
+          .select(col("host"), col("budget"))
+        val slots = Frontier.politenessSlots(
+            gated.select(col("url"), col("host")), perHostPerSlot = 4)
+          .groupBy(col("host"))
+          .agg((max(col("fetch_slot")) + 1).as("n_slots"))
+        perHost.join(budget, Seq("host"), "left")
+          .join(slots, Seq("host"), "left")
+          .select(col("host"), col("n_allowed"), col("is_trap"),
+            coalesce(col("budget"), lit(0L)).as("budget"),
+            col("n_slots"))
+          .orderBy(col("host"))
+      },
+      Some("""WITH u AS (
+        |  SELECT DISTINCT
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id ||
+        |      '?x=' || doc_id AS url,
+        |    'host' || (doc_id % 7) || '.com' AS host,
+        |    '/d/' || doc_id AS path
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT
+        |    'http://host' || ((doc_id + 3) % 7) || '.com/idx',
+        |    'host' || ((doc_id + 3) % 7) || '.com', '/idx'
+        |  FROM documents
+        |  UNION
+        |  SELECT 'http://hub.example.com/h', 'hub.example.com', '/h'
+        |  UNION
+        |  SELECT DISTINCT
+        |    'http://cal.example.com/cal?y=' || (doc_id % 31) ||
+        |      '&sid=' || doc_id,
+        |    'cal.example.com', '/cal'
+        |  FROM documents),
+        |rules(host, rtype, prefix) AS (VALUES
+        |  ('host0.com','disallow','/d/'), ('host0.com','allow','/d/1'),
+        |  ('host2.com','disallow','/'), ('host2.com','allow','/d/2'),
+        |  ('host3.com','disallow','/d/'), ('host3.com','allow','/d/'),
+        |  ('host4.com','disallow','/idx'), ('host5.com','disallow',''),
+        |  ('hub.example.com','allow','')),
+        |j AS (SELECT u.url, u.host, u.path,
+        |  CASE WHEN r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)
+        |    THEN CAST(2 * length(r.prefix) +
+        |      CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END AS BIGINT)
+        |  END AS rnk
+        |  FROM u LEFT JOIN rules r USING (host)),
+        |g AS (SELECT url, host FROM (
+        |    SELECT url, host, max(rnk) AS mr FROM j GROUP BY 1, 2)
+        |  WHERE coalesce(mr, 1) % 2 = 1),
+        |ph AS (SELECT host, count(*) AS n_allowed FROM g GROUP BY 1),
+        |tr AS (SELECT host, count(*) AS n_urls,
+        |    count(DISTINCT regexp_replace(url, '\?.*$', '')) AS n_base
+        |  FROM g GROUP BY 1),
+        |trap AS (SELECT host,
+        |    n_urls * 1000000 // n_base >= 5000000 AS is_trap FROM tr),
+        |w AS (SELECT ph.host AS node, ph.n_allowed AS wgt
+        |  FROM ph JOIN trap USING (host) WHERE NOT trap.is_trap),
+        |s AS (SELECT CAST(sum(wgt) AS BIGINT) AS s FROM w),
+        |b AS (SELECT node, wgt, (100 * wgt) // s.s AS base,
+        |        (100 * wgt) % s.s AS rem FROM w, s),
+        |l AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS lft FROM b),
+        |r AS (SELECT node, base, rem, row_number() OVER (
+        |        ORDER BY rem DESC, node) AS rk FROM b),
+        |bud AS (SELECT node AS host,
+        |    CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
+        |      AS BIGINT) AS budget
+        |  FROM r, l)
+        |SELECT ph.host, ph.n_allowed, trap.is_trap,
+        |  coalesce(bud.budget, 0) AS budget,
+        |  (ph.n_allowed + 3) // 4 AS n_slots
+        |FROM ph JOIN trap USING (host) LEFT JOIN bud USING (host)
+        |ORDER BY host""".stripMargin))
   )
 }
