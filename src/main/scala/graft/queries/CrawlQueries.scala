@@ -149,6 +149,63 @@ object CrawlQueries extends QueryPack {
           lit("\">rel</a></p>"))).otherwise(lit("")),
       lit("</body></html>")).as("html"))
 
+  /** q376/q382 shared page synthesis: docs ≡ 0 mod 13 carry a hidden
+    * block, ≡ 0 mod 17 a 30× repeated visible keyword. Batch-shaped
+    * so the streaming gate applies the identical generator per
+    * micro-batch.
+    */
+  private def spamPageFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><body><p>"), coalesce(col("text"), lit("")),
+      lit("</p>"),
+      when(col("doc_id") % 13 === 0,
+        lit("<div style=\"display:none\">buy cheap pills " +
+          "buy cheap pills buy</div>")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        concat(lit("<p>"), repeat(lit("spark "), 30), lit("</p>")))
+        .otherwise(lit("")),
+      lit("</body></html>")).as("html"))
+
+  /** q376/q382 shared oracle: the spam-signal battery replayed over
+    * the identical page synthesis.
+    */
+  private lazy val spamOracleSql: String =
+    s"""WITH sp AS (SELECT doc_id,
+        |    '<html><body><p>' || coalesce(text, '') || '</p>' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      '<div style="display:none">buy cheap pills buy cheap pills buy</div>'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN
+        |      '<p>' || repeat('spark ', 30) || '</p>' ELSE '' END ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, ${dropSql("html")} AS hc FROM sp),
+        |hid AS (SELECT doc_id,
+        |    ${inlineSql(s"coalesce(array_to_string(regexp_extract_all(hc, '$hiddenPat'), ' '), '')")} AS ht,
+        |    ${inlineSql(s"regexp_replace(hc, '$hiddenPat', ' ', 'g')")} AS vis
+        |  FROM c),
+        |tok AS (SELECT doc_id, unnest(CASE WHEN trim(vis) = ''
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(lower(trim(vis)), '\\s+') END) AS t
+        |  FROM hid),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf,
+        |    CAST(sum(tf) AS BIGINT) AS n_toks FROM tf GROUP BY 1)
+        |SELECT h.doc_id,
+        |  CAST(length(ht) AS BIGINT) AS n_hidden_chars,
+        |  CAST(CASE WHEN trim(ht) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(ht), '\\s+')) END
+        |    AS BIGINT) AS n_hidden_tokens,
+        |  coalesce(top.n_toks, 0) AS n_toks,
+        |  coalesce(top.max_tf * 1000000 // top.n_toks, 0) AS top_tf_ppm,
+        |  CASE WHEN trim(ht) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(ht), '\\s+')) END > 0
+        |    AS hidden,
+        |  coalesce(top.max_tf * 1000000 // top.n_toks, 0) >= 220000
+        |    AND coalesce(top.n_toks, 0) >= 20 AS stuffed
+        |FROM hid h LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   /** The q333/q343 robots rule set — every interesting REP shape
     * (longer-allow override, site-wide disallow with carve-out,
     * equal-length tie, targeted disallow, empty-prefix disallow,
@@ -1351,58 +1408,10 @@ object CrawlQueries extends QueryPack {
     // stuffing ratio so cloaked repetition can't dodge the detector;
     // the ratio is integer ppm and the whole battery hash-gates.
     "q376_spam_signals" -> Q(
-      (s, dir) => {
-        val page = concat(
-          lit("<html><body><p>"), coalesce(col("text"), lit("")),
-          lit("</p>"),
-          when(col("doc_id") % 13 === 0,
-            lit("<div style=\"display:none\">buy cheap pills " +
-              "buy cheap pills buy</div>")).otherwise(lit("")),
-          when(col("doc_id") % 17 === 0,
-            concat(lit("<p>"), repeat(lit("spark "), 30), lit("</p>")))
-            .otherwise(lit("")),
-          lit("</body></html>"))
-        HtmlExtract.spamSignals(
-            Tables.documents(s, dir)
-              .select(col("doc_id"), page.as("html")),
-            "doc_id", "html")
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH sp AS (SELECT doc_id,
-        |    '<html><body><p>' || coalesce(text, '') || '</p>' ||
-        |    CASE WHEN doc_id % 13 = 0 THEN
-        |      '<div style="display:none">buy cheap pills buy cheap pills buy</div>'
-        |      ELSE '' END ||
-        |    CASE WHEN doc_id % 17 = 0 THEN
-        |      '<p>' || repeat('spark ', 30) || '</p>' ELSE '' END ||
-        |    '</body></html>' AS html
-        |  FROM documents),
-        |c AS (SELECT doc_id, ${dropSql("html")} AS hc FROM sp),
-        |hid AS (SELECT doc_id,
-        |    ${inlineSql(s"coalesce(array_to_string(regexp_extract_all(hc, '$hiddenPat'), ' '), '')")} AS ht,
-        |    ${inlineSql(s"regexp_replace(hc, '$hiddenPat', ' ', 'g')")} AS vis
-        |  FROM c),
-        |tok AS (SELECT doc_id, unnest(CASE WHEN trim(vis) = ''
-        |      THEN CAST([] AS VARCHAR[])
-        |      ELSE string_split_regex(lower(trim(vis)), '\\s+') END) AS t
-        |  FROM hid),
-        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |top AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf,
-        |    CAST(sum(tf) AS BIGINT) AS n_toks FROM tf GROUP BY 1)
-        |SELECT h.doc_id,
-        |  CAST(length(ht) AS BIGINT) AS n_hidden_chars,
-        |  CAST(CASE WHEN trim(ht) = '' THEN 0
-        |    ELSE len(string_split_regex(trim(ht), '\\s+')) END
-        |    AS BIGINT) AS n_hidden_tokens,
-        |  coalesce(top.n_toks, 0) AS n_toks,
-        |  coalesce(top.max_tf * 1000000 // top.n_toks, 0) AS top_tf_ppm,
-        |  CASE WHEN trim(ht) = '' THEN 0
-        |    ELSE len(string_split_regex(trim(ht), '\\s+')) END > 0
-        |    AS hidden,
-        |  coalesce(top.max_tf * 1000000 // top.n_toks, 0) >= 220000
-        |    AND coalesce(top.n_toks, 0) >= 20 AS stuffed
-        |FROM hid h LEFT JOIN top USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)),
+      (s, dir) => HtmlExtract.spamSignals(
+          spamPageFrom(Tables.documents(s, dir)), "doc_id", "html")
+        .orderBy(col("doc_id")),
+      Some(spamOracleSql)),
 
     // Crawler-trap report: a calendar host minting one URL per doc
     // over a single base page (parameter explosion, fanout ≫ 5×)
@@ -1555,6 +1564,47 @@ object CrawlQueries extends QueryPack {
         |  coalesce(bud.budget, 0) AS budget,
         |  (ph.n_allowed + 3) // 4 AS n_slots
         |FROM ph JOIN trap USING (host) LEFT JOIN bud USING (host)
-        |ORDER BY host""".stripMargin))
+        |ORDER BY host""".stripMargin)),
+
+    // Streaming spam triage: the SAME generator and the SAME
+    // spamSignals battery per micro-batch over a documents stream —
+    // correct because every signal is doc-local (hidden extraction a
+    // projection, the stuffing tf a per-doc agg), so batch boundaries
+    // can't split a unit of work. Gate = q376's batch oracle
+    // verbatim: stream ≡ batch proven, not asserted.
+    "q382_stream_spam" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+        val docsStream = s.readStream
+          .schema(Tables.documents(s, dir).schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_hidden_chars", LongType),
+          StructField("n_hidden_tokens", LongType),
+          StructField("n_toks", LongType),
+          StructField("top_tf_ppm", LongType),
+          StructField("hidden", BooleanType),
+          StructField("stuffed", BooleanType)))
+        var out = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        val ckpt = graft.streaming.Streams.scratchCheckpointDir("graft-spam-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          graft.streaming.Streams.transformEachBatch(
+            docsStream,
+            batch => HtmlExtract.spamSignals(
+              spamPageFrom(batch), "doc_id", "html"),
+            res => out = out.unionByName(res).localCheckpoint(true),
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        out.orderBy(col("doc_id"))
+      },
+      Some(spamOracleSql))
   )
 }
