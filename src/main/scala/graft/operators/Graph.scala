@@ -368,6 +368,44 @@ object Graph {
         expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_ppm"))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * distributed formulation of Montresor et al.): each round drops
+    * every vertex whose CURRENT degree is below `k`, together with
+    * its edges — peeling cascades, so a chain of degree-k vertices
+    * hanging off the core unravels one link per round. After `rounds`
+    * applications the surviving subgraph is returned as (node,
+    * degree); when no round removed anything the result IS the k-core
+    * (callers size `rounds` to the expected peel depth — each round
+    * strictly shrinks the graph or the iteration has converged, so
+    * `rounds` bounds work, never correctness of what remains).
+    *
+    * The corpus-curation use: spam link farms and template clusters
+    * form shallow structures that peel away, while genuinely
+    * interlinked hubs survive — a robust complement to
+    * [[trustRankPpm]]'s seed-reachability view.
+    *
+    * Scale: edges canonicalize + symmetrize once; per round one
+    * degree partial agg + two semi-join-shaped keeps, localCheckpoint
+    * truncating lineage — counters only, no driver state.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0)
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      e = e.join(keep, Seq("u"))
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+        .select(col("u"), col("v")).localCheckpoint()
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .select(col("u").as("node"), col("degree"))
+  }
+
   /** Stationary distribution of a Markov chain (user-journey
     * transition graph) by integer-ppm power iteration: per round
     * v'_j = Σ_i ⌊v_i·p_ij / 10⁶⌋ with row-stochastic p in ppm

@@ -534,6 +534,63 @@ object GraphQueries extends QueryPack {
           |      AS BIGINT) AS rank_ppm FROM b),
           |$iterCtes
           |SELECT node, rank_ppm FROM r3 ORDER BY node""".stripMargin)
+      }),
+
+    // Sorted-neighborhood entity resolution (Hernández–Stolfo): rank
+    // all part names in sort order, compare each to its 5 successors,
+    // keep edit distance ≤ 4 — the blocking axis complementary to
+    // q168 (token blocks miss pairs differing in the block token;
+    // adjacency in sort order catches them). The Spark rank is the
+    // bucketed global numbering (no data-sized window); the oracle
+    // is the definitional single row_number.
+    "q383_sorted_neighborhood" -> Q(
+      (s, dir) => FuzzyMatch.sortedNeighborhoodMatch(
+          Tables.part(s, dir), "p_name", nm => nm,
+          window = 5, maxDist = 4)
+        .orderBy(col("name_a"), col("name_b")),
+      Some("""WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+        |r AS (SELECT nm, row_number() OVER (ORDER BY nm) - 1 AS rn
+        |      FROM n)
+        |SELECT a.nm AS name_a, b.nm AS name_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist,
+        |  b.rn - a.rn AS gap
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 5
+        |WHERE levenshtein(a.nm, b.nm) <= 4
+        |ORDER BY name_a, name_b""".stripMargin)),
+
+    // k-core decomposition by iterative peeling (3 rounds, k = 90)
+    // over the co-purchase graph: vertices below current-degree 90
+    // drop with their edges each round, cascades included — shallow
+    // structures unravel, the interlinked core survives. The oracle
+    // unrolls the identical peel.
+    "q384_kcore" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = l.as("a")
+          .join(l.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+        Graph.kCore(pairs, "src", "dst", k = 90, rounds = 3)
+          .orderBy(col("node"))
+      },
+      {
+        val peels = (1 to 3).map { i =>
+          s"""k$i AS (SELECT u FROM e${i - 1} GROUP BY u
+             |  HAVING count(*) >= 90),
+             |e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+             |  JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)"""
+            .stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH e0 AS (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_partkey <> b.l_partkey),
+          |$peels
+          |SELECT u AS node, count(*) AS degree
+          |FROM e3 GROUP BY 1 ORDER BY node""".stripMargin)
       })
   )
 }

@@ -39,4 +39,26 @@ class FuzzyMatchSpec extends SparkSpec {
     val m = matches(Seq("red bolt", "red bolt", "rad bolt", "rad bolt"), 1)
     assert(m === Set(("rad bolt", "red bolt", 1)))
   }
+
+  test("sortedNeighborhood: window bounds candidates, catches cross-block pairs") {
+    import spark.implicits._
+    // "red bolt"/"red colt" differ in their SECOND token — q168-style
+    // trailing-token blocking separates them; sort adjacency pairs them
+    val names = Seq("red bolt", "red colt", "aa", "ab",
+      "zz far away").toDF("p")
+    val got = FuzzyMatch.sortedNeighborhoodMatch(names, "p",
+        nm => nm, window = 2, maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      ("aa", "ab", 1, 1L),
+      ("red bolt", "red colt", 1, 1L)))
+    // window=1 on a 3-run: only adjacent pairs, never gap 2
+    val run3 = Seq("aa", "ab", "ac").toDF("p")
+    val w1 = FuzzyMatch.sortedNeighborhoodMatch(run3, "p", nm => nm,
+        window = 1, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 === Set(("aa", "ab"), ("ab", "ac")))
+  }
 }

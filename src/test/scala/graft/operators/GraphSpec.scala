@@ -203,6 +203,26 @@ class GraphSpec extends SparkSpec {
     assert(short(5L) === ((9L, false))) // 4 remaining hops still fit
   }
 
+  test("kCore: peel cascades down a chain, core survives intact") {
+    import spark.implicits._
+    // K4 core {1,2,3,4} with a chain 4—5—6: k=2 round 1 drops 6
+    // (deg 1), round 2 drops 5 (now deg 1), round 3 drops the 4—5
+    // stub's effect — core degrees return to 3 at node 4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    def run(r: Int) = Graph.kCore(edges, "s", "d", k = 2, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(0).keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(run(1).keySet === Set(1L, 2L, 3L, 4L, 5L)) // 6 peeled
+    assert(run(2) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(run(3) === run(2)) // converged: rounds bound work only
+    // duplicate/reversed/self edges canonicalize before peeling
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("s", "d")
+    assert(Graph.kCore(messy, "s", "d", k = 2, rounds = 1)
+      .collect().map(_.getLong(1)).toSet === Set(2L))
+  }
+
   test("trustRankPpm: spam cluster unreachable from seeds scores 0") {
     import spark.implicits._
     // trusted pair 1→2→1, plus spam pair 10↔11 that links OUT to 1
