@@ -59,6 +59,65 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Count-Sketch counter table (Charikar/Chen/Farach-Colton 2002):
+    * like [[countMin]] but each occurrence adds a ±1 SIGN drawn from
+    * an independent hash row, so collisions cancel in expectation and
+    * the estimator is UNBIASED (CMS only upper-bounds). Counters are
+    * (row, bucket, cnt) with cnt = Σ signs — the same d×w-bounded
+    * tall frame, one partial-agg shuffle. Bucket rows use
+    * [[Dedup.perms]] 0..d−1, sign rows d..2d−1 (parity of the hash),
+    * all fixed-seed so the oracle interpolates the constants.
+    */
+  def countSketch(df: DataFrame, termCol: Column, d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 0)
+    val pr = Dedup.perms(2 * d)
+    val h = TextAnalysis.hash60(termCol) % Dedup.P
+    val entries = array((0 until d).map { j =>
+      val (a, b) = pr(j)
+      val (sa, sb) = pr(d + j)
+      struct(lit(j.toLong).as("row"),
+        ((h * a + b) % Dedup.P % w).cast("long").as("bucket"),
+        when((h * sa + sb) % Dedup.P % 2 === 0, 1L).otherwise(-1L)
+          .as("sgn"))
+    }: _*)
+    df.select(explode(entries).as("e"))
+      .select(col("e.row").as("row"), col("e.bucket").as("bucket"),
+        col("e.sgn").as("sgn"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("sgn")).as("cnt"))
+  }
+
+  /** Count-Sketch point estimates: est(t) = MEDIAN over the d rows of
+    * sgn_row(t) · C[row][bucket_row(t)] — `d` must be odd so the
+    * median is an actual counter value (exact integer, no averaging).
+    * The median materializes as element (d+1)/2 of the sorted d-array
+    * per probe; untouched counters read 0. Probe side explodes to d
+    * rows and joins the broadcast counter frame, as [[estimate]].
+    */
+  def countSketchEstimate(sketch: DataFrame, probes: DataFrame,
+      termCol: Column, d: Int, w: Int): DataFrame = {
+    require(d > 0 && d % 2 == 1, s"d must be odd for an integer median, got $d")
+    val pr = Dedup.perms(2 * d)
+    val h = TextAnalysis.hash60(termCol) % Dedup.P
+    val entries = array((0 until d).map { j =>
+      val (a, b) = pr(j)
+      val (sa, sb) = pr(d + j)
+      struct(lit(j.toLong).as("row"),
+        ((h * a + b) % Dedup.P % w).cast("long").as("bucket"),
+        when((h * sa + sb) % Dedup.P % 2 === 0, 1L).otherwise(-1L)
+          .as("sgn"))
+    }: _*)
+    val pb = probes
+      .select(probes.columns.map(col) :+ explode(entries).as("e"): _*)
+      .select(probes.columns.map(col) :+ col("e.row").as("row") :+
+        col("e.bucket").as("bucket") :+ col("e.sgn").as("sgn"): _*)
+    pb.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .withColumn("__v", col("sgn") * coalesce(col("cnt"), lit(0L)))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(element_at(array_sort(collect_list(col("__v"))), (d + 1) / 2)
+        .as("cs_est"))
+  }
+
   /** Two-pass heavy hitters: CMS candidate selection (no false
     * negatives — est ≥ true always) followed by an exact count
     * restricted to the candidate set. The distinct-term probe is one

@@ -1049,6 +1049,53 @@ object LlmQueries extends QueryPack {
           |ORDER BY token""".stripMargin)
       }),
 
+    // Count-Sketch (signed counters, median estimator) beside q93's
+    // CMS: collisions cancel in expectation, so the estimate is
+    // unbiased where CMS only upper-bounds. d=3 odd → the median IS a
+    // counter value, exact integer; bucket rows reuse perms 0..2,
+    // sign rows perms 3..5 (hash parity) — all interpolated into the
+    // oracle verbatim.
+    "q385_count_sketch" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+        val sketch = graft.operators.Sketch.countSketch(
+          toks, col("t"), d = 3, w = 8)
+        val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("t")).limit(20)
+        graft.operators.Sketch.countSketchEstimate(
+            sketch, vocab, col("t"), d = 3, w = 8)
+          .select(col("t").as("token"), col("true_cnt"), col("cs_est"))
+          .orderBy(col("token"))
+      },
+      {
+        val P = Dedup.P
+        val pr = Dedup.perms(6)
+        def rowsSql(src: String, extra: String) = (0 until 3).map { j =>
+          val (a, b) = pr(j)
+          val (sa, sb) = pr(3 + j)
+          s"""SELECT $extra$j AS i, ((h * $a + $b) % $P) % 8 AS bucket,
+             |      CASE WHEN ((h * $sa + $sb) % $P) % 2 = 0
+             |           THEN 1 ELSE -1 END AS sgn FROM $src""".stripMargin
+        }.mkString("\n|    UNION ALL ")
+        Some(s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+          |h AS (SELECT t, ${h60sql("t")} % $P AS h FROM tok),
+          |ctr AS (
+          |  SELECT i, bucket, CAST(sum(sgn) AS BIGINT) AS cnt FROM (
+          |    ${rowsSql("h", "")})
+          |  GROUP BY i, bucket),
+          |vocab AS (SELECT t, count(*) AS true_cnt FROM tok
+          |  GROUP BY t ORDER BY true_cnt DESC, t LIMIT 20),
+          |vh AS (SELECT t, true_cnt, ${h60sql("t")} % $P AS h FROM vocab),
+          |pb AS (
+          |    ${rowsSql("vh", "t, true_cnt, ")})
+          |SELECT pb.t AS token, pb.true_cnt,
+          |  list_sort(list(pb.sgn * coalesce(ctr.cnt, 0)))[2] AS cs_est
+          |FROM pb LEFT JOIN ctr ON pb.i = ctr.i AND pb.bucket = ctr.bucket
+          |GROUP BY pb.t, pb.true_cnt
+          |ORDER BY token""".stripMargin)
+      }),
+
     // Flesch reading-ease in exact integer milli-units (order-free
     // floor divisions; see TextAnalysis.readability) — the classic
     // readability prior quality-filter stacks add next to q27's

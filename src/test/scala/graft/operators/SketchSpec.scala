@@ -275,4 +275,27 @@ class SketchSpec extends SparkSpec {
       .orderBy("rn").collect().map(_.getLong(2)).toSeq
     assert(r1 === r2)
   }
+
+  test("countSketch: signed counters sum to signed mass, estimate exact when collision-free") {
+    import spark.implicits._
+    // wide sketch → each term its own bucket per row → estimate exact
+    val terms = (Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++
+      Seq("gamma")).toDF("t")
+    val sk = Sketch.countSketch(terms, col("t"), d = 3, w = 512)
+    // total signed mass per row = Σ±count, bounded by total count
+    val rowMass = sk.groupBy("row")
+      .agg(sum(abs(col("cnt"))).as("m")).collect()
+      .map(_.getLong(1))
+    assert(rowMass.forall(m => m >= 1L && m <= 11L))
+    val probes = Seq(("alpha", 7L), ("beta", 3L), ("gamma", 1L),
+      ("absent", 0L)).toDF("t", "true_cnt")
+    val est = Sketch.countSketchEstimate(sk, probes, col("t"), 3, 512)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est === Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L,
+      "absent" -> 0L))
+    // even d rejected — the median must be a counter value
+    intercept[IllegalArgumentException] {
+      Sketch.countSketchEstimate(sk, probes, col("t"), 4, 512)
+    }
+  }
 }
