@@ -484,6 +484,100 @@ object ScaleQueries extends QueryPack {
         |    - 1) // 64 AS shard1
         |  FROM documents)
         |SELECT shard0, shard1, count(*) AS n
-        |FROM p GROUP BY 1, 2 ORDER BY shard0, shard1""".stripMargin))
+        |FROM p GROUP BY 1, 2 ORDER BY shard0, shard1""".stripMargin)),
+
+    // Mixed-language document detection — the curation stage q27/q347
+    // feed: classify every SENTENCE with the trained trigram
+    // profiles, then per doc the majority language, the off-majority
+    // sentence share in ppm, and the mixed flag. Sentences too short
+    // to carry a trigram classify as 'none' and count against the
+    // majority (they ARE unattributable content). Profile broadcast,
+    // sentence explode rides the scan, aggs doc-keyed.
+    "q386_mixed_language" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val prof = LanguageModel.charTrigramProfiles(
+          docs.filter(col("doc_id") % 2 === 0), "lang", "text",
+          topM = 100)
+        val punct = docs.select(col("doc_id"),
+          regexp_replace(coalesce(col("text"), lit("")),
+            "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+        val sents = graft.operators.TextAnalysis.sentences(
+            punct, "doc_id", "t")
+          .withColumn("sid", col("doc_id") * 1000 + col("sent_idx"))
+        val preds = LanguageModel.classifyByProfiles(
+          sents, "sid", "sentence", prof)
+        val sp = sents.join(preds.select(col("sid"), col("pred")),
+            Seq("sid"), "left")
+          .withColumn("pred", coalesce(col("pred"), lit("none")))
+        val cnt = sp.groupBy(col("doc_id"), col("pred"))
+          .agg(count(lit(1)).as("c"))
+        val major = cnt.withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("c").desc, col("pred"))))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("pred").as("major_lang"),
+            col("c").as("n_major"))
+        cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n_sents"))
+          .join(major, "doc_id")
+          .withColumn("n_off", col("n_sents") - col("n_major"))
+          .withColumn("off_ppm", expr("n_off * 1000000L div n_sents"))
+          .withColumn("mixed", col("off_ppm") >= 200000)
+          .select(col("doc_id"), col("n_sents"), col("major_lang"),
+            col("n_off"), col("off_ppm"), col("mixed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang, lower(coalesce(text, '')) AS s
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
+        |      FROM (SELECT doc_id, lang, s,
+        |              unnest(generate_series(1, length(s) - 2)) AS i
+        |            FROM d WHERE length(s) >= 3)),
+        |tr AS (SELECT lang, gram, count(*) AS cnt FROM g
+        |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |prof AS (SELECT lang AS cand, gram FROM (
+        |    SELECT lang, gram, row_number() OVER (
+        |      PARTITION BY lang ORDER BY cnt DESC, gram) AS rk
+        |    FROM tr) WHERE rk <= 100),
+        |pt AS (SELECT doc_id, regexp_replace(coalesce(text, ''),
+        |    '((?:\S+ ){4}\S+) ', '\1. ', 'g') AS t FROM documents),
+        |m AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS sent_idx,
+        |    unnest(l) AS raw
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(t, '[^.!?]+[.!?]?') AS l
+        |        FROM pt)),
+        |sn AS (SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+        |    trim(regexp_replace(raw, '\s+', ' ', 'g')) AS sentence
+        |  FROM m),
+        |se AS (SELECT doc_id, doc_id * 1000 + sent_idx AS sid,
+        |    lower(sentence) AS ss
+        |  FROM sn WHERE length(sentence) > 0),
+        |sg AS (SELECT DISTINCT sid, substr(ss, CAST(i AS INT), 3) AS gram
+        |  FROM (SELECT sid, ss,
+        |          unnest(generate_series(1, length(ss) - 2)) AS i
+        |        FROM se WHERE length(ss) >= 3)),
+        |sc AS (SELECT sg.sid, prof.cand, count(*) AS score
+        |  FROM sg JOIN prof USING (gram) GROUP BY 1, 2),
+        |pr AS (SELECT sid, cand AS pred FROM (
+        |    SELECT sid, cand, row_number() OVER (
+        |      PARTITION BY sid ORDER BY score DESC, cand) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |sp AS (SELECT se.doc_id, coalesce(pr.pred, 'none') AS pred
+        |  FROM se LEFT JOIN pr USING (sid)),
+        |c AS (SELECT doc_id, pred, count(*) AS c FROM sp GROUP BY 1, 2),
+        |mj AS (SELECT doc_id, pred AS major_lang, c AS n_major FROM (
+        |    SELECT doc_id, pred, c, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, pred) AS rk
+        |    FROM c) WHERE rk = 1),
+        |t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sents
+        |  FROM c GROUP BY 1)
+        |SELECT t.doc_id, t.n_sents, mj.major_lang,
+        |  t.n_sents - mj.n_major AS n_off,
+        |  (t.n_sents - mj.n_major) * 1000000 // t.n_sents AS off_ppm,
+        |  (t.n_sents - mj.n_major) * 1000000 // t.n_sents >= 200000
+        |    AS mixed
+        |FROM t JOIN mj USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 }
