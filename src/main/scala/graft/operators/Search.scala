@@ -60,6 +60,39 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Posting-list compression accounting: per token, the byte cost of
+    * the doc-id list stored raw (8 bytes/id) vs delta-encoded with
+    * LEB128 varints — the storage decision every inverted index makes
+    * (gaps between SORTED doc ids are small for frequent terms, so
+    * dense lists compress hardest). Gap varint width is the exact
+    * integer ⌈bits/7⌉ via range cases; the first posting stores its
+    * absolute id. Returns (token, df, raw_bytes, varint_bytes,
+    * savings_ppm), all exact integers.
+    *
+    * One lag window per token partition (vocabulary-keyed — the
+    * shuffle axis is the term, never the corpus) + one token rollup.
+    */
+  def postingCompression(tf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    def varintBytes(c: Column): Column =
+      when(c < 128L, 1L).when(c < (1L << 14), 2L)
+        .when(c < (1L << 21), 3L).when(c < (1L << 28), 4L)
+        .otherwise(5L)
+    tf.select(col("token"), col("doc_id"))
+      .withColumn("__gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w),
+          lit(0L)))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(varintBytes(col("__gap"))).as("varint_bytes"))
+      .withColumn("raw_bytes", col("df") * 8L)
+      .withColumn("savings_ppm",
+        expr("(raw_bytes - varint_bytes) * 1000000L div raw_bytes"))
+      .select(col("token"), col("df"), col("raw_bytes"),
+        col("varint_bytes"), col("savings_ppm"))
+  }
+
   /** (doc_id, pos, token) — positional postings, the index layout
     * phrase and proximity queries need. One posexplode; downstream
     * consumers filter on token FIRST, so the per-term slices that

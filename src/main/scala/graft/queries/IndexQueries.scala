@@ -1738,6 +1738,31 @@ object IndexQueries extends QueryPack {
         |SELECT doc_id, count(*) AS phrase_tf FROM m GROUP BY 1
         |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Posting-list delta+varint compression accounting: per token,
+    // raw 8-byte doc ids vs LEB128-varint gap encoding — frequent
+    // terms have dense lists and small gaps, so savings track df.
+    // Exact integer byte math, lag-window gaps mirrored in SQL.
+    "q387_posting_compression" -> Q(
+      (s, dir) => Search.postingCompression(
+          Search.termFrequencies(
+            Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy(col("token")),
+      Some(s"""WITH $tfCte,
+        |g AS (SELECT token, doc_id,
+        |    doc_id - coalesce(lag(doc_id) OVER (
+        |      PARTITION BY token ORDER BY doc_id), 0) AS gap
+        |  FROM tf),
+        |b AS (SELECT token, count(*) AS df,
+        |    CAST(sum(CASE WHEN gap < 128 THEN 1
+        |      WHEN gap < 16384 THEN 2
+        |      WHEN gap < 2097152 THEN 3
+        |      WHEN gap < 268435456 THEN 4
+        |      ELSE 5 END) AS BIGINT) AS varint_bytes
+        |  FROM g GROUP BY 1)
+        |SELECT token, df, df * 8 AS raw_bytes, varint_bytes,
+        |  (df * 8 - varint_bytes) * 1000000 // (df * 8) AS savings_ppm
+        |FROM b ORDER BY token""".stripMargin)),
+
     // Best-snippet selection: the 8-token span covering the most
     // distinct query terms (ties to the earliest start), anchored at
     // term hits — the highlighting anchor of a result page. Distinct
