@@ -946,6 +946,43 @@ object SinkQueries extends QueryPack {
         |SELECT doc_id, fp,
         |  (SELECT count(*) FROM corpus) + (SELECT count(*) FROM acc)
         |    AS corpus_n_after
-        |FROM acc ORDER BY doc_id""".stripMargin))
+        |FROM acc ORDER BY doc_id""".stripMargin)),
+
+    // Incremental inverted-index maintenance through the transaction
+    // log: base postings committed, a new-docs batch APPENDED, and
+    // the index rolled up from the maintained table. The oracle is
+    // the FULL-corpus index computed from scratch — incremental
+    // maintenance ≡ full rebuild is the proven invariant (the q351
+    // discipline applied to the retrieval layer).
+    "q388_incremental_index" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        import graft.operators.Search
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ii")
+        val t = s"$tmp/idx"
+        val docs = Tables.documents(s, dir)
+        val tfAll = (d: org.apache.spark.sql.DataFrame) =>
+          Search.termFrequencies(d, "doc_id", "text")
+        TxLog.commit(tfAll(docs.filter(col("doc_id") % 3 =!= 0)), t,
+          "overwrite", "doc_id")
+        TxLog.commit(tfAll(docs.filter(col("doc_id") % 3 === 0)), t,
+          "append", "doc_id")
+        materializeAndDelete(
+          TxLog.read(s, t)
+            .groupBy(col("token"))
+            .agg(count(lit(1)).as("df"),
+              sum(col("tf")).as("total_tf"))
+            .orderBy(col("token")), tmp)
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM tok
+        |  GROUP BY 1, 2)
+        |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM tf GROUP BY 1 ORDER BY token""".stripMargin))
   )
 }
