@@ -915,6 +915,112 @@ object Corpus {
     * cum − value). Caller contract: `keyCol` unique and
     * non-negative; `valCol` long.
     */
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): mask
+    * deterministic token spans and emit the (input, targets) pair the
+    * denoising objective trains on — input keeps unmasked tokens with
+    * one `<extra_id_k>` sentinel per span, targets list each sentinel
+    * followed by the tokens it hides.
+    *
+    * Span starts are HASH-chosen (md5 of "sc:doc:pos", 1-in-`everyK`)
+    * so the noise is reproducible across engines and runs — the
+    * property an oracle-gated (and resumable, at 100 TB) pipeline
+    * needs where the paper samples randomly. Overlap resolution is
+    * window-parallel, not greedy-sequential: a candidate start is
+    * DROPPED if any candidate (selected or not) sits within the
+    * previous `spanLen`−1 positions. This differs from greedy
+    * resolution only when ≥3 candidates fall within one span length
+    * (documented contract; decisions stay per-row so the operator
+    * rides the scan).
+    *
+    * Scale: one token explode, one doc-keyed range window for the
+    * overlap rule, one covered-position explode (spanLen× the starts
+    * only), one doc-keyed rollup. No driver state.
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, everyK: Int): DataFrame = {
+    require(spanLen >= 1 && everyK >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("tok"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rangeBetween(-(spanLen - 1).toLong, -1L)
+    val sel = toks
+      .withColumn("cand",
+        when(TextAnalysis.hash60(concat_ws(":", lit("sc"),
+          col("doc_id"), col("pos"))) % everyK === 0, 1).otherwise(0))
+      .withColumn("sel", col("cand") === 1 &&
+        coalesce(max(col("cand")).over(wPrev), lit(0)) === 0)
+    val starts = sel.filter(col("sel"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+        .cast("long") - 1)
+      .select(col("doc_id"), col("pos").as("start"), col("k"))
+    val covered = starts.select(col("doc_id"), col("k"), col("start"),
+      explode(sequence(col("start"),
+        col("start") + (spanLen - 1))).as("pos"))
+    val pieces = sel.select(col("doc_id"), col("pos"), col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .withColumn("in_piece",
+        when(col("k").isNull, col("tok"))
+          .when(col("pos") === col("start"),
+            concat(lit("<extra_id_"), col("k"), lit(">"))))
+      .withColumn("tgt_piece",
+        when(col("k").isNotNull,
+          when(col("pos") === col("start"),
+            concat(lit("<extra_id_"), col("k"), lit("> "), col("tok")))
+            .otherwise(col("tok"))))
+    def joinSorted(c: Column): Column =
+      array_join(transform(array_sort(collect_list(c)),
+        s => s.getField("p")), " ")
+    pieces.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_masked"),
+        countDistinct(col("k")).as("n_spans"),
+        joinSorted(when(col("in_piece").isNotNull,
+          struct(col("pos"), col("in_piece").as("p")))).as("input_text"),
+        joinSorted(when(col("tgt_piece").isNotNull,
+          struct(col("pos"), col("tgt_piece").as("p"))))
+          .as("targets_text"))
+      .withColumn("masked_ppm",
+        expr("n_masked * 1000000L div n_tokens"))
+  }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * two hash-chosen token cuts c1 ≤ c2 split each document into
+    * prefix/middle/suffix, re-emitted in PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — so an autoregressive
+    * model learns infilling. Cut points derive from md5 of the doc id
+    * (uniform over the n+1 boundary positions, then over the
+    * remainder), deterministic where the paper samples — the
+    * reproducibility an oracle gate and a resumable 100 TB run both
+    * need. Pure projection; rides the scan.
+    */
+  def fimTransform(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val c1 = TextAnalysis.hash60(
+      concat_ws(":", lit("fim1"), col(idCol))) % (n + 1)
+    val c2 = c1 + TextAnalysis.hash60(
+      concat_ws(":", lit("fim2"), col(idCol))) % (n - c1 + 1)
+    docs.select(col(idCol).as("doc_id"), toks.as("__t"), n.as("n_tokens"),
+        c1.as("c1"), c2.as("c2"))
+      .select(col("doc_id"), col("n_tokens"), col("c1"), col("c2"),
+        concat(lit("<PRE> "),
+          array_join(slice(col("__t"), lit(1), col("c1").cast("int")), " "),
+          lit(" <SUF> "),
+          array_join(slice(col("__t"), (col("c2") + 1).cast("int"),
+            (col("n_tokens") - col("c2")).cast("int")), " "),
+          lit(" <MID> "),
+          array_join(slice(col("__t"), (col("c1") + 1).cast("int"),
+            (col("c2") - col("c1")).cast("int")), " "))
+          .as("psm_text"))
+  }
+
   def prefixSum(df: DataFrame, keyCol: String, valCol: String,
       bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

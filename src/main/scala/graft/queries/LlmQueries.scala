@@ -1096,6 +1096,90 @@ object LlmQueries extends QueryPack {
           |ORDER BY token""".stripMargin)
       }),
 
+    // T5-style span corruption: hash-chosen 3-token spans (1-in-7
+    // candidate rate, window-parallel overlap rule) masked into
+    // <extra_id_k> sentinels, targets carrying the hidden tokens —
+    // the denoising-objective pair, fully deterministic so the
+    // oracle replays the noise exactly.
+    "q389_span_corruption" -> Q(
+      (s, dir) => Corpus.spanCorruption(
+          Tables.documents(s, dir), "doc_id", "text",
+          spanLen = 3, everyK = 7)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 1)),
+        |cd AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN ${h60sql("'sc:' || doc_id || ':' || pos")} % 7 = 0
+        |      THEN 1 ELSE 0 END AS cand
+        |  FROM tk),
+        |sl AS (SELECT doc_id, pos, tok, cand,
+        |    cand = 1 AND coalesce(max(cand) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING), 0) = 0 AS sel
+        |  FROM cd),
+        |st AS (SELECT doc_id, pos AS strt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+        |  FROM sl WHERE sel),
+        |cv AS (SELECT doc_id, k, strt,
+        |    unnest(generate_series(strt, strt + 2)) AS pos FROM st),
+        |pc AS (SELECT s.doc_id, s.pos, s.tok, cv.k, cv.strt
+        |  FROM sl s LEFT JOIN cv
+        |    ON s.doc_id = cv.doc_id AND s.pos = cv.pos),
+        |ag AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_masked,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_spans,
+        |    string_agg(CASE WHEN k IS NULL THEN tok
+        |        WHEN pos = strt THEN '<extra_id_' || k || '>' END,
+        |      ' ' ORDER BY pos) AS input_text,
+        |    string_agg(CASE
+        |        WHEN k IS NOT NULL AND pos = strt
+        |          THEN '<extra_id_' || k || '> ' || tok
+        |        WHEN k IS NOT NULL THEN tok END,
+        |      ' ' ORDER BY pos) AS targets_text
+        |  FROM pc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_masked, n_spans,
+        |  coalesce(input_text, '') AS input_text,
+        |  coalesce(targets_text, '') AS targets_text,
+        |  n_masked * 1000000 // n_tokens AS masked_ppm
+        |FROM ag ORDER BY doc_id""".stripMargin)),
+
+    // Fill-in-the-middle: two hash-chosen token cuts per doc, PSM
+    // re-order (<PRE> prefix <SUF> suffix <MID> middle) — the
+    // infilling objective's data prep, deterministic cuts so the
+    // oracle rebuilds every string exactly.
+    "q390_fim_transform" -> Q(
+      (s, dir) => Corpus.fimTransform(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |    ${h60sql("'fim1:' || doc_id")} % (len(toks) + 1) AS c1
+        |  FROM t),
+        |c2t AS (SELECT doc_id, toks, n, c1,
+        |    c1 + ${h60sql("'fim2:' || doc_id")} % (n - c1 + 1) AS c2
+        |  FROM c)
+        |SELECT doc_id, n AS n_tokens, c1, c2,
+        |  '<PRE> ' || coalesce(array_to_string(
+        |    toks[1:CAST(c1 AS INT)], ' '), '') ||
+        |  ' <SUF> ' || coalesce(array_to_string(
+        |    toks[CAST(c2 + 1 AS INT):CAST(n AS INT)], ' '), '') ||
+        |  ' <MID> ' || coalesce(array_to_string(
+        |    toks[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '), '')
+        |    AS psm_text
+        |FROM c2t ORDER BY doc_id""".stripMargin)),
+
     // Flesch reading-ease in exact integer milli-units (order-free
     // floor divisions; see TextAnalysis.readability) — the classic
     // readability prior quality-filter stacks add next to q27's
