@@ -231,6 +231,44 @@ object Frontier {
         col("fanout_ppm") >= fanoutPpm || col("n_loopy") > 0)
   }
 
+  /** Recrawl scheduling from observed change rates (the Cho &
+    * Garcia-Molina freshness-maximization shape, integerized): per
+    * URL, consecutive visit fingerprints compare via a lag window;
+    * per host, the changed-share in ppm buckets into a revisit tier
+    * (`thresholds` = (minPpm, tierName) pairs, highest match wins,
+    * `defaultBucket` below all). The sitemap-lastmod path (q368) is
+    * the PUSH signal; this is the PULL estimate for hosts that
+    * publish nothing.
+    *
+    * Scale: the lag window is URL-partitioned (visits per URL =
+    * epochs, bounded), the rollup host-keyed — both partial-agg
+    * friendly, no data-sized window.
+    */
+  def changeRateSchedule(visits: DataFrame, urlCol: String,
+      hostCol: String, epochCol: String, fpCol: String,
+      thresholds: Seq[(Long, String)],
+      defaultBucket: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholds.nonEmpty)
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(epochCol))
+    val ch = visits
+      .withColumn("__prev", lag(col(fpCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__chg",
+        when(col(fpCol) =!= col("__prev"), 1L).otherwise(0L))
+    val sorted = thresholds.sortBy(-_._1)
+    val bucket = sorted.tail
+      .foldLeft(when(col("change_ppm") >= sorted.head._1,
+        lit(sorted.head._2))) { case (acc, (t, nm)) =>
+        acc.when(col("change_ppm") >= t, lit(nm))
+      }
+      .otherwise(lit(defaultBucket))
+    ch.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__chg")).as("n_changed"))
+      .withColumn("change_ppm", expr("n_changed * 1000000L div n_obs"))
+      .withColumn("revisit", bucket)
+  }
+
   def politenessSlots(urls: DataFrame, perHostPerSlot: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(perHostPerSlot >= 1,

@@ -1566,6 +1566,57 @@ object CrawlQueries extends QueryPack {
         |FROM ph JOIN trap USING (host) LEFT JOIN bud USING (host)
         |ORDER BY host""".stripMargin)),
 
+    // Recrawl scheduling from observed change rates: 4 synthetic
+    // crawl epochs per URL, content mutating at a HOST-dependent
+    // cadence ((doc+epoch) mod (2 + host residue)), so the per-host
+    // change ppm separates into revisit tiers. The lag-window
+    // change detection and tier mapping replay exactly.
+    "q391_recrawl_schedule" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("tx"))
+          .select(col("doc_id"), col("tx"),
+            explode(sequence(lit(0L), lit(3L))).as("epoch"))
+        val visits = d.select(
+          concat(lit("http://host"), (col("doc_id") % 7).cast("string"),
+            lit(".com/d/"), col("doc_id").cast("string")).as("url"),
+          concat(lit("host"), (col("doc_id") % 7).cast("string"),
+            lit(".com")).as("host"),
+          col("epoch"),
+          md5(concat(col("tx"),
+            when((col("doc_id") + col("epoch")) %
+              (lit(2L) + col("doc_id") % 7) === 0,
+              col("epoch").cast("string")).otherwise(lit(""))))
+            .as("fp"))
+        Frontier.changeRateSchedule(visits, "url", "host", "epoch",
+            "fp", Seq((400000L, "daily"), (250000L, "weekly")),
+            "monthly")
+          .orderBy(col("host"))
+      },
+      Some("""WITH v AS (
+        |  SELECT doc_id, 'host' || (doc_id % 7) || '.com' AS host,
+        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS url,
+        |    e.epoch,
+        |    md5(coalesce(text, '') ||
+        |      CASE WHEN (doc_id + e.epoch) % (2 + doc_id % 7) = 0
+        |           THEN CAST(e.epoch AS VARCHAR) ELSE '' END) AS fp
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS epoch) e),
+        |ch AS (SELECT host,
+        |    CASE WHEN fp <> prev THEN 1 ELSE 0 END AS chg
+        |  FROM (SELECT host, fp, lag(fp) OVER (
+        |      PARTITION BY url ORDER BY epoch) AS prev FROM v)
+        |  WHERE prev IS NOT NULL),
+        |g AS (SELECT host, count(*) AS n_obs,
+        |    CAST(sum(chg) AS BIGINT) AS n_changed
+        |  FROM ch GROUP BY 1)
+        |SELECT host, n_obs, n_changed,
+        |  n_changed * 1000000 // n_obs AS change_ppm,
+        |  CASE WHEN n_changed * 1000000 // n_obs >= 400000 THEN 'daily'
+        |       WHEN n_changed * 1000000 // n_obs >= 250000 THEN 'weekly'
+        |       ELSE 'monthly' END AS revisit
+        |FROM g ORDER BY host""".stripMargin)),
+
     // Streaming spam triage: the SAME generator and the SAME
     // spamSignals battery per micro-batch over a documents stream —
     // correct because every signal is doc-local (hidden extraction a
