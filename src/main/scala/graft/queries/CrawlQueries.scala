@@ -1142,6 +1142,50 @@ object CrawlQueries extends QueryPack {
         |FROM tp JOIN nd USING (host) WHERE n_pages >= 2
         |ORDER BY host, text""".stripMargin)),
 
+    // Host-template removal — the APPLY half of q354's discovery:
+    // blocks whose exact text recurs on ≥ 10 pages of the same host
+    // (footer, CDATA boilerplate) strip out; per-doc content
+    // reassembles from surviving blocks in order. The cross-page
+    // complement of q320's within-page link-density rule.
+    "q392_template_strip" -> Q(
+      (s, dir) => {
+        val blocks = HtmlExtract.htmlBlocks(htmlDf(s, dir), "doc_id", "html")
+          .withColumn("host",
+            concat(lit("host"), col("doc_id") % 7, lit(".com")))
+        val tmpl = blocks.groupBy(col("host"), col("text"))
+          .agg(countDistinct(col("doc_id")).as("n_pages"))
+          .filter(col("n_pages") >= 10)
+          .select(col("host"), col("text"), lit(true).as("__tmpl"))
+        blocks.join(tmpl, Seq("host", "text"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("__tmpl").isNull, 1L).otherwise(0L))
+              .as("n_kept"),
+            array_join(transform(array_sort(collect_list(
+              when(col("__tmpl").isNull,
+                struct(col("block_id"), col("text").as("p"))))),
+              s => s.getField("p")), "\n").as("content"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $htmlCte,
+        |$segCte,
+        |$blkCte,
+        |wh AS (SELECT 'host' || (doc_id % 7) || '.com' AS host,
+        |         doc_id, block_id, text FROM blk),
+        |tp AS (SELECT host, text FROM (
+        |    SELECT host, text, count(DISTINCT doc_id) AS n_pages
+        |    FROM wh GROUP BY 1, 2) WHERE n_pages >= 10),
+        |mk AS (SELECT wh.doc_id, wh.block_id, wh.text,
+        |    tp.text IS NOT NULL AS is_t
+        |  FROM wh LEFT JOIN tp
+        |    ON wh.host = tp.host AND wh.text = tp.text)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN NOT is_t THEN text END,
+        |    chr(10) ORDER BY block_id), '') AS content
+        |FROM mk GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // robots.txt PARSING (the fetch-side half; q333 gates the
     // evaluator): per-host files carry a specific-agent group that
     // must be ignored, stacked/cased keys, trailing comments, an
