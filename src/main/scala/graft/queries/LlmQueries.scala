@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Corpus, Dedup, QualityFilters, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Frontier, QualityFilters, TextAnalysis}
 
 /** q25–q30: training-data pipeline operators over the documents corpus
   * (BASELINE north star): exact dedup, text statistics, language ID,
@@ -1150,6 +1150,49 @@ object LlmQueries extends QueryPack {
         |  coalesce(targets_text, '') AS targets_text,
         |  n_masked * 1000000 // n_tokens AS masked_ppm
         |FROM ag ORDER BY doc_id""".stripMargin)),
+
+    // Source-mixture epoch planning: hash-derived target weights
+    // apportion a 100k-char budget EXACTLY (largest remainder, the
+    // q370 operator), then per source the implied epochs over
+    // available chars in ppm and the oversampling flag — the "how
+    // many passes of source X does this mixture imply" readout that
+    // decides up-sampling risk before a run starts.
+    "q393_mixture_plan" -> Q(
+      (s, dir) => {
+        val avail = Tables.documents(s, dir).groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("avail_chars"))
+        val wts = avail.select(col("source"),
+          (TextAnalysis.hash60(concat(lit("mix:"), col("source"))) % 5
+            + 1).as("w"))
+        Frontier.apportionBudget(wts, "source", "w", total = 100000L)
+          .join(avail, "source")
+          .withColumn("epochs_ppm",
+            expr("budget * 1000000L div avail_chars"))
+          .withColumn("oversampled", col("budget") > col("avail_chars"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH av AS (SELECT source,
+        |    CAST(sum(n_chars) AS BIGINT) AS avail_chars
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source AS node, avail_chars,
+        |    ${h60sql("'mix:' || source")} % 5 + 1 AS wgt FROM av),
+        |s AS (SELECT CAST(sum(wgt) AS BIGINT) AS s FROM w),
+        |b AS (SELECT node, avail_chars, wgt,
+        |    (100000 * wgt) // s.s AS base,
+        |    (100000 * wgt) % s.s AS rem FROM w, s),
+        |l AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS lft FROM b),
+        |r AS (SELECT node, avail_chars, wgt, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, node) AS rk FROM b)
+        |SELECT node AS source, CAST(wgt AS BIGINT) AS weight,
+        |  CAST(base AS BIGINT) AS base,
+        |  CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
+        |    AS BIGINT) AS budget,
+        |  avail_chars,
+        |  CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
+        |    AS BIGINT) * 1000000 // avail_chars AS epochs_ppm,
+        |  CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
+        |    AS BIGINT) > avail_chars AS oversampled
+        |FROM r, l ORDER BY source""".stripMargin)),
 
     // Fill-in-the-middle: two hash-chosen token cuts per doc, PSM
     // re-order (<PRE> prefix <SUF> suffix <MID> middle) — the

@@ -564,4 +564,57 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.collocationLift(docs.filter(col("doc_id") < 0),
       "doc_id", "text", minCount = 1L).count() === 0L)
   }
+
+  test("spanCorruption: sentinels pair, masks count, input+targets reassemble") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j k l m n o p")).toDF("id", "t")
+    val out = Corpus.spanCorruption(docs, "id", "t",
+      spanLen = 3, everyK = 2).collect().head
+    val nTok = out.getAs[Long]("n_tokens")
+    val nSpans = out.getAs[Long]("n_spans")
+    val nMasked = out.getAs[Long]("n_masked")
+    val in = out.getAs[String]("input_text")
+    val tgt = out.getAs[String]("targets_text")
+    assert(nTok === 16L)
+    // every span is 3 tokens unless truncated at the doc end
+    assert(nMasked >= nSpans * 1 && nMasked <= nSpans * 3)
+    // sentinels appear once in input, once in targets, in order
+    (0L until nSpans).foreach { k =>
+      assert(in.contains(s"<extra_id_$k>") && tgt.contains(s"<extra_id_$k>"))
+    }
+    // reassembly invariant: replacing each input sentinel with its
+    // target span reproduces the original token stream
+    var rebuilt = in
+    val spans = tgt.split("<extra_id_").drop(1).map { s =>
+      val idx = s.takeWhile(_ != '>')
+      idx.toLong -> s.dropWhile(_ != '>').drop(1).trim
+    }.toMap
+    spans.foreach { case (k, body) =>
+      rebuilt = rebuilt.replace(s"<extra_id_$k>", body)
+    }
+    assert(rebuilt.replaceAll("\\s+", " ").trim ===
+      "a b c d e f g h i j k l m n o p")
+    // masked_ppm consistent
+    assert(out.getAs[Long]("masked_ppm") === nMasked * 1000000L / nTok)
+  }
+
+  test("fimTransform: PSM segments partition the token stream") {
+    import spark.implicits._
+    val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7")).toDF("id", "t")
+    val out = Corpus.fimTransform(docs, "id", "t").collect().head
+    val (n, c1, c2) = (out.getAs[Long]("n_tokens"),
+      out.getAs[Long]("c1"), out.getAs[Long]("c2"))
+    assert(n === 8L && c1 >= 0L && c1 <= c2 && c2 <= n)
+    val psm = out.getAs[String]("psm_text")
+    val pre = psm.substring(psm.indexOf("<PRE> ") + 6,
+      psm.indexOf(" <SUF> "))
+    val suf = psm.substring(psm.indexOf(" <SUF> ") + 7,
+      psm.indexOf(" <MID> "))
+    val mid = psm.substring(psm.indexOf(" <MID> ") + 7)
+    // prefix ++ middle ++ suffix = original, with the hash cuts
+    assert((pre + " " + mid + " " + suf).replaceAll("\\s+", " ").trim
+      === "t0 t1 t2 t3 t4 t5 t6 t7")
+    assert(pre.split("\\s+").count(_.nonEmpty) === c1)
+    assert(mid.split("\\s+").count(_.nonEmpty) === c2 - c1)
+  }
 }
