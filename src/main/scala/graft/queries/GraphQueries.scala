@@ -536,6 +536,95 @@ object GraphQueries extends QueryPack {
           |SELECT node, rank_ppm FROM r3 ORDER BY node""".stripMargin)
       }),
 
+    // Redirect-aware canonical dedup — q369 ∘ q367's axis: chains
+    // resolve by pointer doubling, then every non-cyclic redirect
+    // family collapses to its min-id member; cycle members keep
+    // themselves (a cycle has no canonical). The oracle is the
+    // chain arithmetic's CLOSED FORM plus the same group-min.
+    "q394_redirect_canonical" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        val nxt = when(col("doc_id") % 100 === 97, col("doc_id") + 1)
+          .when(col("doc_id") % 100 === 98, col("doc_id") - 1)
+          .when(col("doc_id") % 10 < 3, col("doc_id") + 1)
+        val edges = d.select(col("doc_id").as("src"), nxt.as("dst"))
+          .filter(col("dst").isNotNull)
+          .join(d.select(col("doc_id").as("dst")), Seq("dst"))
+        val res = Graph.resolveRedirects(d, edges, "doc_id", "src",
+          "dst", rounds = 3)
+        val keep = res.filter(!col("cyclic"))
+          .groupBy(col("final_tgt")).agg(min(col("node")).as("keep_id"))
+        res.join(keep, Seq("final_tgt"), "left")
+          .select(col("node").as("doc_id"), col("final_tgt"),
+            col("cyclic"),
+            when(col("cyclic"), col("node")).otherwise(col("keep_id"))
+              .as("keep_id"))
+          .withColumn("is_dup",
+            !col("cyclic") && col("keep_id") =!= col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS node,
+        |    CASE WHEN doc_id % 100 IN (97, 98) THEN doc_id
+        |         WHEN doc_id % 10 < 3 THEN doc_id - doc_id % 10 + 3
+        |         ELSE doc_id END AS final_tgt,
+        |    doc_id % 100 IN (97, 98) AS cyclic
+        |  FROM documents),
+        |k AS (SELECT final_tgt, min(node) AS keep_id
+        |  FROM f WHERE NOT cyclic GROUP BY 1)
+        |SELECT f.node AS doc_id, f.final_tgt, f.cyclic,
+        |  CASE WHEN f.cyclic THEN f.node ELSE k.keep_id END AS keep_id,
+        |  NOT f.cyclic AND k.keep_id <> f.node AS is_dup
+        |FROM f LEFT JOIN k USING (final_tgt)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Related-term expansion: top-3 co-occurring terms per head term
+    // by exact ppm lift (doc = basket), both directions of each
+    // unordered pair — the query-expansion table a search stack
+    // derives from q345/q152's lift algebra.
+    "q395_related_terms" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val baskets = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.operators.TextAnalysis.tokens(
+              lower(col("text")))).as("tok"))
+        val lift = Graph.cooccurrenceLift(baskets, "doc_id", "tok",
+          minSupport = 5L)
+        val sym = lift.select(col("item_a").as("head"),
+            col("item_b").as("rel"), col("lift_ppm"))
+          .union(lift.select(col("item_b").as("head"),
+            col("item_a").as("rel"), col("lift_ppm")))
+        sym.withColumn("rank", row_number().over(
+            Window.partitionBy(col("head"))
+              .orderBy(col("lift_ppm").desc, col("rel"))).cast("long"))
+          .filter(col("rank") <= 3)
+          .orderBy(col("head"), col("rank"))
+      },
+      Some("""WITH bi AS (
+        |  SELECT DISTINCT doc_id AS b,
+        |    unnest(CASE WHEN trim(lower(text)) = ''
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS i
+        |  FROM documents),
+        |tot AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+        |sz AS (SELECT i, count(*) AS n FROM bi GROUP BY 1),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_ab
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |lf AS (SELECT p.item_a, p.item_b,
+        |    (1000000 * p.n_ab * tot.n_baskets) // (a.n * c.n)
+        |      AS lift_ppm
+        |  FROM p JOIN sz a ON a.i = p.item_a
+        |  JOIN sz c ON c.i = p.item_b CROSS JOIN tot),
+        |sym AS (SELECT item_a AS head, item_b AS rel, lift_ppm FROM lf
+        |  UNION ALL
+        |  SELECT item_b, item_a, lift_ppm FROM lf),
+        |r AS (SELECT head, rel, lift_ppm, row_number() OVER (
+        |    PARTITION BY head ORDER BY lift_ppm DESC, rel) AS rank
+        |  FROM sym)
+        |SELECT head, rel, lift_ppm, rank FROM r WHERE rank <= 3
+        |ORDER BY head, rank""".stripMargin)),
+
     // Sorted-neighborhood entity resolution (Hernández–Stolfo): rank
     // all part names in sort order, compare each to its 5 successors,
     // keep edit distance ≤ 4 — the blocking axis complementary to
