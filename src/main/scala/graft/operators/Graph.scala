@@ -67,6 +67,41 @@ object Graph {
     rank
   }
 
+  /** Edge-weighted PageRank: mass flows proportional to edge weight
+    * (anchor counts, click counts) instead of 1/out_degree —
+    * contribution per edge = ⌊rank·w / w_out⌋ with w_out the source's
+    * total outgoing weight. Same integer-ppm discipline and per-round
+    * shape as [[pageRankPpm]]; duplicate (src, dst) rows must be
+    * pre-aggregated by the caller (weights are taken as given, not
+    * deduped — collapsing them is a semantic choice).
+    */
+  def pageRankWeightedPpm(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, iters: Int,
+      dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 0 && dampPpm >= 0 && dampPpm <= 1000000L)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val withW = e.join(wout, "src").localCheckpoint()
+    var rank = nodes.withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inflow = withW
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(rank_ppm * w) div w_out").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      rank = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1000000L - dampPpm) +
+            expr(s"($dampPpm * coalesce(in_sum, 0L)) div 1000000"))
+            .as("rank_ppm"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04): PageRank
     * with the teleport vector RESTRICTED to a hand-vetted seed set of
     * trusted nodes, so authority flows outward from the seeds and

@@ -536,6 +536,56 @@ object GraphQueries extends QueryPack {
           |SELECT node, rank_ppm FROM r3 ORDER BY node""".stripMargin)
       }),
 
+    // Edge-weighted PageRank over the trade graph: flow proportional
+    // to lineitem volume per (customer-nation → supplier-nation)
+    // edge, not 1/out-degree — the anchor-count weighting a link
+    // graph actually carries. Unrolled-CTE oracle, bit-exact ppm.
+    "q396_weighted_pagerank" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = l
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .groupBy(c("c_nationkey").as("src"),
+            su("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        Graph.pageRankWeightedPpm(edges, "src", "dst", "w", iters = 3)
+          .select(col("node").cast("long").as("node"), col("rank_ppm"))
+          .orderBy(col("node"))
+      },
+      {
+        val iterCtes = (1 to 3).map { i =>
+          s"""f$i AS (SELECT e.dst AS node,
+             |    CAST(sum((r.rank_ppm * e.w) // d.w_out) AS BIGINT)
+             |      AS in_sum
+             |  FROM e JOIN r${i - 1} r ON e.src = r.node
+             |  JOIN d ON e.src = d.src GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |    CAST(150000 + (850000 * coalesce(f.in_sum, 0)) // 1000000
+             |      AS BIGINT) AS rank_ppm
+             |  FROM n LEFT JOIN f$i f USING (node))""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH e AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+          |    count(*) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |d AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out
+          |  FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+          |$iterCtes
+          |SELECT CAST(node AS BIGINT) AS node, rank_ppm
+          |FROM r3 ORDER BY node""".stripMargin)
+      }),
+
     // Redirect-aware canonical dedup — q369 ∘ q367's axis: chains
     // resolve by pointer doubling, then every non-cyclic redirect
     // family collapses to its min-id member; cycle members keep

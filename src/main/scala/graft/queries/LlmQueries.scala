@@ -1194,6 +1194,59 @@ object LlmQueries extends QueryPack {
         |    AS BIGINT) > avail_chars AS oversampled
         |FROM r, l ORDER BY source""".stripMargin)),
 
+    // Curriculum ordering: docs phase by readability tertile (easy →
+    // hard, thresholds from the exact nearest-rank bisect — no global
+    // sort) with a deterministic md5 shuffle key inside each phase.
+    // The training-order artifact of curriculum learning, fully
+    // scan-shaped: the only aggregates are the O(log range) bisect
+    // probes.
+    "q397_curriculum" -> Q(
+      (s, dir) => {
+        val r = TextAnalysis.readability(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            "text")
+          .select(col("doc_id"), col("flesch_milli"))
+          .filter(col("flesch_milli").isNotNull)
+        val th = Corpus.quantilesBisect(r, "flesch_milli",
+            Seq(0.33, 0.67))
+          .select(col("q_33"), col("q_67"))
+        r.crossJoin(broadcast(th))
+          .withColumn("phase",
+            when(col("flesch_milli") >= col("q_67"), 0L)
+              .when(col("flesch_milli") >= col("q_33"), 1L)
+              .otherwise(2L))
+          .withColumn("order_key",
+            md5(concat(lit("cur:"), col("doc_id"))))
+          .select(col("doc_id"), col("flesch_milli"), col("phase"),
+            col("order_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+        |    CASE WHEN w = 0 THEN CAST(NULL AS BIGINT)
+        |         ELSE 206835 - (1015 * w) // s - (84600 * y) // w
+        |    END AS fm
+        |  FROM (SELECT doc_id,
+        |      CAST(CASE WHEN trim(text) = '' THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+'))
+        |      END AS BIGINT) AS w,
+        |      greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |        AS BIGINT), 1) AS s,
+        |      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        AS BIGINT) AS y
+        |    FROM documents)),
+        |v AS (SELECT doc_id, fm FROM f WHERE fm IS NOT NULL),
+        |r AS (SELECT fm, row_number() OVER (ORDER BY fm) AS rnk,
+        |    count(*) OVER () AS n FROM v),
+        |t AS (SELECT
+        |    max(CASE WHEN rnk = ceil(0.33 * n) THEN fm END) AS q33,
+        |    max(CASE WHEN rnk = ceil(0.67 * n) THEN fm END) AS q67
+        |  FROM r)
+        |SELECT v.doc_id, v.fm AS flesch_milli,
+        |  CAST(CASE WHEN v.fm >= t.q67 THEN 0
+        |       WHEN v.fm >= t.q33 THEN 1 ELSE 2 END AS BIGINT) AS phase,
+        |  md5('cur:' || v.doc_id) AS order_key
+        |FROM v, t ORDER BY doc_id""".stripMargin)),
+
     // Fill-in-the-middle: two hash-chosen token cuts per doc, PSM
     // re-order (<PRE> prefix <SUF> suffix <MID> middle) — the
     // infilling objective's data prep, deterministic cuts so the
