@@ -21,6 +21,66 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilters {
 
+  /** Dictionary-scale blocklist matching: match documents against a
+    * PHRASE dictionary by joining exploded token n-grams per phrase
+    * length — the formulation that scales to 100k-phrase blocklists
+    * where `text RLIKE (p1|p2|…)` dies (one giant regex per row,
+    * non-indexable, no pushdown). Matching is exact on the
+    * case-folded token stream: a phrase of n tokens hits wherever the
+    * doc's n-gram equals it.
+    *
+    * Output: per doc, total hits, distinct phrases hit, and the
+    * sorted distinct phrase list (docs with no hits keep a 0/empty
+    * row — the filter verdict needs every doc).
+    *
+    * Scale: one explode per DISTINCT PHRASE LENGTH present (lengths
+    * are few and the explode rides the scan), each join keyed on the
+    * n-gram string with the dictionary side broadcast below the
+    * threshold. Never a regex union, never all-pairs.
+    */
+  def blocklistMatch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame, phraseCol: String): DataFrame = {
+    val ph = phrases
+      .select(lower(trim(col(phraseCol))).as("__p"))
+      .filter(col("__p") =!= "").distinct()
+      .withColumn("__n", size(split(col("__p"), " ")))
+    val lens = ph.select(col("__n")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    val hits = lens.map { n =>
+      val grams =
+        if (n == 1) toks.select(col("doc_id"), explode(col("__t")).as("__g"))
+        else toks.select(col("doc_id"),
+          explode(when(size(col("__t")) >= n,
+            transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+              i => concat_ws(" ", slice(col("__t"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("__g"))
+      grams.join(broadcast(ph.filter(col("__n") === n)
+          .select(col("__p").as("__g"))), Seq("__g"))
+        .select(col("doc_id"), col("__g"))
+    }.reduceOption[DataFrame](_ union _)
+    val agg = hits
+      .map(_.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          size(array_sort(collect_set(col("__g")))).cast("long")
+            .as("n_phrases"),
+          array_join(array_sort(collect_set(col("__g"))), "|")
+            .as("phrases_hit")))
+      .getOrElse(
+        // empty dictionary: no hit frame at all — verdict is all-clean
+        toks.select(col("doc_id"), lit(0L).as("n_hits"),
+          lit(0L).as("n_phrases"), lit("").as("phrases_hit"))
+          .limit(0))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        coalesce(col("phrases_hit"), lit("")).as("phrases_hit"))
+      .withColumn("blocked", col("n_hits") > 0)
+  }
+
   /** Per-document word n-gram repetition statistics: total and
     * distinct n-gram occurrence counts, the hottest n-gram's count,
     * and the two standard repetition signals derived from them —

@@ -1194,6 +1194,55 @@ object LlmQueries extends QueryPack {
         |    AS BIGINT) > avail_chars AS oversampled
         |FROM r, l ORDER BY source""".stripMargin)),
 
+    // Dictionary-scale blocklist matching: phrases join against
+    // exploded token n-grams per phrase length — the formulation that
+    // survives 100k-phrase blocklists where a regex union dies. Every
+    // occurrence counts; the verdict row exists for every doc.
+    "q398_blocklist_match" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val phrases = Seq("spark", "fast hash", "value table part")
+          .toDF("phrase")
+        QualityFilters.blocklistMatch(
+            Tables.documents(s, dir), "doc_id", "text",
+            phrases, "phrase")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ph(p, n) AS (VALUES ('spark', 1), ('fast hash', 2),
+        |  ('value table part', 3)),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(tk) AS g, 1 AS n FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |      THEN list_transform(range(1, len(tk)),
+        |        i -> array_to_string(tk[i:i+1], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END), 2
+        |  FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END), 3
+        |  FROM t),
+        |m AS (SELECT g.doc_id, g.g
+        |  FROM g JOIN ph ON g.g = ph.p AND g.n = ph.n),
+        |a AS (SELECT doc_id, count(*) AS n_hits,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n_phrases,
+        |    array_to_string(list_sort(list(DISTINCT g)), '|')
+        |      AS phrases_hit
+        |  FROM m GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_hits, 0) AS n_hits,
+        |  coalesce(a.n_phrases, 0) AS n_phrases,
+        |  coalesce(a.phrases_hit, '') AS phrases_hit,
+        |  coalesce(a.n_hits, 0) > 0 AS blocked
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // Curriculum ordering: docs phase by readability tertile (easy →
     // hard, thresholds from the exact nearest-rank bisect — no global
     // sort) with a deterministic md5 shuffle key inside each phase.

@@ -133,4 +133,27 @@ class QualityFiltersSpec extends SparkSpec {
     assert(!m(4L).getBoolean(7))                             // 1 sentence
     assert(m(5L).getLong(4) === 0L && !m(5L).getBoolean(7))  // null text
   }
+
+  test("blocklistMatch: n-gram exact, case-folded, every doc gets a verdict") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Bad Phrase here and bad phrase again"),
+      (2L, "badphrase joined is no match"),
+      (3L, "clean text entirely"),
+      (4L, "solo bad here")).toDF("id", "t")
+    val ph = Seq("bad phrase", "solo").toDF("p")
+    val got = QualityFilters.blocklistMatch(docs, "id", "t", ph, "p")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3),
+          r.getBoolean(4)))).toMap
+    assert(got(1L) === ((2L, 1L, "bad phrase", true))) // both occurrences
+    assert(got(2L) === ((0L, 0L, "", false)))          // token-exact only
+    assert(got(3L) === ((0L, 0L, "", false)))
+    assert(got(4L) === ((1L, 1L, "solo", true)))
+    // empty dictionary → all clean, still one row per doc
+    val none = QualityFilters.blocklistMatch(docs, "id", "t",
+      Seq.empty[String].toDF("p"), "p")
+    assert(none.count() === 4L &&
+      none.filter(col("blocked")).count() === 0L)
+  }
 }
