@@ -613,11 +613,31 @@ object LlmQueries extends QueryPack {
           .select(col("doc_id"), col("n_tokens"),
             TextAnalysis.qualityScoreFrom(col("n_tokens"), col("__np"),
               col("__chars"), col("__sw")(0)).as("quality"))
-        val w = Window.orderBy(col("quality").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        scored
+        // Global running sum WITHOUT a single-partition window: the
+        // order key (quality desc) maps to order-aligned integer
+        // buckets (floor is monotone), bucket subtotals prefix-sum on
+        // the TINY bucket frame, and the in-bucket running sum is a
+        // bucket-partitioned window — the q335/q363 discipline
+        // applied to a double sort key. Same cum values as the naive
+        // `sum over (ORDER BY quality DESC)` formulation, which is
+        // what the oracle states.
+        val bkt = floor((lit(1.0d) - col("quality")) * 1000)
+          .cast("long").as("__b")
+        val withB = scored.withColumn("__b", bkt)
+        val offsets = withB.groupBy(col("__b"))
+          .agg(sum(col("n_tokens")).as("__n"))
+          .withColumn("__off",
+            coalesce(sum(col("__n")).over(
+              Window.orderBy(col("__b"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("__b"), col("__off"))
+        withB.join(broadcast(offsets), Seq("__b"))
           .withColumn("cum_tokens",
-            sum(col("n_tokens")).over(w).cast("long"))
+            (col("__off") + sum(col("n_tokens")).over(
+              Window.partitionBy(col("__b"))
+                .orderBy(col("quality").desc, col("doc_id"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow))).cast("long"))
           .filter(col("cum_tokens") <= 20000L)
           .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
           .orderBy(col("cum_tokens"))
