@@ -190,9 +190,13 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(scoreCol).as("__s"),
       col(labelCol).cast("boolean").as("__y"))
-    val ranked = base
-      .withColumn("__r", row_number().over(
-        Window.orderBy(col("__s"))).cast("long"))
+    // global rank without a data-sized window: order-aligned score
+    // buckets (Corpus.bucketedRankBy). Tie order inside a score is
+    // arbitrary in EITHER formulation — only min+max per score group
+    // feed the U statistic, and a tie group's rank range is
+    // permutation-invariant.
+    val ranked = Corpus.bucketedRankBy(base, "__s", Seq.empty)
+      .withColumnRenamed("__rg", "__r")
       .withColumn("__rsum2",
         (min(col("__r")).over(Window.partitionBy(col("__s"))) +
           max(col("__r")).over(Window.partitionBy(col("__s")))))

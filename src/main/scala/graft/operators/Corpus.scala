@@ -657,21 +657,24 @@ object Corpus {
     * `spans_boundary` marks docs split across training blocks (the
     * attention-mask/doc-boundary accounting a loader needs).
     *
-    * Scale: ONE global-order window (the q239 caveat — the placement
-    * is inherently a global prefix sum); at 100 TB run it
-    * per-partition with [[packShards]]' two-level offset pattern.
+    * Scale: the placement is a global prefix sum, computed through
+    * [[prefixSum]]'s order-aligned id buckets — per-bucket parallel
+    * windows plus one bucket-count-sized offset frame, never a
+    * data-sized single-partition window.
     * Empty docs occupy only their separator token.
     */
   def packBlocks(docs: DataFrame, idCol: String, textCol: String,
       blockSize: Int): DataFrame = {
     require(blockSize >= 2)
-    val w = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // exclusive prefix of (tokens + separator) in id order via the
+    // bucketed prefix sum — no data-sized single-partition window
     docs
       .select(col(idCol),
         TextAnalysis.nTokens(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("global_start",
-        coalesce(sum(col("n_tokens") + 1L).over(w), lit(0L)))
+      .withColumn("__w", col("n_tokens") + 1L)
+      .transform(d => prefixSum(d, idCol, "__w"))
+      .withColumn("global_start", col("cum") - col("__w"))
+      .drop("__w", "cum")
       .withColumn("start_block",
         expr(s"global_start div $blockSize"))
       .withColumn("end_block",
@@ -1073,6 +1076,35 @@ object Corpus {
       .drop("__b", "__off", "__k")
   }
 
+  /** 1-based global rank over a (value, tie-keys…) total order
+    * WITHOUT a data-sized single-partition window — the
+    * [[globalRowNumber]] decomposition generalized to an arbitrary
+    * integral sort value: truncating division is monotone, so
+    * `value div bucketWidth` buckets are order-aligned; per-bucket
+    * row_number + a prefix sum over the TINY bucket-count frame
+    * compose the exact global rank. Ties beyond `tieCols` must be
+    * don't-care for the caller (ties sharing value land in one
+    * bucket, so any permutation inside a tie group keeps the group's
+    * rank range). Adds `__rg`.
+    */
+  def bucketedRankBy(df: DataFrame, valCol: String,
+      tieCols: Seq[String], bucketWidth: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val b = df.withColumn("__rb", expr(s"$valCol div ${bucketWidth}L"))
+    val offsets = b.groupBy(col("__rb"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__roff",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__rb"), col("__roff"))
+    b.join(broadcast(offsets), Seq("__rb"))
+      .withColumn("__rg", col("__roff") +
+        row_number().over(Window.partitionBy(col("__rb"))
+          .orderBy(col(valCol) +: tieCols.map(col): _*)).cast("long"))
+      .drop("__rb", "__roff")
+  }
+
   def globalRowNumber(df: DataFrame, keyCol: String,
       bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1108,10 +1140,12 @@ object Corpus {
   * table hash-gates.
   *
   * Scale shape: the within-source ranks are source-keyed windows; the
-  * rank→value map costs ONE global-order window at corpus grain (the
-  * q239 caveat) and the final lookup is a plain equi-join on rank. At
-  * 100 TB swap the exact global map for the q199 histogram CDF
-  * (error ≤ bin width) — the per-source side is unchanged.
+  * rank→value map uses the bucketed global rank
+  * ([[Corpus.bucketedRankBy]] — order-aligned value buckets, no
+  * data-sized single-partition window) and the final lookup is a
+  * plain equi-join on rank. The q199 histogram CDF remains the
+  * approximate fallback when even the bucketed exact map is too
+  * expensive.
   */
 object QuantileNorm {
 
@@ -1124,9 +1158,7 @@ object QuantileNorm {
       .withColumn("src_rank", row_number().over(wSrc).cast("long"))
       .withColumn("n_src",
         count(lit(1)).over(Window.partitionBy(col(grpCol))))
-    val globalMap = base
-      .withColumn("__rg", row_number().over(
-        Window.orderBy(col(valCol), col(idCol))).cast("long"))
+    val globalMap = Corpus.bucketedRankBy(base, valCol, Seq(idCol))
       .select(col("__rg"), col(valCol).as("normalized"))
     val total = base.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(total))
