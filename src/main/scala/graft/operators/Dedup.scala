@@ -125,6 +125,35 @@ object Dedup {
           element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
+  /** The LSH tuning curve P(candidate | similarity s) =
+    * 1 − (1 − s^r)^b evaluated on a ppm grid in EXACT integer
+    * arithmetic — the planner artifact that picks (bands, rows) for
+    * [[lshBuckets]] before a 100 TB run commits to a threshold.
+    * Powers compute by repeated squaring with a floor-division
+    * rescale after each multiply (so every intermediate stays a
+    * BIGINT and the SQL oracle replays bit-for-bit); `r` and `b`
+    * must be powers of two, the practical operating points. The
+    * ~r·b floor-loss is ≤ a few ppm — far below any tuning decision.
+    */
+  def lshCandidateCurve(spark: org.apache.spark.sql.SparkSession,
+      r: Int, b: Int, stepPpm: Long): DataFrame = {
+    def pow2(x: Int) = x >= 1 && (x & (x - 1)) == 0
+    require(pow2(r) && pow2(b), s"r=$r and b=$b must be powers of two")
+    require(stepPpm >= 1 && 1000000L % stepPpm == 0)
+    // acc ≤ 1e6 so acc² ≤ 1e12 < 2^53: the double round-trip in
+    // floor(x / 1e6) is exact and equals integer division here
+    def sq(c: Column, times: Int): Column =
+      (1 to times).foldLeft(c)((acc, _) =>
+        floor((acc * acc) / lit(1000000L)).cast("long"))
+    val grid = spark.range(1000000L / stepPpm + 1)
+      .select((col("id") * stepPpm).as("s_ppm"))
+    val sr = sq(col("s_ppm"), Integer.numberOfTrailingZeros(r))
+    grid.withColumn("sr_ppm", sr)
+      .withColumn("p_cand_ppm",
+        lit(1000000L) - sq(lit(1000000L) - col("sr_ppm"),
+          Integer.numberOfTrailingZeros(b)))
+  }
+
   /** LSH banding: split the k-column signature into `bands` groups of
     * `rowsPerBand` and hash each group — documents sharing any band
     * signature become join candidates. (bands, rowsPerBand) tune the

@@ -1214,6 +1214,28 @@ object LlmQueries extends QueryPack {
         |    AS BIGINT) > avail_chars AS oversampled
         |FROM r, l ORDER BY source""".stripMargin)),
 
+    // LSH tuning curve P(candidate | s) = 1 − (1 − s^r)^b on a ppm
+    // grid (r=4, b=16 — q28/q30's operating point), exact integer via
+    // repeated squaring with floor rescale — the planner artifact
+    // that picks banding before a run commits to a threshold.
+    "q399_lsh_curve" -> Q(
+      (s, dir) => Dedup.lshCandidateCurve(s, r = 4, b = 16,
+          stepPpm = 50000L)
+        .orderBy(col("s_ppm")),
+      Some("""WITH g AS (SELECT i AS s_ppm
+        |  FROM range(0, 1000001, 50000) t(i)),
+        |p2 AS (SELECT s_ppm, (s_ppm * s_ppm) // 1000000 AS x FROM g),
+        |p4 AS (SELECT s_ppm, (x * x) // 1000000 AS sr_ppm FROM p2),
+        |y1 AS (SELECT s_ppm, sr_ppm, 1000000 - sr_ppm AS y FROM p4),
+        |y2 AS (SELECT s_ppm, sr_ppm, (y * y) // 1000000 AS y FROM y1),
+        |y4 AS (SELECT s_ppm, sr_ppm, (y * y) // 1000000 AS y FROM y2),
+        |y8 AS (SELECT s_ppm, sr_ppm, (y * y) // 1000000 AS y FROM y4),
+        |y16 AS (SELECT s_ppm, sr_ppm, (y * y) // 1000000 AS y FROM y8)
+        |SELECT CAST(s_ppm AS BIGINT) AS s_ppm,
+        |  CAST(sr_ppm AS BIGINT) AS sr_ppm,
+        |  CAST(1000000 - y AS BIGINT) AS p_cand_ppm
+        |FROM y16 ORDER BY s_ppm""".stripMargin)),
+
     // Dictionary-scale blocklist matching: phrases join against
     // exploded token n-grams per phrase length — the formulation that
     // survives 100k-phrase blocklists where a regex union dies. Every
