@@ -1661,6 +1661,93 @@ object CrawlQueries extends QueryPack {
         |       ELSE 'monthly' END AS revisit
         |FROM g ORDER BY host""".stripMargin)),
 
+    // Curation v2 capstone: spam gate (q376) → exact dedup →
+    // curriculum phases (q397), one verdict row per ORIGINAL doc —
+    // (spam, dup, phase) with phase −1 for anything dropped. Each
+    // stage has its own unit gate; this proves the session's new
+    // stages COMPOSE, the q342/q381 discipline. Curriculum
+    // thresholds are computed over the SURVIVORS, so the stages are
+    // genuinely sequential, not independent.
+    "q400_curation_v2" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val spam = HtmlExtract.spamSignals(spamPageFrom(docs),
+            "doc_id", "html")
+          .select(col("doc_id"),
+            (col("hidden") || col("stuffed")).as("spam"))
+        val clean = docs.join(
+          spam.filter(!col("spam")).select("doc_id"), Seq("doc_id"))
+        val fp = clean.select(col("doc_id"),
+          md5(trim(lower(coalesce(col("text"), lit(""))))).as("f"))
+        val own = fp.groupBy(col("f"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        val kd = fp.join(own, "f")
+          .select(col("doc_id"),
+            (col("doc_id") =!= col("keep_id")).as("dup"))
+        val rd = TextAnalysis.readability(
+            docs.join(kd.filter(!col("dup")).select("doc_id"),
+              Seq("doc_id"))
+              .select(col("doc_id"), col("text")), "text")
+          .select(col("doc_id"), col("flesch_milli"))
+          .filter(col("flesch_milli").isNotNull)
+        val th = Corpus.quantilesBisect(rd, "flesch_milli",
+            Seq(0.33, 0.67))
+          .select(col("q_33"), col("q_67"))
+        val ph = rd.crossJoin(broadcast(th))
+          .select(col("doc_id"),
+            when(col("flesch_milli") >= col("q_67"), 0L)
+              .when(col("flesch_milli") >= col("q_33"), 1L)
+              .otherwise(2L).as("phase"))
+        docs.select(col("doc_id"))
+          .join(spam, Seq("doc_id"))
+          .join(kd, Seq("doc_id"), "left")
+          .join(ph, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("spam"),
+            coalesce(col("dup"), lit(false)).as("dup"),
+            coalesce(col("phase"), lit(-1L)).as("phase"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fl AS ($spamOracleSql),
+        |k1 AS (SELECT doc_id FROM fl WHERE NOT hidden AND NOT stuffed),
+        |fp AS (SELECT d.doc_id,
+        |    md5(trim(lower(coalesce(d.text, '')))) AS f
+        |  FROM documents d JOIN k1 USING (doc_id)),
+        |own AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY 1),
+        |kd AS (SELECT fp.doc_id, fp.doc_id <> own.k AS dup
+        |  FROM fp JOIN own ON fp.f = own.f),
+        |sv AS (SELECT doc_id FROM kd WHERE NOT dup),
+        |rd AS (SELECT doc_id,
+        |    CASE WHEN w = 0 THEN CAST(NULL AS BIGINT)
+        |         ELSE 206835 - (1015 * w) // s - (84600 * y) // w
+        |    END AS fm
+        |  FROM (SELECT d.doc_id,
+        |      CAST(CASE WHEN trim(d.text) = '' THEN 0
+        |           ELSE len(string_split_regex(trim(d.text), '\\s+'))
+        |      END AS BIGINT) AS w,
+        |      greatest(CAST(len(regexp_extract_all(d.text, '[.!?]+'))
+        |        AS BIGINT), 1) AS s,
+        |      CAST(len(regexp_extract_all(lower(d.text), '[aeiouy]+'))
+        |        AS BIGINT) AS y
+        |    FROM documents d JOIN sv USING (doc_id))),
+        |v AS (SELECT doc_id, fm FROM rd WHERE fm IS NOT NULL),
+        |r AS (SELECT fm, row_number() OVER (ORDER BY fm) AS rnk,
+        |    count(*) OVER () AS n FROM v),
+        |t AS (SELECT
+        |    max(CASE WHEN rnk = ceil(0.33 * n) THEN fm END) AS q33,
+        |    max(CASE WHEN rnk = ceil(0.67 * n) THEN fm END) AS q67
+        |  FROM r),
+        |ph AS (SELECT v.doc_id,
+        |    CAST(CASE WHEN v.fm >= t.q67 THEN 0
+        |         WHEN v.fm >= t.q33 THEN 1 ELSE 2 END AS BIGINT)
+        |      AS phase
+        |  FROM v, t)
+        |SELECT d.doc_id, fl.hidden OR fl.stuffed AS spam,
+        |  coalesce(kd.dup, FALSE) AS dup,
+        |  coalesce(ph.phase, -1) AS phase
+        |FROM documents d JOIN fl USING (doc_id)
+        |LEFT JOIN kd USING (doc_id) LEFT JOIN ph USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // Streaming spam triage: the SAME generator and the SAME
     // spamSignals battery per micro-batch over a documents stream —
     // correct because every signal is doc-local (hidden extraction a
