@@ -89,9 +89,8 @@ object Dedup {
     */
   def minhashSignaturesRow(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val hashes = transform(
-      graft.expressions.WordShingles.shinglesNative(col(textCol), n),
-      s => graft.expressions.Md5Hash60.hash60Native(s) % P)
+    val hashes = graft.expressions.ShingleHashes
+      .shingleHashesNative(col(textCol), n, P)
     val sigCols = perms(k).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("__h"), h => (h * a + b) % P)).as(s"m$i")
     }
@@ -113,9 +112,8 @@ object Dedup {
     */
   def minhashSignaturesOnePerm(df: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int): DataFrame = {
-    val hashes = transform(
-      graft.expressions.WordShingles.shinglesNative(col(textCol), n),
-      s => graft.expressions.Md5Hash60.hash60Native(s) % P)
+    val hashes = graft.expressions.ShingleHashes
+      .shingleHashesNative(col(textCol), n, P)
     df.select(col(idCol), hashes.as("__h"))
       .select(col(idCol),
         graft.expressions.OnePermMinHash.onePermNative(col("__h"), k)
