@@ -111,4 +111,51 @@ object PureProperties extends Properties("graft.pure") {
             java.util.Arrays.equals(f, Multimodal.syntheticPng(seed + i))
         }
     }
+
+  private val hashList: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, graft.operators.Dedup.P - 1))
+
+  property("oph signature: k values, each a bin-min or a borrowed bin-min") =
+    forAll(hashList, Gen.chooseNum(1, 12)) { (hs, k) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        hs.toArray)
+      val sig = graft.expressions.OnePermUtil.signature(arr, k)
+      val vals = (0 until k).map(i =>
+        if (sig.isNullAt(i)) None else Some(sig.getLong(i)))
+      val binMins = hs.groupBy(h => (h % k).toInt)
+        .map { case (b, v) => b -> v.min }
+      if (hs.isEmpty) vals.forall(_.isEmpty)
+      else vals.zipWithIndex.forall { case (v, i) =>
+        // a filled bin reports its own min; an empty bin borrows the
+        // next filled bin's min scanning right circularly
+        binMins.get(i) match {
+          case Some(m) => v.contains(m)
+          case None =>
+            val d = (1 until k).find(d => binMins.contains((i + d) % k))
+            v == d.map(dd => binMins((i + dd) % k))
+        }
+      }
+    }
+
+  property("shingle hashes: fused kernel = shingle-then-hash composition") =
+    forAll(Gen.alphaNumStr, Gen.chooseNum(1, 5)) { (s, n) =>
+      val u = UTF8String.fromString(s)
+      val fused = graft.expressions.ShingleHashUtil
+        .shingleHashes(u, n, graft.operators.Dedup.P).toLongArray().toSeq
+      val sh = ShingleUtil.shingles(u, n)
+      val composed = (0 until sh.numElements()).map(i =>
+        HashUtil.md5h60(sh.getUTF8String(i)) % graft.operators.Dedup.P)
+      fused == composed
+    }
+
+  property("lsh curve powers: squaring chain floors within r*b ppm of real pow") =
+    forAll(Gen.chooseNum(0L, 20L)) { step =>
+      val s = step * 50000L
+      def sq(x: Long, times: Int) =
+        (1 to times).foldLeft(x)((a, _) => a * a / 1000000L)
+      val sr = sq(s, 2)                       // s^4 at ppm scale
+      val p = 1000000L - sq(1000000L - sr, 4) // 1-(1-s^4)^16
+      val real = 1e6 * (1 - math.pow(1 - math.pow(s / 1e6, 4), 16))
+      p >= 0 && p <= 1000000L && math.abs(p - real) <= 16 * 4 + 64
+    }
 }
