@@ -227,6 +227,58 @@ object StreamingQueries extends QueryPack {
           |FROM sg ORDER BY doc_id""".stripMargin)
       }),
 
+    // q88's streaming signature dedup on ONE-PERMUTATION signatures:
+    // the one-pass OPH kernel (q380) feeding the same
+    // flatMapGroupsWithState canonical election — the signature stage
+    // a 100 TB streaming ingest would actually run (one traversal
+    // per doc, not k). Oracle replays bin-min + rotation + the
+    // min-per-signature election.
+    "q401_stream_oph_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sigs = graft.operators.Dedup.minhashSignaturesOnePerm(
+            documentsStream(s, dir), "doc_id", "text", n = 1, k = 8)
+          .select(col("doc_id").as("docId"),
+            concat_ws(",", (0 until 8).map(i => col(s"m$i")): _*).as("sig"))
+          .as[Streams.SigDoc]
+        Streams.runToTable(
+            Streams.minhashDedupStream(sigs).toDF(), OutputMode.Append())
+          .orderBy(col("doc_id"))
+      },
+      {
+        val binMins = (0 until 8).map(i =>
+          s"list_min(list_filter(l, x -> x % 8 = $i)) AS b$i")
+          .mkString(",\n|    ")
+        val dens = (0 until 8).map { i =>
+          val chain = (0 until 8).map(d => s"b${(i + d) % 8}")
+            .mkString(", ")
+          s"coalesce($chain) AS m$i"
+        }.mkString(",\n|  ")
+        val sigCols = (0 until 8).map(i => s"m$i").mkString(", ")
+        Some(s"""WITH toks AS (
+          |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(t) < 1 THEN [array_to_string(t, ' ')]
+          |    ELSE t END) AS s
+          |  FROM toks),
+          |h AS (SELECT doc_id,
+          |    list(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+          |      % ${graft.operators.Dedup.P}) AS l
+          |  FROM sh GROUP BY 1),
+          |b AS (SELECT doc_id,
+          |    $binMins
+          |  FROM h),
+          |d AS (SELECT doc_id,
+          |  $dens
+          |  FROM b),
+          |sg AS (SELECT doc_id, concat_ws(',', $sigCols) AS sig FROM d)
+          |SELECT doc_id,
+          |  nullif(min(doc_id) OVER (PARTITION BY sig), doc_id) AS dup_of
+          |FROM sg ORDER BY doc_id""".stripMargin)
+      }),
+
     // The corpus quality gate as STREAMING INGESTION: the q41 filter
     // (quality ≥ 0.5 AND lang = en, counts-once projection discipline)
     // runs as a stateless streaming projection + filter over the
