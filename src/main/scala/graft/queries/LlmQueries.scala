@@ -1214,6 +1214,51 @@ object LlmQueries extends QueryPack {
         |    AS BIGINT) > avail_chars AS oversampled
         |FROM r, l ORDER BY source""".stripMargin)),
 
+    // n-gram novelty vs a reference corpus (the infini-gram-style
+    // memorization/novelty readout): each odd doc scores the share of
+    // its distinct 4-grams ABSENT from the even-doc reference set —
+    // high novelty = genuinely new text, near-zero = recombination of
+    // seen spans. Gram-keyed anti-join semantics via left join, all
+    // integer ppm.
+    "q402_ngram_novelty" -> Q(
+      (s, dir) => {
+        val g = Dedup.shingleHashes(
+          Tables.documents(s, dir), "doc_id", "text", 4, dedup = true)
+        val ref = g.filter(col("doc_id") % 2 === 0)
+          .select(col("h")).distinct()
+          .withColumn("__in_ref", lit(true))
+        g.filter(col("doc_id") % 2 === 1)
+          .join(ref, Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("__in_ref").isNull, 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_ppm",
+            expr("n_novel * 1000000L div n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, $normTokens AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 4
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 2),
+        |      i -> array_to_string(t[i:i+3], ' '))
+        |    END) AS s
+        |  FROM toks),
+        |h AS (SELECT DISTINCT doc_id,
+        |    ${h60sql("s")} % ${Dedup.P} AS h FROM sh),
+        |ref AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),
+        |t AS (SELECT hh.doc_id, hh.h, ref.h IS NOT NULL AS seen
+        |  FROM h hh LEFT JOIN ref ON hh.h = ref.h
+        |  WHERE hh.doc_id % 2 = 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS novelty_ppm
+        |FROM t GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // LSH tuning curve P(candidate | s) = 1 − (1 − s^r)^b on a ppm
     // grid (r=4, b=16 — q28/q30's operating point), exact integer via
     // repeated squaring with floor rescale — the planner artifact
