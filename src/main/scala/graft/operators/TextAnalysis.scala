@@ -59,6 +59,26 @@ object TextAnalysis {
     * whole Latin-1 supplement (every non-ASCII latin-1 char UTF-8-
     * encodes with lead C2 or C3).
     */
+  /** logfmt token contract: lowercase key, `=`, value up to the next
+    * space — the de-facto structured-log line format. RE2-safe.
+    */
+  val logfmtPat: String = "([a-z_]+)=([^ ]+)"
+
+  /** Parse logfmt `key=value` pairs — the semi-structured ingestion
+    * step for server/trainer logs: one row per pair in line order,
+    * (id, pair_idx, key, value). Malformed spans (no `=`, uppercase
+    * keys) simply don't match — ingestion never throws. Pure
+    * projection + one explode; rides the scan.
+    */
+  def logfmtPairs(df: DataFrame, idCol: String,
+      lineCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(coalesce(col(lineCol), lit("")),
+          lit(logfmtPat), lit(0))).as(Seq("pair_idx", "__e")))
+      .select(col(idCol), col("pair_idx").cast("long").as("pair_idx"),
+        regexp_extract(col("__e"), logfmtPat, 1).as("key"),
+        regexp_extract(col("__e"), logfmtPat, 2).as("value"))
+
   val mojibakePat: String = "[\\u00C2\\u00C3][\\u0080-\\u00BF]"
 
   def mojibakeHits(c: Column): Column =

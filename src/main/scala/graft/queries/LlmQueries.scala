@@ -1214,6 +1214,52 @@ object LlmQueries extends QueryPack {
         |    AS BIGINT) > avail_chars AS oversampled
         |FROM r, l ORDER BY source""".stripMargin)),
 
+    // logfmt key=value ingestion over synthesized event lines: pairs
+    // extract in line order (malformed spans never match — ingestion
+    // can't throw), then per-key profile: occurrences, distinct
+    // values, numeric share in ppm — the semi-structured step that
+    // turns server/trainer logs into feature columns.
+    "q403_logfmt_parse" -> Q(
+      (s, dir) => {
+        val lines = Tables.events(s, dir).select(col("event_id"),
+          concat(lit("evt="), col("event_type"),
+            lit(" user="), col("user_id").cast("string"),
+            lit(" k="), (col("event_id") % 7).cast("string"),
+            when(col("event_id") % 5 === 0, lit(" flag=true"))
+              .otherwise(lit("")),
+            lit(" v="), (col("event_id") % 100).cast("string"))
+            .as("line"))
+        TextAnalysis.logfmtPairs(lines, "event_id", "line")
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("value")).as("n_vals"),
+            sum(when(col("value").rlike("^[0-9]+$"), 1L)
+              .otherwise(0L)).as("n_numeric"))
+          .withColumn("numeric_ppm", expr("n_numeric * 1000000L div n"))
+          .orderBy(col("key"))
+      },
+      Some("""WITH l AS (SELECT event_id,
+        |    'evt=' || event_type || ' user=' || user_id ||
+        |    ' k=' || (event_id % 7) ||
+        |    CASE WHEN event_id % 5 = 0 THEN ' flag=true' ELSE '' END ||
+        |    ' v=' || (event_id % 100) AS line
+        |  FROM events),
+        |p AS (SELECT event_id,
+        |    unnest(regexp_extract_all(line, '([a-z_]+)=([^ ]+)')) AS e
+        |  FROM l),
+        |kv AS (SELECT event_id,
+        |    regexp_extract(e, '([a-z_]+)=([^ ]+)', 1) AS key,
+        |    regexp_extract(e, '([a-z_]+)=([^ ]+)', 2) AS value
+        |  FROM p)
+        |SELECT key, count(*) AS n,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS n_vals,
+        |  CAST(sum(CASE WHEN regexp_matches(value, '^[0-9]+$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+        |  CAST(sum(CASE WHEN regexp_matches(value, '^[0-9]+$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*)
+        |    AS numeric_ppm
+        |FROM kv GROUP BY 1 ORDER BY key""".stripMargin)),
+
     // n-gram novelty vs a reference corpus (the infini-gram-style
     // memorization/novelty readout): each odd doc scores the share of
     // its distinct 4-grams ABSENT from the even-doc reference set —
