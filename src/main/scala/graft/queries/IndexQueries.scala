@@ -1463,6 +1463,79 @@ object IndexQueries extends QueryPack {
         |ORDER BY word""".stripMargin
       }),
 
+    // Tokenizer-migration drift: the SAME word frame encoded under
+    // the incumbent 64-piece vocab and a candidate 32-piece vocab,
+    // per-word piece/unk deltas — the artifact that prices a
+    // tokenizer swap (sequence-length growth = compute growth)
+    // before committing to one. Both greedy folds replay in-oracle.
+    "q404_tokenizer_drift" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val words = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val a = Bpe.greedyEncode(words, "word",
+            Bpe.charNgramVocab(words, "word", "cnt", 4, topM = 64))
+          .select(col("word"), col("cnt"),
+            col("n_pieces").as("np_a"), col("n_unk").as("unk_a"))
+        val b = Bpe.greedyEncode(words, "word",
+            Bpe.charNgramVocab(words, "word", "cnt", 4, topM = 32))
+          .select(col("word"), col("n_pieces").as("np_b"),
+            col("n_unk").as("unk_b"))
+        a.join(b, "word")
+          .withColumn("piece_delta", col("np_b") - col("np_a"))
+          .orderBy(col("word"))
+      },
+      Some {
+        def matchCase(vl: String) = (4 to 2 by -1).map { l =>
+          s"""WHEN length(word) - acc.pos >= ${l - 1}
+          |          AND list_contains($vl, substr(word, acc.pos, $l))
+          |          THEN {'pos': acc.pos + $l, 'np': acc.np + 1, 'unk': acc.unk}""".stripMargin
+        }.mkString("\n        ")
+        def encCte(name: String, vlt: String, vl: String) =
+          s"""$name AS (SELECT word, cnt,
+          |  list_reduce(
+          |    [{'pos': 1, 'np': 0, 'unk': 0}] ||
+          |      list_transform(range(1, 17), i -> {'pos': 0, 'np': 0, 'unk': 0}),
+          |    (acc, x) -> CASE WHEN acc.pos > length(word) THEN acc
+          |      ELSE (CASE
+          |        ${matchCase(vl)}
+          |        WHEN list_contains($vl, substr(word, acc.pos, 1))
+          |          THEN {'pos': acc.pos + 1, 'np': acc.np + 1, 'unk': acc.unk}
+          |        ELSE {'pos': acc.pos + 1, 'np': acc.np, 'unk': acc.unk + 1}
+          |        END)
+          |      END) AS st
+          |  FROM words CROSS JOIN $vlt)""".stripMargin
+        s"""WITH words AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(CASE WHEN trim(lower(text)) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+        |      AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |pp AS (SELECT word, cnt,
+        |    unnest(generate_series(1, length(word))) AS pos FROM words),
+        |pl AS (SELECT word, cnt, pos, unnest([1, 2, 3, 4]) AS l FROM pp),
+        |pcs AS (SELECT substr(word, pos, l) AS piece, sum(cnt) AS t
+        |  FROM pl WHERE pos + l - 1 <= length(word) GROUP BY 1),
+        |va AS (SELECT list(piece) AS vla FROM (
+        |  SELECT piece FROM pcs ORDER BY t DESC, piece LIMIT 64)),
+        |vb AS (SELECT list(piece) AS vlb FROM (
+        |  SELECT piece FROM pcs ORDER BY t DESC, piece LIMIT 32)),
+        |${encCte("ea", "va", "vla")},
+        |${encCte("eb", "vb", "vlb")}
+        |SELECT ea.word, ea.cnt,
+        |  CAST(ea.st.np AS BIGINT) AS np_a,
+        |  CAST(ea.st.unk AS BIGINT) AS unk_a,
+        |  CAST(eb.st.np AS BIGINT) AS np_b,
+        |  CAST(eb.st.unk AS BIGINT) AS unk_b,
+        |  CAST(eb.st.np - ea.st.np AS BIGINT) AS piece_delta
+        |FROM ea JOIN eb USING (word)
+        |ORDER BY ea.word""".stripMargin
+      }),
+
     // KMV (k-minimum-values) distinct sketch with split-and-merge:
     // the corpus is sketched as two halves (doc_id parity) that MERGE
     // into one register table — the oracle replays the WHOLE stream
