@@ -94,4 +94,53 @@ object Eval {
       .withColumn("p2_ppm", expr("clip2 * 1000000L div greatest(n_a2, 1L)"))
       .withColumn("r2_ppm", expr("clip2 * 1000000L div greatest(n_b2, 1L)"))
   }
+
+  /** Position-discount weights for [[ndcgAtK]]: ⌊10⁶ / log₂(i+1)⌋
+    * for ranks 1..k. Computed ONCE driver-side and interpolated as
+    * literal constants into both engines — the floats never cross an
+    * engine boundary, so the metric stays hash-gateable.
+    */
+  def ndcgWeightsPpm(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      (1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** nDCG@k over graded relevance in exact integer ppm:
+    * DCG = Σ_{rank ≤ k} grade · w(rank) with the precomputed
+    * [[ndcgWeightsPpm]] discounts, IDCG the same sum over the
+    * query's grades sorted descending (ties broken by doc id for
+    * determinism), ndcg_ppm = ⌊DCG·10⁶ / IDCG⌋ (0 when IDCG = 0 —
+    * a query with no relevant docs scores 0, not null).
+    *
+    * Inputs: `ranked` (qid, rank, doc) with rank 1-based from the
+    * system under test; `grades` (qid, doc, grade ≥ 0) the qrels.
+    * Both windows are QUERY-partitioned (candidate-pool-bounded) —
+    * never a corpus-wide window; the join is (qid, doc)-keyed.
+    */
+  def ndcgAtK(ranked: DataFrame, grades: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val ws = ndcgWeightsPpm(k)
+    def weightOf(rankCol: Column): Column =
+      ws.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+        when(rankCol === (i + 1), lit(w)).otherwise(acc)
+      }
+    val dcg = ranked.filter(col("rank") <= k)
+      .join(grades, Seq("qid", "doc"), "left")
+      .withColumn("__g", coalesce(col("grade"), lit(0L)))
+      .groupBy(col("qid"))
+      .agg(sum(col("__g") * weightOf(col("rank"))).as("dcg"))
+    val ideal = grades
+      .withColumn("__ir", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("grade").desc, col("doc"))))
+      .filter(col("__ir") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(col("grade") * weightOf(col("__ir"))).as("idcg"))
+    dcg.join(ideal, Seq("qid"), "left")
+      .select(col("qid"), col("dcg"),
+        coalesce(col("idcg"), lit(0L)).as("idcg"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg") === 0, lit(0L))
+          .otherwise(expr("dcg * 1000000L div idcg")))
+  }
 }

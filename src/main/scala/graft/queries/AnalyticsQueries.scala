@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Analytics, Classifier, Corpus, DataQuality, Privacy}
+import graft.operators.{Analytics, Classifier, Corpus, DataQuality, Eval, Privacy}
 
 /** Classic BI readout shapes over the fact tables — rollup/cube
   * subtotals, pivot, calendar gap-fill, cohort retention, ordered
@@ -746,6 +746,57 @@ object AnalyticsQueries extends QueryPack {
         |GROUP BY t.cat, t.n_train, t.yhat_milli, r.n_calib,
         |  r.radius_milli
         |ORDER BY t.cat""".stripMargin)),
+
+    // nDCG@5 over graded relevance in exact integer ppm: discount
+    // weights ⌊1e6/log₂(i+1)⌋ computed once driver-side and
+    // interpolated into BOTH engines as literals, so the classic
+    // graded ranking metric hash-gates. System ranking = md5 order
+    // per query (a deterministic imperfect ranker), qrels = the
+    // doc-derived grade grid; windows all query-bounded.
+    "q405_ndcg" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pool = Tables.documents(s, dir).select(
+          (col("doc_id") % 50).as("qid"), col("doc_id").as("doc"),
+          (expr("doc_id div 50") % 4).cast("long").as("grade"))
+        val ranked = pool.withColumn("rank",
+            row_number().over(Window.partitionBy(col("qid"))
+              .orderBy(md5(concat(lit("s:"), col("qid").cast("string"),
+                lit(":"), col("doc").cast("string"))), col("doc")))
+              .cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("doc"))
+        Eval.ndcgAtK(ranked,
+            pool.select(col("qid"), col("doc"), col("grade")), k = 5)
+          .orderBy(col("qid"))
+      },
+      {
+        val ws = Eval.ndcgWeightsPpm(5)
+        val wVals = ws.zipWithIndex
+          .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+        Some(s"""WITH pool AS (SELECT doc_id % 50 AS qid,
+          |    doc_id AS doc,
+          |    CAST((doc_id // 50) % 4 AS BIGINT) AS grade
+          |  FROM documents),
+          |rk AS (SELECT qid, doc, row_number() OVER (
+          |    PARTITION BY qid
+          |    ORDER BY md5('s:' || qid || ':' || doc), doc) AS rank
+          |  FROM pool),
+          |w(rank, w) AS (VALUES $wVals),
+          |d AS (SELECT rk.qid, CAST(sum(p.grade * w.w) AS BIGINT) AS dcg
+          |  FROM rk JOIN w USING (rank)
+          |  LEFT JOIN pool p ON rk.qid = p.qid AND rk.doc = p.doc
+          |  WHERE rk.rank <= 5 GROUP BY 1),
+          |i AS (SELECT qid, CAST(sum(grade * w.w) AS BIGINT) AS idcg
+          |  FROM (SELECT qid, grade, doc, row_number() OVER (
+          |      PARTITION BY qid ORDER BY grade DESC, doc) AS ir
+          |    FROM pool) g
+          |  JOIN w ON w.rank = g.ir WHERE g.ir <= 5 GROUP BY 1)
+          |SELECT d.qid, d.dcg, coalesce(i.idcg, 0) AS idcg,
+          |  CASE WHEN coalesce(i.idcg, 0) = 0 THEN 0
+          |       ELSE d.dcg * 1000000 // i.idcg END AS ndcg_ppm
+          |FROM d LEFT JOIN i USING (qid) ORDER BY d.qid""".stripMargin)
+      }),
 
     // t-closeness audit (the rung above q283's k-anon/l-diversity):
     // per QI group, the Earth Mover's Distance between the group's
