@@ -696,6 +696,77 @@ object LlmQueries extends QueryPack {
         |FROM reach GROUP BY src
         |ORDER BY id""".stripMargin)),
 
+    // Near-dup cluster drift across corpus versions: v1 = the %40
+    // half of the sample, v2 = the full %20 sample; per v2 cluster,
+    // members carried from v1, distinct v1 clusters absorbed
+    // (merge detection), and the new/merged/carried verdict — the
+    // governance readout that tells you whether a corpus refresh
+    // reshaped its duplicate structure. Both closures replay as
+    // recursive CTEs; v1 pairs are exactly jp restricted (pair
+    // candidacy is pairwise, so subsetting the corpus cannot change
+    // it — the q77 recall gate covers the family).
+    "q406_cluster_drift" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m2 = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("id"))
+          .join(sampleDedupGroups(s, dir)
+            .select(col("id"), col("canonical_id")), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("canonical_id"), col("id")).as("c2"))
+        val v1 = docs.filter(col("doc_id") % 40 === 0)
+        val g1 = Dedup.dedupGroups(Dedup.nearDupPairs(
+          v1, "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+          threshold = 0.9))
+        val m1 = v1.select(col("doc_id").as("id"))
+          .join(g1.select(col("id"), col("canonical_id")),
+            Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("canonical_id"), col("id")).as("c1"))
+        m2.join(m1, Seq("id"), "left")
+          .groupBy(col("c2"))
+          .agg(count(lit(1)).as("n_v2"),
+            count(col("c1")).as("n_also_v1"),
+            countDistinct(col("c1")).as("n_v1_clusters"))
+          .withColumn("status",
+            when(col("n_also_v1") === 0, "new")
+              .when(col("n_v1_clusters") >= 2, "merged")
+              .otherwise("carried"))
+          .orderBy(col("c2"))
+      },
+      Some(s"""WITH RECURSIVE $samplePairsCte,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |l2 AS (SELECT src, least(src, min(dst)) AS canon
+        |  FROM reach GROUP BY src),
+        |m2 AS (SELECT d.doc_id AS id, coalesce(l2.canon, d.doc_id) AS c2
+        |  FROM d LEFT JOIN l2 ON d.doc_id = l2.src),
+        |jp4 AS (SELECT id_a, id_b FROM jp
+        |  WHERE id_a % 40 = 0 AND id_b % 40 = 0),
+        |e4 AS (SELECT id_a AS src, id_b AS dst FROM jp4
+        |       UNION ALL SELECT id_b, id_a FROM jp4),
+        |reach4 AS (
+        |  SELECT src, dst FROM e4
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach4 r JOIN e4 e2 ON r.dst = e2.src),
+        |l1 AS (SELECT src, least(src, min(dst)) AS canon
+        |  FROM reach4 GROUP BY src),
+        |m1 AS (SELECT d.doc_id AS id, coalesce(l1.canon, d.doc_id) AS c1
+        |  FROM d LEFT JOIN l1 ON d.doc_id = l1.src
+        |  WHERE d.doc_id % 40 = 0)
+        |SELECT m2.c2, count(*) AS n_v2,
+        |  count(m1.c1) AS n_also_v1,
+        |  CAST(count(DISTINCT m1.c1) AS BIGINT) AS n_v1_clusters,
+        |  CASE WHEN count(m1.c1) = 0 THEN 'new'
+        |       WHEN count(DISTINCT m1.c1) >= 2 THEN 'merged'
+        |       ELSE 'carried' END AS status
+        |FROM m2 LEFT JOIN m1 USING (id)
+        |GROUP BY m2.c2 ORDER BY m2.c2""".stripMargin)),
+
     // Cluster-size histogram over q78's connected components — the
     // governance readout (how much mass sits in big near-dup
     // clusters?) that decides whether dedup keeps or resamples.
