@@ -691,6 +691,36 @@ object Similarity {
         col("n_label"), col("cos").as("cosine"))
   }
 
+  /** Corpus diversity as the SUM OF ALL PAIRWISE Hamming distances
+    * over sign-binarized embeddings — computed in closed form from
+    * per-dimension sign counts: Σ_pairs hamming = Σ_d n⁺_d·(n−n⁺_d),
+    * because a dimension contributes exactly one disagreement per
+    * (positive, non-positive) pair. O(n·d) — one explode + one
+    * dim-keyed partial agg — where the definitional form is O(n²·d);
+    * the identity is what makes a diversity audit runnable on the
+    * full corpus instead of a sample. Sign convention matches
+    * [[binarizeSign]] (strictly positive = 1, nulls read 0).
+    *
+    * Returns one row: (n_vecs, n_dims, sum_hamming,
+    * mean_hamming_milli) with the mean over the C(n,2) pairs in
+    * exact integer milli units.
+    */
+  def signDiversity(corpus: DataFrame, vecCol: String): DataFrame = {
+    val dims = corpus
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(coalesce(col("x"), lit(0f)) > 0f, 1L).otherwise(0L))
+          .as("__pos"))
+    dims.agg(max(col("__n")).as("n_vecs"),
+        count(lit(1)).as("n_dims"),
+        sum(col("__pos") * (col("__n") - col("__pos")))
+          .as("sum_hamming"))
+      .withColumn("mean_hamming_milli",
+        when(col("n_vecs") < 2, lit(0L)).otherwise(
+          expr("sum_hamming * 1000L div (n_vecs * (n_vecs - 1) div 2)")))
+  }
+
   /** Bitext mining by the margin criterion (Artetxe & Schwenk 2019,
     * "Margin-based Parallel Corpus Mining with Multilingual Sentence
     * Embeddings"): a candidate translation pair (x, y) scores

@@ -1373,6 +1373,31 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY ex1.query_id""".stripMargin)
       }),
 
+    // Corpus diversity via the closed-form pairwise-Hamming sum over
+    // sign bits: Σ_d n⁺·(n−n⁺) — O(n·d) where the definition is
+    // O(n²·d), which is why the audit runs on the full corpus, not a
+    // sample. Exact integers; the oracle replays the per-dimension
+    // counting identity.
+    "q407_sign_diversity" -> Q(
+      (s, dir) => Similarity.signDiversity(
+        Tables.embeddings(s, dir), "embedding"),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |d AS (SELECT u.d, count(*) AS n,
+        |    CAST(sum(CASE WHEN coalesce(u.x, 0) > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM (SELECT vec_id,
+        |      generate_subscripts(embedding, 1) - 1 AS d,
+        |      unnest(embedding) AS x FROM e) u
+        |  GROUP BY 1)
+        |SELECT CAST(max(n) AS BIGINT) AS n_vecs,
+        |  count(*) AS n_dims,
+        |  CAST(sum(pos * (n - pos)) AS BIGINT) AS sum_hamming,
+        |  CASE WHEN max(n) < 2 THEN 0
+        |    ELSE CAST(sum(pos * (n - pos)) AS BIGINT) * 1000
+        |      // (CAST(max(n) AS BIGINT) * (max(n) - 1) // 2)
+        |  END AS mean_hamming_milli
+        |FROM d""".stripMargin)),
+
     // Bitext mining by the margin criterion (Artetxe & Schwenk 2019):
     // the corpus split by vec_id parity stands in for two languages;
     // margin = cos / (mean of both sides' k-NN cosines), which

@@ -468,6 +468,32 @@ class SimilaritySpec extends SparkSpec {
       (3L, 0L, false)))      // miss
   }
 
+  test("signDiversity closed form equals brute-force pairwise Hamming") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1.0f, -1.0f, 0.5f, 0.0f),
+      Seq(-1.0f, 2.0f, 0.1f, -3.0f),
+      Seq(0.5f, 0.5f, -0.5f, 1.0f),
+      Seq(-0.1f, -0.2f, 0.3f, 0.4f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.signDiversity(df, "embedding").collect().head
+    // brute force over all C(4,2) pairs on the strict-positive bits
+    def bits(v: Seq[Float]) = v.map(x => if (x > 0f) 1 else 0)
+    val brute = (for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+    } yield bits(vecs(i)).zip(bits(vecs(j))).count(p => p._1 != p._2))
+      .sum.toLong
+    assert(got.getAs[Long]("sum_hamming") === brute)
+    assert(got.getAs[Long]("n_vecs") === 4L)
+    assert(got.getAs[Long]("mean_hamming_milli") === brute * 1000L / 6L)
+    // single vector: zero pairs, mean defined as 0
+    val one = Similarity.signDiversity(
+      df.limit(1), "embedding").collect().head
+    assert(one.getAs[Long]("sum_hamming") === 0L &&
+      one.getAs[Long]("mean_hamming_milli") === 0L)
+  }
+
   test("bitextMineMargin: margin demotes the hub, mutual flags reciprocal best") {
     import spark.implicits._
     // tgt 10 is a HUB: moderately close to every source. tgt 11 is
