@@ -1373,6 +1373,38 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY ex1.query_id""".stripMargin)
       }),
 
+    // Per-dimension embedding QA: null/zero/positive shares in ppm
+    // plus raw min/max per dim — the dead-dimension and saturation
+    // audit an embedding pipeline runs before trusting ANN recall.
+    // min/max are raw float comparisons (no accumulation), so the
+    // whole audit hash-gates. One explode + one dim-keyed agg.
+    "q408_dim_audit" -> Q(
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("x") === 0f, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("x") > 0f, 1L).otherwise(0L)).as("n_pos"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+        .withColumn("pos_ppm", expr("n_pos * 1000000L div n"))
+        .orderBy(col("dim")),
+      Some("""WITH u AS (SELECT
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings)
+        |SELECT dim, count(*) AS n,
+        |  CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  min(x) AS x_min, max(x) AS x_max,
+        |  CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS pos_ppm
+        |FROM u GROUP BY 1 ORDER BY dim""".stripMargin)),
+
     // Corpus diversity via the closed-form pairwise-Hamming sum over
     // sign bits: Σ_d n⁺·(n−n⁺) — O(n·d) where the definition is
     // O(n²·d), which is why the audit runs on the full corpus, not a
