@@ -344,6 +344,71 @@ object ScaleProbe {
         graft.operators.Graph.itemSimilarityTopK(
           l, "l_orderkey", "l_partkey", k = 5)
       }
+      // q384 shape: k-core peeling over co-purchase pairs — both keys
+      // shift, so copies are disjoint subgraphs and the peel grows ×N
+      time("q384_kcore", n) {
+        val l = shifted(Tables.lineitem(spark, sfDir),
+          Seq("l_orderkey", "l_partkey"), n, 100000000L)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = l.as("a")
+          .join(l.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+        graft.operators.Graph.kCore(pairs, "src", "dst", 90, 3)
+      }
+      // q386 shape: trigram profile training + per-sentence
+      // classification + doc majority — copy-tagged so the profile
+      // tables grow with the corpus
+      time("q386_mixed_lang", n) {
+        import org.apache.spark.sql.expressions.Window
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        val prof = graft.operators.LanguageModel.charTrigramProfiles(
+          docs.filter(col("doc_id") % 2 === 0), "lang", "text", 100)
+        val sents = graft.operators.TextAnalysis.sentences(
+            docs.select(col("doc_id"),
+              regexp_replace(coalesce(col("text"), lit("")),
+                "((?:\\S+ ){4}\\S+) ", "$1. ").as("t")), "doc_id", "t")
+          .withColumn("sid", col("doc_id") * 1000 + col("sent_idx"))
+        val preds = graft.operators.LanguageModel.classifyByProfiles(
+          sents, "sid", "sentence", prof)
+        val cnt = sents.join(preds.select(col("sid"), col("pred")),
+            Seq("sid"), "left")
+          .withColumn("pred", coalesce(col("pred"), lit("none")))
+          .groupBy(col("doc_id"), col("pred"))
+          .agg(count(lit(1)).as("c"))
+        cnt.withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("c").desc, col("pred"))))
+          .filter(col("rk") === 1)
+      }
+      // q400 shape: the curation capstone's cost drivers — the spam
+      // token battery plus readability + bisect over survivors
+      time("q400_curation", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        val page = docs.select(col("doc_id"), concat(
+          lit("<html><body><p>"), coalesce(col("text"), lit("")),
+          lit("</p></body></html>")).as("html"))
+        val spam = graft.operators.HtmlExtract.spamSignals(
+            page, "doc_id", "html")
+          .filter(!col("hidden") && !col("stuffed"))
+          .select(col("doc_id"))
+        val rd = graft.operators.TextAnalysis.readability(
+            docs.join(spam, Seq("doc_id"))
+              .select(col("doc_id"), col("text")), "text")
+          .select(col("doc_id"), col("flesch_milli"))
+          .filter(col("flesch_milli").isNotNull)
+          .localCheckpoint(true)
+        val th = graft.operators.Corpus.quantilesBisect(
+          rd, "flesch_milli", Seq(0.33, 0.67))
+        rd.crossJoin(broadcast(th.select(col("q_33"), col("q_67"))))
+          .withColumn("phase",
+            when(col("flesch_milli") >= col("q_67"), 0L)
+              .when(col("flesch_milli") >= col("q_33"), 1L)
+              .otherwise(2L))
+      }
     }
     spark.stop()
   }
