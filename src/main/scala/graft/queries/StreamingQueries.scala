@@ -227,6 +227,39 @@ object StreamingQueries extends QueryPack {
           |FROM sg ORDER BY doc_id""".stripMargin)
       }),
 
+    // TTL re-admission over a visit stream — the streaming recrawl
+    // gate: first visit admits, then one visit per elapsed 7-day
+    // window (tumbling from first sight). dropDuplicates can only
+    // dedup forever; re-admission is what a frontier actually needs.
+    // Two-long state per URL, event-time eviction; oracle = the
+    // first-visit-per-window batch replay.
+    "q409_stream_ttl_admission" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val visits = eventsStream(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(concat(lit("u"), col("user_id").cast("string"))
+            .as("url"), col("ts"))
+          .dropDuplicates("url", "ts")
+          .as[Streams.Visit]
+        Streams.runToTable(
+            Streams.ttlAdmission(visits,
+              ttlMs = 7L * 86400000L, evictMs = 365L * 86400000L).toDF(),
+            OutputMode.Append())
+          .orderBy(col("url"), col("ms"))
+      },
+      Some("""WITH v AS (SELECT DISTINCT
+        |    'u' || user_id AS url, epoch_ms(ts) AS ms
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT url, min(ms) AS first_ms FROM v GROUP BY 1),
+        |b AS (SELECT v.url, v.ms,
+        |    (v.ms - f.first_ms) // 604800000 AS bucket
+        |  FROM v JOIN f USING (url)),
+        |r AS (SELECT url, ms, bucket, row_number() OVER (
+        |    PARTITION BY url, bucket ORDER BY ms) AS rn FROM b)
+        |SELECT url, ms, bucket FROM r WHERE rn = 1
+        |ORDER BY url, ms""".stripMargin)),
+
     // q88's streaming signature dedup on ONE-PERMUTATION signatures:
     // the one-pass OPH kernel (q380) feeding the same
     // flatMapGroupsWithState canonical election — the signature stage

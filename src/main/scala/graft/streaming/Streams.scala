@@ -131,6 +131,65 @@ object Streams {
       }
   }
 
+  final case class Visit(url: String, ts: java.sql.Timestamp)
+  final case class AdmState(firstMs: Long, maxBucket: Long)
+  final case class Admission(url: String, ms: Long, bucket: Long)
+
+  /** TTL re-admission — the streaming recrawl gate: a URL's FIRST
+    * visit is admitted, and thereafter one visit per elapsed TTL
+    * window (tumbling from the first visit) is re-admitted — the
+    * semantics a crawl frontier needs where
+    * `dropDuplicatesWithinWatermark` can only dedup forever (no
+    * re-admission, ever). State per URL is two longs (first-visit ms,
+    * max admitted window) — bounded regardless of visit volume —
+    * evicted by event-time timeout after `evictMs` of inactivity
+    * (a URL returning later is treated as newly discovered).
+    *
+    * Within a micro-batch visits sort by event time, so bucket
+    * indices are non-decreasing per key and admission = first visit
+    * of each new window — exactly the batch-window oracle.
+    */
+  def ttlAdmission(visits: Dataset[Visit], ttlMs: Long,
+      evictMs: Long, watermarkDelay: String = "3650 days")
+      : Dataset[Admission] = {
+    import visits.sparkSession.implicits._
+    require(ttlMs >= 1 && evictMs >= ttlMs)
+    visits
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (url: String, rows: Iterator[Visit], state: GroupState[AdmState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var st = state.getOption
+            val out = scala.collection.mutable.ListBuffer.empty[Admission]
+            for (t <- sorted) {
+              st match {
+                case None =>
+                  st = Some(AdmState(t, 0L))
+                  out += Admission(url, t, 0L)
+                case Some(s) =>
+                  val b = (t - s.firstMs) / ttlMs
+                  if (b > s.maxBucket) {
+                    st = Some(AdmState(s.firstMs, b))
+                    out += Admission(url, t, b)
+                  }
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(sorted.lastOption
+                .getOrElse(s.firstMs) + evictMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, stage_idx: Int, ms: Long)
   final case class FunnelState(reach: List[Long])
   final case class FunnelReach(user_id: Long, stage_idx: Int, reach_ms: Long)
