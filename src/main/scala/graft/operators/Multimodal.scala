@@ -596,6 +596,55 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, out)
   }
 
+  /** ViT-style patch grid over decoded pixels: the image splits into
+    * `patch`×`patch` tiles (the vision-transformer tokenization) and
+    * each patch reports exact integer intensity stats (sum/min/max) —
+    * the per-patch feature pass a vision data pipeline runs before
+    * embedding. REAL decode (JDK ImageIO) per row with one codec
+    * context per partition, no shuffle; the deterministic synth makes
+    * the decoder's actual pixel values SQL-recomputable, so the whole
+    * decode→patch path hash-gates (the q52 discipline).
+    */
+  def pngPatchGrid(df: DataFrame, idCol: String, patch: Int): DataFrame = {
+    require(patch >= 1)
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("patch_row", LongType),
+      StructField("patch_col", LongType),
+      StructField("px_sum", LongType),
+      StructField("px_min", LongType),
+      StructField("px_max", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(syntheticPng(id)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        for {
+          pr <- 0 until h / patch
+          pc <- 0 until w / patch
+        } yield {
+          var s = 0L; var mn = 255L; var mx = 0L
+          var dx = 0
+          while (dx < patch) {
+            var dy = 0
+            while (dy < patch) {
+              val v = (img.getRGB(pc * patch + dx, pr * patch + dy)
+                & 0xFF).toLong
+              s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              dy += 1
+            }
+            dx += 1
+          }
+          Row(id, pr.toLong, pc.toLong, s, mn, mx)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   /** Explode sampled frames relationally: (media_id, frame_idx,
     * frame_bytes) rows ready for a per-frame model pass. Clip
     * containers get REAL demuxing (every `stride`-th framed payload);

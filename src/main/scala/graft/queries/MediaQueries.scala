@@ -292,6 +292,30 @@ object MediaQueries extends QueryPack {
         |ORDER BY bk.doc_id, bk.bucket""".stripMargin)),
 
 
+    // ViT-style patch tokenization under the oracle gate: the decoded
+    // 8×8 PNG splits into 2×2 patches with exact integer intensity
+    // stats per tile — the decode→patch pass a vision pipeline runs
+    // before embedding, with the REAL JDK decoder's pixel values
+    // recomputed by the oracle from the synthesis formula.
+    "q410_png_patches" -> Q(
+      (s, dir) => Multimodal.pngPatchGrid(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          patch = 2)
+        .orderBy(col("id"), col("patch_row"), col("patch_col")),
+      Some("""WITH px AS (
+        |  SELECT doc_id, i // 8 AS x, i % 8 AS y,
+        |    (doc_id * 31 + i) % 256 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+        |        FROM documents))
+        |SELECT doc_id AS id,
+        |  CAST(y // 2 AS BIGINT) AS patch_row,
+        |  CAST(x // 2 AS BIGINT) AS patch_col,
+        |  CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(min(v) AS BIGINT) AS px_min,
+        |  CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY id, patch_row, patch_col""".stripMargin)),
+
     // REAL pixel resize under the oracle gate: decode the q52 PNG and
     // nearest-neighbor resample 8×8 → 4×4 — on a lossless codec the
     // output pixels are exactly the source pixels at the sampled
