@@ -1003,6 +1003,49 @@ object Multimodal {
     * hash-gates against a gaps-and-islands SQL replay (q249).
     * `first_start` is −1 when a row has no qualifying run.
     */
+  /** Per-frame audio features over REAL PCM decode: the classic VAD
+    * pair — frame energy (Σ sample², exact long) and zero-crossing
+    * count (sign flips between consecutive samples WITHIN the frame,
+    * zero counted as non-negative) — per `frame`-sample window, plus
+    * a `voiced` verdict (energetic and low-crossing). The speech/
+    * music/noise triage a speech-data pipeline runs before ASR.
+    * One codec context per partition; the deterministic synth keeps
+    * the decoder's sample values SQL-recomputable (q249 discipline).
+    */
+  def wavFrameFeatures(df: DataFrame, idCol: String, frame: Int,
+      minEnergy: Long, maxCrossings: Long): DataFrame = {
+    require(frame >= 2)
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("energy", LongType),
+      StructField("n_crossings", LongType),
+      StructField("voiced", BooleanType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val sb = readPcm16(syntheticWav(id)).getOrElse(
+          throw new IllegalStateException(
+            s"WAV decode failed for id $id"))._2
+        val samples = new Array[Long](sb.remaining())
+        var i = 0
+        while (sb.hasRemaining) { samples(i) = sb.get().toLong; i += 1 }
+        (0 until samples.length / frame).map { f =>
+          var e = 0L; var zc = 0L
+          var j = f * frame
+          while (j < (f + 1) * frame) {
+            e += samples(j) * samples(j)
+            if (j > f * frame &&
+              (samples(j) >= 0) != (samples(j - 1) >= 0)) zc += 1
+            j += 1
+          }
+          Row(id, f.toLong, e, zc, e >= minEnergy && zc <= maxCrossings)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   def silenceSegments(df: DataFrame, idCol: String, threshold: Int,
       minRun: Int): DataFrame = {
     require(threshold > 0 && minRun >= 1)

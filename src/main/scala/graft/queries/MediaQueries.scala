@@ -292,6 +292,36 @@ object MediaQueries extends QueryPack {
         |ORDER BY bk.doc_id, bk.bucket""".stripMargin)),
 
 
+    // Per-frame audio VAD features over real PCM decode: energy
+    // (Σ sample², exact long) + zero-crossing count per 16-sample
+    // frame, with the voiced verdict — the speech/noise triage before
+    // ASR. Oracle recomputes the decoder's sample values from the
+    // synthesis formula (q249 discipline).
+    "q411_wav_vad_frames" -> Q(
+      (s, dir) => Multimodal.wavFrameFeatures(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          frame = 16, minEnergy = 8000000000L, maxCrossings = 6L)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          col("energy"), col("n_crossings"), col("voiced"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH s AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+        |        FROM documents)),
+        |f AS (SELECT doc_id, i, v, i // 16 AS frame_idx,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+        |    i % 16 AS o
+        |  FROM s),
+        |g AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |    CAST(sum(v * v) AS BIGINT) AS energy,
+        |    CAST(sum(CASE WHEN o > 0 AND (v >= 0) <> (pv >= 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+        |  FROM f GROUP BY 1, 2)
+        |SELECT doc_id, frame_idx, energy, n_crossings,
+        |  energy >= 8000000000 AND n_crossings <= 6 AS voiced
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ViT-style patch tokenization under the oracle gate: the decoded
     // 8×8 PNG splits into 2×2 patches with exact integer intensity
     // stats per tile — the decode→patch pass a vision pipeline runs
