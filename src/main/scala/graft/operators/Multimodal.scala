@@ -1003,6 +1003,53 @@ object Multimodal {
     * hash-gates against a gaps-and-islands SQL replay (q249).
     * `first_start` is −1 when a row has no qualifying run.
     */
+  /** Video-to-patches E2E: demux the clip container (REAL framing
+    * walk), decode every frame (REAL JDK codec), and patch-tokenize
+    * each decoded frame as [[pngPatchGrid]] — the full
+    * video→frames→patches pass a multimodal training pipeline runs.
+    * Per-partition codec contexts, no shuffle; frame seeds are
+    * deterministic so the triple-decode chain stays SQL-recomputable.
+    */
+  def clipPatchGrid(df: DataFrame, idCol: String, nFrames: Int,
+      patch: Int): DataFrame = {
+    require(nFrames >= 1 && patch >= 1)
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("patch_row", LongType),
+      StructField("patch_col", LongType),
+      StructField("px_sum", LongType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        clipFrames(syntheticClip(id, nFrames)).zipWithIndex.flatMap {
+          case (png, f) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            val (w, h) = (img.getWidth, img.getHeight)
+            for {
+              pr <- 0 until h / patch
+              pc <- 0 until w / patch
+            } yield {
+              var s = 0L
+              var dx = 0
+              while (dx < patch) {
+                var dy = 0
+                while (dy < patch) {
+                  s += (img.getRGB(pc * patch + dx, pr * patch + dy)
+                    & 0xFF).toLong
+                  dy += 1
+                }
+                dx += 1
+              }
+              Row(id, f.toLong, pr.toLong, pc.toLong, s)
+            }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   /** Per-frame audio features over REAL PCM decode: the classic VAD
     * pair — frame energy (Σ sample², exact long) and zero-crossing
     * count (sign flips between consecutive samples WITHIN the frame,

@@ -292,6 +292,31 @@ object MediaQueries extends QueryPack {
         |ORDER BY bk.doc_id, bk.bucket""".stripMargin)),
 
 
+    // Video→frames→patches E2E: real container demux, real per-frame
+    // decode, patch tokenization — the full multimodal ingest chain,
+    // with every pixel of every frame recomputed by the oracle from
+    // the frame-seed formula (frame f of clip d is the seed-(d+f)
+    // image).
+    "q412_clip_patches" -> Q(
+      (s, dir) => Multimodal.clipPatchGrid(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          nFrames = 2, patch = 4)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          col("patch_row"), col("patch_col"), col("px_sum"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("patch_row"),
+          col("patch_col")),
+      Some("""WITH px AS (
+        |  SELECT doc_id, f, i // 8 AS x, i % 8 AS y,
+        |    ((doc_id + f) * 31 + i) % 256 AS v
+        |  FROM (SELECT doc_id, unnest([0, 1]) AS f FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(y // 4 AS BIGINT) AS patch_row,
+        |  CAST(x // 4 AS BIGINT) AS patch_col,
+        |  CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY doc_id, frame_idx, patch_row, patch_col""".stripMargin)),
+
     // Per-frame audio VAD features over real PCM decode: energy
     // (Σ sample², exact long) + zero-crossing count per 16-sample
     // frame, with the voiced verdict — the speech/noise triage before
