@@ -659,6 +659,65 @@ object CoreQueries extends QueryPack {
         |WHERE a.k IS NULL OR b.k IS NULL
         |  OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
         |  OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
-        |ORDER BY k""".stripMargin))
+        |ORDER BY k""".stripMargin)),
+
+    // The SQL-API surface: the corpus quality rollup expressed as
+    // PURE spark.sql over registered temp views — the entry path a
+    // SQL-first consumer of this library uses. Same Catalyst plan as
+    // the DataFrame form (one scan, one partial agg); the gate proves
+    // the SQL dialect subset used is ANSI-portable.
+    "q413_sql_api" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_docs")
+        s.sql("""
+          SELECT source,
+                 count(*) AS n_docs,
+                 sum(n_chars) AS total_chars,
+                 count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+                 min(n_chars) AS min_chars,
+                 max(n_chars) AS max_chars
+          FROM g_docs
+          GROUP BY source
+          ORDER BY source""")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin)),
+
+    // The typed Dataset[T] surface: a case-class pipeline
+    // (filter → groupByKey → mapGroups) with compile-time field
+    // safety — the Scala-first entry path, gated like everything
+    // else. Encoders keep the plan columnar (no opaque closures in
+    // the scan); the per-group fold is the one deliberate typed step.
+    "q414_typed_dataset" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("lang"), lit("")).as("lang"),
+            col("n_chars"))
+          .as[graft.model.DocMeta]
+        ds.filter(_.n_chars >= 100)
+          .groupByKey(_.source)
+          .mapGroups { (src, rows) =>
+            var n = 0L; var en = 0L; var maxC = 0L
+            rows.foreach { d =>
+              n += 1
+              if (d.lang == "en") en += 1
+              if (d.n_chars > maxC) maxC = d.n_chars
+            }
+            graft.model.SourceStats(src, n, en, maxC)
+          }
+          .toDF()
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY source ORDER BY source""".stripMargin))
   )
 }
