@@ -449,6 +449,74 @@ object LlmQueries extends QueryPack {
           |FROM b ORDER BY doc_id""".stripMargin)
       }),
 
+    // OPH signature-agreement Jaccard estimate vs the exact set
+    // Jaccard on the sample's near-dup pairs — the q154-style
+    // accuracy gate for the one-permutation family: est = matches/k,
+    // exact = |∩|·1e6 div |∪|, both integers. High-similarity pairs
+    // must agree on (almost) all bins; the gate pins the estimator's
+    // actual values, not a tolerance.
+    "q415_oph_jaccard_est" -> Q(
+      (s, dir) => {
+        val sample = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+        val sig = Dedup.minhashSignaturesOnePerm(
+          sample, "doc_id", "text", 1, 8)
+        val pairs = Dedup.nearDupPairs(sample, "doc_id", "text",
+          shingleN = 1, k = 32, bands = 16, threshold = 0.9)
+        val a = sig.select(col("doc_id").as("id_a") +:
+          (0 until 8).map(i => col(s"m$i").as(s"a$i")): _*)
+        val b = sig.select(col("doc_id").as("id_b") +:
+          (0 until 8).map(i => col(s"m$i").as(s"b$i")): _*)
+        pairs.select(col("id_a"), col("id_b"))
+          .join(a, "id_a").join(b, "id_b")
+          .withColumn("matches",
+            (0 until 8).map(i =>
+              when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+              .reduce(_ + _))
+          .select(col("id_a"), col("id_b"), col("matches"),
+            expr("matches * 1000000L div 8").as("est_ppm"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      {
+        val binMins = (0 until 8).map(i =>
+          s"list_min(list_filter(l, x -> x % 8 = $i)) AS b$i")
+          .mkString(",\n|    ")
+        val dens = (0 until 8).map { i =>
+          val chain = (0 until 8).map(d => s"b${(i + d) % 8}")
+            .mkString(", ")
+          s"coalesce($chain) AS m$i"
+        }.mkString(",\n|  ")
+        val m = (0 until 8).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        Some(s"""WITH $samplePairsCte,
+          |tok AS (SELECT doc_id,
+          |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |      ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+          |  FROM documents WHERE doc_id % 20 = 0),
+          |sh AS (SELECT doc_id,
+          |    unnest(CASE WHEN len(t) < 1 THEN [array_to_string(t, ' ')]
+          |      ELSE t END) AS s
+          |  FROM tok),
+          |h AS (SELECT doc_id,
+          |    list(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+          |      % ${Dedup.P}) AS l
+          |  FROM sh GROUP BY 1),
+          |bm AS (SELECT doc_id,
+          |    $binMins
+          |  FROM h),
+          |sg AS (SELECT doc_id,
+          |  $dens
+          |  FROM bm)
+          |SELECT jp.id_a, jp.id_b,
+          |  CAST($m AS BIGINT) AS matches,
+          |  CAST($m AS BIGINT) * 1000000 // 8 AS est_ppm
+          |FROM jp
+          |JOIN sg sa ON jp.id_a = sa.doc_id
+          |JOIN sg sb ON jp.id_b = sb.doc_id
+          |ORDER BY jp.id_a, jp.id_b""".stripMargin)
+      }),
+
     // SimHash (32 bits over the md5-derived token hash).
     "q29_simhash" -> Q(
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text",

@@ -437,6 +437,35 @@ object ScaleQueries extends QueryPack {
         |    AS pos1
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Shard manifests with content checksums: per q355 shard, member
+    // count, byte total, and a manifest digest — md5 over the
+    // position-ordered member fingerprints — the integrity artifact
+    // that ships WITH a shard so a trainer can verify what it read.
+    // Position-ordered aggregation keeps the digest deterministic.
+    "q416_shard_manifest" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            md5(coalesce(col("text"), lit(""))).as("fp"))
+        Corpus.epochShuffle(d, "doc_id", "e0", shardSize = 64L)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            md5(array_join(transform(array_sort(collect_list(
+              struct(col("epoch_pos"), col("fp").as("p")))),
+              s2 => s2.getField("p")), "")).as("manifest_md5"))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars,
+        |    md5(coalesce(text, '')) AS fp,
+        |    row_number() OVER (ORDER BY md5('e0:' || doc_id), doc_id)
+        |      - 1 AS pos
+        |  FROM documents)
+        |SELECT pos // 64 AS shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  md5(string_agg(fp, '' ORDER BY pos)) AS manifest_md5
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin)),
+
     // Distributed prefix sum → concatenated-shard byte offsets: each
     // doc's inclusive cumulative size, exclusive start offset, and
     // the 64 KiB-file assignment of its start — against the naive
