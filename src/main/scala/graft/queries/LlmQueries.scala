@@ -1028,6 +1028,146 @@ object LlmQueries extends QueryPack {
         |FROM corp c LEFT JOIN bench b ON c.h = b.h
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Source-grain contamination rollup — q83's per-doc readout
+    // aggregated to the governance dashboard: per source, docs
+    // scanned, docs with ANY benchmark-bigram overlap, and the mean
+    // per-doc contaminated share in integer ppm (exact: Σ ratios via
+    // cross-multiplied integers, never floats).
+    "q417_source_contamination" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val per = QualityFilters.contamination(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 2)
+        per.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_contaminated") > 0, 1L).otherwise(0L))
+              .as("n_hit"),
+            sum(expr("n_contaminated * 1000000L div n_ngrams"))
+              .as("__sum_ppm"))
+          .withColumn("mean_doc_ppm", expr("__sum_ppm div n_docs"))
+          .drop("__sum_ppm")
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, $normTokens AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |    END) AS s
+        |  FROM toks),
+        |h AS (SELECT DISTINCT doc_id, ${h60sql("s")} % ${Dedup.P} AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 25 = 0),
+        |corp AS (SELECT doc_id, h FROM h WHERE doc_id % 25 <> 0),
+        |per AS (SELECT c.doc_id, count(*) AS n_ngrams,
+        |    count(b.h) AS n_cont
+        |  FROM corp c LEFT JOIN bench b ON c.h = b.h
+        |  GROUP BY c.doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN per.n_cont > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(per.n_cont * 1000000 // per.n_ngrams) AS BIGINT)
+        |    // count(*) AS mean_doc_ppm
+        |FROM per JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY d.source""".stripMargin)),
+
+    // SFT control-token hygiene: docs carrying chat-template control
+    // sequences (<|im_start|>, <|endoftext|>, role markers) that
+    // would break template rendering if they reached SFT data raw.
+    // Literal contains (no regex), counts per marker — the scan every
+    // instruction-data pipeline runs before templating.
+    "q418_control_tokens" -> Q(
+      (s, dir) => {
+        val markers = Seq("<|im_start|>", "<|endoftext|>", "</s>")
+        val page = concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 41 === 0, lit(" <|im_start|>user"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 43 === 0, lit(" trailing </s>"))
+            .otherwise(lit("")))
+        val flags = markers.zipWithIndex.map { case (m, i) =>
+          when(col("__t").contains(m), 1L).otherwise(0L).as(s"hit$i")
+        }
+        Tables.documents(s, dir)
+          .select(col("doc_id"), page.as("__t"))
+          .select(col("doc_id") +: flags: _*)
+          .withColumn("n_markers",
+            markers.indices.map(i => col(s"hit$i")).reduce(_ + _))
+          .withColumn("tainted", col("n_markers") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    coalesce(text, '') ||
+        |    CASE WHEN doc_id % 41 = 0 THEN ' <|im_start|>user'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 43 = 0 THEN ' trailing </s>'
+        |         ELSE '' END AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN contains(s, '<|im_start|>') THEN 1 ELSE 0 END
+        |    AS BIGINT) AS hit0,
+        |  CAST(CASE WHEN contains(s, '<|endoftext|>') THEN 1 ELSE 0 END
+        |    AS BIGINT) AS hit1,
+        |  CAST(CASE WHEN contains(s, '</s>') THEN 1 ELSE 0 END
+        |    AS BIGINT) AS hit2,
+        |  CAST(CASE WHEN contains(s, '<|im_start|>') THEN 1 ELSE 0 END
+        |    + CASE WHEN contains(s, '<|endoftext|>') THEN 1 ELSE 0 END
+        |    + CASE WHEN contains(s, '</s>') THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_markers,
+        |  contains(s, '<|im_start|>') OR contains(s, '<|endoftext|>')
+        |    OR contains(s, '</s>') AS tainted
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Digit-normalized dedup (the CCNet fingerprint convention:
+    // digit runs collapse to 0 before hashing, so "v1.2 of 2024"
+    // and "v3.4 of 2025" dedup as template copies): docs ≡ 0 mod 31
+    // plant a digit-variant near-copy of their base text. Reports
+    // the merges plain fingerprints miss.
+    "q419_digit_norm_dedup" -> Q(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" build "),
+            when(col("doc_id") % 31 === 0,
+              (col("doc_id") % 7).cast("string"))
+              .otherwise(lit("x")),
+            lit(" rev "), (expr("doc_id div 31") % 5).cast("string"))
+            .as("t"))
+        val fpPlain = md5(col("t"))
+        val fpNorm = md5(regexp_replace(col("t"), "[0-9]+", "0"))
+        val fps = base.select(col("doc_id"), fpPlain.as("fp_plain"),
+          fpNorm.as("fp_norm"))
+        val plain = fps.groupBy(col("fp_plain"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(coalesce(sum(col("n") - 1), lit(0L)).as("plain_merged"))
+        val norm = fps.groupBy(col("fp_norm"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(coalesce(sum(col("n") - 1), lit(0L)).as("norm_merged"))
+        plain.crossJoin(norm)
+          .withColumn("extra_merges",
+            col("norm_merged") - col("plain_merged"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |    coalesce(text, '') || ' build ' ||
+        |    CASE WHEN doc_id % 31 = 0 THEN CAST(doc_id % 7 AS VARCHAR)
+        |         ELSE 'x' END ||
+        |    ' rev ' || CAST((doc_id // 31) % 5 AS VARCHAR) AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, md5(t) AS fp_plain,
+        |    md5(regexp_replace(t, '[0-9]+', '0', 'g')) AS fp_norm
+        |  FROM b),
+        |p AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |    AS plain_merged
+        |  FROM (SELECT fp_plain, count(*) AS n FROM f GROUP BY 1)
+        |  WHERE n > 1),
+        |q AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |    AS norm_merged
+        |  FROM (SELECT fp_norm, count(*) AS n FROM f GROUP BY 1)
+        |  WHERE n > 1)
+        |SELECT p.plain_merged, q.norm_merged,
+        |  q.norm_merged - p.plain_merged AS extra_merges
+        |FROM p, q""".stripMargin)),
+
     // The COMPOSED dedup pipeline end-to-end: near-dup pairs → group
     // collapse → kept corpus (keepers + documents untouched by any
     // pair). The oracle closes the all-pairs edge set transitively and
