@@ -1836,6 +1836,44 @@ object IndexQueries extends QueryPack {
         |  (df * 8 - varint_bytes) * 1000000 // (df * 8) AS savings_ppm
         |FROM b ORDER BY token""".stripMargin)),
 
+    // Proximity ranking: docs containing both query terms rank by
+    // the MINIMAL gap between an occurrence of each — the classic
+    // lexical-proximity feature between bag-of-words and phrase
+    // match. One doc-keyed lag window over the term-filtered
+    // positional slice (adjacent different-type pairs suffice: the
+    // minimal mixed gap is always adjacent in sorted position order).
+    "q420_proximity_rank" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = Search.positionalPostings(
+            Tables.documents(s, dir), "doc_id", "text")
+          .filter(col("token").isin("fast", "table"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val gaps = p
+          .withColumn("ptok", lag(col("token"), 1).over(w))
+          .withColumn("ppos", lag(col("pos"), 1).over(w))
+          .filter(col("ptok").isNotNull && col("ptok") =!= col("token"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("pos") - col("ppos")).as("min_gap"))
+        gaps.orderBy(col("min_gap"), col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("min_gap"), col("doc_id"))).cast("long"))
+      },
+      Some(s"""WITH $toksCte,
+        |p AS (SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(toks) AS token FROM t),
+        |f AS (SELECT doc_id, pos, token,
+        |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS ptok,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+        |  FROM p WHERE token IN ('fast', 'table')),
+        |g AS (SELECT doc_id, min(pos - ppos) AS min_gap
+        |  FROM f WHERE ptok IS NOT NULL AND ptok <> token
+        |  GROUP BY 1)
+        |SELECT doc_id, min_gap, row_number() OVER (
+        |    ORDER BY min_gap, doc_id) AS rank
+        |FROM g ORDER BY min_gap, doc_id LIMIT 20""".stripMargin)),
+
     // Best-snippet selection: the 8-token span covering the most
     // distinct query terms (ties to the earliest start), anchored at
     // term hits — the highlighting anchor of a result page. Distinct
