@@ -18,6 +18,10 @@ object Sessions {
   def localBuilder(cores: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      // the graft extension point: native-function SQL registration +
+      // the kernel-fusion optimizer rule (portable shingle→hash
+      // composition rewrites to the fused native expression)
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -33,6 +33,29 @@ class ShingleHashesSpec extends SparkSpec {
     assert(got(3).isNullAt(1)) // null propagates
   }
 
+  test("FuseShingleHashes rewrites the portable composition to the kernel") {
+    // a parquet-backed frame: a literal one would constant-fold into
+    // a LocalRelation before the plan can be inspected
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val portable = transform(
+      WordShingles.shinglesNative(col("text"), 3),
+      s => Md5Hash60.hash60Native(s) % Dedup.P)
+    val df = docs.select(col("doc_id"), portable.as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_shingle_hashes"),
+      s"fusion rule did not fire:\n$optimized")
+    assert(!optimized.contains("transform("),
+      "portable ArrayTransform survived the rewrite")
+    // and the rewritten plan still computes the right values
+    val got = df.orderBy("doc_id").limit(5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val direct = docs.select(col("doc_id"),
+        ShingleHashes.shingleHashesNative(col("text"), 3, Dedup.P))
+      .orderBy("doc_id").limit(5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(got === direct)
+  }
+
   test("agrees between codegen and interpreted paths") {
     import spark.implicits._
     val texts = Seq.tabulate(30)(i => s"tok$i " * (i % 7 + 1))
