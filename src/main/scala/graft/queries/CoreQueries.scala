@@ -687,6 +687,30 @@ object CoreQueries extends QueryPack {
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin)),
 
+    // The SQL-registered NATIVE function surface: graft_dot — the
+    // codegen dot-product expression injected via
+    // SparkSessionExtensions — called from pure SQL. Proves the
+    // extension registration end to end; the oracle replays the
+    // strict left-to-right fold, which the native kernel is
+    // spec-proven bit-identical to.
+    "q421_sql_native_fn" -> Q(
+      (s, dir) => {
+        Tables.embeddings(s, dir).createOrReplaceTempView("g_emb")
+        s.sql("""
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 graft_dot(a.embedding, b.embedding) AS dot
+          FROM g_emb a JOIN g_emb b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % 50 = 0
+          ORDER BY qid""")
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+        |    ${SimilarityQueries.vSql} AS v FROM embeddings)
+        |SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |  ${SimilarityQueries.dd("a.v", "b.v")} AS dot
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id % 50 = 0
+        |ORDER BY qid""".stripMargin)),
+
     // The typed Dataset[T] surface: a case-class pipeline
     // (filter → groupByKey → mapGroups) with compile-time field
     // safety — the Scala-first entry path, gated like everything
