@@ -1028,6 +1028,47 @@ object LlmQueries extends QueryPack {
         |FROM corp c LEFT JOIN bench b ON c.h = b.h
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Near-dup split leakage — the axis q147's exact fingerprints
+    // can't see: hash-split the sample, then count near-dup PAIRS
+    // whose endpoints land in different splits (a val doc
+    // near-duplicating a train doc silently inflates eval). Per
+    // (split_a, split_b) cell counts over the q30 pair truth.
+    "q422_neardup_split_leakage" -> Q(
+      (s, dir) => {
+        val sample = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+        val splits = Corpus.hashSplit(sample, "doc_id", "v1",
+            Seq(("train", 8), ("val", 1), ("test", 1)))
+          .select(col("doc_id"), col("split"))
+        val pairs = Dedup.nearDupPairs(sample, "doc_id", "text",
+          shingleN = 1, k = 32, bands = 16, threshold = 0.9)
+        pairs
+          .join(splits.select(col("doc_id").as("id_a"),
+            col("split").as("split_a")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"),
+            col("split").as("split_b")), "id_b")
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("split_a") =!= col("split_b"), 1L)
+              .otherwise(0L)).as("n_leaked"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH $samplePairsCte,
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      CAST(('0x' || substr(md5(doc_id || ':v1'), 1, 15))
+        |        AS BIGINT) % 10 AS b
+        |    FROM documents WHERE doc_id % 20 = 0))
+        |SELECT a.split AS split_a, b.split AS split_b,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leaked
+        |FROM jp JOIN sp a ON jp.id_a = a.doc_id
+        |JOIN sp b ON jp.id_b = b.doc_id
+        |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
+
     // Source-grain contamination rollup — q83's per-doc readout
     // aggregated to the governance dashboard: per source, docs
     // scanned, docs with ANY benchmark-bigram overlap, and the mean
