@@ -1748,6 +1748,51 @@ object CrawlQueries extends QueryPack {
         |LEFT JOIN kd USING (doc_id) LEFT JOIN ph USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Dataset card v2 — the one-row corpus summary a release ships
+    // with, extended with this round's signal battery: source/lang
+    // breadth, exact-dup share, and the on-page spam share, all in
+    // integer ppm. Three 1-row aggregates cross-attached.
+    "q423_dataset_card_v2" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val spam = HtmlExtract.spamSignals(spamPageFrom(docs),
+            "doc_id", "html")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("hidden") || col("stuffed"), 1L)
+              .otherwise(0L)).as("n_spam"))
+        val base = docs.agg(
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        val dup = docs
+          .select(md5(trim(lower(coalesce(col("text"), lit("")))))
+            .as("f"))
+          .groupBy(col("f")).agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_dups"))
+        spam.crossJoin(base).crossJoin(dup)
+          .withColumn("spam_ppm", expr("n_spam * 1000000L div n_docs"))
+          .withColumn("dup_ppm", expr("n_dups * 1000000L div n_docs"))
+      },
+      Some(s"""WITH fl AS ($spamOracleSql),
+        |sp AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN hidden OR stuffed THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_spam
+        |  FROM fl),
+        |b AS (SELECT
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents),
+        |d AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_dups
+        |  FROM (SELECT md5(trim(lower(coalesce(text, '')))) AS f,
+        |      count(*) AS n FROM documents GROUP BY 1)
+        |  WHERE n > 1)
+        |SELECT sp.n_docs, sp.n_spam, b.n_sources, b.n_langs,
+        |  b.total_chars, d.n_dups,
+        |  sp.n_spam * 1000000 // sp.n_docs AS spam_ppm,
+        |  d.n_dups * 1000000 // sp.n_docs AS dup_ppm
+        |FROM sp, b, d""".stripMargin)),
+
     // Streaming spam triage: the SAME generator and the SAME
     // spamSignals battery per micro-batch over a documents stream —
     // correct because every signal is doc-local (hidden extraction a
