@@ -42,13 +42,33 @@ object Bench {
       case None => SparkEntry.queries
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // settle heap debt left by earlier queries before timing this
-      // one — 650+ plan materializations in one JVM otherwise bleed
-      // GC pauses into whichever query happens to run when the
-      // collector catches up (standard microbench hygiene)
+
+    /** Per-query state reset (VERDICT r7 item 1): 400+ sequential plan
+      * materializations in one JVM accumulate storage debt that
+      * `System.gc()` alone no longer clears — the r7 driver medians ran
+      * up to ~3× their idle times on the slowest cohort. Three leak
+      * classes, each with its own sweep:
+      *  - cached tables/datasets → `catalog.clearCache()`;
+      *  - `localCheckpoint`/`persist` blocks whose DataFrame refs the
+      *    operator dropped (iterative ops: Dedup/Graph/Bpe/Eval/Chat)
+      *    — ContextCleaner frees these only asynchronously after a GC
+      *    notices the orphaned ref, so a SYNCHRONOUS
+      *    `getPersistentRDDs.unpersist(blocking)` sweep is the only
+      *    deterministic release;
+      *  - ordinary heap garbage → `System.gc()` last, so the two
+      *    sweeps above have already dropped their references.
+      * All of this runs OUTSIDE the timed window.
+      */
+    def resetState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
+    }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until iters).iterator.map { _ =>
+        resetState()
         val t0 = System.nanoTime()
         try { runOne(fn); (System.nanoTime() - t0) / 1e9 } catch {
           case e: Throwable =>
@@ -87,6 +107,7 @@ object Bench {
     // without anyone having to re-run the bench on an idle machine.
     val recheck = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (name, med) =>
+        resetState()
         val t0 = System.nanoTime()
         val re = try { runOne(selected(name)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }

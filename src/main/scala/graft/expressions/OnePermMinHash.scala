@@ -26,9 +26,18 @@ object OnePermUtil {
     var i = 0
     val n = hashes.numElements()
     while (i < n) {
-      val h = hashes.getLong(i)
-      val j = (h % k).toInt // hashes are 60-bit non-negative by contract
-      if (!has(j) || h < mins(j)) { mins(j) = h; has(j) = true }
+      // null elements are SKIPPED — exactly what the portable
+      // filter/array_min composition does (null % k is null, so the
+      // filter drops it); transform-built producer arrays carry
+      // containsNull=true even when no element is ever null
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        // floorMod keeps the bin in [0, k) even for an
+        // out-of-contract negative hash (identical to % for the
+        // non-negative 60-bit contract case)
+        val j = java.lang.Math.floorMod(h, k.toLong).toInt
+        if (!has(j) || h < mins(j)) { mins(j) = h; has(j) = true }
+      }
       i += 1
     }
     val out = new Array[AnyRef](k)

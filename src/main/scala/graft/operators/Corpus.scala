@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Corpus-assembly operators for training-data pipelines: deterministic
   * train/validation/test splits and token-budget shard packing — the
@@ -1028,6 +1029,7 @@ object Corpus {
       bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    requireIntegralKey(df, keyCol, "prefixSum")
     val b = df.withColumn("__bucket", expr(s"$keyCol div $bucketWidth"))
     val offsets = b.groupBy(col("__bucket"))
       .agg(sum(col(valCol)).as("__n"))
@@ -1086,12 +1088,26 @@ object Corpus {
     * don't-care for the caller (ties sharing value land in one
     * bucket, so any permutation inside a tie group keeps the group's
     * rank range). Adds `__rg`.
+    *
+    * Accepts any NUMERIC value column: integral types bucket by exact
+    * `div`; fractional types (double/float/decimal — classifier
+    * scores, ratios) bucket by `floor(v / width)`, equally monotone —
+    * and since the within-bucket order uses the RAW value, precision
+    * loss in the bucket key can only skew bucket sizes, never ranks.
     */
   def bucketedRankBy(df: DataFrame, valCol: String,
       tieCols: Seq[String], bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    val b = df.withColumn("__rb", expr(s"$valCol div ${bucketWidth}L"))
+    val bucketKey = df.schema(valCol).dataType match {
+      case types.ByteType | types.ShortType | types.IntegerType |
+          types.LongType => expr(s"$valCol div ${bucketWidth}L")
+      case types.DoubleType | types.FloatType | (_: types.DecimalType) =>
+        floor(col(valCol) / lit(bucketWidth)).cast("long")
+      case t => throw new IllegalArgumentException(
+        s"bucketedRankBy requires a numeric $valCol, got $t")
+    }
+    val b = df.withColumn("__rb", bucketKey)
     val offsets = b.groupBy(col("__rb"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__roff",
@@ -1105,10 +1121,26 @@ object Corpus {
       .drop("__rb", "__roff")
   }
 
+  /** div-bucketing key contract shared by [[prefixSum]] /
+    * [[globalRowNumber]]: the key must be integral (ids, ppm-scaled
+    * scores). Fractional keys belong in [[bucketedRankBy]], which
+    * floor-buckets them.
+    */
+  private def requireIntegralKey(df: DataFrame, keyCol: String,
+      op: String): Unit = df.schema(keyCol).dataType match {
+    case types.ByteType | types.ShortType | types.IntegerType |
+        types.LongType => ()
+    case t => throw new IllegalArgumentException(
+      s"$op requires an integral $keyCol (div-bucketing contract), " +
+        s"got $t — scale fractional values to integer ppm first, or " +
+        "use bucketedRankBy which floor-buckets fractional types")
+  }
+
   def globalRowNumber(df: DataFrame, keyCol: String,
       bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    requireIntegralKey(df, keyCol, "globalRowNumber")
     val b = df.withColumn("__bucket", expr(s"$keyCol div $bucketWidth"))
     val offsets = b.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__n"))

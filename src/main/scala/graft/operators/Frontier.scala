@@ -44,14 +44,20 @@ object Frontier {
     * whole corpus in batch. `keyCols ++ (url)` must be unique —
     * duplicate rows would silently merge in the verdict groupBy.
     * `rtype` values other than `allow` count as disallow.
+    *
+    * `broadcastRules` (default true) hints the rules side broadcast —
+    * right for the common case of a crawl-cycle rule set that fits in
+    * memory. A web-scale rules table (millions of hosts × rules) must
+    * pass false: the join then stays a host-keyed equi-join and AQE
+    * decides the physical strategy from actual sizes.
     */
   def robotsGateKeyed(urls: DataFrame, rules: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], broadcastRules: Boolean = true): DataFrame = {
     val r = rules.select(col("host"), col("rtype").as("__rtype"),
       col("prefix").as("__prefix"))
     val hit = col("__prefix").isNotNull &&
       col("path").startsWith(col("__prefix"))
-    urls.join(broadcast(r), Seq("host"), "left")
+    urls.join(if (broadcastRules) broadcast(r) else r, Seq("host"), "left")
       .groupBy((keyCols ++ Seq("url", "host", "path")).map(col): _*)
       .agg(max(when(hit, length(col("__prefix")).cast("long") * 2 +
           when(col("__rtype") === "allow", 1L).otherwise(0L)))
@@ -77,10 +83,20 @@ object Frontier {
     * One bounded catalyst fold over each file's line array (the
     * [[Warc.parseRecords]] discipline — group state is inherently
     * sequential per FILE, files parallelize freely); `maxLines`
-    * bounds the fold. Emits one row per accepted rule in file order.
+    * bounds the fold (the fold is a runtime higher-order `aggregate`,
+    * not an unrolled expression tree, so the bound costs nothing at
+    * plan time). Default 1024 covers real robots.txt files, which
+    * commonly run to hundreds of lines. Emits one row per accepted
+    * rule in file order, plus `truncated` — true when the file had
+    * MORE lines than `maxLines`, so a caller can detect a partially
+    * parsed file instead of silently default-allowing the URLs its
+    * dropped Disallow lines covered. (A truncated file whose bounded
+    * prefix yields zero rules emits zero rows either way; callers
+    * auditing for that compute `size(split(txt,'\n')) > maxLines`
+    * on the raw file frame.)
     */
   def parseRobots(df: DataFrame, hostCol: String, txtCol: String,
-      maxLines: Int = 64): DataFrame = {
+      maxLines: Int = 1024): DataFrame = {
     require(maxLines >= 1, s"maxLines must be >= 1, got $maxLines")
     val lines = split(coalesce(col(txtCol), lit("")), "\n")
     val init = struct(lit(1).as("ua"), lit(0).as("act"),
@@ -119,9 +135,10 @@ object Frontier {
               st.getField("rules").as("rules")))
       })
     df.select(col(hostCol).as("host"),
+        (size(lines) > maxLines).as("truncated"),
         explode(folded.getField("rules")).as("r"))
       .select(col("host"), col("r.rtype").as("rtype"),
-        col("r.prefix").as("prefix"))
+        col("r.prefix").as("prefix"), col("truncated"))
   }
 
   /** Sitemap parsing — the DISCOVERY side of the frontier (robots is

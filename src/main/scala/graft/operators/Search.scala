@@ -75,10 +75,16 @@ object Search {
   def postingCompression(tf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    // exact LEB128 width ⌈bits/7⌉ over the full non-negative long
+    // range: 60-bit hash doc ids (used as ids elsewhere in this repo)
+    // take 9 bytes; a negative long (out of contract, but a gap never
+    // is one) would need the 10-byte max, the final otherwise
     def varintBytes(c: Column): Column =
-      when(c < 128L, 1L).when(c < (1L << 14), 2L)
+      when(c < (1L << 7), 1L).when(c < (1L << 14), 2L)
         .when(c < (1L << 21), 3L).when(c < (1L << 28), 4L)
-        .otherwise(5L)
+        .when(c < (1L << 35), 5L).when(c < (1L << 42), 6L)
+        .when(c < (1L << 49), 7L).when(c < (1L << 56), 8L)
+        .when(c >= 0L, 9L).otherwise(10L)
     tf.select(col("token"), col("doc_id"))
       .withColumn("__gap",
         col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w),

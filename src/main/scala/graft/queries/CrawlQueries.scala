@@ -1222,7 +1222,7 @@ object CrawlQueries extends QueryPack {
         |  ('host3.com', 'disallow', '/d/'), ('host3.com', 'allow', '/d/'),
         |  ('host4.com', 'disallow', '/idx'), ('host5.com', 'disallow', '/'),
         |  ('hub.example.com', 'allow', '/'))
-        |SELECT host, rtype, prefix FROM r
+        |SELECT host, rtype, prefix, FALSE AS truncated FROM r
         |ORDER BY host, rtype, prefix""".stripMargin)),
 
     // In-page robots META directives — the page-side half of REP:

@@ -1830,7 +1830,11 @@ object IndexQueries extends QueryPack {
         |      WHEN gap < 16384 THEN 2
         |      WHEN gap < 2097152 THEN 3
         |      WHEN gap < 268435456 THEN 4
-        |      ELSE 5 END) AS BIGINT) AS varint_bytes
+        |      WHEN gap < 34359738368 THEN 5
+        |      WHEN gap < 4398046511104 THEN 6
+        |      WHEN gap < 562949953421312 THEN 7
+        |      WHEN gap < 72057594037927936 THEN 8
+        |      ELSE 9 END) AS BIGINT) AS varint_bytes
         |  FROM g GROUP BY 1)
         |SELECT token, df, df * 8 AS raw_bytes, varint_bytes,
         |  (df * 8 - varint_bytes) * 1000000 // (df * 8) AS savings_ppm

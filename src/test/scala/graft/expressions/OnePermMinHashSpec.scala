@@ -57,6 +57,30 @@ class OnePermMinHashSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("negative elements bin via floorMod instead of throwing") {
+    import spark.implicits._
+    // out-of-contract negative hash: floorMod(-3, 4) = 1, so it
+    // lands in bin 1 (and is that bin's min) — no AIOOBE
+    val got = Seq(Seq(-3L, 8L, 5L)).toDF("__h")
+      .select(OnePermMinHash.onePermNative(col("__h"), 4))
+      .collect().head.getSeq[Any](0)
+    assert(got === Seq(8L, -3L, 8L, 8L))
+  }
+
+  test("null elements are skipped, matching the portable filter drop") {
+    import spark.implicits._
+    // {8, null, 5, 13} must equal {8, 5, 13}: the portable
+    // composition's filter drops the null (null % k is null), and
+    // the kernel mirrors that instead of crashing on getLong
+    val withNull = Seq(Seq(1L, 8L, 5L, 13L)).toDF("__h")
+      .select(transform(col("__h"),
+        h => when(h =!= 1L, h)).as("__hn")) // containsNull=true
+    val got = withNull
+      .select(OnePermMinHash.onePermNative(col("__hn"), 4))
+      .collect().head.getSeq[Any](0)
+    assert(got === Seq(8L, 5L, 8L, 8L))
+  }
+
   test("agrees between codegen and interpreted paths") {
     val hs = Seq.tabulate(40)(i => Seq.tabulate(i)(j => (j * 977L + i) % Dedup.P))
     import spark.implicits._

@@ -207,6 +207,23 @@ class AnalyticsSpec extends SparkSpec {
       === 0.0)
   }
 
+  test("aucExact accepts fractional (double) score columns") {
+    import spark.implicits._
+    // same pairwise structure as the long fixture, scores scaled to
+    // sub-integer doubles (the common classifier-probability shape
+    // the div-bucketed rank used to reject with DATATYPE_MISMATCH)
+    val df = Seq((0.3, true), (0.2, true), (0.1, false), (0.2, false))
+      .toDF("s", "y")
+    val r = Analytics.aucExact(df, "s", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 7L)))
+    assert(r.getDouble(3) === 0.875)
+    // and negative fractional scores (floor-bucketing, not div)
+    val neg = Seq((-0.5, true), (-1.5, false), (-2.5, false))
+      .toDF("s", "y")
+    assert(Analytics.aucExact(neg, "s", "y").collect().head.getDouble(3)
+      === 1.0)
+  }
+
   test("funnelWindowed: conversion window gates each stage") {
     import spark.implicits._
     // u1 converts fully inside 1-day windows; u2's click comes 2 days

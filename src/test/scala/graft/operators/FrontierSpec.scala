@@ -67,6 +67,45 @@ class FrontierSpec extends SparkSpec {
       ("b.com", "allow", "/ok")))
   }
 
+  test("parseRobots: truncation flag marks partially-parsed files") {
+    // 3 header lines + 4 rules; maxLines=5 keeps the first two rules
+    // and flags the file — the dropped Disallow lines are DETECTABLE,
+    // not silently default-allowed
+    val txt = "# hdr\nUser-agent: *\n\nAllow: /a\nAllow: /b\n" +
+      "Disallow: /late1\nDisallow: /late2\n"
+    val files = Seq(("t.com", txt), ("ok.com", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots")
+    val got = Frontier.parseRobots(files, "host", "robots", maxLines = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+      .toSet
+    assert(got === Set(
+      ("t.com", "allow", "/a", true), ("t.com", "allow", "/b", true),
+      ("ok.com", "disallow", "/x", false)))
+    // the raised default covers a realistic several-hundred-line file
+    val big = "User-agent: *\n" +
+      (1 to 500).map(i => s"Disallow: /p$i").mkString("\n") + "\n"
+    val all = Frontier.parseRobots(
+        Seq(("big.com", big)).toDF("host", "robots"), "host", "robots")
+      .collect()
+    assert(all.length === 500)
+    assert(all.forall(!_.getBoolean(3)))
+  }
+
+  test("robotsGateKeyed: broadcastRules=false matches broadcast plan") {
+    val urls = Seq(("u1", "a.com", "/d/1"), ("u2", "a.com", "/d/9"),
+      ("u3", "b.com", "/x")).toDF("url", "host", "path")
+    val rules = Seq(("a.com", "disallow", "/d/"), ("a.com", "allow", "/d/1"))
+      .toDF("host", "rtype", "prefix")
+    def verdicts(bc: Boolean) =
+      Frontier.robotsGateKeyed(urls, rules, Nil, broadcastRules = bc)
+        .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    val expect = Map("u1" -> true, "u2" -> false, "u3" -> true)
+    assert(verdicts(bc = true) === expect)
+    assert(verdicts(bc = false) === expect)
+  }
+
   test("parseSitemap: block-first pairing, missing fields, order") {
     val xml = "<urlset>" +
       "<url><loc> http://a/1 </loc><lastmod>2026-01-02</lastmod></url>" +

@@ -115,6 +115,22 @@ class SearchSpec extends SparkSpec {
     assert(tg === Seq((9L, 0L, 2L)))
   }
 
+  test("postingCompression: exact LEB128 widths up to 60-bit ids") {
+    // gaps planted at each width boundary: first posting stores its
+    // absolute id (gap = id - 0). 60-bit hash doc ids (~2^59) must
+    // cost 9 bytes, not the old 5-byte cap.
+    val ids = Seq(
+      1L,                      // gap 1            → 1 byte
+      1L + (1L << 13),         // gap 2^13         → 2 bytes
+      1L + (1L << 13) + (1L << 27), // gap 2^27    → 4 bytes
+      (1L << 40),              // gap ~2^40        → 6 bytes
+      (1L << 59))              // gap ~2^59        → 9 bytes
+    val tf = ids.map(("tok", _, 1L)).toDF("token", "doc_id", "tf")
+    val r = Search.postingCompression(tf).collect().head
+    assert(r.getLong(1) === 5L) // df
+    assert(r.getLong(3) === (1L + 2L + 4L + 6L + 9L)) // varint_bytes
+  }
+
   test("rrfFuse sums integer ppm contributions across lists") {
     import spark.implicits._
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
