@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point transcendentals over integer columns —
+  * the machinery that lets score formulas with a logarithm hash-gate
+  * cross-engine (the q405 nDCG discipline, generalized): every step is
+  * an i64 add/multiply/shift/compare, identical in Spark (`div`,
+  * `shiftright`) and DuckDB (`//`), so both engines produce the SAME
+  * integer, not two floats that agree to a few ulps.
+  *
+  * The kernel is the classic shift-and-square binary logarithm
+  * (Majithia & Levan 1973 — each squaring exposes one fractional bit
+  * of log2): normalize m to [2^30, 2^31) counting the exponent, then
+  * 20 rounds of m ← m²/2^30 emit 20 fractional bits. All state fits
+  * i64 (m² < 2^62); the folds are runtime higher-order `aggregate`
+  * calls over constant-length sequences — constant-size expression
+  * trees, whole-stage-codegen friendly, zero shuffles.
+  *
+  * Precision: truncation at each squaring loses < 2^-19 of log2(x) —
+  * a relative idf error ~1e-6..1e-5, far below any ranking-relevant
+  * gap; and since both engines truncate IDENTICALLY, exactness of the
+  * COMPARISON is unconditional.
+  */
+object FixedPoint {
+
+  private val Scale = 1L << 30 // m's fixed-point scale
+  private val FracBits = 20 // log2 fractional bits extracted
+  private val Ln2Fx = 693147L // floor(1e6·ln 2): ppm per log2 unit
+
+  /** Column-level `a div b` (truncating integer division — the
+    * SQL `div` operator, DuckDB `//`). The functions API only offers
+    * float `/`, so this goes through the catalyst bridge.
+    */
+  def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** floor-truncated `2^20 · log2(num/den)` for positive integral
+    * columns with `num >= den` (ratio ≥ 1, so the exponent pass only
+    * ever shifts DOWN; 34 downshifts cover num/den < 2^34·2 with the
+    * initial 2^30 scale). Contract: `num < 2^33` so `num·2^30` fits
+    * i64 — for idf arguments that is n_docs < 2^32, the float
+    * [[graft.operators.Search.bm25]] stays the beyond-that API.
+    */
+  def log2Fx(num: Column, den: Column): Column = {
+    val m0 = idiv(num * Scale, den)
+    // exponent pass: downshift m into [2^30, 2^31), counting shifts
+    val norm = aggregate(
+      sequence(lit(1), lit(34)),
+      struct(m0.as("m"), lit(0L).as("e")),
+      (st, _) => {
+        val m = st.getField("m")
+        when(m >= Scale * 2,
+          struct(shiftright(m, 1).as("m"),
+            (st.getField("e") + 1L).as("e")))
+          .otherwise(st)
+      })
+    // fraction pass: 20 shift-and-square rounds, one bit each
+    val fracSt = aggregate(
+      sequence(lit(1), lit(FracBits)),
+      struct(norm.getField("m").as("m"), lit(0L).as("f")),
+      (st, _) => {
+        val sq = shiftright(st.getField("m") * st.getField("m"), 30)
+        when(sq >= Scale * 2,
+          struct(shiftright(sq, 1).as("m"),
+            (st.getField("f") * 2L + 1L).as("f")))
+          .otherwise(struct(sq.as("m"),
+            (st.getField("f") * 2L).as("f")))
+      })
+    norm.getField("e") * (1L << FracBits) + fracSt.getField("f")
+  }
+
+  /** Truncated `1e6 · ln(num/den)` (parts-per-million) under the
+    * [[log2Fx]] contract. One extra truncating multiply-divide:
+    * `log2fx · 693147 div 2^20` — log2fx ≤ 2^26, product ≤ 2^46.
+    */
+  def lnPpm(num: Column, den: Column): Column =
+    idiv(log2Fx(num, den) * Ln2Fx, lit(1L << FracBits))
+
+  /** The DuckDB mirror of [[log2Fx]]+[[lnPpm]] as a recursive-CTE SQL
+    * fragment, so every gate using lnPpm replays the IDENTICAL i64
+    * algorithm: given a CTE `src` with columns (key, num, den),
+    * produces CTEs ending in `lnppm(key, ln_ppm)`. Inline with
+    * `s"WITH …, ${FixedPoint.lnPpmSqlCtes("src")}, …"`.
+    */
+  def lnPpmSqlCtes(src: String): String =
+    s"""fx0 AS (SELECT key, (num * 1073741824) // den AS m,
+       |    CAST(0 AS BIGINT) AS e, 0 AS i FROM $src),
+       |fxn AS (
+       |  SELECT key, m, e, i FROM fx0
+       |  UNION ALL
+       |  SELECT key,
+       |    CASE WHEN m >= 2147483648 THEN m // 2 ELSE m END,
+       |    CASE WHEN m >= 2147483648 THEN e + 1 ELSE e END, i + 1
+       |  FROM fxn WHERE i < 34),
+       |fxf0 AS (SELECT key, m, e, CAST(0 AS BIGINT) AS f, 0 AS j
+       |  FROM fxn WHERE i = 34),
+       |fxf AS (
+       |  SELECT key, m, e, f, j FROM fxf0
+       |  UNION ALL
+       |  SELECT key,
+       |    CASE WHEN (m * m) // 1073741824 >= 2147483648
+       |      THEN ((m * m) // 1073741824) // 2
+       |      ELSE (m * m) // 1073741824 END,
+       |    e,
+       |    CASE WHEN (m * m) // 1073741824 >= 2147483648
+       |      THEN f * 2 + 1 ELSE f * 2 END,
+       |    j + 1
+       |  FROM fxf WHERE j < 20),
+       |lnppm AS (SELECT key,
+       |    ((e * 1048576 + f) * 693147) // 1048576 AS ln_ppm
+       |  FROM fxf WHERE j = 20)""".stripMargin
+}

@@ -230,6 +230,56 @@ object Search {
       .limit(k)
   }
 
+  /** [[bm25]] in EXACT integer parts-per-million — the hash-gateable
+    * form (the q405 nDCG fixed-point discipline): every term of the
+    * score is an i64 expression both engines compute identically, so
+    * the full ranking — not just its shape — oracle-gates.
+    *
+    *  - idf: ln((N−df+0.5)/(df+0.5)+1) = ln((2N+2)/(2df+1)), an
+    *    integer-ratio log taken in ppm by
+    *    [[graft.functions.FixedPoint.lnPpm]] (shift-and-square
+    *    fixed-point log2, truncation identical cross-engine);
+    *  - tf part: with the standard k1=1.2=6/5, b=0.75=3/4 cleared to
+    *    integers against avgdl=L/N, tf·(k1+1)/(tf+k1(1−b+b·dl/avgdl))
+    *    = 22·L·tf / (10·L·tf + 3·L + 9·dl·N) — one truncating div in
+    *    ppm;
+    *  - per-term contribution: idf_ppm·tfpart_ppm div 1e6, summed per
+    *    doc.
+    *
+    * Overflow contract: 22e6·L·tf must fit i64 (corpus token count ×
+    * max per-doc tf < 4·10¹¹ — holds to ~billion-token corpora);
+    * beyond that, and for float-exact scores, [[bm25]] is the API.
+    * Plan shape is identical to [[bm25]]: two broadcast joins + one
+    * doc-keyed partial agg; the fixed-point folds run on the
+    * vocabulary-sized df frame.
+    */
+  def bm25Ppm(tf: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import graft.functions.FixedPoint.{idiv, lnPpm}
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corpus = docLen.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("len_total"))
+    val matched = tf.filter(col("token").isin(terms: _*))
+    val dfq = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = dfq.crossJoin(broadcast(corpus))
+      .withColumn("idf_ppm",
+        lnPpm(col("n_docs") * 2L + 2L, col("df") * 2L + 1L))
+      .select(col("token"), col("idf_ppm"))
+    matched
+      .join(broadcast(idf), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("tfpart_ppm",
+        idiv(lit(22000000L) * col("len_total") * col("tf"),
+          col("len_total") * col("tf") * 10L + col("len_total") * 3L +
+            col("dl") * col("n_docs") * 9L))
+      .withColumn("contrib",
+        idiv(col("idf_ppm") * col("tfpart_ppm"), lit(1000000L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Top-k terms per group by raw term frequency (ties to the
     * lexicographically smaller term) — the per-source vocabulary
     * signature behind corpus drift dashboards. One (group, term)

@@ -1904,7 +1904,46 @@ object IndexQueries extends QueryPack {
         |  SELECT doc_id, pos, n_terms, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY n_terms DESC, pos) AS rn
         |  FROM cov)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // BM25 in exact integer ppm (VERDICT r7 item 3) — the last
+    // float-only retrieval operator brought under the hash gate. The
+    // idf log runs through FixedPoint.lnPpm's shift-and-square i64
+    // kernel; the oracle replays the IDENTICAL algorithm as a
+    // recursive CTE (FixedPoint.lnPpmSqlCtes), so the full ranking —
+    // scores included — hash-matches, not just its order.
+    "q424_bm25_ppm" -> Q(
+      (s, dir) => Search.bm25Ppm(
+          Search.termFrequencies(
+            Tables.documents(s, dir), "doc_id", "text"),
+          Seq("fast", "table", "hash"), 25)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long")),
+      Some(s"""WITH RECURSIVE $tfCte,
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS len_total FROM dl),
+        |m AS (SELECT token, doc_id, tf FROM tf
+        |  WHERE token IN ('fast', 'table', 'hash')),
+        |dfreq AS (SELECT token, count(*) AS df FROM m GROUP BY 1),
+        |src AS (SELECT token AS key, n_docs * 2 + 2 AS num,
+        |    df * 2 + 1 AS den FROM dfreq, corpus),
+        |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+        |scored AS (
+        |  SELECT m.doc_id,
+        |    CAST(sum((l.ln_ppm *
+        |        ((22000000 * c.len_total * m.tf) //
+        |         (c.len_total * m.tf * 10 + c.len_total * 3 +
+        |          d.dl * c.n_docs * 9))) // 1000000) AS BIGINT)
+        |      AS score_ppm
+        |  FROM m JOIN lnppm l ON m.token = l.key
+        |    JOIN dl d ON m.doc_id = d.doc_id, corpus c
+        |  GROUP BY 1)
+        |SELECT doc_id, score_ppm, row_number() OVER (
+        |    ORDER BY score_ppm DESC, doc_id) AS rank
+        |FROM scored ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin))
   )
 
   /** The winnowing selection as CTE stages ending in

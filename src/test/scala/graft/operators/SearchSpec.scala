@@ -75,6 +75,41 @@ class SearchSpec extends SparkSpec {
     assert(both.head.getLong(0) === 1L)
   }
 
+  test("bm25Ppm tracks the float bm25 ranking and scores to ~1e-4") {
+    val floatR = Search.bm25(tf, Seq("spark", "join"), 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val ppmR = Search.bm25Ppm(tf, Seq("spark", "join"), 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // identical ranking order
+    assert(ppmR.map(_._1).toSeq === floatR.map(_._1).toSeq)
+    // ppm scores within 0.1% of 1e6× the float scores (fixed-point
+    // truncation budget is ~2^-19 of log2 per idf term)
+    floatR.zip(ppmR).foreach { case ((_, f), (_, p)) =>
+      assert(math.abs(p - f * 1e6) <= f * 1e6 * 1e-3 + 2)
+    }
+  }
+
+  test("FixedPoint.lnPpm matches Math.log to sub-0.01% over a sweep") {
+    import graft.functions.FixedPoint
+    val pairs = for {
+      num <- Seq(1L, 2L, 3L, 7L, 100L, 999L, 65536L, 1000003L)
+      den <- Seq(1L, 2L, 5L, 97L) if num >= den
+    } yield (num, den)
+    val got = pairs.toDF("num", "den")
+      .select(col("num"), col("den"),
+        FixedPoint.lnPpm(col("num"), col("den")).as("ln_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pairs.foreach { case (n, d) =>
+      val exact = math.log(n.toDouble / d) * 1e6
+      // truncating kernel: always ≤ exact, within 0.01% + 3 ppm slack
+      assert(got((n, d)) <= exact + 1)
+      assert(got((n, d)) >= exact - exact.abs * 1e-4 - 3,
+        s"ln($n/$d): got ${got((n, d))}, exact $exact")
+    }
+    assert(got((1L, 1L)) === 0L)
+  }
+
   test("phraseSearch: adjacency chain, overlaps count, 3-term phrase") {
     import spark.implicits._
     val d = Seq(
