@@ -121,6 +121,71 @@ object CrawlQueries extends QueryPack {
        |  FROM (SELECT *, link_ppm <= 330000 AND n_words >= 5 AS keep FROM blk)
        |  GROUP BY doc_id)""".stripMargin
 
+  // ---- adversarial torture page (q425) ------------------------------
+  // VERDICT r7 item 4: the q318–q321 oracles run over well-formed
+  // synthesized HTML; this fixture is deliberately hostile — every
+  // piece is a shape that breaks naive extractors. Both engines build
+  // the identical byte string from doc_id, so the gate hash-matches
+  // the skip/keep decision AND the reassembled content over:
+  //  (1) uppercase tags, (2) double-encoded entities (&amp;lt; must
+  //  decode to literal &lt; — the amp-LAST order), (3) style strip,
+  //  (4) a script whose body contains a fake </p> and < comparisons,
+  //  (5) a comment hiding a block AND a script, (6) CDATA hiding
+  //  markup, (7) a 12-link nav (link-density skip), (8) an unclosed
+  //  <P>, (9) mixed-quote attributes, (10) an attribute value
+  //  containing '>', (11) nested tables, (12) <br>/<BR/> soup,
+  //  (13) a tag-cloud link block (skip), (14) an unknown entity
+  //  surviving literally, (15) &nbsp; decode, (16) an unclosed <div>
+  //  running to EOF whose text sits EXACTLY at the minWords=5 keep
+  //  boundary, (17) prose "1 < 2" surviving tag stripping.
+  private val tortureNav: String = "<nav>" +
+    (0 until 12).map(i => s"""<a href="/n$i">nav item $i</a>""")
+      .mkString(" ") + "</nav>"
+
+  private def tortureFrom(docs: DataFrame): DataFrame = {
+    val did = col("doc_id").cast("string")
+    docs.select(col("doc_id"), concat(
+      lit("<HTML><HEAD><TITLE>T"), did, lit(" &amp;lt;x&amp;gt;</TITLE>"),
+      lit("<style media=screen>p{color:red} .x{display:none}</style>"),
+      lit("<script>var s = \"</p>\"; if (1<2) track();</script>"),
+      lit("</head><body>"),
+      lit("<!-- <p>ghost "), did, lit("</p><script>evil()</script> -->"),
+      lit("<![CDATA[<p>cdata "), did, lit("</p>]]>"),
+      lit(tortureNav),
+      lit("<P CLASS='m' title=\"a>b\">Intro "), did,
+      lit(" says 1 < 2 plainly and keeps seven words"),
+      lit("<table><tr><td>outer "), (col("doc_id") % 5).cast("string"),
+      lit(" <table><tr><td>inner nested cell keeps these six words" +
+        "</td></tr></table></td></tr></table>"),
+      lit("alpha<br>beta<BR/>gamma delta epsilon zeta eta theta"),
+      lit("<p><a href=\"/t/"), did, lit("\">t1</a> <a href='u'>t2</a></p>"),
+      lit("<p>&amp; &bogus; A &nbsp;B with words enough to pass the filter today</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<p>extra residue paragraph with sufficient word count to keep</p>"))
+        .otherwise(lit("")),
+      lit("<div>closing words run out here</body></html>")).as("html"))
+  }
+
+  private val tortureCte: String =
+    s"""html AS (SELECT doc_id,
+      |  '<HTML><HEAD><TITLE>T' || CAST(doc_id AS VARCHAR) || ' &amp;lt;x&amp;gt;</TITLE>' ||
+      |  '<style media=screen>p{color:red} .x{display:none}</style>' ||
+      |  '<script>var s = "</p>"; if (1<2) track();</script>' ||
+      |  '</head><body>' ||
+      |  '<!-- <p>ghost ' || CAST(doc_id AS VARCHAR) || '</p><script>evil()</script> -->' ||
+      |  '<![CDATA[<p>cdata ' || CAST(doc_id AS VARCHAR) || '</p>]]>' ||
+      |  '$tortureNav' ||
+      |  '<P CLASS=''m'' title="a>b">Intro ' || CAST(doc_id AS VARCHAR) ||
+      |  ' says 1 < 2 plainly and keeps seven words' ||
+      |  '<table><tr><td>outer ' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  ' <table><tr><td>inner nested cell keeps these six words</td></tr></table></td></tr></table>' ||
+      |  'alpha<br>beta<BR/>gamma delta epsilon zeta eta theta' ||
+      |  '<p><a href="/t/' || CAST(doc_id AS VARCHAR) || '">t1</a> <a href=''u''>t2</a></p>' ||
+      |  '<p>&amp; &bogus; A &nbsp;B with words enough to pass the filter today</p>' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '<p>extra residue paragraph with sufficient word count to keep</p>' ELSE '' END ||
+      |  '<div>closing words run out here</body></html>' AS html
+      |FROM documents)""".stripMargin
+
   // ---- link-page synthesis (Spark + DuckDB) -------------------------
   // Per doc: a self link (messy URL — caps, www, :80, utm_, fragment),
   // one cross-host outlink, a hub outlink on even docs, a relative
@@ -312,6 +377,20 @@ object CrawlQueries extends QueryPack {
         |FROM cnt
         |WHERE n_kept >= 2 AND len(string_split_regex(content, '\\s+')) >= 20
         |GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // Adversarial-HTML torture gate (VERDICT r7 item 4): the full
+    // boilerplate pipeline over the 17-shape hostile fixture above —
+    // n_blocks/n_kept/content hash-matched per document, so every
+    // skip/keep decision on malformed markup is pinned cross-engine.
+    "q425_html_torture" -> Q(
+      (s, dir) => HtmlExtract.extractContent(
+          tortureFrom(Tables.documents(s, dir)), "doc_id", "html")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $tortureCte,
+        |$segCte,
+        |$blkCte,
+        |$cntCte
+        |SELECT doc_id, n_blocks, n_kept, content FROM cnt ORDER BY doc_id""".stripMargin)),
 
     // Streaming crawl extraction: the SAME generator and the SAME
     // extractContent run per micro-batch over a documents stream —

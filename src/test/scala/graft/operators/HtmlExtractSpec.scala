@@ -216,6 +216,51 @@ class HtmlExtractSpec extends SparkSpec {
     assert(h.getAs[Long]("n_toks") === 17L)
   }
 
+  test("extractContent survives the adversarial torture shapes") {
+    // the q425 fixture for one doc, block-by-block (shapes: unclosed
+    // tags, nested tables, mixed quotes, attr containing '>', comment
+    // hiding a script, CDATA hiding markup, double-encoded entities,
+    // link-dense nav, br soup, minWords boundary at EOF)
+    val nav = "<nav>" + (0 until 12)
+      .map(i => s"""<a href="/n$i">nav item $i</a>""").mkString(" ") +
+      "</nav>"
+    val html = "<HTML><HEAD><TITLE>T7 &amp;lt;x&amp;gt;</TITLE>" +
+      "<style media=screen>p{color:red} .x{display:none}</style>" +
+      "<script>var s = \"</p>\"; if (1<2) track();</script>" +
+      "</head><body>" +
+      "<!-- <p>ghost 7</p><script>evil()</script> -->" +
+      "<![CDATA[<p>cdata 7</p>]]>" + nav +
+      "<P CLASS='m' title=\"a>b\">Intro 7 says 1 < 2 plainly and keeps seven words" +
+      "<table><tr><td>outer 2 <table><tr><td>inner nested cell keeps these six words</td></tr></table></td></tr></table>" +
+      "alpha<br>beta<BR/>gamma delta epsilon zeta eta theta" +
+      "<p><a href=\"/t/7\">t1</a> <a href='u'>t2</a></p>" +
+      "<p>&amp; &bogus; A &nbsp;B with words enough to pass the filter today</p>" +
+      "<div>closing words run out here</body></html>"
+    val r = HtmlExtract.extractContent(
+        Seq((7L, html)).toDF("id", "h"), "id", "h")
+      .collect().head
+    // kept, in source order: the unclosed-P block (attribute's '>'
+    // leaks 'b">' as text — the documented regex contract), the inner
+    // table cell, the post-br run, the entity paragraph (unknown
+    // entity literal, &amp;→&, &nbsp;→space), and the EOF block at
+    // exactly minWords=5
+    assert(r.getAs[String]("content") ===
+      """b">Intro 7 says 1 < 2 plainly and keeps seven words
+        |inner nested cell keeps these six words
+        |gamma delta epsilon zeta eta theta
+        |& &bogus; A B with words enough to pass the filter today
+        |closing words run out here""".stripMargin)
+    // skipped: title (2 words, double-encoded entities stay encoded
+    // once), nav (link_ppm 1e6), "outer 2", "alpha", "beta", tag
+    // cloud; ghost/evil/cdata/style/script text appears NOWHERE
+    assert(r.getAs[Long]("n_kept") === 5L)
+    assert(r.getAs[Long]("n_blocks") === 11L)
+    assert(!r.getAs[String]("content").contains("ghost"))
+    assert(!r.getAs[String]("content").contains("evil"))
+    assert(!r.getAs[String]("content").contains("cdata"))
+    assert(!r.getAs[String]("content").contains("color:red"))
+  }
+
   test("htmlToText: null html extracts to null, empty to empty") {
     val df = Seq(Some("<p></p>"), None)
       .toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))
