@@ -383,6 +383,75 @@ object ScaleProbe {
               .orderBy(col("c").desc, col("pred"))))
           .filter(col("rk") === 1)
       }
+      // q321 shape: the crawl pipeline end-to-end (page synthesis →
+      // block segmentation → boilerplate strip → quality filter →
+      // exact dedup). Untagged copies: the dedup stage's fp agg sees
+      // the planted collapse, which is the hot path it exists for;
+      // the extraction chain itself is a pure projection (scan-linear
+      // by construction), so the groupBy(doc) reassembly and fp agg
+      // are the scale question.
+      time("q321_crawl_pipeline", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        val content = graft.operators.HtmlExtract.extractContent(
+          graft.queries.CrawlQueries.htmlFrom(docs), "doc_id", "html")
+        val quality = content.filter(col("n_kept") >= 2 &&
+          size(split(col("content"), "\\s+")) >= 20)
+        graft.operators.Dedup.exactDedup(quality, "doc_id",
+          graft.operators.TextAnalysis.fingerprint(col("content")))
+      }
+      // q232 shape: TxLog 10-commit table + range-rewrite compaction
+      // + read-back of both versions. Commit count is FIXED (the log
+      // is metadata); data volume per commit grows ×N — compaction
+      // rewrites the live range once, so expectation is linear in
+      // data with constant log overhead.
+      time("q232_txlog_compaction", n) {
+        import graft.sources.TxLog
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sp_txc")
+        val t = s"$tmp/tbl"
+        try {
+          (0 until 10).foreach { i =>
+            TxLog.commit(docs.filter(col("doc_id") % 10 === i), t,
+              if (i == 0) "overwrite" else "append", "doc_id")
+          }
+          val v = TxLog.compact(spark, t, "doc_id", targetFiles = 2)
+          TxLog.read(spark, t, Some(v))
+            .unionByName(TxLog.read(spark, t, Some(v - 1)))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => rm(tmp.toFile)))
+        }
+      }
+      // q422 shape: near-dup split-leakage audit — copy-tagged (the
+      // pairs stage is the q214/q242 discipline: untagged copies
+      // plant N² true pairs); the split join-backs are id-keyed
+      // equi-joins against the broadcast-size split map
+      time("q422_split_leakage", n) {
+        val sample = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+          .filter(col("doc_id") % 20 === 0)
+        val splits = graft.operators.Corpus.hashSplit(sample, "doc_id",
+            "v1", Seq(("train", 8), ("val", 1), ("test", 1)))
+          .select(col("doc_id"), col("split"))
+        val pairs = graft.operators.Dedup.nearDupPairs(sample,
+          "doc_id", "text", shingleN = 1, k = 32, bands = 16,
+          threshold = 0.9)
+        pairs
+          .join(splits.select(col("doc_id").as("id_a"),
+            col("split").as("split_a")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"),
+            col("split").as("split_b")), "id_b")
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("split_a") =!= col("split_b"), 1L)
+              .otherwise(0L)).as("n_leaked"))
+      }
       // q400 shape: the curation capstone's cost drivers — the spam
       // token battery plus readability + bisect over survivors
       time("q400_curation", n) {

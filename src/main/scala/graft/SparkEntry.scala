@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ChatQueries, CoreQueries, CrawlQueries, GatewayQueries, MediaQueries, GoldQueries, GraphQueries, IndexQueries, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, NestedQueries, QoeQueries, QueryPack, ScalarQueries, ScaleQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, ChatQueries, CoreQueries, CrawlQueries, CrawlQueriesB, GatewayQueries, MediaQueries, GoldQueries, GraphQueries, IndexQueries, IndexQueriesB, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, LlmQueriesB, NestedQueries, QoeQueries, QueryPack, ScalarQueries, ScaleQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,11 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(CoreQueries, WindowQueries, NestedQueries, QoeQueries, LlmQueries,
+      LlmQueriesB,
       SimilarityQueries, LicenseQueries, ScalarQueries, GoldQueries,
       SinkQueries, GatewayQueries, StreamingQueries, SourceQueries,
-      IndexQueries, TemporalQueries, GraphQueries, AnalyticsQueries,
-      TimeSeriesQueries, CrawlQueries, MediaQueries, ScaleQueries,
+      IndexQueries, IndexQueriesB, TemporalQueries, GraphQueries, AnalyticsQueries,
+      TimeSeriesQueries, CrawlQueries, CrawlQueriesB, MediaQueries, ScaleQueries,
       ChatQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =

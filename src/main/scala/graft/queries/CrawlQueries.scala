@@ -21,13 +21,13 @@ object CrawlQueries extends QueryPack {
   import HtmlExtract._
 
   // ---- shared synthetic page (Spark formulation) --------------------
-  private def htmlDf(s: SparkSession, dir: String): DataFrame =
+  private[queries] def htmlDf(s: SparkSession, dir: String): DataFrame =
     htmlFrom(Tables.documents(s, dir))
 
   /** Batch-shaped synthesis so the streaming gate (q328) can apply the
     * identical generator per micro-batch.
     */
-  private def htmlFrom(docs: DataFrame): DataFrame = {
+  private[graft] def htmlFrom(docs: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
     val did = col("doc_id").cast("string")
     val p1 = substring(t, 1, 150)
@@ -59,7 +59,7 @@ object CrawlQueries extends QueryPack {
   // NOTE: continuation lines end with || (never start with it) — the
   // query templates this CTE is interpolated into run stripMargin,
   // which would eat the first bar of a leading '||'.
-  private val htmlCte: String =
+  private[queries] val htmlCte: String =
     """html AS (SELECT doc_id,
       |  '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
       |  '<script type="text/javascript">var n = 1 < 2 && 3 > 2; // tracker</script>' ||
@@ -78,26 +78,26 @@ object CrawlQueries extends QueryPack {
       |FROM documents)""".stripMargin
 
   // ---- DuckDB mirrors of the HtmlExtract algebra --------------------
-  private def dropSql(x: String): String =
+  private[queries] def dropSql(x: String): String =
     Seq(cdataPat, commentPat, scriptPat, stylePat)
       .foldLeft(x)((acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
 
-  private def entSql(x: String): String =
+  private[queries] def entSql(x: String): String =
     entities.foldLeft(x) { case (acc, (k, v)) =>
       s"replace($acc, '$k', '${v.replace("'", "''")}')"
     }
 
-  private def inlineSql(x: String): String = {
+  private[queries] def inlineSql(x: String): String = {
     val stripped = s"regexp_replace($x, '$anyTagPat', ' ', 'g')"
     s"trim(regexp_replace(${entSql(stripped)}, '\\s+', ' ', 'g'))"
   }
 
   /** seg CTE: non-content dropped, block tags → newline. */
-  private val segCte: String =
+  private[queries] val segCte: String =
     s"seg AS (SELECT doc_id, regexp_replace(${dropSql("html")}, '$blockTagPat', chr(10), 'g') AS c FROM html)"
 
   /** blk CTE: positional explode + per-block clean text and scores. */
-  private val blkCte: String =
+  private[queries] val blkCte: String =
     s"""b AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS block_id, unnest(l) AS raw
        |  FROM (SELECT doc_id, string_split_regex(c, '\\n') AS l FROM seg)),
        |cl AS (SELECT doc_id, CAST(block_id AS BIGINT) AS block_id,
@@ -114,7 +114,7 @@ object CrawlQueries extends QueryPack {
   /** cnt CTE: per-document boilerplate-stripped content (q320's body,
     * reused by the q321 composition).
     */
-  private val cntCte: String =
+  private[queries] val cntCte: String =
     s"""cnt AS (SELECT doc_id, count(*) AS n_blocks,
        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |    coalesce(string_agg(CASE WHEN keep THEN text END, chr(10) ORDER BY block_id), '') AS content
@@ -138,11 +138,11 @@ object CrawlQueries extends QueryPack {
   //  surviving literally, (15) &nbsp; decode, (16) an unclosed <div>
   //  running to EOF whose text sits EXACTLY at the minWords=5 keep
   //  boundary, (17) prose "1 < 2" surviving tag stripping.
-  private val tortureNav: String = "<nav>" +
+  private[queries] val tortureNav: String = "<nav>" +
     (0 until 12).map(i => s"""<a href="/n$i">nav item $i</a>""")
       .mkString(" ") + "</nav>"
 
-  private def tortureFrom(docs: DataFrame): DataFrame = {
+  private[queries] def tortureFrom(docs: DataFrame): DataFrame = {
     val did = col("doc_id").cast("string")
     docs.select(col("doc_id"), concat(
       lit("<HTML><HEAD><TITLE>T"), did, lit(" &amp;lt;x&amp;gt;</TITLE>"),
@@ -166,7 +166,7 @@ object CrawlQueries extends QueryPack {
       lit("<div>closing words run out here</body></html>")).as("html"))
   }
 
-  private val tortureCte: String =
+  private[queries] val tortureCte: String =
     s"""html AS (SELECT doc_id,
       |  '<HTML><HEAD><TITLE>T' || CAST(doc_id AS VARCHAR) || ' &amp;lt;x&amp;gt;</TITLE>' ||
       |  '<style media=screen>p{color:red} .x{display:none}</style>' ||
@@ -191,13 +191,13 @@ object CrawlQueries extends QueryPack {
   // one cross-host outlink, a hub outlink on even docs, a relative
   // link on %4 docs, plus a commented-out link and a single-quoted
   // href that must NOT extract (the quoting contract).
-  private def linkDf(s: SparkSession, dir: String): DataFrame =
+  private[queries] def linkDf(s: SparkSession, dir: String): DataFrame =
     linkFrom(Tables.documents(s, dir))
 
   /** Batch-shaped synthesis so the streaming admission gate (q343)
     * can apply the identical generator per micro-batch.
     */
-  private def linkFrom(docs: DataFrame): DataFrame =
+  private[queries] def linkFrom(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       lit("<html><body><!-- <a href=\"http://skip.junk/x\"> -->"),
       lit("<p>see <a href=\"HTTP://WWW.Host"), col("doc_id") % 7,
@@ -219,7 +219,7 @@ object CrawlQueries extends QueryPack {
     * so the streaming gate applies the identical generator per
     * micro-batch.
     */
-  private def spamPageFrom(docs: DataFrame): DataFrame =
+  private[queries] def spamPageFrom(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       lit("<html><body><p>"), coalesce(col("text"), lit("")),
       lit("</p>"),
@@ -234,7 +234,7 @@ object CrawlQueries extends QueryPack {
   /** q376/q382 shared oracle: the spam-signal battery replayed over
     * the identical page synthesis.
     */
-  private lazy val spamOracleSql: String =
+  private[queries] lazy val spamOracleSql: String =
     s"""WITH sp AS (SELECT doc_id,
         |    '<html><body><p>' || coalesce(text, '') || '</p>' ||
         |    CASE WHEN doc_id % 13 = 0 THEN
@@ -276,7 +276,7 @@ object CrawlQueries extends QueryPack {
     * equal-length tie, targeted disallow, empty-prefix disallow,
     * explicit allow, no-rules hosts).
     */
-  private def robotsRules(s: SparkSession): DataFrame = {
+  private[queries] def robotsRules(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       ("host0.com", "disallow", "/d/"),
@@ -295,7 +295,7 @@ object CrawlQueries extends QueryPack {
     * the q333 and q343 oracles (input relation must expose
     * (host, path) and the caller's carried columns).
     */
-  private val rulesCte: String =
+  private[queries] val rulesCte: String =
     """rules(host, rtype, prefix) AS (VALUES
       |  ('host0.com','disallow','/d/'), ('host0.com','allow','/d/1'),
       |  ('host2.com','disallow','/'), ('host2.com','allow','/d/2'),
@@ -1068,849 +1068,6 @@ object CrawlQueries extends QueryPack {
         |SELECT doc_id, link_idx, url, host, path, max(rnk) AS rule_rank,
         |  coalesce(max(rnk), 1) % 2 = 1 AS allowed
         |FROM j GROUP BY 1, 2, 3, 4, 5
-        |ORDER BY doc_id, link_idx""".stripMargin)),
-
-    // SEARCH flagship: the crawl half feeds the retrieval half. Pages
-    // → boilerplate-stripped content (q320 pipeline) → term index →
-    // AND-semantics keyword ranking, fused (RRF, integer ppm) with a
-    // host-PageRank prior (q327 pipeline) computed over the SAME
-    // crawl — top-10 per query. Every stage (extraction, tf, both
-    // rank orders, the fusion arithmetic) is replayed in the oracle.
-    "q353_search_e2e" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val tf = HtmlExtract.extractContent(htmlDf(s, dir), "doc_id", "html")
-          .select(col("doc_id"),
-            explode(TextAnalysis.tokens(lower(col("content")))).as("t"))
-          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-        val qs = Seq((1L, "key"), (1L, "value"), (2L, "window"),
-          (2L, "order"), (3L, "hash"), (3L, "join")).toDF("qid", "t")
-        val kw = qs.join(tf, Seq("t"))
-          .groupBy(col("qid"), col("doc_id"))
-          .agg(sum(col("tf")).as("score"), count(lit(1)).as("hits"))
-          .filter(col("hits") === 2)
-        val rkw = kw.withColumn("rank_kw",
-            row_number().over(Window.partitionBy(col("qid"))
-              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-          .filter(col("rank_kw") <= 20)
-        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
-          .withColumn("host", Urls.host(col("href")))
-        val self = links.filter(col("link_idx") === 0)
-          .select(col("doc_id"), col("host").as("src"))
-        val out = links.filter(col("link_idx") > 0 && col("host") =!= "")
-          .select(col("doc_id"), col("host").as("dst"))
-        val edges = self.join(out, Seq("doc_id"))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst")).distinct()
-        val pr = Graph.pageRankPpm(edges, "src", "dst", iters = 3)
-        val prior = self.withColumnRenamed("src", "node")
-          .join(pr, Seq("node")).select(col("doc_id"), col("rank_ppm"))
-        // prior rank over the CANDIDATE pool per query — no global
-        // window; RRF fuses two bounded rankings of the same pool
-        val fused = rkw.join(prior, Seq("doc_id"))
-          .withColumn("rank_pr",
-            row_number().over(Window.partitionBy(col("qid"))
-              .orderBy(col("rank_ppm").desc, col("doc_id"))).cast("long"))
-          .withColumn("rrf_ppm", expr(
-            "1000000 div (60 + rank_kw) + 1000000 div (60 + rank_pr)"))
-        fused.withColumn("rank",
-            row_number().over(Window.partitionBy(col("qid"))
-              .orderBy(col("rrf_ppm").desc, col("doc_id"))).cast("long"))
-          .filter(col("rank") <= 10)
-          .select(col("qid"), col("rank"), col("doc_id"), col("score"),
-            col("rank_kw"), col("rank_pr"), col("rrf_ppm"))
-          .orderBy(col("qid"), col("rank"))
-      },
-      {
-        val iterCtes = (1 to 3).map { i =>
-          s"""f$i AS (SELECT e.dst AS node,
-             |    CAST(sum(r.rank_ppm // d.out_deg) AS BIGINT) AS in_sum
-             |  FROM e JOIN r${i - 1} r ON e.src = r.node
-             |  JOIN d ON e.src = d.src GROUP BY e.dst),
-             |r$i AS (SELECT n.node,
-             |    CAST(150000 + (850000 * coalesce(f.in_sum, 0)) // 1000000
-             |      AS BIGINT) AS rank_ppm
-             |  FROM n LEFT JOIN f$i f USING (node))""".stripMargin
-        }.mkString(",\n")
-        Some(s"""WITH $htmlCte,
-          |$segCte,
-          |$blkCte,
-          |$cntCte,
-          |tf AS (SELECT doc_id, t, count(*) AS tf FROM (
-          |    SELECT doc_id, unnest(CASE WHEN trim(lower(content)) = ''
-          |      THEN CAST([] AS VARCHAR[])
-          |      ELSE string_split_regex(trim(lower(content)), '\\s+')
-          |      END) AS t
-          |    FROM cnt) GROUP BY 1, 2),
-          |qs(qid, t) AS (VALUES (1, 'key'), (1, 'value'), (2, 'window'),
-          |  (2, 'order'), (3, 'hash'), (3, 'join')),
-          |kw AS (SELECT qid, doc_id, CAST(sum(tf) AS BIGINT) AS score,
-          |    count(*) AS hits
-          |  FROM qs JOIN tf USING (t) GROUP BY 1, 2),
-          |k3 AS (SELECT qid, doc_id, score, rank_kw FROM (
-          |    SELECT qid, doc_id, score, row_number() OVER (
-          |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rank_kw
-          |    FROM kw WHERE hits = 2) WHERE rank_kw <= 20),
-          |e AS (
-          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com' AS src,
-          |    'host' || ((doc_id + 3) % 7) || '.com' AS dst
-          |  FROM documents
-          |  UNION
-          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com',
-          |    'hub.example.com'
-          |  FROM documents WHERE doc_id % 2 = 0),
-          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
-          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
-          |$iterCtes,
-          |dp AS (SELECT h.doc_id, r3.rank_ppm FROM (
-          |    SELECT doc_id, 'host' || (doc_id % 7) || '.com' AS node
-          |    FROM documents) h JOIN r3 USING (node)),
-          |g AS (SELECT k3.qid, k3.doc_id, k3.score, k3.rank_kw,
-          |    row_number() OVER (PARTITION BY k3.qid
-          |      ORDER BY dp.rank_ppm DESC, k3.doc_id) AS rank_pr
-          |  FROM k3 JOIN dp USING (doc_id)),
-          |h AS (SELECT qid, doc_id, score, rank_kw, rank_pr,
-          |    1000000 // (60 + rank_kw) + 1000000 // (60 + rank_pr)
-          |      AS rrf_ppm
-          |  FROM g)
-          |SELECT CAST(qid AS BIGINT) AS qid,
-          |  CAST(row_number() OVER (PARTITION BY qid
-          |    ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank,
-          |  doc_id, score, CAST(rank_kw AS BIGINT) AS rank_kw,
-          |  CAST(rank_pr AS BIGINT) AS rank_pr,
-          |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm
-          |FROM h
-          |QUALIFY rank <= 10
-          |ORDER BY qid, rank""".stripMargin)
-      }),
-
-    // Host-level template discovery — the second boilerplate axis:
-    // q319/q320 score blocks WITHIN a page (link density/text mass);
-    // this one finds lines shared ACROSS a host's pages (footers,
-    // tag clouds, legal lines — the fixture plants all three at
-    // different sharing fractions). Per (host, line): distinct-page
-    // count and the share in ppm. A production pipeline drops lines
-    // above a share threshold before dedup/quality.
-    "q354_host_templates" -> Q(
-      (s, dir) => {
-        val blocks = HtmlExtract.htmlBlocks(htmlDf(s, dir), "doc_id", "html")
-          .withColumn("host",
-            concat(lit("host"), col("doc_id") % 7, lit(".com")))
-        val nd = blocks.groupBy(col("host"))
-          .agg(countDistinct(col("doc_id")).as("n_docs"))
-        blocks.groupBy(col("host"), col("text"))
-          .agg(countDistinct(col("doc_id")).as("n_pages"))
-          .join(nd, Seq("host"))
-          .filter(col("n_pages") >= 2)
-          .withColumn("tmpl_ppm", expr("(1000000 * n_pages) div n_docs"))
-          .orderBy(col("host"), col("text"))
-      },
-      Some(s"""WITH $htmlCte,
-        |$segCte,
-        |$blkCte,
-        |wh AS (SELECT 'host' || (doc_id % 7) || '.com' AS host,
-        |         doc_id, text FROM blk),
-        |nd AS (SELECT host, count(DISTINCT doc_id) AS n_docs
-        |       FROM wh GROUP BY 1),
-        |tp AS (SELECT host, text, count(DISTINCT doc_id) AS n_pages
-        |       FROM wh GROUP BY 1, 2)
-        |SELECT tp.host, tp.text, n_pages, n_docs,
-        |  (1000000 * n_pages) // n_docs AS tmpl_ppm
-        |FROM tp JOIN nd USING (host) WHERE n_pages >= 2
-        |ORDER BY host, text""".stripMargin)),
-
-    // Host-template removal — the APPLY half of q354's discovery:
-    // blocks whose exact text recurs on ≥ 10 pages of the same host
-    // (footer, CDATA boilerplate) strip out; per-doc content
-    // reassembles from surviving blocks in order. The cross-page
-    // complement of q320's within-page link-density rule.
-    "q392_template_strip" -> Q(
-      (s, dir) => {
-        val blocks = HtmlExtract.htmlBlocks(htmlDf(s, dir), "doc_id", "html")
-          .withColumn("host",
-            concat(lit("host"), col("doc_id") % 7, lit(".com")))
-        val tmpl = blocks.groupBy(col("host"), col("text"))
-          .agg(countDistinct(col("doc_id")).as("n_pages"))
-          .filter(col("n_pages") >= 10)
-          .select(col("host"), col("text"), lit(true).as("__tmpl"))
-        blocks.join(tmpl, Seq("host", "text"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_blocks"),
-            sum(when(col("__tmpl").isNull, 1L).otherwise(0L))
-              .as("n_kept"),
-            array_join(transform(array_sort(collect_list(
-              when(col("__tmpl").isNull,
-                struct(col("block_id"), col("text").as("p"))))),
-              s => s.getField("p")), "\n").as("content"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH $htmlCte,
-        |$segCte,
-        |$blkCte,
-        |wh AS (SELECT 'host' || (doc_id % 7) || '.com' AS host,
-        |         doc_id, block_id, text FROM blk),
-        |tp AS (SELECT host, text FROM (
-        |    SELECT host, text, count(DISTINCT doc_id) AS n_pages
-        |    FROM wh GROUP BY 1, 2) WHERE n_pages >= 10),
-        |mk AS (SELECT wh.doc_id, wh.block_id, wh.text,
-        |    tp.text IS NOT NULL AS is_t
-        |  FROM wh LEFT JOIN tp
-        |    ON wh.host = tp.host AND wh.text = tp.text)
-        |SELECT doc_id, count(*) AS n_blocks,
-        |  CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_kept,
-        |  coalesce(string_agg(CASE WHEN NOT is_t THEN text END,
-        |    chr(10) ORDER BY block_id), '') AS content
-        |FROM mk GROUP BY 1 ORDER BY doc_id""".stripMargin)),
-
-    // robots.txt PARSING (the fetch-side half; q333 gates the
-    // evaluator): per-host files carry a specific-agent group that
-    // must be ignored, stacked/cased keys, trailing comments, an
-    // empty Disallow (spec: no-op, NOT disallow-all), and unknown
-    // keys — the oracle is the closed-form expected rules table, so
-    // any mis-grouped or mis-trimmed line shows up as a row diff.
-    "q356_robots_parse" -> Q(
-      (s, dir) => {
-        val hosts = Tables.documents(s, dir)
-          .select((col("doc_id") % 7).as("k")).distinct()
-          .select(col("k"),
-            concat(lit("host"), col("k"), lit(".com")).as("host"))
-        val txt = concat(
-          lit("# robots for "), col("host"),
-          lit("\nUser-agent: googlebot\nDisallow: /secret\n\n" +
-            "User-agent: *\n"),
-          when(col("k") === 0, lit("Disallow: /d/\nAllow: /d/1\n"))
-            .when(col("k") === 2, lit("disallow: /\nALLOW: /d/2\n"))
-            .when(col("k") === 3, lit("Disallow: /d/\nAllow: /d/\n"))
-            .when(col("k") === 4, lit("Disallow: /idx # old index\n"))
-            .when(col("k") === 5, lit("Disallow: /\n"))
-            .otherwise(lit("Disallow:\n")),
-          lit("Crawl-delay: 10\n"))
-        val files = hosts.select(col("host"), txt.as("robots"))
-          .union(Tables.documents(s, dir).limit(1)
-            .select(lit("hub.example.com").as("host"),
-              lit("User-agent: *\nAllow: /\n").as("robots")))
-        Frontier.parseRobots(files, "host", "robots")
-          .orderBy(col("host"), col("rtype"), col("prefix"))
-      },
-      Some("""WITH r(host, rtype, prefix) AS (VALUES
-        |  ('host0.com', 'disallow', '/d/'), ('host0.com', 'allow', '/d/1'),
-        |  ('host2.com', 'disallow', '/'), ('host2.com', 'allow', '/d/2'),
-        |  ('host3.com', 'disallow', '/d/'), ('host3.com', 'allow', '/d/'),
-        |  ('host4.com', 'disallow', '/idx'), ('host5.com', 'disallow', '/'),
-        |  ('hub.example.com', 'allow', '/'))
-        |SELECT host, rtype, prefix, FALSE AS truncated FROM r
-        |ORDER BY host, rtype, prefix""".stripMargin)),
-
-    // In-page robots META directives — the page-side half of REP:
-    // token-boundary flag extraction ("re-noindex" and "nofollowed"
-    // are the planted traps that substring matching would light up).
-    "q366_robots_meta" -> Q(
-      (s, dir) => {
-        val content = when(col("doc_id") % 7 === 1, "noindex")
-          .when(col("doc_id") % 7 === 2, "nofollow")
-          .when(col("doc_id") % 7 === 3, "noindex, nofollow")
-          .when(col("doc_id") % 7 === 4, "index, follow")
-          .when(col("doc_id") % 7 === 5, "re-noindex,nofollowed")
-        val html = Tables.documents(s, dir).select(col("doc_id"),
-          concat(lit("<html><head>"),
-            when(content.isNotNull,
-              concat(lit("<meta name=\"robots\" content=\""), content,
-                lit("\">"))).otherwise(lit("")),
-            lit("</head><body>b</body></html>")).as("html"))
-        HtmlExtract.robotsMeta(html, "doc_id", "html")
-          .orderBy(col("doc_id"))
-      },
-      Some("""SELECT doc_id,
-        |  CASE doc_id % 7 WHEN 1 THEN 'noindex' WHEN 2 THEN 'nofollow'
-        |    WHEN 3 THEN 'noindex, nofollow' WHEN 4 THEN 'index, follow'
-        |    WHEN 5 THEN 're-noindex,nofollowed' ELSE '' END AS robots,
-        |  doc_id % 7 IN (1, 3) AS noindex,
-        |  doc_id % 7 IN (2, 3) AS nofollow
-        |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Canonical-URL dedup: pages declaring the same
-    // <link rel="canonical"> collapse to one representative (min id);
-    // pages without one are their own group. The crawl-side dedup
-    // axis that fingerprinting can't see (same article, different
-    // chrome): the extraction chain runs for real, the oracle derives
-    // groups from the generator.
-    "q367_canonical_dedup" -> Q(
-      (s, dir) => {
-        val html = Tables.documents(s, dir).select(col("doc_id"),
-          concat(lit("<html><head><title>t</title>"),
-            when(col("doc_id") % 9 =!= 0,
-              concat(lit("<link rel=\"canonical\" href=\"http://c.example/art"),
-                expr("doc_id div 4"), lit("\">"))).otherwise(lit("")),
-            lit("</head><body>b</body></html>")).as("html"))
-        val keyed = HtmlExtract.extractHeadMeta(html, "doc_id", "html")
-          .withColumn("canon_key",
-            when(col("canonical") =!= "", col("canonical"))
-              .otherwise(concat(lit("self:"), col("doc_id"))))
-          .select(col("doc_id"), col("canon_key"))
-        val grp = keyed.groupBy(col("canon_key"))
-          .agg(min(col("doc_id")).as("rep"),
-            count(lit(1)).as("n_aliases"))
-        keyed.join(grp, Seq("canon_key"))
-          .select(col("doc_id"), col("canon_key"), col("n_aliases"),
-            (col("doc_id") === col("rep")).as("is_rep"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH k AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 9 = 0 THEN 'self:' || doc_id
-        |         ELSE 'http://c.example/art' || (doc_id // 4) END
-        |      AS canon_key
-        |  FROM documents),
-        |g AS (SELECT canon_key, min(doc_id) AS rep,
-        |    count(*) AS n_aliases FROM k GROUP BY 1)
-        |SELECT k.doc_id, k.canon_key, g.n_aliases,
-        |  k.doc_id = g.rep AS is_rep
-        |FROM k JOIN g USING (canon_key) ORDER BY doc_id""".stripMargin)),
-
-    // Sitemap ingestion + recrawl priority: per-host sitemap XML
-    // (one <url> block per doc, every third block without <lastmod>)
-    // parsed block-first, then staleness in days against a fixed
-    // as-of date — missing lastmod defaults to maximally stale (999). The
-    // oracle derives every field from the generator arithmetic.
-    "q368_sitemap_recrawl" -> Q(
-      (s, dir) => {
-        val entry = concat(lit("<url><loc>http://host"),
-          col("doc_id") % 7, lit(".com/d/"), col("doc_id"),
-          lit("</loc>"),
-          when(col("doc_id") % 3 =!= 0,
-            concat(lit("<lastmod>2026-"),
-              lpad((col("doc_id") % 7 + 1).cast("string"), 2, "0"),
-              lit("-"),
-              lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"),
-              lit("</lastmod>"))).otherwise(lit("")),
-          lit("</url>"))
-        val sitemaps = Tables.documents(s, dir)
-          .select((col("doc_id") % 7).as("k"), entry.as("e"),
-            col("doc_id"))
-          .groupBy(col("k"))
-          .agg(concat(lit("<urlset>"),
-            array_join(transform(array_sort(collect_list(
-              struct(col("doc_id"), col("e").as("e")))),
-              x => x.getField("e")), ""),
-            lit("</urlset>")).as("xml"))
-          .select(concat(lit("host"), col("k"), lit(".com")).as("host"),
-            col("xml"))
-        Frontier.parseSitemap(sitemaps, "host", "xml")
-          .withColumn("stale_days",
-            when(col("lastmod") =!= "",
-              datediff(lit("2026-08-14"), to_date(col("lastmod"))))
-              .otherwise(lit(999)).cast("long"))
-          .orderBy(col("host"), col("url_idx"))
-      },
-      Some("""WITH d AS (SELECT doc_id,
-        |    'host' || (doc_id % 7) || '.com' AS host,
-        |    row_number() OVER (PARTITION BY doc_id % 7
-        |      ORDER BY doc_id) - 1 AS url_idx,
-        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS loc,
-        |    CASE WHEN doc_id % 3 <> 0 THEN
-        |      '2026-' || lpad(CAST(doc_id % 7 + 1 AS VARCHAR), 2, '0')
-        |        || '-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
-        |    ELSE '' END AS lastmod
-        |  FROM documents)
-        |SELECT host, CAST(url_idx AS BIGINT) AS url_idx, loc, lastmod,
-        |  CAST(CASE WHEN lastmod <> '' THEN
-        |    date_diff('day', CAST(lastmod AS DATE), DATE '2026-08-14')
-        |  ELSE 999 END AS BIGINT) AS stale_days
-        |FROM d ORDER BY host, url_idx""".stripMargin)),
-
-    // Crawl-budget apportionment: 10 000 next-cycle fetches split
-    // across hosts proportional to their q327 PageRank by Hamilton's
-    // largest-remainder method — the budgets must sum to exactly
-    // 10 000 with every floor/remainder/tie decision identical in
-    // both engines.
-    "q370_crawl_budget" -> Q(
-      (s, dir) => {
-        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
-          .withColumn("host", Urls.host(col("href")))
-        val self = links.filter(col("link_idx") === 0)
-          .select(col("doc_id"), col("host").as("src"))
-        val out = links.filter(col("link_idx") > 0 && col("host") =!= "")
-          .select(col("doc_id"), col("host").as("dst"))
-        val edges = self.join(out, Seq("doc_id"))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst")).distinct()
-        val pr = Graph.pageRankPpm(edges, "src", "dst", iters = 3)
-        Frontier.apportionBudget(pr, "node", "rank_ppm", total = 10000L)
-          .orderBy(col("node"))
-      },
-      {
-        val iterCtes = (1 to 3).map { i =>
-          s"""f$i AS (SELECT e.dst AS node,
-             |    CAST(sum(r.rank_ppm // d.out_deg) AS BIGINT) AS in_sum
-             |  FROM e JOIN r${i - 1} r ON e.src = r.node
-             |  JOIN d ON e.src = d.src GROUP BY e.dst),
-             |r$i AS (SELECT n.node,
-             |    CAST(150000 + (850000 * coalesce(f.in_sum, 0)) // 1000000
-             |      AS BIGINT) AS rank_ppm
-             |  FROM n LEFT JOIN f$i f USING (node))""".stripMargin
-        }.mkString(",\n")
-        Some(s"""WITH e AS (
-          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com' AS src,
-          |    'host' || ((doc_id + 3) % 7) || '.com' AS dst
-          |  FROM documents
-          |  UNION
-          |  SELECT DISTINCT 'host' || (doc_id % 7) || '.com',
-          |    'hub.example.com'
-          |  FROM documents WHERE doc_id % 2 = 0),
-          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
-          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
-          |$iterCtes,
-          |w AS (SELECT node, rank_ppm AS wgt FROM r3),
-          |s AS (SELECT CAST(sum(wgt) AS BIGINT) AS s FROM w),
-          |b AS (SELECT node, wgt, (10000 * wgt) // s.s AS base,
-          |        (10000 * wgt) % s.s AS rem FROM w, s),
-          |l AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS lft FROM b),
-          |r AS (SELECT node, wgt, base, rem, row_number() OVER (
-          |        ORDER BY rem DESC, node) AS rk FROM b)
-          |SELECT node, CAST(wgt AS BIGINT) AS weight,
-          |  CAST(base AS BIGINT) AS base,
-          |  CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
-          |    AS BIGINT) AS budget
-          |FROM r, l ORDER BY node""".stripMargin)
-      }),
-
-    // hreflang reciprocity audit: 5-doc language clusters where each
-    // page lists all members (incl. itself); docs ≡ 0 mod 31 omit
-    // the idx-4 member, so that member's back-edge loses its
-    // reciprocal. The Spark side EXTRACTS the declarations from
-    // markup and audits; the oracle synthesizes the edge set from
-    // the generator and runs the same reciprocity join.
-    "q371_hreflang_reciprocity" -> Q(
-      (s, dir) => {
-        val langs = Seq("en", "de", "fr", "es", "zh")
-        val member = (i: Int) => concat(lit("<link rel=\"alternate\" " +
-          s"hreflang=\"${langs(i)}\" href=\"http://x.example/g"),
-          expr("doc_id div 5"), lit(s"/m$i\">"))
-        val html = Tables.documents(s, dir).select(col("doc_id"),
-          concat(lit("<html><head>"),
-            member(0), member(1), member(2), member(3),
-            when(col("doc_id") % 31 =!= 0, member(4)).otherwise(lit("")),
-            lit("</head><body>b</body></html>")).as("html"))
-        val alts = HtmlExtract.extractHreflang(html, "doc_id", "html")
-          .withColumn("dst",
-            regexp_extract(col("href"), "/g(\\d+)/m(\\d+)$", 1)
-              .cast("long") * 5 +
-            regexp_extract(col("href"), "/g(\\d+)/m(\\d+)$", 2)
-              .cast("long"))
-        val edges = alts.select(col("doc_id").as("src"), col("dst"))
-          .join(Tables.documents(s, dir).select(col("doc_id").as("dst")),
-            Seq("dst"))
-        val back = edges.select(col("dst").as("src"),
-          col("src").as("dst"), lit(1).as("__has"))
-        edges.join(back, Seq("src", "dst"), "left")
-          .groupBy(col("src").as("doc_id"))
-          .agg(count(lit(1)).as("n_alts"),
-            sum(when(col("__has").isNull && col("src") =!= col("dst"),
-              1L).otherwise(0L)).as("n_nonreciprocal"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH ids AS (SELECT doc_id FROM documents),
-        |e AS (
-        |  SELECT s.doc_id AS src, (s.doc_id // 5) * 5 + m.i AS dst
-        |  FROM ids s CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS i) m
-        |  WHERE NOT (s.doc_id % 31 = 0 AND m.i = 4)
-        |    AND (s.doc_id // 5) * 5 + m.i IN (SELECT doc_id FROM ids)),
-        |b AS (SELECT dst AS src, src AS dst, 1 AS has FROM e)
-        |SELECT e.src AS doc_id, count(*) AS n_alts,
-        |  CAST(sum(CASE WHEN b.has IS NULL AND e.src <> e.dst
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nonreciprocal
-        |FROM e LEFT JOIN b ON e.src = b.src AND e.dst = b.dst
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
-
-    // On-page spam signals: docs ≡ 0 mod 13 carry a display:none
-    // block (hidden text), docs ≡ 0 mod 17 a 30× repeated keyword
-    // (stuffing). Hidden spans are removed BEFORE the visible-text
-    // stuffing ratio so cloaked repetition can't dodge the detector;
-    // the ratio is integer ppm and the whole battery hash-gates.
-    "q376_spam_signals" -> Q(
-      (s, dir) => HtmlExtract.spamSignals(
-          spamPageFrom(Tables.documents(s, dir)), "doc_id", "html")
-        .orderBy(col("doc_id")),
-      Some(spamOracleSql)),
-
-    // Crawler-trap report: a calendar host minting one URL per doc
-    // over a single base page (parameter explosion, fanout ≫ 5×)
-    // and a relative-link loop host (/a/b/a/b/…) against 7 healthy
-    // hosts. The Spark side parses hosts/paths with the real Urls
-    // operators; the oracle carries the generator's closed-form
-    // host/base/segs (the parsing itself is q108's gate) and replays
-    // the trap algebra exactly — all integer.
-    "q377_trap_report" -> Q(
-      (s, dir) => {
-        val d = Tables.documents(s, dir).select(col("doc_id"))
-        val did = col("doc_id").cast("string")
-        val urls = d.select(concat(lit("http://host"),
-            (col("doc_id") % 7).cast("string"), lit(".com/d/"), did)
-            .as("url"))
-          .union(d.select(concat(lit("http://cal.example.com/cal?y="),
-            (col("doc_id") % 31).cast("string"), lit("&sid="), did)
-            .as("url")))
-          .union(d.filter(col("doc_id") % 19 === 0)
-            .select(concat(lit("http://loop.example.com/a/b/a/b/"),
-              (col("doc_id") % 3).cast("string")).as("url")))
-        Frontier.trapReport(urls, "url").orderBy(col("host"))
-      },
-      Some("""WITH u0 AS (
-        |  SELECT DISTINCT
-        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS url,
-        |    'host' || (doc_id % 7) || '.com' AS host,
-        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS base,
-        |    ['d', CAST(doc_id AS VARCHAR)] AS segs
-        |  FROM documents
-        |  UNION
-        |  SELECT DISTINCT
-        |    'http://cal.example.com/cal?y=' || (doc_id % 31) ||
-        |      '&sid=' || doc_id,
-        |    'cal.example.com', 'http://cal.example.com/cal', ['cal']
-        |  FROM documents
-        |  UNION
-        |  SELECT DISTINCT
-        |    'http://loop.example.com/a/b/a/b/' || (doc_id % 3),
-        |    'loop.example.com',
-        |    'http://loop.example.com/a/b/a/b/' || (doc_id % 3),
-        |    ['a', 'b', 'a', 'b', CAST(doc_id % 3 AS VARCHAR)]
-        |  FROM documents WHERE doc_id % 19 = 0),
-        |g AS (SELECT host, count(*) AS n_urls,
-        |    count(DISTINCT base) AS n_base,
-        |    CAST(max(len(segs)) AS BIGINT) AS max_depth,
-        |    CAST(sum(CASE WHEN len(segs) - len(list_distinct(segs)) >= 2
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_loopy
-        |  FROM u0 GROUP BY 1)
-        |SELECT host, n_urls, n_base, max_depth, n_loopy,
-        |  n_urls * 1000000 // n_base AS fanout_ppm,
-        |  n_urls * 1000000 // n_base >= 5000000 OR n_loopy > 0 AS is_trap
-        |FROM g ORDER BY host""".stripMargin)),
-
-    // Crawl-scheduler end-to-end: extract → normalize → robots gate →
-    // trap detection → largest-remainder budget over non-trap hosts →
-    // politeness slot count. The calendar host sails through robots
-    // (no rules) but the trap report zeroes its budget — each stage's
-    // unit gate exists (q333/q377/q370/q337); this proves the
-    // COMPOSITION. Fixture has no looping paths, so the oracle's trap
-    // term is the fanout condition alone (loop algebra gated by q377).
-    "q381_crawl_scheduler" -> Q(
-      (s, dir) => {
-        val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
-        val d = Tables.documents(s, dir)
-        val raw = links.filter(Urls.host(col("href")) =!= "")
-          .select(Urls.normalize(col("href")).as("url"))
-          .union(d.select(concat(lit("http://cal.example.com/cal?y="),
-            (col("doc_id") % 31).cast("string"), lit("&sid="),
-            col("doc_id").cast("string")).as("url")))
-          .distinct()
-        val urls = raw.withColumn("host", Urls.host(col("url")))
-          .withColumn("path", Urls.path(col("url")))
-        val gated = Frontier.robotsGate(urls, robotsRules(s))
-          .filter(col("allowed"))
-        val traps = Frontier.trapReport(gated, "url")
-          .select(col("host"), col("is_trap"))
-        val perHost = gated.groupBy(col("host"))
-          .agg(count(lit(1)).as("n_allowed"))
-          .join(traps, "host")
-        val budget = Frontier.apportionBudget(
-            perHost.filter(!col("is_trap")), "host", "n_allowed",
-            total = 100L)
-          .select(col("host"), col("budget"))
-        val slots = Frontier.politenessSlots(
-            gated.select(col("url"), col("host")), perHostPerSlot = 4)
-          .groupBy(col("host"))
-          .agg((max(col("fetch_slot")) + 1).as("n_slots"))
-        perHost.join(budget, Seq("host"), "left")
-          .join(slots, Seq("host"), "left")
-          .select(col("host"), col("n_allowed"), col("is_trap"),
-            coalesce(col("budget"), lit(0L)).as("budget"),
-            col("n_slots"))
-          .orderBy(col("host"))
-      },
-      Some("""WITH u AS (
-        |  SELECT DISTINCT
-        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id ||
-        |      '?x=' || doc_id AS url,
-        |    'host' || (doc_id % 7) || '.com' AS host,
-        |    '/d/' || doc_id AS path
-        |  FROM documents
-        |  UNION
-        |  SELECT DISTINCT
-        |    'http://host' || ((doc_id + 3) % 7) || '.com/idx',
-        |    'host' || ((doc_id + 3) % 7) || '.com', '/idx'
-        |  FROM documents
-        |  UNION
-        |  SELECT 'http://hub.example.com/h', 'hub.example.com', '/h'
-        |  UNION
-        |  SELECT DISTINCT
-        |    'http://cal.example.com/cal?y=' || (doc_id % 31) ||
-        |      '&sid=' || doc_id,
-        |    'cal.example.com', '/cal'
-        |  FROM documents),
-        |rules(host, rtype, prefix) AS (VALUES
-        |  ('host0.com','disallow','/d/'), ('host0.com','allow','/d/1'),
-        |  ('host2.com','disallow','/'), ('host2.com','allow','/d/2'),
-        |  ('host3.com','disallow','/d/'), ('host3.com','allow','/d/'),
-        |  ('host4.com','disallow','/idx'), ('host5.com','disallow',''),
-        |  ('hub.example.com','allow','')),
-        |j AS (SELECT u.url, u.host, u.path,
-        |  CASE WHEN r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)
-        |    THEN CAST(2 * length(r.prefix) +
-        |      CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END AS BIGINT)
-        |  END AS rnk
-        |  FROM u LEFT JOIN rules r USING (host)),
-        |g AS (SELECT url, host FROM (
-        |    SELECT url, host, max(rnk) AS mr FROM j GROUP BY 1, 2)
-        |  WHERE coalesce(mr, 1) % 2 = 1),
-        |ph AS (SELECT host, count(*) AS n_allowed FROM g GROUP BY 1),
-        |tr AS (SELECT host, count(*) AS n_urls,
-        |    count(DISTINCT regexp_replace(url, '\?.*$', '')) AS n_base
-        |  FROM g GROUP BY 1),
-        |trap AS (SELECT host,
-        |    n_urls * 1000000 // n_base >= 5000000 AS is_trap FROM tr),
-        |w AS (SELECT ph.host AS node, ph.n_allowed AS wgt
-        |  FROM ph JOIN trap USING (host) WHERE NOT trap.is_trap),
-        |s AS (SELECT CAST(sum(wgt) AS BIGINT) AS s FROM w),
-        |b AS (SELECT node, wgt, (100 * wgt) // s.s AS base,
-        |        (100 * wgt) % s.s AS rem FROM w, s),
-        |l AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS lft FROM b),
-        |r AS (SELECT node, base, rem, row_number() OVER (
-        |        ORDER BY rem DESC, node) AS rk FROM b),
-        |bud AS (SELECT node AS host,
-        |    CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
-        |      AS BIGINT) AS budget
-        |  FROM r, l)
-        |SELECT ph.host, ph.n_allowed, trap.is_trap,
-        |  coalesce(bud.budget, 0) AS budget,
-        |  (ph.n_allowed + 3) // 4 AS n_slots
-        |FROM ph JOIN trap USING (host) LEFT JOIN bud USING (host)
-        |ORDER BY host""".stripMargin)),
-
-    // Recrawl scheduling from observed change rates: 4 synthetic
-    // crawl epochs per URL, content mutating at a HOST-dependent
-    // cadence ((doc+epoch) mod (2 + host residue)), so the per-host
-    // change ppm separates into revisit tiers. The lag-window
-    // change detection and tier mapping replay exactly.
-    "q391_recrawl_schedule" -> Q(
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("tx"))
-          .select(col("doc_id"), col("tx"),
-            explode(sequence(lit(0L), lit(3L))).as("epoch"))
-        val visits = d.select(
-          concat(lit("http://host"), (col("doc_id") % 7).cast("string"),
-            lit(".com/d/"), col("doc_id").cast("string")).as("url"),
-          concat(lit("host"), (col("doc_id") % 7).cast("string"),
-            lit(".com")).as("host"),
-          col("epoch"),
-          md5(concat(col("tx"),
-            when((col("doc_id") + col("epoch")) %
-              (lit(2L) + col("doc_id") % 7) === 0,
-              col("epoch").cast("string")).otherwise(lit(""))))
-            .as("fp"))
-        Frontier.changeRateSchedule(visits, "url", "host", "epoch",
-            "fp", Seq((400000L, "daily"), (250000L, "weekly")),
-            "monthly")
-          .orderBy(col("host"))
-      },
-      Some("""WITH v AS (
-        |  SELECT doc_id, 'host' || (doc_id % 7) || '.com' AS host,
-        |    'http://host' || (doc_id % 7) || '.com/d/' || doc_id AS url,
-        |    e.epoch,
-        |    md5(coalesce(text, '') ||
-        |      CASE WHEN (doc_id + e.epoch) % (2 + doc_id % 7) = 0
-        |           THEN CAST(e.epoch AS VARCHAR) ELSE '' END) AS fp
-        |  FROM documents
-        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS epoch) e),
-        |ch AS (SELECT host,
-        |    CASE WHEN fp <> prev THEN 1 ELSE 0 END AS chg
-        |  FROM (SELECT host, fp, lag(fp) OVER (
-        |      PARTITION BY url ORDER BY epoch) AS prev FROM v)
-        |  WHERE prev IS NOT NULL),
-        |g AS (SELECT host, count(*) AS n_obs,
-        |    CAST(sum(chg) AS BIGINT) AS n_changed
-        |  FROM ch GROUP BY 1)
-        |SELECT host, n_obs, n_changed,
-        |  n_changed * 1000000 // n_obs AS change_ppm,
-        |  CASE WHEN n_changed * 1000000 // n_obs >= 400000 THEN 'daily'
-        |       WHEN n_changed * 1000000 // n_obs >= 250000 THEN 'weekly'
-        |       ELSE 'monthly' END AS revisit
-        |FROM g ORDER BY host""".stripMargin)),
-
-    // Curation v2 capstone: spam gate (q376) → exact dedup →
-    // curriculum phases (q397), one verdict row per ORIGINAL doc —
-    // (spam, dup, phase) with phase −1 for anything dropped. Each
-    // stage has its own unit gate; this proves the session's new
-    // stages COMPOSE, the q342/q381 discipline. Curriculum
-    // thresholds are computed over the SURVIVORS, so the stages are
-    // genuinely sequential, not independent.
-    "q400_curation_v2" -> Q(
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val spam = HtmlExtract.spamSignals(spamPageFrom(docs),
-            "doc_id", "html")
-          .select(col("doc_id"),
-            (col("hidden") || col("stuffed")).as("spam"))
-        val clean = docs.join(
-          spam.filter(!col("spam")).select("doc_id"), Seq("doc_id"))
-        val fp = clean.select(col("doc_id"),
-          md5(trim(lower(coalesce(col("text"), lit(""))))).as("f"))
-        val own = fp.groupBy(col("f"))
-          .agg(min(col("doc_id")).as("keep_id"))
-        val kd = fp.join(own, "f")
-          .select(col("doc_id"),
-            (col("doc_id") =!= col("keep_id")).as("dup"))
-        val rd = TextAnalysis.readability(
-            docs.join(kd.filter(!col("dup")).select("doc_id"),
-              Seq("doc_id"))
-              .select(col("doc_id"), col("text")), "text")
-          .select(col("doc_id"), col("flesch_milli"))
-          .filter(col("flesch_milli").isNotNull)
-        val th = Corpus.quantilesBisect(rd, "flesch_milli",
-            Seq(0.33, 0.67))
-          .select(col("q_33"), col("q_67"))
-        val ph = rd.crossJoin(broadcast(th))
-          .select(col("doc_id"),
-            when(col("flesch_milli") >= col("q_67"), 0L)
-              .when(col("flesch_milli") >= col("q_33"), 1L)
-              .otherwise(2L).as("phase"))
-        docs.select(col("doc_id"))
-          .join(spam, Seq("doc_id"))
-          .join(kd, Seq("doc_id"), "left")
-          .join(ph, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("spam"),
-            coalesce(col("dup"), lit(false)).as("dup"),
-            coalesce(col("phase"), lit(-1L)).as("phase"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH fl AS ($spamOracleSql),
-        |k1 AS (SELECT doc_id FROM fl WHERE NOT hidden AND NOT stuffed),
-        |fp AS (SELECT d.doc_id,
-        |    md5(trim(lower(coalesce(d.text, '')))) AS f
-        |  FROM documents d JOIN k1 USING (doc_id)),
-        |own AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY 1),
-        |kd AS (SELECT fp.doc_id, fp.doc_id <> own.k AS dup
-        |  FROM fp JOIN own ON fp.f = own.f),
-        |sv AS (SELECT doc_id FROM kd WHERE NOT dup),
-        |rd AS (SELECT doc_id,
-        |    CASE WHEN w = 0 THEN CAST(NULL AS BIGINT)
-        |         ELSE 206835 - (1015 * w) // s - (84600 * y) // w
-        |    END AS fm
-        |  FROM (SELECT d.doc_id,
-        |      CAST(CASE WHEN trim(d.text) = '' THEN 0
-        |           ELSE len(string_split_regex(trim(d.text), '\\s+'))
-        |      END AS BIGINT) AS w,
-        |      greatest(CAST(len(regexp_extract_all(d.text, '[.!?]+'))
-        |        AS BIGINT), 1) AS s,
-        |      CAST(len(regexp_extract_all(lower(d.text), '[aeiouy]+'))
-        |        AS BIGINT) AS y
-        |    FROM documents d JOIN sv USING (doc_id))),
-        |v AS (SELECT doc_id, fm FROM rd WHERE fm IS NOT NULL),
-        |r AS (SELECT fm, row_number() OVER (ORDER BY fm) AS rnk,
-        |    count(*) OVER () AS n FROM v),
-        |t AS (SELECT
-        |    max(CASE WHEN rnk = ceil(0.33 * n) THEN fm END) AS q33,
-        |    max(CASE WHEN rnk = ceil(0.67 * n) THEN fm END) AS q67
-        |  FROM r),
-        |ph AS (SELECT v.doc_id,
-        |    CAST(CASE WHEN v.fm >= t.q67 THEN 0
-        |         WHEN v.fm >= t.q33 THEN 1 ELSE 2 END AS BIGINT)
-        |      AS phase
-        |  FROM v, t)
-        |SELECT d.doc_id, fl.hidden OR fl.stuffed AS spam,
-        |  coalesce(kd.dup, FALSE) AS dup,
-        |  coalesce(ph.phase, -1) AS phase
-        |FROM documents d JOIN fl USING (doc_id)
-        |LEFT JOIN kd USING (doc_id) LEFT JOIN ph USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)),
-
-    // Dataset card v2 — the one-row corpus summary a release ships
-    // with, extended with this round's signal battery: source/lang
-    // breadth, exact-dup share, and the on-page spam share, all in
-    // integer ppm. Three 1-row aggregates cross-attached.
-    "q423_dataset_card_v2" -> Q(
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val spam = HtmlExtract.spamSignals(spamPageFrom(docs),
-            "doc_id", "html")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("hidden") || col("stuffed"), 1L)
-              .otherwise(0L)).as("n_spam"))
-        val base = docs.agg(
-          countDistinct(col("source")).as("n_sources"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(col("n_chars")).as("total_chars"))
-        val dup = docs
-          .select(md5(trim(lower(coalesce(col("text"), lit("")))))
-            .as("f"))
-          .groupBy(col("f")).agg(count(lit(1)).as("n"))
-          .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_dups"))
-        spam.crossJoin(base).crossJoin(dup)
-          .withColumn("spam_ppm", expr("n_spam * 1000000L div n_docs"))
-          .withColumn("dup_ppm", expr("n_dups * 1000000L div n_docs"))
-      },
-      Some(s"""WITH fl AS ($spamOracleSql),
-        |sp AS (SELECT count(*) AS n_docs,
-        |    CAST(sum(CASE WHEN hidden OR stuffed THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_spam
-        |  FROM fl),
-        |b AS (SELECT
-        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |  FROM documents),
-        |d AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_dups
-        |  FROM (SELECT md5(trim(lower(coalesce(text, '')))) AS f,
-        |      count(*) AS n FROM documents GROUP BY 1)
-        |  WHERE n > 1)
-        |SELECT sp.n_docs, sp.n_spam, b.n_sources, b.n_langs,
-        |  b.total_chars, d.n_dups,
-        |  sp.n_spam * 1000000 // sp.n_docs AS spam_ppm,
-        |  d.n_dups * 1000000 // sp.n_docs AS dup_ppm
-        |FROM sp, b, d""".stripMargin)),
-
-    // Streaming spam triage: the SAME generator and the SAME
-    // spamSignals battery per micro-batch over a documents stream —
-    // correct because every signal is doc-local (hidden extraction a
-    // projection, the stuffing tf a per-doc agg), so batch boundaries
-    // can't split a unit of work. Gate = q376's batch oracle
-    // verbatim: stream ≡ batch proven, not asserted.
-    "q382_stream_spam" -> Q(
-      (s, dir) => {
-        import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
-        val docsStream = s.readStream
-          .schema(Tables.documents(s, dir).schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(dir)
-        val outSchema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("n_hidden_chars", LongType),
-          StructField("n_hidden_tokens", LongType),
-          StructField("n_toks", LongType),
-          StructField("top_tf_ppm", LongType),
-          StructField("hidden", BooleanType),
-          StructField("stuffed", BooleanType)))
-        var out = s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
-        val ckpt = graft.streaming.Streams.scratchCheckpointDir("graft-spam-ck")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        try {
-          graft.streaming.Streams.transformEachBatch(
-            docsStream,
-            batch => HtmlExtract.spamSignals(
-              spamPageFrom(batch), "doc_id", "html"),
-            res => out = out.unionByName(res).localCheckpoint(true),
-            ckpt.toString,
-            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-            .awaitTermination()
-        } finally rm(ckpt.toFile)
-        out.orderBy(col("doc_id"))
-      },
-      Some(spamOracleSql))
+        |ORDER BY doc_id, link_idx""".stripMargin))
   )
 }

@@ -1,0 +1,1038 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Urls
+import graft.operators.{Bpe, Dedup, LanguageModel, Search, Similarity, Sketch}
+import IndexQueries._
+
+/** Second half of the indexing/retrieval pack (split from
+  * IndexQueries at the domain-governance boundary for navigability —
+  * VERDICT r7 item 6; no behavior change): domain rollups, zonemaps,
+  * split-leakage audits, positional/phrase search, snippet selection,
+  * posting compression, and the fixed-point BM25 gate. The shared
+  * tokenizer CTEs stay in [[IndexQueries]] (imported above) so the
+  * two files can never drift on conventions.
+  */
+object IndexQueriesB extends QueryPack {
+
+  override def defs: Map[String, Q] = Map(
+    // Domain-level corpus governance: parse host/registrable domain
+    // from (synthesized) per-doc URLs, drop blocklisted domains, and
+    // roll up doc/host/token counts per domain. The oracle derives
+    // host and domain from the GENERATOR arithmetic, so Spark's URL
+    // parsing chain is checked against ground truth, not re-parsed.
+    "q137_domain_stats" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val d = col("doc_id")
+        val url = concat(lit("https://"),
+          when(d % 5 === 0, lit("www."))
+            .otherwise(concat(lit("crawl"), d % 3, lit("."))),
+          lit("site"), d % 7, lit(".com/page/"), d)
+        Tables.documents(s, dir)
+          .select(d, size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_toks"), url.as("url"))
+          .withColumn("host", Urls.host(col("url")))
+          .withColumn("domain", Urls.registrableDomain(col("host")))
+          .filter(!col("domain").isin("site1.com", "site4.com"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"),
+            sum(col("n_toks")).as("n_tokens"))
+          .orderBy(col("domain"))
+      },
+      Some(s"""WITH $toksCte,
+        |d AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+        |    CASE WHEN t.doc_id % 5 = 0
+        |         THEN 'site' || (t.doc_id % 7) || '.com'
+        |         ELSE 'crawl' || (t.doc_id % 3) || '.site' ||
+        |              (t.doc_id % 7) || '.com' END AS host,
+        |    'site' || (t.doc_id % 7) || '.com' AS domain
+        |  FROM t)
+        |SELECT domain, count(*) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM d
+        |WHERE domain NOT IN ('site1.com', 'site4.com')
+        |GROUP BY domain
+        |ORDER BY domain""".stripMargin)),
+
+    // Corpus diversity monitoring: per-source trigram type-token ratio
+    // (distinct / total n-grams in ppm) — the Self-BLEU-adjacent
+    // signal that flags template-heavy or mode-collapsed sources.
+    // Vocabulary-bounded partial aggs; n-gram keys ride the native
+    // shingle scan.
+    "q139_ngram_diversity" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tg = docs.select(col("source"),
+            explode(LanguageModel.ngramKeys(col("text"), 3)).as("tg"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("total_trigrams"),
+            countDistinct(col("tg")).as("distinct_trigrams"))
+        base.join(tg, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("total_trigrams"), lit(0L)).as("total_trigrams"),
+            coalesce(col("distinct_trigrams"), lit(0L))
+              .as("distinct_trigrams"),
+            when(coalesce(col("total_trigrams"), lit(0L)) > 0,
+              expr("(1000000 * distinct_trigrams) div total_trigrams"))
+              .otherwise(lit(0L)).as("ttr_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH lt AS (
+        |  SELECT source,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |tg AS (SELECT source, array_to_string(t[i:i+2], ' ') AS tg
+        |       FROM (SELECT source, t,
+        |               unnest(generate_series(1, len(t) - 2)) AS i
+        |             FROM lt WHERE len(t) >= 3)),
+        |g AS (SELECT source, count(*) AS total_trigrams,
+        |        count(DISTINCT tg) AS distinct_trigrams
+        |      FROM tg GROUP BY source),
+        |b AS (SELECT source, count(*) AS n_docs FROM documents
+        |      GROUP BY source)
+        |SELECT b.source, b.n_docs,
+        |  COALESCE(g.total_trigrams, 0) AS total_trigrams,
+        |  COALESCE(g.distinct_trigrams, 0) AS distinct_trigrams,
+        |  CASE WHEN COALESCE(g.total_trigrams, 0) > 0
+        |       THEN (1000000 * g.distinct_trigrams) // g.total_trigrams
+        |       ELSE 0 END AS ttr_ppm
+        |FROM b LEFT JOIN g USING (source)
+        |ORDER BY source""".stripMargin)),
+
+    // Cross-source exact-overlap matrix: how many canonical-text
+    // fingerprints two sources share (diagonal = a source's distinct
+    // fingerprint count). The leakage/contamination dashboard between
+    // corpus slices — one fingerprint-keyed self-join over the
+    // DISTINCT (source, fp) frame, never doc×doc.
+    "q140_source_overlap" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val fps = Tables.documents(s, dir)
+          .select(col("source"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .distinct()
+        fps.select(col("source").as("src_a"), col("fp"))
+          .join(fps.select(col("source").as("src_b"), col("fp")), "fp")
+          .filter(col("src_a") <= col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH f AS (
+        |  SELECT DISTINCT source, md5(array_to_string(
+        |      string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        |      ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source <= b.source
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Data-skipping zonemap: per-shard min/max/count for two
+    // clustering keys plus range pruning — the file-stats index a
+    // 100 TB writer persists so scans open only intersecting shards.
+    // min/max of doubles are exact picks (never accumulated), so the
+    // double columns hash-gate safely.
+    "q142_zonemap" -> Q(
+      (s, dir) => {
+        import graft.operators.Corpus
+        val zm = Corpus.zonemap(Tables.lineitem(s, dir),
+          expr("l_orderkey div 4000"), Seq("l_quantity", "l_extendedprice"))
+        Corpus.pruneRange(zm, "l_extendedprice", lit(1000.0), lit(50000.0))
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT l_orderkey // 4000 AS shard, count(*) AS n_rows,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity,
+        |  min(l_extendedprice) AS min_l_extendedprice,
+        |  max(l_extendedprice) AS max_l_extendedprice,
+        |  (max(l_extendedprice) < 1000.0 OR min(l_extendedprice) > 50000.0)
+        |    AS can_skip
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin)),
+
+    // Held-out-set integrity: fingerprints straddling hash-split
+    // partitions (splits key on doc_id, so textual dups with distinct
+    // ids CAN leak train→test). Same split arithmetic as q79, same
+    // canonical fingerprint as q25. The corpus' own dups happen to
+    // co-split at this sf, so 50 cross-id duplicates are planted
+    // (identical text under shifted ids) to make the gate
+    // non-trivial.
+    "q147_split_leakage" -> Q(
+      (s, dir) => {
+        import graft.operators.Corpus
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        Corpus.splitLeakage(planted, "doc_id", "text",
+            "v1", Seq(("train", 8), ("val", 1), ("test", 1)))
+          .orderBy(col("fp"))
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |s AS (
+        |  SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |    md5(array_to_string(string_split_regex(
+        |      trim(lower(coalesce(text, ''))), '\s+'), ' ')) AS fp
+        |  FROM (SELECT text,
+        |          CAST(('0x' || substr(md5(doc_id || ':v1'), 1, 15))
+        |            AS BIGINT) % 10 AS b
+        |        FROM u))
+        |SELECT fp, count(*) AS n_docs,
+        |  count(DISTINCT split) AS n_splits,
+        |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+        |FROM s GROUP BY fp
+        |HAVING count(DISTINCT split) > 1
+        |ORDER BY fp""".stripMargin)),
+
+    // Per-source vocabulary signature: top-5 terms by frequency with
+    // deterministic ties — the corpus-drift dashboard row. The window
+    // runs over the aggregated (source, term) frame, never raw rows.
+    "q148_top_terms_by_source" -> Q(
+      (s, dir) => graft.operators.Search.topTermsPerGroup(
+          Tables.documents(s, dir), "source", "text", 5)
+        .select(col("grp").as("source"), col("term"), col("tf"),
+          col("rank"))
+        .orderBy(col("source"), col("rank")),
+      Some("""WITH tf AS (
+        |  SELECT source, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT source, unnest(
+        |          CASE WHEN trim(lower(text)) = ''
+        |               THEN CAST([] AS VARCHAR[])
+        |               ELSE string_split_regex(trim(lower(text)), '\s+')
+        |          END) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT source, term, tf,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY tf DESC, term) AS BIGINT) AS rank
+        |  FROM tf)
+        |SELECT source, term, tf, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin)),
+
+    // Collocation mining: top-50 bigrams by LIFT (exp-PMI, integer
+    // ppm — monotone in PMI so rankings agree engine-to-engine) with
+    // a min-count floor. The phrase / tokenizer-merge-candidate
+    // signal over the corpus.
+    "q152_bigram_lift" -> Q(
+      (s, dir) => LanguageModel.bigramLift(
+          Tables.documents(s, dir).select(col("text")), "text",
+          minCount = 5L)
+        .orderBy(col("lift_ppm").desc, col("bg"))
+        .limit(50),
+      Some("""WITH lt AS (
+        |  SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |u AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+        |      FROM (SELECT unnest(t) AS w FROM lt) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM u),
+        |bl AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |              FROM lt WHERE len(t) >= 2))
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1 || ' ' || w2 AS bg, c12, u1.cu AS c1, u2.cu AS c2,
+        |  (1000000 * c12 * n_total) // (u1.cu * u2.cu) AS lift_ppm
+        |FROM bl
+        |JOIN u u1 ON u1.w = bl.w1
+        |JOIN u u2 ON u2.w = bl.w2
+        |CROSS JOIN tot
+        |ORDER BY lift_ppm DESC, bg
+        |LIMIT 50""".stripMargin)),
+
+    // Eval-set construction: exactly 3 docs per source chosen by
+    // md5-hash order — reproducible across runs/engines, ties to the
+    // smaller id (the hashSplit determinism contract, per-group).
+    "q155_stratified_sample" -> Q(
+      (s, dir) => {
+        import graft.operators.Corpus
+        Corpus.stratifiedSample(
+            Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            "source", "doc_id", "ev1", 3)
+          .orderBy(col("source"), col("sample_rank"))
+      },
+      Some("""WITH r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(doc_id || ':ev1'), 1, 15))
+        |                 AS BIGINT), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT source, doc_id, sample_rank
+        |FROM r WHERE sample_rank <= 3
+        |ORDER BY source, sample_rank""".stripMargin)),
+
+    // The bisection quantile as a FILTER THRESHOLD: drop (here:
+    // surface) docs beyond the corpus p99 token length — the
+    // two-phase outlier-trim pattern (one bisection pass computes the
+    // cut, one scan applies it) that replaces a global sort at 100 TB.
+    "q156_outlier_filter" -> Q(
+      (s, dir) => {
+        import graft.operators.{Corpus, TextAnalysis}
+        val lens = Tables.documents(s, dir).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val p99 = Corpus.quantilesBisect(lens, "n_tokens", Seq(0.99))
+          .collect()(0).getLong(1)
+        lens.filter(col("n_tokens") > p99).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksCte,
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+        |      WHERE toks IS NOT NULL),
+        |r AS (SELECT n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM l),
+        |p AS (SELECT max(CASE WHEN rnk = ceil(0.99 * n) THEN n_tokens END)
+        |        AS p99 FROM r)
+        |SELECT doc_id, n_tokens
+        |FROM l CROSS JOIN p
+        |WHERE n_tokens > p99
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Per-doc keyword extraction on a doc sample: top-3 terms by the
+    // integer TF-IDF surrogate 1e6·tf/df (df over the FULL corpus,
+    // so common words rank out; the constant N is dropped — same
+    // ranking, overflow-free), ties to the smaller term.
+    "q165_tfidf_keywords" -> Q(
+      (s, dir) => graft.operators.Search.keywordsPerDoc(
+          Tables.documents(s, dir), "doc_id", "text", 3)
+        .filter(col("doc_id") % 50 === 0)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    (1000000 * tf.tf) // dfq.df AS score_ppm
+        |  FROM tf JOIN dfq USING (term)),
+        |r AS (SELECT doc_id, term, tf, df, score_ppm,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_ppm DESC, term) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score_ppm
+        |FROM r WHERE rank <= 3 AND doc_id % 50 = 0
+        |ORDER BY doc_id, rank""".stripMargin)),
+
+    // DSIR-style importance weighting in exact integer form: target =
+    // English documents; weight_ppm(t) = ⌊1e6·c_target(t)/c_all(t)⌋
+    // over corpus term counts; doc score = Σ token weights. The
+    // data-selection prior that upsamples target-like text.
+    "q171_importance_weights" -> Q(
+      (s, dir) => graft.operators.Corpus.importanceWeights(
+          Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, tgt, unnest(toks) AS tk FROM t),
+        |w AS (SELECT tk,
+        |    (1000000 * CAST(count(CASE WHEN tgt THEN 1 END) AS BIGINT))
+        |      // CAST(count(*) AS BIGINT) AS w_ppm
+        |  FROM tok GROUP BY tk),
+        |pd AS (SELECT tok.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+        |  FROM tok JOIN w USING (tk) GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  coalesce(pd.score_ppm, 0) AS score_ppm
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic weighted sampling without replacement (integer
+    // A-ES): priority = h60(id:salt) div weight, keep the 3 smallest
+    // per source. Longer documents (weight = n_chars) are
+    // proportionally likelier — the length-weighted corpus draw.
+    "q172_weighted_sample" -> Q(
+      (s, dir) => graft.operators.Corpus.weightedPrioritySample(
+          Tables.documents(s, dir).select(
+            col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", "source", k = 3, salt = "ws1")
+        .orderBy(col("source"), col("rn")),
+      Some("""WITH p AS (SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(doc_id || ':ws1'), 1, 15)) AS BIGINT)
+        |      // n_chars AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT source, doc_id, priority,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY priority, doc_id) AS BIGINT) AS rn
+        |  FROM p)
+        |SELECT source, rn, doc_id, priority
+        |FROM r WHERE rn <= 3
+        |ORDER BY source, rn""".stripMargin)),
+
+    // Tokenizer-fit audit: top-100 corpus vocabulary (frequency desc,
+    // token asc — fully deterministic), per-source OOV rate in ppm.
+    "q177_vocab_coverage" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.vocabCoverage(
+          Tables.documents(s, dir), "text", "source", vocabSize = 100)
+        .orderBy(col("source")),
+      Some("""WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(toks) AS tk FROM t),
+        |v AS (SELECT tk FROM (
+        |    SELECT tk, count(*) AS c FROM tok GROUP BY tk
+        |    ORDER BY c DESC, tk LIMIT 100)),
+        |j AS (SELECT tok.source, v.tk AS hit
+        |      FROM tok LEFT JOIN v ON tok.tk = v.tk)
+        |SELECT source, count(*) AS n_tokens,
+        |  count(CASE WHEN hit IS NULL THEN 1 END) AS n_oov,
+        |  (1000000 * count(CASE WHEN hit IS NULL THEN 1 END)) // count(*)
+        |    AS oov_ppm
+        |FROM j GROUP BY source
+        |ORDER BY source""".stripMargin)),
+
+    // Feature-correlation audit in exact sufficient statistics:
+    // char length vs token count per source — n, Σx, Σy, Σx², Σy²,
+    // Σxy and the covariance numerator, all BIGINT (Pearson r derives
+    // from these; its sqrt stays out of the gate by design).
+    "q184_corr_stats" -> Q(
+      (s, dir) => graft.operators.Aggregates.corrStats(
+          Tables.documents(s, dir)
+            .withColumn("n_tok",
+              graft.operators.TextAnalysis.nTokens(col("text"))),
+          "source", col("n_chars"), col("n_tok"))
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source,
+        |    CAST(n_chars AS BIGINT) AS x,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+'))
+        |    END AS BIGINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        |  CAST(sum(y * y) AS BIGINT) AS sum_yy,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  count(*) * CAST(sum(x * y) AS BIGINT)
+        |    - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS cov_num
+        |FROM d GROUP BY source
+        |ORDER BY source""".stripMargin)),
+
+    // Largest-remainder (Hamilton) quota allocation: 100 eval slots
+    // split across sources proportionally to doc count, remainders
+    // ranked exactly (mod-N integers, no division error). Σ quota
+    // must equal the total by construction.
+    "q185_quota_allocation" -> Q(
+      (s, dir) => graft.operators.Corpus.quotaAllocation(
+          Tables.documents(s, dir), "source", total = 100L)
+        .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source, count(*) AS n_rows
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS N FROM c),
+        |b AS (SELECT source, n_rows,
+        |    (n_rows * 100) // N AS base, (n_rows * 100) % N AS rem
+        |  FROM c, t),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+        |      AS rk,
+        |    100 - sum(base) OVER () AS spare
+        |  FROM b)
+        |SELECT source, n_rows,
+        |  base + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS quota
+        |FROM r
+        |ORDER BY source""".stripMargin)),
+
+    // Bloom-prefiltered join: the build side's key bitmap applied as
+    // a SCAN-SPEED predicate on the probe scan before any shuffle —
+    // the 100 TB shape when the build side is too big to broadcast
+    // as a hash relation but its Bloom bitmap is KBs. The oracle is
+    // the PLAIN join: no false negatives means the prefilter can
+    // only drop rows the join would drop anyway, so a green hash
+    // proves the optimization preserves the exact result (false
+    // positives cost selectivity, never correctness).
+    "q205_bloom_prefilter_join" -> Q(
+      (s, dir) => {
+        val nBits = 63 * 256
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val bloom = Sketch.bloomBuild(urgent,
+          col("o_orderkey").cast("string"), nBits, 3)
+        val pred = Sketch.bloomFilterScan(bloom,
+          col("l_orderkey").cast("string"), nBits, 3)
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .filter(pred)
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    // Greedy longest-match subword encode (the WordPiece inference
+    // path) with a corpus-induced char-n-gram vocabulary — run over
+    // the DISTINCT-words table (the Zipf optimization), so both the
+    // induction and the 16-step encode state machine are
+    // vocabulary-bounded. The oracle replays the top-64 piece
+    // induction and the identical greedy fold as a struct-state
+    // list_reduce.
+    "q215_greedy_encode" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val words = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val pieces = Bpe.charNgramVocab(words, "word", "cnt",
+          maxPieceLen = 4, topM = 64)
+        Bpe.greedyEncode(words, "word", pieces)
+          .select(col("word"), col("cnt"), col("n_pieces"), col("n_unk"))
+          .orderBy(col("word"))
+      },
+      Some {
+        val matchCase = (4 to 2 by -1).map { l =>
+          s"""WHEN length(word) - acc.pos >= ${l - 1}
+          |          AND list_contains(vl, substr(word, acc.pos, $l))
+          |          THEN {'pos': acc.pos + $l, 'np': acc.np + 1, 'unk': acc.unk}""".stripMargin
+        }.mkString("\n        ")
+        s"""WITH words AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(CASE WHEN trim(lower(text)) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+        |      AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |pp AS (SELECT word, cnt,
+        |    unnest(generate_series(1, length(word))) AS pos FROM words),
+        |pl AS (SELECT word, cnt, pos, unnest([1, 2, 3, 4]) AS l FROM pp),
+        |pcs AS (SELECT substr(word, pos, l) AS piece, sum(cnt) AS t
+        |  FROM pl WHERE pos + l - 1 <= length(word) GROUP BY 1),
+        |vlt AS (SELECT list(piece) AS vl FROM (
+        |  SELECT piece FROM pcs ORDER BY t DESC, piece LIMIT 64)),
+        |enc AS (SELECT word, cnt,
+        |  list_reduce(
+        |    [{'pos': 1, 'np': 0, 'unk': 0}] ||
+        |      list_transform(range(1, 17), i -> {'pos': 0, 'np': 0, 'unk': 0}),
+        |    (acc, x) -> CASE WHEN acc.pos > length(word) THEN acc
+        |      ELSE (CASE
+        |        $matchCase
+        |        WHEN list_contains(vl, substr(word, acc.pos, 1))
+        |          THEN {'pos': acc.pos + 1, 'np': acc.np + 1, 'unk': acc.unk}
+        |        ELSE {'pos': acc.pos + 1, 'np': acc.np, 'unk': acc.unk + 1}
+        |        END)
+        |      END) AS st
+        |  FROM words CROSS JOIN vlt)
+        |SELECT word, cnt, CAST(st.np AS BIGINT) AS n_pieces,
+        |  CAST(st.unk AS BIGINT) AS n_unk
+        |FROM enc
+        |ORDER BY word""".stripMargin
+      }),
+
+    // Tokenizer-migration drift: the SAME word frame encoded under
+    // the incumbent 64-piece vocab and a candidate 32-piece vocab,
+    // per-word piece/unk deltas — the artifact that prices a
+    // tokenizer swap (sequence-length growth = compute growth)
+    // before committing to one. Both greedy folds replay in-oracle.
+    "q404_tokenizer_drift" -> Q(
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val words = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val a = Bpe.greedyEncode(words, "word",
+            Bpe.charNgramVocab(words, "word", "cnt", 4, topM = 64))
+          .select(col("word"), col("cnt"),
+            col("n_pieces").as("np_a"), col("n_unk").as("unk_a"))
+        val b = Bpe.greedyEncode(words, "word",
+            Bpe.charNgramVocab(words, "word", "cnt", 4, topM = 32))
+          .select(col("word"), col("n_pieces").as("np_b"),
+            col("n_unk").as("unk_b"))
+        a.join(b, "word")
+          .withColumn("piece_delta", col("np_b") - col("np_a"))
+          .orderBy(col("word"))
+      },
+      Some {
+        def matchCase(vl: String) = (4 to 2 by -1).map { l =>
+          s"""WHEN length(word) - acc.pos >= ${l - 1}
+          |          AND list_contains($vl, substr(word, acc.pos, $l))
+          |          THEN {'pos': acc.pos + $l, 'np': acc.np + 1, 'unk': acc.unk}""".stripMargin
+        }.mkString("\n        ")
+        def encCte(name: String, vlt: String, vl: String) =
+          s"""$name AS (SELECT word, cnt,
+          |  list_reduce(
+          |    [{'pos': 1, 'np': 0, 'unk': 0}] ||
+          |      list_transform(range(1, 17), i -> {'pos': 0, 'np': 0, 'unk': 0}),
+          |    (acc, x) -> CASE WHEN acc.pos > length(word) THEN acc
+          |      ELSE (CASE
+          |        ${matchCase(vl)}
+          |        WHEN list_contains($vl, substr(word, acc.pos, 1))
+          |          THEN {'pos': acc.pos + 1, 'np': acc.np + 1, 'unk': acc.unk}
+          |        ELSE {'pos': acc.pos + 1, 'np': acc.np, 'unk': acc.unk + 1}
+          |        END)
+          |      END) AS st
+          |  FROM words CROSS JOIN $vlt)""".stripMargin
+        s"""WITH words AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(CASE WHEN trim(lower(text)) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+        |      AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |pp AS (SELECT word, cnt,
+        |    unnest(generate_series(1, length(word))) AS pos FROM words),
+        |pl AS (SELECT word, cnt, pos, unnest([1, 2, 3, 4]) AS l FROM pp),
+        |pcs AS (SELECT substr(word, pos, l) AS piece, sum(cnt) AS t
+        |  FROM pl WHERE pos + l - 1 <= length(word) GROUP BY 1),
+        |va AS (SELECT list(piece) AS vla FROM (
+        |  SELECT piece FROM pcs ORDER BY t DESC, piece LIMIT 64)),
+        |vb AS (SELECT list(piece) AS vlb FROM (
+        |  SELECT piece FROM pcs ORDER BY t DESC, piece LIMIT 32)),
+        |${encCte("ea", "va", "vla")},
+        |${encCte("eb", "vb", "vlb")}
+        |SELECT ea.word, ea.cnt,
+        |  CAST(ea.st.np AS BIGINT) AS np_a,
+        |  CAST(ea.st.unk AS BIGINT) AS unk_a,
+        |  CAST(eb.st.np AS BIGINT) AS np_b,
+        |  CAST(eb.st.unk AS BIGINT) AS unk_b,
+        |  CAST(eb.st.np - ea.st.np AS BIGINT) AS piece_delta
+        |FROM ea JOIN eb USING (word)
+        |ORDER BY ea.word""".stripMargin
+      }),
+
+    // KMV (k-minimum-values) distinct sketch with split-and-merge:
+    // the corpus is sketched as two halves (doc_id parity) that MERGE
+    // into one register table — the oracle replays the WHOLE stream
+    // directly, so a green hash proves the merge algebra exactly
+    // (mergeKmv(A, B) ≡ kmv(A ∪ B); the q115 discipline). Registers
+    // are exact integers; the estimate is exact below saturation and
+    // (k−1)·2^60/h_k above it — one exact double product (15·2^60 is
+    // a 4-bit mantissa) and one IEEE division, engine-stable.
+    "q243_kmv_sketch" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def sketchHalf(even: Boolean) = Sketch.kmvBy(
+          docs.filter((col("doc_id") % 2 === 0) === even),
+          col("source"), col("text"), k = 16)
+        val merged = Sketch.mergeKmv(sketchHalf(true), sketchHalf(false), 16)
+        merged.join(Sketch.kmvEstimate(merged, 16), Seq("grp"))
+          .select(col("grp"), col("rn"), col("h"), col("n_regs"), col("est"))
+          .orderBy(col("grp"), col("rn"))
+      },
+      Some("""WITH d AS (
+        |  SELECT DISTINCT source AS grp,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |  FROM d),
+        |reg AS (SELECT grp, CAST(rn AS INT) AS rn, h FROM r WHERE rn <= 16),
+        |e AS (SELECT grp, count(*) AS n_regs, max(h) AS h_k
+        |      FROM reg GROUP BY 1)
+        |SELECT reg.grp, rn, h, n_regs,
+        |  CASE WHEN n_regs < 16 THEN CAST(n_regs AS DOUBLE)
+        |       ELSE 15.0 * 1152921504606846976.0 / h_k END AS est
+        |FROM reg JOIN e ON reg.grp = e.grp
+        |ORDER BY reg.grp, rn""".stripMargin)),
+
+    // Cross-source similarity FROM SKETCHES: pairwise Jaccard of the
+    // per-source KMV register tables (k smallest union hashes, count
+    // in-both) — the register-value capability that justifies KMV
+    // next to HLL. The oracle replays the same construction from the
+    // raw table; all-integer readout (matched, kk, ppm).
+    "q251_kmv_jaccard" -> Q(
+      (s, dir) => Sketch.kmvPairwiseJaccard(
+          Sketch.kmvBy(Tables.documents(s, dir), col("source"),
+            col("text"), k = 16), k = 16)
+        .orderBy(col("grp_a"), col("grp_b")),
+      Some("""WITH d AS (
+        |  SELECT DISTINCT source AS grp,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |  FROM d),
+        |reg AS (SELECT grp, h FROM r WHERE rn <= 16),
+        |g AS (SELECT DISTINCT grp FROM reg),
+        |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+        |      FROM g a JOIN g b ON a.grp < b.grp),
+        |t AS (
+        |  SELECT grp_a, grp_b, h,
+        |    max(CASE WHEN g2.grp = grp_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN g2.grp = grp_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM p JOIN reg g2 ON g2.grp = grp_a OR g2.grp = grp_b
+        |  GROUP BY 1, 2, 3),
+        |u AS (
+        |  SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b
+        |    ORDER BY h) AS rn
+        |  FROM t)
+        |SELECT grp_a, grp_b, count(*) AS kk,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS matched,
+        |  (1000000 * CAST(sum(in_a * in_b) AS BIGINT)) // count(*)
+        |    AS jacc_ppm
+        |FROM u WHERE rn <= 16
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // EXACT bitmap index (63 sign-safe bits/word on the doc_id row
+    // space): predicate bitmaps for lang='en' and n_chars>500 with
+    // word-wise AND/OR — boolean predicate algebra that never
+    // re-touches the table. The full word table gates bit-for-bit.
+    "q276_bitmap_index" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sketch.bitmapCombine(
+            Sketch.bitmapBuild(docs, "doc_id", col("lang") === "en"),
+            Sketch.bitmapBuild(docs, "doc_id", col("n_chars") > 500))
+          .orderBy(col("word_idx"))
+      },
+      Some("""WITH a AS (
+        |  SELECT doc_id // 63 AS word_idx,
+        |    CAST(sum(1::BIGINT << CAST(doc_id % 63 AS INT))
+        |      AS BIGINT) AS bits_a
+        |  FROM documents WHERE lang = 'en' GROUP BY 1),
+        |b AS (
+        |  SELECT doc_id // 63 AS word_idx,
+        |    CAST(sum(1::BIGINT << CAST(doc_id % 63 AS INT))
+        |      AS BIGINT) AS bits_b
+        |  FROM documents WHERE n_chars > 500 GROUP BY 1)
+        |SELECT coalesce(a.word_idx, b.word_idx) AS word_idx,
+        |  coalesce(bits_a, 0) AS bits_a,
+        |  coalesce(bits_b, 0) AS bits_b,
+        |  coalesce(bits_a, 0) & coalesce(bits_b, 0) AS bits_and,
+        |  coalesce(bits_a, 0) | coalesce(bits_b, 0) AS bits_or
+        |FROM a FULL OUTER JOIN b ON a.word_idx = b.word_idx
+        |ORDER BY word_idx""".stripMargin)),
+
+    // EXACT heavy hitters with bounded memory: Misra-Gries candidate
+    // pass (k counters per task, partition-dependent superset) + an
+    // exact re-count of the broadcast candidates. The oracle runs the
+    // definitional full GROUP BY ... HAVING — agreement proves the
+    // two-pass bounded-state plan computes the TRUE >n/k set, which
+    // is the point: no full-cardinality groupBy at 100 TB. Same token
+    // stream as q106 (CMS flavor); different guarantee (no false
+    // positives at all).
+    "q287_mg_heavy_hitters" -> Q(
+      (s, dir) => Sketch.mgHeavyHitters(
+          Tables.documents(s, dir)
+            .select(explode(graft.operators.TextAnalysis.tokens(
+              lower(col("text")))).as("t")),
+          col("t"), k = 200)
+        .orderBy(col("key")),
+      Some("""WITH tok AS (
+        |  SELECT unnest(CASE WHEN trim(lower(text)) = ''
+        |                THEN CAST([] AS VARCHAR[])
+        |                ELSE string_split_regex(trim(lower(text)),
+        |                  '\s+') END) AS t
+        |  FROM documents)
+        |SELECT t AS key, count(*) AS cnt
+        |FROM tok
+        |GROUP BY t
+        |HAVING count(*) * 200 > (SELECT count(*) FROM tok)
+        |ORDER BY key""".stripMargin)),
+
+    // Deterministic Poisson-bootstrap CI for mean document length:
+    // 32 resamples = 64 paired aggregates in ONE scan (no ×32
+    // explode); weights are md5-nibble draws both engines replay
+    // identically. CI bounds are nearest-rank order statistics of
+    // the replicate means (selected integers); sum_means_milli pins
+    // all 32 resamples, not just the two picked ranks.
+    "q288_bootstrap_ci" -> Q(
+      (s, dir) => graft.operators.Corpus.bootstrapMeanCI(
+        Tables.documents(s, dir), "doc_id", "n_chars",
+        replicates = 32, salt = "bs1", loPct = 5, hiPct = 95),
+      Some("""WITH g AS (SELECT unnest(generate_series(0, 31)) AS r),
+        |w AS (
+        |  SELECT g.r, d.n_chars,
+        |    CASE WHEN nib < 6 THEN 0 WHEN nib < 12 THEN 1
+        |         WHEN nib < 15 THEN 2 ELSE 3 END AS w
+        |  FROM documents d CROSS JOIN g,
+        |    LATERAL (SELECT CAST('0x' ||
+        |      substr(md5(d.doc_id || '#' || g.r || '#bs1'), 1, 1)
+        |      AS BIGINT) AS nib)),
+        |m AS (
+        |  SELECT r, CAST(sum(w * n_chars) * 1000 //
+        |    greatest(sum(w), 1) AS BIGINT) AS mean_milli
+        |  FROM w GROUP BY r),
+        |s AS (SELECT mean_milli,
+        |        row_number() OVER (ORDER BY mean_milli) AS rk
+        |      FROM m),
+        |base AS (SELECT count(*) AS n, sum(n_chars) AS sx
+        |         FROM documents)
+        |SELECT n,
+        |  CAST(sx * 1000 // greatest(n, 1) AS BIGINT) AS point_milli,
+        |  (SELECT mean_milli FROM s WHERE rk = 2) AS ci_lo_milli,
+        |  (SELECT mean_milli FROM s WHERE rk = 31) AS ci_hi_milli,
+        |  CAST(32 AS BIGINT) AS n_replicates,
+        |  (SELECT CAST(sum(mean_milli) AS BIGINT) FROM s)
+        |    AS sum_means_milli
+        |FROM base""".stripMargin)),
+
+    // Join-size estimation from KMV sketches — optimizer statistics
+    // without running the join: Ĵ·Û(A∪B) estimated common keys × the
+    // uniform-multiplicity factors, from bytes-sized sketches. The
+    // oracle replays the register tables AND the pinned
+    // left-to-right float chain; the TRUE size (Σ cntA·cntB, exact
+    // integer) sits beside the estimate so the estimator's bias is
+    // measured, not hidden.
+    "q298_join_size_est" -> Q(
+      (s, dir) => {
+        val a = Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("k"))
+        val b = Tables.orders(s, dir)
+          .select(col("o_custkey").cast("string").as("k"))
+        val est = Sketch.joinSizeEstimate(a, col("k"), b, col("k"), 64)
+        val truth = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+          .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+            .as("true_rows"))
+        est.crossJoin(broadcast(truth))
+      },
+      Some("""WITH ka AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(
+        |    CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |kb AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(
+        |    CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders),
+        |ra AS (SELECT h FROM (SELECT h,
+        |    row_number() OVER (ORDER BY h) AS rn FROM ka)
+        |  WHERE rn <= 64),
+        |rb AS (SELECT h FROM (SELECT h,
+        |    row_number() OVER (ORDER BY h) AS rn FROM kb)
+        |  WHERE rn <= 64),
+        |ea AS (SELECT count(*) AS n_regs, max(h) AS h_k FROM ra),
+        |eb AS (SELECT count(*) AS n_regs, max(h) AS h_k FROM rb),
+        |mu AS (SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT h FROM
+        |      (SELECT h FROM ra UNION ALL SELECT h FROM rb)))
+        |  WHERE rn <= 64),
+        |eu AS (SELECT count(*) AS n_regs, max(h) AS h_k FROM mu),
+        |tag AS (
+        |  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |    SELECT h, 1 AS in_a, 0 AS in_b FROM ra
+        |    UNION ALL SELECT h, 0, 1 FROM rb)
+        |  GROUP BY h),
+        |jw AS (SELECT in_a, in_b FROM (
+        |    SELECT in_a, in_b, row_number() OVER (ORDER BY h) AS rn
+        |    FROM tag)
+        |  WHERE rn <= 64),
+        |jac AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS matched
+        |  FROM jw),
+        |na AS (SELECT count(*) AS rows_a FROM events
+        |       WHERE user_id IS NOT NULL),
+        |nb AS (SELECT count(*) AS rows_b FROM orders),
+        |tru AS (
+        |  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+        |    AS true_rows
+        |  FROM (SELECT user_id AS k, count(*) AS ca FROM events
+        |        WHERE user_id IS NOT NULL GROUP BY 1) a
+        |  JOIN (SELECT o_custkey AS k, count(*) AS cb FROM orders
+        |        GROUP BY 1) b ON a.k = b.k),
+        |est AS (
+        |  SELECT
+        |    CASE WHEN ea.n_regs < 64 THEN CAST(ea.n_regs AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / ea.h_k END AS u_a,
+        |    CASE WHEN eb.n_regs < 64 THEN CAST(eb.n_regs AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / eb.h_k END AS u_b,
+        |    CASE WHEN eu.n_regs < 64 THEN CAST(eu.n_regs AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / eu.h_k END
+        |      AS u_union
+        |  FROM ea, eb, eu)
+        |SELECT jac.kk, jac.matched,
+        |  (1000000 * jac.matched) // jac.kk AS jacc_ppm,
+        |  est.u_a, est.u_b, est.u_union,
+        |  na.rows_a, nb.rows_b,
+        |  ((CAST(jac.matched AS DOUBLE) / CAST(jac.kk AS DOUBLE)) *
+        |    est.u_union) *
+        |    ((CAST(na.rows_a AS DOUBLE) / est.u_a) *
+        |     (CAST(nb.rows_b AS DOUBLE) / est.u_b)) AS est_rows,
+        |  tru.true_rows
+        |FROM jac, est, na, nb, tru""".stripMargin)),
+
+    // Exact phrase search over a positional index: "fast hash"
+    // matched by the adjacency chain (token i at start+i), per-doc
+    // phrase tf, tf-desc/doc-asc top-20. Overlapping matches count —
+    // standard positional-index semantics, oracle-exact integers.
+    "q373_phrase_search" -> Q(
+      (s, dir) => Search.phraseSearch(
+        Search.positionalPostings(
+          Tables.documents(s, dir), "doc_id", "text"),
+        Seq("fast", "hash"), 20),
+      Some(s"""WITH $toksCte,
+        |p AS (SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(toks) AS token FROM t),
+        |m AS (SELECT a.doc_id, a.pos
+        |  FROM p a JOIN p b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.token = 'fast' AND b.token = 'hash')
+        |SELECT doc_id, count(*) AS phrase_tf FROM m GROUP BY 1
+        |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Posting-list delta+varint compression accounting: per token,
+    // raw 8-byte doc ids vs LEB128-varint gap encoding — frequent
+    // terms have dense lists and small gaps, so savings track df.
+    // Exact integer byte math, lag-window gaps mirrored in SQL.
+    "q387_posting_compression" -> Q(
+      (s, dir) => Search.postingCompression(
+          Search.termFrequencies(
+            Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy(col("token")),
+      Some(s"""WITH $tfCte,
+        |g AS (SELECT token, doc_id,
+        |    doc_id - coalesce(lag(doc_id) OVER (
+        |      PARTITION BY token ORDER BY doc_id), 0) AS gap
+        |  FROM tf),
+        |b AS (SELECT token, count(*) AS df,
+        |    CAST(sum(CASE WHEN gap < 128 THEN 1
+        |      WHEN gap < 16384 THEN 2
+        |      WHEN gap < 2097152 THEN 3
+        |      WHEN gap < 268435456 THEN 4
+        |      WHEN gap < 34359738368 THEN 5
+        |      WHEN gap < 4398046511104 THEN 6
+        |      WHEN gap < 562949953421312 THEN 7
+        |      WHEN gap < 72057594037927936 THEN 8
+        |      ELSE 9 END) AS BIGINT) AS varint_bytes
+        |  FROM g GROUP BY 1)
+        |SELECT token, df, df * 8 AS raw_bytes, varint_bytes,
+        |  (df * 8 - varint_bytes) * 1000000 // (df * 8) AS savings_ppm
+        |FROM b ORDER BY token""".stripMargin)),
+
+    // Proximity ranking: docs containing both query terms rank by
+    // the MINIMAL gap between an occurrence of each — the classic
+    // lexical-proximity feature between bag-of-words and phrase
+    // match. One doc-keyed lag window over the term-filtered
+    // positional slice (adjacent different-type pairs suffice: the
+    // minimal mixed gap is always adjacent in sorted position order).
+    "q420_proximity_rank" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = Search.positionalPostings(
+            Tables.documents(s, dir), "doc_id", "text")
+          .filter(col("token").isin("fast", "table"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val gaps = p
+          .withColumn("ptok", lag(col("token"), 1).over(w))
+          .withColumn("ppos", lag(col("pos"), 1).over(w))
+          .filter(col("ptok").isNotNull && col("ptok") =!= col("token"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("pos") - col("ppos")).as("min_gap"))
+        gaps.orderBy(col("min_gap"), col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("min_gap"), col("doc_id"))).cast("long"))
+      },
+      Some(s"""WITH $toksCte,
+        |p AS (SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(toks) AS token FROM t),
+        |f AS (SELECT doc_id, pos, token,
+        |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS ptok,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+        |  FROM p WHERE token IN ('fast', 'table')),
+        |g AS (SELECT doc_id, min(pos - ppos) AS min_gap
+        |  FROM f WHERE ptok IS NOT NULL AND ptok <> token
+        |  GROUP BY 1)
+        |SELECT doc_id, min_gap, row_number() OVER (
+        |    ORDER BY min_gap, doc_id) AS rank
+        |FROM g ORDER BY min_gap, doc_id LIMIT 20""".stripMargin)),
+
+    // Best-snippet selection: the 8-token span covering the most
+    // distinct query terms (ties to the earliest start), anchored at
+    // term hits — the highlighting anchor of a result page. Distinct
+    // coverage via collect_set over a pos-range window (integers, no
+    // approximation), mirrored by count(DISTINCT) in the oracle.
+    "q374_best_snippet" -> Q(
+      (s, dir) => Search.bestSnippet(
+          Search.positionalPostings(
+            Tables.documents(s, dir), "doc_id", "text"),
+          Seq("spark", "join", "merge"), window = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksCte,
+        |p AS (SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(toks) AS token FROM t),
+        |h AS (SELECT doc_id, pos, token FROM p
+        |  WHERE token IN ('spark', 'join', 'merge')),
+        |cov AS (SELECT a.doc_id, a.pos,
+        |    CAST(count(DISTINCT b.token) AS BIGINT) AS n_terms
+        |  FROM h a JOIN h b ON a.doc_id = b.doc_id
+        |    AND b.pos BETWEEN a.pos AND a.pos + 7
+        |  GROUP BY a.doc_id, a.pos)
+        |SELECT doc_id, pos AS snip_pos, n_terms FROM (
+        |  SELECT doc_id, pos, n_terms, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY n_terms DESC, pos) AS rn
+        |  FROM cov)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // BM25 in exact integer ppm (VERDICT r7 item 3) — the last
+    // float-only retrieval operator brought under the hash gate. The
+    // idf log runs through FixedPoint.lnPpm's shift-and-square i64
+    // kernel; the oracle replays the IDENTICAL algorithm as a
+    // recursive CTE (FixedPoint.lnPpmSqlCtes), so the full ranking —
+    // scores included — hash-matches, not just its order.
+    "q424_bm25_ppm" -> Q(
+      (s, dir) => Search.bm25Ppm(
+          Search.termFrequencies(
+            Tables.documents(s, dir), "doc_id", "text"),
+          Seq("fast", "table", "hash"), 25)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long")),
+      Some(s"""WITH RECURSIVE $tfCte,
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS len_total FROM dl),
+        |m AS (SELECT token, doc_id, tf FROM tf
+        |  WHERE token IN ('fast', 'table', 'hash')),
+        |dfreq AS (SELECT token, count(*) AS df FROM m GROUP BY 1),
+        |src AS (SELECT token AS key, n_docs * 2 + 2 AS num,
+        |    df * 2 + 1 AS den FROM dfreq, corpus),
+        |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+        |scored AS (
+        |  SELECT m.doc_id,
+        |    CAST(sum((l.ln_ppm *
+        |        ((22000000 * c.len_total * m.tf) //
+        |         (c.len_total * m.tf * 10 + c.len_total * 3 +
+        |          d.dl * c.n_docs * 9))) // 1000000) AS BIGINT)
+        |      AS score_ppm
+        |  FROM m JOIN lnppm l ON m.token = l.key
+        |    JOIN dl d ON m.doc_id = d.doc_id, corpus c
+        |  GROUP BY 1)
+        |SELECT doc_id, score_ppm, row_number() OVER (
+        |    ORDER BY score_ppm DESC, doc_id) AS rank
+        |FROM scored ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin))
+  )
+}
