@@ -445,4 +445,44 @@ object Analytics {
       .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
         col("dev_ppm"), col("mad_ppm"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic over an integral
+    * measure — the distribution-drift gate that binned L1 drift
+    * approximates: D = max_x |F_A(x) − F_B(x)|, computed in pure
+    * integers by cross-multiplication (|C_A·n_B − C_B·n_A| in units
+    * of 1/(n_A·n_B)) so the statistic hash-gates bit-exactly — no
+    * float CDFs, no binning loss. Returns one row: (n_a, n_b, d_num,
+    * d_ppm = d_num·1e6 div (n_a·n_b)).
+    *
+    * Shape: one value-keyed partial agg (output bounded by the value
+    * DOMAIN — lengths, ppm scores — not the row count), then the
+    * running CDFs over that domain-sized frame in one unpartitioned
+    * window (acceptable for the same reason the q128 quantile frames
+    * are: the window input is the distinct-value frame, never the
+    * data); totals ride a 1-row broadcast. Contract: n_a·n_b must
+    * fit i64 (holds to ~3·10⁹ rows per side).
+    */
+  def ksStatistic(df: DataFrame, isA: Column, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.FixedPoint.idiv
+    val per = df
+      .select(col(valCol).as("__v"),
+        when(isA, 1L).otherwise(0L).as("__a"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"),
+        (count(lit(1)) - sum(col("__a"))).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = per
+      .withColumn("__CA", sum(col("__ca")).over(w))
+      .withColumn("__CB", sum(col("__cb")).over(w))
+    val tot = per.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(abs(col("__CA") * col("n_b") - col("__CB") * col("n_a")))
+          .as("d_num"))
+      .withColumn("d_ppm",
+        idiv(col("d_num") * 1000000L, col("n_a") * col("n_b")))
+  }
 }

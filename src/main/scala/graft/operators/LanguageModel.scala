@@ -273,4 +273,80 @@ object LanguageModel {
       .select(col("__id").as(idCol), col("best.l").as("pred"),
         (-col("best.ns")).as("score"))
   }
+
+  /** Positive-PMI collocation mining over the corpus bigram space —
+    * the classic "which word pairs co-occur far above chance" readout
+    * (Church & Hanks 1990), in EXACT integer parts-per-million so the
+    * full ranking hash-gates. Marginals live in the bigram event
+    * space (head h(w1)=Σ_w2 c12, tail t(w2)=Σ_w1 c12, N=Σ c12), and
+    * the log factors through the identity
+    *   ln(N·c12/(h·t)) = lnPpm(N, h) − lnPpm(t, c12)
+    * — BOTH ratios ≥ 1 (h ≤ N, c12 ≤ t) and both numerators under
+    * [[graft.functions.FixedPoint.lnPpm]]'s 2^33 contract (N and t,
+    * never their product), which a direct ln(N·c12/(h·t)) would blow
+    * through immediately. Filters: c12 ≥ minCount (rare-pair PMI is
+    * noise), PMI > 0; top `k` by (pmi_ppm desc, bigram asc).
+    *
+    * Scale shape: one bigram partial agg (vocabulary²-bounded output,
+    * map-side combined), two vocabulary-sized marginal aggs joined
+    * back on their keys, the 1-row N via broadcast — no data-sized
+    * shuffle beyond the bigram count itself.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    import graft.functions.FixedPoint.lnPpm
+    val bg = docs
+      .select(explode(bigramKeys(col(textCol))).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("c12"))
+    val heads = bg.groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
+      .agg(sum(col("c12")).as("h1"))
+    val tails = bg.groupBy(substring_index(col("bg"), " ", -1).as("__w2"))
+      .agg(sum(col("c12")).as("t2"))
+    val n = bg.agg(sum(col("c12")).as("n_bigrams"))
+    bg.filter(col("c12") >= minCount)
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+      .withColumn("__w2", substring_index(col("bg"), " ", -1))
+      .join(heads, "__w1")
+      .join(tails, "__w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_ppm",
+        lnPpm(col("n_bigrams"), col("h1")) - lnPpm(col("t2"), col("c12")))
+      .filter(col("pmi_ppm") > 0)
+      .select(col("bg"), col("c12"), col("h1"), col("t2"), col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("bg"))
+      .limit(k)
+  }
+
+  /** Shannon entropy of the token distribution per group (source), in
+    * integer ppm-nats: H = Σ_t (c_t/N)·ln(N/c_t), computed as
+    * (Σ_t c_t·lnPpm(N, c_t)) div N — every ratio ≥ 1, every term an
+    * i64, so the corpus-diversity dashboard hash-gates exactly. Also
+    * emits n_tokens and n_distinct (the entropy's ceiling is
+    * ln(n_distinct) — reporting both makes the readout
+    * interpretable). Per-(group, token) partial agg → vocabulary-
+    * bounded lnPpm projection → one group rollup; nothing data-sized
+    * past the first agg.
+    */
+  def tokenEntropy(docs: DataFrame, grpCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.FixedPoint.{idiv, lnPpm}
+    val cnt = docs
+      .select(col(grpCol).as("grp"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+    cnt.join(tot, "grp")
+      .withColumn("__term", col("c") * lnPpm(col("n_tokens"), col("c")))
+      .groupBy(col("grp"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("n_distinct")).as("n_distinct"),
+        sum(col("__term")).as("__sum"))
+      .withColumn("entropy_ppm", idiv(col("__sum"), col("n_tokens")))
+      .select(col("grp"), col("n_tokens"), col("n_distinct"),
+        col("entropy_ppm"))
+  }
 }

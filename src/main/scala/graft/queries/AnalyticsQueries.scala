@@ -837,6 +837,32 @@ object AnalyticsQueries extends QueryPack {
         |  CASE WHEN m <= 1 THEN 0 ELSE semd // (m - 1) END AS emd_ppm,
         |  CASE WHEN m <= 1 THEN 0 ELSE semd // (m - 1) END <= 120000
         |    AS t_close
-        |FROM e ORDER BY 1, 2""".stripMargin))
+        |FROM e ORDER BY 1, 2""".stripMargin)),
+
+    // Exact two-sample KS drift over document lengths (en vs rest):
+    // D in cross-multiplied integers — no float CDFs, no binning —
+    // so the drift statistic itself hash-gates. The value frame is
+    // domain-bounded (distinct n_chars), never data-sized.
+    "q426_ks_drift" -> Q(
+      (s, dir) => Analytics.ksStatistic(
+        Tables.documents(s, dir).select(col("n_chars"), col("lang")),
+        col("lang") === "en", "n_chars"),
+      Some("""WITH b AS (SELECT n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+        |  FROM documents),
+        |per AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(count(*) - sum(a) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1),
+        |cum AS (SELECT v,
+        |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cca,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS ccb
+        |  FROM per),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b FROM per)
+        |SELECT n_a, n_b,
+        |  CAST(max(abs(cca * n_b - ccb * n_a)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cca * n_b - ccb * n_a)) AS BIGINT) * 1000000
+        |    // (n_a * n_b) AS d_ppm
+        |FROM cum, tot GROUP BY 1, 2""".stripMargin))
   )
 }

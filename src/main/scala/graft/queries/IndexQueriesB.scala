@@ -1033,6 +1033,73 @@ object IndexQueriesB extends QueryPack {
         |  GROUP BY 1)
         |SELECT doc_id, score_ppm, row_number() OVER (
         |    ORDER BY score_ppm DESC, doc_id) AS rank
-        |FROM scored ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin))
+        |FROM scored ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // Positive-PMI collocations in exact integer ppm — the
+    // fixed-point log kernel reused through the overflow-safe
+    // identity ln(N·c12/(h·t)) = lnPpm(N,h) − lnPpm(t,c12) (both
+    // ratios ≥ 1, both numerators inside the 2^33 contract — the
+    // direct product form would overflow immediately). One lnppm CTE
+    // instance serves both calls: two rows per bigram, keyed
+    // 'a:'/'b:'.
+    "q427_pmi_collocations" -> Q(
+      (s, dir) => LanguageModel.pmiCollocations(
+          Tables.documents(s, dir), "text", minCount = 3L, k = 30)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("pmi_ppm").desc, col("bg"))).cast("long")),
+      Some(s"""WITH RECURSIVE t AS (
+        |  SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |bgr AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+        |    toks[i] || ' ' || toks[i + 1] AS bg
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c AS (SELECT bg, w1, w2, count(*) AS c12 FROM bgr GROUP BY 1, 2, 3),
+        |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS h1 FROM c GROUP BY 1),
+        |tl AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS t2 FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM c),
+        |f AS (SELECT c.bg, c.c12, h.h1, tl.t2, nn.n_bigrams
+        |  FROM c JOIN h USING (w1) JOIN tl USING (w2), nn
+        |  WHERE c.c12 >= 3),
+        |src AS (SELECT 'a:' || bg AS key, n_bigrams AS num, h1 AS den FROM f
+        |  UNION ALL SELECT 'b:' || bg, t2, c12 FROM f),
+        |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+        |p AS (SELECT f.bg, f.c12, f.h1, f.t2,
+        |    la.ln_ppm - lb.ln_ppm AS pmi_ppm
+        |  FROM f JOIN lnppm la ON la.key = 'a:' || f.bg
+        |    JOIN lnppm lb ON lb.key = 'b:' || f.bg)
+        |SELECT bg, c12, h1, t2, pmi_ppm, row_number() OVER (
+        |    ORDER BY pmi_ppm DESC, bg) AS rank
+        |FROM p WHERE pmi_ppm > 0
+        |ORDER BY pmi_ppm DESC, bg LIMIT 30""".stripMargin)),
+
+    // Per-source token entropy in exact ppm-nats (plus n_tokens and
+    // the ln(n_distinct) ceiling context) — corpus-diversity
+    // dashboard, every term i64 through the shared lnppm CTE.
+    "q428_token_entropy" -> Q(
+      (s, dir) => LanguageModel.tokenEntropy(
+          Tables.documents(s, dir), "source", "text")
+        .orderBy(col("grp")),
+      Some(s"""WITH RECURSIVE tk AS (
+        |  SELECT source AS grp, unnest(
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS t
+        |  FROM documents),
+        |cnt AS (SELECT grp, t, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct FROM cnt GROUP BY 1),
+        |src AS (SELECT cnt.grp || ':' || cnt.t AS key,
+        |    tot.n_tokens AS num, cnt.c AS den
+        |  FROM cnt JOIN tot USING (grp)),
+        |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+        |e AS (SELECT cnt.grp,
+        |    CAST(sum(cnt.c * l.ln_ppm) AS BIGINT) AS s
+        |  FROM cnt JOIN lnppm l ON l.key = cnt.grp || ':' || cnt.t
+        |  GROUP BY 1)
+        |SELECT tot.grp, tot.n_tokens, tot.n_distinct,
+        |  e.s // tot.n_tokens AS entropy_ppm
+        |FROM tot JOIN e USING (grp) ORDER BY grp""".stripMargin))
   )
 }

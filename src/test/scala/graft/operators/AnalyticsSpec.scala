@@ -250,4 +250,26 @@ class AnalyticsSpec extends SparkSpec {
       (2L, true, false, false),
       (3L, true, false, false)))
   }
+
+  test("ksStatistic: hand-computed D on a small two-sample fixture") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {3,4,5}: D = |F_A(3) − F_B(3)| ... max gap at
+    // v=2: F_A=2/3, F_B=0 → d_num = |2·3 − 0·3| = 6 over n_a·n_b=9
+    val df = Seq((1L, true), (2L, true), (3L, true),
+      (3L, false), (4L, false), (5L, false)).toDF("v", "g")
+    val r = Analytics.ksStatistic(df, col("g"), "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert(r.getLong(2) === 6L)
+    assert(r.getLong(3) === 666666L)
+    // identical samples → D = 0
+    val same = Seq((1L, true), (1L, false), (9L, true), (9L, false))
+      .toDF("v", "g")
+    assert(Analytics.ksStatistic(same, col("g"), "v")
+      .collect().head.getLong(2) === 0L)
+    // disjoint supports → D = n_a·n_b (ppm = 1e6)
+    val disj = Seq((1L, true), (2L, true), (8L, false))
+      .toDF("v", "g")
+    assert(Analytics.ksStatistic(disj, col("g"), "v")
+      .collect().head.getLong(3) === 1000000L)
+  }
 }

@@ -128,4 +128,42 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(3L) === (("aa", 1L)))
     assert(!got.contains(4L) && !got.contains(5L))
   }
+
+  test("pmiCollocations: planted collocation outranks chance pairs") {
+    import org.apache.spark.sql.functions._
+    // "san francisco" always co-occurs (perfect collocation); "the a"
+    // pairs are chance-level. PMI(san francisco) = ln(N·c/(h·t)) with
+    // h=t=c (san only precedes francisco) → ln(N/c) > 0.
+    val docs = Seq.tabulate(12)(i =>
+      s"san francisco the a the a x$i the a").toDF("text")
+    val got = LanguageModel.pmiCollocations(docs, "text",
+      minCount = 3L, k = 5).collect()
+    assert(got.head.getString(0) === "san francisco")
+    // exact value: N bigrams = 12*8=96, c12=h=t=12 → ln(96/12)=ln 8
+    // → 2079441 ppm (truncating kernel, ±3)
+    assert(math.abs(got.head.getLong(4) - 2079441L) <= 3)
+    // every reported pair is positive-PMI and ranked desc
+    val ppm = got.map(_.getLong(4)).toSeq
+    assert(ppm.forall(_ > 0) && ppm === ppm.sorted.reverse)
+  }
+
+  test("tokenEntropy: uniform beats skewed; exact ppm-nats") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      ("u", "a b c d"),              // uniform over 4 → ln 4
+      ("k", "a a a a a a b c"),      // skewed
+      ("one", "z z z z")             // degenerate → 0
+    ).toDF("source", "text")
+    val got = LanguageModel.tokenEntropy(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("one") === ((4L, 1L, 0L)))
+    // ln 4 = 1386294 ppm
+    assert(got("u")._1 === 4L && got("u")._2 === 4L)
+    assert(math.abs(got("u")._3 - 1386294L) <= 3)
+    // skewed: (6·ln(8/6) + 1·ln8 + 1·ln8) / 8 = 735622 ppm-ish
+    val hk = (6.0 * math.log(8.0 / 6) + 2 * math.log(8.0)) / 8 * 1e6
+    assert(math.abs(got("k")._3 - hk) <= 5)
+    assert(got("u")._3 > got("k")._3 && got("k")._3 > got("one")._3)
+  }
 }
