@@ -339,7 +339,7 @@ object LanguageModel {
     val tot = cnt.groupBy(col("grp"))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"))
-    cnt.join(tot, "grp")
+    cnt.join(broadcast(tot), "grp") // group-cardinality-bounded side
       .withColumn("__term", col("c") * lnPpm(col("n_tokens"), col("c")))
       .groupBy(col("grp"))
       .agg(first(col("n_tokens")).as("n_tokens"),
