@@ -349,4 +349,83 @@ object LanguageModel {
       .select(col("grp"), col("n_tokens"), col("n_distinct"),
         col("entropy_ppm"))
   }
+
+  /** Dunning log-likelihood keyness (G², Dunning 1993) of each token
+    * in the `focus` group against the rest of the corpus — the
+    * corpus-linguistics "what is this source ABOUT" operator — in
+    * EXACT integer ppm. With a = focus count, b = reference count,
+    * A/B the group token totals, each log factors through the
+    * overflow-safe identities
+    *   ln(a/E_a) = lnPpm(A+B, A) − lnPpm(a+b, a)
+    *   ln(b/E_b) = lnPpm(A+B, B) − lnPpm(a+b, b)
+    * (every ratio ≥ 1, every numerator inside the 2^33 contract), and
+    * G²_ppm = 2·(a·ln(a/E_a) + b·ln(b/E_b)). Zero counts contribute
+    * zero (the 0·ln 0 limit) and never reach a division. Reported:
+    * tokens OVERREPRESENTED in focus (a/A ≥ b/B by truncating ppm
+    * compare — deterministic cross-engine), top `k` by (g2 desc,
+    * token asc). Contract: focus must be a proper subset (B > 0).
+    *
+    * Scale shape: one (token) partial agg with the focus flag summed
+    * in-pass (no second scan for the reference side), totals on a
+    * 1-row broadcast, the lnPpm folds on the vocabulary-sized frame.
+    */
+  def keyness(docs: DataFrame, grpCol: String, textCol: String,
+      focus: String, minCount: Long, k: Int): DataFrame = {
+    import graft.functions.FixedPoint.{idiv, lnPpm}
+    val tok = docs.select(
+      when(col(grpCol) === focus, 1L).otherwise(0L).as("__f"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+    val cnt = tok.groupBy(col("t"))
+      .agg(sum(col("__f")).as("a"),
+        (count(lit(1)) - sum(col("__f"))).as("b"))
+    val tot = cnt.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    cnt.filter(col("a") + col("b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("__ta", when(col("a") > 0,
+        col("a") * (lnPpm(col("na") + col("nb"), col("na")) -
+          lnPpm(col("a") + col("b"), col("a")))).otherwise(0L))
+      .withColumn("__tb", when(col("b") > 0,
+        col("b") * (lnPpm(col("na") + col("nb"), col("nb")) -
+          lnPpm(col("a") + col("b"), col("b")))).otherwise(0L))
+      .withColumn("g2_ppm", (col("__ta") + col("__tb")) * 2L)
+      .filter(idiv(col("a") * 1000000L, col("na")) >=
+        idiv(col("b") * 1000000L, col("nb")))
+      .select(col("t").as("token"), col("a"), col("b"), col("g2_ppm"))
+      .orderBy(col("g2_ppm").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Gini coefficient of the token-frequency distribution per group —
+    * the vocabulary-inequality readout (a natural-corpus Zipf profile
+    * runs ~0.8+; near-uniform synthetic text much lower), EXACT by
+    * the rank formula over ascending counts:
+    *   G_num = 2·Σ i·c_(i) − (V+1)·N,  gini_ppm = G_num·1e6 div (V·N)
+    * with ties rank-ordered by (count, token) — a total order, so
+    * both engines assign identical ranks. One (grp, token) partial
+    * agg, then a per-group window over the VOCABULARY frame.
+    */
+  def tokenGini(docs: DataFrame, grpCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.FixedPoint.idiv
+    val cnt = docs
+      .select(col(grpCol).as("grp"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c"), col("t"))
+    cnt
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("v_distinct"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("__i") * col("c")).as("__ic"))
+      .withColumn("gini_ppm", idiv(
+        (col("__ic") * 2L - (col("v_distinct") + 1L) * col("n_tokens")) *
+          1000000L,
+        col("v_distinct") * col("n_tokens")))
+      .select(col("grp"), col("v_distinct"), col("n_tokens"),
+        col("gini_ppm"))
+  }
 }

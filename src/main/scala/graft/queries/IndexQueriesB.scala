@@ -1100,6 +1100,76 @@ object IndexQueriesB extends QueryPack {
         |  GROUP BY 1)
         |SELECT tot.grp, tot.n_tokens, tot.n_distinct,
         |  e.s // tot.n_tokens AS entropy_ppm
-        |FROM tot JOIN e USING (grp) ORDER BY grp""".stripMargin))
+        |FROM tot JOIN e USING (grp) ORDER BY grp""".stripMargin)),
+
+    // Dunning log-likelihood keyness of src0 vs the rest — G² in
+    // exact integer ppm via the same overflow-safe lnPpm factoring as
+    // q427; zero counts contribute the 0·ln0 limit and never reach a
+    // division. The corpus-constant factors ln((A+B)/A), ln((A+B)/B)
+    // ride two constant rows through the shared lnppm CTE.
+    "q430_keyness" -> Q(
+      (s, dir) => LanguageModel.keyness(
+          Tables.documents(s, dir), "source", "text",
+          focus = "src0", minCount = 5L, k = 30)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("g2_ppm").desc, col("token"))).cast("long")),
+      Some(s"""WITH RECURSIVE tk AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(b) AS BIGINT) AS nb FROM cnt),
+        |f AS (SELECT cnt.*, tot.na, tot.nb FROM cnt, tot
+        |  WHERE a + b >= 5),
+        |src AS (SELECT 'A' AS key, na + nb AS num, na AS den FROM tot
+        |  UNION ALL SELECT 'B', na + nb, nb FROM tot
+        |  UNION ALL SELECT 'a:' || t, a + b, a FROM f WHERE a > 0
+        |  UNION ALL SELECT 'b:' || t, a + b, b FROM f WHERE b > 0),
+        |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+        |g AS (SELECT f.t, f.a, f.b, f.na, f.nb,
+        |    2 * (CASE WHEN f.a > 0 THEN f.a *
+        |          ((SELECT ln_ppm FROM lnppm WHERE key = 'A') - la.ln_ppm)
+        |        ELSE 0 END
+        |      + CASE WHEN f.b > 0 THEN f.b *
+        |          ((SELECT ln_ppm FROM lnppm WHERE key = 'B') - lb.ln_ppm)
+        |        ELSE 0 END) AS g2_ppm
+        |  FROM f LEFT JOIN lnppm la ON la.key = 'a:' || f.t
+        |    LEFT JOIN lnppm lb ON lb.key = 'b:' || f.t)
+        |SELECT t AS token, a, b, g2_ppm, row_number() OVER (
+        |    ORDER BY g2_ppm DESC, token) AS rank
+        |FROM g
+        |WHERE (a * 1000000) // na >= (b * 1000000) // nb
+        |ORDER BY g2_ppm DESC, token LIMIT 30""".stripMargin)),
+
+    // Token-frequency Gini per source — vocabulary inequality by the
+    // exact rank formula, ties totally ordered by (count, token) so
+    // ranks match cross-engine.
+    "q431_token_gini" -> Q(
+      (s, dir) => LanguageModel.tokenGini(
+          Tables.documents(s, dir), "source", "text")
+        .orderBy(col("grp")),
+      Some("""WITH tk AS (
+        |  SELECT source AS grp, unnest(
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+        |  FROM documents),
+        |cnt AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |r AS (SELECT grp, c, CAST(row_number() OVER (
+        |    PARTITION BY grp ORDER BY c, t) AS BIGINT) AS i FROM cnt),
+        |a AS (SELECT grp, count(*) AS v_distinct,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(i * c) AS BIGINT) AS ic
+        |  FROM r GROUP BY 1)
+        |SELECT grp, v_distinct, n_tokens,
+        |  (ic * 2 - (v_distinct + 1) * n_tokens) * 1000000
+        |    // (v_distinct * n_tokens) AS gini_ppm
+        |FROM a ORDER BY grp""".stripMargin))
   )
 }

@@ -166,4 +166,37 @@ class LanguageModelSpec extends SparkSpec {
     assert(math.abs(got("k")._3 - hk) <= 5)
     assert(got("u")._3 > got("k")._3 && got("k")._3 > got("one")._3)
   }
+
+  test("keyness: planted focus term tops G2; balanced terms near zero") {
+    import org.apache.spark.sql.functions._
+    val docs = (Seq.fill(6)(("f", "alpha beta gamma")) ++
+      Seq.fill(6)(("r", "delta beta gamma"))).toDF("source", "text")
+    val got = LanguageModel.keyness(docs, "source", "text",
+      focus = "f", minCount = 2L, k = 10).collect()
+    // alpha: a=6, b=0 — maximally key for focus; exact G² =
+    // 2·6·ln 2 = 8317766 ppm (A=B=18 → ln(a/E_a) = ln 2)
+    assert(got.head.getString(0) === "alpha")
+    assert(math.abs(got.head.getLong(3) - 8317766L) <= 20)
+    // beta/gamma are perfectly balanced → G² ~ 0 (truncation jitter)
+    val m = got.map(r => r.getString(0) -> r.getLong(3)).toMap
+    Seq("beta", "gamma").foreach { t =>
+      assert(m.get(t).forall(_.abs <= 20), s"$t: ${m.get(t)}")
+    }
+    // delta (reference-only) is underrepresented → filtered out
+    assert(!m.contains("delta"))
+  }
+
+  test("tokenGini: uniform 0, concentrated near 1, exact small case") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      ("u", "a b c d"),        // all counts 1 → G = 0
+      ("k", "a a a a a a b"))  // counts {1, 6}: G_num = 2(1·1+2·6)−3·7=5
+      .toDF("source", "text")
+    val got = LanguageModel.tokenGini(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("u") === ((4L, 4L, 0L)))
+    // gini = 5/(2·7) = 357142 ppm
+    assert(got("k") === ((2L, 7L, 357142L)))
+  }
 }
