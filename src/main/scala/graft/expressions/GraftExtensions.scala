@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WeightedScoreFold].getName,
         "graft_weighted_score"),
       GraftExtensions.weightedScoreBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ln_ppm"),
+      new ExpressionInfo(classOf[LnPpmFx].getName, "graft_ln_ppm"),
+      GraftExtensions.lnPpmBuilder))
   }
 }
 
@@ -62,6 +66,11 @@ object GraftExtensions {
     require(children.length == 1,
       "graft_weighted_score takes exactly 1 argument")
     WeightedScoreFold(children.head)
+  }
+
+  val lnPpmBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_ln_ppm takes exactly 2 arguments")
+    LnPpmFx(children.head, children(1))
   }
 
   // StopwordSetCounts is not SQL-registered: its word sets are a

@@ -76,10 +76,24 @@ object FixedPoint {
   }
 
   /** Truncated `1e6 · ln(num/den)` (parts-per-million) under the
-    * [[log2Fx]] contract. One extra truncating multiply-divide:
-    * `log2fx · 693147 div 2^20` — log2fx ≤ 2^26, product ≤ 2^46.
+    * [[log2Fx]] contract. Routed through the native codegen
+    * [[graft.expressions.LnPpmFx]] kernel: the portable fold below
+    * runs through higher-order `aggregate` (CodegenFallback in
+    * Spark), which would break every caller's whole-stage-codegen
+    * span; the native form is the same 54 i64 steps as two tight
+    * loops inside generated code. Bit-identity of the three
+    * formulations (native, portable fold, DuckDB recursive CTE) is
+    * asserted in LnPpmFxSpec / the q424-q430 oracle gates.
     */
   def lnPpm(num: Column, den: Column): Column =
+    graft.expressions.LnPpmFx.lnPpmNative(
+      num.cast("long"), den.cast("long"))
+
+  /** The portable Column-composition form of [[lnPpm]] — kept as the
+    * reference formulation the native kernel must match bit-for-bit
+    * (and for environments that refuse custom expressions).
+    */
+  def lnPpmPortable(num: Column, den: Column): Column =
     idiv(log2Fx(num, den) * Ln2Fx, lit(1L << FracBits))
 
   /** The DuckDB mirror of [[log2Fx]]+[[lnPpm]] as a recursive-CTE SQL
