@@ -333,4 +333,56 @@ object Search {
       .select(col("__key").as(idCol), col("rank"), col("term"),
         col("tf"), col("df"), col("score_ppm"))
   }
+
+  /** Sparse tf-weighted cosine similarity join over the inverted
+    * index — the LEXICAL near-dup/similarity complement to the
+    * embedding ANN family: two documents are similar when their
+    * tf vectors align, computed EXACTLY in integers so the verdict
+    * hash-gates. cos² cross-multiplies away both square roots:
+    *   cos²·1e6 = (Σ tf_a·tf_b)² · 1e6  div  (Σ tf_a²)·(Σ tf_b²)
+    * — monotone in cosine (dots are non-negative), so thresholds and
+    * rankings carry over at fixed ppm precision.
+    *
+    * Scale shape (the DAAT discipline): candidate pairs come ONLY
+    * from co-occurrence in a posting list, and ubiquitous terms are
+    * df-capped (`maxDf`) before pairing — the stop-word lists that
+    * would quadratically explode candidates carry ~zero cosine
+    * weight, the same reason winnowNearDupCandidates caps df. Per
+    * pair the dot is one partial agg keyed (id_a, id_b); norms are a
+    * doc-keyed agg joined back. Overflow: dot²·1e6 must fit i64 —
+    * dot < 3·10⁶ (per-pair shared-token tf mass), checked by the
+    * norm bound Σtf² ≤ dl·max_tf.
+    */
+  def sparseCosineJoin(tf: DataFrame, maxDf: Int,
+      minCos2Ppm: Long): DataFrame = {
+    import graft.functions.FixedPoint.idiv
+    val capped = tf.join(
+      tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf),
+      Seq("token"))
+    // norms over the SAME capped feature space as the dot — the
+    // cosine is exact IN THAT SPACE (standard stop-term pruning);
+    // mixing capped dots with full-vector norms would silently
+    // underestimate every pair that shares a pruned token
+    val norms = capped.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("norm2"))
+    val a = capped.select(col("token"), col("doc_id").as("id_a"),
+      col("tf").as("__tfa"))
+    val b = capped.select(col("token"), col("doc_id").as("id_b"),
+      col("tf").as("__tfb"))
+    a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__tfa") * col("__tfb")).as("dot"),
+        count(lit(1)).as("n_shared"))
+      .join(norms.select(col("doc_id").as("id_a"),
+        col("norm2").as("norm2_a")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"),
+        col("norm2").as("norm2_b")), "id_b")
+      .withColumn("cos2_ppm", idiv(col("dot") * col("dot") * 1000000L,
+        col("norm2_a") * col("norm2_b")))
+      .filter(col("cos2_ppm") >= minCos2Ppm)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
+        col("norm2_a"), col("norm2_b"), col("cos2_ppm"))
+  }
 }

@@ -1170,6 +1170,48 @@ object IndexQueriesB extends QueryPack {
         |SELECT grp, v_distinct, n_tokens,
         |  (ic * 2 - (v_distinct + 1) * n_tokens) * 1000000
         |    // (v_distinct * n_tokens) AS gini_ppm
-        |FROM a ORDER BY grp""".stripMargin))
+        |FROM a ORDER BY grp""".stripMargin)),
+
+    // Sparse tf-cosine similarity join over the inverted index — the
+    // lexical complement to embedding ANN, integer-exact via
+    // cross-multiplied cos² (both square roots cancel). Candidates
+    // come only from df-capped posting co-occurrence; every verdict
+    // column hash-gates.
+    "q432_sparse_cosine" -> Q(
+      (s, dir) => Search.sparseCosineJoin(
+          Search.termFrequencies(
+            Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+            "doc_id", "text"),
+          maxDf = 500, minCos2Ppm = 640000L)
+        .orderBy(col("id_a"), col("id_b")),
+      // sampled slice (the q30 discipline): the synthetic corpus has a
+      // ~31-token vocabulary, so a df cap can only keep noise — the
+      // sampled all-shared-token baseline is the documented-exact form
+      // and the cap is the production lever (see sparseCosineJoin).
+      Some(s"""WITH tfs AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(CASE WHEN trim(text) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(text), '\\s+') END) AS token
+        |    FROM documents WHERE doc_id % 20 = 0)
+        |  GROUP BY 1, 2),
+        |dfc AS (SELECT token FROM tfs GROUP BY token
+        |  HAVING count(*) <= 500),
+        |cap AS (SELECT tfs.* FROM tfs JOIN dfc USING (token)),
+        |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
+        |  FROM cap GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot,
+        |    count(*) AS n_shared
+        |  FROM cap a JOIN cap b
+        |    ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared, dot, na.norm2 AS norm2_a,
+        |  nb.norm2 AS norm2_b,
+        |  dot * dot * 1000000 // (na.norm2 * nb.norm2) AS cos2_ppm
+        |FROM p JOIN nrm na ON p.id_a = na.doc_id
+        |  JOIN nrm nb ON p.id_b = nb.doc_id
+        |WHERE dot * dot * 1000000 // (na.norm2 * nb.norm2) >= 640000
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -103,7 +103,17 @@ object LlmQueries extends QueryPack {
         Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
         "doc_id", "text", shingleN = 1, k = 32, bands = 16,
         threshold = 0.9)
-      Dedup.dedupGroups(pairs).localCheckpoint(true)
+      // Materialize as a LocalRelation (the labels frame is
+      // sample-group-sized), NOT a localCheckpoint: a cached
+      // checkpoint's blocks die under any storage sweep between
+      // consumers — graft.Bench's per-query resetState() unpersists
+      // ALL persistent RDDs (the r7 heap-debt fix), which turned the
+      // four consumers of this cache into CHECKPOINT_RDD_BLOCK_ID_
+      // NOT_FOUND failures. A LocalRelation has no block-manager
+      // state to lose and re-broadcasts cheaply in every consumer.
+      val labeled = Dedup.dedupGroups(pairs)
+      s.createDataFrame(
+        java.util.Arrays.asList(labeled.collect(): _*), labeled.schema)
     })
 
   private[queries] def swPattern(words: Seq[String]) =

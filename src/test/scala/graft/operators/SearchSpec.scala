@@ -166,6 +166,30 @@ class SearchSpec extends SparkSpec {
     assert(r.getLong(3) === (1L + 2L + 4L + 6L + 9L)) // varint_bytes
   }
 
+
+  test("sparseCosineJoin: exact cos² ppm, df cap prunes stop tokens") {
+    // d1 ≡ d2 (cos 1), d3 shares only the ubiquitous token "the",
+    // which df-caps away at maxDf=2 → d3 pairs with nobody
+    val d = Seq(
+      (1L, "the spark engine"), (2L, "the spark engine"),
+      (3L, "the other text")).toDF("doc_id", "text")
+    val t = Search.termFrequencies(d, "doc_id", "text")
+    val got = Search.sparseCosineJoin(t, maxDf = 2, minCos2Ppm = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(6)))).toMap
+    assert(got === Map((1L, 2L) -> ((2L, 1000000L))))
+    // without the cap, d3 pairs through "the": dot=1, norms 3·3 →
+    // cos² = 1/9 → 111111 ppm
+    val all = Search.sparseCosineJoin(t, maxDf = 10, minCos2Ppm = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6))
+      .toMap
+    assert(all((1L, 2L)) === 1000000L)
+    assert(all((1L, 3L)) === 111111L && all((2L, 3L)) === 111111L)
+    // threshold filters
+    assert(Search.sparseCosineJoin(t, maxDf = 10, minCos2Ppm = 500000L)
+      .count() === 1L)
+  }
+
   test("rrfFuse sums integer ppm contributions across lists") {
     import spark.implicits._
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
