@@ -1108,4 +1108,56 @@ object Similarity {
       .select(col(grpCol), col("rn"), col(idCol), col("n_members"),
         col("cos"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 2-approximation
+    * — the diversity-based data-pruning complement to [[semDedup]]:
+    * SemDeDup REMOVES redundancy, k-center KEEPS a maximally-spread
+    * subset). Distances are EXACT integer squared L2 over the int8
+    * [[quantizeInt8]] codes, so every selection — including ties,
+    * broken by ascending id — is deterministic and the whole
+    * selection table hash-gates. Seeded at the minimum id; each round
+    * selects the point FARTHEST from the chosen set.
+    *
+    * Returns (rank, id, sel_dist): sel_dist is the point's min
+    * squared distance to the set at selection time (0 for the seed) —
+    * the coverage-radius curve a pruning budget reads.
+    *
+    * Scale shape: k driver rounds, each ONE projection over the
+    * corpus (running min against the single NEW center — a 64-int
+    * literal) plus a 1-row argmax collect; driver state is k rows.
+    * The q84 k-means / q107 BPE discipline: per-round driver traffic
+    * is O(1), never data-sized. d² ≤ dims·254² fits i64 at any dim.
+    */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("id"),
+        quantizeInt8(col(vecCol)).getField("q").as("__q"))
+      .localCheckpoint(true) // k rounds re-read this; lineage truncated
+    def dist(center: Seq[Int]): Column =
+      aggregate(
+        zip_with(col("__q"), typedLit(center),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v.cast("long"))
+    val seed = q.orderBy(col("id")).limit(1)
+      .collect().head
+    var centers = Seq((0, seed.getLong(0), 0L))
+    var cvec = seed.getSeq[Int](1)
+    var state = q.withColumn("__md", dist(cvec))
+    (1 until k).foreach { r =>
+      val next = state.filter(!col("id").isin(centers.map(_._2): _*))
+        .orderBy(col("__md").desc, col("id")).limit(1)
+        .select(col("id"), col("__md"), col("__q")).collect().head
+      centers :+= ((r, next.getLong(0), next.getLong(1)))
+      cvec = next.getSeq[Int](2)
+      state = state
+        .withColumn("__md", least(col("__md"), dist(cvec)))
+        .localCheckpoint(true) // keep the plan k-independent
+    }
+    centers.toDF("rank", "id", "sel_dist")
+      .select(col("rank").cast("long").as("rank"), col("id"),
+        col("sel_dist"))
+  }
 }

@@ -1479,6 +1479,60 @@ object SimilarityQueries extends QueryPack {
         |      ORDER BY margin DESC, src_id) AS rb
         |  FROM m)
         |SELECT src_id, tgt_id, cos AS cosine, margin, rb = 1 AS mutual
-        |FROM r WHERE rf = 1 ORDER BY src_id""".stripMargin))
+        |FROM r WHERE rf = 1 ORDER BY src_id""".stripMargin)),
+
+    // Greedy k-center coreset (Gonzalez 2-approx) over int8-quantized
+    // embeddings — diversity-keeping data pruning, every selection
+    // (ties id-asc) deterministic through exact integer squared L2.
+    // The oracle replays the identical k rounds as chained CTE stages
+    // (the bpeStage discipline): per stage, distance to the ONE new
+    // center via a position join on the exploded quantized frame,
+    // running min, argmax excluding already-chosen ids.
+    "q433_kcenter_coreset" -> Q(
+      (s, dir) => Similarity.kCenterGreedy(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 6)
+        .orderBy(col("rank")),
+      Some {
+        def stage(r: Int): String = {
+          val prev = r - 1
+          s"""c$r AS (SELECT vec_id, d FROM m$prev
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM sel$prev)
+             |  ORDER BY d DESC, vec_id LIMIT 1),
+             |sel$r AS (SELECT * FROM sel$prev
+             |  UNION ALL SELECT $r, vec_id, d FROM c$r),
+             |d$r AS (SELECT a.vec_id,
+             |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
+             |  FROM q0 a JOIN q0 b ON a.i = b.i
+             |    AND b.vec_id = (SELECT vec_id FROM c$r)
+             |  GROUP BY 1),
+             |m$r AS (SELECT m$prev.vec_id, least(m$prev.d, d$r.d) AS d
+             |  FROM m$prev JOIN d$r ON m$prev.vec_id = d$r.vec_id)""".stripMargin
+        }
+        s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |q0 AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CASE WHEN maxabs = 0 THEN 0
+        |         ELSE CAST(trunc(CAST(embedding[i] AS DOUBLE) / (maxabs / 127.0)) AS INT)
+        |    END AS q
+        |  FROM (SELECT vec_id, embedding, maxabs,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM e)),
+        |seed AS (SELECT min(vec_id) AS cid FROM q0),
+        |sel0 AS (SELECT 0 AS rank, cid AS vec_id,
+        |    CAST(0 AS BIGINT) AS sel_dist FROM seed),
+        |d0 AS (SELECT a.vec_id,
+        |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
+        |  FROM q0 a JOIN q0 b ON a.i = b.i
+        |    AND b.vec_id = (SELECT cid FROM seed)
+        |  GROUP BY 1),
+        |m0 AS (SELECT vec_id, d FROM d0),
+        |${(1 to 5).map(stage).mkString(",\n|")}
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id AS id,
+        |  CAST(sel_dist AS BIGINT) AS sel_dist
+        |FROM sel5 ORDER BY rank""".stripMargin
+      })
   )
 }

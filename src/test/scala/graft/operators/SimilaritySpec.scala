@@ -519,4 +519,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getDouble(3))
     assert(m.forall(_ > 1.0))
   }
+
+  test("kCenterGreedy: hand-traced selection with dup and ties") {
+    import spark.implicits._
+    // int8-quantized codes: axis vectors → (127,0,..); id4 duplicates
+    // id1 (dist 0, must never be selected); id5 = (0.5,0.5,0,0)
+    // normalizes to (127,127,0,0)
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(1f, 0f, 0f, 0f)),
+      (5L, Seq(0.5f, 0.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(df, "vec_id", "embedding", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // seed = min id; then farthest-first: id2 and id3 both at
+    // 2·127² = 32258 (tie → smaller id), then id5 at 127² = 16129;
+    // the duplicate id4 (dist 0) is never chosen
+    assert(got === Seq((0L, 1L, 0L), (1L, 2L, 32258L),
+      (2L, 3L, 32258L), (3L, 5L, 16129L)))
+  }
 }
