@@ -617,4 +617,73 @@ object Sketch {
       .filter(col("cnt") * k > col("__n"))
       .select(col("key"), col("cnt"))
   }
+
+  /** Bottom-k priority-sample QUANTILE sketch — the rank-query member
+    * of the sketch family (CMS: frequency, Bloom: membership, HLL/KMV:
+    * cardinality, MG: heavy hitters; this: quantiles). Priority =
+    * hash60("qs:"‖id) — a pure function of the row id — so the k-row
+    * sample per group is a DETERMINISTIC uniform sample: both engines
+    * draw the identical rows and the whole register table hash-gates
+    * (the KMV discipline; classic reservoir sampling never can).
+    * Mergeable with the same algebra as [[mergeKmv]]: union, re-take
+    * k smallest priorities.
+    *
+    * One partial-agg-free projection + a group-keyed window over the
+    * (grp-bounded × k) frame; registers carry the VALUE alongside the
+    * priority, which is what turns a distinct-count sketch into a
+    * rank sketch.
+    */
+  def quantileSampleBy(df: DataFrame, groupCol: Column, idCol: Column,
+      valCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    df.select(groupCol.as("grp"),
+        TextAnalysis.hash60(concat_ws(":", lit("qs"), idCol)).as("pri"),
+        valCol.cast("long").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("pri"), col("v"))))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("rn"), col("pri"), col("v"))
+  }
+
+  /** Merge two [[quantileSampleBy]] register tables: union + re-take
+    * the k smallest priorities per group. Overlapping streams are
+    * fine — a row's priority is a function of its id, so duplicates
+    * collapse on (pri, v).
+    */
+  def mergeQuantileSample(a: DataFrame, b: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    a.select(col("grp"), col("pri"), col("v"))
+      .unionByName(b.select(col("grp"), col("pri"), col("v")))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("pri"), col("v"))))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("rn"), col("pri"), col("v"))
+  }
+
+  /** Nearest-rank quantile estimates from a [[quantileSampleBy]]
+    * table: for each permille p, the sample value at rank
+    * ⌈p·n/1000⌉ in (v, pri) order — SELECTED values, never
+    * interpolated (the q128 discipline), so estimates are exact
+    * integers. Output: (grp, n_sample, q_<p> …).
+    */
+  def quantileSampleEstimate(registers: DataFrame,
+      permilles: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000))
+    val ranked = registers
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("pri")))
+        .cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("grp"))))
+    val qs = permilles.map { p =>
+      max(when(col("vr") ===
+        expr(s"($p * n + 999) div 1000"), col("v"))).as(s"q_$p")
+    }
+    ranked.groupBy(col("grp"))
+      .agg(max(col("n")).as("n_sample"), qs: _*)
+  }
 }

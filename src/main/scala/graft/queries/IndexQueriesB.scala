@@ -1212,6 +1212,70 @@ object IndexQueriesB extends QueryPack {
         |FROM p JOIN nrm na ON p.id_a = na.doc_id
         |  JOIN nrm nb ON p.id_b = nb.doc_id
         |WHERE dot * dot * 1000000 // (na.norm2 * nb.norm2) >= 640000
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Bottom-k priority-sample quantile sketch — the rank member of
+    // the sketch family, deterministic because priorities are
+    // hash60("qs:"‖id). The gate compares sketch estimates against
+    // the exact nearest-rank quantiles (exact side is the documented
+    // data-sized baseline; the sketch IS the scale path) and
+    // hash-matches estimates, exacts, AND the absolute errors.
+    "q434_quantile_sketch" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+        val est = Sketch.quantileSampleEstimate(
+          Sketch.quantileSampleBy(docs, col("source"), col("doc_id"),
+            col("n_chars"), k = 32), Seq(500, 900))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val exact = docs
+          .withColumn("vr", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("source"))))
+          .groupBy(col("source"))
+          .agg(max(col("n")).as("n_rows"),
+            max(when(col("vr") === expr("(500 * n + 999) div 1000"),
+              col("n_chars"))).as("x_500"),
+            max(when(col("vr") === expr("(900 * n + 999) div 1000"),
+              col("n_chars"))).as("x_900"))
+        est.join(exact, est("grp") === exact("source"))
+          .select(col("grp"), col("n_rows"), col("n_sample"),
+            col("q_500"), col("x_500"),
+            abs(col("q_500") - col("x_500")).as("err_500"),
+            col("q_900"), col("x_900"),
+            abs(col("q_900") - col("x_900")).as("err_900"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH base AS (SELECT source, doc_id,
+        |    CAST(n_chars AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5('qs:' || doc_id), 1, 15)) AS BIGINT) AS pri
+        |  FROM documents),
+        |reg AS (SELECT source AS grp, pri, v FROM (
+        |    SELECT source, pri, v, row_number() OVER (
+        |      PARTITION BY source ORDER BY pri, v) AS rn FROM base)
+        |  WHERE rn <= 32),
+        |rk AS (SELECT grp, v, CAST(row_number() OVER (
+        |      PARTITION BY grp ORDER BY v, pri) AS BIGINT) AS vr,
+        |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM reg),
+        |est AS (SELECT grp, max(n) AS n_sample,
+        |    max(CASE WHEN vr = (500 * n + 999) // 1000 THEN v END) AS q_500,
+        |    max(CASE WHEN vr = (900 * n + 999) // 1000 THEN v END) AS q_900
+        |  FROM rk GROUP BY 1),
+        |xrk AS (SELECT source, v, CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY v, doc_id) AS BIGINT) AS vr,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM base),
+        |ex AS (SELECT source, max(n) AS n_rows,
+        |    max(CASE WHEN vr = (500 * n + 999) // 1000 THEN v END) AS x_500,
+        |    max(CASE WHEN vr = (900 * n + 999) // 1000 THEN v END) AS x_900
+        |  FROM xrk GROUP BY 1)
+        |SELECT grp, n_rows, n_sample, q_500, x_500,
+        |  abs(q_500 - x_500) AS err_500, q_900, x_900,
+        |  abs(q_900 - x_900) AS err_900
+        |FROM est JOIN ex ON est.grp = ex.source
+        |ORDER BY grp""".stripMargin))
   )
 }

@@ -298,4 +298,39 @@ class SketchSpec extends SparkSpec {
       Sketch.countSketchEstimate(sk, probes, col("t"), 4, 512)
     }
   }
+
+  test("quantileSampleBy: deterministic sample, merge = union sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 200L).map(i => ("g", i, i * 10)).toDF("s", "id", "v")
+    val full = Sketch.quantileSampleBy(rows, col("s"), col("id"),
+      col("v"), 16).collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    // split the stream, sketch halves, merge — must equal the full sketch
+    val h1 = Sketch.quantileSampleBy(rows.filter(col("id") <= 100),
+      col("s"), col("id"), col("v"), 16)
+    val h2 = Sketch.quantileSampleBy(rows.filter(col("id") > 100),
+      col("s"), col("id"), col("v"), 16)
+    val merged = Sketch.mergeQuantileSample(h1, h2, 16)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(merged === full)
+    // determinism: re-sketching draws the identical sample
+    val again = Sketch.quantileSampleBy(rows, col("s"), col("id"),
+      col("v"), 16).collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(again === full)
+  }
+
+  test("quantileSampleEstimate: nearest-rank selection from the sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sample of n=4 planted directly as registers: values 10,20,30,40
+    val reg = Seq(("g", 1L, 111L, 10L), ("g", 2L, 222L, 20L),
+      ("g", 3L, 333L, 30L), ("g", 4L, 444L, 40L))
+      .toDF("grp", "rn", "pri", "v")
+    val got = Sketch.quantileSampleEstimate(reg, Seq(250, 500, 1000))
+      .collect().head
+    // ⌈.25·4⌉=1 → 10, ⌈.5·4⌉=2 → 20, ⌈1·4⌉=4 → 40
+    assert(got.getAs[Long]("n_sample") === 4L)
+    assert((got.getAs[Long]("q_250"), got.getAs[Long]("q_500"),
+      got.getAs[Long]("q_1000")) === ((10L, 20L, 40L)))
+  }
 }
