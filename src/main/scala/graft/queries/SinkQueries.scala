@@ -983,6 +983,54 @@ object SinkQueries extends QueryPack {
         |tf AS (SELECT token, doc_id, count(*) AS tf FROM tok
         |  GROUP BY 1, 2)
         |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
-        |FROM tf GROUP BY 1 ORDER BY token""".stripMargin))
+        |FROM tf GROUP BY 1 ORDER BY token""".stripMargin)),
+
+    // Incremental VIEW MAINTENANCE over the TxLog CDC feed: a
+    // per-source rollup (count, Σ n_chars) is maintained by merging
+    // the OLD rollup with the rollup of incrementalRead's added-rows
+    // delta — never rescanning the table — and the gate proves
+    // inc ≡ full recompute by emitting BOTH sides per key (the
+    // oracle computes the rollup once and projects it twice, so any
+    // divergence hash-fails). This is the materialized-aggregate
+    // pattern a 100 TB nightly pipeline runs: O(delta) work per
+    // refresh, O(1) state per key.
+    "q435_incremental_rollup" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        def rollup(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("source"))
+            .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivm")
+        val t = s"$tmp/tbl"
+        val vBase = TxLog.commit(docs.filter(col("doc_id") % 10 < 5), t,
+          "overwrite", "doc_id")
+        val base = rollup(TxLog.read(s, t))
+        (5 until 10).foreach { i =>
+          TxLog.commit(docs.filter(col("doc_id") % 10 === i), t,
+            "append", "doc_id")
+        }
+        val latest = TxLog.versions(t).max
+        val delta = TxLog.incrementalRead(s, t, sinceVersion = vBase,
+          untilVersion = latest)
+        // the IVM step: additive merge of old state + delta rollup
+        val inc = base.unionByName(rollup(delta))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("cnt_inc"),
+            sum(col("chars")).as("chars_inc"))
+        val full = rollup(TxLog.read(s, t, Some(latest)))
+          .select(col("source"), col("cnt").as("cnt_full"),
+            col("chars").as("chars_full"))
+        materializeAndDelete(
+          inc.join(full, Seq("source"), "full_outer")
+            .orderBy(col("source")), tmp)
+      },
+      Some("""WITH r AS (SELECT source, count(*) AS cnt,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1)
+        |SELECT source, cnt AS cnt_inc, chars AS chars_inc,
+        |  cnt AS cnt_full, chars AS chars_full
+        |FROM r ORDER BY source""".stripMargin))
   )
 }
