@@ -686,4 +686,28 @@ object Sketch {
     ranked.groupBy(col("grp"))
       .agg(max(col("n")).as("n_sample"), qs: _*)
   }
+
+  /** CMS INNER-PRODUCT join-size estimation (Cormode & Muthukrishnan
+    * 2005 §4.2): |A ⋈_k B| = Σ_k f_A(k)·f_B(k) is upper-bounded by
+    * min over the d rows of Σ_w cmsA[row][w]·cmsB[row][w] — the
+    * query-planner cardinality probe that costs two d×w sketches
+    * instead of a join. Both sketches must share (d, w) and the
+    * fixed-seed hash rows ([[countMin]] does by construction).
+    * Returns one row: (est = the min, per the classic bound
+    * est ≥ true). Exact integers — the d row-products are sums over
+    * the ≤ d×w counter frame; nothing data-sized.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame,
+      d: Int): DataFrame = {
+    val dots = a.select(col("row"), col("bucket"), col("cnt").as("ca"))
+      .join(b.select(col("row"), col("bucket"), col("cnt").as("cb")),
+        Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("ca") * col("cb")).as("rowdot"))
+    // a row with NO shared bucket has dot 0 — it must reach the min,
+    // not vanish from the inner join (disjoint streams → est 0)
+    a.sparkSession.range(d).select(col("id").as("row"))
+      .join(dots, Seq("row"), "left")
+      .agg(min(coalesce(col("rowdot"), lit(0L))).as("est"))
+  }
 }

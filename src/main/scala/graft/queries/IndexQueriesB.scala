@@ -6,6 +6,7 @@ import graft.Tables
 import graft.functions.Urls
 import graft.operators.{Bpe, Dedup, LanguageModel, Search, Similarity, Sketch}
 import IndexQueries._
+import LlmQueries.{h60sql, tokensSql}
 
 /** Second half of the indexing/retrieval pack (split from
   * IndexQueries at the domain-governance boundary for navigability —
@@ -1276,6 +1277,63 @@ object IndexQueriesB extends QueryPack {
         |  abs(q_500 - x_500) AS err_500, q_900, x_900,
         |  abs(q_900 - x_900) AS err_900
         |FROM est JOIN ex ON est.grp = ex.source
-        |ORDER BY grp""".stripMargin))
+        |ORDER BY grp""".stripMargin)),
+
+    // CMS inner-product JOIN-SIZE estimation (Cormode–Muthukrishnan):
+    // |A ⋈ B| upper-bounded by min over rows of Σ cmsA·cmsB — the
+    // planner cardinality probe that never runs the join. The gate
+    // emits estimate, true size, and the overestimate margin; all
+    // three hash-match (fixed-seed rows interpolated into the
+    // oracle, the q93 discipline).
+    "q436_cms_join_size" -> Q(
+      (s, dir) => {
+        import graft.operators.{Sketch, TextAnalysis}
+        val docs = Tables.documents(s, dir)
+        def toks(src: String) = docs.filter(col("source") === src)
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+        val d = 4; val w = 64
+        val sa = Sketch.countMin(toks("src0"), col("t"), d, w)
+        val sb = Sketch.countMin(toks("src1"), col("t"), d, w)
+        val est = Sketch.cmsJoinSizeEstimate(sa, sb, d)
+        val truth = toks("src0").groupBy(col("t"))
+          .agg(count(lit(1)).as("fa"))
+          .join(toks("src1").groupBy(col("t"))
+            .agg(count(lit(1)).as("fb")), Seq("t"))
+          .agg(coalesce(sum(col("fa") * col("fb")), lit(0L))
+            .as("true_size"))
+        est.crossJoin(broadcast(truth))
+          .select(col("est"), col("true_size"),
+            (col("est") - col("true_size")).as("overestimate"))
+      },
+      {
+        val P = Dedup.P
+        def rowsSql(src: String) = Dedup.perms(4).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"SELECT $i AS i, ((h * $a + $b) % $P) % 64 AS bucket FROM $src"
+          }.mkString("\n|    UNION ALL ")
+        Some(s"""WITH t0 AS (SELECT unnest($tokensSql) AS t
+          |  FROM documents WHERE source = 'src0'),
+          |t1 AS (SELECT unnest($tokensSql) AS t
+          |  FROM documents WHERE source = 'src1'),
+          |h0 AS (SELECT t, ${h60sql("t")} % $P AS h FROM t0),
+          |h1 AS (SELECT t, ${h60sql("t")} % $P AS h FROM t1),
+          |c0 AS (SELECT i, bucket, count(*) AS cnt FROM (
+          |    ${rowsSql("h0")})
+          |  GROUP BY 1, 2),
+          |c1 AS (SELECT i, bucket, count(*) AS cnt FROM (
+          |    ${rowsSql("h1")})
+          |  GROUP BY 1, 2),
+          |dots AS (SELECT r.i, coalesce(CAST(sum(c0.cnt * c1.cnt) AS BIGINT), 0) AS rowdot
+          |  FROM (SELECT unnest(generate_series(0, 3)) AS i) r
+          |  LEFT JOIN c0 ON c0.i = r.i
+          |  LEFT JOIN c1 ON c1.i = c0.i AND c1.bucket = c0.bucket
+          |  GROUP BY 1),
+          |est AS (SELECT CAST(min(rowdot) AS BIGINT) AS est FROM dots),
+          |tru AS (SELECT coalesce(CAST(sum(fa * fb) AS BIGINT), 0) AS true_size
+          |  FROM (SELECT t, count(*) AS fa FROM t0 GROUP BY 1) a
+          |  JOIN (SELECT t, count(*) AS fb FROM t1 GROUP BY 1) b USING (t))
+          |SELECT est, true_size, est - true_size AS overestimate
+          |FROM est, tru""".stripMargin)
+      })
   )
 }

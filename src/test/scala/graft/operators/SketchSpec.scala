@@ -333,4 +333,23 @@ class SketchSpec extends SparkSpec {
     assert((got.getAs[Long]("q_250"), got.getAs[Long]("q_500"),
       got.getAs[Long]("q_1000")) === ((10L, 20L, 40L)))
   }
+
+  test("cmsJoinSizeEstimate: upper bound, exact when collision-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq("x", "x", "y", "z").toDF("t")   // fa: x2 y1 z1
+    val b = Seq("x", "y", "y", "w").toDF("t")   // fb: x1 y2 w1
+    val d = 4; val w = 64
+    val sa = Sketch.countMin(a, col("t"), d, w)
+    val sb = Sketch.countMin(b, col("t"), d, w)
+    val est = Sketch.cmsJoinSizeEstimate(sa, sb, d)
+      .collect().head.getLong(0)
+    // true join size = 2·1 + 1·2 = 4; CMS is an upper bound, and at
+    // 4 keys in 64 buckets the min row is collision-free → exact
+    assert(est >= 4L && est <= 5L)
+    // disjoint streams → 0
+    val sc = Sketch.countMin(Seq("p", "q").toDF("t"), col("t"), d, w)
+    assert(Sketch.cmsJoinSizeEstimate(sa, sc, d)
+      .collect().head.getLong(0) === 0L)
+  }
 }
