@@ -478,6 +478,73 @@ object ScaleProbe {
               .when(col("flesch_milli") >= col("q_33"), 1L)
               .otherwise(2L))
       }
+      // q432 shape: sparse tf-cosine join — THE round-8 operator with
+      // quadratic potential (pair agg over posting co-occurrence).
+      // Copy-tagged: disjoint token universes, so candidate volume
+      // grows with content, not combinatorially (the q214/q242
+      // methodology); the df cap is the production lever.
+      time("q432_sparse_cosine", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+          .filter(col("doc_id") % 20 === 0)
+        graft.operators.Search.sparseCosineJoin(
+          graft.operators.Search.termFrequencies(docs, "doc_id", "text"),
+          maxDf = 500, minCos2Ppm = 640000L)
+      }
+      // q433 shape: greedy k-center — k driver rounds, each a
+      // localCheckpoint rewrite of the corpus-sized min-distance
+      // frame; the probe question is whether those k rewrites stay
+      // linear in the corpus (they are k scans of a narrow frame)
+      time("q433_kcenter", n) {
+        val e = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+        graft.operators.Similarity.kCenterGreedy(
+          e, "vec_id", "embedding", k = 6)
+      }
+      // q426 shape: exact KS drift — rows grow ×N but the one
+      // unpartitioned window runs over the distinct-VALUE frame,
+      // which is domain-bounded (n_chars domain is fixed), so the
+      // probe should show the pre-agg absorbing the growth
+      time("q426_ks_drift", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        graft.operators.Analytics.ksStatistic(
+          docs.select(col("n_chars"), col("lang")),
+          col("lang") === "en", "n_chars")
+      }
+      // q437 shape: incremental ANN-index maintenance — base commit,
+      // deletion-vector delete, delta append to existing centroids,
+      // then one serve against the maintained index. Commit count is
+      // fixed; data per commit grows ×N. Centroids mirror the gate's
+      // fixed-seed eight.
+      time("q437_ann_ivm", n) {
+        import graft.sources.TxLog
+        val cents: Seq[Seq[Float]] = {
+          val rnd = new scala.util.Random(4242L)
+          Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+        }
+        val e = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"), col("embedding"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sp_aivm")
+        val t = s"$tmp/index"
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(tmp.toFile)
+        }))
+        TxLog.commit(graft.operators.Similarity.ivfIndexFrame(
+          e.filter(col("vec_id") % 10 < 8), "vec_id", "embedding",
+          cents), t, "overwrite", "neighbor_id")
+        TxLog.deleteWhere(spark, t, col("neighbor_id") % 7 === 0)
+        TxLog.commit(graft.operators.Similarity.ivfIndexFrame(
+          e.filter(col("vec_id") % 10 === 8), "vec_id", "embedding",
+          cents), t, "append", "neighbor_id")
+        graft.operators.Similarity.annTopKIvfServe(
+          e.filter(col("vec_id") % 100 === 0), TxLog.read(spark, t),
+          "vec_id", "embedding", cents, 3)
+      }
     }
     spark.stop()
   }

@@ -536,6 +536,50 @@ object Corpus {
       .select(col(groupCol), col("rn"), col(idCol), col("priority"))
   }
 
+  /** EXACT Efraimidis–Spirakis weighted sampling without replacement,
+    * k per group, in deterministic fixed point. A-ES draws the k
+    * largest u^(1/w) keys — equivalently the k SMALLEST −ln(u)/w —
+    * which is the distributionally correct weighted draw
+    * [[weightedPrioritySample]]'s h div w priority only approximates
+    * (u/w overweights heavy items near u→0). The log that made the
+    * true key engine-divergent is now exact integer arithmetic:
+    *   u    = (h32+1) / 2^32,  h32 = h60(id:salt) mod 2^32
+    *   L    = −ln(u)·1e6      = lnPpm(2^32, h32+1)   (i64, exact)
+    *   pri  = L·1e9 div w                            (i64, exact)
+    * and the draw is a pure function of (id, salt): reproducible,
+    * engine-portable (the oracle replays the identical shift-and-
+    * square CTE), stable under corpus growth. Bounds: L ≤ 22.2e6 ppm
+    * (ln 2^32), so L·1e9 < 2.3e16 — no overflow for any weight ≥ 1.
+    *
+    * Nonpositive weights are excluded (weight 0 must never be drawn;
+    * guarding keeps the division total). Weights must be integral —
+    * fractional weights would truncate silently in the div.
+    *
+    * Scale: a projection plus one per-group top-k window — the rank
+    * limit pushes into WindowGroupLimit, so per-partition state is
+    * k-bounded (the q434 discipline).
+    */
+  def weightedSampleAes(df: DataFrame, idCol: String,
+      weightCol: String, groupCol: String, k: Int, salt: String)
+      : DataFrame = {
+    require(k >= 1)
+    requireIntegralKey(df, weightCol, "weightedSampleAes")
+    val pri = df
+      .filter(col(weightCol) > 0)
+      .withColumn("__h32", graft.expressions.Md5Hash60.hash60Native(
+        concat_ws(":", col(idCol), lit(salt))) % 4294967296L)
+      .withColumn("__lppm", graft.functions.FixedPoint.lnPpm(
+        lit(4294967296L), col("__h32") + 1L))
+      .withColumn("priority_e9", graft.functions.FixedPoint.idiv(
+        col("__lppm") * 1000000000L, col(weightCol)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority_e9"), col(idCol))
+    pri.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("rn"), col(idCol),
+        col(weightCol).cast("long").as("weight"), col("priority_e9"))
+  }
+
   /** Sequence-packing efficiency audit: with one document per padded
     * sequence of `seqLen` tokens, each doc costs ceil(n/seqLen)·seqLen
     * slots; the per-group report totals real tokens vs padded slots

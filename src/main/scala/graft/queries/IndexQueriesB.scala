@@ -382,6 +382,37 @@ object IndexQueriesB extends QueryPack {
         |FROM r WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin)),
 
+    // EXACT Efraimidis–Spirakis weighted sampling (VERDICT r8 item 7):
+    // the true A-ES key −ln(u)/w in deterministic fixed point — q172's
+    // h div w priority is the approximation this replaces now that
+    // the shift-and-square log kernel exists. The oracle replays the
+    // identical i64 algorithm (recursive CTE), so the drawn sample,
+    // ranks AND priorities all hash-match.
+    "q439_weighted_sample_aes" -> Q(
+      (s, dir) => graft.operators.Corpus.weightedSampleAes(
+          Tables.documents(s, dir).select(
+            col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", "source", k = 5, salt = "aes1")
+        .orderBy(col("source"), col("rn")),
+      Some(s"""WITH RECURSIVE h AS (SELECT source, doc_id,
+        |    CAST(n_chars AS BIGINT) AS w,
+        |    CAST(('0x' || substr(md5(doc_id || ':aes1'), 1, 15)) AS BIGINT)
+        |      % 4294967296 AS h32
+        |  FROM documents WHERE n_chars > 0),
+        |src AS (SELECT doc_id AS key, CAST(4294967296 AS BIGINT) AS num,
+        |    h32 + 1 AS den FROM h),
+        |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+        |p AS (SELECT h.source, h.doc_id, h.w,
+        |    (l.ln_ppm * 1000000000) // h.w AS priority_e9
+        |  FROM h JOIN lnppm l ON h.doc_id = l.key),
+        |r AS (SELECT source, doc_id, w, priority_e9,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY priority_e9, doc_id) AS BIGINT) AS rn
+        |  FROM p)
+        |SELECT source, rn, doc_id, w AS weight, priority_e9
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin)),
+
     // Tokenizer-fit audit: top-100 corpus vocabulary (frequency desc,
     // token asc — fully deterministic), per-source OOV rate in ppm.
     "q177_vocab_coverage" -> Q(

@@ -1194,6 +1194,83 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY query_id, rn""".stripMargin)
       }),
 
+    // Incremental ANN-index MAINTENANCE over the CDC feed (VERDICT r8
+    // item 5) — the q435 IVM discipline applied to the IVF index,
+    // the nightly job a 100 TB embedding pipeline actually runs:
+    //   base build  → TxLog overwrite of the cell-assigned index;
+    //   deletes     → merge-on-read deletion vectors (no rewrite);
+    //   adds        → delta assigned to the EXISTING centroids only
+    //                 (O(delta) work — never a corpus re-assign) and
+    //                 APPENDED.
+    // The gate serves the SAME query batch against the maintained
+    // index and against a from-scratch rebuild over the live set and
+    // emits both verdicts per (query, rank) — any divergence (a
+    // masked row leaking back, a delta row lost, a cell drifting)
+    // hash-fails. Adds deliberately include ids the delete predicate
+    // would match: deletion vectors mask only files present at delete
+    // time, so later appends survive — the gate pins that ordering
+    // contract. Cosines are sequential-fold doubles (bit-stable,
+    // q294's discipline), and inc/full run the identical float
+    // pipeline, so equality is bit-for-bit.
+    "q437_incremental_ann" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_annivm")
+        val t = s"$tmp/index"
+        TxLog.commit(Similarity.ivfIndexFrame(
+            e.filter(col("vec_id") % 10 < 8), "vec_id", "embedding",
+            Centroids), t, "overwrite", "neighbor_id")
+        TxLog.deleteWhere(s, t, col("neighbor_id") % 7 === 0)
+        TxLog.commit(Similarity.ivfIndexFrame(
+            e.filter(col("vec_id") % 10 === 8), "vec_id", "embedding",
+            Centroids), t, "append", "neighbor_id")
+        val live = e.filter(
+          (col("vec_id") % 10 < 8 && col("vec_id") % 7 =!= 0) ||
+            col("vec_id") % 10 === 8)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        val sInc = Similarity.annTopKIvfServe(q, TxLog.read(s, t),
+            "vec_id", "embedding", Centroids, 3)
+          .select(col("query_id"), col("rn"),
+            col("neighbor_id").as("neighbor_inc"),
+            col("cosine").as("cos_inc"))
+        val sFull = Similarity.annTopKIvfServe(q,
+            Similarity.ivfIndexFrame(live, "vec_id", "embedding",
+              Centroids),
+            "vec_id", "embedding", Centroids, 3)
+          .select(col("query_id"), col("rn"),
+            col("neighbor_id").as("neighbor_full"),
+            col("cosine").as("cos_full"))
+        materializeAndDelete(
+          sInc.join(sFull, Seq("query_id", "rn"), "full_outer"), tmp)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val cellSql = cellSqlFor("v")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |live AS (SELECT vec_id, v, $cellSql AS cell FROM e
+          |  WHERE (vec_id % 10 < 8 AND vec_id % 7 <> 0)
+          |     OR vec_id % 10 = 8),
+          |q AS (SELECT vec_id AS query_id, v AS qv, $cellSql AS cell
+          |  FROM e WHERE vec_id % 100 = 0),
+          |s AS (
+          |  SELECT q.query_id, live.vec_id AS neighbor_id,
+          |         ${cosSql("qv", "v")} AS cos
+          |  FROM q JOIN live USING (cell)
+          |  WHERE q.query_id <> live.vec_id),
+          |r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+          |  FROM s)
+          |SELECT query_id, rn, neighbor_id AS neighbor_inc,
+          |  cos AS cos_inc, neighbor_id AS neighbor_full,
+          |  cos AS cos_full
+          |FROM r WHERE rn <= 3
+          |ORDER BY query_id, rn""".stripMargin)
+      }),
+
     // ONLINE vector serving: query vectors arrive as a STREAM and
     // probe the static IVF index per micro-batch — the q294 serve
     // operator verbatim inside foreachBatch (stream/batch serving

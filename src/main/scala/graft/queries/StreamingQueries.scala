@@ -227,6 +227,78 @@ object StreamingQueries extends QueryPack {
           |FROM sg ORDER BY doc_id""".stripMargin)
       }),
 
+    // STREAMING lexical near-dup (VERDICT r8 item 6): q432's sparse
+    // tf-cosine join as a flatMapGroupsWithState posting-state
+    // pipeline — per-doc tf computed IN-ROW as a projection (no
+    // pre-shuffle agg on the stream), postings keyed by token, pair/
+    // norm partials emitted from df-cap-bounded state, then the
+    // batch rollup finishes the cross-multiplied cos². Single-file
+    // source ⇒ one micro-batch ⇒ admission-time capping IS the batch
+    // df cap, so the gate's oracle is q432's from-scratch statement
+    // verbatim; multi-batch state carryover is pinned in StreamsSpec.
+    "q438_stream_sparse_neardup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.FixedPoint.idiv
+        val toks = graft.operators.TextAnalysis.tokens(col("text"))
+        val posts = documentsStream(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"),
+            explode(transform(array_distinct(toks),
+              x => struct(x.as("token"),
+                size(filter(toks, y => y === x)).cast("long").as("tf"))))
+              .as("p"))
+          .select(col("p.token").as("token"), col("doc_id").as("docId"),
+            col("p.tf").as("tf"))
+          .as[Streams.Posting]
+        val parts = Streams.runToTable(
+          Streams.sparsePostingStream(posts, maxDf = 500).toDF(),
+          OutputMode.Append())
+        val pairs = parts.filter(col("kind") === "p")
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("v")).as("dot"), count(lit(1)).as("n_shared"))
+          .select(col("a").as("id_a"), col("b").as("id_b"),
+            col("dot"), col("n_shared"))
+        val norms = parts.filter(col("kind") === "n")
+          .groupBy(col("a")).agg(sum(col("v")).as("norm2"))
+        pairs
+          .join(norms.select(col("a").as("id_a"),
+            col("norm2").as("norm2_a")), "id_a")
+          .join(norms.select(col("a").as("id_b"),
+            col("norm2").as("norm2_b")), "id_b")
+          .withColumn("cos2_ppm", idiv(col("dot") * col("dot") * 1000000L,
+            col("norm2_a") * col("norm2_b")))
+          .filter(col("cos2_ppm") >= 640000L)
+          .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
+            col("norm2_a"), col("norm2_b"), col("cos2_ppm"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH tfs AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(CASE WHEN trim(text) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(text), '\\s+') END) AS token
+        |    FROM documents WHERE doc_id % 20 = 0)
+        |  GROUP BY 1, 2),
+        |dfc AS (SELECT token FROM tfs GROUP BY token
+        |  HAVING count(*) <= 500),
+        |cap AS (SELECT tfs.* FROM tfs JOIN dfc USING (token)),
+        |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
+        |  FROM cap GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot,
+        |    count(*) AS n_shared
+        |  FROM cap a JOIN cap b
+        |    ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared, dot, na.norm2 AS norm2_a,
+        |  nb.norm2 AS norm2_b,
+        |  dot * dot * 1000000 // (na.norm2 * nb.norm2) AS cos2_ppm
+        |FROM p JOIN nrm na ON p.id_a = na.doc_id
+        |  JOIN nrm nb ON p.id_b = nb.doc_id
+        |WHERE dot * dot * 1000000 // (na.norm2 * nb.norm2) >= 640000
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // TTL re-admission over a visit stream — the streaming recrawl
     // gate: first visit admits, then one visit per elapsed 7-day
     // window (tumbling from first sight). dropDuplicates can only

@@ -300,6 +300,73 @@ object Streams {
       }
   }
 
+  final case class Posting(token: String, docId: Long, tf: Long)
+  /** `kind` "p": a pair-dot partial (a=id_a<b=id_b, v=tf_a·tf_b for
+    * one shared token); "n": a norm partial (a=doc, b=-1, v=tf²).
+    */
+  final case class PairPart(kind: String, a: Long, b: Long, v: Long)
+
+  /** Streaming lexical near-dup — the posting-state twin of
+    * [[graft.operators.Search.sparseCosineJoin]] (q432): postings
+    * ride the stream keyed by TOKEN; per-token state holds the
+    * admitted posting list (df-cap-bounded, so state is
+    * ≤ maxDf·(2 longs) per live token and ZERO per dead token), and
+    * each arriving posting emits its pair-dot partials against every
+    * previously-admitted posting plus its own norm partial. A
+    * downstream rollup (pair-keyed Σ for dots, doc-keyed Σ for
+    * norms) finishes the cross-multiplied cos² exactly as the batch
+    * operator does.
+    *
+    * Cap semantics: ADMISSION-TIME df capping — a token dies the
+    * moment its cumulative df would exceed `maxDf`, and a dying
+    * token's CURRENT batch is rejected whole. On a single-batch run
+    * the group call sees every posting at once, so this is exactly
+    * the batch rule (df > maxDf drops the token entirely) and
+    * stream ≡ batch holds verbatim — the q438 gate. Across batches a
+    * token admitted early and killed later keeps its early
+    * contributions (append-mode history, the same trade
+    * [[minhashDedupStream]] documents); StreamsSpec pins that
+    * carryover. Norm partials are emitted under the SAME admission
+    * decision as pair partials, so the finished cosine is exact in
+    * the admitted-postings space — the capped-space consistency rule
+    * sparseCosineJoin's scaladoc calls the subtle correctness trap.
+    *
+    * Determinism: within a group call postings are processed in
+    * doc-id order, and every emission is an integer — the finished
+    * rollup hash-gates.
+    */
+  def sparsePostingStream(postings: Dataset[Posting],
+      maxDf: Int): Dataset[PairPart] = {
+    import postings.sparkSession.implicits._
+    postings.groupByKey(_.token)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Posting],
+            state: GroupState[(Boolean, Seq[(Long, Long)])]) =>
+          val (dead0, seen0) =
+            state.getOption.getOrElse((false, Seq.empty[(Long, Long)]))
+          val arrived = rows.map(p => (p.docId, p.tf)).toSeq.sortBy(_._1)
+          if (dead0 || seen0.size + arrived.size > maxDf) {
+            state.update((true, Seq.empty))
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[PairPart]
+            arrived.foreach { case (d, tf) =>
+              out += PairPart("n", d, -1L, tf * tf)
+            }
+            for ((dn, tn) <- arrived; (ds, ts) <- seen0) {
+              val (a, b) = if (dn < ds) (dn, ds) else (ds, dn)
+              out += PairPart("p", a, b, tn * ts)
+            }
+            for (i <- arrived.indices; j <- (i + 1) until arrived.size)
+              out += PairPart("p", arrived(i)._1, arrived(j)._1,
+                arrived(i)._2 * arrived(j)._2)
+            state.update((false, seen0 ++ arrived))
+            out.result().iterator
+          }
+      }
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Drive a streaming frame over its BOUNDED source to completion

@@ -342,6 +342,42 @@ class CorpusSpec extends SparkSpec {
     assert(p2 <= p1)
   }
 
+  test("weightedSampleAes: exact A-ES key, deterministic, integral contract") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g", 10L), (2L, "g", 10L), (3L, "g", 10L),
+      (4L, "g", 0L) // never drawn
+    ).toDF("id", "grp", "w")
+    val pick = Corpus.weightedSampleAes(df, "id", "w", "grp", 4, "sA")
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(4)))
+    assert(pick.map(_._1).toSet === Set(1L, 2L, 3L))
+    // priorities match the portable-fold recompute of
+    // lnPpm(2^32, h32+1)·1e9 div w — the native kernel and the
+    // Column pipeline agree on the exact E-S key
+    val expect = df.filter(col("w") > 0)
+      .withColumn("__h32", graft.expressions.Md5Hash60.hash60Native(
+        concat_ws(":", col("id"), lit("sA"))) % 4294967296L)
+      .withColumn("pe", graft.functions.FixedPoint.idiv(
+        graft.functions.FixedPoint.lnPpmPortable(
+          lit(4294967296L), col("__h32") + 1L) * 1000000000L, col("w")))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pe")).toMap
+    pick.foreach { case (id, _, pri) => assert(pri === expect(id)) }
+    // rerun identical (pure function of id:salt)
+    val again = Corpus.weightedSampleAes(df, "id", "w", "grp", 4, "sA")
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(4)))
+    assert(pick.toSeq === again.toSeq)
+    // a dominant weight shrinks the priority toward 0: always drawn
+    val big = Seq((7L, "g", 1000000000L), (8L, "g", 1L)).toDF("id", "grp", "w")
+    val top = Corpus.weightedSampleAes(big, "id", "w", "grp", 1, "sA")
+      .collect().head
+    assert(top.getLong(2) === 7L)
+    // fractional weights fail fast — silent div truncation forbidden
+    val frac = Seq((1L, "g", 2.5)).toDF("id", "grp", "w")
+    intercept[IllegalArgumentException] {
+      Corpus.weightedSampleAes(frac, "id", "w", "grp", 1, "sA")
+    }
+  }
+
   test("quotaAllocation: exact total, proportionality, remainder ranking") {
     import spark.implicits._
     // counts 5 / 3 / 2 over total 7: bases 3/2/1 (floor of 3.5/2.1/1.4),

@@ -342,4 +342,43 @@ class StreamsSpec extends SparkSpec {
       assert(rows.toSet === Set((7L, 1, 1L), (7L, 2, 2L), (7L, 3, 3L)))
     } finally q.stop()
   }
+
+  test("sparsePostingStream: admission-time df cap across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Posting]
+    val out = Streams.sparsePostingStream(input.toDS(), maxDf = 3)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("sps_out").outputMode("append").start()
+    def rows() = spark.table("sps_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    try {
+      // batch 1: two postings of t admitted; a 4-posting token u
+      // overflows the cap IN ONE BATCH and must emit nothing at all
+      input.addData(
+        Streams.Posting("t", 3L, 1L), Streams.Posting("t", 1L, 2L),
+        Streams.Posting("u", 1L, 1L), Streams.Posting("u", 2L, 1L),
+        Streams.Posting("u", 3L, 1L), Streams.Posting("u", 4L, 1L))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        ("n", 1L, -1L, 4L), ("n", 3L, -1L, 1L), ("p", 1L, 3L, 2L)))
+      // batch 2: third t posting pairs against BOTH held postings
+      input.addData(Streams.Posting("t", 2L, 5L))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        ("n", 1L, -1L, 4L), ("n", 3L, -1L, 1L), ("p", 1L, 3L, 2L),
+        ("n", 2L, -1L, 25L), ("p", 1L, 2L, 10L), ("p", 2L, 3L, 5L)))
+      // batch 3: cumulative df would reach 5 > 3 — t dies, batch
+      // rejected whole; earlier emissions stand (append history)
+      input.addData(Streams.Posting("t", 4L, 1L), Streams.Posting("t", 5L, 1L))
+      q.processAllAvailable()
+      val afterDeath = rows()
+      assert(afterDeath.size === 6)
+      // batch 4: dead stays dead, state is empty for it
+      input.addData(Streams.Posting("t", 6L, 1L))
+      q.processAllAvailable()
+      assert(rows() === afterDeath)
+    } finally q.stop()
+  }
 }
