@@ -559,6 +559,19 @@ object Corpus {
     * limit pushes into WindowGroupLimit, so per-partition state is
     * k-bounded (the q434 discipline).
     */
+  /** The exact A-ES key as a Column — ONE definition shared by the
+    * batch sampler below and the streaming reservoir
+    * ([[graft.streaming.Streams.weightedSampleStream]]), so the
+    * stream ≡ batch parity gate compares identical priorities.
+    */
+  def aesPriority(id: Column, weight: Column, salt: String): Column = {
+    val h32 = graft.expressions.Md5Hash60.hash60Native(
+      concat_ws(":", id, lit(salt))) % 4294967296L
+    graft.functions.FixedPoint.idiv(
+      graft.functions.FixedPoint.lnPpm(lit(4294967296L), h32 + 1L)
+        * 1000000000L, weight)
+  }
+
   def weightedSampleAes(df: DataFrame, idCol: String,
       weightCol: String, groupCol: String, k: Int, salt: String)
       : DataFrame = {
@@ -566,12 +579,8 @@ object Corpus {
     requireIntegralKey(df, weightCol, "weightedSampleAes")
     val pri = df
       .filter(col(weightCol) > 0)
-      .withColumn("__h32", graft.expressions.Md5Hash60.hash60Native(
-        concat_ws(":", col(idCol), lit(salt))) % 4294967296L)
-      .withColumn("__lppm", graft.functions.FixedPoint.lnPpm(
-        lit(4294967296L), col("__h32") + 1L))
-      .withColumn("priority_e9", graft.functions.FixedPoint.idiv(
-        col("__lppm") * 1000000000L, col(weightCol)))
+      .withColumn("priority_e9",
+        aesPriority(col(idCol), col(weightCol), salt))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("priority_e9"), col(idCol))
     pri.withColumn("rn", row_number().over(w).cast("long"))

@@ -385,4 +385,47 @@ object Search {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
         col("norm2_a"), col("norm2_b"), col("cos2_ppm"))
   }
+
+  /** ASYMMETRIC containment join over token sets — the quote/subset
+    * detector Jaccard can't express: J(A,B) = |A∩B|/|A∪B| scores a
+    * short document quoted inside a long one near ZERO, while
+    * containment C(A→B) = |A∩B|/|A| scores it 1. Emits BOTH
+    * directions per pair (cont_a = how much of A is inside B,
+    * cont_b = the reverse), keeping pairs where EITHER direction
+    * clears the threshold — the training-data use cases are "doc B
+    * embeds doc A" (drop A) and "A is a boilerplate superset" (flag
+    * A). Integer-exact: counts and ppm divisions only.
+    *
+    * Same DAAT discipline and capped-space consistency rule as
+    * [[sparseCosineJoin]]: candidates only from df-capped posting
+    * co-occurrence, and the |A| / |B| set sizes are measured in the
+    * SAME capped space as the intersection — mixing a capped
+    * intersection with full-vocabulary sizes would underestimate
+    * containment for every document sharing a pruned token.
+    */
+  def containmentJoin(tf: DataFrame, maxDf: Int,
+      minContPpm: Long): DataFrame = {
+    import graft.functions.FixedPoint.idiv
+    val capped = tf.join(
+      tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf),
+      Seq("token"))
+    val sizes = capped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val a = capped.select(col("token"), col("doc_id").as("id_a"))
+    val b = capped.select(col("token"), col("doc_id").as("id_b"))
+    a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("n_tokens").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("n_tokens").as("n_b")), "id_b")
+      .withColumn("cont_a_ppm", idiv(col("n_shared") * 1000000L, col("n_a")))
+      .withColumn("cont_b_ppm", idiv(col("n_shared") * 1000000L, col("n_b")))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minContPpm)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("cont_a_ppm"), col("cont_b_ppm"))
+  }
 }

@@ -1160,4 +1160,113 @@ object Similarity {
       .select(col("rank").cast("long").as("rank"), col("id"),
         col("sel_dist"))
   }
+
+  /** TWO-STAGE ANN serving: PQ-ADC shortlist → exact re-rank — the
+    * production pattern compressed indexes actually serve with: the
+    * cheap asymmetric-distance scan nominates `shortlistK`
+    * candidates per query (M lookups per corpus code — the 8–32×-IO
+    * stage), then ONLY those rows are re-scored with the
+    * full-precision cosine and cut to `k`. Recall is bounded by the
+    * shortlist (a true neighbor ADC misses is gone — the
+    * recall/latency dial is shortlistK); arithmetic is bit-stable in
+    * both stages, so ranks AND cosines hash-gate.
+    *
+    * Scale shape: stage 1 is [[pqAdcTopK]]'s code scan; stage 2
+    * touches queries·shortlistK rows — the (shortlist ⋈ query-vec)
+    * side is broadcast and the corpus vector fetch is one keyed join
+    * (with the index parquet bucketed by id, a bucket-local read).
+    */
+  def twoStageAdcServe(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+      shortlistK: Int, k: Int): DataFrame = {
+    require(shortlistK >= k)
+    val sl = pqAdcTopK(queries, corpus, idCol, vecCol, codebooks,
+        shortlistK)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cv.join(broadcast(sl.join(qv, Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("cosine", cosineNative(col("__qv"), col("__nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        col("cosine"))
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * over a per-query candidate set: greedily select k items
+    * maximizing `λ·rel − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * diversification pass between retrieval and prompt assembly
+    * (RAG context packing, dedup-aware few-shot selection). Top-k by
+    * relevance alone returns near-duplicates of one passage; MMR
+    * penalizes each candidate by its worst redundancy against what's
+    * already picked.
+    *
+    * `cands` carries (query_id, cand_id, rel, cvec): `rel` an
+    * integer relevance and `cvec` the candidate's [[quantizeInt8]]
+    * codes — similarity is the exact integer code dot (the
+    * [[kCenterGreedy]] determinism contract: the metric is DEFINED
+    * in code space, so every score, tie, and selection is an i64 the
+    * oracle replays). λ in ppm; score = rel·λ − maxsim·(1e6−λ),
+    * bounded by 64·127²·1e6 < 2⁴³. Round 1 has an empty penalty set:
+    * maxsim = 0. Ties break to the lower cand_id.
+    *
+    * Scale shape: k is small and fixed — the k−1 refinement rounds
+    * unroll as DataFrame ops (no driver loop, no collect): each
+    * round joins remaining candidates against the ≤ queries·(r−1)
+    * selected rows ON query_id (co-partitioned), one partial-agg max
+    * per candidate, one per-query rank-1 window. Candidates per
+    * query are top-N from the ANN family — THIS operator never scans
+    * the corpus.
+    */
+  def mmrRerank(cands: DataFrame, lambdaPpm: Long, k: Int): DataFrame = {
+    require(k >= 1 && lambdaPpm >= 0L && lambdaPpm <= 1000000L)
+    import graft.expressions.VectorExpressions.dotI
+    // materialize the candidate frame ONCE: every unrolled round
+    // references it (directly and through the remaining-set chain),
+    // and without truncation the k rounds would re-derive the
+    // caller's candidate-generation subtree ~3k times. The frame is
+    // queries·N rows by contract — bounded, never corpus-sized.
+    val base = cands.select(col("query_id"), col("cand_id"),
+      col("rel").cast("long").as("rel"), col("cvec"))
+      .localCheckpoint(true)
+    def winner(scored: DataFrame, r: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), lit(r.toLong).as("rank"),
+          col("cand_id"), col("rel"), col("maxsim"), col("score"),
+          col("cvec"))
+    }
+    var selected = winner(base
+      .withColumn("maxsim", lit(0L))
+      .withColumn("score", col("rel") * lambdaPpm), 1)
+    var remaining = base.join(
+      selected.select(col("query_id"), col("cand_id")),
+      Seq("query_id", "cand_id"), "left_anti")
+    for (r <- 2 to k) {
+      val ms = remaining
+        .join(selected.select(col("query_id"), col("cvec").as("__svec")),
+          Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          dotI(col("cvec"), col("__svec")).as("__sim"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("__sim")).as("maxsim"))
+      val scored = remaining.join(ms, Seq("query_id", "cand_id"))
+        .withColumn("score",
+          col("rel") * lambdaPpm - col("maxsim") * (1000000L - lambdaPpm))
+      val wr = winner(scored, r)
+      selected = selected.unionByName(wr)
+      remaining = remaining.join(
+        wr.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("rank"), col("cand_id"),
+      col("rel"), col("maxsim"), col("score"))
+  }
 }

@@ -413,6 +413,42 @@ object IndexQueriesB extends QueryPack {
         |FROM r WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin)),
 
+    // Asymmetric CONTAINMENT join — the quote/subset detector
+    // Jaccard scores near zero: both directions (|A∩B|/|A| and
+    // /|B|) in exact integer ppm, candidates from df-capped posting
+    // co-occurrence, set sizes in the same capped space.
+    "q441_containment_join" -> Q(
+      (s, dir) => Search.containmentJoin(
+          Search.termFrequencies(
+            Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+            "doc_id", "text"),
+          maxDf = 500, minContPpm = 950000L)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH tfs AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(CASE WHEN trim(text) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(text), '\\s+') END) AS token
+        |    FROM documents WHERE doc_id % 20 = 0)),
+        |dfc AS (SELECT token FROM tfs GROUP BY token
+        |  HAVING count(*) <= 500),
+        |cap AS (SELECT tfs.* FROM tfs JOIN dfc USING (token)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM cap GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM cap a JOIN cap b
+        |    ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+        |  n_shared * 1000000 // sa.n AS cont_a_ppm,
+        |  n_shared * 1000000 // sb.n AS cont_b_ppm
+        |FROM p JOIN sz sa ON p.id_a = sa.doc_id
+        |  JOIN sz sb ON p.id_b = sb.doc_id
+        |WHERE greatest(n_shared * 1000000 // sa.n,
+        |    n_shared * 1000000 // sb.n) >= 950000
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // Tokenizer-fit audit: top-100 corpus vocabulary (frequency desc,
     // token asc — fully deterministic), per-source OOV rate in ppm.
     "q177_vocab_coverage" -> Q(

@@ -1271,6 +1271,153 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY query_id, rn""".stripMargin)
       }),
 
+    // Maximal-marginal-relevance re-rank: top-8-by-relevance
+    // candidates per query, then 3 greedy MMR selections at λ=0.7 —
+    // relevance and redundancy both exact integer code dots
+    // (quantizeInt8 space, the kCenterGreedy metric contract), so
+    // ranks, penalties AND scores hash-gate. The oracle unrolls the
+    // identical greedy rounds as CTEs (the q433 discipline).
+    "q442_mmr_rerank" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val coded = Tables.embeddings(s, dir).select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).getField("q").as("cv"))
+        val q = coded.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("cv").as("qv"))
+        val pairs = coded
+          .select(col("vec_id").as("cand_id"), col("cv").as("cvec"))
+          .join(broadcast(q), col("query_id") =!= col("cand_id"))
+          .withColumn("rel", graft.expressions.VectorExpressions.dotI(
+            col("qv"), col("cvec")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("cand_id"))
+        val cands = pairs.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 8)
+          .select(col("query_id"), col("cand_id"), col("rel"),
+            col("cvec"))
+        Similarity.mmrRerank(cands, lambdaPpm = 700000L, k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        def idot(a: String, b: String) =
+          s"list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
+            s"range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+        def round(r: Int): String = {
+          val p = r - 1
+          s"""m$r AS (SELECT c.query_id, c.cand_id,
+             |    max(${idot("c.cvec", "s.cvec")}) AS maxsim
+             |  FROM cand c JOIN sel$p s USING (query_id)
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+             |    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+             |  GROUP BY 1, 2),
+             |w$r AS (SELECT c.query_id, c.cand_id, c.rel, m.maxsim,
+             |    c.rel * 700000 - m.maxsim * 300000 AS score, c.cvec
+             |  FROM cand c JOIN m$r m ON c.query_id = m.query_id
+             |    AND c.cand_id = m.cand_id),
+             |sel$r AS (SELECT * FROM sel$p UNION ALL
+             |  SELECT query_id, CAST($r AS BIGINT) AS rank, cand_id,
+             |    rel, maxsim, score, cvec FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, cand_id) AS rn FROM w$r)
+             |  WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, embedding,
+          |    list_max(list_transform(embedding,
+          |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          |  FROM embeddings),
+          |z AS (SELECT vec_id, list_transform(
+          |    range(1, len(embedding) + 1),
+          |    i -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+          |      ELSE CAST(trunc(CAST(embedding[i] AS DOUBLE) /
+          |        (maxabs / 127.0)) AS BIGINT) END) AS qv
+          |  FROM e),
+          |pr AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          |    ${idot("q.qv", "c.qv")} AS rel, c.qv AS cvec
+          |  FROM z q JOIN z c ON q.vec_id <> c.vec_id
+          |  WHERE q.vec_id % 100 = 0),
+          |cand AS (SELECT query_id, cand_id, rel, cvec FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rel DESC, cand_id) AS rn FROM pr)
+          |  WHERE rn <= 8),
+          |sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS rank, cand_id,
+          |    rel, CAST(0 AS BIGINT) AS maxsim, rel * 700000 AS score,
+          |    cvec
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rel * 700000 DESC, cand_id) AS rn FROM cand)
+          |  WHERE rn = 1),
+          |${round(2)},
+          |${round(3)}
+          |SELECT query_id, rank, cand_id, rel, maxsim, score
+          |FROM sel3 ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // TWO-STAGE serving: PQ-ADC shortlist (12) → exact cosine
+    // re-rank (3), with a per-row recall audit against the true
+    // brute-force top-3 — the compressed-index production pattern
+    // q212 (ADC only) stops short of. Every column hash-gates; the
+    // in_exact_top3 flags ARE the measured recall@3.
+    "q443_two_stage_serve" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val books = Similarity.pqTrain(e, "embedding", PqInit)
+        val qs = e.filter(col("vec_id") % 100 === 0)
+        val ts = Similarity.twoStageAdcServe(qs, e, "vec_id",
+          "embedding", books, shortlistK = 12, k = 3)
+        val ex = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 3)
+          .select(col("query_id").as("xq"), col("neighbor_id").as("xn"))
+        ts.join(ex, ts("query_id") === col("xq") &&
+            ts("neighbor_id") === col("xn"), "left")
+          .select(ts("query_id"), col("rn"), col("neighbor_id"),
+            col("cosine"), col("xn").isNotNull.as("in_exact_top3"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some {
+        val joins = (0 until PqM).map(mi =>
+          s"JOIN r$mi ON r$mi.cell = cw.c$mi").mkString(" ")
+        val adist = (0 until PqM).map(mi =>
+          l2Sql("qq.qv", mi * PqSub, s"r$mi.c")).mkString(" + ")
+        val cwJoins = (1 until PqM).map(mi =>
+          s"JOIN enc$mi e$mi USING (vec_id)").mkString(" ")
+        val cwCols = (0 until PqM).map(mi => s"e$mi.code AS c$mi")
+          .mkString(", ")
+        s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$pqCtes,
+        |cw AS (SELECT e0.vec_id, $cwCols
+        |  FROM enc0 e0 $cwJoins),
+        |qq AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |       WHERE vec_id % 100 = 0),
+        |s AS (SELECT qq.query_id, cw.vec_id AS neighbor_id,
+        |    $adist AS adist
+        |  FROM cw $joins CROSS JOIN qq
+        |  WHERE qq.query_id <> cw.vec_id),
+        |sl AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY adist ASC, neighbor_id)
+        |      AS rn FROM s) WHERE rn <= 12),
+        |rr AS (SELECT sl.query_id, sl.neighbor_id,
+        |    ${cosSql("qq.qv", "e2.v")} AS cosine
+        |  FROM sl JOIN qq ON sl.query_id = qq.query_id
+        |    JOIN e e2 ON sl.neighbor_id = e2.vec_id),
+        |t AS (SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+        |  FROM rr),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT qq.query_id, e2.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qq.query_id
+        |        ORDER BY ${cosSql("qq.qv", "e2.v")} DESC, e2.vec_id)
+        |        AS rn
+        |    FROM qq CROSS JOIN e e2 WHERE qq.query_id <> e2.vec_id)
+        |  WHERE rn <= 3)
+        |SELECT t.query_id, t.rn, t.neighbor_id, t.cosine,
+        |  (x.neighbor_id IS NOT NULL) AS in_exact_top3
+        |FROM t LEFT JOIN exact x ON t.query_id = x.query_id
+        |  AND t.neighbor_id = x.neighbor_id
+        |WHERE t.rn <= 3
+        |ORDER BY t.query_id, t.rn""".stripMargin
+      }),
+
     // ONLINE vector serving: query vectors arrive as a STREAM and
     // probe the static IVF index per micro-batch — the q294 serve
     // operator verbatim inside foreachBatch (stream/batch serving

@@ -1031,6 +1031,127 @@ object SinkQueries extends QueryPack {
         |  FROM documents GROUP BY 1)
         |SELECT source, cnt AS cnt_inc, chars AS chars_inc,
         |  cnt AS cnt_full, chars AS chars_full
-        |FROM r ORDER BY source""".stripMargin))
+        |FROM r ORDER BY source""".stripMargin)),
+
+    // Incremental LSH BAND-INDEX maintenance over the TxLog — the
+    // q437 discipline applied to the MinHash dedup family: the
+    // (band, sig, doc_id) index is the durable structure a 100 TB
+    // dedup pipeline keeps next to the data (incrementalNearDup's
+    // scaladoc names it), and the nightly job is delete departed
+    // docs (deletion vectors) + band ONLY the new batch + append —
+    // never re-signing the corpus. The gate rolls the maintained
+    // index up per bucket next to a from-scratch build over the live
+    // set; the oracle replays the full minhash+banding statement
+    // once and projects it twice, so any maintenance drift (masked
+    // row leaking back, delta band lost) hash-fails.
+    "q444_incremental_band_index" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        import graft.operators.Dedup
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        def bandsOf(d: org.apache.spark.sql.DataFrame) =
+          Dedup.lshBuckets(
+            Dedup.minhashSignaturesRow(d, "doc_id", "text", n = 1, k = 8),
+            "doc_id", bands = 4, rowsPerBand = 2)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bandivm")
+        val t = s"$tmp/index"
+        TxLog.commit(bandsOf(docs.filter(col("doc_id") % 3 =!= 0)), t,
+          "overwrite", "doc_id")
+        TxLog.deleteWhere(s, t, col("doc_id") % 7 === 0)
+        TxLog.commit(bandsOf(docs.filter(col("doc_id") % 3 === 0)), t,
+          "append", "doc_id")
+        val inc = TxLog.read(s, t)
+          .groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("n_docs_inc"),
+            min(col("doc_id")).as("min_doc_inc"))
+        val live = docs.filter(
+          (col("doc_id") % 3 =!= 0 && col("doc_id") % 7 =!= 0) ||
+            col("doc_id") % 3 === 0)
+        val full = bandsOf(live)
+          .groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("n_docs_full"),
+            min(col("doc_id")).as("min_doc_full"))
+        materializeAndDelete(
+          inc.join(full, Seq("band", "sig"), "full_outer"), tmp)
+          .orderBy(col("band"), col("sig"))
+      },
+      {
+        import graft.operators.Dedup
+        val mins = Dedup.perms(8).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"min((h * $a + $b) % ${Dedup.P}) AS m$i"
+          }.mkString(",\n|    ")
+        val bandRows = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, md5(CAST(m${2 * b} AS VARCHAR) " +
+            s"|| ',' || CAST(m${2 * b + 1} AS VARCHAR)) AS sig FROM g"
+        }.mkString("\n|  UNION ALL ")
+        Some(s"""WITH toks AS (
+          |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+          |  FROM documents
+          |  WHERE (doc_id % 3 <> 0 AND doc_id % 7 <> 0) OR doc_id % 3 = 0),
+          |sh AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(t) < 1 THEN [array_to_string(t, ' ')]
+          |    ELSE t END) AS s
+          |  FROM toks),
+          |h AS (SELECT DISTINCT doc_id,
+          |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % ${Dedup.P} AS h
+          |  FROM sh),
+          |g AS (SELECT doc_id,
+          |    $mins
+          |  FROM h GROUP BY doc_id),
+          |b AS (
+          |  $bandRows),
+          |agg AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS n,
+          |    min(doc_id) AS mn FROM b GROUP BY 1, 2)
+          |SELECT band, sig, n AS n_docs_inc, mn AS min_doc_inc,
+          |  n AS n_docs_full, mn AS min_doc_full
+          |FROM agg ORDER BY band, sig""".stripMargin)
+      }),
+
+    // Backfill PLANNER readout: five contiguous-key commits, then
+    // changedKeyRanges over (v2, v4] — the per-version key ranges a
+    // nightly consumer feeds to prunedRead before any data IO. The
+    // gate proves the log-derived ranges are TIGHT: rows_in_range
+    // (rows of the final table inside [mn, mx]) equals the version's
+    // own row count, because the commits are key-disjoint and
+    // contiguous. Oracle replays the chunking arithmetic.
+    "q445_backfill_planner" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bfp")
+        val t = s"$tmp/tbl"
+        (0 to 4).foreach { c =>
+          TxLog.commit(
+            docs.filter(graft.functions.FixedPoint.idiv(
+              col("doc_id") * 5L, lit(maxId + 1L)) === c.toLong),
+            t, if (c == 0) "overwrite" else "append", "doc_id")
+        }
+        val ranges = TxLog.changedKeyRanges(s, t, sinceVersion = 2L,
+          untilVersion = 4L)
+        val inRange = TxLog.read(s, t).select(col("doc_id"))
+          .join(broadcast(ranges),
+            col("doc_id").between(col("mn"), col("mx")))
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("rows_in_range"))
+        materializeAndDelete(
+          ranges.join(inRange, Seq("version"))
+            .select(col("version"), col("rows").as("n_rows"),
+              col("mn"), col("mx"), col("rows_in_range")), tmp)
+          .orderBy(col("version"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS top FROM documents),
+        |c AS (SELECT doc_id, (doc_id * 5) // (top + 1) AS chunk
+        |  FROM documents, m),
+        |g AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(doc_id) AS mn, max(doc_id) AS mx
+        |  FROM c GROUP BY 1)
+        |SELECT chunk AS version, n_rows, mn, mx,
+        |  n_rows AS rows_in_range
+        |FROM g WHERE chunk IN (3, 4) ORDER BY version""".stripMargin))
   )
 }

@@ -299,6 +299,48 @@ object StreamingQueries extends QueryPack {
         |WHERE dot * dot * 1000000 // (na.norm2 * nb.norm2) >= 640000
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // STREAMING A-ES weighted reservoir: q439's exact fixed-point
+    // key computed as a projection ON THE STREAM (one aesPriority
+    // definition for both modes), per-source k-smallest state,
+    // single-file source ⇒ one snapshot ⇒ the oracle is q439's
+    // statement verbatim. Order-freeness across batches (any split,
+    // same reservoir) is pinned in StreamsSpec.
+    "q440_stream_weighted_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val items = documentsStream(s, dir)
+          .filter(col("n_chars") > 0)
+          .select(col("source").as("grp"), col("doc_id").as("id"),
+            col("n_chars").cast("long").as("weight"),
+            graft.operators.Corpus.aesPriority(col("doc_id"),
+              col("n_chars").cast("long"), "aes1").as("priority"))
+          .as[Streams.WeightedItem]
+        Streams.runToTable(
+            Streams.weightedSampleStream(items, k = 5).toDF(),
+            OutputMode.Append())
+          .select(col("grp").as("source"), col("rn"),
+            col("id").as("doc_id"), col("weight"), col("priority_e9"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some(s"""WITH RECURSIVE h AS (SELECT source, doc_id,
+        |    CAST(n_chars AS BIGINT) AS w,
+        |    CAST(('0x' || substr(md5(doc_id || ':aes1'), 1, 15)) AS BIGINT)
+        |      % 4294967296 AS h32
+        |  FROM documents WHERE n_chars > 0),
+        |src AS (SELECT doc_id AS key, CAST(4294967296 AS BIGINT) AS num,
+        |    h32 + 1 AS den FROM h),
+        |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+        |p AS (SELECT h.source, h.doc_id, h.w,
+        |    (l.ln_ppm * 1000000000) // h.w AS priority_e9
+        |  FROM h JOIN lnppm l ON h.doc_id = l.key),
+        |r AS (SELECT source, doc_id, w, priority_e9,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY priority_e9, doc_id) AS BIGINT) AS rn
+        |  FROM p)
+        |SELECT source, rn, doc_id, w AS weight, priority_e9
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin)),
+
     // TTL re-admission over a visit stream — the streaming recrawl
     // gate: first visit admits, then one visit per elapsed 7-day
     // window (tumbling from first sight). dropDuplicates can only

@@ -421,6 +421,30 @@ object TxLog {
     else spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
+  /** Backfill / reprocess PLANNER over the log: for each append
+    * version in (since, until], the key range its files cover —
+    * (version, rows, mn, mx) straight from the per-file stats, no
+    * data file opened. This is what a nightly incremental consumer
+    * reads FIRST: the ranges bound the downstream work (feed them to
+    * [[prunedRead]] / a partition-overwrite), and Σrows sizes the
+    * batch before a single byte of data IO. Same append-only
+    * contract as [[incrementalRead]]: an overwrite/delete in range
+    * is rejected — its delta is not expressible as key ranges of
+    * added rows.
+    */
+  def changedKeyRanges(spark: SparkSession, dir: String,
+      sinceVersion: Long, untilVersion: Long): DataFrame = {
+    val lg = log(spark, dir)
+      .filter(col("version") > sinceVersion &&
+        col("version") <= untilVersion)
+    require(lg.filter(col("mode").isin("overwrite", "delete")).isEmpty,
+      s"changedKeyRanges range ($sinceVersion, $untilVersion] contains " +
+        "an overwrite or delete — not expressible as added-key ranges")
+    lg.groupBy(col("version"))
+      .agg(sum(col("rows")).as("rows"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+  }
+
   /** Range read with LOG-LEVEL file pruning: only files whose
     * [mn, mx] overlaps [lo, hi] are opened at all; the residual
     * filter still applies row-level inside survivors. Exactly the

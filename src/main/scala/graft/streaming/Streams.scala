@@ -367,6 +367,47 @@ object Streams {
       }
   }
 
+  final case class WeightedItem(grp: String, id: Long, weight: Long,
+    priority: Long)
+  final case class SampleRow(grp: String, rn: Long, id: Long,
+    weight: Long, priority_e9: Long)
+
+  /** Streaming Efraimidis–Spirakis weighted reservoir — the stateful
+    * twin of [[graft.operators.Corpus.weightedSampleAes]]: per-group
+    * state holds the k ITEMS WITH SMALLEST A-ES PRIORITY seen so far
+    * (priorities are computed upstream as a projection with
+    * [[graft.operators.Corpus.aesPriority]] — one key definition for
+    * both modes), and each micro-batch emits the group's
+    * post-update reservoir as ranked rows. Because the priority is a
+    * pure function of (id, salt), merging a batch into the reservoir
+    * is a plain sorted-take — the classic A-ES stream semantics,
+    * deterministic and ORDER-FREE: any arrival order, any batch
+    * split, same final reservoir (the property the multi-batch spec
+    * pins). State is k rows per group.
+    *
+    * On the single-batch gate run the one emitted snapshot IS the
+    * batch draw, so q440 gates against q439's oracle verbatim; on a
+    * multi-batch run each batch appends its snapshot (append-mode
+    * history — consumers read the latest per group).
+    */
+  def weightedSampleStream(items: Dataset[WeightedItem],
+      k: Int): Dataset[SampleRow] = {
+    import items.sparkSession.implicits._
+    items.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[WeightedItem],
+            state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val cur = state.getOption.getOrElse(Seq.empty)
+          val merged = (cur ++ rows.map(r => (r.priority, r.id, r.weight)))
+            .sortBy(t => (t._1, t._2)).take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((p, id, w), i) =>
+            SampleRow(g, i + 1L, id, w, p)
+          }
+      }
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Drive a streaming frame over its BOUNDED source to completion

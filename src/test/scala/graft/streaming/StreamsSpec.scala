@@ -381,4 +381,36 @@ class StreamsSpec extends SparkSpec {
       assert(rows() === afterDeath)
     } finally q.stop()
   }
+
+  test("weightedSampleStream: reservoir is order-free across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // priorities are pure functions of id, so ANY batch split must
+    // land on the same final reservoir: k=2 smallest priorities
+    val all = Seq( // (grp, id, weight, priority)
+      Streams.WeightedItem("g", 1L, 10L, 500L),
+      Streams.WeightedItem("g", 2L, 10L, 100L),
+      Streams.WeightedItem("g", 3L, 10L, 300L),
+      Streams.WeightedItem("g", 4L, 10L, 200L))
+    def run(batches: Seq[Seq[Streams.WeightedItem]], name: String) = {
+      val input = MemoryStream[Streams.WeightedItem]
+      val q = Streams.weightedSampleStream(input.toDS(), k = 2).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // latest snapshot = the final batch's emission (memory sink
+        // appends history; the last batch emits exactly min(k, seen)
+        // = 2 ranked rows here)
+        spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getLong(2)))
+          .takeRight(2).toSeq
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "ws_one")
+    val split = run(Seq(all.take(1), all.slice(1, 3), all.drop(3)), "ws_split")
+    val expected = Seq((1L, 2L), (2L, 4L)) // ids 2 (pri 100), 4 (pri 200)
+    assert(oneShot === expected)
+    assert(split === expected)
+  }
 }
