@@ -589,6 +589,34 @@ object Corpus {
         col(weightCol).cast("long").as("weight"), col("priority_e9"))
   }
 
+  /** 2-D PARETO FRONTIER (skyline) per group, both objectives
+    * maximized — multi-objective corpus selection without collapsing
+    * to a single weighted score: keep a row iff NO other row is ≥ in
+    * both objectives and ≠ as a pair (equal pairs are mutually
+    * non-dominating — both kept; strict Pareto dominance). The
+    * length-vs-diversity, quality-vs-freshness trade surfaces as the
+    * frontier instead of an arbitrary λ.
+    *
+    * One sort, two windows — never a pair join: sorted x-descending,
+    * a row survives iff its y strictly exceeds every y at strictly
+    * greater x (RANGE frame `UNBOUNDED PRECEDING .. 1 PRECEDING`,
+    * exact for integral x) AND its y is the max within its own x
+    * (same-x dominance). Per-group sort is the only shuffle; frames
+    * carry one running max — O(1) state per row.
+    */
+  def paretoFrontier(df: DataFrame, grpCol: String, xCol: String,
+      yCol: String, idCol: String): DataFrame = {
+    requireIntegralKey(df, xCol, "paretoFrontier")
+    val wx = Window.partitionBy(col(grpCol)).orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val weq = Window.partitionBy(col(grpCol), col(xCol))
+    df.withColumn("__m1", max(col(yCol)).over(wx))
+      .withColumn("__m2", max(col(yCol)).over(weq))
+      .filter((col("__m1").isNull || col(yCol) > col("__m1")) &&
+        col(yCol) === col("__m2"))
+      .select(col(grpCol), col(idCol), col(xCol), col(yCol))
+  }
+
   /** Sequence-packing efficiency audit: with one document per padded
     * sequence of `seqLen` tokens, each doc costs ceil(n/seqLen)·seqLen
     * slots; the per-group report totals real tokens vs padded slots

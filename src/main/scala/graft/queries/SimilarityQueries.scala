@@ -1418,6 +1418,55 @@ object SimilarityQueries extends QueryPack {
         |ORDER BY t.query_id, t.rn""".stripMargin
       }),
 
+    // ANN-index HEALTH MONITOR: cell-occupancy drift between the
+    // indexed corpus and the incoming delta — the signal that decides
+    // when q437's O(delta) maintenance stops being enough and the
+    // quantizer needs retraining (centroids drifted off the data).
+    // Composition: ivfAssign cell counts → the q309 integer L1/TV
+    // drift audit (shareDriftFromCounts — the streaming-shared
+    // stage), plus the reindex trigger flag. All-integer, hash-gated.
+    "q447_centroid_drift" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+        def cells(d: org.apache.spark.sql.DataFrame) = d
+          .select(Similarity.ivfAssign(col("embedding"), Centroids)
+            .as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        graft.operators.QualityFilters.shareDriftFromCounts(
+            cells(e.filter(col("vec_id") % 10 < 8)),
+            cells(e.filter(col("vec_id") % 10 >= 8)))
+          .withColumn("reindex", col("l1_total_ppm") >= 200000L)
+          .orderBy(col("bin"))
+      },
+      {
+        val cellSql = cellSqlFor("v")
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |b AS (SELECT vec_id, $cellSql AS bin FROM e),
+          |ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b
+          |  WHERE vec_id % 10 < 8 GROUP BY 1),
+          |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b
+          |  WHERE vec_id % 10 >= 8 GROUP BY 1),
+          |sa AS (SELECT bin, c * 1000000 //
+          |    CAST((SELECT sum(c) FROM ca) AS BIGINT) AS share_a_ppm
+          |  FROM ca),
+          |sb AS (SELECT bin, c * 1000000 //
+          |    CAST((SELECT sum(c) FROM cb) AS BIGINT) AS share_b_ppm
+          |  FROM cb),
+          |j AS (SELECT coalesce(sa.bin, sb.bin) AS bin,
+          |    coalesce(share_a_ppm, 0) AS share_a_ppm,
+          |    coalesce(share_b_ppm, 0) AS share_b_ppm
+          |  FROM sa FULL OUTER JOIN sb ON sa.bin = sb.bin),
+          |t AS (SELECT bin, share_a_ppm, share_b_ppm,
+          |    abs(share_a_ppm - share_b_ppm) AS abs_diff_ppm,
+          |    CAST(sum(abs(share_a_ppm - share_b_ppm)) OVER ()
+          |      AS BIGINT) AS l1_total_ppm
+          |  FROM j)
+          |SELECT bin, share_a_ppm, share_b_ppm, abs_diff_ppm,
+          |  l1_total_ppm, l1_total_ppm >= 200000 AS reindex
+          |FROM t ORDER BY bin""".stripMargin)
+      }),
+
     // ONLINE vector serving: query vectors arrive as a STREAM and
     // probe the static IVF index per micro-batch — the q294 serve
     // operator verbatim inside foreachBatch (stream/batch serving

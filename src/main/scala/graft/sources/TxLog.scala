@@ -421,6 +421,41 @@ object TxLog {
     else spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
+  /** VACUUM — the listing-based janitor [[commitIf]]'s scaladoc
+    * defers to: delete data files on disk that NO log entry (any
+    * version — time travel must keep working) references. Orphans
+    * come from lost optimistic commits (the loser's writer-unique
+    * directory) and from crashes between data write and log publish;
+    * they are invisible to readers but hold space forever. Returns
+    * the orphan file count removed. Deletion-vector files and the
+    * log itself are never touched; referenced files of OLD versions
+    * are kept (retention policy = the caller truncating the log is a
+    * separate decision, as in production lakehouses).
+    *
+    * Scale shape: one directory walk + one driver-side anti-set
+    * against the log's path column (file-count-bounded, never
+    * data-bounded).
+    */
+  def vacuum(spark: SparkSession, dir: String): Long = {
+    // canonical paths on BOTH sides: a naive string compare against
+    // the resolver's concatenation would mismatch on normalization
+    // (trailing slash, symlinks) and delete LIVE files
+    val referenced = log(spark, dir).select(col("path")).collect()
+      .map(r => new java.io.File(resolve(dir, r.getString(0)))
+        .getCanonicalPath).toSet
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val orphans = walk(root).filter { f =>
+      f.getName.endsWith(".parquet") &&
+        !f.getCanonicalPath.contains("/_log/") &&
+        !referenced.contains(f.getCanonicalPath)
+    }
+    orphans.foreach(_.delete())
+    orphans.size.toLong
+  }
+
   /** Backfill / reprocess PLANNER over the log: for each append
     * version in (since, until], the key range its files cover —
     * (version, rows, mn, mx) straight from the per-file stats, no
