@@ -127,12 +127,17 @@ object Bench {
     Thread.sleep(4000)
     val recheckPairs = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (name, med) =>
-        val re = (0 until 2).map { _ =>
+        val runs = (0 until 2).map { _ =>
           resetState()
           val t0 = System.nanoTime()
           try { runOne(selected(name)); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
-        }.min
+        }
+        // min over SUCCESSFUL reruns only — the -1.0 failure sentinel
+        // would otherwise win min() and mask the good measurement;
+        // -1.0 is reported only when both reruns fail.
+        val ok = runs.filter(_ >= 0)
+        val re = if (ok.nonEmpty) ok.min else -1.0
         (name, med, re)
       }
     val recheck = recheckPairs

@@ -1175,10 +1175,24 @@ object SinkQueries extends QueryPack {
           "append", "doc_id")
         // the lost optimistic commit: data written, log never
         // published — invisible to readers, reclaimable by vacuum
+        // ONCE it has aged past the retention grace window (the
+        // Delta VACUUM pattern): age its files 8 days back so the
+        // default 7-day window classifies it as a true orphan.
         docs.filter(col("doc_id") % 5 === 0).repartition(1)
           .write.parquet(s"$t/data-v1-lostwriter")
+        val aged = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data-v1-lostwriter"))
+          .forEach(p => { p.toFile.setLastModified(aged); () })
+        // an IN-FLIGHT writer: data written seconds ago, log publish
+        // pending — the retention window must SKIP it, or a racing
+        // vacuum corrupts the about-to-succeed commit.
+        docs.filter(col("doc_id") % 7 === 0).repartition(1)
+          .write.parquet(s"$t/data-v9-inflight")
         val removed = TxLog.vacuum(s, t)
         val rerun = TxLog.vacuum(s, t)
+        val inflightSurvived = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(s"$t/data-v9-inflight"))
+          .filter(p => p.toString.endsWith(".parquet")).count()
         val latest = TxLog.read(s, t)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
@@ -1188,7 +1202,8 @@ object SinkQueries extends QueryPack {
         materializeAndDelete(
           latest.join(v0, Seq("source"), "full_outer")
             .withColumn("orphans_removed", lit(removed))
-            .withColumn("orphans_rerun", lit(rerun)), tmp)
+            .withColumn("orphans_rerun", lit(rerun))
+            .withColumn("inflight_survived", lit(inflightSurvived)), tmp)
           .orderBy(col("source"))
       },
       Some("""WITH r AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
@@ -1198,7 +1213,8 @@ object SinkQueries extends QueryPack {
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1)
         |SELECT r.source, cnt, chars, cnt_v0,
         |  CAST(1 AS BIGINT) AS orphans_removed,
-        |  CAST(0 AS BIGINT) AS orphans_rerun
+        |  CAST(0 AS BIGINT) AS orphans_rerun,
+        |  CAST(1 AS BIGINT) AS inflight_survived
         |FROM r FULL OUTER JOIN v0 ON r.source = v0.source
         |ORDER BY r.source""".stripMargin))
   )

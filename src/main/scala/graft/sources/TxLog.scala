@@ -432,11 +432,32 @@ object TxLog {
     * are kept (retention policy = the caller truncating the log is a
     * separate decision, as in production lakehouses).
     *
+    * CONCURRENT-WRITER SAFETY (the Delta Lake VACUUM pattern): an
+    * in-flight [[commitIf]] has a window where its data files exist
+    * but its log entry is not yet published — indistinguishable from
+    * an orphan by reference-set alone. The `retention` grace window
+    * closes that race: a file whose modification time is within the
+    * window is presumed to belong to an in-flight writer and is
+    * skipped; it becomes reclaimable only once it has sat
+    * unreferenced for longer than any plausible commit takes. The
+    * default (7 days) matches the production-lakehouse convention;
+    * pass `Duration.ZERO` only when no concurrent writer can exist
+    * (single-process tests, decommissioned tables).
+    *
     * Scale shape: one directory walk + one driver-side anti-set
     * against the log's path column (file-count-bounded, never
     * data-bounded).
     */
-  def vacuum(spark: SparkSession, dir: String): Long = {
+  def vacuum(spark: SparkSession, dir: String): Long =
+    vacuum(spark, dir, DefaultVacuumRetention)
+
+  /** Default orphan-sweep grace window — see [[vacuum]]. */
+  val DefaultVacuumRetention: java.time.Duration =
+    java.time.Duration.ofDays(7)
+
+  def vacuum(spark: SparkSession, dir: String,
+      retention: java.time.Duration): Long = {
+    val cutoff = System.currentTimeMillis() - retention.toMillis
     // canonical paths on BOTH sides: a naive string compare against
     // the resolver's concatenation would mismatch on normalization
     // (trailing slash, symlinks) and delete LIVE files
@@ -450,7 +471,8 @@ object TxLog {
     val orphans = walk(root).filter { f =>
       f.getName.endsWith(".parquet") &&
         !f.getCanonicalPath.contains("/_log/") &&
-        !referenced.contains(f.getCanonicalPath)
+        !referenced.contains(f.getCanonicalPath) &&
+        f.lastModified() <= cutoff
     }
     orphans.foreach(_.delete())
     orphans.size.toLong

@@ -120,6 +120,32 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("orphan vacuum honours the retention grace window") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit(Seq(1L, 2L).toDF("k"), t, "overwrite", "k")
+      // two unreferenced writer directories: one aged past the
+      // window (a genuinely lost commit), one written just now (an
+      // in-flight commitIf that has not yet published its log entry)
+      Seq(7L).toDF("k").repartition(1).write.parquet(s"$t/data-lost")
+      Seq(8L).toDF("k").repartition(1).write.parquet(s"$t/data-inflight")
+      val aged = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data-lost"))
+        .forEach(p => { p.toFile.setLastModified(aged); () })
+      // default 7-day retention: removes ONLY the aged orphan
+      assert(TxLog.vacuum(spark, t) === 1L)
+      assert(java.nio.file.Files
+        .walk(java.nio.file.Paths.get(s"$t/data-inflight"))
+        .filter(p => p.toString.endsWith(".parquet")).count() === 1L)
+      // zero retention (explicit, no-concurrent-writer contract):
+      // the in-flight file becomes reclaimable
+      assert(TxLog.vacuum(spark, t, java.time.Duration.ZERO) === 1L)
+      // referenced files always survive
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(1L, 2L))
+    }
+  }
+
   test("vacuum removes only files below the overwrite watermark") {
     import spark.implicits._
     withTable { t =>
