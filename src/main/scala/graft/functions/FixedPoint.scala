@@ -102,20 +102,28 @@ object FixedPoint {
     * produces CTEs ending in `lnppm(key, ln_ppm)`. Inline with
     * `s"WITH …, ${FixedPoint.lnPpmSqlCtes("src")}, …"`.
     */
-  def lnPpmSqlCtes(src: String): String =
-    s"""fx0 AS (SELECT key, (num * 1073741824) // den AS m,
+  def lnPpmSqlCtes(src: String): String = lnPpmSqlCtes(src, "")
+
+  /** [[lnPpmSqlCtes]] with a CTE-name prefix, so one oracle can
+    * replay the kernel at several pipeline stages (each stage's input
+    * depending on the previous stage's output — e.g. EM rounds of the
+    * unigram-LM trainer) without CTE name collisions: produces
+    * `${p}fx0 … ${p}lnppm(key, ln_ppm)`.
+    */
+  def lnPpmSqlCtes(src: String, p: String): String =
+    s"""${p}fx0 AS (SELECT key, (num * 1073741824) // den AS m,
        |    CAST(0 AS BIGINT) AS e, 0 AS i FROM $src),
-       |fxn AS (
-       |  SELECT key, m, e, i FROM fx0
+       |${p}fxn AS (
+       |  SELECT key, m, e, i FROM ${p}fx0
        |  UNION ALL
        |  SELECT key,
        |    CASE WHEN m >= 2147483648 THEN m // 2 ELSE m END,
        |    CASE WHEN m >= 2147483648 THEN e + 1 ELSE e END, i + 1
-       |  FROM fxn WHERE i < 34),
-       |fxf0 AS (SELECT key, m, e, CAST(0 AS BIGINT) AS f, 0 AS j
-       |  FROM fxn WHERE i = 34),
-       |fxf AS (
-       |  SELECT key, m, e, f, j FROM fxf0
+       |  FROM ${p}fxn WHERE i < 34),
+       |${p}fxf0 AS (SELECT key, m, e, CAST(0 AS BIGINT) AS f, 0 AS j
+       |  FROM ${p}fxn WHERE i = 34),
+       |${p}fxf AS (
+       |  SELECT key, m, e, f, j FROM ${p}fxf0
        |  UNION ALL
        |  SELECT key,
        |    CASE WHEN (m * m) // 1073741824 >= 2147483648
@@ -125,8 +133,8 @@ object FixedPoint {
        |    CASE WHEN (m * m) // 1073741824 >= 2147483648
        |      THEN f * 2 + 1 ELSE f * 2 END,
        |    j + 1
-       |  FROM fxf WHERE j < 20),
-       |lnppm AS (SELECT key,
+       |  FROM ${p}fxf WHERE j < 20),
+       |${p}lnppm AS (SELECT key,
        |    ((e * 1048576 + f) * 693147) // 1048576 AS ln_ppm
-       |  FROM fxf WHERE j = 20)""".stripMargin
+       |  FROM ${p}fxf WHERE j = 20)""".stripMargin
 }

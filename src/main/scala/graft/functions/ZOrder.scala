@@ -25,4 +25,28 @@ object ZOrder {
         shiftleft(shiftright(y.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
     }.reduce(_ + _)
   }
+
+  /** [[zKey]] over RANGE-NORMALIZED axes: each input is first mapped
+    * to its `bits`-bit range id, `(v - lo) · 2^bits / (hi - lo + 1)`,
+    * so both axes occupy the full 0..2^bits−1 domain before
+    * interleaving. Raw interleaving of axes with unequal or offset
+    * ranges wastes most of the z-domain and makes equal-width z
+    * buckets wildly unequal in MASS (measured on the q453 fixture:
+    * the "clustered" layout scanned MORE rows than the linear one);
+    * per-column range ids are exactly what production OPTIMIZE
+    * ZORDER implementations interleave. Everything stays integer —
+    * one subtract, one shift, one integral divide per axis — so the
+    * key is engine-replayable. Caller supplies the bounds (one agg
+    * readout); lo ≤ v ≤ hi is the contract.
+    */
+  def zKeyNormalized(x: Column, xLo: Long, xHi: Long,
+      y: Column, yLo: Long, yHi: Long, bits: Int): Column = {
+    require(bits > 0 && bits <= 20, "bits ≤ 20 keeps (range << bits) in i64")
+    val s = 1L << bits
+    val xn = graft.functions.FixedPoint.idiv(
+      (x.cast("long") - xLo) * s, lit(xHi - xLo + 1))
+    val yn = graft.functions.FixedPoint.idiv(
+      (y.cast("long") - yLo) * s, lit(yHi - yLo + 1))
+    zKey(xn, yn, bits)
+  }
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VectorExpressions.dotI
+
+/** Graph-based approximate nearest neighbor — the neighbor-graph
+  * family (NN-descent build + beam-search serve; Dong et al. 2011,
+  * WWW '11, and the HNSW/DiskANN serving idea reduced to its
+  * flat-graph core) completing the ANN lifecycle next to IVF
+  * (q57/q121), LSH (q32/q122), PQ/ADC (q211/q212) and binary-Hamming
+  * (q209/q210) indexes.
+  *
+  * Everything is exact-integer over int8 codes ([[Similarity
+  * .quantizeInt8]]): the metric is the native [[dotI]] code dot and
+  * every rank breaks ties (idot desc, id asc) — a total order, so
+  * builds AND serves hash-gate cross-engine (the q442 determinism
+  * contract).
+  *
+  * 100 TB shape: the build never goes all-pairs — the initial graph
+  * is k salted HASH RINGS (each ring a deterministic random cycle
+  * over the corpus: bucket by salted hash, rank inside the bucket,
+  * edge to the cyclic successor), and each NN-descent round's
+  * candidate set is co-neighbor pairs of the UNDIRECTED current
+  * graph: ≤ n·C(2k,2) rows per round, scored by one code join and
+  * cut by one per-node top-k window. Ring windows partition by
+  * bucket — size `buckets` to keep a bucket inside a task (n/buckets
+  * rows), the same lever as shuffle partitioning. Serving expands a
+  * per-query BEAM along graph edges: state is queries×beam rows,
+  * each step one edge join + one code join + one rank window —
+  * corpus-size-independent once the graph is built.
+  */
+object GraphAnn {
+
+  /** 60-bit salted id hash — pure function of (id, salt), the
+    * [[Corpus.aesPriority]] determinism pattern: both engines hash
+    * the identical string and read the same 15 hex chars.
+    */
+  def saltedHash60(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+
+  /** k deterministic ring edges per node: for each salt j, bucket by
+    * hash_j mod `buckets`, rank inside the bucket by (hash_j, id),
+    * and point every node at its cyclic successor. k independent
+    * random cycles make the union graph connected across buckets in
+    * expectation — the random init NN-descent needs, with zero
+    * RNG state (replayable in SQL verbatim).
+    */
+  def ringInitEdges(corpus: DataFrame, idCol: String, k: Int,
+      buckets: Int): DataFrame = {
+    require(k >= 1 && buckets >= 1)
+    val frames = (1 to k).map { j =>
+      val h = saltedHash60(col(idCol), s":ring$j")
+      val base = corpus.select(col(idCol).as("src"), h.as("__h"),
+        (h % buckets).as("__b"))
+      val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("src"))
+      val ranked = base
+        .withColumn("__r", row_number().over(w))
+        .withColumn("__c",
+          count(lit(1)).over(Window.partitionBy(col("__b"))))
+      val l = ranked.select(col("src"), col("__b").as("lb"),
+        col("__r").as("lr"), col("__c").as("lc"))
+      val r = ranked.select(col("src").as("dst"), col("__b").as("rb"),
+        col("__r").as("rr"))
+      l.join(r, col("lb") === col("rb") &&
+          col("rr") === col("lr") % col("lc") + 1)
+        .select(col("src"), col("dst"))
+    }
+    frames.reduce(_ unionByName _)
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Score candidate edges by code dot and keep the k best per
+    * source — (idot desc, dst asc), total.
+    */
+  private def scoreTopK(cand: DataFrame, codes: DataFrame,
+      idCol: String, codeCol: String, k: Int): DataFrame = {
+    val sc = codes.select(col(idCol).as("src"), col(codeCol).as("__sc"))
+    val dc = codes.select(col(idCol).as("dst"), col(codeCol).as("__dc"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("idot").desc, col("dst"))
+    cand.join(sc, "src").join(dc, "dst")
+      .withColumn("idot", dotI(col("__sc"), col("__dc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn").cast("long").as("rn"), col("dst"),
+        col("idot"))
+  }
+
+  /** NN-descent: `rounds` rounds of co-neighbor refinement over the
+    * ring init. Round = undirected current graph → co-neighbor pairs
+    * (each node pair sharing a neighbor, both directions) ∪ current
+    * edges → score → top-k per node. Returns the ranked k-NN edge
+    * list (src, rn, dst, idot). Edge frames are localCheckpointed
+    * per round (bounded: n·k rows) so round r's plan never re-derives
+    * rounds 1..r−1.
+    */
+  def nnDescent(codes: DataFrame, idCol: String, codeCol: String,
+      k: Int, rounds: Int, buckets: Int): DataFrame = {
+    require(rounds >= 0)
+    var edges = ringInitEdges(codes, idCol, k, buckets)
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val und = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val l = und.select(col("src").as("__p"), col("dst").as("u"))
+      val r = und.select(col("src").as("__p"), col("dst").as("w"))
+      val pairs = l.join(r, "__p").filter(col("u") < col("w"))
+        .select(col("u"), col("w"))
+      val cand = edges.select(col("src"), col("dst"))
+        .union(pairs.select(col("u").as("src"), col("w").as("dst")))
+        .union(pairs.select(col("w").as("src"), col("u").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      edges = scoreTopK(cand, codes, idCol, codeCol, k)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+    }
+    scoreTopK(edges, codes, idCol, codeCol, k)
+  }
+
+  /** Incremental node insertion (the DiskANN/HNSW insert pattern,
+    * flat-graph form): each NEW node finds its k out-edges by a beam
+    * search over the EXISTING graph (never a scan of the corpus),
+    * its reverse edges become candidates for the existing nodes it
+    * points at, and one top-k window re-cuts every touched adjacency
+    * list. O(delta · beam · steps) search work + one (n·k + delta·k)-
+    * bounded re-rank — the graph analog of q437's O(delta) IVF
+    * maintenance; the corpus is never re-signed.
+    */
+  def insertNodes(graph: DataFrame, codes: DataFrame,
+      newCodes: DataFrame, idCol: String, codeCol: String, k: Int,
+      entryK: Int, beam: Int, steps: Int): DataFrame = {
+    val attached = beamServe(newCodes, graph, codes, idCol, codeCol,
+        entryK, beam, steps, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val cand = graph.select(col("src"), col("dst"))
+      .union(attached)
+      .union(attached.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // materialize the updated index ((n + delta)·k rows): a serve
+    // plan referencing it per beam step must not re-run the insert
+    scoreTopK(cand, codes.unionByName(newCodes), idCol, codeCol, k)
+      .localCheckpoint(true)
+  }
+
+  /** Beam-search serve over a built neighbor graph: start every query
+    * at the `entryK` fixed entry nodes (smallest salted hash — a
+    * corpus-independent, deterministic pick read via one top-k), then
+    * `steps` rounds of expand-along-edges → score → keep-beam. The
+    * query's own row is excluded only at the END (it may legitimately
+    * anchor the walk). Returns (query_id, rn, neighbor_id, idot),
+    * rn ≤ topK.
+    */
+  def beamServe(queries: DataFrame, graph: DataFrame, codes: DataFrame,
+      idCol: String, codeCol: String, entryK: Int, beam: Int,
+      steps: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && steps >= 0 && topK >= 1)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(codeCol).as("__qc"))
+    val cs = codes.select(col(idCol).as("node"), col(codeCol).as("__nc"))
+    val entry = codes
+      .select(col(idCol).as("node"),
+        saltedHash60(col(idCol), ":entry").as("__h"))
+      .orderBy(col("__h"), col("node")).limit(entryK)
+      .select(col("node"))
+    def scored(pairsQN: DataFrame): DataFrame =
+      pairsQN.join(cs, "node").join(broadcast(q), "query_id")
+        .withColumn("idot", dotI(col("__qc"), col("__nc")))
+        .select(col("query_id"), col("node"), col("idot"))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("node"))
+    var st = scored(q.select(col("query_id")).crossJoin(broadcast(entry)))
+    for (_ <- 1 to steps) {
+      val exp = scored(
+        st.select(col("query_id"), col("node").as("src"))
+          .join(graph.select(col("src"), col("dst")), "src")
+          .select(col("query_id"), col("dst").as("node")).distinct())
+      // truncate lineage each step: the state frame is queries×beam
+      // rows, but each round references the previous one TWICE
+      // (union + expansion), so an unbroken chain makes plan
+      // analysis O(2^steps) — the Bpe.train checkpoint discipline
+      st = st.union(exp).distinct()
+        .withColumn("__rn", row_number().over(wBeam))
+        .filter(col("__rn") <= beam)
+        .select(col("query_id"), col("node"), col("idot"))
+        .localCheckpoint(true)
+    }
+    st.filter(col("node") =!= col("query_id"))
+      .withColumn("rn", row_number().over(wBeam).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("rn"), col("node").as("neighbor_id"),
+        col("idot"))
+  }
+}

@@ -1246,12 +1246,19 @@ object Similarity {
     var selected = winner(base
       .withColumn("maxsim", lit(0L))
       .withColumn("score", col("rel") * lambdaPpm), 1)
+    // `selected` is ≤ queries·(r−1) rows BY CONSTRUCTION (one winner
+    // per query per round), but the unrolled rounds are LocalRelation
+    // -rooted and stats-less, so without an explicit hint every round
+    // plans as sort-merge (38 static shuffles measured in PLANS.md
+    // round 9). Broadcasting the selected/winner sides collapses the
+    // rounds to hash joins.
     var remaining = base.join(
-      selected.select(col("query_id"), col("cand_id")),
+      broadcast(selected.select(col("query_id"), col("cand_id"))),
       Seq("query_id", "cand_id"), "left_anti")
     for (r <- 2 to k) {
       val ms = remaining
-        .join(selected.select(col("query_id"), col("cvec").as("__svec")),
+        .join(broadcast(
+            selected.select(col("query_id"), col("cvec").as("__svec"))),
           Seq("query_id"))
         .select(col("query_id"), col("cand_id"),
           dotI(col("cvec"), col("__svec")).as("__sim"))
@@ -1263,7 +1270,7 @@ object Similarity {
       val wr = winner(scored, r)
       selected = selected.unionByName(wr)
       remaining = remaining.join(
-        wr.select(col("query_id"), col("cand_id")),
+        broadcast(wr.select(col("query_id"), col("cand_id"))),
         Seq("query_id", "cand_id"), "left_anti")
     }
     selected.select(col("query_id"), col("rank"), col("cand_id"),

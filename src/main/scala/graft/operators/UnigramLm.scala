@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FixedPoint
+
+/** Unigram-language-model (SentencePiece-style) tokenizer training —
+  * the third tokenizer family next to BPE merge training
+  * ([[Bpe.train]], reference q107) and WordPiece greedy inference
+  * ([[Bpe.greedyEncode]], q215): seed a piece vocabulary from
+  * weighted substrings, then alternate Viterbi (hard-EM) rounds —
+  * E-step: segment every word into its minimum-cost piece sequence
+  * under the current piece costs; M-step: re-estimate piece costs
+  * from the chosen-segmentation counts (Kudo 2018, arXiv:1804.10959,
+  * with the expectation step hardened to the single best path so
+  * every round is exactly replayable).
+  *
+  * Deterministic end-to-end, hence oracle-gateable: piece costs are
+  * integer −ln p in ppm via the [[FixedPoint.lnPpm]] shift-and-square
+  * kernel, the Viterbi DP breaks cost ties toward the LONGER piece
+  * (total order), pruning cuts on (count desc, piece asc), and
+  * Laplace (+1) smoothing keeps every surviving piece scorable.
+  * Single-character pieces are never pruned, so segmentation coverage
+  * is total by construction and the DP needs no unk path.
+  *
+  * 100 TB shape: everything runs over the WORD VOCABULARY
+  * (word, count) — the corpus-sized work is the one word-count
+  * partial agg that produces it (q40's path). The E-step is a pure
+  * per-row fold (zero shuffles, one vocabulary-sized scan); the
+  * M-step is a vocabulary-bounded partial agg; the only driver
+  * traffic is the piece table (≤ singles + topM rows) once per round
+  * — the [[Similarity.kmeansSummary]] iterative-trainer pattern.
+  * Corpus-scale ENCODE then rides a broadcast word→pieces join
+  * ([[Bpe.encodeByVocab]]'s shape), never a per-occurrence DP.
+  *
+  * Contract: words longer than `maxWordLen` are excluded from
+  * training (the max-sentence-length clip every SentencePiece run
+  * applies); total piece weight must stay < 2^33 (the lnPpm i64
+  * contract — beyond that, shard the M-step and sum).
+  */
+object UnigramLm {
+
+  /** Unreachable-cell cost sentinel. Real path costs are ≤
+    * maxWordLen · lnPpm_max ≈ 10 · 2.3e7; 1e12 dominates while
+    * maxWordLen · Inf still fits i64 comfortably.
+    */
+  private val Inf = 1000000000000L
+
+  /** Seed piece pool: every substring of length 1..maxPieceLen of
+    * every distinct word, weighted by corpus word count — the same
+    * induction as [[Bpe.charNgramVocab]] but kept as a DataFrame
+    * (piece, w) because the EM loop re-derives counts each round.
+    */
+  def seedPieces(vocab: DataFrame, wordCol: String, cntCol: String,
+      maxPieceLen: Int): DataFrame =
+    vocab
+      .select(col(wordCol).as("__w"), col(cntCol).as("__c"),
+        length(col(wordCol)).as("__len"))
+      .filter(col("__len") >= 1)
+      .select(col("__w"), col("__c"), col("__len"),
+        explode(sequence(lit(1), col("__len"))).as("__pos"))
+      .select(col("__w"), col("__c"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("__len") - col("__pos") + 1)))
+          .as("__l"), col("__pos"))
+      .select(col("__w").substr(col("__pos"), col("__l")).as("piece"),
+        col("__c"))
+      .groupBy(col("piece")).agg(sum(col("__c")).as("w"))
+
+  /** Prune to the working vocabulary: ALL single-character pieces
+    * (coverage guarantee) plus the top-M multi-character pieces by
+    * (weight desc, piece asc) — a total order, so the cut is
+    * deterministic.
+    */
+  def prunePieces(pieces: DataFrame, topM: Int): DataFrame = {
+    val singles = pieces.filter(length(col("piece")) === 1)
+    val multis = pieces.filter(length(col("piece")) > 1)
+      .orderBy(col("w").desc, col("piece")).limit(topM)
+    singles.unionByName(multis)
+  }
+
+  /** Piece costs −ln(w/total) in ppm over the CURRENT piece table —
+    * total is the in-table weight sum, so cost ≥ 0 always and the
+    * lnPpm num≥den contract holds by construction.
+    */
+  def pieceCosts(pieces: DataFrame): DataFrame = {
+    val total = pieces.agg(sum(col("w"))).head().getLong(0)
+    pieces.select(col("piece"), col("w"),
+      FixedPoint.lnPpm(lit(total), col("w")).as("cost"))
+  }
+
+  /** Viterbi segmentation of every word under literal piece costs —
+    * one per-row DP fold, zero shuffles. dp[pos] = min over piece
+    * lengths l of dp[pos−l] + cost(word[pos−l+1..pos]); ties prefer
+    * the longer piece (l iterated descending, strict '<' to replace).
+    * Adds `pieces` (the chosen segments, left to right), `n_pieces`,
+    * and `cost` (the path total in ppm). Caller guarantees every word
+    * has 1 ≤ length ≤ maxWordLen and single-char coverage (true for
+    * any [[prunePieces]] output over the same corpus).
+    */
+  def viterbiSegment(words: DataFrame, wordCol: String,
+      costs: Seq[(String, Long)], maxPieceLen: Int,
+      maxWordLen: Int): DataFrame = {
+    require(costs.nonEmpty && maxPieceLen >= 1 && maxWordLen >= 1)
+    val costMap = typedLit(costs.toMap)
+    val w = col(wordCol)
+    val len = length(w)
+    val init = array((0 to maxWordLen).map { i =>
+      struct(lit(if (i == 0) 0L else Inf).as("c"), lit(0).as("bl"))
+    }: _*)
+    val dp = aggregate(
+      sequence(lit(1), lit(maxWordLen)),
+      init,
+      (st, pos) => {
+        // best arrival at `pos`: probe lengths maxPieceLen..1 so a
+        // tie keeps the longest piece (strict < never replaces equal)
+        val zero = struct(lit(Inf * 4).as("c"), lit(0).as("bl"))
+        val best = (maxPieceLen to 1 by -1).foldLeft(zero: Column) {
+          (acc, l) =>
+            val prev = element_at(st,
+              greatest(lit(1), pos - lit(l) + 1)).getField("c")
+            val pc = coalesce(
+              element_at(costMap, w.substr(pos - lit(l) + 1, lit(l))),
+              lit(Inf))
+            val cc = prev + pc
+            when(lit(l) <= pos && cc < acc.getField("c"),
+              struct(cc.as("c"), lit(l).as("bl"))).otherwise(acc)
+        }
+        when(pos > len, st)
+          .otherwise(transform(st, (cell, i) =>
+            when(i === pos, best).otherwise(cell)))
+      })
+    // backtrace: walk bl pointers from len to 0, prepending pieces so
+    // the array reads left to right; at most maxWordLen hops
+    val bt = aggregate(
+      sequence(lit(1), lit(maxWordLen)),
+      struct(len.as("pos"),
+        array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val bl = element_at(dp, greatest(lit(1), pos + 1)).getField("bl")
+        when(pos <= 0, acc).otherwise(
+          struct((pos - bl).as("pos"),
+            concat(array(w.substr(pos - bl + 1, bl)),
+              acc.getField("ps")).as("ps")))
+      })
+    words
+      .withColumn("pieces", bt.getField("ps"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .withColumn("cost",
+        element_at(dp, len + 1).getField("c"))
+  }
+
+  /** One hard-EM round: segment the vocabulary under `costs`, count
+    * pieces along the chosen paths weighted by word count, add-one
+    * smooth over the CURRENT piece set (keeps unused singles alive),
+    * prune, and return the new (piece, w) table.
+    */
+  def emRound(words: DataFrame, wordCol: String, cntCol: String,
+      costs: Seq[(String, Long)], maxPieceLen: Int, maxWordLen: Int,
+      topM: Int): DataFrame = {
+    val used = viterbiSegment(words, wordCol, costs, maxPieceLen,
+        maxWordLen)
+      .select(col(cntCol).as("__c"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("__c")).as("__used"))
+    val current = words.sparkSession.range(1)
+      .select(explode(typedLit(costs.map(_._1))).as("piece"))
+    prunePieces(
+      current.join(used, Seq("piece"), "left")
+        .select(col("piece"),
+          (coalesce(col("__used"), lit(0L)) + 1L).as("w")),
+      topM)
+  }
+
+  /** Full trainer: seed → prune → score, then `rounds` hard-EM
+    * rounds. Returns the final scored piece table (piece, w, cost)
+    * and the vocabulary segmented under the final costs. Driver
+    * traffic: one piece-table readout per round.
+    */
+  def train(words: DataFrame, wordCol: String, cntCol: String,
+      rounds: Int, maxPieceLen: Int, maxWordLen: Int,
+      topM: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 0)
+    def readCosts(scored: DataFrame): Seq[(String, Long)] =
+      scored.select(col("piece"), col("cost")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    var scored = pieceCosts(prunePieces(
+      seedPieces(words, wordCol, cntCol, maxPieceLen), topM))
+    for (_ <- 1 to rounds)
+      scored = pieceCosts(emRound(words, wordCol, cntCol,
+        readCosts(scored), maxPieceLen, maxWordLen, topM))
+    val segmented = viterbiSegment(words, wordCol, readCosts(scored),
+      maxPieceLen, maxWordLen)
+    (scored, segmented)
+  }
+}

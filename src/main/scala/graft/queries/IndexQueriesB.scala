@@ -388,6 +388,38 @@ object IndexQueriesB extends QueryPack {
     // the shift-and-square log kernel exists. The oracle replays the
     // identical i64 algorithm (recursive CTE), so the drawn sample,
     // ranks AND priorities all hash-match.
+    // 2-D Pareto frontier (skyline) per source — multi-objective
+    // corpus selection without collapsing to a single λ-weighted
+    // score: keep docs no other doc beats on BOTH n_chars and token
+    // count (strict dominance; equal pairs mutually non-dominating).
+    // One per-group sort, two running-max windows, never a pair
+    // join; the oracle restates the identical two-window test.
+    "q448_pareto_frontier" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"),
+            graft.operators.TextAnalysis.nTokens(col("text"))
+              .cast("long").as("n_tokens"))
+        graft.operators.Corpus.paretoFrontier(docs, "source",
+            "n_chars", "n_tokens", "doc_id")
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+'))
+        |    END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT source, doc_id, n_chars, n_tokens,
+        |    max(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    max(n_tokens) OVER (PARTITION BY source, n_chars) AS m2
+        |  FROM t)
+        |SELECT source, doc_id, n_chars, n_tokens
+        |FROM w WHERE (m1 IS NULL OR n_tokens > m1) AND n_tokens = m2
+        |ORDER BY source, doc_id""".stripMargin)),
+
     "q439_weighted_sample_aes" -> Q(
       (s, dir) => graft.operators.Corpus.weightedSampleAes(
           Tables.documents(s, dir).select(

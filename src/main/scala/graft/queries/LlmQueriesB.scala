@@ -1294,6 +1294,153 @@ object LlmQueriesB extends QueryPack {
         |  FROM f GROUP BY fold)
         |SELECT f.doc_id, f.fp, f.fold, g.fold_docs, g.fold_groups
         |FROM f JOIN g USING (fold)
-        |ORDER BY f.doc_id""".stripMargin))
+        |ORDER BY f.doc_id""".stripMargin)),
+
+    // FLAGSHIP "prepare a training shard" composition (VERDICT r9
+    // item 7): exact A-ES weighted selection (q439) -> MMR-diversified
+    // ordering over int8 embedding codes (q442) -> block packing in
+    // the diversified order (q257) -> dataset-card readout (q423's
+    // shape), gated as ONE hash. Proves the round-9/10 operators
+    // compose: every stage's intermediate feeds the next and the
+    // oracle replays all four.
+    "q454_training_shard" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Similarity
+        // 1. A-ES: 8 docs per source, weight = n_chars
+        val picked = Corpus.weightedSampleAes(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", "source", k = 8, salt = "shard1")
+        // 2. MMR rerank to 4 diversified docs per source (query =
+        // the source; rel = the A-ES weight; vectors = int8 codes)
+        val coded = Tables.embeddings(s, dir).select(
+          col("vec_id").as("cand_id"),
+          Similarity.quantizeInt8(col("embedding")).getField("q")
+            .as("cvec"))
+        val cands = picked
+          .select(col("source").as("query_id"),
+            col("doc_id").as("cand_id"), col("weight").as("rel"))
+          .join(coded, "cand_id")
+          .select(col("query_id"), col("cand_id"), col("rel"),
+            col("cvec"))
+        val mmr = Similarity.mmrRerank(cands, lambdaPpm = 700000L,
+          k = 4)
+        // 3. pack blocks in (source, mmr-rank) order — pack_id is a
+        // selection-sized window (sources x 4 rows), never corpus-sized
+        val ordered = mmr.select(col("query_id").as("source"),
+            col("rank"), col("cand_id").as("doc_id"), col("rel"))
+          .withColumn("pack_id", row_number().over(
+            Window.orderBy(col("source"), col("rank"))).cast("long"))
+        val packed = Corpus.packBlocks(
+          ordered.join(Tables.documents(s, dir)
+              .select(col("doc_id"), col("text")), "doc_id")
+            .select(col("pack_id"), col("text")),
+          "pack_id", "text", blockSize = 128)
+        // 4. dataset card riding every row (selection-sized window)
+        val all = Window.partitionBy()
+        ordered.join(packed, "pack_id")
+          .withColumn("shard_tokens", sum(col("n_tokens")).over(all))
+          .withColumn("shard_blocks", (max(col("end_block")).over(all)
+            + 1L).cast("long"))
+          .withColumn("n_boundary", sum(col("spans_boundary")
+            .cast("long")).over(all))
+          .select(col("source"), col("rank"), col("doc_id"), col("rel"),
+            col("n_tokens"), col("global_start"), col("start_block"),
+            col("end_block"), col("spans_boundary"),
+            col("shard_tokens"), col("shard_blocks"), col("n_boundary"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some {
+        def idot(a: String, b: String) =
+          s"list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
+            s"range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+        def round(r: Int): String = {
+          val p = r - 1
+          s"""m$r AS (SELECT c.query_id, c.cand_id,
+             |    max(${idot("c.cvec", "sx.cvec")}) AS maxsim
+             |  FROM cand c JOIN sel$p sx USING (query_id)
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+             |    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+             |  GROUP BY 1, 2),
+             |w$r AS (SELECT c.query_id, c.cand_id, c.rel, m.maxsim,
+             |    c.rel * 700000 - m.maxsim * 300000 AS score, c.cvec
+             |  FROM cand c JOIN m$r m ON c.query_id = m.query_id
+             |    AND c.cand_id = m.cand_id),
+             |sel$r AS MATERIALIZED (SELECT * FROM sel$p UNION ALL
+             |  SELECT query_id, CAST($r AS BIGINT) AS rank, cand_id,
+             |    rel, maxsim, score, cvec FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, cand_id) AS rn FROM w$r)
+             |  WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH RECURSIVE h AS (SELECT source, doc_id,
+          |    CAST(n_chars AS BIGINT) AS w,
+          |    CAST(('0x' || substr(md5(doc_id || ':shard1'), 1, 15)) AS BIGINT)
+          |      % 4294967296 AS h32
+          |  FROM documents WHERE n_chars > 0),
+          |src AS (SELECT doc_id AS key, CAST(4294967296 AS BIGINT) AS num,
+          |    h32 + 1 AS den FROM h),
+          |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+          |pp AS (SELECT h.source, h.doc_id, h.w,
+          |    (l.ln_ppm * 1000000000) // h.w AS priority_e9
+          |  FROM h JOIN lnppm l ON h.doc_id = l.key),
+          |pick AS MATERIALIZED (SELECT source, doc_id, w FROM (
+          |  SELECT source, doc_id, w,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY priority_e9, doc_id) AS rn
+          |  FROM pp) WHERE rn <= 8),
+          |em AS (SELECT vec_id, embedding,
+          |    list_max(list_transform(embedding,
+          |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          |  FROM embeddings),
+          |z AS (SELECT vec_id, list_transform(
+          |    range(1, len(embedding) + 1),
+          |    i -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+          |      ELSE CAST(trunc(CAST(embedding[i] AS DOUBLE) /
+          |        (maxabs / 127.0)) AS BIGINT) END) AS qv
+          |  FROM em),
+          |cand AS MATERIALIZED (SELECT pk.source AS query_id,
+          |    pk.doc_id AS cand_id, pk.w AS rel, z.qv AS cvec
+          |  FROM pick pk JOIN z ON z.vec_id = pk.doc_id),
+          |sel1 AS MATERIALIZED (SELECT query_id,
+          |    CAST(1 AS BIGINT) AS rank, cand_id,
+          |    rel, CAST(0 AS BIGINT) AS maxsim, rel * 700000 AS score,
+          |    cvec
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rel * 700000 DESC, cand_id) AS rn FROM cand)
+          |  WHERE rn = 1),
+          |${round(2)},
+          |${round(3)},
+          |${round(4)},
+          |ord AS (SELECT query_id AS source, rank, cand_id AS doc_id,
+          |    rel, row_number() OVER (ORDER BY query_id, rank)
+          |      AS pack_id
+          |  FROM sel4),
+          |tk AS (SELECT o.pack_id, o.source, o.rank, o.doc_id, o.rel,
+          |    CAST(len($tokensSql) AS BIGINT) AS n_tokens
+          |  FROM ord o JOIN documents d ON d.doc_id = o.doc_id),
+          |pos AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+          |      ORDER BY pack_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS BIGINT) AS global_start
+          |  FROM tk),
+          |fin AS (SELECT source, rank, doc_id, rel, n_tokens,
+          |    global_start,
+          |    global_start // 128 AS start_block,
+          |    (global_start + greatest(n_tokens, 1) - 1) // 128
+          |      AS end_block,
+          |    (global_start + greatest(n_tokens, 1) - 1) // 128
+          |      > global_start // 128 AS spans_boundary
+          |  FROM pos)
+          |SELECT source, rank, doc_id, rel, n_tokens, global_start,
+          |  start_block, end_block, spans_boundary,
+          |  CAST(sum(n_tokens) OVER () AS BIGINT) AS shard_tokens,
+          |  CAST(max(end_block) OVER () + 1 AS BIGINT) AS shard_blocks,
+          |  CAST(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END)
+          |    OVER () AS BIGINT) AS n_boundary
+          |FROM fin
+          |ORDER BY source, rank""".stripMargin
+      })
   )
 }

@@ -1425,6 +1425,149 @@ object SimilarityQueries extends QueryPack {
     // Composition: ivfAssign cell counts → the q309 integer L1/TV
     // drift audit (shareDriftFromCounts — the streaming-shared
     // stage), plus the reindex trigger flag. All-integer, hash-gated.
+    // SELF-GOVERNING index maintenance (VERDICT r9 item 8): q447's
+    // drift monitor DECIDES q437's maintenance path. Two delta
+    // scenarios run through one policy — an in-distribution delta
+    // (drift below threshold → O(delta) incremental path: append
+    // under the EXISTING centroids) and a cell-skewed delta (drift
+    // above → REINDEX: one Lloyd retrain over the merged corpus,
+    // everything re-assigned). The oracle replays the drift
+    // computation, the threshold branch (CASE over the drift
+    // scalar), and BOTH serve paths, so the policy decision itself
+    // hash-gates — not just each leg.
+    "q455_drift_gated_maintenance" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.DataFrame
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vec(col("embedding")).as("v"))
+        val base = e.filter(col("vec_id") % 10 < 8)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        def counts(d: DataFrame) = d
+          .select(Similarity.kmAssign(col("v"), KmInit).as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        def serveWith(cents: Seq[(Int, Seq[Double])], live: DataFrame) = {
+          val idx = live.select(col("vec_id").as("neighbor_id"),
+            col("v").as("nvec"),
+            Similarity.kmAssign(col("v"), cents).as("cell"))
+          val qq = q.select(col("vec_id").as("query_id"),
+            col("v").as("qvec"),
+            Similarity.kmAssign(col("v"), cents).as("cell"))
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))
+          idx.join(broadcast(qq), Seq("cell"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("cos",
+              Similarity.cosineNative(col("qvec"), col("nvec")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 3)
+            .select(col("query_id"), col("rn").cast("long").as("rn"),
+              col("neighbor_id"), col("cos").as("cosine"))
+        }
+        def scenario(tag: String, delta: DataFrame) = {
+          val drift = graft.operators.QualityFilters
+            .shareDriftFromCounts(counts(base), counts(delta))
+            .agg(max(col("l1_total_ppm"))).head().getLong(0)
+          val live = base.unionByName(delta)
+          val rebuilt = drift >= 400000L
+          val served =
+            if (!rebuilt) serveWith(KmInit, live)
+            else serveWith(Similarity.kmeansIterate(live, "v",
+              KmInit, 1), live)
+          served.withColumn("scenario", lit(tag))
+            .withColumn("drift_ppm", lit(drift))
+            .withColumn("rebuilt", lit(rebuilt))
+        }
+        scenario("indist", e.filter(col("vec_id") % 10 === 8))
+          .unionByName(scenario("skew", e.filter(col("vec_id") % 10 === 9
+            && Similarity.kmAssign(col("v"), KmInit) % 2 === 0)))
+          .select(col("scenario"), col("drift_ppm"), col("rebuilt"),
+            col("query_id"), col("rn"), col("neighbor_id"),
+            col("cosine"))
+          .orderBy(col("scenario"), col("query_id"), col("rn"))
+      },
+      {
+        val dim = 64
+        val q20 = "1048576.0"
+        val cellSql = cellSqlFor("v")
+        val sumExprs = (0 until dim).map(d =>
+          s"CAST(sum(CAST(floor(v[${d + 1}] * $q20) AS BIGINT)) AS BIGINT) AS s$d")
+          .mkString(",\n|    ")
+        val centroidList = (0 until dim).map(d => s"s$d / (n * $q20)")
+          .mkString("[", ", ", "]")
+        def driftCte(i: Int, deltaCond: String) =
+          s"""cd$i AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+             |  FROM b WHERE $deltaCond GROUP BY 1),
+             |dr$i AS (SELECT CAST(sum(abs(coalesce(sa.s, 0) -
+             |      coalesce(sd.s, 0))) AS BIGINT) AS l1
+             |  FROM (SELECT bin, c * 1000000 //
+             |      CAST((SELECT sum(c) FROM ca) AS BIGINT) AS s FROM ca) sa
+             |  FULL OUTER JOIN (SELECT bin, c * 1000000 //
+             |      CAST((SELECT sum(c) FROM cd$i) AS BIGINT) AS s
+             |    FROM cd$i) sd
+             |  USING (bin))""".stripMargin
+        def serveCtes(i: Int, deltaCond: String) =
+          s"""live$i AS MATERIALIZED (SELECT vec_id, v, bin FROM b
+             |  WHERE vec_id % 10 < 8 OR ($deltaCond)),
+             |inc$i AS (SELECT query_id, rn, neighbor_id, cos FROM (
+             |  SELECT qq.query_id, l.vec_id AS neighbor_id,
+             |    ${cosSql("qq.qv", "l.v")} AS cos,
+             |    row_number() OVER (PARTITION BY qq.query_id
+             |      ORDER BY ${cosSql("qq.qv", "l.v")} DESC, l.vec_id) AS rn
+             |  FROM qq JOIN live$i l ON qq.qbin = l.bin
+             |  WHERE qq.query_id <> l.vec_id) WHERE rn <= 3),
+             |g$i AS (SELECT bin AS cell, count(*) AS n,
+             |    $sumExprs
+             |  FROM live$i GROUP BY bin),
+             |c$i AS MATERIALIZED (SELECT cell, $centroidList AS c FROM g$i),
+             |al$i AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+             |  SELECT l.vec_id, l.v, c.cell,
+             |    row_number() OVER (PARTITION BY l.vec_id
+             |      ORDER BY ${cosSql("l.v", "c.c")} DESC, c.cell DESC) AS rn
+             |  FROM live$i l CROSS JOIN c$i c) WHERE rn = 1),
+             |aq$i AS (SELECT query_id, qv, cell FROM (
+             |  SELECT q.query_id, q.qv, c.cell,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cell DESC) AS rn
+             |  FROM qq q CROSS JOIN c$i c) WHERE rn = 1),
+             |reb$i AS (SELECT query_id, rn, neighbor_id, cos FROM (
+             |  SELECT a.query_id, l.vec_id AS neighbor_id,
+             |    ${cosSql("a.qv", "l.v")} AS cos,
+             |    row_number() OVER (PARTITION BY a.query_id
+             |      ORDER BY ${cosSql("a.qv", "l.v")} DESC, l.vec_id) AS rn
+             |  FROM aq$i a JOIN al$i l ON a.cell = l.cell
+             |  WHERE a.query_id <> l.vec_id) WHERE rn <= 3),
+             |pick$i AS (
+             |  SELECT query_id, rn, neighbor_id, cos FROM inc$i
+             |  WHERE (SELECT l1 FROM dr$i) < 400000
+             |  UNION ALL
+             |  SELECT query_id, rn, neighbor_id, cos FROM reb$i
+             |  WHERE (SELECT l1 FROM dr$i) >= 400000)""".stripMargin
+        val cond1 = "vec_id % 10 = 8"
+        val cond2 = "vec_id % 10 = 9 AND bin % 2 = 0"
+        Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          |b AS MATERIALIZED (SELECT vec_id, v, $cellSql AS bin FROM e),
+          |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv,
+          |    bin AS qbin FROM b WHERE vec_id % 100 = 0),
+          |ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b
+          |  WHERE vec_id % 10 < 8 GROUP BY 1),
+          |${driftCte(1, cond1)},
+          |${driftCte(2, cond2)},
+          |${serveCtes(1, cond1)},
+          |${serveCtes(2, cond2)}
+          |SELECT scenario, drift_ppm, rebuilt, query_id,
+          |  CAST(rn AS BIGINT) AS rn, neighbor_id, cos AS cosine
+          |FROM (
+          |  SELECT 'indist' AS scenario, (SELECT l1 FROM dr1) AS drift_ppm,
+          |    (SELECT l1 FROM dr1) >= 400000 AS rebuilt, p.*
+          |  FROM pick1 p
+          |  UNION ALL
+          |  SELECT 'skew', (SELECT l1 FROM dr2),
+          |    (SELECT l1 FROM dr2) >= 400000, p.*
+          |  FROM pick2 p)
+          |ORDER BY scenario, query_id, rn""".stripMargin)
+      }),
+
     "q447_centroid_drift" -> Q(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)

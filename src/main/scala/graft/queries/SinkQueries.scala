@@ -1216,6 +1216,133 @@ object SinkQueries extends QueryPack {
         |  CAST(0 AS BIGINT) AS orphans_rerun,
         |  CAST(1 AS BIGINT) AS inflight_survived
         |FROM r FULL OUTER JOIN v0 ON r.source = v0.source
-        |ORDER BY r.source""".stripMargin))
+        |ORDER BY r.source""".stripMargin)),
+
+    // OPTIMIZE ZORDER (clustered compaction): a table committed in
+    // linear doc_id ranges is rewritten clustered by
+    // zKey(doc_id, n_chars), and the SAME two-axis rectangle read is
+    // audited before/after — file layout, per-file two-column stats,
+    // and the kept/pruned counts are all pure functions of the data
+    // (analytic equal-width buckets, never sampled bounds), so the
+    // oracle replays the entire layout decision: the Morton key bit
+    // arithmetic, the bucket assignment, the per-bucket stat ranges,
+    // and the overlap test. v0 time travel after the rewrite must
+    // reproduce the pre-compaction counts (history intact), and the
+    // rectangle's CONTENT is layout-invariant (before ≡ after,
+    // flag-gated; values gated against plain SQL).
+    "q453_zorder_compact" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        import graft.functions.ZOrder
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val mx = docs.agg(min(col("doc_id")).cast("long"),
+          max(col("doc_id")).cast("long"),
+          min(col("n_chars")).cast("long"),
+          max(col("n_chars")).cast("long")).head()
+        val (lo1b, hi1b) = (mx.getLong(0), mx.getLong(1))
+        val (lo2b, hi2b) = (mx.getLong(2), mx.getLong(3))
+        // a genuinely selective rectangle on BOTH axes (lower
+        // quartile of each range) — the case clustering exists for
+        val hi1 = hi1b / 4
+        val hi2 = lo2b + (hi2b - lo2b) / 4
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zord")
+        val t = s"$tmp/tbl"
+        TxLog.commitClustered(docs, t, "overwrite", "doc_id",
+          "n_chars", col("doc_id"), buckets = 16)
+        val (dfB, readB, prunedB, scanB) = TxLog.prunedRead2(s, t,
+          "doc_id", 0L, hi1, "n_chars", 0L, hi2)
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("source"))
+            .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        val aggB = snap(dfB).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        TxLog.compactClustered(s, t, "doc_id", "n_chars",
+          ZOrder.zKeyNormalized(col("doc_id"), lo1b, hi1b,
+            col("n_chars"), lo2b, hi2b, 8), buckets = 16)
+        val (dfA, readA, prunedA, scanA) = TxLog.prunedRead2(s, t,
+          "doc_id", 0L, hi1, "n_chars", 0L, hi2)
+        val (_, read0, pruned0, _) = TxLog.prunedRead2(s, t,
+          "doc_id", 0L, hi1, "n_chars", 0L, hi2, asOf = Some(0L))
+        val aggA = snap(dfA).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val out = snap(dfA)
+          .withColumn("files_read_before", lit(readB.toLong))
+          .withColumn("files_pruned_before", lit(prunedB.toLong))
+          .withColumn("files_read_after", lit(readA.toLong))
+          .withColumn("files_pruned_after", lit(prunedA.toLong))
+          .withColumn("rows_scanned_before", lit(scanB))
+          .withColumn("rows_scanned_after", lit(scanA))
+          .withColumn("v0_counts_match",
+            lit(if (read0 == readB && pruned0 == prunedB) 1L else 0L))
+          .withColumn("before_eq_after",
+            lit(if (aggB == aggA) 1L else 0L))
+        materializeAndDelete(out, tmp).orderBy(col("source"))
+      },
+      {
+        val zSql = (0 until 8).map { i =>
+          s"(((xn >> $i) & 1) << ${2 * i}) + " +
+            s"(((yn >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        Some(s"""WITH m AS (SELECT min(doc_id) AS cmin, max(doc_id) AS cmax,
+          |    min(doc_id) AS xmin, min(n_chars) AS ymin,
+          |    max(n_chars) AS ymax,
+          |    max(doc_id) // 4 AS hi1,
+          |    min(n_chars) + (max(n_chars) - min(n_chars)) // 4 AS hi2
+          |  FROM documents),
+          |lb AS (SELECT d.source, d.doc_id, d.n_chars,
+          |    (d.doc_id - m.cmin) // ((m.cmax - m.cmin) // 16 + 1) AS b
+          |  FROM documents d, m),
+          |lst AS (SELECT b, min(doc_id) AS mn, max(doc_id) AS mx,
+          |    min(n_chars) AS mn2, max(n_chars) AS mx2,
+          |    count(*) AS n_rows
+          |  FROM lb GROUP BY b),
+          |lcnt AS (SELECT CAST(count(*) AS BIGINT) AS total,
+          |    CAST(sum(CASE WHEN mx >= 0 AND mn <= (SELECT hi1 FROM m)
+          |      AND mx2 >= 0 AND mn2 <= (SELECT hi2 FROM m)
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+          |    CAST(sum(CASE WHEN mx >= 0 AND mn <= (SELECT hi1 FROM m)
+          |      AND mx2 >= 0 AND mn2 <= (SELECT hi2 FROM m)
+          |      THEN n_rows ELSE 0 END) AS BIGINT) AS scanned
+          |  FROM lst),
+          |nrm AS (SELECT source, doc_id, n_chars,
+          |    ((doc_id - m.xmin) * 256) // (m.cmax - m.xmin + 1) AS xn,
+          |    ((n_chars - m.ymin) * 256) // (m.ymax - m.ymin + 1) AS yn
+          |  FROM documents, m),
+          |zb0 AS (SELECT source, doc_id, n_chars, $zSql AS z
+          |  FROM nrm),
+          |zm AS (SELECT min(z) AS zmin, max(z) AS zmax FROM zb0),
+          |zb AS (SELECT source, doc_id, n_chars,
+          |    (z - zm.zmin) // ((zm.zmax - zm.zmin) // 16 + 1) AS b
+          |  FROM zb0, zm),
+          |zst AS (SELECT b, min(doc_id) AS mn, max(doc_id) AS mx,
+          |    min(n_chars) AS mn2, max(n_chars) AS mx2,
+          |    count(*) AS n_rows
+          |  FROM zb GROUP BY b),
+          |zcnt AS (SELECT CAST(count(*) AS BIGINT) AS total,
+          |    CAST(sum(CASE WHEN mx >= 0 AND mn <= (SELECT hi1 FROM m)
+          |      AND mx2 >= 0 AND mn2 <= (SELECT hi2 FROM m)
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+          |    CAST(sum(CASE WHEN mx >= 0 AND mn <= (SELECT hi1 FROM m)
+          |      AND mx2 >= 0 AND mn2 <= (SELECT hi2 FROM m)
+          |      THEN n_rows ELSE 0 END) AS BIGINT) AS scanned
+          |  FROM zst),
+          |content AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+          |    CAST(sum(n_chars) AS BIGINT) AS chars
+          |  FROM documents d, m
+          |  WHERE d.doc_id <= m.hi1 AND d.n_chars <= m.hi2
+          |  GROUP BY source)
+          |SELECT c.source, c.cnt, c.chars,
+          |  (SELECT kept FROM lcnt) AS files_read_before,
+          |  (SELECT total - kept FROM lcnt) AS files_pruned_before,
+          |  (SELECT kept FROM zcnt) AS files_read_after,
+          |  (SELECT total - kept FROM zcnt) AS files_pruned_after,
+          |  (SELECT scanned FROM lcnt) AS rows_scanned_before,
+          |  (SELECT scanned FROM zcnt) AS rows_scanned_after,
+          |  CAST(1 AS BIGINT) AS v0_counts_match,
+          |  CAST(1 AS BIGINT) AS before_eq_after
+          |FROM content c
+          |ORDER BY c.source""".stripMargin)
+      })
   )
 }

@@ -251,26 +251,37 @@ object StreamingQueries extends QueryPack {
           .select(col("p.token").as("token"), col("doc_id").as("docId"),
             col("p.tf").as("tf"))
           .as[Streams.Posting]
-        val parts = Streams.runToTable(
+        // per-batch rollup BEFORE the sink (VERDICT r9 note 2): the
+        // stateful emitter's pair-partial volume approaches Σ C(df,2)
+        // on a dense-vocabulary fixture; aggregating inside each
+        // micro-batch leaves distinct (kind,a,b) rows only, so the
+        // gate measures the operator, not MemorySink row shipping.
+        // n partials per key ride along so the cross-batch n_shared
+        // stays a sum, not a count of batches.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q438")
+        val parts = Streams.runBatchedToParquet(
           Streams.sparsePostingStream(posts, maxDf = 500).toDF(),
-          OutputMode.Append())
+          b => b.groupBy(col("kind"), col("a"), col("b"))
+            .agg(sum(col("v")).as("v"), count(lit(1)).as("n")),
+          s"$tmp/parts")
         val pairs = parts.filter(col("kind") === "p")
           .groupBy(col("a"), col("b"))
-          .agg(sum(col("v")).as("dot"), count(lit(1)).as("n_shared"))
+          .agg(sum(col("v")).as("dot"), sum(col("n")).as("n_shared"))
           .select(col("a").as("id_a"), col("b").as("id_b"),
             col("dot"), col("n_shared"))
         val norms = parts.filter(col("kind") === "n")
           .groupBy(col("a")).agg(sum(col("v")).as("norm2"))
-        pairs
-          .join(norms.select(col("a").as("id_a"),
-            col("norm2").as("norm2_a")), "id_a")
-          .join(norms.select(col("a").as("id_b"),
-            col("norm2").as("norm2_b")), "id_b")
-          .withColumn("cos2_ppm", idiv(col("dot") * col("dot") * 1000000L,
-            col("norm2_a") * col("norm2_b")))
-          .filter(col("cos2_ppm") >= 640000L)
-          .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
-            col("norm2_a"), col("norm2_b"), col("cos2_ppm"))
+        graft.queries.Fixtures.materializeAndDelete(
+          pairs
+            .join(norms.select(col("a").as("id_a"),
+              col("norm2").as("norm2_a")), "id_a")
+            .join(norms.select(col("a").as("id_b"),
+              col("norm2").as("norm2_b")), "id_b")
+            .withColumn("cos2_ppm", idiv(col("dot") * col("dot") * 1000000L,
+              col("norm2_a") * col("norm2_b")))
+            .filter(col("cos2_ppm") >= 640000L)
+            .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
+              col("norm2_a"), col("norm2_b"), col("cos2_ppm")), tmp)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH tfs AS (

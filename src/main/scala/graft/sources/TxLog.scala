@@ -65,7 +65,13 @@ object TxLog {
     // per-file Bloom filter over the stat column (point-lookup
     // pruning beyond min/max): sparse "wordIdx:bitsHex" pairs joined
     // by ';', 63 bits per word. Null on files committed without one.
-    StructField("bloom", StringType)))
+    StructField("bloom", StringType),
+    // second stat column's min/max (clustered/Z-ordered commits —
+    // [[commitClustered]]): two-axis file skipping, the Delta
+    // dataSkippingNumIndexedCols idea at its minimum useful arity.
+    // Null on files committed by single-stat writers.
+    StructField("mn2", LongType),
+    StructField("mx2", LongType)))
 
   private def logDir(dir: String) = new java.io.File(dir, "_log")
 
@@ -529,6 +535,125 @@ object TxLog {
             .select(dataCols.map(col): _*)
         }
       base.filter(col(statCol) >= lo && col(statCol) <= hi)
+    }
+  }
+
+  /** Clustered commit (the write half of OPTIMIZE ZORDER): rows are
+    * bucketed by `clusterCol` — any nonnegative long expression; pass
+    * [[graft.functions.ZOrder.zKey]] for multi-dimensional clustering
+    * or a plain column for linear range layout — into `buckets`
+    * equal-width ranges between the column's observed min/max, one
+    * data FILE per non-empty bucket (deterministic: bucket bounds are
+    * analytic, not sampled, so the file layout is a pure function of
+    * the data — what lets a layout gate hash cross-engine, where
+    * `repartitionByRange`'s sampled bounds could not). Each log entry
+    * records TWO stat ranges — (mn,mx) on `statCol`, (mn2,mx2) on
+    * `statCol2` — so [[prunedRead2]] skips files on either axis
+    * before the scan. Returns the new version.
+    *
+    * Scale shape: one 2-value bounds readout, one shuffle on the
+    * bucket id, one distributed stats pass — the same cost as
+    * [[compact]] plus the bounds job. Equal-width buckets assume the
+    * cluster key is not pathologically skewed; Z-keys of uniform-ish
+    * axes are. (A skewed production table would quantile the key
+    * first — at which point sampled bounds re-enter by choice.)
+    */
+  def commitClustered(df: DataFrame, dir: String, mode: String,
+      statCol: String, statCol2: String,
+      clusterCol: org.apache.spark.sql.Column, buckets: Int): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    require(buckets >= 1)
+    val spark = df.sparkSession
+    val bounds = df.agg(min(clusterCol), max(clusterCol)).head()
+    require(!bounds.isNullAt(0), "clustered commit of an empty frame")
+    val (cmin, cmax) = (bounds.getLong(0), bounds.getLong(1))
+    require(cmin >= 0L, s"cluster key must be nonnegative, saw $cmin")
+    val width = (cmax - cmin) / buckets + 1
+    val withB = df.withColumn("__zb",
+      ((clusterCol - cmin) / width).cast("long").cast("string"))
+    val v = versions(dir).lastOption.map(_ + 1).getOrElse(0L)
+    val dataRel = s"data-v$v"
+    val dataAbs = new java.io.File(dir, dataRel).toString
+    withB.repartition(col("__zb"))
+      .write.partitionBy("__zb").parquet(dataAbs)
+    val back = spark.read.schema(withB.schema).parquet(dataAbs)
+    val stats = back
+      .groupBy(input_file_name().as("uri"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
+        min(col(statCol2)).as("mn2"), max(col(statCol2)).as("mx2"))
+      .collect()
+      .map { r =>
+        val uri = r.getString(0)
+        val rel = dataRel + uri.substring(
+          uri.indexOf(dataRel) + dataRel.length)
+        (rel, r.getAs[Long]("rows"), r.getAs[Long]("mn"),
+          r.getAs[Long]("mx"), r.getAs[Long]("mn2"),
+          r.getAs[Long]("mx2"))
+      }
+      .sortBy(_._1)
+    val lines = stats.map { case (p, n, mn, mx, mn2, mx2) =>
+      s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,""" +
+        s""""mn":$mn,"mx":$mx,"mn2":$mn2,"mx2":$mx2}"""
+    }
+    publishLog(dir, v, lines.toIndexedSeq)
+    v
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the live set clustered by `clusterCol`
+    * with two-axis stats ([[commitClustered]] overwrite). History is
+    * untouched — pre-compaction versions still time-travel. Returns
+    * the new version.
+    */
+  def compactClustered(spark: SparkSession, dir: String,
+      statCol: String, statCol2: String,
+      clusterCol: org.apache.spark.sql.Column, buckets: Int): Long =
+    commitClustered(read(spark, dir), dir, "overwrite", statCol,
+      statCol2, clusterCol, buckets)
+
+  /** Two-axis range read with log-level file pruning: only files
+    * whose (mn,mx) overlaps [lo,hi] AND whose (mn2,mx2) overlaps
+    * [lo2,hi2] are opened; files committed without second-axis stats
+    * (mn2 null) cannot be pruned on that axis and are read. The
+    * residual row filter applies on both axes inside survivors.
+    * Returns (frame, filesRead, filesPruned, rowsScanned) — the
+    * counts are the auditable claim that clustering improved skipping
+    * ([[readEvolved]]'s contract, on stats instead of partition
+    * values); rowsScanned (the log's row counts summed over kept
+    * files) is the honest cost metric when file sizes differ between
+    * layouts.
+    */
+  def prunedRead2(spark: SparkSession, dir: String, statCol: String,
+      lo: Long, hi: Long, statCol2: String, lo2: Long, hi2: Long,
+      asOf: Option[Long] = None): (DataFrame, Int, Int, Long) = {
+    val live = liveFiles(spark, dir, asOf)
+    val total = live.count().toInt
+    val keptRows = live
+      .filter(col("mx") >= lo && col("mn") <= hi &&
+        (col("mn2").isNull || (col("mx2") >= lo2 && col("mn2") <= hi2)))
+      .select(col("path"), col("rows")).collect()
+    val rowsScanned = keptRows.map(_.getLong(1)).sum
+    val kept = keptRows.map(r => resolve(dir, r.getString(0)))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      read(spark, dir, asOf).schema)
+    val residual = (df: DataFrame) =>
+      df.filter(col(statCol) >= lo && col(statCol) <= hi &&
+        col(statCol2) >= lo2 && col(statCol2) <= hi2)
+    if (kept.isEmpty) (empty, 0, total, 0L)
+    else {
+      val dvPaths = liveDvPaths(spark, dir, asOf)
+      val base =
+        if (dvPaths.isEmpty) spark.read.parquet(kept.toIndexedSeq: _*)
+        else {
+          val dataCols = spark.read.parquet(kept.toIndexedSeq: _*)
+            .columns.toIndexedSeq
+          applyDv(scanWithPos(spark, kept.toIndexedSeq),
+              liveDeleteVectors(spark, dir, asOf))
+            .select(dataCols.map(col): _*)
+        }
+      (residual(base), kept.length, total - kept.length, rowsScanned)
     }
   }
 

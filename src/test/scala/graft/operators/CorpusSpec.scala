@@ -653,4 +653,25 @@ class CorpusSpec extends SparkSpec {
     assert(pre.split("\\s+").count(_.nonEmpty) === c1)
     assert(mid.split("\\s+").count(_.nonEmpty) === c2 - c1)
   }
+
+  test("paretoFrontier: strict dominance, same-x ties, equal pairs") {
+    import spark.implicits._
+    val rows = Seq(
+      // equal pairs: mutually non-dominating, BOTH kept
+      ("g", 10L, 5L, "a"), ("g", 10L, 5L, "b"),
+      // same x, smaller y: dominated within its own x column
+      ("g", 10L, 4L, "f"),
+      // equal y at strictly smaller x: dominated (not strictly above)
+      ("g", 9L, 5L, "c"),
+      // strictly above everything to its right: kept
+      ("g", 8L, 7L, "d"),
+      // below the x=8 frontier point: dominated
+      ("g", 7L, 6L, "e"),
+      // second group is independent
+      ("h", 1L, 1L, "z"))
+      .toDF("grp", "x", "y", "id")
+    val kept = Corpus.paretoFrontier(rows, "grp", "x", "y", "id")
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("a", "b", "d", "z"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphAnnSpec extends SparkSpec {
+
+  private val fixture: Map[Long, Seq[Int]] = Map(
+    // two clusters along orthogonal axes: exact kNN by integer dot
+    // stays within a node's own cluster
+    1L -> Seq(10, 0), 2L -> Seq(11, 0), 3L -> Seq(12, 0), 4L -> Seq(9, 1),
+    5L -> Seq(0, 10), 6L -> Seq(0, 11), 7L -> Seq(1, 9), 8L -> Seq(0, 12))
+
+  private def codesDf = {
+    import spark.implicits._
+    fixture.toSeq.sortBy(_._1).toDF("vec_id", "code")
+  }
+
+  private def bruteTopK(q: Long, k: Int): Seq[Long] =
+    fixture.toSeq.filter(_._1 != q)
+      .map { case (id, c) =>
+        (id, fixture(q).zip(c).map { case (a, b) => a.toLong * b }.sum)
+      }
+      .sortBy { case (id, d) => (-d, id) }.take(k).map(_._1)
+
+  test("ringInitEdges: no self edges, bounded outdegree, all nodes covered") {
+    import spark.implicits._
+    val e = GraphAnn.ringInitEdges(codesDf, "vec_id", k = 3, buckets = 2)
+      .as[(Long, Long)].collect()
+    assert(e.forall { case (s, d) => s != d })
+    val out = e.groupBy(_._1).view.mapValues(_.length)
+    assert(fixture.keySet.subsetOf(out.keys.toSet))
+    assert(out.values.forall(_ <= 3))
+  }
+
+  test("nnDescent converges to the exact kNN graph on a small corpus") {
+    import spark.implicits._
+    val got = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+        k = 3, rounds = 3, buckets = 2)
+      .select("src", "rn", "dst")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    fixture.keys.foreach { id =>
+      assert(got(id) === bruteTopK(id, 3), s"node $id")
+    }
+  }
+
+  test("beamServe finds the exact top-k through the graph") {
+    import spark.implicits._
+    // degree 4 in a 4+4-cluster world forces one cross-cluster edge
+    // per node, keeping the DIRECTED graph connected — the degree-vs-
+    // connectivity tradeoff every graph-ANN deployment tunes (k = 3
+    // here yields two disconnected 4-cliques and the beam provably
+    // cannot cross; graphs must be built with enough degree)
+    val graph = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+      k = 4, rounds = 3, buckets = 2)
+    val served = GraphAnn.beamServe(
+        codesDf.filter(col("vec_id").isin(1L, 6L)), graph, codesDf,
+        "vec_id", "code", entryK = 2, beam = 6, steps = 3, topK = 3)
+      .select("query_id", "rn", "neighbor_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(served(1L) === bruteTopK(1L, 3))
+    assert(served(6L) === bruteTopK(6L, 3))
+  }
+}

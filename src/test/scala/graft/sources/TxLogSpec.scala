@@ -120,6 +120,44 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("commitClustered writes two-axis stats; prunedRead2 skips on either") {
+    import spark.implicits._
+    // 4 buckets over k: files [0..24][25..49][50..74][75..99], with
+    // v = 99 - k so the second axis ranges run opposite
+    val df = (0L until 100L).map(k => (k, 99L - k)).toDF("k", "v")
+    withTable { t =>
+      TxLog.commitClustered(df, t, "overwrite", "k", "v", col("k"), 4)
+      // axis-1 prune: k in [0, 24] keeps exactly 1 of 4 files
+      val (r1, kept1, pruned1, scan1) = TxLog.prunedRead2(spark, t,
+        "k", 0L, 24L, "v", 0L, 99L)
+      assert((kept1, pruned1) === ((1, 3)))
+      assert(scan1 === 25L)
+      assert(r1.count() === 25L)
+      // axis-2 prune alone: v in [0, 24] ⇔ k in [75, 99] — also 1 file,
+      // even though the axis-1 range is unbounded
+      val (r2, kept2, pruned2, _) = TxLog.prunedRead2(spark, t,
+        "k", 0L, 99L, "v", 0L, 24L)
+      assert((kept2, pruned2) === ((1, 3)))
+      assert(r2.select(min(col("k"))).head().getLong(0) === 75L)
+      // a single-stat append (no mn2) cannot be pruned on axis 2 and
+      // must still be READ (residual row filter applies)
+      TxLog.commit(Seq((200L, 5L)).toDF("k", "v"), t, "append", "k")
+      val (r3, kept3, _, _) = TxLog.prunedRead2(spark, t,
+        "k", 0L, 999L, "v", 0L, 24L)
+      assert(kept3 === 2) // the k∈[75..99] file + the stat-less append
+      assert(r3.filter(col("k") === 200L).count() === 1L)
+      // compactClustered on the second axis re-clusters; history intact
+      TxLog.compactClustered(spark, t, "k", "v", col("v"), 4)
+      val (r4, kept4, pruned4, _) = TxLog.prunedRead2(spark, t,
+        "k", 0L, 999L, "v", 0L, 24L)
+      assert(kept4 === 1 && pruned4 === 3)
+      assert(r4.count() === 26L)
+      val (_, kept0, _, _) = TxLog.prunedRead2(spark, t,
+        "k", 0L, 24L, "v", 0L, 99L, asOf = Some(0L))
+      assert(kept0 === 1)
+    }
+  }
+
   test("orphan vacuum honours the retention grace window") {
     import spark.implicits._
     withTable { t =>
