@@ -545,6 +545,56 @@ object ScaleProbe {
           e.filter(col("vec_id") % 100 === 0), TxLog.read(spark, t),
           "vec_id", "embedding", cents, 3)
       }
+      // q449 shape: unigram-LM hard-EM trainer — all work is WORD-
+      // VOCABULARY bounded; copy-tagging multiplies the vocab ×N
+      // (disjoint token universes), the corpus-side word count rides
+      // the scan
+      time("q449_unigram", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        val words = docs.select(explode(
+            graft.operators.TextAnalysis.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .filter(length(col("word")).between(1, 10))
+        graft.operators.UnigramLm.train(words, "word", "cnt",
+          rounds = 2, maxPieceLen = 3, maxWordLen = 10, topM = 24)._1
+      }
+      // q451 shape: NN-descent graph build — candidate volume is
+      // n·C(2k,2) per round by construction; buckets scale with n so
+      // ring windows stay task-sized
+      time("q451_nn_descent", n) {
+        val codes = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            graft.operators.Similarity.quantizeInt8(col("embedding"))
+              .getField("q").as("code"))
+        graft.operators.GraphAnn.nnDescent(codes, "vec_id", "code",
+          k = 4, rounds = 2, buckets = 8 * n)
+      }
+      // q453 shape: clustered rewrite (bounds readout + bucket
+      // shuffle + stats pass) + the two-axis pruned read
+      time("q453_zorder", n) {
+        import graft.sources.TxLog
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sp_zord")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(tmp.toFile)
+        }))
+        val t = s"$tmp/tbl"
+        val hiX = (n - 1) * 100000000L + 10000L
+        TxLog.commitClustered(docs, t, "overwrite", "doc_id",
+          "n_chars", graft.functions.ZOrder.zKeyNormalized(
+            col("doc_id"), 0L, hiX, col("n_chars"), 0L, 700L, 8),
+          buckets = 16)
+        TxLog.prunedRead2(spark, t, "doc_id", 0L, 2500L,
+          "n_chars", 0L, 300L)._1
+      }
     }
     spark.stop()
   }

@@ -147,6 +147,42 @@ object GraphAnn {
       .localCheckpoint(true)
   }
 
+  /** Node DELETION with local repair (the DiskANN delete/consolidate
+    * pattern): edges FROM deleted nodes drop; every survivor that
+    * pointed AT a deleted node splices through it (candidates = the
+    * deleted node's own out-neighbors — locality is preserved because
+    * the deleted node's neighbors are near whoever pointed at it) and
+    * one top-k window re-cuts the touched lists. Work is bounded by
+    * (edges at deleted nodes) · k — never a rebuild, never all-pairs.
+    */
+  def deleteNodes(graph: DataFrame, codes: DataFrame,
+      deletedIds: DataFrame, idCol: String, codeCol: String,
+      k: Int): DataFrame = {
+    val del = deletedIds.select(col(idCol).as("__del"))
+    val liveCodes = codes.join(del, codes(idCol) === del("__del"),
+      "left_anti")
+    val e = graph.select(col("src"), col("dst"))
+    // survivors' edges, split on whether the target survives
+    val srcLive = e.join(del, e("src") === del("__del"), "left_anti")
+    val kept = srcLive.join(del, srcLive("dst") === del("__del"),
+      "left_anti")
+    val broken = srcLive.join(del.select(col("__del").as("dst")),
+      Seq("dst"), "left_semi")
+    // splice: u→d (broken) + d→w (the deleted node's out list) ⇒ u→w
+    val splice = broken.select(col("src"), col("dst").as("__mid"))
+      .join(e.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
+      .select(col("src"), col("dst"))
+      // splice targets may themselves be deleted
+      .join(del.select(col("__del").as("dst")), Seq("dst"), "left_anti")
+      .filter(col("src") =!= col("dst"))
+      // a USING-style join moves its key to column 0 — re-pin the
+      // (src, dst) order before the POSITIONAL union below
+      .select(col("src"), col("dst"))
+    scoreTopK(kept.select(col("src"), col("dst")).union(splice)
+        .distinct(), liveCodes, idCol, codeCol, k)
+      .localCheckpoint(true)
+  }
+
   /** Beam-search serve over a built neighbor graph: start every query
     * at the `entryK` fixed entry nodes (smallest salted hash — a
     * corpus-independent, deterministic pick read via one top-k), then

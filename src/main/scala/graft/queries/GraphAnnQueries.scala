@@ -7,8 +7,9 @@ import graft.Tables
 import graft.operators.{GraphAnn, Similarity}
 import graft.expressions.VectorExpressions.dotI
 
-/** q451–q452, q457: graph-based ANN (NN-descent build, beam-search
-  * serve, incremental insert) over int8 codes. The oracles replay
+/** q451–q452, q457–q458: graph-based ANN (NN-descent build,
+  * beam-search serve, incremental insert, delete/repair) over int8
+  * codes. The oracles replay
   * EVERYTHING — the int8 quantization (q109's trunc discipline), the
   * k salted hash rings, every NN-descent round (undirected
   * co-neighbor candidates → integer-dot score → top-k window), the
@@ -286,6 +287,51 @@ object GraphAnnQueries extends QueryPack {
         |  FROM qz WHERE vec_id % 100 = 0),
         |${beamCtes("s", "qq", "f", "TRUE", Steps)},
         |${bfSql("TRUE")}
+        |${servedSelect.replace("%SRV%", "ssrv")}""".stripMargin)),
+
+    // Node DELETION with local repair (the DiskANN delete/consolidate
+    // pattern): 1-in-7 nodes leave; their out-edges drop, survivors
+    // that pointed at them SPLICE through the deleted node's own out
+    // list, one top-k window re-cuts the touched lists, and serving
+    // over the repaired graph is audited against brute force over
+    // the LIVE corpus. Repair work is (edges at deleted)·k — never a
+    // rebuild.
+    "q458_graph_ann_delete" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val del = codes.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"))
+        val live = codes.filter(col("vec_id") % 7 =!= 0)
+        val repaired = GraphAnn.deleteNodes(
+          graph.select(col("src"), col("dst")), codes, del,
+          "vec_id", "code", K)
+        val queries = live.filter(col("vec_id") % 100 === 0)
+        val served = GraphAnn.beamServe(queries,
+          repaired.select(col("src"), col("dst")), live,
+          "vec_id", "code", EntryK, Beam, Steps, TopK)
+        auditExact(served, queries, live)
+      },
+      Some(s"""WITH ${graphCtes("TRUE")},
+        |keptE AS (SELECT src, dst FROM e$Rounds
+        |  WHERE src % 7 <> 0 AND dst % 7 <> 0),
+        |brokenE AS (SELECT src, dst FROM e$Rounds
+        |  WHERE src % 7 <> 0 AND dst % 7 = 0),
+        |spl AS (SELECT b.src, g.dst FROM brokenE b
+        |  JOIN e$Rounds g ON g.src = b.dst
+        |  WHERE g.dst % 7 <> 0 AND b.src <> g.dst),
+        |rc AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT * FROM keptE UNION ALL SELECT * FROM spl)),
+        |rsc AS (SELECT c.src, c.dst, ${idotSql("qs.q", "qd.q")} AS idot
+        |  FROM rc c JOIN qz qs ON qs.vec_id = c.src
+        |            JOIN qz qd ON qd.vec_id = c.dst),
+        |f AS MATERIALIZED (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY idot DESC, dst) AS rn
+        |  FROM rsc) WHERE rn <= $K),
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+        |  FROM qz WHERE vec_id % 100 = 0 AND vec_id % 7 <> 0),
+        |${beamCtes("s", "qq", "f", "vec_id % 7 <> 0", Steps)},
+        |${bfSql("z.vec_id % 7 <> 0")}
         |${servedSelect.replace("%SRV%", "ssrv")}""".stripMargin))
   )
 }

@@ -1343,6 +1343,123 @@ object SinkQueries extends QueryPack {
           |  CAST(1 AS BIGINT) AS before_eq_after
           |FROM content c
           |ORDER BY c.source""".stripMargin)
-      })
+      }),
+
+    // Log CHECKPOINT + truncation (the Delta _last_checkpoint
+    // pattern): five commits + a deletion-vector commit collapse
+    // into one parquet snapshot, the JSON files it carries are
+    // reclaimed, and the table KEEPS WORKING — a post-truncation
+    // append lands as v6 (version numbering derives from the
+    // checkpoint marker), the latest read reconciles, and time
+    // travel BELOW the truncation point still resolves from the
+    // snapshot. Log-read cost is O(commits since checkpoint).
+    "q459_txlog_checkpoint" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        val t = s"$tmp/tbl"
+        (0 to 4).foreach { c =>
+          TxLog.commit(
+            docs.filter(graft.functions.FixedPoint.idiv(
+              col("doc_id") * 5L, lit(maxId + 1L)) === c.toLong),
+            t, if (c == 0) "overwrite" else "append", "doc_id")
+        }
+        TxLog.deleteWhere(s, t, col("doc_id") % 9 === 0) // v5
+        val ck = TxLog.checkpointLog(s, t)
+        val truncated = TxLog.truncateLog(t)
+        // the log keeps working after truncation: v6 re-appends
+        // chunk 0 (new physical rows, not masked by the v5 vectors)
+        TxLog.commit(
+          docs.filter(graft.functions.FixedPoint.idiv(
+            col("doc_id") * 5L, lit(maxId + 1L)) === 0L),
+          t, "append", "doc_id")
+        val latest = TxLog.read(s, t)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt_latest"),
+            sum(col("n_chars")).as("chars_latest"))
+        val v1 = TxLog.read(s, t, Some(1L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt_v1"))
+        val jsonLeft = new java.io.File(s"$t/_log").listFiles()
+          .count(f => f.getName.startsWith("v") &&
+            f.getName.endsWith(".json")).toLong
+        materializeAndDelete(
+          latest.join(v1, Seq("source"), "full_outer")
+            .withColumn("n_versions",
+              lit(TxLog.versions(t).size.toLong))
+            .withColumn("ckpt_version", lit(ck))
+            .withColumn("n_truncated", lit(truncated))
+            .withColumn("json_left", lit(jsonLeft)), tmp)
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS top FROM documents),
+        |c AS (SELECT doc_id, source, n_chars,
+        |    (doc_id * 5) // (top + 1) AS chunk
+        |  FROM documents, m),
+        |g AS (SELECT source,
+        |    CAST(coalesce(count(*) FILTER (doc_id % 9 <> 0), 0)
+        |      + coalesce(count(*) FILTER (chunk = 0), 0)
+        |      AS BIGINT) AS cnt_latest,
+        |    CAST(coalesce(sum(n_chars) FILTER (doc_id % 9 <> 0), 0)
+        |      + coalesce(sum(n_chars) FILTER (chunk = 0), 0)
+        |      AS BIGINT) AS chars_latest,
+        |    CAST(count(*) FILTER (chunk <= 1) AS BIGINT) AS cnt_v1
+        |  FROM c GROUP BY source)
+        |SELECT source, cnt_latest, chars_latest, cnt_v1,
+        |  CAST(7 AS BIGINT) AS n_versions,
+        |  CAST(5 AS BIGINT) AS ckpt_version,
+        |  CAST(6 AS BIGINT) AS n_truncated,
+        |  CAST(1 AS BIGINT) AS json_left
+        |FROM g ORDER BY source""".stripMargin)),
+
+    // ADD-COLUMN schema evolution: an append carries a column the
+    // first commit lacks; the merged read surfaces it as null on
+    // pre-evolution rows (no file rewritten), a deletion-vector
+    // commit after the evolution still masks rows across BOTH file
+    // generations, and time travel before the evolution returns the
+    // OLD schema.
+    "q460_txlog_schema_evolution" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sev")
+        val t = s"$tmp/tbl"
+        TxLog.commit(docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars")), t, "overwrite", "doc_id")
+        TxLog.commit(docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang")),
+          t, "append", "doc_id")
+        val v0ncols = TxLog.read(s, t, Some(0L)).columns.length.toLong
+        val v0rows = TxLog.read(s, t, Some(0L)).count()
+        val before = TxLog.readMerged(s, t)
+          .groupBy(coalesce(col("lang"), lit("__pre")).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        TxLog.deleteWhere(s, t, col("doc_id") % 10 === 0)
+        val after = TxLog.readMerged(s, t)
+          .groupBy(coalesce(col("lang"), lit("__pre")).as("bucket"))
+          .agg(count(lit(1)).as("cnt_after_delete"))
+        materializeAndDelete(
+          before.join(after, Seq("bucket"), "full_outer")
+            .withColumn("v0_ncols", lit(v0ncols))
+            .withColumn("v0_rows", lit(v0rows)), tmp)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN '__pre' ELSE lang END AS bucket,
+        |    doc_id, n_chars
+        |  FROM documents),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(count(*) FILTER (doc_id % 10 <> 0) AS BIGINT)
+        |      AS cnt_after_delete
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, cnt, chars, cnt_after_delete,
+        |  CAST(2 AS BIGINT) AS v0_ncols,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 0) AS v0_rows
+        |FROM g ORDER BY bucket""".stripMargin))
   )
 }

@@ -85,13 +85,75 @@ object TxLog {
   /** Committed versions, ascending (driver-side: the log is metadata,
     * bounded by commit count, never by data volume).
     */
-  def versions(dir: String): Seq[Long] = {
+  private def jsonVersions(dir: String): Seq[Long] = {
     val d = logDir(dir)
     if (!d.isDirectory) Seq.empty
     else d.listFiles().toSeq.map(_.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted
+  }
+
+  /** Checkpoint directory (`_log/_ckpt/v{N}.parquet`): the leading
+    * underscore keeps the parquet snapshots invisible to the plain
+    * JSON directory scan (Spark's FileIndex hides `_`/`.` paths), so
+    * checkpointing never changes what un-checkpointed readers see.
+    */
+  private def ckptDir(dir: String) = new java.io.File(logDir(dir), "_ckpt")
+
+  /** Highest checkpointed version, if any. */
+  def checkpointVersion(dir: String): Option[Long] = {
+    val d = ckptDir(dir)
+    if (!d.isDirectory) None
+    else d.listFiles().toSeq.map(_.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".parquet"))
+      .map(n => n.stripPrefix("v").stripSuffix(".parquet").toLong)
+      .sorted.lastOption
+  }
+
+  def versions(dir: String): Seq[Long] = {
+    // versions are consecutive from 0 (commit always takes last+1 and
+    // truncateLog only removes entries a checkpoint carries), so the
+    // checkpointed range is 0..N by construction — derivable from the
+    // marker name alone, no snapshot read
+    val ck = checkpointVersion(dir)
+    val js = jsonVersions(dir)
+    ck.fold(js)(n => ((0L to n) ++ js.filter(_ > n)).distinct.sorted)
+  }
+
+  /** CHECKPOINT the log (the Delta `_last_checkpoint` pattern): write
+    * every log line at version ≤ latest into one parquet snapshot
+    * under `_log/_ckpt/`. Readers then load the snapshot plus only
+    * the JSON tail ABOVE it, so log-read cost stops growing with
+    * commit count — the metadata operation that keeps a table with
+    * millions of commits readable. Old JSON files stay valid (and
+    * readable by pre-checkpoint readers) until [[truncateLog]]
+    * reclaims them. Returns the checkpointed version.
+    */
+  def checkpointLog(spark: SparkSession, dir: String): Long = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"checkpoint of an empty log at $dir")
+    val n = vs.last
+    val tgt = new java.io.File(ckptDir(dir), s"v$n.parquet")
+    log(spark, dir).repartition(1)
+      .write.mode("overwrite").parquet(tgt.toString)
+    n
+  }
+
+  /** Delete the JSON log files a checkpoint already carries. Returns
+    * the number removed. Time travel at or below the checkpoint
+    * still works — the snapshot holds every line.
+    */
+  def truncateLog(dir: String): Long = {
+    val ck = checkpointVersion(dir).getOrElse(
+      throw new IllegalStateException(
+        s"no checkpoint to truncate to at $dir"))
+    val victims = jsonVersions(dir).filter(_ <= ck)
+    victims.foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(logDir(dir), s"v$v.json").toPath); ()
+    }
+    victims.size.toLong
   }
 
   /** Atomic-exclusive log publish: write the entry to a uniquely-named
@@ -186,7 +248,20 @@ object TxLog {
   /** The log as a DataFrame, optionally as of a version. */
   def log(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
-    val all = spark.read.schema(logSchema).json(logDir(dir).toString)
+    val all = checkpointVersion(dir) match {
+      case None =>
+        spark.read.schema(logSchema).json(logDir(dir).toString)
+      case Some(n) =>
+        // snapshot + the JSON tail above it: log-read cost is
+        // O(commits since checkpoint), not O(all commits)
+        val snap = spark.read.schema(logSchema)
+          .parquet(new java.io.File(ckptDir(dir), s"v$n.parquet").toString)
+        val tail = jsonVersions(dir).filter(_ > n)
+          .map(v => new java.io.File(logDir(dir), s"v$v.json").toString)
+        if (tail.isEmpty) snap
+        else snap.unionByName(
+          spark.read.schema(logSchema).json(tail: _*))
+    }
     asOf.fold(all)(v => all.filter(col("version") <= v))
   }
 
@@ -285,6 +360,39 @@ object TxLog {
         .columns.toIndexedSeq
       applyDv(scanWithPos(spark, paths.toIndexedSeq),
           liveDeleteVectors(spark, dir, asOf))
+        .select(dataCols.map(col): _*)
+    }
+  }
+
+  /** [[read]] with parquet schema MERGING across file generations —
+    * ADD-COLUMN schema evolution: an append may carry columns older
+    * files lack, and the merged read surfaces them as null on
+    * pre-evolution rows (the Delta/Iceberg add-column contract; no
+    * file is ever rewritten when the schema grows). Plain [[read]]
+    * keeps the single-footer fast path for the overwhelmingly-common
+    * stable-schema table; this entry pays the all-footers merge only
+    * where evolution is in play. Time travel BEFORE the evolution
+    * commit returns the old schema — the column simply does not
+    * exist yet at that version.
+    */
+  def readMerged(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val paths = liveFiles(spark, dir, asOf)
+      .select(col("path")).collect().map(r => resolve(dir, r.getString(0)))
+    require(paths.nonEmpty, s"no live files in tx table $dir at $asOf")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(paths.toIndexedSeq: _*)
+    val dvPaths = liveDvPaths(spark, dir, asOf)
+    if (dvPaths.isEmpty) merged
+    else {
+      val dataCols = merged.columns.toIndexedSeq
+      val withPos = spark.read.option("mergeSchema", "true")
+        .parquet(paths.toIndexedSeq: _*)
+        .withColumn("__path", expr("concat_ws('/', " +
+          "element_at(split(_metadata.file_path, '/'), -2), " +
+          "element_at(split(_metadata.file_path, '/'), -1))"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      applyDv(withPos, liveDeleteVectors(spark, dir, asOf))
         .select(dataCols.map(col): _*)
     }
   }

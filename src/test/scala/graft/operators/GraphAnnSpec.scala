@@ -47,6 +47,36 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("deleteNodes splices through deleted nodes, edges keep (src,dst) order") {
+    import spark.implicits._
+    // degree 4 so every node carries a cross-cluster edge — repair is
+    // LOCAL (kept ∪ splice-through-deleted), so exact-kNN recovery
+    // needs the candidates to cover the exact set
+    val graph = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+      k = 4, rounds = 3, buckets = 2).select(col("src"), col("dst"))
+    // delete node 3 (cluster A's best) and node 8 (cluster B's best)
+    val del = Seq(3L, 8L).toDF("vec_id")
+    val repaired = GraphAnn.deleteNodes(graph, codesDf, del,
+        "vec_id", "code", k = 3)
+      .select("src", "rn", "dst")
+      .as[(Long, Long, Long)].collect()
+    // no deleted node appears on either side
+    assert(repaired.forall { case (s0, _, d) =>
+      s0 != 3L && s0 != 8L && d != 3L && d != 8L })
+    // the repaired lists are the exact kNN over the LIVE corpus —
+    // splice candidates suffice on this fixture (and a positional
+    // src/dst swap, the bug this spec pins, would break it)
+    val live = fixture -- Seq(3L, 8L)
+    def bt(q: Long): Seq[Long] =
+      live.toSeq.filter(_._1 != q)
+        .map { case (id, c) =>
+          (id, fixture(q).zip(c).map { case (a, b) => a.toLong * b }.sum)
+        }.sortBy { case (id, d) => (-d, id) }.take(3).map(_._1)
+    val got = repaired.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    live.keys.foreach { id => assert(got(id) === bt(id), s"node $id") }
+  }
+
   test("beamServe finds the exact top-k through the graph") {
     import spark.implicits._
     // degree 4 in a 4+4-cluster world forces one cross-cluster edge

@@ -158,6 +158,47 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("checkpointLog + truncateLog: snapshot carries the log; table keeps working") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit(Seq(1L, 2L).toDF("k"), t, "overwrite", "k") // v0
+      TxLog.commit(Seq(3L).toDF("k"), t, "append", "k") // v1
+      TxLog.deleteWhere(spark, t, col("k") === 2L) // v2
+      assert(TxLog.checkpointLog(spark, t) === 2L)
+      assert(TxLog.truncateLog(t) === 3L)
+      // reads resolve from the snapshot alone
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(1L, 3L))
+      assert(TxLog.read(spark, t, Some(1L)).select("k").as[Long]
+        .collect().toSet === Set(1L, 2L, 3L))
+      assert(TxLog.versions(t) === Seq(0L, 1L, 2L))
+      // post-truncation commits number from the checkpoint marker
+      assert(TxLog.commit(Seq(9L).toDF("k"), t, "append", "k") === 3L)
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(1L, 3L, 9L))
+      // truncating again removes only the new tail's precursors (none)
+      assert(TxLog.truncateLog(t) === 0L)
+    }
+  }
+
+  test("readMerged surfaces add-column evolution as nulls on old rows") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit(Seq((1L, 10L)).toDF("k", "a"), t, "overwrite", "k")
+      TxLog.commit(Seq((2L, 20L, "x")).toDF("k", "a", "b"), t,
+        "append", "k")
+      val m = TxLog.readMerged(spark, t)
+      assert(m.columns.toSet === Set("k", "a", "b"))
+      assert(m.filter(col("k") === 1L).select("b").head().isNullAt(0))
+      // time travel before the evolution: old schema
+      assert(TxLog.read(spark, t, Some(0L)).columns.toSet === Set("k", "a"))
+      // deletion vectors mask across both generations
+      TxLog.deleteWhere(spark, t, col("k") === 1L)
+      assert(TxLog.readMerged(spark, t).select("k").as[Long]
+        .collect().toSet === Set(2L))
+    }
+  }
+
   test("orphan vacuum honours the retention grace window") {
     import spark.implicits._
     withTable { t =>
