@@ -557,6 +557,7 @@ object ScaleProbe {
             .as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           .filter(length(col("word")).between(1, 10))
+          .localCheckpoint(true) // the viterbiSegment caller contract
         graft.operators.UnigramLm.train(words, "word", "cnt",
           rounds = 2, maxPieceLen = 3, maxWordLen = 10, topM = 24)._1
       }

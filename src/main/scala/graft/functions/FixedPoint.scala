@@ -89,6 +89,35 @@ object FixedPoint {
     graft.expressions.LnPpmFx.lnPpmNative(
       num.cast("long"), den.cast("long"))
 
+  /** Driver-side Scala form of [[lnPpm]] — the IDENTICAL 54 i64 steps
+    * (same contract: den ≤ num < 2^33), for iterative trainers whose
+    * per-round score tables are driver-resident anyway (the unigram-LM
+    * piece table): scoring k bounded rows in Scala costs zero Spark
+    * actions, where a per-round agg+collect pair measurably dominated
+    * the trainer late in a long-lived JVM. Bit-identity with the
+    * column kernel is asserted in UnigramLmSpec.
+    */
+  def lnPpmLong(num: Long, den: Long): Long = {
+    require(den > 0 && num >= den && num < (1L << 33),
+      s"lnPpmLong contract violated: num=$num den=$den")
+    var m = (num * Scale) / den
+    var e = 0L
+    var i = 0
+    while (i < 34) {
+      if (m >= Scale * 2) { m >>= 1; e += 1 }
+      i += 1
+    }
+    var f = 0L
+    i = 0
+    while (i < FracBits) {
+      val sq = (m * m) >> 30
+      if (sq >= Scale * 2) { m = sq >> 1; f = f * 2 + 1 }
+      else { m = sq; f = f * 2 }
+      i += 1
+    }
+    ((e * (1L << FracBits) + f) * Ln2Fx) / (1L << FracBits)
+  }
+
   /** The portable Column-composition form of [[lnPpm]] — kept as the
     * reference formulation the native kernel must match bit-for-bit
     * (and for environments that refuse custom expressions).

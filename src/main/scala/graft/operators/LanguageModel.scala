@@ -428,4 +428,60 @@ object LanguageModel {
       .select(col("grp"), col("v_distinct"), col("n_tokens"),
         col("gini_ppm"))
   }
+
+  /** Zipf power-law fit per group: the least-squares slope of
+    * ln freq against ln rank over the group's rank-frequency table —
+    * the corpus statistic scaling-law work reads off a corpus (a
+    * healthy natural-language source sits near s ≈ 1; a synthetic or
+    * template-heavy source drifts far from it). Exact-integer
+    * end-to-end: ln values come from the fixed-point kernel in MILLI
+    * units (ppm div 1000 — caps every cross-product at ~5e8 so the
+    * i64 sums never overflow at any vocabulary size), the slope's
+    * numerator/denominator are exact integer sums, and the MAGNITUDE
+    * is emitted (slope is negative by construction; keeping operands
+    * positive sidesteps the truncate-vs-floor divide divergence on
+    * negatives between engines). Rank ties break (count desc, token
+    * asc) — total.
+    *
+    * One vocab partial agg + one per-group vocab-sized rank window +
+    * one group-row readout — [[tokenGini]]'s exact shape.
+    */
+  def zipfFit(docs: DataFrame, grpCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.FixedPoint
+    import graft.functions.FixedPoint.idiv
+    val cnt = docs
+      .select(col(grpCol).as("grp"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c").desc, col("t"))
+    cnt
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__x", idiv(FixedPoint.lnPpm(col("__r"), lit(1L)),
+        lit(1000L)))
+      .withColumn("__y", idiv(FixedPoint.lnPpm(col("c"), lit(1L)),
+        lit(1000L)))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("v_distinct"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__num", col("__sx") * col("__sy") -
+        col("v_distinct") * col("__sxy"))
+      .withColumn("__den", col("v_distinct") * col("__sxx") -
+        col("__sx") * col("__sx"))
+      // explicit sign × positive division: Spark div truncates while
+      // DuckDB // floors, so a negative operand would diverge; a
+      // single-token vocabulary has zero x-variance → slope 0
+      .withColumn("zipf_s_ppm",
+        when(col("__den") === 0L, lit(0L)).otherwise(
+          when(col("__num") < 0L, lit(-1L)).otherwise(lit(1L)) *
+            idiv(abs(col("__num")) * 1000000L, col("__den"))))
+      .select(col("grp"), col("v_distinct"), col("n_tokens"),
+        col("zipf_s_ppm"))
+  }
 }

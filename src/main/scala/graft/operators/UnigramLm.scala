@@ -80,16 +80,6 @@ object UnigramLm {
     singles.unionByName(multis)
   }
 
-  /** Piece costs −ln(w/total) in ppm over the CURRENT piece table —
-    * total is the in-table weight sum, so cost ≥ 0 always and the
-    * lnPpm num≥den contract holds by construction.
-    */
-  def pieceCosts(pieces: DataFrame): DataFrame = {
-    val total = pieces.agg(sum(col("w"))).head().getLong(0)
-    pieces.select(col("piece"), col("w"),
-      FixedPoint.lnPpm(lit(total), col("w")).as("cost"))
-  }
-
   /** Viterbi segmentation of every word under literal piece costs —
     * one per-row DP fold, zero shuffles. dp[pos] = min over piece
     * lengths l of dp[pos−l] + cost(word[pos−l+1..pos]); ties prefer
@@ -98,6 +88,14 @@ object UnigramLm {
     * and `cost` (the path total in ppm). Caller guarantees every word
     * has 1 ≤ length ≤ maxWordLen and single-char coverage (true for
     * any [[prunePieces]] output over the same corpus).
+    *
+    * CALLER CONTRACT: truncate `words`' lineage (localCheckpoint)
+    * when it derives from a corpus-sized plan — the fold is a plain
+    * projection, so every trainer action otherwise re-derives the
+    * corpus aggregation beneath it and the optimizer can end up
+    * evaluating the interpreted fold against pre-aggregation volume
+    * (measured: 2m32s → 15s at sf0.1 for one train once the
+    * 31-row vocabulary was checkpointed).
     */
   def viterbiSegment(words: DataFrame, wordCol: String,
       costs: Seq[(String, Long)], maxPieceLen: Int,
@@ -152,46 +150,64 @@ object UnigramLm {
         element_at(dp, len + 1).getField("c"))
   }
 
-  /** One hard-EM round: segment the vocabulary under `costs`, count
-    * pieces along the chosen paths weighted by word count, add-one
-    * smooth over the CURRENT piece set (keeps unused singles alive),
-    * prune, and return the new (piece, w) table.
-    */
-  def emRound(words: DataFrame, wordCol: String, cntCol: String,
-      costs: Seq[(String, Long)], maxPieceLen: Int, maxWordLen: Int,
-      topM: Int): DataFrame = {
-    val used = viterbiSegment(words, wordCol, costs, maxPieceLen,
-        maxWordLen)
-      .select(col(cntCol).as("__c"), explode(col("pieces")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("__c")).as("__used"))
-    val current = words.sparkSession.range(1)
-      .select(explode(typedLit(costs.map(_._1))).as("piece"))
-    prunePieces(
-      current.join(used, Seq("piece"), "left")
-        .select(col("piece"),
-          (coalesce(col("__used"), lit(0L)) + 1L).as("w")),
-      topM)
-  }
-
   /** Full trainer: seed → prune → score, then `rounds` hard-EM
     * rounds. Returns the final scored piece table (piece, w, cost)
-    * and the vocabulary segmented under the final costs. Driver
-    * traffic: one piece-table readout per round.
+    * and the vocabulary segmented under the final costs.
+    *
+    * Per round exactly ONE Spark action runs (the vocabulary-bounded
+    * chosen-path piece recount); pruning and the lnPpm scores are
+    * computed on the collected piece table in Scala
+    * ([[FixedPoint.lnPpmLong]], bit-identical to the column kernel —
+    * UnigramLmSpec pins it). The piece table is ≤ singles+topM rows
+    * BY CONSTRUCTION, so the driver work is constant-size; the
+    * distributed surfaces stay the E-step fold and the corpus-scale
+    * encode. (The earlier form ran an agg readout + a full-table
+    * collect per round through a DataFrame scorer — ~7 actions/train
+    * — which measurably dominated the tokenizer gates late in a
+    * long-lived benchmark JVM.)
     */
   def train(words: DataFrame, wordCol: String, cntCol: String,
       rounds: Int, maxPieceLen: Int, maxWordLen: Int,
       topM: Int): (DataFrame, DataFrame) = {
     require(rounds >= 0)
-    def readCosts(scored: DataFrame): Seq[(String, Long)] =
-      scored.select(col("piece"), col("cost")).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-    var scored = pieceCosts(prunePieces(
-      seedPieces(words, wordCol, cntCol, maxPieceLen), topM))
-    for (_ <- 1 to rounds)
-      scored = pieceCosts(emRound(words, wordCol, cntCol,
-        readCosts(scored), maxPieceLen, maxWordLen, topM))
-    val segmented = viterbiSegment(words, wordCol, readCosts(scored),
-      maxPieceLen, maxWordLen)
-    (scored, segmented)
+    def pruneSeq(pw: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val (singles, multis) = pw.partition(_._1.length == 1)
+      singles ++ multis.sortBy { case (p, w) => (-w, p) }.take(topM)
+    }
+    def toScored(pw: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val total = pw.map(_._2).sum
+      pw.map { case (p, w) =>
+        (p, w, graft.functions.FixedPoint.lnPpmLong(total, w))
+      }
+    }
+    var scored = toScored(pruneSeq(
+      seedPieces(words, wordCol, cntCol, maxPieceLen)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq))
+    for (_ <- 1 to rounds) {
+      val costs = scored.map(t => (t._1, t._3))
+      val used = viterbiSegment(words, wordCol, costs, maxPieceLen,
+          maxWordLen)
+        .select(col(cntCol).as("__c"), explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("__c")).as("__used"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // +1 smoothing over the CURRENT piece set, then prune + rescore
+      scored = toScored(pruneSeq(
+        scored.map { case (p, _, _) => (p, used.getOrElse(p, 0L) + 1L) }))
+    }
+    val segmented = viterbiSegment(words, wordCol,
+      scored.map(t => (t._1, t._3)), maxPieceLen, maxWordLen)
+    val spark = words.sparkSession
+    import scala.jdk.CollectionConverters._
+    val scoredDf = spark.createDataFrame(
+      scored.sortBy(_._1)
+        .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cost",
+          org.apache.spark.sql.types.LongType))))
+    (scoredDf, segmented)
   }
 }

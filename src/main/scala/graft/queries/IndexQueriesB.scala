@@ -1250,6 +1250,55 @@ object IndexQueriesB extends QueryPack {
     // Token-frequency Gini per source — vocabulary inequality by the
     // exact rank formula, ties totally ordered by (count, token) so
     // ranks match cross-engine.
+    // Zipf power-law fit per source: least-squares slope of ln freq
+    // vs ln rank over the rank-frequency table, every ln a milli-unit
+    // fixed-point integer and the slope an explicit-sign positive
+    // division — the corpus statistic scaling-law work reads off a
+    // source (template-heavy synthetic sources sit far from s≈1).
+    "q463_zipf_fit" -> Q(
+      (s, dir) => LanguageModel.zipfFit(
+          Tables.documents(s, dir).select(col("source"), col("text")),
+          "source", "text")
+        .select(col("grp").as("source"), col("v_distinct"),
+          col("n_tokens"), col("zipf_s_ppm"))
+        .orderBy(col("source")),
+      Some(s"""WITH RECURSIVE tk AS (
+        |  SELECT source AS grp, unnest(
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS t
+        |  FROM documents),
+        |cnt AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |rk AS MATERIALIZED (SELECT grp, t, c,
+        |    CAST(row_number() OVER (PARTITION BY grp
+        |      ORDER BY c DESC, t) AS BIGINT) AS r
+        |  FROM cnt),
+        |src AS (SELECT grp || ':x:' || r AS key, r AS num,
+        |    CAST(1 AS BIGINT) AS den FROM rk
+        |  UNION ALL
+        |  SELECT grp || ':y:' || r, c, 1 FROM rk),
+        |${graft.functions.FixedPoint.lnPpmSqlCtes("src")},
+        |vals AS (SELECT rk.grp, rk.c,
+        |    lx.ln_ppm // 1000 AS x, ly.ln_ppm // 1000 AS y
+        |  FROM rk
+        |  JOIN lnppm lx ON lx.key = rk.grp || ':x:' || rk.r
+        |  JOIN lnppm ly ON ly.key = rk.grp || ':y:' || rk.r),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS v_distinct,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM vals GROUP BY grp),
+        |f AS (SELECT grp, v_distinct, n_tokens,
+        |    sx * sy - v_distinct * sxy AS num,
+        |    v_distinct * sxx - sx * sx AS den
+        |  FROM g)
+        |SELECT grp AS source, v_distinct, n_tokens,
+        |  CASE WHEN den = 0 THEN 0
+        |       WHEN num < 0 THEN -((-num) * 1000000 // den)
+        |       ELSE num * 1000000 // den END AS zipf_s_ppm
+        |FROM f ORDER BY source""".stripMargin)),
+
     "q431_token_gini" -> Q(
       (s, dir) => LanguageModel.tokenGini(
           Tables.documents(s, dir), "source", "text")

@@ -1460,6 +1460,46 @@ object SinkQueries extends QueryPack {
         |  CAST(2 AS BIGINT) AS v0_ncols,
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
         |   WHERE doc_id % 2 = 0) AS v0_rows
-        |FROM g ORDER BY bucket""".stripMargin))
+        |FROM g ORDER BY bucket""".stripMargin)),
+
+    // RESTORE TABLE ... VERSION AS OF: after an append and a
+    // deletion-vector commit, the table is restored to v1 by a NEW
+    // overwrite — latest reads equal the v1 snapshot, while the
+    // "mistaken" v2 delete state stays time-travelable for audit.
+    // History is never rewritten; a bad restore is undone by another
+    // restore.
+    "q462_txlog_restore" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_rst")
+        val t = s"$tmp/tbl"
+        TxLog.commit(docs.filter(col("doc_id") % 2 === 0), t,
+          "overwrite", "doc_id") // v0
+        TxLog.commit(docs.filter(col("doc_id") % 2 === 1), t,
+          "append", "doc_id") // v1: full corpus
+        TxLog.deleteWhere(s, t, col("doc_id") % 3 === 0) // v2: mistake
+        val v = TxLog.restore(s, t, toVersion = 1L, "doc_id") // v3
+        val latest = TxLog.read(s, t)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        val atMistake = TxLog.read(s, t, Some(2L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt_v2"))
+        materializeAndDelete(
+          latest.join(atMistake, Seq("source"), "full_outer")
+            .withColumn("restored_version", lit(v)), tmp)
+          .orderBy(col("source"))
+      },
+      Some("""WITH l AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt_v2
+        |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1)
+        |SELECT l.source, cnt, chars, cnt_v2,
+        |  CAST(3 AS BIGINT) AS restored_version
+        |FROM l FULL OUTER JOIN m ON l.source = m.source
+        |ORDER BY l.source""".stripMargin))
   )
 }

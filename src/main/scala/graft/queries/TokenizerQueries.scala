@@ -26,7 +26,7 @@ object TokenizerQueries extends QueryPack {
 
   /** Word vocabulary + seed pieces + round-0 scores. Mirrors
     * [[UnigramLm.seedPieces]]/[[UnigramLm.prunePieces]]/
-    * [[UnigramLm.pieceCosts]].
+    * the driver-side prune+rescore inside [[UnigramLm.train]].
     */
   private def headCtes: String =
     s"""tok AS (
@@ -128,6 +128,7 @@ object TokenizerQueries extends QueryPack {
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .filter(length(col("word")).between(1, MaxWordLen))
+      .localCheckpoint(true)
     UnigramLm.train(words, "word", "cnt", rounds = Rounds,
       maxPieceLen = MaxPieceLen, maxWordLen = MaxWordLen, topM = TopM)
   }
@@ -152,10 +153,6 @@ object TokenizerQueries extends QueryPack {
         |SELECT piece, w, cost FROM cost$Rounds
         |ORDER BY piece""".stripMargin)),
 
-    // Viterbi segmentation of the word vocabulary under the trained
-    // scores — the inference path (corpus-scale encode is then one
-    // broadcast word→pieces join away, q110's shape). Gates the
-    // chosen pieces, their count, and the exact path cost per word.
     // Corpus-scale unigram ENCODE (tokenizer inference over
     // documents): per-doc token and piece counts via a broadcast
     // word→n_pieces join against the trained segmentation — q110's
@@ -202,6 +199,78 @@ object TokenizerQueries extends QueryPack {
         |FROM documents doc LEFT JOIN enc ON enc.doc_id = doc.doc_id
         |ORDER BY doc.doc_id""".stripMargin)),
 
+    // Unigram-LM perplexity quality filter — the trained tokenizer
+    // put to its pipeline use: each doc's tokens join the segmented
+    // vocab (broadcast), the doc's total path cost (Σ −ln p, ppm) and
+    // piece count roll up, and avg cost per piece gates a keep flag —
+    // an exact-integer "bits per token" proxy, the perplexity filter
+    // every corpus pipeline runs with a small LM. Words longer than
+    // maxWordLen (excluded from training) are excluded from scoring
+    // and counted separately.
+    "q461_unigram_ppl_filter" -> Q(
+      (s, dir) => {
+        val (_, segmented) = trained(s, dir)
+        val docs = Tables.documents(s, dir)
+        val costs = segmented.select(col("word").as("__w"),
+          col("n_pieces").as("__np"), col("cost").as("__c"))
+        val enc = docs
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("__w"))
+          .join(broadcast(costs), Seq("__w"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__np").isNull, 1L).otherwise(0L))
+              .as("n_unscored"),
+            coalesce(sum(col("__np")), lit(0L)).as("n_pieces"),
+            coalesce(sum(col("__c")), lit(0L)).as("cost_ppm"))
+        docs.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_unscored"), lit(0L)).as("n_unscored"),
+            coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+            coalesce(col("cost_ppm"), lit(0L)).as("cost_ppm"))
+          .withColumn("avg_piece_cost_ppm",
+            when(col("n_pieces") === 0L, lit(0L))
+              .otherwise(graft.functions.FixedPoint.idiv(
+                col("cost_ppm"), col("n_pieces"))))
+          .withColumn("keep", col("n_pieces") > 0L &&
+            col("avg_piece_cost_ppm") <= 3500000L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $trainCtes,
+        |${dpCtes(Rounds)},
+        |${btCtes(Rounds)},
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces,
+        |    min(c) AS cost
+        |  FROM bt$Rounds GROUP BY word),
+        |dtok AS (SELECT doc_id,
+        |    unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS word
+        |  FROM documents),
+        |enc AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN wc.word IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unscored,
+        |    CAST(coalesce(sum(wc.n_pieces), 0) AS BIGINT) AS n_pieces,
+        |    CAST(coalesce(sum(wc.cost), 0) AS BIGINT) AS cost_ppm
+        |  FROM dtok d LEFT JOIN wc ON wc.word = d.word
+        |  GROUP BY d.doc_id)
+        |SELECT doc.doc_id,
+        |  coalesce(enc.n_tokens, 0) AS n_tokens,
+        |  coalesce(enc.n_unscored, 0) AS n_unscored,
+        |  coalesce(enc.n_pieces, 0) AS n_pieces,
+        |  coalesce(enc.cost_ppm, 0) AS cost_ppm,
+        |  CASE WHEN coalesce(enc.n_pieces, 0) = 0 THEN 0
+        |    ELSE enc.cost_ppm // enc.n_pieces END AS avg_piece_cost_ppm,
+        |  coalesce(enc.n_pieces, 0) > 0 AND (CASE
+        |    WHEN coalesce(enc.n_pieces, 0) = 0 THEN 0
+        |    ELSE enc.cost_ppm // enc.n_pieces END) <= 3500000 AS keep
+        |FROM documents doc LEFT JOIN enc ON enc.doc_id = doc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin)),
+
+    // Viterbi segmentation of the word vocabulary under the trained
+    // scores — the inference path (corpus-scale encode is q456's
+    // broadcast join away, q110's shape). Gates the chosen pieces,
+    // their count, and the exact path cost per word.
     "q450_unigram_segment" -> Q(
       (s, dir) => {
         val (_, segmented) = trained(s, dir)

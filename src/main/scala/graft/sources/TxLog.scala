@@ -364,6 +364,21 @@ object TxLog {
     }
   }
 
+  /** RESTORE (the Delta RESTORE TABLE ... VERSION AS OF command):
+    * make version `toVersion`'s content the CURRENT table state by
+    * committing it as a new overwrite — history is never rewritten
+    * (the mistaken versions stay time-travelable for audit; a bad
+    * restore is undone by another restore). Data files of the target
+    * snapshot are immutable and re-read once for the rewrite; on a
+    * table format with file-level manifests this could be a pure
+    * metadata commit re-pointing at the old files — the rewrite keeps
+    * this implementation's "live set starts at the last overwrite"
+    * invariant instead. Returns the new version.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long,
+      statCol: String): Long =
+    commit(read(spark, dir, Some(toVersion)), dir, "overwrite", statCol)
+
   /** [[read]] with parquet schema MERGING across file generations —
     * ADD-COLUMN schema evolution: an append may carry columns older
     * files lack, and the merged read surfaces them as null on

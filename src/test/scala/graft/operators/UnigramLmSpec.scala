@@ -73,4 +73,16 @@ class UnigramLmSpec extends SparkSpec {
     // costs are -ln(w/total) ≥ 0 and finite
     assert(scored.filter(col("cost") < 0L).count() === 0L)
   }
+
+  test("lnPpmLong is bit-identical to the column lnPpm kernel") {
+    import spark.implicits._
+    val probes = Seq((1L, 1L), (2L, 1L), (3L, 2L), (1000L, 7L),
+      (1000000L, 999999L), ((1L << 33) - 1L, 1L), (98765L, 43L))
+    val fromCol = probes.toDF("num", "den")
+      .select(graft.functions.FixedPoint.lnPpm(col("num"), col("den")))
+      .as[Long].collect().toSeq
+    val fromScala = probes.map { case (n, d) =>
+      graft.functions.FixedPoint.lnPpmLong(n, d) }
+    assert(fromCol === fromScala)
+  }
 }

@@ -181,6 +181,24 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("restore re-points the table at an old version; history intact") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit(Seq(1L, 2L, 3L).toDF("k"), t, "overwrite", "k") // v0
+      TxLog.deleteWhere(spark, t, col("k") === 2L) // v1: mistake
+      assert(TxLog.restore(spark, t, toVersion = 0L, "k") === 2L)
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(1L, 2L, 3L))
+      // the mistaken state stays auditable
+      assert(TxLog.read(spark, t, Some(1L)).select("k").as[Long]
+        .collect().toSet === Set(1L, 3L))
+      // a restore is itself restorable
+      assert(TxLog.restore(spark, t, toVersion = 1L, "k") === 3L)
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(1L, 3L))
+    }
+  }
+
   test("readMerged surfaces add-column evolution as nulls on old rows") {
     import spark.implicits._
     withTable { t =>
