@@ -1500,6 +1500,45 @@ object SinkQueries extends QueryPack {
         |SELECT l.source, cnt, chars, cnt_v2,
         |  CAST(3 AS BIGINT) AS restored_version
         |FROM l FULL OUTER JOIN m ON l.source = m.source
-        |ORDER BY l.source""".stripMargin))
+        |ORDER BY l.source""".stripMargin)),
+
+    // Constraint-gated commit (Delta CHECK / DLT expectations with
+    // quarantine routing): a batch splits at the commit boundary —
+    // rows passing the expectation land in the table, violators
+    // (including NULL evaluations, strict semantics) land in a
+    // quarantine table; neither the dataset is poisoned nor the
+    // batch failed. Both tables' contents and versions hash-gate.
+    "q464_expectation_commit" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_expq")
+        val t = s"$tmp/tbl"
+        val qd = s"$tmp/quarantine"
+        val (v, qv) = TxLog.commitWithExpectations(docs, t, qd,
+          "overwrite", "doc_id", col("n_chars") >= 100L)
+        val good = TxLog.read(s, t).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_ok"), sum(col("n_chars")).as("chars_ok"))
+        val badT = TxLog.read(s, qd).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_quarantined"))
+        materializeAndDelete(
+          good.join(badT, Seq("source"), "full_outer")
+            .withColumn("table_version", lit(v))
+            .withColumn("quarantine_version", lit(qv)), tmp)
+          .orderBy(col("source"))
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ok,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_ok
+        |  FROM documents WHERE n_chars >= 100 GROUP BY 1),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quarantined
+        |  FROM documents WHERE NOT coalesce(n_chars >= 100, FALSE)
+        |  GROUP BY 1)
+        |SELECT coalesce(g.source, b.source) AS source, n_ok, chars_ok,
+        |  n_quarantined,
+        |  CAST(0 AS BIGINT) AS table_version,
+        |  CAST(0 AS BIGINT) AS quarantine_version
+        |FROM g FULL OUTER JOIN b ON g.source = b.source
+        |ORDER BY source""".stripMargin))
   )
 }

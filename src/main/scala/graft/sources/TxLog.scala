@@ -364,6 +364,30 @@ object TxLog {
     }
   }
 
+  /** Constraint-gated commit (the Delta CHECK-constraint / DLT
+    * expectations pattern, quarantine form): rows satisfying
+    * `constraint` commit to the table; violators — including rows
+    * where the constraint evaluates to NULL, which strict
+    * expectation semantics treat as failures — commit to the
+    * `quarantineDir` table instead of poisoning the dataset or
+    * failing the batch. Either side being empty skips that side's
+    * commit (healthy batches quarantine nothing). Two filtered scans
+    * of the batch — the standard split; at 100 TB the batch is the
+    * ingest micro-batch, never the table. Returns
+    * (tableVersion, quarantineVersion), -1 for a skipped side.
+    */
+  def commitWithExpectations(df: DataFrame, dir: String,
+      quarantineDir: String, mode: String, statCol: String,
+      constraint: org.apache.spark.sql.Column): (Long, Long) = {
+    val ok = coalesce(constraint, lit(false))
+    val valid = df.filter(ok)
+    val bad = df.filter(!ok)
+    val v = if (valid.isEmpty) -1L else commit(valid, dir, mode, statCol)
+    val q = if (bad.isEmpty) -1L
+      else commit(bad, quarantineDir, mode, statCol)
+    (v, q)
+  }
+
   /** RESTORE (the Delta RESTORE TABLE ... VERSION AS OF command):
     * make version `toVersion`'s content the CURRENT table state by
     * committing it as a new overwrite — history is never rewritten

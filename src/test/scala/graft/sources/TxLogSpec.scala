@@ -181,6 +181,33 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("commitWithExpectations splits valid/violating; empty side skipped") {
+    import spark.implicits._
+    withTable { t =>
+      val q = s"$t-quarantine"
+      // null constraint evaluations are violations (strict semantics)
+      val df = Seq((1L, Some(5L)), (2L, Some(50L)), (3L, None))
+        .toDF("k", "v")
+      val (ver, qver) = TxLog.commitWithExpectations(df, t, q,
+        "overwrite", "k", col("v") >= 10L)
+      assert(ver === 0L && qver === 0L)
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(2L))
+      assert(TxLog.read(spark, q).select("k").as[Long].collect().toSet
+        === Set(1L, 3L))
+      // a fully-valid batch quarantines nothing: no quarantine commit
+      val (v2, q2) = TxLog.commitWithExpectations(
+        Seq((9L, Some(99L))).toDF("k", "v"), t, q, "append", "k",
+        col("v") >= 10L)
+      assert(v2 === 1L && q2 === -1L)
+      assert(TxLog.versions(q) === Seq(0L))
+      // clean up the quarantine dir (outside withTable's tmp)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(q)).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+
   test("restore re-points the table at an old version; history intact") {
     import spark.implicits._
     withTable { t =>
