@@ -1539,6 +1539,43 @@ object SinkQueries extends QueryPack {
         |  CAST(0 AS BIGINT) AS table_version,
         |  CAST(0 AS BIGINT) AS quarantine_version
         |FROM g FULL OUTER JOIN b ON g.source = b.source
+        |ORDER BY source""".stripMargin)),
+
+    // IDEMPOTENT commit (Delta txnAppId/txnVersion): batch 1 lands,
+    // its REPLAY is a no-op (the at-least-once upstream's retry),
+    // batch 2 lands — exactly-once ingest without the upstream
+    // having to be exactly-once. Final content, version count, and
+    // all three commit outcomes hash-gate.
+    "q465_idempotent_commit" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_idem")
+        val t = s"$tmp/tbl"
+        val b1 = docs.filter(col("doc_id") % 2 === 0)
+        val b2 = docs.filter(col("doc_id") % 2 === 1)
+        val first = TxLog.commitIdempotent(b1, t, "overwrite",
+          "doc_id", "ingest", batchId = 1L)
+        val replay = TxLog.commitIdempotent(b1, t, "append",
+          "doc_id", "ingest", batchId = 1L)
+        val second = TxLog.commitIdempotent(b2, t, "append",
+          "doc_id", "ingest", batchId = 2L)
+        val out = TxLog.read(s, t).groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+          .withColumn("first_v", lit(first.getOrElse(-1L)))
+          .withColumn("replay_skipped", lit(replay.isEmpty))
+          .withColumn("second_v", lit(second.getOrElse(-1L)))
+          .withColumn("n_versions", lit(TxLog.versions(t).size.toLong))
+        materializeAndDelete(out, tmp).orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(0 AS BIGINT) AS first_v,
+        |  TRUE AS replay_skipped,
+        |  CAST(1 AS BIGINT) AS second_v,
+        |  CAST(2 AS BIGINT) AS n_versions
+        |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin))
   )
 }

@@ -71,7 +71,11 @@ object TxLog {
     // dataSkippingNumIndexedCols idea at its minimum useful arity.
     // Null on files committed by single-stat writers.
     StructField("mn2", LongType),
-    StructField("mx2", LongType)))
+    StructField("mx2", LongType),
+    // writer transaction identity "appId:batchId" ([[commitIdempotent]]):
+    // the exactly-once dedup key for at-least-once upstreams. Null on
+    // commits without one.
+    StructField("txn", StringType)))
 
   private def logDir(dir: String) = new java.io.File(dir, "_log")
 
@@ -179,7 +183,8 @@ object TxLog {
     * someone else between the caller's version check and here.
     */
   private def writeDataAndPublish(df: DataFrame, dir: String, v: Long,
-      dataRel: String, mode: String, statCol: String): Unit = {
+      dataRel: String, mode: String, statCol: String,
+      txn: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val dataAbs = new java.io.File(dir, dataRel).toString
     df.write.parquet(dataAbs)
@@ -194,10 +199,40 @@ object TxLog {
         (s"$dataRel/$name", r.getLong(1), r.getLong(2), r.getLong(3))
       }
       .sortBy(_._1)
+    val txnField = txn.fold("")(t => s""","txn":"$t"""")
     val lines = stats.map { case (p, n, mn, mx) =>
-      s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,"mn":$mn,"mx":$mx}"""
+      s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,"mn":$mn,"mx":$mx$txnField}"""
     }
     publishLog(dir, v, lines.toIndexedSeq)
+  }
+
+  /** IDEMPOTENT commit (Delta's txnAppId/txnVersion): the commit
+    * carries a writer transaction identity, and a re-commit of the
+    * SAME (appId, batchId) is a NO-OP — the exactly-once primitive an
+    * at-least-once upstream (foreachBatch retries, replayed queues)
+    * needs. The dedup probe is one filter over the log (metadata,
+    * commit-count-bounded). Returns Some(version) when the commit
+    * landed, None when the transaction had already been applied.
+    * appId must not contain '"' or ':' (it travels in the JSON log
+    * and the key joins with ':').
+    */
+  def commitIdempotent(df: DataFrame, dir: String, mode: String,
+      statCol: String, appId: String, batchId: Long): Option[Long] = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    require(!appId.contains("\"") && !appId.contains(":"),
+      s"appId must be JSON/key-safe, got $appId")
+    val txn = s"$appId:$batchId"
+    val vs = versions(dir)
+    val applied = vs.nonEmpty &&
+      !log(df.sparkSession, dir).filter(col("txn") === txn).isEmpty
+    if (applied) None
+    else {
+      val v = vs.lastOption.map(_ + 1).getOrElse(0L)
+      writeDataAndPublish(df, dir, v, s"data-v$v", mode, statCol,
+        Some(txn))
+      Some(v)
+    }
   }
 
   /** Commit a DataFrame as the next table version (single-writer

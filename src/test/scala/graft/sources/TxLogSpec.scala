@@ -208,6 +208,30 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("commitIdempotent: replayed (appId, batchId) is a no-op") {
+    import spark.implicits._
+    withTable { t =>
+      assert(TxLog.commitIdempotent(Seq(1L, 2L).toDF("k"), t,
+        "overwrite", "k", "app", 7L) === Some(0L))
+      // the retry: same transaction, different payload — still a no-op
+      assert(TxLog.commitIdempotent(Seq(99L).toDF("k"), t,
+        "append", "k", "app", 7L) === None)
+      assert(TxLog.commitIdempotent(Seq(3L).toDF("k"), t,
+        "append", "k", "app", 8L) === Some(1L))
+      // a DIFFERENT app's batch 7 is its own transaction
+      assert(TxLog.commitIdempotent(Seq(4L).toDF("k"), t,
+        "append", "k", "other", 7L) === Some(2L))
+      assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet
+        === Set(1L, 2L, 3L, 4L))
+      // dedup survives a log checkpoint + truncation (the txn column
+      // travels into the snapshot)
+      TxLog.checkpointLog(spark, t)
+      TxLog.truncateLog(t)
+      assert(TxLog.commitIdempotent(Seq(98L).toDF("k"), t,
+        "append", "k", "app", 8L) === None)
+    }
+  }
+
   test("restore re-points the table at an old version; history intact") {
     import spark.implicits._
     withTable { t =>
