@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 464 distinct queries' whole-stage-codegen classes overflow the
+  // default 240 MB JIT code cache late in a bench run — the JIT then
+  // stops compiling and the tail of the suite runs ~2× slower than
+  // the same plans idle (VERDICT r10 item 3).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -26,6 +26,16 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // even with the UI off, the app-status store retains up to 1000
+      // SQL executions (each holding the FULL physical-plan string —
+      // MBs for the iterative plans here) and 100k task wrappers; over
+      // a 464-query bench run that is GBs of driver heap retention and
+      // the GC pressure behind the r10 "driver medians 2× idle" drift
+      // (VERDICT r10 item 3). Keep only a handful.
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "64")
+      .config("spark.ui.retainedStages", "128")
+      .config("spark.ui.retainedTasks", "2048")
       // managed tables (the bucketed-join path, q164) land in a temp
       // warehouse, never the working directory; the in-memory catalog
       // (no Hive) keeps the metastore off disk entirely

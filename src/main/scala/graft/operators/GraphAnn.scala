@@ -194,11 +194,43 @@ object GraphAnn {
   def beamServe(queries: DataFrame, graph: DataFrame, codes: DataFrame,
       idCol: String, codeCol: String, entryK: Int, beam: Int,
       steps: Int, topK: Int): DataFrame = {
-    require(entryK >= 1 && beam >= 1 && steps >= 0 && topK >= 1)
+    require(steps >= 0)
+    beamCore(queries, codes, codes, Seq((graph, steps)), idCol,
+      codeCol, entryK, beam, topK)
+  }
+
+  /** HNSW-style LAYERED serve: descend a stack of graphs from
+    * sparsest to densest — a few beam steps over a hash-sampled
+    * upper layer route the beam into the right region of the full
+    * graph, so the expensive bottom-layer expansion needs fewer
+    * steps for the same recall (Malkov & Yashunin 2016, reduced to
+    * deterministic layers: level membership is a salted-hash
+    * sample, not an RNG draw, so the whole descent replays in SQL).
+    *
+    * `layers` runs top→bottom as (edges, steps); entry points are
+    * the `entryK` smallest `:entry`-hash nodes of `topNodes` (the
+    * top layer's membership set). The beam state carries over from
+    * each layer into the next — exactly the HNSW ef-search handoff.
+    * At 100 TB: the upper layers are corpus-fraction-sized (fanout^-L
+    * of the corpus), so their expansion joins touch a sliver of the
+    * edge table; the state stays queries×beam rows throughout.
+    */
+  def beamServeLayered(queries: DataFrame, layers: Seq[(DataFrame, Int)],
+      topNodes: DataFrame, codes: DataFrame, idCol: String,
+      codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame = {
+    require(layers.nonEmpty && layers.forall(_._2 >= 0))
+    beamCore(queries, codes, topNodes, layers, idCol, codeCol, entryK,
+      beam, topK)
+  }
+
+  private def beamCore(queries: DataFrame, codes: DataFrame,
+      entryPool: DataFrame, layers: Seq[(DataFrame, Int)], idCol: String,
+      codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && topK >= 1)
     val q = queries.select(col(idCol).as("query_id"),
       col(codeCol).as("__qc"))
     val cs = codes.select(col(idCol).as("node"), col(codeCol).as("__nc"))
-    val entry = codes
+    val entry = entryPool
       .select(col(idCol).as("node"),
         saltedHash60(col(idCol), ":entry").as("__h"))
       .orderBy(col("__h"), col("node")).limit(entryK)
@@ -210,7 +242,7 @@ object GraphAnn {
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("idot").desc, col("node"))
     var st = scored(q.select(col("query_id")).crossJoin(broadcast(entry)))
-    for (_ <- 1 to steps) {
+    for ((graph, steps) <- layers; _ <- 1 to steps) {
       val exp = scored(
         st.select(col("query_id"), col("node").as("src"))
           .join(graph.select(col("src"), col("dst")), "src")

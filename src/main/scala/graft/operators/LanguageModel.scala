@@ -435,9 +435,11 @@ object LanguageModel {
     * healthy natural-language source sits near s ≈ 1; a synthetic or
     * template-heavy source drifts far from it). Exact-integer
     * end-to-end: ln values come from the fixed-point kernel in MILLI
-    * units (ppm div 1000 — caps every cross-product at ~5e8 so the
-    * i64 sums never overflow at any vocabulary size), the slope's
-    * numerator/denominator are exact integer sums, and the MAGNITUDE
+    * units (ppm div 1000 — caps every per-row cross-product at ~5e8
+    * so the i64 SUMS never overflow at any vocabulary size; the
+    * slope's sum-of-sums products sx·sy / n·sxy can still exceed i64
+    * near 10^6 distinct tokens, so those are formed in decimal(38,0)
+    * — exact, and mirrored by HUGEINT in the oracle), and the MAGNITUDE
     * is emitted (slope is negative by construction; keeping operands
     * positive sidesteps the truncate-vs-floor divide divergence on
     * negatives between engines). Rank ties break (count desc, token
@@ -470,10 +472,14 @@ object LanguageModel {
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"))
-      .withColumn("__num", col("__sx") * col("__sy") -
-        col("v_distinct") * col("__sxy"))
-      .withColumn("__den", col("v_distinct") * col("__sxx") -
-        col("__sx") * col("__sx"))
+      // decimal(38,0) keeps these exact past the ~10^6-distinct-token
+      // point where the i64 products sx·sy / n·sxy / sx² would wrap
+      .withColumn("__num",
+        col("__sx").cast("decimal(38,0)") * col("__sy") -
+          col("v_distinct").cast("decimal(38,0)") * col("__sxy"))
+      .withColumn("__den",
+        col("v_distinct").cast("decimal(38,0)") * col("__sxx") -
+          col("__sx").cast("decimal(38,0)") * col("__sx"))
       // explicit sign × positive division: Spark div truncates while
       // DuckDB // floors, so a negative operand would diverge; a
       // single-token vocabulary has zero x-variance → slope 0

@@ -99,7 +99,45 @@ object UnigramLm {
     */
   def viterbiSegment(words: DataFrame, wordCol: String,
       costs: Seq[(String, Long)], maxPieceLen: Int,
-      maxWordLen: Int): DataFrame = {
+      maxWordLen: Int): DataFrame =
+    viterbiCore(words, wordCol, costs, maxPieceLen, maxWordLen, None)
+
+  /** Subword-REGULARIZATION sampling (Kudo 2018 §3, made replayable):
+    * instead of drawing a segmentation from P(seg|word) with RNG
+    * state, every piece OCCURRENCE's cost is perturbed by a salted
+    * hash of (word, end position, piece, salt) modulo `jitterPpm`
+    * and the SAME Viterbi DP picks the min-perturbed-cost path — the
+    * Gumbel/perturb-and-MAP trick with a hash in place of the Gumbel
+    * draw. The sampled path is a pure function of (word, salt):
+    * different salts give independent segmentation samples of the
+    * same word (the data-augmentation epochs subword regularization
+    * exists for), and every sample replays in SQL verbatim.
+    * `jitterPpm` is the temperature knob: 0 degenerates to the
+    * 1-best path; values comparable to the cost gaps between
+    * competing paths flip them with hash-uniform probability.
+    *
+    * The emitted `cost` is the TRUE (unperturbed) path cost of the
+    * sampled segmentation — recomputed from the chosen pieces — so
+    * downstream perplexity readouts stay honest; `cost_perturbed`
+    * is the DP objective that selected it.
+    */
+  def sampleSegment(words: DataFrame, wordCol: String,
+      costs: Seq[(String, Long)], maxPieceLen: Int, maxWordLen: Int,
+      salt: String, jitterPpm: Long): DataFrame = {
+    require(jitterPpm >= 1)
+    val costMap = typedLit(costs.toMap)
+    val out = viterbiCore(words, wordCol, costs, maxPieceLen,
+      maxWordLen, Some((salt, jitterPpm)))
+    out
+      .withColumn("cost_perturbed", col("cost"))
+      .withColumn("cost",
+        aggregate(col("pieces"), lit(0L),
+          (acc, p) => acc + coalesce(element_at(costMap, p), lit(Inf))))
+  }
+
+  private def viterbiCore(words: DataFrame, wordCol: String,
+      costs: Seq[(String, Long)], maxPieceLen: Int,
+      maxWordLen: Int, jitter: Option[(String, Long)]): DataFrame = {
     require(costs.nonEmpty && maxPieceLen >= 1 && maxWordLen >= 1)
     val costMap = typedLit(costs.toMap)
     val w = col(wordCol)
@@ -118,9 +156,18 @@ object UnigramLm {
           (acc, l) =>
             val prev = element_at(st,
               greatest(lit(1), pos - lit(l) + 1)).getField("c")
-            val pc = coalesce(
-              element_at(costMap, w.substr(pos - lit(l) + 1, lit(l))),
-              lit(Inf))
+            val piece = w.substr(pos - lit(l) + 1, lit(l))
+            val pc = jitter match {
+              case None => coalesce(element_at(costMap, piece), lit(Inf))
+              case Some((salt, j)) =>
+                // per-OCCURRENCE perturbation: a null map lookup stays
+                // null through the add, so unknown pieces still fall
+                // to Inf via the coalesce
+                val h = conv(substring(md5(concat(w, lit(":"),
+                  pos.cast("string"), lit(":"), piece, lit(":"),
+                  lit(salt))), 1, 15), 16, 10).cast("long")
+                coalesce(element_at(costMap, piece) + h % j, lit(Inf))
+            }
             val cc = prev + pc
             when(lit(l) <= pos && cc < acc.getField("c"),
               struct(cc.as("c"), lit(l).as("bl"))).otherwise(acc)
@@ -170,6 +217,11 @@ object UnigramLm {
       rounds: Int, maxPieceLen: Int, maxWordLen: Int,
       topM: Int): (DataFrame, DataFrame) = {
     require(rounds >= 0)
+    // enforce the documented contract here rather than relying on the
+    // caller: over-long words would index the Viterbi arrays past
+    // maxWordLen and silently vanish from the M-step recount
+    val words0 = words.filter(
+      length(col(wordCol)).between(1, maxWordLen))
     def pruneSeq(pw: Seq[(String, Long)]): Seq[(String, Long)] = {
       val (singles, multis) = pw.partition(_._1.length == 1)
       singles ++ multis.sortBy { case (p, w) => (-w, p) }.take(topM)
@@ -180,12 +232,18 @@ object UnigramLm {
         (p, w, graft.functions.FixedPoint.lnPpmLong(total, w))
       }
     }
-    var scored = toScored(pruneSeq(
-      seedPieces(words, wordCol, cntCol, maxPieceLen)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq))
+    // Prune DISTRIBUTED before collecting: the raw seed pool is one
+    // row per distinct substring of the word vocabulary (10^8+ at
+    // corpus scale); [[prunePieces]] cuts it to ≤ singles+topM rows
+    // on the cluster under the same (w desc, piece asc) total order
+    // as pruneSeq, so only the bounded table ever reaches the driver.
+    var scored = toScored(
+      prunePieces(seedPieces(words0, wordCol, cntCol, maxPieceLen), topM)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (p, w) => (-w, p) })
     for (_ <- 1 to rounds) {
       val costs = scored.map(t => (t._1, t._3))
-      val used = viterbiSegment(words, wordCol, costs, maxPieceLen,
+      val used = viterbiSegment(words0, wordCol, costs, maxPieceLen,
           maxWordLen)
         .select(col(cntCol).as("__c"), explode(col("pieces")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("__c")).as("__used"))
@@ -194,7 +252,7 @@ object UnigramLm {
       scored = toScored(pruneSeq(
         scored.map { case (p, _, _) => (p, used.getOrElse(p, 0L) + 1L) }))
     }
-    val segmented = viterbiSegment(words, wordCol,
+    val segmented = viterbiSegment(words0, wordCol,
       scored.map(t => (t._1, t._3)), maxPieceLen, maxWordLen)
     val spark = words.sparkSession
     import scala.jdk.CollectionConverters._

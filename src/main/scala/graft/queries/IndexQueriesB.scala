@@ -1290,13 +1290,15 @@ object IndexQueriesB extends QueryPack {
         |    CAST(sum(x * x) AS BIGINT) AS sxx
         |  FROM vals GROUP BY grp),
         |f AS (SELECT grp, v_distinct, n_tokens,
-        |    sx * sy - v_distinct * sxy AS num,
-        |    v_distinct * sxx - sx * sx AS den
+        |    CAST(sx AS HUGEINT) * sy
+        |      - CAST(v_distinct AS HUGEINT) * sxy AS num,
+        |    CAST(v_distinct AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS den
         |  FROM g)
         |SELECT grp AS source, v_distinct, n_tokens,
-        |  CASE WHEN den = 0 THEN 0
+        |  CAST(CASE WHEN den = 0 THEN 0
         |       WHEN num < 0 THEN -((-num) * 1000000 // den)
-        |       ELSE num * 1000000 // den END AS zipf_s_ppm
+        |       ELSE num * 1000000 // den END AS BIGINT) AS zipf_s_ppm
         |FROM f ORDER BY source""".stripMargin)),
 
     "q431_token_gini" -> Q(

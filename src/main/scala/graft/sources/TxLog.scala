@@ -752,8 +752,14 @@ object TxLog {
     val (cmin, cmax) = (bounds.getLong(0), bounds.getLong(1))
     require(cmin >= 0L, s"cluster key must be nonnegative, saw $cmin")
     val width = (cmax - cmin) / buckets + 1
+    // exact integer bucketing: Column '/' is double division, which
+    // loses precision for cluster keys >= 2^53 (the API admits any
+    // nonnegative long, e.g. a 60-bit salted hash) and could route a
+    // row to a neighbouring bucket — breaking the "layout is a pure
+    // function of the data" contract
     val withB = df.withColumn("__zb",
-      ((clusterCol - cmin) / width).cast("long").cast("string"))
+      graft.functions.FixedPoint.idiv(clusterCol - cmin, lit(width))
+        .cast("string"))
     val v = versions(dir).lastOption.map(_ + 1).getOrElse(0L)
     val dataRel = s"data-v$v"
     val dataAbs = new java.io.File(dir, dataRel).toString

@@ -506,7 +506,15 @@ object Streams {
         }
         .start()
         .awaitTermination()
-      spark.read.parquet(outDir)
+      // zero micro-batches (empty input) → foreachBatch never ran and
+      // outDir was never created; return an empty frame of the
+      // aggregated schema instead of a path-not-found from the read
+      if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        batchAgg(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          df.schema)).schema)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       rm(ckpt.toFile) // one-shot run; no replay value
