@@ -26,6 +26,10 @@ object GraphAnnQueries extends QueryPack {
   private val Beam = 12
   private val Steps = 5
   private val TopK = 3
+  private val InsSteps = 3 // ingest attach-beam steps (latency knob)
+  private val UpperSteps = 2 // layered serve: steps over the sparse layer
+  private val LowerSteps = 3 // layered serve: steps over the full graph
+  private val UpperBuckets = 4 // upper layer ring buckets (~n/4 nodes)
 
   /** Exact integer dot of two BIGINT lists — the [[dotI]] mirror
     * (q126's fold shape).
@@ -113,8 +117,18 @@ object GraphAnnQueries extends QueryPack {
     * Emits `${p}st$nSteps(query_id, node, idot)` — the final beam.
     */
   private def beamCtes(p: String, qCte: String, edges: String,
-      entryCond: String, nSteps: Int): String = {
+      entryCond: String, nSteps: Int): String =
+    beamCtesL(p, qCte, Seq.fill(nSteps)(edges), entryCond)
+
+  /** [[beamCtes]] with a PER-STEP edge table — the layered-descent
+    * (q469) replay: the first steps expand over the sparse upper
+    * layer, the rest over the full graph, one beam state throughout.
+    */
+  private def beamCtesL(p: String, qCte: String,
+      stepEdges: Seq[String], entryCond: String): String = {
+    val nSteps = stepEdges.size
     val steps = (1 to nSteps).map { r =>
+      val edges = stepEdges(r - 1)
       s"""${p}ex$r AS (SELECT DISTINCT s.query_id, g.dst AS node
          |  FROM ${p}st${r - 1} s JOIN $edges g ON g.src = s.node),
          |${p}sx$r AS (SELECT x.query_id, x.node,
@@ -179,6 +193,56 @@ object GraphAnnQueries extends QueryPack {
         col("idot"), col("in_exact_top3"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** [[GraphAnn.ringInitEdges]] replay over nodes matching `cond`
+    * with its own CTE prefix — the upper-layer build of the layered
+    * serve (q469), where the layer graph is k rings over a
+    * hash-sampled subset, never NN-descent-refined.
+    */
+  private def ringSql(pfx: String, cond: String, buckets: Int): String = {
+    val rings = (1 to K).map { j =>
+      s"""${pfx}rj$j AS (SELECT vec_id, h, h % $buckets AS b FROM (
+         |  SELECT vec_id, ${hashSql("vec_id", s":ring$j")} AS h
+         |  FROM qz WHERE $cond)),
+         |${pfx}rk$j AS MATERIALIZED (SELECT vec_id, b,
+         |    row_number() OVER (PARTITION BY b ORDER BY h, vec_id) AS r,
+         |    count(*) OVER (PARTITION BY b) AS c
+         |  FROM ${pfx}rj$j),
+         |${pfx}ed$j AS (SELECT a.vec_id AS src, bb.vec_id AS dst
+         |  FROM ${pfx}rk$j a JOIN ${pfx}rk$j bb
+         |    ON a.b = bb.b AND bb.r = a.r % a.c + 1)""".stripMargin
+    }.mkString(",\n")
+    val u = (1 to K).map(j => s"SELECT * FROM ${pfx}ed$j")
+      .mkString(" UNION ALL ")
+    s"""$rings,
+       |${pfx}E AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($u)
+       |  WHERE src <> dst)""".stripMargin
+  }
+
+  /** One incremental-insert replay (the q457 oracle's middle stage,
+    * factored for the multi-batch q468): delta queries matching
+    * `deltaCond` attach by an `InsSteps`-step beam over `edges` with
+    * entry from `entryCond` nodes, reverse edges join the candidate
+    * set, one top-K window cuts the updated index `${pfx}f`.
+    */
+  private def insertSql(pfx: String, edges: String, deltaCond: String,
+      entryCond: String): String =
+    s"""${pfx}dq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+       |  FROM qz WHERE $deltaCond),
+       |${beamCtes(s"${pfx}b", s"${pfx}dq", edges, entryCond, InsSteps)},
+       |${pfx}att AS (SELECT query_id AS src, node AS dst
+       |  FROM ${pfx}bsrv WHERE rn <= $K),
+       |${pfx}uc AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM $edges
+       |  UNION ALL SELECT src, dst FROM ${pfx}att
+       |  UNION ALL SELECT dst AS src, src AS dst FROM ${pfx}att)),
+       |${pfx}us AS (SELECT c.src, c.dst, ${idotSql("qs.q", "qd.q")} AS idot
+       |  FROM ${pfx}uc c JOIN qz qs ON qs.vec_id = c.src
+       |                  JOIN qz qd ON qd.vec_id = c.dst),
+       |${pfx}f AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY idot DESC, dst) AS rn
+       |  FROM ${pfx}us) WHERE rn <= $K)""".stripMargin
 
   /** Brute-force SQL audit over nodes matching `cond`. */
   private def bfSql(cond: String): String =
@@ -332,6 +396,116 @@ object GraphAnnQueries extends QueryPack {
         |  FROM qz WHERE vec_id % 100 = 0 AND vec_id % 7 <> 0),
         |${beamCtes("s", "qq", "f", "vec_id % 7 <> 0", Steps)},
         |${bfSql("z.vec_id % 7 <> 0")}
-        |${servedSelect.replace("%SRV%", "ssrv")}""".stripMargin))
+        |${servedSelect.replace("%SRV%", "ssrv")}""".stripMargin)),
+
+    // STREAMING graph-ANN ingest (VERDICT r10 item 4): the serving
+    // graph stays fresh from a stream — two staged delta files arrive
+    // as separate micro-batches (maxFilesPerTrigger=1) and each batch
+    // applies GraphAnn.insertNodes against the index AS OF ITS
+    // ARRIVAL (batch 1's beam legitimately routes through batch 0's
+    // nodes — sequential semantics, which is what a live index does;
+    // a single-shot insert of the union is a DIFFERENT answer). The
+    // oracle replays both sequential inserts and the final serve.
+    // State is the (n·K)-bounded edge list + codes, localCheckpointed
+    // per batch — the q437/q444 streaming-maintenance pattern on the
+    // graph index family.
+    "q468_stream_graph_ingest" -> Q(
+      (s, dir) => {
+        import graft.streaming.Streams
+        val (base, graph0) = builtGraph(s, dir, _ % 10 < 8)
+        val all = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            Similarity.quantizeInt8(col("embedding")).getField("q")
+              .as("code"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_gis")
+        val streamDir = tmp.resolve("in")
+        java.nio.file.Files.createDirectories(streamDir)
+        Seq(8L, 9L).zipWithIndex.foreach { case (m, i) =>
+          val stage = tmp.resolve(s"stage$i")
+          all.filter(col("vec_id") % 10 === m).coalesce(1)
+            .write.parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            streamDir.resolve(s"b$i.parquet"))
+          ()
+        }
+        var graph = graph0.select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        var codes = base.localCheckpoint(true)
+        val ckpt = Streams.scratchCheckpointDir("graft-gis-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            s.readStream.schema(all.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(streamDir.toString),
+            batch => batch,
+            batch => {
+              val delta = batch.localCheckpoint(true)
+              graph = GraphAnn.insertNodes(graph, codes, delta,
+                  "vec_id", "code", K, EntryK, Beam, InsSteps)
+                .select(col("src"), col("dst")).localCheckpoint(true)
+              codes = codes.unionByName(delta).localCheckpoint(true)
+            },
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally { rm(ckpt.toFile); rm(tmp.toFile) }
+        val queries = all.filter(col("vec_id") % 100 === 0)
+        val served = GraphAnn.beamServe(queries, graph, all,
+          "vec_id", "code", EntryK, Beam, Steps, TopK)
+        auditExact(served, queries, all)
+      },
+      Some(s"""WITH ${graphCtes("vec_id % 10 < 8")},
+        |${insertSql("i0", s"e$Rounds", "vec_id % 10 = 8",
+          "vec_id % 10 < 8")},
+        |${insertSql("i1", "i0f", "vec_id % 10 = 9",
+          "vec_id % 10 <= 8")},
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+        |  FROM qz WHERE vec_id % 100 = 0),
+        |${beamCtes("s", "qq", "i1f", "TRUE", Steps)},
+        |${bfSql("TRUE")}
+        |${servedSelect.replace("%SRV%", "ssrv")}""".stripMargin)),
+
+    // HNSW-style LAYERED entry (VERDICT r10 item 6): a sparse upper
+    // layer — k salted hash rings over a 1-in-4 hash sample of the
+    // corpus, never refined — routes the beam in 2 cheap steps, then
+    // only 3 full-graph steps finish the walk (vs q452's 5), with
+    // the same brute-force audit. Layer membership is a salted-hash
+    // draw (the deterministic analog of HNSW's level assignment), so
+    // the whole descent replays in SQL. At 100 TB the upper layer's
+    // edge table is fanout^-1 of the corpus — the expansion joins it
+    // touches are a sliver of the bottom layer's.
+    "q469_layered_serve" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val upperNodes = codes.filter(
+          GraphAnn.saltedHash60(col("vec_id"), ":layer")
+            % UpperBuckets === 0)
+        val upper = GraphAnn.ringInitEdges(upperNodes, "vec_id", K,
+          UpperBuckets)
+        val queries = codes.filter(col("vec_id") % 100 === 0)
+        val served = GraphAnn.beamServeLayered(queries,
+          Seq((upper, UpperSteps),
+            (graph.select(col("src"), col("dst")), LowerSteps)),
+          upperNodes, codes, "vec_id", "code", EntryK, Beam, TopK)
+        auditExact(served, queries, codes)
+      },
+      {
+        val layerCond =
+          s"${hashSql("vec_id", ":layer")} % $UpperBuckets = 0"
+        Some(s"""WITH ${graphCtes("TRUE")},
+          |${ringSql("u", layerCond, UpperBuckets)},
+          |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+          |  FROM qz WHERE vec_id % 100 = 0),
+          |${beamCtesL("l", "qq",
+            Seq.fill(UpperSteps)("uE") ++
+              Seq.fill(LowerSteps)(s"e$Rounds"), layerCond)},
+          |${bfSql("TRUE")}
+          |${servedSelect.replace("%SRV%", "lsrv")}""".stripMargin)
+      })
   )
 }

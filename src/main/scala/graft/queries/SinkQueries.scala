@@ -1345,6 +1345,137 @@ object SinkQueries extends QueryPack {
           |ORDER BY c.source""".stripMargin)
       }),
 
+    // HILBERT-curve clustering next to Z-order (VERDICT r10 item 7):
+    // the same table committed twice — once clustered by the Morton
+    // key, once by the Hilbert key (same normalized axes, same 16
+    // equal-width buckets) — and the SAME two-axis quartile rectangle
+    // read against both. Hilbert keys have no z-domain jumps
+    // (consecutive indices are always grid neighbors), so equal-width
+    // key buckets are spatially compact and the rectangle overlaps at
+    // most as many files as under Morton order — the gate pins both
+    // layouts' kept/pruned/scanned counts, the rectangle CONTENT
+    // (layout-invariant), and the ≤ comparison. The oracle replays
+    // BOTH layout decisions analytically, the Hilbert fold as
+    // unrolled per-bit CTE stages (ZOrder.hilbertSqlCtes — DuckDB
+    // 1.0.0's struct-accumulator list_reduce is broken, documented
+    // there).
+    "q470_hilbert_compact" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        import graft.functions.ZOrder
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val mx = docs.agg(min(col("doc_id")).cast("long"),
+          max(col("doc_id")).cast("long"),
+          min(col("n_chars")).cast("long"),
+          max(col("n_chars")).cast("long")).head()
+        val (lo1b, hi1b) = (mx.getLong(0), mx.getLong(1))
+        val (lo2b, hi2b) = (mx.getLong(2), mx.getLong(3))
+        // a MID-BAND rectangle (3/8..6/8 of each axis) straddling the
+        // domain midpoint — the z-curve's discontinuity region, where
+        // Morton buckets span the jump and Hilbert's unbroken path
+        // shows its strict advantage (corner rectangles, q453's case,
+        // tie). Measured on this fixture: 4/16 vs 7/16 files.
+        val lo1 = lo1b + (hi1b - lo1b) * 3 / 8
+        val hi1 = lo1b + (hi1b - lo1b) * 6 / 8
+        val lo2 = lo2b + (hi2b - lo2b) * 3 / 8
+        val hi2 = lo2b + (hi2b - lo2b) * 6 / 8
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hilb")
+        val (tz, th) = (s"$tmp/z", s"$tmp/h")
+        TxLog.commitClustered(docs, tz, "overwrite", "doc_id", "n_chars",
+          ZOrder.zKeyNormalized(col("doc_id"), lo1b, hi1b,
+            col("n_chars"), lo2b, hi2b, 8), buckets = 16)
+        TxLog.commitClustered(docs, th, "overwrite", "doc_id", "n_chars",
+          ZOrder.hilbertKeyNormalized(col("doc_id"), lo1b, hi1b,
+            col("n_chars"), lo2b, hi2b, 8), buckets = 16)
+        val (dfZ, readZ, prunedZ, scanZ) = TxLog.prunedRead2(s, tz,
+          "doc_id", lo1, hi1, "n_chars", lo2, hi2)
+        val (dfH, readH, prunedH, scanH) = TxLog.prunedRead2(s, th,
+          "doc_id", lo1, hi1, "n_chars", lo2, hi2)
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("source"))
+            .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        val aggZ = snap(dfZ).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val aggH = snap(dfH).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val out = snap(dfH)
+          .withColumn("files_read_zorder", lit(readZ.toLong))
+          .withColumn("files_pruned_zorder", lit(prunedZ.toLong))
+          .withColumn("files_read_hilbert", lit(readH.toLong))
+          .withColumn("files_pruned_hilbert", lit(prunedH.toLong))
+          .withColumn("rows_scanned_zorder", lit(scanZ))
+          .withColumn("rows_scanned_hilbert", lit(scanH))
+          .withColumn("hilbert_le_zorder",
+            lit(if (readH <= readZ) 1L else 0L))
+          .withColumn("content_match", lit(if (aggZ == aggH) 1L else 0L))
+        materializeAndDelete(out, tmp).orderBy(col("source"))
+      },
+      {
+        import graft.functions.ZOrder
+        val zSql = (0 until 8).map { i =>
+          s"(((xn >> $i) & 1) << ${2 * i}) + " +
+            s"(((yn >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        def layoutCnt(p: String, keyed: String): String =
+          s"""${p}m AS (SELECT min(z) AS zmin, max(z) AS zmax FROM $keyed),
+             |${p}b AS (SELECT source, doc_id, n_chars,
+             |    (z - ${p}m.zmin) // ((${p}m.zmax - ${p}m.zmin) // 16 + 1) AS b
+             |  FROM $keyed, ${p}m),
+             |${p}st AS (SELECT b, min(doc_id) AS mn, max(doc_id) AS mx,
+             |    min(n_chars) AS mn2, max(n_chars) AS mx2,
+             |    count(*) AS n_rows
+             |  FROM ${p}b GROUP BY b),
+             |${p}cnt AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             |    CAST(sum(CASE WHEN mx >= (SELECT lo1 FROM m)
+             |      AND mn <= (SELECT hi1 FROM m)
+             |      AND mx2 >= (SELECT lo2 FROM m)
+             |      AND mn2 <= (SELECT hi2 FROM m)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |    CAST(sum(CASE WHEN mx >= (SELECT lo1 FROM m)
+             |      AND mn <= (SELECT hi1 FROM m)
+             |      AND mx2 >= (SELECT lo2 FROM m)
+             |      AND mn2 <= (SELECT hi2 FROM m)
+             |      THEN n_rows ELSE 0 END) AS BIGINT) AS scanned
+             |  FROM ${p}st)""".stripMargin
+        Some(s"""WITH m AS (SELECT min(doc_id) AS xmin, max(doc_id) AS xmax,
+          |    min(n_chars) AS ymin, max(n_chars) AS ymax,
+          |    min(doc_id) + (max(doc_id) - min(doc_id)) * 3 // 8 AS lo1,
+          |    min(doc_id) + (max(doc_id) - min(doc_id)) * 6 // 8 AS hi1,
+          |    min(n_chars) + (max(n_chars) - min(n_chars)) * 3 // 8 AS lo2,
+          |    min(n_chars) + (max(n_chars) - min(n_chars)) * 6 // 8 AS hi2
+          |  FROM documents),
+          |nrm AS (SELECT source, doc_id, n_chars,
+          |    ((doc_id - m.xmin) * 256) // (m.xmax - m.xmin + 1) AS xn,
+          |    ((n_chars - m.ymin) * 256) // (m.ymax - m.ymin + 1) AS yn
+          |  FROM documents, m),
+          |zk AS (SELECT source, doc_id, n_chars, $zSql AS z FROM nrm),
+          |${layoutCnt("z", "zk")},
+          |${ZOrder.hilbertSqlCtes("hh", "nrm", "xn", "yn",
+            Seq("source", "doc_id", "n_chars"), 8)},
+          |hk AS (SELECT source, doc_id, n_chars, hd AS z FROM hh8),
+          |${layoutCnt("h", "hk")},
+          |content AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+          |    CAST(sum(n_chars) AS BIGINT) AS chars
+          |  FROM documents d, m
+          |  WHERE d.doc_id BETWEEN m.lo1 AND m.hi1
+          |    AND d.n_chars BETWEEN m.lo2 AND m.hi2
+          |  GROUP BY source)
+          |SELECT c.source, c.cnt, c.chars,
+          |  (SELECT kept FROM zcnt) AS files_read_zorder,
+          |  (SELECT total - kept FROM zcnt) AS files_pruned_zorder,
+          |  (SELECT kept FROM hcnt) AS files_read_hilbert,
+          |  (SELECT total - kept FROM hcnt) AS files_pruned_hilbert,
+          |  (SELECT scanned FROM zcnt) AS rows_scanned_zorder,
+          |  (SELECT scanned FROM hcnt) AS rows_scanned_hilbert,
+          |  CASE WHEN (SELECT kept FROM hcnt) <= (SELECT kept FROM zcnt)
+          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          |    AS hilbert_le_zorder,
+          |  CAST(1 AS BIGINT) AS content_match
+          |FROM content c
+          |ORDER BY c.source""".stripMargin)
+      }),
+
     // Log CHECKPOINT + truncation (the Delta _last_checkpoint
     // pattern): five commits + a deletion-vector commit collapse
     // into one parquet snapshot, the JSON files it carries are

@@ -41,4 +41,74 @@ class ZOrderSpec extends SparkSpec {
     assert(meanChunkSpan(byZ) === 14.0) // exact 8×8 tiles
     assert(meanChunkSpan(rowMajor) === 63.0)
   }
+
+  /** Driver-side reference xy2d (the classic per-bit rotate fold) —
+    * the independent implementation the column fold is checked
+    * against.
+    */
+  private def xy2dRef(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertKey matches the reference xy2d on the full 16×16 grid") {
+    val pts = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.hilbertKey(col("x"), col("y"), 4).as("d"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) => assert(d === xy2dRef(4, x, y)) }
+  }
+
+  test("hilbertKey is a bijection and consecutive keys are grid neighbors") {
+    val pts = for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.hilbertKey(col("x"), col("y"), 5).as("d"))
+      .as[(Long, Long, Long)].collect()
+    val ds = got.map(_._3)
+    assert(ds.distinct.length === 1024 && ds.min === 0L && ds.max === 1023L)
+    // the property z-order lacks: every consecutive index pair is a
+    // single grid step (no domain jumps), which is WHY equal-width
+    // hilbert buckets are spatially compact
+    val pos = got.map { case (x, y, d) => d -> (x, y) }.toMap
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = pos(d); val (x2, y2) = pos(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+  }
+
+  test("hilbert equal-width buckets span tighter rectangles than z on the mid band") {
+    // 16 equal-width key buckets over the 64×64 grid: max bucket
+    // bounding-box area under hilbert ≤ under z (the q470 layout
+    // claim in its unit form)
+    val pts = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def maxArea(keyed: org.apache.spark.sql.DataFrame): Long =
+      keyed.withColumn("b", (col("k") / 256L).cast("long"))
+        .groupBy(col("b"))
+        .agg(((max(col("x")) - min(col("x")) + 1L) *
+          (max(col("y")) - min(col("y")) + 1L)).as("area"))
+        .agg(max(col("area"))).head().getLong(0)
+    val h = maxArea(pts.withColumn("k",
+      ZOrder.hilbertKey(col("x"), col("y"), 6)))
+    val z = maxArea(pts.withColumn("k",
+      ZOrder.zKey(col("x"), col("y"), 6)))
+    assert(h <= z)
+    assert(h === 256L) // exact 16×16 tiles — perfectly compact
+  }
 }

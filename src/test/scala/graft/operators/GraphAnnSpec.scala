@@ -96,4 +96,72 @@ class GraphAnnSpec extends SparkSpec {
     assert(served(1L) === bruteTopK(1L, 3))
     assert(served(6L) === bruteTopK(6L, 3))
   }
+
+  test("beamServeLayered with one full layer IS beamServe") {
+    import spark.implicits._
+    val graph = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+      k = 4, rounds = 3, buckets = 2)
+    val q = codesDf.filter(col("vec_id").isin(1L, 6L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rn", "neighbor_id", "idot")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val flat = rows(GraphAnn.beamServe(q, graph, codesDf,
+      "vec_id", "code", entryK = 2, beam = 6, steps = 3, topK = 3))
+    val layered = rows(GraphAnn.beamServeLayered(q,
+      Seq((graph.select(col("src"), col("dst")), 3)), codesDf, codesDf,
+      "vec_id", "code", entryK = 2, beam = 6, topK = 3))
+    assert(layered === flat)
+  }
+
+  test("layered descent through a sparse upper layer still finds the exact top-k") {
+    import spark.implicits._
+    val graph = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+      k = 4, rounds = 3, buckets = 2)
+    // upper layer: half the nodes (hash-free here: even ids — the
+    // spec pins the descent mechanics, membership policy is the
+    // caller's), one ring over them
+    val upperNodes = codesDf.filter(col("vec_id") % 2 === 0)
+    val upper = GraphAnn.ringInitEdges(upperNodes, "vec_id",
+      k = 2, buckets = 1)
+    val served = GraphAnn.beamServeLayered(
+        codesDf.filter(col("vec_id").isin(1L, 6L)),
+        Seq((upper, 1), (graph.select(col("src"), col("dst")), 2)),
+        upperNodes, codesDf, "vec_id", "code", entryK = 2, beam = 6,
+        topK = 3)
+      .select("query_id", "rn", "neighbor_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(served(1L) === bruteTopK(1L, 3))
+    assert(served(6L) === bruteTopK(6L, 3))
+  }
+
+  test("sequential insertNodes batches == the same inserts applied one call at a time") {
+    import spark.implicits._
+    // the q468 streaming-ingest identity in its unit form: folding
+    // insertNodes over batch0 then batch1 must equal the same two
+    // calls made directly — i.e. the streaming machinery adds
+    // nothing; each batch sees the index as of its arrival
+    val base = codesDf.filter(col("vec_id") <= 6L)
+    val graph0 = GraphAnn.nnDescent(base, "vec_id", "code",
+      k = 3, rounds = 3, buckets = 2).select(col("src"), col("dst"))
+    val b0 = codesDf.filter(col("vec_id") === 7L)
+    val b1 = codesDf.filter(col("vec_id") === 8L)
+    def step(g: org.apache.spark.sql.DataFrame,
+        cs: org.apache.spark.sql.DataFrame,
+        delta: org.apache.spark.sql.DataFrame) =
+      GraphAnn.insertNodes(g, cs, delta, "vec_id", "code",
+        k = 3, entryK = 2, beam = 6, steps = 2)
+        .select(col("src"), col("dst"))
+    val afterFold = Seq(b0, b1).foldLeft(
+      (graph0, base)) { case ((g, cs), d) =>
+        (step(g, cs, d), cs.unionByName(d))
+      }._1.as[(Long, Long)].collect().toSet
+    val g1 = step(graph0, base, b0)
+    val g2 = step(g1, base.unionByName(b0), b1)
+      .as[(Long, Long)].collect().toSet
+    assert(afterFold === g2)
+    // and the inserted nodes got real adjacency lists
+    assert(g2.exists(_._1 == 7L) && g2.exists(_._1 == 8L))
+  }
 }

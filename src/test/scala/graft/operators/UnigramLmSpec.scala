@@ -74,6 +74,34 @@ class UnigramLmSpec extends SparkSpec {
     assert(scored.filter(col("cost") < 0L).count() === 0L)
   }
 
+  test("sampleSegment: valid segmentations, true cost ≥ 1-best, deterministic per salt") {
+    import spark.implicits._
+    val words = Seq(("the", 10L), ("then", 4L), ("he", 6L), ("hen", 3L),
+      ("thee", 2L)).toDF("word", "cnt")
+    val (scored, segmented) = UnigramLm.train(words, "word", "cnt",
+      rounds = 2, maxPieceLen = 3, maxWordLen = 4, topM = 4)
+    val costs = scored.collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val bestCost = segmented.select(col("word"), col("cost"))
+      .as[(String, Long)].collect().toMap
+    def sample(salt: String, jitter: Long) =
+      UnigramLm.sampleSegment(words, "word", costs, 3, 4, salt, jitter)
+        .select(col("word"), concat_ws("|", col("pieces")).as("seg"),
+          col("cost"), col("cost_perturbed"))
+        .as[(String, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val s1 = sample("s1", 5000000L)
+    // every sampled path is a real segmentation of the word, and its
+    // TRUE cost can never beat the Viterbi optimum
+    s1.foreach { case (w, seg, c, _) =>
+      assert(seg.replace("|", "") === w)
+      assert(c >= bestCost(w), s"$w sampled below optimum")
+    }
+    // pure function of (word, salt): same salt replays bit-identically
+    assert(sample("s1", 5000000L) === s1)
+    // jitter of 1 ppm cannot flip any path: degenerates to the 1-best
+    val cold = sample("x", 1L)
+    cold.foreach { case (w, _, c, _) => assert(c === bestCost(w)) }
+  }
+
   test("lnPpmLong is bit-identical to the column lnPpm kernel") {
     import spark.implicits._
     val probes = Seq((1L, 1L), (2L, 1L), (3L, 2L), (1000L, 7L),

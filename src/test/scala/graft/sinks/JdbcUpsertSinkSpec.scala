@@ -147,4 +147,50 @@ class JdbcUpsertSinkSpec extends SparkSpec {
         |VALUES (?, ?, ?)
         |ON DUPLICATE KEY UPDATE used=VALUES(used)""".stripMargin)
   }
+
+  test("concurrent merge storm into one Derby table converges to the last write per key") {
+    import spark.implicits._
+    // the r10 full-suite flake's trigger shape — many concurrent
+    // writers MERGE-ing one embedded-Derby table — driven on purpose:
+    // 8 threads × 10 overlapping-key batches. The sink's chunk-replay
+    // (idempotent merge, fresh connection) plus the Derby-dialect
+    // single-partition write must land every batch; the final value
+    // per key is whichever writer's LAST merge won, so the assert is
+    // key COVERAGE + the per-writer sentinel row it alone owns.
+    withTable(
+      "CREATE TABLE storm (k INT PRIMARY KEY, wtr INT, val INT)", "storm") {
+      val nThreads = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      try {
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val futures = (0 until nThreads).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              latch.await()
+              (0 until 10).foreach { i =>
+                // shared keys 0..19 (contended) + writer-owned key
+                // 1000+w nobody else touches
+                val rows = (0 until 20).map(k => (k, w, i)) :+
+                  (1000 + w, w, i)
+                JdbcUpsertSink.write(rows.toDF("k", "wtr", "val"), url,
+                  "storm", Seq("k"), JdbcUpsertSink.DerbyMerge,
+                  batchSize = 7)
+              }
+            }
+          })
+        }
+        latch.countDown()
+        futures.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      val rows = queryAll("SELECT k, wtr, val FROM storm ORDER BY k")
+      // all 20 shared + 8 owned keys present, nothing torn
+      assert(rows.map(_.head) ===
+        ((0 until 20) ++ (0 until nThreads).map(1000 + _)).map(k => k: Any))
+      // every writer's owned key carries ITS id and its final batch
+      (0 until nThreads).foreach { w =>
+        val r = rows.find(_.head == 1000 + w).get
+        assert(r(1) === w && r(2) === 9)
+      }
+    }
+  }
 }

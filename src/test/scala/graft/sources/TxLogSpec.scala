@@ -617,4 +617,58 @@ class TxLogSpec extends SparkSpec {
       }
     }
   }
+
+  test("commitIf under concurrent writers: one winner per version, no lost updates") {
+    import spark.implicits._
+    withTable { t =>
+      TxLog.commit(Seq((0L, "seed")).toDF("k", "w"), t, "overwrite", "k")
+      val nWriters = 6
+      // every writer appends ONE key-disjoint row, racing the others;
+      // a loser rebases (key-disjoint append ⇒ plain retry against
+      // the winner's version) — the commitIf scaladoc protocol,
+      // exercised with real thread interleaving rather than the
+      // pairwise staged race of the OCC gate
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+      val wins = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val rejections = new java.util.concurrent.atomic.AtomicLong(0)
+      try {
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val futures = (1 to nWriters).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              latch.await()
+              val df = Seq((w.toLong, s"w$w")).toDF("k", "w")
+              var done = false
+              var attempts = 0
+              while (!done && attempts < 100) {
+                val expected = TxLog.versions(t).lastOption.getOrElse(-1L)
+                TxLog.commitIf(df, t, "append", "k", expected,
+                  s"w$w-a$attempts") match {
+                  case Right(v) => wins.put(w, v); done = true
+                  case Left(_) => rejections.incrementAndGet(); attempts += 1
+                }
+              }
+              assert(done, s"writer $w starved after 100 attempts")
+            }
+          })
+        }
+        latch.countDown()
+        futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      // every writer won exactly once, on a DISTINCT version, and the
+      // version sequence is contiguous (no gaps = no phantom commits)
+      import scala.jdk.CollectionConverters._
+      val wonVersions = wins.values().asScala.toSeq
+      assert(wins.size === nWriters)
+      assert(wonVersions.distinct.size === nWriters)
+      assert(TxLog.versions(t) === (0L to nWriters.toLong))
+      // no lost updates: the final live set carries seed + all rows
+      val got = TxLog.read(spark, t).select("k").as[Long].collect().toSet
+      assert(got === (0 to nWriters).map(_.toLong).toSet)
+      // rejections.get() counts observed conflicts — informational
+      // only (≥1 in practice with 6 latch-released writers, but a
+      // perfectly serialized scheduling is legal, so not asserted:
+      // the bar is deterministic green)
+    }
+  }
 }
