@@ -110,6 +110,41 @@ object Bpe {
     (words, merges.toSeq)
   }
 
+  /** BPE-DROPOUT (Provilkov et al. 2020, ACL) made replayable: the
+    * trained merge chain is re-applied to the vocabulary, but merge
+    * `i` is SKIPPED for word `w` when the salted hash of
+    * `(word, i, salt)` falls below `dropPpm` — dropping a merge
+    * leaves that pair split, and every later merge cascades over the
+    * dropped string exactly as in the reference algorithm. Different
+    * salts give independent subword-regularization samples, each a
+    * pure function of (word, salt), so samples hash-gate in SQL
+    * (the [[UnigramLm.sampleSegment]] discipline applied to the BPE
+    * family). Granularity note: the drop is per (word, merge) — all
+    * occurrences of the pair inside one word drop together — the
+    * deterministic-distributed variant of the paper's per-occurrence
+    * coin flips.
+    *
+    * Cost: `merges.size` conditional replaces over the VOCABULARY —
+    * a projection chain, no aggregation; corpus-scale encode then
+    * rides the same broadcast word→pieces join as [[encodeByVocab]].
+    */
+  def dropoutSymbolize(vocab: DataFrame, wordCol: String,
+      merges: Seq[(String, String)], salt: String,
+      dropPpm: Long): DataFrame = {
+    require(dropPpm >= 0 && dropPpm <= 1000000L)
+    var cur = vocab.withColumn("sym_drop", initSymbols(col(wordCol)))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val h = conv(substring(md5(concat(col(wordCol),
+        lit(s":$i:$salt"))), 1, 15), 16, 10).cast("long")
+      cur = cur.withColumn("sym_drop",
+        when(h % 1000000L < dropPpm, col("sym_drop"))
+          .otherwise(call_function("replace", col("sym_drop"),
+            lit(s" $l  $r "), lit(s" $l$r "))))
+      if ((i + 1) % CheckpointEvery == 0) cur = cur.localCheckpoint()
+    }
+    cur
+  }
+
   /** Character-n-gram vocabulary induction for [[greedyEncode]]:
     * every substring of length 1..maxPieceLen of every DISTINCT word,
     * weighted by corpus word count, top-M by (weight desc, piece asc)

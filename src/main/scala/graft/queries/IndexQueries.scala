@@ -304,6 +304,73 @@ object IndexQueries extends QueryPack {
         |SELECT word, cnt, sym FROM w3
         |ORDER BY word""".stripMargin)),
 
+    // BPE-DROPOUT subword regularization (Provilkov 2020): the
+    // 3-round trained merge chain re-applied with per-(word, merge)
+    // salted-hash drops (p = 0.3), two salts — the BPE-family
+    // companion to q466's unigram sampling, closing subword
+    // regularization across both trained tokenizer families. The
+    // oracle replays training AND both dropout chains (one CASE per
+    // merge stage), so every sampled symbolization hash-gates.
+    "q471_bpe_dropout" -> Q(
+      (s, dir) => {
+        val vocab = Tables.documents(s, dir)
+          .select(explode(graft.operators.TextAnalysis.tokens(
+            lower(col("text")))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val (words, merges) = Bpe.train(vocab, "word", "cnt", rounds = 3)
+        val base = words.select(col("word"),
+          size(split(trim(col("sym")), "\\s+")).cast("long")
+            .as("n_sub_best"))
+        Seq("sA", "sB").map { salt =>
+            Bpe.dropoutSymbolize(vocab, "word",
+                merges.map(m => (m._1, m._2)), salt, dropPpm = 300000L)
+              .withColumn("salt", lit(salt))
+          }.reduce(_ unionByName _)
+          .join(base, Seq("word"))
+          .select(col("word"), col("cnt"), col("salt"),
+            trim(col("sym_drop")).as("sym_drop"),
+            size(split(trim(col("sym_drop")), "\\s+")).cast("long")
+              .as("n_sub_drop"),
+            col("n_sub_best"))
+          .orderBy(col("word"), col("salt"))
+      },
+      {
+        def dropStage(saltTag: String, n: Int): String = {
+          val prev = s"d$saltTag${n - 1}"
+          // merge index in the hash is 0-based (Spark zipWithIndex)
+          val h = s"CAST(('0x' || substr(md5(w.word || ':${n - 1}:" +
+            s"$saltTag'), 1, 15)) AS BIGINT) % 1000000"
+          s"""d$saltTag$n AS (
+             |  SELECT w.word, w.cnt,
+             |    CASE WHEN b.l IS NULL THEN w.sd
+             |         WHEN $h < 300000 THEN w.sd
+             |         ELSE replace(w.sd, ' ' || b.l || '  ' || b.r || ' ',
+             |                      ' ' || b.l || b.r || ' ') END AS sd
+             |  FROM $prev w LEFT JOIN b$n b ON TRUE)""".stripMargin
+        }
+        def dropChain(saltTag: String): String =
+          s"""d${saltTag}0 AS (SELECT word, cnt, sym AS sd FROM w0),
+             |${(1 to 3).map(dropStage(saltTag, _)).mkString(",\n")}"""
+            .stripMargin
+        Some(s"""WITH $bpeHeadCte,
+          |${bpeStage(1)},
+          |${bpeStage(2)},
+          |${bpeStage(3)},
+          |${dropChain("sA")},
+          |${dropChain("sB")},
+          |u AS (
+          |  SELECT word, cnt, 'sA' AS salt, sd FROM dsA3
+          |  UNION ALL
+          |  SELECT word, cnt, 'sB' AS salt, sd FROM dsB3)
+          |SELECT u.word, u.cnt, u.salt, trim(u.sd) AS sym_drop,
+          |  CAST(len(string_split_regex(trim(u.sd), '\\s+')) AS BIGINT)
+          |    AS n_sub_drop,
+          |  CAST(len(string_split_regex(trim(w3.sym), '\\s+')) AS BIGINT)
+          |    AS n_sub_best
+          |FROM u JOIN w3 ON w3.word = u.word
+          |ORDER BY u.word, u.salt""".stripMargin)
+      }),
+
     // URL canonicalization over generator-synthesized messy URLs
     // (upper-case scheme/host, www., default port, trailing slash,
     // utm_* tracking params, fragment). The oracle restates the

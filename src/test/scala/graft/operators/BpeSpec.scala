@@ -150,4 +150,28 @@ class BpeSpec extends SparkSpec {
       Bpe.greedyEncode(words, "word", Seq("a", "abcde"), maxPieceLen = 4))
     assert(e.getMessage.contains("abcde"))
   }
+
+  test("dropoutSymbolize: p=0 is the trained chain, p=1 the char split, samples replay") {
+    import spark.implicits._
+    val vocab = Seq(("aaab", 5L), ("aab", 3L), ("ab", 4L))
+      .toDF("word", "cnt")
+    val (trainedWords, merges) = Bpe.train(vocab, "word", "cnt", rounds = 2)
+    val ms = merges.map(m => (m._1, m._2))
+    def syms(drop: Long, salt: String): Map[String, String] =
+      Bpe.dropoutSymbolize(vocab, "word", ms, salt, drop)
+        .select(col("word"), trim(col("sym_drop")).as("s"))
+        .as[(String, String)].collect().toMap
+    // p = 0: never drops — identical to the trained symbolization
+    val trained = trainedWords.select(col("word"), trim(col("sym")).as("s"))
+      .as[(String, String)].collect().toMap
+    assert(syms(0L, "any") === trained)
+    // p = 1: every merge drops — back to one symbol per character
+    assert(syms(1000000L, "any") ===
+      Map("aaab" -> "a  a  a  b", "aab" -> "a  a  b", "ab" -> "a  b"))
+    // a sample is a pure function of (word, salt): bit-identical replay
+    val s1 = syms(500000L, "s1")
+    assert(syms(500000L, "s1") === s1)
+    // and every sampled symbolization re-concatenates to its word
+    s1.foreach { case (w, s0) => assert(s0.replace(" ", "") === w) }
+  }
 }
