@@ -596,6 +596,76 @@ object ScaleProbe {
         TxLog.prunedRead2(spark, t, "doc_id", 0L, 2500L,
           "n_chars", 0L, 300L)._1
       }
+      // q470 shape: the same rewrite under the Hilbert key — the
+      // per-row fold is 8 constant-size steps, so the expectation is
+      // q453's exact cost curve
+      time("q470_hilbert", n) {
+        import graft.sources.TxLog
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sp_hilb")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(tmp.toFile)
+        }))
+        val t = s"$tmp/tbl"
+        val hiX = (n - 1) * 100000000L + 10000L
+        TxLog.commitClustered(docs, t, "overwrite", "doc_id",
+          "n_chars", graft.functions.ZOrder.hilbertKeyNormalized(
+            col("doc_id"), 0L, hiX, col("n_chars"), 0L, 700L, 8),
+          buckets = 16)
+        TxLog.prunedRead2(spark, t, "doc_id", 0L, 2500L,
+          "n_chars", 0L, 300L)._1
+      }
+      // q469 shape: layered SERVE isolated from the build (graph +
+      // upper layer constructed eagerly before the clock) — state is
+      // queries×beam, so the serve should be corpus-flat; only the
+      // edge-join probe sides grow
+      if (only.forall(_.contains("q469_layered_serve"))) {
+        val codes = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            graft.operators.Similarity.quantizeInt8(col("embedding"))
+              .getField("q").as("code"))
+          .localCheckpoint(true)
+        val graph = graft.operators.GraphAnn.nnDescent(codes,
+            "vec_id", "code", k = 4, rounds = 2, buckets = 8 * n)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val upperNodes = codes.filter(
+          graft.operators.GraphAnn.saltedHash60(col("vec_id"), ":layer")
+            % 4 === 0).localCheckpoint(true)
+        val upper = graft.operators.GraphAnn.ringInitEdges(upperNodes,
+          "vec_id", k = 4, buckets = 2 * n).localCheckpoint(true)
+        time("q469_layered_serve", n) {
+          graft.operators.GraphAnn.beamServeLayered(
+            codes.filter(col("vec_id") % 100 === 0),
+            Seq((upper, 2), (graph, 3)), upperNodes, codes,
+            "vec_id", "code", entryK = 8, beam = 12, topK = 3)
+        }
+      }
+      // q466 shape: jittered Viterbi sampling — vocabulary-bounded
+      // like q449, plus one md5 per (cell, probe length); expectation
+      // is flat-with-vocab like the trainer
+      time("q466_sample", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        val words = docs.select(explode(
+            graft.operators.TextAnalysis.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .filter(length(col("word")).between(1, 10))
+          .localCheckpoint(true)
+        val (scored, _) = graft.operators.UnigramLm.train(words,
+          "word", "cnt", rounds = 1, maxPieceLen = 3, maxWordLen = 10,
+          topM = 24)
+        val costs = scored.collect()
+          .map(r => (r.getString(0), r.getLong(2))).toSeq
+        graft.operators.UnigramLm.sampleSegment(words, "word", costs,
+          3, 10, "s1", 12000000L)
+      }
     }
     spark.stop()
   }
