@@ -63,6 +63,21 @@ object ScaleProbe {
       }
     }
 
+    /** [[time]] with a scratch directory deleted EAGERLY after the
+      * probe materializes — a sweep point's shifted table copy must
+      * not sit on disk for the rest of the sweep (and shutdown hooks
+      * must not pile up one per iteration).
+      */
+    def timeWithTmp(name: String, n: Int, prefix: String)(
+        body: java.nio.file.Path => DataFrame): Unit =
+      if (only.forall(_.contains(name))) {
+        val tmp = java.nio.file.Files.createTempDirectory(prefix)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try time(name, n)(body(tmp)) finally rm(tmp.toFile)
+      }
+
     for (n <- copies) {
       // q47 shape: edge-gold projection over orders × collect_list(lineitem)
       time("q47_edge_gold", n) {
@@ -575,18 +590,11 @@ object ScaleProbe {
       }
       // q453 shape: clustered rewrite (bounds readout + bucket
       // shuffle + stats pass) + the two-axis pruned read
-      time("q453_zorder", n) {
+      timeWithTmp("q453_zorder", n, "graft_sp_zord") { tmp =>
         import graft.sources.TxLog
         val docs = shifted(Tables.documents(spark, sfDir),
           Seq("doc_id"), n, 100000000L)
           .select(col("doc_id"), col("source"), col("n_chars"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sp_zord")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(tmp.toFile)
-        }))
         val t = s"$tmp/tbl"
         val hiX = (n - 1) * 100000000L + 10000L
         TxLog.commitClustered(docs, t, "overwrite", "doc_id",
@@ -599,18 +607,11 @@ object ScaleProbe {
       // q470 shape: the same rewrite under the Hilbert key — the
       // per-row fold is 8 constant-size steps, so the expectation is
       // q453's exact cost curve
-      time("q470_hilbert", n) {
+      timeWithTmp("q470_hilbert", n, "graft_sp_hilb") { tmp =>
         import graft.sources.TxLog
         val docs = shifted(Tables.documents(spark, sfDir),
           Seq("doc_id"), n, 100000000L)
           .select(col("doc_id"), col("source"), col("n_chars"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sp_hilb")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(tmp.toFile)
-        }))
         val t = s"$tmp/tbl"
         val hiX = (n - 1) * 100000000L + 10000L
         TxLog.commitClustered(docs, t, "overwrite", "doc_id",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ChatQueries, CoreQueries, CrawlQueries, CrawlQueriesB, GatewayQueries, MediaQueries, GoldQueries, GraphQueries, IndexQueries, IndexQueriesB, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, LlmQueriesB, NestedQueries, QoeQueries, QueryPack, ScalarQueries, ScaleQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, TokenizerQueries, GraphAnnQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, ChatQueries, CoreQueries, CrawlQueries, CrawlQueriesB, GatewayQueries, MediaQueries, GoldQueries, GraphQueries, IndexQueries, IndexQueriesB, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, LlmQueriesB, NestedQueries, QoeQueries, QueryPack, ScalarQueries, ScaleQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, TokenizerQueries, GraphAnnQueries, ClusteredAnnQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       SinkQueries, GatewayQueries, StreamingQueries, SourceQueries,
       IndexQueries, IndexQueriesB, TemporalQueries, GraphQueries, AnalyticsQueries,
       TimeSeriesQueries, CrawlQueries, CrawlQueriesB, MediaQueries, ScaleQueries,
-      ChatQueries, TokenizerQueries, GraphAnnQueries)
+      ChatQueries, TokenizerQueries, GraphAnnQueries, ClusteredAnnQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =
     packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>
@@ -40,6 +40,15 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
+
+  /** Query names grouped by their defining pack, packs and names
+    * sorted — the unit [[Bench]] forks one measurement JVM per
+    * (VERDICT r11 item 1: per-query medians must track an idle JVM,
+    * so no JVM measures more than one pack's worth of plans).
+    */
+  def packGroups: Seq[(String, Seq[String])] =
+    packs.map(p => p.name -> p.defs.keys.toSeq.sorted)
+      .sortBy(_._1)
 
   /** DuckDB-dialect oracles; column names/aliases match the Spark side.
     * Queries without an entry here get the driver's weaker rows-only

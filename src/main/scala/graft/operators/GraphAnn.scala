@@ -223,30 +223,147 @@ object GraphAnn {
       beam, topK)
   }
 
+  /** Geometric level count for [[buildLayerStack]] — the HNSW level
+    * policy with the RNG draw replaced by corpus size: level l keeps
+    * ~n·fanout^-l nodes, so the stack stops when a level would fall
+    * below `minTop` nodes (the entry set must stay non-trivial);
+    * `cap` bounds the descent cost. n=500, fanout=4, minTop=8 → 2.
+    */
+  def numUpperLevels(n: Long, fanout: Int, minTop: Int, cap: Int): Int = {
+    require(fanout >= 2 && minTop >= 1 && cap >= 1)
+    val byData = Iterator.iterate(1L)(_ * fanout)
+      .zipWithIndex.takeWhile { case (f, _) => n / f >= minTop }
+      .map(_._2).foldLeft(0)((_, l) => l)
+    math.min(cap, math.max(1, byData))
+  }
+
+  /** Nodes on level `l` (l ≥ 1) of the geometric stack: salted-hash
+    * membership P(level ≥ l) = fanout^-l — HNSW's exponential level
+    * draw as a pure function of the id, so membership replays in SQL
+    * and is STABLE under corpus growth (a node never changes level).
+    */
+  def levelNodes(codes: DataFrame, idCol: String, fanout: Int,
+      l: Int): DataFrame = {
+    require(fanout >= 2 && l >= 1)
+    val f = Iterator.iterate(1L)(_ * fanout).drop(l).next()
+    codes.filter(saltedHash60(col(idCol), ":lvl") % f === 0)
+  }
+
+  /** Auto-built multi-level layer stack for [[beamServeLayered]]
+    * (VERDICT r11 item 3): `levels` upper layers, level l = ring
+    * graphs over the fanout^-l hash sample ([[levelNodes]]), top
+    * first. Returns (edges, memberNodes) per layer top→bottom-1;
+    * callers append the full bottom graph and pass the TOP layer's
+    * nodes as the entry pool. Upper layers stay ring-init-only (the
+    * q469 shape: their job is routing, not final precision — and a
+    * ring over a sample is one window, no NN-descent rounds). At
+    * 100 TB each level's edge table is fanout^-l of the corpus, so
+    * the upper expansion joins touch a sliver of the bottom layer's.
+    */
+  def buildLayerStack(codes: DataFrame, idCol: String, k: Int,
+      fanout: Int, levels: Int, buckets: Int): Seq[(DataFrame, DataFrame)] = {
+    require(levels >= 1)
+    (levels to 1 by -1).map { l =>
+      val nodes = levelNodes(codes, idCol, fanout, l)
+      // bucket count shrinks with the level so ring buckets keep
+      // O(n·fanout^-l / buckets) members — same task-size lever as
+      // the bottom build
+      val b = math.max(1, buckets / Iterator.iterate(1)(_ * fanout)
+        .drop(l).next())
+      (ringInitEdges(nodes, idCol, k, b), nodes)
+    }
+  }
+
+  /** PREDICATE-CONSTRAINED beam serve (the DiskANN/Qdrant filtered-
+    * search pattern, VERDICT r11 item 4): the beam routes through
+    * EVERY node — restricting the walk itself to matching nodes
+    * disconnects the graph at selective predicates — but only nodes
+    * present in `allowed` are collected into the result. A separate
+    * per-query accumulator keeps the best `topK` matching nodes seen
+    * at ANY scoring step (matches scored during expansion count even
+    * when the unfiltered beam cut drops them), which is exactly why
+    * post-filtering a fixed top-k under-returns: the global top-k is
+    * dominated by non-matching nodes at a 5% predicate, so filtering
+    * it afterwards yields ≪ k rows, while the route-through walk
+    * keeps collecting matches all the way down.
+    */
+  def beamServeFiltered(queries: DataFrame, graph: DataFrame,
+      codes: DataFrame, allowed: DataFrame, idCol: String,
+      codeCol: String, entryK: Int, beam: Int, steps: Int,
+      topK: Int): DataFrame = {
+    require(steps >= 0)
+    beamCoreFiltered(queries, codes, codes, Seq((graph, steps)),
+      Some(allowed.select(col(idCol).as("node"))), idCol, codeCol,
+      entryK, beam, topK)
+  }
+
   private def beamCore(queries: DataFrame, codes: DataFrame,
       entryPool: DataFrame, layers: Seq[(DataFrame, Int)], idCol: String,
+      codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame =
+    beamCoreFiltered(queries, codes, entryPool, layers, None, idCol,
+      codeCol, entryK, beam, topK)
+
+  private def beamCoreFiltered(queries: DataFrame, codes: DataFrame,
+      entryPool: DataFrame, layers: Seq[(DataFrame, Int)],
+      allowed: Option[DataFrame], idCol: String,
       codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame = {
     require(entryK >= 1 && beam >= 1 && topK >= 1)
     val q = queries.select(col(idCol).as("query_id"),
       col(codeCol).as("__qc"))
     val cs = codes.select(col(idCol).as("node"), col(codeCol).as("__nc"))
-    val entry = entryPool
+    val entryGlobal = entryPool
       .select(col(idCol).as("node"),
         saltedHash60(col(idCol), ":entry").as("__h"))
       .orderBy(col("__h"), col("node")).limit(entryK)
       .select(col("node"))
+    // filtered serve additionally seeds `entryK` MATCHING start
+    // points (the DiskANN filtered-search pattern): with a selective
+    // predicate the matching nodes cluster away from the unfiltered
+    // walk's path, and a fixed O(entryK) seed set from the filter's
+    // own population keeps every region of it reachable — still
+    // corpus-size-independent state
+    val entry = allowed match {
+      case Some(a) => entryGlobal.union(
+          a.select(col("node"),
+              saltedHash60(col("node"), ":entry").as("__h"))
+            .orderBy(col("__h"), col("node")).limit(entryK)
+            .select(col("node")))
+        .distinct()
+      case None => entryGlobal
+    }
     def scored(pairsQN: DataFrame): DataFrame =
       pairsQN.join(cs, "node").join(broadcast(q), "query_id")
         .withColumn("idot", dotI(col("__qc"), col("__nc")))
         .select(col("query_id"), col("node"), col("idot"))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("idot").desc, col("node"))
+    // matching-result accumulator (filtered serve only): the best
+    // topK `allowed` nodes scored at ANY step, self excluded at
+    // accumulation time so the per-step cut can never lose the k-th
+    // real answer to the query's own row
+    def matches(scoredDf: DataFrame): DataFrame = allowed match {
+      case Some(a) => scoredDf
+        .filter(col("node") =!= col("query_id"))
+        .join(a, Seq("node"), "left_semi")
+        .select(col("query_id"), col("node"), col("idot"))
+      case None => scoredDf.limit(0)
+    }
     var st = scored(q.select(col("query_id")).crossJoin(broadcast(entry)))
+    var res = matches(st)
     for ((graph, steps) <- layers; _ <- 1 to steps) {
-      val exp = scored(
+      val exp0 = scored(
         st.select(col("query_id"), col("node").as("src"))
           .join(graph.select(col("src"), col("dst")), "src")
           .select(col("query_id"), col("dst").as("node")).distinct())
+      // the filtered path consumes the expansion TWICE (beam update +
+      // match accumulation) — materialize the bounded frame once
+      val exp = if (allowed.isDefined) exp0.localCheckpoint(true) else exp0
+      if (allowed.isDefined)
+        res = res.union(matches(exp)).distinct()
+          .withColumn("__rn", row_number().over(wBeam))
+          .filter(col("__rn") <= topK)
+          .select(col("query_id"), col("node"), col("idot"))
+          .localCheckpoint(true)
       // truncate lineage each step: the state frame is queries×beam
       // rows, but each round references the previous one TWICE
       // (union + expansion), so an unbroken chain makes plan
@@ -257,7 +374,11 @@ object GraphAnn {
         .select(col("query_id"), col("node"), col("idot"))
         .localCheckpoint(true)
     }
-    st.filter(col("node") =!= col("query_id"))
+    val out = allowed match {
+      case Some(_) => res
+      case None => st.filter(col("node") =!= col("query_id"))
+    }
+    out
       .withColumn("rn", row_number().over(wBeam).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("rn"), col("node").as("neighbor_id"),

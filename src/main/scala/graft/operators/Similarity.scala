@@ -286,15 +286,25 @@ object Similarity {
     */
   def annTopKIvfMultiProbe(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[Seq[Float]], k: Int,
-      probes: Int): DataFrame = {
-    require(probes >= 1 && probes <= centroids.size)
-    val cents = centroids.zipWithIndex.map { case (c, i) =>
-      (i, c.map(_.toDouble))
-    }
+      probes: Int): DataFrame =
+    annTopKIvfMultiProbeD(queries, corpus, idCol, vecCol,
+      centroids.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble)) },
+      k, probes)
+
+  /** [[annTopKIvfMultiProbe]] over (cell, centroid) pairs in DOUBLE
+    * precision — the form a TRAINED quantizer hands over
+    * ([[kmeansIterate]] emits double centroids; rounding them through
+    * Float would make the serve unreplayable against the trainer's
+    * own oracle).
+    */
+  def annTopKIvfMultiProbeD(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[(Int, Seq[Double])],
+      k: Int, probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= cents.size)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       explode(assignCells(col(vecCol), cents, probes)).as("cell"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      ivfAssign(col(vecCol), centroids).as("cell"))
+      assignCell(col(vecCol), cents).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineNative(col("qvec"), col("nvec")))

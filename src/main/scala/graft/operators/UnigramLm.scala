@@ -124,10 +124,13 @@ object UnigramLm {
   def sampleSegment(words: DataFrame, wordCol: String,
       costs: Seq[(String, Long)], maxPieceLen: Int, maxWordLen: Int,
       salt: String, jitterPpm: Long): DataFrame = {
-    require(jitterPpm >= 1)
+    require(jitterPpm >= 0)
     val costMap = typedLit(costs.toMap)
+    // jitterPpm == 0 IS the documented degenerate case (the 1-best
+    // path) — `h % 0` would divide by zero, so route it to the
+    // unperturbed DP explicitly
     val out = viterbiCore(words, wordCol, costs, maxPieceLen,
-      maxWordLen, Some((salt, jitterPpm)))
+      maxWordLen, if (jitterPpm == 0) None else Some((salt, jitterPpm)))
     out
       .withColumn("cost_perturbed", col("cost"))
       .withColumn("cost",

@@ -1,0 +1,504 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{GraphAnn, Similarity}
+import graft.expressions.VectorExpressions.dotI
+
+/** q472–q475: the ANN families proven in the regime they exist for
+  * (VERDICT r11 items 2–4). The uniform-random embeddings fixture
+  * mathematically cannot show index recall — every neighbor is
+  * equidistant in expectation, so q452/q469's audited recall is an
+  * honest but uninformative ~0.15. This pack builds a DETERMINISTIC
+  * CLUSTERED fixture instead — cluster = salted-hash draw, centroid
+  * components and per-vector jitter both hash-derived integers, so
+  * the whole mixture replays in SQL with zero RNG state — and gates:
+  *
+  *  - q472: graph-ANN (NN-descent build + beam serve) recall ≥ 0.8,
+  *  - q473: TRAINED IVF (hash-seeded k-means + multi-probe) recall,
+  *  - q474: the AUTO-BUILT multi-level HNSW stack vs the hand-built
+  *    two-layer descent at equal total steps,
+  *  - q475: predicate-constrained (filtered) serve vs brute-force
+  *    filtered top-k.
+  *
+  * Everything scores by the exact integer code dot ([[dotI]]) except
+  * the IVF path, which ranks by the q57-proven double cosine.
+  */
+object ClusteredAnnQueries extends QueryPack {
+
+  private val Dim = 16
+  private val NCl = 8 // mixture components
+  private val K = 4 // graph degree
+  private val Buckets = 8 // ring hash buckets
+  private val Rounds = 2 // NN-descent rounds
+  private val EntryK = 16 // beam entry points (≥ NCl: every cluster
+  // is likely seeded, the flat graph's cross-cluster edges are rare)
+  private val Beam = 12
+  private val Steps = 5
+  private val TopK = 3
+  private val Fanout = 4 // auto-stack geometric level fanout
+  private val MinTop = 8 // auto-stack: top level keeps ≥ this many
+  private val LevelCap = 2 // auto-stack level cap (policy yields 2 at
+  // sf0.01 AND sf0.1: n=500→2, n=2000→min(cap,3)=2 — the oracle
+  // replays exactly this stack)
+  private val HandUpper = 4 // hand 2-layer: 1-in-4 sample, q469 shape
+  private val Probes = 3 // IVF probe count
+  private val KmIters = 2 // Lloyd iterations
+  private val FilterMod = 20 // filtered serve: vec_id % 20 = 3 (~5%)
+  private val FilterRem = 3
+
+  // ---------------------------------------------------------------
+  // fixture: deterministic clustered integer codes
+  // ---------------------------------------------------------------
+
+  /** Clustered code vectors: cluster = hash(id) mod NCl; component i
+    * = hash-derived centroid in [-100, 100] + hash-derived jitter in
+    * [-10, 10]. Same-cluster dots concentrate near ‖c‖² (~5.3e4 at
+    * Dim=16) while cross-cluster dots are near 0 (±1.3e4) — a real
+    * mixture, pure function of vec_id.
+    */
+  private def clusteredCodes(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .withColumn("cl",
+        GraphAnn.saltedHash60(col("vec_id"), ":cl") % NCl)
+      .withColumn("code", transform(sequence(lit(1), lit(Dim)), i =>
+        (GraphAnn.saltedHash60(
+          concat(col("cl").cast("string"), lit(":"), i.cast("string")),
+          ":cent") % 201 - 100 +
+          (GraphAnn.saltedHash60(
+            concat(col("vec_id").cast("string"), lit(":"),
+              i.cast("string")), ":jit") % 21 - 10)).cast("int")))
+      .select(col("vec_id"), col("code"))
+
+  private def hashSql(idExpr: String, salt: String): String =
+    s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR) || '$salt'), " +
+      s"1, 15)) AS BIGINT)"
+
+  /** [[clusteredCodes]] mirror: `qz(vec_id, q)`. */
+  private val codesCte: String =
+    s"""cl0 AS (SELECT vec_id, ${hashSql("vec_id", ":cl")} % $NCl AS cl
+       |  FROM embeddings),
+       |qz AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+       |    ${hashSql("CAST(cl AS VARCHAR) || ':' || CAST(i AS VARCHAR)",
+          ":cent")} % 201 - 100 +
+       |    (${hashSql("CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)",
+          ":jit")} % 21 - 10)) AS q
+       |  FROM cl0)""".stripMargin
+
+  /** Exact integer dot — the [[dotI]] mirror. */
+  private def idotSql(a: String, b: String): String =
+    s"CAST(list_reduce([CAST(0 AS BIGINT)] || " +
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), " +
+      s"(acc, x) -> acc + x) AS BIGINT)"
+
+  // ---------------------------------------------------------------
+  // SQL builders (GraphAnnQueries' replay shapes at THIS pack's
+  // constants — K=4, Buckets=8, Rounds=2, EntryK=16, Beam=12)
+  // ---------------------------------------------------------------
+
+  /** k salted hash rings over nodes matching `cond` → `${pfx}E`. */
+  private def ringSql(pfx: String, cond: String, buckets: Int): String = {
+    val rings = (1 to K).map { j =>
+      s"""${pfx}rj$j AS (SELECT vec_id, h, h % $buckets AS b FROM (
+         |  SELECT vec_id, ${hashSql("vec_id", s":ring$j")} AS h
+         |  FROM qz WHERE $cond)),
+         |${pfx}rk$j AS MATERIALIZED (SELECT vec_id, b,
+         |    row_number() OVER (PARTITION BY b ORDER BY h, vec_id) AS r,
+         |    count(*) OVER (PARTITION BY b) AS c
+         |  FROM ${pfx}rj$j),
+         |${pfx}ed$j AS (SELECT a.vec_id AS src, bb.vec_id AS dst
+         |  FROM ${pfx}rk$j a JOIN ${pfx}rk$j bb
+         |    ON a.b = bb.b AND bb.r = a.r % a.c + 1)""".stripMargin
+    }.mkString(",\n")
+    val u = (1 to K).map(j => s"SELECT * FROM ${pfx}ed$j")
+      .mkString(" UNION ALL ")
+    s"""$rings,
+       |${pfx}E AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($u)
+       |  WHERE src <> dst)""".stripMargin
+  }
+
+  /** Ring init + `Rounds` NN-descent rounds → `e$Rounds(src, dst)`. */
+  private def graphCtes: String = {
+    val rounds = (1 to Rounds).map { r =>
+      s"""und$r AS MATERIALIZED (
+         |  SELECT src, dst FROM e${r - 1}
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM e${r - 1}),
+         |pr$r AS (SELECT a.dst AS u, b.dst AS w
+         |  FROM und$r a JOIN und$r b
+         |    ON a.src = b.src AND a.dst < b.dst),
+         |cd$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e${r - 1}
+         |  UNION ALL SELECT u AS src, w AS dst FROM pr$r
+         |  UNION ALL SELECT w AS src, u AS dst FROM pr$r)
+         |  WHERE src <> dst),
+         |sc$r AS (SELECT c.src, c.dst,
+         |    ${idotSql("qs.q", "qd.q")} AS idot
+         |  FROM cd$r c JOIN qz qs ON qs.vec_id = c.src
+         |              JOIN qz qd ON qd.vec_id = c.dst),
+         |e$r AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY idot DESC, dst) AS rn
+         |  FROM sc$r) WHERE rn <= $K)""".stripMargin
+    }.mkString(",\n")
+    s"""${ringSql("g", "TRUE", Buckets)},
+       |e0 AS MATERIALIZED (SELECT src, dst FROM gE),
+       |$rounds""".stripMargin
+  }
+
+  /** Beam descent with a PER-STEP edge table; emits
+    * `${p}st$n`, per-step `${p}sx$r`, and the final ranked
+    * `${p}srv(query_id, node, idot, rn)` (self excluded).
+    */
+  private def beamCtesL(p: String, qCte: String,
+      stepEdges: Seq[String], entryCond: String,
+      seedCond: Option[String] = None): String = {
+    val nSteps = stepEdges.size
+    // filtered serve: EntryK extra start points drawn from the
+    // predicate's own population ([[GraphAnn.beamCoreFiltered]])
+    val seedSql = seedCond.map { c =>
+      s"""
+         |  UNION
+         |  SELECT vec_id AS node FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY
+         |        ${hashSql("vec_id", ":entry")}, vec_id) AS rn
+         |    FROM qz WHERE $c) WHERE rn <= $EntryK""".stripMargin
+    }.getOrElse("")
+    val steps = (1 to nSteps).map { r =>
+      val edges = stepEdges(r - 1)
+      s"""${p}ex$r AS (SELECT DISTINCT s.query_id, g.dst AS node
+         |  FROM ${p}st${r - 1} s JOIN $edges g ON g.src = s.node),
+         |${p}sx$r AS MATERIALIZED (SELECT x.query_id, x.node,
+         |    ${idotSql("qq.qv", "c.q")} AS idot
+         |  FROM ${p}ex$r x JOIN qz c ON c.vec_id = x.node
+         |              JOIN $qCte qq ON qq.query_id = x.query_id),
+         |${p}st$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
+         |  SELECT query_id, node, idot, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY idot DESC, node) AS rn
+         |  FROM (SELECT DISTINCT * FROM (
+         |    SELECT * FROM ${p}st${r - 1}
+         |    UNION ALL SELECT * FROM ${p}sx$r)))
+         |  WHERE rn <= $Beam)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}en AS (SELECT vec_id AS node FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |      ${hashSql("vec_id", ":entry")}, vec_id) AS rn
+       |  FROM qz WHERE $entryCond) WHERE rn <= $EntryK$seedSql),
+       |${p}st0 AS MATERIALIZED (SELECT qq.query_id, ${p}en.node,
+       |    ${idotSql("qq.qv", "c.q")} AS idot
+       |  FROM $qCte qq CROSS JOIN ${p}en
+       |  JOIN qz c ON c.vec_id = ${p}en.node),
+       |$steps,
+       |${p}srv AS (SELECT query_id, node, idot, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY idot DESC, node) AS rn
+       |  FROM ${p}st$nSteps WHERE node <> query_id)""".stripMargin
+  }
+
+  private val qqCte: String =
+    s"""qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+       |  FROM qz WHERE vec_id % 25 = 0)""".stripMargin
+
+  /** Brute-force exact top-k over corpus nodes matching `cond`. */
+  private def bfSql(cond: String): String =
+    s"""bf AS MATERIALIZED (SELECT query_id, node FROM (
+       |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+       |      PARTITION BY qq.query_id
+       |      ORDER BY ${idotSql("qq.qv", "z.q")} DESC, z.vec_id) AS rn
+       |  FROM qq JOIN qz z ON z.vec_id <> qq.query_id
+       |  WHERE $cond) WHERE rn <= $TopK)""".stripMargin
+
+  /** Aggregate recall row over a served CTE (rn ≤ TopK rows). */
+  private def recallSelect(family: String, srv: String): String =
+    s"""SELECT '$family' AS family,
+       |  (SELECT count(*) FROM qq) AS n_queries,
+       |  (SELECT count(*) FROM qq) * $TopK AS denom,
+       |  (SELECT count(*) FROM $srv s JOIN bf
+       |     ON bf.query_id = s.query_id AND bf.node = s.node
+       |   WHERE s.rn <= $TopK) AS hits,
+       |  CAST(floor(1000000.0 * (SELECT count(*) FROM $srv s JOIN bf
+       |     ON bf.query_id = s.query_id AND bf.node = s.node
+       |   WHERE s.rn <= $TopK)
+       |   / ((SELECT count(*) FROM qq) * $TopK)) AS BIGINT) AS recall_ppm""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Spark-side shared pieces
+  // ---------------------------------------------------------------
+
+  private def builtGraph(s: SparkSession, dir: String) = {
+    val codes = clusteredCodes(s, dir)
+    (codes, GraphAnn.nnDescent(codes, "vec_id", "code", K, Rounds,
+      Buckets).select(col("src"), col("dst")).localCheckpoint(true))
+  }
+
+  private def queriesOf(codes: DataFrame): DataFrame =
+    codes.filter(col("vec_id") % 25 === 0)
+
+  /** Exact integer-dot top-k over `corpus` (self excluded). */
+  private def bruteTopK(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val qc = queries.select(col("vec_id").as("query_id"),
+      col("code").as("__qc"))
+    qc.join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("code").as("__nc")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d", dotI(col("__qc"), col("__nc")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__d").desc, col("neighbor_id"))))
+      .filter(col("__rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** One (family, n_queries, denom, hits, recall_ppm) row. */
+  private def recallRow(family: String, queries: DataFrame,
+      served: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = served.filter(col("rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    queries.agg(count(lit(1)).as("n_queries")).crossJoin(hits)
+      .select(lit(family).as("family"), col("n_queries"),
+        (col("n_queries") * TopK).as("denom"), col("hits"),
+        floor(lit(1000000.0) * col("hits") /
+          (col("n_queries") * TopK)).cast("long").as("recall_ppm"))
+  }
+
+  def defs: Map[String, Q] = Map(
+
+    // Graph-ANN recall on the clustered mixture (VERDICT r11 item 2):
+    // the flat NN-descent graph + 5-step beam serve must reach ≥ 0.8
+    // audited recall in the regime neighbor graphs exist for. The
+    // recall_ppm column is the gate's pin — the same build/serve on
+    // the uniform fixture (q452) reads ~0.15, which is the fixture's
+    // fault, not the index's; this gate is the proof.
+    "q472_clustered_graph_recall" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val queries = queriesOf(codes)
+        val served = GraphAnn.beamServe(queries, graph, codes,
+          "vec_id", "code", EntryK, Beam, Steps, TopK)
+        recallRow("graph_beam", queries, served,
+          bruteTopK(queries, codes))
+      },
+      Some(s"""WITH $codesCte,
+        |$graphCtes,
+        |$qqCte,
+        |${beamCtesL("b", "qq", Seq.fill(Steps)(s"e$Rounds"), "TRUE")},
+        |${bfSql("TRUE")}
+        |${recallSelect("graph_beam", "bsrv")}""".stripMargin)),
+
+    // TRAINED IVF recall on the clustered mixture: seeds = codes of
+    // the NCl smallest ':seed'-hash ids, 2 Lloyd iterations of the
+    // exact fixed-point k-means (q84's trainer), multi-probe serve
+    // (q121's shape) over the trained cells. End-to-end trained —
+    // no generator knowledge leaks into the quantizer.
+    "q473_clustered_ivf_recall" -> Q(
+      (s, dir) => {
+        val codes = clusteredCodes(s, dir)
+        val vecs = codes.select(col("vec_id"),
+            transform(col("code"), x => x.cast("double")).as("v"))
+          .localCheckpoint(true)
+        val init = vecs
+          .withColumn("__h", GraphAnn.saltedHash60(col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id")).limit(NCl)
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq)
+          }.toSeq
+        val cents = Similarity.kmeansIterate(vecs, "v", init, KmIters)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val served = Similarity.annTopKIvfMultiProbeD(queries, vecs,
+          "vec_id", "v", cents, TopK, Probes)
+        // exact top-k under the SAME metric the serve ranks by
+        // (cosine): brute-force cosine, ties to the smaller id
+        val qc = queries.select(col("vec_id").as("query_id"),
+          col("v").as("__qv"))
+        val exact = qc.join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__c",
+            Similarity.cosineNative(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__c").desc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+        recallRow("ivf_multiprobe", queries, served, exact)
+      },
+      {
+        val q20 = "1048576.0"
+        val sumExprs = (0 until Dim).map(d =>
+          s"CAST(sum(CAST(floor(v[${d + 1}] * $q20) AS BIGINT)) AS BIGINT) AS s$d")
+          .mkString(",\n|    ")
+        val centroidList = (0 until Dim).map(d => s"s$d / (n * $q20)")
+          .mkString("[", ", ", "]")
+        def assign(it: Int, from: String): String =
+          s"""ss$it AS (SELECT e.vec_id, e.v, c.cell,
+             |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
+             |  FROM vv e CROSS JOIN $from c),
+             |aa$it AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+             |  SELECT vec_id, v, cell, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+             |  FROM ss$it) WHERE rn = 1)""".stripMargin
+        def refine(it: Int): String =
+          s"""gg$it AS (SELECT cell, count(*) AS n,
+             |    $sumExprs
+             |  FROM aa$it GROUP BY cell),
+             |c$it AS MATERIALIZED (SELECT cell, $centroidList AS c FROM gg$it)""".stripMargin
+        Some(s"""WITH $codesCte,
+          |vv AS MATERIALIZED (SELECT vec_id,
+          |  list_transform(q, x -> CAST(x AS DOUBLE)) AS v FROM qz),
+          |sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY
+          |    ${hashSql("vec_id", ":seed")}, vec_id) - 1 AS cell
+          |  FROM vv),
+          |c0 AS MATERIALIZED (SELECT cell, v AS c FROM sd
+          |  WHERE cell < $NCl),
+          |${assign(1, "c0")},
+          |${refine(1)},
+          |${assign(2, "c1")},
+          |${refine(2)},
+          |qsc AS (SELECT e.vec_id, e.v, c.cell,
+          |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
+          |  FROM vv e CROSS JOIN c2 c),
+          |qrk AS MATERIALIZED (SELECT vec_id, v, cell,
+          |    row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY cos DESC, cell DESC) AS rn
+          |  FROM qsc),
+          |asg AS (SELECT vec_id, v, cell FROM qrk WHERE rn = 1),
+          |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+          |  FROM vv WHERE vec_id % 25 = 0),
+          |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+          |  WHERE vec_id % 25 = 0 AND rn <= $Probes),
+          |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
+          |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
+          |  FROM qp JOIN asg USING (cell)
+          |  WHERE qp.query_id <> asg.vec_id),
+          |srv AS (SELECT query_id, node, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+          |  FROM srvs),
+          |bf AS MATERIALIZED (SELECT query_id, node FROM (
+          |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+          |      PARTITION BY qq.query_id
+          |      ORDER BY ${SimilarityQueries.cosSql("qq.qv", "z.v")} DESC,
+          |        z.vec_id) AS rn
+          |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
+          |  WHERE rn <= $TopK)
+          |${recallSelect("ivf_multiprobe", "srv")}""".stripMargin)
+      }),
+
+    // AUTO-BUILT multi-level HNSW stack (VERDICT r11 item 3): level
+    // count from corpus size (numUpperLevels — 2 at both tested SFs),
+    // geometric salted-hash membership, ring graphs per level, the
+    // beam descending level-2 → level-1 → bottom at 1+1+3 steps —
+    // against the hand-built q469 two-layer (2+3 steps) on the SAME
+    // build, equal total step budget. Both recall rows are pinned;
+    // the auto stack must not lose to the hand layout.
+    "q474_hnsw_auto_stack" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val queries = queriesOf(codes)
+        val exact = bruteTopK(queries, codes).localCheckpoint(true)
+        val n = codes.count()
+        val lv = GraphAnn.numUpperLevels(n, Fanout, MinTop, LevelCap)
+        val stack = GraphAnn.buildLayerStack(codes, "vec_id", K,
+          Fanout, lv, Buckets)
+        val layers = stack.map { case (e, _) => (e, 1) } :+
+          ((graph, Steps - lv))
+        val servedAuto = GraphAnn.beamServeLayered(queries, layers,
+          stack.head._2, codes, "vec_id", "code", EntryK, Beam, TopK)
+        val handNodes = codes.filter(
+          GraphAnn.saltedHash60(col("vec_id"), ":layer") % HandUpper === 0)
+        val handUpper = GraphAnn.ringInitEdges(handNodes, "vec_id", K,
+          HandUpper)
+        val servedHand = GraphAnn.beamServeLayered(queries,
+          Seq((handUpper, 2), (graph, Steps - 2)), handNodes, codes,
+          "vec_id", "code", EntryK, Beam, TopK)
+        recallRow("auto_stack", queries, servedAuto, exact)
+          .unionByName(
+            recallRow("hand_two_layer", queries, servedHand, exact))
+          .orderBy(col("family"))
+      },
+      {
+        val lvl1 = s"${hashSql("vec_id", ":lvl")} % $Fanout = 0"
+        val lvl2 = s"${hashSql("vec_id", ":lvl")} % ${Fanout * Fanout} = 0"
+        val hand = s"${hashSql("vec_id", ":layer")} % $HandUpper = 0"
+        Some(s"""WITH $codesCte,
+          |$graphCtes,
+          |$qqCte,
+          |${ringSql("v2", lvl2, math.max(1, Buckets / (Fanout * Fanout)))},
+          |${ringSql("v1", lvl1, math.max(1, Buckets / Fanout))},
+          |${ringSql("hl", hand, HandUpper)},
+          |${beamCtesL("a", "qq",
+            Seq("v2E", "v1E") ++ Seq.fill(Steps - LevelCap)(s"e$Rounds"),
+            lvl2)},
+          |${beamCtesL("h", "qq",
+            Seq.fill(2)("hlE") ++ Seq.fill(Steps - 2)(s"e$Rounds"),
+            hand)},
+          |${bfSql("TRUE")}
+          |SELECT * FROM (
+          |${recallSelect("auto_stack", "asrv")}
+          |UNION ALL
+          |${recallSelect("hand_two_layer", "hsrv")})
+          |ORDER BY family""".stripMargin)
+      }),
+
+    // FILTERED (predicate-constrained) serve (VERDICT r11 item 4):
+    // top-k nearest WHERE vec_id % 20 = 3 (~5% of the corpus). The
+    // beam routes through every node but only matching nodes are
+    // collected — post-filtering an unconstrained top-3 would return
+    // ~0.15 rows/query at this selectivity (3 × 5%), while the
+    // route-through accumulator keeps collecting matches all the way
+    // down. Audited per-row against brute-force FILTERED top-3.
+    "q475_filtered_serve" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val queries = queriesOf(codes)
+        val allowed = codes.filter(
+          col("vec_id") % FilterMod === FilterRem)
+        val served = GraphAnn.beamServeFiltered(queries, graph, codes,
+          allowed, "vec_id", "code", EntryK, Beam, Steps, TopK)
+        val exact = bruteTopK(queries, allowed)
+          .withColumn("__hit", lit(true))
+        served.join(exact, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("in_filtered_top3",
+            coalesce(col("__hit"), lit(false)))
+          .select(col("query_id"), col("rn"), col("neighbor_id"),
+            col("idot"), col("in_filtered_top3"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val fcond = s"node % $FilterMod = $FilterRem"
+        val resChain = (1 to Steps).map { r =>
+          s"""fr$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
+             |  SELECT query_id, node, idot, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY idot DESC, node) AS rn
+             |  FROM (SELECT DISTINCT * FROM (
+             |    SELECT * FROM fr${r - 1}
+             |    UNION ALL SELECT query_id, node, idot FROM bsx$r
+             |      WHERE node <> query_id AND $fcond)))
+             |  WHERE rn <= $TopK)""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH $codesCte,
+          |$graphCtes,
+          |$qqCte,
+          |${beamCtesL("b", "qq", Seq.fill(Steps)(s"e$Rounds"), "TRUE",
+            Some(s"vec_id % $FilterMod = $FilterRem"))},
+          |fr0 AS (SELECT query_id, node, idot FROM bst0
+          |  WHERE node <> query_id AND $fcond),
+          |$resChain,
+          |${bfSql(s"z.vec_id % $FilterMod = $FilterRem")}
+          |SELECT f.query_id, CAST(f.rn AS BIGINT) AS rn,
+          |  f.node AS neighbor_id, f.idot,
+          |  (bf.node IS NOT NULL) AS in_filtered_top3
+          |FROM (SELECT query_id, node, idot, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY idot DESC, node) AS rn
+          |  FROM fr$Steps) f
+          |LEFT JOIN bf ON bf.query_id = f.query_id AND bf.node = f.node
+          |WHERE f.rn <= $TopK
+          |ORDER BY f.query_id, f.rn""".stripMargin)
+      })
+  )
+}

@@ -11,6 +11,9 @@ final case class Q(
 
 trait QueryPack {
   def defs: Map[String, Q]
+
+  /** Pack display name — the bench's fork-per-pack unit label. */
+  def name: String = getClass.getSimpleName.stripSuffix("$")
 }
 
 /** Shared teardown for queries that stage data in an external medium

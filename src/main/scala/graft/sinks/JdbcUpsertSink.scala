@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.sql.{Connection, DriverManager, PreparedStatement}
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
@@ -147,7 +147,6 @@ object JdbcUpsertSink {
     target.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         var conn: Connection = DriverManager.getConnection(url)
-        conn.setAutoCommit(false)
         // One statement per batch chunk: some engines (Derby MERGE)
         // corrupt a reused PreparedStatement across executeBatch+
         // commit cycles, and a dangling prepare holds a transaction
@@ -168,21 +167,33 @@ object JdbcUpsertSink {
           } finally ps.close()
         }
         try {
+          // autoCommit(false) can itself fail (dead connection) —
+          // keep it inside the finally-close guard so the just-opened
+          // connection can't leak
+          conn.setAutoCommit(false)
           rows.grouped(batchSize).foreach { chunk =>
             try runChunk(chunk)
             catch {
-              case _: Exception =>
+              case first: SQLException =>
                 // The merge is idempotent (re-merging the same keys
                 // yields the same values), so a transient engine error
                 // — embedded Derby can fail a batch with an internal
                 // latch fault under shared-JVM load — is safe to
-                // replay exactly once on a fresh connection. A second
-                // failure propagates.
+                // replay exactly once on a fresh connection. Only
+                // SQLExceptions qualify (a deterministic driver bug
+                // should propagate immediately); if the replay fails
+                // too, the ORIGINAL failure rides along as a
+                // suppressed exception so the root cause survives.
                 try conn.rollback() catch { case _: Exception => () }
                 try conn.close() catch { case _: Exception => () }
                 conn = DriverManager.getConnection(url)
                 conn.setAutoCommit(false)
-                runChunk(chunk)
+                try runChunk(chunk)
+                catch {
+                  case second: Throwable =>
+                    if (second ne first) second.addSuppressed(first)
+                    throw second
+                }
             }
           }
         } catch {

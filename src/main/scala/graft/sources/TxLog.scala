@@ -72,6 +72,11 @@ object TxLog {
     // Null on files committed by single-stat writers.
     StructField("mn2", LongType),
     StructField("mx2", LongType),
+    // third stat column ([[commitClustered3]] — 3-axis clustered
+    // commits, e.g. source × time × length under a 3-D Hilbert key).
+    // Null on one- and two-stat writers.
+    StructField("mn3", LongType),
+    StructField("mx3", LongType),
     // writer transaction identity "appId:batchId" ([[commitIdempotent]]):
     // the exactly-once dedup key for at-least-once upstreams. Null on
     // commits without one.
@@ -742,10 +747,28 @@ object TxLog {
     */
   def commitClustered(df: DataFrame, dir: String, mode: String,
       statCol: String, statCol2: String,
+      clusterCol: org.apache.spark.sql.Column, buckets: Int): Long =
+    commitClusteredCore(df, dir, mode, Seq(statCol, statCol2),
+      clusterCol, buckets)
+
+  /** [[commitClustered]] with THREE stat ranges — the 3-axis layout
+    * ([[graft.functions.ZOrder.hilbert3KeyNormalized]]/
+    * [[graft.functions.ZOrder.zKey3Normalized]] cluster keys, e.g.
+    * source × time × length). [[prunedRead3]] consumes all three.
+    */
+  def commitClustered3(df: DataFrame, dir: String, mode: String,
+      statCol: String, statCol2: String, statCol3: String,
+      clusterCol: org.apache.spark.sql.Column, buckets: Int): Long =
+    commitClusteredCore(df, dir, mode,
+      Seq(statCol, statCol2, statCol3), clusterCol, buckets)
+
+  private def commitClusteredCore(df: DataFrame, dir: String,
+      mode: String, statCols: Seq[String],
       clusterCol: org.apache.spark.sql.Column, buckets: Int): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got $mode")
     require(buckets >= 1)
+    require(statCols.size == 2 || statCols.size == 3)
     val spark = df.sparkSession
     val bounds = df.agg(min(clusterCol), max(clusterCol)).head()
     require(!bounds.isNullAt(0), "clustered commit of an empty frame")
@@ -766,24 +789,27 @@ object TxLog {
     withB.repartition(col("__zb"))
       .write.partitionBy("__zb").parquet(dataAbs)
     val back = spark.read.schema(withB.schema).parquet(dataAbs)
+    // stat fields named mn/mx, mn2/mx2, mn3/mx3 — the log-schema keys
+    val sfx = statCols.indices.map(i => if (i == 0) "" else (i + 1).toString)
+    val aggs = count(lit(1)).as("rows") +:
+      statCols.zip(sfx).flatMap { case (c, s) =>
+        Seq(min(col(c)).as(s"mn$s"), max(col(c)).as(s"mx$s")) }
     val stats = back
       .groupBy(input_file_name().as("uri"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
-        min(col(statCol2)).as("mn2"), max(col(statCol2)).as("mx2"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val uri = r.getString(0)
         val rel = dataRel + uri.substring(
           uri.indexOf(dataRel) + dataRel.length)
-        (rel, r.getAs[Long]("rows"), r.getAs[Long]("mn"),
-          r.getAs[Long]("mx"), r.getAs[Long]("mn2"),
-          r.getAs[Long]("mx2"))
+        (rel, r.getAs[Long]("rows"),
+          sfx.map(s => (r.getAs[Long](s"mn$s"), r.getAs[Long](s"mx$s"))))
       }
       .sortBy(_._1)
-    val lines = stats.map { case (p, n, mn, mx, mn2, mx2) =>
-      s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,""" +
-        s""""mn":$mn,"mx":$mx,"mn2":$mn2,"mx2":$mx2}"""
+    val lines = stats.map { case (p, n, ranges) =>
+      val statJson = ranges.zip(sfx).map { case ((mn, mx), s) =>
+        s""""mn$s":$mn,"mx$s":$mx""" }.mkString(",")
+      s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,$statJson}"""
     }
     publishLog(dir, v, lines.toIndexedSeq)
     v
@@ -829,6 +855,48 @@ object TxLog {
     val residual = (df: DataFrame) =>
       df.filter(col(statCol) >= lo && col(statCol) <= hi &&
         col(statCol2) >= lo2 && col(statCol2) <= hi2)
+    if (kept.isEmpty) (empty, 0, total, 0L)
+    else {
+      val dvPaths = liveDvPaths(spark, dir, asOf)
+      val base =
+        if (dvPaths.isEmpty) spark.read.parquet(kept.toIndexedSeq: _*)
+        else {
+          val dataCols = spark.read.parquet(kept.toIndexedSeq: _*)
+            .columns.toIndexedSeq
+          applyDv(scanWithPos(spark, kept.toIndexedSeq),
+              liveDeleteVectors(spark, dir, asOf))
+            .select(dataCols.map(col): _*)
+        }
+      (residual(base), kept.length, total - kept.length, rowsScanned)
+    }
+  }
+
+  /** Three-axis range read with log-level file pruning — the
+    * [[prunedRead2]] contract one stat column up: files whose
+    * (mn,mx)/(mn2,mx2)/(mn3,mx3) all overlap their ranges are read;
+    * entries without third-axis stats (mn3 null) cannot be pruned on
+    * that axis. Returns (rows, filesRead, filesPruned, rowsScanned).
+    */
+  def prunedRead3(spark: SparkSession, dir: String, statCol: String,
+      lo: Long, hi: Long, statCol2: String, lo2: Long, hi2: Long,
+      statCol3: String, lo3: Long, hi3: Long,
+      asOf: Option[Long] = None): (DataFrame, Int, Int, Long) = {
+    val live = liveFiles(spark, dir, asOf)
+    val total = live.count().toInt
+    val keptRows = live
+      .filter(col("mx") >= lo && col("mn") <= hi &&
+        (col("mn2").isNull || (col("mx2") >= lo2 && col("mn2") <= hi2)) &&
+        (col("mn3").isNull || (col("mx3") >= lo3 && col("mn3") <= hi3)))
+      .select(col("path"), col("rows")).collect()
+    val rowsScanned = keptRows.map(_.getLong(1)).sum
+    val kept = keptRows.map(r => resolve(dir, r.getString(0)))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      read(spark, dir, asOf).schema)
+    val residual = (df: DataFrame) =>
+      df.filter(col(statCol) >= lo && col(statCol) <= hi &&
+        col(statCol2) >= lo2 && col(statCol2) <= hi2 &&
+        col(statCol3) >= lo3 && col(statCol3) <= hi3)
     if (kept.isEmpty) (empty, 0, total, 0L)
     else {
       val dvPaths = liveDvPaths(spark, dir, asOf)

@@ -111,4 +111,63 @@ class ZOrderSpec extends SparkSpec {
     assert(h <= z)
     assert(h === 256L) // exact 16×16 tiles — perfectly compact
   }
+
+  test("zKey3 is a bijection onto [0, 8^bits) with per-axis bit lanes") {
+    val pts = for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield (x.toLong, y.toLong, z.toLong)
+    val got = pts.toDF("x", "y", "z")
+      .select(ZOrder.zKey3(col("x"), col("y"), col("z"), 3).as("k"))
+      .as[Long].collect()
+    assert(got.distinct.length === 512 && got.min === 0L && got.max === 511L)
+    // axis-only moves touch only that axis's bit lane (x sits at
+    // positions 3i+2 — the y/z lanes must stay clear)
+    val yzLanes = (0 until 3).map(i => 3L << (3 * i)).sum
+    assert(pts.toDF("x", "y", "z")
+      .select((ZOrder.zKey3(col("x"), lit(0L), lit(0L), 3)
+        .bitwiseAND(yzLanes) =!= 0L).as("leak"))
+      .as[Boolean].collect().forall(!_))
+  }
+
+  test("hilbert3Key is a bijection and consecutive keys are grid neighbors") {
+    // THE Hilbert property in 3-D: a bijection [0, 8^bits) → grid
+    // where every consecutive index pair differs by exactly one unit
+    // step along exactly one axis — verified exhaustively on the
+    // 16×16×16 grid (4096 cells)
+    val pts = for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)
+    val got = pts.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.hilbert3Key(col("x"), col("y"), col("z"), 4).as("d"))
+      .as[(Long, Long, Long, Long)].collect()
+    val ds = got.map(_._4)
+    assert(ds.distinct.length === 4096 && ds.min === 0L && ds.max === 4095L)
+    val pos = got.map { case (x, y, z, d) => d -> (x, y, z) }.toMap
+    (0L until 4095L).foreach { d =>
+      val (x1, y1, z1) = pos(d); val (x2, y2, z2) = pos(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) +
+        math.abs(z1 - z2) === 1L, s"jump at d=$d")
+    }
+  }
+
+  test("hilbert3 equal-width buckets span tighter boxes than 3-axis morton") {
+    // 8 equal-width key buckets over the 16³ grid: max bucket
+    // bounding-box VOLUME under hilbert3 ≤ under zKey3, and exactly
+    // the perfect 16×16×2... no — 8 buckets of 512 cells each are
+    // perfect 8×8×8 octants on a Hilbert curve
+    val pts = (for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    def maxVol(keyed: org.apache.spark.sql.DataFrame): Long =
+      keyed.withColumn("b", (col("k") / 512L).cast("long"))
+        .groupBy(col("b"))
+        .agg(((max(col("x")) - min(col("x")) + 1L) *
+          (max(col("y")) - min(col("y")) + 1L) *
+          (max(col("z")) - min(col("z")) + 1L)).as("vol"))
+        .agg(max(col("vol"))).head().getLong(0)
+    val h = maxVol(pts.withColumn("k",
+      ZOrder.hilbert3Key(col("x"), col("y"), col("z"), 4)))
+    val z = maxVol(pts.withColumn("k",
+      ZOrder.zKey3(col("x"), col("y"), col("z"), 4)))
+    assert(h <= z)
+    assert(h === 512L) // perfect 8×8×8 octants
+  }
 }

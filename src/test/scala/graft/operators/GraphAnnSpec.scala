@@ -164,4 +164,59 @@ class GraphAnnSpec extends SparkSpec {
     // and the inserted nodes got real adjacency lists
     assert(g2.exists(_._1 == 7L) && g2.exists(_._1 == 8L))
   }
+
+  test("numUpperLevels follows the geometric policy and its bounds") {
+    // n·fanout^-l ≥ minTop picks the deepest level; cap and floor-1
+    assert(GraphAnn.numUpperLevels(500L, 4, 8, 2) === 2)
+    assert(GraphAnn.numUpperLevels(2000L, 4, 8, 2) === 2) // capped (3 by data)
+    assert(GraphAnn.numUpperLevels(2000L, 4, 8, 5) === 3)
+    assert(GraphAnn.numUpperLevels(7L, 4, 8, 3) === 1) // floor
+    assert(GraphAnn.numUpperLevels(1000000L, 10, 10, 9) === 5)
+  }
+
+  test("buildLayerStack: geometric membership, top-first, nested levels") {
+    import spark.implicits._
+    val ids = (1L to 400L).toDF("vec_id")
+      .withColumn("code", array(col("vec_id").cast("int"), lit(1)))
+    val stack = GraphAnn.buildLayerStack(ids, "vec_id", k = 2,
+      fanout = 4, levels = 2, buckets = 8)
+    assert(stack.size === 2)
+    val top = stack.head._2.select("vec_id").as[Long].collect().toSet
+    val mid = stack(1)._2.select("vec_id").as[Long].collect().toSet
+    // levels nest (level 2 ⊂ level 1) and thin geometrically
+    assert(top.subsetOf(mid))
+    assert(top.nonEmpty && mid.size < 400 && top.size < mid.size)
+    // membership is the salted-hash draw, replayable per node
+    val expectMid = ids.filter(
+        GraphAnn.saltedHash60(col("vec_id"), ":lvl") % 4 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(mid === expectMid)
+    // each level's edges stay within its membership
+    stack.foreach { case (edges, nodes) =>
+      val ns = nodes.select("vec_id").as[Long].collect().toSet
+      val es = edges.select("src", "dst").as[(Long, Long)].collect()
+      assert(es.forall { case (s, d) => ns(s) && ns(d) })
+    }
+  }
+
+  test("beamServeFiltered returns only allowed nodes; routes through others") {
+    import spark.implicits._
+    val graph = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+      k = 4, rounds = 3, buckets = 2)
+    // allow only cluster B's far members: query 1 (cluster A) must
+    // ROUTE THROUGH its own cluster and unallowed B nodes to collect
+    // them — a pre-filtered walk could never leave cluster A
+    val allowed = codesDf.filter(col("vec_id").isin(6L, 8L))
+    val served = GraphAnn.beamServeFiltered(
+        codesDf.filter(col("vec_id") === 1L), graph, codesDf, allowed,
+        "vec_id", "code", entryK = 2, beam = 6, steps = 3, topK = 3)
+      .select("query_id", "rn", "neighbor_id")
+      .as[(Long, Long, Long)].collect()
+    assert(served.map(_._3).toSet.subsetOf(Set(6L, 8L)))
+    // exact filtered top-k: both allowed nodes, dot order
+    val exact = Seq(6L, 8L).sortBy { id =>
+      (-fixture(1L).zip(fixture(id)).map { case (a, b) => a.toLong * b }.sum, id)
+    }
+    assert(served.sortBy(_._2).map(_._3).toSeq === exact)
+  }
 }
