@@ -667,6 +667,89 @@ object ScaleProbe {
         graft.operators.UnigramLm.sampleSegment(words, "word", costs,
           3, 10, "s1", 12000000L)
       }
+      // q474 shape: AUTO-STACK layered serve isolated from the build
+      // (bottom graph + 2 ring levels constructed eagerly before the
+      // clock) — like q469, state is queries×beam: expect FLAT
+      if (only.forall(_.contains("q474_auto_stack"))) {
+        val codes = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            graft.operators.Similarity.quantizeInt8(col("embedding"))
+              .getField("q").as("code"))
+          .localCheckpoint(true)
+        val graph = graft.operators.GraphAnn.nnDescent(codes,
+            "vec_id", "code", k = 4, rounds = 2, buckets = 8 * n)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val stack = graft.operators.GraphAnn.buildLayerStack(codes,
+            "vec_id", k = 4, fanout = 4, levels = 2, buckets = 8 * n)
+          .map { case (e, m) =>
+            (e.localCheckpoint(true), m.localCheckpoint(true)) }
+        time("q474_auto_stack", n) {
+          graft.operators.GraphAnn.beamServeLayered(
+            codes.filter(col("vec_id") % 100 === 0),
+            stack.map { case (e, _) => (e, 1) } :+ ((graph, 3)),
+            stack.head._2, codes, "vec_id", "code", entryK = 16,
+            beam = 12, topK = 3)
+        }
+      }
+      // q475 shape: filtered serve — same queries×beam state plus a
+      // topK match accumulator; expect FLAT like q469/q474
+      if (only.forall(_.contains("q475_filtered_serve"))) {
+        val codes = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            graft.operators.Similarity.quantizeInt8(col("embedding"))
+              .getField("q").as("code"))
+          .localCheckpoint(true)
+        val graph = graft.operators.GraphAnn.nnDescent(codes,
+            "vec_id", "code", k = 4, rounds = 2, buckets = 8 * n)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        time("q475_filtered_serve", n) {
+          graft.operators.GraphAnn.beamServeFiltered(
+            codes.filter(col("vec_id") % 100 === 0), graph, codes,
+            codes.filter(col("vec_id") % 20 === 3), "vec_id", "code",
+            entryK = 16, beam = 12, steps = 5, topK = 3)
+        }
+      }
+      // q476 shape: 3-axis clustered rewrite + box read — the
+      // hilbert3 fold is (bits-1) constant-size sub-steps per row;
+      // expectation is q470's near-flat curve
+      timeWithTmp("q476_hilbert3", n, "graft_sp_h3") { tmp =>
+        import graft.sources.TxLog
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (graft.operators.GraphAnn.saltedHash60(col("doc_id"), ":ax3")
+              % 1000).as("aux"))
+        val t = s"$tmp/tbl"
+        val hiX = (n - 1) * 100000000L + 10000L
+        TxLog.commitClustered3(docs, t, "overwrite", "doc_id",
+          "n_chars", "aux", graft.functions.ZOrder.hilbert3KeyNormalized(
+            col("doc_id"), 0L, hiX, col("n_chars"), 0L, 700L,
+            col("aux"), 0L, 999L, 6),
+          buckets = 16)
+        TxLog.prunedRead3(spark, t, "doc_id", 0L, 2500L,
+          "n_chars", 0L, 300L, "aux", 0L, 400L)._1
+      }
+      // q477 shape: k-best Viterbi — the n=3 cell triples the DP
+      // constant, never the corpus work; expect flat-with-vocab
+      time("q477_nbest", n) {
+        val docs = copyTagged(Tables.documents(spark, sfDir),
+          Seq("doc_id"), "text", n, 100000000L)
+        val words = docs.select(explode(
+            graft.operators.TextAnalysis.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .filter(length(col("word")).between(1, 10))
+          .localCheckpoint(true)
+        val (scored, _) = graft.operators.UnigramLm.train(words,
+          "word", "cnt", rounds = 1, maxPieceLen = 3, maxWordLen = 10,
+          topM = 24)
+        val costs = scored.collect()
+          .map(r => (r.getString(0), r.getLong(2))).toSeq
+        graft.operators.UnigramLm.nbestSegment(words, "word", costs,
+          3, 10, n = 3)
+      }
     }
     spark.stop()
   }

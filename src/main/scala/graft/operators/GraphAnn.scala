@@ -286,6 +286,18 @@ object GraphAnn {
     * dominated by non-matching nodes at a 5% predicate, so filtering
     * it afterwards yields ≪ k rows, while the route-through walk
     * keeps collecting matches all the way down.
+    *
+    * Recall at selective predicates is COVERAGE-bound (measured, q475:
+    * the routing beam's scored set is its out-neighborhoods, and a
+    * better-navigable graph converges faster and explores LESS), so
+    * pass `graph` STITCHED with a kNN overlay built over the allowed
+    * subset (`nnDescent` on the filtered codes — |allowed|·k edges,
+    * selectivity-bounded): matched nodes then chain through
+    * allowed-only edges, the FilteredDiskANN/FilteredVamana per-label
+    * subgraph idea — audited recall 1.0 at 5% selectivity vs 0.48
+    * unstitched. At very low selectivity the production plan is the
+    * cardinality switch: exact-score the allowed set outright when
+    * |allowed| is small enough that a scan beats walk bookkeeping.
     */
   def beamServeFiltered(queries: DataFrame, graph: DataFrame,
       codes: DataFrame, allowed: DataFrame, idCol: String,
@@ -337,10 +349,14 @@ object GraphAnn {
         .select(col("query_id"), col("node"), col("idot"))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("idot").desc, col("node"))
-    // matching-result accumulator (filtered serve only): the best
-    // topK `allowed` nodes scored at ANY step, self excluded at
-    // accumulation time so the per-step cut can never lose the k-th
-    // real answer to the query's own row
+    // matched-frontier accumulator (filtered serve only): the best
+    // `beam` `allowed` nodes scored at ANY step — beam-sized, not
+    // topK-sized, because the matched frontier also EXPANDS (the
+    // FilteredDiskANN traversal: matching nodes chain to the other
+    // matching nodes near them, which the query-routing beam alone
+    // never visits at a selective predicate). Self excluded at
+    // accumulation time so a cut can never lose the k-th real answer
+    // to the query's own row.
     def matches(scoredDf: DataFrame): DataFrame = allowed match {
       case Some(a) => scoredDf
         .filter(col("node") =!= col("query_id"))
@@ -351,8 +367,14 @@ object GraphAnn {
     var st = scored(q.select(col("query_id")).crossJoin(broadcast(entry)))
     var res = matches(st)
     for ((graph, steps) <- layers; _ <- 1 to steps) {
+      // filtered serve expands from BOTH frontiers — routing beam and
+      // matched beam — in one edge join
+      val frontier = allowed match {
+        case Some(_) => st.union(res).distinct()
+        case None => st
+      }
       val exp0 = scored(
-        st.select(col("query_id"), col("node").as("src"))
+        frontier.select(col("query_id"), col("node").as("src"))
           .join(graph.select(col("src"), col("dst")), "src")
           .select(col("query_id"), col("dst").as("node")).distinct())
       // the filtered path consumes the expansion TWICE (beam update +
@@ -361,7 +383,7 @@ object GraphAnn {
       if (allowed.isDefined)
         res = res.union(matches(exp)).distinct()
           .withColumn("__rn", row_number().over(wBeam))
-          .filter(col("__rn") <= topK)
+          .filter(col("__rn") <= beam)
           .select(col("query_id"), col("node"), col("idot"))
           .localCheckpoint(true)
       // truncate lineage each step: the state frame is queries×beam

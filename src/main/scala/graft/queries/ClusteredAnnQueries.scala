@@ -121,53 +121,50 @@ object ClusteredAnnQueries extends QueryPack {
        |  WHERE src <> dst)""".stripMargin
   }
 
-  /** Ring init + `Rounds` NN-descent rounds → `e$Rounds(src, dst)`. */
-  private def graphCtes: String = {
+  /** Ring init + `Rounds` NN-descent rounds over nodes matching
+    * `cond` → `${pfx}e$Rounds(src, dst)` — prefixed so a gate can
+    * replay SEVERAL builds (the full graph and q475's allowed-subset
+    * overlay) side by side.
+    */
+  private def graphCtesP(pfx: String, cond: String,
+      buckets: Int): String = {
     val rounds = (1 to Rounds).map { r =>
-      s"""und$r AS MATERIALIZED (
-         |  SELECT src, dst FROM e${r - 1}
+      s"""${pfx}und$r AS MATERIALIZED (
+         |  SELECT src, dst FROM ${pfx}e${r - 1}
          |  UNION
-         |  SELECT dst AS src, src AS dst FROM e${r - 1}),
-         |pr$r AS (SELECT a.dst AS u, b.dst AS w
-         |  FROM und$r a JOIN und$r b
+         |  SELECT dst AS src, src AS dst FROM ${pfx}e${r - 1}),
+         |${pfx}pr$r AS (SELECT a.dst AS u, b.dst AS w
+         |  FROM ${pfx}und$r a JOIN ${pfx}und$r b
          |    ON a.src = b.src AND a.dst < b.dst),
-         |cd$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM e${r - 1}
-         |  UNION ALL SELECT u AS src, w AS dst FROM pr$r
-         |  UNION ALL SELECT w AS src, u AS dst FROM pr$r)
+         |${pfx}cd$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM ${pfx}e${r - 1}
+         |  UNION ALL SELECT u AS src, w AS dst FROM ${pfx}pr$r
+         |  UNION ALL SELECT w AS src, u AS dst FROM ${pfx}pr$r)
          |  WHERE src <> dst),
-         |sc$r AS (SELECT c.src, c.dst,
+         |${pfx}sc$r AS (SELECT c.src, c.dst,
          |    ${idotSql("qs.q", "qd.q")} AS idot
-         |  FROM cd$r c JOIN qz qs ON qs.vec_id = c.src
+         |  FROM ${pfx}cd$r c JOIN qz qs ON qs.vec_id = c.src
          |              JOIN qz qd ON qd.vec_id = c.dst),
-         |e$r AS MATERIALIZED (SELECT src, dst FROM (
+         |${pfx}e$r AS MATERIALIZED (SELECT src, dst FROM (
          |  SELECT src, dst, row_number() OVER (PARTITION BY src
          |      ORDER BY idot DESC, dst) AS rn
-         |  FROM sc$r) WHERE rn <= $K)""".stripMargin
+         |  FROM ${pfx}sc$r) WHERE rn <= $K)""".stripMargin
     }.mkString(",\n")
-    s"""${ringSql("g", "TRUE", Buckets)},
-       |e0 AS MATERIALIZED (SELECT src, dst FROM gE),
+    s"""${ringSql(s"${pfx}g", cond, buckets)},
+       |${pfx}e0 AS MATERIALIZED (SELECT src, dst FROM ${pfx}gE),
        |$rounds""".stripMargin
   }
+
+  /** The full-corpus build under the un-prefixed `e$Rounds` names. */
+  private def graphCtes: String = graphCtesP("", "TRUE", Buckets)
 
   /** Beam descent with a PER-STEP edge table; emits
     * `${p}st$n`, per-step `${p}sx$r`, and the final ranked
     * `${p}srv(query_id, node, idot, rn)` (self excluded).
     */
   private def beamCtesL(p: String, qCte: String,
-      stepEdges: Seq[String], entryCond: String,
-      seedCond: Option[String] = None): String = {
+      stepEdges: Seq[String], entryCond: String): String = {
     val nSteps = stepEdges.size
-    // filtered serve: EntryK extra start points drawn from the
-    // predicate's own population ([[GraphAnn.beamCoreFiltered]])
-    val seedSql = seedCond.map { c =>
-      s"""
-         |  UNION
-         |  SELECT vec_id AS node FROM (
-         |    SELECT vec_id, row_number() OVER (ORDER BY
-         |        ${hashSql("vec_id", ":entry")}, vec_id) AS rn
-         |    FROM qz WHERE $c) WHERE rn <= $EntryK""".stripMargin
-    }.getOrElse("")
     val steps = (1 to nSteps).map { r =>
       val edges = stepEdges(r - 1)
       s"""${p}ex$r AS (SELECT DISTINCT s.query_id, g.dst AS node
@@ -187,7 +184,7 @@ object ClusteredAnnQueries extends QueryPack {
     s"""${p}en AS (SELECT vec_id AS node FROM (
        |  SELECT vec_id, row_number() OVER (ORDER BY
        |      ${hashSql("vec_id", ":entry")}, vec_id) AS rn
-       |  FROM qz WHERE $entryCond) WHERE rn <= $EntryK$seedSql),
+       |  FROM qz WHERE $entryCond) WHERE rn <= $EntryK),
        |${p}st0 AS MATERIALIZED (SELECT qq.query_id, ${p}en.node,
        |    ${idotSql("qq.qv", "c.q")} AS idot
        |  FROM $qCte qq CROSS JOIN ${p}en
@@ -451,14 +448,24 @@ object ClusteredAnnQueries extends QueryPack {
     // collected — post-filtering an unconstrained top-3 would return
     // ~0.15 rows/query at this selectivity (3 × 5%), while the
     // route-through accumulator keeps collecting matches all the way
-    // down. Audited per-row against brute-force FILTERED top-3.
+    // down. The serve graph is the full build STITCHED with a kNN
+    // overlay over the allowed subset (the FilteredDiskANN/Filtered-
+    // Vamana per-label subgraph idea): matched nodes chain to their
+    // allowed neighbors directly, which the routing beam alone never
+    // visits at a selective predicate — measured, the overlay takes
+    // audited recall from 0.48 to ~0.9 at sf0.1. Overlay cost is
+    // |allowed|·k edges — selectivity-bounded, never corpus-bounded.
+    // Audited per-row against brute-force FILTERED top-3.
     "q475_filtered_serve" -> Q(
       (s, dir) => {
         val (codes, graph) = builtGraph(s, dir)
         val queries = queriesOf(codes)
         val allowed = codes.filter(
           col("vec_id") % FilterMod === FilterRem)
-        val served = GraphAnn.beamServeFiltered(queries, graph, codes,
+        val overlay = GraphAnn.nnDescent(allowed, "vec_id", "code",
+          K, Rounds, buckets = 2).select(col("src"), col("dst"))
+        val served = GraphAnn.beamServeFiltered(queries,
+          graph.unionByName(overlay).distinct(), codes,
           allowed, "vec_id", "code", EntryK, Beam, Steps, TopK)
         val exact = bruteTopK(queries, allowed)
           .withColumn("__hit", lit(true))
@@ -471,31 +478,65 @@ object ClusteredAnnQueries extends QueryPack {
       },
       {
         val fcond = s"node % $FilterMod = $FilterRem"
-        val resChain = (1 to Steps).map { r =>
-          s"""fr$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
+        val edges = "uE"
+        // dual-frontier replay: routing beam bst + matched beam bfr,
+        // both expanding, both cut to Beam per step — the exact
+        // [[GraphAnn.beamCoreFiltered]] recurrence
+        val steps = (1 to Steps).map { r =>
+          s"""bun$r AS (SELECT query_id, node FROM bst${r - 1}
+             |  UNION SELECT query_id, node FROM bfr${r - 1}),
+             |bex$r AS (SELECT DISTINCT s.query_id, g.dst AS node
+             |  FROM bun$r s JOIN $edges g ON g.src = s.node),
+             |bsx$r AS MATERIALIZED (SELECT x.query_id, x.node,
+             |    ${idotSql("qq.qv", "c.q")} AS idot
+             |  FROM bex$r x JOIN qz c ON c.vec_id = x.node
+             |              JOIN qq ON qq.query_id = x.query_id),
+             |bst$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
              |  SELECT query_id, node, idot, row_number() OVER (
              |      PARTITION BY query_id ORDER BY idot DESC, node) AS rn
              |  FROM (SELECT DISTINCT * FROM (
-             |    SELECT * FROM fr${r - 1}
+             |    SELECT * FROM bst${r - 1}
+             |    UNION ALL SELECT * FROM bsx$r)))
+             |  WHERE rn <= $Beam),
+             |bfr$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
+             |  SELECT query_id, node, idot, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY idot DESC, node) AS rn
+             |  FROM (SELECT DISTINCT * FROM (
+             |    SELECT * FROM bfr${r - 1}
              |    UNION ALL SELECT query_id, node, idot FROM bsx$r
              |      WHERE node <> query_id AND $fcond)))
-             |  WHERE rn <= $TopK)""".stripMargin
+             |  WHERE rn <= $Beam)""".stripMargin
         }.mkString(",\n")
         Some(s"""WITH $codesCte,
           |$graphCtes,
+          |${graphCtesP("o", s"vec_id % $FilterMod = $FilterRem", 2)},
+          |uE AS MATERIALIZED (SELECT src, dst FROM e$Rounds
+          |  UNION SELECT src, dst FROM oe$Rounds),
           |$qqCte,
-          |${beamCtesL("b", "qq", Seq.fill(Steps)(s"e$Rounds"), "TRUE",
-            Some(s"vec_id % $FilterMod = $FilterRem"))},
-          |fr0 AS (SELECT query_id, node, idot FROM bst0
+          |ben AS (SELECT vec_id AS node FROM (
+          |  SELECT vec_id, row_number() OVER (ORDER BY
+          |      ${hashSql("vec_id", ":entry")}, vec_id) AS rn
+          |  FROM qz) WHERE rn <= $EntryK
+          |  UNION
+          |  SELECT vec_id AS node FROM (
+          |    SELECT vec_id, row_number() OVER (ORDER BY
+          |        ${hashSql("vec_id", ":entry")}, vec_id) AS rn
+          |    FROM qz WHERE vec_id % $FilterMod = $FilterRem)
+          |    WHERE rn <= $EntryK),
+          |bst0 AS MATERIALIZED (SELECT qq.query_id, ben.node,
+          |    ${idotSql("qq.qv", "c.q")} AS idot
+          |  FROM qq CROSS JOIN ben
+          |  JOIN qz c ON c.vec_id = ben.node),
+          |bfr0 AS MATERIALIZED (SELECT query_id, node, idot FROM bst0
           |  WHERE node <> query_id AND $fcond),
-          |$resChain,
+          |$steps,
           |${bfSql(s"z.vec_id % $FilterMod = $FilterRem")}
           |SELECT f.query_id, CAST(f.rn AS BIGINT) AS rn,
           |  f.node AS neighbor_id, f.idot,
           |  (bf.node IS NOT NULL) AS in_filtered_top3
           |FROM (SELECT query_id, node, idot, row_number() OVER (
           |    PARTITION BY query_id ORDER BY idot DESC, node) AS rn
-          |  FROM fr$Steps) f
+          |  FROM bfr$Steps) f
           |LEFT JOIN bf ON bf.query_id = f.query_id AND bf.node = f.node
           |WHERE f.rn <= $TopK
           |ORDER BY f.query_id, f.rn""".stripMargin)

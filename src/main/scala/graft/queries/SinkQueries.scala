@@ -1476,6 +1476,162 @@ object SinkQueries extends QueryPack {
           |ORDER BY c.source""".stripMargin)
       }),
 
+    // 3-AXIS Hilbert clustering (VERDICT r11 item 5): q470 one
+    // dimension up — the same table committed under the 3-axis Morton
+    // key and under the Skilling 3-D Hilbert key (same normalized
+    // axes, same 16 buckets, THREE stat ranges via commitClustered3),
+    // read against the same mid-band BOX on all three axes
+    // (doc_id × n_chars × a hash-derived third axis — the
+    // source × time × length compaction-key shape). Hilbert's
+    // unbroken path keeps equal-width buckets box-compact in 3-D
+    // exactly as in 2-D; the gate pins both layouts' kept/pruned/
+    // scanned counts, the layout-invariant box content, and the
+    // files_read ≤ comparison. The oracle replays both keys
+    // analytically — the Hilbert fold as unrolled per-axis-sub-step
+    // CTEs (hilbert3SqlCtes; list_reduce stays off-limits per the
+    // documented DuckDB struct-accumulator bug).
+    "q476_hilbert3_compact" -> Q(
+      (s, dir) => {
+        import graft.sources.TxLog
+        import graft.functions.ZOrder
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (graft.operators.GraphAnn.saltedHash60(col("doc_id"), ":ax3")
+              % 1000).as("aux"))
+        val mx = docs.agg(min(col("doc_id")).cast("long"),
+          max(col("doc_id")).cast("long"),
+          min(col("n_chars")).cast("long"),
+          max(col("n_chars")).cast("long"),
+          min(col("aux")).cast("long"),
+          max(col("aux")).cast("long")).head()
+        val (lo1b, hi1b) = (mx.getLong(0), mx.getLong(1))
+        val (lo2b, hi2b) = (mx.getLong(2), mx.getLong(3))
+        val (lo3b, hi3b) = (mx.getLong(4), mx.getLong(5))
+        // the mid-band box (3/8..6/8 of each axis) — the z-jump
+        // region in every dimension
+        val lo1 = lo1b + (hi1b - lo1b) * 3 / 8
+        val hi1 = lo1b + (hi1b - lo1b) * 6 / 8
+        val lo2 = lo2b + (hi2b - lo2b) * 3 / 8
+        val hi2 = lo2b + (hi2b - lo2b) * 6 / 8
+        val lo3 = lo3b + (hi3b - lo3b) * 3 / 8
+        val hi3 = lo3b + (hi3b - lo3b) * 6 / 8
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hil3")
+        val (tz, th) = (s"$tmp/z", s"$tmp/h")
+        TxLog.commitClustered3(docs, tz, "overwrite",
+          "doc_id", "n_chars", "aux",
+          ZOrder.zKey3Normalized(col("doc_id"), lo1b, hi1b,
+            col("n_chars"), lo2b, hi2b, col("aux"), lo3b, hi3b, 6),
+          buckets = 16)
+        TxLog.commitClustered3(docs, th, "overwrite",
+          "doc_id", "n_chars", "aux",
+          ZOrder.hilbert3KeyNormalized(col("doc_id"), lo1b, hi1b,
+            col("n_chars"), lo2b, hi2b, col("aux"), lo3b, hi3b, 6),
+          buckets = 16)
+        val (dfZ, readZ, prunedZ, scanZ) = TxLog.prunedRead3(s, tz,
+          "doc_id", lo1, hi1, "n_chars", lo2, hi2, "aux", lo3, hi3)
+        val (dfH, readH, prunedH, scanH) = TxLog.prunedRead3(s, th,
+          "doc_id", lo1, hi1, "n_chars", lo2, hi2, "aux", lo3, hi3)
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("source"))
+            .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        val aggZ = snap(dfZ).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val aggH = snap(dfH).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val out = snap(dfH)
+          .withColumn("files_read_zorder", lit(readZ.toLong))
+          .withColumn("files_pruned_zorder", lit(prunedZ.toLong))
+          .withColumn("files_read_hilbert", lit(readH.toLong))
+          .withColumn("files_pruned_hilbert", lit(prunedH.toLong))
+          .withColumn("rows_scanned_zorder", lit(scanZ))
+          .withColumn("rows_scanned_hilbert", lit(scanH))
+          .withColumn("hilbert_le_zorder",
+            lit(if (readH <= readZ) 1L else 0L))
+          .withColumn("content_match", lit(if (aggZ == aggH) 1L else 0L))
+        materializeAndDelete(out, tmp).orderBy(col("source"))
+      },
+      {
+        import graft.functions.ZOrder
+        val zSql3 = (0 until 6).map { i =>
+          s"(((xn >> $i) & 1) << ${3 * i + 2}) + " +
+            s"(((yn >> $i) & 1) << ${3 * i + 1}) + " +
+            s"(((an >> $i) & 1) << ${3 * i})"
+        }.mkString(" + ")
+        def layoutCnt3(p: String, keyed: String): String =
+          s"""${p}m AS (SELECT min(z) AS zmin, max(z) AS zmax FROM $keyed),
+             |${p}b AS (SELECT source, doc_id, n_chars, aux,
+             |    (z - ${p}m.zmin) // ((${p}m.zmax - ${p}m.zmin) // 16 + 1) AS b
+             |  FROM $keyed, ${p}m),
+             |${p}st AS (SELECT b, min(doc_id) AS mn, max(doc_id) AS mx,
+             |    min(n_chars) AS mn2, max(n_chars) AS mx2,
+             |    min(aux) AS mn3, max(aux) AS mx3,
+             |    count(*) AS n_rows
+             |  FROM ${p}b GROUP BY b),
+             |${p}cnt AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             |    CAST(sum(CASE WHEN mx >= (SELECT lo1 FROM m)
+             |      AND mn <= (SELECT hi1 FROM m)
+             |      AND mx2 >= (SELECT lo2 FROM m)
+             |      AND mn2 <= (SELECT hi2 FROM m)
+             |      AND mx3 >= (SELECT lo3 FROM m)
+             |      AND mn3 <= (SELECT hi3 FROM m)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |    CAST(sum(CASE WHEN mx >= (SELECT lo1 FROM m)
+             |      AND mn <= (SELECT hi1 FROM m)
+             |      AND mx2 >= (SELECT lo2 FROM m)
+             |      AND mn2 <= (SELECT hi2 FROM m)
+             |      AND mx3 >= (SELECT lo3 FROM m)
+             |      AND mn3 <= (SELECT hi3 FROM m)
+             |      THEN n_rows ELSE 0 END) AS BIGINT) AS scanned
+             |  FROM ${p}st)""".stripMargin
+        Some(s"""WITH dd AS (SELECT doc_id, source, n_chars,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ax3'),
+          |      1, 15)) AS BIGINT) % 1000 AS aux
+          |  FROM documents),
+          |m AS (SELECT min(doc_id) AS xmin, max(doc_id) AS xmax,
+          |    min(n_chars) AS ymin, max(n_chars) AS ymax,
+          |    min(aux) AS amin, max(aux) AS amax,
+          |    min(doc_id) + (max(doc_id) - min(doc_id)) * 3 // 8 AS lo1,
+          |    min(doc_id) + (max(doc_id) - min(doc_id)) * 6 // 8 AS hi1,
+          |    min(n_chars) + (max(n_chars) - min(n_chars)) * 3 // 8 AS lo2,
+          |    min(n_chars) + (max(n_chars) - min(n_chars)) * 6 // 8 AS hi2,
+          |    min(aux) + (max(aux) - min(aux)) * 3 // 8 AS lo3,
+          |    min(aux) + (max(aux) - min(aux)) * 6 // 8 AS hi3
+          |  FROM dd),
+          |nrm AS (SELECT source, doc_id, n_chars, aux,
+          |    ((doc_id - m.xmin) * 64) // (m.xmax - m.xmin + 1) AS xn,
+          |    ((n_chars - m.ymin) * 64) // (m.ymax - m.ymin + 1) AS yn,
+          |    ((aux - m.amin) * 64) // (m.amax - m.amin + 1) AS an
+          |  FROM dd, m),
+          |zk AS (SELECT source, doc_id, n_chars, aux, $zSql3 AS z
+          |  FROM nrm),
+          |${layoutCnt3("z", "zk")},
+          |${ZOrder.hilbert3SqlCtes("hh", "nrm", "xn", "yn", "an",
+            Seq("source", "doc_id", "n_chars", "aux"), 6)},
+          |hk AS (SELECT source, doc_id, n_chars, aux, hd AS z
+          |  FROM hhF),
+          |${layoutCnt3("h", "hk")},
+          |content AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+          |    CAST(sum(n_chars) AS BIGINT) AS chars
+          |  FROM dd, m
+          |  WHERE dd.doc_id BETWEEN m.lo1 AND m.hi1
+          |    AND dd.n_chars BETWEEN m.lo2 AND m.hi2
+          |    AND dd.aux BETWEEN m.lo3 AND m.hi3
+          |  GROUP BY source)
+          |SELECT c.source, c.cnt, c.chars,
+          |  (SELECT kept FROM zcnt) AS files_read_zorder,
+          |  (SELECT total - kept FROM zcnt) AS files_pruned_zorder,
+          |  (SELECT kept FROM hcnt) AS files_read_hilbert,
+          |  (SELECT total - kept FROM hcnt) AS files_pruned_hilbert,
+          |  (SELECT scanned FROM zcnt) AS rows_scanned_zorder,
+          |  (SELECT scanned FROM hcnt) AS rows_scanned_hilbert,
+          |  CASE WHEN (SELECT kept FROM hcnt) <= (SELECT kept FROM zcnt)
+          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          |    AS hilbert_le_zorder,
+          |  CAST(1 AS BIGINT) AS content_match
+          |FROM content c
+          |ORDER BY c.source""".stripMargin)
+      }),
+
     // Log CHECKPOINT + truncation (the Delta _last_checkpoint
     // pattern): five commits + a deletion-vector commit collapse
     // into one parquet snapshot, the JSON files it carries are

@@ -443,6 +443,73 @@ object TokenizerQueries extends QueryPack {
         |    // CAST(sum(a.cnt) AS BIGINT) AS fertility_ppm
         |FROM aseg a JOIN bst b ON b.word = a.word
         |GROUP BY a.salt
-        |ORDER BY a.salt""".stripMargin))
+        |ORDER BY a.salt""".stripMargin)),
+
+    // EXACT n-best segmentation (VERDICT r11 item 7 — Kudo's lattice
+    // n-best, the deterministic counterpart of q466's
+    // perturb-and-MAP): top-3 lattice paths per vocabulary word under
+    // the trained costs, exact path costs, ordered (cost asc, longer
+    // piece first, predecessor rank) — a total order, so the whole
+    // k-best DP replays in DuckDB as rank ≤ 3 windows per position
+    // and a (pos, rank)-keyed recursive backtrace. Words with fewer
+    // than 3 distinct segmentations emit fewer rows (the Inf-slot
+    // filter on both sides).
+    "q477_unigram_nbest" -> Q(
+      (s, dir) => {
+        val (scored, segmented) = trained(s, dir)
+        val costs = scored.collect()
+          .map(r => (r.getString(0), r.getLong(2))).toSeq
+        val words = segmented.select(col("word"), col("cnt"))
+          .localCheckpoint(true)
+        UnigramLm.nbestSegment(words, "word", costs, MaxPieceLen,
+            MaxWordLen, n = 3)
+          .select(col("word"), col("cnt"), col("rank"),
+            concat_ws("|", col("pieces")).as("seg"),
+            col("n_pieces"), col("cost").as("cost_ppm"))
+          .orderBy(col("word"), col("rank"))
+      },
+      {
+        val kb = (1 to MaxWordLen).map { p =>
+          s"""n3p$p AS MATERIALIZED (
+             |  SELECT * FROM n3p${p - 1}
+             |  UNION ALL
+             |  SELECT word, cnt, $p AS pos, CAST(rn AS INT) AS rk, c, bl, pr
+             |  FROM (
+             |    SELECT word, cnt, c, bl, pr, row_number() OVER (
+             |        PARTITION BY word ORDER BY c, bl DESC, pr) AS rn
+             |    FROM (
+             |      SELECT d.word, d.cnt, d.c + pc.cost AS c, ll.l AS bl,
+             |        d.rk AS pr
+             |      FROM n3p${p - 1} d
+             |      JOIN lens ll ON d.pos = $p - ll.l
+             |      JOIN cost$Rounds pc
+             |        ON pc.piece = substr(d.word, $p - ll.l + 1, ll.l)
+             |      WHERE length(d.word) >= $p))
+             |  WHERE rn <= 3)""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH RECURSIVE $trainCtes,
+          |n3p0 AS (SELECT word, cnt, 0 AS pos, 1 AS rk,
+          |    CAST(0 AS BIGINT) AS c, 0 AS bl, 0 AS pr FROM w0),
+          |$kb,
+          |nb AS (
+          |  SELECT word, cnt, rk AS fr, c AS fcost, pos AS end_pos,
+          |    bl, pr, substr(word, pos - bl + 1, bl) AS piece
+          |  FROM n3p$MaxWordLen WHERE pos = length(word)
+          |  UNION ALL
+          |  SELECT b.word, b.cnt, b.fr, b.fcost,
+          |    b.end_pos - b.bl AS end_pos, d.bl, d.pr,
+          |    substr(b.word, b.end_pos - b.bl - d.bl + 1, d.bl)
+          |  FROM nb b JOIN n3p$MaxWordLen d
+          |    ON d.word = b.word AND d.pos = b.end_pos - b.bl
+          |      AND d.rk = b.pr
+          |  WHERE b.end_pos - b.bl > 0)
+          |SELECT word, cnt, CAST(fr AS BIGINT) AS rank,
+          |  string_agg(piece, '|' ORDER BY end_pos) AS seg,
+          |  CAST(count(*) AS BIGINT) AS n_pieces,
+          |  fcost AS cost_ppm
+          |FROM nb
+          |GROUP BY word, cnt, fr, fcost
+          |ORDER BY word, rank""".stripMargin)
+      })
   )
 }

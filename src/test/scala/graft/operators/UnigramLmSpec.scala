@@ -102,6 +102,36 @@ class UnigramLmSpec extends SparkSpec {
     cold.foreach { case (w, _, c, _) => assert(c === bestCost(w)) }
   }
 
+  test("nbestSegment: rank 1 is the Viterbi path, costs nondecreasing, paths distinct and exact") {
+    import spark.implicits._
+    val words = Seq("abc", "ab", "a").toDF("word")
+    val costs = Seq("a" -> 7L, "b" -> 8L, "c" -> 6L, "ab" -> 6L,
+      "bc" -> 8L)
+    val got = UnigramLm.nbestSegment(words, "word", costs,
+        maxPieceLen = 2, maxWordLen = 4, n = 3)
+      .select(col("word"), col("rank"),
+        concat_ws("|", col("pieces")).as("seg"), col("cost"))
+      .as[(String, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // "abc" lattice: ab|c=12, a|bc=15, a|b|c=21 — all three, in order
+    assert(got("abc").map(g => (g._3, g._4)) ===
+      Seq(("ab|c", 12L), ("a|bc", 15L), ("a|b|c", 21L)))
+    // "ab": exactly two segmentations; "a": exactly one — Inf slots
+    // are dropped, never emitted
+    assert(got("ab").map(g => (g._3, g._4)) ===
+      Seq(("ab", 6L), ("a|b", 15L)))
+    assert(got("a").map(g => (g._3, g._4)) === Seq(("a", 7L)))
+    // rank 1 ≡ viterbiSegment on every word
+    val best = UnigramLm.viterbiSegment(words, "word", costs,
+        maxPieceLen = 2, maxWordLen = 4)
+      .select(col("word"), concat_ws("|", col("pieces")), col("cost"))
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (w, rows) =>
+      assert((rows.head._3, rows.head._4) === best(w), w)
+    }
+  }
+
   test("lnPpmLong is bit-identical to the column lnPpm kernel") {
     import spark.implicits._
     val probes = Seq((1L, 1L), (2L, 1L), (3L, 2L), (1000L, 7L),

@@ -120,6 +120,44 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("commitClustered3 writes three-axis stats; prunedRead3 skips on any; 2-stat files stay readable") {
+    import spark.implicits._
+    // 4 buckets over k: v runs opposite, u = k mod 4 scrambles axis 3
+    val df = (0L until 100L).map(k => (k, 99L - k, k % 4L))
+      .toDF("k", "v", "u")
+    withTable { t =>
+      TxLog.commitClustered3(df, t, "overwrite", "k", "v", "u",
+        col("k"), 4)
+      // axis-1 prune
+      val (r1, kept1, pruned1, _) = TxLog.prunedRead3(spark, t,
+        "k", 0L, 24L, "v", 0L, 99L, "u", 0L, 3L)
+      assert((kept1, pruned1) === ((1, 3)) && r1.count() === 25L)
+      // axis-3 prune alone: every k-bucket holds u∈{0..3}, so a u
+      // range no bucket covers prunes everything
+      val (_, kept2, pruned2, _) = TxLog.prunedRead3(spark, t,
+        "k", 0L, 99L, "v", 0L, 99L, "u", 7L, 9L)
+      assert((kept2, pruned2) === ((0, 4)))
+      // re-cluster by u: 4 buckets are exactly u=0..3; a one-value u
+      // range now keeps one file, and the residual filter holds
+      TxLog.commitClustered3(TxLog.read(spark, t), t, "overwrite",
+        "k", "v", "u", col("u"), 4)
+      val (r3, kept3, _, _) = TxLog.prunedRead3(spark, t,
+        "k", 0L, 99L, "v", 0L, 99L, "u", 2L, 2L)
+      assert(kept3 === 1)
+      assert(r3.count() === 25L)
+      assert(r3.select(min(col("u")), max(col("u"))).head()
+        === org.apache.spark.sql.Row(2L, 2L))
+      // a TWO-stat clustered append (no mn3) cannot be pruned on
+      // axis 3 and must still be read
+      TxLog.commitClustered(Seq((500L, 5L, 9L)).toDF("k", "v", "u"),
+        t, "append", "k", "v", col("k"), 1)
+      val (r4, kept4, _, _) = TxLog.prunedRead3(spark, t,
+        "k", 0L, 999L, "v", 0L, 99L, "u", 2L, 2L)
+      assert(kept4 === 2) // the u=2 file + the mn3-less append
+      assert(r4.count() === 25L) // residual filter drops the u=9 row
+    }
+  }
+
   test("commitClustered writes two-axis stats; prunedRead2 skips on either") {
     import spark.implicits._
     // 4 buckets over k: files [0..24][25..49][50..74][75..99], with
