@@ -309,6 +309,45 @@ object GraphAnn {
       entryK, beam, topK)
   }
 
+  /** Filtered serve with the CARDINALITY SWITCH (the Qdrant planner
+    * rule): when the predicate keeps ≤ `switchBelow` rows, exact-score
+    * the allowed set outright — at that size a scan beats graph-walk
+    * bookkeeping AND is exactly correct — otherwise run the stitched
+    * [[beamServeFiltered]] walk. The count is one bounded agg action;
+    * the emitted `plan` column records the choice so a caller (and
+    * the gate) can pin it. Both branches return the same shape
+    * (query_id, rn, neighbor_id, idot, plan).
+    */
+  def filteredServeAuto(queries: DataFrame, graph: DataFrame,
+      codes: DataFrame, allowed: DataFrame, idCol: String,
+      codeCol: String, entryK: Int, beam: Int, steps: Int, topK: Int,
+      switchBelow: Long): DataFrame = {
+    val nAllowed = allowed.count()
+    if (nAllowed <= switchBelow) {
+      val qc = queries.select(col(idCol).as("query_id"),
+        col(codeCol).as("__qc"))
+      val ac = allowed.select(col(idCol).as("neighbor_id"),
+        col(codeCol).as("__nc"))
+      qc.join(ac, col("query_id") =!= col("neighbor_id"))
+        .withColumn("idot", dotI(col("__qc"), col("__nc")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("idot").desc, col("neighbor_id"))).cast("long"))
+        .filter(col("rn") <= topK)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          col("idot"), lit("exact_scan").as("plan"))
+    } else {
+      val overlay = nnDescent(allowed, idCol, codeCol,
+        k = 4, rounds = 1, buckets = math.max(1,
+          (nAllowed / 256L).toInt)).select(col("src"), col("dst"))
+      beamServeFiltered(queries,
+          graph.select(col("src"), col("dst")).unionByName(overlay)
+            .distinct(),
+          codes, allowed, idCol, codeCol, entryK, beam, steps, topK)
+        .withColumn("plan", lit("stitched_walk"))
+    }
+  }
+
   private def beamCore(queries: DataFrame, codes: DataFrame,
       entryPool: DataFrame, layers: Seq[(DataFrame, Int)], idCol: String,
       codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame =

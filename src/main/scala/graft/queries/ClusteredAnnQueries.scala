@@ -540,6 +540,39 @@ object ClusteredAnnQueries extends QueryPack {
           |LEFT JOIN bf ON bf.query_id = f.query_id AND bf.node = f.node
           |WHERE f.rn <= $TopK
           |ORDER BY f.query_id, f.rn""".stripMargin)
-      })
+      }),
+
+    // The CARDINALITY SWITCH for filtered retrieval (the Qdrant
+    // planner rule the q475 scaladoc promises): below `switchBelow`
+    // matching rows, filtered top-k is answered by an EXACT scan of
+    // the allowed set — correct by construction and cheaper than walk
+    // bookkeeping at this size. The gate pins the plan choice (the
+    // `plan` column) and the exact results at 5% selectivity; the
+    // stitched-walk branch is spec-pinned in GraphAnnSpec and gated
+    // at q475.
+    "q478_filtered_auto_plan" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val queries = queriesOf(codes)
+        val allowed = codes.filter(
+          col("vec_id") % FilterMod === FilterRem)
+        GraphAnn.filteredServeAuto(queries, graph, codes, allowed,
+            "vec_id", "code", EntryK, Beam, Steps, TopK,
+            switchBelow = 150L)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some(s"""WITH $codesCte,
+        |$qqCte,
+        |ac AS (SELECT vec_id, q FROM qz
+        |  WHERE vec_id % $FilterMod = $FilterRem)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rn, neighbor_id, idot,
+        |  'exact_scan' AS plan
+        |FROM (SELECT qq.query_id, ac.vec_id AS neighbor_id,
+        |    ${idotSql("qq.qv", "ac.q")} AS idot,
+        |    row_number() OVER (PARTITION BY qq.query_id
+        |      ORDER BY ${idotSql("qq.qv", "ac.q")} DESC, ac.vec_id) AS rn
+        |  FROM qq JOIN ac ON ac.vec_id <> qq.query_id)
+        |WHERE rn <= $TopK
+        |ORDER BY query_id, rn""".stripMargin))
   )
 }

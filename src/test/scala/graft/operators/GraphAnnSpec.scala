@@ -219,4 +219,30 @@ class GraphAnnSpec extends SparkSpec {
     }
     assert(served.sortBy(_._2).map(_._3).toSeq === exact)
   }
+
+  test("filteredServeAuto switches plans on allowed-set cardinality") {
+    import spark.implicits._
+    val graph = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+      k = 4, rounds = 3, buckets = 2).select(col("src"), col("dst"))
+    val allowed = codesDf.filter(col("vec_id").isin(6L, 8L))
+    val q = codesDf.filter(col("vec_id") === 1L)
+    def run(switchBelow: Long) =
+      GraphAnn.filteredServeAuto(q, graph, codesDf, allowed,
+          "vec_id", "code", entryK = 2, beam = 6, steps = 3, topK = 3,
+          switchBelow)
+        .select("plan", "rn", "neighbor_id")
+        .as[(String, Long, Long)].collect()
+    val exact = Seq(6L, 8L).sortBy { id =>
+      (-fixture(1L).zip(fixture(id)).map { case (a, b) => a.toLong * b }.sum, id)
+    }
+    // |allowed| = 2 ≤ 10 → exact scan; results are THE filtered top-k
+    val scan = run(10L)
+    assert(scan.forall(_._1 == "exact_scan"))
+    assert(scan.sortBy(_._2).map(_._3).toSeq === exact)
+    // |allowed| = 2 > 0 → stitched walk; same answer on this fixture,
+    // only allowed nodes returned
+    val walk = run(0L)
+    assert(walk.forall(_._1 == "stitched_walk"))
+    assert(walk.sortBy(_._2).map(_._3).toSeq === exact)
+  }
 }
