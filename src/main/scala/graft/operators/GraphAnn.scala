@@ -309,6 +309,24 @@ object GraphAnn {
       entryK, beam, topK)
   }
 
+  /** [[beamServeFiltered]] descending a LAYER STACK — filtered HNSW,
+    * the shape vector stores actually ship: the beam routes down the
+    * [[buildLayerStack]] levels while the matched frontier collects
+    * (and expands) `allowed` nodes at every step. Stitch the allowed-
+    * subset kNN overlay into each layer's edge set for the same
+    * coverage reason as the flat case (the q475 lesson: recall is
+    * coverage-bound, and the overlay is |allowed|·k edges).
+    */
+  def beamServeFilteredLayered(queries: DataFrame,
+      layers: Seq[(DataFrame, Int)], topNodes: DataFrame,
+      codes: DataFrame, allowed: DataFrame, idCol: String,
+      codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame = {
+    require(layers.nonEmpty && layers.forall(_._2 >= 0))
+    beamCoreFiltered(queries, codes, topNodes, layers,
+      Some(allowed.select(col(idCol).as("node"))), idCol, codeCol,
+      entryK, beam, topK)
+  }
+
   /** Filtered serve with the CARDINALITY SWITCH (the Qdrant planner
     * rule): when the predicate keeps ≤ `switchBelow` rows, exact-score
     * the allowed set outright — at that size a scan beats graph-walk

@@ -195,6 +195,64 @@ object ClusteredAnnQueries extends QueryPack {
        |  FROM ${p}st$nSteps WHERE node <> query_id)""".stripMargin
   }
 
+  /** Dual-frontier filtered descent (the [[GraphAnn.beamCoreFiltered]]
+    * recurrence): routing beam `${p}st$r` + matched beam `${p}fr$r`,
+    * both expanding, both cut to Beam per step, per-step edge tables
+    * (the layered q479 passes a different table per level). Assumes
+    * `${p}st0`/`${p}fr0` are defined; read the answer from
+    * `${p}fr${stepEdges.size}`.
+    */
+  private def filteredStepsCtes(p: String, stepEdges: Seq[String],
+      fcond: String): String =
+    stepEdges.zipWithIndex.map { case (edges, i) =>
+      val r = i + 1
+      s"""${p}un$r AS (SELECT query_id, node FROM ${p}st${r - 1}
+         |  UNION SELECT query_id, node FROM ${p}fr${r - 1}),
+         |${p}ex$r AS (SELECT DISTINCT s.query_id, g.dst AS node
+         |  FROM ${p}un$r s JOIN $edges g ON g.src = s.node),
+         |${p}sx$r AS MATERIALIZED (SELECT x.query_id, x.node,
+         |    ${idotSql("qq.qv", "c.q")} AS idot
+         |  FROM ${p}ex$r x JOIN qz c ON c.vec_id = x.node
+         |              JOIN qq ON qq.query_id = x.query_id),
+         |${p}st$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
+         |  SELECT query_id, node, idot, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY idot DESC, node) AS rn
+         |  FROM (SELECT DISTINCT * FROM (
+         |    SELECT * FROM ${p}st${r - 1}
+         |    UNION ALL SELECT * FROM ${p}sx$r)))
+         |  WHERE rn <= $Beam),
+         |${p}fr$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
+         |  SELECT query_id, node, idot, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY idot DESC, node) AS rn
+         |  FROM (SELECT DISTINCT * FROM (
+         |    SELECT * FROM ${p}fr${r - 1}
+         |    UNION ALL SELECT query_id, node, idot FROM ${p}sx$r
+         |      WHERE node <> query_id AND $fcond)))
+         |  WHERE rn <= $Beam)""".stripMargin
+    }.mkString(",\n")
+
+  /** Entry + step-0 state for the filtered descent: entryK picks
+    * among `entryCond` nodes ∪ entryK seeds from the predicate's own
+    * population, scored; `${p}fr0` = its matching rows.
+    */
+  private def filteredEntryCtes(p: String, entryCond: String,
+      seedCond: String, fcond: String): String =
+    s"""${p}en AS (SELECT vec_id AS node FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |      ${hashSql("vec_id", ":entry")}, vec_id) AS rn
+       |  FROM qz WHERE $entryCond) WHERE rn <= $EntryK
+       |  UNION
+       |  SELECT vec_id AS node FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY
+       |        ${hashSql("vec_id", ":entry")}, vec_id) AS rn
+       |    FROM qz WHERE $seedCond) WHERE rn <= $EntryK),
+       |${p}st0 AS MATERIALIZED (SELECT qq.query_id, ${p}en.node,
+       |    ${idotSql("qq.qv", "c.q")} AS idot
+       |  FROM qq CROSS JOIN ${p}en
+       |  JOIN qz c ON c.vec_id = ${p}en.node),
+       |${p}fr0 AS MATERIALIZED (SELECT query_id, node, idot FROM ${p}st0
+       |  WHERE node <> query_id AND $fcond)""".stripMargin
+
   private val qqCte: String =
     s"""qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
        |  FROM qz WHERE vec_id % 25 = 0)""".stripMargin
@@ -478,58 +536,15 @@ object ClusteredAnnQueries extends QueryPack {
       },
       {
         val fcond = s"node % $FilterMod = $FilterRem"
-        val edges = "uE"
-        // dual-frontier replay: routing beam bst + matched beam bfr,
-        // both expanding, both cut to Beam per step — the exact
-        // [[GraphAnn.beamCoreFiltered]] recurrence
-        val steps = (1 to Steps).map { r =>
-          s"""bun$r AS (SELECT query_id, node FROM bst${r - 1}
-             |  UNION SELECT query_id, node FROM bfr${r - 1}),
-             |bex$r AS (SELECT DISTINCT s.query_id, g.dst AS node
-             |  FROM bun$r s JOIN $edges g ON g.src = s.node),
-             |bsx$r AS MATERIALIZED (SELECT x.query_id, x.node,
-             |    ${idotSql("qq.qv", "c.q")} AS idot
-             |  FROM bex$r x JOIN qz c ON c.vec_id = x.node
-             |              JOIN qq ON qq.query_id = x.query_id),
-             |bst$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
-             |  SELECT query_id, node, idot, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY idot DESC, node) AS rn
-             |  FROM (SELECT DISTINCT * FROM (
-             |    SELECT * FROM bst${r - 1}
-             |    UNION ALL SELECT * FROM bsx$r)))
-             |  WHERE rn <= $Beam),
-             |bfr$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
-             |  SELECT query_id, node, idot, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY idot DESC, node) AS rn
-             |  FROM (SELECT DISTINCT * FROM (
-             |    SELECT * FROM bfr${r - 1}
-             |    UNION ALL SELECT query_id, node, idot FROM bsx$r
-             |      WHERE node <> query_id AND $fcond)))
-             |  WHERE rn <= $Beam)""".stripMargin
-        }.mkString(",\n")
         Some(s"""WITH $codesCte,
           |$graphCtes,
           |${graphCtesP("o", s"vec_id % $FilterMod = $FilterRem", 2)},
           |uE AS MATERIALIZED (SELECT src, dst FROM e$Rounds
           |  UNION SELECT src, dst FROM oe$Rounds),
           |$qqCte,
-          |ben AS (SELECT vec_id AS node FROM (
-          |  SELECT vec_id, row_number() OVER (ORDER BY
-          |      ${hashSql("vec_id", ":entry")}, vec_id) AS rn
-          |  FROM qz) WHERE rn <= $EntryK
-          |  UNION
-          |  SELECT vec_id AS node FROM (
-          |    SELECT vec_id, row_number() OVER (ORDER BY
-          |        ${hashSql("vec_id", ":entry")}, vec_id) AS rn
-          |    FROM qz WHERE vec_id % $FilterMod = $FilterRem)
-          |    WHERE rn <= $EntryK),
-          |bst0 AS MATERIALIZED (SELECT qq.query_id, ben.node,
-          |    ${idotSql("qq.qv", "c.q")} AS idot
-          |  FROM qq CROSS JOIN ben
-          |  JOIN qz c ON c.vec_id = ben.node),
-          |bfr0 AS MATERIALIZED (SELECT query_id, node, idot FROM bst0
-          |  WHERE node <> query_id AND $fcond),
-          |$steps,
+          |${filteredEntryCtes("b", "TRUE",
+            s"vec_id % $FilterMod = $FilterRem", fcond)},
+          |${filteredStepsCtes("b", Seq.fill(Steps)("uE"), fcond)},
           |${bfSql(s"z.vec_id % $FilterMod = $FilterRem")}
           |SELECT f.query_id, CAST(f.rn AS BIGINT) AS rn,
           |  f.node AS neighbor_id, f.idot,
@@ -573,6 +588,71 @@ object ClusteredAnnQueries extends QueryPack {
         |      ORDER BY ${idotSql("qq.qv", "ac.q")} DESC, ac.vec_id) AS rn
         |  FROM qq JOIN ac ON ac.vec_id <> qq.query_id)
         |WHERE rn <= $TopK
-        |ORDER BY query_id, rn""".stripMargin))
+        |ORDER BY query_id, rn""".stripMargin)),
+
+    // FILTERED search over the LAYERED auto stack — filtered HNSW,
+    // the q474 × q475 composition vector stores actually ship: the
+    // routing beam descends level-2 → level-1 → bottom while the
+    // matched frontier collects (and expands) allowed nodes at every
+    // step; the allowed-subset kNN overlay is stitched into EVERY
+    // level's edge set (the q475 coverage lesson). Audited per-row
+    // against brute-force filtered top-3.
+    "q479_filtered_layered" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val queries = queriesOf(codes)
+        val allowed = codes.filter(
+          col("vec_id") % FilterMod === FilterRem)
+        val overlay = GraphAnn.nnDescent(allowed, "vec_id", "code",
+            K, Rounds, buckets = 2).select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        val stack = GraphAnn.buildLayerStack(codes, "vec_id", K,
+          Fanout, LevelCap, Buckets)
+        val layers = stack.map { case (e, _) =>
+          (e.unionByName(overlay).distinct(), 1) } :+
+          ((graph.unionByName(overlay).distinct(), Steps - LevelCap))
+        val served = GraphAnn.beamServeFilteredLayered(queries, layers,
+          stack.head._2, codes, allowed, "vec_id", "code", EntryK,
+          Beam, TopK)
+        val exact = bruteTopK(queries, allowed)
+          .withColumn("__hit", lit(true))
+        served.join(exact, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("in_filtered_top3",
+            coalesce(col("__hit"), lit(false)))
+          .select(col("query_id"), col("rn"), col("neighbor_id"),
+            col("idot"), col("in_filtered_top3"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      {
+        val fcond = s"node % $FilterMod = $FilterRem"
+        val lvl1 = s"${hashSql("vec_id", ":lvl")} % $Fanout = 0"
+        val lvl2 = s"${hashSql("vec_id", ":lvl")} % ${Fanout * Fanout} = 0"
+        Some(s"""WITH $codesCte,
+          |$graphCtes,
+          |${graphCtesP("o", s"vec_id % $FilterMod = $FilterRem", 2)},
+          |${ringSql("v2", lvl2, math.max(1, Buckets / (Fanout * Fanout)))},
+          |${ringSql("v1", lvl1, math.max(1, Buckets / Fanout))},
+          |u2 AS MATERIALIZED (SELECT src, dst FROM v2E
+          |  UNION SELECT src, dst FROM oe$Rounds),
+          |u1 AS MATERIALIZED (SELECT src, dst FROM v1E
+          |  UNION SELECT src, dst FROM oe$Rounds),
+          |ub AS MATERIALIZED (SELECT src, dst FROM e$Rounds
+          |  UNION SELECT src, dst FROM oe$Rounds),
+          |$qqCte,
+          |${filteredEntryCtes("b", lvl2,
+            s"vec_id % $FilterMod = $FilterRem", fcond)},
+          |${filteredStepsCtes("b",
+            Seq("u2", "u1") ++ Seq.fill(Steps - LevelCap)("ub"), fcond)},
+          |${bfSql(s"z.vec_id % $FilterMod = $FilterRem")}
+          |SELECT f.query_id, CAST(f.rn AS BIGINT) AS rn,
+          |  f.node AS neighbor_id, f.idot,
+          |  (bf.node IS NOT NULL) AS in_filtered_top3
+          |FROM (SELECT query_id, node, idot, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY idot DESC, node) AS rn
+          |  FROM bfr$Steps) f
+          |LEFT JOIN bf ON bf.query_id = f.query_id AND bf.node = f.node
+          |WHERE f.rn <= $TopK
+          |ORDER BY f.query_id, f.rn""".stripMargin)
+      })
   )
 }

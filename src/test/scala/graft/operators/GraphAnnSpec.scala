@@ -220,6 +220,25 @@ class GraphAnnSpec extends SparkSpec {
     assert(served.sortBy(_._2).map(_._3).toSeq === exact)
   }
 
+  test("beamServeFilteredLayered collects only allowed nodes through a layer descent") {
+    import spark.implicits._
+    val graph = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+      k = 4, rounds = 3, buckets = 2).select(col("src"), col("dst"))
+    val upperNodes = codesDf.filter(col("vec_id") % 2 === 0)
+    val upper = GraphAnn.ringInitEdges(upperNodes, "vec_id",
+      k = 2, buckets = 1)
+    val allowed = codesDf.filter(col("vec_id").isin(6L, 8L))
+    val served = GraphAnn.beamServeFilteredLayered(
+        codesDf.filter(col("vec_id") === 1L),
+        Seq((upper, 1), (graph, 2)), upperNodes, codesDf, allowed,
+        "vec_id", "code", entryK = 2, beam = 6, topK = 3)
+      .select("rn", "neighbor_id").as[(Long, Long)].collect()
+    val exact = Seq(6L, 8L).sortBy { id =>
+      (-fixture(1L).zip(fixture(id)).map { case (a, b) => a.toLong * b }.sum, id)
+    }
+    assert(served.sortBy(_._1).map(_._2).toSeq === exact)
+  }
+
   test("filteredServeAuto switches plans on allowed-set cardinality") {
     import spark.implicits._
     val graph = GraphAnn.nnDescent(codesDf, "vec_id", "code",
