@@ -871,6 +871,15 @@ object TxLog {
     }
   }
 
+  /** OPTIMIZE under a 3-axis key — [[compactClustered]] with the
+    * third stat range. History untouched; returns the new version.
+    */
+  def compactClustered3(spark: SparkSession, dir: String,
+      statCol: String, statCol2: String, statCol3: String,
+      clusterCol: org.apache.spark.sql.Column, buckets: Int): Long =
+    commitClustered3(read(spark, dir), dir, "overwrite", statCol,
+      statCol2, statCol3, clusterCol, buckets)
+
   /** Three-axis range read with log-level file pruning — the
     * [[prunedRead2]] contract one stat column up: files whose
     * (mn,mx)/(mn2,mx2)/(mn3,mx3) all overlap their ranges are read;

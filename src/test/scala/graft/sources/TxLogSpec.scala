@@ -137,10 +137,10 @@ class TxLogSpec extends SparkSpec {
       val (_, kept2, pruned2, _) = TxLog.prunedRead3(spark, t,
         "k", 0L, 99L, "v", 0L, 99L, "u", 7L, 9L)
       assert((kept2, pruned2) === ((0, 4)))
-      // re-cluster by u: 4 buckets are exactly u=0..3; a one-value u
-      // range now keeps one file, and the residual filter holds
-      TxLog.commitClustered3(TxLog.read(spark, t), t, "overwrite",
-        "k", "v", "u", col("u"), 4)
+      // re-cluster by u (compactClustered3 = the OPTIMIZE path): 4
+      // buckets are exactly u=0..3; a one-value u range now keeps one
+      // file, and the residual filter holds
+      TxLog.compactClustered3(spark, t, "k", "v", "u", col("u"), 4)
       val (r3, kept3, _, _) = TxLog.prunedRead3(spark, t,
         "k", 0L, 99L, "v", 0L, 99L, "u", 2L, 2L)
       assert(kept3 === 1)
