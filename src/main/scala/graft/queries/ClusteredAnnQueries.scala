@@ -8,9 +8,9 @@ import graft.Tables
 import graft.operators.{GraphAnn, Similarity}
 import graft.expressions.VectorExpressions.dotI
 
-/** q472–q475: the ANN families proven in the regime they exist for
-  * (VERDICT r11 items 2–4). The uniform-random embeddings fixture
-  * mathematically cannot show index recall — every neighbor is
+/** q472–q475, q478–q479: the ANN families proven in the regime they
+  * exist for (VERDICT r11 items 2–4). The uniform-random embeddings
+  * fixture mathematically cannot show index recall — every neighbor is
   * equidistant in expectation, so q452/q469's audited recall is an
   * honest but uninformative ~0.15. This pack builds a DETERMINISTIC
   * CLUSTERED fixture instead — cluster = salted-hash draw, centroid
@@ -22,7 +22,9 @@ import graft.expressions.VectorExpressions.dotI
   *  - q474: the AUTO-BUILT multi-level HNSW stack vs the hand-built
   *    two-layer descent at equal total steps,
   *  - q475: predicate-constrained (filtered) serve vs brute-force
-  *    filtered top-k.
+  *    filtered top-k (stitched allowed-kNN overlay),
+  *  - q478: the cardinality switch (exact scan below a threshold),
+  *  - q479: filtered search over the layered stack (filtered HNSW).
   *
   * Everything scores by the exact integer code dot ([[dotI]]) except
   * the IVF path, which ranks by the q57-proven double cosine.
