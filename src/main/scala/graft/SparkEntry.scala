@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ChatQueries, CoreQueries, CrawlQueries, CrawlQueriesB, GatewayQueries, MediaQueries, GoldQueries, GraphQueries, IndexQueries, IndexQueriesB, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, LlmQueriesB, NestedQueries, QoeQueries, QueryPack, ScalarQueries, ScaleQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, TokenizerQueries, GraphAnnQueries, ClusteredAnnQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, ChatQueries, CoreQueries, CrawlQueries, CrawlQueriesB, EvalLmQueries, GatewayQueries, MediaQueries, GoldQueries, GraphQueries, IndexQueries, IndexQueriesB, TemporalQueries, TimeSeriesQueries, LicenseQueries, LlmQueries, LlmQueriesB, NestedQueries, QoeQueries, QueryPack, ScalarQueries, ScaleQueries, SimilarityQueries, SinkQueries, SourceQueries, StreamingQueries, TokenizerQueries, GraphAnnQueries, ClusteredAnnQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
       SinkQueries, GatewayQueries, StreamingQueries, SourceQueries,
       IndexQueries, IndexQueriesB, TemporalQueries, GraphQueries, AnalyticsQueries,
       TimeSeriesQueries, CrawlQueries, CrawlQueriesB, MediaQueries, ScaleQueries,
-      ChatQueries, TokenizerQueries, GraphAnnQueries, ClusteredAnnQueries)
+      ChatQueries, TokenizerQueries, GraphAnnQueries, ClusteredAnnQueries,
+      EvalLmQueries)
 
   private lazy val all: Map[String, graft.queries.Q] =
     packs.foldLeft(Map.empty[String, graft.queries.Q]) { (acc, p) =>

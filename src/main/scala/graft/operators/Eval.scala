@@ -143,4 +143,175 @@ object Eval {
         when(col("idcg") === 0, lit(0L))
           .otherwise(expr("dcg * 1000000L div idcg")))
   }
+
+  /** (id, n, g, c) word n-gram counts for orders 1..maxN in ONE long
+    * frame — one corpus text scan per order, each a (doc × distinct-
+    * gram) partial agg. Order-1 grams are the case-folded tokens;
+    * higher orders ride the native
+    * [[graft.operators.LanguageModel.ngramKeys]] shingles.
+    */
+  private def orderCounts(docs: DataFrame, idCol: String,
+      textCol: String, maxN: Int): DataFrame =
+    (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) TextAnalysis.tokens(lower(col(textCol)))
+        else LanguageModel.ngramKeys(col(textCol), n)
+      docs.select(col(idCol).as("id"), lit(n).as("n"),
+          explode(grams).as("g"))
+        .groupBy(col("id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    }.reduce(_.unionByName(_))
+
+  /** Pair-level BLEU in exact-integer LOG space (Papineni et al.
+    * 2002), id_a the candidate and id_b the reference:
+    *
+    *   ln BLEU = ln BP + (1/k)·Σ_{n ≤ 4} ln p_n,
+    *   p_n = clip_n / tot_n  (modified n-gram precision),
+    *   ln BP = min(0, 1 − len_r/len_c)  (brevity penalty),
+    *
+    * emitted as signed ppm-nats — monotone in BLEU, so ranking and
+    * thresholding behave identically, and every step is i64 algebra
+    * that hash-gates cross-engine (exp would need a float): the
+    * logarithms run the [[graft.functions.FixedPoint.lnPpm]] fold,
+    * zero-clip orders take the standard +1 smoothing floor
+    * (greatest(clip, 1)), orders the candidate is too short to
+    * populate (tot_n = 0) drop out of the geometric mean (k counts
+    * the populated orders — the sentence-BLEU convention), and a
+    * zero-length candidate scores bp alone with k = 0.
+    *
+    * Output per pair: (id_a, id_b, len_c, len_r, clip1..clip4,
+    * k_orders, bp_ppm, log_bleu_ppm).
+    *
+    * 100 TB shape: four (doc × distinct-gram) count frames ride the
+    * text scan; clip joins are gram-keyed and bounded by the pair
+    * list; the lnPpm folds run on the (pairs × 4)-row stats frame —
+    * never on the corpus.
+    */
+  def bleuPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.FixedPoint
+    import graft.functions.FixedPoint.idiv
+    val counts = orderCounts(docs, idCol, textCol, 4)
+      .localCheckpoint(true)
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val tots = counts.groupBy(col("id"), col("n"))
+      .agg(sum(col("c")).as("tot"))
+    val a = counts.select(col("id").as("id_a"), col("n"), col("g"),
+      col("c").as("ca"))
+    val b = counts.select(col("id").as("id_b"), col("n"), col("g"),
+      col("c").as("cb"))
+    val clips = p.join(a, Seq("id_a")).join(b, Seq("id_b", "n", "g"))
+      .groupBy(col("id_a"), col("id_b"), col("n"))
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    // (pair × order) stats grid — the lnPpm fold runs here, bounded
+    // by 4·|pairs| rows
+    val grid = p.crossJoin(
+        docs.sparkSession.range(1, 5).select(col("id").cast("int").as("n")))
+      .join(tots.select(col("id").as("id_a"), col("n"),
+        col("tot").as("tot_a")), Seq("id_a", "n"), "left")
+      .join(tots.select(col("id").as("id_b"), col("n"),
+        col("tot").as("tot_b")), Seq("id_b", "n"), "left")
+      .join(clips, Seq("id_a", "id_b", "n"), "left")
+      .withColumn("tot_a", coalesce(col("tot_a"), lit(0L)))
+      .withColumn("tot_b", coalesce(col("tot_b"), lit(0L)))
+      .withColumn("clip", coalesce(col("clip"), lit(0L)))
+      .withColumn("nats", when(col("tot_a") >= 1,
+        FixedPoint.lnPpm(col("tot_a"), greatest(col("clip"), lit(1L))))
+        .otherwise(lit(0L)))
+    def clipAt(n: Int) =
+      sum(when(col("n") === n, col("clip")).otherwise(lit(0L)))
+        .as(s"clip$n")
+    val agg = grid.groupBy(col("id_a"), col("id_b"))
+      .agg(
+        sum(when(col("n") === 1, col("tot_a")).otherwise(lit(0L)))
+          .as("len_c"),
+        sum(when(col("n") === 1, col("tot_b")).otherwise(lit(0L)))
+          .as("len_r"),
+        clipAt(1), clipAt(2), clipAt(3), clipAt(4),
+        sum(when(col("tot_a") >= 1, lit(1L)).otherwise(lit(0L)))
+          .as("k_orders"),
+        sum(col("nats")).as("__nats"))
+    agg
+      .withColumn("bp_ppm", when(col("len_c") >= col("len_r"), lit(0L))
+        .otherwise(lit(1000000L) -
+          idiv(col("len_r") * 1000000L, greatest(col("len_c"), lit(1L)))))
+      .withColumn("log_bleu_ppm", col("bp_ppm") -
+        when(col("k_orders") >= 1,
+          idiv(col("__nats"), col("k_orders"))).otherwise(lit(0L)))
+      .select(col("id_a"), col("id_b"), col("len_c"), col("len_r"),
+        col("clip1"), col("clip2"), col("clip3"), col("clip4"),
+        col("k_orders"), col("bp_ppm"), col("log_bleu_ppm"))
+  }
+
+  /** Pair-level chrF (Popović 2015) with β = 2, character n-grams of
+    * orders 1..6 over the case-folded, whitespace-stripped text —
+    * the translation-QA metric that needs no tokenizer, so it works
+    * across scripts. Per order the F-score collapses to ONE exact
+    * rational: with m = clipped matches, c = candidate grams, r =
+    * reference grams,
+    *
+    *   F₂ = 5·P·R/(4P + R) = 5m/(4r + c)   (P = m/c, R = m/r),
+    *
+    * emitted as ppm by integral division — no float touches the
+    * metric, so it hash-gates. chrf_ppm averages the per-order F over
+    * orders where the pair has any grams (4r + c > 0); pairs of empty
+    * texts score 0 with k_orders = 0.
+    *
+    * Output per pair: (id_a, id_b, k_orders, chrf_ppm).
+    *
+    * 100 TB shape: six (doc × distinct-gram) char-gram frames ride
+    * one scan; clip joins gram-keyed, pair-bounded — identical
+    * discipline to [[bleuPairs]] with characters for tokens.
+    */
+  def chrFPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.FixedPoint.idiv
+    val maxN = 6
+    val s = regexp_replace(lower(coalesce(col(textCol), lit(""))),
+      "\\s+", "")
+    val counts = (1 to maxN).map { n =>
+      // sequence(1, 0) steps DOWNWARD (the q215 lesson) — gate on
+      // length ≥ n, not on slice
+      val grams = when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+      docs.select(col(idCol).as("id"), lit(n).as("n"),
+          explode(grams).as("g"))
+        .groupBy(col("id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val tots = counts.groupBy(col("id"), col("n"))
+      .agg(sum(col("c")).as("tot"))
+    val a = counts.select(col("id").as("id_a"), col("n"), col("g"),
+      col("c").as("ca"))
+    val b = counts.select(col("id").as("id_b"), col("n"), col("g"),
+      col("c").as("cb"))
+    val clips = p.join(a, Seq("id_a")).join(b, Seq("id_b", "n", "g"))
+      .groupBy(col("id_a"), col("id_b"), col("n"))
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    val grid = p.crossJoin(
+        docs.sparkSession.range(1, maxN + 1)
+          .select(col("id").cast("int").as("n")))
+      .join(tots.select(col("id").as("id_a"), col("n"),
+        col("tot").as("tot_a")), Seq("id_a", "n"), "left")
+      .join(tots.select(col("id").as("id_b"), col("n"),
+        col("tot").as("tot_b")), Seq("id_b", "n"), "left")
+      .join(clips, Seq("id_a", "id_b", "n"), "left")
+      .withColumn("tot_a", coalesce(col("tot_a"), lit(0L)))
+      .withColumn("tot_b", coalesce(col("tot_b"), lit(0L)))
+      .withColumn("clip", coalesce(col("clip"), lit(0L)))
+      .withColumn("__den", col("tot_b") * 4L + col("tot_a"))
+      .withColumn("__f", when(col("__den") > 0,
+        idiv(col("clip") * 5000000L, col("__den"))).otherwise(lit(0L)))
+    grid.groupBy(col("id_a"), col("id_b"))
+      .agg(
+        sum(when(col("__den") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("k_orders"),
+        sum(col("__f")).as("__fsum"))
+      .withColumn("chrf_ppm", when(col("k_orders") >= 1,
+        idiv(col("__fsum"), col("k_orders"))).otherwise(lit(0L)))
+      .select(col("id_a"), col("id_b"), col("k_orders"), col("chrf_ppm"))
+  }
 }

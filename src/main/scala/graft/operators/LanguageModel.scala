@@ -490,4 +490,102 @@ object LanguageModel {
       .select(col("grp"), col("v_distinct"), col("n_tokens"),
         col("zipf_s_ppm"))
   }
+
+  /** Interpolated Kneser–Ney bigram model (the KenLM/CCNet smoothing,
+    * Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.25 at order 2) with
+    * a fixed absolute discount D given in ppm:
+    *
+    *   p_KN(w2|w1) = max(c12 − D, 0)/c1
+    *               + (D·N1+(w1 ·)/c1) · N1+(· w2)/N1+(· ·)
+    *
+    * where N1+(w1 ·) counts distinct continuations of w1, N1+(· w2)
+    * counts distinct histories of w2 (the continuation probability —
+    * KN's defining idea: "York" is frequent but follows almost only
+    * "New", so it backs off poorly), and N1+(· ·) is the number of
+    * distinct bigram types. Everything is exact-integer ppm:
+    *
+    *   kn_ppm = (10^6·c12 − D_ppm) div c1            [c12 ≥ 1 ⇒ ≥ 0]
+    *          + ((D_ppm·N1+(w1 ·)) div c1 · pcont_ppm) div 10^6,
+    *   pcont_ppm = (10^6·N1+(· w2)) div N1+(· ·),
+    *
+    * so the model hash-gates cross-engine (i64 bounds: the largest
+    * product is D_ppm·N1+ ≤ 10^6·|V|). Output: one row per bigram
+    * type — (bg, c12, c1, n1p_head, n1p_tail, kn_ppm) — vocabulary-
+    * bounded; the discounted-mass identity Σ_w2 p(w2|w1) = 1 holds in
+    * the rational algebra and the spec pins its ppm-rounded form.
+    *
+    * 100 TB shape: one corpus bigram explode → (bg) partial agg; the
+    * head/tail/type statistics are three aggs over the DISTINCT-
+    * bigram frame (vocabulary-sized, never corpus-sized); the type
+    * total rides a 1-row broadcast.
+    */
+  def knBigramModel(docs: DataFrame, textCol: String,
+      dPpm: Long): DataFrame = {
+    require(dPpm >= 0 && dPpm < 1000000L,
+      s"discount must be a ppm in [0, 1e6), got $dPpm")
+    import graft.functions.FixedPoint.idiv
+    val bg = docs
+      .select(explode(bigramKeys(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      // heads/tails/type-count each re-aggregate this frame — compute
+      // the corpus explode ONCE
+      .localCheckpoint(true)
+    val heads = bg.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"),
+        count(lit(1)).as("n1p_head"))
+    val tails = bg.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_tail"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    bg
+      .join(heads, Seq("w1"))
+      .join(tails, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("__pcont_ppm",
+        idiv(col("n1p_tail") * 1000000L, col("n_types")))
+      .withColumn("kn_ppm",
+        idiv(col("c12") * 1000000L - dPpm, col("c1")) +
+          idiv(idiv(lit(dPpm) * col("n1p_head"), col("c1")) *
+            col("__pcont_ppm"), lit(1000000L)))
+      .select(col("bg"), col("c12"), col("c1"), col("n1p_head"),
+        col("n1p_tail"), col("kn_ppm"))
+  }
+
+  /** Per-document Kneser–Ney surprisal against a [[knBigramModel]]:
+    * each doc aggregates n_bigrams, Σ kn_ppm over occurrences, and
+    * Σ −ln p in ppm-nats (the summed negative log-likelihood —
+    * divide by n_bigrams for per-token entropy, the CCNet/KenLM
+    * quality signal). The log runs through the fixed-point
+    * [[graft.functions.FixedPoint.lnPpm]] fold ON THE MODEL FRAME
+    * (vocabulary-bounded — the corpus path only joins the finished
+    * integer), with p floored at 1 ppm so a heavily-discounted rare
+    * bigram can't hit ln(1/0). Unseen bigrams (held-out scoring)
+    * coalesce to that same 1 ppm floor — the most-surprising bucket.
+    * Docs with < 2 tokens emit zeros.
+    */
+  def knSurprise(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.FixedPoint
+    val m = model
+      .withColumn("__p", greatest(col("kn_ppm"), lit(1L)))
+      .withColumn("__nats_ppm", FixedPoint.lnPpm(lit(1000000L), col("__p")))
+      .select(col("bg"), col("kn_ppm"), col("__nats_ppm"))
+    val docCnt = docs
+      .select(col(idCol).as("__doc"), explode(bigramKeys(col(textCol))).as("bg"))
+      .groupBy(col("__doc"), col("bg"))
+      .agg(count(lit(1)).as("cd"))
+    val perDoc = docCnt.join(m, Seq("bg"), "left")
+      .groupBy(col("__doc"))
+      .agg(sum(col("cd")).as("n_bigrams"),
+        sum(col("cd") * coalesce(col("kn_ppm"), lit(0L))).as("kn_ppm_sum"),
+        sum(col("cd") * coalesce(col("__nats_ppm"),
+          FixedPoint.lnPpm(lit(1000000L), lit(1L)))).as("kn_nats_sum"))
+    docs.select(col(idCol).as("__doc"))
+      .join(perDoc, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_ppm_sum"), lit(0L)).as("kn_ppm_sum"),
+        coalesce(col("kn_nats_sum"), lit(0L)).as("kn_nats_sum"))
+  }
 }

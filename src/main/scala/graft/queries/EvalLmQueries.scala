@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.FixedPoint
+import graft.operators.{Eval, LanguageModel}
+
+/** q480–q482: trained-LM quality scoring and translation-pair QA —
+  * the published methods behind two pipeline stages that q100/q135
+  * approximate with simpler smoothing:
+  *
+  *  - q480: interpolated Kneser–Ney bigram LM (Kneser & Ney 1995) —
+  *    the KenLM smoothing CCNet's quality buckets are built on; q346
+  *    buckets by a Jelinek–Mercer trigram, this is the real method
+  *    with continuation counts, all exact-integer ppm.
+  *  - q481: pair BLEU in log space (Papineni et al. 2002) — clipped
+  *    n-gram precisions n=1..4, brevity penalty, geometric mean via
+  *    the fixed-point lnPpm fold, signed ppm-nats.
+  *  - q482: pair chrF, β=2 (Popović 2015) — per-order F collapses to
+  *    the single rational 5m/(4r+c), so the whole metric is integral
+  *    division; the tokenizer-free QA signal for bitext (q375) pairs.
+  *
+  * All three gates hash-exact: logs go through the shared
+  * shift-and-square lnPpm kernel mirrored as unrolled CTEs, every
+  * other step is i64 add/multiply/div identical in Spark and DuckDB.
+  */
+object EvalLmQueries extends QueryPack {
+
+  /** KN absolute discount: the classic 0.75, as ppm. */
+  private val DPpm = 750000L
+
+  /** DuckDB token CTE shared by the three oracles (case-folded,
+    * empty-text guard — IndexQueries.toksCte's lower()ed form).
+    */
+  private val toksCte =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Successor pairs within each source — q295's deterministic pair
+    * list, shared by the BLEU and chrF oracles.
+    */
+  private val pairsCte =
+    """pr AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT doc_id AS id_a,
+      |      lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+      |        AS id_b
+      |    FROM documents)
+      |  WHERE id_b IS NOT NULL)""".stripMargin
+
+  /** Word n-gram CTE body for one order: (doc_id, n, g) rows. */
+  private def wordGramsSql(n: Int): String =
+    if (n == 1) "SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t"
+    else {
+      val gram = (0 until n).map(j => s"toks[i + $j]")
+        .mkString(" || ' ' || ")
+      s"""SELECT doc_id, $n AS n, $gram AS g
+         |FROM (SELECT doc_id, toks,
+         |        unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+         |      FROM t WHERE len(toks) >= $n)""".stripMargin
+    }
+
+  def defs: Map[String, Q] = Map(
+
+    // Interpolated Kneser–Ney bigram LM: model trained on the corpus
+    // (absolute discount D = 0.75, continuation counts N1+(w1 ·),
+    // N1+(· w2), bigram-type total), every doc scored — n_bigrams,
+    // Σ kn_ppm, and Σ −ln p in ppm-nats via the vocabulary-bounded
+    // lnPpm fold. The oracle replays the count algebra and the
+    // unrolled log kernel keyed by bigram string.
+    "q480_kneser_ney" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val model = LanguageModel.knBigramModel(docs, "text", DPpm)
+        LanguageModel.knSurprise(docs, model, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $toksCte,
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg,
+        |         toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c AS (SELECT bg, min(w1) AS w1, min(w2) AS w2,
+        |        CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bg),
+        |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |        CAST(count(*) AS BIGINT) AS n1p_head FROM c GROUP BY 1),
+        |tl AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_tail
+        |       FROM c GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+        |m AS (
+        |  SELECT c.bg,
+        |    (c.c12 * 1000000 - $DPpm) // h.c1 +
+        |      (($DPpm * h.n1p_head) // h.c1 *
+        |        ((tl.n1p_tail * 1000000) // ty.n_types)) // 1000000
+        |      AS kn_ppm
+        |  FROM c JOIN h ON c.w1 = h.w1
+        |         JOIN tl ON c.w2 = tl.w2
+        |         CROSS JOIN ty),
+        |lnsrc AS (SELECT bg AS key, CAST(1000000 AS BIGINT) AS num,
+        |    greatest(kn_ppm, 1) AS den FROM m),
+        |${FixedPoint.lnPpmSqlCtes("lnsrc")},
+        |mm AS (SELECT m.bg, m.kn_ppm, l.ln_ppm AS nats
+        |       FROM m JOIN lnppm l ON l.key = m.bg),
+        |d AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cd
+        |      FROM bg GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(d.cd) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(d.cd * mm.kn_ppm) AS BIGINT) AS kn_ppm_sum,
+        |    CAST(sum(d.cd * mm.nats) AS BIGINT) AS kn_nats_sum
+        |  FROM d JOIN mm ON d.bg = mm.bg
+        |  GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sc.kn_ppm_sum, 0) AS kn_ppm_sum,
+        |  coalesce(sc.kn_nats_sum, 0) AS kn_nats_sum
+        |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // Pair log-BLEU: q295's successor pairs scored candidate-vs-
+    // reference — clipped precisions for n=1..4, +1 smoothing on
+    // zero clips, brevity penalty, geometric mean over populated
+    // orders; signed ppm-nats, every log through the lnPpm kernel
+    // keyed by (pair, order).
+    "q481_bleu_pairs" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        val docs = Tables.documents(s, dir)
+        val pairs = docs
+          .select(col("doc_id").as("id_a"),
+            lead(col("doc_id"), 1).over(w).as("id_b"))
+          .filter(col("id_b").isNotNull)
+        Eval.bleuPairs(pairs, docs, "doc_id", "text")
+          .orderBy(col("id_a"))
+      },
+      Some(s"""WITH RECURSIVE $toksCte,
+        |$pairsCte,
+        |cnt AS (
+        |  SELECT doc_id AS id, n, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (${(1 to 4).map(wordGramsSql).mkString("\n UNION ALL\n")})
+        |  GROUP BY 1, 2, 3),
+        |tots AS (SELECT id, n, CAST(sum(c) AS BIGINT) AS tot
+        |         FROM cnt GROUP BY 1, 2),
+        |clips AS (
+        |  SELECT pr.id_a, pr.id_b, a.n,
+        |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+        |  FROM pr JOIN cnt a ON a.id = pr.id_a
+        |  JOIN cnt b ON b.id = pr.id_b AND b.n = a.n AND b.g = a.g
+        |  GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT pr.id_a, pr.id_b, o.n,
+        |    coalesce(ta.tot, 0) AS tot_a,
+        |    coalesce(tb.tot, 0) AS tot_b,
+        |    coalesce(cl.clip, 0) AS clip
+        |  FROM pr CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) o
+        |  LEFT JOIN tots ta ON ta.id = pr.id_a AND ta.n = o.n
+        |  LEFT JOIN tots tb ON tb.id = pr.id_b AND tb.n = o.n
+        |  LEFT JOIN clips cl ON cl.id_a = pr.id_a AND cl.id_b = pr.id_b
+        |    AND cl.n = o.n),
+        |lnsrc AS (
+        |  SELECT id_a || '|' || id_b || '|' || n AS key,
+        |    tot_a AS num, greatest(clip, 1) AS den
+        |  FROM grid WHERE tot_a >= 1),
+        |${FixedPoint.lnPpmSqlCtes("lnsrc")},
+        |g2 AS (
+        |  SELECT grid.*, coalesce(l.ln_ppm, 0) AS nats
+        |  FROM grid LEFT JOIN lnppm l
+        |    ON l.key = grid.id_a || '|' || grid.id_b || '|' || grid.n),
+        |agg AS (
+        |  SELECT id_a, id_b,
+        |    CAST(sum(CASE WHEN n = 1 THEN tot_a ELSE 0 END) AS BIGINT)
+        |      AS len_c,
+        |    CAST(sum(CASE WHEN n = 1 THEN tot_b ELSE 0 END) AS BIGINT)
+        |      AS len_r,
+        |    CAST(sum(CASE WHEN n = 1 THEN clip ELSE 0 END) AS BIGINT)
+        |      AS clip1,
+        |    CAST(sum(CASE WHEN n = 2 THEN clip ELSE 0 END) AS BIGINT)
+        |      AS clip2,
+        |    CAST(sum(CASE WHEN n = 3 THEN clip ELSE 0 END) AS BIGINT)
+        |      AS clip3,
+        |    CAST(sum(CASE WHEN n = 4 THEN clip ELSE 0 END) AS BIGINT)
+        |      AS clip4,
+        |    CAST(sum(CASE WHEN tot_a >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k_orders,
+        |    CAST(sum(CASE WHEN tot_a >= 1 THEN nats ELSE 0 END) AS BIGINT)
+        |      AS nats_sum
+        |  FROM g2 GROUP BY 1, 2)
+        |SELECT id_a, id_b, len_c, len_r, clip1, clip2, clip3, clip4,
+        |  k_orders,
+        |  CASE WHEN len_c >= len_r THEN 0
+        |       ELSE 1000000 - (len_r * 1000000) // greatest(len_c, 1)
+        |  END AS bp_ppm,
+        |  CASE WHEN len_c >= len_r THEN 0
+        |       ELSE 1000000 - (len_r * 1000000) // greatest(len_c, 1)
+        |  END - CASE WHEN k_orders >= 1 THEN nats_sum // k_orders
+        |             ELSE 0 END AS log_bleu_ppm
+        |FROM agg
+        |ORDER BY id_a""".stripMargin)),
+
+    // Pair chrF (β = 2): character 1..6-grams over whitespace-
+    // stripped case-folded text; per-order F = 5m/(4r+c) in exact
+    // ppm, averaged over populated orders. Subsetted to doc_id % 3
+    // = 0 — six char-gram orders carry ~6× a word scan's mass, the
+    // subset keeps the gate's bench cost in family while exercising
+    // every code path.
+    "q482_chrf_pairs" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        val pairs = docs
+          .select(col("doc_id").as("id_a"),
+            lead(col("doc_id"), 1).over(w).as("id_b"))
+          .filter(col("id_b").isNotNull)
+        Eval.chrFPairs(pairs, docs, "doc_id", "text")
+          .orderBy(col("id_a"))
+      },
+      Some("""WITH d3 AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(lower(text), '\s+', '', 'g') AS s
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT doc_id AS id_a,
+        |      lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+        |        AS id_b
+        |    FROM d3)
+        |  WHERE id_b IS NOT NULL),
+        |cnt AS (
+        |  SELECT doc_id AS id, n, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (
+        |    SELECT doc_id, o.n, substr(s, i, o.n) AS g
+        |    FROM d3
+        |    CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) o,
+        |    LATERAL (SELECT unnest(
+        |        generate_series(1, len(s) - o.n + 1)) AS i) u
+        |    WHERE len(s) >= o.n)
+        |  GROUP BY 1, 2, 3),
+        |tots AS (SELECT id, n, CAST(sum(c) AS BIGINT) AS tot
+        |         FROM cnt GROUP BY 1, 2),
+        |clips AS (
+        |  SELECT pr.id_a, pr.id_b, a.n,
+        |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+        |  FROM pr JOIN cnt a ON a.id = pr.id_a
+        |  JOIN cnt b ON b.id = pr.id_b AND b.n = a.n AND b.g = a.g
+        |  GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT pr.id_a, pr.id_b, o.n,
+        |    coalesce(ta.tot, 0) * 1 AS tot_a,
+        |    coalesce(tb.tot, 0) * 4 AS tot_b4,
+        |    coalesce(cl.clip, 0) AS clip
+        |  FROM pr CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) o
+        |  LEFT JOIN tots ta ON ta.id = pr.id_a AND ta.n = o.n
+        |  LEFT JOIN tots tb ON tb.id = pr.id_b AND tb.n = o.n
+        |  LEFT JOIN clips cl ON cl.id_a = pr.id_a AND cl.id_b = pr.id_b
+        |    AND cl.n = o.n)
+        |SELECT id_a, id_b,
+        |  CAST(sum(CASE WHEN tot_b4 + tot_a > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS k_orders,
+        |  CASE WHEN sum(CASE WHEN tot_b4 + tot_a > 0 THEN 1 ELSE 0 END) >= 1
+        |    THEN CAST(sum(CASE WHEN tot_b4 + tot_a > 0
+        |           THEN (clip * 5000000) // (tot_b4 + tot_a)
+        |           ELSE 0 END) AS BIGINT) //
+        |         sum(CASE WHEN tot_b4 + tot_a > 0 THEN 1 ELSE 0 END)
+        |    ELSE 0 END AS chrf_ppm
+        |FROM grid
+        |GROUP BY 1, 2
+        |ORDER BY id_a""".stripMargin)))
+}

@@ -161,4 +161,68 @@ class EvalStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("u_union") === 4.0)
     assert(math.abs(r.getAs[Double]("est_rows") - 32.0 / 9.0) < 1e-12)
   }
+
+  private def pairOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r)
+      .toMap
+
+  test("bleuPairs: identical docs score log-BLEU 0 with bp 0") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = pairOf(Eval.bleuPairs(pairs, docs, "doc_id", "text"))((1L, 2L))
+    assert(r.getAs[Long]("len_c") === 5L)
+    assert(r.getAs[Long]("len_r") === 5L)
+    assert((1 to 4).map(i => r.getAs[Long](s"clip$i")) === Seq(5L, 4L, 3L, 2L))
+    assert(r.getAs[Long]("k_orders") === 4L)
+    assert(r.getAs[Long]("bp_ppm") === 0L)
+    assert(r.getAs[Long]("log_bleu_ppm") === 0L)
+  }
+
+  test("bleuPairs: brevity penalty and short-candidate order drop") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = pairOf(Eval.bleuPairs(pairs, docs, "doc_id", "text"))((1L, 2L))
+    // precisions all exactly 1 over the populated orders (4-grams
+    // drop: the candidate has none), so log-BLEU IS the penalty:
+    // 1e6 − (4e6 div 3) = −333333
+    assert(r.getAs[Long]("k_orders") === 3L)
+    assert(r.getAs[Long]("bp_ppm") === -333333L)
+    assert(r.getAs[Long]("log_bleu_ppm") === -333333L)
+  }
+
+  test("bleuPairs: zero overlap takes the +1 smoothing floor") {
+    import graft.functions.FixedPoint
+    val docs = Seq((1L, "x y"), (2L, "a b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = pairOf(Eval.bleuPairs(pairs, docs, "doc_id", "text"))((1L, 2L))
+    // order 1: ln(2/1); order 2: ln(1/1) = 0 (clip floored to 1 of 1);
+    // orders 3-4 unpopulated; bp 0 (equal lengths)
+    val expected = -(FixedPoint.lnPpmLong(2L, 1L) / 2L)
+    assert(r.getAs[Long]("k_orders") === 2L)
+    assert(r.getAs[Long]("log_bleu_ppm") === expected)
+  }
+
+  test("chrFPairs: identical text 10^6, disjoint 0, whitespace stripped") {
+    val docs = Seq(
+      (1L, "ab cd"), (2L, "abcd"),   // identical after strip
+      (3L, "xyz"), (4L, "qqq"))      // disjoint
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val m = pairOf(Eval.chrFPairs(pairs, docs, "doc_id", "text"))
+    // every populated order: m = c = r → 5m/(4m+m) = 1
+    assert(m((1L, 2L)).getAs[Long]("chrf_ppm") === 1000000L)
+    assert(m((1L, 2L)).getAs[Long]("k_orders") === 4L) // len 4 → n ≤ 4
+    assert(m((3L, 4L)).getAs[Long]("chrf_ppm") === 0L)
+  }
+
+  test("chrFPairs: empty-text pairs survive with zero score") {
+    val docs = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val m = pairOf(Eval.chrFPairs(pairs, docs, "doc_id", "text"))
+    // candidate empty: orders 1-2 have reference grams (den > 0, F 0),
+    // so k = 2 and the score is 0 — present, never dropped
+    assert(m((1L, 2L)).getAs[Long]("chrf_ppm") === 0L)
+    assert(m((1L, 2L)).getAs[Long]("k_orders") === 2L)
+  }
 }

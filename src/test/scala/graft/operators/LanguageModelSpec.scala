@@ -199,4 +199,54 @@ class LanguageModelSpec extends SparkSpec {
     // gini = 5/(2·7) = 357142 ppm
     assert(got("k") === ((2L, 7L, 357142L)))
   }
+
+  // KN fixture: c12 "a b"=3, "b a"=1, "b c"=1, "b x"=1;
+  // heads a:(c1=3, n1p=1) b:(c1=3, n1p=3); tails b/a/c/x all n1p=1;
+  // n_types=4, D=0.75 → pcont = 250000 ppm for every w2
+  test("knBigramModel: hand-computed discounted + continuation ppm") {
+    val m = LanguageModel.knBigramModel(docs, "text", 750000L)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("kn_ppm")).toMap
+    // "a b": (3e6−750000)//3 + ((750000·1)//3 · 250000)//1e6
+    //      = 750000 + 62500
+    assert(m("a b") === 812500L)
+    // "b ·": (1e6−750000)//3 + ((750000·3)//3 · 250000)//1e6
+    //      = 83333 + 187500
+    assert(m("b a") === 270833L)
+    assert(m("b c") === 270833L)
+    assert(m("b x") === 270833L)
+    // discounted-mass identity for head b: observed 3·270833 plus the
+    // unobserved-w2 backoff λ·pcont(b) = 750000·250000/1e6 = 187500
+    // must reconstruct 10^6 up to per-term truncation (≤ 1 ppm each)
+    val total = 3L * 270833L + 187500L
+    assert(total <= 1000000L && total >= 999996L, s"mass $total")
+  }
+
+  test("knSurprise: per-doc sums, nats via the lnPpm kernel") {
+    import graft.functions.FixedPoint
+    val model = LanguageModel.knBigramModel(docs, "text", 750000L)
+    val sc = LanguageModel.knSurprise(docs, model, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc1: (a b)×2 @812500 + (b a)@270833 + (b c)@270833
+    val natsAb = FixedPoint.lnPpmLong(1000000L, 812500L)
+    val natsB = FixedPoint.lnPpmLong(1000000L, 270833L)
+    assert(sc(1L) === ((4L, 2L * 812500L + 2L * 270833L,
+      2L * natsAb + 2L * natsB)))
+    // doc2: (a b)@812500 + (b x)@270833
+    assert(sc(2L) === ((2L, 812500L + 270833L, natsAb + natsB)))
+  }
+
+  test("knBigramModel: discount contract and sub-2-token docs") {
+    intercept[IllegalArgumentException] {
+      LanguageModel.knBigramModel(docs, "text", 1000000L)
+    }
+    val short = Seq((1L, "one"), (2L, "")).toDF("doc_id", "text")
+    val model = LanguageModel.knBigramModel(docs, "text", 750000L)
+    val sc = LanguageModel.knSurprise(short, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bigram-free docs survive with zero counts, never dropped
+    assert(sc === Map(1L -> 0L, 2L -> 0L))
+  }
 }
