@@ -1024,6 +1024,97 @@ object Similarity {
         col("neighbor_id"), col("adist"))
   }
 
+  /** Centroid of a runtime cell id against a trained (cell, centroid)
+    * list — a when-chain over the nlist-bounded table (cell ids can be
+    * sparse after [[kmeansIterate]] drops empty cells, so positional
+    * element_at would mis-address).
+    */
+  private def centOf(cell: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    cents.tail.foldLeft(
+      when(cell === cents.head._1, typedLit(cents.head._2))) {
+      case (acc, (i, c)) => acc.when(cell === i, typedLit(c))
+    }
+
+  /** IVF residuals (the FAISS IVF-PQ encoding input): each vector's
+    * coarse cell under the trained quantizer plus the residual
+    * r = v − centroid(cell) — the part of the vector the coarse
+    * quantizer does NOT explain, which is what PQ should spend its
+    * bits on (Jégou et al. 2011 §IV.A: residual energy ≪ vector
+    * energy once the coarse quantizer has absorbed the cluster
+    * structure, so the same codebook budget quantizes far finer).
+    * Pure projection: assignment and subtraction both run against
+    * literal centroids inside the scan — no join, no shuffle.
+    */
+  def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cell = assignCell(col(vecCol), cents)
+    corpus.select(col(idCol), cell.as("cell"),
+      zip_with(col(vecCol), centOf(cell, cents), (a, b) => a - b)
+        .as("res"))
+  }
+
+  /** Residual IVF-PQ ADC top-k — the canonical IVF-PQ serve: each
+    * query probes its `probes` nearest coarse cells; PER PROBED CELL
+    * the query forms its own residual q − centroid(cell), and
+    * candidates (corpus rows coded by [[pqEncode]] over THEIR
+    * residuals) score by asymmetric distance Σ_m ‖q_res,m −
+    * codebook_m[code_m]‖². Within one cell this approximates the true
+    * ‖q − x‖² exactly up to PQ quantization error (the shared
+    * centroid cancels: q − x = q_res − x_res), which is why residual
+    * PQ beats plain PQ at equal bits.
+    *
+    * `corpusCoded` is the (id, cell, codes) frame [[ivfPqEncode]]
+    * emits — at 100 TB the code table IS the serving index (M bytes
+    * per vector), the raw vectors stay in cold storage for the
+    * re-rank stage. The probe is a cell equi-join (≈ probes/nlist of
+    * the corpus per query, never all-pairs), codebooks ride as
+    * broadcast literals (no centroid join), and the ADC sum is a
+    * fixed left-association so the double hash-gates. Shortlists
+    * feed an exact re-rank (q443's discipline) for production recall.
+    */
+  def ivfPqAdcTopK(queries: DataFrame, corpusCoded: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[Seq[Double]]], probes: Int, k: Int): DataFrame = {
+    require(probes >= 1 && probes <= cents.size)
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"),
+        explode(assignCells(col(vecCol), cents, probes)).as("cell"))
+      .withColumn("qres",
+        zip_with(col("qvec"), centOf(col("cell"), cents), (a, b) => a - b))
+      .select(col("query_id"), col("cell"), col("qres"))
+    val c = corpusCoded.select(col(idCol).as("neighbor_id"),
+      col("cell"), col("codes"))
+    val adist = (0 until m).map { mi =>
+      val qsub = slice(col("qres"), mi * sub + 1, sub)
+      val cent = element_at(typedLit(codebooks(mi)),
+        col("codes").getItem(mi) + 1)
+      l2sq(qsub, cent)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("adist"))
+  }
+
+  /** The IVF-PQ index build: (id, cell, codes) with codes the
+    * per-subspace nearest-centroid ids of the RESIDUAL — one
+    * scan-speed projection (coarse assign, residual subtract, M
+    * argmins, all against literals).
+    */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    ivfResiduals(corpus, idCol, vecCol, cents)
+      .select(col(idCol), col("cell"),
+        pqEncode(col("res"), codebooks).as("codes"))
+
   /** kNN label-agreement screen (confident-learning-lite): each
     * vector's k nearest SAME-BUCKET neighbors (single-probe LSH — the
     * scale path; candidates arise from the bucket equi-self-join,

@@ -24,7 +24,9 @@ import graft.expressions.VectorExpressions.dotI
   *  - q475: predicate-constrained (filtered) serve vs brute-force
   *    filtered top-k (stitched allowed-kNN overlay),
   *  - q478: the cardinality switch (exact scan below a threshold),
-  *  - q479: filtered search over the layered stack (filtered HNSW).
+  *  - q479: filtered search over the layered stack (filtered HNSW),
+  *  - q483: residual IVF-PQ with ADC serve + exact re-rank (the
+  *    FAISS IVFPQ stack over the q473 coarse quantizer).
   *
   * Everything scores by the exact integer code dot ([[dotI]]) except
   * the IVF path, which ranks by the q57-proven double cosine.
@@ -51,6 +53,23 @@ object ClusteredAnnQueries extends QueryPack {
   private val KmIters = 2 // Lloyd iterations
   private val FilterMod = 20 // filtered serve: vec_id % 20 = 3 (~5%)
   private val FilterRem = 3
+  // q483 residual IVF-PQ geometry: Dim=16 → 8 subspaces × 2 dims,
+  // 16 cells each (8·log2(16) = 32 bits/vector — the standard fine
+  // setting; 4×4×16 = 16 bits read 0.72 re-ranked recall at sf0.1),
+  // ADC shortlist 80 before the exact re-rank
+  private val PqM = 8
+  private val PqSubDim = 2
+  private val PqK = 16
+  private val ShortK = 80
+
+  /** Fixed-seed PQ seed codebooks, ×5 so the seeds span the residual
+    * range (±10 jitter); the seed doubles are part of the spec — the
+    * oracle interpolates the identical values (q211's discipline).
+    */
+  private val PqInit: Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(4343L)
+    Seq.fill(PqM)(Seq.fill(PqK)(Seq.fill(PqSubDim)(rnd.nextGaussian() * 5.0)))
+  }
 
   // ---------------------------------------------------------------
   // fixture: deterministic clustered integer codes
@@ -259,6 +278,59 @@ object ClusteredAnnQueries extends QueryPack {
     s"""qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
        |  FROM qz WHERE vec_id % 25 = 0)""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Exact fixed-point coarse-quantizer replay (the q473 trainer),
+  // shared by the trained-IVF (q473) and residual-IVF-PQ (q483)
+  // oracles so both serve the IDENTICAL coarse cells: vv (double
+  // vectors), hash-picked seed rows, two assign+refine Lloyd rounds
+  // (quantized long sums, cos-desc/cell-desc tiebreaks), final
+  // per-row ranking qrk and assignment asg.
+  // ---------------------------------------------------------------
+
+  private val Q20 = "1048576.0"
+
+  private def coarseAssignSql(it: Int, from: String): String =
+    s"""ss$it AS (SELECT e.vec_id, e.v, c.cell,
+       |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
+       |  FROM vv e CROSS JOIN $from c),
+       |aa$it AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+       |  SELECT vec_id, v, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+       |  FROM ss$it) WHERE rn = 1)""".stripMargin
+
+  private def coarseRefineSql(it: Int): String = {
+    val sumExprs = (0 until Dim).map(d =>
+      s"CAST(sum(CAST(floor(v[${d + 1}] * $Q20) AS BIGINT)) AS BIGINT) AS s$d")
+      .mkString(",\n|    ")
+    val centroidList = (0 until Dim).map(d => s"s$d / (n * $Q20)")
+      .mkString("[", ", ", "]")
+    s"""gg$it AS (SELECT cell, count(*) AS n,
+       |    $sumExprs
+       |  FROM aa$it GROUP BY cell),
+       |c$it AS MATERIALIZED (SELECT cell, $centroidList AS c FROM gg$it)""".stripMargin
+  }
+
+  private lazy val coarseCtes: String =
+    s"""vv AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(q, x -> CAST(x AS DOUBLE)) AS v FROM qz),
+       |sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY
+       |    ${hashSql("vec_id", ":seed")}, vec_id) - 1 AS cell
+       |  FROM vv),
+       |c0 AS MATERIALIZED (SELECT cell, v AS c FROM sd
+       |  WHERE cell < $NCl),
+       |${coarseAssignSql(1, "c0")},
+       |${coarseRefineSql(1)},
+       |${coarseAssignSql(2, "c1")},
+       |${coarseRefineSql(2)},
+       |qsc AS (SELECT e.vec_id, e.v, c.cell,
+       |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
+       |  FROM vv e CROSS JOIN c2 c),
+       |qrk AS MATERIALIZED (SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, cell DESC) AS rn
+       |  FROM qsc),
+       |asg AS (SELECT vec_id, v, cell FROM qrk WHERE rn = 1)""".stripMargin
+
   /** Brute-force exact top-k over corpus nodes matching `cond`. */
   private def bfSql(cond: String): String =
     s"""bf AS MATERIALIZED (SELECT query_id, node FROM (
@@ -386,45 +458,8 @@ object ClusteredAnnQueries extends QueryPack {
         recallRow("ivf_multiprobe", queries, served, exact)
       },
       {
-        val q20 = "1048576.0"
-        val sumExprs = (0 until Dim).map(d =>
-          s"CAST(sum(CAST(floor(v[${d + 1}] * $q20) AS BIGINT)) AS BIGINT) AS s$d")
-          .mkString(",\n|    ")
-        val centroidList = (0 until Dim).map(d => s"s$d / (n * $q20)")
-          .mkString("[", ", ", "]")
-        def assign(it: Int, from: String): String =
-          s"""ss$it AS (SELECT e.vec_id, e.v, c.cell,
-             |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
-             |  FROM vv e CROSS JOIN $from c),
-             |aa$it AS MATERIALIZED (SELECT vec_id, v, cell FROM (
-             |  SELECT vec_id, v, cell, row_number() OVER (
-             |      PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
-             |  FROM ss$it) WHERE rn = 1)""".stripMargin
-        def refine(it: Int): String =
-          s"""gg$it AS (SELECT cell, count(*) AS n,
-             |    $sumExprs
-             |  FROM aa$it GROUP BY cell),
-             |c$it AS MATERIALIZED (SELECT cell, $centroidList AS c FROM gg$it)""".stripMargin
         Some(s"""WITH $codesCte,
-          |vv AS MATERIALIZED (SELECT vec_id,
-          |  list_transform(q, x -> CAST(x AS DOUBLE)) AS v FROM qz),
-          |sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY
-          |    ${hashSql("vec_id", ":seed")}, vec_id) - 1 AS cell
-          |  FROM vv),
-          |c0 AS MATERIALIZED (SELECT cell, v AS c FROM sd
-          |  WHERE cell < $NCl),
-          |${assign(1, "c0")},
-          |${refine(1)},
-          |${assign(2, "c1")},
-          |${refine(2)},
-          |qsc AS (SELECT e.vec_id, e.v, c.cell,
-          |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
-          |  FROM vv e CROSS JOIN c2 c),
-          |qrk AS MATERIALIZED (SELECT vec_id, v, cell,
-          |    row_number() OVER (PARTITION BY vec_id
-          |      ORDER BY cos DESC, cell DESC) AS rn
-          |  FROM qsc),
-          |asg AS (SELECT vec_id, v, cell FROM qrk WHERE rn = 1),
+          |$coarseCtes,
           |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
           |  FROM vv WHERE vec_id % 25 = 0),
           |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
@@ -655,6 +690,164 @@ object ClusteredAnnQueries extends QueryPack {
           |LEFT JOIN bf ON bf.query_id = f.query_id AND bf.node = f.node
           |WHERE f.rn <= $TopK
           |ORDER BY f.query_id, f.rn""".stripMargin)
+      }),
+
+    // Residual IVF-PQ (Jégou et al. 2011 — the FAISS IVFPQ index):
+    // coarse cells from the SAME trained quantizer as q473, PQ
+    // codebooks trained on the residuals v − centroid(cell), ADC
+    // serve over probed cells, exact re-rank of the ADC shortlist
+    // (the production two-stage). TWO recall rows gate the design
+    // claim itself: raw ADC top-k vs shortlist+exact-re-rank — the
+    // re-ranked row is the ≥ 0.8 pin, the gap between them is WHY
+    // serving stacks re-rank.
+    "q483_ivfpq_residual_recall" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        val codes = clusteredCodes(s, dir)
+        val vecs = codes.select(col("vec_id"),
+            transform(col("code"), x => x.cast("double")).as("v"))
+          .localCheckpoint(true)
+        val init = vecs
+          .withColumn("__h", GraphAnn.saltedHash60(col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id")).limit(NCl)
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq)
+          }.toSeq
+        val cents = Similarity.kmeansIterate(vecs, "v", init, KmIters)
+        // PQ trains on residuals: one refinement from the fixed-seed
+        // codebooks (the q211 discipline; the oracle interpolates the
+        // identical doubles and replays the refinement)
+        val resid = Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
+          .localCheckpoint(true)
+        val cb = Similarity.pqTrain(resid, "res", PqInit)
+        val coded = Similarity.ivfPqEncode(vecs, "vec_id", "v", cents, cb)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val shortlist = Similarity.ivfPqAdcTopK(queries, coded,
+            "vec_id", "v", cents, cb, Probes, ShortK)
+          .localCheckpoint(true)
+        val rerank = shortlist
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")), Seq("neighbor_id"))
+          .join(queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv")), Seq("query_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .select(col("query_id"), col("neighbor_id"),
+            col("rn2").as("rn"))
+        // ground truth: exact L2 brute force — the metric ADC
+        // approximates (within a shared cell the coarse centroid
+        // cancels exactly)
+        val exact = queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv"))
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        recallRow("ivfpq_adc", queries, shortlist, exact)
+          .unionByName(
+            recallRow("ivfpq_rerank", queries, rerank, exact))
+          .orderBy(col("family"))
+      },
+      {
+        def l2At(a: String, off: Int, b: String, len: Int): String =
+          s"list_reduce([0.0] || list_transform(range(1, ${len + 1}), " +
+            s"i -> ($a[i + $off] - $b[i]) * ($a[i + $off] - $b[i])), " +
+            "(acc, x) -> acc + x)"
+        def dlit(c: Seq[Double]): String =
+          c.mkString("([", ", ", "]::DOUBLE[])")
+        // per-subspace PQ replay: seed literals → residual argmin →
+        // quantized-sum refinement (seed fallback) → re-encode
+        val pqBlocks = (0 until PqM).map { mi =>
+          val off = mi * PqSubDim
+          val sums = (0 until PqSubDim).map(d =>
+            s"CAST(sum(CAST(floor(r[${off + d + 1}] * $Q20) AS BIGINT)) AS BIGINT) AS s$d")
+            .mkString(", ")
+          val clist = (0 until PqSubDim).map(d =>
+            s"s$d / (CAST(n AS DOUBLE) * $Q20)").mkString("[", ", ", "]")
+          val seeds = PqInit(mi).zipWithIndex
+            .map { case (c, i) => s"($i, ${dlit(c)})" }.mkString(", ")
+          s"""pa$mi AS (SELECT vec_id, cell FROM (
+             |  SELECT rs.vec_id, s.cell, row_number() OVER (
+             |      PARTITION BY rs.vec_id
+             |      ORDER BY ${l2At("rs.r", off, "s.c", PqSubDim)} ASC,
+             |        s.cell ASC) AS rn
+             |  FROM rs CROSS JOIN (VALUES $seeds) s(cell, c))
+             |  WHERE rn = 1),
+             |pg$mi AS (SELECT pa$mi.cell, count(*) AS n, $sums
+             |  FROM pa$mi JOIN rs USING (vec_id) GROUP BY pa$mi.cell),
+             |pr$mi AS MATERIALIZED (SELECT sd.cell,
+             |    coalesce(pc.c, sd.sc) AS c
+             |  FROM (VALUES $seeds) sd(cell, sc) LEFT JOIN
+             |    (SELECT cell, $clist AS c FROM pg$mi) pc USING (cell)),
+             |pe$mi AS MATERIALIZED (SELECT vec_id, cell AS e$mi FROM (
+             |  SELECT rs.vec_id, p.cell, row_number() OVER (
+             |      PARTITION BY rs.vec_id
+             |      ORDER BY ${l2At("rs.r", off, "p.c", PqSubDim)} ASC,
+             |        p.cell ASC) AS rn
+             |  FROM rs CROSS JOIN pr$mi p) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val adcSum = (0 until PqM).map(mi =>
+          l2At("cand.qr", mi * PqSubDim, s"r$mi.c", PqSubDim))
+          .mkString(" + ")
+        val adcJoins = (0 until PqM).map(mi =>
+          s"JOIN pr$mi r$mi ON r$mi.cell = cand.e$mi").mkString("\n|  ")
+        Some(s"""WITH $codesCte,
+          |$coarseCtes,
+          |rs AS MATERIALIZED (SELECT asg.vec_id, asg.cell,
+          |    list_transform(range(1, ${Dim + 1}),
+          |      i -> asg.v[i] - c2.c[i]) AS r
+          |  FROM asg JOIN c2 USING (cell)),
+          |$pqBlocks,
+          |cd AS MATERIALIZED (SELECT rs.vec_id, rs.cell,
+          |    ${(0 until PqM).map(mi => s"pe$mi.e$mi").mkString(", ")}
+          |  FROM rs ${(0 until PqM).map(mi =>
+            s"JOIN pe$mi USING (vec_id)").mkString(" ")}),
+          |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+          |  FROM vv WHERE vec_id % 25 = 0),
+          |qr0 AS (SELECT vec_id AS query_id, v, cell FROM qrk
+          |  WHERE vec_id % 25 = 0 AND rn <= $Probes),
+          |qr AS MATERIALIZED (SELECT query_id, qr0.cell,
+          |    list_transform(range(1, ${Dim + 1}),
+          |      i -> qr0.v[i] - c2.c[i]) AS qr
+          |  FROM qr0 JOIN c2 USING (cell)),
+          |cand AS (SELECT qr.query_id, qr.qr, cd.vec_id AS node,
+          |    ${(0 until PqM).map(mi => s"cd.e$mi").mkString(", ")}
+          |  FROM qr JOIN cd USING (cell)
+          |  WHERE qr.query_id <> cd.vec_id),
+          |adc AS MATERIALIZED (SELECT cand.query_id, cand.node,
+          |    $adcSum AS adist
+          |  FROM cand
+          |  $adcJoins),
+          |short AS MATERIALIZED (SELECT query_id, node, rn FROM (
+          |  SELECT query_id, node, adist, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY adist ASC, node) AS rn
+          |  FROM adc) WHERE rn <= $ShortK),
+          |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
+          |      PARTITION BY s.query_id
+          |      ORDER BY ${l2At("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
+          |      AS rn
+          |  FROM short s JOIN qq ON qq.query_id = s.query_id
+          |  JOIN vv nv ON nv.vec_id = s.node),
+          |bf AS MATERIALIZED (SELECT query_id, node FROM (
+          |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+          |      PARTITION BY qq.query_id
+          |      ORDER BY ${l2At("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+          |      AS rn
+          |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
+          |  WHERE rn <= $TopK)
+          |${recallSelect("ivfpq_adc", "short")}
+          |UNION ALL
+          |${recallSelect("ivfpq_rerank", "rrk")}
+          |ORDER BY family""".stripMargin)
       })
   )
 }

@@ -538,4 +538,70 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 0L), (1L, 2L, 32258L),
       (2L, 3L, 32258L), (3L, 5L, 16129L)))
   }
+
+  // Residual IVF-PQ fixture: two coarse cells at −100 and +100 on
+  // every axis (the coarse assignment is COSINE, so cells must not
+  // sit at the origin); residuals are small integer offsets, exactly
+  // representable in doubles.
+  private val IvfPqCents: Seq[(Int, Seq[Double])] = Seq(
+    0 -> Seq(-100.0, -100.0, -100.0, -100.0),
+    1 -> Seq(100.0, 100.0, 100.0, 100.0))
+
+  test("ivfResiduals: cell + residual reconstructs the vector") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(-98.0, -101.0, -100.0, -97.0)),
+      (2L, Seq(101.0, 98.0, 100.0, 102.0))).toDF("vec_id", "v")
+    val got = Similarity.ivfResiduals(df, "vec_id", "v", IvfPqCents)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Double](2).toSeq))).toMap
+    assert(got(1L) === ((0, Seq(2.0, -1.0, 0.0, 3.0))))
+    assert(got(2L) === ((1, Seq(1.0, -2.0, 0.0, 2.0))))
+  }
+
+  test("ivfPqAdcTopK: exact codebooks make ADC the true same-cell L2") {
+    import spark.implicits._
+    // codebooks (M=2, sub=2) hold EVERY residual subvector occurring
+    // in the fixture, so pqEncode is lossless and the asymmetric
+    // distance equals the exact ‖q − x‖² (the shared coarse centroid
+    // cancels) — ranking must match the hand-computed order
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(2.0, -1.0), Seq(1.0, -2.0), Seq(5.0, 5.0)),
+      Seq(Seq(0.0, 0.0), Seq(0.0, 3.0), Seq(0.0, 2.0), Seq(5.0, 5.0)))
+    val corpus = Seq(
+      (1L, Seq(-98.0, -101.0, -100.0, -97.0)),  // cell 0, res (2,-1,0,3)
+      (2L, Seq(-100.0, -100.0, -100.0, -100.0)), // cell 0, res 0
+      (3L, Seq(101.0, 98.0, 100.0, 102.0)))      // cell 1 — never probed
+      .toDF("vec_id", "v")
+    val coded = Similarity.ivfPqEncode(corpus, "vec_id", "v",
+      IvfPqCents, cb)
+    val q = Seq((9L, Seq(-99.0, -102.0, -100.0, -98.0)))
+      .toDF("vec_id", "v") // cell 0, res (1,-2,0,2)
+    val got = Similarity.ivfPqAdcTopK(q, coded, "vec_id", "v",
+        IvfPqCents, cb, probes = 1, k = 3)
+      .orderBy(col("rn")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // ‖q−x1‖² = 1+1+0+1 = 3; ‖q−x2‖² = 1+4+0+4 = 9; x3 not probed
+    assert(got === Seq((1L, 1L, 3.0), (2L, 2L, 9.0)))
+  }
+
+  test("ivfPqAdcTopK: probing the runner-up cell recovers its rows") {
+    import spark.implicits._
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, -2.0)),
+      Seq(Seq(0.0, 0.0), Seq(0.0, 2.0)))
+    val corpus = Seq(
+      (2L, Seq(-100.0, -100.0, -100.0, -100.0)),
+      (3L, Seq(100.0, 100.0, 100.0, 100.0))).toDF("vec_id", "v")
+    val coded = Similarity.ivfPqEncode(corpus, "vec_id", "v",
+      IvfPqCents, cb)
+    val q = Seq((9L, Seq(-99.0, -102.0, -100.0, -98.0)))
+      .toDF("vec_id", "v")
+    def served(p: Int) = Similarity.ivfPqAdcTopK(q, coded, "vec_id",
+        "v", IvfPqCents, cb, probes = p, k = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(served(1) === Set(2L))
+    assert(served(2) === Set(2L, 3L))
+  }
 }
