@@ -1115,6 +1115,43 @@ object Similarity {
       .select(col(idCol), col("cell"),
         pqEncode(col("res"), codebooks).as("codes"))
 
+  /** md5-derived 60-bit hash of a STRING, driver-side — bit-identical
+    * to [[graft.operators.GraphAnn.saltedHash60]] (conv(substr(md5,
+    * 1,15),16,10)), so sign matrices computed here replay in either
+    * engine from the same formula.
+    */
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
+  /** Signed Johnson–Lindenstrauss projection for INTEGER code vectors
+    * (Achlioptas 2003's ±1 database-friendly JL): y_j = Σ_i s(i,j)·v_i
+    * with s(i,j) ∈ {+1, −1} drawn from the shared md5 hash of
+    * "i:j‖salt" — no gaussian, no float, so the projected vector is
+    * EXACT i64 and hash-gates. Distances scale by outDim in
+    * expectation (E‖Sx‖² = outDim·‖x‖²), concentration ~1/√outDim —
+    * the dimension-reduction front end for ANN scans: shortlist in
+    * outDim dims, re-rank exact (q483's two-stage discipline).
+    *
+    * The sign matrix is inDim×outDim driver-side longs baked into the
+    * expression as adds/subtracts — the projection runs at scan speed
+    * with ZERO runtime hashing, and an oracle re-derives every sign
+    * from the same md5 formula over literal (i, j) strings.
+    */
+  def jlProjectInt(vec: Column, inDim: Int, outDim: Int,
+      salt: String): Column = {
+    require(inDim >= 1 && outDim >= 1)
+    array((1 to outDim).map { j =>
+      (1 to inDim).map { i =>
+        val v = element_at(vec, i).cast("long")
+        if (hash60(s"$i:$j$salt") % 2 == 0) v else -v
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** kNN label-agreement screen (confident-learning-lite): each
     * vector's k nearest SAME-BUCKET neighbors (single-probe LSH — the
     * scale path; candidates arise from the bucket equi-self-join,

@@ -71,6 +71,39 @@ object ClusteredAnnQueries extends QueryPack {
     Seq.fill(PqM)(Seq.fill(PqK)(Seq.fill(PqSubDim)(rnd.nextGaussian() * 5.0)))
   }
 
+  // q484/q485 signed-JL geometry: 16 → 8 dims (2× scan compression),
+  // projected-space shortlist 80 before the exact re-rank
+  private val JlDim = 8
+  private val JlShortK = 80
+
+  /** Exact integer squared L2 over two integral arrays — zip_with
+    * fold, i64 throughout.
+    */
+  private def l2iCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y).cast("long") * (x - y).cast("long")),
+      lit(0L), _ + _)
+
+  /** [[l2iCol]]'s DuckDB mirror over `len` components. */
+  private def l2iSql(a: String, b: String, len: Int): String =
+    s"CAST(list_reduce([CAST(0 AS BIGINT)] || " +
+      s"list_transform(range(1, ${len + 1}), " +
+      s"i -> CAST($a[i] - $b[i] AS BIGINT) * CAST($a[i] - $b[i] AS BIGINT)), " +
+      "(acc, x) -> acc + x) AS BIGINT)"
+
+  /** [[graft.operators.Similarity.jlProjectInt]]'s DuckDB mirror:
+    * every sign re-derived from the md5 of the literal "i:j" string —
+    * the oracle proves the sign-matrix derivation, not just the sums.
+    */
+  private lazy val jlProjSql: String =
+    (1 to JlDim).map { j =>
+      (1 to Dim).map { i =>
+        val h = hashSql(s"'$i:$j'", ":jl")
+        s"(CASE WHEN $h % 2 = 0 THEN CAST(q[$i] AS BIGINT) " +
+          s"ELSE -CAST(q[$i] AS BIGINT) END)"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+
   // ---------------------------------------------------------------
   // fixture: deterministic clustered integer codes
   // ---------------------------------------------------------------
@@ -848,6 +881,121 @@ object ClusteredAnnQueries extends QueryPack {
           |UNION ALL
           |${recallSelect("ivfpq_rerank", "rrk")}
           |ORDER BY family""".stripMargin)
-      })
+      }),
+
+    // Signed JL projection (Achlioptas 2003): exact-integer ±1
+    // projection 16 → 8 dims, distortion audited pairwise — the
+    // JL-lemma contract ‖Sx‖² ≈ outDim·‖x‖² as a per-pair ratio_ppm
+    // table over consecutive-id pairs (mixed same/cross-cluster).
+    // Every value is i64: the projection is adds/subtracts of code
+    // components, the ratio an integral division.
+    "q484_jl_distortion" -> Q(
+      (s, dir) => {
+        val proj = clusteredCodes(s, dir).withColumn("y",
+          Similarity.jlProjectInt(col("code"), Dim, JlDim, ":jl"))
+        val a = proj.select(col("vec_id"), col("code").as("ca"),
+          col("y").as("ya"))
+        val b = proj.select((col("vec_id") - 1).as("vec_id"),
+          col("code").as("cb"), col("y").as("yb"))
+        a.join(b, Seq("vec_id"))
+          .withColumn("d2", l2iCol(col("ca"), col("cb")))
+          .withColumn("dd2", l2iCol(col("ya"), col("yb")))
+          .withColumn("ratio_ppm", when(col("d2") > 0,
+            expr(s"(dd2 * 1000000) div ($JlDim * d2)")).otherwise(lit(0L)))
+          .select(col("vec_id"), col("d2"), col("dd2"), col("ratio_ppm"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $codesCte,
+        |pj AS MATERIALIZED (SELECT vec_id, q, $jlProjSql AS y FROM qz),
+        |pr AS (
+        |  SELECT a.vec_id,
+        |    ${l2iSql("a.q", "b.q", Dim)} AS d2,
+        |    ${l2iSql("a.y", "b.y", JlDim)} AS dd2
+        |  FROM pj a JOIN pj b ON b.vec_id = a.vec_id + 1)
+        |SELECT vec_id, d2, dd2,
+        |  CASE WHEN d2 > 0 THEN (dd2 * 1000000) // ($JlDim * d2)
+        |       ELSE 0 END AS ratio_ppm
+        |FROM pr
+        |ORDER BY vec_id""".stripMargin)),
+
+    // JL-projected ANN serving, two-stage: brute-force shortlist in
+    // the 8-dim projected space (half the scan cost per candidate at
+    // 100 TB — the JL win), exact full-dim re-rank. Recall rows pin
+    // projected-top-3-direct vs re-ranked against brute-force L2 —
+    // the re-ranked row is the production number, the direct row
+    // shows what raw 2× compression costs.
+    "q485_jl_recall" -> Q(
+      (s, dir) => {
+        val proj = clusteredCodes(s, dir).withColumn("y",
+            Similarity.jlProjectInt(col("code"), Dim, JlDim, ":jl"))
+          .localCheckpoint(true)
+        val queries = proj.filter(col("vec_id") % 25 === 0)
+        val shortlist = queries
+          .select(col("vec_id").as("query_id"), col("y").as("__qy"))
+          .join(proj.select(col("vec_id").as("neighbor_id"),
+            col("y").as("__ny")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__pd", l2iCol(col("__qy"), col("__ny")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__pd").asc, col("neighbor_id"))))
+          .filter(col("rn") <= JlShortK)
+          .select(col("query_id"), col("neighbor_id"), col("rn"))
+          .localCheckpoint(true)
+        val rerank = shortlist
+          .join(proj.select(col("vec_id").as("neighbor_id"),
+            col("code").as("__nc")), Seq("neighbor_id"))
+          .join(queries.select(col("vec_id").as("query_id"),
+            col("code").as("__qc")), Seq("query_id"))
+          .withColumn("__d", l2iCol(col("__qc"), col("__nc")))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .select(col("query_id"), col("neighbor_id"),
+            col("rn2").as("rn"))
+        val exact = queries
+          .select(col("vec_id").as("query_id"), col("code").as("__qc"))
+          .join(proj.select(col("vec_id").as("neighbor_id"),
+            col("code").as("__nc")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2iCol(col("__qc"), col("__nc")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        recallRow("jl_direct", queries, shortlist, exact)
+          .unionByName(recallRow("jl_rerank", queries, rerank, exact))
+          .orderBy(col("family"))
+      },
+      Some(s"""WITH $codesCte,
+        |pj AS MATERIALIZED (SELECT vec_id, q, $jlProjSql AS y FROM qz),
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv, y AS qy
+        |  FROM pj WHERE vec_id % 25 = 0),
+        |short AS MATERIALIZED (SELECT query_id, node, rn FROM (
+        |  SELECT qq.query_id, p.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2iSql("qq.qy", "p.y", JlDim)} ASC, p.vec_id)
+        |      AS rn
+        |  FROM qq JOIN pj p ON p.vec_id <> qq.query_id)
+        |  WHERE rn <= $JlShortK),
+        |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
+        |      PARTITION BY s.query_id
+        |      ORDER BY ${l2iSql("qq.qv", "nv.q", Dim)} ASC, s.node)
+        |      AS rn
+        |  FROM short s JOIN qq ON qq.query_id = s.query_id
+        |  JOIN pj nv ON nv.vec_id = s.node),
+        |bf AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2iSql("qq.qv", "z.q", Dim)} ASC, z.vec_id)
+        |      AS rn
+        |  FROM qq JOIN pj z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= $TopK)
+        |${recallSelect("jl_direct", "short")}
+        |UNION ALL
+        |${recallSelect("jl_rerank", "rrk")}
+        |ORDER BY family""".stripMargin))
   )
 }

@@ -604,4 +604,26 @@ class SimilaritySpec extends SparkSpec {
     assert(served(1) === Set(2L))
     assert(served(2) === Set(2L, 3L))
   }
+
+  test("jlProjectInt: md5-derived signs, exact sums, linearity") {
+    import spark.implicits._
+    // recompute the sign matrix with an independent md5 rendering
+    def sign(i: Int, j: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j:s".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+      if (h % 2 == 0) 1L else -1L
+    }
+    val v = Seq(3, -7, 11, 2)
+    val expected = (1 to 3).map(j =>
+      (1 to 4).map(i => sign(i, j) * v(i - 1)).sum)
+    val df = Seq((1L, v), (2L, v.map(-_))).toDF("vec_id", "code")
+    val got = df.select(col("vec_id"),
+        Similarity.jlProjectInt(col("code"), 4, 3, ":s").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got(1L) === expected)
+    // sign-flip linearity: project(−v) = −project(v)
+    assert(got(2L) === expected.map(-_))
+  }
 }
