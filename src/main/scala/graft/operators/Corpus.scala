@@ -122,6 +122,58 @@ object Corpus {
     *
     * Returns (input columns…, chunk_ix, chunk_tokens, chunk_text).
     */
+  /** Sentence-boundary chunk packing — the RAG-ingestion chunker
+    * [[chunk]] is NOT: sentences are packed greedily in document
+    * order into chunks of at most `budgetTokens` whitespace tokens,
+    * and a sentence is NEVER split (an oversized sentence becomes its
+    * own over-budget chunk; mid-sentence cuts are what embedding
+    * retrieval quality dies of). Greedy reset-cumsum is genuinely
+    * sequential per document, so it runs as ONE higher-order
+    * `aggregate` fold over the doc's ordered sentence array —
+    * document-bounded state, no window, no shuffle beyond the per-doc
+    * groupBy; the same fold replays in SQL as a recursive CTE.
+    *
+    * Output: (idCol, chunk_id, n_sentences, chunk_tokens, chunk_text)
+    * with chunk_text the space-joined sentences in order. Documents
+    * with no sentences emit no chunks.
+    */
+  def packSentenceChunks(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be >= 1, got $budgetTokens")
+    val sents = TextAnalysis.sentences(df, idCol, textCol)
+      .withColumn("__t", TextAnalysis.nTokens(col("sentence")).cast("long"))
+    val perDoc = sents.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("sent_idx"), col("sentence"), col("__t")))).as("__ss"))
+    val zero = struct(lit(0L).as("cid"), lit(0L).as("used"),
+      array().cast("array<bigint>").as("out"))
+    val folded = perDoc.withColumn("__cids",
+      aggregate(col("__ss"), zero, (st, x) => {
+        val t = x.getField("__t")
+        val over = st.getField("used") > 0 &&
+          st.getField("used") + t > budgetTokens
+        val cid = when(over, st.getField("cid") + 1L)
+          .otherwise(st.getField("cid"))
+        struct(cid.as("cid"),
+          when(over, t).otherwise(st.getField("used") + t).as("used"),
+          concat(st.getField("out"), array(cid)).as("out"))
+      }).getField("out"))
+    val rows = folded.select(col(idCol),
+        explode(zip_with(col("__ss"), col("__cids"),
+          (s, c) => struct(s.getField("sent_idx").as("sent_idx"),
+            s.getField("sentence").as("sentence"),
+            s.getField("__t").as("t"), c.as("chunk_id")))).as("r"))
+      .select(col(idCol), col("r.sent_idx").as("sent_idx"),
+        col("r.sentence").as("sentence"), col("r.t").as("t"),
+        col("r.chunk_id").as("chunk_id"))
+    rows.groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("t")).as("chunk_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("sent_idx"), col("sentence")))),
+          s => s.getField("sentence")), " ").as("chunk_text"))
+  }
+
   def chunk(df: DataFrame, textCol: String, chunkTokens: Int,
       overlap: Int): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,

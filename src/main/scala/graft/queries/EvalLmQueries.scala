@@ -272,5 +272,59 @@ object EvalLmQueries extends QueryPack {
         |    ELSE 0 END AS chrf_ppm
         |FROM grid
         |GROUP BY 1, 2
-        |ORDER BY id_a""".stripMargin)))
+        |ORDER BY id_a""".stripMargin)),
+
+    // Sentence-boundary chunk packing (RAG ingestion): greedy pack of
+    // ordered sentences into ≤ 40-token chunks, sentences never split
+    // (oversized sentence → its own over-budget chunk). The per-doc
+    // greedy fold is sequential by nature — one aggregate fold in
+    // Spark, a recursive CTE in the oracle. Periods injected every
+    // 5 words (q330's trick) so the fixture actually has sentences.
+    "q486_sentence_pack" -> Q(
+      (s, dir) => {
+        val punct = Tables.documents(s, dir).select(col("doc_id"),
+          regexp_replace(coalesce(col("text"), lit("")),
+            "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+        graft.operators.Corpus.packSentenceChunks(punct, "doc_id", "t",
+            budgetTokens = 40)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH RECURSIVE pt AS (
+        |  SELECT doc_id, regexp_replace(coalesce(text, ''),
+        |    '((?:\\S+ ){4}\\S+) ', '\\1. ', 'g') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS sent_idx,
+        |    unnest(l) AS raw
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(t, '${graft.operators.TextAnalysis.sentencePat}') AS l
+        |        FROM pt)),
+        |f AS (
+        |  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+        |    trim(regexp_replace(raw, '\\s+', ' ', 'g')) AS sentence
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, sentence,
+        |    CAST(len(string_split(sentence, ' ')) AS BIGINT) AS t,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx)
+        |      AS i
+        |  FROM f WHERE length(sentence) > 0),
+        |st AS (
+        |  SELECT doc_id, i, sentence, t,
+        |    CAST(0 AS BIGINT) AS cid, t AS used
+        |  FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.doc_id, g.i, g.sentence, g.t,
+        |    CASE WHEN st.used > 0 AND st.used + g.t > 40
+        |         THEN st.cid + 1 ELSE st.cid END,
+        |    CASE WHEN st.used > 0 AND st.used + g.t > 40
+        |         THEN g.t ELSE st.used + g.t END
+        |  FROM st JOIN g ON g.doc_id = st.doc_id AND g.i = st.i + 1)
+        |SELECT doc_id, cid AS chunk_id,
+        |  count(*) AS n_sentences,
+        |  CAST(sum(t) AS BIGINT) AS chunk_tokens,
+        |  string_agg(sentence, ' ' ORDER BY i) AS chunk_text
+        |FROM st
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, chunk_id""".stripMargin)))
 }

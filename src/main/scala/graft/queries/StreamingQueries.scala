@@ -1233,6 +1233,64 @@ object StreamingQueries extends QueryPack {
         |  CAST(sum(abs(share_a_ppm - share_b_ppm)) OVER ()
         |    AS BIGINT) AS l1_total_ppm
         |FROM j
-        |ORDER BY bin""".stripMargin))
+        |ORDER BY bin""".stripMargin)),
+
+    // Stream-stream FULL OUTER interval join — completes the q167
+    // (inner) / q173 (left outer) matrix: unmatched CLICKS emit
+    // null-right once the watermark proves their 1 h window can no
+    // longer fill (a.ts + 1h behind the final watermark, q173's
+    // predicate), and unmatched PURCHASES emit null-left once no
+    // future click can precede them inside the window (b.ts behind
+    // the watermark — left arrivals are watermark-bounded below, and
+    // a click matching b needs a.ts ≤ b.ts). Null-keyed output rows
+    // order NULLS LAST explicitly on BOTH engines — Spark's default
+    // (nulls first) and DuckDB's (nulls last) silently disagree.
+    "q487_stream_full_outer_join" -> Q(
+      (s, dir) => {
+        val ev = eventsStream(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+            col("ts").as("a_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("ts").as("b_ts"))
+        Streams.runToTable(
+            Streams.intervalJoin(clicks, buys, "a_user", "b_user",
+              "a_ts", "b_ts", "1 hour", "1 hour", "full_outer"),
+            OutputMode.Append())
+          .select(col("a_id"), col("b_id"),
+            expr("unix_millis(a_ts)").as("a_ms"),
+            expr("unix_millis(b_ts)").as("b_ms"))
+          .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last)
+      },
+      Some("""WITH wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 1 HOUR AS w),
+        |m AS (SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |    epoch_ms(a.ts) AS a_ms, epoch_ms(b.ts) AS b_ms
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id
+        |   AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR),
+        |u AS (SELECT a.event_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+        |    epoch_ms(a.ts) AS a_ms, CAST(NULL AS BIGINT) AS b_ms
+        |  FROM events a, wm
+        |  WHERE a.event_type = 'click'
+        |    AND a.ts + INTERVAL 1 HOUR < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM events b
+        |      WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)),
+        |v AS (SELECT CAST(NULL AS BIGINT) AS a_id, b.event_id AS b_id,
+        |    CAST(NULL AS BIGINT) AS a_ms, epoch_ms(b.ts) AS b_ms
+        |  FROM events b, wm
+        |  WHERE b.event_type = 'purchase'
+        |    AND b.ts < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM events a
+        |      WHERE a.event_type = 'click' AND a.user_id = b.user_id
+        |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR))
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u
+        |               UNION ALL SELECT * FROM v)
+        |ORDER BY a_id NULLS LAST, b_id NULLS LAST""".stripMargin))
   )
 }

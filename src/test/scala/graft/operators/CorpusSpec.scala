@@ -674,4 +674,44 @@ class CorpusSpec extends SparkSpec {
       .select("id").as[String].collect().toSet
     assert(kept === Set("a", "b", "d", "z"))
   }
+
+  test("packSentenceChunks: greedy boundaries, oversized own chunk") {
+    import spark.implicits._
+    // doc 1: sentences of 3, 2, 4, 1 tokens at budget 5 →
+    // chunk 0 = [3, 2] (exact fit), chunk 1 = [4, 1]
+    // doc 2: 7-token sentence (over budget) stands alone, then [2, 2]
+    // doc 3: empty text → absent
+    val docs = Seq(
+      (1L, "a b c. d e. f g h i. j."),
+      (2L, "one two three four five six seven. a b. c d."),
+      (3L, "")).toDF("doc_id", "t")
+    val got = Corpus.packSentenceChunks(docs, "doc_id", "t", 5)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got === Seq(
+      (1L, 0L, 2L, 5L, "a b c. d e."),
+      (1L, 1L, 2L, 5L, "f g h i. j."),
+      (2L, 0L, 1L, 7L, "one two three four five six seven."),
+      (2L, 1L, 2L, 4L, "a b. c d.")))
+  }
+
+  test("packSentenceChunks: no sentence is ever split across chunks") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq.tabulate(30)(i => s"w$i t$i u$i.")
+      .mkString(" "))).toDF("doc_id", "t")
+    val chunks = Corpus.packSentenceChunks(docs, "doc_id", "t", 7)
+    // every chunk's text is a concatenation of whole sentences:
+    // re-segmenting the chunks must reproduce the original sentences
+    val resplit = graft.operators.TextAnalysis
+      .sentences(chunks, "doc_id", "chunk_text")
+      .select("sentence").as[String].collect().sorted.toSeq
+    val orig = graft.operators.TextAnalysis
+      .sentences(docs, "doc_id", "t")
+      .select("sentence").as[String].collect().sorted.toSeq
+    assert(resplit === orig)
+    // budget 7 with 3-token sentences → 2 sentences (6 tokens) per
+    // chunk, 15 chunks
+    assert(chunks.count() === 15L)
+  }
 }
