@@ -365,6 +365,61 @@ object LlmQueriesB extends QueryPack {
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Aho-Corasick native kernel for the SAME blocklist semantics:
+    // one automaton pass per row, O(tokens + matches) independent of
+    // dictionary size — the 100k-phrase path where q398's
+    // per-phrase-length exploded joins cost one corpus pass per
+    // length. The oracle is q398's verbatim: native ≡ join-based ≡
+    // SQL, end to end.
+    "q488_blocklist_native" -> Q(
+      (s, dir) => {
+        val m = graft.expressions.DictionaryMatches.matches(col("text"),
+          Seq("spark", "fast hash", "value table part"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), m.as("__m"))
+          .select(col("doc_id"),
+            size(col("__m")).cast("long").as("n_hits"),
+            size(array_distinct(col("__m"))).cast("long").as("n_phrases"),
+            array_join(array_sort(array_distinct(col("__m"))), "|")
+              .as("phrases_hit"))
+          .withColumn("blocked", col("n_hits") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ph(p, n) AS (VALUES ('spark', 1), ('fast hash', 2),
+        |  ('value table part', 3)),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(tk) AS g, 1 AS n FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |      THEN list_transform(range(1, len(tk)),
+        |        i -> array_to_string(tk[i:i+1], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END), 2
+        |  FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END), 3
+        |  FROM t),
+        |m AS (SELECT g.doc_id, g.g
+        |  FROM g JOIN ph ON g.g = ph.p AND g.n = ph.n),
+        |a AS (SELECT doc_id, count(*) AS n_hits,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n_phrases,
+        |    array_to_string(list_sort(list(DISTINCT g)), '|')
+        |      AS phrases_hit
+        |  FROM m GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_hits, 0) AS n_hits,
+        |  coalesce(a.n_phrases, 0) AS n_phrases,
+        |  coalesce(a.phrases_hit, '') AS phrases_hit,
+        |  coalesce(a.n_hits, 0) > 0 AS blocked
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // Curriculum ordering: docs phase by readability tertile (easy →
     // hard, thresholds from the exact nearest-rank bisect — no global
     // sort) with a deterministic md5 shuffle key inside each phase.
