@@ -1152,6 +1152,38 @@ object Similarity {
     }: _*)
   }
 
+  /** Per-dimension (min, max) ranges for [[sq8Encode]], trained in
+    * ONE corpus pass (2·dim min/max aggregates, a 1-row collect) over
+    * integral vectors — the SQ8 trainer.
+    */
+  def sq8Train(corpus: DataFrame, vecCol: String,
+      dim: Int): Seq[(Long, Long)] = {
+    val aggs = (0 until dim).flatMap(d => Seq(
+      min(element_at(col(vecCol), d + 1).cast("long")).as(s"mn$d"),
+      max(element_at(col(vecCol), d + 1).cast("long")).as(s"mx$d")))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).collect().head
+    (0 until dim).map(d => (r.getLong(2 * d), r.getLong(2 * d + 1)))
+  }
+
+  /** SQ8 scalar quantization of integral vectors (the FAISS
+    * ScalarQuantizer default — the compression tier BEFORE PQ): each
+    * dimension maps affinely onto 0..255 by its trained (min, max)
+    * range, code = ((x − mn)·255) div max(mx − mn, 1), clamped. All
+    * integer, so codes hash-gate; 4× compression at int32 inputs
+    * (8× at i64), with far less ranking loss than PQ — the q489 gate
+    * pins both on the same fixture. Ranges ride as literals: the
+    * encode is a scan-speed projection.
+    */
+  def sq8Encode(vec: Column, ranges: Seq[(Long, Long)]): Column = {
+    import graft.functions.FixedPoint.idiv
+    array(ranges.zipWithIndex.map { case ((mn, mx), d) =>
+      val span = math.max(mx - mn, 1L)
+      val c = idiv((element_at(vec, d + 1).cast("long") - mn) * 255L,
+        lit(span))
+      greatest(lit(0L), least(lit(255L), c)).cast("int")
+    }: _*)
+  }
+
   /** kNN label-agreement screen (confident-learning-lite): each
     * vector's k nearest SAME-BUCKET neighbors (single-probe LSH — the
     * scale path; candidates arise from the bucket equi-self-join,

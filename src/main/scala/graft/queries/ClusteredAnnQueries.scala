@@ -996,6 +996,100 @@ object ClusteredAnnQueries extends QueryPack {
         |${recallSelect("jl_direct", "short")}
         |UNION ALL
         |${recallSelect("jl_rerank", "rrk")}
+        |ORDER BY family""".stripMargin)),
+
+    // SQ8 scalar quantization (the FAISS ScalarQuantizer default —
+    // the compression tier BEFORE PQ): per-dim affine 0..255 codes
+    // from one trained (min, max) pass. Recall rows pin code-space
+    // direct top-3 vs re-ranked on the SAME fixture as q483's PQ —
+    // the quantization-ladder contrast (SQ8 4× compression near-
+    // lossless vs PQ 16× lossy) that drives tier choice in serving.
+    "q489_sq8_recall" -> Q(
+      (s, dir) => {
+        val codes = clusteredCodes(s, dir).localCheckpoint(true)
+        val ranges = Similarity.sq8Train(codes, "code", Dim)
+        val enc = codes.withColumn("sq",
+            Similarity.sq8Encode(col("code"), ranges))
+          .localCheckpoint(true)
+        val queries = enc.filter(col("vec_id") % 25 === 0)
+        val shortlist = queries
+          .select(col("vec_id").as("query_id"), col("sq").as("__qs"))
+          .join(enc.select(col("vec_id").as("neighbor_id"),
+            col("sq").as("__ns")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__sd", l2iCol(col("__qs"), col("__ns")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__sd").asc, col("neighbor_id"))))
+          .filter(col("rn") <= JlShortK)
+          .select(col("query_id"), col("neighbor_id"), col("rn"))
+          .localCheckpoint(true)
+        val rerank = shortlist
+          .join(enc.select(col("vec_id").as("neighbor_id"),
+            col("code").as("__nc")), Seq("neighbor_id"))
+          .join(queries.select(col("vec_id").as("query_id"),
+            col("code").as("__qc")), Seq("query_id"))
+          .withColumn("__d", l2iCol(col("__qc"), col("__nc")))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .select(col("query_id"), col("neighbor_id"),
+            col("rn2").as("rn"))
+        val exact = queries
+          .select(col("vec_id").as("query_id"), col("code").as("__qc"))
+          .join(enc.select(col("vec_id").as("neighbor_id"),
+            col("code").as("__nc")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2iCol(col("__qc"), col("__nc")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        recallRow("sq8_direct", queries, shortlist, exact)
+          .unionByName(recallRow("sq8_rerank", queries, rerank, exact))
+          .orderBy(col("family"))
+      },
+      Some(s"""WITH $codesCte,
+        |rgx AS (SELECT u.i AS d,
+        |    CAST(min(q[u.i]) AS BIGINT) AS mn,
+        |    CAST(max(q[u.i]) AS BIGINT) AS mx
+        |  FROM qz, (SELECT unnest(range(1, ${Dim + 1})) AS i) u
+        |  GROUP BY 1),
+        |rgl AS (SELECT list(mn ORDER BY d) AS mnl,
+        |    list(mx ORDER BY d) AS mxl FROM rgx),
+        |sqz AS MATERIALIZED (SELECT vec_id, q,
+        |    list_transform(range(1, ${Dim + 1}), i ->
+        |      CAST(greatest(0, least(255,
+        |        ((q[i] - mnl[i]) * 255) // greatest(mxl[i] - mnl[i], 1)))
+        |        AS INT)) AS sq
+        |  FROM qz CROSS JOIN rgl),
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv, sq AS qs
+        |  FROM sqz WHERE vec_id % 25 = 0),
+        |short AS MATERIALIZED (SELECT query_id, node, rn FROM (
+        |  SELECT qq.query_id, p.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2iSql("qq.qs", "p.sq", Dim)} ASC, p.vec_id)
+        |      AS rn
+        |  FROM qq JOIN sqz p ON p.vec_id <> qq.query_id)
+        |  WHERE rn <= $JlShortK),
+        |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
+        |      PARTITION BY s.query_id
+        |      ORDER BY ${l2iSql("qq.qv", "nv.q", Dim)} ASC, s.node)
+        |      AS rn
+        |  FROM short s JOIN qq ON qq.query_id = s.query_id
+        |  JOIN sqz nv ON nv.vec_id = s.node),
+        |bf AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2iSql("qq.qv", "z.q", Dim)} ASC, z.vec_id)
+        |      AS rn
+        |  FROM qq JOIN sqz z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= $TopK)
+        |${recallSelect("sq8_direct", "short")}
+        |UNION ALL
+        |${recallSelect("sq8_rerank", "rrk")}
         |ORDER BY family""".stripMargin))
   )
 }

@@ -626,4 +626,22 @@ class SimilaritySpec extends SparkSpec {
     // sign-flip linearity: project(−v) = −project(v)
     assert(got(2L) === expected.map(-_))
   }
+
+  test("sq8Train/sq8Encode: affine 0..255 codes, degenerate dims") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(-10, 0, 7)),
+      (2L, Seq(10, 0, 7)),
+      (3L, Seq(0, 0, 7))).toDF("vec_id", "v")
+    val ranges = Similarity.sq8Train(df, "v", 3)
+    assert(ranges === Seq((-10L, 10L), (0L, 0L), (7L, 7L)))
+    val got = df.select(col("vec_id"),
+        Similarity.sq8Encode(col("v"), ranges).as("sq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // dim 1: −10→0, 0→(10·255) div 20 = 127, 10→255; constant dims
+    // (span 0, guarded to 1) encode 0 everywhere
+    assert(got(1L) === Seq(0, 0, 0))
+    assert(got(2L) === Seq(255, 0, 0))
+    assert(got(3L) === Seq(127, 0, 0))
+  }
 }
