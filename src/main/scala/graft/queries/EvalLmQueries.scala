@@ -52,6 +52,51 @@ object EvalLmQueries extends QueryPack {
       |    FROM documents)
       |  WHERE id_b IS NOT NULL)""".stripMargin
 
+  /** The full KN-model replay — counts, continuation statistics,
+    * kn_ppm algebra, the unrolled log kernel, and the per-doc rollup
+    * `sc(doc_id, n_bigrams, kn_ppm_sum, kn_nats_sum)` — shared by the
+    * q480 scoring gate and the q490 bucket composition so both run
+    * the identical model.
+    */
+  private val knCtes: String =
+    s"""$toksCte,
+       |bg AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg,
+       |         toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM t WHERE len(toks) >= 2)),
+       |c AS (SELECT bg, min(w1) AS w1, min(w2) AS w2,
+       |        CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bg),
+       |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |        CAST(count(*) AS BIGINT) AS n1p_head FROM c GROUP BY 1),
+       |tl AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_tail
+       |       FROM c GROUP BY 1),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+       |m AS (
+       |  SELECT c.bg,
+       |    (c.c12 * 1000000 - $DPpm) // h.c1 +
+       |      (($DPpm * h.n1p_head) // h.c1 *
+       |        ((tl.n1p_tail * 1000000) // ty.n_types)) // 1000000
+       |      AS kn_ppm
+       |  FROM c JOIN h ON c.w1 = h.w1
+       |         JOIN tl ON c.w2 = tl.w2
+       |         CROSS JOIN ty),
+       |lnsrc AS (SELECT bg AS key, CAST(1000000 AS BIGINT) AS num,
+       |    greatest(kn_ppm, 1) AS den FROM m),
+       |${FixedPoint.lnPpmSqlCtes("lnsrc")},
+       |mm AS (SELECT m.bg, m.kn_ppm, l.ln_ppm AS nats
+       |       FROM m JOIN lnppm l ON l.key = m.bg),
+       |d AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cd
+       |      FROM bg GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT d.doc_id,
+       |    CAST(sum(d.cd) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(d.cd * mm.kn_ppm) AS BIGINT) AS kn_ppm_sum,
+       |    CAST(sum(d.cd * mm.nats) AS BIGINT) AS kn_nats_sum
+       |  FROM d JOIN mm ON d.bg = mm.bg
+       |  GROUP BY 1)""".stripMargin
+
   /** Word n-gram CTE body for one order: (doc_id, n, g) rows. */
   private def wordGramsSql(n: Int): String =
     if (n == 1) "SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t"
@@ -79,43 +124,7 @@ object EvalLmQueries extends QueryPack {
         LanguageModel.knSurprise(docs, model, "doc_id", "text")
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE $toksCte,
-        |bg AS (
-        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg,
-        |         toks[i] AS w1, toks[i + 1] AS w2
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(generate_series(1, len(toks) - 1)) AS i
-        |        FROM t WHERE len(toks) >= 2)),
-        |c AS (SELECT bg, min(w1) AS w1, min(w2) AS w2,
-        |        CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bg),
-        |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
-        |        CAST(count(*) AS BIGINT) AS n1p_head FROM c GROUP BY 1),
-        |tl AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_tail
-        |       FROM c GROUP BY 1),
-        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
-        |m AS (
-        |  SELECT c.bg,
-        |    (c.c12 * 1000000 - $DPpm) // h.c1 +
-        |      (($DPpm * h.n1p_head) // h.c1 *
-        |        ((tl.n1p_tail * 1000000) // ty.n_types)) // 1000000
-        |      AS kn_ppm
-        |  FROM c JOIN h ON c.w1 = h.w1
-        |         JOIN tl ON c.w2 = tl.w2
-        |         CROSS JOIN ty),
-        |lnsrc AS (SELECT bg AS key, CAST(1000000 AS BIGINT) AS num,
-        |    greatest(kn_ppm, 1) AS den FROM m),
-        |${FixedPoint.lnPpmSqlCtes("lnsrc")},
-        |mm AS (SELECT m.bg, m.kn_ppm, l.ln_ppm AS nats
-        |       FROM m JOIN lnppm l ON l.key = m.bg),
-        |d AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cd
-        |      FROM bg GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT d.doc_id,
-        |    CAST(sum(d.cd) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(d.cd * mm.kn_ppm) AS BIGINT) AS kn_ppm_sum,
-        |    CAST(sum(d.cd * mm.nats) AS BIGINT) AS kn_nats_sum
-        |  FROM d JOIN mm ON d.bg = mm.bg
-        |  GROUP BY 1)
+      Some(s"""WITH RECURSIVE $knCtes
         |SELECT t.doc_id,
         |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
         |  coalesce(sc.kn_ppm_sum, 0) AS kn_ppm_sum,
@@ -326,5 +335,51 @@ object EvalLmQueries extends QueryPack {
         |  string_agg(sentence, ' ' ORDER BY i) AS chunk_text
         |FROM st
         |GROUP BY 1, 2
-        |ORDER BY doc_id, chunk_id""".stripMargin)))
+        |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // KN-driven CCNet quality buckets — the trained LM put to its
+    // published pipeline use (CCNet buckets by KenLM perplexity;
+    // q346 approximates with Jelinek-Mercer, this runs the real
+    // smoothing): per-doc nats-per-bigram, exact nearest-rank
+    // tertiles via the O(log range) bisect, LOW surprise = head.
+    "q490_kn_buckets" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val model = LanguageModel.knBigramModel(docs, "text", DPpm)
+        // materialize before the bisect: each of its O(log range)
+        // aggregate probes would otherwise retrain the model (q346's
+        // lesson)
+        val scored = LanguageModel.knSurprise(docs, model, "doc_id", "text")
+          .filter(col("n_bigrams") > 0)
+          .withColumn("avg_nats", expr("kn_nats_sum div n_bigrams"))
+          .localCheckpoint(true)
+        val th = graft.operators.Corpus.quantilesBisect(scored,
+          "avg_nats", Seq(1.0 / 3, 2.0 / 3))
+        scored
+          .crossJoin(broadcast(th.select(col("q_33"), col("q_67"))))
+          .withColumn("bucket",
+            when(col("avg_nats") <= col("q_33"), "head")
+              .when(col("avg_nats") <= col("q_67"), "middle")
+              .otherwise("tail"))
+          .select(col("doc_id"), col("avg_nats"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $knCtes,
+        |s2 AS (SELECT doc_id, kn_nats_sum // n_bigrams AS avg_nats
+        |       FROM sc WHERE n_bigrams > 0),
+        |nn AS (SELECT count(*) AS n FROM s2),
+        |rk AS (SELECT avg_nats, row_number() OVER (ORDER BY avg_nats)
+        |         AS r
+        |       FROM s2),
+        |th AS (SELECT
+        |    max(CASE WHEN r <= CAST(ceil(nn.n * (1.0/3)) AS BIGINT)
+        |        THEN avg_nats END) AS q33,
+        |    max(CASE WHEN r <= CAST(ceil(nn.n * (2.0/3)) AS BIGINT)
+        |        THEN avg_nats END) AS q67
+        |  FROM rk, nn)
+        |SELECT doc_id, avg_nats,
+        |  CASE WHEN avg_nats <= q33 THEN 'head'
+        |       WHEN avg_nats <= q67 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM s2, th ORDER BY doc_id""".stripMargin)))
 }
