@@ -750,6 +750,83 @@ object ScaleProbe {
         graft.operators.UnigramLm.nbestSegment(words, "word", costs,
           3, 10, n = 3)
       }
+      // q480 shape: KN bigram model + per-doc scoring — one corpus
+      // bigram explode, vocab-bounded continuation stats, lnPpm fold
+      // on the MODEL frame only; expect linear in the corpus
+      time("q480_kn", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"), col("text"))
+        val model = graft.operators.LanguageModel
+          .knBigramModel(docs, "text", 750000L)
+        graft.operators.LanguageModel.knSurprise(docs, model,
+          "doc_id", "text")
+      }
+      // q483 shape: residual IVF-PQ SERVE isolated from training
+      // (coarse cents + PQ codebooks are nlist/M·k-bounded, built
+      // before the clock) — candidates per query grow ∝ corpus/nlist
+      // at fixed nlist, so expect LINEAR; production scales nlist
+      // with the corpus to hold cell size
+      if (only.forall(_.contains("q483_ivfpq_serve"))) {
+        val vecs = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => coalesce(x.cast("double"), lit(0.0d))).as("v"))
+          .localCheckpoint(true)
+        val init = vecs
+          .withColumn("__h", graft.operators.GraphAnn.saltedHash60(
+            col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id")).limit(8)
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq) }.toSeq
+        val cents = graft.operators.Similarity.kmeansIterate(
+          vecs, "v", init, 1)
+        val rnd = new scala.util.Random(4343L)
+        val pqInit = Seq.fill(8)(Seq.fill(16)(Seq.fill(8)(
+          rnd.nextGaussian() * 0.1)))
+        val resid = graft.operators.Similarity.ivfResiduals(
+          vecs, "vec_id", "v", cents).localCheckpoint(true)
+        val cb = graft.operators.Similarity.pqTrain(resid, "res", pqInit)
+        val coded = graft.operators.Similarity.ivfPqEncode(
+          vecs, "vec_id", "v", cents, cb).localCheckpoint(true)
+        time("q483_ivfpq_serve", n) {
+          graft.operators.Similarity.ivfPqAdcTopK(
+            vecs.filter(col("vec_id") % 100 === 0), coded,
+            "vec_id", "v", cents, cb, probes = 3, k = 40)
+        }
+      }
+      // q486 shape: sentence packing — one scan + per-doc fold over
+      // the doc's own sentences; expect linear
+      time("q486_sentence_pack", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"), regexp_replace(col("text"),
+            "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+        graft.operators.Corpus.packSentenceChunks(docs, "doc_id", "t",
+          budgetTokens = 40)
+      }
+      // q488 shape: Aho-Corasick native matcher vs the q398 join form
+      // — the kernel is one automaton pass per row (expect linear
+      // with a small constant); the join form pays one exploded
+      // corpus pass per distinct phrase length
+      time("q488_ac_native", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        val m = graft.expressions.DictionaryMatches.matches(col("text"),
+          Seq("spark", "fast hash", "value table part"))
+        docs.select(col("doc_id"), m.as("__m"))
+          .select(col("doc_id"), size(col("__m")).cast("long").as("n_hits"))
+      }
+      time("q398_ac_join", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        import spark.implicits._
+        graft.operators.QualityFilters.blocklistMatch(docs, "doc_id",
+          "text", Seq("spark", "fast hash", "value table part")
+            .toDF("phrase"), "phrase")
+      }
     }
     spark.stop()
   }
