@@ -552,6 +552,82 @@ object LanguageModel {
         col("n1p_tail"), col("kn_ppm"))
   }
 
+  /** MODIFIED Kneser–Ney bigram model (Chen & Goodman 1999 §4.1.6 —
+    * the variant KenLM actually ships): three count-class discounts
+    * estimated FROM THE DATA's count-of-counts instead of one fixed
+    * D, with the back-off weight redistributing exactly the
+    * discounted mass:
+    *
+    *   Y  = n1/(n1 + 2·n2)
+    *   D1 = 1 − 2Y·n2/n1,  D2 = 2 − 3Y·n3/n2,  D3+ = 3 − 4Y·n4/n3
+    *   p(w2|w1) = (c12 − D(c12))/c1 + γ(w1)·pcont(w2)
+    *   γ(w1) = (D1·N1(w1·) + D2·N2(w1·) + D3+·N3+(w1·))/c1
+    *
+    * where n_k counts bigram TYPES with count exactly k and N_k(w1·)
+    * counts w1's continuations in count class k. Everything is exact
+    * ppm integers: the four count-of-counts ride ONE agg over the
+    * distinct-bigram frame to a 1-row broadcast (the q125 scalar
+    * pattern), each discount clamps to [0, k·10^6] (the estimator can
+    * leave the valid range on skewed count histograms; the clamp
+    * keeps every discounted numerator non-negative), and the
+    * discounted-mass identity Σ_w2 p(w2|w1) = 1 holds in the rational
+    * algebra by construction. Output schema matches [[knBigramModel]]
+    * — (bg, c12, c1, n1p_head, n1p_tail, kn_ppm) — so [[knSurprise]]
+    * scores against either.
+    */
+  def knBigramModelModified(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.FixedPoint.idiv
+    val bg = docs
+      .select(explode(bigramKeys(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .localCheckpoint(true)
+    val heads = bg.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"),
+        count(lit(1)).as("n1p_head"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("nh1"),
+        sum(when(col("c12") === 2, 1L).otherwise(0L)).as("nh2"),
+        sum(when(col("c12") >= 3, 1L).otherwise(0L)).as("nh3"))
+    val tails = bg.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_tail"))
+    val scalars = bg.agg(
+        count(lit(1)).as("n_types"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c12") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("c12") === 4, 1L).otherwise(0L)).as("n4"))
+      .withColumn("y_ppm",
+        idiv(col("n1") * 1000000L,
+          greatest(col("n1") + col("n2") * 2L, lit(1L))))
+      .withColumn("d1_ppm", greatest(lit(0L), least(lit(1000000L),
+        lit(1000000L) -
+          idiv(lit(2L) * col("y_ppm") * col("n2"), greatest(col("n1"), lit(1L))))))
+      .withColumn("d2_ppm", greatest(lit(0L), least(lit(2000000L),
+        lit(2000000L) -
+          idiv(lit(3L) * col("y_ppm") * col("n3"), greatest(col("n2"), lit(1L))))))
+      .withColumn("d3_ppm", greatest(lit(0L), least(lit(3000000L),
+        lit(3000000L) -
+          idiv(lit(4L) * col("y_ppm") * col("n4"), greatest(col("n3"), lit(1L))))))
+    bg
+      .join(heads, Seq("w1"))
+      .join(tails, Seq("w2"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("__d", when(col("c12") === 1, col("d1_ppm"))
+        .when(col("c12") === 2, col("d2_ppm")).otherwise(col("d3_ppm")))
+      .withColumn("__pcont_ppm",
+        idiv(col("n1p_tail") * 1000000L, col("n_types")))
+      .withColumn("__gamma_ppm",
+        idiv(col("d1_ppm") * col("nh1") + col("d2_ppm") * col("nh2") +
+          col("d3_ppm") * col("nh3"), col("c1")))
+      .withColumn("kn_ppm",
+        idiv(greatest(col("c12") * 1000000L - col("__d"), lit(0L)),
+          col("c1")) +
+          idiv(col("__gamma_ppm") * col("__pcont_ppm"), lit(1000000L)))
+      .select(col("bg"), col("c12"), col("c1"), col("n1p_head"),
+        col("n1p_tail"), col("kn_ppm"))
+  }
+
   /** Per-document Kneser–Ney surprisal against a [[knBigramModel]]:
     * each doc aggregates n_bigrams, Σ kn_ppm over occurrences, and
     * Σ −ln p in ppm-nats (the summed negative log-likelihood —

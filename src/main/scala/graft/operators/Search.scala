@@ -428,4 +428,72 @@ object Search {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
         col("n_b"), col("cont_a_ppm"), col("cont_b_ppm"))
   }
+
+  /** Deterministic hash token embedding for [[maxSimTopK]]: component
+    * i = hash60("token:i‖salt") % 21 − 10 — a pure function of the
+    * token string, so both engines derive the identical integer
+    * vector from the same md5 formula (the clustered-fixture
+    * discipline applied to token space).
+    */
+  def hashTokenVector(token: Column, dim: Int, salt: String): Column =
+    transform(sequence(lit(1), lit(dim)), i =>
+      (graft.operators.GraphAnn.saltedHash60(
+        concat(token, lit(":"), i.cast("string")), salt) % 21 - 10)
+        .cast("int"))
+
+  /** ColBERT-style late-interaction re-ranking (Khattab & Zaharia
+    * 2020's MaxSim): score(q, d) = Σ_{t ∈ q} max_{u ∈ d} ⟨v_t, v_u⟩
+    * over per-token vectors — the middle ground between one-vector
+    * dense retrieval (loses token granularity) and cross-encoders
+    * (can't precompute). Token vectors here are the deterministic
+    * [[hashTokenVector]] integers so the whole ranking hash-gates;
+    * swapping in learned embeddings changes no plan shape.
+    *
+    * `queries` is (qid, token) exploded. Candidates = docs sharing at
+    * least one exact query token (the lexical gate a production
+    * system replaces with per-token ANN); scoring touches each
+    * candidate's DISTINCT tokens once per query token. Query tokens
+    * absent from the corpus vocabulary contribute nothing (max over
+    * an empty set = no row — the left-join default 0 keeps the sum
+    * honest). Top-k per qid by (score desc, doc asc).
+    *
+    * 100 TB shape: the token-vector frame is vocabulary-bounded and
+    * built once; candidates arise from a posting equi-join (never
+    * all-docs); per-candidate work is |doc vocab| × |q| integer dots
+    * with the query side broadcast.
+    */
+  def maxSimTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, dim: Int, salt: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.VectorExpressions.dotI
+    val docTok = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .distinct()
+    val tokv = docTok.select(col("token")).distinct()
+      .withColumn("tv", hashTokenVector(col("token"), dim, salt))
+      .localCheckpoint(true)
+    val q = queries.select(col("qid"), lower(col("token")).as("token"))
+      .distinct()
+    val qv = q.join(tokv, Seq("token"))
+      .select(col("qid"), col("token").as("qtoken"), col("tv").as("qv"))
+    val cand = docTok.join(broadcast(q.select(col("qid"), col("token"))),
+        Seq("token"))
+      .select(col("qid"), col("doc_id")).distinct()
+    val scored = cand
+      .join(docTok, Seq("doc_id"))
+      .join(tokv, Seq("token"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("__dot", dotI(col("qv"), col("tv")))
+      .groupBy(col("qid"), col("doc_id"), col("qtoken"))
+      .agg(max(col("__dot")).as("__best"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("__best")).as("maxsim"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("maxsim").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("maxsim"))
+  }
 }

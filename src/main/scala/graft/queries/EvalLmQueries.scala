@@ -381,5 +381,146 @@ object EvalLmQueries extends QueryPack {
         |  CASE WHEN avg_nats <= q33 THEN 'head'
         |       WHEN avg_nats <= q67 THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM s2, th ORDER BY doc_id""".stripMargin)))
+        |FROM s2, th ORDER BY doc_id""".stripMargin)),
+
+    // MODIFIED Kneser-Ney (Chen & Goodman 1999 §4.1.6 — the KenLM
+    // shipping variant): three count-class discounts estimated from
+    // the corpus's own count-of-counts (n1..n4 → Y → D1/D2/D3+), the
+    // back-off weight redistributing exactly the discounted mass.
+    // Same per-doc scoring surface as q480; the two gates side by
+    // side pin fixed-D vs estimated-D numerically.
+    "q491_kn_modified" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val model = LanguageModel.knBigramModelModified(docs, "text")
+        LanguageModel.knSurprise(docs, model, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $toksCte,
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg,
+        |         toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c AS (SELECT bg, min(w1) AS w1, min(w2) AS w2,
+        |        CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bg),
+        |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |        CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS nh1,
+        |        CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS nh2,
+        |        CAST(sum(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS nh3
+        |       FROM c GROUP BY 1),
+        |tl AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_tail
+        |       FROM c GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM c),
+        |dsc AS (SELECT n_types, n1, n2, n3, n4, y_ppm,
+        |    greatest(0, least(1000000,
+        |      1000000 - (2 * y_ppm * n2) // greatest(n1, 1))) AS d1_ppm,
+        |    greatest(0, least(2000000,
+        |      2000000 - (3 * y_ppm * n3) // greatest(n2, 1))) AS d2_ppm,
+        |    greatest(0, least(3000000,
+        |      3000000 - (4 * y_ppm * n4) // greatest(n3, 1))) AS d3_ppm
+        |  FROM (SELECT *,
+        |      (n1 * 1000000) // greatest(n1 + 2 * n2, 1) AS y_ppm
+        |    FROM ty)),
+        |m AS (
+        |  SELECT c.bg,
+        |    greatest(c.c12 * 1000000 -
+        |      (CASE WHEN c.c12 = 1 THEN d1_ppm
+        |            WHEN c.c12 = 2 THEN d2_ppm
+        |            ELSE d3_ppm END), 0) // h.c1 +
+        |      (((d1_ppm * h.nh1 + d2_ppm * h.nh2 + d3_ppm * h.nh3)
+        |          // h.c1) *
+        |        ((tl.n1p_tail * 1000000) // dsc.n_types)) // 1000000
+        |      AS kn_ppm
+        |  FROM c JOIN h ON c.w1 = h.w1
+        |         JOIN tl ON c.w2 = tl.w2
+        |         CROSS JOIN dsc),
+        |lnsrc AS (SELECT bg AS key, CAST(1000000 AS BIGINT) AS num,
+        |    greatest(kn_ppm, 1) AS den FROM m),
+        |${FixedPoint.lnPpmSqlCtes("lnsrc")},
+        |mm AS (SELECT m.bg, m.kn_ppm, l.ln_ppm AS nats
+        |       FROM m JOIN lnppm l ON l.key = m.bg),
+        |d AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cd
+        |      FROM bg GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(d.cd) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(d.cd * mm.kn_ppm) AS BIGINT) AS kn_ppm_sum,
+        |    CAST(sum(d.cd * mm.nats) AS BIGINT) AS kn_nats_sum
+        |  FROM d JOIN mm ON d.bg = mm.bg
+        |  GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sc.kn_ppm_sum, 0) AS kn_ppm_sum,
+        |  coalesce(sc.kn_nats_sum, 0) AS kn_nats_sum
+        |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // ColBERT-style late-interaction MaxSim re-ranking (Khattab &
+    // Zaharia 2020): per-token hash embeddings (pure md5 functions of
+    // the token string — both engines derive identical vectors),
+    // candidates gated by exact token postings, score = Σ_q max_d
+    // ⟨v_q, v_d⟩ in exact integers. The retrieval tier between dense
+    // one-vector ANN and cross-encoders.
+    "q492_maxsim_rerank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq((1L, "spark"), (1L, "join"),
+          (2L, "fast"), (2L, "hash"), (2L, "table"))
+          .toDF("qid", "token")
+        graft.operators.Search.maxSimTopK(
+            Tables.documents(s, dir), "doc_id", "text",
+            queries, dim = 8, salt = ":ms", k = 10)
+          .orderBy(col("qid"), col("rn"))
+      },
+      {
+        def h60(e: String): String =
+          s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+        val tvSql = "list_transform(range(1, 9), i -> CAST(" +
+          h60("token || ':' || CAST(i AS VARCHAR) || ':ms'") +
+          " % 21 - 10 AS INT))"
+        val dotSql = "CAST(list_reduce([CAST(0 AS BIGINT)] || " +
+          "list_transform(range(1, 9), i -> CAST(qv.v[i] * dv.v[i] " +
+          "AS BIGINT)), (acc, x) -> acc + x) AS BIGINT)"
+        Some(s"""WITH t AS (
+          |  SELECT doc_id,
+          |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(trim(lower(text)), '\\s+') END
+          |      AS toks
+          |  FROM documents),
+          |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
+          |tv AS MATERIALIZED (SELECT token, $tvSql AS v
+          |  FROM (SELECT DISTINCT token FROM tok)),
+          |qry(qid, token) AS (VALUES (1, 'spark'), (1, 'join'),
+          |  (2, 'fast'), (2, 'hash'), (2, 'table')),
+          |qv AS (SELECT qry.qid, qry.token AS qtoken, tv.v
+          |  FROM qry JOIN tv ON tv.token = qry.token),
+          |cand AS (SELECT DISTINCT qry.qid, tok.doc_id
+          |  FROM tok JOIN qry ON qry.token = tok.token),
+          |best AS (
+          |  SELECT cand.qid, cand.doc_id, qv.qtoken,
+          |    max($dotSql) AS best
+          |  FROM cand
+          |  JOIN tok ON tok.doc_id = cand.doc_id
+          |  JOIN tv dv ON dv.token = tok.token
+          |  JOIN qv ON qv.qid = cand.qid
+          |  GROUP BY 1, 2, 3),
+          |sc AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS maxsim
+          |  FROM best GROUP BY 1, 2)
+          |SELECT CAST(qid AS BIGINT) AS qid, rn, doc_id, maxsim FROM (
+          |  SELECT qid, doc_id, maxsim, CAST(row_number() OVER (
+          |      PARTITION BY qid ORDER BY maxsim DESC, doc_id)
+          |    AS BIGINT) AS rn
+          |  FROM sc) WHERE rn <= 10
+          |ORDER BY qid, rn""".stripMargin)
+      }))
 }

@@ -238,6 +238,33 @@ class LanguageModelSpec extends SparkSpec {
     assert(sc(2L) === ((2L, 812500L + 270833L, natsAb + natsB)))
   }
 
+  // Modified KN on the same fixture: count-of-counts n1=3 (ba/bc/bx),
+  // n2=0, n3=1 (ab), n4=0 → Y = 1e6, D1 = 1e6 (full singleton
+  // discount), D2 clamps to 0, D3+ = 3e6. Every observed bigram's
+  // explicit term discounts to 0 and γ redistributes the whole mass
+  // through pcont = 250000 — so all four bigrams score exactly
+  // γ·pcont = 250000 ppm, and head b's mass (3 observed + 1
+  // unobserved × 250000) reconstructs 10^6 EXACTLY.
+  test("knBigramModelModified: hand-computed estimated discounts") {
+    val m = LanguageModel.knBigramModelModified(docs, "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("kn_ppm")).toMap
+    assert(m === Map("a b" -> 250000L, "b a" -> 250000L,
+      "b c" -> 250000L, "b x" -> 250000L))
+  }
+
+  test("knBigramModelModified: knSurprise scores against it") {
+    import graft.functions.FixedPoint
+    val model = LanguageModel.knBigramModelModified(docs, "text")
+    val sc = LanguageModel.knSurprise(docs, model, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val nats = FixedPoint.lnPpmLong(1000000L, 250000L)
+    assert(sc(1L) === ((4L, 4L * 250000L, 4L * nats)))
+    assert(sc(2L) === ((2L, 2L * 250000L, 2L * nats)))
+  }
+
   test("knBigramModel: discount contract and sub-2-token docs") {
     intercept[IllegalArgumentException] {
       LanguageModel.knBigramModel(docs, "text", 1000000L)

@@ -202,4 +202,31 @@ class SearchSpec extends SparkSpec {
       (1L, 16393L, 1L),
       (3L, 16129L, 1L)))
   }
+
+  test("maxSimTopK: exact MaxSim over re-derived vectors; lexical gate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    // query 1: one in-vocab token + one out-of-vocab token (must
+    // contribute 0, not null); doc 3 shares no token → not a
+    // candidate regardless of vector similarity
+    val queries = Seq((1L, "alpha"), (1L, "zz_unseen")).toDF("qid", "token")
+    val got = Search.maxSimTopK(docs, "doc_id", "text", queries,
+        dim = 4, salt = ":t", k = 10)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    // re-derive the hash vectors through the same public column fn,
+    // then compute MaxSim independently in Scala
+    val vecs = Seq("alpha", "beta", "gamma", "delta").toDF("token")
+      .select(col("token"),
+        Search.hashTokenVector(col("token"), 4, ":t").as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+    def dot(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => x.toLong * y }.sum
+    val qa = vecs("alpha")
+    val exp1 = Seq("alpha", "beta").map(t => dot(qa, vecs(t))).max
+    val exp2 = Seq("alpha", "gamma").map(t => dot(qa, vecs(t))).max
+    assert(got === Map(1L -> exp1, 2L -> exp2))
+  }
 }
