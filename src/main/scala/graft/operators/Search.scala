@@ -253,7 +253,17 @@ object Search {
     * doc-keyed partial agg; the fixed-point folds run on the
     * vocabulary-sized df frame.
     */
-  def bm25Ppm(tf: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  def bm25Ppm(tf: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25PpmScores(tf, terms)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+
+  /** [[bm25Ppm]] without the final order/limit — every matched doc's
+    * score, for callers that aggregate scores further instead of
+    * taking a global top-k (the q493 max-p passage rollup scores at
+    * PASSAGE grain and must not sort the passage frame globally).
+    */
+  def bm25PpmScores(tf: DataFrame, terms: Seq[String]): DataFrame = {
     import graft.functions.FixedPoint.{idiv, lnPpm}
     val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corpus = docLen.agg(count(lit(1)).as("n_docs"),
@@ -276,8 +286,6 @@ object Search {
         idiv(col("idf_ppm") * col("tfpart_ppm"), lit(1000000L)))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score_ppm"))
-      .orderBy(col("score_ppm").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** Top-k terms per group by raw term frequency (ties to the

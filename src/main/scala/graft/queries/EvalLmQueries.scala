@@ -522,5 +522,97 @@ object EvalLmQueries extends QueryPack {
           |    AS BIGINT) AS rn
           |  FROM sc) WHERE rn <= 10
           |ORDER BY qid, rn""".stripMargin)
-      }))
+      }),
+
+    // Max-P passage retrieval (Dai & Callan 2019): long docs score by
+    // their BEST passage, not their pooled text — chunk (16 tokens,
+    // overlap 4) → passage-grain integer-ppm BM25 → per-doc max-p
+    // rollup with the winning passage pinned. The long-document
+    // retrieval pattern; passage scores never sort globally (the
+    // rollup is a doc-keyed window, top-20 via the final rank).
+    "q493_maxp_passages" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.FixedPoint.idiv
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val ch = graft.operators.Corpus.chunk(docs, "text",
+            chunkTokens = 16, overlap = 4)
+          .select((col("doc_id") * 1000L + col("chunk_ix")).as("pid"),
+            col("chunk_text"))
+        val tf = graft.operators.Search.termFrequencies(
+          ch, "pid", "chunk_text")
+        val ps = graft.operators.Search.bm25PpmScores(
+            tf, Seq("spark", "join"))
+          .select(idiv(col("doc_id"), lit(1000L)).as("doc"),
+            (col("doc_id") % 1000L).as("chunk_ix"), col("score_ppm"))
+        val best = ps
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("doc"))
+              .orderBy(col("score_ppm").desc, col("chunk_ix"))))
+          .withColumn("n_hit_passages",
+            count(lit(1)).over(Window.partitionBy(col("doc"))))
+          .filter(col("__rn") === 1)
+          .select(col("doc").as("doc_id"),
+            col("chunk_ix").as("best_chunk_ix"),
+            col("score_ppm").as("max_p_ppm"), col("n_hit_passages"))
+        best
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("max_p_ppm").desc, col("doc_id")))
+            .cast("long"))
+          .filter(col("rank") <= 20)
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH RECURSIVE t0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id * 1000 + s // 12 AS pid,
+        |    array_to_string(toks[s + 1 : s + 16], ' ') AS ptext
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS s
+        |        FROM t0 WHERE len(toks) > 0)),
+        |tf AS (
+        |  SELECT token, pid AS doc_id, count(*) AS tf FROM (
+        |    SELECT pid, unnest(string_split_regex(trim(ptext), '\\s+'))
+        |      AS token
+        |    FROM ch WHERE trim(ptext) <> '')
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS len_total FROM dl),
+        |m AS (SELECT token, doc_id, tf FROM tf
+        |  WHERE token IN ('spark', 'join')),
+        |dfreq AS (SELECT token, count(*) AS df FROM m GROUP BY 1),
+        |src AS (SELECT token AS key, n_docs * 2 + 2 AS num,
+        |    df * 2 + 1 AS den FROM dfreq, corpus),
+        |${FixedPoint.lnPpmSqlCtes("src")},
+        |scored AS (
+        |  SELECT m.doc_id,
+        |    CAST(sum((l.ln_ppm *
+        |        ((22000000 * c.len_total * m.tf) //
+        |         (c.len_total * m.tf * 10 + c.len_total * 3 +
+        |          d.dl * c.n_docs * 9))) // 1000000) AS BIGINT)
+        |      AS score_ppm
+        |  FROM m JOIN lnppm l ON m.token = l.key
+        |    JOIN dl d ON m.doc_id = d.doc_id, corpus c
+        |  GROUP BY 1),
+        |pp AS (SELECT doc_id // 1000 AS doc, doc_id % 1000 AS chunk_ix,
+        |    score_ppm
+        |  FROM scored),
+        |best AS (
+        |  SELECT doc AS doc_id, chunk_ix AS best_chunk_ix,
+        |    score_ppm AS max_p_ppm,
+        |    CAST(count(*) OVER (PARTITION BY doc) AS BIGINT)
+        |      AS n_hit_passages,
+        |    row_number() OVER (PARTITION BY doc
+        |      ORDER BY score_ppm DESC, chunk_ix) AS rn
+        |  FROM pp)
+        |SELECT doc_id, best_chunk_ix, max_p_ppm, n_hit_passages,
+        |  CAST(row_number() OVER (ORDER BY max_p_ppm DESC, doc_id)
+        |    AS BIGINT) AS rank
+        |FROM best WHERE rn = 1
+        |QUALIFY rank <= 20
+        |ORDER BY rank""".stripMargin)))
 }
