@@ -63,6 +63,55 @@ object Privacy {
       .select(kept.toIndexedSeq: _*)
   }
 
+  /** k-anonymity by GLOBAL RECODING (Samarati 2001's full-domain
+    * generalization — the release strategy [[suppressSmallGroups]]'s
+    * cell suppression is the last resort of): the numeric
+    * quasi-identifier `bandCol` (a NON-NEGATIVE integral band — shift
+    * before calling; truncating and flooring division disagree on
+    * negatives across engines) generalizes up a divisor hierarchy
+    * (level i ⇒ band div divisors(i), coarser rightward), and the
+    * table releases at the MINIMAL level where EVERY (qiCat ×
+    * generalized-band) group reaches size k — one rule for the whole
+    * table, so the released column stays analytically usable. If no
+    * level suffices, the band suppresses to null (level =
+    * divisors.size).
+    *
+    * All candidate levels are audited in ONE pass: rows explode ×
+    * levels (levels are 3-4, not data-sized), one (level, QI) partial
+    * agg, and only the levels-row min-count frame reaches the driver
+    * to pick the level. Output: the input columns plus (gen_band,
+    * gen_level).
+    */
+  def generalizeToK(df: DataFrame, qiCat: Seq[String], bandCol: String,
+      divisors: Seq[Long], k: Int): DataFrame = {
+    require(divisors.nonEmpty && divisors.forall(_ >= 1) && k >= 1)
+    import graft.functions.FixedPoint.idiv
+    def genAt(lev: Int): Column = idiv(col(bandCol), lit(divisors(lev)))
+    val gv = divisors.indices.tail.foldLeft(
+      when(col("__lev") === 0, genAt(0))) { (acc, i) =>
+      acc.when(col("__lev") === i, genAt(i))
+    }
+    val minCounts = df
+      .select((qiCat.map(col) :+ col(bandCol) :+
+        explode(typedLit(divisors.indices.toList)).as("__lev")): _*)
+      .withColumn("__gv", gv)
+      .groupBy((col("__lev") +: qiCat.map(col) :+ col("__gv")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__lev"))
+      .agg(min(col("__n")).as("__min_n"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chosen = divisors.indices.find(i => minCounts(i) >= k)
+    chosen match {
+      case Some(i) => df
+        .withColumn("gen_band", genAt(i))
+        .withColumn("gen_level", lit(i))
+      case None => df
+        .withColumn("gen_band", lit(null).cast("long"))
+        .withColumn("gen_level", lit(divisors.size))
+    }
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
     * rung above l-diversity: a QI group leaks when its SENSITIVE
     * DISTRIBUTION diverges from the table-wide one, measured by the

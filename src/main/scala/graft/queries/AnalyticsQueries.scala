@@ -495,6 +495,43 @@ object AnalyticsQueries extends QueryPack {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin)),
 
+    // k-anonymity by GLOBAL RECODING (Samarati full-domain
+    // generalization): the balance band generalizes up a ×10 divisor
+    // hierarchy until EVERY (segment, band) group reaches k=10 — one
+    // rule for the whole release, cell suppression (q283's follow-up)
+    // only as the fallback level. All levels audited in one exploded
+    // pass; the chosen level itself is part of the gate.
+    "q494_k_anon_generalize" -> Q(
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (floor(col("c_acctbal") / 100) + 100).cast("long").as("band"))
+        Privacy.generalizeToK(base, Seq("c_mktsegment"), "band",
+            Seq(1L, 10L, 100L), k = 10)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("gen_band"), col("gen_level").cast("long").as("gen_level"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 100) + 100 AS BIGINT) AS band
+        |  FROM customer),
+        |lv(lev, dv) AS (VALUES (0, 1), (1, 10), (2, 100)),
+        |g AS (SELECT lv.lev, lv.dv, c_mktsegment, band // lv.dv AS gv,
+        |    count(*) AS n
+        |  FROM base, lv GROUP BY 1, 2, 3, 4),
+        |mn AS (SELECT lev, min(n) AS min_n FROM g GROUP BY 1),
+        |chv AS (SELECT coalesce(
+        |    (SELECT min(lev) FROM mn WHERE min_n >= 10), 3) AS lev)
+        |SELECT b.c_custkey, b.c_mktsegment,
+        |  CASE WHEN chv.lev = 3 THEN CAST(NULL AS BIGINT)
+        |       ELSE b.band // (CASE chv.lev WHEN 0 THEN 1
+        |                      WHEN 1 THEN 10 ELSE 100 END)
+        |  END AS gen_band,
+        |  CAST(chv.lev AS BIGINT) AS gen_level
+        |FROM base b, chv
+        |ORDER BY b.c_custkey""".stripMargin)),
+
     // Deequ-style constraint suite: six expectations over orders in
     // ONE aggregation pass (one scan however many checks ride it).
     // Ratios are integral ppm (count·10^6 div total) — no IEEE

@@ -122,4 +122,31 @@ class PrivacyDqSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2))).toMap
     assert(one === Map("A" -> 0L, "B" -> 0L))
   }
+
+  test("generalizeToK: minimal passing level, one rule for the table") {
+    // bands 10..13 in segment X, one row each: level 0 (div 1) has
+    // four singletons → fails k=4; level 1 (div 10) folds all four
+    // into band 1 → group of 4 → passes. The release must pick
+    // level 1, never level 2.
+    val df = Seq(("X", 10L), ("X", 11L), ("X", 12L), ("X", 13L))
+      .toDF("seg", "band")
+    val got = Privacy.generalizeToK(df, Seq("seg"), "band",
+        Seq(1L, 10L, 100L), k = 4)
+      .select("band", "gen_band", "gen_level")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.forall { case (_, gb, lev) => gb == 1L && lev == 1 })
+  }
+
+  test("generalizeToK: no level suffices → suppression level") {
+    // two segments with 1 and 3 rows: even full generalization
+    // leaves the singleton segment's group at n=1 < k — the band
+    // suppresses to null at level divisors.size
+    val df = Seq(("X", 10L), ("Y", 10L), ("Y", 11L), ("Y", 12L))
+      .toDF("seg", "band")
+    val got = Privacy.generalizeToK(df, Seq("seg"), "band",
+        Seq(1L, 10L), k = 2)
+      .select("gen_band", "gen_level")
+      .collect().map(r => (r.isNullAt(0), r.getInt(1)))
+    assert(got.forall { case (isNull, lev) => isNull && lev == 2 })
+  }
 }
