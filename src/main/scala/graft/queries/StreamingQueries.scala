@@ -1291,6 +1291,39 @@ object StreamingQueries extends QueryPack {
         |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR))
         |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u
         |               UNION ALL SELECT * FROM v)
-        |ORDER BY a_id NULLS LAST, b_id NULLS LAST""".stripMargin))
+        |ORDER BY a_id NULLS LAST, b_id NULLS LAST""".stripMargin)),
+
+    // Stream-stream LEFT SEMI interval join — with q167 (inner), q173
+    // (left outer) and q487 (full outer) this gates EVERY stream-
+    // stream join type Structured Streaming supports: "clicks that
+    // converted within the hour", each matched click emitted ONCE
+    // however many purchases land in its window (the dedup the inner
+    // join form would need a distinct for — here it is join-native
+    // and the right side's payload never enters the output).
+    "q495_stream_semi_join" -> Q(
+      (s, dir) => {
+        val ev = eventsStream(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+            col("ts").as("a_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("ts").as("b_ts"))
+        Streams.runToTable(
+            Streams.intervalJoin(clicks, buys, "a_user", "b_user",
+              "a_ts", "b_ts", "1 hour", "1 hour", "left_semi"),
+            OutputMode.Append())
+          .select(col("a_id"), col("a_user"),
+            expr("unix_millis(a_ts)").as("a_ms"))
+          .orderBy(col("a_id"))
+      },
+      Some("""SELECT a.event_id AS a_id, a.user_id AS a_user,
+        |  epoch_ms(a.ts) AS a_ms
+        |FROM events a
+        |WHERE a.event_type = 'click'
+        |  AND EXISTS (SELECT 1 FROM events b
+        |    WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        |      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+        |ORDER BY a_id""".stripMargin))
   )
 }
