@@ -614,5 +614,60 @@ object EvalLmQueries extends QueryPack {
         |    AS BIGINT) AS rank
         |FROM best WHERE rn = 1
         |QUALIFY rank <= 20
-        |ORDER BY rank""".stripMargin)))
+        |ORDER BY rank""".stripMargin)),
+
+    // Block-side packing manifest — the OTHER half of q257's
+    // packBlocks: per 64-token training block, how many document
+    // segments land in it, how many tokens they cover, and the sorted
+    // in-block boundary offsets — exactly the metadata a loader needs
+    // to build the block's document-boundary attention mask. Each doc
+    // explodes over only the blocks it touches; block rollup is one
+    // keyed agg.
+    "q496_block_manifest" -> Q(
+      (s, dir) => {
+        val B = 64
+        val pb = graft.operators.Corpus.packBlocks(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", blockSize = B)
+        pb
+          .withColumn("blk", explode(sequence(col("start_block"),
+            col("end_block"))))
+          .withColumn("off",
+            greatest(col("global_start") - col("blk") * B, lit(0L)))
+          .withColumn("eoff", least(col("global_start") +
+            greatest(col("n_tokens"), lit(1L)) - 1L - col("blk") * B,
+            lit(B - 1L)))
+          .groupBy(col("blk").as("block_id"))
+          .agg(count(lit(1)).as("n_segs"),
+            sum(col("eoff") - col("off") + 1L).as("used_tokens"),
+            array_join(transform(sort_array(collect_list(col("off"))),
+              _.cast("string")), ",").as("seg_offsets"))
+          .orderBy(col("block_id"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |ps AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n + 1) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - (n + 1) AS gs
+        |  FROM t),
+        |seg AS (
+        |  SELECT blk,
+        |    greatest(gs - blk * 64, 0) AS off,
+        |    least(gs + greatest(n, 1) - 1 - blk * 64, 63) AS eoff
+        |  FROM (SELECT doc_id, n, gs,
+        |          unnest(generate_series(gs // 64,
+        |            (gs + greatest(n, 1) - 1) // 64)) AS blk
+        |        FROM ps))
+        |SELECT blk AS block_id, count(*) AS n_segs,
+        |  CAST(sum(eoff - off + 1) AS BIGINT) AS used_tokens,
+        |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY off)
+        |    AS seg_offsets
+        |FROM seg
+        |GROUP BY 1
+        |ORDER BY block_id""".stripMargin)))
 }
