@@ -63,6 +63,30 @@ object Bpe {
     * n_tokens and n_subwords; tokens absent from the vocabulary cost
     * their character count (the BPE char-level fallback).
     */
+  /** GPT-2-style pretokenization pattern, RE2-portable: contractions
+    * first (leftmost-FIRST alternation — Java regex and RE2 agree),
+    * then space-prefixed letter runs, digit runs, punctuation runs,
+    * then whitespace remainder. This is the ASCII approximation of
+    * the GPT-2 pattern (its `\p{L}`/`\p{N}` classes and the trailing
+    * `\s+(?!\S)` lookahead are dropped — RE2 has no lookahead; the
+    * corpus here is ASCII, and the space-prefix convention — the
+    * pattern's actual point, space travels WITH the following word so
+    * "the" and " the" are distinct tokenizer symbols — is preserved
+    * exactly).
+    */
+  val pretokenizePat: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+  /** Pretokenize lowercased text into GPT-2-style pretokens — the
+    * step real BPE tokenizers run BEFORE merges (whitespace-word BPE
+    * over-merges across punctuation and loses the space-prefix
+    * distinction). Pure projection riding the scan; feeds
+    * [[train]]/[[encodeByVocab]] as the word stream.
+    */
+  def pretokenize(text: Column): Column =
+    regexp_extract_all(lower(coalesce(text, lit(""))),
+      lit(pretokenizePat), lit(0))
+
   def encodeByVocab(docs: DataFrame, idCol: String, textCol: String,
       symbolized: DataFrame, wordCol: String = "word"): DataFrame = {
     val pieces = symbolized.select(col(wordCol).as("__w"),

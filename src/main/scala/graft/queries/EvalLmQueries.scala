@@ -6,24 +6,28 @@ import graft.Tables
 import graft.functions.FixedPoint
 import graft.operators.{Eval, LanguageModel}
 
-/** q480–q482: trained-LM quality scoring and translation-pair QA —
-  * the published methods behind two pipeline stages that q100/q135
-  * approximate with simpler smoothing:
+/** q480–q482, q486, q490–q493, q496–q497: trained-LM quality
+  * scoring, translation-pair QA, and LM-data preparation — the
+  * published methods behind stages earlier gates approximate:
   *
-  *  - q480: interpolated Kneser–Ney bigram LM (Kneser & Ney 1995) —
-  *    the KenLM smoothing CCNet's quality buckets are built on; q346
-  *    buckets by a Jelinek–Mercer trigram, this is the real method
-  *    with continuation counts, all exact-integer ppm.
-  *  - q481: pair BLEU in log space (Papineni et al. 2002) — clipped
-  *    n-gram precisions n=1..4, brevity penalty, geometric mean via
-  *    the fixed-point lnPpm fold, signed ppm-nats.
-  *  - q482: pair chrF, β=2 (Popović 2015) — per-order F collapses to
-  *    the single rational 5m/(4r+c), so the whole metric is integral
-  *    division; the tokenizer-free QA signal for bitext (q375) pairs.
+  *  - q480/q491: interpolated and MODIFIED Kneser–Ney bigram LMs
+  *    (Kneser & Ney 1995; Chen & Goodman 1999) — the KenLM smoothing
+  *    CCNet buckets are built on, fixed-D and count-of-counts-
+  *    estimated discounts side by side, all exact-integer ppm.
+  *  - q481: pair BLEU in log space (Papineni et al. 2002); q482:
+  *    pair chrF β=2 (Popović 2015) — per-order F collapses to the
+  *    rational 5m/(4r+c).
+  *  - q486: sentence-boundary RAG chunk packing; q496: the
+  *    block-side packing manifest with attention-boundary offsets.
+  *  - q490: KN-driven CCNet head/middle/tail buckets.
+  *  - q492: ColBERT-style MaxSim late-interaction re-ranking;
+  *    q493: Max-P passage retrieval (Dai & Callan 2019).
+  *  - q497: GPT-2-style regex pretokenization.
   *
-  * All three gates hash-exact: logs go through the shared
-  * shift-and-square lnPpm kernel mirrored as unrolled CTEs, every
-  * other step is i64 add/multiply/div identical in Spark and DuckDB.
+  * Every gate hash-exact: logs go through the shared shift-and-square
+  * lnPpm kernel mirrored as unrolled CTEs; everything else is i64
+  * add/multiply/div identical in Spark and DuckDB (chrF and the
+  * packing gates need no log at all).
   */
 object EvalLmQueries extends QueryPack {
 
@@ -669,5 +673,55 @@ object EvalLmQueries extends QueryPack {
         |    AS seg_offsets
         |FROM seg
         |GROUP BY 1
-        |ORDER BY block_id""".stripMargin)))
+        |ORDER BY block_id""".stripMargin)),
+
+    // GPT-2-style regex pretokenization — the step real BPE
+    // tokenizers run before merges: contractions split off, the
+    // space travels WITH the following word (so "the" and " the" are
+    // distinct symbols), digit and punctuation runs separate. Gate =
+    // the top-50 pretoken vocabulary signature with class labels,
+    // plus total counts — leftmost-first alternation agreed by Java
+    // regex and RE2.
+    "q497_pretokenize" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pt = Tables.documents(s, dir)
+          .select(explode(graft.operators.Bpe.pretokenize(col("text")))
+            .as("pretoken"))
+          .groupBy(col("pretoken")).agg(count(lit(1)).as("n"))
+          .withColumn("class",
+            when(col("pretoken").rlike("^'"), "contraction")
+              .when(col("pretoken").rlike("^ ?[a-z]+$"), "word")
+              .when(col("pretoken").rlike("^ ?[0-9]+$"), "number")
+              .when(col("pretoken").rlike("^\\s+$"), "space")
+              .otherwise("punct"))
+        pt.withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("pretoken"))).cast("long"))
+          .filter(col("rank") <= 50)
+          .select(col("rank"), col("pretoken"), col("n"), col("class"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH pt AS (
+        |  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+        |    '${graft.operators.Bpe.pretokenizePat.replace("'", "''")}'))
+        |    AS pretoken
+        |  FROM documents),
+        |g AS (SELECT pretoken, count(*) AS n FROM pt GROUP BY 1),
+        |c AS (SELECT pretoken, n,
+        |    CASE WHEN regexp_matches(pretoken, '^''')
+        |           THEN 'contraction'
+        |         WHEN regexp_matches(pretoken, '^ ?[a-z]+$$')
+        |           THEN 'word'
+        |         WHEN regexp_matches(pretoken, '^ ?[0-9]+$$')
+        |           THEN 'number'
+        |         WHEN regexp_matches(pretoken, '^\\s+$$')
+        |           THEN 'space'
+        |         ELSE 'punct' END AS class
+        |  FROM g)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, pretoken)
+        |    AS BIGINT) AS rank,
+        |  pretoken, n, class
+        |FROM c
+        |ORDER BY n DESC, pretoken
+        |LIMIT 50""".stripMargin)))
 }
