@@ -1112,6 +1112,84 @@ object LlmQueriesB extends QueryPack {
     // hash. Shares lrScoredFrame/lrScoredCte with q213, so the
     // calibration audit and the scorer can never disagree on the
     // model.
+    // Brier score + Murphy (1973) decomposition over the SAME binned
+    // calibration grid as q291: reliability (how far bin confidence
+    // sits from bin accuracy), resolution (how far bin accuracy sits
+    // from the base rate), uncertainty (base·(1−base)), plus the
+    // direct row-grain Brier — all exact-integer ppm computed FROM
+    // the truncated binned statistics (identically truncated in both
+    // engines; the exact-rational identity REL−RES+UNC=Brier is
+    // approximate once binned, which is why the direct Brier is
+    // emitted alongside, not derived).
+    "q498_brier_decomposition" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val scored = lrScoredFrame(s, dir).localCheckpoint(true)
+        val glob = scored.agg(count(lit(1)).as("n_all"),
+            sum(col("label")).as("pos_all"),
+            sum((col("score_ppm") - col("label") * 1000000L) *
+              (col("score_ppm") - col("label") * 1000000L)).as("sq_all"))
+          .withColumn("base_ppm", expr("pos_all * 1000000L div n_all"))
+          .withColumn("brier_ppm", expr("sq_all div (n_all * 1000000L)"))
+          .withColumn("unc_ppm",
+            expr("base_ppm * (1000000L - base_ppm) div 1000000L"))
+        scored
+          .withColumn("bin", expr("score_ppm div 500"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("label")).as("__pos"),
+            sum(col("score_ppm")).as("__conf"))
+          .select(col("bin"), col("n"),
+            expr("__pos * 1000000L div n").as("acc_ppm"),
+            expr("__conf div n").as("conf_ppm"))
+          .crossJoin(broadcast(glob.select(col("n_all"), col("base_ppm"),
+            col("brier_ppm"), col("unc_ppm"))))
+          .withColumn("__rel", col("n") *
+            (col("conf_ppm") - col("acc_ppm")) *
+            (col("conf_ppm") - col("acc_ppm")))
+          .withColumn("__res", col("n") *
+            (col("acc_ppm") - col("base_ppm")) *
+            (col("acc_ppm") - col("base_ppm")))
+          .withColumn("rel_ppm",
+            expr("sum(__rel) over () div (n_all * 1000000L)"))
+          .withColumn("res_ppm",
+            expr("sum(__res) over () div (n_all * 1000000L)"))
+          .drop("__rel", "__res", "n_all")
+          .orderBy(col("bin"))
+      },
+      Some(s"""$lrScoredCte,
+        |gst AS (
+        |  SELECT count(*) AS n_all,
+        |    CAST(sum(label) AS BIGINT) AS pos_all,
+        |    CAST(sum((score_ppm - label * 1000000) *
+        |      (score_ppm - label * 1000000)) AS BIGINT) AS sq_all
+        |  FROM sc),
+        |gsum AS (SELECT n_all,
+        |    (pos_all * 1000000) // n_all AS base_ppm,
+        |    sq_all // (n_all * 1000000) AS brier_ppm
+        |  FROM gst),
+        |b AS (
+        |  SELECT score_ppm // 500 AS bin, count(*) AS n,
+        |    CAST(sum(label) AS BIGINT) AS pos,
+        |    CAST(sum(score_ppm) AS BIGINT) AS conf
+        |  FROM sc GROUP BY 1),
+        |p AS (
+        |  SELECT bin, n, pos * 1000000 // n AS acc_ppm,
+        |    conf // n AS conf_ppm
+        |  FROM b)
+        |SELECT p.bin, p.n, p.acc_ppm, p.conf_ppm,
+        |  gsum.base_ppm, gsum.brier_ppm,
+        |  gsum.base_ppm * (1000000 - gsum.base_ppm) // 1000000 AS unc_ppm,
+        |  CAST(sum(p.n * (p.conf_ppm - p.acc_ppm) *
+        |      (p.conf_ppm - p.acc_ppm)) OVER () //
+        |    (gsum.n_all * 1000000) AS BIGINT) AS rel_ppm,
+        |  CAST(sum(p.n * (p.acc_ppm - gsum.base_ppm) *
+        |      (p.acc_ppm - gsum.base_ppm)) OVER () //
+        |    (gsum.n_all * 1000000) AS BIGINT) AS res_ppm
+        |FROM p, gsum
+        |ORDER BY p.bin""".stripMargin)),
+
     "q291_calibration_ece" -> Q(
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
