@@ -472,8 +472,32 @@ object Search {
     */
   def maxSimTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, dim: Int, salt: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.expressions.VectorExpressions.dotI
+    val (docTok, tokv, q, qv) = maxSimFrames(docs, idCol, textCol,
+      queries, dim, salt)
+    val cand = docTok.join(broadcast(q.select(col("qid"), col("token"))),
+        Seq("token"))
+      .select(col("qid"), col("doc_id")).distinct()
+    maxSimCore(docTok, tokv, qv, cand, k)
+  }
+
+  /** [[maxSimTopK]] over an EXPLICIT candidate list (qid, doc_id) —
+    * the re-rank stage of a two-stage retrieval: a dense (or ANN)
+    * shortlist feeds in, MaxSim re-scores it with token granularity
+    * (q499's composition). Same scoring core as the posting-gated
+    * form.
+    */
+  def maxSimRerank(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, candidates: DataFrame, dim: Int,
+      salt: String, k: Int): DataFrame = {
+    val (docTok, tokv, _, qv) = maxSimFrames(docs, idCol, textCol,
+      queries, dim, salt)
+    maxSimCore(docTok, tokv, qv,
+      candidates.select(col("qid"), col("doc_id")), k)
+  }
+
+  private def maxSimFrames(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, dim: Int, salt: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docTok = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
       .distinct()
@@ -484,10 +508,14 @@ object Search {
       .distinct()
     val qv = q.join(tokv, Seq("token"))
       .select(col("qid"), col("token").as("qtoken"), col("tv").as("qv"))
-    val cand = docTok.join(broadcast(q.select(col("qid"), col("token"))),
-        Seq("token"))
-      .select(col("qid"), col("doc_id")).distinct()
-    val scored = cand
+    (docTok, tokv, q, qv)
+  }
+
+  private def maxSimCore(docTok: DataFrame, tokv: DataFrame,
+      qv: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.VectorExpressions.dotI
+    cand
       .join(docTok, Seq("doc_id"))
       .join(tokv, Seq("token"))
       .join(broadcast(qv), Seq("qid"))
@@ -496,7 +524,6 @@ object Search {
       .agg(max(col("__dot")).as("__best"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("__best")).as("maxsim"))
-    scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("maxsim").desc, col("doc_id"))))

@@ -723,5 +723,103 @@ object EvalLmQueries extends QueryPack {
         |  pretoken, n, class
         |FROM c
         |ORDER BY n DESC, pretoken
-        |LIMIT 50""".stripMargin)))
+        |LIMIT 50""".stripMargin)),
+
+    // Dense-retrieval → MaxSim two-stage E2E (the modern retrieval
+    // stack in one gate): doc embedding = occurrence-sum of the q492
+    // token vectors (sum pooling — exact integers), dense-dot top-40
+    // shortlist per query, ColBERT MaxSim re-rank of the shortlist to
+    // a final top-5. The brute dense scan is the gate-scale stand-in
+    // for the IVF/graph serve (q57/q473/q452 gate those); the
+    // re-ranker is maxSimRerank over the EXPLICIT candidate list.
+    "q499_dense_maxsim_e2e" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val queries = Seq((1L, "spark"), (1L, "join"),
+          (2L, "fast"), (2L, "hash"), (2L, "table"))
+          .toDF("qid", "token")
+        val docs = Tables.documents(s, dir)
+        def pool(df: org.apache.spark.sql.DataFrame, key: String) = df
+          .withColumn("__tv",
+            graft.operators.Search.hashTokenVector(col("token"), 8, ":ms"))
+          .groupBy(col(key))
+          .agg(array((0 until 8).map(i =>
+            sum(element_at(col("__tv"), i + 1))): _*).as("v"))
+        val dv = pool(docs.select(col("doc_id"), explode(
+          graft.operators.TextAnalysis.tokens(lower(col("text"))))
+          .as("token")), "doc_id")
+        val qvec = pool(queries.select(col("qid"),
+          lower(col("token")).as("token")), "qid")
+        val dot = aggregate(zip_with(col("qv"), col("v"),
+          (a, b) => a * b), lit(0L), _ + _)
+        val short = dv.crossJoin(broadcast(
+            qvec.select(col("qid"), col("v").as("qv"))))
+          .withColumn("__d", dot)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("__d").desc, col("doc_id"))))
+          .filter(col("__rn") <= 40)
+          .select(col("qid"), col("doc_id"))
+        graft.operators.Search.maxSimRerank(docs, "doc_id", "text",
+            queries, short, dim = 8, salt = ":ms", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      {
+        def h60(e: String): String =
+          s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+        val tvSql = "list_transform(range(1, 9), i -> CAST(" +
+          h60("token || ':' || CAST(i AS VARCHAR) || ':ms'") +
+          " % 21 - 10 AS INT))"
+        val sums = (1 to 8).map(i =>
+          s"CAST(sum(tv.v[$i]) AS BIGINT)").mkString("[", ", ", "]")
+        val foldDot = "CAST(list_reduce([CAST(0 AS BIGINT)] || " +
+          "list_transform(range(1, 9), i -> qv.v[i] * dv.v[i]), " +
+          "(acc, x) -> acc + x) AS BIGINT)"
+        val msDot = "CAST(list_reduce([CAST(0 AS BIGINT)] || " +
+          "list_transform(range(1, 9), i -> CAST(qt.v[i] * dt.v[i] " +
+          "AS BIGINT)), (acc, x) -> acc + x) AS BIGINT)"
+        Some(s"""WITH t AS (
+          |  SELECT doc_id,
+          |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(trim(lower(text)), '\\s+') END
+          |      AS toks
+          |  FROM documents),
+          |tokall AS (SELECT doc_id, unnest(toks) AS token FROM t),
+          |tok AS (SELECT DISTINCT doc_id, token FROM tokall),
+          |tv AS MATERIALIZED (SELECT token, $tvSql AS v
+          |  FROM (SELECT DISTINCT token FROM tokall)),
+          |qry(qid, token) AS (VALUES (1, 'spark'), (1, 'join'),
+          |  (2, 'fast'), (2, 'hash'), (2, 'table')),
+          |dv AS MATERIALIZED (
+          |  SELECT tokall.doc_id, $sums AS v
+          |  FROM tokall JOIN tv ON tv.token = tokall.token
+          |  GROUP BY 1),
+          |qv AS (
+          |  SELECT qry.qid, $sums AS v
+          |  FROM qry JOIN tv ON tv.token = qry.token
+          |  GROUP BY 1),
+          |short AS MATERIALIZED (SELECT qid, doc_id FROM (
+          |  SELECT qv.qid, dv.doc_id, row_number() OVER (
+          |      PARTITION BY qv.qid
+          |      ORDER BY $foldDot DESC, dv.doc_id) AS rn
+          |  FROM dv CROSS JOIN qv) WHERE rn <= 40),
+          |qtv AS (SELECT qry.qid, qry.token AS qtoken, tv.v
+          |  FROM qry JOIN tv ON tv.token = qry.token),
+          |best AS (
+          |  SELECT s.qid, s.doc_id, qt.qtoken, max($msDot) AS best
+          |  FROM short s
+          |  JOIN tok ON tok.doc_id = s.doc_id
+          |  JOIN tv dt ON dt.token = tok.token
+          |  JOIN qtv qt ON qt.qid = s.qid
+          |  GROUP BY 1, 2, 3),
+          |sc AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS maxsim
+          |  FROM best GROUP BY 1, 2)
+          |SELECT CAST(qid AS BIGINT) AS qid, rn, doc_id, maxsim FROM (
+          |  SELECT qid, doc_id, maxsim, CAST(row_number() OVER (
+          |      PARTITION BY qid ORDER BY maxsim DESC, doc_id)
+          |    AS BIGINT) AS rn
+          |  FROM sc) WHERE rn <= 5
+          |ORDER BY qid, rn""".stripMargin)
+      }))
 }
