@@ -821,5 +821,108 @@ object EvalLmQueries extends QueryPack {
           |    AS BIGINT) AS rn
           |  FROM sc) WHERE rn <= 5
           |ORDER BY qid, rn""".stripMargin)
-      }))
+      }),
+
+    // RAG corpus-prep flagship (the round-12 stages composed, q342's
+    // discipline): (1) the trained KN LM scores every doc and the
+    // HEAD tertile survives (q490's gate), (2) survivors chunk at
+    // sentence boundaries to a 40-token budget (q486), (3) the
+    // per-source ingest card rolls up — docs kept, chunks, packed
+    // tokens, over-budget chunks (unsplittable long sentences). One
+    // mis-step in any stage fails the hash; the oracle replays all
+    // three stages in sequence.
+    "q500_rag_prep_e2e" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val model = LanguageModel.knBigramModel(
+          docs.select(col("doc_id"), col("text")), "text", DPpm)
+        val scored = LanguageModel.knSurprise(
+            docs.select(col("doc_id"), col("text")), model,
+            "doc_id", "text")
+          .filter(col("n_bigrams") > 0)
+          .withColumn("avg_nats", expr("kn_nats_sum div n_bigrams"))
+          .localCheckpoint(true)
+        val th = graft.operators.Corpus.quantilesBisect(scored,
+          "avg_nats", Seq(1.0 / 3, 2.0 / 3))
+        val kept = scored
+          .crossJoin(broadcast(th.select(col("q_33"))))
+          .filter(col("avg_nats") <= col("q_33"))
+          .select(col("doc_id"))
+          .join(docs, Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            regexp_replace(col("text"),
+              "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+          .localCheckpoint(true)
+        val chunks = graft.operators.Corpus.packSentenceChunks(
+          kept.select(col("doc_id"), col("t")), "doc_id", "t",
+          budgetTokens = 40)
+        chunks
+          .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count_distinct(col("doc_id")).as("n_docs_kept"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_tokens")).as("tokens_packed"),
+            sum(when(col("chunk_tokens") > 40, 1L).otherwise(0L))
+              .as("oversize_chunks"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE $knCtes,
+        |s2 AS (SELECT doc_id, kn_nats_sum // n_bigrams AS avg_nats
+        |       FROM sc WHERE n_bigrams > 0),
+        |nn AS (SELECT count(*) AS n FROM s2),
+        |rk AS (SELECT avg_nats, row_number() OVER (ORDER BY avg_nats)
+        |         AS r
+        |       FROM s2),
+        |th AS (SELECT
+        |    max(CASE WHEN r <= CAST(ceil(nn.n * (1.0/3)) AS BIGINT)
+        |        THEN avg_nats END) AS q33
+        |  FROM rk, nn),
+        |kept AS (
+        |  SELECT d.doc_id, d.source,
+        |    regexp_replace(d.text, '((?:\\S+ ){4}\\S+) ', '\\1. ', 'g')
+        |      AS kt
+        |  FROM documents d JOIN s2 ON s2.doc_id = d.doc_id, th
+        |  WHERE s2.avg_nats <= th.q33),
+        |m2 AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS sent_idx,
+        |    unnest(l) AS raw
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(kt,
+        |            '${graft.operators.TextAnalysis.sentencePat}') AS l
+        |        FROM kept)),
+        |f2 AS (
+        |  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+        |    trim(regexp_replace(raw, '\\s+', ' ', 'g')) AS sentence
+        |  FROM m2),
+        |g2 AS (
+        |  SELECT doc_id, sentence,
+        |    CAST(len(string_split(sentence, ' ')) AS BIGINT) AS tk,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx)
+        |      AS i
+        |  FROM f2 WHERE length(sentence) > 0),
+        |st2 AS (
+        |  SELECT doc_id, i, tk,
+        |    CAST(0 AS BIGINT) AS cid, tk AS used
+        |  FROM g2 WHERE i = 1
+        |  UNION ALL
+        |  SELECT g2.doc_id, g2.i, g2.tk,
+        |    CASE WHEN st2.used > 0 AND st2.used + g2.tk > 40
+        |         THEN st2.cid + 1 ELSE st2.cid END,
+        |    CASE WHEN st2.used > 0 AND st2.used + g2.tk > 40
+        |         THEN g2.tk ELSE st2.used + g2.tk END
+        |  FROM st2 JOIN g2 ON g2.doc_id = st2.doc_id
+        |    AND g2.i = st2.i + 1),
+        |ck AS (
+        |  SELECT doc_id, cid, CAST(sum(tk) AS BIGINT) AS chunk_tokens
+        |  FROM st2 GROUP BY 1, 2)
+        |SELECT kept.source,
+        |  CAST(count(DISTINCT ck.doc_id) AS BIGINT) AS n_docs_kept,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(ck.chunk_tokens) AS BIGINT) AS tokens_packed,
+        |  CAST(sum(CASE WHEN ck.chunk_tokens > 40 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS oversize_chunks
+        |FROM ck JOIN kept ON kept.doc_id = ck.doc_id
+        |GROUP BY 1
+        |ORDER BY kept.source""".stripMargin)))
 }
