@@ -827,6 +827,47 @@ object ScaleProbe {
           "text", Seq("spark", "fast hash", "value table part")
             .toDF("phrase"), "phrase")
       }
+      // q492 shape: MaxSim late interaction — token-vector frame is
+      // vocabulary-bounded, candidates posting-gated, query side
+      // broadcast; expect linear in candidate volume
+      time("q492_maxsim", n) {
+        import spark.implicits._
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+        val queries = Seq((1L, "spark"), (1L, "join"),
+          (2L, "fast"), (2L, "hash"), (2L, "table"))
+          .toDF("qid", "token")
+        graft.operators.Search.maxSimTopK(docs, "doc_id", "text",
+          queries, dim = 8, salt = ":ms", k = 10)
+      }
+      // q500 shape: the 3-stage RAG-prep flagship — KN scoring is
+      // the dominant corpus term (q480's curve), tertile bisect is
+      // O(log range) probes over the checkpointed scored frame,
+      // chunking rides the kept third
+      time("q500_rag_prep", n) {
+        val docs = shifted(Tables.documents(spark, sfDir),
+          Seq("doc_id"), n, 100000000L)
+          .select(col("doc_id"), col("source"), col("text"))
+        val model = graft.operators.LanguageModel.knBigramModel(
+          docs.select(col("doc_id"), col("text")), "text", 750000L)
+        val scored = graft.operators.LanguageModel.knSurprise(
+            docs.select(col("doc_id"), col("text")), model,
+            "doc_id", "text")
+          .filter(col("n_bigrams") > 0)
+          .withColumn("avg_nats", expr("kn_nats_sum div n_bigrams"))
+          .localCheckpoint(true)
+        val th = graft.operators.Corpus.quantilesBisect(scored,
+          "avg_nats", Seq(1.0 / 3, 2.0 / 3))
+        val kept = scored
+          .crossJoin(broadcast(th.select(col("q_33"))))
+          .filter(col("avg_nats") <= col("q_33"))
+          .select(col("doc_id"))
+          .join(docs, Seq("doc_id"))
+          .select(col("doc_id"), regexp_replace(col("text"),
+            "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+        graft.operators.Corpus.packSentenceChunks(kept, "doc_id", "t",
+          budgetTokens = 40)
+      }
     }
     spark.stop()
   }
