@@ -158,4 +158,35 @@ object PureProperties extends Properties("graft.pure") {
       val real = 1e6 * (1 - math.pow(1 - math.pow(s / 1e6, 4), 16))
       p >= 0 && p <= 1000000L && math.abs(p - real) <= 16 * 4 + 64
     }
+
+  // Aho-Corasick vs the O(|dict|·|text|) definitional scan: a tiny
+  // alphabet with overlapping multi-token symbols ("a", "ab", "b")
+  // forces the fail-link paths a friendly alphabet never exercises.
+  private val acTok: Gen[String] = Gen.oneOf("a", "b", "ab", "c", "B")
+  private val acText: Gen[List[String]] = Gen.listOfN(12, acTok)
+  private val acDict: Gen[List[String]] =
+    Gen.listOf(Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, acTok).map(_.mkString(" ")))).map(_.take(6))
+
+  property("dictionaryMatches: automaton == definitional n-gram scan") =
+    forAll(acText, acDict) { (toks, dict) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val expr = graft.expressions.DictionaryMatches(Literal("x"), dict)
+      val got = {
+        val a = expr.matchTokens(
+          UTF8String.fromString(toks.mkString(" ")))
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+          .sorted
+      }
+      val low = toks.map(_.toLowerCase)
+      val normDict = dict.map(_.toLowerCase.trim.split("\\s+")
+          .filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty).distinct
+      val expect = (for {
+        p <- normDict
+        i <- 0 to low.length - p.length
+        if low.slice(i, i + p.length) == p
+      } yield p.mkString(" ")).sorted
+      got == expect
+    }
 }

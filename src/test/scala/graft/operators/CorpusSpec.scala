@@ -714,4 +714,31 @@ class CorpusSpec extends SparkSpec {
     // chunk, 15 chunks
     assert(chunks.count() === 15L)
   }
+
+  test("packSentenceChunks invariants over a seeded random batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // token conservation (every sentence token lands in exactly one
+    // chunk) and budget discipline (a chunk exceeds the budget ONLY
+    // when it is a single unsplittable sentence) over 40 seeded docs
+    val rnd = new scala.util.Random(11L)
+    def doc() = Seq.fill(2 + rnd.nextInt(10))(
+      Seq.fill(1 + rnd.nextInt(9))("w" + rnd.nextInt(50)).mkString(" ")
+        + ".").mkString(" ")
+    val docs = (1L to 40L).map(i => (i, doc())).toDF("doc_id", "t")
+    val chunks = Corpus.packSentenceChunks(docs, "doc_id", "t", 6)
+      .localCheckpoint(true)
+    val perDocChunks = chunks.groupBy("doc_id")
+      .agg(sum("chunk_tokens").as("packed")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perDocSents = graft.operators.TextAnalysis
+      .sentences(docs, "doc_id", "t")
+      .groupBy("doc_id")
+      .agg(sum(graft.operators.TextAnalysis.nTokens(col("sentence"))
+        .cast("long")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDocChunks === perDocSents)
+    val over = chunks.filter(col("chunk_tokens") > 6)
+    assert(over.filter(col("n_sentences") > 1).count() === 0L)
+  }
 }

@@ -216,6 +216,33 @@ class EvalStatsSpec extends SparkSpec {
     assert(m((3L, 4L)).getAs[Long]("chrf_ppm") === 0L)
   }
 
+  test("bleu/chrF invariants over a seeded random batch") {
+    // 24 deterministic pseudo-random pairs in ONE job per metric:
+    // log-BLEU ≤ 0 always (a geometric mean of precisions ≤ 1 plus a
+    // non-positive brevity term), chrF ∈ [0, 1e6], and the self-pair
+    // of any non-empty text scores chrF exactly 1e6 / log-BLEU 0
+    val rnd = new scala.util.Random(7L)
+    val words = Seq("aa", "bb", "cc", "dd", "ee")
+    def text() = Seq.fill(1 + rnd.nextInt(8))(
+      words(rnd.nextInt(words.size))).mkString(" ")
+    val docs = (1L to 48L).map(i => (i, text())).toDF("doc_id", "text")
+    val pairs = (1L to 24L).map(i => (i, i + 24L)).toDF("id_a", "id_b")
+    val selfPairs = (1L to 24L).map(i => (i, i)).toDF("id_a", "id_b")
+    val bleu = Eval.bleuPairs(pairs, docs, "doc_id", "text").collect()
+    assert(bleu.length === 24)
+    assert(bleu.forall(_.getAs[Long]("log_bleu_ppm") <= 0L))
+    val chrf = Eval.chrFPairs(pairs, docs, "doc_id", "text").collect()
+    assert(chrf.forall { r =>
+      val c = r.getAs[Long]("chrf_ppm"); c >= 0L && c <= 1000000L
+    })
+    val selfB = Eval.bleuPairs(selfPairs, docs, "doc_id", "text")
+      .collect()
+    assert(selfB.forall(_.getAs[Long]("log_bleu_ppm") === 0L))
+    val selfC = Eval.chrFPairs(selfPairs, docs, "doc_id", "text")
+      .collect()
+    assert(selfC.forall(_.getAs[Long]("chrf_ppm") === 1000000L))
+  }
+
   test("chrFPairs: empty-text pairs survive with zero score") {
     val docs = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
