@@ -56,13 +56,6 @@ object Bpe {
       call_function("replace", col(symCol),
         lit(s" $left  $right "), lit(s" $left$right ")))
 
-  /** Tokenizer INFERENCE at corpus scale: encode documents against a
-    * trained symbolization by joining each token to the (word → sym)
-    * vocabulary — broadcast, since the vocab is bounded — never by
-    * re-running the merge replaces per occurrence. Emits per-doc
-    * n_tokens and n_subwords; tokens absent from the vocabulary cost
-    * their character count (the BPE char-level fallback).
-    */
   /** GPT-2-style pretokenization pattern, RE2-portable: contractions
     * first (leftmost-FIRST alternation — Java regex and RE2 agree),
     * then space-prefixed letter runs, digit runs, punctuation runs,
@@ -87,6 +80,13 @@ object Bpe {
     regexp_extract_all(lower(coalesce(text, lit(""))),
       lit(pretokenizePat), lit(0))
 
+  /** Tokenizer INFERENCE at corpus scale: encode documents against a
+    * trained symbolization by joining each token to the (word → sym)
+    * vocabulary — broadcast, since the vocab is bounded — never by
+    * re-running the merge replaces per occurrence. Emits per-doc
+    * n_tokens and n_subwords; tokens absent from the vocabulary cost
+    * their character count (the BPE char-level fallback).
+    */
   def encodeByVocab(docs: DataFrame, idCol: String, textCol: String,
       symbolized: DataFrame, wordCol: String = "word"): DataFrame = {
     val pieces = symbolized.select(col(wordCol).as("__w"),

@@ -101,7 +101,11 @@ object Privacy {
       .agg(min(col("__n")).as("__min_n"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val chosen = divisors.indices.find(i => minCounts(i) >= k)
+    // forall: a level ABSENT from the audit frame means the input had
+    // no rows at all (explode materializes every level otherwise), and
+    // an empty table vacuously satisfies k-anonymity — release at the
+    // finest level instead of throwing on the empty map
+    val chosen = divisors.indices.find(i => minCounts.get(i).forall(_ >= k))
     chosen match {
       case Some(i) => df
         .withColumn("gen_band", genAt(i))

@@ -932,12 +932,34 @@ object Similarity {
 
   /** Nearest centroid (squared L2) within one subspace; ties to the
     * LOWER cell id via struct ordering (array_min over (d, i)).
+    *
+    * DEFINITIONAL form only (what the DuckDB oracles replay and what
+    * PqExpressionsSpec asserts the native kernel against): unrolled
+    * across M subspaces × K cells this tree blows the JVM's 64 KB
+    * generated-method limit (VERDICT r12 item 2 — q483 ran
+    * INTERPRETED). Production paths use
+    * [[graft.expressions.PqExpressions.pqEncode]].
     */
-  private def pqArgmin(sub: Column, cents: Seq[Seq[Double]]): Column = {
+  private[graft] def pqArgminPortable(sub: Column,
+      cents: Seq[Seq[Double]]): Column = {
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
       struct(l2sq(sub, array(c.map(lit): _*)).as("d"), lit(i).as("i"))
     }: _*)
     array_min(scored).getField("i")
+  }
+
+  /** Definitional ADC distance (the unrolled `reduce(_ + _)` tree the
+    * native [[graft.expressions.PqAdcDist]] is spec-pinned against):
+    * Σ_m ‖slice(q)_m − codebook_m[code_m]‖², fixed left association.
+    */
+  private[graft] def pqAdcPortable(q: Column, codes: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = codebooks.head.head.size
+    codebooks.indices.map { mi =>
+      val qsub = slice(q, mi * sub + 1, sub)
+      val cent = element_at(typedLit(codebooks(mi)), codes.getItem(mi) + 1)
+      l2sq(qsub, cent)
+    }.reduce(_ + _)
   }
 
   /** One quantized-Lloyd refinement of M per-subspace PQ codebooks
@@ -960,9 +982,14 @@ object Similarity {
       sum(floor(element_at(col("sv"), d + 1).cast("double") * KmQ))
         .as(s"s$d"))
     val rows = corpus
+      // native encode ONCE per row; the M struct entries read codes
+      // by index instead of re-unrolling M×K argmin trees (64 KB
+      // codegen guard — VERDICT r12 item 2)
+      .withColumn("__codes",
+        graft.expressions.PqExpressions.pqEncode(col(vecCol), init))
       .select(explode(array((0 until m).map { mi =>
         val sv = slice(col(vecCol), mi * sub + 1, sub)
-        struct(lit(mi).as("mi"), pqArgmin(sv, init(mi)).as("cell"),
+        struct(lit(mi).as("mi"), col("__codes").getItem(mi).as("cell"),
           sv.as("sv"))
       }: _*)).as("a"))
       .select(col("a.mi").as("mi"), col("a.cell").as("cell"),
@@ -985,13 +1012,8 @@ object Similarity {
     * literal codebooks. dim/M·8-to-⌈log2 k⌉-bit compression; at 100 TB
     * the code table is what ships to the serving tier.
     */
-  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val m = codebooks.size
-    val sub = codebooks.head.head.size
-    array((0 until m).map { mi =>
-      pqArgmin(slice(vec, mi * sub + 1, sub), codebooks(mi))
-    }: _*)
-  }
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.expressions.PqExpressions.pqEncode(vec, codebooks)
 
   /** Asymmetric-distance (ADC) top-k: exact query subvectors against
     * PQ-coded corpus rows. The per-pair distance is Σ_m ‖q_m −
@@ -1003,17 +1025,11 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, codebooks: Seq[Seq[Seq[Double]]], k: Int)
       : DataFrame = {
-    val m = codebooks.size
-    val sub = codebooks.head.head.size
     val c = corpus.select(col(idCol).as("neighbor_id"),
       pqEncode(col(vecCol), codebooks).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val adist = (0 until m).map { mi =>
-      val qsub = slice(col("qv"), mi * sub + 1, sub)
-      val cent = element_at(typedLit(codebooks(mi)),
-        col("codes").getItem(mi) + 1)
-      l2sq(qsub, cent)
-    }.reduce(_ + _)
+    val adist = graft.expressions.PqExpressions.pqAdc(
+      col("qv"), col("codes"), codebooks)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -1076,8 +1092,6 @@ object Similarity {
       idCol: String, vecCol: String, cents: Seq[(Int, Seq[Double])],
       codebooks: Seq[Seq[Seq[Double]]], probes: Int, k: Int): DataFrame = {
     require(probes >= 1 && probes <= cents.size)
-    val m = codebooks.size
-    val sub = codebooks.head.head.size
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qvec"),
         explode(assignCells(col(vecCol), cents, probes)).as("cell"))
@@ -1086,12 +1100,8 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("qres"))
     val c = corpusCoded.select(col(idCol).as("neighbor_id"),
       col("cell"), col("codes"))
-    val adist = (0 until m).map { mi =>
-      val qsub = slice(col("qres"), mi * sub + 1, sub)
-      val cent = element_at(typedLit(codebooks(mi)),
-        col("codes").getItem(mi) + 1)
-      l2sq(qsub, cent)
-    }.reduce(_ + _)
+    val adist = graft.expressions.PqExpressions.pqAdc(
+      col("qres"), col("codes"), codebooks)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
     c.join(broadcast(q), Seq("cell"))

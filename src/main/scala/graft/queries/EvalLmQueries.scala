@@ -277,11 +277,15 @@ object EvalLmQueries extends QueryPack {
         |SELECT id_a, id_b,
         |  CAST(sum(CASE WHEN tot_b4 + tot_a > 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS k_orders,
+        |  -- divisor CAST matters: DuckDB sum(int) is HUGEINT, and a
+        |  -- bare HUGEINT divisor promotes the // result to int128 —
+        |  -- the one type a type-sensitive result hasher diverges on
         |  CASE WHEN sum(CASE WHEN tot_b4 + tot_a > 0 THEN 1 ELSE 0 END) >= 1
         |    THEN CAST(sum(CASE WHEN tot_b4 + tot_a > 0
         |           THEN (clip * 5000000) // (tot_b4 + tot_a)
         |           ELSE 0 END) AS BIGINT) //
-        |         sum(CASE WHEN tot_b4 + tot_a > 0 THEN 1 ELSE 0 END)
+        |         CAST(sum(CASE WHEN tot_b4 + tot_a > 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT)
         |    ELSE 0 END AS chrf_ppm
         |FROM grid
         |GROUP BY 1, 2
@@ -537,18 +541,22 @@ object EvalLmQueries extends QueryPack {
     "q493_maxp_passages" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        import graft.functions.FixedPoint.idiv
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // passage id = STRUCT(doc, chunk_ix), never an arithmetic
+        // pack: doc_id*1000+chunk_ix aliases once a document reaches
+        // 1000 chunks and can overflow at production doc_ids — the
+        // struct key flows through termFrequencies/bm25PpmScores
+        // unchanged (both key on the opaque id column)
         val ch = graft.operators.Corpus.chunk(docs, "text",
             chunkTokens = 16, overlap = 4)
-          .select((col("doc_id") * 1000L + col("chunk_ix")).as("pid"),
-            col("chunk_text"))
+          .select(struct(col("doc_id").as("doc"), col("chunk_ix"))
+            .as("pid"), col("chunk_text"))
         val tf = graft.operators.Search.termFrequencies(
           ch, "pid", "chunk_text")
         val ps = graft.operators.Search.bm25PpmScores(
             tf, Seq("spark", "join"))
-          .select(idiv(col("doc_id"), lit(1000L)).as("doc"),
-            (col("doc_id") % 1000L).as("chunk_ix"), col("score_ppm"))
+          .select(col("doc_id.doc").as("doc"),
+            col("doc_id.chunk_ix").as("chunk_ix"), col("score_ppm"))
         val best = ps
           .withColumn("__rn", row_number().over(
             Window.partitionBy(col("doc"))
@@ -572,39 +580,37 @@ object EvalLmQueries extends QueryPack {
         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
         |  FROM documents),
         |ch AS (
-        |  SELECT doc_id * 1000 + s // 12 AS pid,
+        |  SELECT doc_id AS doc, s // 12 AS chunk_ix,
         |    array_to_string(toks[s + 1 : s + 16], ' ') AS ptext
         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS s
         |        FROM t0 WHERE len(toks) > 0)),
         |tf AS (
-        |  SELECT token, pid AS doc_id, count(*) AS tf FROM (
-        |    SELECT pid, unnest(string_split_regex(trim(ptext), '\\s+'))
-        |      AS token
+        |  SELECT token, doc, chunk_ix, count(*) AS tf FROM (
+        |    SELECT doc, chunk_ix,
+        |      unnest(string_split_regex(trim(ptext), '\\s+')) AS token
         |    FROM ch WHERE trim(ptext) <> '')
-        |  GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-        |  FROM tf GROUP BY 1),
+        |  GROUP BY 1, 2, 3),
+        |dl AS (SELECT doc, chunk_ix, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY 1, 2),
         |corpus AS (SELECT count(*) AS n_docs,
         |    CAST(sum(dl) AS BIGINT) AS len_total FROM dl),
-        |m AS (SELECT token, doc_id, tf FROM tf
+        |m AS (SELECT token, doc, chunk_ix, tf FROM tf
         |  WHERE token IN ('spark', 'join')),
         |dfreq AS (SELECT token, count(*) AS df FROM m GROUP BY 1),
         |src AS (SELECT token AS key, n_docs * 2 + 2 AS num,
         |    df * 2 + 1 AS den FROM dfreq, corpus),
         |${FixedPoint.lnPpmSqlCtes("src")},
         |scored AS (
-        |  SELECT m.doc_id,
+        |  SELECT m.doc, m.chunk_ix,
         |    CAST(sum((l.ln_ppm *
         |        ((22000000 * c.len_total * m.tf) //
         |         (c.len_total * m.tf * 10 + c.len_total * 3 +
         |          d.dl * c.n_docs * 9))) // 1000000) AS BIGINT)
         |      AS score_ppm
         |  FROM m JOIN lnppm l ON m.token = l.key
-        |    JOIN dl d ON m.doc_id = d.doc_id, corpus c
-        |  GROUP BY 1),
-        |pp AS (SELECT doc_id // 1000 AS doc, doc_id % 1000 AS chunk_ix,
-        |    score_ppm
-        |  FROM scored),
+        |    JOIN dl d ON m.doc = d.doc AND m.chunk_ix = d.chunk_ix,
+        |    corpus c
+        |  GROUP BY 1, 2),
         |best AS (
         |  SELECT doc AS doc_id, chunk_ix AS best_chunk_ix,
         |    score_ppm AS max_p_ppm,
@@ -612,7 +618,7 @@ object EvalLmQueries extends QueryPack {
         |      AS n_hit_passages,
         |    row_number() OVER (PARTITION BY doc
         |      ORDER BY score_ppm DESC, chunk_ix) AS rn
-        |  FROM pp)
+        |  FROM scored)
         |SELECT doc_id, best_chunk_ix, max_p_ppm, n_hit_passages,
         |  CAST(row_number() OVER (ORDER BY max_p_ppm DESC, doc_id)
         |    AS BIGINT) AS rank

@@ -67,7 +67,27 @@ def main():
         try:
             got_cols, got = rows_of(con.sql(
                 f"SELECT * FROM '{pq}/*.parquet'"))
-            exp_cols, exp = rows_of(con.sql(sql))
+            exp_rel = con.sql(sql)
+            # Oracle result-TYPE assertion (VERDICT r12 item 3): the
+            # driver's hasher is type-sensitive, and DuckDB silently
+            # widens integer math to HUGEINT (int128) when any term
+            # escapes an explicit CAST — q482's divisor did exactly
+            # that and shipped a red hash on exactly-equal values.
+            # Forbidden: integer types Spark can NEVER emit (int128
+            # and the unsigned family); INTEGER/BIGINT pair fine with
+            # Spark int32/int64 and stay allowed.
+            bad = [(c, str(t)) for c, t in zip(exp_rel.columns,
+                                               exp_rel.types)
+                   if str(t).upper() in (
+                       "HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
+                       "UINTEGER", "UBIGINT")]
+            if bad:
+                print(f"FAIL {name}: oracle column(s) {bad} have an "
+                      f"integer type Spark cannot emit — add "
+                      f"CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+            exp_cols, exp = rows_of(exp_rel)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
