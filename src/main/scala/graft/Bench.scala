@@ -26,7 +26,19 @@ import scala.jdk.CollectionConverters._
   *  - each query is timed over SPARK_GRAFT_BENCH_ITERS (default 3)
   *    iterations and the MEDIAN is reported — single-iteration
   *    timings showed ±4× run-to-run variance on identical plans
-  *    across rounds, which swamped every per-query regression signal;
+  *    across rounds, which swamped every per-query regression signal.
+  *    Queries whose FIRST run is sub-second keep that single run
+  *    (adaptive iters, VERDICT r12 item 1b) — variance there is
+  *    bounded by the runtime itself and the extra runs were ~25% of
+  *    the executed bench time;
+  *  - SPARK_GRAFT_BENCH_PAR (default 2) measurement children run
+  *    side by side on disjoint core budgets (SPARK_GRAFT_CPUS =
+  *    32/par each), halving executed wall-clock vs the serial r12
+  *    run that timed out the driver; the recheck child still runs
+  *    SOLO on all 32 cores;
+  *  - after EVERY pack the parent prints a compact
+  *    `{"metric":"partial",...}` line, so even a timed-out run's
+  *    2 KB stdout tail ends in parseable JSON;
   *  - materialization is a `noop`-format write, which executes the FULL
   *    plan (sorts, projections) — `.count()` lets Catalyst prune the
   *    final orderBy and unused columns, under-measuring the real work;
@@ -117,13 +129,22 @@ object Bench {
   /** Measure `selected` in this JVM: per-query stat over `iters`
     * iterations (median, or min when `useMin`), failures → -1 plus an
     * errors entry. Results in sorted-name order.
+    *
+    * ADAPTIVE iteration count (VERDICT r12 item 1b): a query whose
+    * FIRST run finishes under [[fastCutoff]] reports that single run —
+    * at sub-second runtimes the ±4×-variance disease the 3-iteration
+    * median exists for is already bounded to fractions of a second,
+    * while ~290 of 499 queries fall in this band and their extra
+    * 2 × <1 s runs were ~25% of r12's executed bench time. Slow
+    * queries (where a single bad run CAN misread by many seconds)
+    * keep the full median.
     */
   private def measure(spark: SparkSession, sfDir: String,
       selected: Map[String, Fn], iters: Int, useMin: Boolean)
       : (Seq[(String, Double)], collection.mutable.LinkedHashMap[String, String]) = {
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until iters).iterator.map { _ =>
+      def one(): Double = {
         resetState(spark)
         val t0 = System.nanoTime()
         try { runOne(spark, sfDir, fn); (System.nanoTime() - t0) / 1e9 } catch {
@@ -131,11 +152,19 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             -1.0
         }
-      }.takeWhile(_ >= 0).toSeq // a failure aborts the query's loop
+      }
+      val first = one()
       val stat =
-        if (times.size < iters) -1.0
-        else if (useMin) times.min
-        else times.sorted.apply(times.size / 2)
+        if (first < 0) -1.0
+        else if (iters <= 1 || (!useMin && first < fastCutoff)) first
+        else {
+          val rest = (1 until iters).iterator.map(_ => one())
+            .takeWhile(_ >= 0).toSeq // a failure aborts the query's loop
+          val times = first +: rest
+          if (times.size < iters) -1.0
+          else if (useMin) times.min
+          else times.sorted.apply(times.size / 2)
+        }
       name -> stat
     }
     (results, errors)
@@ -143,6 +172,12 @@ object Bench {
 
   private def benchIters: Int =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+
+  /** First-run threshold (seconds) under which a single measurement
+    * stands — see [[measure]]. 0 disables the shortcut.
+    */
+  private def fastCutoff: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_CUTOFF", "1.0").toDouble
 
   // ---------------------------------------------------------------
   // child mode: measure one pack, emit line-per-query for the parent
@@ -242,47 +277,102 @@ object Bench {
         .map { case (g, i) => s"$pack#$i" -> g }.toSeq
     }
 
+  /** Concurrent measurement children (VERDICT r12/r13 item 1b): the
+    * serial fork-per-pack run tripled executed bench time over the
+    * single-JVM r11 run and blew the driver's wall-clock envelope
+    * (BENCH_r12 rc 124). Running `SPARK_GRAFT_BENCH_PAR` (default 2)
+    * pack children side by side, each pinned to 32/par cores via
+    * SPARK_GRAFT_CPUS, halves the serial executed core without giving
+    * up the isolation the pack JVMs exist for — per-query numbers stay
+    * idle-JVM-clean because each child still measures alone on its
+    * own cores, and the recheck child (below) runs SOLO on all 32 as
+    * the cross-check.
+    */
+  private def benchPar: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "2").toInt.max(1)
+
   private def orchestrate(sfDir: String): Unit = {
     val cmd = forkCmd()
-    val allResults = collection.mutable.LinkedHashMap.empty[String, Double]
-    val errors = collection.mutable.LinkedHashMap.empty[String, String]
-    // lazy fallback session, created only if some pack can't fork
+    val par = benchPar
+    val childCpus = math.max(4, 32 / par).toString
+    val allResults = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // lazy fallback session, created only if some pack can't fork;
+    // guarded by `fallbackLock` — one Spark session, one user thread
+    val fallbackLock = new Object
     var fallback: Option[SparkSession] = None
     def fallbackSession(): SparkSession = fallback.getOrElse {
       val s = newSession(); warmUp(s, sfDir); fallback = Some(s); s
     }
     def measureInProcess(names: Seq[String], iters: Int, useMin: Boolean)
-        : (Map[String, Double], Map[String, String]) = {
+        : (Map[String, Double], Map[String, String]) = fallbackLock.synchronized {
       val sel = SparkEntry.queries.view
         .filterKeys(names.toSet).toMap
       val (rs, es) = measure(fallbackSession(), sfDir, sel, iters, useMin)
       (rs.toMap, es.toMap)
     }
 
-    for ((label, names) <- chunks) {
-      val t0 = System.nanoTime()
-      val (qs, es) = cmd.flatMap(runPackChild(_, names, Map.empty))
-        .getOrElse {
-          System.err.println(s"[bench] $label: in-process fallback")
-          measureInProcess(names, benchIters, useMin = false)
+    val chunkList = chunks
+    val nTotal = chunkList.iterator.map(_._2.size).sum
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String])]()
+    chunkList.foreach(queue.add)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t0 = System.nanoTime()
+
+    def runWorker(): Unit = {
+      var next = queue.poll()
+      while (next != null) {
+        val (label, names) = next
+        val tp = System.nanoTime()
+        val (qs, es) = cmd.flatMap(runPackChild(_, names,
+            Map("SPARK_GRAFT_CPUS" -> childCpus)))
+          .getOrElse {
+            System.err.println(s"[bench] $label: in-process fallback")
+            measureInProcess(names, benchIters, useMin = false)
+          }
+        // a name the child never reported (shouldn't happen on exit 0)
+        // is recorded as an error, never silently dropped
+        names.foreach { n =>
+          allResults.put(n, qs.getOrElse(n, -1.0))
+          es.get(n).orElse(if (qs.contains(n)) None
+            else Some("missing from child output")).foreach(errors.put(n, _))
         }
-      System.err.println(
-        f"[bench] $label%-22s ${names.size}%3d queries  " +
-          f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
-      // a name the child never reported (shouldn't happen on exit 0)
-      // is recorded as an error, never silently dropped
-      names.foreach { n =>
-        allResults(n) = qs.getOrElse(n, -1.0)
-        es.get(n).orElse(if (qs.contains(n)) None
-          else Some("missing from child output")).foreach(errors(n) = _)
+        val d = done.addAndGet(names.size)
+        val soFar = {
+          val it = allResults.values().iterator()
+          var s = 0.0
+          while (it.hasNext) { val v = it.next(); if (v >= 0) s += v }
+          s
+        }
+        // PARTIAL-RESULT line after EVERY pack (VERDICT r12 item 1a):
+        // the driver keeps only a ~2 KB stdout tail, so on a timeout
+        // the artifact must still end in a parseable summary — this
+        // compact line is the guarantee that BENCH_r{N} never again
+        // parses to null just because the run was cut short.
+        Bench.synchronized {
+          println(f"""{"metric":"partial","done":$d,"n":$nTotal,"total_so_far":$soFar%.1f,"errors":${errors.size},"elapsed":${(System.nanoTime() - t0) / 1e9}%.1f,"sf":${jstr(sfDir)}}""")
+          System.out.flush()
+          System.err.println(
+            f"[bench] $label%-22s ${names.size}%3d queries  " +
+              f"${(System.nanoTime() - tp) / 1e9}%7.1f s  ($d/$nTotal done)")
+        }
+        next = queue.poll()
       }
     }
 
-    val results = allResults.toSeq.sortBy(_._1)
+    val workers = (1 to par).map { i =>
+      val t = new Thread(() => runWorker(), s"bench-worker-$i")
+      t.setDaemon(true); t.start(); t
+    }
+    workers.foreach(_.join())
+
+    import scala.jdk.CollectionConverters._
+    val results = allResults.asScala.toSeq.sortBy(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val errs = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     // Second, SHORT summary line: the driver stores only the last
@@ -320,7 +410,7 @@ object Bench {
     // depending on judge re-runs. Path overridable for dev runs.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detail =
-      s"""{"metric":"detail","total":$total,"n":${results.size},"iters":$benchIters,"sf":${jstr(sfDir)},"isolation":"fork-per-pack","chunk_max":$ChunkMax,
+      s"""{"metric":"detail","total":$total,"n":${results.size},"iters":$benchIters,"sf":${jstr(sfDir)},"isolation":"fork-per-pack","par":$benchPar,"fast_cutoff":$fastCutoff,"chunk_max":$ChunkMax,
          |"queries":$qs,
          |"errors":$errs,
          |"recheck":$rcJson}""".stripMargin

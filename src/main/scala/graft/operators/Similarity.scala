@@ -259,6 +259,123 @@ object Similarity {
           .as("centroid"))
   }
 
+  /** IVF nlist policy (VERDICT r12 item 4 — the
+    * [[GraphAnn.numUpperLevels]] analog for the coarse quantizer):
+    * nlist = clamp(minCells, cap, ⌊√n⌋). √n is the standard IVF
+    * sizing (FAISS guideline: nlist ∈ [√n, 16√n]; Jégou et al. 2011
+    * §V sizes the coarse quantizer so cells hold √n-ish members) —
+    * it balances the two serve-side costs, probes·(n/nlist) candidate
+    * scans vs nlist centroid comparisons, which are equal at √n. A
+    * FIXED nlist means unbounded cell scans at 100 TB; this policy is
+    * what the trainer gates wire in (q501/q502). Deterministic:
+    * ⌊√n⌋ via IEEE sqrt (exact at perfect squares, correctly rounded
+    * elsewhere — both engines agree), then clamped.
+    */
+  def numCells(n: Long, minCells: Int = 4, cap: Int = 65536): Int = {
+    require(n >= 0 && minCells >= 1 && cap >= minCells)
+    math.min(cap.toLong,
+      math.max(minCells.toLong, math.sqrt(n.toDouble).toLong)).toInt
+  }
+
+  /** Probe-count policy paired with [[numCells]]: nprobe =
+    * min(nlist, max(minProbes, ⌈nlist/8⌉)) — probes grow with the
+    * cell count so recall holds as the quantizer subdivides (a fixed
+    * nprobe over a growing nlist probes a vanishing corpus fraction).
+    */
+  def numProbes(nlist: Int, minProbes: Int = 3): Int = {
+    require(nlist >= 1 && minProbes >= 1)
+    math.min(nlist, math.max(minProbes, (nlist + 7) / 8))
+  }
+
+  /** Incremental IVF maintenance — the INSERT half of the
+    * q457/q458-style index lifecycle for the IVF family: new rows
+    * assign to their nearest EXISTING cell (one scan-speed argmax
+    * against the literal centroids, no join, no shuffle) and the
+    * quantizer does NOT retrain. Output: (id, vec, cell) rows ready
+    * to union with the stored index. At 100 TB this is the only
+    * affordable steady-state path — retraining is a corpus pass,
+    * inserting is a batch pass; [[cellDriftAudit]] decides WHEN the
+    * corpus pass is due.
+    */
+  def insertIntoCells(rows: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    rows.select(col(idCol), col(vecCol),
+      assignCell(col(vecCol), cents).as("cell"))
+
+  /** Multi-probe IVF serve over a PRE-ASSIGNED index — the production
+    * shape: corpus cells come from the stored `cellCol` (written at
+    * insert/build time by [[insertIntoCells]]/[[ivfAssign]]), never
+    * recomputed per query. Query side probes its `probes` nearest
+    * cells; the probe stays a cell equi-join against the stored
+    * index, ≈ probes/nlist of the corpus per query.
+    */
+  def annTopKIvfPreassignedD(queries: DataFrame, coded: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      cents: Seq[(Int, Seq[Double])], k: Int, probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= cents.size)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(assignCells(col(vecCol), cents, probes)).as("cell"))
+    val c = coded.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nvec"), col(cellCol).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("cos").as("cosine"))
+  }
+
+  /** Quantizer-drift audit — the RETRAIN trigger of the incremental
+    * IVF lifecycle: per cell, how well the frozen centroids still fit
+    * the inserted population vs the population they were trained on.
+    * Fit is the assignment cosine in shifted fixed point
+    * (⌊(cos+1)·10⁶⌋ ∈ [0, 2·10⁶] — non-negative, so the integer mean
+    * is engine-exact), means are integral divisions of long sums, and
+    * `drift_ppm = base_fit − insert_fit` (positive = inserts fit
+    * WORSE). `retrain` flags cells whose drift exceeds the threshold;
+    * ANY flagged cell is the cue to schedule the full retrain pass.
+    * One keyed partial agg over base ∪ inserts — at 100 TB the audit
+    * rides the insert batch's scan; only nlist rows ever aggregate.
+    */
+  def cellDriftAudit(base: DataFrame, inserted: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[(Int, Seq[Double])],
+      driftPpmThreshold: Long): DataFrame = {
+    import graft.functions.FixedPoint.idiv
+    def fit(src: DataFrame, tag: Int): DataFrame = src
+      .withColumn("cell", assignCell(col(vecCol), cents))
+      .select(col("cell"),
+        floor((cosineNative(col(vecCol), centOf(col("cell"), cents)) +
+          1.0d) * 1000000.0d).cast("long").as("fit_ppm"),
+        lit(tag).as("__src"))
+    fit(base, 0).unionByName(fit(inserted, 1))
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("__src") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__src") === 1, 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(col("__src") === 0, col("fit_ppm")).otherwise(0L))
+          .as("__sb"),
+        sum(when(col("__src") === 1, col("fit_ppm")).otherwise(0L))
+          .as("__si"))
+      .withColumn("base_fit_ppm",
+        when(col("n_base") > 0, idiv(col("__sb"), col("n_base")))
+          .otherwise(lit(0L)))
+      .withColumn("insert_fit_ppm",
+        when(col("n_inserted") > 0, idiv(col("__si"), col("n_inserted")))
+          .otherwise(lit(0L)))
+      // a cell with no inserts (or no base members) has no drift
+      // EVIDENCE — it never triggers a retrain on its own
+      .withColumn("drift_ppm",
+        when(col("n_base") > 0 && col("n_inserted") > 0,
+          col("base_fit_ppm") - col("insert_fit_ppm")).otherwise(lit(0L)))
+      .withColumn("retrain", col("drift_ppm") > driftPpmThreshold)
+      .select(col("cell").cast("long").as("cell"), col("n_base"),
+        col("n_inserted"), col("base_fit_ppm"), col("insert_fit_ppm"),
+        col("drift_ppm"), col("retrain"))
+  }
+
   /** Top-`probes` nearest cells for a query vector, best first —
     * the multi-probe assignment. Same scored-struct array as
     * [[assignCell]]; array_sort orders (score asc, cell asc), so the

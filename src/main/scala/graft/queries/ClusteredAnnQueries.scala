@@ -343,26 +343,47 @@ object ClusteredAnnQueries extends QueryPack {
        |c$it AS MATERIALIZED (SELECT cell, $centroidList AS c FROM gg$it)""".stripMargin
   }
 
-  private lazy val coarseCtes: String =
-    s"""vv AS MATERIALIZED (SELECT vec_id,
+  /** Parameterized coarse replay (the r13 lifecycle gates train on a
+    * SUBSET): `va` = all double vectors, `vv` = the TRAINING rows
+    * (`trainCond`), seeds/Lloyd rounds over vv with nlist from the
+    * SQL scalar `nclSql`, and the FINAL ranking `qrk`/assignment
+    * `asg` over **va** — base rows and incremental inserts assign
+    * against the same frozen c2, exactly
+    * [[Similarity.insertIntoCells]]. `qrk` keeps the winning `cos`
+    * (the drift audit's fit signal).
+    */
+  private def coarseCtesOn(trainCond: String, nclSql: String): String =
+    s"""va AS MATERIALIZED (SELECT vec_id,
        |  list_transform(q, x -> CAST(x AS DOUBLE)) AS v FROM qz),
+       |vv AS MATERIALIZED (SELECT vec_id, v FROM va WHERE $trainCond),
        |sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY
        |    ${hashSql("vec_id", ":seed")}, vec_id) - 1 AS cell
        |  FROM vv),
        |c0 AS MATERIALIZED (SELECT cell, v AS c FROM sd
-       |  WHERE cell < $NCl),
+       |  WHERE cell < ($nclSql)),
        |${coarseAssignSql(1, "c0")},
        |${coarseRefineSql(1)},
        |${coarseAssignSql(2, "c1")},
        |${coarseRefineSql(2)},
        |qsc AS (SELECT e.vec_id, e.v, c.cell,
        |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
-       |  FROM vv e CROSS JOIN c2 c),
-       |qrk AS MATERIALIZED (SELECT vec_id, v, cell,
+       |  FROM va e CROSS JOIN c2 c),
+       |qrk AS MATERIALIZED (SELECT vec_id, v, cell, cos,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos DESC, cell DESC) AS rn
        |  FROM qsc),
        |asg AS (SELECT vec_id, v, cell FROM qrk WHERE rn = 1)""".stripMargin
+
+  /** The [[Similarity.numCells]] policy as a SQL scalar over `src`. */
+  private def nlSql(src: String): String =
+    "GREATEST(4, LEAST(65536, CAST(floor(sqrt(CAST(" +
+      s"(SELECT count(*) FROM $src) AS DOUBLE))) AS BIGINT)))"
+
+  /** The [[Similarity.numProbes]] policy over [[nlSql]]. */
+  private def npSql(src: String): String =
+    s"GREATEST(3, ((${nlSql(src)}) + 7) // 8)"
+
+  private lazy val coarseCtes: String = coarseCtesOn("TRUE", NCl.toString)
 
   /** Brute-force exact top-k over corpus nodes matching `cond`. */
   private def bfSql(cond: String): String =
@@ -398,6 +419,60 @@ object ClusteredAnnQueries extends QueryPack {
 
   private def queriesOf(codes: DataFrame): DataFrame =
     codes.filter(col("vec_id") % 25 === 0)
+
+  /** Drift-audit retrain threshold (q503): 20 000 ppm ≈ a 0.02 drop
+    * in mean assignment cosine — far above same-mixture noise (the
+    * 'natural' batch reads drift ∈ [−800, 3600] ppm at sf0.01) and
+    * far below the sign-flip collapse (up to ~8e5 ppm; cells whose
+    * flipped inserts land elsewhere read 0 — no evidence, no flag).
+    */
+  private val DriftPpm = 20000L
+
+  /** The clustered codes as DOUBLE vectors (the IVF family's input),
+    * checkpointed — the trainer loop's actions would otherwise replay
+    * the hash fixture per iteration.
+    */
+  private def doubleVecs(s: SparkSession, dir: String): DataFrame =
+    clusteredCodes(s, dir).select(col("vec_id"),
+        transform(col("code"), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+
+  /** Hash-seeded k-means init: the `ncl` smallest ':seed'-hash rows
+    * (q473's discipline), cell ids 0..ncl-1 in hash order.
+    */
+  private def seedInit(vecs: DataFrame, ncl: Int): Seq[(Int, Seq[Double])] =
+    vecs.withColumn("__h", GraphAnn.saltedHash60(col("vec_id"), ":seed"))
+      .orderBy(col("__h"), col("vec_id")).limit(ncl)
+      .select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toSeq) }
+      .toSeq
+
+  /** Brute-force cosine top-k (self excluded) — the IVF family's
+    * exact ground truth (double vectors, cosine ranking).
+    */
+  private def bruteCosTopK(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val qc = queries.select(col("vec_id").as("query_id"),
+      col("v").as("__qv"))
+    qc.join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("v").as("__nv")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__c", Similarity.cosineNative(col("__qv"), col("__nv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__c").desc, col("neighbor_id"))))
+      .filter(col("__rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** [[bruteCosTopK]]'s mirror: `bf(query_id, node)` over `src`. */
+  private def bruteCosSql(src: String): String =
+    s"""bf AS MATERIALIZED (SELECT query_id, node FROM (
+       |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+       |      PARTITION BY qq.query_id
+       |      ORDER BY ${SimilarityQueries.cosSql("qq.qv", "z.v")} DESC,
+       |        z.vec_id) AS rn
+       |  FROM qq JOIN $src z ON z.vec_id <> qq.query_id)
+       |  WHERE rn <= $TopK)""".stripMargin
 
   /** Exact integer-dot top-k over `corpus` (self excluded). */
   private def bruteTopK(queries: DataFrame, corpus: DataFrame): DataFrame = {
@@ -1090,6 +1165,175 @@ object ClusteredAnnQueries extends QueryPack {
         |${recallSelect("sq8_direct", "short")}
         |UNION ALL
         |${recallSelect("sq8_rerank", "rrk")}
-        |ORDER BY family""".stripMargin))
+        |ORDER BY family""".stripMargin)),
+
+    // IVF nlist POLICY wired into the trainer (VERDICT r12 item 4 /
+    // r13 ask 4): nlist = numCells(n) = clamp(4, 65536, ⌊√n⌋) and
+    // nprobe = numProbes(nlist), both computed FROM THE CORPUS —
+    // 22 cells at sf0.01 (n=500), 44 at sf0.1 (n=2000) — instead of
+    // the fixed NCl=8 whose cell scans grow unboundedly with the
+    // corpus. The oracle re-derives both policies in SQL from
+    // count(*), so the gate pins policy + trainer + serve end to end.
+    "q501_ivf_nlist_policy" -> Q(
+      (s, dir) => {
+        val vecs = doubleVecs(s, dir)
+        val n = vecs.count()
+        val ncl = Similarity.numCells(n)
+        val probes = Similarity.numProbes(ncl)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val served = Similarity.annTopKIvfMultiProbeD(queries, vecs,
+          "vec_id", "v", cents, TopK, probes)
+        recallRow("ivf_nlist_policy", queries, served,
+            bruteCosTopK(queries, vecs))
+          .withColumn("nlist", lit(ncl.toLong))
+          .withColumn("nprobe", lit(probes.toLong))
+      },
+      Some(s"""WITH $codesCte,
+        |${coarseCtesOn("TRUE", nlSql("vv"))},
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+        |  FROM va WHERE vec_id % 25 = 0),
+        |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+        |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
+        |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
+        |  FROM qp JOIN asg USING (cell)
+        |  WHERE qp.query_id <> asg.vec_id),
+        |srv AS (SELECT query_id, node, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+        |  FROM srvs),
+        |${bruteCosSql("va")}
+        |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
+        |  CAST((${npSql("vv")}) AS BIGINT) AS nprobe
+        |FROM (${recallSelect("ivf_nlist_policy", "srv")}) f""".stripMargin)),
+
+    // Incremental IVF maintenance (r13 ask 4, the IVF side of the
+    // q457/q458 graph lifecycle): the quantizer trains ONLY on the
+    // base 3/4 of the corpus (vec_id % 4 ≠ 1); the remaining quarter
+    // arrives later via insertIntoCells — assign-to-nearest against
+    // the FROZEN centroids, no retrain — and the serve runs over the
+    // PRE-ASSIGNED stored index (annTopKIvfPreassignedD, the
+    // production shape: cells are index state, not per-serve
+    // recomputation). Recall is audited against brute force over the
+    // FULL corpus: the pin that no-retrain insertion keeps production
+    // recall.
+    "q502_ivf_incremental_insert" -> Q(
+      (s, dir) => {
+        val vecs = doubleVecs(s, dir)
+        val base = vecs.filter(col("vec_id") % 4 =!= 1)
+        val ins = vecs.filter(col("vec_id") % 4 === 1)
+        val nBase = base.count()
+        val ncl = Similarity.numCells(nBase)
+        val probes = Similarity.numProbes(ncl)
+        val cents = Similarity.kmeansIterate(base, "v",
+          seedInit(base, ncl), KmIters)
+        val index = Similarity.insertIntoCells(base, "vec_id", "v", cents)
+          .unionByName(
+            Similarity.insertIntoCells(ins, "vec_id", "v", cents))
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val served = Similarity.annTopKIvfPreassignedD(queries, index,
+          "vec_id", "v", "cell", cents, TopK, probes)
+        recallRow("ivf_incremental_insert", queries, served,
+            bruteCosTopK(queries, vecs))
+          .withColumn("nlist", lit(ncl.toLong))
+          .withColumn("n_inserted", lit(ins.count()))
+      },
+      Some(s"""WITH $codesCte,
+        |${coarseCtesOn("vec_id % 4 <> 1", nlSql("vv"))},
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+        |  FROM va WHERE vec_id % 25 = 0),
+        |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+        |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
+        |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
+        |  FROM qp JOIN asg USING (cell)
+        |  WHERE qp.query_id <> asg.vec_id),
+        |srv AS (SELECT query_id, node, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+        |  FROM srvs),
+        |${bruteCosSql("va")}
+        |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
+        |  (SELECT count(*) FROM va WHERE vec_id % 4 = 1) AS n_inserted
+        |FROM (${recallSelect("ivf_incremental_insert", "srv")}) f""".stripMargin)),
+
+    // Quantizer-drift audit — the RETRAIN trigger closing the
+    // incremental loop: per-cell fixed-point fit (⌊(cos+1)·10⁶⌋) of
+    // the base population vs two insert batches against the SAME
+    // frozen base-trained centroids. The 'natural' batch draws from
+    // the same mixture (drift ≈ 0 — inserts keep flowing, no retrain)
+    // while the 'shifted' batch is sign-flipped (fit collapses,
+    // retrain fires) — both decisions pinned from one audit operator.
+    "q503_ivf_drift_audit" -> Q(
+      (s, dir) => {
+        val vecs = doubleVecs(s, dir)
+        val base = vecs.filter(col("vec_id") % 4 =!= 1)
+        val ins = vecs.filter(col("vec_id") % 4 === 1)
+        val nBase = base.count()
+        val cents = Similarity.kmeansIterate(base, "v",
+          seedInit(base, Similarity.numCells(nBase)), KmIters)
+        val shifted = ins.select(col("vec_id"),
+          transform(col("v"), x => -x).as("v"))
+        def fam(name: String, batch: org.apache.spark.sql.DataFrame) =
+          Similarity.cellDriftAudit(base, batch, "vec_id", "v", cents,
+              DriftPpm)
+            .withColumn("family", lit(name))
+        fam("natural", ins).unionByName(fam("shifted", shifted))
+          .select(col("family"), col("cell"), col("n_base"),
+            col("n_inserted"), col("base_fit_ppm"),
+            col("insert_fit_ppm"), col("drift_ppm"), col("retrain"))
+          .orderBy(col("family"), col("cell"))
+      },
+      Some(s"""WITH $codesCte,
+        |${coarseCtesOn("vec_id % 4 <> 1", nlSql("vv"))},
+        |ins AS (SELECT vec_id, v FROM va WHERE vec_id % 4 = 1),
+        |shf AS (SELECT vec_id, list_transform(v, x -> -x) AS v
+        |  FROM ins),
+        |shsc AS (SELECT e.vec_id, c.cell,
+        |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
+        |  FROM shf e CROSS JOIN c2 c),
+        |shrk AS MATERIALIZED (SELECT vec_id, cell, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cell DESC) AS rn
+        |  FROM shsc),
+        |fits AS (
+        |  SELECT 'natural' AS family, cell,
+        |    CASE WHEN vec_id % 4 = 1 THEN 1 ELSE 0 END AS src,
+        |    CAST(floor((cos + 1.0) * 1000000.0) AS BIGINT) AS fit_ppm
+        |  FROM qrk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT 'shifted' AS family, cell, 0 AS src,
+        |    CAST(floor((cos + 1.0) * 1000000.0) AS BIGINT) AS fit_ppm
+        |  FROM qrk WHERE rn = 1 AND vec_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT 'shifted' AS family, cell, 1 AS src,
+        |    CAST(floor((cos + 1.0) * 1000000.0) AS BIGINT) AS fit_ppm
+        |  FROM shrk WHERE rn = 1),
+        |g AS (SELECT family, cell,
+        |    CAST(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_inserted,
+        |    CAST(sum(CASE WHEN src = 0 THEN fit_ppm ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN src = 1 THEN fit_ppm ELSE 0 END)
+        |      AS BIGINT) AS si
+        |  FROM fits GROUP BY 1, 2),
+        |h AS (SELECT family, CAST(cell AS BIGINT) AS cell, n_base,
+        |    n_inserted,
+        |    CASE WHEN n_base > 0 THEN sb // n_base ELSE 0 END
+        |      AS base_fit_ppm,
+        |    CASE WHEN n_inserted > 0 THEN si // n_inserted ELSE 0 END
+        |      AS insert_fit_ppm
+        |  FROM g)
+        |SELECT family, cell, n_base, n_inserted, base_fit_ppm,
+        |  insert_fit_ppm,
+        |  CASE WHEN n_base > 0 AND n_inserted > 0
+        |    THEN base_fit_ppm - insert_fit_ppm ELSE 0 END AS drift_ppm,
+        |  (CASE WHEN n_base > 0 AND n_inserted > 0
+        |    THEN base_fit_ppm - insert_fit_ppm ELSE 0 END) > $DriftPpm
+        |    AS retrain
+        |FROM h
+        |ORDER BY family, cell""".stripMargin))
   )
 }
