@@ -480,6 +480,33 @@ object Search {
     maxSimCore(docTok, tokv, qv, cand, k)
   }
 
+  /** [[maxSimTopK]] with an EXTERNAL token-embedding table — the
+    * "swap learned embeddings in with zero plan change" claim, made
+    * a gate (q506): `tokenVecs` is any (token string, tv array<int>)
+    * frame — in production the parquet a trained encoder exported —
+    * and the serve is the SAME posting-gated join/score core; the
+    * only plan delta is a parquet scan where the hash projection
+    * stood. Tokens absent from the table score nothing (the OOV
+    * contract, identical to query tokens missing from the corpus
+    * vocabulary). No checkpoint on the external frame: it is already
+    * storage, and the scan keeps column pruning/pushdown.
+    */
+  def maxSimTopKExternal(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, tokenVecs: DataFrame,
+      k: Int): DataFrame = {
+    val docTok = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .distinct()
+    val tokv = tokenVecs.select(col("token"), col("tv"))
+    val q = queries.select(col("qid"), lower(col("token")).as("token"))
+      .distinct()
+    val qv = q.join(tokv, Seq("token"))
+      .select(col("qid"), col("token").as("qtoken"), col("tv").as("qv"))
+    val cand = docTok.join(broadcast(q), Seq("token"))
+      .select(col("qid"), col("doc_id")).distinct()
+    maxSimCore(docTok, tokv, qv, cand, k)
+  }
+
   /** [[maxSimTopK]] over an EXPLICIT candidate list (qid, doc_id) —
     * the re-rank stage of a two-stage retrieval: a dense (or ANN)
     * shortlist feeds in, MaxSim re-scores it with token granularity

@@ -474,6 +474,95 @@ object ClusteredAnnQueries extends QueryPack {
        |  FROM qq JOIN $src z ON z.vec_id <> qq.query_id)
        |  WHERE rn <= $TopK)""".stripMargin
 
+  /** Double squared-L2 of `a[off+1..off+len]` vs `b[1..len]` — the
+    * subspace-slice mirror of the native PQ kernels' fold.
+    */
+  private def l2dAt(a: String, off: Int, b: String, len: Int): String =
+    s"list_reduce([0.0] || list_transform(range(1, ${len + 1}), " +
+      s"i -> ($a[i + $off] - $b[i]) * ($a[i + $off] - $b[i])), " +
+      "(acc, x) -> acc + x)"
+
+  private def dlit(c: Seq[Double]): String =
+    c.mkString("([", ", ", "]::DOUBLE[])")
+
+  /** The residual-IVF-PQ replay shared by q483 and the committed-
+    * serve gate q505: coarse quantizer (coarseCtes) → residuals `rs`
+    * → per-subspace PQ train/encode (seed literals → residual argmin
+    * → quantized-sum refinement with seed fallback → re-encode) →
+    * code table `cd` → queries `qq` → probed residuals `qr` →
+    * candidates `cand` → ADC distances `adc` → ranked shortlist
+    * `short` (≤ ShortK rows/query).
+    */
+  private lazy val ivfPqCtes: String = {
+    // per-subspace PQ replay: seed literals → residual argmin →
+    // quantized-sum refinement (seed fallback) → re-encode
+    val pqBlocks = (0 until PqM).map { mi =>
+      val off = mi * PqSubDim
+      val sums = (0 until PqSubDim).map(d =>
+        s"CAST(sum(CAST(floor(r[${off + d + 1}] * $Q20) AS BIGINT)) AS BIGINT) AS s$d")
+        .mkString(", ")
+      val clist = (0 until PqSubDim).map(d =>
+        s"s$d / (CAST(n AS DOUBLE) * $Q20)").mkString("[", ", ", "]")
+      val seeds = PqInit(mi).zipWithIndex
+        .map { case (c, i) => s"($i, ${dlit(c)})" }.mkString(", ")
+      s"""pa$mi AS (SELECT vec_id, cell FROM (
+         |  SELECT rs.vec_id, s.cell, row_number() OVER (
+         |      PARTITION BY rs.vec_id
+         |      ORDER BY ${l2dAt("rs.r", off, "s.c", PqSubDim)} ASC,
+         |        s.cell ASC) AS rn
+         |  FROM rs CROSS JOIN (VALUES $seeds) s(cell, c))
+         |  WHERE rn = 1),
+         |pg$mi AS (SELECT pa$mi.cell, count(*) AS n, $sums
+         |  FROM pa$mi JOIN rs USING (vec_id) GROUP BY pa$mi.cell),
+         |pr$mi AS MATERIALIZED (SELECT sd.cell,
+         |    coalesce(pc.c, sd.sc) AS c
+         |  FROM (VALUES $seeds) sd(cell, sc) LEFT JOIN
+         |    (SELECT cell, $clist AS c FROM pg$mi) pc USING (cell)),
+         |pe$mi AS MATERIALIZED (SELECT vec_id, cell AS e$mi FROM (
+         |  SELECT rs.vec_id, p.cell, row_number() OVER (
+         |      PARTITION BY rs.vec_id
+         |      ORDER BY ${l2dAt("rs.r", off, "p.c", PqSubDim)} ASC,
+         |        p.cell ASC) AS rn
+         |  FROM rs CROSS JOIN pr$mi p) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adcSum = (0 until PqM).map(mi =>
+      l2dAt("cand.qr", mi * PqSubDim, s"r$mi.c", PqSubDim))
+      .mkString(" + ")
+    val adcJoins = (0 until PqM).map(mi =>
+      s"JOIN pr$mi r$mi ON r$mi.cell = cand.e$mi").mkString("\n|  ")
+    s"""$codesCte,
+       |$coarseCtes,
+       |rs AS MATERIALIZED (SELECT asg.vec_id, asg.cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> asg.v[i] - c2.c[i]) AS r
+       |  FROM asg JOIN c2 USING (cell)),
+       |$pqBlocks,
+       |cd AS MATERIALIZED (SELECT rs.vec_id, rs.cell,
+       |    ${(0 until PqM).map(mi => s"pe$mi.e$mi").mkString(", ")}
+       |  FROM rs ${(0 until PqM).map(mi =>
+        s"JOIN pe$mi USING (vec_id)").mkString(" ")}),
+       |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+       |  FROM vv WHERE vec_id % 25 = 0),
+       |qr0 AS (SELECT vec_id AS query_id, v, cell FROM qrk
+       |  WHERE vec_id % 25 = 0 AND rn <= $Probes),
+       |qr AS MATERIALIZED (SELECT query_id, qr0.cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> qr0.v[i] - c2.c[i]) AS qr
+       |  FROM qr0 JOIN c2 USING (cell)),
+       |cand AS (SELECT qr.query_id, qr.qr, cd.vec_id AS node,
+       |    ${(0 until PqM).map(mi => s"cd.e$mi").mkString(", ")}
+       |  FROM qr JOIN cd USING (cell)
+       |  WHERE qr.query_id <> cd.vec_id),
+       |adc AS MATERIALIZED (SELECT cand.query_id, cand.node,
+       |    $adcSum AS adist
+       |  FROM cand
+       |  $adcJoins),
+       |short AS MATERIALIZED (SELECT query_id, node, rn FROM (
+       |  SELECT query_id, node, adist, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist ASC, node) AS rn
+       |  FROM adc) WHERE rn <= $ShortK)""".stripMargin
+  }
+
   /** Exact integer-dot top-k over `corpus` (self excluded). */
   private def bruteTopK(queries: DataFrame, corpus: DataFrame): DataFrame = {
     val qc = queries.select(col("vec_id").as("query_id"),
@@ -865,98 +954,24 @@ object ClusteredAnnQueries extends QueryPack {
             recallRow("ivfpq_rerank", queries, rerank, exact))
           .orderBy(col("family"))
       },
-      {
-        def l2At(a: String, off: Int, b: String, len: Int): String =
-          s"list_reduce([0.0] || list_transform(range(1, ${len + 1}), " +
-            s"i -> ($a[i + $off] - $b[i]) * ($a[i + $off] - $b[i])), " +
-            "(acc, x) -> acc + x)"
-        def dlit(c: Seq[Double]): String =
-          c.mkString("([", ", ", "]::DOUBLE[])")
-        // per-subspace PQ replay: seed literals → residual argmin →
-        // quantized-sum refinement (seed fallback) → re-encode
-        val pqBlocks = (0 until PqM).map { mi =>
-          val off = mi * PqSubDim
-          val sums = (0 until PqSubDim).map(d =>
-            s"CAST(sum(CAST(floor(r[${off + d + 1}] * $Q20) AS BIGINT)) AS BIGINT) AS s$d")
-            .mkString(", ")
-          val clist = (0 until PqSubDim).map(d =>
-            s"s$d / (CAST(n AS DOUBLE) * $Q20)").mkString("[", ", ", "]")
-          val seeds = PqInit(mi).zipWithIndex
-            .map { case (c, i) => s"($i, ${dlit(c)})" }.mkString(", ")
-          s"""pa$mi AS (SELECT vec_id, cell FROM (
-             |  SELECT rs.vec_id, s.cell, row_number() OVER (
-             |      PARTITION BY rs.vec_id
-             |      ORDER BY ${l2At("rs.r", off, "s.c", PqSubDim)} ASC,
-             |        s.cell ASC) AS rn
-             |  FROM rs CROSS JOIN (VALUES $seeds) s(cell, c))
-             |  WHERE rn = 1),
-             |pg$mi AS (SELECT pa$mi.cell, count(*) AS n, $sums
-             |  FROM pa$mi JOIN rs USING (vec_id) GROUP BY pa$mi.cell),
-             |pr$mi AS MATERIALIZED (SELECT sd.cell,
-             |    coalesce(pc.c, sd.sc) AS c
-             |  FROM (VALUES $seeds) sd(cell, sc) LEFT JOIN
-             |    (SELECT cell, $clist AS c FROM pg$mi) pc USING (cell)),
-             |pe$mi AS MATERIALIZED (SELECT vec_id, cell AS e$mi FROM (
-             |  SELECT rs.vec_id, p.cell, row_number() OVER (
-             |      PARTITION BY rs.vec_id
-             |      ORDER BY ${l2At("rs.r", off, "p.c", PqSubDim)} ASC,
-             |        p.cell ASC) AS rn
-             |  FROM rs CROSS JOIN pr$mi p) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        val adcSum = (0 until PqM).map(mi =>
-          l2At("cand.qr", mi * PqSubDim, s"r$mi.c", PqSubDim))
-          .mkString(" + ")
-        val adcJoins = (0 until PqM).map(mi =>
-          s"JOIN pr$mi r$mi ON r$mi.cell = cand.e$mi").mkString("\n|  ")
-        Some(s"""WITH $codesCte,
-          |$coarseCtes,
-          |rs AS MATERIALIZED (SELECT asg.vec_id, asg.cell,
-          |    list_transform(range(1, ${Dim + 1}),
-          |      i -> asg.v[i] - c2.c[i]) AS r
-          |  FROM asg JOIN c2 USING (cell)),
-          |$pqBlocks,
-          |cd AS MATERIALIZED (SELECT rs.vec_id, rs.cell,
-          |    ${(0 until PqM).map(mi => s"pe$mi.e$mi").mkString(", ")}
-          |  FROM rs ${(0 until PqM).map(mi =>
-            s"JOIN pe$mi USING (vec_id)").mkString(" ")}),
-          |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
-          |  FROM vv WHERE vec_id % 25 = 0),
-          |qr0 AS (SELECT vec_id AS query_id, v, cell FROM qrk
-          |  WHERE vec_id % 25 = 0 AND rn <= $Probes),
-          |qr AS MATERIALIZED (SELECT query_id, qr0.cell,
-          |    list_transform(range(1, ${Dim + 1}),
-          |      i -> qr0.v[i] - c2.c[i]) AS qr
-          |  FROM qr0 JOIN c2 USING (cell)),
-          |cand AS (SELECT qr.query_id, qr.qr, cd.vec_id AS node,
-          |    ${(0 until PqM).map(mi => s"cd.e$mi").mkString(", ")}
-          |  FROM qr JOIN cd USING (cell)
-          |  WHERE qr.query_id <> cd.vec_id),
-          |adc AS MATERIALIZED (SELECT cand.query_id, cand.node,
-          |    $adcSum AS adist
-          |  FROM cand
-          |  $adcJoins),
-          |short AS MATERIALIZED (SELECT query_id, node, rn FROM (
-          |  SELECT query_id, node, adist, row_number() OVER (
-          |      PARTITION BY query_id ORDER BY adist ASC, node) AS rn
-          |  FROM adc) WHERE rn <= $ShortK),
-          |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
-          |      PARTITION BY s.query_id
-          |      ORDER BY ${l2At("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
-          |      AS rn
-          |  FROM short s JOIN qq ON qq.query_id = s.query_id
-          |  JOIN vv nv ON nv.vec_id = s.node),
-          |bf AS MATERIALIZED (SELECT query_id, node FROM (
-          |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
-          |      PARTITION BY qq.query_id
-          |      ORDER BY ${l2At("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
-          |      AS rn
-          |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
-          |  WHERE rn <= $TopK)
-          |${recallSelect("ivfpq_adc", "short")}
-          |UNION ALL
-          |${recallSelect("ivfpq_rerank", "rrk")}
-          |ORDER BY family""".stripMargin)
-      }),
+      Some(s"""WITH $ivfPqCtes,
+        |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
+        |      PARTITION BY s.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
+        |      AS rn
+        |  FROM short s JOIN qq ON qq.query_id = s.query_id
+        |  JOIN vv nv ON nv.vec_id = s.node),
+        |bf AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+        |      AS rn
+        |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= $TopK)
+        |${recallSelect("ivfpq_adc", "short")}
+        |UNION ALL
+        |${recallSelect("ivfpq_rerank", "rrk")}
+        |ORDER BY family""".stripMargin)),
 
     // Signed JL projection (Achlioptas 2003): exact-integer ±1
     // projection 16 → 8 dims, distortion audited pairwise — the
@@ -1334,6 +1349,89 @@ object ClusteredAnnQueries extends QueryPack {
         |    THEN base_fit_ppm - insert_fit_ppm ELSE 0 END) > $DriftPpm
         |    AS retrain
         |FROM h
-        |ORDER BY family, cell""".stripMargin))
+        |ORDER BY family, cell""".stripMargin)),
+
+    // Serve-from-COMMITTED-index (r13 ask 5): the NN-descent graph is
+    // persisted through TxLog.commit (the lakehouse storage layer the
+    // TxLog family already gates), read back from the LOG's file list
+    // — never the in-memory frame — and the beam serves from the
+    // read-back edges. The production cold-start shape: every prior
+    // serve gate rebuilt its index in-gate; this one proves a restart
+    // serves the identical index. Artifact size rides along
+    // (n_edges ≤ n·k — the PLANS.md note's bound).
+    "q504_graph_committed_serve" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q504_")
+        graft.sources.TxLog.commit(graph, tmp.toString, "overwrite",
+          "src")
+        val edges = graft.sources.TxLog.read(s, tmp.toString)
+          .select(col("src"), col("dst"))
+        val queries = queriesOf(codes)
+        val served = GraphAnn.beamServe(queries, edges, codes,
+          "vec_id", "code", EntryK, Beam, Steps, TopK)
+        val out = recallRow("graph_committed_serve", queries, served,
+            bruteTopK(queries, codes))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH $codesCte,
+        |$graphCtes,
+        |$qqCte,
+        |${beamCtesL("b", "qq", Seq.fill(Steps)(s"e$Rounds"), "TRUE")},
+        |${bfSql("TRUE")}
+        |SELECT f.*, (SELECT count(*) FROM e$Rounds) AS n_edges
+        |FROM (${recallSelect("graph_committed_serve", "bsrv")}) f""".stripMargin)),
+
+    // IVF-PQ code table persisted + cold ADC serve (r13 ask 5, the
+    // quantized side): ivfPqEncode's (id, cell, codes) — at 100 TB
+    // the M-bytes-per-vector table that IS the serving index, raw
+    // vectors staying in cold storage — commits through TxLog and the
+    // ADC serve runs over the READ-BACK table. Recall row matches
+    // q483's warm 'ivfpq_adc' family by construction; n_codes pins
+    // that the round-trip lost no rows.
+    "q505_ivfpq_committed_serve" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        val vecs = doubleVecs(s, dir)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, NCl), KmIters)
+        val resid = Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
+          .localCheckpoint(true)
+        val cb = Similarity.pqTrain(resid, "res", PqInit)
+        val coded = Similarity.ivfPqEncode(vecs, "vec_id", "v", cents, cb)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q505_")
+        graft.sources.TxLog.commit(coded, tmp.toString, "overwrite",
+          "vec_id")
+        val codedBack = graft.sources.TxLog.read(s, tmp.toString)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val shortlist = Similarity.ivfPqAdcTopK(queries, codedBack,
+          "vec_id", "v", cents, cb, Probes, ShortK)
+        val exact = queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv"))
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+        val out = recallRow("ivfpq_committed_adc", queries, shortlist,
+            exact)
+          .crossJoin(codedBack.agg(count(lit(1)).as("n_codes")))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH $ivfPqCtes,
+        |bf AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+        |      AS rn
+        |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= $TopK)
+        |SELECT f.*, (SELECT count(*) FROM cd) AS n_codes
+        |FROM (${recallSelect("ivfpq_committed_adc", "short")}) f""".stripMargin))
   )
 }

@@ -31,6 +31,51 @@ import graft.operators.{Eval, LanguageModel}
   */
 object EvalLmQueries extends QueryPack {
 
+  /** q492's oracle, shared verbatim with q506: the external-embedding
+    * serve must produce the IDENTICAL ranking — one SQL, two plans.
+    */
+  private lazy val maxSimOracle: Option[String] = {
+        def h60(e: String): String =
+          s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+        val tvSql = "list_transform(range(1, 9), i -> CAST(" +
+          h60("token || ':' || CAST(i AS VARCHAR) || ':ms'") +
+          " % 21 - 10 AS INT))"
+        val dotSql = "CAST(list_reduce([CAST(0 AS BIGINT)] || " +
+          "list_transform(range(1, 9), i -> CAST(qv.v[i] * dv.v[i] " +
+          "AS BIGINT)), (acc, x) -> acc + x) AS BIGINT)"
+        Some(s"""WITH t AS (
+          |  SELECT doc_id,
+          |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(trim(lower(text)), '\\s+') END
+          |      AS toks
+          |  FROM documents),
+          |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
+          |tv AS MATERIALIZED (SELECT token, $tvSql AS v
+          |  FROM (SELECT DISTINCT token FROM tok)),
+          |qry(qid, token) AS (VALUES (1, 'spark'), (1, 'join'),
+          |  (2, 'fast'), (2, 'hash'), (2, 'table')),
+          |qv AS (SELECT qry.qid, qry.token AS qtoken, tv.v
+          |  FROM qry JOIN tv ON tv.token = qry.token),
+          |cand AS (SELECT DISTINCT qry.qid, tok.doc_id
+          |  FROM tok JOIN qry ON qry.token = tok.token),
+          |best AS (
+          |  SELECT cand.qid, cand.doc_id, qv.qtoken,
+          |    max($dotSql) AS best
+          |  FROM cand
+          |  JOIN tok ON tok.doc_id = cand.doc_id
+          |  JOIN tv dv ON dv.token = tok.token
+          |  JOIN qv ON qv.qid = cand.qid
+          |  GROUP BY 1, 2, 3),
+          |sc AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS maxsim
+          |  FROM best GROUP BY 1, 2)
+          |SELECT CAST(qid AS BIGINT) AS qid, rn, doc_id, maxsim FROM (
+          |  SELECT qid, doc_id, maxsim, CAST(row_number() OVER (
+          |      PARTITION BY qid ORDER BY maxsim DESC, doc_id)
+          |    AS BIGINT) AS rn
+          |  FROM sc) WHERE rn <= 10
+          |ORDER BY qid, rn""".stripMargin)
+      }
+
   /** KN absolute discount: the classic 0.75, as ppm. */
   private val DPpm = 750000L
 
@@ -490,47 +535,7 @@ object EvalLmQueries extends QueryPack {
             queries, dim = 8, salt = ":ms", k = 10)
           .orderBy(col("qid"), col("rn"))
       },
-      {
-        def h60(e: String): String =
-          s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
-        val tvSql = "list_transform(range(1, 9), i -> CAST(" +
-          h60("token || ':' || CAST(i AS VARCHAR) || ':ms'") +
-          " % 21 - 10 AS INT))"
-        val dotSql = "CAST(list_reduce([CAST(0 AS BIGINT)] || " +
-          "list_transform(range(1, 9), i -> CAST(qv.v[i] * dv.v[i] " +
-          "AS BIGINT)), (acc, x) -> acc + x) AS BIGINT)"
-        Some(s"""WITH t AS (
-          |  SELECT doc_id,
-          |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-          |         ELSE string_split_regex(trim(lower(text)), '\\s+') END
-          |      AS toks
-          |  FROM documents),
-          |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
-          |tv AS MATERIALIZED (SELECT token, $tvSql AS v
-          |  FROM (SELECT DISTINCT token FROM tok)),
-          |qry(qid, token) AS (VALUES (1, 'spark'), (1, 'join'),
-          |  (2, 'fast'), (2, 'hash'), (2, 'table')),
-          |qv AS (SELECT qry.qid, qry.token AS qtoken, tv.v
-          |  FROM qry JOIN tv ON tv.token = qry.token),
-          |cand AS (SELECT DISTINCT qry.qid, tok.doc_id
-          |  FROM tok JOIN qry ON qry.token = tok.token),
-          |best AS (
-          |  SELECT cand.qid, cand.doc_id, qv.qtoken,
-          |    max($dotSql) AS best
-          |  FROM cand
-          |  JOIN tok ON tok.doc_id = cand.doc_id
-          |  JOIN tv dv ON dv.token = tok.token
-          |  JOIN qv ON qv.qid = cand.qid
-          |  GROUP BY 1, 2, 3),
-          |sc AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS maxsim
-          |  FROM best GROUP BY 1, 2)
-          |SELECT CAST(qid AS BIGINT) AS qid, rn, doc_id, maxsim FROM (
-          |  SELECT qid, doc_id, maxsim, CAST(row_number() OVER (
-          |      PARTITION BY qid ORDER BY maxsim DESC, doc_id)
-          |    AS BIGINT) AS rn
-          |  FROM sc) WHERE rn <= 10
-          |ORDER BY qid, rn""".stripMargin)
-      }),
+      maxSimOracle),
 
     // Max-P passage retrieval (Dai & Callan 2019): long docs score by
     // their BEST passage, not their pooled text — chunk (16 tokens,
@@ -930,5 +935,40 @@ object EvalLmQueries extends QueryPack {
         |    AS BIGINT) AS oversize_chunks
         |FROM ck JOIN kept ON kept.doc_id = ck.doc_id
         |GROUP BY 1
-        |ORDER BY kept.source""".stripMargin)))
+        |ORDER BY kept.source""".stripMargin)),
+
+    // EXTERNAL-embeddings MaxSim serve (r13 ask 7): the token-vector
+    // table arrives as a parquet artifact — the (token, tv array<int>)
+    // schema a trained encoder exports — written first, then READ BACK
+    // and joined into the SAME posting-gated MaxSim core q492 runs.
+    // The oracle is q492's, verbatim: identical ranking from the
+    // external path proves the "swap learned embeddings in with zero
+    // plan change" scaladoc claim as a hash gate (plan-shape counts in
+    // PLANS.md — the only delta is a parquet scan where the hash
+    // projection stood).
+    "q506_maxsim_external_embeddings" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Search, TextAnalysis}
+        val queries = Seq((1L, "spark"), (1L, "join"),
+          (2L, "fast"), (2L, "hash"), (2L, "table"))
+          .toDF("qid", "token")
+        val docs = Tables.documents(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q506_")
+        val vecPath = tmp.resolve("token_vecs").toString
+        // the "learned" table: deterministic hash embeddings so the
+        // gate hash-gates — a real deployment swaps this write for the
+        // encoder's export job, nothing downstream changes
+        docs.select(explode(
+            TextAnalysis.tokens(lower(col("text")))).as("token"))
+          .distinct()
+          .withColumn("tv", Search.hashTokenVector(col("token"), 8, ":ms"))
+          .write.mode("overwrite").parquet(vecPath)
+        val external = s.read.parquet(vecPath)
+        val out = Search.maxSimTopKExternal(docs, "doc_id", "text",
+            queries, external, k = 10)
+          .orderBy(col("qid"), col("rn"))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      maxSimOracle))
 }
