@@ -868,6 +868,81 @@ object ScaleProbe {
         graft.operators.Corpus.packSentenceChunks(kept, "doc_id", "t",
           budgetTokens = 40)
       }
+      // q501 shape: POLICY-nlist IVF serve vs the fixed-nlist-8 serve
+      // on the same corpus (builds outside the clock). With nlist =
+      // numCells(n) the per-cell candidate list stays ~sqrt(n) and
+      // probes scale with nlist, so the policy curve should flatten
+      // relative to fixed-8 (whose cells grow ∝ n) as copies rise —
+      // the measured form of "fixed nlist means unbounded cell scans"
+      if (only.forall(o => o.contains("q501_policy_serve") ||
+          o.contains("q501_fixed8_serve"))) {
+        val vecs = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => coalesce(x.cast("double"), lit(0.0d))).as("v"))
+          .localCheckpoint(true)
+        val cnt = vecs.count()
+        def trained(ncl: Int) = {
+          val init = vecs
+            .withColumn("__h", graft.operators.GraphAnn.saltedHash60(
+              col("vec_id"), ":seed"))
+            .orderBy(col("__h"), col("vec_id")).limit(ncl)
+            .select(col("v")).collect()
+            .zipWithIndex.map { case (r, i) =>
+              (i, r.getSeq[Double](0).toSeq) }.toSeq
+          graft.operators.Similarity.kmeansIterate(vecs, "v", init, 1)
+        }
+        val nclP = graft.operators.Similarity.numCells(cnt)
+        val centsP = trained(nclP)
+        val cents8 = trained(8)
+        val queries = vecs.filter(col("vec_id") % 100 === 0)
+        time("q501_policy_serve", n) {
+          graft.operators.Similarity.annTopKIvfMultiProbeD(queries,
+            vecs, "vec_id", "v", centsP, 10,
+            graft.operators.Similarity.numProbes(centsP.size))
+        }
+        time("q501_fixed8_serve", n) {
+          graft.operators.Similarity.annTopKIvfMultiProbeD(queries,
+            vecs, "vec_id", "v", cents8, 10, 3)
+        }
+      }
+      // q505 shape: COLD ADC serve from a TxLog-committed code table —
+      // the warm q483 serve plus exactly one committed-parquet scan;
+      // the cold-vs-warm gap is the storage read, nothing else
+      if (only.forall(_.contains("q505_committed_serve"))) {
+        val vecs = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => coalesce(x.cast("double"), lit(0.0d))).as("v"))
+          .localCheckpoint(true)
+        val init = vecs
+          .withColumn("__h", graft.operators.GraphAnn.saltedHash60(
+            col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id")).limit(8)
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq) }.toSeq
+        val cents = graft.operators.Similarity.kmeansIterate(
+          vecs, "v", init, 1)
+        val rnd = new scala.util.Random(4343L)
+        val pqInit = Seq.fill(8)(Seq.fill(16)(Seq.fill(8)(
+          rnd.nextGaussian() * 0.1)))
+        val resid = graft.operators.Similarity.ivfResiduals(
+          vecs, "vec_id", "v", cents).localCheckpoint(true)
+        val cb = graft.operators.Similarity.pqTrain(resid, "res", pqInit)
+        timeWithTmp("q505_committed_serve", n, "graft_probe505_") { tmp =>
+          val coded = graft.operators.Similarity.ivfPqEncode(
+            vecs, "vec_id", "v", cents, cb)
+          graft.sources.TxLog.commit(coded, tmp.toString, "overwrite",
+            "vec_id")
+          val codedBack = graft.sources.TxLog.read(spark, tmp.toString)
+          graft.operators.Similarity.ivfPqAdcTopK(
+            vecs.filter(col("vec_id") % 100 === 0), codedBack,
+            "vec_id", "v", cents, cb, probes = 3, k = 40)
+        }
+      }
     }
     spark.stop()
   }
