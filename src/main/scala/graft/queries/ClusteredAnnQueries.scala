@@ -493,7 +493,14 @@ object ClusteredAnnQueries extends QueryPack {
     * candidates `cand` → ADC distances `adc` → ranked shortlist
     * `short` (≤ ShortK rows/query).
     */
-  private lazy val ivfPqCtes: String = {
+  private lazy val ivfPqCtes: String =
+    ivfPqCtesOn(coarseCtes, Probes.toString)
+
+  /** [[ivfPqCtes]] over an arbitrary coarse block and probe-count SQL
+    * scalar — q507 re-runs the identical PQ replay on the POLICY-
+    * sized coarse quantizer.
+    */
+  private def ivfPqCtesOn(coarse: String, probesSql: String): String = {
     // per-subspace PQ replay: seed literals → residual argmin →
     // quantized-sum refinement (seed fallback) → re-encode
     val pqBlocks = (0 until PqM).map { mi =>
@@ -531,7 +538,7 @@ object ClusteredAnnQueries extends QueryPack {
     val adcJoins = (0 until PqM).map(mi =>
       s"JOIN pr$mi r$mi ON r$mi.cell = cand.e$mi").mkString("\n|  ")
     s"""$codesCte,
-       |$coarseCtes,
+       |$coarse,
        |rs AS MATERIALIZED (SELECT asg.vec_id, asg.cell,
        |    list_transform(range(1, ${Dim + 1}),
        |      i -> asg.v[i] - c2.c[i]) AS r
@@ -544,7 +551,7 @@ object ClusteredAnnQueries extends QueryPack {
        |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
        |  FROM vv WHERE vec_id % 25 = 0),
        |qr0 AS (SELECT vec_id AS query_id, v, cell FROM qrk
-       |  WHERE vec_id % 25 = 0 AND rn <= $Probes),
+       |  WHERE vec_id % 25 = 0 AND rn <= ($probesSql)),
        |qr AS MATERIALIZED (SELECT query_id, qr0.cell,
        |    list_transform(range(1, ${Dim + 1}),
        |      i -> qr0.v[i] - c2.c[i]) AS qr
@@ -1432,6 +1439,83 @@ object ClusteredAnnQueries extends QueryPack {
         |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
         |  WHERE rn <= $TopK)
         |SELECT f.*, (SELECT count(*) FROM cd) AS n_codes
-        |FROM (${recallSelect("ivfpq_committed_adc", "short")}) f""".stripMargin))
+        |FROM (${recallSelect("ivfpq_committed_adc", "short")}) f""".stripMargin)),
+
+    // POLICY-trained IVF-PQ (closing r12 item 4's "wired into q483's
+    // trainer"): the full residual-PQ stack — coarse train, residual
+    // codebooks, ADC shortlist, exact re-rank — over the
+    // numCells/numProbes-sized coarse quantizer instead of the fixed
+    // NCl=8. Subspace geometry (M=8 × 2 dims × 16 cells) is
+    // corpus-independent by design; ONLY the coarse layer scales, so
+    // the oracle reuses the identical PQ replay over the policy-sized
+    // coarse block.
+    "q507_ivfpq_nlist_policy" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        val vecs = doubleVecs(s, dir)
+        val n = vecs.count()
+        val ncl = Similarity.numCells(n)
+        val probes = Similarity.numProbes(ncl)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        val resid = Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
+          .localCheckpoint(true)
+        val cb = Similarity.pqTrain(resid, "res", PqInit)
+        val coded = Similarity.ivfPqEncode(vecs, "vec_id", "v", cents, cb)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val shortlist = Similarity.ivfPqAdcTopK(queries, coded,
+            "vec_id", "v", cents, cb, probes, ShortK)
+          .localCheckpoint(true)
+        val rerank = shortlist
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")), Seq("neighbor_id"))
+          .join(queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv")), Seq("query_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .select(col("query_id"), col("neighbor_id"),
+            col("rn2").as("rn"))
+        val exact = queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv"))
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        recallRow("ivfpq_policy_adc", queries, shortlist, exact)
+          .unionByName(
+            recallRow("ivfpq_policy_rerank", queries, rerank, exact))
+          .withColumn("nlist", lit(ncl.toLong))
+          .withColumn("nprobe", lit(probes.toLong))
+          .orderBy(col("family"))
+      },
+      Some(s"""WITH ${ivfPqCtesOn(
+          coarseCtesOn("TRUE", nlSql("vv")), npSql("vv"))},
+        |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
+        |      PARTITION BY s.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
+        |      AS rn
+        |  FROM short s JOIN qq ON qq.query_id = s.query_id
+        |  JOIN vv nv ON nv.vec_id = s.node),
+        |bf AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+        |      AS rn
+        |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= $TopK)
+        |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
+        |  CAST((${npSql("vv")}) AS BIGINT) AS nprobe
+        |FROM (${recallSelect("ivfpq_policy_adc", "short")}
+        |UNION ALL
+        |${recallSelect("ivfpq_policy_rerank", "rrk")}) f
+        |ORDER BY family""".stripMargin))
   )
 }
