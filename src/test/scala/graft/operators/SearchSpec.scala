@@ -229,4 +229,47 @@ class SearchSpec extends SparkSpec {
     val exp2 = Seq("alpha", "gamma").map(t => dot(qa, vecs(t))).max
     assert(got === Map(1L -> exp1, 2L -> exp2))
   }
+
+  test("maxSimTopKExternal == maxSimTopK when the table matches; " +
+      "external plan reads parquet") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma gamma"), (3L, "delta"),
+      (4L, "beta beta alpha delta"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      .toDF("qid", "token")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_msx_")
+    try {
+      docs.select(explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("token")).distinct()
+        .withColumn("tv", Search.hashTokenVector(col("token"), 4, ":t"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val external = spark.read.parquet(tmp.toString)
+      val viaExternal = Search.maxSimTopKExternal(docs, "doc_id",
+        "text", queries, external, k = 10)
+      val viaHash = Search.maxSimTopK(docs, "doc_id", "text", queries,
+        dim = 4, salt = ":t", k = 10)
+      assert(viaExternal.collect().toSeq === viaHash.collect().toSeq)
+      // the zero-plan-change claim's other half: the external path's
+      // vectors come from STORAGE (a parquet scan in the plan), not
+      // from a re-derived projection
+      assert(viaExternal.queryExecution.executedPlan.toString
+        .contains("Scan parquet"))
+      // an embedding table missing a token = OOV: that token simply
+      // stops contributing (no null, no crash)
+      val partial = spark.read.parquet(tmp.toString)
+        .filter(col("token") =!= "beta")
+      val viaPartial = Search.maxSimTopKExternal(docs, "doc_id",
+          "text", queries, partial, k = 10)
+        .filter(col("qid") === 1L).collect()
+      assert(viaPartial.nonEmpty)
+      assert(viaPartial.forall(!_.isNullAt(3)))
+    } finally {
+      java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
 }
