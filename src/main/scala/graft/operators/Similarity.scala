@@ -376,6 +376,31 @@ object Similarity {
         col("drift_ppm"), col("retrain"))
   }
 
+  /** Hard-negative mining (Karpukhin et al. 2020 DPR; Xiong et al.
+    * 2021 ANCE): from an ANN serve's ranked candidate list, drop the
+    * labeled positives and re-rank what remains — the near-misses
+    * that look most like positives are the gradient-rich negatives a
+    * retrieval trainer wants. `served` is any (query_id, neighbor_id,
+    * scoreCol, …) frame (an ANN serve's output — at 100 TB the whole
+    * point is that candidates come from the INDEX, ~k rows per query,
+    * never a corpus scan); `positives` is the labeled
+    * (query_id, neighbor_id) pairs. Anti-join + per-query re-rank of
+    * k-bounded lists; ties to the smaller neighbor id.
+    */
+  def hardNegatives(served: DataFrame, positives: DataFrame,
+      scoreCol: String, m: Int): DataFrame = {
+    require(m >= 1)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    served
+      .join(positives.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("negative_rank", row_number().over(w).cast("long"))
+      .filter(col("negative_rank") <= m)
+      .select(col("query_id"), col("negative_rank"),
+        col("neighbor_id"), col(scoreCol))
+  }
+
   /** Top-`probes` nearest cells for a query vector, best first —
     * the multi-probe assignment. Same scored-struct array as
     * [[assignCell]]; array_sort orders (score asc, cell asc), so the

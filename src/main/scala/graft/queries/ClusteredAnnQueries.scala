@@ -1516,6 +1516,53 @@ object ClusteredAnnQueries extends QueryPack {
         |FROM (${recallSelect("ivfpq_policy_adc", "short")}
         |UNION ALL
         |${recallSelect("ivfpq_policy_rerank", "rrk")}) f
-        |ORDER BY family""".stripMargin))
+        |ORDER BY family""".stripMargin)),
+
+    // ANN hard-negative mining (DPR/ANCE): the beam serve's top-10
+    // candidate list, minus the labeled positive (the exact top-1),
+    // re-ranked — the near-misses a retrieval trainer wants as
+    // gradient-rich negatives. Candidates come from the INDEX (k rows
+    // per query), never a corpus scan; the anti-join + re-rank run on
+    // k-bounded lists. 5 negatives per query, pinned row-for-row.
+    "q508_hard_negative_mining" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val queries = queriesOf(codes)
+        val served = GraphAnn.beamServe(queries, graph, codes,
+          "vec_id", "code", EntryK, Beam, Steps, topK = 10)
+        val qc = queries.select(col("vec_id").as("query_id"),
+          col("code").as("__qc"))
+        val positives = qc
+          .join(codes.select(col("vec_id").as("neighbor_id"),
+            col("code").as("__nc")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", dotI(col("__qc"), col("__nc")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").desc, col("neighbor_id"))))
+          .filter(col("__rn") === 1)
+          .select(col("query_id"), col("neighbor_id"))
+        Similarity.hardNegatives(served, positives, "idot", m = 5)
+          .orderBy(col("query_id"), col("negative_rank"))
+      },
+      Some(s"""WITH $codesCte,
+        |$graphCtes,
+        |$qqCte,
+        |${beamCtesL("b", "qq", Seq.fill(Steps)(s"e$Rounds"), "TRUE")},
+        |pos AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${idotSql("qq.qv", "z.q")} DESC, z.vec_id) AS rn
+        |  FROM qq JOIN qz z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= 1),
+        |neg AS (SELECT b.query_id, b.node, b.idot FROM bsrv b
+        |  WHERE b.rn <= 10 AND NOT EXISTS (SELECT 1 FROM pos p
+        |    WHERE p.query_id = b.query_id AND p.node = b.node))
+        |SELECT query_id, negative_rank, node AS neighbor_id, idot
+        |FROM (SELECT query_id, node, idot, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY idot DESC, node)
+        |  AS BIGINT) AS negative_rank FROM neg)
+        |WHERE negative_rank <= 5
+        |ORDER BY query_id, negative_rank""".stripMargin))
   )
 }
