@@ -156,14 +156,23 @@ object Similarity {
       (i, c.map(_.toDouble))
     })
 
-  /** Nearest-centroid id over (id, centroid) pairs.
-    * Linear expression tree: one struct per centroid + array_max
-    * (a when-chain fold would duplicate the accumulator per step —
-    * an O(3^n) tree that stalls Catalyst at realistic nlist).
-    * Deterministic tiebreak: equal scores pick the higher cell id
-    * (struct ordering).
+  /** Nearest-centroid id over (id, centroid) pairs — native kernel
+    * ([[graft.expressions.NearestCells]]): the centroid matrix rides
+    * as an instance field and the argmax is a plain loop, so the
+    * expression stays one virtual call at ANY nlist. The literal
+    * struct-array form below is kept as the definitional tree the
+    * oracles replay and the spec pins the kernel against — it stops
+    * being buildable at the nlist the q501 policy targets (⌊√n⌋ →
+    * thousands of inlined literal structs; the q483 disease, one
+    * layer down). Deterministic tiebreak: equal scores pick the
+    * higher cell id.
     */
-  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    graft.expressions.IvfExpressions.nearestCells(vec, cents, 1).getItem(0)
+
+  /** DEFINITIONAL argmax tree (spec/oracle reference only). */
+  private[graft] def assignCellPortable(vec: Column,
+      cents: Seq[(Int, Seq[Double])]): Column = {
     val scored = array(cents.map { case (i, c) =>
       struct(cosineNative(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }: _*)
@@ -409,7 +418,12 @@ object Similarity {
     * ties.
     */
   private def assignCells(vec: Column, cents: Seq[(Int, Seq[Double])],
-      probes: Int): Column = {
+      probes: Int): Column =
+    graft.expressions.IvfExpressions.nearestCells(vec, cents, probes)
+
+  /** DEFINITIONAL probe-list tree (spec/oracle reference only). */
+  private[graft] def assignCellsPortable(vec: Column,
+      cents: Seq[(Int, Seq[Double])], probes: Int): Column = {
     val scored = array(cents.map { case (i, c) =>
       struct(cosineNative(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }: _*)
@@ -1188,6 +1202,13 @@ object Similarity {
     * element_at would mis-address).
     */
   private def centOf(cell: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    graft.expressions.IvfExpressions.cellCentroid(cell, cents)
+
+  /** DEFINITIONAL when-chain lookup (spec reference only) — grows one
+    * nested branch per cell, unusable at policy nlist.
+    */
+  private[graft] def centOfPortable(cell: Column,
+      cents: Seq[(Int, Seq[Double])]): Column =
     cents.tail.foldLeft(
       when(cell === cents.head._1, typedLit(cents.head._2))) {
       case (acc, (i, c)) => acc.when(cell === i, typedLit(c))
