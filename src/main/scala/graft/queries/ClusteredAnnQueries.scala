@@ -1563,6 +1563,89 @@ object ClusteredAnnQueries extends QueryPack {
         |    PARTITION BY query_id ORDER BY idot DESC, node)
         |  AS BIGINT) AS negative_rank FROM neg)
         |WHERE negative_rank <= 5
-        |ORDER BY query_id, negative_rank""".stripMargin))
+        |ORDER BY query_id, negative_rank""".stripMargin)),
+
+    // STREAMING IVF ingest — the q468 lifecycle parity for the IVF
+    // family: the last quarter of the corpus arrives as two
+    // micro-batches (maxFilesPerTrigger=1), each batch running
+    // insertIntoCells against the FROZEN base-trained quantizer and
+    // unioning into the stored index. Unlike graph inserts (where
+    // batch order changes the answer), IVF assignment is per-row
+    // against fixed centroids — order-independent by construction —
+    // so the streamed index must equal q502's batch-inserted one
+    // EXACTLY; the oracle is q502's replay with this family label.
+    "q509_stream_ivf_ingest" -> Q(
+      (s, dir) => {
+        import graft.streaming.Streams
+        val vecs = doubleVecs(s, dir)
+        val base = vecs.filter(col("vec_id") % 4 =!= 1)
+        val nBase = base.count()
+        val ncl = Similarity.numCells(nBase)
+        val probes = Similarity.numProbes(ncl)
+        val cents = Similarity.kmeansIterate(base, "v",
+          seedInit(base, ncl), KmIters)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q509_")
+        val streamDir = tmp.resolve("in")
+        java.nio.file.Files.createDirectories(streamDir)
+        Seq(1L, 5L).zipWithIndex.foreach { case (m, i) =>
+          val stage = tmp.resolve(s"stage$i")
+          vecs.filter(col("vec_id") % 8 === m).coalesce(1)
+            .write.parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            streamDir.resolve(s"b$i.parquet"))
+          ()
+        }
+        var index = Similarity.insertIntoCells(base, "vec_id", "v",
+          cents).localCheckpoint(true)
+        var nStreamed = 0L
+        val ckpt = Streams.scratchCheckpointDir("graft-q509-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            s.readStream.schema(vecs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(streamDir.toString),
+            batch => batch,
+            batch => {
+              val delta = batch.localCheckpoint(true)
+              nStreamed += delta.count()
+              index = index.unionByName(
+                  Similarity.insertIntoCells(delta, "vec_id", "v",
+                    cents))
+                .localCheckpoint(true)
+            },
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally { rm(ckpt.toFile); rm(tmp.toFile) }
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val served = Similarity.annTopKIvfPreassignedD(queries, index,
+          "vec_id", "v", "cell", cents, TopK, probes)
+        recallRow("ivf_stream_ingest", queries, served,
+            bruteCosTopK(queries, vecs))
+          .withColumn("nlist", lit(ncl.toLong))
+          .withColumn("n_streamed", lit(nStreamed))
+      },
+      Some(s"""WITH $codesCte,
+        |${coarseCtesOn("vec_id % 4 <> 1", nlSql("vv"))},
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+        |  FROM va WHERE vec_id % 25 = 0),
+        |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+        |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
+        |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
+        |  FROM qp JOIN asg USING (cell)
+        |  WHERE qp.query_id <> asg.vec_id),
+        |srv AS (SELECT query_id, node, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+        |  FROM srvs),
+        |${bruteCosSql("va")}
+        |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
+        |  (SELECT count(*) FROM va WHERE vec_id % 4 = 1) AS n_streamed
+        |FROM (${recallSelect("ivf_stream_ingest", "srv")}) f""".stripMargin))
   )
 }
