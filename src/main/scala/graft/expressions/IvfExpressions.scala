@@ -30,7 +30,12 @@ import org.apache.spark.sql.types._
   *    greatest, NaN == NaN), ties → HIGHER cell id — exactly
   *    `array_max(struct(s, i))` / `reverse(array_sort(...))`;
   *  - cell IDS (not positions) order ties and fill the output —
-  *    trained quantizers drop empty cells, so ids are sparse.
+  *    trained quantizers drop empty cells, so ids are sparse;
+  *  - NULL input vector ⇒ NULL output (null-intolerant
+  *    UnaryExpression): the INTENDED contract — an absent embedding
+  *    has no nearest cell. The definitional portable trees carry an
+  *    explicit `when(isNull)` guard to match (a bare array_max over
+  *    all-null scores would fall through to the highest id).
   */
 private[expressions] final class CentroidTable(
     val cents: Seq[(Int, Seq[Double])]) extends Serializable {

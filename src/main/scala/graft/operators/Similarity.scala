@@ -170,13 +170,19 @@ object Similarity {
   private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
     graft.expressions.IvfExpressions.nearestCells(vec, cents, 1).getItem(0)
 
-  /** DEFINITIONAL argmax tree (spec/oracle reference only). */
+  /** DEFINITIONAL argmax tree (spec/oracle reference only). NULL
+    * input vector ⇒ NULL cell — the guard makes the tree share the
+    * native kernel's null-intolerant contract (the bare array_max
+    * would compare all-null scores and fall through to the highest
+    * id); IvfExpressionsSpec pins the agreement on a null row.
+    */
   private[graft] def assignCellPortable(vec: Column,
       cents: Seq[(Int, Seq[Double])]): Column = {
     val scored = array(cents.map { case (i, c) =>
       struct(cosineNative(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }: _*)
-    array_max(scored).getField("i")
+    when(vec.isNull, lit(null).cast("int"))
+      .otherwise(array_max(scored).getField("i"))
   }
 
   /** Fixed-point quantization scale for k-means accumulation: element
@@ -421,14 +427,18 @@ object Similarity {
       probes: Int): Column =
     graft.expressions.IvfExpressions.nearestCells(vec, cents, probes)
 
-  /** DEFINITIONAL probe-list tree (spec/oracle reference only). */
+  /** DEFINITIONAL probe-list tree (spec/oracle reference only). NULL
+    * input vector ⇒ NULL list — same null guard as
+    * [[assignCellPortable]], matching [[graft.expressions.NearestCells]].
+    */
   private[graft] def assignCellsPortable(vec: Column,
       cents: Seq[(Int, Seq[Double])], probes: Int): Column = {
     val scored = array(cents.map { case (i, c) =>
       struct(cosineNative(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }: _*)
-    transform(slice(reverse(array_sort(scored)), 1, probes),
-      s => s.getField("i"))
+    when(vec.isNull, lit(null).cast("array<int>"))
+      .otherwise(transform(slice(reverse(array_sort(scored)), 1, probes),
+        s => s.getField("i")))
   }
 
   /** Multi-probe IVF ANN top-k: each query probes its `probes`

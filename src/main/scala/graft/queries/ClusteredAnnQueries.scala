@@ -1597,9 +1597,14 @@ object ClusteredAnnQueries extends QueryPack {
             streamDir.resolve(s"b$i.parquet"))
           ()
         }
-        var index = Similarity.insertIntoCells(base, "vec_id", "v",
-          cents).localCheckpoint(true)
-        var nStreamed = 0L
+        // atomics, not vars: transformEachBatch's callback runs on the
+        // streaming micro-batch thread while the final reads happen on
+        // the main thread after awaitTermination — the API guarantees
+        // no happens-before edge between them (r13 ADVICE)
+        val index = new java.util.concurrent.atomic.AtomicReference(
+          Similarity.insertIntoCells(base, "vec_id", "v", cents)
+            .localCheckpoint(true))
+        val nStreamed = new java.util.concurrent.atomic.AtomicLong(0L)
         val ckpt = Streams.scratchCheckpointDir("graft-q509-ck")
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -1612,23 +1617,23 @@ object ClusteredAnnQueries extends QueryPack {
             batch => batch,
             batch => {
               val delta = batch.localCheckpoint(true)
-              nStreamed += delta.count()
-              index = index.unionByName(
+              nStreamed.addAndGet(delta.count())
+              index.set(index.get().unionByName(
                   Similarity.insertIntoCells(delta, "vec_id", "v",
                     cents))
-                .localCheckpoint(true)
+                .localCheckpoint(true))
             },
             ckpt.toString,
             Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
             .awaitTermination()
         } finally { rm(ckpt.toFile); rm(tmp.toFile) }
         val queries = vecs.filter(col("vec_id") % 25 === 0)
-        val served = Similarity.annTopKIvfPreassignedD(queries, index,
-          "vec_id", "v", "cell", cents, TopK, probes)
+        val served = Similarity.annTopKIvfPreassignedD(queries,
+          index.get(), "vec_id", "v", "cell", cents, TopK, probes)
         recallRow("ivf_stream_ingest", queries, served,
             bruteCosTopK(queries, vecs))
           .withColumn("nlist", lit(ncl.toLong))
-          .withColumn("n_streamed", lit(nStreamed))
+          .withColumn("n_streamed", lit(nStreamed.get()))
       },
       Some(s"""WITH $codesCte,
         |${coarseCtesOn("vec_id % 4 <> 1", nlSql("vv"))},

@@ -26,8 +26,21 @@ class IvfExpressionsSpec extends SparkSpec {
       (400L, Seq(0.0, 0.0, 0.0, 0.0)), // zero vector → guard path
       (401L, Seq(1.0, 0.25, -0.5, 2.0)), // exactly centroid 0
       (402L, Seq(2.0)), // short
-      (403L, Seq.empty[Double]))
+      (403L, Seq.empty[Double]),
+      (404L, null.asInstanceOf[Seq[Double]])) // NULL vector → NULL cell
     rows.toDF("id", "v")
+  }
+
+  test("NULL input vector yields NULL in both formulations") {
+    val rows = vecsDf.filter(col("id") === 404L).select(
+        Similarity.assignCellPortable(col("v"), cents).as("slow1"),
+        IvfExpressions.nearestCells(col("v"), cents, 1).as("fast1"),
+        Similarity.assignCellsPortable(col("v"), cents, 3).as("slow3"),
+        IvfExpressions.nearestCells(col("v"), cents, 3).as("fast3"))
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"col $i not null"))
   }
 
   test("nearestCells(1) is bit-identical to the array_max argmax tree") {

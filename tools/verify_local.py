@@ -5,7 +5,7 @@ same parquet tables and diff values exactly.
 
 Usage: tools/verify_local.py [sfdir] [outdir] [only: q1,q2,...]
 """
-import json, math, subprocess, sys
+import json, math, re, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -75,12 +75,17 @@ def main():
             # that and shipped a red hash on exactly-equal values.
             # Forbidden: integer types Spark can NEVER emit (int128
             # and the unsigned family); INTEGER/BIGINT pair fine with
-            # Spark int32/int64 and stay allowed.
+            # Spark int32/int64 and stay allowed. The scan is over the
+            # FULL type string (r13 ADVICE): a HUGEINT nested inside a
+            # STRUCT(...)/LIST column widens just as silently as a
+            # top-level one, so word-bounded regex over str(t) catches
+            # both.
+            _FORBIDDEN = re.compile(
+                r"\b(HUGEINT|UHUGEINT|UTINYINT|USMALLINT|"
+                r"UINTEGER|UBIGINT)\b")
             bad = [(c, str(t)) for c, t in zip(exp_rel.columns,
                                                exp_rel.types)
-                   if str(t).upper() in (
-                       "HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
-                       "UINTEGER", "UBIGINT")]
+                   if _FORBIDDEN.search(str(t).upper())]
             if bad:
                 print(f"FAIL {name}: oracle column(s) {bad} have an "
                       f"integer type Spark cannot emit — add "
