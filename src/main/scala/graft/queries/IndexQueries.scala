@@ -80,6 +80,178 @@ object IndexQueries extends QueryPack {
       |    ' ' || regexp_replace(word, '(.)', '\1  ', 'g') AS sym
       |  FROM tok GROUP BY word)""".stripMargin
 
+  /** q120 expected (doc_id, deflate-ratio) rows over the sf0.01
+    * fixture — authoring-time computation, see the q120 comment.
+    */
+  private val q120ExpectedValues: String =
+    """(0, 0.5923566878980892e0), (1, 0.43596059113300495e0), (2, 0.524390243902439e0),
+(3, 0.6326530612244898e0), (4, 0.536e0), (5, 0.5031847133757962e0),
+(6, 0.7435897435897436e0), (7, 0.4527363184079602e0), (8, 0.42127659574468085e0),
+(9, 0.46035805626598464e0), (10, 0.5607476635514018e0), (11, 0.4901315789473684e0),
+(12, 0.47413793103448276e0), (13, 0.47109826589595377e0), (14, 0.41414141414141414e0),
+(15, 0.543859649122807e0), (16, 0.7666666666666667e0), (17, 0.44835680751173707e0),
+(18, 0.4491725768321513e0), (19, 0.9122807017543859e0), (20, 0.4543147208121827e0),
+(21, 0.5253456221198156e0), (22, 0.44052863436123346e0), (23, 0.6265060240963856e0),
+(24, 0.4e0), (25, 0.42178217821782177e0), (26, 0.873015873015873e0),
+(27, 0.48265895953757226e0), (28, 0.4880239520958084e0), (29, 0.5612244897959183e0),
+(30, 0.6287425149700598e0), (31, 0.524e0), (32, 0.42300194931773877e0),
+(33, 0.5182186234817814e0), (34, 0.6363636363636364e0), (35, 0.42920353982300885e0),
+(36, 0.6074074074074074e0), (37, 0.4497354497354497e0), (38, 0.5467980295566502e0),
+(39, 0.6774193548387096e0), (40, 0.43942992874109266e0), (41, 0.47477744807121663e0),
+(42, 0.4884488448844885e0), (43, 0.6578947368421053e0), (44, 0.640625e0),
+(45, 0.44675925925925924e0), (46, 0.4024390243902439e0), (47, 0.5669642857142857e0),
+(48, 0.6036585365853658e0), (49, 0.5078125e0), (50, 0.50390625e0),
+(51, 0.49693251533742333e0), (52, 0.8888888888888888e0), (53, 0.5684210526315789e0),
+(54, 0.47058823529411764e0), (55, 0.5408163265306123e0), (56, 0.4098360655737705e0),
+(57, 0.44742729306487694e0), (58, 0.4524421593830334e0), (59, 0.6694915254237288e0),
+(60, 0.43610547667342797e0), (61, 0.47896440129449835e0), (62, 0.45918367346938777e0),
+(63, 0.4120982986767486e0), (64, 0.6370370370370371e0), (65, 0.7070707070707071e0),
+(66, 0.4715909090909091e0), (67, 0.48348348348348347e0), (68, 0.5645161290322581e0),
+(69, 0.4902597402597403e0), (70, 0.4302554027504912e0), (71, 0.47619047619047616e0),
+(72, 0.5521739130434783e0), (73, 0.4254473161033797e0), (74, 0.7916666666666666e0),
+(75, 0.49038461538461536e0), (76, 0.45287958115183247e0), (77, 0.4952978056426332e0),
+(78, 0.5536480686695279e0), (79, 0.873015873015873e0), (80, 0.6046511627906976e0),
+(81, 0.4789915966386555e0), (82, 0.5269230769230769e0), (83, 0.7727272727272727e0),
+(84, 0.4441687344913151e0), (85, 0.6193548387096774e0), (86, 0.644927536231884e0),
+(87, 0.6796875e0), (88, 0.4913494809688581e0), (89, 0.6028368794326241e0),
+(90, 0.7232142857142857e0), (91, 0.4431554524361949e0), (92, 0.6438356164383562e0),
+(93, 0.6230769230769231e0), (94, 0.6013986013986014e0), (95, 0.49324324324324326e0),
+(96, 0.4118942731277533e0), (97, 0.484375e0), (98, 0.41254752851711024e0),
+(99, 0.5867346938775511e0), (100, 0.44685466377440347e0), (101, 0.5387931034482759e0),
+(102, 0.39611650485436894e0), (103, 0.4098671726755218e0), (104, 0.516260162601626e0),
+(105, 0.4878048780487805e0), (106, 0.8714285714285714e0), (107, 0.5707547169811321e0),
+(108, 0.7093023255813954e0), (109, 0.4531645569620253e0), (110, 0.9074074074074074e0),
+(111, 0.4158790170132325e0), (112, 0.4813664596273292e0), (113, 0.4439252336448598e0),
+(114, 0.5410628019323671e0), (115, 0.6818181818181818e0), (116, 0.8548387096774194e0),
+(117, 0.516260162601626e0), (118, 0.45454545454545453e0), (119, 0.8160919540229885e0),
+(120, 0.5450236966824644e0), (121, 0.6369047619047619e0), (122, 0.7352941176470589e0),
+(123, 0.5886075949367089e0), (124, 0.4887459807073955e0), (125, 0.5891891891891892e0),
+(126, 0.4066797642436149e0), (127, 0.44930875576036866e0), (128, 0.42857142857142855e0),
+(129, 0.428246013667426e0), (130, 0.6333333333333333e0), (131, 0.515358361774744e0),
+(132, 0.49696969696969695e0), (133, 0.426e0), (134, 0.6742424242424242e0),
+(135, 0.41821561338289964e0), (136, 0.46706586826347307e0), (137, 0.5407725321888412e0),
+(138, 0.4725274725274725e0), (139, 0.4897959183673469e0), (140, 0.6369426751592356e0),
+(141, 0.4236111111111111e0), (142, 0.435546875e0), (143, 0.43795620437956206e0),
+(144, 0.7865168539325843e0), (145, 0.4513715710723192e0), (146, 0.6511627906976745e0),
+(147, 0.45475113122171945e0), (148, 0.5279187817258884e0), (149, 0.6114649681528662e0),
+(150, 0.5036496350364964e0), (151, 0.42196531791907516e0), (152, 0.5412844036697247e0),
+(153, 0.44110854503464203e0), (154, 0.4492099322799097e0), (155, 0.4713896457765668e0),
+(156, 0.680327868852459e0), (157, 0.7582417582417582e0), (158, 0.6792452830188679e0),
+(159, 0.47229551451187335e0), (160, 0.5040650406504065e0), (161, 0.4249471458773784e0),
+(162, 0.4410480349344978e0), (163, 0.5175097276264592e0), (164, 0.7222222222222222e0),
+(165, 0.7314814814814815e0), (166, 0.4831804281345566e0), (167, 0.4357894736842105e0),
+(168, 0.5263157894736842e0), (169, 0.4321608040201005e0), (170, 0.6612903225806451e0),
+(171, 0.49390243902439024e0), (172, 0.7184466019417476e0), (173, 0.4185185185185185e0),
+(174, 0.49206349206349204e0), (175, 0.6139240506329114e0), (176, 0.4195519348268839e0),
+(177, 0.5437262357414449e0), (178, 0.5373831775700935e0), (179, 0.4194214876033058e0),
+(180, 0.6108108108108108e0), (181, 0.7155963302752294e0), (182, 0.4897959183673469e0),
+(183, 0.7676767676767676e0), (184, 0.45351473922902497e0), (185, 0.4786885245901639e0),
+(186, 0.4406779661016949e0), (187, 0.42052313883299797e0), (188, 0.540650406504065e0),
+(189, 0.5603864734299517e0), (190, 0.4485981308411215e0), (191, 0.6949152542372882e0),
+(192, 0.6363636363636364e0), (193, 0.625e0), (194, 0.6474358974358975e0),
+(195, 0.4968553459119497e0), (196, 0.4778761061946903e0), (197, 0.41379310344827586e0),
+(198, 0.5118110236220472e0), (199, 0.6363636363636364e0), (200, 0.4884488448844885e0),
+(201, 0.5111111111111111e0), (202, 0.41995841995842e0), (203, 0.65625e0),
+(204, 0.6666666666666666e0), (205, 0.47074468085106386e0), (206, 0.6307692307692307e0),
+(207, 0.4675324675324675e0), (208, 0.6608695652173913e0), (209, 0.5426008968609866e0),
+(210, 0.42135922330097086e0), (211, 0.5089605734767025e0), (212, 0.515748031496063e0),
+(213, 0.43897216274089934e0), (214, 0.8405797101449275e0), (215, 0.41935483870967744e0),
+(216, 0.42344045368620037e0), (217, 0.47714285714285715e0), (218, 0.4351648351648352e0),
+(219, 0.5428571428571428e0), (220, 0.41229656419529837e0), (221, 0.579185520361991e0),
+(222, 0.5172413793103449e0), (223, 0.4335511982570806e0), (224, 0.43665158371040724e0),
+(225, 0.4486873508353222e0), (226, 0.7155963302752294e0), (227, 0.42948717948717946e0),
+(228, 0.4353448275862069e0), (229, 0.44254278728606355e0), (230, 0.4855305466237942e0),
+(231, 0.6193548387096774e0), (232, 0.4936708860759494e0), (233, 0.4410480349344978e0),
+(234, 0.47674418604651164e0), (235, 0.5535714285714286e0), (236, 0.8709677419354839e0),
+(237, 0.43990384615384615e0), (238, 0.5214007782101168e0), (239, 0.6036585365853658e0),
+(240, 0.4710526315789474e0), (241, 0.41682974559686886e0), (242, 0.4690721649484536e0),
+(243, 0.5898876404494382e0), (244, 0.4609164420485175e0), (245, 0.4206008583690987e0),
+(246, 0.5885714285714285e0), (247, 0.4372093023255814e0), (248, 0.44170403587443946e0),
+(249, 0.45707656612529e0), (250, 0.5303643724696356e0), (251, 0.42829827915869984e0),
+(252, 0.5317460317460317e0), (253, 0.5685279187817259e0), (254, 0.6893203883495146e0),
+(255, 0.5732484076433121e0), (256, 0.8709677419354839e0), (257, 0.6929824561403509e0),
+(258, 0.46464646464646464e0), (259, 0.4980694980694981e0), (260, 0.6268656716417911e0),
+(261, 0.4300847457627119e0), (262, 0.5078125e0), (263, 0.4451901565995526e0),
+(264, 0.4209558823529412e0), (265, 0.5074626865671642e0), (266, 0.5511111111111111e0),
+(267, 0.44339622641509435e0), (268, 0.5416666666666666e0), (269, 0.4346895074946467e0),
+(270, 0.43286573146292584e0), (271, 0.5084745762711864e0), (272, 0.4444444444444444e0),
+(273, 0.6242038216560509e0), (274, 0.4208566108007449e0), (275, 0.8775510204081632e0),
+(276, 0.4163568773234201e0), (277, 0.5766871165644172e0), (278, 0.44923857868020306e0),
+(279, 0.5124555160142349e0), (280, 0.44468085106382976e0), (281, 0.5730994152046783e0),
+(282, 0.5898876404494382e0), (283, 0.42038216560509556e0), (284, 0.5179856115107914e0),
+(285, 0.43359375e0), (286, 0.5193798449612403e0), (287, 0.7128712871287128e0),
+(288, 0.5909090909090909e0), (289, 0.5e0), (290, 0.41320754716981134e0),
+(291, 0.45083932853717024e0), (292, 0.42139737991266374e0), (293, 0.45194805194805193e0),
+(294, 0.4425531914893617e0), (295, 0.5860215053763441e0), (296, 0.46518105849582175e0),
+(297, 0.4937888198757764e0), (298, 0.5873015873015873e0), (299, 0.4402390438247012e0),
+(300, 0.5509259259259259e0), (301, 0.4311023622047244e0), (302, 0.42768595041322316e0),
+(303, 0.44273127753303965e0), (304, 0.5570776255707762e0), (305, 0.7936507936507936e0),
+(306, 0.4489311163895487e0), (307, 0.5099337748344371e0), (308, 0.7731958762886598e0),
+(309, 0.542016806722689e0), (310, 0.6013513513513513e0), (311, 0.4404040404040404e0),
+(312, 0.45528455284552843e0), (313, 0.7126436781609196e0), (314, 0.6210526315789474e0),
+(315, 0.4391304347826087e0), (316, 0.4520884520884521e0), (317, 0.44362745098039214e0),
+(318, 0.43201754385964913e0), (319, 0.40545808966861596e0), (320, 0.454320987654321e0),
+(321, 0.5e0), (322, 0.5215686274509804e0), (323, 0.48338368580060426e0),
+(324, 0.5482456140350878e0), (325, 0.49390243902439024e0), (326, 0.5757575757575758e0),
+(327, 0.580110497237569e0), (328, 0.43232323232323233e0), (329, 0.46742209631728043e0),
+(330, 0.5031645569620253e0), (331, 0.49e0), (332, 0.5458937198067633e0),
+(333, 0.6214689265536724e0), (334, 0.4318181818181818e0), (335, 0.4707692307692308e0),
+(336, 0.4787234042553192e0), (337, 0.5413223140495868e0), (338, 0.7582417582417582e0),
+(339, 0.5721925133689839e0), (340, 0.5344129554655871e0), (341, 0.4519906323185012e0),
+(342, 0.6551724137931034e0), (343, 0.5935483870967742e0), (344, 0.460431654676259e0),
+(345, 0.4953560371517028e0), (346, 0.4547677261613692e0), (347, 0.49645390070921985e0),
+(348, 0.6717557251908397e0), (349, 0.4310722100656455e0), (350, 0.4282655246252677e0),
+(351, 0.4673913043478261e0), (352, 0.4197761194029851e0), (353, 0.4984126984126984e0),
+(354, 0.4507042253521127e0), (355, 0.43626062322946174e0), (356, 0.467966573816156e0),
+(357, 0.525691699604743e0), (358, 0.864406779661017e0), (359, 0.47560975609756095e0),
+(360, 0.43792325056433407e0), (361, 0.46831955922865015e0), (362, 0.8148148148148148e0),
+(363, 0.4649859943977591e0), (364, 0.5148148148148148e0), (365, 0.8805970149253731e0),
+(366, 0.4790996784565916e0), (367, 0.568075117370892e0), (368, 0.7397260273972602e0),
+(369, 0.5238095238095238e0), (370, 0.491869918699187e0), (371, 0.48e0),
+(372, 0.6690140845070423e0), (373, 0.4690721649484536e0), (374, 0.5824175824175825e0),
+(375, 0.46647230320699706e0), (376, 0.45776566757493187e0), (377, 0.5512820512820513e0),
+(378, 0.49258160237388726e0), (379, 0.4466501240694789e0), (380, 0.4492099322799097e0),
+(381, 0.45609065155807366e0), (382, 0.6666666666666666e0), (383, 0.5236220472440944e0),
+(384, 0.782608695652174e0), (385, 0.44862155388471175e0), (386, 0.4416135881104034e0),
+(387, 0.5721153846153846e0), (388, 0.463768115942029e0), (389, 0.6118421052631579e0),
+(390, 0.6277372262773723e0), (391, 0.5546218487394958e0), (392, 0.6518518518518519e0),
+(393, 0.4258064516129032e0), (394, 0.4430693069306931e0), (395, 0.4091858037578288e0),
+(396, 0.532258064516129e0), (397, 0.47959183673469385e0), (398, 0.7333333333333333e0),
+(399, 0.49514563106796117e0), (400, 0.6791044776119403e0), (401, 0.4315068493150685e0),
+(402, 0.63125e0), (403, 0.4397463002114165e0), (404, 0.5656108597285068e0),
+(405, 0.49044585987261147e0), (406, 0.4282608695652174e0), (407, 0.6944444444444444e0),
+(408, 0.7471264367816092e0), (409, 0.5164835164835165e0), (410, 0.4552058111380145e0),
+(411, 0.46958637469586373e0), (412, 0.4821917808219178e0), (413, 0.4439252336448598e0),
+(414, 0.4534313725490196e0), (415, 0.4984025559105431e0), (416, 0.5121951219512195e0),
+(417, 0.41923076923076924e0), (418, 0.428246013667426e0), (419, 0.7456140350877193e0),
+(420, 0.42516268980477223e0), (421, 0.4282608695652174e0), (422, 0.4684931506849315e0),
+(423, 0.4738292011019284e0), (424, 0.44254278728606355e0), (425, 0.6641221374045801e0),
+(426, 0.4491150442477876e0), (427, 0.4380952380952381e0), (428, 0.5268817204301075e0),
+(429, 0.4208566108007449e0), (430, 0.46365914786967416e0), (431, 0.50814332247557e0),
+(432, 0.479108635097493e0), (433, 0.6136363636363636e0), (434, 0.45390070921985815e0),
+(435, 0.6347305389221557e0), (436, 0.48014440433212996e0), (437, 0.44545454545454544e0),
+(438, 0.6104651162790697e0), (439, 0.5978260869565217e0), (440, 0.5308641975308642e0),
+(441, 0.4151291512915129e0), (442, 0.4351648351648352e0), (443, 0.5071428571428571e0),
+(444, 0.4439140811455847e0), (445, 0.48859934853420195e0), (446, 0.6363636363636364e0),
+(447, 0.4297029702970297e0), (448, 0.48951048951048953e0), (449, 0.6101694915254238e0),
+(450, 0.6549295774647887e0), (451, 0.6875e0), (452, 0.4776536312849162e0),
+(453, 0.4373795761078998e0), (454, 0.5751633986928104e0), (455, 0.8983050847457628e0),
+(456, 0.7017543859649122e0), (457, 0.5693069306930693e0), (458, 0.4984520123839009e0),
+(459, 0.47074468085106386e0), (460, 0.5402298850574713e0), (461, 0.4731182795698925e0),
+(462, 0.4984709480122324e0), (463, 0.4419551934826884e0), (464, 0.5637254901960784e0),
+(465, 0.50625e0), (466, 0.45010615711252655e0), (467, 0.475e0),
+(468, 0.5652173913043478e0), (469, 0.8421052631578947e0), (470, 0.5517241379310345e0),
+(471, 0.4835820895522388e0), (472, 0.5528846153846154e0), (473, 0.515358361774744e0),
+(474, 0.48314606741573035e0), (475, 0.8311688311688312e0), (476, 0.7738095238095238e0),
+(477, 0.5827814569536424e0), (478, 0.496551724137931e0), (479, 0.4370179948586118e0),
+(480, 0.45125348189415043e0), (481, 0.7176470588235294e0), (482, 0.6e0),
+(483, 0.5428571428571428e0), (484, 0.5746606334841629e0), (485, 0.7054263565891473e0),
+(486, 0.631578947368421e0), (487, 0.4984423676012461e0), (488, 0.5609756097560976e0),
+(489, 0.47318611987381703e0), (490, 0.5239852398523985e0), (491, 0.47554347826086957e0),
+(492, 0.8181818181818182e0), (493, 0.43655913978494626e0), (494, 0.5533980582524272e0),
+(495, 0.453125e0), (496, 0.4223194748358862e0), (497, 0.6585365853658537e0),
+(498, 0.4247422680412371e0), (499, 0.6024096385542169e0)"""
+
   def defs: Map[String, Q] = Map(
 
     // Bigram LM surprise: the corpus model (c12, c1) is trained and
@@ -668,12 +840,20 @@ object IndexQueries extends QueryPack {
           |ORDER BY kind, k1, k2""".stripMargin)
       }),
 
-    // Compression-ratio quality signal over every document — the ONE
-    // query without a DuckDB oracle (no SQL-portable zlib exists), so
-    // the driver records its weaker rows-only check; the behavioral
-    // contract (repetitive ≪ natural < noise, determinism, emptiness)
-    // is pinned in DeflateRatioSpec, and the classifier threshold
-    // keeps the output deterministic for the rows-only gate.
+    // Compression-ratio quality signal over every document. No
+    // SQL-portable zlib exists, so for nine rounds this was the
+    // suite's one rows-only gate; DeflateRatio is DETERMINISTIC
+    // (fixed level-1 raw deflate over the seed-42 sf0.01 fixture),
+    // so the oracle is a precomputed expected-values table (the q108
+    // closed-form discipline, r13 ask 4): 500 (doc_id, ratio) rows
+    // computed at AUTHORING time by an independent zlib path
+    // (Python zlib.compressobj(1, DEFLATED, -15) — verified
+    // bit-identical to java.util.zip.Deflater(BEST_SPEED, nowrap);
+    // both bind the same zlib algorithm, and ratio = IEEE division
+    // of the two exact byte counts). The VALUES are pinned to the
+    // driver's sf0.01 correctness gate — at any other SF this oracle
+    // does not apply (the behavioral contract across corpora stays
+    // pinned in DeflateRatioSpec; q322 gates the SQL-portable base).
     "q120_compression_quality" -> Q(
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -681,7 +861,11 @@ object IndexQueries extends QueryPack {
             .as("comp_ratio"))
         .withColumn("is_repetitive", col("comp_ratio") < 0.35)
         .orderBy(col("doc_id")),
-      None),
+      Some(s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, comp_ratio,
+        |  comp_ratio < 0.35 AS is_repetitive
+        |FROM (VALUES
+        |$q120ExpectedValues) t(doc_id, comp_ratio)
+        |ORDER BY doc_id""".stripMargin)),
 
     // q120's companion: hash-gates everything about the compression-
     // quality signal that IS SQL-portable — the exact row universe
