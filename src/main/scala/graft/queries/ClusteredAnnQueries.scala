@@ -1651,6 +1651,97 @@ object ClusteredAnnQueries extends QueryPack {
         |${bruteCosSql("va")}
         |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
         |  (SELECT count(*) FROM va WHERE vec_id % 4 = 1) AS n_streamed
-        |FROM (${recallSelect("ivf_stream_ingest", "srv")}) f""".stripMargin))
+        |FROM (${recallSelect("ivf_stream_ingest", "srv")}) f""".stripMargin)),
+
+    // PRODUCTION IVF-PQ path composed end-to-end (r14, closing the
+    // r13 verdict's "uncomposed" gap): POLICY train (numCells/
+    // numProbes from the corpus count) → residual PQ encode → TxLog
+    // commit → COLD read-back → ADC shortlist over the read-back code
+    // table → exact re-rank, one hash gate. q505 committed the
+    // fixed-NCl=8 stack; q507 trained the policy stack but served it
+    // warm — this gate is the composition both left open: the
+    // artifact that commits IS the policy-trained code table (the
+    // M-bytes-per-vector serving index; raw vectors stay cold until
+    // the re-rank), and n_codes pins the lossless round trip. The
+    // oracle replays policy nlist, the full PQ replay, and both
+    // recall rows (re-ranked ≥ 0.98 at sf0.01 — the committed serve
+    // must read exactly q507's warm numbers, since the commit is
+    // value-preserving).
+    "q510_ivfpq_policy_committed" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        val vecs = doubleVecs(s, dir)
+        val n = vecs.count()
+        val ncl = Similarity.numCells(n)
+        val probes = Similarity.numProbes(ncl)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        val resid = Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
+          .localCheckpoint(true)
+        val cb = Similarity.pqTrain(resid, "res", PqInit)
+        val coded = Similarity.ivfPqEncode(vecs, "vec_id", "v", cents, cb)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q510_")
+        graft.sources.TxLog.commit(coded, tmp.toString, "overwrite",
+          "vec_id")
+        val codedBack = graft.sources.TxLog.read(s, tmp.toString)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val shortlist = Similarity.ivfPqAdcTopK(queries, codedBack,
+            "vec_id", "v", cents, cb, probes, ShortK)
+          .localCheckpoint(true)
+        val rerank = shortlist
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")), Seq("neighbor_id"))
+          .join(queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv")), Seq("query_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .select(col("query_id"), col("neighbor_id"),
+            col("rn2").as("rn"))
+        val exact = queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv"))
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        val out = recallRow("ivfpq_policy_committed_adc", queries,
+            shortlist, exact)
+          .unionByName(recallRow("ivfpq_policy_committed_rerank",
+            queries, rerank, exact))
+          .withColumn("nlist", lit(ncl.toLong))
+          .withColumn("nprobe", lit(probes.toLong))
+          .crossJoin(codedBack.agg(count(lit(1)).as("n_codes")))
+          .orderBy(col("family"))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH ${ivfPqCtesOn(
+          coarseCtesOn("TRUE", nlSql("vv")), npSql("vv"))},
+        |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
+        |      PARTITION BY s.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
+        |      AS rn
+        |  FROM short s JOIN qq ON qq.query_id = s.query_id
+        |  JOIN vv nv ON nv.vec_id = s.node),
+        |bf AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+        |      AS rn
+        |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= $TopK)
+        |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
+        |  CAST((${npSql("vv")}) AS BIGINT) AS nprobe,
+        |  (SELECT count(*) FROM cd) AS n_codes
+        |FROM (${recallSelect("ivfpq_policy_committed_adc", "short")}
+        |UNION ALL
+        |${recallSelect("ivfpq_policy_committed_rerank", "rrk")}) f
+        |ORDER BY family""".stripMargin))
   )
 }
