@@ -1742,6 +1742,61 @@ object ClusteredAnnQueries extends QueryPack {
         |FROM (${recallSelect("ivfpq_policy_committed_adc", "short")}
         |UNION ALL
         |${recallSelect("ivfpq_policy_committed_rerank", "rrk")}) f
-        |ORDER BY family""".stripMargin))
+        |ORDER BY family""".stripMargin)),
+
+    // EXTERNAL embeddings through the IVF index family (r13 ask 3 —
+    // q506 proved the swap for MaxSim; this extends it to the vector
+    // index): the (vec_id, v) table arrives as a parquet artifact —
+    // the schema a trained encoder exports — and EVERY lifecycle
+    // stage reads it: policy-sized train on the base 3/4,
+    // insertIntoCells for the late quarter, preassigned multi-probe
+    // serve, brute-force audit. The values are the deterministic
+    // fixture's (so the gate hash-gates and the oracle is q502's
+    // replay verbatim); a real deployment swaps the export write for
+    // the encoder job and NOTHING downstream changes — the only plan
+    // delta vs q502 is a parquet scan where the checkpointed hash
+    // projection stood (ExplainAudit counts in PLANS.md).
+    "q511_ivf_external_embeddings" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q511_")
+        val extPath = tmp.resolve("embeddings_export").toString
+        doubleVecs(s, dir).write.mode("overwrite").parquet(extPath)
+        val ext = s.read.parquet(extPath)
+        val base = ext.filter(col("vec_id") % 4 =!= 1)
+        val ins = ext.filter(col("vec_id") % 4 === 1)
+        val nBase = base.count()
+        val ncl = Similarity.numCells(nBase)
+        val probes = Similarity.numProbes(ncl)
+        val cents = Similarity.kmeansIterate(base, "v",
+          seedInit(base, ncl), KmIters)
+        val index = Similarity.insertIntoCells(base, "vec_id", "v", cents)
+          .unionByName(
+            Similarity.insertIntoCells(ins, "vec_id", "v", cents))
+        val queries = ext.filter(col("vec_id") % 25 === 0)
+        val served = Similarity.annTopKIvfPreassignedD(queries, index,
+          "vec_id", "v", "cell", cents, TopK, probes)
+        val out = recallRow("ivf_external_embeddings", queries, served,
+            bruteCosTopK(queries, ext))
+          .withColumn("nlist", lit(ncl.toLong))
+          .withColumn("n_inserted", lit(ins.count()))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH $codesCte,
+        |${coarseCtesOn("vec_id % 4 <> 1", nlSql("vv"))},
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+        |  FROM va WHERE vec_id % 25 = 0),
+        |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+        |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
+        |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
+        |  FROM qp JOIN asg USING (cell)
+        |  WHERE qp.query_id <> asg.vec_id),
+        |srv AS (SELECT query_id, node, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+        |  FROM srvs),
+        |${bruteCosSql("va")}
+        |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
+        |  (SELECT count(*) FROM va WHERE vec_id % 4 = 1) AS n_inserted
+        |FROM (${recallSelect("ivf_external_embeddings", "srv")}) f""".stripMargin))
   )
 }
