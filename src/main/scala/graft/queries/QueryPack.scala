@@ -41,9 +41,28 @@ object Fixtures {
 
   /** Same idea for file round trips: materialize, then delete the
     * temp directory recursively.
+    *
+    * `SPARK_GRAFT_AUDIT_INNER=1` prints the INNER plan's
+    * shuffle/broadcast/cartesian/codegen counts to stderr before the
+    * collect — ExplainAudit sees only the returned LocalRelation for
+    * materialized gates, so this is where their real plan shape is
+    * observable (dev/judge tooling, not a hot path).
     */
   def materializeAndDelete(df: DataFrame, dir: java.nio.file.Path): DataFrame = {
     val schema = df.schema
+    if (sys.env.contains("SPARK_GRAFT_AUDIT_INNER")) {
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      val sh = lines.count(_.contains("Exchange hashpartitioning")) +
+        lines.count(_.contains("Exchange rangepartitioning"))
+      val bc = lines.count(_.contains("BroadcastExchange"))
+      val ca = lines.count(_.contains("CartesianProduct")) +
+        lines.count(_.contains("BroadcastNestedLoopJoin"))
+      val cg = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
+      System.err.println(s"[inner-audit] shuffles=$sh broadcasts=$bc " +
+        s"cartesians=$ca codegenSpans=$cg")
+    }
     val rows = df.collect().toIndexedSeq
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(dir).sorted(
