@@ -1797,6 +1797,71 @@ object ClusteredAnnQueries extends QueryPack {
         |${bruteCosSql("va")}
         |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
         |  (SELECT count(*) FROM va WHERE vec_id % 4 = 1) AS n_inserted
-        |FROM (${recallSelect("ivf_external_embeddings", "srv")}) f""".stripMargin))
+        |FROM (${recallSelect("ivf_external_embeddings", "srv")}) f""".stripMargin)),
+
+    // TOMBSTONE-aware graph cold serve (r13 ask 5 — q458 deletes
+    // warm, q504 serves committed; this composes them): the built
+    // graph AND a tombstone table (the 1-in-7 delete set) both
+    // commit through TxLog; a restart reads BOTH back, applies the
+    // DiskANN delete/consolidate repair (drop deleted out-lists,
+    // splice survivors through the deleted nodes' own out-edges,
+    // re-cut touched lists to K) against the READ-BACK edge table,
+    // and serves the repaired graph cold. Recall audits against
+    // brute force over the LIVE corpus; n_edges/n_tombstones pin the
+    // round trip. The production shape: deletes are LOG ENTRIES, not
+    // in-place rewrites — repair cost is (edges at deleted)·K at
+    // read time, and a compaction pass (rewrite the repaired edges,
+    // drop the tombstone table) amortizes it — see PLANS.md.
+    "q512_graph_tombstone_cold_serve" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q512_")
+        val edgesDir = tmp.resolve("edges").toString
+        val tombDir = tmp.resolve("tombstones").toString
+        graft.sources.TxLog.commit(graph, edgesDir, "overwrite", "src")
+        graft.sources.TxLog.commit(
+          codes.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+          tombDir, "overwrite", "vec_id")
+        val edgesBack = graft.sources.TxLog.read(s, edgesDir)
+          .select(col("src"), col("dst"))
+        val tombBack = graft.sources.TxLog.read(s, tombDir)
+        val live = codes.filter(col("vec_id") % 7 =!= 0)
+        val repaired = GraphAnn.deleteNodes(edgesBack, codes, tombBack,
+          "vec_id", "code", K)
+        val queries = live.filter(col("vec_id") % 25 === 0)
+        val served = GraphAnn.beamServe(queries,
+          repaired.select(col("src"), col("dst")), live,
+          "vec_id", "code", EntryK, Beam, Steps, TopK)
+        val out = recallRow("graph_tombstone_cold_serve", queries,
+            served, bruteTopK(queries, live))
+          .crossJoin(edgesBack.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(tombBack.agg(count(lit(1)).as("n_tombstones")))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH $codesCte,
+        |$graphCtes,
+        |keptE AS (SELECT src, dst FROM e$Rounds
+        |  WHERE src % 7 <> 0 AND dst % 7 <> 0),
+        |brokenE AS (SELECT src, dst FROM e$Rounds
+        |  WHERE src % 7 <> 0 AND dst % 7 = 0),
+        |spl AS (SELECT b.src, g.dst FROM brokenE b
+        |  JOIN e$Rounds g ON g.src = b.dst
+        |  WHERE g.dst % 7 <> 0 AND b.src <> g.dst),
+        |rc AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT * FROM keptE UNION ALL SELECT * FROM spl)),
+        |rsc AS (SELECT c.src, c.dst, ${idotSql("qs.q", "qd.q")} AS idot
+        |  FROM rc c JOIN qz qs ON qs.vec_id = c.src
+        |            JOIN qz qd ON qd.vec_id = c.dst),
+        |f AS MATERIALIZED (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY idot DESC, dst) AS rn
+        |  FROM rsc) WHERE rn <= $K),
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+        |  FROM qz WHERE vec_id % 25 = 0 AND vec_id % 7 <> 0),
+        |${beamCtesL("t", "qq", Seq.fill(Steps)("f"), "vec_id % 7 <> 0")},
+        |${bfSql("z.vec_id % 7 <> 0")}
+        |SELECT f2.*, (SELECT count(*) FROM e$Rounds) AS n_edges,
+        |  (SELECT count(*) FROM qz WHERE vec_id % 7 = 0) AS n_tombstones
+        |FROM (${recallSelect("graph_tombstone_cold_serve", "tsrv")}) f2""".stripMargin))
   )
 }
