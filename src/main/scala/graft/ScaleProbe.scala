@@ -943,6 +943,93 @@ object ScaleProbe {
             "vec_id", "v", cents, cb, probes = 3, k = 40)
         }
       }
+      // q504/q512/q508 shapes (r13 verdict item 6): the graph build
+      // runs OUTSIDE the clock (its curve is q451's); the timed work
+      // is what each gate adds on top. Query set is FIXED to copy 0
+      // so the curves isolate corpus growth from query growth.
+      if (only.forall(o => o.contains("q504_committed_serve") ||
+          o.contains("q512_tombstone_serve") ||
+          o.contains("q508_mine_after_serve"))) {
+        val codes = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            graft.operators.Similarity.quantizeInt8(col("embedding"))
+              .getField("q").as("code"))
+          .localCheckpoint(true)
+        val graph = graft.operators.GraphAnn.nnDescent(codes,
+            "vec_id", "code", k = 4, rounds = 2, buckets = 8 * n)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val queries = codes.filter(col("vec_id") % 100 === 0 &&
+          col("vec_id") < 100000000L)
+        // commit + read-back scan (n_edges ≤ n·k → ~linear) + the
+        // k/step-bounded beam over the growing edge table
+        timeWithTmp("q504_committed_serve", n, "graft_sp_gcs") { tmp =>
+          graft.sources.TxLog.commit(graph, s"$tmp/g", "overwrite",
+            "src")
+          val back = graft.sources.TxLog.read(spark, s"$tmp/g")
+            .select(col("src"), col("dst"))
+          graft.operators.GraphAnn.beamServe(queries, back, codes,
+            "vec_id", "code", 16, 12, 5, 3)
+        }
+        // + tombstone table round trip and the splice repair, whose
+        // extra cost is (edges at deleted)·k — rides the same scan
+        timeWithTmp("q512_tombstone_serve", n, "graft_sp_tcs") { tmp =>
+          graft.sources.TxLog.commit(graph, s"$tmp/g", "overwrite",
+            "src")
+          graft.sources.TxLog.commit(
+            codes.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+            s"$tmp/t", "overwrite", "vec_id")
+          val back = graft.sources.TxLog.read(spark, s"$tmp/g")
+            .select(col("src"), col("dst"))
+          val tomb = graft.sources.TxLog.read(spark, s"$tmp/t")
+          val live = codes.filter(col("vec_id") % 7 =!= 0)
+          val rep = graft.operators.GraphAnn.deleteNodes(back, codes,
+            tomb, "vec_id", "code", 4)
+          graft.operators.GraphAnn.beamServe(
+            queries.filter(col("vec_id") % 7 =!= 0),
+            rep.select(col("src"), col("dst")), live,
+            "vec_id", "code", 16, 12, 5, 3)
+        }
+        // negatives mined from the INDEX's k-bounded candidate lists:
+        // with labeled positives (production: labels, not a scan) the
+        // mining stage's input is 10 rows/query regardless of corpus
+        // size — any growth in this curve is the serve term alone
+        time("q508_mine_after_serve", n) {
+          val served = graft.operators.GraphAnn.beamServe(queries,
+            graph, codes, "vec_id", "code", 16, 12, 5, 10)
+          val positives = queries.select(
+            col("vec_id").as("query_id"),
+            (col("vec_id") + 1).as("neighbor_id"))
+          graft.operators.Similarity.hardNegatives(served, positives,
+            "idot", m = 5)
+        }
+      }
+      // q509 shape: streaming IVF ingest — the quantizer FREEZES at
+      // base-train time (corpus-size-independent here), each batch
+      // assigns via the native kernel inside its own scan: expect
+      // linear in batch rows, flat per row, no shuffle term
+      if (only.forall(_.contains("q509_stream_insert"))) {
+        val base = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => coalesce(x.cast("double"), lit(0.0d))).as("v"))
+          .localCheckpoint(true)
+        val init = base
+          .withColumn("__h", graft.operators.GraphAnn.saltedHash60(
+            col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id"))
+          .limit(graft.operators.Similarity.numCells(base.count()))
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq) }.toSeq
+        val cents = graft.operators.Similarity.kmeansIterate(
+          base, "v", init, 1)
+        time("q509_stream_insert", n) {
+          val delta = shifted(base, Seq("vec_id"), n, 100000000L)
+          graft.operators.Similarity.insertIntoCells(delta, "vec_id",
+            "v", cents)
+        }
+      }
     }
     spark.stop()
   }
