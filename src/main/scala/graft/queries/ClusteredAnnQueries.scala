@@ -1862,6 +1862,130 @@ object ClusteredAnnQueries extends QueryPack {
         |${bfSql("z.vec_id % 7 <> 0")}
         |SELECT f2.*, (SELECT count(*) FROM e$Rounds) AS n_edges,
         |  (SELECT count(*) FROM qz WHERE vec_id % 7 = 0) AS n_tombstones
-        |FROM (${recallSelect("graph_tombstone_cold_serve", "tsrv")}) f2""".stripMargin))
+        |FROM (${recallSelect("graph_tombstone_cold_serve", "tsrv")}) f2""".stripMargin)),
+
+    // COMPACTION — the merge-on-read → copy-on-write promotion
+    // PLANS.md's q512 note describes, gated: read edges ∪ tombstones,
+    // apply the splice repair ONCE, rewrite the repaired edge table
+    // through TxLog ("overwrite" — the q504 commit path), drop every
+    // tombstone (deletion-vector delete of the tombstone table), and
+    // serve from the COMPACTED artifact. The serve must read exactly
+    // q512's recall row (compaction changes storage, never answers);
+    // n_tombstones_live = 0 pins that read overhead is back to O(0).
+    "q514_graph_compacted_serve" -> Q(
+      (s, dir) => {
+        val (codes, graph) = builtGraph(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q514_")
+        val edgesDir = tmp.resolve("edges").toString
+        val tombDir = tmp.resolve("tombstones").toString
+        val compactDir = tmp.resolve("edges_compacted").toString
+        graft.sources.TxLog.commit(graph, edgesDir, "overwrite", "src")
+        graft.sources.TxLog.commit(
+          codes.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+          tombDir, "overwrite", "vec_id")
+        val edgesBack = graft.sources.TxLog.read(s, edgesDir)
+          .select(col("src"), col("dst"))
+        val tombBack = graft.sources.TxLog.read(s, tombDir)
+        val repaired = GraphAnn.deleteNodes(edgesBack, codes, tombBack,
+          "vec_id", "code", K).select(col("src"), col("dst"))
+        graft.sources.TxLog.commit(repaired, compactDir, "overwrite",
+          "src")
+        graft.sources.TxLog.deleteWhere(s, tombDir, lit(true))
+        val compacted = graft.sources.TxLog.read(s, compactDir)
+          .select(col("src"), col("dst"))
+        val tombLive = graft.sources.TxLog.read(s, tombDir)
+        val live = codes.filter(col("vec_id") % 7 =!= 0)
+        val queries = live.filter(col("vec_id") % 25 === 0)
+        val served = GraphAnn.beamServe(queries, compacted, live,
+          "vec_id", "code", EntryK, Beam, Steps, TopK)
+        val out = recallRow("graph_compacted_serve", queries, served,
+            bruteTopK(queries, live))
+          .crossJoin(compacted.agg(
+            count(lit(1)).as("n_edges_compacted")))
+          .crossJoin(tombLive.agg(
+            count(lit(1)).as("n_tombstones_live")))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH $codesCte,
+        |$graphCtes,
+        |keptE AS (SELECT src, dst FROM e$Rounds
+        |  WHERE src % 7 <> 0 AND dst % 7 <> 0),
+        |brokenE AS (SELECT src, dst FROM e$Rounds
+        |  WHERE src % 7 <> 0 AND dst % 7 = 0),
+        |spl AS (SELECT b.src, g.dst FROM brokenE b
+        |  JOIN e$Rounds g ON g.src = b.dst
+        |  WHERE g.dst % 7 <> 0 AND b.src <> g.dst),
+        |rc AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT * FROM keptE UNION ALL SELECT * FROM spl)),
+        |rsc AS (SELECT c.src, c.dst, ${idotSql("qs.q", "qd.q")} AS idot
+        |  FROM rc c JOIN qz qs ON qs.vec_id = c.src
+        |            JOIN qz qd ON qd.vec_id = c.dst),
+        |f AS MATERIALIZED (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY idot DESC, dst) AS rn
+        |  FROM rsc) WHERE rn <= $K),
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+        |  FROM qz WHERE vec_id % 25 = 0 AND vec_id % 7 <> 0),
+        |${beamCtesL("t", "qq", Seq.fill(Steps)("f"), "vec_id % 7 <> 0")},
+        |${bfSql("z.vec_id % 7 <> 0")}
+        |SELECT f2.*, (SELECT count(*) FROM f) AS n_edges_compacted,
+        |  CAST(0 AS BIGINT) AS n_tombstones_live
+        |FROM (${recallSelect("graph_compacted_serve", "tsrv")}) f2""".stripMargin)),
+
+    // IVF delete — the lifecycle stage the IVF family was missing
+    // (graph: q458 warm / q512 cold; IVF: build q501, insert q502,
+    // drift q503, commit q505/q510, stream q509 — no delete): the
+    // committed (id, vec, cell) index table takes a DELETION-VECTOR
+    // delete (TxLog.deleteWhere — position bitmaps over immutable
+    // parquet, the Delta/Iceberg DV shape: no rewrite, no quantizer
+    // change) and the cold serve reads the post-delete log. Deleted
+    // vectors vanish from every probe list by construction (the DV
+    // filters the scan, not the plan); recall audits against brute
+    // force over the LIVE corpus; n_live pins the DV's row accounting.
+    "q515_ivf_delete_cold_serve" -> Q(
+      (s, dir) => {
+        val vecs = doubleVecs(s, dir)
+        val n = vecs.count()
+        val ncl = Similarity.numCells(n)
+        val probes = Similarity.numProbes(ncl)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q515_")
+        graft.sources.TxLog.commit(
+          Similarity.insertIntoCells(vecs, "vec_id", "v", cents),
+          tmp.toString, "overwrite", "vec_id")
+        graft.sources.TxLog.deleteWhere(s, tmp.toString,
+          col("vec_id") % 7 === 0)
+        val idxBack = graft.sources.TxLog.read(s, tmp.toString)
+        val live = vecs.filter(col("vec_id") % 7 =!= 0)
+        val queries = live.filter(col("vec_id") % 25 === 0)
+        val served = Similarity.annTopKIvfPreassignedD(queries, idxBack,
+          "vec_id", "v", "cell", cents, TopK, probes)
+        val out = recallRow("ivf_delete_cold_serve", queries, served,
+            bruteCosTopK(queries, live))
+          .withColumn("nlist", lit(ncl.toLong))
+          .crossJoin(idxBack.agg(count(lit(1)).as("n_live")))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH $codesCte,
+        |${coarseCtesOn("TRUE", nlSql("vv"))},
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+        |  FROM va WHERE vec_id % 25 = 0 AND vec_id % 7 <> 0),
+        |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+        |  WHERE vec_id % 25 = 0 AND vec_id % 7 <> 0
+        |    AND rn <= (${npSql("vv")})),
+        |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
+        |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
+        |  FROM qp JOIN asg USING (cell)
+        |  WHERE qp.query_id <> asg.vec_id AND asg.vec_id % 7 <> 0),
+        |srv AS (SELECT query_id, node, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+        |  FROM srvs),
+        |lv AS MATERIALIZED (SELECT vec_id, v FROM va
+        |  WHERE vec_id % 7 <> 0),
+        |${bruteCosSql("lv")}
+        |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
+        |  (SELECT count(*) FROM va WHERE vec_id % 7 <> 0) AS n_live
+        |FROM (${recallSelect("ivf_delete_cold_serve", "srv")}) f""".stripMargin))
   )
 }
