@@ -357,23 +357,54 @@ object Similarity {
     */
   def cellDriftAudit(base: DataFrame, inserted: DataFrame,
       idCol: String, vecCol: String, cents: Seq[(Int, Seq[Double])],
+      driftPpmThreshold: Long): DataFrame =
+    cellDriftFromStats(
+      cellFitStats(base, vecCol, cents),
+      cellFitStats(inserted, vecCol, cents), driftPpmThreshold)
+
+  /** Per-cell fit statistics — the audit's PARTIAL-aggregate form:
+    * (cell, n, fit_sum) where fit_sum is the exact long sum of
+    * ⌊(cos+1)·10⁶⌋ row fits. Associative and order-free, so stats
+    * from any batch split combine by summing per cell — a STREAMING
+    * ingest maintains the audit with nlist rows of state per batch
+    * (q513), and [[cellDriftFromStats]] closes the readout. At 100 TB
+    * the stats ride each insert batch's own scan; no corpus pass.
+    */
+  def cellFitStats(src: DataFrame, vecCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = src
+    .withColumn("cell", assignCell(col(vecCol), cents))
+    .select(col("cell"),
+      floor((cosineNative(col(vecCol), centOf(col("cell"), cents)) +
+        1.0d) * 1000000.0d).cast("long").as("fit_ppm"))
+    .groupBy(col("cell"))
+    .agg(count(lit(1)).as("n"), sum(col("fit_ppm")).as("fit_sum"))
+
+  /** Combine two [[cellFitStats]] frames (cell, n, fit_sum) by
+    * per-cell sum — the associative merge a streaming accumulator
+    * applies per micro-batch.
+    */
+  def combineFitStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("cell"))
+      .agg(sum(col("n")).as("n"), sum(col("fit_sum")).as("fit_sum"))
+
+  /** The drift readout over base/insert fit statistics — integral
+    * means of long sums, drift = base − insert, retrain per cell.
+    * Cells seen by only one side carry zero counts on the other
+    * (full-outer semantics, matching the single-pass union form this
+    * refactors bit-for-bit).
+    */
+  def cellDriftFromStats(baseStats: DataFrame, insertStats: DataFrame,
       driftPpmThreshold: Long): DataFrame = {
     import graft.functions.FixedPoint.idiv
-    def fit(src: DataFrame, tag: Int): DataFrame = src
-      .withColumn("cell", assignCell(col(vecCol), cents))
+    baseStats.select(col("cell"), col("n").as("__nb"),
+        col("fit_sum").as("__sb"))
+      .join(insertStats.select(col("cell"), col("n").as("__ni"),
+        col("fit_sum").as("__si")), Seq("cell"), "full_outer")
       .select(col("cell"),
-        floor((cosineNative(col(vecCol), centOf(col("cell"), cents)) +
-          1.0d) * 1000000.0d).cast("long").as("fit_ppm"),
-        lit(tag).as("__src"))
-    fit(base, 0).unionByName(fit(inserted, 1))
-      .groupBy(col("cell"))
-      .agg(
-        sum(when(col("__src") === 0, 1L).otherwise(0L)).as("n_base"),
-        sum(when(col("__src") === 1, 1L).otherwise(0L)).as("n_inserted"),
-        sum(when(col("__src") === 0, col("fit_ppm")).otherwise(0L))
-          .as("__sb"),
-        sum(when(col("__src") === 1, col("fit_ppm")).otherwise(0L))
-          .as("__si"))
+        coalesce(col("__nb"), lit(0L)).as("n_base"),
+        coalesce(col("__ni"), lit(0L)).as("n_inserted"),
+        coalesce(col("__sb"), lit(0L)).as("__sb"),
+        coalesce(col("__si"), lit(0L)).as("__si"))
       .withColumn("base_fit_ppm",
         when(col("n_base") > 0, idiv(col("__sb"), col("n_base")))
           .otherwise(lit(0L)))

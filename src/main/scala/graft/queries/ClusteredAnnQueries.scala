@@ -1864,6 +1864,103 @@ object ClusteredAnnQueries extends QueryPack {
         |  (SELECT count(*) FROM qz WHERE vec_id % 7 = 0) AS n_tombstones
         |FROM (${recallSelect("graph_tombstone_cold_serve", "tsrv")}) f2""".stripMargin)),
 
+    // STREAMING drift audit — the retrain trigger rides the ingest
+    // stream: each micro-batch of inserts folds its own nlist-row
+    // [[Similarity.cellFitStats]] partial into the accumulator
+    // (combineFitStats — associative long sums, so batch order and
+    // batch boundaries cannot change the answer), and the final
+    // readout combines with the base stats exactly as the batch audit
+    // does. The oracle is q503's 'natural' family replayed verbatim:
+    // the streamed audit must equal the one-pass audit bit-for-bit.
+    // State per batch is nlist rows — never the batch, never the
+    // corpus; this is q509's lifecycle parity for the q503 trigger.
+    "q513_stream_drift_audit" -> Q(
+      (s, dir) => {
+        import graft.streaming.Streams
+        val vecs = doubleVecs(s, dir)
+        val base = vecs.filter(col("vec_id") % 4 =!= 1)
+        val cents = Similarity.kmeansIterate(base, "v",
+          seedInit(base, Similarity.numCells(base.count())), KmIters)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q513_")
+        val streamDir = tmp.resolve("in")
+        java.nio.file.Files.createDirectories(streamDir)
+        Seq(1L, 5L).zipWithIndex.foreach { case (m, i) =>
+          val stage = tmp.resolve(s"stage$i")
+          vecs.filter(col("vec_id") % 8 === m).coalesce(1)
+            .write.parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            streamDir.resolve(s"b$i.parquet"))
+          ()
+        }
+        val insertStats =
+          new java.util.concurrent.atomic.AtomicReference[
+            Option[org.apache.spark.sql.DataFrame]](None)
+        val ckpt = Streams.scratchCheckpointDir("graft-q513-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            s.readStream.schema(vecs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(streamDir.toString),
+            batch => batch,
+            batch => {
+              val part = Similarity.cellFitStats(
+                batch.localCheckpoint(true), "v", cents)
+              insertStats.set(Some(insertStats.get()
+                .map(acc => Similarity.combineFitStats(acc, part))
+                .getOrElse(part)
+                .localCheckpoint(true)))
+            },
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally { rm(ckpt.toFile); rm(tmp.toFile) }
+        Similarity.cellDriftFromStats(
+            Similarity.cellFitStats(base, "v", cents),
+            insertStats.get().get, DriftPpm)
+          .withColumn("family", lit("natural"))
+          .select(col("family"), col("cell"), col("n_base"),
+            col("n_inserted"), col("base_fit_ppm"),
+            col("insert_fit_ppm"), col("drift_ppm"), col("retrain"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH $codesCte,
+        |${coarseCtesOn("vec_id % 4 <> 1", nlSql("vv"))},
+        |fits AS (
+        |  SELECT cell,
+        |    CASE WHEN vec_id % 4 = 1 THEN 1 ELSE 0 END AS src,
+        |    CAST(floor((cos + 1.0) * 1000000.0) AS BIGINT) AS fit_ppm
+        |  FROM qrk WHERE rn = 1),
+        |g AS (SELECT cell,
+        |    CAST(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_inserted,
+        |    CAST(sum(CASE WHEN src = 0 THEN fit_ppm ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN src = 1 THEN fit_ppm ELSE 0 END)
+        |      AS BIGINT) AS si
+        |  FROM fits GROUP BY 1),
+        |h AS (SELECT CAST(cell AS BIGINT) AS cell, n_base, n_inserted,
+        |    CASE WHEN n_base > 0 THEN sb // n_base ELSE 0 END
+        |      AS base_fit_ppm,
+        |    CASE WHEN n_inserted > 0 THEN si // n_inserted ELSE 0 END
+        |      AS insert_fit_ppm
+        |  FROM g)
+        |SELECT 'natural' AS family, cell, n_base, n_inserted,
+        |  base_fit_ppm, insert_fit_ppm,
+        |  CASE WHEN n_base > 0 AND n_inserted > 0
+        |    THEN base_fit_ppm - insert_fit_ppm ELSE 0 END AS drift_ppm,
+        |  (CASE WHEN n_base > 0 AND n_inserted > 0
+        |    THEN base_fit_ppm - insert_fit_ppm ELSE 0 END) > $DriftPpm
+        |    AS retrain
+        |FROM h
+        |ORDER BY cell""".stripMargin)),
+
     // COMPACTION — the merge-on-read → copy-on-write promotion
     // PLANS.md's q512 note describes, gated: read edges ∪ tombstones,
     // apply the splice repair ONCE, rewrite the repaired edge table

@@ -100,4 +100,34 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(got.length === 2)
     assert(got.forall(r => !r.getBoolean(6) && r.getLong(5) === 0L))
   }
+
+  test("fit-stats combine is batch-split invariant (q513 contract)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.0, 0.0, 1.0)))
+      .toDF("id", "v")
+    val ins = Seq(
+      (10L, Seq(0.6, -0.5, -0.5)), (11L, Seq(0.8, 0.2, 0.0)),
+      (12L, Seq(0.1, 0.9, 0.1)), (13L, Seq(0.2, 0.1, 0.9)),
+      (14L, Seq(-0.3, 0.8, 0.2))).toDF("id", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("cell")).collect().map(_.toSeq).toSeq
+    val onePass = rows(
+      Similarity.cellDriftAudit(base, ins, "id", "v", cents, 100000L))
+    // any split into micro-batches, any order, combines to the same
+    // audit — the associativity the streaming accumulator relies on
+    for (splitAt <- Seq(1L, 3L); swap <- Seq(false, true)) {
+      val (a, b) = (ins.filter(col("id") % 5 < splitAt),
+        ins.filter(col("id") % 5 >= splitAt))
+      val (p1, p2) = if (swap) (b, a) else (a, b)
+      val streamed = Similarity.cellDriftFromStats(
+        Similarity.cellFitStats(base, "v", cents),
+        Similarity.combineFitStats(
+          Similarity.cellFitStats(p1, "v", cents),
+          Similarity.cellFitStats(p2, "v", cents)), 100000L)
+      assert(rows(streamed) === onePass,
+        s"split=$splitAt swap=$swap diverged from the one-pass audit")
+    }
+  }
 }
