@@ -1004,6 +1004,91 @@ object ScaleProbe {
             "idot", m = 5)
         }
       }
+      // q510 shape: the composed production IVF-PQ path at POLICY
+      // nlist — encode + commit + cold read-back + ADC shortlist +
+      // exact re-rank in one timed plan; the re-rank joins raw
+      // vectors only for the ShortK-bounded shortlist
+      if (only.forall(_.contains("q510_policy_committed"))) {
+        import graft.expressions.VectorExpressions.l2sqF
+        import org.apache.spark.sql.expressions.Window
+        val vecs = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => coalesce(x.cast("double"), lit(0.0d))).as("v"))
+          .localCheckpoint(true)
+        val ncl = graft.operators.Similarity.numCells(vecs.count())
+        val init = vecs
+          .withColumn("__h", graft.operators.GraphAnn.saltedHash60(
+            col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id")).limit(ncl)
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq) }.toSeq
+        val cents = graft.operators.Similarity.kmeansIterate(
+          vecs, "v", init, 1)
+        val rnd = new scala.util.Random(4343L)
+        val pqInit = Seq.fill(8)(Seq.fill(16)(Seq.fill(8)(
+          rnd.nextGaussian() * 0.1)))
+        val resid = graft.operators.Similarity.ivfResiduals(
+          vecs, "vec_id", "v", cents).localCheckpoint(true)
+        val cb = graft.operators.Similarity.pqTrain(resid, "res", pqInit)
+        timeWithTmp("q510_policy_committed", n, "graft_sp_510") { tmp =>
+          val coded = graft.operators.Similarity.ivfPqEncode(
+            vecs, "vec_id", "v", cents, cb)
+          graft.sources.TxLog.commit(coded, tmp.toString, "overwrite",
+            "vec_id")
+          val codedBack = graft.sources.TxLog.read(spark, tmp.toString)
+          val queries = vecs.filter(col("vec_id") % 100 === 0)
+          val short = graft.operators.Similarity.ivfPqAdcTopK(
+            queries, codedBack, "vec_id", "v", cents, cb,
+            graft.operators.Similarity.numProbes(ncl), 40)
+          short
+            .join(vecs.select(col("vec_id").as("neighbor_id"),
+              col("v").as("__nv")), Seq("neighbor_id"))
+            .join(queries.select(col("vec_id").as("query_id"),
+              col("v").as("__qv")), Seq("query_id"))
+            .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+            .withColumn("rn2", row_number().over(
+              Window.partitionBy(col("query_id"))
+                .orderBy(col("__d").asc, col("neighbor_id"))))
+            .filter(col("rn2") <= 10)
+        }
+      }
+      // q515 shape: deletion-vector delete + cold preassigned serve —
+      // the DV filters the SCAN (position bitmaps per file), so the
+      // serve's probe joins see only live rows with zero plan change
+      if (only.forall(_.contains("q515_dv_serve"))) {
+        val vecs = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => coalesce(x.cast("double"), lit(0.0d))).as("v"))
+          .localCheckpoint(true)
+        val ncl = graft.operators.Similarity.numCells(vecs.count())
+        val init = vecs
+          .withColumn("__h", graft.operators.GraphAnn.saltedHash60(
+            col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id")).limit(ncl)
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq) }.toSeq
+        val cents = graft.operators.Similarity.kmeansIterate(
+          vecs, "v", init, 1)
+        timeWithTmp("q515_dv_serve", n, "graft_sp_515") { tmp =>
+          graft.sources.TxLog.commit(
+            graft.operators.Similarity.insertIntoCells(vecs, "vec_id",
+              "v", cents), tmp.toString, "overwrite", "vec_id")
+          graft.sources.TxLog.deleteWhere(spark, tmp.toString,
+            col("vec_id") % 7 === 0)
+          val idxBack = graft.sources.TxLog.read(spark, tmp.toString)
+          graft.operators.Similarity.annTopKIvfPreassignedD(
+            vecs.filter(col("vec_id") % 100 === 0 &&
+              col("vec_id") % 7 =!= 0),
+            idxBack, "vec_id", "v", "cell", cents, 10,
+            graft.operators.Similarity.numProbes(ncl))
+        }
+      }
       // q509 shape: streaming IVF ingest — the quantizer FREEZES at
       // base-train time (corpus-size-independent here), each batch
       // assigns via the native kernel inside its own scan: expect
