@@ -20,6 +20,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 ONLY = sys.argv[3] if len(sys.argv) > 3 else None
 
+# Oracles whose expected values are precomputed over the sf0.01
+# fixture (the driver's correctness gate): at any other SF the VALUES
+# table doesn't apply, so dev sweeps skip them instead of reporting a
+# false failure. The driver itself only ever replays at sf0.01.
+PINNED_SF001 = {"q120_compression_quality"}
+
 
 def run_verify():
     cmd = ["tools/run.sh", "graft.Verify", SF, str(OUT)]
@@ -56,8 +62,12 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracles = json.loads((OUT / "oracle_sql.json").read_text())
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracles):
+        if name in PINNED_SF001 and "sf0.01" not in SF:
+            print(f"SKIP {name}: oracle pinned to the sf0.01 gate")
+            n_skip += 1
+            continue
         sql = oracles[name]
         pq = OUT / name
         if not pq.exists():
@@ -112,7 +122,8 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    skip_note = f", {n_skip} skipped (sf-pinned)" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skip_note} ==")
     sys.exit(1 if n_fail else 0)
 
 
