@@ -322,25 +322,26 @@ object ClusteredAnnQueries extends QueryPack {
 
   private val Q20 = "1048576.0"
 
-  private def coarseAssignSql(it: Int, from: String): String =
-    s"""ss$it AS (SELECT e.vec_id, e.v, c.cell,
+  private def coarseAssignSql(it: Int, from: String,
+      pfx: String = ""): String =
+    s"""${pfx}ss$it AS (SELECT e.vec_id, e.v, c.cell,
        |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
-       |  FROM vv e CROSS JOIN $from c),
-       |aa$it AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+       |  FROM ${pfx}vv e CROSS JOIN $from c),
+       |${pfx}aa$it AS MATERIALIZED (SELECT vec_id, v, cell FROM (
        |  SELECT vec_id, v, cell, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
-       |  FROM ss$it) WHERE rn = 1)""".stripMargin
+       |  FROM ${pfx}ss$it) WHERE rn = 1)""".stripMargin
 
-  private def coarseRefineSql(it: Int): String = {
+  private def coarseRefineSql(it: Int, pfx: String = ""): String = {
     val sumExprs = (0 until Dim).map(d =>
       s"CAST(sum(CAST(floor(v[${d + 1}] * $Q20) AS BIGINT)) AS BIGINT) AS s$d")
       .mkString(",\n|    ")
     val centroidList = (0 until Dim).map(d => s"s$d / (n * $Q20)")
       .mkString("[", ", ", "]")
-    s"""gg$it AS (SELECT cell, count(*) AS n,
+    s"""${pfx}gg$it AS (SELECT cell, count(*) AS n,
        |    $sumExprs
-       |  FROM aa$it GROUP BY cell),
-       |c$it AS MATERIALIZED (SELECT cell, $centroidList AS c FROM gg$it)""".stripMargin
+       |  FROM ${pfx}aa$it GROUP BY cell),
+       |${pfx}c$it AS MATERIALIZED (SELECT cell, $centroidList AS c FROM ${pfx}gg$it)""".stripMargin
   }
 
   /** Parameterized coarse replay (the r13 lifecycle gates train on a
@@ -355,24 +356,33 @@ object ClusteredAnnQueries extends QueryPack {
   private def coarseCtesOn(trainCond: String, nclSql: String): String =
     s"""va AS MATERIALIZED (SELECT vec_id,
        |  list_transform(q, x -> CAST(x AS DOUBLE)) AS v FROM qz),
-       |vv AS MATERIALIZED (SELECT vec_id, v FROM va WHERE $trainCond),
-       |sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY
+       |${coarseBlockOn("", trainCond, nclSql)}""".stripMargin
+
+  /** The coarse replay WITHOUT the `va` definition, all CTE names
+    * prefixed — q516 replays TWO quantizers (stale and retrained)
+    * over one SHARED (possibly mutated) `va`. Prefix "" reproduces
+    * [[coarseCtesOn]]'s long-standing names exactly.
+    */
+  private def coarseBlockOn(pfx: String, trainCond: String,
+      nclSql: String): String =
+    s"""${pfx}vv AS MATERIALIZED (SELECT vec_id, v FROM va WHERE $trainCond),
+       |${pfx}sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY
        |    ${hashSql("vec_id", ":seed")}, vec_id) - 1 AS cell
-       |  FROM vv),
-       |c0 AS MATERIALIZED (SELECT cell, v AS c FROM sd
+       |  FROM ${pfx}vv),
+       |${pfx}c0 AS MATERIALIZED (SELECT cell, v AS c FROM ${pfx}sd
        |  WHERE cell < ($nclSql)),
-       |${coarseAssignSql(1, "c0")},
-       |${coarseRefineSql(1)},
-       |${coarseAssignSql(2, "c1")},
-       |${coarseRefineSql(2)},
-       |qsc AS (SELECT e.vec_id, e.v, c.cell,
+       |${coarseAssignSql(1, s"${pfx}c0", pfx)},
+       |${coarseRefineSql(1, pfx)},
+       |${coarseAssignSql(2, s"${pfx}c1", pfx)},
+       |${coarseRefineSql(2, pfx)},
+       |${pfx}qsc AS (SELECT e.vec_id, e.v, c.cell,
        |    ${SimilarityQueries.cosSql("e.v", "c.c")} AS cos
-       |  FROM va e CROSS JOIN c2 c),
-       |qrk AS MATERIALIZED (SELECT vec_id, v, cell, cos,
+       |  FROM va e CROSS JOIN ${pfx}c2 c),
+       |${pfx}qrk AS MATERIALIZED (SELECT vec_id, v, cell, cos,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos DESC, cell DESC) AS rn
-       |  FROM qsc),
-       |asg AS (SELECT vec_id, v, cell FROM qrk WHERE rn = 1)""".stripMargin
+       |  FROM ${pfx}qsc),
+       |${pfx}asg AS (SELECT vec_id, v, cell FROM ${pfx}qrk WHERE rn = 1)""".stripMargin
 
   /** The [[Similarity.numCells]] policy as a SQL scalar over `src`. */
   private def nlSql(src: String): String =
@@ -2083,6 +2093,100 @@ object ClusteredAnnQueries extends QueryPack {
         |${bruteCosSql("lv")}
         |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
         |  (SELECT count(*) FROM va WHERE vec_id % 7 <> 0) AS n_live
-        |FROM (${recallSelect("ivf_delete_cold_serve", "srv")}) f""".stripMargin))
+        |FROM (${recallSelect("ivf_delete_cold_serve", "srv")}) f""".stripMargin)),
+
+    // RETRAIN → RECOVERY — the terminal the drift loop was missing:
+    // q503 decides WHEN to retrain, this gate proves WHY and runs the
+    // retrain itself. The insert quarter arrives sign-flipped (the
+    // q503 'shifted' distribution shift); the audit fires
+    // (n_retrain_cells > 0, the rider); the corpus is retrained at
+    // the policy nlist of its NEW size; and the same preassigned
+    // serve is replayed against BOTH quantizers over the mutated
+    // corpus — the stale row records the recall the shift costs, the
+    // retrained row the recovery. The oracle replays TWO full Lloyd
+    // quantizers over one shared mutated `va` (the prefixed
+    // coarseBlockOn) plus the drift readout from the stale block's
+    // own assignments.
+    "q516_ivf_retrain_recovery" -> Q(
+      (s, dir) => {
+        val vecs = doubleVecs(s, dir)
+        val base = vecs.filter(col("vec_id") % 4 =!= 1)
+        val flipped = vecs.filter(col("vec_id") % 4 === 1)
+          .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+        val corpus = base.unionByName(flipped).localCheckpoint(true)
+        val nclS = Similarity.numCells(base.count())
+        val probesS = Similarity.numProbes(nclS)
+        val centsStale = Similarity.kmeansIterate(base, "v",
+          seedInit(base, nclS), KmIters)
+        val nFlag = Similarity.cellDriftAudit(base, flipped, "vec_id",
+          "v", centsStale, DriftPpm).filter(col("retrain")).count()
+        val nclR = Similarity.numCells(corpus.count())
+        val probesR = Similarity.numProbes(nclR)
+        val centsNew = Similarity.kmeansIterate(corpus, "v",
+          seedInit(corpus, nclR), KmIters)
+        val queries = corpus.filter(col("vec_id") % 25 === 0)
+        val exact = bruteCosTopK(queries, corpus).localCheckpoint(true)
+        def serve(cents: Seq[(Int, Seq[Double])], probes: Int) =
+          Similarity.annTopKIvfPreassignedD(queries,
+            Similarity.insertIntoCells(corpus, "vec_id", "v", cents),
+            "vec_id", "v", "cell", cents, TopK, probes)
+        recallRow("ivf_retrained", queries,
+            serve(centsNew, probesR), exact)
+          .unionByName(recallRow("ivf_stale_after_shift", queries,
+            serve(centsStale, probesS), exact))
+          .withColumn("n_retrain_cells", lit(nFlag))
+          .orderBy(col("family"))
+      },
+      Some(s"""WITH $codesCte,
+        |va AS MATERIALIZED (SELECT vec_id,
+        |  CASE WHEN vec_id % 4 = 1
+        |    THEN list_transform(q, x -> -CAST(x AS DOUBLE))
+        |    ELSE list_transform(q, x -> CAST(x AS DOUBLE)) END AS v
+        |  FROM qz),
+        |${coarseBlockOn("s", "vec_id % 4 <> 1", nlSql("svv"))},
+        |${coarseBlockOn("r", "TRUE", nlSql("rvv"))},
+        |dfits AS (SELECT cell,
+        |    CASE WHEN vec_id % 4 = 1 THEN 1 ELSE 0 END AS src,
+        |    CAST(floor((cos + 1.0) * 1000000.0) AS BIGINT) AS fit_ppm
+        |  FROM sqrk WHERE rn = 1),
+        |dg AS (SELECT cell,
+        |    CAST(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_inserted,
+        |    CAST(sum(CASE WHEN src = 0 THEN fit_ppm ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN src = 1 THEN fit_ppm ELSE 0 END)
+        |      AS BIGINT) AS si
+        |  FROM dfits GROUP BY 1),
+        |nflag AS (SELECT count(*) AS c FROM dg
+        |  WHERE n_base > 0 AND n_inserted > 0
+        |    AND (sb // n_base) - (si // n_inserted) > $DriftPpm),
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+        |  FROM va WHERE vec_id % 25 = 0),
+        |sqp AS (SELECT vec_id AS query_id, v AS qv, cell FROM sqrk
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("svv")})),
+        |ssx AS (SELECT sqp.query_id, sasg.vec_id AS node,
+        |    ${SimilarityQueries.cosSql("sqp.qv", "sasg.v")} AS cos
+        |  FROM sqp JOIN sasg USING (cell)
+        |  WHERE sqp.query_id <> sasg.vec_id),
+        |ssrv AS (SELECT query_id, node, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+        |  FROM ssx),
+        |rqp AS (SELECT vec_id AS query_id, v AS qv, cell FROM rqrk
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("rvv")})),
+        |rsx AS (SELECT rqp.query_id, rasg.vec_id AS node,
+        |    ${SimilarityQueries.cosSql("rqp.qv", "rasg.v")} AS cos
+        |  FROM rqp JOIN rasg USING (cell)
+        |  WHERE rqp.query_id <> rasg.vec_id),
+        |rsrv AS (SELECT query_id, node, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+        |  FROM rsx),
+        |${bruteCosSql("va")}
+        |SELECT f.*, (SELECT c FROM nflag) AS n_retrain_cells
+        |FROM (${recallSelect("ivf_retrained", "rsrv")}
+        |UNION ALL
+        |${recallSelect("ivf_stale_after_shift", "ssrv")}) f
+        |ORDER BY family""".stripMargin))
   )
 }
