@@ -2187,6 +2187,36 @@ object ClusteredAnnQueries extends QueryPack {
         |FROM (${recallSelect("ivf_retrained", "rsrv")}
         |UNION ALL
         |${recallSelect("ivf_stale_after_shift", "ssrv")}) f
-        |ORDER BY family""".stripMargin))
+        |ORDER BY family""".stripMargin)),
+
+    // EXTERNAL embeddings through the GRAPH family — q511's twin
+    // (closing the r13 ask's "and/or" in full): the exported
+    // (vec_id, code) parquet feeds the NN-descent build AND the beam
+    // serve AND the brute-force audit; values are the fixture's, so
+    // the oracle is q472's replay under this family label, and the
+    // recall row must read exactly q472's. A real encoder export
+    // swaps one write job; build/serve plans are unchanged.
+    "q517_graph_external_embeddings" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q517_")
+        val extPath = tmp.resolve("codes_export").toString
+        clusteredCodes(s, dir).write.mode("overwrite").parquet(extPath)
+        val ext = s.read.parquet(extPath)
+        val graph = GraphAnn.nnDescent(ext, "vec_id", "code", K,
+            Rounds, Buckets)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val queries = ext.filter(col("vec_id") % 25 === 0)
+        val served = GraphAnn.beamServe(queries, graph, ext,
+          "vec_id", "code", EntryK, Beam, Steps, TopK)
+        val out = recallRow("graph_external_embeddings", queries,
+          served, bruteTopK(queries, ext))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH $codesCte,
+        |$graphCtes,
+        |$qqCte,
+        |${beamCtesL("b", "qq", Seq.fill(Steps)(s"e$Rounds"), "TRUE")},
+        |${bfSql("TRUE")}
+        |${recallSelect("graph_external_embeddings", "bsrv")}""".stripMargin))
   )
 }
