@@ -302,6 +302,31 @@ object Similarity {
     math.min(nlist, math.max(minProbes, (nlist + 7) / 8))
   }
 
+  /** Selectivity-aware probe widening for FILTERED IVF serves: a
+    * predicate keeping `allowed` of `total` index rows thins every
+    * cell's candidate list by the same factor, so a fixed nprobe
+    * sees ~nprobe·allowed/nlist·total⁻¹ of the allowed set — recall
+    * collapses at selective filters (the q475 problem, IVF side).
+    * Widen to ⌈probes·total/allowed⌉ cells (integer ceil — exact in
+    * both engines), capped at nlist and floored at the unfiltered
+    * probe count. At high selectivity this degenerates to probing
+    * every cell, which is CORRECT at scale: the scan is still
+    * DV/predicate-filtered to the allowed rows, so the work is
+    * selectivity-bounded, never corpus-bounded — the q478
+    * cardinality-switch argument applied to the probe list.
+    */
+  def probesForSelectivity(probes: Int, nlist: Int, allowed: Long,
+      total: Long): Int = {
+    require(probes >= 1 && nlist >= 1 && total > 0 &&
+      allowed >= 0 && allowed <= total)
+    val base = math.min(probes, nlist)
+    if (allowed == 0) base
+    else math.max(
+      math.min(nlist.toLong,
+        (probes.toLong * total + allowed - 1) / allowed),
+      base.toLong).toInt
+  }
+
   /** Incremental IVF maintenance — the INSERT half of the
     * q457/q458-style index lifecycle for the IVF family: new rows
     * assign to their nearest EXISTING cell (one scan-speed argmax

@@ -2217,6 +2217,84 @@ object ClusteredAnnQueries extends QueryPack {
         |$qqCte,
         |${beamCtesL("b", "qq", Seq.fill(Steps)(s"e$Rounds"), "TRUE")},
         |${bfSql("TRUE")}
-        |${recallSelect("graph_external_embeddings", "bsrv")}""".stripMargin))
+        |${recallSelect("graph_external_embeddings", "bsrv")}""".stripMargin)),
+
+    // FILTERED IVF serve with selectivity-aware probe widening — the
+    // IVF side of the q475 problem: a ~5% predicate thins every
+    // cell's candidate list 20×, so the naive fixed-nprobe serve
+    // collapses while [[Similarity.probesForSelectivity]] widens the
+    // probe list by total/allowed (⌈3·500/25⌉ ≥ nlist here — probing
+    // every cell, which at scale stays selectivity-bounded because
+    // the index scan itself is predicate-filtered; the q478
+    // cardinality-switch argument applied to probes). Both families
+    // in one gate: the naive row records the collapse, the widened
+    // row the fix; the oracle re-derives the widening policy from
+    // counts and replays both serves.
+    "q518_ivf_filtered_serve" -> Q(
+      (s, dir) => {
+        val vecs = doubleVecs(s, dir)
+        val total = vecs.count()
+        val ncl = Similarity.numCells(total)
+        val probes = Similarity.numProbes(ncl)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        val pred = col("vec_id") % FilterMod === FilterRem
+        val index = Similarity.insertIntoCells(vecs, "vec_id", "v",
+          cents).filter(pred)
+        val nAllowed = index.count()
+        val widened = Similarity.probesForSelectivity(probes, ncl,
+          nAllowed, total)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val exact = bruteCosTopK(queries, vecs.filter(pred))
+          .localCheckpoint(true)
+        def serve(p: Int) = Similarity.annTopKIvfPreassignedD(
+          queries, index, "vec_id", "v", "cell", cents, TopK, p)
+        recallRow("ivf_filtered_naive", queries, serve(probes), exact)
+          .unionByName(recallRow("ivf_filtered_widened", queries,
+            serve(widened), exact))
+          .withColumn("nprobe_naive", lit(probes.toLong))
+          .withColumn("nprobe_widened", lit(widened.toLong))
+          .withColumn("n_allowed", lit(nAllowed))
+          .orderBy(col("family"))
+      },
+      {
+        val pred = s"vec_id % $FilterMod = $FilterRem"
+        val npw = s"GREATEST(LEAST((${nlSql("vv")}), " +
+          s"((${npSql("vv")}) * (SELECT count(*) FROM va) + " +
+          s"(SELECT count(*) FROM va WHERE $pred) - 1) // " +
+          s"(SELECT count(*) FROM va WHERE $pred)), " +
+          s"LEAST((${npSql("vv")}), (${nlSql("vv")})))"
+        Some(s"""WITH $codesCte,
+          |${coarseCtesOn("TRUE", nlSql("vv"))},
+          |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+          |  FROM va WHERE vec_id % 25 = 0),
+          |qpn AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+          |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+          |qpw AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+          |  WHERE vec_id % 25 = 0 AND rn <= ($npw)),
+          |nsx AS (SELECT qpn.query_id, asg.vec_id AS node,
+          |    ${SimilarityQueries.cosSql("qpn.qv", "asg.v")} AS cos
+          |  FROM qpn JOIN asg USING (cell)
+          |  WHERE qpn.query_id <> asg.vec_id AND asg.$pred),
+          |nsrv AS (SELECT query_id, node, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+          |  FROM nsx),
+          |wsx AS (SELECT qpw.query_id, asg.vec_id AS node,
+          |    ${SimilarityQueries.cosSql("qpw.qv", "asg.v")} AS cos
+          |  FROM qpw JOIN asg USING (cell)
+          |  WHERE qpw.query_id <> asg.vec_id AND asg.$pred),
+          |wsrv AS (SELECT query_id, node, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+          |  FROM wsx),
+          |alw AS MATERIALIZED (SELECT vec_id, v FROM va WHERE $pred),
+          |${bruteCosSql("alw")}
+          |SELECT f.*, CAST((${npSql("vv")}) AS BIGINT) AS nprobe_naive,
+          |  CAST(($npw) AS BIGINT) AS nprobe_widened,
+          |  (SELECT count(*) FROM va WHERE $pred) AS n_allowed
+          |FROM (${recallSelect("ivf_filtered_naive", "nsrv")}
+          |UNION ALL
+          |${recallSelect("ivf_filtered_widened", "wsrv")}) f
+          |ORDER BY family""".stripMargin)
+      })
   )
 }

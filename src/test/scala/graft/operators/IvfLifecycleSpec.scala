@@ -101,6 +101,24 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(got.forall(r => !r.getBoolean(6) && r.getLong(5) === 0L))
   }
 
+  test("probesForSelectivity: widens by 1/selectivity, capped, floored") {
+    // exact ceil: 3 probes at 5% selectivity wants 60 cells
+    assert(Similarity.probesForSelectivity(3, 128, 25, 500) === 60)
+    // capped at nlist
+    assert(Similarity.probesForSelectivity(3, 22, 25, 500) === 22)
+    // unselective predicate: floor at the unfiltered probe count
+    assert(Similarity.probesForSelectivity(3, 22, 500, 500) === 3)
+    assert(Similarity.probesForSelectivity(3, 22, 400, 500) === 4)
+    // empty allowed set: base probes, no division
+    assert(Similarity.probesForSelectivity(3, 22, 0, 500) === 3)
+    // probes already past nlist: clamp
+    assert(Similarity.probesForSelectivity(30, 22, 500, 500) === 22)
+    // monotone: fewer allowed rows never means fewer probes
+    val ps = (1L to 500L).map(a =>
+      Similarity.probesForSelectivity(3, 4096, a, 500))
+    assert(ps.zip(ps.tail).forall { case (hi, lo) => hi >= lo })
+  }
+
   test("fit-stats combine is batch-split invariant (q513 contract)") {
     import spark.implicits._
     val base = Seq(
