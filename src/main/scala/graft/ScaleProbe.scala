@@ -1089,6 +1089,41 @@ object ScaleProbe {
             graft.operators.Similarity.numProbes(ncl))
         }
       }
+      // q518 shape: selectivity-aware filtered IVF serve — widened
+      // probes touch MORE cells as the corpus grows (nprobe' =
+      // ceil(probes/selectivity) capped at the policy nlist), but the
+      // candidate join stays selectivity-bounded: the index side is
+      // predicate-filtered before the probe join
+      if (only.forall(_.contains("q518_filtered_serve"))) {
+        val vecs = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => coalesce(x.cast("double"), lit(0.0d))).as("v"))
+          .localCheckpoint(true)
+        val total = vecs.count()
+        val ncl = graft.operators.Similarity.numCells(total)
+        val init = vecs
+          .withColumn("__h", graft.operators.GraphAnn.saltedHash60(
+            col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id")).limit(ncl)
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq) }.toSeq
+        val cents = graft.operators.Similarity.kmeansIterate(
+          vecs, "v", init, 1)
+        time("q518_filtered_serve", n) {
+          val index = graft.operators.Similarity.insertIntoCells(
+            vecs, "vec_id", "v", cents)
+            .filter(col("vec_id") % 20 === 3)
+          val widened = graft.operators.Similarity.probesForSelectivity(
+            graft.operators.Similarity.numProbes(ncl), cents.size,
+            total / 20, total)
+          graft.operators.Similarity.annTopKIvfPreassignedD(
+            vecs.filter(col("vec_id") % 100 === 0), index,
+            "vec_id", "v", "cell", cents, 10, widened)
+        }
+      }
       // q509 shape: streaming IVF ingest — the quantizer FREEZES at
       // base-train time (corpus-size-independent here), each batch
       // assigns via the native kernel inside its own scan: expect

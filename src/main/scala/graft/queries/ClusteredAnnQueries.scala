@@ -2242,8 +2242,12 @@ object ClusteredAnnQueries extends QueryPack {
         val index = Similarity.insertIntoCells(vecs, "vec_id", "v",
           cents).filter(pred)
         val nAllowed = index.count()
-        val widened = Similarity.probesForSelectivity(probes, ncl,
-          nAllowed, total)
+        // nlist here is the TRAINED quantizer's actual cell count —
+        // kmeansIterate drops empty cells, so the policy ncl is only
+        // an upper bound (equal on this fixture; the probe's uniform
+        // fixture at ×4 showed the divergence)
+        val widened = Similarity.probesForSelectivity(probes,
+          cents.size, nAllowed, total)
         val queries = vecs.filter(col("vec_id") % 25 === 0)
         val exact = bruteCosTopK(queries, vecs.filter(pred))
           .localCheckpoint(true)
@@ -2259,11 +2263,13 @@ object ClusteredAnnQueries extends QueryPack {
       },
       {
         val pred = s"vec_id % $FilterMod = $FilterRem"
-        val npw = s"GREATEST(LEAST((${nlSql("vv")}), " +
+        // trained cell count = count(*) FROM c2 (post-drop), the
+        // exact mirror of cents.size on the Spark side
+        val npw = s"GREATEST(LEAST((SELECT count(*) FROM c2), " +
           s"((${npSql("vv")}) * (SELECT count(*) FROM va) + " +
           s"(SELECT count(*) FROM va WHERE $pred) - 1) // " +
           s"(SELECT count(*) FROM va WHERE $pred)), " +
-          s"LEAST((${npSql("vv")}), (${nlSql("vv")})))"
+          s"LEAST((${npSql("vv")}), (SELECT count(*) FROM c2)))"
         Some(s"""WITH $codesCte,
           |${coarseCtesOn("TRUE", nlSql("vv"))},
           |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
