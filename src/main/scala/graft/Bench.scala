@@ -311,6 +311,10 @@ object Bench {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_DETAIL.json")
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        // the certified_raw map holds PRE-certification values under
+        // the same name:number shape the median regex matches — drop
+        // it so priors never regress to the raw medians
+        .replaceAll("\"certified_raw\":\\{[^}]*\\}", "")
       val meds =
         "\"(q[0-9][^\"]*)\":([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
