@@ -154,12 +154,16 @@ object ClusteredAnnQueries extends QueryPack {
   // constants — K=4, Buckets=8, Rounds=2, EntryK=16, Beam=12)
   // ---------------------------------------------------------------
 
-  /** k salted hash rings over nodes matching `cond` → `${pfx}E`. */
-  private def ringSql(pfx: String, cond: String, buckets: Int): String = {
+  /** k salted hash rings over nodes matching `cond` → `${pfx}E`.
+    * `src` picks the code table (q521 builds over BOTH the original
+    * `qz` and a mutated twin).
+    */
+  private def ringSql(pfx: String, cond: String, buckets: Int,
+      src: String = "qz"): String = {
     val rings = (1 to K).map { j =>
       s"""${pfx}rj$j AS (SELECT vec_id, h, h % $buckets AS b FROM (
          |  SELECT vec_id, ${hashSql("vec_id", s":ring$j")} AS h
-         |  FROM qz WHERE $cond)),
+         |  FROM $src WHERE $cond)),
          |${pfx}rk$j AS MATERIALIZED (SELECT vec_id, b,
          |    row_number() OVER (PARTITION BY b ORDER BY h, vec_id) AS r,
          |    count(*) OVER (PARTITION BY b) AS c
@@ -181,7 +185,7 @@ object ClusteredAnnQueries extends QueryPack {
     * overlay) side by side.
     */
   private def graphCtesP(pfx: String, cond: String,
-      buckets: Int): String = {
+      buckets: Int, src: String = "qz"): String = {
     val rounds = (1 to Rounds).map { r =>
       s"""${pfx}und$r AS MATERIALIZED (
          |  SELECT src, dst FROM ${pfx}e${r - 1}
@@ -197,14 +201,14 @@ object ClusteredAnnQueries extends QueryPack {
          |  WHERE src <> dst),
          |${pfx}sc$r AS (SELECT c.src, c.dst,
          |    ${idotSql("qs.q", "qd.q")} AS idot
-         |  FROM ${pfx}cd$r c JOIN qz qs ON qs.vec_id = c.src
-         |              JOIN qz qd ON qd.vec_id = c.dst),
+         |  FROM ${pfx}cd$r c JOIN $src qs ON qs.vec_id = c.src
+         |              JOIN $src qd ON qd.vec_id = c.dst),
          |${pfx}e$r AS MATERIALIZED (SELECT src, dst FROM (
          |  SELECT src, dst, row_number() OVER (PARTITION BY src
          |      ORDER BY idot DESC, dst) AS rn
          |  FROM ${pfx}sc$r) WHERE rn <= $K)""".stripMargin
     }.mkString(",\n")
-    s"""${ringSql(s"${pfx}g", cond, buckets)},
+    s"""${ringSql(s"${pfx}g", cond, buckets, src)},
        |${pfx}e0 AS MATERIALIZED (SELECT src, dst FROM ${pfx}gE),
        |$rounds""".stripMargin
   }
@@ -217,7 +221,8 @@ object ClusteredAnnQueries extends QueryPack {
     * `${p}srv(query_id, node, idot, rn)` (self excluded).
     */
   private def beamCtesL(p: String, qCte: String,
-      stepEdges: Seq[String], entryCond: String): String = {
+      stepEdges: Seq[String], entryCond: String,
+      src: String = "qz"): String = {
     val nSteps = stepEdges.size
     val steps = (1 to nSteps).map { r =>
       val edges = stepEdges(r - 1)
@@ -225,7 +230,7 @@ object ClusteredAnnQueries extends QueryPack {
          |  FROM ${p}st${r - 1} s JOIN $edges g ON g.src = s.node),
          |${p}sx$r AS MATERIALIZED (SELECT x.query_id, x.node,
          |    ${idotSql("qq.qv", "c.q")} AS idot
-         |  FROM ${p}ex$r x JOIN qz c ON c.vec_id = x.node
+         |  FROM ${p}ex$r x JOIN $src c ON c.vec_id = x.node
          |              JOIN $qCte qq ON qq.query_id = x.query_id),
          |${p}st$r AS MATERIALIZED (SELECT query_id, node, idot FROM (
          |  SELECT query_id, node, idot, row_number() OVER (
@@ -238,11 +243,11 @@ object ClusteredAnnQueries extends QueryPack {
     s"""${p}en AS (SELECT vec_id AS node FROM (
        |  SELECT vec_id, row_number() OVER (ORDER BY
        |      ${hashSql("vec_id", ":entry")}, vec_id) AS rn
-       |  FROM qz WHERE $entryCond) WHERE rn <= $EntryK),
+       |  FROM $src WHERE $entryCond) WHERE rn <= $EntryK),
        |${p}st0 AS MATERIALIZED (SELECT qq.query_id, ${p}en.node,
        |    ${idotSql("qq.qv", "c.q")} AS idot
        |  FROM $qCte qq CROSS JOIN ${p}en
-       |  JOIN qz c ON c.vec_id = ${p}en.node),
+       |  JOIN $src c ON c.vec_id = ${p}en.node),
        |$steps,
        |${p}srv AS (SELECT query_id, node, idot, row_number() OVER (
        |    PARTITION BY query_id ORDER BY idot DESC, node) AS rn
@@ -393,29 +398,47 @@ object ClusteredAnnQueries extends QueryPack {
   private def npSql(src: String): String =
     s"GREATEST(3, ((${nlSql(src)}) + 7) // 8)"
 
+  /** [[npSql]] CLAMPED to the trained quantizer's actual cell count
+    * (the final centroid CTE `cells`) — [[Similarity.kmeansIterate]]
+    * drops empty cells, so the policy nlist only upper-bounds the
+    * trained size and the serves require probes ≤ cents.size (r14
+    * ADVICE; equal on this fixture, so hashes are unchanged — the
+    * clamp is the contract, not a new answer).
+    */
+  private def npcSql(src: String, cells: String): String =
+    s"LEAST((${npSql(src)}), (SELECT count(*) FROM $cells))"
+
   private lazy val coarseCtes: String = coarseCtesOn("TRUE", NCl.toString)
 
   /** Brute-force exact top-k over corpus nodes matching `cond`. */
-  private def bfSql(cond: String): String =
+  private def bfSql(cond: String, src: String = "qz"): String =
     s"""bf AS MATERIALIZED (SELECT query_id, node FROM (
        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
        |      PARTITION BY qq.query_id
        |      ORDER BY ${idotSql("qq.qv", "z.q")} DESC, z.vec_id) AS rn
-       |  FROM qq JOIN qz z ON z.vec_id <> qq.query_id
+       |  FROM qq JOIN $src z ON z.vec_id <> qq.query_id
        |  WHERE $cond) WHERE rn <= $TopK)""".stripMargin
 
   /** Aggregate recall row over a served CTE (rn ≤ TopK rows). */
   private def recallSelect(family: String, srv: String): String =
+    recallSelectOn(family, srv, "qq", "bf")
+
+  /** [[recallSelect]] with the query/ground-truth CTE names as
+    * parameters — q522 audits four families against four different
+    * ground truths in one statement.
+    */
+  private def recallSelectOn(family: String, srv: String,
+      qq: String, bf: String): String =
     s"""SELECT '$family' AS family,
-       |  (SELECT count(*) FROM qq) AS n_queries,
-       |  (SELECT count(*) FROM qq) * $TopK AS denom,
-       |  (SELECT count(*) FROM $srv s JOIN bf
-       |     ON bf.query_id = s.query_id AND bf.node = s.node
+       |  (SELECT count(*) FROM $qq) AS n_queries,
+       |  (SELECT count(*) FROM $qq) * $TopK AS denom,
+       |  (SELECT count(*) FROM $srv s JOIN $bf
+       |     ON $bf.query_id = s.query_id AND $bf.node = s.node
        |   WHERE s.rn <= $TopK) AS hits,
-       |  CAST(floor(1000000.0 * (SELECT count(*) FROM $srv s JOIN bf
-       |     ON bf.query_id = s.query_id AND bf.node = s.node
+       |  CAST(floor(1000000.0 * (SELECT count(*) FROM $srv s JOIN $bf
+       |     ON $bf.query_id = s.query_id AND $bf.node = s.node
        |   WHERE s.rn <= $TopK)
-       |   / ((SELECT count(*) FROM qq) * $TopK)) AS BIGINT) AS recall_ppm""".stripMargin
+       |   / ((SELECT count(*) FROM $qq) * $TopK)) AS BIGINT) AS recall_ppm""".stripMargin
 
   // ---------------------------------------------------------------
   // Spark-side shared pieces
@@ -456,6 +479,17 @@ object ClusteredAnnQueries extends QueryPack {
       .select(col("v")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toSeq) }
       .toSeq
+
+  /** Policy probe count CLAMPED to the trained quantizer's actual
+    * cell count: [[Similarity.kmeansIterate]] drops empty cells, so
+    * the policy nlist only upper-bounds `cents.size`, and every serve
+    * requires probes ≤ cents.size — an unclamped numProbes(ncl) can
+    * throw on a fixture whose trained quantizer drops below ~nlist/8
+    * cells (r14 ADVICE; the q518 hazard applied at every call site).
+    */
+  private def clampedProbes(ncl: Int,
+      cents: Seq[(Int, Seq[Double])]): Int =
+    math.min(Similarity.numProbes(ncl), cents.size)
 
   /** Brute-force cosine top-k (self excluded) — the IVF family's
     * exact ground truth (double vectors, cosine ranking).
@@ -510,7 +544,39 @@ object ClusteredAnnQueries extends QueryPack {
     * scalar — q507 re-runs the identical PQ replay on the POLICY-
     * sized coarse quantizer.
     */
-  private def ivfPqCtesOn(coarse: String, probesSql: String): String = {
+  private def ivfPqCtesOn(coarse: String, probesSql: String): String =
+    ivfPqCtesSplit(coarse, probesSql, "TRUE", "vv")
+
+  /** [[ivfPqCtesOn]] with the PQ TRAINING population split from the
+    * ENCODED population: codebooks refine only over residuals
+    * matching `pqTrainCond` (the frozen-at-train-time base — q519's
+    * streaming-ingest contract), while `pe$mi`/`cd` encode EVERY
+    * residual against those frozen codebooks; `qSrc` picks the
+    * query universe ("vv" = training rows, "va" = all rows). The
+    * "TRUE"/"vv" instantiation reproduces [[ivfPqCtesOn]] verbatim.
+    */
+  private def ivfPqCtesSplit(coarse: String, probesSql: String,
+      pqTrainCond: String, qSrc: String): String =
+    s"""${ivfPqCodesCtes(coarse, pqTrainCond)},
+       |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+       |  FROM $qSrc WHERE vec_id % 25 = 0),
+       |${ivfPqServeCtes("", "vec_id % 25 = 0", probesSql, "TRUE")}""".stripMargin
+
+  /** The PQ INDEX replay alone — codes `cd(vec_id, cell, e0..eM)`
+    * plus codebooks `pr$mi`, no query/serve chain: q520 composes
+    * multiple [[ivfPqServeCtes]] serve widths over one build.
+    */
+  private def ivfPqCodesCtes(coarse: String,
+      pqTrainCond: String): String =
+    s"""$codesCte,
+       |$coarse,
+       |${ivfPqTrainCtes(pqTrainCond)}""".stripMargin
+
+  /** The PQ train+encode block alone (rs/rst/codebooks/cd), assuming
+    * `qz`/`va`/`c2`/`asg` are already in scope — q522 shares ONE
+    * codes+coarse block across all four served families.
+    */
+  private def ivfPqTrainCtes(pqTrainCond: String): String = {
     // per-subspace PQ replay: seed literals → residual argmin →
     // quantized-sum refinement (seed fallback) → re-encode
     val pqBlocks = (0 until PqM).map { mi =>
@@ -523,14 +589,14 @@ object ClusteredAnnQueries extends QueryPack {
       val seeds = PqInit(mi).zipWithIndex
         .map { case (c, i) => s"($i, ${dlit(c)})" }.mkString(", ")
       s"""pa$mi AS (SELECT vec_id, cell FROM (
-         |  SELECT rs.vec_id, s.cell, row_number() OVER (
-         |      PARTITION BY rs.vec_id
-         |      ORDER BY ${l2dAt("rs.r", off, "s.c", PqSubDim)} ASC,
+         |  SELECT rst.vec_id, s.cell, row_number() OVER (
+         |      PARTITION BY rst.vec_id
+         |      ORDER BY ${l2dAt("rst.r", off, "s.c", PqSubDim)} ASC,
          |        s.cell ASC) AS rn
-         |  FROM rs CROSS JOIN (VALUES $seeds) s(cell, c))
+         |  FROM rst CROSS JOIN (VALUES $seeds) s(cell, c))
          |  WHERE rn = 1),
          |pg$mi AS (SELECT pa$mi.cell, count(*) AS n, $sums
-         |  FROM pa$mi JOIN rs USING (vec_id) GROUP BY pa$mi.cell),
+         |  FROM pa$mi JOIN rst USING (vec_id) GROUP BY pa$mi.cell),
          |pr$mi AS MATERIALIZED (SELECT sd.cell,
          |    coalesce(pc.c, sd.sc) AS c
          |  FROM (VALUES $seeds) sd(cell, sc) LEFT JOIN
@@ -542,42 +608,51 @@ object ClusteredAnnQueries extends QueryPack {
          |        p.cell ASC) AS rn
          |  FROM rs CROSS JOIN pr$mi p) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val adcSum = (0 until PqM).map(mi =>
-      l2dAt("cand.qr", mi * PqSubDim, s"r$mi.c", PqSubDim))
-      .mkString(" + ")
-    val adcJoins = (0 until PqM).map(mi =>
-      s"JOIN pr$mi r$mi ON r$mi.cell = cand.e$mi").mkString("\n|  ")
-    s"""$codesCte,
-       |$coarse,
-       |rs AS MATERIALIZED (SELECT asg.vec_id, asg.cell,
+    s"""rs AS MATERIALIZED (SELECT asg.vec_id, asg.cell,
        |    list_transform(range(1, ${Dim + 1}),
        |      i -> asg.v[i] - c2.c[i]) AS r
        |  FROM asg JOIN c2 USING (cell)),
+       |rst AS MATERIALIZED (SELECT vec_id, cell, r FROM rs
+       |  WHERE $pqTrainCond),
        |$pqBlocks,
        |cd AS MATERIALIZED (SELECT rs.vec_id, rs.cell,
        |    ${(0 until PqM).map(mi => s"pe$mi.e$mi").mkString(", ")}
        |  FROM rs ${(0 until PqM).map(mi =>
-        s"JOIN pe$mi USING (vec_id)").mkString(" ")}),
-       |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
-       |  FROM vv WHERE vec_id % 25 = 0),
-       |qr0 AS (SELECT vec_id AS query_id, v, cell FROM qrk
-       |  WHERE vec_id % 25 = 0 AND rn <= ($probesSql)),
-       |qr AS MATERIALIZED (SELECT query_id, qr0.cell,
+        s"JOIN pe$mi USING (vec_id)").mkString(" ")})""".stripMargin
+  }
+
+  /** One ADC serve chain over a built `cd`/`pr$mi`/`qrk` replay,
+    * CTE names prefixed with `p`: query probe list (rows matching
+    * `qCond`, `probesSql` nearest cells) → per-cell query residuals →
+    * candidates (cell equi-join, restricted to `candCond` — the DV/
+    * predicate filter applied to the SCAN, q520) → ADC distances →
+    * ranked shortlist `${p}short(query_id, node, rn ≤ ShortK)`.
+    */
+  private def ivfPqServeCtes(p: String, qCond: String,
+      probesSql: String, candCond: String): String = {
+    val adcSum = (0 until PqM).map(mi =>
+      l2dAt(s"${p}cand.qr", mi * PqSubDim, s"r$mi.c", PqSubDim))
+      .mkString(" + ")
+    val adcJoins = (0 until PqM).map(mi =>
+      s"JOIN pr$mi r$mi ON r$mi.cell = ${p}cand.e$mi").mkString("\n|  ")
+    s"""${p}qr0 AS (SELECT vec_id AS query_id, v, cell FROM qrk
+       |  WHERE $qCond AND rn <= ($probesSql)),
+       |${p}qr AS MATERIALIZED (SELECT query_id, ${p}qr0.cell,
        |    list_transform(range(1, ${Dim + 1}),
-       |      i -> qr0.v[i] - c2.c[i]) AS qr
-       |  FROM qr0 JOIN c2 USING (cell)),
-       |cand AS (SELECT qr.query_id, qr.qr, cd.vec_id AS node,
+       |      i -> ${p}qr0.v[i] - c2.c[i]) AS qr
+       |  FROM ${p}qr0 JOIN c2 USING (cell)),
+       |${p}cand AS (SELECT ${p}qr.query_id, ${p}qr.qr, cd.vec_id AS node,
        |    ${(0 until PqM).map(mi => s"cd.e$mi").mkString(", ")}
-       |  FROM qr JOIN cd USING (cell)
-       |  WHERE qr.query_id <> cd.vec_id),
-       |adc AS MATERIALIZED (SELECT cand.query_id, cand.node,
+       |  FROM ${p}qr JOIN cd USING (cell)
+       |  WHERE ${p}qr.query_id <> cd.vec_id AND ($candCond)),
+       |${p}adc AS MATERIALIZED (SELECT ${p}cand.query_id, ${p}cand.node,
        |    $adcSum AS adist
-       |  FROM cand
+       |  FROM ${p}cand
        |  $adcJoins),
-       |short AS MATERIALIZED (SELECT query_id, node, rn FROM (
+       |${p}short AS MATERIALIZED (SELECT query_id, node, rn FROM (
        |  SELECT query_id, node, adist, row_number() OVER (
        |      PARTITION BY query_id ORDER BY adist ASC, node) AS rn
-       |  FROM adc) WHERE rn <= $ShortK)""".stripMargin
+       |  FROM ${p}adc) WHERE rn <= $ShortK)""".stripMargin
   }
 
   /** Exact integer-dot top-k over `corpus` (self excluded). */
@@ -1211,9 +1286,9 @@ object ClusteredAnnQueries extends QueryPack {
         val vecs = doubleVecs(s, dir)
         val n = vecs.count()
         val ncl = Similarity.numCells(n)
-        val probes = Similarity.numProbes(ncl)
         val cents = Similarity.kmeansIterate(vecs, "v",
           seedInit(vecs, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
         val queries = vecs.filter(col("vec_id") % 25 === 0)
         val served = Similarity.annTopKIvfMultiProbeD(queries, vecs,
           "vec_id", "v", cents, TopK, probes)
@@ -1227,7 +1302,7 @@ object ClusteredAnnQueries extends QueryPack {
         |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
         |  FROM va WHERE vec_id % 25 = 0),
         |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
-        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npcSql("vv", "c2")})),
         |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
         |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
         |  FROM qp JOIN asg USING (cell)
@@ -1237,7 +1312,7 @@ object ClusteredAnnQueries extends QueryPack {
         |  FROM srvs),
         |${bruteCosSql("va")}
         |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
-        |  CAST((${npSql("vv")}) AS BIGINT) AS nprobe
+        |  CAST((${npcSql("vv", "c2")}) AS BIGINT) AS nprobe
         |FROM (${recallSelect("ivf_nlist_policy", "srv")}) f""".stripMargin)),
 
     // Incremental IVF maintenance (r13 ask 4, the IVF side of the
@@ -1257,9 +1332,9 @@ object ClusteredAnnQueries extends QueryPack {
         val ins = vecs.filter(col("vec_id") % 4 === 1)
         val nBase = base.count()
         val ncl = Similarity.numCells(nBase)
-        val probes = Similarity.numProbes(ncl)
         val cents = Similarity.kmeansIterate(base, "v",
           seedInit(base, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
         val index = Similarity.insertIntoCells(base, "vec_id", "v", cents)
           .unionByName(
             Similarity.insertIntoCells(ins, "vec_id", "v", cents))
@@ -1276,7 +1351,7 @@ object ClusteredAnnQueries extends QueryPack {
         |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
         |  FROM va WHERE vec_id % 25 = 0),
         |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
-        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npcSql("vv", "c2")})),
         |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
         |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
         |  FROM qp JOIN asg USING (cell)
@@ -1465,9 +1540,9 @@ object ClusteredAnnQueries extends QueryPack {
         val vecs = doubleVecs(s, dir)
         val n = vecs.count()
         val ncl = Similarity.numCells(n)
-        val probes = Similarity.numProbes(ncl)
         val cents = Similarity.kmeansIterate(vecs, "v",
           seedInit(vecs, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
         val resid = Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
           .localCheckpoint(true)
         val cb = Similarity.pqTrain(resid, "res", PqInit)
@@ -1507,7 +1582,7 @@ object ClusteredAnnQueries extends QueryPack {
           .orderBy(col("family"))
       },
       Some(s"""WITH ${ivfPqCtesOn(
-          coarseCtesOn("TRUE", nlSql("vv")), npSql("vv"))},
+          coarseCtesOn("TRUE", nlSql("vv")), npcSql("vv", "c2"))},
         |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
         |      PARTITION BY s.query_id
         |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
@@ -1522,7 +1597,7 @@ object ClusteredAnnQueries extends QueryPack {
         |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
         |  WHERE rn <= $TopK)
         |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
-        |  CAST((${npSql("vv")}) AS BIGINT) AS nprobe
+        |  CAST((${npcSql("vv", "c2")}) AS BIGINT) AS nprobe
         |FROM (${recallSelect("ivfpq_policy_adc", "short")}
         |UNION ALL
         |${recallSelect("ivfpq_policy_rerank", "rrk")}) f
@@ -1591,9 +1666,9 @@ object ClusteredAnnQueries extends QueryPack {
         val base = vecs.filter(col("vec_id") % 4 =!= 1)
         val nBase = base.count()
         val ncl = Similarity.numCells(nBase)
-        val probes = Similarity.numProbes(ncl)
         val cents = Similarity.kmeansIterate(base, "v",
           seedInit(base, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
         val tmp = java.nio.file.Files.createTempDirectory("graft_q509_")
         val streamDir = tmp.resolve("in")
         java.nio.file.Files.createDirectories(streamDir)
@@ -1650,7 +1725,7 @@ object ClusteredAnnQueries extends QueryPack {
         |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
         |  FROM va WHERE vec_id % 25 = 0),
         |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
-        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npcSql("vv", "c2")})),
         |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
         |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
         |  FROM qp JOIN asg USING (cell)
@@ -1683,9 +1758,9 @@ object ClusteredAnnQueries extends QueryPack {
         val vecs = doubleVecs(s, dir)
         val n = vecs.count()
         val ncl = Similarity.numCells(n)
-        val probes = Similarity.numProbes(ncl)
         val cents = Similarity.kmeansIterate(vecs, "v",
           seedInit(vecs, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
         val resid = Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
           .localCheckpoint(true)
         val cb = Similarity.pqTrain(resid, "res", PqInit)
@@ -1732,7 +1807,7 @@ object ClusteredAnnQueries extends QueryPack {
         Fixtures.materializeAndDelete(out, tmp)
       },
       Some(s"""WITH ${ivfPqCtesOn(
-          coarseCtesOn("TRUE", nlSql("vv")), npSql("vv"))},
+          coarseCtesOn("TRUE", nlSql("vv")), npcSql("vv", "c2"))},
         |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
         |      PARTITION BY s.query_id
         |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
@@ -1747,7 +1822,7 @@ object ClusteredAnnQueries extends QueryPack {
         |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
         |  WHERE rn <= $TopK)
         |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
-        |  CAST((${npSql("vv")}) AS BIGINT) AS nprobe,
+        |  CAST((${npcSql("vv", "c2")}) AS BIGINT) AS nprobe,
         |  (SELECT count(*) FROM cd) AS n_codes
         |FROM (${recallSelect("ivfpq_policy_committed_adc", "short")}
         |UNION ALL
@@ -1776,9 +1851,9 @@ object ClusteredAnnQueries extends QueryPack {
         val ins = ext.filter(col("vec_id") % 4 === 1)
         val nBase = base.count()
         val ncl = Similarity.numCells(nBase)
-        val probes = Similarity.numProbes(ncl)
         val cents = Similarity.kmeansIterate(base, "v",
           seedInit(base, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
         val index = Similarity.insertIntoCells(base, "vec_id", "v", cents)
           .unionByName(
             Similarity.insertIntoCells(ins, "vec_id", "v", cents))
@@ -1796,7 +1871,7 @@ object ClusteredAnnQueries extends QueryPack {
         |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
         |  FROM va WHERE vec_id % 25 = 0),
         |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
-        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npcSql("vv", "c2")})),
         |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
         |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
         |  FROM qp JOIN asg USING (cell)
@@ -2054,9 +2129,9 @@ object ClusteredAnnQueries extends QueryPack {
         val vecs = doubleVecs(s, dir)
         val n = vecs.count()
         val ncl = Similarity.numCells(n)
-        val probes = Similarity.numProbes(ncl)
         val cents = Similarity.kmeansIterate(vecs, "v",
           seedInit(vecs, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
         val tmp = java.nio.file.Files.createTempDirectory("graft_q515_")
         graft.sources.TxLog.commit(
           Similarity.insertIntoCells(vecs, "vec_id", "v", cents),
@@ -2080,7 +2155,7 @@ object ClusteredAnnQueries extends QueryPack {
         |  FROM va WHERE vec_id % 25 = 0 AND vec_id % 7 <> 0),
         |qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
         |  WHERE vec_id % 25 = 0 AND vec_id % 7 <> 0
-        |    AND rn <= (${npSql("vv")})),
+        |    AND rn <= (${npcSql("vv", "c2")})),
         |srvs AS (SELECT qp.query_id, asg.vec_id AS node,
         |    ${SimilarityQueries.cosSql("qp.qv", "asg.v")} AS cos
         |  FROM qp JOIN asg USING (cell)
@@ -2115,15 +2190,15 @@ object ClusteredAnnQueries extends QueryPack {
           .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
         val corpus = base.unionByName(flipped).localCheckpoint(true)
         val nclS = Similarity.numCells(base.count())
-        val probesS = Similarity.numProbes(nclS)
         val centsStale = Similarity.kmeansIterate(base, "v",
           seedInit(base, nclS), KmIters)
+        val probesS = clampedProbes(nclS, centsStale)
         val nFlag = Similarity.cellDriftAudit(base, flipped, "vec_id",
           "v", centsStale, DriftPpm).filter(col("retrain")).count()
         val nclR = Similarity.numCells(corpus.count())
-        val probesR = Similarity.numProbes(nclR)
         val centsNew = Similarity.kmeansIterate(corpus, "v",
           seedInit(corpus, nclR), KmIters)
+        val probesR = clampedProbes(nclR, centsNew)
         val queries = corpus.filter(col("vec_id") % 25 === 0)
         val exact = bruteCosTopK(queries, corpus).localCheckpoint(true)
         def serve(cents: Seq[(Int, Seq[Double])], probes: Int) =
@@ -2165,7 +2240,7 @@ object ClusteredAnnQueries extends QueryPack {
         |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
         |  FROM va WHERE vec_id % 25 = 0),
         |sqp AS (SELECT vec_id AS query_id, v AS qv, cell FROM sqrk
-        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("svv")})),
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npcSql("svv", "sc2")})),
         |ssx AS (SELECT sqp.query_id, sasg.vec_id AS node,
         |    ${SimilarityQueries.cosSql("sqp.qv", "sasg.v")} AS cos
         |  FROM sqp JOIN sasg USING (cell)
@@ -2174,7 +2249,7 @@ object ClusteredAnnQueries extends QueryPack {
         |    PARTITION BY query_id ORDER BY cos DESC, node) AS rn
         |  FROM ssx),
         |rqp AS (SELECT vec_id AS query_id, v AS qv, cell FROM rqrk
-        |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("rvv")})),
+        |  WHERE vec_id % 25 = 0 AND rn <= (${npcSql("rvv", "rc2")})),
         |rsx AS (SELECT rqp.query_id, rasg.vec_id AS node,
         |    ${SimilarityQueries.cosSql("rqp.qv", "rasg.v")} AS cos
         |  FROM rqp JOIN rasg USING (cell)
@@ -2235,9 +2310,9 @@ object ClusteredAnnQueries extends QueryPack {
         val vecs = doubleVecs(s, dir)
         val total = vecs.count()
         val ncl = Similarity.numCells(total)
-        val probes = Similarity.numProbes(ncl)
         val cents = Similarity.kmeansIterate(vecs, "v",
           seedInit(vecs, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
         val pred = col("vec_id") % FilterMod === FilterRem
         val index = Similarity.insertIntoCells(vecs, "vec_id", "v",
           cents).filter(pred)
@@ -2266,16 +2341,16 @@ object ClusteredAnnQueries extends QueryPack {
         // trained cell count = count(*) FROM c2 (post-drop), the
         // exact mirror of cents.size on the Spark side
         val npw = s"GREATEST(LEAST((SELECT count(*) FROM c2), " +
-          s"((${npSql("vv")}) * (SELECT count(*) FROM va) + " +
+          s"((${npcSql("vv", "c2")}) * (SELECT count(*) FROM va) + " +
           s"(SELECT count(*) FROM va WHERE $pred) - 1) // " +
           s"(SELECT count(*) FROM va WHERE $pred)), " +
-          s"LEAST((${npSql("vv")}), (SELECT count(*) FROM c2)))"
+          s"(${npcSql("vv", "c2")}))"
         Some(s"""WITH $codesCte,
           |${coarseCtesOn("TRUE", nlSql("vv"))},
           |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
           |  FROM va WHERE vec_id % 25 = 0),
           |qpn AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
-          |  WHERE vec_id % 25 = 0 AND rn <= (${npSql("vv")})),
+          |  WHERE vec_id % 25 = 0 AND rn <= (${npcSql("vv", "c2")})),
           |qpw AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
           |  WHERE vec_id % 25 = 0 AND rn <= ($npw)),
           |nsx AS (SELECT qpn.query_id, asg.vec_id AS node,
@@ -2294,13 +2369,597 @@ object ClusteredAnnQueries extends QueryPack {
           |  FROM wsx),
           |alw AS MATERIALIZED (SELECT vec_id, v FROM va WHERE $pred),
           |${bruteCosSql("alw")}
-          |SELECT f.*, CAST((${npSql("vv")}) AS BIGINT) AS nprobe_naive,
+          |SELECT f.*, CAST((${npcSql("vv", "c2")}) AS BIGINT) AS nprobe_naive,
           |  CAST(($npw) AS BIGINT) AS nprobe_widened,
           |  (SELECT count(*) FROM va WHERE $pred) AS n_allowed
           |FROM (${recallSelect("ivf_filtered_naive", "nsrv")}
           |UNION ALL
           |${recallSelect("ivf_filtered_widened", "wsrv")}) f
           |ORDER BY family""".stripMargin)
+      }),
+
+    // STREAMING ingest on the IVF-PQ path (r14 ask 2 — q509's shape
+    // for the index a production 100 TB deployment actually ships):
+    // coarse quantizer AND PQ codebooks train on the base 3/4 and
+    // FREEZE; the base code table commits through TxLog; the late
+    // quarter arrives as two micro-batches, each ivfPqEncode'd
+    // against the frozen cents+codebooks and APPEND-committed (one
+    // log version per batch — the artifact on disk IS the serving
+    // index, M codes/vector); the cold read-back serves ADC + exact
+    // re-rank. Encode is per-row against literal centroids, so
+    // encode-on-arrival equals whole-corpus encode bit-identically —
+    // the oracle replays ONE whole-corpus encode with the PQ
+    // refinement restricted to base residuals (ivfPqCtesSplit) and
+    // must match exactly; n_codes pins the lossless multi-version
+    // round trip, n_streamed the stream's row accounting.
+    "q519_ivfpq_stream_ingest" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        import graft.streaming.Streams
+        val vecs = doubleVecs(s, dir)
+        val base = vecs.filter(col("vec_id") % 4 =!= 1)
+        val ncl = Similarity.numCells(base.count())
+        val cents = Similarity.kmeansIterate(base, "v",
+          seedInit(base, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
+        val residBase = Similarity.ivfResiduals(base, "vec_id", "v",
+          cents).localCheckpoint(true)
+        val cb = Similarity.pqTrain(residBase, "res", PqInit)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q519_")
+        val idxDir = tmp.resolve("codes").toString
+        graft.sources.TxLog.commit(
+          Similarity.ivfPqEncode(base, "vec_id", "v", cents, cb),
+          idxDir, "overwrite", "vec_id")
+        val streamDir = tmp.resolve("in")
+        java.nio.file.Files.createDirectories(streamDir)
+        Seq(1L, 5L).zipWithIndex.foreach { case (m, i) =>
+          val stage = tmp.resolve(s"stage$i")
+          vecs.filter(col("vec_id") % 8 === m).coalesce(1)
+            .write.parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            streamDir.resolve(s"b$i.parquet"))
+          ()
+        }
+        val nStreamed = new java.util.concurrent.atomic.AtomicLong(0L)
+        val ckpt = Streams.scratchCheckpointDir("graft-q519-ck")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try {
+          Streams.transformEachBatch(
+            s.readStream.schema(vecs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(streamDir.toString),
+            batch => batch,
+            batch => {
+              val delta = batch.localCheckpoint(true)
+              nStreamed.addAndGet(delta.count())
+              // encode-on-arrival against the FROZEN codebooks;
+              // append = one immutable log version per micro-batch
+              // (TxLog publish is an atomic rename — the sink's only
+              // shared state is the filesystem log itself)
+              graft.sources.TxLog.commit(
+                Similarity.ivfPqEncode(delta, "vec_id", "v", cents, cb),
+                idxDir, "append", "vec_id")
+              ()
+            },
+            ckpt.toString,
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+            .awaitTermination()
+        } finally rm(ckpt.toFile)
+        val codedBack = graft.sources.TxLog.read(s, idxDir)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val shortlist = Similarity.ivfPqAdcTopK(queries, codedBack,
+            "vec_id", "v", cents, cb, probes, ShortK)
+          .localCheckpoint(true)
+        val rerank = shortlist
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")), Seq("neighbor_id"))
+          .join(queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv")), Seq("query_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .select(col("query_id"), col("neighbor_id"),
+            col("rn2").as("rn"))
+        val exact = queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv"))
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        val out = recallRow("ivfpq_stream_ingest_adc", queries,
+            shortlist, exact)
+          .unionByName(recallRow("ivfpq_stream_ingest_rerank",
+            queries, rerank, exact))
+          .withColumn("nlist", lit(ncl.toLong))
+          .withColumn("n_streamed", lit(nStreamed.get()))
+          .crossJoin(codedBack.agg(count(lit(1)).as("n_codes")))
+          .orderBy(col("family"))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      Some(s"""WITH ${ivfPqCtesSplit(
+          coarseCtesOn("vec_id % 4 <> 1", nlSql("vv")),
+          npcSql("vv", "c2"), "vec_id % 4 <> 1", "va")},
+        |rrk AS (SELECT s.query_id, s.node, row_number() OVER (
+        |      PARTITION BY s.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
+        |      AS rn
+        |  FROM short s JOIN qq ON qq.query_id = s.query_id
+        |  JOIN va nv ON nv.vec_id = s.node),
+        |bf AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+        |      AS rn
+        |  FROM qq JOIN va z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= $TopK)
+        |SELECT f.*, CAST((${nlSql("vv")}) AS BIGINT) AS nlist,
+        |  (SELECT count(*) FROM va WHERE vec_id % 4 = 1) AS n_streamed,
+        |  (SELECT count(*) FROM cd) AS n_codes
+        |FROM (${recallSelect("ivfpq_stream_ingest_adc", "short")}
+        |UNION ALL
+        |${recallSelect("ivfpq_stream_ingest_rerank", "rrk")}) f
+        |ORDER BY family""".stripMargin)),
+
+    // DELETION-VECTOR delete + FILTERED serve on the IVF-PQ path
+    // (r14 ask 3 — q515 × q518 composed where production runs them:
+    // the committed CODE table): the policy-trained (id, cell, codes)
+    // artifact takes a TxLog DV delete (no rewrite, no quantizer or
+    // codebook change), the cold read-back is additionally predicate-
+    // filtered (~5% allowed), and BOTH filters apply to the SCAN —
+    // deleted and disallowed rows vanish from every probe list before
+    // the ADC sum runs. Fixed-nprobe ADC collapses at this thinning
+    // (the q518 disease, PQ edition); probesForSelectivity — widened
+    // by LIVE total/allowed and clamped to the TRAINED cell count —
+    // restores it, and the exact re-rank over the shortlist's raw
+    // vectors (live rows only, by construction) lands recall at 1.0.
+    // The naive and widened rows pin collapse and restore; n_live
+    // pins the DV's row accounting, n_allowed the predicate's.
+    "q520_ivfpq_dv_filtered_serve" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        val vecs = doubleVecs(s, dir)
+        val n = vecs.count()
+        val ncl = Similarity.numCells(n)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
+        val resid = Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
+          .localCheckpoint(true)
+        val cb = Similarity.pqTrain(resid, "res", PqInit)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q520_")
+        graft.sources.TxLog.commit(
+          Similarity.ivfPqEncode(vecs, "vec_id", "v", cents, cb),
+          tmp.toString, "overwrite", "vec_id")
+        graft.sources.TxLog.deleteWhere(s, tmp.toString,
+          col("vec_id") % 7 === 0)
+        val codedBack = graft.sources.TxLog.read(s, tmp.toString)
+        val nLive = codedBack.count()
+        val pred = col("vec_id") % FilterMod === FilterRem
+        val allowedCodes = codedBack.filter(pred).localCheckpoint(true)
+        val nAllowed = allowedCodes.count()
+        val widened = Similarity.probesForSelectivity(probes,
+          cents.size, nAllowed, nLive)
+        val live = vecs.filter(col("vec_id") % 7 =!= 0)
+        val queries = live.filter(col("vec_id") % 25 === 0)
+        def rerankAt(p: Int) = {
+          val short = Similarity.ivfPqAdcTopK(queries, allowedCodes,
+              "vec_id", "v", cents, cb, p, ShortK)
+            .localCheckpoint(true)
+          short
+            .join(vecs.select(col("vec_id").as("neighbor_id"),
+              col("v").as("__nv")), Seq("neighbor_id"))
+            .join(queries.select(col("vec_id").as("query_id"),
+              col("v").as("__qv")), Seq("query_id"))
+            .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+            .withColumn("rn2", row_number().over(
+              Window.partitionBy(col("query_id"))
+                .orderBy(col("__d").asc, col("neighbor_id"))))
+            .select(col("query_id"), col("neighbor_id"),
+              col("rn2").as("rn"))
+        }
+        val allowedLive = live.filter(pred)
+        val exact = queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv"))
+          .join(allowedLive.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        val out = recallRow("ivfpq_dv_filtered_naive", queries,
+            rerankAt(probes), exact)
+          .unionByName(recallRow("ivfpq_dv_filtered_widened", queries,
+            rerankAt(widened), exact))
+          .withColumn("nprobe_naive", lit(probes.toLong))
+          .withColumn("nprobe_widened", lit(widened.toLong))
+          .withColumn("n_allowed", lit(nAllowed))
+          .withColumn("n_live", lit(nLive))
+          .orderBy(col("family"))
+        Fixtures.materializeAndDelete(out, tmp)
+      },
+      {
+        val live = "vec_id % 7 <> 0"
+        val pred = s"vec_id % $FilterMod = $FilterRem"
+        val qCond = s"vec_id % 25 = 0 AND $live"
+        val candCond = s"cd.$live AND cd.$pred"
+        val nLiveSql = s"(SELECT count(*) FROM va WHERE $live)"
+        val nAllowedSql =
+          s"(SELECT count(*) FROM va WHERE $live AND $pred)"
+        val npc = npcSql("vv", "c2")
+        val npw = s"GREATEST(LEAST((SELECT count(*) FROM c2), " +
+          s"(($npc) * $nLiveSql + $nAllowedSql - 1) // $nAllowedSql), " +
+          s"($npc))"
+        def rrkSql(p: String): String =
+          s"""${p}rrk AS (SELECT s.query_id, s.node, row_number() OVER (
+             |      PARTITION BY s.query_id
+             |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
+             |      AS rn
+             |  FROM ${p}short s JOIN qq ON qq.query_id = s.query_id
+             |  JOIN va nv ON nv.vec_id = s.node)""".stripMargin
+        Some(s"""WITH ${ivfPqCodesCtes(
+            coarseCtesOn("TRUE", nlSql("vv")), "TRUE")},
+          |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+          |  FROM va WHERE $qCond),
+          |${ivfPqServeCtes("n", qCond, npc, candCond)},
+          |${ivfPqServeCtes("w", qCond, npw, candCond)},
+          |${rrkSql("n")},
+          |${rrkSql("w")},
+          |bf AS MATERIALIZED (SELECT query_id, node FROM (
+          |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+          |      PARTITION BY qq.query_id
+          |      ORDER BY ${l2dAt("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+          |      AS rn
+          |  FROM qq JOIN va z ON z.vec_id <> qq.query_id
+          |  WHERE z.$live AND z.$pred)
+          |  WHERE rn <= $TopK)
+          |SELECT f.*, CAST(($npc) AS BIGINT) AS nprobe_naive,
+          |  CAST(($npw) AS BIGINT) AS nprobe_widened,
+          |  $nAllowedSql AS n_allowed,
+          |  $nLiveSql AS n_live
+          |FROM (${recallSelect("ivfpq_dv_filtered_naive", "nrrk")}
+          |UNION ALL
+          |${recallSelect("ivfpq_dv_filtered_widened", "wrrk")}) f
+          |ORDER BY family""".stripMargin)
+      }),
+
+    // DRIFT-fired REBUILD with measured recovery on the GRAPH family
+    // (r14 ask 4 — q516's twin): a quarter of the corpus mutates IN
+    // PLACE — each mutated row independently re-draws a cluster under
+    // a fresh ':cl2' salt and lands at the MIRROR (−centroid − fresh
+    // jitter) of that cluster, a location no unmutated row occupies.
+    // Rows that co-moved (a plain sign flip) would keep their stale
+    // intra-cluster edges valid — measured: stale recall equals
+    // rebuilt at sf0.01 — so the mutation must break CO-MOVEMENT:
+    // mirror-cluster mates were scattered across the old mixture, so
+    // the stale NN-descent graph has essentially no edges between
+    // them, and a mutated query can reach its new neighborhood only
+    // through entry luck. The audit is the graph-side drift trigger:
+    // the stale edge set's exact integer fit sum re-evaluated over
+    // the mutated codes vs at build time (both i64-exact, so the >2%
+    // drop trigger is a pure integer cross-multiplication in both
+    // engines); it fires (retrain=true), the graph REBUILDS over the
+    // mutated corpus, and the same beam serve replays against both —
+    // the stale row records what the shift costs, the rebuilt row the
+    // recovery. The oracle replays BOTH NN-descent builds over one
+    // shared mutated code table (graphCtesP's src parameter — q516's
+    // prefixed-block trick, graph edition).
+    "q521_graph_drift_rebuild" -> Q(
+      (s, dir) => {
+        val codes = clusteredCodes(s, dir)
+        val mutated = codes
+          .withColumn("cl2",
+            GraphAnn.saltedHash60(col("vec_id"), ":cl2") % NCl)
+          .select(col("vec_id"),
+            when(col("vec_id") % 4 === 1,
+              transform(sequence(lit(1), lit(Dim)), i => {
+                val cent = GraphAnn.saltedHash60(
+                  concat(col("cl2").cast("string"), lit(":"),
+                    i.cast("string")), ":cent") % 201 - 100
+                val jit = GraphAnn.saltedHash60(
+                  concat(col("vec_id").cast("string"), lit(":"),
+                    i.cast("string")), ":jit2") % 21 - 10
+                (-(cent + jit)).cast("int")
+              }))
+              .otherwise(col("code")).as("code"))
+          .localCheckpoint(true)
+        val staleGraph = GraphAnn.nnDescent(codes, "vec_id", "code",
+            K, Rounds, Buckets)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val rebuilt = GraphAnn.nnDescent(mutated, "vec_id", "code",
+            K, Rounds, Buckets)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        // drift audit: ONE pass over the stale edges, both endpoint
+        // codes at both epochs — two exact i64 fit sums, bounded
+        // driver state (two longs)
+        val fit = staleGraph
+          .join(codes.select(col("vec_id").as("src"),
+            col("code").as("__so")), Seq("src"))
+          .join(codes.select(col("vec_id").as("dst"),
+            col("code").as("__do")), Seq("dst"))
+          .join(mutated.select(col("vec_id").as("src"),
+            col("code").as("__sm")), Seq("src"))
+          .join(mutated.select(col("vec_id").as("dst"),
+            col("code").as("__dm")), Seq("dst"))
+          .agg(sum(dotI(col("__so"), col("__do"))).as("o"),
+            sum(dotI(col("__sm"), col("__dm"))).as("m"))
+          .collect()(0)
+        val sOrig = fit.getLong(0)
+        val sMut = fit.getLong(1)
+        val queries = mutated.filter(col("vec_id") % 25 === 0)
+        val exact = bruteTopK(queries, mutated).localCheckpoint(true)
+        def serve(graph: DataFrame) = GraphAnn.beamServe(queries,
+          graph, mutated, "vec_id", "code", EntryK, Beam, Steps, TopK)
+        recallRow("graph_rebuilt", queries, serve(rebuilt), exact)
+          .unionByName(recallRow("graph_stale_after_shift", queries,
+            serve(staleGraph), exact))
+          .withColumn("edge_fit_orig", lit(sOrig))
+          .withColumn("edge_fit_mut", lit(sMut))
+          .withColumn("retrain", lit((sOrig - sMut) * 50L > sOrig))
+          .orderBy(col("family"))
+      },
+      Some(s"""WITH $codesCte,
+        |mz AS MATERIALIZED (SELECT vec_id,
+        |  CASE WHEN vec_id % 4 = 1 THEN
+        |    list_transform(range(1, ${Dim + 1}), i ->
+        |      -(${hashSql(
+          "CAST(cl2 AS VARCHAR) || ':' || CAST(i AS VARCHAR)",
+          ":cent")} % 201 - 100 +
+        |        (${hashSql(
+          "CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)",
+          ":jit2")} % 21 - 10)))
+        |  ELSE q END AS q
+        |  FROM (SELECT vec_id, q,
+        |      ${hashSql("vec_id", ":cl2")} % $NCl AS cl2
+        |    FROM qz)),
+        |${graphCtesP("s", "TRUE", Buckets, "qz")},
+        |${graphCtesP("r", "TRUE", Buckets, "mz")},
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+        |  FROM mz WHERE vec_id % 25 = 0),
+        |${beamCtesL("a", "qq", Seq.fill(Steps)(s"se$Rounds"), "TRUE",
+          "mz")},
+        |${beamCtesL("b", "qq", Seq.fill(Steps)(s"re$Rounds"), "TRUE",
+          "mz")},
+        |${bfSql("TRUE", "mz")},
+        |sfit AS (SELECT
+        |    CAST(sum(${idotSql("oa.q", "ob.q")}) AS BIGINT) AS s_orig,
+        |    CAST(sum(${idotSql("ma.q", "mb.q")}) AS BIGINT) AS s_mut
+        |  FROM se$Rounds e
+        |  JOIN qz oa ON oa.vec_id = e.src
+        |  JOIN qz ob ON ob.vec_id = e.dst
+        |  JOIN mz ma ON ma.vec_id = e.src
+        |  JOIN mz mb ON mb.vec_id = e.dst)
+        |SELECT f.*,
+        |  (SELECT s_orig FROM sfit) AS edge_fit_orig,
+        |  (SELECT s_mut FROM sfit) AS edge_fit_mut,
+        |  (SELECT (s_orig - s_mut) * 50 > s_orig FROM sfit) AS retrain
+        |FROM (${recallSelect("graph_rebuilt", "bsrv")}
+        |UNION ALL
+        |${recallSelect("graph_stale_after_shift", "asrv")}) f
+        |ORDER BY family""".stripMargin)),
+
+    // INDEX AUTO-SELECTION policy wired to the serving stack (r14
+    // ask 5 — the planner-shaped gate the families were missing):
+    // [[graft.operators.IndexPolicy.choose]] maps plan-time stats
+    // (n, dim, allowed-row count, serving-memory budget) to one of
+    // the four gated families, and this gate SERVES the same query
+    // set through the chosen path per stratum. Four strata pin all
+    // four rungs at the driver's sf0.01 gate: a ~5% predicate
+    // (allowed 25 < 150 → flat exact scan, the q478 switch), a 50%
+    // predicate (→ IVF with selectivity-widened probes, q518's
+    // serve), unfiltered in-memory (→ graph beam, q472's serve), and
+    // unfiltered under a 10 KB budget (64 KB of raw vectors don't
+    // fit → IVF-PQ ADC + re-rank, q507's serve). The oracle
+    // re-derives every choice from the same counts (the family
+    // column is CASE-over-counts, so an inconsistent policy mirror
+    // hash-fails) and replays each stratum's serve; at other SFs the
+    // Spark side re-branches from live counts (tiny_filter crosses
+    // the switch at sf0.1 and becomes IVF — derivable either way).
+    "q522_index_policy_serve" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        import graft.operators.IndexPolicy
+        val BudgetBig = 1000000000L
+        val BudgetTight = 10000L
+        val codes = clusteredCodes(s, dir).localCheckpoint(true)
+        val n = codes.count()
+        val qi = codes.filter(col("vec_id") % 25 === 0)
+        // shared artifacts, built at most once each (lazy: a stratum
+        // set that never chooses a family never pays its build)
+        lazy val graph = GraphAnn.nnDescent(codes, "vec_id", "code",
+            K, Rounds, Buckets)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        lazy val vecs = doubleVecs(s, dir)
+        lazy val qd = vecs.filter(col("vec_id") % 25 === 0)
+        lazy val ncl = Similarity.numCells(n)
+        lazy val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        lazy val probes = clampedProbes(ncl, cents)
+        lazy val cb = Similarity.pqTrain(
+          Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
+            .localCheckpoint(true), "res", PqInit)
+        val strata = Seq(
+          ("tiny_filter",
+            Some(col("vec_id") % FilterMod === FilterRem), BudgetBig),
+          ("half_filter", Some(col("vec_id") % 2 === 0), BudgetBig),
+          ("unfiltered_mem", Option.empty[Column], BudgetBig),
+          ("unfiltered_tight", Option.empty[Column], BudgetTight))
+        val rows = strata.map { case (name, condOpt, budget) =>
+          val cond = condOpt.getOrElse(lit(true))
+          val allowed = condOpt.map(c => codes.filter(c).count())
+            .getOrElse(n)
+          val choice = IndexPolicy.choose(n, Dim, allowed, budget)
+          val row = choice match {
+            case IndexPolicy.Flat =>
+              val ac = codes.filter(cond)
+              val served = qi.select(col("vec_id").as("query_id"),
+                  col("code").as("__qc"))
+                .join(ac.select(col("vec_id").as("neighbor_id"),
+                  col("code").as("__nc")),
+                  col("query_id") =!= col("neighbor_id"))
+                .withColumn("__d", dotI(col("__qc"), col("__nc")))
+                .withColumn("rn", row_number().over(
+                  Window.partitionBy(col("query_id"))
+                    .orderBy(col("__d").desc, col("neighbor_id"))))
+                .select(col("query_id"), col("neighbor_id"), col("rn"))
+              recallRow(name, qi, served, bruteTopK(qi, ac))
+            case IndexPolicy.Graph =>
+              recallRow(name, qi,
+                GraphAnn.beamServe(qi, graph, codes, "vec_id", "code",
+                  EntryK, Beam, Steps, TopK),
+                bruteTopK(qi, codes))
+            case IndexPolicy.Ivf =>
+              val index = Similarity.insertIntoCells(vecs, "vec_id",
+                "v", cents).filter(cond)
+              val widened = Similarity.probesForSelectivity(probes,
+                cents.size, allowed, n)
+              recallRow(name, qd,
+                Similarity.annTopKIvfPreassignedD(qd, index, "vec_id",
+                  "v", "cell", cents, TopK, widened),
+                bruteCosTopK(qd, vecs.filter(cond)))
+            case IndexPolicy.IvfPq =>
+              val coded = Similarity.ivfPqEncode(vecs, "vec_id", "v",
+                cents, cb)
+              val short = Similarity.ivfPqAdcTopK(qd, coded, "vec_id",
+                  "v", cents, cb, probes, ShortK)
+                .localCheckpoint(true)
+              val rerank = short
+                .join(vecs.select(col("vec_id").as("neighbor_id"),
+                  col("v").as("__nv")), Seq("neighbor_id"))
+                .join(qd.select(col("vec_id").as("query_id"),
+                  col("v").as("__qv")), Seq("query_id"))
+                .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+                .withColumn("rn2", row_number().over(
+                  Window.partitionBy(col("query_id"))
+                    .orderBy(col("__d").asc, col("neighbor_id"))))
+                .select(col("query_id"), col("neighbor_id"),
+                  col("rn2").as("rn"))
+              val exact = qd.select(col("vec_id").as("query_id"),
+                  col("v").as("__qv"))
+                .join(vecs.select(col("vec_id").as("neighbor_id"),
+                  col("v").as("__nv")),
+                  col("query_id") =!= col("neighbor_id"))
+                .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+                .withColumn("__rn", row_number().over(
+                  Window.partitionBy(col("query_id"))
+                    .orderBy(col("__d").asc, col("neighbor_id"))))
+                .filter(col("__rn") <= TopK)
+                .select(col("query_id"), col("neighbor_id"))
+              recallRow(name, qd, rerank, exact)
+          }
+          row.withColumnRenamed("family", "stratum")
+            .withColumn("family", lit(choice))
+            .withColumn("n_allowed", lit(allowed))
+            .withColumn("budget_bytes", lit(budget))
+        }
+        rows.reduce(_.unionByName(_)).orderBy(col("stratum"))
+      },
+      {
+        val BudgetBig = 1000000000L
+        val BudgetTight = 10000L
+        val nSql = "(SELECT count(*) FROM qz)"
+        def chooseSql(allowedSql: String, budget: Long): String =
+          s"CASE WHEN ($allowedSql) < ${
+            graft.operators.IndexPolicy.SwitchBelow} THEN 'flat' " +
+            s"WHEN $nSql * ${Dim * 8} > $budget THEN 'ivfpq' " +
+            s"WHEN ($allowedSql) = $nSql THEN 'graph' " +
+            "ELSE 'ivf' END"
+        val tinyCond = s"vec_id % $FilterMod = $FilterRem"
+        val tinyAllowed = s"(SELECT count(*) FROM qz WHERE $tinyCond)"
+        val halfAllowed = "(SELECT count(*) FROM qz WHERE vec_id % 2 = 0)"
+        val npc = npcSql("vv", "c2")
+        val npw2 = s"GREATEST(LEAST((SELECT count(*) FROM c2), " +
+          s"(($npc) * (SELECT count(*) FROM va) + $halfAllowed - 1) " +
+          s"// $halfAllowed), ($npc))"
+        def stratumRow(stratum: String, srv: String, q: String,
+            bf: String, allowedSql: String, budget: Long): String =
+          s"""SELECT f.family AS stratum,
+             |  ${chooseSql(allowedSql, budget)} AS family,
+             |  f.n_queries, f.denom, f.hits, f.recall_ppm,
+             |  CAST(($allowedSql) AS BIGINT) AS n_allowed,
+             |  CAST($budget AS BIGINT) AS budget_bytes
+             |FROM (${recallSelectOn(stratum, srv, q, bf)}) f""".stripMargin
+        Some(s"""WITH $codesCte,
+          |${coarseCtesOn("TRUE", nlSql("vv"))},
+          |${ivfPqTrainCtes("TRUE")},
+          |${graphCtesP("x", "TRUE", Buckets)},
+          |qq AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv
+          |  FROM qz WHERE vec_id % 25 = 0),
+          |qd AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+          |  FROM va WHERE vec_id % 25 = 0),
+          |s1s AS MATERIALIZED (SELECT query_id, node, rn FROM (
+          |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+          |      PARTITION BY qq.query_id
+          |      ORDER BY ${idotSql("qq.qv", "z.q")} DESC, z.vec_id) AS rn
+          |  FROM qq JOIN qz z ON z.vec_id <> qq.query_id
+          |  WHERE z.$tinyCond)),
+          |s1b AS (SELECT query_id, node FROM s1s WHERE rn <= $TopK),
+          |s2p AS (SELECT vec_id AS query_id, v AS qv, cell FROM qrk
+          |  WHERE vec_id % 25 = 0 AND rn <= ($npw2)),
+          |s2x AS (SELECT s2p.query_id, asg.vec_id AS node,
+          |    ${SimilarityQueries.cosSql("s2p.qv", "asg.v")} AS cos
+          |  FROM s2p JOIN asg USING (cell)
+          |  WHERE s2p.query_id <> asg.vec_id AND asg.vec_id % 2 = 0),
+          |s2s AS MATERIALIZED (SELECT query_id, node, row_number()
+          |    OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+          |  FROM s2x),
+          |s2v AS MATERIALIZED (SELECT vec_id, v FROM va
+          |  WHERE vec_id % 2 = 0),
+          |s2b AS MATERIALIZED (SELECT query_id, node FROM (
+          |  SELECT qd.query_id, z.vec_id AS node, row_number() OVER (
+          |      PARTITION BY qd.query_id
+          |      ORDER BY ${SimilarityQueries.cosSql("qd.qv", "z.v")} DESC,
+          |        z.vec_id) AS rn
+          |  FROM qd JOIN s2v z ON z.vec_id <> qd.query_id)
+          |  WHERE rn <= $TopK),
+          |${beamCtesL("y", "qq", Seq.fill(Steps)(s"xe$Rounds"), "TRUE")},
+          |s3b AS MATERIALIZED (SELECT query_id, node FROM (
+          |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+          |      PARTITION BY qq.query_id
+          |      ORDER BY ${idotSql("qq.qv", "z.q")} DESC, z.vec_id) AS rn
+          |  FROM qq JOIN qz z ON z.vec_id <> qq.query_id)
+          |  WHERE rn <= $TopK),
+          |${ivfPqServeCtes("t", "vec_id % 25 = 0", npc, "TRUE")},
+          |trrk AS (SELECT s.query_id, s.node, row_number() OVER (
+          |      PARTITION BY s.query_id
+          |      ORDER BY ${l2dAt("qd.qv", 0, "nv.v", Dim)} ASC, s.node)
+          |      AS rn
+          |  FROM tshort s JOIN qd ON qd.query_id = s.query_id
+          |  JOIN va nv ON nv.vec_id = s.node),
+          |s4b AS MATERIALIZED (SELECT query_id, node FROM (
+          |  SELECT qd.query_id, z.vec_id AS node, row_number() OVER (
+          |      PARTITION BY qd.query_id
+          |      ORDER BY ${l2dAt("qd.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+          |      AS rn
+          |  FROM qd JOIN va z ON z.vec_id <> qd.query_id)
+          |  WHERE rn <= $TopK)
+          |SELECT * FROM (
+          |${stratumRow("tiny_filter", "s1s", "qq", "s1b",
+            tinyAllowed, BudgetBig)}
+          |UNION ALL
+          |${stratumRow("half_filter", "s2s", "qd", "s2b",
+            halfAllowed, BudgetBig)}
+          |UNION ALL
+          |${stratumRow("unfiltered_mem", "ysrv", "qq", "s3b",
+            nSql, BudgetBig)}
+          |UNION ALL
+          |${stratumRow("unfiltered_tight", "trrk", "qd", "s4b",
+            nSql, BudgetTight)})
+          |ORDER BY stratum""".stripMargin)
       })
   )
 }

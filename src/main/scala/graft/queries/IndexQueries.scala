@@ -82,6 +82,15 @@ object IndexQueries extends QueryPack {
 
   /** q120 expected (doc_id, deflate-ratio) rows over the sf0.01
     * fixture — authoring-time computation, see the q120 comment.
+    *
+    * ZLIB-IDENTITY ASSUMPTION (r14 ADVICE): these values were
+    * produced by CPython zlib (compressobj(1, DEFLATED, -15)) and
+    * assume the JVM's Deflater(BEST_SPEED, nowrap) emits
+    * byte-identical streams — true for stock madler zlib (what both
+    * runtimes bundle), NOT guaranteed under zlib-ng-backed builds.
+    * DeflateRatioSpec's "local zlib is byte-identical" pin compresses
+    * a known string through the exact q120 path and fails loudly
+    * (naming this gate) when the local zlib diverges.
     */
   private val q120ExpectedValues: String =
     """(0, 0.5923566878980892e0), (1, 0.43596059113300495e0), (2, 0.524390243902439e0),

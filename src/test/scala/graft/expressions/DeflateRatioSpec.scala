@@ -46,6 +46,27 @@ class DeflateRatioSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("local zlib is byte-identical to the q120 oracle's authoring zlib") {
+    // q120_compression_quality's oracle pins 500 deflate ratios
+    // computed at AUTHORING time by CPython zlib
+    // (compressobj(1, DEFLATED, -15)). Stock madler zlib and
+    // java.util.zip.Deflater(BEST_SPEED, nowrap) emit byte-identical
+    // streams, but a zlib-ng-backed build (some distros/JDKs link
+    // system zlib) would not — which would make the q120 hash gate
+    // silently environment-dependent (r14 ADVICE). This pin turns
+    // that drift into a LOUD failure: the deflate ratio of a fixed
+    // string under the exact q120 path must read 58/98 bytes, the
+    // madler-zlib output.
+    val pin = "the quick brown fox jumps over the lazy dog " +
+      "the quick brown fox jumps over the lazy dog 0123456789"
+    val Seq(r) = ratios(pin)
+    assert(r === 58.0 / 98.0,
+      s"pin string deflates to ratio $r, not 58/98: this JVM links a " +
+        "divergent zlib (zlib-ng?) — q120's precomputed oracle VALUES " +
+        "do not apply in this environment (expect a hash mismatch " +
+        "there, not a code bug here)")
+  }
+
   test("agrees between codegen and interpreted paths") {
     val df = Seq.tabulate(50)(i => s"doc $i " * (i + 1)).toDF("t")
     val gen = df.select(TextAnalysis.compressionRatio(col("t")))
