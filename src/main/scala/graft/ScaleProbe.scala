@@ -1124,6 +1124,66 @@ object ScaleProbe {
             "vec_id", "v", "cell", cents, 10, widened)
         }
       }
+      // q520 shape: DV delete + predicate-filtered ADC serve over the
+      // committed code table — q510's pipeline plus deleteWhere and
+      // the ~5% predicate. Both filters hit the SCAN side before the
+      // probe join, so the candidate term is selectivity-bounded; the
+      // widened probe count saturates at the policy nlist while the
+      // per-cell allowed population stays ~constant — expect q510's
+      // curve with a smaller candidate constant
+      if (only.forall(_.contains("q520_dv_filtered_adc"))) {
+        import graft.expressions.VectorExpressions.l2sqF
+        import org.apache.spark.sql.expressions.Window
+        val vecs = shifted(Tables.embeddings(spark, sfDir),
+          Seq("vec_id"), n, 100000000L)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => coalesce(x.cast("double"), lit(0.0d))).as("v"))
+          .localCheckpoint(true)
+        val total = vecs.count()
+        val ncl = graft.operators.Similarity.numCells(total)
+        val init = vecs
+          .withColumn("__h", graft.operators.GraphAnn.saltedHash60(
+            col("vec_id"), ":seed"))
+          .orderBy(col("__h"), col("vec_id")).limit(ncl)
+          .select(col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq) }.toSeq
+        val cents = graft.operators.Similarity.kmeansIterate(
+          vecs, "v", init, 1)
+        val rnd = new scala.util.Random(4343L)
+        val pqInit = Seq.fill(8)(Seq.fill(16)(Seq.fill(8)(
+          rnd.nextGaussian() * 0.1)))
+        val resid = graft.operators.Similarity.ivfResiduals(
+          vecs, "vec_id", "v", cents).localCheckpoint(true)
+        val cb = graft.operators.Similarity.pqTrain(resid, "res", pqInit)
+        timeWithTmp("q520_dv_filtered_adc", n, "graft_sp_520") { tmp =>
+          graft.sources.TxLog.commit(
+            graft.operators.Similarity.ivfPqEncode(vecs, "vec_id", "v",
+              cents, cb), tmp.toString, "overwrite", "vec_id")
+          graft.sources.TxLog.deleteWhere(spark, tmp.toString,
+            col("vec_id") % 7 === 0)
+          val live = graft.sources.TxLog.read(spark, tmp.toString)
+            .filter(col("vec_id") % 20 === 3)
+          val queries = vecs.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") % 7 =!= 0)
+          val widened = graft.operators.Similarity.probesForSelectivity(
+            math.min(graft.operators.Similarity.numProbes(ncl),
+              cents.size), cents.size, total / 20, total)
+          val short = graft.operators.Similarity.ivfPqAdcTopK(
+            queries, live, "vec_id", "v", cents, cb, widened, 40)
+          short
+            .join(vecs.select(col("vec_id").as("neighbor_id"),
+              col("v").as("__nv")), Seq("neighbor_id"))
+            .join(queries.select(col("vec_id").as("query_id"),
+              col("v").as("__qv")), Seq("query_id"))
+            .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+            .withColumn("rn2", row_number().over(
+              Window.partitionBy(col("query_id"))
+                .orderBy(col("__d").asc, col("neighbor_id"))))
+            .filter(col("rn2") <= 10)
+        }
+      }
       // q509 shape: streaming IVF ingest — the quantizer FREEZES at
       // base-train time (corpus-size-independent here), each batch
       // assigns via the native kernel inside its own scan: expect
