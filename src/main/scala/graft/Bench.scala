@@ -306,6 +306,16 @@ object Bench {
     * contain a ≥ [[SoloSecs]]-second query run SOLO on all cores.
     * Missing/unparseable file ⇒ empty map ⇒ everything pairs.
     */
+  /** JSON-number fragment for prior parsing: detail values are written
+    * fixed-format (f"%.6f", see [[fmtV]]) since r15, but priors must
+    * also read OLDER artifacts whose raw Double.toString switches to
+    * scientific notation below 1e-3 (r14 ADVICE: "9.0E-4" parsed as
+    * 9.0 under the exponent-blind pattern — a sub-millisecond query
+    * mis-promoted into the solo set), so the pattern accepts an
+    * optional exponent and the value goes through toDouble.
+    */
+  private val NumPat = "[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+
   private def priorMedians: Map[String, Double] =
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_DETAIL.json")
@@ -316,15 +326,15 @@ object Bench {
         // it so priors never regress to the raw medians
         .replaceAll("\"certified_raw\":\\{[^}]*\\}", "")
       val meds =
-        "\"(q[0-9][^\"]*)\":([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(txt)
+        s""""(q[0-9][^"]*)":($NumPat)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       // recheck-certify the prior (r13 verdict item 1, scheduling
       // side): a med inflated by host contention would otherwise pin
       // the query in the solo set forever — the prior artifact's own
       // recheck re-measure is the cleaner signal, so take the min
       val recheck =
-        ("\"(q[0-9][^\"]*)\":\\{\"med\":([0-9]+(?:\\.[0-9]+)?)," +
-          "\"re\":([0-9]+(?:\\.[0-9]+)?)").r.findAllMatchIn(txt)
+        (s""""(q[0-9][^"]*)":\\{"med":($NumPat),""" +
+          s""""re":($NumPat)""").r.findAllMatchIn(txt)
           .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
           .toMap
       meds.map { case (n, med) =>
@@ -351,6 +361,33 @@ object Bench {
     */
   private def CertifyRatio: Double =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_CERTIFY_RATIO", "1.3").toDouble
+
+  /** Committed/prior ratio above which a query joins the recheck set
+    * even when it is outside the slowest 5 (VERDICT r14 item 1: q100's
+    * 11.3 s pack-co-scheduling artifact vs a 1.38 s idle anchor sat at
+    * rank 7 and slipped past the slowest-5-only window, poisoning next
+    * round's diffs and the solo-scheduling priors). Any query whose
+    * committed value exceeds InflateRatio × its certified prior AND
+    * clears [[InflateFloor]] is re-measured fresh-JVM min-of-2 and
+    * certified via min(med, re) like the slowest-5.
+    */
+  private def InflateRatio: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_INFLATE_RATIO", "2.0").toDouble
+
+  /** Absolute committed-seconds floor for the inflated-vs-prior
+    * recheck: a sub-second query doubling over its prior is runtime
+    * noise, not a measurement artifact worth a fresh JVM (the r14
+    * anchors were 1.75–11.3 s committed).
+    */
+  private def InflateFloor: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_INFLATE_FLOOR", "1.0").toDouble
+
+  /** Fixed-format per-query value serialization (r14 ADVICE):
+    * Double.toString flips to scientific notation below 1e-3, which
+    * older prior parsers mis-read; %.6f keeps every committed value a
+    * plain decimal (µs resolution — below measurement noise).
+    */
+  private def fmtV(v: Double): String = f"$v%.6f"
 
   /** Host-drift probe measured solo first and last (r13 verdict
     * item 1): a fixed mid-weight scan-agg whose cost is dominated by
@@ -520,28 +557,58 @@ object Bench {
 
     import scala.jdk.CollectionConverters._
     // Recheck pass BEFORE the committed lines (VERDICT r5 item 6, r8
-    // item 2, r11 item 1, r13 item 1): the slowest 5 raw medians
-    // re-measured in ONE more fresh JVM, min of 2 runs — a genuinely
-    // idle-JVM number by construction.
+    // item 2, r11 item 1, r13 item 1, r14 item 1): re-measured in
+    // fresh JVMs, min of 2 runs — a genuinely idle-JVM number by
+    // construction. The recheck SET is the slowest 5 raw medians PLUS
+    // every query whose committed value exceeds InflateRatio × its
+    // certified prior (the q100 lesson: rank-7 artifacts poisoned the
+    // per-query diffs and the solo priors the slowest-5 window never
+    // saw).
     val rawResults = allResults.asScala.toMap
     val rawSlowest5 = rawResults.toSeq.filter(_._2 >= 0)
       .sortBy { case (n, v) => (-v, n) }.take(5)
-    val reNames = rawSlowest5.map(_._1)
-    val reMap: Map[String, Double] =
-      if (reNames.isEmpty) Map.empty
-      else cmd.flatMap(runPackChild(_, reNames,
+    val slowSet = rawSlowest5.map(_._1).toSet
+    val inflated = rawResults.toSeq
+      .filter { case (n, v) =>
+        !slowSet.contains(n) && v >= InflateFloor &&
+          prior.get(n).exists(p => p > 0 && v / p > InflateRatio)
+      }
+      .sortBy { case (n, v) => (-v, n) }
+    if (inflated.nonEmpty)
+      System.err.println("[bench] inflated-vs-prior recheck: " +
+        inflated.map { case (n, v) =>
+          f"$n ($v%.1f vs prior ${prior(n)}%.1f)"
+        }.mkString(", "))
+    val reTargets = rawSlowest5 ++ inflated
+    // Fresh-JVM recheck in ≤8-query chunks (one JVM per chunk — big
+    // enough to amortize start-up across the usually-small set, small
+    // enough to stay out of the state-accumulation regime). Chunks
+    // that FELL BACK to the warmed in-process session are recorded:
+    // an in-process 're' is measured under exactly the conditions
+    // fork-per-pack exists to avoid, so it must never overwrite a
+    // committed median (r14 ADVICE) — those rows keep their raw stat.
+    val reMapAll = collection.mutable.Map.empty[String, Double]
+    val reViaFallback = collection.mutable.Set.empty[String]
+    reTargets.map(_._1).grouped(8).foreach { grp =>
+      cmd.flatMap(runPackChild(_, grp,
           Map("SPARK_GRAFT_BENCH_ITERS" -> "2",
-            "SPARK_GRAFT_BENCH_STAT" -> "min")))
-        .map(_._1)
-        .getOrElse(measureInProcess(reNames, 2, useMin = true)._1)
+            "SPARK_GRAFT_BENCH_STAT" -> "min"))) match {
+        case Some((qs, _)) => reMapAll ++= qs
+        case None =>
+          reViaFallback ++= grp
+          reMapAll ++= measureInProcess(grp, 2, useMin = true)._1
+      }
+    }
+    val reMap: Map[String, Double] = reMapAll.toMap
     // CERTIFICATION (r13 verdict item 1): med/re > CertifyRatio means
     // the measurement phase, not the plan, produced the excess — the
     // committed stat becomes min(med, re) and the raw value stays
-    // visible in the recheck line. med ≈ re rows keep their median.
+    // visible in the recheck line. med ≈ re rows keep their median;
+    // fallback-measured re values never certify.
     val certified = collection.mutable.LinkedHashMap.empty[String, Double]
-    rawSlowest5.foreach { case (name, med) =>
+    reTargets.foreach { case (name, med) =>
       val re = reMap.getOrElse(name, -1.0)
-      if (re > 0 && med / re > CertifyRatio) {
+      if (re > 0 && med / re > CertifyRatio && !reViaFallback(name)) {
         certified(name) = med
         allResults.put(name, math.min(med, re))
       }
@@ -551,7 +618,7 @@ object Bench {
 
     val results = allResults.asScala.toSeq.sortBy(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmtV(v) }
       .mkString("{", ",", "}")
     val errs = errors.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
@@ -567,14 +634,17 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}""")
     // Recheck line: med is the COMMITTED stat (post-certification);
-    // adjusted rows carry their pre-certification value as "raw".
-    val rcJson = rawSlowest5
+    // adjusted rows carry their pre-certification value as "raw";
+    // rows whose re came from the in-process fallback (and therefore
+    // could not certify) are marked "fb":true.
+    val rcJson = reTargets
       .map { case (name, _) =>
         val med = allResults.get(name)
         val raw = certified.get(name)
           .map(r => f""","raw":$r%.3f""").getOrElse("")
+        val fb = if (reViaFallback(name)) ""","fb":true""" else ""
         jstr(name) + ":" +
-          f"""{"med":$med%.3f,"re":${reMap.getOrElse(name, -1.0)}%.3f$raw}"""
+          f"""{"med":$med%.3f,"re":${reMap.getOrElse(name, -1.0)}%.3f$raw$fb}"""
       }
       .mkString("{", ",", "}")
     println(s"""{"metric":"recheck","slowest":$rcJson,"sf":${jstr(sfDir)}}""")
@@ -588,7 +658,8 @@ object Bench {
       .map { case (n, raw) => jstr(n) + ":" + f"$raw%.3f" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"detail","total":$total,"n":${results.size},"iters":$benchIters,"sf":${jstr(sfDir)},"isolation":"fork-per-pack","par":$benchPar,"fast_cutoff":$fastCutoff,"solo_secs":$SoloSecs,"solo_stat":"min2","certify_ratio":$CertifyRatio,
+      s"""{"metric":"detail","total":$total,"n":${results.size},"iters":$benchIters,"sf":${jstr(sfDir)},"isolation":"fork-per-pack","par":$benchPar,"fast_cutoff":$fastCutoff,"solo_secs":$SoloSecs,"solo_stat":"min2","certify_ratio":$CertifyRatio,"inflate_ratio":$InflateRatio,"inflate_floor":$InflateFloor,
+         |"inflated":${inflated.map(i => jstr(i._1)).mkString("[", ",", "]")},
          |"calibration":{"query":${jstr(CalibrationQuery)},"first":$calFirst,"last":$calLast},
          |"certified_raw":$certJson,"chunk_max":$ChunkMax,
          |"queries":$qs,
@@ -615,7 +686,7 @@ object Bench {
     warmUp(spark, sfDir)
     val iters = benchIters
     val (results, errors) = measure(spark, sfDir, selected, iters, useMin = false)
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmtV(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")

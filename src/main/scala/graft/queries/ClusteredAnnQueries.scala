@@ -573,10 +573,14 @@ object ClusteredAnnQueries extends QueryPack {
        |${ivfPqTrainCtes(pqTrainCond)}""".stripMargin
 
   /** The PQ train+encode block alone (rs/rst/codebooks/cd), assuming
-    * `qz`/`va`/`c2`/`asg` are already in scope — q522 shares ONE
-    * codes+coarse block across all four served families.
+    * `qz`/`va`/`${b}c2`/`${b}asg` are already in scope — q522 shares
+    * ONE codes+coarse block across all four served families; q523
+    * replays TWO whole PQ stacks (stale and retrained) by prefixing
+    * every CTE name with `b` and reading the `b`-prefixed coarse
+    * block.
     */
-  private def ivfPqTrainCtes(pqTrainCond: String): String = {
+  private def ivfPqTrainCtes(pqTrainCond: String,
+      b: String = ""): String = {
     // per-subspace PQ replay: seed literals → residual argmin →
     // quantized-sum refinement (seed fallback) → re-encode
     val pqBlocks = (0 until PqM).map { mi =>
@@ -588,37 +592,38 @@ object ClusteredAnnQueries extends QueryPack {
         s"s$d / (CAST(n AS DOUBLE) * $Q20)").mkString("[", ", ", "]")
       val seeds = PqInit(mi).zipWithIndex
         .map { case (c, i) => s"($i, ${dlit(c)})" }.mkString(", ")
-      s"""pa$mi AS (SELECT vec_id, cell FROM (
-         |  SELECT rst.vec_id, s.cell, row_number() OVER (
-         |      PARTITION BY rst.vec_id
-         |      ORDER BY ${l2dAt("rst.r", off, "s.c", PqSubDim)} ASC,
+      s"""${b}pa$mi AS (SELECT vec_id, cell FROM (
+         |  SELECT ${b}rst.vec_id, s.cell, row_number() OVER (
+         |      PARTITION BY ${b}rst.vec_id
+         |      ORDER BY ${l2dAt(s"${b}rst.r", off, "s.c", PqSubDim)} ASC,
          |        s.cell ASC) AS rn
-         |  FROM rst CROSS JOIN (VALUES $seeds) s(cell, c))
+         |  FROM ${b}rst CROSS JOIN (VALUES $seeds) s(cell, c))
          |  WHERE rn = 1),
-         |pg$mi AS (SELECT pa$mi.cell, count(*) AS n, $sums
-         |  FROM pa$mi JOIN rst USING (vec_id) GROUP BY pa$mi.cell),
-         |pr$mi AS MATERIALIZED (SELECT sd.cell,
+         |${b}pg$mi AS (SELECT ${b}pa$mi.cell, count(*) AS n, $sums
+         |  FROM ${b}pa$mi JOIN ${b}rst USING (vec_id)
+         |  GROUP BY ${b}pa$mi.cell),
+         |${b}pr$mi AS MATERIALIZED (SELECT sd.cell,
          |    coalesce(pc.c, sd.sc) AS c
          |  FROM (VALUES $seeds) sd(cell, sc) LEFT JOIN
-         |    (SELECT cell, $clist AS c FROM pg$mi) pc USING (cell)),
-         |pe$mi AS MATERIALIZED (SELECT vec_id, cell AS e$mi FROM (
-         |  SELECT rs.vec_id, p.cell, row_number() OVER (
-         |      PARTITION BY rs.vec_id
-         |      ORDER BY ${l2dAt("rs.r", off, "p.c", PqSubDim)} ASC,
+         |    (SELECT cell, $clist AS c FROM ${b}pg$mi) pc USING (cell)),
+         |${b}pe$mi AS MATERIALIZED (SELECT vec_id, cell AS e$mi FROM (
+         |  SELECT ${b}rs.vec_id, p.cell, row_number() OVER (
+         |      PARTITION BY ${b}rs.vec_id
+         |      ORDER BY ${l2dAt(s"${b}rs.r", off, "p.c", PqSubDim)} ASC,
          |        p.cell ASC) AS rn
-         |  FROM rs CROSS JOIN pr$mi p) WHERE rn = 1)""".stripMargin
+         |  FROM ${b}rs CROSS JOIN ${b}pr$mi p) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""rs AS MATERIALIZED (SELECT asg.vec_id, asg.cell,
+    s"""${b}rs AS MATERIALIZED (SELECT ${b}asg.vec_id, ${b}asg.cell,
        |    list_transform(range(1, ${Dim + 1}),
-       |      i -> asg.v[i] - c2.c[i]) AS r
-       |  FROM asg JOIN c2 USING (cell)),
-       |rst AS MATERIALIZED (SELECT vec_id, cell, r FROM rs
+       |      i -> ${b}asg.v[i] - ${b}c2.c[i]) AS r
+       |  FROM ${b}asg JOIN ${b}c2 USING (cell)),
+       |${b}rst AS MATERIALIZED (SELECT vec_id, cell, r FROM ${b}rs
        |  WHERE $pqTrainCond),
        |$pqBlocks,
-       |cd AS MATERIALIZED (SELECT rs.vec_id, rs.cell,
-       |    ${(0 until PqM).map(mi => s"pe$mi.e$mi").mkString(", ")}
-       |  FROM rs ${(0 until PqM).map(mi =>
-        s"JOIN pe$mi USING (vec_id)").mkString(" ")})""".stripMargin
+       |${b}cd AS MATERIALIZED (SELECT ${b}rs.vec_id, ${b}rs.cell,
+       |    ${(0 until PqM).map(mi => s"${b}pe$mi.e$mi").mkString(", ")}
+       |  FROM ${b}rs ${(0 until PqM).map(mi =>
+        s"JOIN ${b}pe$mi USING (vec_id)").mkString(" ")})""".stripMargin
   }
 
   /** One ADC serve chain over a built `cd`/`pr$mi`/`qrk` replay,
@@ -629,22 +634,24 @@ object ClusteredAnnQueries extends QueryPack {
     * ranked shortlist `${p}short(query_id, node, rn ≤ ShortK)`.
     */
   private def ivfPqServeCtes(p: String, qCond: String,
-      probesSql: String, candCond: String): String = {
+      probesSql: String, candCond: String, b: String = ""): String = {
     val adcSum = (0 until PqM).map(mi =>
       l2dAt(s"${p}cand.qr", mi * PqSubDim, s"r$mi.c", PqSubDim))
       .mkString(" + ")
     val adcJoins = (0 until PqM).map(mi =>
-      s"JOIN pr$mi r$mi ON r$mi.cell = ${p}cand.e$mi").mkString("\n|  ")
-    s"""${p}qr0 AS (SELECT vec_id AS query_id, v, cell FROM qrk
+      s"JOIN ${b}pr$mi r$mi ON r$mi.cell = ${p}cand.e$mi")
+      .mkString("\n|  ")
+    s"""${p}qr0 AS (SELECT vec_id AS query_id, v, cell FROM ${b}qrk
        |  WHERE $qCond AND rn <= ($probesSql)),
        |${p}qr AS MATERIALIZED (SELECT query_id, ${p}qr0.cell,
        |    list_transform(range(1, ${Dim + 1}),
-       |      i -> ${p}qr0.v[i] - c2.c[i]) AS qr
-       |  FROM ${p}qr0 JOIN c2 USING (cell)),
-       |${p}cand AS (SELECT ${p}qr.query_id, ${p}qr.qr, cd.vec_id AS node,
-       |    ${(0 until PqM).map(mi => s"cd.e$mi").mkString(", ")}
-       |  FROM ${p}qr JOIN cd USING (cell)
-       |  WHERE ${p}qr.query_id <> cd.vec_id AND ($candCond)),
+       |      i -> ${p}qr0.v[i] - ${b}c2.c[i]) AS qr
+       |  FROM ${p}qr0 JOIN ${b}c2 USING (cell)),
+       |${p}cand AS (SELECT ${p}qr.query_id, ${p}qr.qr,
+       |    ${b}cd.vec_id AS node,
+       |    ${(0 until PqM).map(mi => s"${b}cd.e$mi").mkString(", ")}
+       |  FROM ${p}qr JOIN ${b}cd USING (cell)
+       |  WHERE ${p}qr.query_id <> ${b}cd.vec_id AND ($candCond)),
        |${p}adc AS MATERIALIZED (SELECT ${p}cand.query_id, ${p}cand.node,
        |    $adcSum AS adist
        |  FROM ${p}cand
@@ -2960,6 +2967,139 @@ object ClusteredAnnQueries extends QueryPack {
           |${stratumRow("unfiltered_tight", "trrk", "qd", "s4b",
             nSql, BudgetTight)})
           |ORDER BY stratum""".stripMargin)
-      })
+      }),
+
+    // DRIFT-fired retrain on the IVF-PQ path — the last empty cell of
+    // the family × lifecycle matrix (IVF got retrain at q516, graph
+    // at q521; PQ had build/policy/commit/stream/DV but no retrain
+    // terminal): the insert quarter arrives sign-flipped, the
+    // COARSE-level drift audit fires (the trigger is shared with
+    // q516 — drift lives in the quantizer, the codebooks just follow
+    // it), and the retrain rebuilds BOTH stages: coarse quantizer at
+    // the policy nlist of the new size AND PQ codebooks on the new
+    // residuals. The same ADC + exact-re-rank serve replays against
+    // the stale and retrained stacks over the mutated corpus; the
+    // oracle replays TWO complete coarse+PQ stacks over one shared
+    // mutated `va` (prefixed coarse blocks AND prefixed PQ blocks)
+    // plus the q516 drift readout from the stale block's assignments.
+    "q523_ivfpq_drift_retrain" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        val vecs = doubleVecs(s, dir)
+        val base = vecs.filter(col("vec_id") % 4 =!= 1)
+        val flipped = vecs.filter(col("vec_id") % 4 === 1)
+          .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+        val corpus = base.unionByName(flipped).localCheckpoint(true)
+        val nclS = Similarity.numCells(base.count())
+        val centsS = Similarity.kmeansIterate(base, "v",
+          seedInit(base, nclS), KmIters)
+        val probesS = clampedProbes(nclS, centsS)
+        val cbS = Similarity.pqTrain(
+          Similarity.ivfResiduals(base, "vec_id", "v", centsS)
+            .localCheckpoint(true), "res", PqInit)
+        val nFlag = Similarity.cellDriftAudit(base, flipped, "vec_id",
+          "v", centsS, DriftPpm).filter(col("retrain")).count()
+        val nclR = Similarity.numCells(corpus.count())
+        val centsR = Similarity.kmeansIterate(corpus, "v",
+          seedInit(corpus, nclR), KmIters)
+        val probesR = clampedProbes(nclR, centsR)
+        val cbR = Similarity.pqTrain(
+          Similarity.ivfResiduals(corpus, "vec_id", "v", centsR)
+            .localCheckpoint(true), "res", PqInit)
+        val queries = corpus.filter(col("vec_id") % 25 === 0)
+        val exact = queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv"))
+          .join(corpus.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        def rerankServe(cents: Seq[(Int, Seq[Double])],
+            cb: Seq[Seq[Seq[Double]]], probes: Int) = {
+          val coded = Similarity.ivfPqEncode(corpus, "vec_id", "v",
+            cents, cb)
+          Similarity.ivfPqAdcTopK(queries, coded, "vec_id", "v",
+              cents, cb, probes, ShortK)
+            .localCheckpoint(true)
+            .join(corpus.select(col("vec_id").as("neighbor_id"),
+              col("v").as("__nv")), Seq("neighbor_id"))
+            .join(queries.select(col("vec_id").as("query_id"),
+              col("v").as("__qv")), Seq("query_id"))
+            .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+            .withColumn("rn2", row_number().over(
+              Window.partitionBy(col("query_id"))
+                .orderBy(col("__d").asc, col("neighbor_id"))))
+            .select(col("query_id"), col("neighbor_id"),
+              col("rn2").as("rn"))
+        }
+        recallRow("ivfpq_retrained", queries,
+            rerankServe(centsR, cbR, probesR), exact)
+          .unionByName(recallRow("ivfpq_stale_after_shift", queries,
+            rerankServe(centsS, cbS, probesS), exact))
+          .withColumn("n_retrain_cells", lit(nFlag))
+          .orderBy(col("family"))
+      },
+      Some(s"""WITH $codesCte,
+        |va AS MATERIALIZED (SELECT vec_id,
+        |  CASE WHEN vec_id % 4 = 1
+        |    THEN list_transform(q, x -> -CAST(x AS DOUBLE))
+        |    ELSE list_transform(q, x -> CAST(x AS DOUBLE)) END AS v
+        |  FROM qz),
+        |${coarseBlockOn("s", "vec_id % 4 <> 1", nlSql("svv"))},
+        |${coarseBlockOn("r", "TRUE", nlSql("rvv"))},
+        |${ivfPqTrainCtes("vec_id % 4 <> 1", "s")},
+        |${ivfPqTrainCtes("TRUE", "r")},
+        |dfits AS (SELECT cell,
+        |    CASE WHEN vec_id % 4 = 1 THEN 1 ELSE 0 END AS src,
+        |    CAST(floor((cos + 1.0) * 1000000.0) AS BIGINT) AS fit_ppm
+        |  FROM sqrk WHERE rn = 1),
+        |dg AS (SELECT cell,
+        |    CAST(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_inserted,
+        |    CAST(sum(CASE WHEN src = 0 THEN fit_ppm ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN src = 1 THEN fit_ppm ELSE 0 END)
+        |      AS BIGINT) AS si
+        |  FROM dfits GROUP BY 1),
+        |nflag AS (SELECT count(*) AS c FROM dg
+        |  WHERE n_base > 0 AND n_inserted > 0
+        |    AND (sb // n_base) - (si // n_inserted) > $DriftPpm),
+        |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+        |  FROM va WHERE vec_id % 25 = 0),
+        |${ivfPqServeCtes("u", "vec_id % 25 = 0",
+          npcSql("svv", "sc2"), "TRUE", "s")},
+        |${ivfPqServeCtes("w", "vec_id % 25 = 0",
+          npcSql("rvv", "rc2"), "TRUE", "r")},
+        |urrk AS (SELECT s.query_id, s.node, row_number() OVER (
+        |      PARTITION BY s.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
+        |      AS rn
+        |  FROM ushort s JOIN qq ON qq.query_id = s.query_id
+        |  JOIN va nv ON nv.vec_id = s.node),
+        |wrrk AS (SELECT s.query_id, s.node, row_number() OVER (
+        |      PARTITION BY s.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC, s.node)
+        |      AS rn
+        |  FROM wshort s JOIN qq ON qq.query_id = s.query_id
+        |  JOIN va nv ON nv.vec_id = s.node),
+        |bf AS MATERIALIZED (SELECT query_id, node FROM (
+        |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+        |      PARTITION BY qq.query_id
+        |      ORDER BY ${l2dAt("qq.qv", 0, "z.v", Dim)} ASC, z.vec_id)
+        |      AS rn
+        |  FROM qq JOIN va z ON z.vec_id <> qq.query_id)
+        |  WHERE rn <= $TopK)
+        |SELECT f.*, (SELECT c FROM nflag) AS n_retrain_cells
+        |FROM (${recallSelect("ivfpq_retrained", "wrrk")}
+        |UNION ALL
+        |${recallSelect("ivfpq_stale_after_shift", "urrk")}) f
+        |ORDER BY family""".stripMargin))
   )
 }
