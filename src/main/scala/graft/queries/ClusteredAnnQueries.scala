@@ -2435,21 +2435,23 @@ object ClusteredAnnQueries extends QueryPack {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
         try {
-          Streams.transformEachBatch(
+          Streams.transformEachBatchWithId(
             s.readStream.schema(vecs.schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(streamDir.toString),
             batch => batch,
-            batch => {
+            (batch, batchId) => {
               val delta = batch.localCheckpoint(true)
               nStreamed.addAndGet(delta.count())
-              // encode-on-arrival against the FROZEN codebooks;
-              // append = one immutable log version per micro-batch
-              // (TxLog publish is an atomic rename — the sink's only
-              // shared state is the filesystem log itself)
-              graft.sources.TxLog.commit(
+              // encode-on-arrival against the FROZEN codebooks; one
+              // immutable log version per micro-batch, keyed on
+              // (appId, batchId) so an engine REPLAY of a failed
+              // batch is a no-op — at-least-once delivery becomes
+              // exactly-once table state (the Delta txnAppId shape;
+              // TxLog publish itself is an atomic rename)
+              graft.sources.TxLog.commitIdempotent(
                 Similarity.ivfPqEncode(delta, "vec_id", "v", cents, cb),
-                idxDir, "append", "vec_id")
+                idxDir, "append", "vec_id", "q519ingest", batchId)
               ()
             },
             ckpt.toString,

@@ -567,12 +567,29 @@ object Streams {
       transform: DataFrame => DataFrame, sink: DataFrame => Unit,
       checkpointDir: String,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    transformEachBatchWithId(stream, transform,
+      (df, _) => sink(df), checkpointDir, trigger)
+
+  /** [[transformEachBatch]] exposing the engine's micro-batch id to
+    * the sink. The id is the EXACTLY-ONCE handle: Structured
+    * Streaming replays a failed batch under the SAME id, so a sink
+    * that keys an idempotent commit on (appId, batchId) — e.g.
+    * [[graft.sources.TxLog.commitIdempotent]], the Delta txnAppId
+    * shape — turns at-least-once batch delivery into exactly-once
+    * table state (q519's ingest contract).
+    */
+  def transformEachBatchWithId(stream: DataFrame,
+      transform: DataFrame => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(transform(batch.toDF()))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(transform(batch.toDF()), id)
       }
     trigger.fold(writer)(writer.trigger).start()
   }

@@ -238,6 +238,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformEachBatchWithId: engine batch ids key exactly-once TxLog commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val tmp = java.nio.file.Files.createTempDirectory("tebi_tx")
+    val tbl = s"$tmp/tbl"
+    var ids = Seq.empty[Long]
+    val q = Streams.transformEachBatchWithId(
+      input.toDF().toDF("doc_id"),
+      batch => batch.withColumn("v", col("doc_id") * 10),
+      (res, batchId) => {
+        ids = ids :+ batchId
+        // first commit under this (appId, batchId) applies; the
+        // simulated REPLAY of the same id below must be a no-op
+        graft.sources.TxLog.commitIdempotent(res, tbl, "append",
+          "doc_id", "tebi", batchId)
+        ()
+      },
+      java.nio.file.Files.createTempDirectory("tebi_ck").toString)
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+      assert(ids === Seq(0L, 1L)) // the engine's ids, in order
+      val n1 = graft.sources.TxLog.read(spark, tbl).count()
+      // replay batch 1's payload under its original id: skipped
+      val replayed = graft.sources.TxLog.commitIdempotent(
+        Seq(3L).toDF("doc_id").withColumn("v", col("doc_id") * 10),
+        tbl, "append", "doc_id", "tebi", 1L)
+      assert(replayed.isEmpty)
+      assert(graft.sources.TxLog.read(spark, tbl).count() === n1)
+      // a NEW id still applies
+      assert(graft.sources.TxLog.commitIdempotent(
+        Seq(4L).toDF("doc_id").withColumn("v", col("doc_id") * 10),
+        tbl, "append", "doc_id", "tebi", 2L).nonEmpty)
+      assert(graft.sources.TxLog.read(spark, tbl).count() === n1 + 1)
+    } finally q.stop()
+  }
+
   test("transformEachBatch runs the batch operator per micro-batch, sink accumulates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
