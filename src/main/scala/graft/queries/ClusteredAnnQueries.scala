@@ -222,7 +222,8 @@ object ClusteredAnnQueries extends QueryPack {
     */
   private def beamCtesL(p: String, qCte: String,
       stepEdges: Seq[String], entryCond: String,
-      src: String = "qz"): String = {
+      src: String = "qz", beam: Int = Beam,
+      entryK: Int = EntryK): String = {
     val nSteps = stepEdges.size
     val steps = (1 to nSteps).map { r =>
       val edges = stepEdges(r - 1)
@@ -238,12 +239,12 @@ object ClusteredAnnQueries extends QueryPack {
          |  FROM (SELECT DISTINCT * FROM (
          |    SELECT * FROM ${p}st${r - 1}
          |    UNION ALL SELECT * FROM ${p}sx$r)))
-         |  WHERE rn <= $Beam)""".stripMargin
+         |  WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
     s"""${p}en AS (SELECT vec_id AS node FROM (
        |  SELECT vec_id, row_number() OVER (ORDER BY
        |      ${hashSql("vec_id", ":entry")}, vec_id) AS rn
-       |  FROM $src WHERE $entryCond) WHERE rn <= $EntryK),
+       |  FROM $src WHERE $entryCond) WHERE rn <= $entryK),
        |${p}st0 AS MATERIALIZED (SELECT qq.query_id, ${p}en.node,
        |    ${idotSql("qq.qv", "c.q")} AS idot
        |  FROM $qCte qq CROSS JOIN ${p}en
@@ -3102,6 +3103,125 @@ object ClusteredAnnQueries extends QueryPack {
         |FROM (${recallSelect("ivfpq_retrained", "wrrk")}
         |UNION ALL
         |${recallSelect("ivfpq_stale_after_shift", "urrk")}) f
-        |ORDER BY family""".stripMargin))
+        |ORDER BY family""".stripMargin)),
+
+    // The nprobe → recall TUNING CURVE — the artifact every IVF
+    // deployment derives before fixing its serve width (FAISS's
+    // nprobe sweep): the SAME policy-trained index served at probe
+    // widths 1, 2, 4, 8, 16 (grid points below the trained cell
+    // count) plus ALL cells, each row's recall audited against brute
+    // force. The ALL row is exact by construction (probing every
+    // cell IS the scan) and pins the curve's ceiling at 10⁶ ppm; the
+    // curve is monotone non-decreasing in nprobe because probe lists
+    // are nested prefixes of the same cell ranking. The oracle
+    // replays every width from one coarse block; grid points at or
+    // above the trained cell count drop out on BOTH sides by the
+    // same count-derived guard.
+    "q524_nprobe_recall_curve" -> Q(
+      (s, dir) => {
+        val vecs = doubleVecs(s, dir)
+        val n = vecs.count()
+        val ncl = Similarity.numCells(n)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        val index = Similarity.insertIntoCells(vecs, "vec_id", "v",
+          cents).localCheckpoint(true)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val exact = bruteCosTopK(queries, vecs).localCheckpoint(true)
+        val widths = Seq(1, 2, 4, 8, 16).filter(_ < cents.size) :+
+          cents.size
+        widths.map { p =>
+          recallRow("ivf_nprobe_curve", queries,
+              Similarity.annTopKIvfPreassignedD(queries, index,
+                "vec_id", "v", "cell", cents, TopK, p),
+              exact)
+            .withColumn("nprobe", lit(p.toLong))
+        }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+      },
+      {
+        val cnt = "(SELECT count(*) FROM c2)"
+        def serveAt(tag: String, pSql: String): String =
+          s"""${tag}qp AS (SELECT vec_id AS query_id, v AS qv, cell
+             |  FROM qrk WHERE vec_id % 25 = 0 AND rn <= ($pSql)),
+             |${tag}sx AS (SELECT ${tag}qp.query_id,
+             |    asg.vec_id AS node,
+             |    ${SimilarityQueries.cosSql(s"${tag}qp.qv", "asg.v")}
+             |      AS cos
+             |  FROM ${tag}qp JOIN asg USING (cell)
+             |  WHERE ${tag}qp.query_id <> asg.vec_id),
+             |${tag}sv AS MATERIALIZED (SELECT query_id, node,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, node) AS rn
+             |  FROM ${tag}sx)""".stripMargin
+        val grid = Seq(1, 2, 4, 8, 16)
+        def rowAt(tag: String, pSql: String, guard: String): String =
+          s"""SELECT f.*, CAST(($pSql) AS BIGINT) AS nprobe
+             |FROM (${recallSelectOn("ivf_nprobe_curve", s"${tag}sv",
+               "qq", "bf")}) f
+             |WHERE $guard""".stripMargin
+        Some(s"""WITH $codesCte,
+          |${coarseCtesOn("TRUE", nlSql("vv"))},
+          |qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+          |  FROM va WHERE vec_id % 25 = 0),
+          |${grid.map(p => serveAt(f"g$p%03d", p.toString))
+            .mkString(",\n")},
+          |${serveAt("all", cnt)},
+          |${bruteCosSql("va")}
+          |SELECT family, n_queries, denom, hits, recall_ppm, nprobe
+          |FROM (
+          |${grid.map(p => rowAt(f"g$p%03d", p.toString,
+              s"$p < $cnt")).mkString("\nUNION ALL\n")}
+          |UNION ALL
+          |${rowAt("all", cnt, "TRUE")})
+          |ORDER BY nprobe""".stripMargin)
+      }),
+
+    // The beam-width → recall TUNING CURVE — the graph family's
+    // q524: HNSW deployments sweep ef-search (the beam) before
+    // fixing the serve. The pack's production serve (EntryK=16,
+    // Steps=5) saturates at beam 4 on this fixture — no dial to
+    // show — so the curve runs the CONSTRAINED serve every latency-
+    // bound deployment actually tunes: 8 entry points, 3 steps,
+    // beams 1 / 2 / 4 / 12. The curve doubles per width up the
+    // rising edge (0.22 → 0.43 → 0.65 at sf0.01) and then KNEES:
+    // past beam 4 the entry/step budget, not the beam, binds — which
+    // is the actual tuning insight (spend latency on entries or
+    // steps, not more beam, once the knee is reached). Per-width
+    // cost is beam-linear; the oracle replays each width as a full
+    // prefixed descent from one shared build.
+    "q525_beam_recall_curve" -> Q(
+      (s, dir) => {
+        val curveEntryK = 8
+        val curveSteps = 3
+        val (codes, graph) = builtGraph(s, dir)
+        val queries = queriesOf(codes)
+        val exact = bruteTopK(queries, codes).localCheckpoint(true)
+        Seq(1, 2, 4, 12).map { b =>
+          recallRow("graph_beam_curve", queries,
+              GraphAnn.beamServe(queries, graph, codes, "vec_id",
+                "code", curveEntryK, b, curveSteps, TopK),
+              exact)
+            .withColumn("beam", lit(b.toLong))
+        }.reduce(_.unionByName(_)).orderBy(col("beam"))
+      },
+      {
+        val curveEntryK = 8
+        val curveSteps = 3
+        def rowAt(b: Int): String =
+          s"""SELECT f.*, CAST($b AS BIGINT) AS beam
+             |FROM (${recallSelectOn("graph_beam_curve", s"w${b}srv",
+               "qq", "bf")}) f""".stripMargin
+        Some(s"""WITH $codesCte,
+          |$graphCtes,
+          |$qqCte,
+          |${Seq(1, 2, 4, 12).map(b => beamCtesL(s"w$b", "qq",
+            Seq.fill(curveSteps)(s"e$Rounds"), "TRUE", "qz", b,
+            curveEntryK)).mkString(",\n")},
+          |${bfSql("TRUE")}
+          |SELECT family, n_queries, denom, hits, recall_ppm, beam
+          |FROM (
+          |${Seq(1, 2, 4, 12).map(rowAt).mkString("\nUNION ALL\n")})
+          |ORDER BY beam""".stripMargin)
+      })
   )
 }
