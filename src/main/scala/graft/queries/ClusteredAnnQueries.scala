@@ -3222,6 +3222,93 @@ object ClusteredAnnQueries extends QueryPack {
           |FROM (
           |${Seq(1, 2, 4, 12).map(rowAt).mkString("\nUNION ALL\n")})
           |ORDER BY beam""".stripMargin)
+      }),
+
+    // The re-rank DEPTH → recall TUNING CURVE — the third serving
+    // knob (FAISS's k_factor, after q524's nprobe and q525's beam):
+    // how many ADC-ranked candidates the exact re-rank stage reads
+    // back from cold storage. ADC ranks by quantized distance, so a
+    // true top-3 neighbor can sit below rank k in ADC order — the
+    // curve measures exactly that displacement: re-rank the top
+    // 5 / 10 / 20 / 80 of ONE shared ADC ranking (shortlists are
+    // nested prefixes, so one serve feeds every depth) and audit
+    // each against brute force. The knee tells a deployment how few
+    // cold-storage reads per query buy exact-top-k recall; depth is
+    // the I/O dial, nprobe the compute dial.
+    "q526_rerank_depth_curve" -> Q(
+      (s, dir) => {
+        import graft.expressions.VectorExpressions.l2sqF
+        val vecs = doubleVecs(s, dir)
+        val n = vecs.count()
+        val ncl = Similarity.numCells(n)
+        val cents = Similarity.kmeansIterate(vecs, "v",
+          seedInit(vecs, ncl), KmIters)
+        val probes = clampedProbes(ncl, cents)
+        val resid = Similarity.ivfResiduals(vecs, "vec_id", "v", cents)
+          .localCheckpoint(true)
+        val cb = Similarity.pqTrain(resid, "res", PqInit)
+        val coded = Similarity.ivfPqEncode(vecs, "vec_id", "v", cents,
+          cb)
+        val queries = vecs.filter(col("vec_id") % 25 === 0)
+        val shortlist = Similarity.ivfPqAdcTopK(queries, coded,
+            "vec_id", "v", cents, cb, probes, ShortK)
+          .localCheckpoint(true)
+        val exact = queries.select(col("vec_id").as("query_id"),
+            col("v").as("__qv"))
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("v").as("__nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("neighbor_id"))))
+          .filter(col("__rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        Seq(5, 10, 20, ShortK).map { sk =>
+          val rerank = shortlist.filter(col("rn") <= sk)
+            .join(vecs.select(col("vec_id").as("neighbor_id"),
+              col("v").as("__nv")), Seq("neighbor_id"))
+            .join(queries.select(col("vec_id").as("query_id"),
+              col("v").as("__qv")), Seq("query_id"))
+            .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+            .withColumn("rn2", row_number().over(
+              Window.partitionBy(col("query_id"))
+                .orderBy(col("__d").asc, col("neighbor_id"))))
+            .select(col("query_id"), col("neighbor_id"),
+              col("rn2").as("rn"))
+          recallRow("ivfpq_rerank_depth", queries, rerank, exact)
+            .withColumn("depth", lit(sk.toLong))
+        }.reduce(_.unionByName(_)).orderBy(col("depth"))
+      },
+      {
+        def rowAt(sk: Int): String =
+          s"""SELECT f.*, CAST($sk AS BIGINT) AS depth
+             |FROM (${recallSelectOn("ivfpq_rerank_depth", s"rr$sk",
+               "qq", "bf")}) f""".stripMargin
+        def rrkAt(sk: Int): String =
+          s"""rr$sk AS (SELECT s.query_id, s.node, row_number() OVER (
+             |      PARTITION BY s.query_id
+             |      ORDER BY ${l2dAt("qq.qv", 0, "nv.v", Dim)} ASC,
+             |        s.node) AS rn
+             |  FROM short s JOIN qq ON qq.query_id = s.query_id
+             |  JOIN vv nv ON nv.vec_id = s.node
+             |  WHERE s.rn <= $sk)""".stripMargin
+        Some(s"""WITH ${ivfPqCtesOn(
+            coarseCtesOn("TRUE", nlSql("vv")), npcSql("vv", "c2"))},
+          |${Seq(5, 10, 20, ShortK).map(rrkAt).mkString(",\n")},
+          |bf AS MATERIALIZED (SELECT query_id, node FROM (
+          |  SELECT qq.query_id, z.vec_id AS node, row_number() OVER (
+          |      PARTITION BY qq.query_id
+          |      ORDER BY ${l2dAt("qq.qv", 0, "z.v", Dim)} ASC,
+          |        z.vec_id) AS rn
+          |  FROM qq JOIN vv z ON z.vec_id <> qq.query_id)
+          |  WHERE rn <= $TopK)
+          |SELECT family, n_queries, denom, hits, recall_ppm, depth
+          |FROM (
+          |${Seq(5, 10, 20, ShortK).map(rowAt)
+            .mkString("\nUNION ALL\n")})
+          |ORDER BY depth""".stripMargin)
       })
   )
 }
