@@ -331,11 +331,17 @@ object Bench {
       // recheck-certify the prior (r13 verdict item 1, scheduling
       // side): a med inflated by host contention would otherwise pin
       // the query in the solo set forever — the prior artifact's own
-      // recheck re-measure is the cleaner signal, so take the min
+      // recheck re-measure is the cleaner signal, so take the min.
+      // Rows marked "fb":true are EXCLUDED: their re was measured on
+      // the warmed in-process fallback session (the condition
+      // fork-per-pack exists to avoid), and a hot-JVM re below
+      // SoloSecs would demote a genuinely heavy query out of the
+      // solo set — the same poisoning in the other direction.
       val recheck =
-        (s""""(q[0-9][^"]*)":\\{"med":($NumPat),""" +
-          s""""re":($NumPat)""").r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+        (s""""(q[0-9][^"]*)":(\\{"med":($NumPat),""" +
+          s""""re":($NumPat)[^}]*\\})""").r.findAllMatchIn(txt)
+          .filterNot(_.group(2).contains("\"fb\":true"))
+          .map(m => m.group(1) -> (m.group(3).toDouble, m.group(4).toDouble))
           .toMap
       meds.map { case (n, med) =>
         n -> (recheck.get(n) match {
@@ -386,8 +392,15 @@ object Bench {
     * Double.toString flips to scientific notation below 1e-3, which
     * older prior parsers mis-read; %.6f keeps every committed value a
     * plain decimal (µs resolution — below measurement noise).
+    * Locale.ROOT, not the f-interpolator: a comma-decimal default
+    * locale would otherwise emit "0,763648" and break the JSON.
     */
-  private def fmtV(v: Double): String = f"$v%.6f"
+  private def fmtV(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+
+  /** 3-digit variant for the recheck/summary/calibration lines. */
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** Host-drift probe measured solo first and last (r13 verdict
     * item 1): a fixed mid-weight scan-agg whose cost is dominated by
@@ -505,7 +518,7 @@ object Bench {
         // compact line is the guarantee that BENCH_r{N} never again
         // parses to null just because the run was cut short.
         Bench.synchronized {
-          println(f"""{"metric":"partial","done":$d,"n":$nTotal,"total_so_far":$soFar%.1f,"errors":${errors.size},"elapsed":${(System.nanoTime() - t0) / 1e9}%.1f,"sf":${jstr(sfDir)}}""")
+          println(s"""{"metric":"partial","done":$d,"n":$nTotal,"total_so_far":${fmt3(soFar)},"errors":${errors.size},"elapsed":${fmt3((System.nanoTime() - t0) / 1e9)},"sf":${jstr(sfDir)}}""")
           System.out.flush()
           System.err.println(
             f"[bench] $label%-22s ${names.size}%3d queries  " +
@@ -614,7 +627,7 @@ object Bench {
       }
     }
     val calLast = calibrate()
-    println(f"""{"metric":"calibration","query":${jstr(CalibrationQuery)},"first":$calFirst%.3f,"last":$calLast%.3f,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"calibration","query":${jstr(CalibrationQuery)},"first":${fmt3(calFirst)},"last":${fmt3(calLast)},"sf":${jstr(sfDir)}}""")
 
     val results = allResults.asScala.toSeq.sortBy(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -631,7 +644,7 @@ object Bench {
     // recoverable from the artifact (VERDICT r4 item 2).
     val slowest5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
     val slowest = slowest5
-      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => jstr(k) + ":" + fmt3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}""")
     // Recheck line: med is the COMMITTED stat (post-certification);
     // adjusted rows carry their pre-certification value as "raw";
@@ -641,10 +654,10 @@ object Bench {
       .map { case (name, _) =>
         val med = allResults.get(name)
         val raw = certified.get(name)
-          .map(r => f""","raw":$r%.3f""").getOrElse("")
+          .map(r => s""","raw":${fmt3(r)}""").getOrElse("")
         val fb = if (reViaFallback(name)) ""","fb":true""" else ""
         jstr(name) + ":" +
-          f"""{"med":$med%.3f,"re":${reMap.getOrElse(name, -1.0)}%.3f$raw$fb}"""
+          s"""{"med":${fmt3(med)},"re":${fmt3(reMap.getOrElse(name, -1.0))}$raw$fb}"""
       }
       .mkString("{", ",", "}")
     println(s"""{"metric":"recheck","slowest":$rcJson,"sf":${jstr(sfDir)}}""")
@@ -655,7 +668,7 @@ object Bench {
     // depending on judge re-runs. Path overridable for dev runs.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val certJson = certified
-      .map { case (n, raw) => jstr(n) + ":" + f"$raw%.3f" }
+      .map { case (n, raw) => jstr(n) + ":" + fmt3(raw) }
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"detail","total":$total,"n":${results.size},"iters":$benchIters,"sf":${jstr(sfDir)},"isolation":"fork-per-pack","par":$benchPar,"fast_cutoff":$fastCutoff,"solo_secs":$SoloSecs,"solo_stat":"min2","certify_ratio":$CertifyRatio,"inflate_ratio":$InflateRatio,"inflate_floor":$InflateFloor,
@@ -691,7 +704,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => jstr(k) + ":" + fmt3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}""")
     // recheck in a fresh SparkSession (same JVM): transient-contention
     // detector for subset runs — `med ≈ re` reads as a genuinely
@@ -719,7 +732,7 @@ object Bench {
       }
     val rcJson = recheckPairs
       .map { case (name, med, re) =>
-        jstr(name) + ":" + f"""{"med":$med%.3f,"re":$re%.3f}"""
+        jstr(name) + ":" + s"""{"med":${fmt3(med)},"re":${fmt3(re)}}"""
       }
       .mkString("{", ",", "}")
     println(s"""{"metric":"recheck","slowest":$rcJson,"sf":${jstr(sfDir)}}""")

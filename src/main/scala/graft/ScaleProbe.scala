@@ -1042,7 +1042,8 @@ object ScaleProbe {
           val queries = vecs.filter(col("vec_id") % 100 === 0)
           val short = graft.operators.Similarity.ivfPqAdcTopK(
             queries, codedBack, "vec_id", "v", cents, cb,
-            graft.operators.Similarity.numProbes(ncl), 40)
+            math.min(graft.operators.Similarity.numProbes(ncl),
+              cents.size), 40)
           short
             .join(vecs.select(col("vec_id").as("neighbor_id"),
               col("v").as("__nv")), Seq("neighbor_id"))
@@ -1086,7 +1087,8 @@ object ScaleProbe {
             vecs.filter(col("vec_id") % 100 === 0 &&
               col("vec_id") % 7 =!= 0),
             idxBack, "vec_id", "v", "cell", cents, 10,
-            graft.operators.Similarity.numProbes(ncl))
+            math.min(graft.operators.Similarity.numProbes(ncl),
+              cents.size))
         }
       }
       // q518 shape: selectivity-aware filtered IVF serve — widened
@@ -1117,7 +1119,8 @@ object ScaleProbe {
             vecs, "vec_id", "v", cents)
             .filter(col("vec_id") % 20 === 3)
           val widened = graft.operators.Similarity.probesForSelectivity(
-            graft.operators.Similarity.numProbes(ncl), cents.size,
+            math.min(graft.operators.Similarity.numProbes(ncl),
+              cents.size), cents.size,
             total / 20, total)
           graft.operators.Similarity.annTopKIvfPreassignedD(
             vecs.filter(col("vec_id") % 100 === 0), index,

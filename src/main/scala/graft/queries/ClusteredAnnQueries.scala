@@ -509,6 +509,47 @@ object ClusteredAnnQueries extends QueryPack {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Brute-force exact L2 top-k (self excluded) — the PQ family's
+    * ground truth (squared L2 is the metric ADC approximates). The
+    * `(__d asc, neighbor_id)` tiebreak must stay bit-identical with
+    * [[rerankL2]] and every oracle's `l2dAt` ranking.
+    */
+  private def bruteL2TopK(queries: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import graft.expressions.VectorExpressions.l2sqF
+    queries.select(col("vec_id").as("query_id"), col("v").as("__qv"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("v").as("__nv")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__d").asc, col("neighbor_id"))))
+      .filter(col("__rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Exact-L2 re-rank of a (query_id, neighbor_id, …) shortlist
+    * against the raw vectors — the production second stage shared by
+    * every ADC gate (the shortlist is ShortK-bounded, so the raw-
+    * vector join is the only cold read the serve pays).
+    */
+  private def rerankL2(short: DataFrame, queries: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import graft.expressions.VectorExpressions.l2sqF
+    short
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("v").as("__nv")), Seq("neighbor_id"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("v").as("__qv")), Seq("query_id"))
+      .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__d").asc, col("neighbor_id"))))
+      .select(col("query_id"), col("neighbor_id"),
+        col("rn2").as("rn"))
+  }
+
   /** [[bruteCosTopK]]'s mirror: `bf(query_id, node)` over `src`. */
   private def bruteCosSql(src: String): String =
     s"""bf AS MATERIALIZED (SELECT query_id, node FROM (
@@ -999,7 +1040,6 @@ object ClusteredAnnQueries extends QueryPack {
     // serving stacks re-rank.
     "q483_ivfpq_residual_recall" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         val codes = clusteredCodes(s, dir)
         val vecs = codes.select(col("vec_id"),
             transform(col("code"), x => x.cast("double")).as("v"))
@@ -1023,32 +1063,11 @@ object ClusteredAnnQueries extends QueryPack {
         val shortlist = Similarity.ivfPqAdcTopK(queries, coded,
             "vec_id", "v", cents, cb, Probes, ShortK)
           .localCheckpoint(true)
-        val rerank = shortlist
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")), Seq("neighbor_id"))
-          .join(queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv")), Seq("query_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .select(col("query_id"), col("neighbor_id"),
-            col("rn2").as("rn"))
+        val rerank = rerankL2(shortlist, queries, vecs)
         // ground truth: exact L2 brute force — the metric ADC
         // approximates (within a shared cell the coarse centroid
         // cancels exactly)
-        val exact = queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv"))
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .filter(col("__rn") <= TopK)
-          .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true)
+        val exact = bruteL2TopK(queries, vecs).localCheckpoint(true)
         recallRow("ivfpq_adc", queries, shortlist, exact)
           .unionByName(
             recallRow("ivfpq_rerank", queries, rerank, exact))
@@ -1492,7 +1511,6 @@ object ClusteredAnnQueries extends QueryPack {
     // that the round-trip lost no rows.
     "q505_ivfpq_committed_serve" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         val vecs = doubleVecs(s, dir)
         val cents = Similarity.kmeansIterate(vecs, "v",
           seedInit(vecs, NCl), KmIters)
@@ -1507,17 +1525,7 @@ object ClusteredAnnQueries extends QueryPack {
         val queries = vecs.filter(col("vec_id") % 25 === 0)
         val shortlist = Similarity.ivfPqAdcTopK(queries, codedBack,
           "vec_id", "v", cents, cb, Probes, ShortK)
-        val exact = queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv"))
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .filter(col("__rn") <= TopK)
-          .select(col("query_id"), col("neighbor_id"))
+        val exact = bruteL2TopK(queries, vecs)
         val out = recallRow("ivfpq_committed_adc", queries, shortlist,
             exact)
           .crossJoin(codedBack.agg(count(lit(1)).as("n_codes")))
@@ -1544,7 +1552,6 @@ object ClusteredAnnQueries extends QueryPack {
     // coarse block.
     "q507_ivfpq_nlist_policy" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         val vecs = doubleVecs(s, dir)
         val n = vecs.count()
         val ncl = Similarity.numCells(n)
@@ -1559,29 +1566,8 @@ object ClusteredAnnQueries extends QueryPack {
         val shortlist = Similarity.ivfPqAdcTopK(queries, coded,
             "vec_id", "v", cents, cb, probes, ShortK)
           .localCheckpoint(true)
-        val rerank = shortlist
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")), Seq("neighbor_id"))
-          .join(queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv")), Seq("query_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .select(col("query_id"), col("neighbor_id"),
-            col("rn2").as("rn"))
-        val exact = queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv"))
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .filter(col("__rn") <= TopK)
-          .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true)
+        val rerank = rerankL2(shortlist, queries, vecs)
+        val exact = bruteL2TopK(queries, vecs).localCheckpoint(true)
         recallRow("ivfpq_policy_adc", queries, shortlist, exact)
           .unionByName(
             recallRow("ivfpq_policy_rerank", queries, rerank, exact))
@@ -1762,7 +1748,6 @@ object ClusteredAnnQueries extends QueryPack {
     // value-preserving).
     "q510_ivfpq_policy_committed" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         val vecs = doubleVecs(s, dir)
         val n = vecs.count()
         val ncl = Similarity.numCells(n)
@@ -1781,29 +1766,8 @@ object ClusteredAnnQueries extends QueryPack {
         val shortlist = Similarity.ivfPqAdcTopK(queries, codedBack,
             "vec_id", "v", cents, cb, probes, ShortK)
           .localCheckpoint(true)
-        val rerank = shortlist
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")), Seq("neighbor_id"))
-          .join(queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv")), Seq("query_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .select(col("query_id"), col("neighbor_id"),
-            col("rn2").as("rn"))
-        val exact = queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv"))
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .filter(col("__rn") <= TopK)
-          .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true)
+        val rerank = rerankL2(shortlist, queries, vecs)
+        val exact = bruteL2TopK(queries, vecs).localCheckpoint(true)
         val out = recallRow("ivfpq_policy_committed_adc", queries,
             shortlist, exact)
           .unionByName(recallRow("ivfpq_policy_committed_rerank",
@@ -2402,7 +2366,6 @@ object ClusteredAnnQueries extends QueryPack {
     // round trip, n_streamed the stream's row accounting.
     "q519_ivfpq_stream_ingest" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         import graft.streaming.Streams
         val vecs = doubleVecs(s, dir)
         val base = vecs.filter(col("vec_id") % 4 =!= 1)
@@ -2464,29 +2427,8 @@ object ClusteredAnnQueries extends QueryPack {
         val shortlist = Similarity.ivfPqAdcTopK(queries, codedBack,
             "vec_id", "v", cents, cb, probes, ShortK)
           .localCheckpoint(true)
-        val rerank = shortlist
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")), Seq("neighbor_id"))
-          .join(queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv")), Seq("query_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .select(col("query_id"), col("neighbor_id"),
-            col("rn2").as("rn"))
-        val exact = queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv"))
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .filter(col("__rn") <= TopK)
-          .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true)
+        val rerank = rerankL2(shortlist, queries, vecs)
+        val exact = bruteL2TopK(queries, vecs).localCheckpoint(true)
         val out = recallRow("ivfpq_stream_ingest_adc", queries,
             shortlist, exact)
           .unionByName(recallRow("ivfpq_stream_ingest_rerank",
@@ -2537,7 +2479,6 @@ object ClusteredAnnQueries extends QueryPack {
     // pins the DV's row accounting, n_allowed the predicate's.
     "q520_ivfpq_dv_filtered_serve" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         val vecs = doubleVecs(s, dir)
         val n = vecs.count()
         val ncl = Similarity.numCells(n)
@@ -2562,34 +2503,13 @@ object ClusteredAnnQueries extends QueryPack {
           cents.size, nAllowed, nLive)
         val live = vecs.filter(col("vec_id") % 7 =!= 0)
         val queries = live.filter(col("vec_id") % 25 === 0)
-        def rerankAt(p: Int) = {
-          val short = Similarity.ivfPqAdcTopK(queries, allowedCodes,
+        def rerankAt(p: Int) = rerankL2(
+          Similarity.ivfPqAdcTopK(queries, allowedCodes,
               "vec_id", "v", cents, cb, p, ShortK)
-            .localCheckpoint(true)
-          short
-            .join(vecs.select(col("vec_id").as("neighbor_id"),
-              col("v").as("__nv")), Seq("neighbor_id"))
-            .join(queries.select(col("vec_id").as("query_id"),
-              col("v").as("__qv")), Seq("query_id"))
-            .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-            .withColumn("rn2", row_number().over(
-              Window.partitionBy(col("query_id"))
-                .orderBy(col("__d").asc, col("neighbor_id"))))
-            .select(col("query_id"), col("neighbor_id"),
-              col("rn2").as("rn"))
-        }
+            .localCheckpoint(true),
+          queries, vecs)
         val allowedLive = live.filter(pred)
-        val exact = queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv"))
-          .join(allowedLive.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .filter(col("__rn") <= TopK)
-          .select(col("query_id"), col("neighbor_id"))
+        val exact = bruteL2TopK(queries, allowedLive)
           .localCheckpoint(true)
         val out = recallRow("ivfpq_dv_filtered_naive", queries,
             rerankAt(probes), exact)
@@ -2781,7 +2701,6 @@ object ClusteredAnnQueries extends QueryPack {
     // the switch at sf0.1 and becomes IVF — derivable either way).
     "q522_index_policy_serve" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         import graft.operators.IndexPolicy
         val BudgetBig = 1000000000L
         val BudgetTight = 10000L
@@ -2844,32 +2763,12 @@ object ClusteredAnnQueries extends QueryPack {
             case IndexPolicy.IvfPq =>
               val coded = Similarity.ivfPqEncode(vecs, "vec_id", "v",
                 cents, cb)
-              val short = Similarity.ivfPqAdcTopK(qd, coded, "vec_id",
-                  "v", cents, cb, probes, ShortK)
-                .localCheckpoint(true)
-              val rerank = short
-                .join(vecs.select(col("vec_id").as("neighbor_id"),
-                  col("v").as("__nv")), Seq("neighbor_id"))
-                .join(qd.select(col("vec_id").as("query_id"),
-                  col("v").as("__qv")), Seq("query_id"))
-                .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-                .withColumn("rn2", row_number().over(
-                  Window.partitionBy(col("query_id"))
-                    .orderBy(col("__d").asc, col("neighbor_id"))))
-                .select(col("query_id"), col("neighbor_id"),
-                  col("rn2").as("rn"))
-              val exact = qd.select(col("vec_id").as("query_id"),
-                  col("v").as("__qv"))
-                .join(vecs.select(col("vec_id").as("neighbor_id"),
-                  col("v").as("__nv")),
-                  col("query_id") =!= col("neighbor_id"))
-                .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-                .withColumn("__rn", row_number().over(
-                  Window.partitionBy(col("query_id"))
-                    .orderBy(col("__d").asc, col("neighbor_id"))))
-                .filter(col("__rn") <= TopK)
-                .select(col("query_id"), col("neighbor_id"))
-              recallRow(name, qd, rerank, exact)
+              val rerank = rerankL2(
+                Similarity.ivfPqAdcTopK(qd, coded, "vec_id",
+                    "v", cents, cb, probes, ShortK)
+                  .localCheckpoint(true),
+                qd, vecs)
+              recallRow(name, qd, rerank, bruteL2TopK(qd, vecs))
           }
           row.withColumnRenamed("family", "stratum")
             .withColumn("family", lit(choice))
@@ -2987,7 +2886,6 @@ object ClusteredAnnQueries extends QueryPack {
     // plus the q516 drift readout from the stale block's assignments.
     "q523_ivfpq_drift_retrain" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         val vecs = doubleVecs(s, dir)
         val base = vecs.filter(col("vec_id") % 4 =!= 1)
         val flipped = vecs.filter(col("vec_id") % 4 === 1)
@@ -3010,35 +2908,16 @@ object ClusteredAnnQueries extends QueryPack {
           Similarity.ivfResiduals(corpus, "vec_id", "v", centsR)
             .localCheckpoint(true), "res", PqInit)
         val queries = corpus.filter(col("vec_id") % 25 === 0)
-        val exact = queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv"))
-          .join(corpus.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .filter(col("__rn") <= TopK)
-          .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true)
+        val exact = bruteL2TopK(queries, corpus).localCheckpoint(true)
         def rerankServe(cents: Seq[(Int, Seq[Double])],
             cb: Seq[Seq[Seq[Double]]], probes: Int) = {
           val coded = Similarity.ivfPqEncode(corpus, "vec_id", "v",
             cents, cb)
-          Similarity.ivfPqAdcTopK(queries, coded, "vec_id", "v",
-              cents, cb, probes, ShortK)
-            .localCheckpoint(true)
-            .join(corpus.select(col("vec_id").as("neighbor_id"),
-              col("v").as("__nv")), Seq("neighbor_id"))
-            .join(queries.select(col("vec_id").as("query_id"),
-              col("v").as("__qv")), Seq("query_id"))
-            .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-            .withColumn("rn2", row_number().over(
-              Window.partitionBy(col("query_id"))
-                .orderBy(col("__d").asc, col("neighbor_id"))))
-            .select(col("query_id"), col("neighbor_id"),
-              col("rn2").as("rn"))
+          rerankL2(
+            Similarity.ivfPqAdcTopK(queries, coded, "vec_id", "v",
+                cents, cb, probes, ShortK)
+              .localCheckpoint(true),
+            queries, corpus)
         }
         recallRow("ivfpq_retrained", queries,
             rerankServe(centsR, cbR, probesR), exact)
@@ -3237,7 +3116,6 @@ object ClusteredAnnQueries extends QueryPack {
     // the I/O dial, nprobe the compute dial.
     "q526_rerank_depth_curve" -> Q(
       (s, dir) => {
-        import graft.expressions.VectorExpressions.l2sqF
         val vecs = doubleVecs(s, dir)
         val n = vecs.count()
         val ncl = Similarity.numCells(n)
@@ -3253,31 +3131,11 @@ object ClusteredAnnQueries extends QueryPack {
         val shortlist = Similarity.ivfPqAdcTopK(queries, coded,
             "vec_id", "v", cents, cb, probes, ShortK)
           .localCheckpoint(true)
-        val exact = queries.select(col("vec_id").as("query_id"),
-            col("v").as("__qv"))
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("v").as("__nv")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("__d").asc, col("neighbor_id"))))
-          .filter(col("__rn") <= TopK)
-          .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true)
+        val exact = bruteL2TopK(queries, vecs).localCheckpoint(true)
         Seq(5, 10, 20, ShortK).map { sk =>
-          val rerank = shortlist.filter(col("rn") <= sk)
-            .join(vecs.select(col("vec_id").as("neighbor_id"),
-              col("v").as("__nv")), Seq("neighbor_id"))
-            .join(queries.select(col("vec_id").as("query_id"),
-              col("v").as("__qv")), Seq("query_id"))
-            .withColumn("__d", l2sqF(col("__qv"), col("__nv")))
-            .withColumn("rn2", row_number().over(
-              Window.partitionBy(col("query_id"))
-                .orderBy(col("__d").asc, col("neighbor_id"))))
-            .select(col("query_id"), col("neighbor_id"),
-              col("rn2").as("rn"))
-          recallRow("ivfpq_rerank_depth", queries, rerank, exact)
+          recallRow("ivfpq_rerank_depth", queries,
+              rerankL2(shortlist.filter(col("rn") <= sk), queries,
+                vecs), exact)
             .withColumn("depth", lit(sk.toLong))
         }.reduce(_.unionByName(_)).orderBy(col("depth"))
       },

@@ -38,8 +38,12 @@ class IndexPolicySpec extends AnyFunSuite {
       val flatIdx = choices.zipWithIndex.filter(_._1 == Flat).map(_._2)
       assert(flatIdx === (0L until math.min(SwitchBelow, n + 1))
         .map(_.toInt))
-      assert(rank(choices.last) >= rank(choices.head) ||
-        choices.head == Flat)
+      // and the WHOLE sequence is rank-non-decreasing — an
+      // oscillation anywhere along the axis (e.g. ivf → flat → ivf)
+      // is the coin-not-a-policy failure this spec exists to forbid
+      val ranks = choices.map(rank)
+      assert(ranks.zip(ranks.tail).forall { case (a, c) => a <= c },
+        s"rank oscillation along allowed axis at n=$n b=$b: $choices")
     }
   }
 
