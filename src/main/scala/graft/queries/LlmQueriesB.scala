@@ -1574,6 +1574,123 @@ object LlmQueriesB extends QueryPack {
           |    OVER () AS BIGINT) AS n_boundary
           |FROM fin
           |ORDER BY source, rank""".stripMargin
+      }),
+
+    // MEASURED LSH banding curve — q399 pins the ANALYTIC S-curve
+    // P(cand | s) = 1 − (1 − s^r)^b; this gate measures its empirical
+    // face on real data: the SAME k=32 unigram signatures banded
+    // three ways — (4,8) strict, (8,4) mid, (16,2) the pipeline's
+    // operating point — and each config's candidate set counted and
+    // audited against the exact all-pairs Jaccard ≥ 0.8 truth (0.8,
+    // not the pipeline's 0.9: the sample's ≥ 0.9 pairs are all caught
+    // even by strict banding — the curve only bites on the
+    // mid-similarity band the analytic S-curve predicts it misses).
+    // More
+    // bands = shorter band tuples = higher collision probability:
+    // n_cands grows monotonically down the rows while recall climbs
+    // to 1.0 — the artifact that justifies a (bands, rows) choice
+    // before a 100 TB run pays for it. This is also the first gate to
+    // hash-pin the CANDIDATE-set sizes (q30/q77 prove only the
+    // verified output): the candidate count is the config's COST, and
+    // cost is what the curve trades against recall. The oracle
+    // replays signatures via the q28 permutation mins and candidates
+    // via band-tuple equality (equivalent to the md5 band signature
+    // on the non-null signatures this fixture guarantees — no empty
+    // docs in the %20 sample at either SF).
+    "q527_lsh_banding_curve" -> Q(
+      (s, dir) => {
+        val sample = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+        val sigs = Dedup.minhashSignaturesRow(sample, "doc_id",
+          "text", 1, 32).localCheckpoint(true)
+        val shingled = Dedup.shingleHashes(sample, "doc_id", "text", 1)
+        val ids = sample.select(col("doc_id"))
+        val allPairs = ids.select(col("doc_id").as("id_a"))
+          .join(ids.select(col("doc_id").as("id_b")),
+            col("id_a") < col("id_b"))
+        val truth = Dedup.jaccard(allPairs, shingled, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        Seq((4, 8), (8, 4), (16, 2)).map { case (b, r) =>
+          val cands = Dedup.candidatePairs(
+              Dedup.lshBuckets(sigs, "doc_id", b, r), "doc_id")
+            .localCheckpoint(true)
+          val hits = cands.join(truth, Seq("id_a", "id_b"),
+            "left_semi").agg(count(lit(1)).as("hits"))
+          truth.agg(count(lit(1)).as("n_true"))
+            .crossJoin(cands.agg(count(lit(1)).as("n_cands")))
+            .crossJoin(hits)
+            .select(lit(b.toLong).as("bands"),
+              lit(r.toLong).as("rows_per_band"),
+              col("n_true"), col("n_cands"), col("hits"),
+              floor(lit(1000000.0) * col("hits") /
+                greatest(col("n_true"), lit(1L)))
+                .cast("long").as("recall_ppm"))
+        }.reduce(_.unionByName(_)).orderBy(col("bands"))
+      },
+      {
+        val mins = Dedup.perms(32).zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % ${Dedup.P}) AS m$i"
+        }.mkString(",\n|    ")
+        def candSql(b: Int, r: Int): String = {
+          val bandEq = (0 until b).map { bi =>
+            (0 until r).map(ri => {
+              val m = bi * r + ri
+              s"a.m$m = bb.m$m"
+            }).mkString("(", " AND ", ")")
+          }.mkString("\n|      OR ")
+          s"""c$b AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a,
+             |    bb.doc_id AS id_b
+             |  FROM sg a JOIN sg bb ON a.doc_id < bb.doc_id
+             |  WHERE $bandEq)""".stripMargin
+        }
+        def rowSql(b: Int, r: Int): String =
+          s"""SELECT CAST($b AS BIGINT) AS bands,
+             |  CAST($r AS BIGINT) AS rows_per_band,
+             |  (SELECT count(*) FROM jp) AS n_true,
+             |  (SELECT count(*) FROM c$b) AS n_cands,
+             |  (SELECT count(*) FROM c$b c JOIN jp
+             |     ON jp.id_a = c.id_a AND jp.id_b = c.id_b) AS hits,
+             |  CAST(floor(1000000.0 * (SELECT count(*) FROM c$b c
+             |      JOIN jp ON jp.id_a = c.id_a AND jp.id_b = c.id_b)
+             |    / GREATEST((SELECT count(*) FROM jp), 1)) AS BIGINT)
+             |    AS recall_ppm""".stripMargin
+        Some(s"""WITH d8 AS (
+          |  SELECT doc_id, list_distinct($normTokens) AS toks
+          |  FROM documents WHERE doc_id % 20 = 0),
+          |jp AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |      len(list_intersect(a.toks, b.toks))::DOUBLE /
+          |        (len(a.toks) + len(b.toks)
+          |          - len(list_intersect(a.toks, b.toks))) AS jaccard
+          |    FROM d8 a JOIN d8 b ON a.doc_id < b.doc_id)
+          |  WHERE jaccard >= 0.8),
+          |tok AS (SELECT doc_id,
+          |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+          |      ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+          |  FROM documents WHERE doc_id % 20 = 0),
+          |sh AS (SELECT doc_id,
+          |    unnest(CASE WHEN len(t) < 1 THEN [array_to_string(t, ' ')]
+          |      ELSE t END) AS s
+          |  FROM tok),
+          |hh AS (SELECT doc_id,
+          |    ${LlmQueries.h60sql("s")} % ${Dedup.P} AS h
+          |  FROM sh),
+          |sg AS MATERIALIZED (SELECT doc_id,
+          |    $mins
+          |  FROM hh GROUP BY doc_id),
+          |${candSql(4, 8)},
+          |${candSql(8, 4)},
+          |${candSql(16, 2)}
+          |SELECT * FROM (
+          |${rowSql(4, 8)}
+          |UNION ALL
+          |${rowSql(8, 4)}
+          |UNION ALL
+          |${rowSql(16, 2)})
+          |ORDER BY bands""".stripMargin)
       })
   )
 }
