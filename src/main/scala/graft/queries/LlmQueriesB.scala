@@ -1691,6 +1691,83 @@ object LlmQueriesB extends QueryPack {
           |UNION ALL
           |${rowSql(16, 2)})
           |ORDER BY bands""".stripMargin)
+      }),
+
+    // CMS width → error MEASURED curve — the sketch family's tuning
+    // artifact (q93 gates one operating point; this gate gates the
+    // DIAL): the same d=4 token stream sketched at w = 8 / 32 / 128,
+    // each width's estimates for the top-20 true counts aggregated
+    // into total/max overestimate. CMS only overestimates (min over d
+    // counters of colliding sums), and the collision mass shrinks
+    // ∝ 1/w (ε ≈ e/w of the L1 mass) — the curve shows the measured
+    // error collapsing as width grows, which is the memory/accuracy
+    // decision a 100 TB frequency pass makes before it runs. Memory
+    // is d·w counters regardless of stream size; width is the only
+    // knob that buys accuracy.
+    "q528_cms_width_curve" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("t"))
+          .localCheckpoint(true) // feeds 3 sketches + the vocab
+        val vocab = toks.groupBy(col("t"))
+          .agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("t")).limit(20)
+          .localCheckpoint(true)
+        Seq(8, 32, 128).map { w =>
+          graft.operators.Sketch.estimate(
+              graft.operators.Sketch.countMin(toks, col("t"), d = 4,
+                w = w),
+              vocab, col("t"), d = 4, w = w)
+            .agg(count(lit(1)).as("n_tokens"),
+              sum(col("true_cnt")).as("total_true"),
+              sum(col("cms_est") - col("true_cnt")).as("total_over"),
+              max(col("cms_est") - col("true_cnt")).as("max_over"))
+            .select(lit(w.toLong).as("width"), col("n_tokens"),
+              col("total_true"), col("total_over"), col("max_over"))
+        }.reduce(_.unionByName(_)).orderBy(col("width"))
+      },
+      {
+        val P = Dedup.P
+        def rowsSql(src: String, extra: String, w: Int) =
+          Dedup.perms(4).zipWithIndex.map { case ((a, b), i) =>
+            s"SELECT $extra$i AS i, ((h * $a + $b) % $P) % $w AS bucket FROM $src"
+          }.mkString("\n|    UNION ALL ")
+        def blockSql(w: Int): String =
+          s"""ctr$w AS (
+             |  SELECT i, bucket, count(*) AS cnt FROM (
+             |    ${rowsSql("h", "", w)})
+             |  GROUP BY i, bucket),
+             |pb$w AS (
+             |    ${rowsSql("vh", "t, true_cnt, ", w)}),
+             |es$w AS (SELECT pb$w.t, pb$w.true_cnt,
+             |    min(coalesce(c.cnt, 0)) AS est
+             |  FROM pb$w LEFT JOIN ctr$w c
+             |    ON pb$w.i = c.i AND pb$w.bucket = c.bucket
+             |  GROUP BY pb$w.t, pb$w.true_cnt)""".stripMargin
+        def rowSql(w: Int): String =
+          s"""SELECT CAST($w AS BIGINT) AS width,
+             |  count(*) AS n_tokens,
+             |  CAST(sum(true_cnt) AS BIGINT) AS total_true,
+             |  CAST(sum(est - true_cnt) AS BIGINT) AS total_over,
+             |  CAST(max(est - true_cnt) AS BIGINT) AS max_over
+             |FROM es$w""".stripMargin
+        Some(s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+          |h AS (SELECT t, ${h60sql("t")} % $P AS h FROM tok),
+          |vocab AS (SELECT t, count(*) AS true_cnt FROM tok
+          |  GROUP BY t ORDER BY true_cnt DESC, t LIMIT 20),
+          |vh AS (SELECT t, true_cnt, ${h60sql("t")} % $P AS h
+          |  FROM vocab),
+          |${blockSql(8)},
+          |${blockSql(32)},
+          |${blockSql(128)}
+          |SELECT * FROM (
+          |${rowSql(8)}
+          |UNION ALL
+          |${rowSql(32)}
+          |UNION ALL
+          |${rowSql(128)})
+          |ORDER BY width""".stripMargin)
       })
   )
 }
