@@ -48,29 +48,34 @@ object GraphAnn {
     * random cycles make the union graph connected across buckets in
     * expectation — the random init NN-descent needs, with zero
     * RNG state (replayable in SQL verbatim).
+    *
+    * Plan shape (optimization r15, guide §2.4): the k rings ride ONE
+    * exploded frame and ONE window — the cyclic successor is
+    * `lead(src, 1)` with a `first(src)` wrap (identical to the old
+    * rank self-join's `rr = lr % lc + 1`, row by row), so the k
+    * separate window+self-join subtrees (≈2 exchanges + 1 join per
+    * ring) collapse to 1 exchange + 1 distinct for the whole init.
     */
   def ringInitEdges(corpus: DataFrame, idCol: String, k: Int,
       buckets: Int): DataFrame = {
     require(k >= 1 && buckets >= 1)
-    val frames = (1 to k).map { j =>
-      val h = saltedHash60(col(idCol), s":ring$j")
-      val base = corpus.select(col(idCol).as("src"), h.as("__h"),
-        (h % buckets).as("__b"))
-      val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("src"))
-      val ranked = base
-        .withColumn("__r", row_number().over(w))
-        .withColumn("__c",
-          count(lit(1)).over(Window.partitionBy(col("__b"))))
-      val l = ranked.select(col("src"), col("__b").as("lb"),
-        col("__r").as("lr"), col("__c").as("lc"))
-      val r = ranked.select(col("src").as("dst"), col("__b").as("rb"),
-        col("__r").as("rr"))
-      l.join(r, col("lb") === col("rb") &&
-          col("rr") === col("lr") % col("lc") + 1)
-        .select(col("src"), col("dst"))
-    }
-    frames.reduce(_ unionByName _)
-      .filter(col("src") =!= col("dst")).distinct()
+    val rings = array((1 to k).map { j =>
+      struct(lit(j).as("j"), saltedHash60(col(idCol), s":ring$j").as("h"))
+    }: _*)
+    val base = corpus
+      .select(col(idCol).as("src"), explode(rings).as("__r"))
+      .select(col("src"), col("__r.j").as("__j"), col("__r.h").as("__h"),
+        (col("__r.h") % buckets).as("__b"))
+    val w = Window.partitionBy(col("__j"), col("__b"))
+      .orderBy(col("__h"), col("src"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    base
+      .withColumn("dst",
+        coalesce(lead(col("src"), 1).over(w),
+          first(col("src")).over(wAll)))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
   }
 
   /** Score candidate edges by code dot and keep the k best per
@@ -82,7 +87,12 @@ object GraphAnn {
     val dc = codes.select(col(idCol).as("dst"), col(codeCol).as("__dc"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("idot").desc, col("dst"))
-    cand.join(sc, "src").join(dc, "dst")
+    // dst-join first, src-join LAST (optimization r15, guide §2.4):
+    // when the code joins shuffle (corpus-sized codes at scale), the
+    // final join leaves the frame hash-partitioned by src — exactly
+    // the top-k window's required distribution, so the window's own
+    // exchange is elided
+    cand.join(dc, "dst").join(sc, "src")
       .withColumn("idot", dotI(col("__sc"), col("__dc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -102,22 +112,28 @@ object GraphAnn {
       k: Int, rounds: Int, buckets: Int): DataFrame = {
     require(rounds >= 0)
     var edges = ringInitEdges(codes, idCol, k, buckets)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
+      // co-neighbor candidates via per-node adjacency ARRAYS
+      // (optimization r15, guide §2.3/§2.4): one groupBy collects each
+      // node's undirected neighbor set (≤ 2k, bounded), and the
+      // ordered pairs explode from the array — replacing the old
+      // distinct + und⋈und self-join (3 exchanges) with 1 exchange.
+      // collect_set dedups, so the pair SET is identical.
       val und = edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-      val l = und.select(col("src").as("__p"), col("dst").as("u"))
-      val r = und.select(col("src").as("__p"), col("dst").as("w"))
-      val pairs = l.join(r, "__p").filter(col("u") < col("w"))
-        .select(col("u"), col("w"))
+      val adj = und.groupBy(col("src").as("__p"))
+        .agg(collect_set(col("dst")).as("__nbrs"))
+      val pairs = adj.select(explode(flatten(transform(col("__nbrs"),
+          u => transform(filter(col("__nbrs"), w => w =!= u),
+            w => struct(u.as("src"), w.as("dst")))))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       val cand = edges.select(col("src"), col("dst"))
-        .union(pairs.select(col("u").as("src"), col("w").as("dst")))
-        .union(pairs.select(col("w").as("src"), col("u").as("dst")))
+        .union(pairs)
         .filter(col("src") =!= col("dst"))
         .distinct()
       edges = scoreTopK(cand, codes, idCol, codeCol, k)
-        .select(col("src"), col("dst")).localCheckpoint(true)
+        .select(col("src"), col("dst")).localCheckpoint(false)
     }
     scoreTopK(edges, codes, idCol, codeCol, k)
   }
@@ -144,7 +160,7 @@ object GraphAnn {
     // materialize the updated index ((n + delta)·k rows): a serve
     // plan referencing it per beam step must not re-run the insert
     scoreTopK(cand, codes.unionByName(newCodes), idCol, codeCol, k)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   /** Node DELETION with local repair (the DiskANN delete/consolidate
@@ -180,7 +196,7 @@ object GraphAnn {
       .select(col("src"), col("dst"))
     scoreTopK(kept.select(col("src"), col("dst")).union(splice)
         .distinct(), liveCodes, idCol, codeCol, k)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   /** Beam-search serve over a built neighbor graph: start every query
@@ -377,9 +393,22 @@ object GraphAnn {
       allowed: Option[DataFrame], idCol: String,
       codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame = {
     require(entryK >= 1 && beam >= 1 && topK >= 1)
+    // Plan shape (optimization r15, guide §3.1/§2.3/§2.4): the walk
+    // state (queries×beam rows) is the by-design-SMALL side of every
+    // join here, while graph and codes are corpus-sized — so each
+    // step BROADCASTS the state against streamed scans of the big
+    // frames (no corpus-sized exchange anywhere), and the per-step
+    // union+distinct+rank collapses to ONE window pass: sorted by
+    // (idot desc, node), duplicate (query_id, node) rows are adjacent
+    // (idot is a pure function of the pair), so a lag()-filter dedups
+    // in the same exchange the row_number cut already pays. cs and q
+    // are lazily persisted: a step would otherwise re-run the
+    // quantize-scan subtree once per broadcast rebuild.
     val q = queries.select(col(idCol).as("query_id"),
-      col(codeCol).as("__qc"))
+        col(codeCol).as("__qc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cs = codes.select(col(idCol).as("node"), col(codeCol).as("__nc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val entryGlobal = entryPool
       .select(col(idCol).as("node"),
         saltedHash60(col(idCol), ":entry").as("__h"))
@@ -400,12 +429,21 @@ object GraphAnn {
         .distinct()
       case None => entryGlobal
     }
-    def scored(pairsQN: DataFrame): DataFrame =
-      pairsQN.join(cs, "node").join(broadcast(q), "query_id")
-        .withColumn("idot", dotI(col("__qc"), col("__nc")))
-        .select(col("query_id"), col("node"), col("idot"))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("idot").desc, col("node"))
+    // dedup by (query_id, node) + keep-best-`n` in ONE window pass:
+    // duplicates carry identical idot (a pure function of the pair),
+    // so they sort adjacent and a lag() comparison drops them;
+    // row_number over the SAME spec then ranks without a second
+    // exchange (filter preserves partitioning and ordering).
+    // Set-identical to union().distinct() + rank.
+    def dedupKeep(state: DataFrame, n: Int): DataFrame = state
+      .withColumn("__dup",
+        lag(col("node"), 1).over(wBeam) === col("node"))
+      .filter(!coalesce(col("__dup"), lit(false)))
+      .withColumn("__rn", row_number().over(wBeam))
+      .filter(col("__rn") <= n)
+      .select(col("query_id"), col("node"), col("idot"))
     // matched-frontier accumulator (filtered serve only): the best
     // `beam` `allowed` nodes scored at ANY step — beam-sized, not
     // topK-sized, because the matched frontier also EXPANDS (the
@@ -421,37 +459,45 @@ object GraphAnn {
         .select(col("query_id"), col("node"), col("idot"))
       case None => scoredDf.limit(0)
     }
+    // state is the broadcast build side; corpus codes stream past it
+    def scored(pairsQN: DataFrame): DataFrame =
+      cs.join(broadcast(pairsQN), "node").join(broadcast(q), "query_id")
+        .withColumn("idot", dotI(col("__qc"), col("__nc")))
+        .select(col("query_id"), col("node"), col("idot"))
     var st = scored(q.select(col("query_id")).crossJoin(broadcast(entry)))
     var res = matches(st)
-    for ((graph, steps) <- layers; _ <- 1 to steps) {
+    // lazily persist each layer's edge frame: a layer is scanned once
+    // per step, and an UN-materialized graph plan (e.g. nnDescent's
+    // final top-k) would otherwise re-execute per step
+    val layersP = layers.map { case (g, n) =>
+      (g.select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), n)
+    }
+    for ((graph, steps) <- layersP; _ <- 1 to steps) {
       // filtered serve expands from BOTH frontiers — routing beam and
-      // matched beam — in one edge join
+      // matched beam — in one edge join; duplicate frontier rows (and
+      // duplicate expansion targets) are NOT pre-deduped: they only
+      // multiply a bounded broadcast frame, and the dedupKeep window
+      // removes them before the next step
       val frontier = allowed match {
-        case Some(_) => st.union(res).distinct()
+        case Some(_) => st.union(res)
         case None => st
       }
       val exp0 = scored(
-        frontier.select(col("query_id"), col("node").as("src"))
-          .join(graph.select(col("src"), col("dst")), "src")
-          .select(col("query_id"), col("dst").as("node")).distinct())
+        graph.join(broadcast(frontier
+            .select(col("query_id"), col("node").as("src"))), "src")
+          .select(col("query_id"), col("dst").as("node")))
       // the filtered path consumes the expansion TWICE (beam update +
       // match accumulation) — materialize the bounded frame once
-      val exp = if (allowed.isDefined) exp0.localCheckpoint(true) else exp0
+      val exp = if (allowed.isDefined) exp0.localCheckpoint(false) else exp0
       if (allowed.isDefined)
-        res = res.union(matches(exp)).distinct()
-          .withColumn("__rn", row_number().over(wBeam))
-          .filter(col("__rn") <= beam)
-          .select(col("query_id"), col("node"), col("idot"))
-          .localCheckpoint(true)
+        res = dedupKeep(res.union(matches(exp)), beam)
+          .localCheckpoint(false)
       // truncate lineage each step: the state frame is queries×beam
       // rows, but each round references the previous one TWICE
       // (union + expansion), so an unbroken chain makes plan
       // analysis O(2^steps) — the Bpe.train checkpoint discipline
-      st = st.union(exp).distinct()
-        .withColumn("__rn", row_number().over(wBeam))
-        .filter(col("__rn") <= beam)
-        .select(col("query_id"), col("node"), col("idot"))
-        .localCheckpoint(true)
+      st = dedupKeep(st.union(exp), beam).localCheckpoint(false)
     }
     val out = allowed match {
       case Some(_) => res

@@ -114,6 +114,13 @@ object ClusteredAnnQueries extends QueryPack {
     * Dim=16) while cross-cluster dots are near 0 (±1.3e4) — a real
     * mixture, pure function of vec_id.
     */
+  /** The synthetic clustered fixture. Lazily PERSISTED (optimization
+    * r15, guide §5): the generator computes 2·Dim md5 hashes per row,
+    * and the build/serve loops scan this frame dozens of times per
+    * gate — the CacheManager dedups repeated calls by canonical plan,
+    * so every gate shares one materialization per run and the
+    * ContextCleaner frees it when the gate's frames go unreachable.
+    */
   private def clusteredCodes(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"))
       .withColumn("cl",
@@ -126,6 +133,7 @@ object ClusteredAnnQueries extends QueryPack {
             concat(col("vec_id").cast("string"), lit(":"),
               i.cast("string")), ":jit") % 21 - 10)).cast("int")))
       .select(col("vec_id"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def hashSql(idExpr: String, salt: String): String =
     s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR) || '$salt'), " +

@@ -157,16 +157,26 @@ object GraphAnnQueries extends QueryPack {
        |  FROM ${p}st$nSteps WHERE node <> query_id)""".stripMargin
   }
 
+  /** The full int8-quantized corpus, lazily PERSISTED (optimization
+    * r15, guide §5): every gate's build rounds, serve steps and audits
+    * re-scan the codes frame many times; one shared cache (deduped by
+    * canonical plan across gates in a pack JVM, freed by the
+    * ContextCleaner) replaces the repeated parquet-scan+quantize.
+    */
+  private def allCodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).getField("q").as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Shared Spark-side build over nodes matching `f` — one definition
     * for all gates.
     */
   private def builtGraph(s: org.apache.spark.sql.SparkSession,
       dir: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column
         = c => c >= Long.MinValue) = {
-    val codes = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        Similarity.quantizeInt8(col("embedding")).getField("q").as("code"))
-      .filter(f(col("vec_id")))
+    val codes = allCodes(s, dir).filter(f(col("vec_id")))
     (codes, GraphAnn.nnDescent(codes, "vec_id", "code", K, Rounds,
       Buckets))
   }
@@ -316,10 +326,7 @@ object GraphAnnQueries extends QueryPack {
     "q457_graph_ann_insert" -> Q(
       (s, dir) => {
         val (base, graph) = builtGraph(s, dir, _ % 10 < 9)
-        val all = Tables.embeddings(s, dir)
-          .select(col("vec_id"),
-            Similarity.quantizeInt8(col("embedding")).getField("q")
-              .as("code"))
+        val all = allCodes(s, dir)
         val delta = all.filter(col("vec_id") % 10 === 9)
         val updated = GraphAnn.insertNodes(graph.select(col("src"),
             col("dst")), base, delta, "vec_id", "code", K, EntryK,
@@ -413,10 +420,7 @@ object GraphAnnQueries extends QueryPack {
       (s, dir) => {
         import graft.streaming.Streams
         val (base, graph0) = builtGraph(s, dir, _ % 10 < 8)
-        val all = Tables.embeddings(s, dir)
-          .select(col("vec_id"),
-            Similarity.quantizeInt8(col("embedding")).getField("q")
-              .as("code"))
+        val all = allCodes(s, dir)
         val tmp = java.nio.file.Files.createTempDirectory("graft_gis")
         val streamDir = tmp.resolve("in")
         java.nio.file.Files.createDirectories(streamDir)
