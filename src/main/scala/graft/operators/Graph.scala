@@ -181,8 +181,10 @@ object Graph {
     * enumerated); n_triangles is orientation-invariant.
     *
     * Scale: one degree agg + two node-keyed degree joins (node table
-    * ≪ edges — AQE broadcasts it), one pivot-keyed wedge join, one
-    * directed-edge probe. No driver state.
+    * ≪ edges — AQE broadcasts it), one adjacency agg (per-node lists
+    * bounded by the O(√m) oriented out-degree) and one edge-keyed
+    * intersection pass — wedges are COUNTED (Σ C(d_o, 2)), never
+    * materialized or shuffled (optimization r15). No driver state.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
@@ -209,24 +211,47 @@ object Graph {
       .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
       .select(
         when(lowerIsU, col("u")).otherwise(col("v")).as("s"),
-        when(lowerIsU, col("v")).otherwise(col("u")).as("t"),
-        when(lowerIsU, col("dv")).otherwise(col("du")).as("td"))
+        when(lowerIsU, col("v")).otherwise(col("u")).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wedges = o.as("o1")
-      .join(o.as("o2"), col("o1.s") === col("o2.s") &&
-        (col("o1.td") < col("o2.td") ||
-          (col("o1.td") === col("o2.td") && col("o1.t") < col("o2.t"))))
-      .select(col("o1.t").as("a"), col("o2.t").as("c"))
-    val closed = wedges.join(
-      o.select(col("s").as("a"), col("t").as("c"), lit(1).as("__closed")),
-      Seq("a", "c"), "left")
-    closed
-      // sum over ZERO wedges is null; the census must read 0 (the
+    // EDGE-ITERATOR census (optimization r15, guide §2.3/§8): the
+    // wedge self-join materialized and SHUFFLED every wedge row
+    // (Σ C(d_o, 2) rows — tens of millions on the dense co-purchase
+    // graph) just to probe which close. Identical counts come cheaper:
+    //  - n_wedges = Σ_s C(outdeg_o(s), 2) exactly (the old join's
+    //    strict (td, t) ordering enumerated each unordered out-edge
+    //    pair once — t is unique per s, so the order was total);
+    //  - each triangle {s→a, s→c, a→c} is found EXACTLY once at its
+    //    edge (s, a) as c ∈ N⁺(s) ∩ N⁺(a) (the pivot's other edge
+    //    s→c and the closing edge a→c both point "up" the (deg, id)
+    //    order), so n_triangles = Σ_(s,t)∈o |N⁺(s) ∩ N⁺(t)| — one
+    //    sorted-adjacency intersection per edge, no wedge rows at all.
+    // eager checkpoint: adj feeds three consumers (the scalar census
+    // broadcast + both intersection joins) whose broadcast-future
+    // threads would otherwise RACE the first materialization of the
+    // e→o→adj chain and compute it 2–3× in parallel
+    val adj = o.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nb"),
+        count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // n_edges = Σ d (o is a 1:1 reorientation of e), n_wedges =
+    // Σ C(d, 2) — one bounded agg over adj, no second scan of e
+    val census = adj
+      .agg(coalesce(sum(col("d")).cast("long"), lit(0L)).as("n_edges"),
+        coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+          .as("n_wedges"))
+    val tri = o
+      .join(adj.select(col("s"), col("nb").as("__ns")), Seq("s"))
+      .join(adj.select(col("s").as("t"), col("nb").as("__nt")),
+        Seq("t"), "left")
+      .select(when(col("__nt").isNull, lit(0))
+        .otherwise(size(array_intersect(col("__ns"), col("__nt"))))
+        .as("__c"))
+      // sum over ZERO edges is null; the census must read 0 (the
       // oracle's count() does)
-      .agg(count(lit(1)).as("n_wedges"),
-        coalesce(sum(coalesce(col("__closed"), lit(0))).cast("long"),
-          lit(0L)).as("n_triangles"))
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .agg(coalesce(sum(col("__c")).cast("long"), lit(0L))
+        .as("n_triangles"))
+    tri
+      .crossJoin(broadcast(census))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") > 0,
           expr("(1000000 * n_triangles) div n_wedges"))
@@ -431,8 +456,13 @@ object Graph {
     var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
     for (_ <- 1 to rounds) {
+      // checkpoint the survivor set: the u-side and v-side joins
+      // build two DIFFERENT broadcast relations from it, and without
+      // truncation each would re-run the full-edge degree agg
+      // (optimization r15, guide §5)
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u"))
+        .localCheckpoint(true)
       e = e.join(keep, Seq("u"))
         .join(keep.withColumnRenamed("u", "v"), Seq("v"))
         .select(col("u"), col("v")).localCheckpoint()
