@@ -187,23 +187,90 @@ object TxLog {
     * FileAlreadyExistsException if version `v` was committed by
     * someone else between the caller's version check and here.
     */
+  /** Per-file (relPath, rows, min, max) for `statCol` straight from
+    * the parquet footers under `dataAbs` — exact for INT64 stats
+    * (parquet long min/max is never truncated, unlike binary). None
+    * when any footer can't answer exactly (column missing, non-INT64,
+    * stats absent, or a file whose every row is null in `statCol`) —
+    * the caller falls back to the distributed scan. Zero-row part
+    * files are skipped, matching the scan form (a groupBy over an
+    * empty scan emits no stats row).
+    */
+  private def footerStats(dataAbs: String, dataRel: String,
+      statCol: String): Option[IndexedSeq[(String, Long, Long, Long)]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val parts = Option(new java.io.File(dataAbs).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      val rows = parts.toIndexedSeq.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration())
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = rd.getFooter.getBlocks.asScala.toSeq
+          val n = blocks.map(_.getRowCount).sum
+          if (n == 0L) Seq.empty
+          else {
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var seen = false
+            for (b <- blocks) {
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == statCol)
+                .getOrElse(throw new IllegalStateException(
+                  s"no column $statCol in footer"))
+              c.getStatistics match {
+                case s: org.apache.parquet.column.statistics.LongStatistics
+                    if !s.isEmpty =>
+                  if (s.hasNonNullValue) {
+                    mn = math.min(mn, s.genericGetMin)
+                    mx = math.max(mx, s.genericGetMax)
+                    seen = true
+                  } else if (s.getNumNulls != b.getRowCount)
+                    throw new IllegalStateException("stats incomplete")
+                case _ =>
+                  throw new IllegalStateException("no INT64 stats")
+              }
+            }
+            if (!seen) // all-null statCol: scan-form min/max is null
+              throw new IllegalStateException("all-null stat column")
+            Seq((s"$dataRel/${f.getName}", n, mn, mx))
+          }
+        } finally rd.close()
+      }
+      Some(rows.sortBy(_._1))
+    } catch { case _: Exception => None }
+
   private def writeDataAndPublish(df: DataFrame, dir: String, v: Long,
       dataRel: String, mode: String, statCol: String,
       txn: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val dataAbs = new java.io.File(dir, dataRel).toString
     df.write.parquet(dataAbs)
-    // distributed per-file stats: one pass over what was just written
-    val stats = spark.read.parquet(dataAbs)
-      .groupBy(input_file_name().as("uri"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
-      .collect()
-      .map { r =>
-        val name = r.getString(0).split('/').last
-        (s"$dataRel/$name", r.getLong(1), r.getLong(2), r.getLong(3))
-      }
-      .sortBy(_._1)
+    // per-file stats from the parquet FOOTERS the write just
+    // produced (optimization r15, guide §6): row counts and INT64
+    // min/max are exact in the footer metadata, so deriving them is
+    // O(files) driver-side metadata I/O — the production-lakehouse
+    // move — instead of a SECOND distributed job re-scanning every
+    // row that was just written (measured ~0.3–0.5 s of fixed job
+    // cost per commit; the multi-commit gates pay it 2–6×). The scan
+    // pass remains as the fallback for anything the footer can't
+    // answer exactly (missing/non-INT64 stats, all-null blocks).
+    val stats = footerStats(dataAbs, dataRel, statCol).getOrElse {
+      spark.read.parquet(dataAbs)
+        .groupBy(input_file_name().as("uri"))
+        .agg(count(lit(1)).as("rows"),
+          min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
+        .collect()
+        .map { r =>
+          val name = r.getString(0).split('/').last
+          (s"$dataRel/$name", r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+        .sortBy(_._1).toIndexedSeq
+    }
     val txnField = txn.fold("")(t => s""","txn":"$t"""")
     val lines = stats.map { case (p, n, mn, mx) =>
       s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,"mn":$mn,"mx":$mx$txnField}"""
