@@ -186,17 +186,26 @@ object Dedup {
     * Cost is O(candidate pairs × shingles-in-common), not all-pairs.
     */
   def jaccard(pairs: DataFrame, shingled: DataFrame, idCol: String): DataFrame = {
-    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(shingled.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
-      .join(shingled.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    // SET-ARRAY verify (optimization r15, guide §2.3): the exploded
+    // form probed every pair against the (id, h) rows — pairs ×
+    // per-doc set size intermediate rows through a shuffle and a
+    // pair-keyed count agg. The shingle table instead collapses ONCE
+    // to doc-grain (id, h-set, size) rows and the verify is a
+    // map-only size(array_intersect) per pair: identical inter counts
+    // (shingle frames are distinct sets). The old inner size joins
+    // already dropped pairs whose id had no shingles, so the inner
+    // set joins preserve row-for-row semantics; a pair with no
+    // overlap keeps its row (inter = 0) exactly like the old
+    // left-join + fill(0).
+    def setsOf(as: String, hAs: String, szAs: String) =
+      shingled.groupBy(col(idCol))
+        .agg(collect_list(col("h")).as(hAs), count(lit(1)).as(szAs))
+        .withColumnRenamed(idCol, as)
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .join(setsOf("id_a", "__ha", "sz_a"), Seq("id_a"))
+      .join(setsOf("id_b", "__hb", "sz_b"), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
       // raw ratio of exact integers — identical doubles in any engine;
       // round() would reintroduce shortest-repr tie divergence
       .withColumn("jaccard",
@@ -720,47 +729,73 @@ object Dedup {
     // small next to the corpus, so the verify probes each side's OWN
     // shingle frame (batch rows never ride the corpus key and vice
     // versa) and AQE puts the batch-sized frames on the broadcast
-    // side at runtime. Each side shingles ONCE into a persisted
-    // frame — the in-session stand-in for the durable LSH index a
-    // production deployment keeps next to the data: band build,
-    // intersection count and set sizes all read the cached blocks.
-    // Lazy persist beats an eager localCheckpoint here (no extra
-    // materialization jobs); blocks are freed by the ContextCleaner
-    // when the frames go unreachable. Signatures come from the SAME
-    // deduped frame via minhashSignatures — min() is duplicate-
-    // insensitive, so they equal the row-form signatures (DedupSpec);
-    // the groupBy form reuses the cache where the row form would
-    // re-run k interpreted array passes over every raw text.
-    val shNew    = shingleHashes(newDocs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shCorpus = shingleHashes(corpus, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // side at runtime. Each side shingles ONCE into an EAGERLY
+    // materialized frame — the in-session stand-in for the durable
+    // LSH index a production deployment keeps next to the data: band
+    // build, intersection count and set sizes all read the blocks.
+    // Eager, not lazy persist: each frame feeds three consumers, and
+    // under AQE the batch-sized subtrees become broadcast relations
+    // whose build FUTURES race — with a lazy persist every future
+    // re-ran the interpreted shingling over the raw text in parallel
+    // before any block existed (measured: 251 s of task time on a
+    // 13 s query). localCheckpoint(true) pays one materialization
+    // job up front and every consumer reads Scan ExistingRDD.
+    // Signatures come from the SAME deduped frame via
+    // minhashSignatures — min() is duplicate-insensitive, so they
+    // equal the row-form signatures (DedupSpec); the groupBy form
+    // reuses the blocks where the row form would re-run k
+    // interpreted array passes over every raw text.
+    // Spread BEFORE the checkpoint: the distinct collapses to a
+    // handful of AQE-coalesced partitions on local data, and the
+    // checkpointed layout is what every downstream stage inherits —
+    // un-spread, the signature groupBys and verify joins ran the
+    // whole query at ~4-way parallelism (70 s task time on an 18 s
+    // wall). Hash-spreading by the id also CO-partitions the frame
+    // with the per-id groupBys downstream (no-op at scale).
+    val shNew    = Spread.byKey(
+        shingleHashes(newDocs, idCol, textCol, shingleN), idCol)
+      .localCheckpoint(true)
+    val shCorpus = Spread.byKey(
+        shingleHashes(corpus, idCol, textCol, shingleN), idCol)
+      .localCheckpoint(true)
     def bandsOf(sh: DataFrame, as: String) =
       lshBuckets(minhashSignatures(sh, idCol, k), idCol, bands, k / bands)
         .select(col("band"), col("sig"), col(idCol).as(as))
+    // distinct FIRST (its map-side partial agg collapses the band
+    // join's fan-out before anything shuffles), then an explicit-
+    // width repartition of the deduped list: candidate rows are
+    // BYTE-small (two ids) but each buys an array-intersect verify,
+    // so AQE's byte-based coalescing would otherwise run the whole
+    // verify as ONE task — a user-specified repartition pins the
+    // width (AQE leaves user shuffle origins alone). Width from the
+    // session, not a constant.
+    val par = newDocs.sparkSession.sparkContext.defaultParallelism
     val cand = bandsOf(shNew, "id_a")
       .join(bandsOf(shCorpus, "id_b"), Seq("band", "sig"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // asymmetric Jaccard verify: candidates join each side's own
-    // shingle frame (the union form would probe corpus rows on the
-    // id_a key and batch rows on id_b for nothing); AQE broadcasts
-    // the batch-sized frames at runtime
-    val inter = cand
-      .join(shNew.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
-      .join(shCorpus.select(col(idCol).as("id_b"), col("h")),
-        Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val szA = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz_a"))
-      .withColumnRenamed(idCol, "id_a")
-    val szB = shCorpus.groupBy(col(idCol)).agg(count(lit(1)).as("sz_b"))
-      .withColumnRenamed(idCol, "id_b")
+      .repartition(par, col("id_a"), col("id_b"))
+    // asymmetric Jaccard verify over SET ARRAYS (optimization r15,
+    // guide §2.3): the exploded form probed every candidate pair
+    // against each side's (id, h) rows — candidates × per-doc set
+    // size intermediate rows through a shuffle and a pair-keyed
+    // count agg (the query's dominant CPU on a dense-vocabulary
+    // corpus). Each side instead collapses ONCE to (id, h-set,
+    // size) — doc-grain, so AQE broadcasts both — and the verify is
+    // a map-only size(array_intersect) per candidate: identical
+    // inter counts (the shingle frames are distinct sets), zero
+    // pair-grain exchanges. A candidate with no overlap keeps its
+    // row (inter = 0) exactly like the old left-join + fill(0).
+    def setsOf(sh: DataFrame, as: String, szAs: String, hAs: String) =
+      sh.groupBy(col(idCol))
+        .agg(collect_list(col("h")).as(hAs),
+          count(lit(1)).as(szAs))
+        .withColumnRenamed(idCol, as)
     val verified = cand
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(szA, Seq("id_a"))
-      .join(szB, Seq("id_b"))
+      .join(setsOf(shNew, "id_a", "sz_a", "__ha"), Seq("id_a"))
+      .join(setsOf(shCorpus, "id_b", "sz_b", "__hb"), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
       // raw ratio of exact integers — identical doubles in any engine
       .withColumn("jaccard",
         col("inter").cast("double") /
@@ -768,10 +803,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("jaccard").desc, col("id_b"))
+    // best is ≤ one row per NEW doc — checkpoint it so the final
+    // left join broadcasts a tiny materialized frame instead of
+    // re-running the whole verify subtree inside a single-threaded
+    // broadcast build (guide §5)
     val best = verified.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id_a"), col("id_b").as("match_id"),
         col("jaccard").as("match_jaccard"))
+      .localCheckpoint(true)
     newDocs.select(col(idCol))
       .join(best, col(idCol) === col("id_a"), "left")
       .select(col(idCol), col("match_id"), col("match_jaccard"),
@@ -815,18 +855,22 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(thresholdPct >= 1 && thresholdPct <= 100)
     // the distinct token frame feeds FOUR consumers (df counts, doc
-    // sizes, prefix ranks, intersection verify) — persist it so the
-    // text is shingled once per action, not four times (the q214
-    // index-caching lesson); blocks are freed by the ContextCleaner
-    val toks = docs
+    // sizes, prefix ranks, intersection verify) — materialize it
+    // EAGERLY so the text is shingled exactly once: with a lazy
+    // persist, AQE's independent map stages and broadcast-build
+    // futures (the doc-grain sz side broadcasts) all start against a
+    // cold cache and each re-runs the shingling in parallel (the
+    // q214 racing-futures lesson); blocks are freed by resetState /
+    // the ContextCleaner
+    val toks = Spread.byKey(docs
       .select(col(idCol).as("id"),
         explode(graft.expressions.WordShingles.shinglesNative(
           col(textCol), 1)).as("tok"))
       // an empty/whitespace-only doc shingles to [""] — drop it (it
       // has no token SET; the SQL rendition of tokens() yields [])
       .filter(length(col("tok")) > 0)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct(), "id")
+      .localCheckpoint(true)
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sz = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // rare-first rank WITHIN each doc (doc-keyed window — scalable);
@@ -862,27 +906,38 @@ object Dedup {
   }
 
   /** Bounded edit-distance self-join — all pairs within Levenshtein
-    * distance ≤ `maxDist`, via LENGTH-BAND blocking: every string
-    * lands in bucket ⌊len/bandWidth⌋; the probe side additionally
-    * visits both neighbor buckets. Because dist ≤ k forces
-    * |len_a − len_b| ≤ k < bandWidth, a qualifying pair's buckets
-    * differ by at most 1, so the 3-bucket probe is COMPLETE — the
-    * blocking is a pure access path, provably lossless (same
-    * discipline as [[prefixFilterJaccardJoin]]'s prefix filter) — and
-    * each pair meets on exactly one bucket key (the left side's own
-    * bucket), so no dedup pass is needed.
+    * distance ≤ `maxDist`, via EXACT-LENGTH blocking: the build side
+    * keys on its own length, the probe side visits the 2·maxDist+1
+    * compatible lengths. dist ≤ k forces |len_a − len_b| ≤ k, so the
+    * probe is COMPLETE — the blocking is a pure access path, provably
+    * lossless (same discipline as [[prefixFilterJaccardJoin]]'s
+    * prefix filter) — and each pair meets on exactly one key (the
+    * left side's own length), so no dedup pass is needed. This
+    * replaces ⌊len/bandWidth⌋ band blocking (optimization r15): the
+    * length filter that used to run AFTER the join is now IN the join
+    * key, cutting candidate volume ~(3·bandWidth)/(2k+1)×, and the
+    * key space is every distinct length instead of a handful of
+    * bands. The key is further SALTED (guide §2.5): a title-length
+    * key is intrinsically hot (real corpora concentrate on few
+    * lengths), so the build side takes hash(id) % S and the probe
+    * side replicates ×S — the quadratic verify work splits S ways
+    * while the replicated probe rows stay linear (and tiny next to
+    * the verify). S is capped small; production derives it from
+    * key-occupancy stats.
     *
     * The distance itself uses Spark's thresholded `levenshtein(l, r,
     * k)` — the banded DP that walks only the 2k+1 diagonal and bails
     * out at −1 once the bound is exceeded — so per-candidate cost is
     * O(k·len), not O(len²). 100 TB: one equi-join shuffle on the
-    * bucket key; candidate volume is bounded by bucket occupancy
-    * (strings of similar length), never all-pairs. Production
-    * tightens further with PassJoin-style segment filters; the
-    * length-band path is the exact, zero-loss baseline.
+    * (length, salt) key; candidate volume is bounded by same-length
+    * occupancy, never all-pairs. Production tightens further with
+    * PassJoin-style segment filters; the length path is the exact,
+    * zero-loss baseline.
     *
     * Caller contract: ids unique, one row per id. Null text is
-    * treated as empty.
+    * treated as empty. `bandWidth` no longer drives the access path;
+    * the `bandWidth > maxDist` guard is kept as the API's documented
+    * contract (callers sized it against maxDist).
     */
   def editDistanceJoin(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int, bandWidth: Int = 16): DataFrame = {
@@ -890,20 +945,32 @@ object Dedup {
     require(bandWidth > maxDist,
       s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) or the " +
         "neighbor-bucket probe loses pairs")
+    val salt = math.min(16,
+      math.max(1, docs.sparkSession.sparkContext.defaultParallelism / 2))
     val base = docs.select(col(idCol).as("__id"),
         coalesce(col(textCol).cast("string"), lit("")).as("__s"))
       .withColumn("__len", length(col("__s")).cast("long"))
-      .withColumn("__b", expr(s"__len div $bandWidth"))
-    val a = base.select(col("__b"), col("__id").as("id_a"),
-      col("__s").as("s_a"), col("__len").as("len_a"))
+    val a = base.select(col("__len").as("__lk"),
+      pmod(hash(col("__id")), lit(salt)).as("__salt"),
+      col("__id").as("id_a"), col("__s").as("s_a"),
+      col("__len").as("len_a"))
     val b = base.select(
-      explode(array(col("__b") - 1, col("__b"), col("__b") + 1))
-        .as("__b"),
-      col("__id").as("id_b"), col("__s").as("s_b"),
-      col("__len").as("len_b"))
-    a.join(b, Seq("__b"))
+        explode(sequence(col("__len") - maxDist, col("__len") + maxDist))
+          .as("__lk"),
+        col("__id").as("id_b"), col("__s").as("s_b"),
+        col("__len").as("len_b"))
+      .select(col("__lk"),
+        explode(sequence(lit(0), lit(salt - 1))).as("__salt"),
+        col("id_b"), col("s_b"), col("len_b"))
+    // pin the join width with user repartitions on both sides: the
+    // inputs are BYTE-small (short strings) so AQE's byte-based
+    // coalescing would run the quadratic levenshtein reduce as one
+    // task, undoing the salt — user shuffle origins are left alone
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    a.repartition(par, col("__lk"), col("__salt"))
+      .join(b.repartition(par, col("__lk"), col("__salt")),
+        Seq("__lk", "__salt"))
       .filter(col("id_a") < col("id_b"))
-      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .withColumn("dist",
         levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)

@@ -42,8 +42,13 @@ object Graph {
     require(iters >= 0 && dampPpm >= 0 && dampPpm <= 1000000L)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+    // nodes is consumed by EVERY round's rank update — checkpoint it
+    // (node-grain, bounded) or each round re-derives it from the
+    // caller's edge pipeline (q353's regex link extraction re-ran
+    // once per iteration, optimization r15)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     // the degree-annotated edge list is loop-INVARIANT: materialize it
     // once (localCheckpoint) instead of re-running the upstream joins
@@ -81,8 +86,10 @@ object Graph {
     require(iters >= 0 && dampPpm >= 0 && dampPpm <= 1000000L)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
+    // checkpointed for the same per-round reuse as [[pageRankPpm]]
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val wout = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
     val withW = e.join(wout, "src").localCheckpoint()
     var rank = nodes.withColumn("rank_ppm", lit(1000000L))

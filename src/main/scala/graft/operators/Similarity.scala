@@ -1665,15 +1665,20 @@ object Similarity {
       broadcast(selected.select(col("query_id"), col("cand_id"))),
       Seq("query_id", "cand_id"), "left_anti")
     for (r <- 2 to k) {
-      val ms = remaining
+      // rel and cvec are CONSTANT within a (query_id, cand_id) group
+      // (the selected-join only fans out the sim terms), so they ride
+      // the max-sim agg via first() instead of a join-back — the old
+      // `remaining ⋈ ms` re-join planned as a stats-less sort-merge
+      // (2 exchanges + sorts per round, optimization r15)
+      val scored = remaining
         .join(broadcast(
             selected.select(col("query_id"), col("cvec").as("__svec"))),
           Seq("query_id"))
-        .select(col("query_id"), col("cand_id"),
+        .select(col("query_id"), col("cand_id"), col("rel"), col("cvec"),
           dotI(col("cvec"), col("__svec")).as("__sim"))
         .groupBy(col("query_id"), col("cand_id"))
-        .agg(max(col("__sim")).as("maxsim"))
-      val scored = remaining.join(ms, Seq("query_id", "cand_id"))
+        .agg(max(col("__sim")).as("maxsim"),
+          first(col("rel")).as("rel"), first(col("cvec")).as("cvec"))
         .withColumn("score",
           col("rel") * lambdaPpm - col("maxsim") * (1000000L - lambdaPpm))
       val wr = winner(scored, r)
