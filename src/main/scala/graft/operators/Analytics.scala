@@ -402,7 +402,13 @@ object Analytics {
           sum(wgt * inB).as(s"__wb_$r"),
           sum(wgt * v * inB).as(s"__wxb_$r"))
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // R md5 draws per row make the PARTIAL agg the CPU-dense part,
+    // and it runs inside the scan stage — one task on an under-split
+    // local source. Spread first (no-op at scale, guide §2.2); long
+    // sums are exactly associative, so partition placement can't
+    // change a bit.
+    val one = Spread.byKey(df.select(col(idCol), col(valCol)), idCol)
+      .agg(aggs.head, aggs.tail: _*)
     val diffs = array((0 until replicates).map { r =>
       expr(s"__wxb_$r * 1000L div greatest(__wb_$r, 1L) - " +
         s"__wxa_$r * 1000L div greatest(__wa_$r, 1L)")

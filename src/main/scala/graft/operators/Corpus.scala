@@ -330,19 +330,31 @@ object Corpus {
     val ranks = ps.map(p => math.ceil(p * n).toLong)
     // invariant per quantile: the answer lies in [lo, hi] INCLUSIVE —
     // no vMin-1 sentinel (which would underflow at Long.MinValue).
-    // Midpoints go through BigInt so lo+hi can never wrap even on a
-    // full 64-bit-range column; floor division keeps mid < hi, so the
-    // `lo = mid + 1` branch cannot overflow either.
-    def midOf(lo: Long, hi: Long): Long = {
-      val s = BigInt(lo) + BigInt(hi)
-      ((s - s.mod(2)) / 2).toLong // floor(s / 2) for negative sums too
-    }
+    // Probe points go through BigInt so the interval arithmetic can
+    // never wrap even on a full 64-bit-range column.
     val lo = Array.fill(ps.size)(vMin)
     val hi = Array.fill(ps.size)(vMax)
+    // MULTI-WAY bisection (optimization r15): each pass probes B−1
+    // evenly spaced points per open quantile instead of one midpoint,
+    // resolving log2(B) bits per pass — same smallest-v-with-
+    // count≥rank answer, ~4× fewer aggregate jobs (each pass is one
+    // fixed-overhead job over the cached single-column frame, so the
+    // driver loop's job COUNT is the whole cost at any scale). The
+    // extra counters are sum(when) columns riding the same partial
+    // agg — map-side work, no new pass.
+    val B = 16
     while (ranks.indices.exists(i => lo(i) < hi(i))) {
       val open = ranks.indices.filter(i => lo(i) < hi(i))
-      // distinct midpoints: quantiles often share intervals early on
-      val mids = open.map(i => midOf(lo(i), hi(i))).distinct
+      def probesOf(i: Int): Seq[Long] = {
+        val l = BigInt(lo(i))
+        val span = BigInt(hi(i)) - l
+        // floor points l + span·j/B, j = 1..B−1: all in [lo, hi), so
+        // every branch strictly shrinks the interval; when span < B
+        // they cover the whole open interval and the next pass closes
+        (1 until B).map(j => (l + span * j / B).toLong).distinct
+      }
+      // distinct probes: quantiles often share intervals early on
+      val mids = open.flatMap(probesOf).distinct
       val cnts = vals.agg(
           count(lit(1)).as("__c"), // anchor agg; keeps agg() total
           mids.map(m => sum(when(col("__v") <= m, 1L).otherwise(0L))
@@ -351,8 +363,15 @@ object Corpus {
       val leOf = mids.zipWithIndex
         .map { case (m, j) => m -> cnts.getLong(j + 1) }.toMap
       open.foreach { i =>
-        val m = midOf(lo(i), hi(i))
-        if (leOf(m) >= ranks(i)) hi(i) = m else lo(i) = m + 1
+        // smallest probe meeting the rank bounds the answer above;
+        // its predecessor bounds it below (count(x ≤ v) is monotone)
+        val ms = probesOf(i).sorted
+        val idx = ms.indexWhere(m => leOf(m) >= ranks(i))
+        if (idx < 0) lo(i) = ms.last + 1
+        else {
+          hi(i) = ms(idx)
+          if (idx > 0) lo(i) = ms(idx - 1) + 1
+        }
       }
     }
     val row = org.apache.spark.sql.Row.fromSeq(n +: lo.toSeq)
@@ -850,7 +869,13 @@ object Corpus {
         Seq(sum(weight(r)).as(s"__w_$r"),
           sum(weight(r) * col(valCol).cast("long")).as(s"__wx_$r"))
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // R md5 draws per row make the PARTIAL agg the CPU-dense part,
+    // and it runs inside the scan stage — one task on an under-split
+    // local source. Spread first (no-op at scale, guide §2.2); long
+    // sums are exactly associative, so partition placement can't
+    // change a bit.
+    val one = Spread.byKey(df.select(col(idCol), col(valCol)), idCol)
+      .agg(aggs.head, aggs.tail: _*)
     val means = array((0 until replicates).map { r =>
       expr(s"__wx_$r * 1000L div greatest(__w_$r, 1L)")
     }: _*)

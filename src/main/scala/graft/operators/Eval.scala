@@ -16,29 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  /** Unigram (doc, gram, c) counts off [[TextAnalysis.tokens]]. */
-  private def uniCounts(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
-
-  /** Bigram (doc, gram, c) counts; the empty/1-token guard matters —
-    * sequence(1, 0) steps DOWNWARD in Spark (the q215 lesson), so the
-    * position list must be gated on size ≥ 2, not sliced.
-    */
-  private def biCounts(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val grams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "),
-          element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("id"), explode(grams).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
-  }
-
   /** Clipped-match totals for one n-gram order: per (id_a, id_b)
     * pair, Σ_g min(c_a(g), c_b(g)) — BLEU's modified precision
     * numerator ≡ ROUGE's match count. One gram-keyed join between
@@ -63,12 +40,40 @@ object Eval {
     */
   def rougeOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // each count frame feeds two size joins + one clipped join —
-    // checkpoint so the text is tokenized ONCE per order, not 3×
-    // (the frames are (doc × distinct-gram)-sized, far below the
-    // corpus)
-    val uni = uniCounts(docs, idCol, textCol).localCheckpoint(true)
-    val bi = biCounts(docs, idCol, textCol).localCheckpoint(true)
+    // BOTH orders' counts off ONE text scan and ONE exchange (was:
+    // two union-free branches, each re-scanning and re-tokenizing the
+    // corpus through its own partial agg, each a one-task stage on an
+    // under-split local source): tokens are projected once, the
+    // order-tagged gram structs concatenate, and a single checkpoint
+    // feeds the two size joins + two clipped joins per order. Gram
+    // semantics unchanged: order 1 = [[TextAnalysis.tokens]] of the
+    // lowered text; order 2 = "w1 w2" joins gated on size ≥ 2 (the
+    // q215 lesson: sequence(1, 0) steps DOWNWARD, so the position
+    // list is gated, never sliced). Spread first: tokenization + gram
+    // explosion is the CPU-dense part (no-op at scale, guide §2.2).
+    val base = Spread.byKey(
+        docs.select(col(idCol).as("id"),
+          lower(col(textCol)).as("__lt")), "id")
+      .select(col("id"), TextAnalysis.tokens(col("__lt")).as("__toks"))
+    val biGrams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat(element_at(col("__toks"), i), lit(" "),
+          element_at(col("__toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val counts = base
+      .select(col("id"), explode(concat(
+        transform(col("__toks"),
+          t => struct(lit(1).as("n"), t.as("g"))),
+        transform(biGrams,
+          g => struct(lit(2).as("n"), g.as("g"))))).as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uni = counts.filter(col("n") === 1)
+      .select(col("id"), col("g"), col("c"))
+    val bi = counts.filter(col("n") === 2)
+      .select(col("id"), col("g"), col("c"))
     def sizes(counts: DataFrame, idOut: String, nOut: String) =
       counts.groupBy(col("id").as(idOut)).agg(sum(col("c")).as(nOut))
     val p = pairs.select(col("id_a"), col("id_b"))
@@ -145,22 +150,32 @@ object Eval {
   }
 
   /** (id, n, g, c) word n-gram counts for orders 1..maxN in ONE long
-    * frame — one corpus text scan per order, each a (doc × distinct-
-    * gram) partial agg. Order-1 grams are the case-folded tokens;
-    * higher orders ride the native
-    * [[graft.operators.LanguageModel.ngramKeys]] shingles.
+    * frame off ONE corpus text scan: each order's gram list (order-1
+    * = the case-folded tokens; higher orders the native
+    * [[graft.operators.LanguageModel.ngramKeys]] shingles) is tagged
+    * with its order and the concatenated list explodes through a
+    * single partial agg + exchange. The union-of-branches form this
+    * replaces re-scanned the text once per order and ran each branch
+    * as its own exchange — and on an under-split local source each
+    * branch was a ONE-task stage (maxN/32 cores busy); the frame is
+    * [[Spread]] to the session's parallelism first since the
+    * shingling itself is the CPU-dense part (no-op at scale).
     */
   private def orderCounts(docs: DataFrame, idCol: String,
-      textCol: String, maxN: Int): DataFrame =
-    (1 to maxN).map { n =>
+      textCol: String, maxN: Int): DataFrame = {
+    val perOrder: Seq[Column] = (1 to maxN).map { n =>
       val grams =
-        if (n == 1) TextAnalysis.tokens(lower(col(textCol)))
-        else LanguageModel.ngramKeys(col(textCol), n)
-      docs.select(col(idCol).as("id"), lit(n).as("n"),
-          explode(grams).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("c"))
-    }.reduce(_.unionByName(_))
+        if (n == 1) TextAnalysis.tokens(lower(col("__t")))
+        else LanguageModel.ngramKeys(col("__t"), n)
+      transform(grams, g => struct(lit(n).as("n"), g.as("g")))
+    }
+    Spread.byKey(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .select(col("id"), explode(concat(perOrder: _*)).as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+  }
 
   /** Pair-level BLEU in exact-integer LOG space (Papineni et al.
     * 2002), id_a the candidate and id_b the reference:
@@ -269,18 +284,29 @@ object Eval {
     val maxN = 6
     val s = regexp_replace(lower(coalesce(col(textCol), lit(""))),
       "\\s+", "")
-    val counts = (1 to maxN).map { n =>
-      // sequence(1, 0) steps DOWNWARD (the q215 lesson) — gate on
-      // length ≥ n, not on slice
-      val grams = when(length(s) >= n,
-        transform(sequence(lit(1), length(s) - (n - 1)),
-          i => s.substr(i, lit(n))))
-        .otherwise(array().cast("array<string>"))
-      docs.select(col(idCol).as("id"), lit(n).as("n"),
-          explode(grams).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("c"))
-    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    // ONE pass over ONE stripped-text frame (was: six union branches,
+    // each re-scanning and re-stripping the text through its own
+    // exchange, each a one-task stage on an under-split local source
+    // — 6/32 cores busy): the order index explodes from a literal
+    // sequence, the gram list is built per (doc, n) with a
+    // dynamic-length substr, and all six orders flow through a single
+    // partial agg + exchange. Docs shorter than n produced an empty
+    // gram array before; the length filter drops them identically.
+    // sequence(1, 0) steps DOWNWARD (the q215 lesson) — gate on
+    // length ≥ n, not on slice. Spread first: char-gram explosion is
+    // the CPU-dense part (no-op at scale, guide §2.2).
+    val counts = Spread.byKey(
+        docs.select(col(idCol).as("id"), s.as("s")), "id")
+      .select(col("id"), col("s"),
+        explode(sequence(lit(1), lit(maxN))).as("n"))
+      .filter(length(col("s")) >= col("n"))
+      .select(col("id"), col("n"),
+        explode(transform(
+          sequence(lit(1), length(col("s")) - (col("n") - lit(1))),
+          i => col("s").substr(i, col("n")))).as("g"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val p = pairs.select(col("id_a"), col("id_b"))
     val tots = counts.groupBy(col("id"), col("n"))
       .agg(sum(col("c")).as("tot"))

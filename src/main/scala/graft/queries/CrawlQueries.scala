@@ -21,6 +21,11 @@ object CrawlQueries extends QueryPack {
   import HtmlExtract._
 
   // ---- shared synthetic page (Spark formulation) --------------------
+  // NOT Spread: the extraction stages here are LAZY side branches off
+  // the driver-bound crawl compositions — spreading them was measured
+  // (r15) to inflate task time 10-20x (32 concurrent regex tasks
+  // allocation-thrash a local JVM) without moving wall clock, because
+  // the extraction was never the critical path.
   private[queries] def htmlDf(s: SparkSession, dir: String): DataFrame =
     htmlFrom(Tables.documents(s, dir))
 

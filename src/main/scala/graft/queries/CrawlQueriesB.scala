@@ -43,8 +43,12 @@ object CrawlQueriesB extends QueryPack {
             row_number().over(Window.partitionBy(col("qid"))
               .orderBy(col("score").desc, col("doc_id"))).cast("long"))
           .filter(col("rank_kw") <= 20)
+        // links (a regex extraction chain) feeds the edge build, the
+        // self-host map AND the prior join — checkpoint the bounded
+        // doc×link frame so the extraction runs once (guide §5)
         val links = HtmlExtract.extractLinks(linkDf(s, dir), "doc_id", "html")
           .withColumn("host", Urls.host(col("href")))
+          .localCheckpoint(true)
         val self = links.filter(col("link_idx") === 0)
           .select(col("doc_id"), col("host").as("src"))
         val out = links.filter(col("link_idx") > 0 && col("host") =!= "")
@@ -699,10 +703,16 @@ object CrawlQueriesB extends QueryPack {
     "q400_curation_v2" -> Q(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // spam (an HTML-regex chain) and kd feed the final join AND
+        // the survivor chain below — checkpoint the doc-grain
+        // readouts so the regex/fingerprint subtrees run once, not
+        // once per consumer; spread the synthesized pages so the
+        // regex scan runs wide (guide §2.2, §5)
         val spam = HtmlExtract.spamSignals(spamPageFrom(docs),
             "doc_id", "html")
           .select(col("doc_id"),
             (col("hidden") || col("stuffed")).as("spam"))
+          .localCheckpoint(true)
         val clean = docs.join(
           spam.filter(!col("spam")).select("doc_id"), Seq("doc_id"))
         val fp = clean.select(col("doc_id"),
@@ -712,12 +722,18 @@ object CrawlQueriesB extends QueryPack {
         val kd = fp.join(own, "f")
           .select(col("doc_id"),
             (col("doc_id") =!= col("keep_id")).as("dup"))
+          .localCheckpoint(true)
+        // doc-grain readability readout, consumed by the bisect's
+        // cache and the phase projection — checkpoint so the regex
+        // passes run once
         val rd = TextAnalysis.readability(
-            docs.join(kd.filter(!col("dup")).select("doc_id"),
-              Seq("doc_id"))
-              .select(col("doc_id"), col("text")), "text")
+            graft.operators.Spread.byKey(
+              docs.join(kd.filter(!col("dup")).select("doc_id"),
+                Seq("doc_id"))
+                .select(col("doc_id"), col("text")), "doc_id"), "text")
           .select(col("doc_id"), col("flesch_milli"))
           .filter(col("flesch_milli").isNotNull)
+          .localCheckpoint(true)
         val th = Corpus.quantilesBisect(rd, "flesch_milli",
             Seq(0.33, 0.67))
           .select(col("q_33"), col("q_67"))

@@ -891,7 +891,9 @@ object IndexQueries extends QueryPack {
         val grams = when(n >= 3,
             transform(sequence(lit(1), n - 2), i => substr(t, i, lit(3))))
           .otherwise(array().cast("array<string>"))
-        Tables.documents(s, dir)
+        // char-trigram explosion + array_distinct is CPU-dense and
+        // the local source is one split — spread (guide §2.2)
+        graft.operators.Spread.byKey(Tables.documents(s, dir), "doc_id")
           .select(col("doc_id"),
             octet_length(t).cast("long").as("raw_bytes"),
             grams.as("__g"))

@@ -575,8 +575,11 @@ object IndexQueriesB extends QueryPack {
           col("o_orderkey").cast("string"), nBits, 3)
         val pred = Sketch.bloomFilterScan(bloom,
           col("l_orderkey").cast("string"), nBits, 3)
-        Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_quantity"))
+        // the bloom probe is 3 md5s per lineitem row and the local
+        // scan is one split — spread it (guide §2.2; no-op at scale)
+        graft.operators.Spread.byKey(
+            Tables.lineitem(s, dir)
+              .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
           .filter(pred)
           .join(urgent, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"))

@@ -428,8 +428,13 @@ object LlmQueriesB extends QueryPack {
     // probes.
     "q397_curriculum" -> Q(
       (s, dir) => {
+        // readability's regex passes are CPU-dense and the local
+        // source is one split — spread so both consumers (the bisect
+        // cache and the output projection) run wide (guide §2.2)
         val r = TextAnalysis.readability(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            graft.operators.Spread.byKey(
+              Tables.documents(s, dir).select(col("doc_id"), col("text")),
+              "doc_id"),
             "text")
           .select(col("doc_id"), col("flesch_milli"))
           .filter(col("flesch_milli").isNotNull)

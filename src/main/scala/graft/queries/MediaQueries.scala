@@ -221,8 +221,12 @@ object MediaQueries extends QueryPack {
     // real pairs to find.
     "q224_clip_neardup" -> Q(
       (s, dir) => {
+        // per-doc frame synthesis + 64-bit fingerprint folds are
+        // CPU-dense over a one-split local source — spread (guide §2.2)
         val fp = Multimodal.clipFrameFingerprints(
-            Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+            graft.operators.Spread.byKey(
+              Tables.documents(s, dir).select(col("doc_id")), "doc_id"),
+            "doc_id")
           .select(col("id"), col("fp")).distinct()
         val a = fp.select(col("id").as("id_a"), col("fp"))
         val b = fp.select(col("id").as("id_b"), col("fp"))

@@ -529,9 +529,12 @@ object ScaleQueries extends QueryPack {
         val prof = LanguageModel.charTrigramProfiles(
           docs.filter(col("doc_id") % 2 === 0), "lang", "text",
           topM = 100)
-        val punct = docs.select(col("doc_id"),
-          regexp_replace(coalesce(col("text"), lit("")),
-            "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
+        // the sentence split + per-sentence trigram classify below is
+        // CPU-dense over a one-split local source — spread (guide §2.2)
+        val punct = graft.operators.Spread.byKey(docs, "doc_id")
+          .select(col("doc_id"),
+            regexp_replace(coalesce(col("text"), lit("")),
+              "((?:\\S+ ){4}\\S+) ", "$1. ").as("t"))
         val sents = graft.operators.TextAnalysis.sentences(
             punct, "doc_id", "t")
           .withColumn("sid", col("doc_id") * 1000 + col("sent_idx"))
