@@ -581,6 +581,9 @@ object Dedup {
         struct(i.cast("int").as("pos"),
           array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")
             .as("seg"))))
+    // NOT Spread (measured r15): parallelizing the segment explosion
+    // inflated total CPU ~4x (allocation contention) and LOST wall
+    // clock — the window passes below re-shuffle anyway
     val exploded = docs
       .select(col(idCol).as("__seg_doc"), explode(segs).as("s"))
       .select(col("__seg_doc"), col("s.pos").as("pos"), col("s.seg").as("seg"))

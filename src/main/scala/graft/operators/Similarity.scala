@@ -67,7 +67,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    // spread the STREAMED side: the |corpus|×|queries| cosine map runs
+    // in the corpus scan's stage, a single task on an under-split
+    // local source — the serial-CPU wall of every brute-force truth
+    // gate (guide §2.2; no-op at scale)
+    val c = Spread.byKey(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+      "neighbor_id")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineNative(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
