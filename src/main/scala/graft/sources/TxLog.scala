@@ -187,24 +187,31 @@ object TxLog {
     * FileAlreadyExistsException if version `v` was committed by
     * someone else between the caller's version check and here.
     */
-  /** Per-file (relPath, rows, min, max) for `statCol` straight from
-    * the parquet footers under `dataAbs` — exact for INT64 stats
+  /** Per-file (relPath, rows, (min, max) per stat column) straight
+    * from the parquet footers under `dataAbs` (recursively — bucketed
+    * layouts write partition subdirectories) — exact for INT64 stats
     * (parquet long min/max is never truncated, unlike binary). None
     * when any footer can't answer exactly (column missing, non-INT64,
-    * stats absent, or a file whose every row is null in `statCol`) —
-    * the caller falls back to the distributed scan. Zero-row part
-    * files are skipped, matching the scan form (a groupBy over an
-    * empty scan emits no stats row).
+    * stats absent, or a file whose every row is null in a stat
+    * column) — the caller falls back to the distributed scan.
+    * Zero-row part files are skipped, matching the scan form (a
+    * groupBy over an empty scan emits no stats row).
     */
   private def footerStats(dataAbs: String, dataRel: String,
-      statCol: String): Option[IndexedSeq[(String, Long, Long, Long)]] =
+      statCols: Seq[String])
+      : Option[IndexedSeq[(String, Long, IndexedSeq[(Long, Long)])]] =
     try {
       import scala.jdk.CollectionConverters._
-      val parts = Option(new java.io.File(dataAbs).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet") &&
           !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      val rows = parts.toIndexedSeq.flatMap { f =>
+          Seq(f)
+        else Seq.empty
+      val root = new java.io.File(dataAbs).getCanonicalFile
+      val rows = walk(root).toIndexedSeq.flatMap { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath),
           new org.apache.hadoop.conf.Configuration())
@@ -214,30 +221,35 @@ object TxLog {
           val n = blocks.map(_.getRowCount).sum
           if (n == 0L) Seq.empty
           else {
-            var mn = Long.MaxValue
-            var mx = Long.MinValue
-            var seen = false
-            for (b <- blocks) {
-              val c = b.getColumns.asScala
-                .find(_.getPath.toDotString == statCol)
-                .getOrElse(throw new IllegalStateException(
-                  s"no column $statCol in footer"))
-              c.getStatistics match {
-                case s: org.apache.parquet.column.statistics.LongStatistics
-                    if !s.isEmpty =>
-                  if (s.hasNonNullValue) {
-                    mn = math.min(mn, s.genericGetMin)
-                    mx = math.max(mx, s.genericGetMax)
-                    seen = true
-                  } else if (s.getNumNulls != b.getRowCount)
-                    throw new IllegalStateException("stats incomplete")
-                case _ =>
-                  throw new IllegalStateException("no INT64 stats")
+            val ranges = statCols.map { sc =>
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              var seen = false
+              for (b <- blocks) {
+                val c = b.getColumns.asScala
+                  .find(_.getPath.toDotString == sc)
+                  .getOrElse(throw new IllegalStateException(
+                    s"no column $sc in footer"))
+                c.getStatistics match {
+                  case s: org.apache.parquet.column.statistics.LongStatistics
+                      if !s.isEmpty =>
+                    if (s.hasNonNullValue) {
+                      mn = math.min(mn, s.genericGetMin)
+                      mx = math.max(mx, s.genericGetMax)
+                      seen = true
+                    } else if (s.getNumNulls != b.getRowCount)
+                      throw new IllegalStateException("stats incomplete")
+                  case _ =>
+                    throw new IllegalStateException("no INT64 stats")
+                }
               }
-            }
-            if (!seen) // all-null statCol: scan-form min/max is null
-              throw new IllegalStateException("all-null stat column")
-            Seq((s"$dataRel/${f.getName}", n, mn, mx))
+              if (!seen) // all-null stat col: scan-form min/max is null
+                throw new IllegalStateException("all-null stat column")
+              (mn, mx)
+            }.toIndexedSeq
+            val rel = dataRel + "/" +
+              root.toPath.relativize(f.getCanonicalFile.toPath).toString
+            Seq((rel, n, ranges))
           }
         } finally rd.close()
       }
@@ -259,18 +271,20 @@ object TxLog {
     // cost per commit; the multi-commit gates pay it 2–6×). The scan
     // pass remains as the fallback for anything the footer can't
     // answer exactly (missing/non-INT64 stats, all-null blocks).
-    val stats = footerStats(dataAbs, dataRel, statCol).getOrElse {
-      spark.read.parquet(dataAbs)
-        .groupBy(input_file_name().as("uri"))
-        .agg(count(lit(1)).as("rows"),
-          min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
-        .collect()
-        .map { r =>
-          val name = r.getString(0).split('/').last
-          (s"$dataRel/$name", r.getLong(1), r.getLong(2), r.getLong(3))
-        }
-        .sortBy(_._1).toIndexedSeq
-    }
+    val stats = footerStats(dataAbs, dataRel, Seq(statCol))
+      .map(_.map { case (p, n, rs) => (p, n, rs.head._1, rs.head._2) })
+      .getOrElse {
+        spark.read.parquet(dataAbs)
+          .groupBy(input_file_name().as("uri"))
+          .agg(count(lit(1)).as("rows"),
+            min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
+          .collect()
+          .map { r =>
+            val name = r.getString(0).split('/').last
+            (s"$dataRel/$name", r.getLong(1), r.getLong(2), r.getLong(3))
+          }
+          .sortBy(_._1).toIndexedSeq
+      }
     val txnField = txn.fold("")(t => s""","txn":"$t"""")
     val lines = stats.map { case (p, n, mn, mx) =>
       s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,"mn":$mn,"mx":$mx$txnField}"""
@@ -855,24 +869,32 @@ object TxLog {
     val dataAbs = new java.io.File(dir, dataRel).toString
     withB.repartition(col("__zb"))
       .write.partitionBy("__zb").parquet(dataAbs)
-    val back = spark.read.schema(withB.schema).parquet(dataAbs)
     // stat fields named mn/mx, mn2/mx2, mn3/mx3 — the log-schema keys
     val sfx = statCols.indices.map(i => if (i == 0) "" else (i + 1).toString)
-    val aggs = count(lit(1)).as("rows") +:
-      statCols.zip(sfx).flatMap { case (c, s) =>
-        Seq(min(col(c)).as(s"mn$s"), max(col(c)).as(s"mx$s")) }
-    val stats = back
-      .groupBy(input_file_name().as("uri"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val uri = r.getString(0)
-        val rel = dataRel + uri.substring(
-          uri.indexOf(dataRel) + dataRel.length)
-        (rel, r.getAs[Long]("rows"),
-          sfx.map(s => (r.getAs[Long](s"mn$s"), r.getAs[Long](s"mx$s"))))
+    // footer-derived stats (optimization r15, guide §6): same O(files)
+    // driver-side metadata read as [[writeDataAndPublish]]; the
+    // distributed re-scan stays as the fallback
+    val stats = footerStats(dataAbs, dataRel, statCols)
+      .map(_.map { case (p, n, rs) => (p, n, rs: Seq[(Long, Long)]) })
+      .getOrElse {
+        val back = spark.read.schema(withB.schema).parquet(dataAbs)
+        val aggs = count(lit(1)).as("rows") +:
+          statCols.zip(sfx).flatMap { case (c, s) =>
+            Seq(min(col(c)).as(s"mn$s"), max(col(c)).as(s"mx$s")) }
+        back
+          .groupBy(input_file_name().as("uri"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val uri = r.getString(0)
+            val rel = dataRel + uri.substring(
+              uri.indexOf(dataRel) + dataRel.length)
+            (rel, r.getAs[Long]("rows"),
+              sfx.map(s => (r.getAs[Long](s"mn$s"), r.getAs[Long](s"mx$s")))
+                : Seq[(Long, Long)])
+          }
+          .sortBy(_._1).toIndexedSeq
       }
-      .sortBy(_._1)
     val lines = stats.map { case (p, n, ranges) =>
       val statJson = ranges.zip(sfx).map { case ((mn, mx), s) =>
         s""""mn$s":$mn,"mx$s":$mx""" }.mkString(",")
