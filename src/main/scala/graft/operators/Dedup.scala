@@ -893,6 +893,11 @@ object Dedup {
         lit(100) * col("sz_a") >= lit(thresholdPct) * col("sz_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // exploded verify, NOT the q214 set-array form (measured r15):
+    // array_intersect over STRING token arrays lost to the exploded
+    // token join here (11.2 s vs 9.0 warm — per-candidate string
+    // hash-sets cost more than the narrow (id, tok) shuffle the
+    // integer-hash shingle verifies avoid)
     val inter = cand
       .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
       .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))

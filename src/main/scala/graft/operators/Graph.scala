@@ -458,10 +458,18 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 0)
-    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
-    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    // canonicalize BEFORE the distinct, mirror after (optimization
+    // r15, guide §2.3): dedup runs over |E| canonical rows instead of
+    // the 2|E| symmetrized form, and the mirror of a distinct
+    // canonical set needs no second dedup — the two orientations are
+    // disjoint by construction. Same symmetric edge set, half the
+    // dedup shuffle.
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
       .distinct().localCheckpoint()
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     for (_ <- 1 to rounds) {
       // checkpoint the survivor set: the u-side and v-side joins
       // build two DIFFERENT broadcast relations from it, and without
