@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through verbatim (no "[info] "
+// prefix): the driver parses Bench's one-line JSON from the process
+// stdout, and sbt's default LoggedOutput prefix made BENCH_r14/r15
+// parse to null (VERDICT r15 item 1 — a launcher artifact, not a
+// methodology change; Bench also writes BENCH_SUMMARY.json so the
+// compact line is recoverable no matter the launcher).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -425,10 +425,16 @@ object Bench {
   private def orchestrate(sfDir: String): Unit = {
     val cmd = forkCmd()
     val par = benchPar
-    // derive from the machine, not a literal 32 (r13 ADVICE): paired
-    // children split the actual cores so smaller hosts aren't
-    // oversubscribed
-    val machineCores = Runtime.getRuntime.availableProcessors()
+    // Core budget for paired children: honor $SPARK_GRAFT_CPUS when the
+    // driver sets it (VERDICT r15 item 1a — the 8-CPU scaling run must
+    // constrain the light tail too, not just the solo chunks, or the
+    // low-core artifact measures machine-cores/par and the scaling
+    // signal is garbage); fall back to the machine core count so
+    // smaller hosts aren't oversubscribed (r13 ADVICE).
+    val machineCores = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val childCpus = math.max(4, machineCores / par).toString
     val allResults = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -636,16 +642,6 @@ object Bench {
     val errs = errors.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
-    // Second, SHORT summary line: the driver stores only the last
-    // ~2 KB of stdout and the full line above is tens of KB at 470
-    // queries — whichever truncation window applies, this compact
-    // line survives, so the total/error count/slowest-5 are always
-    // recoverable from the artifact (VERDICT r4 item 2).
-    val slowest5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-    val slowest = slowest5
-      .map { case (k, v) => jstr(k) + ":" + fmt3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}""")
     // Recheck line: med is the COMMITTED stat (post-certification);
     // adjusted rows carry their pre-certification value as "raw";
     // rows whose re came from the in-process fallback (and therefore
@@ -661,6 +657,33 @@ object Bench {
       }
       .mkString("{", ",", "}")
     println(s"""{"metric":"recheck","slowest":$rcJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    // LAST stdout line Bench emits (VERDICT r15 item 1b): a SHORT
+    // summary. The driver stores only the last ~2 KB of stdout and the
+    // full "total" line above is tens of KB at 527 queries — whichever
+    // truncation window applies, this compact line survives as the
+    // final Bench-printed line, so the total/error count/slowest-5 are
+    // always recoverable from the artifact (VERDICT r4 item 2).
+    val slowest5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val slowest = slowest5
+      .map { case (k, v) => jstr(k) + ":" + fmt3(v) }.mkString("{", ",", "}")
+    val summaryLine =
+      s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}"""
+    println(summaryLine)
+    System.out.flush()
+    // ... and the same one-line summary as a FILE (VERDICT r15 item
+    // 1b): BENCH_r14/r15 both parsed to null because the launcher
+    // (sbt) prefixed every stdout line and appended its own epilogue —
+    // the compact JSON must be recoverable no matter the launcher.
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")),
+        (summaryLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"bench-summary write failed: ${e.getMessage}")
+    }
     // Full per-query artifact (VERDICT r8 item 4): the driver keeps
     // only a ~2 KB stdout tail, so the complete name→median map on
     // line 1 is unrecoverable from BENCH_r{N}.json. Bench writes it
@@ -703,9 +726,6 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => jstr(k) + ":" + fmt3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}""")
     // recheck in a fresh SparkSession (same JVM): transient-contention
     // detector for subset runs — `med ≈ re` reads as a genuinely
     // expensive plan, `med >> re` as noise
@@ -736,6 +756,13 @@ object Bench {
       }
       .mkString("{", ",", "}")
     println(s"""{"metric":"recheck","slowest":$rcJson,"sf":${jstr(sfDir)}}""")
+    // compact summary LAST (VERDICT r15 item 1b), mirroring the
+    // orchestrated path: the final Bench-printed stdout line is always
+    // the short parseable one
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => jstr(k) + ":" + fmt3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total":$total,"n":${results.size},"errors":${errors.size},"slowest":$slowest,"sf":${jstr(sfDir)}}""")
+    System.out.flush()
     // subset runs default OFF the repo artifact: a BENCH_ONLY dev/
     // judge invocation must never clobber the committed full-run
     // BENCH_DETAIL.json with a partial map
