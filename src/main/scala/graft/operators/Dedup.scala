@@ -948,11 +948,14 @@ object Dedup {
     * contract (callers sized it against maxDist).
     */
   def editDistanceJoin(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, bandWidth: Int = 16): DataFrame = {
+      maxDist: Int, @deprecated("unused since exact-length blocking; " +
+        "kept for source compatibility", "r16") bandWidth: Int = 16): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    require(bandWidth > maxDist,
-      s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) or the " +
-        "neighbor-bucket probe loses pairs")
+    // bandWidth no longer participates in the access path (ADVICE
+    // r15): exact-length blocking is complete on its own, so the old
+    // `bandWidth > maxDist` guard would only reject calls that are
+    // now perfectly safe. The parameter is retained (deprecated) so
+    // existing call sites keep compiling.
     val salt = math.min(16,
       math.max(1, docs.sparkSession.sparkContext.defaultParallelism / 2))
     val base = docs.select(col(idCol).as("__id"),

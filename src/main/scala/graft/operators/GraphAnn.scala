@@ -124,10 +124,16 @@ object GraphAnn {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val adj = und.groupBy(col("src").as("__p"))
         .agg(collect_set(col("dst")).as("__nbrs"))
-      val pairs = adj.select(explode(flatten(transform(col("__nbrs"),
-          u => transform(filter(col("__nbrs"), w => w =!= u),
-            w => struct(u.as("src"), w.as("dst")))))).as("__e"))
-        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      // two chained explodes, NOT one nested transform (ADVICE r15):
+      // out-degree is capped at k but in-degree in the symmetrized
+      // graph is unbounded, so a hub's co-neighbor pairs are d² — one
+      // row holding all d² structs risks executor OOM on skewed
+      // graphs, while explode-then-explode streams the same pair
+      // multiset through the generator at O(d) bytes per row
+      val pairs = adj
+        .select(col("__nbrs"), explode(col("__nbrs")).as("src"))
+        .select(col("src"),
+          explode(filter(col("__nbrs"), w => w =!= col("src"))).as("dst"))
       val cand = edges.select(col("src"), col("dst"))
         .union(pairs)
         .filter(col("src") =!= col("dst"))

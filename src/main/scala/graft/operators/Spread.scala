@@ -28,8 +28,12 @@ object Spread {
     val maxPart = math.max(1L,
       org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estSplits = (bytes / maxPart).toLong + 1L
-    if (estSplits >= target) df
+    // compare in BigInt (ADVICE r15): sizeInBytes is a BigInt and
+    // join-cardinality products can exceed Long range — a .toLong
+    // there wraps negative and would fire a corpus-wide repartition
+    // exactly in the at-scale case this probe exists to no-op on
+    val estSplits = bytes / maxPart + 1
+    if (estSplits >= BigInt(target)) df
     else df.repartition(target, col(keyCol))
   }
 }

@@ -526,11 +526,17 @@ class DedupSpec extends SparkSpec {
     assert(got === Map((1L, 2L) -> 2L, (2L, 3L) -> 2L, (5L, 6L) -> 0L))
 
     // each qualifying pair appears exactly once (no neighbor-probe
-    // double count), and maxDist must stay under the band width
+    // double count)
     assert(got.size === 3)
-    assertThrows[IllegalArgumentException] {
-      Dedup.editDistanceJoin(docs, "id", "s", maxDist = 8, bandWidth = 8)
-    }
+    // bandWidth <= maxDist is ACCEPTED since exact-length blocking
+    // (the parameter no longer drives the access path, ADVICE r15) —
+    // and the wide-distance result is still complete and lossless
+    val wide = Dedup.editDistanceJoin(docs, "id", "s", maxDist = 8,
+        bandWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    assert(wide === Map((1L, 2L) -> 2L, (1L, 3L) -> 4L, (2L, 3L) -> 2L,
+      (1L, 5L) -> 7L, (1L, 6L) -> 7L, (5L, 6L) -> 0L))
   }
 
   test("removeDupSpans: owner keeps, foreign coverage unions, shorts pass") {
