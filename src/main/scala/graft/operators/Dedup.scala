@@ -185,7 +185,8 @@ object Dedup {
     * shingle-set table count the intersection; sizes give the union.
     * Cost is O(candidate pairs × shingles-in-common), not all-pairs.
     */
-  def jaccard(pairs: DataFrame, shingled: DataFrame, idCol: String): DataFrame = {
+  def jaccard(pairs: DataFrame, shingled: DataFrame, idCol: String,
+      minJaccard: Option[Double] = None): DataFrame = {
     // SET-ARRAY verify (optimization r15, guide §2.3): the exploded
     // form probed every pair against the (id, h) rows — pairs ×
     // per-doc set size intermediate rows through a shuffle and a
@@ -201,9 +202,23 @@ object Dedup {
       shingled.groupBy(col(idCol))
         .agg(collect_list(col("h")).as(hAs), count(lit(1)).as(szAs))
         .withColumnRenamed(idCol, as)
-    pairs
+    val joined = pairs
       .join(setsOf("id_a", "__ha", "sz_a"), Seq("id_a"))
       .join(setsOf("id_b", "__hb", "sz_b"), Seq("id_b"))
+    // size-ratio prefilter (optimization r16, guide §2.3 one level
+    // down — VERDICT r15 item 5): jaccard ≤ min(|a|,|b|)/max(|a|,|b|)
+    // (inter ≤ min, union ≥ max), and double division is monotone in
+    // the real quotient, so when a caller only keeps jaccard ≥ t,
+    // dropping pairs with round(min/max) < t is PROVABLY lossless
+    // under the exact comparison the final filter uses — and skips
+    // their array_intersect, the verify's dominant per-candidate cost
+    val pre = minJaccard match {
+      case Some(t) => joined.filter(
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")).cast("double") >= t)
+      case None => joined
+    }
+    pre
       .withColumn("inter",
         size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
       // raw ratio of exact integers — identical doubles in any engine;
@@ -227,7 +242,10 @@ object Dedup {
     val buckets = lshBuckets(sigs, idCol, bands, k / bands)
     val cands = candidatePairs(buckets, idCol)
     val shingled = shingleHashes(df, idCol, textCol, shingleN)
-    jaccard(cands, shingled, idCol).filter(col("jaccard") >= threshold)
+    // threshold into the verify: the size-ratio prefilter prunes
+    // length-incompatible candidates before their array_intersect
+    jaccard(cands, shingled, idCol, Some(threshold))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Connected components over a near-dup pair set: collapse pairs
@@ -797,6 +815,15 @@ object Dedup {
     val verified = cand
       .join(setsOf(shNew, "id_a", "sz_a", "__ha"), Seq("id_a"))
       .join(setsOf(shCorpus, "id_b", "sz_b", "__hb"), Seq("id_b"))
+      // size-ratio prefilter (r16, VERDICT r15 item 5): jaccard ≤
+      // min(sz)/max(sz), double division is monotone in the real
+      // quotient, and the survivor filter below uses the same >=
+      // threshold comparison — so dropping ratio-incompatible
+      // candidates here is provably lossless and skips their
+      // array_intersect (the verify's dominant per-candidate cost on
+      // the dense-vocabulary fixture where candidates ≈ all pairs)
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")).cast("double") >= threshold)
       .withColumn("inter",
         size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
       // raw ratio of exact integers — identical doubles in any engine

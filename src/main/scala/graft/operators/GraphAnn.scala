@@ -156,17 +156,54 @@ object GraphAnn {
   def insertNodes(graph: DataFrame, codes: DataFrame,
       newCodes: DataFrame, idCol: String, codeCol: String, k: Int,
       entryK: Int, beam: Int, steps: Int): DataFrame = {
+    // delta·k rows, consumed 2–3 times below (candidates, reverse
+    // candidates, touched set) — truncate so each reference reads the
+    // bounded frame instead of re-running the serve's final window
     val attached = beamServe(newCodes, graph, codes, idCol, codeCol,
         entryK, beam, steps, k)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-    val cand = graph.select(col("src"), col("dst"))
-      .union(attached)
-      .union(attached.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .localCheckpoint(false)
+    val allC = codes.unionByName(newCodes)
+    val ranked =
+      if (Seq("rn", "idot").forall(graph.columns.contains)) {
+        // O(delta) re-rank (optimization r16, guide §1.2 step 1):
+        // when the caller passes the RANKED graph (src, rn, dst,
+        // idot — what nnDescent/insertNodes emit), only the
+        // adjacency lists the insert TOUCHES re-score. An untouched
+        // list's old result was a re-score of its own k edges: idot
+        // is a pure function of the pair and the rank order is the
+        // same (idot desc, dst) the build used, so those rows pass
+        // through bit-identically with zero joins and zero window —
+        // the operator finally matches its own O(delta·k) scaladoc
+        // instead of re-scoring all n·k edges per insert. Touched =
+        // the delta nodes plus every existing node a reverse edge
+        // lands on — delta-bounded, hence the broadcast.
+        val touched = attached.select(col("src"))
+          .union(attached.select(col("dst").as("src"))).distinct()
+        val cand = graph.select(col("src"), col("dst"))
+          .join(broadcast(touched), Seq("src"), "left_semi")
+          .union(attached)
+          .union(attached.select(col("dst").as("src"),
+            col("src").as("dst")))
+          .distinct()
+        scoreTopK(cand, allC, idCol, codeCol, k)
+          .unionByName(graph
+            .join(broadcast(touched), Seq("src"), "left_anti")
+            .select(col("src"), col("rn"), col("dst"), col("idot")))
+      } else {
+        // bare (src, dst) input: full re-rank, the pre-r16 path —
+        // also the equivalence oracle GraphAnnSpec's parity tests pin
+        // the O(delta) path against
+        val cand = graph.select(col("src"), col("dst"))
+          .union(attached)
+          .union(attached.select(col("dst").as("src"),
+            col("src").as("dst")))
+          .distinct()
+        scoreTopK(cand, allC, idCol, codeCol, k)
+      }
     // materialize the updated index ((n + delta)·k rows): a serve
     // plan referencing it per beam step must not re-run the insert
-    scoreTopK(cand, codes.unionByName(newCodes), idCol, codeCol, k)
-      .localCheckpoint(false)
+    ranked.localCheckpoint(false)
   }
 
   /** Node DELETION with local repair (the DiskANN delete/consolidate
@@ -200,9 +237,28 @@ object GraphAnn {
       // a USING-style join moves its key to column 0 — re-pin the
       // (src, dst) order before the POSITIONAL union below
       .select(col("src"), col("dst"))
-    scoreTopK(kept.select(col("src"), col("dst")).union(splice)
-        .distinct(), liveCodes, idCol, codeCol, k)
-      .localCheckpoint(false)
+    val repaired =
+      if (Seq("rn", "idot").forall(graph.columns.contains)) {
+        // O(touched) re-rank (optimization r16) — the insertNodes
+        // argument verbatim: a surviving node with NO broken edge
+        // keeps its list (all its dsts survive, so re-scoring its own
+        // k edges against liveCodes reproduces idot and rank order
+        // bit-identically); only srcs with ≥1 broken edge carry
+        // splice candidates and re-rank. Touched is bounded by the
+        // in-degree of the deleted set — never the corpus.
+        val touched = broken.select(col("src")).distinct()
+        val candT = kept.select(col("src"), col("dst"))
+          .join(broadcast(touched), Seq("src"), "left_semi")
+          .union(splice).distinct()
+        scoreTopK(candT, liveCodes, idCol, codeCol, k)
+          .unionByName(graph
+            .join(del, graph("src") === del("__del"), "left_anti")
+            .join(broadcast(touched), Seq("src"), "left_anti")
+            .select(col("src"), col("rn"), col("dst"), col("idot")))
+      } else
+        scoreTopK(kept.select(col("src"), col("dst")).union(splice)
+          .distinct(), liveCodes, idCol, codeCol, k)
+    repaired.localCheckpoint(false)
   }
 
   /** Beam-search serve over a built neighbor graph: start every query
@@ -327,7 +383,7 @@ object GraphAnn {
       topK: Int): DataFrame = {
     require(steps >= 0)
     beamCoreFiltered(queries, codes, codes, Seq((graph, steps)),
-      Some(allowed.select(col(idCol).as("node"))), idCol, codeCol,
+      allowed.select(col(idCol).as("node")), idCol, codeCol,
       entryK, beam, topK)
   }
 
@@ -345,7 +401,7 @@ object GraphAnn {
       codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame = {
     require(layers.nonEmpty && layers.forall(_._2 >= 0))
     beamCoreFiltered(queries, codes, topNodes, layers,
-      Some(allowed.select(col(idCol).as("node"))), idCol, codeCol,
+      allowed.select(col(idCol).as("node")), idCol, codeCol,
       entryK, beam, topK)
   }
 
@@ -388,32 +444,110 @@ object GraphAnn {
     }
   }
 
+  /** Unfiltered beam core — the r15 shape, kept verbatim: state is
+    * (query_id, node, idot); each step broadcasts the post-cut state
+    * and the expansion pairs against streamed scans of the persisted
+    * graph/codes frames, the query code joins per step from the
+    * persisted 1-row-per-query frame, and union+dedup+rank fuse into
+    * one window pass. An r16 variant that carried the query code in
+    * the state (saving the per-step q-join broadcast) measured
+    * uniformly WORSE here (q452 7.66→8.26 s, q457 9.55→10.42 s,
+    * q468 9.85→10.74 s, identical single-JVM A/B at sf0.1) — the
+    * widened state through every per-step broadcast and window
+    * outweighed the removed join — so the unfiltered path keeps the
+    * slim state; the filtered path (below) keeps the code because its
+    * fusion wins depend on it and measured better (q475 7.57→6.06,
+    * q479 8.57→7.44).
+    */
   private def beamCore(queries: DataFrame, codes: DataFrame,
       entryPool: DataFrame, layers: Seq[(DataFrame, Int)], idCol: String,
-      codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame =
-    beamCoreFiltered(queries, codes, entryPool, layers, None, idCol,
-      codeCol, entryK, beam, topK)
-
-  private def beamCoreFiltered(queries: DataFrame, codes: DataFrame,
-      entryPool: DataFrame, layers: Seq[(DataFrame, Int)],
-      allowed: Option[DataFrame], idCol: String,
       codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame = {
     require(entryK >= 1 && beam >= 1 && topK >= 1)
-    // Plan shape (optimization r15, guide §3.1/§2.3/§2.4): the walk
-    // state (queries×beam rows) is the by-design-SMALL side of every
-    // join here, while graph and codes are corpus-sized — so each
-    // step BROADCASTS the state against streamed scans of the big
-    // frames (no corpus-sized exchange anywhere), and the per-step
-    // union+distinct+rank collapses to ONE window pass: sorted by
-    // (idot desc, node), duplicate (query_id, node) rows are adjacent
-    // (idot is a pure function of the pair), so a lag()-filter dedups
-    // in the same exchange the row_number cut already pays. cs and q
-    // are lazily persisted: a step would otherwise re-run the
-    // quantize-scan subtree once per broadcast rebuild.
     val q = queries.select(col(idCol).as("query_id"),
         col(codeCol).as("__qc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cs = codes.select(col(idCol).as("node"), col(codeCol).as("__nc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val entry = entryPool
+      .select(col(idCol).as("node"),
+        saltedHash60(col(idCol), ":entry").as("__h"))
+      .orderBy(col("__h"), col("node")).limit(entryK)
+      .select(col("node"))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("node"))
+    def dedupKeep(state: DataFrame, n: Int): DataFrame = state
+      .withColumn("__dup",
+        lag(col("node"), 1).over(wBeam) === col("node"))
+      .filter(!coalesce(col("__dup"), lit(false)))
+      .withColumn("__rn", row_number().over(wBeam))
+      .filter(col("__rn") <= n)
+      .select(col("query_id"), col("node"), col("idot"))
+    def scored(pairsQN: DataFrame): DataFrame =
+      cs.join(broadcast(pairsQN), "node").join(broadcast(q), "query_id")
+        .withColumn("idot", dotI(col("__qc"), col("__nc")))
+        .select(col("query_id"), col("node"), col("idot"))
+    var st = scored(q.select(col("query_id")).crossJoin(broadcast(entry)))
+    val layersP = layers.map { case (g, n) =>
+      (g.select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), n)
+    }
+    for ((graph, steps) <- layersP; _ <- 1 to steps) {
+      val exp = scored(
+        graph.join(broadcast(st
+            .select(col("query_id"), col("node").as("src"))), "src")
+          .select(col("query_id"), col("dst").as("node")))
+      st = dedupKeep(st.union(exp), beam).localCheckpoint(false)
+    }
+    st.filter(col("node") =!= col("query_id"))
+      .withColumn("rn", row_number().over(wBeam).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("rn"), col("node").as("neighbor_id"),
+        col("idot"))
+  }
+
+  private def beamCoreFiltered(queries: DataFrame, codes: DataFrame,
+      entryPool: DataFrame, layers: Seq[(DataFrame, Int)],
+      allowed: DataFrame, idCol: String,
+      codeCol: String, entryK: Int, beam: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && topK >= 1)
+    // Plan shape (optimization r15 §3.1/§2.3/§2.4; tightened r16
+    // §2.4): the walk state (queries×beam rows) is the by-design-
+    // SMALL side of every join here, while graph and codes are
+    // corpus-sized — so each step BROADCASTS the state against
+    // streamed scans of the big frames (no corpus-sized exchange
+    // anywhere). r16 cuts the per-step action cadence further:
+    //  - the state CARRIES the query code (__qc), so the per-step
+    //    re-join against the query frame (one broadcast build + one
+    //    join per step in r15) is gone — the init pays it once. The
+    //    state exchange widens by dim longs per row, but the state is
+    //    queries×beam rows by construction (the documented bound).
+    //    (The UNFILTERED core measured worse with this trade and
+    //    keeps the slim r15 state — see [[beamCore]]; here the tag
+    //    fusion below needs the code in-row and measured better.);
+    //  - the filtered serve's TWO state frames (routing beam +
+    //    matched accumulator) ride ONE tagged frame cut by ONE window
+    //    pass per step (partitioned by (query_id, tag) — per tag this
+    //    is exactly the r15 per-frame dedup+rank), so a filtered step
+    //    materializes ONE checkpoint instead of three (exp/res/st);
+    //  - `allowed` membership is attached to the corpus codes ONCE
+    //    (one left join at serve start, persisted with cs) instead of
+    //    one semi-join per step.
+    // Per step the remaining actions are exactly two broadcast builds
+    // (state projection; expansion pairs) and the fused cut, whose
+    // lazy localCheckpoint folds into the next step's broadcast
+    // build. The broadcast stays provably bounded (ADVICE r15): the
+    // frontier is the POST-CUT state, ≤ 2·beam rows per query, so
+    // expansion pairs are ≤ queries · 2·beam · k rows — never
+    // corpus-scale. cs and q are lazily persisted: a step would
+    // otherwise re-run the quantize-scan subtree per broadcast
+    // rebuild.
+    val q = queries.select(col(idCol).as("query_id"),
+        col(codeCol).as("__qc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = codes.select(col(idCol).as("node"), col(codeCol).as("__nc"))
+      .join(allowed.withColumn("__m", lit(true)), Seq("node"), "left")
+      .select(col("node"), col("__nc"),
+        coalesce(col("__m"), lit(false)).as("__m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val entryGlobal = entryPool
       .select(col(idCol).as("node"),
@@ -426,52 +560,62 @@ object GraphAnn {
     // walk's path, and a fixed O(entryK) seed set from the filter's
     // own population keeps every region of it reachable — still
     // corpus-size-independent state
-    val entry = allowed match {
-      case Some(a) => entryGlobal.union(
-          a.select(col("node"),
-              saltedHash60(col("node"), ":entry").as("__h"))
-            .orderBy(col("__h"), col("node")).limit(entryK)
-            .select(col("node")))
-        .distinct()
-      case None => entryGlobal
-    }
+    val entry = entryGlobal.union(
+        allowed.select(col("node"),
+            saltedHash60(col("node"), ":entry").as("__h"))
+          .orderBy(col("__h"), col("node")).limit(entryK)
+          .select(col("node")))
+      .distinct()
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("idot").desc, col("node"))
-    // dedup by (query_id, node) + keep-best-`n` in ONE window pass:
-    // duplicates carry identical idot (a pure function of the pair),
-    // so they sort adjacent and a lag() comparison drops them;
-    // row_number over the SAME spec then ranks without a second
-    // exchange (filter preserves partitioning and ordering).
-    // Set-identical to union().distinct() + rank.
+    // the per-step cut window: partitioned by (query_id, tag) — for
+    // each tag's row set this is the SAME dedup+rank as a window
+    // partitioned by query_id alone over that set
+    val wTag = Window.partitionBy(col("query_id"), col("__t"))
+      .orderBy(col("idot").desc, col("node"))
+    val stateCols = Seq(col("__t"), col("query_id"), col("node"),
+      col("idot"), col("__qc"))
+    // dedup by (query_id, tag, node) + keep-best-`n` per tag in ONE
+    // window pass: duplicates carry identical idot (a pure function
+    // of the pair), so they sort adjacent and a lag() comparison
+    // drops them; row_number over the SAME spec then ranks without a
+    // second exchange (filter preserves partitioning and ordering).
+    // Set-identical to per-frame union().distinct() + rank.
     def dedupKeep(state: DataFrame, n: Int): DataFrame = state
       .withColumn("__dup",
-        lag(col("node"), 1).over(wBeam) === col("node"))
+        lag(col("node"), 1).over(wTag) === col("node"))
       .filter(!coalesce(col("__dup"), lit(false)))
-      .withColumn("__rn", row_number().over(wBeam))
+      .withColumn("__rn", row_number().over(wTag))
       .filter(col("__rn") <= n)
-      .select(col("query_id"), col("node"), col("idot"))
-    // matched-frontier accumulator (filtered serve only): the best
-    // `beam` `allowed` nodes scored at ANY step — beam-sized, not
-    // topK-sized, because the matched frontier also EXPANDS (the
-    // FilteredDiskANN traversal: matching nodes chain to the other
-    // matching nodes near them, which the query-routing beam alone
-    // never visits at a selective predicate). Self excluded at
-    // accumulation time so a cut can never lose the k-th real answer
-    // to the query's own row.
-    def matches(scoredDf: DataFrame): DataFrame = allowed match {
-      case Some(a) => scoredDf
-        .filter(col("node") =!= col("query_id"))
-        .join(a, Seq("node"), "left_semi")
-        .select(col("query_id"), col("node"), col("idot"))
-      case None => scoredDf.limit(0)
-    }
-    // state is the broadcast build side; corpus codes stream past it
-    def scored(pairsQN: DataFrame): DataFrame =
-      cs.join(broadcast(pairsQN), "node").join(broadcast(q), "query_id")
+      .select(stateCols: _*)
+    // state is the broadcast build side; corpus codes stream past it.
+    // `pairs` columns: (query_id, __qc, node).
+    def scored(pairs: DataFrame): DataFrame =
+      cs.join(broadcast(pairs), "node")
         .withColumn("idot", dotI(col("__qc"), col("__nc")))
-        .select(col("query_id"), col("node"), col("idot"))
-    var st = scored(q.select(col("query_id")).crossJoin(broadcast(entry)))
-    var res = matches(st)
+        .select(col("query_id"), col("node"), col("idot"),
+          col("__qc"), col("__m"))
+    // tag scored rows: every row joins the routing beam ("b"); rows
+    // whose node matches the predicate ALSO join the matched
+    // accumulator ("r") — the r15 `matches()` semi-join + self-filter
+    // as a free map-side explode. The matched frontier is beam-sized,
+    // not topK-sized, because it also EXPANDS (the FilteredDiskANN
+    // traversal: matching nodes chain to the other matching nodes
+    // near them, which the query-routing beam alone never visits at a
+    // selective predicate). Self excluded at accumulation time so a
+    // cut can never lose the k-th real answer to the query's own row.
+    def tagged(sc: DataFrame): DataFrame = sc.select(
+      explode(when(col("__m") && col("node") =!= col("query_id"),
+          array(lit("b"), lit("r")))
+        .otherwise(array(lit("b")))).as("__t"),
+      col("query_id"), col("node"), col("idot"), col("__qc"))
+    // init state is referenced twice by the first step (frontier
+    // projection + union) — truncate so the entry subtree (a corpus
+    // orderBy+limit) runs once
+    var st = tagged(scored(
+        q.select(col("query_id"), col("__qc"))
+          .crossJoin(broadcast(entry))))
+      .localCheckpoint(false)
     // lazily persist each layer's edge frame: a layer is scanned once
     // per step, and an UN-materialized graph plan (e.g. nnDescent's
     // final top-k) would otherwise re-execute per step
@@ -481,35 +625,23 @@ object GraphAnn {
     }
     for ((graph, steps) <- layersP; _ <- 1 to steps) {
       // filtered serve expands from BOTH frontiers — routing beam and
-      // matched beam — in one edge join; duplicate frontier rows (and
-      // duplicate expansion targets) are NOT pre-deduped: they only
-      // multiply a bounded broadcast frame, and the dedupKeep window
-      // removes them before the next step
-      val frontier = allowed match {
-        case Some(_) => st.union(res)
-        case None => st
-      }
-      val exp0 = scored(
-        graph.join(broadcast(frontier
-            .select(col("query_id"), col("node").as("src"))), "src")
-          .select(col("query_id"), col("dst").as("node")))
-      // the filtered path consumes the expansion TWICE (beam update +
-      // match accumulation) — materialize the bounded frame once
-      val exp = if (allowed.isDefined) exp0.localCheckpoint(false) else exp0
-      if (allowed.isDefined)
-        res = dedupKeep(res.union(matches(exp)), beam)
-          .localCheckpoint(false)
+      // matched beam, i.e. every tag of the state — in one edge join;
+      // duplicate frontier rows (a node in both tags) and duplicate
+      // expansion targets are NOT pre-deduped: they only multiply a
+      // bounded broadcast frame, and the dedupKeep window removes
+      // them before the next step
+      val pairs = graph.join(broadcast(st
+          .select(col("query_id"), col("__qc"), col("node").as("src"))),
+          "src")
+        .select(col("query_id"), col("__qc"), col("dst").as("node"))
       // truncate lineage each step: the state frame is queries×beam
       // rows, but each round references the previous one TWICE
       // (union + expansion), so an unbroken chain makes plan
       // analysis O(2^steps) — the Bpe.train checkpoint discipline
-      st = dedupKeep(st.union(exp), beam).localCheckpoint(false)
+      st = dedupKeep(st.unionByName(tagged(scored(pairs))), beam)
+        .localCheckpoint(false)
     }
-    val out = allowed match {
-      case Some(_) => res
-      case None => st.filter(col("node") =!= col("query_id"))
-    }
-    out
+    st.filter(col("__t") === "r")
       .withColumn("rn", row_number().over(wBeam).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("rn"), col("node").as("neighbor_id"),

